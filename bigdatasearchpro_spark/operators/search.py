@@ -1,0 +1,172 @@
+"""Full-text search ring (SURVEY.md L3 + T1).
+
+The reference exposes keyword search by posting the user's ``q=`` string
+straight to Elasticsearch's URI-search endpoint
+(``indexView.html:13-19``); its own query methods return null
+(``ElasticServiceImpl.java:127-136``). ES 6.x semantics for that path:
+standard analysis (split on non-alphanumerics + lowercase), boolean
+term match (OR), BM25 scoring, top-10 by ``_score``. This module
+re-homes those semantics natively as DataFrame programs.
+
+Scale design (100 TB corpus):
+- Tokenization/TF are narrow map-side ops (explode + hash-agg with
+  partial aggregation) — no driver involvement.
+- Query terms are a tiny literal set: we filter the exploded tokens to
+  query terms FIRST, so the per-term document-frequency aggregation
+  shuffles only matching (doc, term) pairs, not the whole corpus.
+- Corpus-level constants (N, avg doc length) are single scalar
+  aggregates, broadcast by Catalyst as literals after ``.first()`` —
+  acceptable: two tiny jobs, or precomputed once in the inverted index.
+- For repeated queries, ``build_inverted_index`` materializes
+  (term, doc_id, tf) + doc-length tables partitioned by term so a query
+  touches only its terms' partitions.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ES standard-analyzer-alike: lowercase, split on any non-alphanumeric run.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def analyze_query(q: str) -> list[str]:
+    """Driver-side analysis of the query string (same analyzer)."""
+    return [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    """Standard-analyzer tokenization as a narrow projection."""
+    return df.withColumn(
+        out,
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""),
+    )
+
+
+def _term_freqs(docs: DataFrame, id_col: str, text_col: str, terms: Sequence[str]) -> DataFrame:
+    """(doc, term, tf) for query terms only — filter before the shuffle."""
+    toks = tokenize(docs, text_col).select(
+        id_col, F.explode("tokens").alias("term")
+    )
+    return (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def keyword_match(
+    docs: DataFrame,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "any",
+) -> DataFrame:
+    """Boolean keyword match (the SQL-oracle-able subset of L3).
+
+    ``mode='any'`` = ES URI-search default (OR); ``'all'`` = AND.
+    Returns the matching rows of ``docs`` unchanged.
+    """
+    terms = analyze_query(query)
+    if not terms:
+        return docs.limit(0)
+    tf = _term_freqs(docs, id_col, text_col, terms)
+    hits = tf.groupBy(id_col).agg(F.countDistinct("term").alias("__nterms"))
+    if mode == "all":
+        hits = hits.filter(F.col("__nterms") == len(set(terms)))
+    return docs.join(hits.select(id_col), id_col, "left_semi")
+
+
+def search_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scoring: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Scored top-k keyword search — the reference's end-user query path
+    (T1: top-10 by ``_score`` desc) run natively.
+
+    ``scoring='tfidf'``: score = sum_t tf(t,d) * ln(N / df(t)).
+    ``scoring='bm25'`` : Robertson/ES-style
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score  = sum_t idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen))
+
+    Deterministic: score rounded to ``round_to`` decimals and ties broken
+    by ``id_col`` asc, so the result is oracle-comparable.
+    """
+    terms = analyze_query(query)
+    if not terms:
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+
+    n_docs = docs.count()
+    tf = _term_freqs(docs, id_col, text_col, terms)
+    df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    if scoring == "tfidf":
+        scored = (
+            tf.join(F.broadcast(df_stats), "term")
+            .withColumn("__s", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        )
+    elif scoring == "bm25":
+        doclen = tokenize(docs, text_col).select(
+            F.col(id_col), F.size("tokens").cast("double").alias("dl")
+        )
+        avgdl = float(doclen.agg(F.avg("dl")).first()[0])
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        scored = (
+            tf.join(F.broadcast(df_stats), "term")
+            .join(doclen, id_col)
+            .withColumn(
+                "__s",
+                idf
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+            )
+        )
+    else:
+        raise ValueError(f"unknown scoring: {scoring}")
+
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("__s"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable inverted index: (term, doc_id, tf) postings and a
+    (doc_id, dl) doc-length table.
+
+    Index-once/query-many is the reference's whole product shape (bulk
+    load then search, ``BulkProcessImpl.java:82-157``); writing the
+    postings partitioned/bucketed by ``term`` means a query scans only
+    its terms' buckets at 100 TB.
+    """
+    toks = tokenize(docs, text_col)
+    postings = (
+        toks.select(F.col(id_col), F.explode("tokens").alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    doclen = toks.select(F.col(id_col), F.size("tokens").cast("double").alias("dl"))
+    return postings, doclen

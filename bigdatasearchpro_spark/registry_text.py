@@ -1,0 +1,522 @@
+"""Registry part 2: search ring [ES], scalar functions, LLM-pipeline
+operators, and batch-equivalent streaming windows. Imported by
+``bigdatasearchpro_spark.registry`` (which owns ``register``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators import neardup, search, similarity, textstats
+from bigdatasearchpro_spark.registry import register
+from bigdatasearchpro_spark.sources.files import load_table
+
+# Fixed, deterministic search query (terms exist in the fixture vocab).
+SEARCH_QUERY = "spark join window"
+_TERMS_SQL = "('spark', 'join', 'window')"
+
+# Shared tokenization CTE, identical semantics to operators.search.tokenize.
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.10 L3 + §2.6 T1 — the search ring (re-homed ES semantics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_keyword_match_any",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term IN {_TERMS_SQL})
+    """,
+)
+def l3_keyword_match_any(spark, sf_dir):
+    """L3 boolean subset: OR-match (ES URI-search default operator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.keyword_match(docs, SEARCH_QUERY, mode="any").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "l3_keyword_match_all",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id IN (
+      SELECT doc_id FROM toks WHERE term IN {_TERMS_SQL}
+      GROUP BY doc_id HAVING count(DISTINCT term) = 3
+    )
+    """,
+)
+def l3_keyword_match_all(spark, sf_dir):
+    """L3 boolean subset: AND-match (all query terms present)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.keyword_match(docs, SEARCH_QUERY, mode="all").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "l3_search_tfidf_topk",
+    f"""
+    WITH {_TOKS_CTE},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+    SELECT tf.doc_id,
+           round(sum(tf.tf * ln(nn.n / dfs.df)), 4) AS score
+    FROM tf CROSS JOIN nn JOIN dfs ON tf.term = dfs.term
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_search_tfidf_topk(spark, sf_dir):
+    """L3+T1: TF-IDF-scored top-10 (tf * ln(N/df)), deterministic ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.search_topk(docs, SEARCH_QUERY, 10, scoring="tfidf")
+
+
+@register(
+    "l3_search_bm25_topk",
+    f"""
+    WITH {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl)
+    SELECT tf.doc_id,
+           round(sum(
+             ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+           ), 4) AS score
+    FROM tf
+    CROSS JOIN nn CROSS JOIN avgdl
+    JOIN dfs ON tf.term = dfs.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_search_bm25_topk(spark, sf_dir):
+    """The flagship: BM25-scored top-10 keyword search — the reference's
+    user-facing query path (ES 6.x `?q=` semantics: standard analysis,
+    OR match, BM25, top-10 by _score; delegation site indexView.html:13-19)
+    run natively as a DataFrame program (k1=1.2, b=0.75)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.search_topk(docs, SEARCH_QUERY, 10, scoring="bm25")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar function surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "f1_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_uc,
+           substring(p_name, 1, 8)                          AS name_prefix,
+           length(p_name)                                   AS name_len,
+           replace(p_type, ' ', '_')                        AS type_snake,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR))    AS brand_size,
+           contains(p_name, 'a')                            AS has_a,
+           len(string_split(p_type, ' '))                   AS n_type_words
+    FROM part
+    """,
+)
+def f1_string_funcs(spark, sf_dir):
+    """§2.8 strings: upper/substring/length/replace/concat/contains/split."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.col("p_name").contains("a").alias("has_a"),
+        F.size(F.split("p_type", " ")).alias("n_type_words"),
+    )
+
+
+@register(
+    "f2_date_funcs",
+    """
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate)::TIMESTAMP       AS order_month,
+           year(o_orderdate)                                 AS order_year,
+           month(o_orderdate)                                AS order_mon,
+           day(o_orderdate)                                  AS order_day,
+           dayofweek(o_orderdate) + 1                        AS order_dow,
+           date_diff('day', o_orderdate, TIMESTAMP '1999-01-01') AS days_to_1999
+    FROM orders
+    """,
+)
+def f2_date_funcs(spark, sf_dir):
+    """§2.8 dates: trunc/extract/diff (dayofweek: Sunday=1 in both)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.datediff(F.lit("1999-01-01").cast("timestamp_ntz"), F.col("o_orderdate")).alias(
+            "days_to_1999"
+        ),
+    )
+
+
+@register(
+    "f3_json_funcs",
+    """
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def f3_json_funcs(spark, sf_dir):
+    """§2.8 JSON: extract scalar from the events.props JSON string."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "f4_array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding)                                          AS dim,
+           round(embedding[1]::DOUBLE, 4)                          AS first_val,
+           round(list_aggregate(embedding::DOUBLE[], 'min'), 4)    AS min_val,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 4)    AS max_val
+    FROM embeddings
+    """,
+)
+def f4_array_funcs(spark, sf_dir):
+    """§2.8 arrays: size/element_at/array_min/array_max over embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(dbl, 1), 4).alias("first_val"),
+        F.round(F.array_min(dbl), 4).alias("min_val"),
+        F.round(F.array_max(dbl), 4).alias("max_val"),
+    )
+
+
+@register(
+    "f5_math_case_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+           round(abs(l_discount - 0.05), 4)                            AS disc_dev,
+           floor(l_quantity)::BIGINT                                   AS qty_floor,
+           ceil(l_quantity)::BIGINT                                    AS qty_ceil,
+           CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END      AS qty_class
+    FROM lineitem
+    """,
+)
+def f5_math_case_funcs(spark, sf_dir):
+    """§2.8 math + conditional: arithmetic, abs, floor/ceil, CASE WHEN."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charged"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.when(F.col("l_quantity") > 25, "bulk").otherwise("small").alias("qty_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 — L4 similarity, L5 text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "l4_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             CASE WHEN sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+                       * sqrt(list_sum(list_transform(q.qv, x -> x*x))) > 0
+                  THEN list_sum(list_transform(range(1, 65),
+                         i -> e.embedding[i]::DOUBLE * q.qv[i]))
+                       / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+                          * sqrt(list_sum(list_transform(q.qv, x -> x*x))))
+                  ELSE 0.0 END AS raw
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, round(raw, 4) AS score
+    FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def l4_cosine_topk(spark, sf_dir):
+    """L4: brute-force cosine top-10 against the vec_id=0 embedding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(emb, qv, 10)
+
+
+@register("l4_ann_lsh_topk")  # rows-only: LSH bucketing is engine-specific
+def l4_ann_lsh_topk(spark, sf_dir):
+    """L4 scale path: LSH-bucketed approximate top-10 (recall vs brute
+    force asserted in tests, not oracle-checkable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_topk_lsh(emb, qv, 10, n_planes=8, multiprobe_hamming=2)
+
+
+@register("j5_similarity_join")  # rows-only: LSH candidate generation
+def j5_similarity_join(spark, sf_dir):
+    """J5: LSH-bucketed cosine similarity self-join (threshold 0.8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_similarity_join(emb, emb, 0.8, n_planes=4)
+
+
+@register(
+    "l5_text_quality_stats",
+    """
+    SELECT doc_id,
+      length(text) AS n_chars,
+      len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_words,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+      round(CASE WHEN length(text) > 0
+        THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text)
+        ELSE 0.0 END, 4) AS punct_ratio,
+      round(CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '')) > 0
+        THEN len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                 t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by'], t)))::DOUBLE
+             / len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> ''))
+        ELSE 0.0 END, 4) AS stopword_ratio,
+      round(CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) > 0
+        THEN list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), t -> length(t)))::DOUBLE
+             / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+        ELSE 0.0 END, 4) AS mean_word_len
+    FROM documents
+    """,
+)
+def l5_text_quality_stats(spark, sf_dir):
+    """L5: per-document quality metrics (training-data filtering)."""
+    return textstats.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("l5_lang_id")  # rows-only: heuristic classifier
+def l5_lang_id(spark, sf_dir):
+    """L5: marker-token language ID (deterministic argmax)."""
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("l5_fingerprint")  # rows-only: xxhash64 is engine-specific
+def l5_fingerprint(spark, sf_dir):
+    """L5: rolling-shingle min/max/sum hash fingerprints."""
+    return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 L2 — near-duplicate detection (rows-only; hashes are engine-specific)
+# ---------------------------------------------------------------------------
+
+def _with_synthetic_neardups(docs):
+    """Fixture docs are all-distinct; append mutated copies (doc_id+100000,
+    one word changed) so near-dup operators have true positives to find."""
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzmutation")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(mutated)
+
+
+@register("l2_minhash_lsh_pairs")
+def l2_minhash_lsh_pairs(spark, sf_dir):
+    """L2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
+    verified with exact shingle Jaccard. Synthetic mutations guarantee
+    recall targets exist; tests assert (d, d+100000) pairs are found."""
+    docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    return neardup.minhash_lsh_pairs(
+        docs, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5
+    )
+
+
+@register("l2_simhash_pairs")
+def l2_simhash_pairs(spark, sf_dir):
+    """L2: SimHash near-dup pairs (64-bit signature, 16-bit chunk
+    blocking, Hamming ≤ 8)."""
+    docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    return neardup.simhash_pairs(docs, max_hamming=8)
+
+
+@register("l2_ngram_jaccard_pairs")
+def l2_ngram_jaccard_pairs(spark, sf_dir):
+    """L2: exact word-3-gram Jaccard join, blocked by source column."""
+    docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    return neardup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="source")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — streaming semantics, batch-checkable form (real streams in tests/)
+# ---------------------------------------------------------------------------
+
+@register(
+    "st1_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st1_tumbling_window(spark, sf_dir):
+    """§2.9: 10-minute tumbling window aggregation. Same F.window() plan
+    runs under readStream with a watermark (tests/test_streaming.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "st2_sliding_window",
+    """
+    WITH marks AS (
+      SELECT e.*, time_bucket(INTERVAL '5 minutes', ts) AS mark
+      FROM events e
+    ),
+    assigned AS (
+      SELECT mark AS win_start, user_id, value FROM marks
+      UNION ALL
+      SELECT mark - INTERVAL '5 minutes' AS win_start, user_id, value FROM marks
+    )
+    SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM assigned GROUP BY win_start
+    """,
+)
+def st2_sliding_window(spark, sf_dir):
+    """§2.9: 10-minute window sliding by 5 — each event lands in two
+    windows (oracle materializes the same assignment explicitly)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "st3_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def st3_session_window(spark, sf_dir):
+    """§2.9: per-user session windows (30-minute inactivity gap) —
+    F.session_window in batch mode; oracle is the gaps-and-islands
+    formulation of identical semantics."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "st4_streaming_dedup",
+    """
+    SELECT user_id, event_type, count(*) AS n
+    FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type, props
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+)
+def st4_streaming_dedup(spark, sf_dir):
+    """§2.9: dedup on (user_id, event_type, props) keeping the earliest
+    event — the batch shape of dropDuplicates-with-watermark."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "props").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -71,47 +71,48 @@ def minhash_lsh_pairs(
     Returns (left_id, right_id, jaccard_sim), left_id < right_id.
     """
     rows_per_band = n_perms // bands
-    sig = docs.select(
-        F.col(id_col),
-        char_shingles(F.col(text_col), shingle_k).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), n_perms))
+    shingled = docs.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    sig = shingled.withColumn("__sig", minhash_signature(F.col("__sh"), n_perms))
 
+    # Candidate generation shuffles ONLY (band, band_hash, doc_id) — the
+    # shingle arrays stay out of the self-join (at 100 TB they dominate
+    # row width; candidates are a tiny fraction of the corpus).
     banded = sig.select(
-        id_col,
-        "__sh",
+        F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("__sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("__sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("__band"),
-    ).select(id_col, "__sh", "__band.band", "__band.bh")
-
-    left = banded.select(
-        F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"), "band", "bh"
+        ).alias("bh"),
     )
-    right = banded.select(
-        F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"), "band", "bh"
-    )
-    pairs = (
-        left.join(right, ["band", "bh"])
+    left = banded.select(F.col(id_col).alias("left_id"), "bh")
+    right = banded.select(F.col(id_col).alias("right_id"), "bh")
+    candidates = (
+        left.join(right, "bh")
         .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
+
+    # Exact-Jaccard verification: join shingle sets back for candidate
+    # pairs only.
+    lsh = shingled.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
+    rsh = shingled.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
     return (
-        pairs.withColumn(
-            "jaccard_sim", F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 4)
-        )
+        candidates.join(lsh, "left_id")
+        .join(rsh, "right_id")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 4))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("left_id", "right_id", "jaccard_sim")
     )

@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric mirrors the reference's own yardstick — rows/s of
+the bulk ETL pipeline (JDBC scan -> stringify -> key-by -> last-write-
+wins dedup -> bulk sink; reference numbers in BASELINE.md, ~35k rows/s
+sustained on a 3-node cluster) — reported alongside per-query wall
+seconds for the analytic/search/dedup surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdatasearchpro_spark.registry import QUERIES  # noqa: E402
+from bigdatasearchpro_spark.session import get_spark  # noqa: E402
+from bigdatasearchpro_spark.sources.files import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative spread of SURVEY.md §2: ETL ring, search ring,
+# relational ring, LLM-pipeline ring, streaming-batch ring.
+BENCH_QUERIES = [
+    "p1_stringify_all",
+    "l1_dedup_last_write_wins",
+    "l1_dedup_content_hash",
+    "a3_pricing_summary",
+    "a4_count_distinct",
+    "j1_join_revenue_by_nation",
+    "j4_broadcast_join",
+    "w1_rank_topn_per_group",
+    "t1_topk_orders",
+    "l3_search_bm25_topk",
+    "l4_cosine_topk",
+    "l5_text_quality_stats",
+    "l2_simhash_pairs",
+    "l2_minhash_lsh_pairs",
+    "st1_tumbling_window",
+    "st3_session_window",
+]
+
+
+def _drain(df) -> int:
+    """Force full execution without driver-side materialization cost."""
+    return df.count() if df.isStreaming is False else 0
+
+
+def bench_etl_pipeline(spark, sf_dir: str, sink_dir: str) -> tuple[float, int]:
+    """The reference's §3.1 lifecycle on lineitem: full scan, stringify,
+    composite key, last-write-wins dedup, bulk write (parquet sink stands
+    in for the ES bulk sink; write path is the same per-partition batched
+    pattern, reference BulkProcessImpl.java:120-137)."""
+    from bigdatasearchpro_spark.operators import dedup, transform
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
+
+    t0 = time.time()
+    li = load_table(spark, sf_dir, "lineitem")
+    doc = transform.stringify_all(
+        transform.composite_key(li, "l_orderkey", "l_linenumber", out="s_guid")
+    )
+    deduped = dedup.dedup_last_write_wins(doc, "s_guid", ["l_quantity"], keep="last")
+    n = bulk_index_parquet(deduped, sink_dir, mode="overwrite")
+    return time.time() - t0, n
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    # Warm up the JVM/codegen paths so per-query numbers measure the
+    # queries, not session startup.
+    load_table(spark, SF_DIR, "nation").count()
+
+    queries: dict[str, float] = {}
+    sink_dir = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        etl_sec, etl_rows = bench_etl_pipeline(spark, SF_DIR, sink_dir)
+        queries["etl_bulk_load"] = round(etl_sec, 3)
+
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _drain(QUERIES[name](spark, SF_DIR))
+            queries[name] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "etl_rows": etl_rows,
+                "etl_rows_per_sec": round(etl_rows / max(etl_sec, 1e-9), 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

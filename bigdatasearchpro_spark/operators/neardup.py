@@ -24,25 +24,103 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (shingling unit for document-level dedup)."""
-    toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+def word_ngrams(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams over a *materialized* token-array column.
+
+    Callers must alias the tokenization into its own projection first
+    (see :func:`tokenize_words`): passing a raw ``split(...)`` expression
+    here would re-inline the split at every element access — the
+    sequence/transform below reads ``tokens`` ~3n times per row.
+    """
+    cnt = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), cnt - 1),
-            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+            lambda i: F.concat_ws(" ", *[tokens[i + j] for j in range(n)]),
         )
     )
+
+
+def tokenize_words(text: Column, *, token_re: str = "[^a-z0-9]+") -> Column:
+    """Lowercased word tokens (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), token_re), lambda t: t != "")
 
 
 def minhash_signature(shingles: Column, n_perms: int = 32) -> Column:
     """n_perms independent min-hashes: h_i = min over shingles of
     xxhash64(shingle, i). Equivalent to permutation MinHash up to hash
-    quality; deterministic across runs/engines."""
+    quality; deterministic across runs/engines.
+
+    NOTE: expression form, for small/ad-hoc use. The operator pipeline
+    uses :func:`minhash_signatures` (explode + hash-agg) instead —
+    nested higher-order functions are interpreted (not codegen'd) and
+    Catalyst's projection collapse inlines this whole tree once per
+    downstream reference, which is quadratic in practice.
+    """
     return F.array(
         *[
             F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(n_perms)
+        ]
+    )
+
+
+def exploded_shingles(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, shingle) rows — the flat building block for signatures and
+    shingle sets.
+
+    Materializes ``lower(text)`` in its own projection before the
+    per-position substring: passing the raw expression through would
+    re-inline (and re-evaluate) the lowercasing at every element access.
+    Everything here is flat codegen'd row logic — no higher-order
+    functions in the hot path.
+    """
+    lowered = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+    positions = lowered.select(
+        F.col(id_col),
+        F.col("__lt"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("__lt") - F.lit(shingle_k - 1), F.lit(1))
+            )
+        ).alias("__i"),
+    )
+    return positions.select(
+        F.col(id_col), F.col("__lt").substr(F.col("__i"), F.lit(shingle_k)).alias("__s")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perms: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """One row per document with ``mh0..mh{n-1}`` min-hash columns.
+
+    Scale form: explode shingles to (id, shingle) rows, hash each
+    shingle ONCE (string hash), derive the n_perms permutation hashes
+    from that 8-byte base (long+seed hashing is ~free vs re-hashing the
+    string), and take per-document mins with a hash aggregate. Map-side
+    partial aggregation collapses each task's rows to one n_perms-long
+    vector per doc before the shuffle, so shuffle volume is
+    n_perms * 8 bytes per document regardless of document length.
+    Duplicate shingles don't affect a min, so no distinct is needed.
+    """
+    based = exploded_shingles(
+        docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    return based.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh{i}")
             for i in range(n_perms)
         ]
     )
@@ -71,14 +149,20 @@ def minhash_lsh_pairs(
     Returns (left_id, right_id, jaccard_sim), left_id < right_id.
     """
     rows_per_band = n_perms // bands
-    shingled = docs.select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
-    )
-    sig = shingled.withColumn("__sig", minhash_signature(F.col("__sh"), n_perms))
+    # Signatures are materialized: n_perms longs per doc (a ~0.3 KB row
+    # at n_perms=32 — at 100 TB of text this is tens of GB, i.e. a
+    # cacheable/persistable side table), consumed by both sides of the
+    # self-join and by the estimate-verify stage below. Without the
+    # persist every consumer re-runs the full shingle scan.
+    sig = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n_perms=n_perms, shingle_k=shingle_k
+    ).persist()
+    sig.count()  # eager: fill the cache once, not once per DAG branch
 
-    # Candidate generation shuffles ONLY (band, band_hash, doc_id) — the
-    # shingle arrays stay out of the self-join (at 100 TB they dominate
-    # row width; candidates are a tiny fraction of the corpus).
+    # Candidate generation shuffles ONLY (band_hash, doc_id) — neither
+    # the shingle arrays nor the signatures enter the self-join (at
+    # 100 TB they dominate row width; candidates are a tiny fraction of
+    # the corpus).
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -87,7 +171,7 @@ def minhash_lsh_pairs(
                     F.xxhash64(
                         F.lit(b),
                         *[
-                            F.col("__sig")[b * rows_per_band + r]
+                            F.col(f"mh{b * rows_per_band + r}")
                             for r in range(rows_per_band)
                         ],
                     )
@@ -105,12 +189,47 @@ def minhash_lsh_pairs(
         .dropDuplicates(["left_id", "right_id"])
     )
 
-    # Exact-Jaccard verification: join shingle sets back for candidate
-    # pairs only.
-    lsh = shingled.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
-    rsh = shingled.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
+    # Stage 1 verify (cheap): estimate Jaccard from the signatures
+    # themselves — fraction of agreeing minhash components. Joining
+    # 2 x n_perms longs per pair is orders cheaper than shingle sets;
+    # pairs estimated well below the threshold (2-3 sigma of the
+    # n_perms-sample estimator) are dropped before exact verification.
+    est = sum(
+        F.when(F.col(f"__l{i}") == F.col(f"__r{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    ) / F.lit(float(n_perms))
+    lsig = sig.select(
+        F.col(id_col).alias("left_id"), *[F.col(f"mh{i}").alias(f"__l{i}") for i in range(n_perms)]
+    )
+    rsig = sig.select(
+        F.col(id_col).alias("right_id"), *[F.col(f"mh{i}").alias(f"__r{i}") for i in range(n_perms)]
+    )
+    margin = 2.5 * (0.25 / n_perms) ** 0.5  # ~2.5 sigma at J=0.5
+    survivors = (
+        candidates.join(lsig, "left_id")
+        .join(rsig, "right_id")
+        .withColumn("__est", est)
+        .filter(F.col("__est") >= jaccard_threshold - margin)
+        .select("left_id", "right_id")
+    ).persist()
+
+    # Stage 2 verify (exact): shingle-hash sets ONLY for surviving docs
+    # (semi-join pruned), Jaccard over 8-byte hashes instead of strings.
+    surv_ids = (
+        survivors.select(F.col("left_id").alias(id_col))
+        .union(survivors.select(F.col("right_id").alias(id_col)))
+        .distinct()
+    )
+    hashed = (
+        exploded_shingles(docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+        .join(surv_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set(F.xxhash64("__s")).alias("__sh"))
+    ).persist()
+    lsh = hashed.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
+    rsh = hashed.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
     return (
-        candidates.join(lsh, "left_id")
+        survivors.join(lsh, "left_id")
         .join(rsh, "right_id")
         .withColumn("jaccard_sim", F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 4))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
@@ -118,27 +237,44 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column, *, token_re: str = "[^a-z0-9]+") -> Column:
-    """64-bit SimHash: per-token xxhash64; each bit position accumulates
-    +1/-1 by the token's bit; sign of the sum sets the output bit.
+def simhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """One row per document with a 64-bit SimHash column ``__sim``.
 
-    Pure bit-arithmetic expressions (shiftright/bitwise-and) — codegen'd.
+    Per-token xxhash64; each bit position accumulates +1/-1 by the
+    token's bit; sign of the sum sets the output bit. Computed as
+    explode + 64 flat SUM aggregates (codegen'd hash-agg with map-side
+    partials) — shuffle volume is 64 longs per document.
     """
-    toks = F.filter(F.split(F.lower(text), token_re), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    toked = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), token_re), lambda t: t != "")
+        ).alias("__t"),
+    ).withColumn("__h", F.xxhash64(F.col("__t")))
+    votes = toked.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
     out = F.lit(0).cast("long")
     for bit in range(64):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
         out = out.bitwiseOR(
-            F.when(votes > 0, F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+            F.when(
+                F.col(f"v{bit}") > 0,
+                F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return out
+    return votes.select(F.col(id_col), out.alias("__sim"))
 
 
 def simhash_pairs(
@@ -153,9 +289,7 @@ def simhash_pairs(
     ``n_chunks`` 16-bit chunks (pigeonhole: any pair within
     ``n_chunks-1`` bit flips must collide on some chunk), verified by
     exact Hamming distance via bit_count(xor)."""
-    sigs = docs.select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("__sim")
-    )
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
     chunked = sigs.select(
         id_col,
         "__sim",
@@ -206,9 +340,13 @@ def ngram_jaccard_pairs(
     exhaustive quadratic verification (bounded fixtures / final rescoring
     of candidates); with it, pairs are restricted to equal blocking keys
     — the scalable form."""
-    grams = docs.select(
+    extra = [F.col(block_col)] if block_col else []
+    toked = docs.select(
+        F.col(id_col), tokenize_words(F.col(text_col)).alias("__t"), *extra
+    )
+    grams = toked.select(
         F.col(id_col),
-        word_ngrams(F.col(text_col), n).alias("__g"),
+        word_ngrams(F.col("__t"), n).alias("__g"),
         *( [F.col(block_col)] if block_col else [] ),
     )
     join_keys = [block_col] if block_col else []

@@ -1,0 +1,55 @@
+"""Index DDL shims (SURVEY.md S4-S6) over the Spark catalog.
+
+The reference manages ES indices over REST: create with 5 shards /
+0 replicas / ``refresh_interval=-1`` (``BulkProcessImpl.java:62-75``),
+delete with long timeouts (``ElasticServiceImpl.java:64-87``), list all
+minus system indices (``ElasticServiceImpl.java:90-114``). Here an
+"index" is a catalog table; the load-optimized settings map onto the
+write path (shard count -> partition count) rather than DDL state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators.transform import normalize_index_name
+
+DEFAULT_SHARDS = 5  # reference: number_of_shards=5, BulkProcessImpl.java:66
+
+
+def create_index(
+    spark: SparkSession,
+    name: str,
+    schema: str = "doc_id BIGINT, body STRING",
+    *,
+    shards: int = DEFAULT_SHARDS,
+) -> str:
+    """Create an empty managed table (lowercased, like the reference's
+    index names). ``shards`` is recorded as a table property — the write
+    path uses it as the partition count."""
+    n = normalize_index_name(name)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {n} ({schema}) USING parquet "
+        f"TBLPROPERTIES ('shards' = '{shards}')"
+    )
+    return n
+
+
+def delete_index(spark: SparkSession, name: str) -> bool:
+    """Drop the table if it exists (reference deletes are idempotent in
+    effect: a missing index raises, caught and logged)."""
+    n = normalize_index_name(name)
+    existed = spark.catalog.tableExists(n)
+    spark.sql(f"DROP TABLE IF EXISTS {n}")
+    return existed
+
+
+def list_indices(spark: SparkSession) -> DataFrame:
+    """All non-system tables — the reference filters ``.``-prefixed
+    system indices (``ElasticServiceImpl.java:98``)."""
+    tables = spark.createDataFrame(
+        [(t.name, t.database or "") for t in spark.catalog.listTables()],
+        "index_name string, database string",
+    )
+    return tables.filter(~F.col("index_name").startswith("."))

@@ -1,0 +1,11 @@
+"""Structured Streaming ring (SURVEY.md §2.9)."""
+
+from bigdatasearchpro_spark.streaming.pipelines import (  # noqa: F401
+    events_stream,
+    foreach_batch_bulk_sink,
+    run_to_completion,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)

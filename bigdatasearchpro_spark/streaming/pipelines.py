@@ -1,0 +1,161 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9).
+
+The reference's only "streaming" is a one-shot JDBC cursor drained into
+micro-batches (reference ``BulkProcessImpl.java:120-130``: 200k-row app
+buffer -> 10k-action bulks, time-based flush at ``:189``). Its faithful
+Spark analogue is ``foreachBatch`` + the bulk sink; the windowed /
+watermark / dedup operators are the [EXT] streaming surface built on the
+same ``events`` schema.
+
+Every transformation here is identical in batch and streaming mode (the
+DataFrame programs are the unchanged registry ones); tests execute them
+with ``trigger(availableNow=True)`` against a file source and assert
+bit-equality with the batch results.
+
+Scale notes: stateful operators bound their state with watermarks
+(late rows beyond the delay are dropped, state for closed windows is
+evicted); state lives in the executor state store, partitioned by the
+grouping key, so a 1000-executor cluster shards state horizontally.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    Schema matches the ``events`` fixture; the nanosecond ``ts`` is
+    normalized to a microsecond ``timestamp_ntz`` exactly as the batch
+    loader does (sources/files.py), so batch and stream agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(events_dir)
+    # watermarks require TIMESTAMP (not NTZ); under the UTC session
+    # timezone the bucket boundaries match the batch loader's NTZ values.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, *, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window counts/sums with late-data drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, *, window: str = "10 minutes", slide: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Sliding-window aggregation (each event lands in window/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "60 minutes") -> DataFrame:
+    """Per-user session windows closed by inactivity ``gap``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], *, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming dedup: first event per key wins; state bounded by the
+    watermark (dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def foreach_batch_bulk_sink(
+    stream: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    id_col: str | None = None,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Micro-batch bulk load — the direct analogue of the reference's
+    cursor->BulkProcessor loop (``BulkProcessImpl.java:120-130``): each
+    micro-batch is appended via the same batched writer used for bulk
+    ETL, with optional per-batch last-write-wins dedup on ``id_col``.
+    """
+    from bigdatasearchpro_spark.operators.dedup import dedup_last_write_wins
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if id_col is not None:
+            order = [c for c in df.columns if c != id_col][:1] or [id_col]
+            df = dedup_last_write_wins(df, id_col, order, keep="last")
+        df.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame,
+    *,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Execute a streaming DataFrame with availableNow to a memory sink
+    and return the final result as a batch DataFrame (test harness)."""
+    name = f"mem_{abs(hash((stream_df._jdf.toString(), checkpoint_dir))) % 10**9}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,91 @@
+"""Core ETL ring (SURVEY.md §2.1-§2.2, §2.4 [REF]): scan, stringify,
+key-by, dedup/LWW, sinks, DDL shims."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatasearchpro_spark.operators import dedup, transform
+from bigdatasearchpro_spark.sinks import (
+    bulk_index_parquet,
+    create_index,
+    delete_index,
+    list_indices,
+)
+from bigdatasearchpro_spark.sources.files import TABLES, load_table
+
+
+def test_all_fixture_tables_load(spark, sf_dir):
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        assert df.count() > 0, t
+
+
+def test_stringify_all_schema_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, None), (2, None, "x")], "a int, b double, c string"
+    )
+    out = transform.stringify_all(df)
+    assert all(f.dataType == T.StringType() for f in out.schema.fields)
+    assert out.columns == ["a", "b", "c"]
+    rows = {r["a"]: r for r in out.collect()}
+    assert rows["1"]["b"] == "2.5" and rows["1"]["c"] is None
+    assert rows["2"]["b"] is None and rows["2"]["c"] == "x"
+
+
+def test_key_by_null_autogenerates_id(spark):
+    df = spark.createDataFrame([("k1",), (None,)], "guid string")
+    out = transform.key_by(df, "guid", out="S_GUID")
+    vals = [r["S_GUID"] for r in out.collect()]
+    assert "k1" in vals
+    assert all(v is not None for v in vals)  # ES auto-id for null keys
+
+
+def test_dedup_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 2, "new"), ("b", 5, "only")],
+        "id string, seq int, payload string",
+    )
+    out = dedup.dedup_last_write_wins(df, "id", ["seq"], keep="last")
+    got = {r["id"]: r["payload"] for r in out.collect()}
+    assert got == {"a": "new", "b": "only"}
+
+
+def test_dedup_exact_by_hash_unique_and_deterministic(spark, docs):
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10**6))
+    out = dedup.dedup_exact_by_hash(doubled, "text", "doc_id")
+    # one survivor per distinct text, and it is the smallest id (< 10**6)
+    assert out.count() == docs.select("text").distinct().count()
+    assert out.filter(F.col("doc_id") >= 10**6).count() == 0
+
+
+def test_bulk_index_parquet_roundtrip(spark, docs, tmp_path):
+    n = bulk_index_parquet(docs, str(tmp_path / "idx"))
+    assert n == docs.count()  # reference's count reconciliation
+    back = spark.read.parquet(str(tmp_path / "idx"))
+    assert back.count() == n
+
+
+def test_index_ddl_lifecycle(spark):
+    name = create_index(spark, "TestIdx_DDL")
+    assert name == "testidx_ddl"  # lowercased like ES index names
+    listed = [r["index_name"] for r in list_indices(spark).collect()]
+    assert "testidx_ddl" in listed
+    assert all(not x.startswith(".") for x in listed)
+    assert delete_index(spark, "TESTIDX_DDL") is True
+    assert delete_index(spark, "testidx_ddl") is False  # idempotent
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 50000.0)
+        .select("o_orderkey")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+    # column pruning: scan reads only the needed columns
+    assert "ReadSchema" in plan and "o_comment" not in plan

@@ -1,0 +1,62 @@
+"""Near-duplicate detection (SURVEY.md L2): recall on planted
+near-dups, precision of verification, signature determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators import neardup
+
+
+def _planted(docs):
+    """Append a lightly-mutated copy of every 10th doc (id+100000)."""
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzmutation")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    data = _planted(docs)
+    n_planted = data.filter(F.col("doc_id") >= 100000).count()
+    pairs = neardup.minhash_lsh_pairs(
+        data, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5
+    ).collect()
+    found = {(r["left_id"], r["right_id"]) for r in pairs}
+    planted_ids = [r["doc_id"] for r in
+                   data.filter(F.col("doc_id") >= 100000).select("doc_id").collect()]
+    planted = {(d - 100000, d) for d in planted_ids}
+    recall = len(found & planted) / max(len(planted), 1)
+    assert recall >= 0.9, f"recall {recall}: {len(found & planted)}/{len(planted)}"
+    # verification: every returned pair really has Jaccard >= threshold
+    assert all(r["jaccard_sim"] >= 0.5 for r in pairs)
+    assert all(r["left_id"] < r["right_id"] for r in pairs)
+
+
+def test_minhash_signatures_deterministic(docs):
+    a = neardup.minhash_signatures(docs.limit(50)).collect()
+    b = neardup.minhash_signatures(docs.limit(50)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_planted_pairs_low_hamming(docs):
+    data = _planted(docs)
+    pairs = neardup.simhash_pairs(data, max_hamming=8).collect()
+    found = {(r["left_id"], r["right_id"]) for r in pairs}
+    planted_ids = [r["doc_id"] for r in data.filter(F.col("doc_id") >= 100000).collect()]
+    planted = {(d - 100000, d) for d in planted_ids}
+    recall = len(found & planted) / max(len(planted), 1)
+    assert recall >= 0.9, f"simhash recall {recall}"
+    assert all(0 <= r["hamming"] <= 8 for r in pairs)
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different text about spark joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = neardup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 2)}

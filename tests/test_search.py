@@ -1,0 +1,57 @@
+"""Search ring (SURVEY.md L3 + T1): boolean match, TF-IDF/BM25 scoring
+properties, top-k determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators import search
+
+QUERY = "spark join window"
+
+
+def test_match_all_subset_of_any(docs):
+    any_ids = {r["doc_id"] for r in search.keyword_match(docs, QUERY, mode="any").collect()}
+    all_ids = {r["doc_id"] for r in search.keyword_match(docs, QUERY, mode="all").collect()}
+    assert all_ids <= any_ids
+    assert len(any_ids) > 0
+
+
+def test_match_empty_query_returns_nothing(docs):
+    assert search.keyword_match(docs, "", mode="any").count() == 0
+
+
+def test_topk_scores_positive_sorted_deterministic(docs):
+    for scoring in ("tfidf", "bm25"):
+        top = search.search_topk(docs, QUERY, 10, scoring=scoring).collect()
+        assert len(top) == 10
+        scores = [r["score"] for r in top]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        again = search.search_topk(docs, QUERY, 10, scoring=scoring).collect()
+        assert [r["doc_id"] for r in top] == [r["doc_id"] for r in again]
+
+
+def test_topk_hits_match_boolean_semantics(docs):
+    any_ids = {r["doc_id"] for r in search.keyword_match(docs, QUERY, mode="any").collect()}
+    top = search.search_topk(docs, QUERY, 10, scoring="bm25").collect()
+    assert {r["doc_id"] for r in top} <= any_ids
+
+
+def test_idf_rare_term_scores_above_common(spark):
+    # 1 doc with "uniqterm", all docs with "common": a doc matching the
+    # rare term must outrank a doc matching only the common term.
+    rows = [(0, "uniqterm common")] + [(i, "common filler") for i in range(1, 50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = search.search_topk(docs, "uniqterm common", 5, scoring="bm25").collect()
+    assert top[0]["doc_id"] == 0
+
+
+def test_inverted_index_consistent_with_direct(docs):
+    postings, doclen = search.build_inverted_index(docs)
+    terms = search.analyze_query(QUERY)
+    direct = search._term_freqs(docs, "doc_id", "text", terms)
+    via_index = postings.filter(F.col("term").isin(terms)).select("doc_id", "term", "tf")
+    assert direct.exceptAll(via_index).count() == 0
+    assert via_index.exceptAll(direct).count() == 0

@@ -1,0 +1,90 @@
+"""Structured Streaming ring (SURVEY.md §2.9): streamed results must
+equal the batch results of the same DataFrame programs, and the
+foreachBatch bulk sink must reproduce the reference's micro-batch load
+(count reconciliation, BulkProcessImpl.java:120-141)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.sources.files import load_table
+from bigdatasearchpro_spark.streaming import (
+    events_stream,
+    foreach_batch_bulk_sink,
+    run_to_completion,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    # File-source streams read a directory; stage the single fixture
+    # file into one (several copies of the path structure not needed).
+    d = tmp_path_factory.mktemp("events_stream_src")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _normalize(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, batch_events, tmp_path):
+    stream = tumbling_agg(events_stream(spark, events_dir))
+    got = run_to_completion(
+        stream, checkpoint_dir=str(tmp_path / "ck1"), output_mode="complete"
+    )
+    expect = tumbling_agg(batch_events)  # same program, batch mode
+    assert _normalize(got) == _normalize(expect)
+
+
+def test_sliding_stream_equals_batch(spark, events_dir, batch_events, tmp_path):
+    stream = sliding_agg(events_stream(spark, events_dir))
+    got = run_to_completion(
+        stream, checkpoint_dir=str(tmp_path / "ck2"), output_mode="complete"
+    )
+    expect = sliding_agg(batch_events)
+    assert _normalize(got) == _normalize(expect)
+
+
+def test_session_stream_equals_batch(spark, events_dir, batch_events, tmp_path):
+    stream = session_agg(events_stream(spark, events_dir))
+    got = run_to_completion(
+        stream, checkpoint_dir=str(tmp_path / "ck3"), output_mode="complete"
+    )
+    expect = session_agg(batch_events)
+    assert _normalize(got) == _normalize(expect)
+
+
+def test_stream_dedup_drops_repeats(spark, events_dir, tmp_path):
+    stream = stream_dedup(
+        events_stream(spark, events_dir), ["user_id", "event_type", "props"]
+    ).select("user_id", "event_type", "props")
+    got = run_to_completion(
+        stream, checkpoint_dir=str(tmp_path / "ck4"), output_mode="append"
+    )
+    assert got.count() == got.dropDuplicates().count()
+
+
+def test_foreach_batch_bulk_sink_reconciles_counts(spark, events_dir, batch_events, tmp_path):
+    out = str(tmp_path / "sinkout")
+    q = foreach_batch_bulk_sink(
+        events_stream(spark, events_dir),
+        out,
+        checkpoint_dir=str(tmp_path / "ck5"),
+    )
+    q.awaitTermination(120)
+    loaded = spark.read.parquet(out)
+    # the reference's validation: loaded count == source count
+    assert loaded.count() == batch_events.count()

@@ -194,16 +194,18 @@ def minhash_lsh_pairs(
     # 2 x n_perms longs per pair is orders cheaper than shingle sets;
     # pairs estimated well below the threshold (2-3 sigma of the
     # n_perms-sample estimator) are dropped before exact verification.
-    est = sum(
-        F.when(F.col(f"__l{i}") == F.col(f"__r{i}"), 1).otherwise(0)
-        for i in range(n_perms)
+    # Signatures travel as one array column: narrow generated code (the
+    # n_perms-column form made janino compilation the dominant cost).
+    packed = sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(n_perms)]).alias("__sig")
+    )
+    lsig = packed.select(F.col(id_col).alias("left_id"), F.col("__sig").alias("__ls"))
+    rsig = packed.select(F.col(id_col).alias("right_id"), F.col("__sig").alias("__rs"))
+    est = F.aggregate(
+        F.zip_with("__ls", "__rs", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
     ) / F.lit(float(n_perms))
-    lsig = sig.select(
-        F.col(id_col).alias("left_id"), *[F.col(f"mh{i}").alias(f"__l{i}") for i in range(n_perms)]
-    )
-    rsig = sig.select(
-        F.col(id_col).alias("right_id"), *[F.col(f"mh{i}").alias(f"__r{i}") for i in range(n_perms)]
-    )
     margin = 2.5 * (0.25 / n_perms) ** 0.5  # ~2.5 sigma at J=0.5
     survivors = (
         candidates.join(lsig, "left_id")
@@ -212,6 +214,7 @@ def minhash_lsh_pairs(
         .filter(F.col("__est") >= jaccard_threshold - margin)
         .select("left_id", "right_id")
     ).persist()
+    survivors.count()  # eager: both the id-union and the final join read it
 
     # Stage 2 verify (exact): shingle-hash sets ONLY for surviving docs
     # (semi-join pruned), Jaccard over 8-byte hashes instead of strings.
@@ -226,6 +229,7 @@ def minhash_lsh_pairs(
         .groupBy(id_col)
         .agg(F.collect_set(F.xxhash64("__s")).alias("__sh"))
     ).persist()
+    hashed.count()  # eager: read twice (left/right side of the verify join)
     lsh = hashed.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
     rsh = hashed.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
     return (

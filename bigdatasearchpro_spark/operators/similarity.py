@@ -126,6 +126,99 @@ def ann_topk_lsh(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (max dot product over unit-norm centroids).
+
+    Stays JVM-side: the C dot products are one ``aggregate`` over an
+    array-of-structs zip, then ``array_position`` of the max. At scale
+    the corpus is written partitioned by ``cell`` so a query reads only
+    ``nprobe``/C of the data (classic IVF-Flat layout).
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scores = F.array(*[dot(emb, _lit_vec(c)) for c in centroids])
+    best = F.array_position(scores, F.array_max(scores)) - 1
+    return df.withColumn(out, best.cast("int"))
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic k-means-lite training: seed with the ``n_cells``
+    lowest-id vectors, run ``iters`` Lloyd refinements as DataFrame
+    jobs (assign = ``ivf_assign``, update = groupBy-mean). Only the
+    C x dim centroid matrix ever reaches the driver."""
+    seeds = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.asarray([list(r[0]) for r in seeds], dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    dim = cents.shape[1]
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+        emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at(emb, i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        for row in means:
+            v = np.asarray([row[f"c{i}"] for i in range(dim)], dtype="float64")
+            n = np.linalg.norm(v)
+            if n > 0:
+                cents[row["cell"]] = v / n
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: score only vectors in the ``nprobe``
+    cells nearest the query. The brute-force alternative scans 100% of
+    the corpus; this scans ~nprobe/n_cells with recall controlled by
+    nprobe (tests assert recall vs ``cosine_topk``)."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype="float64")
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probe_cells = [int(c) for c in np.argsort(-(centroids @ q))[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+    candidates = assigned.filter(F.col("cell").isin(probe_cells))
+    return cosine_topk(
+        candidates, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+
+
 def cosine_similarity_join(
     left: DataFrame,
     right: DataFrame,

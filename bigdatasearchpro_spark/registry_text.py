@@ -240,7 +240,9 @@ def f4_array_funcs(spark, sf_dir):
     "f5_math_case_funcs",
     """
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+           round(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                 * (1 + CAST(l_tax AS DECIMAL(12,4))), 2)::DOUBLE    AS charged,
            round(abs(l_discount - 0.05), 4)                            AS disc_dev,
            floor(l_quantity)::BIGINT                                   AS qty_floor,
            ceil(l_quantity)::BIGINT                                    AS qty_ceil,
@@ -249,14 +251,21 @@ def f4_array_funcs(spark, sf_dir):
     """,
 )
 def f5_math_case_funcs(spark, sf_dir):
-    """§2.8 math + conditional: arithmetic, abs, floor/ceil, CASE WHEN."""
+    """§2.8 math + conditional: arithmetic, abs, floor/ceil, CASE WHEN.
+
+    The charge is computed in exact DECIMAL arithmetic (both engines):
+    double products land on .xx5 midpoints where IEEE rounding is
+    engine-dependent; decimal makes the rounding deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(12,4)")  # noqa: E731
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
-        ).alias("charged"),
+            dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax")), 2
+        )
+        .cast("double")
+        .alias("charged"),
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil("l_quantity").alias("qty_ceil"),
@@ -305,9 +314,13 @@ def l4_ann_lsh_topk(spark, sf_dir):
 
 @register("j5_similarity_join")  # rows-only: LSH candidate generation
 def j5_similarity_join(spark, sf_dir):
-    """J5: LSH-bucketed cosine similarity self-join (threshold 0.8)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_similarity_join(emb, emb, 0.8, n_planes=4)
+    """J5: LSH-bucketed cosine similarity self-join (threshold 0.9).
+    Fixture vectors are random, so perturbed copies are appended
+    (registry_ext helper) to guarantee matching pairs exist."""
+    from bigdatasearchpro_spark.registry_ext import _with_synthetic_near_vectors
+
+    emb = _with_synthetic_near_vectors(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_similarity_join(emb, emb, 0.9, n_planes=4)
 
 
 @register(
@@ -520,3 +533,8 @@ def st4_streaming_dedup(spark, sf_dir):
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# Part 3 (UDF surface, multimodal ring, embedding near-dup, IVF ANN)
+# registers itself on import.
+from bigdatasearchpro_spark import registry_ext  # noqa: E402,F401

@@ -97,4 +97,7 @@ def batch_quality_filter(docs: DataFrame, min_words: int = 30) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    narrow = fan_out(docs.select("doc_id", "text", "lang"))
+    return narrow.mapInPandas(gen, schema)

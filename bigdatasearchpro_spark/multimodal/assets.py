@@ -143,7 +143,10 @@ def decode_payload(assets: DataFrame, *, real: bool = False) -> DataFrame:
                 }
             )
 
-    return assets.select("asset_id", "kind", "payload").mapInPandas(gen, out_schema)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    narrow = fan_out(assets.select("asset_id", "kind", "payload"))
+    return narrow.mapInPandas(gen, out_schema)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

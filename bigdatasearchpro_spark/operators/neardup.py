@@ -81,6 +81,9 @@ def exploded_shingles(
     Everything here is flat codegen'd row logic — no higher-order
     functions in the hot path.
     """
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    docs = fan_out(docs)  # shingling serializes on few-split local scans
     lowered = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
     positions = lowered.select(
         F.col(id_col),
@@ -255,7 +258,9 @@ def simhash_signatures(
     explode + 64 flat SUM aggregates (codegen'd hash-agg with map-side
     partials) — shuffle volume is 64 longs per document.
     """
-    toked = docs.select(
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    toked = fan_out(docs).select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), token_re), lambda t: t != "")
@@ -344,6 +349,9 @@ def ngram_jaccard_pairs(
     exhaustive quadratic verification (bounded fixtures / final rescoring
     of candidates); with it, pairs are restricted to equal blocking keys
     — the scalable form."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    docs = fan_out(docs)
     extra = [F.col(block_col)] if block_col else []
     toked = docs.select(
         F.col(id_col), tokenize_words(F.col(text_col)).alias("__t"), *extra

@@ -75,7 +75,9 @@ def keyword_match(
     terms = analyze_query(query)
     if not terms:
         return docs.limit(0)
-    tf = _term_freqs(docs, id_col, text_col, terms)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    tf = _term_freqs(fan_out(docs), id_col, text_col, terms)
     hits = tf.groupBy(id_col).agg(F.countDistinct("term").alias("__nterms"))
     if mode == "all":
         hits = hits.filter(F.col("__nterms") == len(set(terms)))
@@ -109,6 +111,9 @@ def search_topk(
     if not terms:
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
 
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    docs = fan_out(docs)  # tokenization is the hot loop — use every core
     n_docs = docs.count()
     tf = _term_freqs(docs, id_col, text_col, terms)
     df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))

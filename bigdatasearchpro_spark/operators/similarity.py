@@ -53,6 +53,9 @@ def cosine_topk(
     Deterministic: score rounded, ties broken by id. Zero-norm vectors
     score 0 (not NaN) so the ordering is total.
     """
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    embeddings = fan_out(embeddings)  # dot products serialize on 1-split scans
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qn = float(np.linalg.norm(np.asarray(query_vec, dtype="float64")))
     denom = l2_norm(emb) * F.lit(qn)
@@ -236,6 +239,9 @@ def cosine_similarity_join(
     Avoids the quadratic cross join: at 100 TB the bucket equi-join
     shuffles each row once instead of |L|x|R| comparisons.
     """
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    left, right = fan_out(left), fan_out(right)
     dim_probe = left.select(F.size(vec_col)).first()[0]
     planes = random_hyperplanes(dim_probe, n_planes, seed)
     lb = lsh_bucket(left, planes, vec_col=vec_col).select(

@@ -50,6 +50,9 @@ def quality_stats(
 ) -> DataFrame:
     """Per-document quality metrics used for corpus filtering:
     length, token counts, punctuation/stopword ratios, mean word length."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    df = fan_out(df)  # regex-heavy narrow op: spread single-file scans
     t = F.col(text_col)
     toks = F.filter(F.split(F.trim(t), WORD_SPLIT_RE), lambda x: x != "")
     mean_wl = F.when(
@@ -84,6 +87,9 @@ def lang_id(
 ) -> DataFrame:
     """Marker-token language ID: argmax over per-language hit counts,
     deterministic tie-break by language code. Pure expressions."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    df = fan_out(df)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
     )
@@ -110,6 +116,9 @@ def fingerprint(
     """Document fingerprint: min-hash over rolling character n-grams
     (winnowing-style). ``substring`` shingles hashed with xxhash64 and
     min-reduced — one projection, no Python, stable across runs."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    df = fan_out(df)
     t = F.col(text_col)
     n = F.greatest(F.length(t) - F.lit(window - 1), F.lit(1))
     shingles = F.transform(

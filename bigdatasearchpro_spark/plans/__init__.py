@@ -1,0 +1,18 @@
+"""Physical-plan inspection utilities (scale-correctness gates).
+
+The reference has no optimizer to inspect (SURVEY.md §4); on Spark the
+plan IS the performance contract at 100 TB, so these helpers make plan
+shape testable: filters reached the scan, projections pruned columns,
+small dims broadcast, top-k avoided a global sort, hot paths stayed in
+whole-stage codegen.
+"""
+
+from bigdatasearchpro_spark.plans.inspect import (  # noqa: F401
+    executed_plan,
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schema,
+    shuffle_count,
+    wholestage_codegen_count,
+)

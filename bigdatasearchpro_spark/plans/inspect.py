@@ -1,0 +1,67 @@
+"""Parse Spark physical plans into assertable facts.
+
+Works off ``df._jdf.queryExecution().executedPlan().toString()`` (the
+pre-execution adaptive plan) — string-level but version-stable enough
+for the plan properties we gate on, and cheap (no job runs).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    # Scan metadata (PushedFilters/ReadSchema) is elided at 100 chars by
+    # default, which cuts the closing bracket the parsers key on — widen it
+    # for the duration of the toString.
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    prev = conf.get(key, None)
+    conf.set(key, "100000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column sets actually read by each file scan (column pruning)."""
+    return re.findall(r"ReadSchema: struct<([^>]*)>", executed_plan(df))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists per scan (predicate pushdown)."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", executed_plan(df))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df) or (
+        "BroadcastNestedLoopJoin" in executed_plan(df)
+    )
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """True when ORDER BY + LIMIT planned as TakeOrderedAndProject
+    (per-partition heaps + driver merge — no global sort exchange)."""
+    return "TakeOrderedAndProject" in executed_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (each is a full
+    materialize-and-repartition of its input — the scale cost center)."""
+    return executed_plan(df).count("Exchange hashpartitioning") + executed_plan(
+        df
+    ).count("Exchange rangepartitioning")
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans. More fused spans over the hot
+    path = fewer virtual calls/row; interpreted operators (python UDFs,
+    some higher-order funcs) break spans."""
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", executed_plan(df)))
+    return len(ids)

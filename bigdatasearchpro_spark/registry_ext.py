@@ -215,3 +215,150 @@ def l4_ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.ivf_topk(emb, qv, 10, n_cells=8, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 — sink / DDL / file-source coverage (S3-S7)
+# ---------------------------------------------------------------------------
+
+
+@register("s3_bulk_sink_roundtrip")  # rows-only: sink writes filesystem state
+def s3_bulk_sink_roundtrip(spark, sf_dir):
+    """S3: batched idempotent bulk write (ref BulkProcessImpl.java:120-137)
+    — stringify + key-by + LWW-dedup nation into a parquet 'index', then
+    reconcile by reading the committed output back (the reference's
+    count-reconciliation, its README.md:803-806)."""
+    import tempfile
+
+    from bigdatasearchpro_spark.operators import dedup, transform
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
+
+    n = load_table(spark, sf_dir, "nation")
+    doc = transform.stringify_all(
+        transform.composite_key(n, "n_nationkey", out="s_guid")
+    )
+    deduped = dedup.dedup_last_write_wins(doc, "s_guid", ["n_name"], keep="last")
+    path = tempfile.mkdtemp(prefix="s3_sink_")
+    bulk_index_parquet(deduped, path, mode="overwrite")
+    return spark.read.parquet(path).select("s_guid", "n_nationkey", "n_name")
+
+
+@register("s4_s6_ddl_lifecycle")  # rows-only: catalog DDL side effects
+def s4_s6_ddl_lifecycle(spark, sf_dir):
+    """S4-S6: create index -> list (system '.'-prefixed filtered out,
+    ref ElasticServiceImpl.java:98) -> delete; returns the catalog
+    listing observed while the index existed."""
+    from bigdatasearchpro_spark.sinks.ddl import create_index, delete_index, list_indices
+
+    name = create_index(spark, "DDL_Lifecycle_Probe")
+    listing = list_indices(spark).filter(F.col("index_name") == name)
+    out = listing.collect()
+    delete_index(spark, name)
+    assert not spark.catalog.tableExists(name)
+    return spark.createDataFrame(out, "index_name string, database string")
+
+
+@register(
+    "s7_csv_json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey, 'csv' AS via FROM nation "
+    "UNION ALL "
+    "SELECT n_nationkey, n_name, n_regionkey, 'json' AS via FROM nation",
+)
+def s7_csv_json_roundtrip(spark, sf_dir):
+    """S7: CSV + JSON readers/writers — write nation out in both formats,
+    read back (CSV with schema inference), verify against the parquet
+    truth via the oracle."""
+    import tempfile
+
+    from bigdatasearchpro_spark.sources.files import load_csv, load_json
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    base = tempfile.mkdtemp(prefix="s7_files_")
+    n.write.mode("overwrite").option("header", "true").csv(base + "/csv")
+    n.write.mode("overwrite").json(base + "/json")
+    via_csv = load_csv(spark, base + "/csv").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+        F.lit("csv").alias("via"),
+    )
+    via_json = load_json(spark, base + "/json").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+        F.lit("json").alias("via"),
+    )
+    return via_csv.unionByName(via_json)
+
+
+@register(
+    "j1_q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def j1_q5_local_supplier_volume(spark, sf_dir):
+    """J1 (6-way): TPC-H Q5-shaped local-supplier volume — fact-to-fact
+    shuffle join (orders-lineitem) with broadcast dims (supplier,
+    nation, region) and a pushed region/date filter."""
+    c, o, l, s, n, r = (
+        load_table(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "j1_outer_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def j1_outer_join(spark, sf_dir):
+    """J1 (outer family): left outer join keeping order-less customers
+    (count ignores nulls -> 0; spend coalesced)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )

@@ -52,6 +52,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *, multiple: int = 1) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism —
+    but ONLY when the input has fewer partitions than that.
+
+    Why: per-row-expensive narrow operators (tokenize/shingle/hash/vector
+    math) inherit the scan's partitioning. The local fixtures are single
+    parquet files under ``spark.sql.files.maxPartitionBytes``, i.e. ONE
+    partition — the whole operator would serialize on one core while 31
+    idle. At 100 TB a table has thousands of splits, the gate is false,
+    and no shuffle is added; this is the standard "repartition before
+    expensive narrow work" pattern, applied adaptively.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
 

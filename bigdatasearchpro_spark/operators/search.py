@@ -175,3 +175,63 @@ def build_inverted_index(
     )
     doclen = toks.select(F.col(id_col), F.size("tokens").cast("double").alias("dl"))
     return postings, doclen
+
+
+def corpus_stats(doclen: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) — the two corpus constants BM25 needs; persisted next
+    to the index at build time so queries never rescan the corpus."""
+    row = doclen.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    return int(row["n"]), float(row["avgdl"])
+
+
+def search_topk_indexed(
+    postings: DataFrame,
+    doclen: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    n_docs: int,
+    avgdl: float,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 top-k over a *materialized* inverted index — the
+    index-once/query-many path (the reference's product shape: bulk
+    load, then serve queries, ``BulkProcessImpl.java:82-157``).
+
+    Unlike :func:`search_topk`, no tokenization runs at query time: the
+    plan is a filter on ``term`` (pruned to the query terms' buckets
+    when the postings table is bucketed by term), a broadcast of the
+    per-term document frequencies, and one hash-agg per doc. Scores are
+    bit-identical to the direct path (same formula, same rounding).
+    """
+    terms = analyze_query(query)
+    if not terms:
+        return postings.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+
+    tf = postings.filter(F.col("term").isin(terms))
+    df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(df_stats), "term")
+        .join(doclen, id_col)
+        .withColumn(
+            "__s",
+            idf
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("__s"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

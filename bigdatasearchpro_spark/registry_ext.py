@@ -362,3 +362,222 @@ def j1_outer_join(spark, sf_dir):
             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# coverage completions: A5 grouping sets, §2.5 range frame, L5 token counts,
+# S2 schema inference
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a5_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a5_grouping_sets(spark, sf_dir):
+    """A5: explicit GROUPING SETS (per-status, per-priority, grand total)
+    — the general form of rollup/cube, planned as one Expand + hash-agg
+    (single shuffle) rather than three scans."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "w4_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def w4_range_frame(spark, sf_dir):
+    """§2.5: RANGE frame — per-customer trailing-30-day spend. Value-based
+    frames include all peers of the current order date, so the result is
+    deterministic under any tie order (unlike ROWS frames)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate").alias("sec"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@register(
+    "l5_token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))
+               AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def l5_token_counts(spark, sf_dir):
+    """L5: token counting, JVM-side — whitespace tokens and a BPE-ish
+    pre-tokenizer count (letter runs | single digits | single punctuation,
+    the GPT-2 pre-tokenizer shape without merges). Pure codegen'd regex,
+    no Python in the hot path."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))
+        ).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "s2_schema_inference",
+    """
+    SELECT column_name AS col_name,
+           CASE lower(column_type)
+               WHEN 'bigint' THEN 'bigint'
+               WHEN 'integer' THEN 'int'
+               WHEN 'varchar' THEN 'string'
+               WHEN 'double' THEN 'double'
+           END AS spark_type
+    FROM (DESCRIBE SELECT * FROM customer)
+    """,
+)
+def s2_schema_inference(spark, sf_dir):
+    """S2: runtime schema inference (ref BulkProcessImpl.java:102,113-114
+    reads ResultSetMetaData per row batch and throws it away) — the
+    reader materializes the same metadata once into a typed StructType;
+    surfaced here as (col_name, spark_type) rows."""
+    c = load_table(spark, sf_dir, "customer")
+    return spark.createDataFrame(
+        [(f.name, f.dataType.simpleString()) for f in c.schema.fields],
+        "col_name string, spark_type string",
+    )
+
+
+@register(
+    "j6_salted_skew_join",
+    """
+    WITH sk AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE o_custkey END AS o_custkey
+      FROM orders
+    )
+    SELECT c.c_mktsegment, count(*) AS n_orders
+    FROM sk JOIN customer c ON sk.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j6_salted_skew_join(spark, sf_dir):
+    """§4 skew technique: celebrity-key join through explicit salting —
+    a planted hot key (~25% of orders) is detected by a count pre-pass
+    and spread over 8 reducers; result is identical to the naive join
+    (tests/test_scale.py proves bit-equality on all three forms)."""
+    from bigdatasearchpro_spark.operators.skew import salted_join, top_keys
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(1)).otherwise(F.col("o_custkey")),
+    )
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    hot = top_keys(o, "o_custkey", min_count=50)
+    return (
+        salted_join(o, c, "o_custkey", n_salts=8, hot_keys=hot)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "j7_bucketed_colocated_join",
+    """
+    SELECT o.o_orderkey, count(*) AS n_items, round(sum(l.l_quantity), 2) AS qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def j7_bucketed_colocated_join(spark, sf_dir):
+    """§4 bucketing: fact-fact join through co-located bucketed tables —
+    both sides written bucketBy(8, key) so the join AND the groupBy on
+    the same key plan zero Exchange (tests/test_scale.py asserts the
+    plan shape). At 100 TB this deletes the shuffle of both fact tables
+    on every subsequent join by that key."""
+    from bigdatasearchpro_spark.sinks.bucketed import drop_table, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o, "reg_bkt_orders", bucket_cols="o_orderkey", n_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "reg_bkt_lineitem",
+        bucket_cols="o_orderkey",
+        n_buckets=8,
+    )
+    out = (
+        spark.table("reg_bkt_orders")
+        .join(spark.table("reg_bkt_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    rows = out.collect()  # materialize before the backing tables drop
+    drop_table(spark, "reg_bkt_orders")
+    drop_table(spark, "reg_bkt_lineitem")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "l3_search_via_inverted_index",
+    __import__("bigdatasearchpro_spark.registry", fromlist=["ORACLES"]).ORACLES[
+        "l3_search_bm25_topk"
+    ],  # identical result contract: the index is an access path, not new semantics
+)
+def l3_search_via_inverted_index(spark, sf_dir):
+    """L3 index-once/query-many: materialize the inverted index
+    (postings bucketed by term + doc-length + corpus stats), then
+    answer the flagship BM25 query from the index alone — no
+    query-time tokenization. Scores bit-match the direct path
+    (asserted in tests/test_search.py)."""
+    from bigdatasearchpro_spark.operators import search
+    from bigdatasearchpro_spark.registry_text import SEARCH_QUERY
+    from bigdatasearchpro_spark.sinks.bucketed import drop_table, write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, doclen = search.build_inverted_index(docs)
+    n_docs, avgdl = search.corpus_stats(doclen)
+    write_bucketed(postings, "reg_idx_postings", bucket_cols="term", n_buckets=8)
+    write_bucketed(doclen, "reg_idx_doclen", bucket_cols="doc_id", n_buckets=8)
+    out = search.search_topk_indexed(
+        spark.table("reg_idx_postings"),
+        spark.table("reg_idx_doclen"),
+        SEARCH_QUERY,
+        10,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+    rows = out.collect()
+    drop_table(spark, "reg_idx_postings")
+    drop_table(spark, "reg_idx_doclen")
+    return spark.createDataFrame(rows, out.schema)

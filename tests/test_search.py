@@ -55,3 +55,19 @@ def test_inverted_index_consistent_with_direct(docs):
     via_index = postings.filter(F.col("term").isin(terms)).select("doc_id", "term", "tf")
     assert direct.exceptAll(via_index).count() == 0
     assert via_index.exceptAll(direct).count() == 0
+
+
+def test_indexed_search_matches_direct(spark, docs):
+    """The materialized-index path must return bit-identical scores to
+    query-time tokenization — the index is an access path, not a
+    semantics change."""
+    from bigdatasearchpro_spark.operators import search
+
+    q = "spark join window"
+    postings, doclen = search.build_inverted_index(docs)
+    n_docs, avgdl = search.corpus_stats(doclen)
+    direct = search.search_topk(docs, q, 10, scoring="bm25").collect()
+    indexed = search.search_topk_indexed(
+        postings, doclen, q, 10, n_docs=n_docs, avgdl=avgdl
+    ).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]

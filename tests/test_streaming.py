@@ -88,3 +88,64 @@ def test_foreach_batch_bulk_sink_reconciles_counts(spark, events_dir, batch_even
     loaded = spark.read.parquet(out)
     # the reference's validation: loaded count == source count
     assert loaded.count() == batch_events.count()
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(
+    spark, batch_events, tmp_path
+):
+    """applyInPandasWithState sessionizer vs batch session_window —
+    exact equality. Events replay as 4 time-ordered files (one per
+    trigger) so sessions span batch boundaries; two far-future sentinel
+    slices then push the watermark past every real session and give the
+    event-time timers a batch to fire in, flushing all remaining state."""
+    import datetime
+    import os
+    import shutil as _sh
+    import time as _time
+
+    from bigdatasearchpro_spark.streaming.stateful import sessionize_with_state
+
+    gap_min = 30
+    sentinel_uid = -1
+    src = tmp_path / "split_src"
+    src.mkdir()
+
+    ordered = batch_events.orderBy("ts").collect()
+    n4 = len(ordered) // 4
+    max_ts = ordered[-1]["ts"]
+    slices = [ordered[i * n4 : (i + 1) * n4] if i < 3 else ordered[3 * n4 :] for i in range(4)]
+    for j in (1, 2):  # watermark pushers; session stays open -> excluded below
+        future = max_ts + datetime.timedelta(minutes=gap_min * 10 * j)
+        slices.append([(10**9 + j, future, sentinel_uid, "sentinel", 0.0, "{}")])
+
+    for i, rows in enumerate(slices):
+        stage = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(rows, batch_events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        _sh.copy(f"{stage}/{part}", src / f"slice_{i}.parquet")
+        _time.sleep(1.1)  # distinct mod-time seconds -> deterministic replay order
+
+    stream = spark.readStream.schema(batch_events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src)).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = run_to_completion(
+        sessionize_with_state(stream, gap_minutes=gap_min),
+        checkpoint_dir=str(tmp_path / "ck6"),
+        output_mode="append",
+    ).filter(F.col("user_id") != sentinel_uid)
+
+    expect = session_agg(
+        batch_events.withColumn("ts", F.col("ts").cast("timestamp")),
+        gap=f"{gap_min} minutes",
+    )
+    got_k = {
+        (r.user_id, r.session_start): (r.n_events, round(r.sum_value, 2))
+        for r in got.collect()
+    }
+    exp_k = {
+        (r.user_id, r.session_start): (r.n_events, round(r.sum_value, 2))
+        for r in expect.collect()
+    }
+    assert got_k == exp_k

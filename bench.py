@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "a4_count_distinct",
     "j1_join_revenue_by_nation",
     "j4_broadcast_join",
+    "j6_salted_skew_join",
+    "j8_asof_join",
+    "a6_exact_quantiles",
     "w1_rank_topn_per_group",
     "t1_topk_orders",
     "l3_search_bm25_topk",

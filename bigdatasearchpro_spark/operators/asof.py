@@ -1,0 +1,112 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+Semantics (backward as-of, the market-data/feature-store standard):
+for each left row, attach the right row with the greatest
+``right.ts <= left.ts`` within the same key group; optionally bounded
+by a ``tolerance`` (matches older than ``left.ts - tolerance`` are
+discarded). DuckDB's native ``ASOF JOIN`` is the oracle.
+
+Scale design — why not a join: the naive form is a non-equi theta join
+(``l.key = r.key AND r.ts <= l.ts`` + a per-row argmax), which Spark
+plans as a broadcast-nested-loop + window — O(|L|·|R|) comparisons per
+key. This implementation is the *union-merge* form instead: tag both
+sides, hash-shuffle ONCE on the key, sort each partition by (ts, side),
+and carry the latest right payload forward with a running
+``last(ignorenulls)`` window. Cost is one shuffle + one sort of
+|L|+|R| rows — the same shape as a sort-merge join, with no pair
+blow-up, no skew amplification beyond the key's own row count, and it
+inherits AQE/salting remedies unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "__asof_side"  # right=0 sorts before left=1 at equal ts (>= matches)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    ts_col: str = "ts",
+    right_cols: Mapping[str, str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join (left join flavor: unmatched left rows keep
+    nulls in the attached columns).
+
+    ``right_cols`` maps output name -> right column; the right match's
+    timestamp is always attached as ``matched_ts``. Output = all left
+    columns + ``matched_ts`` + the mapped columns.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    out_names = list(right_cols.keys())
+
+    l_tag = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns if c not in keys and c != ts_col],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("matched_ts"),
+        *[
+            F.lit(None).cast(right.schema[src].dataType).alias(out)
+            for out, src in right_cols.items()
+        ],
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias(_SIDE),
+        *[
+            F.lit(None).cast(l_tag.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys and c != ts_col
+        ],
+        F.col(ts_col).alias("matched_ts"),
+        *[F.col(src).alias(out) for out, src in right_cols.items()],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        "*",
+        F.last("matched_ts", ignorenulls=True).over(w).alias("__m_ts"),
+        *[
+            F.last(out, ignorenulls=True).over(w).alias(f"__m_{out}")
+            for out in out_names
+        ],
+    )
+    out = (
+        filled.filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, "matched_ts", *out_names)
+        .withColumnRenamed("__m_ts", "matched_ts")
+    )
+    for o in out_names:
+        out = out.withColumnRenamed(f"__m_{o}", o)
+
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("matched_ts").isNull()
+            | (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(F.col("matched_ts").cast("timestamp"))
+                > int(tolerance_seconds * 1_000_000)
+            )
+        )
+        out = out.select(
+            *[c for c in out.columns if c != "matched_ts" and c not in out_names],
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in ["matched_ts", *out_names]
+            ],
+        )
+    return out

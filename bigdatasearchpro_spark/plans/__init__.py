@@ -10,6 +10,7 @@ whole-stage codegen.
 from bigdatasearchpro_spark.plans.inspect import (  # noqa: F401
     executed_plan,
     has_broadcast_join,
+    partition_filters,
     has_take_ordered,
     pushed_filters,
     read_schema,

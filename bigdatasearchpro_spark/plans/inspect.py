@@ -34,6 +34,12 @@ def read_schema(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: struct<([^>]*)>", executed_plan(df))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters lists per scan (partition pruning: directories
+    skipped by metadata alone, no file read)."""
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", executed_plan(df))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters lists per scan (predicate pushdown)."""
     return re.findall(r"PushedFilters: \[([^\]]*)\]", executed_plan(df))

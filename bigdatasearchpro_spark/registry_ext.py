@@ -581,3 +581,58 @@ def l3_search_via_inverted_index(spark, sf_dir):
     drop_table(spark, "reg_idx_postings")
     drop_table(spark, "reg_idx_doclen")
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "j8_asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS matched_ts, round(v.value, 2) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j8_asof_join(spark, sf_dir):
+    """J-family custom operator: backward as-of join — each purchase
+    event annotated with the user's most recent prior view. Union-merge
+    implementation (one shuffle, no pair blow-up); DuckDB's native
+    ASOF JOIN is the oracle."""
+    from bigdatasearchpro_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(
+        purchases, views, on="user_id", ts_col="ts",
+        right_cols={"view_value": "value"},
+    ).select(
+        "event_id", "user_id", "ts", "matched_ts",
+        F.round("view_value", 2).alias("view_value"),
+    )
+
+
+@register(
+    "a6_exact_quantiles",
+    """
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                          x -> round(x, 4)) AS price_quartiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a6_exact_quantiles(spark, sf_dir):
+    """A-family: exact interpolated quantiles per group (SQL
+    ``percentile`` == DuckDB ``quantile_cont``). The 100 TB path is
+    ``approx_percentile`` (t-digest sketch, single pass, mergeable
+    partials) — exact quantiles need a per-group sort and exist here as
+    the oracle-checkable form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
+            lambda x: F.round(x, 4),
+        ).alias("price_quartiles")
+    )

@@ -62,3 +62,49 @@ def test_broadcast_join_fact_side_never_shuffles_for_join(spark, sf_dir):
     """j4: the only exchange allowed is the final groupBy('p_brand');
     the lineitem->part join itself must be exchange-free."""
     assert shuffle_count(QUERIES["j4_broadcast_join"](spark, sf_dir)) == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must appear as a PartitionFilter (metadata-only pruning) and the
+    non-matching years' files must not be scanned."""
+    from bigdatasearchpro_spark.plans import partition_filters
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    pf = " ".join(partition_filters(pruned))
+    assert "o_year" in pf and "1997" in pf
+    # pruning is real: only the 1997 directory's rows are read
+    assert pruned.count() == o.filter(F.year("o_orderdate") == 1997).count()
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    from bigdatasearchpro_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    loose = asof_join(
+        purchases, views, on="user_id", ts_col="ts", right_cols={"v": "value"}
+    )
+    tight = asof_join(
+        purchases, views, on="user_id", ts_col="ts", right_cols={"v": "value"},
+        tolerance_seconds=600,
+    )
+    l = {r.event_id: r.matched_ts for r in loose.collect()}
+    t = {r.event_id: r.matched_ts for r in tight.collect()}
+    assert set(l) == set(t)  # tolerance never drops left rows
+    stale_nulled = 0
+    for eid, mts in l.items():
+        if t[eid] is None and mts is not None:
+            stale_nulled += 1
+        elif t[eid] is not None:
+            assert t[eid] == mts
+    assert stale_nulled > 0  # the 10-minute bound actually bites

@@ -159,3 +159,38 @@ def run_to_completion(
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.table(name)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    max_lag: str = "60 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each left event paired with the
+    right events of the same key in ``[left.ts - max_lag, left.ts]``.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range in BOTH directions — that pair is what lets Spark expire
+    buffered state (an unbounded stream-stream join would hold every
+    row forever). State is keyed by ``on`` and sharded across
+    executors; per-key state size is bounded by rate x max_lag.
+    The same program joins two batch DataFrames identically (tested).
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{on} = r.{on} AND r.ts <= l.ts "
+            f"AND r.ts >= l.ts - INTERVAL {max_lag}"
+        ),
+    ).select(
+        F.col(f"l.{on}").alias(on),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("l.value").alias("left_value"),
+        F.col("r.value").alias("right_value"),
+    )

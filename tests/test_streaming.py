@@ -149,3 +149,27 @@ def test_stateful_sessionize_matches_batch_closed_sessions(
         for r in expect.collect()
     }
     assert got_k == exp_k
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir, batch_events, tmp_path):
+    """Watermarked stream-stream interval join (purchases x views within
+    the trailing hour) must equal the same join run in batch."""
+    from bigdatasearchpro_spark.streaming.pipelines import stream_interval_join
+
+    def split(df):
+        cast = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            cast.filter(F.col("event_type") == "purchase"),
+            cast.filter(F.col("event_type") == "view"),
+        )
+
+    sp, sv = split(events_stream(spark, events_dir))
+    got = run_to_completion(
+        stream_interval_join(sp, sv),
+        checkpoint_dir=str(tmp_path / "ck7"),
+        output_mode="append",
+    )
+    bp, bv = split(batch_events)
+    expect = stream_interval_join(bp, bv)
+    assert _normalize(got) == _normalize(expect)
+    assert got.count() > 0

@@ -1,0 +1,75 @@
+"""Property-based checks (hypothesis) for operators whose semantics are
+easy to state and easy to get subtly wrong."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators.asof import asof_join
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+
+def _rows(spec):
+    """spec: list of (key, seconds_offset, value)."""
+    return [
+        (k, _BASE + datetime.timedelta(seconds=s), float(v)) for k, s, v in spec
+    ]
+
+
+row_strategy = st.tuples(
+    st.integers(0, 3),          # key: few keys -> collisions guaranteed
+    st.integers(0, 1000),       # seconds offset: duplicates possible
+    st.integers(-100, 100),     # value
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left=st.lists(row_strategy, min_size=1, max_size=12),
+    right=st.lists(row_strategy, min_size=0, max_size=12),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """For every left row the operator must attach the right row with the
+    greatest ts <= left.ts in the same key group (ties on ts resolved to
+    that shared ts), or null when none exists — checked against an O(n*m)
+    brute force."""
+    l_df = spark.createDataFrame(
+        _rows(left), "k int, ts timestamp, lv double"
+    ).withColumn("lid", F.monotonically_increasing_id())
+    r_df = spark.createDataFrame(_rows(right), "k int, ts timestamp, rv double")
+
+    got = {
+        r["lid"]: (r["matched_ts"])
+        for r in asof_join(
+            l_df, r_df, on="k", ts_col="ts", right_cols={"rv": "rv"}
+        ).collect()
+    }
+
+    rt = [(k, ts) for k, ts, _ in _rows(right)]
+    for row in l_df.collect():
+        candidates = [ts for (k, ts) in rt if k == row["k"] and ts <= row["ts"]]
+        expect = max(candidates) if candidates else None
+        assert got[row["lid"]] == expect, (row["k"], row["ts"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(st.text("abcdef ", min_size=0, max_size=40), min_size=1, max_size=6))
+def test_quality_stats_ratios_bounded(spark, texts):
+    """Quality metrics are ratios/counts: punct+stopword ratios in [0,1],
+    token count 0 only for blank text."""
+    from bigdatasearchpro_spark.operators.textstats import quality_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in quality_stats(df).collect():
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert r["n_tokens"] >= 0
+        if not texts[r["doc_id"]].strip():
+            assert r["n_tokens"] == 0

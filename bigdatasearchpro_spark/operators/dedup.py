@@ -40,14 +40,20 @@ def dedup_last_write_wins(
     last-write-wins for repeated ``_id``; ``keep='first'`` gives
     keep-oldest. Deterministic tie-break: callers must pass a total
     order in ``order_by`` (the oracle uses the same ORDER BY).
+
+    Implemented as ``max_by/min_by(struct(row), struct(order))`` hash
+    aggregation rather than a row_number window: the agg gets map-side
+    partial reduction (each task pre-collapses its duplicates, so the
+    shuffle carries one candidate row per key per task, not every row)
+    and needs no per-partition sort — on a duplicate-heavy 100 TB load
+    that is the difference between shuffling the corpus and shuffling
+    the survivors.
     """
-    ordering = [F.col(c).desc() if keep == "last" else F.col(c).asc() for c in order_by]
-    w = Window.partitionBy(key).orderBy(*ordering)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    agg_fn = F.max_by if keep == "last" else F.min_by
+    row = agg_fn(
+        F.struct(*df.columns), F.struct(*[F.col(c) for c in order_by])
+    ).alias("__row")
+    return df.groupBy(key).agg(row).select("__row.*")
 
 
 def dedup_exact_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

@@ -110,40 +110,56 @@ def search_topk(
     terms = analyze_query(query)
     if not terms:
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    if scoring not in ("tfidf", "bm25"):
+        raise ValueError(f"unknown scoring: {scoring}")
 
     from bigdatasearchpro_spark.sources.files import fan_out
 
-    docs = fan_out(docs)  # tokenization is the hot loop — use every core
-    n_docs = docs.count()
-    tf = _term_freqs(docs, id_col, text_col, terms)
+    # One tokenization pass feeds everything. The exploded term rows
+    # carry the document length along (constant per doc), so no
+    # doc-length table exists and no second shuffle joins it back —
+    # at 100 TB that join was a full reshuffle of one row per document.
+    toked = fan_out(docs).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
+        ).alias("__toks"),
+    )
+    # (N, avgdl): one scalar aggregate over the corpus — in the
+    # index-once path these constants are persisted at build time
+    # (see search_topk_indexed) and this scan disappears.
+    srow = toked.agg(
+        F.count("*").alias("n"), F.avg(F.size("__toks")).alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 0.0)
+
+    tf = (
+        toked.select(
+            F.col(id_col),
+            F.size("__toks").cast("double").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .filter(F.col("term").isin(list(terms)))  # prune before the shuffle
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
     df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     if scoring == "tfidf":
-        scored = (
-            tf.join(F.broadcast(df_stats), "term")
-            .withColumn("__s", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        scored = tf.join(F.broadcast(df_stats), "term").withColumn(
+            "__s", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
         )
-    elif scoring == "bm25":
-        doclen = tokenize(docs, text_col).select(
-            F.col(id_col), F.size("tokens").cast("double").alias("dl")
-        )
-        avgdl = float(doclen.agg(F.avg("dl")).first()[0])
+    else:
         idf = F.log(
             F.lit(1.0)
             + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         )
-        scored = (
-            tf.join(F.broadcast(df_stats), "term")
-            .join(doclen, id_col)
-            .withColumn(
-                "__s",
-                idf
-                * (F.col("tf") * (F.lit(k1) + 1.0))
-                / (F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
-            )
+        scored = tf.join(F.broadcast(df_stats), "term").withColumn(
+            "__s",
+            idf
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
         )
-    else:
-        raise ValueError(f"unknown scoring: {scoring}")
 
     return (
         scored.groupBy(id_col)

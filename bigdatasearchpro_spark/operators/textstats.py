@@ -134,3 +134,54 @@ def fingerprint(
             hashes, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
         ).alias("fp_xor"),
     )
+
+
+# PII patterns: intentionally simple/portable (RE2-compatible — no
+# backrefs/lookaround) so the same pattern runs in Spark (Java regex),
+# DuckDB (RE2), and any downstream scrubber.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Mask emails then phone numbers in ``text_col`` (codegen'd
+    regexp_replace, global). Order matters: emails first so digit runs
+    inside addresses aren't half-eaten by the phone pattern. A corpus
+    scrub before training is a narrow map — no shuffle, safe to fuse
+    with any downstream filter."""
+    out = out_col or text_col
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, email_token),
+        PHONE_RE,
+        phone_token,
+    )
+    return df.withColumn(out, cleaned)
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the document
+    id: ``pmod(xxhash64(id, seed), 100)`` buckets -> split label. Pure
+    projection (no shuffle, no state); the same row lands in the same
+    split on every run, cluster size, and partitioning — the property
+    random splits lose the moment data is reprocessed."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(100))
+    label = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", label)

@@ -636,3 +636,49 @@ def a6_exact_quantiles(spark, sf_dir):
             lambda x: F.round(x, 4),
         ).alias("price_quartiles")
     )
+
+
+@register(
+    "l5_pii_redaction",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || doc_id || '@example.com or +1 (555) 010-' || lpad(doc_id::VARCHAR, 4, '0'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS text
+    FROM documents
+    """,
+)
+def l5_pii_redaction(spark, sf_dir):
+    """L5: PII scrub — emails and phone numbers masked with codegen'd
+    global regexp_replace. The fixture text has no PII, so deterministic
+    synthetic contact strings are appended per doc and the oracle
+    verifies they (and nothing else) are masked."""
+    from bigdatasearchpro_spark.operators.textstats import redact_pii
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(d)
+
+
+@register(
+    "l5_dataset_split",
+    None,  # xxhash64 has no DuckDB twin -> invariants tested in-suite
+)
+def l5_dataset_split(spark, sf_dir):
+    """L5: deterministic train/val/test split by id hash — pure
+    projection, stable under reprocessing/repartitioning (invariants:
+    disjoint, exhaustive, rerun-identical; tests/test_textstats.py)."""
+    from bigdatasearchpro_spark.operators.textstats import dataset_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return dataset_split(d).groupBy("split").agg(F.count("*").alias("n"))

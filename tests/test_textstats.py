@@ -48,3 +48,39 @@ def test_fingerprint_deterministic_and_content_sensitive(spark):
             for r in textstats.fingerprint(d).collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_redact_pii_masks_and_preserves(spark):
+    from bigdatasearchpro_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@d-e.org today"),
+            (1, "call +1 (555) 010-1234 now"),
+            (2, "digits 12345 stay, year 2024 stays"),
+            (3, "both x@y.io and 555-010-9999 go"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "call <PHONE> now"
+    assert got[2] == "digits 12345 stay, year 2024 stays"
+    assert got[3] == "both <EMAIL> and <PHONE> go"
+
+
+def test_dataset_split_invariants(docs):
+    from bigdatasearchpro_spark.operators.textstats import dataset_split
+
+    a = dataset_split(docs.select("doc_id"))
+    b = dataset_split(docs.select("doc_id").repartition(7))
+    ma = {r.doc_id: r.split for r in a.collect()}
+    mb = {r.doc_id: r.split for r in b.collect()}
+    assert ma == mb  # stable across partitioning/reruns
+    n = len(ma)
+    from collections import Counter
+
+    c = Counter(ma.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] > c["val"] > 0 and c["test"] > 0  # all splits populated
+    assert abs(c["val"] / n - 0.10) < 0.05 and abs(c["test"] / n - 0.10) < 0.05

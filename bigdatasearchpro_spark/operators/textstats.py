@@ -185,3 +185,30 @@ def dataset_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", label)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word-repetition quality signals (Gopher/C4-style filters):
+    ``dup_word_ratio`` = 1 - distinct/total words, ``top_word_ratio`` =
+    most frequent word's share. Two-level hash aggregation
+    ((doc, word) counts, then per-doc rollup) — both stages get
+    map-side partials; shuffle carries (doc, word, n), never text."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+        ).alias("__w"),
+    )
+    per_word = toks.groupBy(id_col, "__w").agg(F.count("*").alias("__n"))
+    return per_word.groupBy(id_col).agg(
+        F.sum("__n").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.count("*") / F.sum("__n"), 4
+        ).alias("dup_word_ratio"),
+        F.round(F.max("__n") / F.sum("__n"), 4).alias("top_word_ratio"),
+    )

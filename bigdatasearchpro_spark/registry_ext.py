@@ -682,3 +682,57 @@ def l5_dataset_split(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return dataset_split(d).groupBy("split").agg(F.count("*").alias("n"))
+
+
+@register(
+    "l5_repetition_stats",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS w
+      FROM documents
+    ),
+    per_word AS (
+      SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           sum(n) AS n_words,
+           round(1.0 - count(*) / sum(n), 4) AS dup_word_ratio,
+           round(max(n) / sum(n), 4) AS top_word_ratio
+    FROM per_word GROUP BY doc_id
+    """,
+)
+def l5_repetition_stats(spark, sf_dir):
+    """L5: word-repetition corpus-quality signals (duplicate-word and
+    top-word ratios) — the Gopher-style repetition filters, computed as
+    two codegen'd hash aggregations."""
+    from bigdatasearchpro_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "l4_label_centroids",
+    """
+    SELECT label, pos, round(avg(v), 4) + 0.0 AS c
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def l4_label_centroids(spark, sf_dir):
+    """L4: per-label embedding centroids — posexplode + per-(label,
+    dimension) mean. The flat (label, pos) aggregation is the
+    shuffle-light form: partial sums reduce map-side, the shuffle
+    carries label x dim cells, never whole vectors. (Also the k-means
+    update step the IVF index build in similarity.py uses.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double"))
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("c"))
+    )

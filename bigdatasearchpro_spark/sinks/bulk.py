@@ -33,15 +33,28 @@ def bulk_index_parquet(
     *,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    target_files: int | None = None,
 ) -> int:
     """Write ``df`` as a parquet "index"; returns rows written.
+
+    File-size hygiene (the 100 TB concern the reference never had —
+    its "files" were ES shards): ``max_records_per_file`` caps oversize
+    outputs by splitting within a task; ``target_files`` coalesces
+    many small task outputs into few files (compaction — a directory of
+    thousands of KB-files makes every later scan pay per-file open +
+    listing cost).
 
     The count comes from the written files (a second scan of the
     committed output), reproducing the reference's load reconciliation
     (logged totals vs ``SELECT count(1)``, reference README.md:803-806)
     without a driver-side collect.
     """
+    if target_files is not None:
+        df = df.coalesce(target_files)
     writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -89,3 +89,25 @@ def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan and "o_totalprice" in plan
     # column pruning: scan reads only the needed columns
     assert "ReadSchema" in plan and "o_comment" not in plan
+
+
+def test_bulk_sink_file_hygiene(spark, sf_dir, tmp_path):
+    """Compaction (target_files) and split (max_records_per_file) both
+    control output file counts — the small-files/large-files knobs."""
+    import os
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(16)
+
+    compact = str(tmp_path / "compact")
+    n1 = bulk_index_parquet(li, compact, target_files=2)
+    files = [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    assert len(files) == 2 and n1 == li.count()
+
+    split = str(tmp_path / "split")
+    n_rows = li.count()
+    n2 = bulk_index_parquet(li.coalesce(1), split, max_records_per_file=max(1, n_rows // 5))
+    files = [f for f in os.listdir(split) if f.endswith(".parquet")]
+    assert len(files) >= 5 and n2 == n_rows

@@ -376,3 +376,82 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("left_id", "right_id", "jaccard_sim")
     )
+
+
+def resolve_duplicate_groups(
+    pairs: DataFrame,
+    *,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: returns
+    (doc_id, group_id) where ``group_id`` is the smallest doc id in the
+    component — the canonical survivor every duplicate collapses to.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (near-dup components are tiny cliques/chains, so
+    2-4 rounds in practice; ``max_iterations`` bounds adversarial
+    chains). Each round is one join + one aggregate on (node, label)
+    pairs — no vertex ever carries its component's member list, so a
+    100 TB corpus with billions of tiny components shuffles O(|E|)
+    longs per round. localCheckpoint() truncates the growing lineage so
+    round N's plan doesn't replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(
+            F.col(left_col).alias("a"), F.col(right_col).alias("b")
+        )
+        .union(pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def dedup_by_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Apply near-dup pairs to the corpus: drop every document whose
+    component representative (smallest id) is not itself. Docs in no
+    pair survive untouched (anti-join keeps them without shuffle-joining
+    the full corpus against the tiny loser set — broadcast)."""
+    groups = resolve_duplicate_groups(pairs, left_col=left_col, right_col=right_col)
+    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(id_col)
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

@@ -736,3 +736,21 @@ def l4_label_centroids(spark, sf_dir):
         .groupBy("label", "pos")
         .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("c"))
     )
+
+
+@register("l2_dedup_resolution")  # iterative (connected components) -> rows-only
+def l2_dedup_resolution(spark, sf_dir):
+    """L2 end-to-end: near-dup pairs (MinHash+LSH) -> connected
+    components (iterative min-label propagation, the genuinely
+    non-SQL-expressible step) -> canonical-survivor dedup. Returns the
+    reconciliation row: corpus size, survivors, removed."""
+    from bigdatasearchpro_spark.operators import neardup
+    from bigdatasearchpro_spark.registry_text import _with_synthetic_neardups
+
+    corpus = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    pairs = neardup.minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
+    kept = neardup.dedup_by_pairs(corpus, pairs)
+    n, k = corpus.count(), kept.count()
+    return spark.createDataFrame(
+        [(n, k, n - k)], "corpus bigint, survivors bigint, removed bigint"
+    )

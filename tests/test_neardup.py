@@ -60,3 +60,38 @@ def test_ngram_jaccard_exact_pairs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = neardup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
     assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 2)}
+
+
+def test_resolve_duplicate_groups_components(spark):
+    from bigdatasearchpro_spark.operators.neardup import resolve_duplicate_groups
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (star on 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "left_id long, right_id long",
+    )
+    got = {r.doc_id: r.group_id for r in resolve_duplicate_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_by_pairs_keeps_canonical_and_unpaired(spark, docs):
+    from bigdatasearchpro_spark.operators import neardup
+
+    mutated = docs.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(mutated)
+    pairs = neardup.minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
+    kept = neardup.dedup_by_pairs(corpus, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # every mutated clone's pair resolved to the original (smaller id)
+    found = {r.left_id for r in pairs.collect()} | {r.right_id for r in pairs.collect()}
+    for r in pairs.collect():
+        lo, hi = min(r.left_id, r.right_id), max(r.left_id, r.right_id)
+        assert hi not in kept_ids or lo in kept_ids
+    # unpaired docs all survive
+    assert all(
+        (r.doc_id in kept_ids) for r in corpus.collect() if r.doc_id not in found
+    )

@@ -159,8 +159,7 @@ def minhash_lsh_pairs(
     # persist every consumer re-runs the full shingle scan.
     sig = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n_perms=n_perms, shingle_k=shingle_k
-    ).persist()
-    sig.count()  # eager: fill the cache once, not once per DAG branch
+    ).persist()  # lazily filled by the first consumer job
 
     # Candidate generation shuffles ONLY (band_hash, doc_id) — neither
     # the shingle arrays nor the signatures enter the self-join (at
@@ -217,7 +216,6 @@ def minhash_lsh_pairs(
         .filter(F.col("__est") >= jaccard_threshold - margin)
         .select("left_id", "right_id")
     ).persist()
-    survivors.count()  # eager: both the id-union and the final join read it
 
     # Stage 2 verify (exact): shingle-hash sets ONLY for surviving docs
     # (semi-join pruned), Jaccard over 8-byte hashes instead of strings.
@@ -226,13 +224,17 @@ def minhash_lsh_pairs(
         .union(survivors.select(F.col("right_id").alias(id_col)))
         .distinct()
     )
+    # Semi-join the *documents* before shingling: survivors are a tiny
+    # fraction of the corpus, so the explode (the widest intermediate in
+    # the whole pipeline) runs only on rows that will be verified.
+    surv_docs = docs.join(surv_ids, id_col, "left_semi")
     hashed = (
-        exploded_shingles(docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
-        .join(surv_ids, id_col, "left_semi")
+        exploded_shingles(
+            surv_docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+        )
         .groupBy(id_col)
         .agg(F.collect_set(F.xxhash64("__s")).alias("__sh"))
     ).persist()
-    hashed.count()  # eager: read twice (left/right side of the verify join)
     lsh = hashed.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
     rsh = hashed.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
     return (

@@ -754,3 +754,69 @@ def l2_dedup_resolution(spark, sf_dir):
     return spark.createDataFrame(
         [(n, k, n - k)], "corpus bigint, survivors bigint, removed bigint"
     )
+
+
+@register(
+    "a7_pivot",
+    """
+    SELECT o_orderpriority,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS f_total,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS o_total,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a7_pivot(spark, sf_dir):
+    """A-family reshape: pivot order status into columns. Explicit value
+    list — at scale an unlisted pivot needs a first pass to discover
+    values (collect distinct), so pinning the columns keeps it one
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("f_total"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("o_total"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("p_total"),
+    )
+
+
+@register(
+    "a7_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, kind, round(amount, 2) AS amount
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             unnest(['price', 'discount', 'tax']) AS kind,
+             unnest([l_extendedprice, l_discount, l_tax]) AS amount
+      FROM lineitem
+    )
+    """,
+)
+def a7_unpivot(spark, sf_dir):
+    """A-family reshape: unpivot (melt) value columns into rows — the
+    long-form used by per-metric aggregation; pure narrow row expansion,
+    no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "kind",
+        "amount",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(
+            F.create_map(
+                F.lit("l_extendedprice"), F.lit("price"),
+                F.lit("l_discount"), F.lit("discount"),
+                F.lit("l_tax"), F.lit("tax"),
+            ),
+            F.col("kind"),
+        ).alias("kind"),
+        F.round("amount", 2).alias("amount"),
+    )

@@ -261,3 +261,64 @@ def cosine_similarity_join(
         .select("left_id", "right_id", "score")
         .dropDuplicates(["left_id", "right_id"])
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> np.ndarray:
+    """Materialize the IVF-Flat layout: train centroids, assign every
+    vector, and write the corpus *partitioned by cell* with the C x dim
+    centroid table beside it. A query then reads only its probe cells'
+    directories — partition pruning turns nprobe/C into a physical I/O
+    ratio, not just a filter. This is the index-once/query-many shape
+    (same contract as the inverted text index in operators/search.py)."""
+    cents = ivf_centroids(
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col, iters=iters
+    )
+    assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/vectors")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Query a materialized IVF index: rank cells by centroid dot
+    product (driver-side, C x dim floats), then scan ONLY the nprobe
+    winning partitions. Results are identical to ivf_topk with the same
+    centroids (tested); the difference is the scan reads nprobe/C of
+    the files instead of filtering all of them."""
+    crows = spark.read.parquet(path + "/centroids").collect()
+    cents = np.zeros((len(crows), len(crows[0]["centroid"])), dtype="float64")
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+    q = np.asarray(query_vec, dtype="float64")
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probe_cells = [int(c) for c in np.argsort(-(cents @ q))[:nprobe]]
+    vectors = spark.read.parquet(path + "/vectors").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    return cosine_topk(
+        vectors, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )

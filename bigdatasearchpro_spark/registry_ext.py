@@ -820,3 +820,20 @@ def a7_unpivot(spark, sf_dir):
         ).alias("kind"),
         F.round("amount", 2).alias("amount"),
     )
+
+
+@register("l4_ann_ivf_indexed")  # rows-only: ANN over a written index
+def l4_ann_ivf_indexed(spark, sf_dir):
+    """L4 index-once/query-many ANN: materialized IVF-Flat layout
+    (vectors partitioned by cell + persisted centroids); the probe reads
+    only nprobe of n_cells partitions (partition pruning asserted in
+    tests/test_similarity.py)."""
+    import tempfile
+
+    from bigdatasearchpro_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    similarity.build_ivf_index(emb, path, n_cells=8)
+    return similarity.ivf_topk_indexed(spark, path, qv, 10, nprobe=3)

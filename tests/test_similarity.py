@@ -57,3 +57,23 @@ def test_similarity_join_precision(emb):
     out = similarity.cosine_similarity_join(emb, emb, 0.8, n_planes=4).collect()
     assert all(r["score"] >= 0.8 for r in out)
     assert all(r["left_id"] < r["right_id"] for r in out)
+
+
+def test_ivf_indexed_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """Materialized IVF index returns the same rows as the inline IVF
+    with identical centroids, and the probe scan is partition-pruned."""
+    from bigdatasearchpro_spark.operators import similarity
+    from bigdatasearchpro_spark.plans import partition_filters
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(emb, path, n_cells=4)
+
+    indexed = similarity.ivf_topk_indexed(spark, path, qv, 10, nprobe=2)
+    inline = similarity.ivf_topk(emb, qv, 10, n_cells=4, nprobe=2, centroids=cents)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in inline.collect()]
+
+    pf = " ".join(partition_filters(indexed))
+    assert "cell" in pf  # probe filter reached the partition layer

@@ -110,3 +110,39 @@ def asof_join(
             ],
         )
     return out
+
+
+def resample_ffill(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular event series: one row per ``key`` per
+    ``step`` grid point between that key's first and last event, with
+    the last-observed value carried forward (as-of semantics).
+
+    Grid generation is per-key from a per-key bounds aggregation
+    (``sequence(min, max, step)`` + explode) — no driver-side range, no
+    cross join; the grid size is data-determined per key. The fill is
+    the union-merge as-of join (one shuffle on the key).
+    """
+    bounds = events.groupBy(key_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__lo"),
+        F.max(ts_col).alias("__hi"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    return asof_join(
+        grid,
+        events.select(key_col, ts_col, value_col),
+        on=key_col,
+        ts_col=ts_col,
+        right_cols={"filled_value": value_col},
+    ).select(key_col, ts_col, "matched_ts", "filled_value")

@@ -837,3 +837,38 @@ def l4_ann_ivf_indexed(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="ivf_idx_")
     similarity.build_ivf_index(emb, path, n_cells=8)
     return similarity.ivf_topk_indexed(spark, path, qv, 10, nprobe=3)
+
+
+@register(
+    "ts1_resample_ffill",
+    """
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.ts, e.ts AS matched_ts, round(e.value, 2) AS filled_value
+    FROM grid g
+    ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.ts >= e.ts
+    """,
+)
+def ts1_resample_ffill(spark, sf_dir):
+    """Time-series resample: per-user hourly grid between each user's
+    first and last event, forward-filled with the last observed value —
+    grid from per-key bounds (no driver range, no cross join), fill via
+    the union-merge as-of join."""
+    from bigdatasearchpro_spark.operators.asof import resample_ffill
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = resample_ffill(e)
+    return out.select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz"),
+        F.col("matched_ts").cast("timestamp_ntz"),
+        F.round("filled_value", 2).alias("filled_value"),
+    )

@@ -20,9 +20,6 @@ grouping key, so a 1000-executor cluster shards state horizontally.
 
 from __future__ import annotations
 
-import os
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

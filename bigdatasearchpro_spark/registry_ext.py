@@ -872,3 +872,42 @@ def ts1_resample_ffill(spark, sf_dir):
         F.col("matched_ts").cast("timestamp_ntz"),
         F.round("filled_value", 2).alias("filled_value"),
     )
+
+
+@register(
+    "p6_try_cast_dirty",
+    """
+    WITH s AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+             CASE WHEN l_linenumber = 1 THEN 'not-a-number'
+                  ELSE CAST(l_quantity AS VARCHAR) END AS l_quantity,
+             CAST(l_shipdate AS VARCHAR) AS l_shipdate
+      FROM lineitem
+    )
+    SELECT TRY_CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           TRY_CAST(l_quantity AS DOUBLE) AS l_quantity,
+           TRY_CAST(l_shipdate AS TIMESTAMP) AS l_shipdate,
+           (TRY_CAST(l_quantity AS DOUBLE) IS NULL) AS quantity_bad
+    FROM s
+    """,
+)
+def p6_try_cast_dirty(spark, sf_dir):
+    """P-family ingest reality: error-tolerant typed parsing of dirty
+    strings — try_cast yields null instead of failing the job (Spark 4
+    runs ANSI mode, where a plain CAST on one bad row kills the whole
+    stage at 100 TB). Bad rows are flagged, not dropped, so the
+    quarantine path keeps them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        F.col("l_orderkey").cast("string").alias("l_orderkey"),
+        F.when(F.col("l_linenumber") == 1, F.lit("not-a-number"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("l_quantity"),
+        F.col("l_shipdate").cast("string").alias("l_shipdate"),
+    )
+    return dirty.select(
+        F.col("l_orderkey").try_cast("bigint").alias("l_orderkey"),
+        F.col("l_quantity").try_cast("double").alias("l_quantity"),
+        F.col("l_shipdate").try_cast("timestamp_ntz").alias("l_shipdate"),
+        F.col("l_quantity").try_cast("double").isNull().alias("quantity_bad"),
+    )

@@ -114,3 +114,58 @@ def es_bulk_sink(
         flush()
 
     df.foreachPartition(write_partition)
+
+
+def _request(url: str, method: str, payload: bytes | None = None, timeout: float = 60.0) -> dict:
+    req = urllib.request.Request(
+        url,
+        data=payload,
+        headers={"Content-Type": "application/json"} if payload else {},
+        method=method,
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        body = resp.read()
+        return json.loads(body) if body else {}
+
+
+def es_create_index(
+    es_url: str,
+    index: str,
+    *,
+    shards: int = 5,
+    replicas: int = 0,
+    refresh_interval: str = "-1",
+    timeout: float = 60.0,
+) -> str:
+    """Create an index with the reference's load-optimized settings
+    (5 shards / 0 replicas / refresh disabled during bulk,
+    BulkProcessImpl.java:64-68); lowercased name. Returns the name."""
+    idx = index.lower()
+    settings = {
+        "settings": {
+            "number_of_shards": shards,
+            "number_of_replicas": replicas,
+            "refresh_interval": refresh_interval,
+        }
+    }
+    _request(
+        es_url.rstrip("/") + "/" + idx,
+        "PUT",
+        json.dumps(settings).encode(),
+        timeout,
+    )
+    return idx
+
+
+def es_delete_index(es_url: str, index: str, *, timeout: float = 60.0) -> None:
+    """Drop an index (ElasticServiceImpl.java:64-87)."""
+    _request(es_url.rstrip("/") + "/" + index.lower(), "DELETE", None, timeout)
+
+
+def es_list_indices(es_url: str, *, timeout: float = 60.0) -> list[str]:
+    """All indices with system (dot-prefixed) ones filtered out
+    (ElasticServiceImpl.java:90-114: `_all` + the dot filter)."""
+    got = _request(es_url.rstrip("/") + "/_cat/indices?format=json", "GET", None, timeout)
+    return sorted(
+        row["index"] for row in got if not row["index"].startswith(".")
+    )

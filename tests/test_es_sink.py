@@ -96,3 +96,64 @@ def test_last_write_wins_on_duplicate_ids(spark, fake_es):
     es_bulk_sink(df, _url(fake_es), "idx", id_col="s_guid")
     assert fake_es.docs["k1"]["v"] == "new"
     assert len(fake_es.docs) == 2
+
+
+class _FakeESAdmin(BaseHTTPRequestHandler):
+    def _reply(self, obj, code=200):
+        out = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def do_PUT(self):  # noqa: N802 - create index
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        with self.server.lock:
+            self.server.indices[self.path.lstrip("/")] = json.loads(body or b"{}")
+        self._reply({"acknowledged": True})
+
+    def do_DELETE(self):  # noqa: N802
+        with self.server.lock:
+            self.server.indices.pop(self.path.lstrip("/"), None)
+        self._reply({"acknowledged": True})
+
+    def do_GET(self):  # noqa: N802 - _cat/indices
+        with self.server.lock:
+            rows = [{"index": n} for n in self.server.indices] + [
+                {"index": ".kibana_1"}  # system index: must be filtered
+            ]
+        self._reply(rows)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def fake_es_admin():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeESAdmin)
+    srv.lock = threading.Lock()
+    srv.indices = {}
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_es_http_ddl_lifecycle(fake_es_admin):
+    from bigdatasearchpro_spark.sinks.es_http import (
+        es_create_index,
+        es_delete_index,
+        es_list_indices,
+    )
+
+    url = f"http://127.0.0.1:{fake_es_admin.server_address[1]}"
+    name = es_create_index(url, "MyNewIndex")
+    assert name == "mynewindex"
+    st = fake_es_admin.indices["mynewindex"]["settings"]
+    # the reference's load-optimized settings travel through
+    assert (st["number_of_shards"], st["number_of_replicas"]) == (5, 0)
+    assert st["refresh_interval"] == "-1"
+    assert es_list_indices(url) == ["mynewindex"]  # .kibana filtered out
+    es_delete_index(url, "MyNewIndex")
+    assert es_list_indices(url) == []

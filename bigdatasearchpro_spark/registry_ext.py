@@ -911,3 +911,47 @@ def p6_try_cast_dirty(spark, sf_dir):
         F.col("l_shipdate").try_cast("timestamp_ntz").alias("l_shipdate"),
         F.col("l_quantity").try_cast("double").isNull().alias("quantity_bad"),
     )
+
+
+@register(
+    "j1_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def j1_q3_shipping_priority(spark, sf_dir):
+    """J1+T1 (TPC-H Q3 shape): segment-filtered 3-way join, grouped
+    revenue, top-10 by revenue — the filter pushes into both fact scans
+    and the final ORDER BY+LIMIT plans TakeOrderedAndProject (no global
+    sort). Deterministic ties via (o_orderdate, l_orderkey)."""
+    c, o, l = (
+        load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
+    )
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") < "1997-06-01") & (F.col("l_shipdate") > "1997-06-01")
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )

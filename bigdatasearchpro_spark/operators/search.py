@@ -251,3 +251,28 @@ def search_topk_indexed(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def keyword_match_indexed(
+    postings: DataFrame,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    mode: str = "any",
+) -> DataFrame:
+    """Boolean keyword match answered from the materialized inverted
+    index: one filter on ``term`` (bucket-pruned when the postings
+    table is bucketed by term) + one distinct-count per doc. Returns
+    matching doc ids; semantics identical to :func:`keyword_match`
+    (OR for ``mode='any'``, AND for ``'all'``)."""
+    terms = analyze_query(query)
+    if not terms:
+        return postings.select(id_col).limit(0)
+    hits = (
+        postings.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col)
+        .agg(F.countDistinct("term").alias("__nterms"))
+    )
+    if mode == "all":
+        hits = hits.filter(F.col("__nterms") == len(set(terms)))
+    return hits.select(id_col)

@@ -71,3 +71,19 @@ def test_indexed_search_matches_direct(spark, docs):
         postings, doclen, q, 10, n_docs=n_docs, avgdl=avgdl
     ).collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+
+
+def test_indexed_keyword_match_matches_direct(spark, docs):
+    from bigdatasearchpro_spark.operators import search
+
+    q = "spark join window"
+    postings, _ = search.build_inverted_index(docs)
+    for mode in ("any", "all"):
+        direct = {
+            r.doc_id
+            for r in search.keyword_match(docs, q, mode=mode).select("doc_id").collect()
+        }
+        indexed = {
+            r.doc_id for r in search.keyword_match_indexed(postings, q, mode=mode).collect()
+        }
+        assert direct == indexed, mode

@@ -250,7 +250,9 @@ def s4_s6_ddl_lifecycle(spark, sf_dir):
     listing observed while the index existed."""
     from bigdatasearchpro_spark.sinks.ddl import create_index, delete_index, list_indices
 
-    name = create_index(spark, "DDL_Lifecycle_Probe")
+    import uuid
+
+    name = create_index(spark, f"DDL_Lifecycle_Probe_{uuid.uuid4().hex[:8]}")
     listing = list_indices(spark).filter(F.col("index_name") == name)
     out = listing.collect()
     delete_index(spark, name)
@@ -527,24 +529,28 @@ def j7_bucketed_colocated_join(spark, sf_dir):
     on every subsequent join by that key."""
     from bigdatasearchpro_spark.sinks.bucketed import drop_table, write_bucketed
 
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]  # unique names: safe under concurrent runs
+    t_o, t_l = f"reg_bkt_orders_{sfx}", f"reg_bkt_lineitem_{sfx}"
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    write_bucketed(o, "reg_bkt_orders", bucket_cols="o_orderkey", n_buckets=8)
+    write_bucketed(o, t_o, bucket_cols="o_orderkey", n_buckets=8)
     write_bucketed(
         li.withColumnRenamed("l_orderkey", "o_orderkey"),
-        "reg_bkt_lineitem",
+        t_l,
         bucket_cols="o_orderkey",
         n_buckets=8,
     )
     out = (
-        spark.table("reg_bkt_orders")
-        .join(spark.table("reg_bkt_lineitem"), "o_orderkey")
+        spark.table(t_o)
+        .join(spark.table(t_l), "o_orderkey")
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
     rows = out.collect()  # materialize before the backing tables drop
-    drop_table(spark, "reg_bkt_orders")
-    drop_table(spark, "reg_bkt_lineitem")
+    drop_table(spark, t_o)
+    drop_table(spark, t_l)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -567,19 +573,23 @@ def l3_search_via_inverted_index(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     postings, doclen = search.build_inverted_index(docs)
     n_docs, avgdl = search.corpus_stats(doclen)
-    write_bucketed(postings, "reg_idx_postings", bucket_cols="term", n_buckets=8)
-    write_bucketed(doclen, "reg_idx_doclen", bucket_cols="doc_id", n_buckets=8)
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    t_p, t_d = f"reg_idx_postings_{sfx}", f"reg_idx_doclen_{sfx}"
+    write_bucketed(postings, t_p, bucket_cols="term", n_buckets=8)
+    write_bucketed(doclen, t_d, bucket_cols="doc_id", n_buckets=8)
     out = search.search_topk_indexed(
-        spark.table("reg_idx_postings"),
-        spark.table("reg_idx_doclen"),
+        spark.table(t_p),
+        spark.table(t_d),
         SEARCH_QUERY,
         10,
         n_docs=n_docs,
         avgdl=avgdl,
     )
     rows = out.collect()
-    drop_table(spark, "reg_idx_postings")
-    drop_table(spark, "reg_idx_doclen")
+    drop_table(spark, t_p)
+    drop_table(spark, t_d)
     return spark.createDataFrame(rows, out.schema)
 
 

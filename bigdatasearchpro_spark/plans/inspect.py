@@ -68,6 +68,17 @@ def shuffle_count(df: DataFrame) -> int:
 def wholestage_codegen_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans. More fused spans over the hot
     path = fewer virtual calls/row; interpreted operators (python UDFs,
-    some higher-order funcs) break spans."""
-    ids = set(re.findall(r"\[codegen id : (\d+)\]", executed_plan(df)))
+    some higher-order funcs) break spans.
+
+    Caveat: under AQE a plan containing exchanges reports
+    ``AdaptiveSparkPlan isFinalPlan=false`` before execution and codegen
+    wrapping hasn't happened yet — 0 spans there means "not decided",
+    not "interpreted". Exchange-free plans (scans/filters/projections)
+    bypass AQE and report real span counts pre-execution."""
+    plan = executed_plan(df)
+    # simple plan strings mark codegen spans as `*(N) Operator`; formatted
+    # mode uses `[codegen id : N]` — accept both
+    ids = set(re.findall(r"\*\((\d+)\)", plan)) | set(
+        re.findall(r"\[codegen id : (\d+)\]", plan)
+    )
     return len(ids)

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan metadata strings (PushedFilters/ReadSchema) are rendered once
+        # and cached; widen before anything renders a plan so the plan
+        # parsers (plans/inspect.py) never see elided metadata
+        .config("spark.sql.maxMetadataStringLength", "100000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

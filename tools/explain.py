@@ -37,13 +37,19 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     spark = get_spark("explain")
     df = QUERIES[name](spark, sf_dir)
+    # parse before explain: the first plan render caches scan metadata
+    # strings, so parse while the widened-metadata conf is in effect
+    facts = {
+        "shuffles": shuffle_count(df),
+        "codegen spans": wholestage_codegen_count(df),
+        "pushed filters": pushed_filters(df),
+        "partition filters": [p for p in partition_filters(df) if p],
+        "read schemas": read_schema(df),
+    }
     df.explain("formatted")
     print("— parsed plan facts —")
-    print(f"shuffles:            {shuffle_count(df)}")
-    print(f"codegen spans:       {wholestage_codegen_count(df)}")
-    print(f"pushed filters:      {pushed_filters(df)}")
-    print(f"partition filters:   {[p for p in partition_filters(df) if p]}")
-    print(f"read schemas:        {read_schema(df)}")
+    for k, v in facts.items():
+        print(f"{k:<18} {v}")
     spark.stop()
 
 

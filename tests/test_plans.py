@@ -108,3 +108,14 @@ def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
         elif t[eid] is not None:
             assert t[eid] == mts
     assert stale_nulled > 0  # the 10-minute bound actually bites
+
+
+def test_exchange_free_plans_are_codegened(spark, sf_dir):
+    """Narrow pipelines (no AQE) must run inside whole-stage codegen —
+    an interpreted projection/filter chain would be a silent 10x on the
+    hot path. (AQE plans report spans only after execution; these are
+    exchange-free so the count is real.)"""
+    from bigdatasearchpro_spark.plans import wholestage_codegen_count
+
+    assert wholestage_codegen_count(QUERIES["p1_stringify_all"](spark, sf_dir)) >= 1
+    assert wholestage_codegen_count(QUERIES["p4_filter_predicates"](spark, sf_dir)) >= 1

@@ -115,10 +115,13 @@ def search_topk(
 
     from bigdatasearchpro_spark.sources.files import fan_out
 
-    # One tokenization pass feeds everything. The exploded term rows
-    # carry the document length along (constant per doc), so no
-    # doc-length table exists and no second shuffle joins it back —
-    # at 100 TB that join was a full reshuffle of one row per document.
+    # The exploded term rows carry the document length along (constant
+    # per doc), so no doc-length table exists and no shuffle joins it
+    # back — at 100 TB that join was a full reshuffle of one row per
+    # document. The (N, avgdl) scalar aggregate below is a second scan
+    # that re-runs the tokenizer; the materialized-index path
+    # (search_topk_indexed + corpus_stats persisted at build time) is
+    # what removes it for repeated queries.
     toked = fan_out(docs).select(
         F.col(id_col),
         F.filter(

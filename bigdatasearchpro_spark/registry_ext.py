@@ -965,3 +965,98 @@ def j1_q3_shipping_priority(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "st6_interval_join",
+    """
+    SELECT p.user_id, p.ts AS left_ts, v.ts AS right_ts,
+           round(p.value, 2) AS left_value, round(v.value, 2) AS right_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 60 MINUTES
+    """,
+)
+def st6_interval_join(spark, sf_dir):
+    """§2.9: the stream-stream interval join program run in batch mode —
+    the exact DataFrame program tests execute as a watermarked stream
+    (tests/test_streaming.py proves stream==batch); the oracle checks
+    the time-bounded join semantics."""
+    from bigdatasearchpro_spark.streaming.pipelines import stream_interval_join
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    p = e.filter(F.col("event_type") == "purchase")
+    v = e.filter(F.col("event_type") == "view")
+    out = stream_interval_join(p, v)
+    return out.select(
+        "user_id",
+        F.col("left_ts").cast("timestamp_ntz"),
+        F.col("right_ts").cast("timestamp_ntz"),
+        F.round("left_value", 2).alias("left_value"),
+        F.round("right_value", 2).alias("right_value"),
+    )
+
+
+@register("st5_stateful_sessionize")  # rows-only: real stream execution
+def st5_stateful_sessionize(spark, sf_dir):
+    """§2.9/§2.11: the applyInPandasWithState sessionizer executed as a
+    real stream (availableNow, 3 time-ordered micro-batches + 2
+    watermark-pusher sentinels that flush all remaining state); returns
+    closed sessions. Exact batch equality is proven in
+    tests/test_streaming.py."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from bigdatasearchpro_spark.streaming.pipelines import run_to_completion
+    from bigdatasearchpro_spark.streaming.stateful import sessionize_with_state
+
+    gap_min = 30
+    sentinel_uid = -1
+    events = load_table(spark, sf_dir, "events")
+    ordered = events.orderBy("ts").collect()
+    n3 = len(ordered) // 3
+    max_ts = ordered[-1]["ts"]
+    slices = [ordered[i * n3 : (i + 1) * n3] if i < 2 else ordered[2 * n3 :] for i in range(3)]
+    for j in (1, 2):
+        future = max_ts + datetime.timedelta(minutes=gap_min * 10 * j)
+        slices.append([(10**9 + j, future, sentinel_uid, "sentinel", 0.0, "{}")])
+
+    src = tempfile.mkdtemp(prefix="st5_src_")
+    stage_root = tempfile.mkdtemp(prefix="st5_stage_")
+    for i, rows in enumerate(slices):
+        stage = f"{stage_root}/{i}"
+        spark.createDataFrame(rows, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(f"{stage}/{part}", f"{src}/slice_{i}.parquet")
+        _time.sleep(0.3)  # distinct mod-times -> deterministic replay
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = run_to_completion(
+        sessionize_with_state(stream, gap_minutes=gap_min),
+        checkpoint_dir=tempfile.mkdtemp(prefix="st5_ck_"),
+        output_mode="append",
+    )
+    return (
+        got.filter(F.col("user_id") != sentinel_uid)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz"),
+            F.col("session_end").cast("timestamp_ntz"),
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )

@@ -1060,3 +1060,41 @@ def st5_stateful_sessionize(spark, sf_dir):
             F.round("sum_value", 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "s8_incremental_load",
+    """
+    WITH cutoff AS (
+      SELECT to_timestamp(quantile_cont(epoch(o_orderdate), 0.7)) AS c FROM orders
+    )
+    SELECT 1 AS phase, count(*) AS rows_loaded
+    FROM orders, cutoff WHERE o_orderdate <= c
+    UNION ALL
+    SELECT 2 AS phase, count(*) AS rows_loaded
+    FROM orders, cutoff WHERE o_orderdate > c
+    """,
+)
+def s8_incremental_load(spark, sf_dir):
+    """S-family: watermark-based incremental extraction (the reference's
+    manual time-window batched load, its README.md:819, made stateful):
+    phase 1 backfills rows up to a cutoff, phase 2 re-runs against the
+    full table and loads ONLY the newer window — the durable high
+    watermark keeps the delta run proportional to new data."""
+    import tempfile
+
+    from bigdatasearchpro_spark.sources.incremental import incremental_load
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = o.selectExpr(
+        "timestamp_micros(percentile(unix_micros(o_orderdate::timestamp), 0.7)::bigint)"
+    ).first()[0]
+    sink = tempfile.mkdtemp(prefix="s8_inc_")
+    n1 = incremental_load(
+        spark, o.filter(F.col("o_orderdate") <= F.lit(cutoff)), sink,
+        ts_col="o_orderdate",
+    )
+    n2 = incremental_load(spark, o, sink, ts_col="o_orderdate")
+    return spark.createDataFrame(
+        [(1, n1), (2, n2)], "phase int, rows_loaded bigint"
+    )

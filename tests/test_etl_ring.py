@@ -111,3 +111,30 @@ def test_bulk_sink_file_hygiene(spark, sf_dir, tmp_path):
     n2 = bulk_index_parquet(li.coalesce(1), split, max_records_per_file=max(1, n_rows // 5))
     files = [f for f in os.listdir(split) if f.endswith(".parquet")]
     assert len(files) >= 5 and n2 == n_rows
+
+
+def test_incremental_load_watermark_cycle(spark, sf_dir, tmp_path):
+    """Three-run cycle: full backfill, no-op on unchanged source, and
+    delta-only pickup of newer rows; sink total always reconciles."""
+    from bigdatasearchpro_spark.sources.incremental import incremental_load, read_watermark
+    from bigdatasearchpro_spark.sources.files import load_table
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = o.selectExpr(
+        "timestamp_micros(percentile(unix_micros(o_orderdate::timestamp), 0.7)::bigint)"
+    ).first()[0]
+    old = o.filter(F.col("o_orderdate") <= F.lit(cutoff))
+    sink = str(tmp_path / "inc_sink")
+
+    n1 = incremental_load(spark, old, sink, ts_col="o_orderdate")
+    assert n1 == old.count() and read_watermark(sink) is not None
+
+    n2 = incremental_load(spark, old, sink, ts_col="o_orderdate")
+    assert n2 == 0  # unchanged source: nothing reloaded
+
+    n3 = incremental_load(spark, o, sink, ts_col="o_orderdate")
+    assert n3 == o.count() - old.count()  # only the newer window
+    loaded = spark.read.parquet(sink + "/data")
+    assert loaded.count() == o.count()
+    assert loaded.select("o_orderkey").distinct().count() == o.count()

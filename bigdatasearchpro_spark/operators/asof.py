@@ -72,9 +72,17 @@ def asof_join(
         *[F.col(src).alias(out) for out, src in right_cols.items()],
     )
 
+    # Tie-break: two right rows sharing (key, ts) would otherwise hand
+    # last(ignorenulls) a partition-order-dependent winner. Ordering the
+    # peers by their payload struct makes the greatest payload win
+    # deterministically on every run and partitioning.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col(_SIDE).asc(),
+            F.struct(*[F.col(o) for o in out_names]).asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tag.unionByName(r_tag).select(

@@ -44,16 +44,23 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     r_df = spark.createDataFrame(_rows(right), "k int, ts timestamp, rv double")
 
     got = {
-        r["lid"]: (r["matched_ts"])
+        r["lid"]: (r["matched_ts"], r["rv"])
         for r in asof_join(
             l_df, r_df, on="k", ts_col="ts", right_cols={"rv": "rv"}
         ).collect()
     }
 
-    rt = [(k, ts) for k, ts, _ in _rows(right)]
+    rt = _rows(right)
     for row in l_df.collect():
-        candidates = [ts for (k, ts) in rt if k == row["k"] and ts <= row["ts"]]
-        expect = max(candidates) if candidates else None
+        candidates = [
+            (ts, v) for (k, ts, v) in rt if k == row["k"] and ts <= row["ts"]
+        ]
+        if not candidates:
+            expect = (None, None)
+        else:
+            best_ts = max(ts for ts, _ in candidates)
+            # deterministic tie-break: greatest payload among peers wins
+            expect = (best_ts, max(v for ts, v in candidates if ts == best_ts))
         assert got[row["lid"]] == expect, (row["k"], row["ts"])
 
 

@@ -85,21 +85,28 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The match travels as ONE struct (ts + payload) filled from right
+    # rows only: independent last(ignorenulls) per column would pair the
+    # newest timestamp with an older row's value whenever the newest
+    # right row carries a NULL payload — the (ts, value) pair must
+    # co-occur in a real right row.
+    match_struct = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(F.col("matched_ts"), *[F.col(o) for o in out_names]),
+    )
     filled = l_tag.unionByName(r_tag).select(
-        "*",
-        F.last("matched_ts", ignorenulls=True).over(w).alias("__m_ts"),
-        *[
-            F.last(out, ignorenulls=True).over(w).alias(f"__m_{out}")
-            for out in out_names
-        ],
+        "*", F.last(match_struct, ignorenulls=True).over(w).alias("__m")
     )
     out = (
         filled.filter(F.col(_SIDE) == 1)
         .drop(_SIDE, "matched_ts", *out_names)
-        .withColumnRenamed("__m_ts", "matched_ts")
+        .select(
+            "*",
+            F.col("__m.matched_ts").alias("matched_ts"),
+            *[F.col(f"__m.{o}").alias(o) for o in out_names],
+        )
+        .drop("__m")
     )
-    for o in out_names:
-        out = out.withColumnRenamed(f"__m_{o}", o)
 
     if tolerance_seconds is not None:
         stale = (

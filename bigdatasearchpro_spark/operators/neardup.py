@@ -237,13 +237,21 @@ def minhash_lsh_pairs(
     ).persist()
     lsh = hashed.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
     rsh = hashed.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
-    return (
+    result = (
         survivors.join(lsh, "left_id")
         .join(rsh, "right_id")
         .withColumn("jaccard_sim", F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 4))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("left_id", "right_id", "jaccard_sim")
     )
+    # Materialize the (small) verified-pair output and release the three
+    # cached intermediates — otherwise every invocation pins signature +
+    # candidate + shingle-set blocks in the block manager for the
+    # session's lifetime (tens of GB at corpus scale).
+    result = result.localCheckpoint(eager=True)
+    for cached in (sig, survivors, hashed):
+        cached.unpersist()
+    return result
 
 
 def simhash_signatures(
@@ -413,6 +421,7 @@ def resolve_duplicate_groups(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -438,7 +447,15 @@ def resolve_duplicate_groups(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently-wrong components would under-dedup with no signal;
+        # callers hitting this have a pathological chain — raise the bound
+        raise RuntimeError(
+            f"connected components did not converge in {max_iterations} "
+            "rounds; raise max_iterations (component diameter exceeds it)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
 
 

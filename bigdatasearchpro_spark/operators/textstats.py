@@ -93,20 +93,22 @@ def lang_id(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
     )
+    # negated hits + ascending sort: most hits first, and among equal
+    # hit counts the lexicographically-smallest language code wins
+    # (struct ordering is field-by-field) — e.g. an all-zero-hit doc
+    # labels 'de', not 'zh'.
     scores = [
         F.struct(
-            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+            (-F.size(F.filter(toks, lambda t: t.isin(*markers)))).alias("neg_hits"),
             F.lit(code).alias("lang"),
         )
         for code, markers in sorted(_LANG_MARKERS.items())
     ]
-    # array_max on structs: max by hits, then lexicographically-greatest
-    # lang — invert for deterministic smallest-code-wins by sorting desc.
-    best = F.sort_array(F.array(*scores), asc=False)[0]
+    best = F.sort_array(F.array(*scores), asc=True)[0]
     return df.select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),
-        best["hits"].alias("marker_hits"),
+        (-best["neg_hits"]).alias("marker_hits"),
     )
 
 

@@ -46,9 +46,8 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in executed_plan(df) or (
-        "BroadcastNestedLoopJoin" in executed_plan(df)
-    )
+    plan = executed_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def has_take_ordered(df: DataFrame) -> bool:
@@ -60,9 +59,10 @@ def has_take_ordered(df: DataFrame) -> bool:
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (each is a full
     materialize-and-repartition of its input — the scale cost center)."""
-    return executed_plan(df).count("Exchange hashpartitioning") + executed_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    plan = executed_plan(df)
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:

@@ -477,7 +477,7 @@ def st2_sliding_window(spark, sf_dir):
     ),
     flagged AS (
       SELECT *, CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+                       OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
       FROM ordered
     ),
     sessions AS (

@@ -48,7 +48,10 @@ def bulk_index_parquet(
     The count comes from the written files (a second scan of the
     committed output), reproducing the reference's load reconciliation
     (logged totals vs ``SELECT count(1)``, reference README.md:803-806)
-    without a driver-side collect.
+    without a driver-side collect. With ``mode='append'`` the committed
+    total includes pre-existing rows, so the batch itself is counted
+    instead (the reconciliation against the full sink is the caller's
+    cross-batch concern).
     """
     if target_files is not None:
         df = df.coalesce(target_files)
@@ -58,6 +61,8 @@ def bulk_index_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if mode == "append":
+        return df.count()
     return df.sparkSession.read.parquet(path).count()
 
 

@@ -86,13 +86,29 @@ def es_bulk_sink(
             nonlocal buf, n, nbytes
             if not buf:
                 return
-            _send_with_retry(
+            resp = _send_with_retry(
                 bulk_url,
                 b"".join(buf),
                 retries=retries,
                 retry_wait=retry_wait,
                 timeout=timeout,
             )
+            # ES reports per-action failures inside an HTTP-200 _bulk
+            # response ("errors": true) — mapping conflicts, rejections.
+            # Swallowing them silently loses documents; raising lets the
+            # Spark task retry replay the partition (idempotent under
+            # LWW ids), mirroring the reference's failure listener
+            # (BulkProcessImpl.java:164-180).
+            if resp.get("errors"):
+                failed = [
+                    item["index"]
+                    for item in resp.get("items", [])
+                    if item.get("index", {}).get("error")
+                ]
+                raise RuntimeError(
+                    f"_bulk reported {len(failed)} failed actions "
+                    f"(first: {failed[:3]})"
+                )
             buf, n, nbytes = [], 0, 0
 
         for row in rows:

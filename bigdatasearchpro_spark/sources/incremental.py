@@ -49,18 +49,30 @@ def incremental_load(
     *,
     ts_col: str,
 ) -> int:
-    """Load rows with ``ts_col`` strictly greater than the stored
-    watermark, append them to the parquet sink, then advance the
-    watermark to the loaded window's max. Returns rows loaded (0 when
-    nothing is new — no write, no watermark change)."""
+    """Load the half-open window ``(watermark, snapshot-max]`` of
+    ``ts_col``, append it to the parquet sink, then advance the
+    watermark. Returns rows loaded (0 when nothing is new).
+
+    The upper bound is snapshotted FIRST, so a live source committing
+    rows mid-run can't smear the window: rows above the snapshot are
+    untouched this run and picked up next run; successive windows are
+    disjoint, so the returned count (taken from the committed files
+    over this window) is exact. A crash between write and watermark
+    commit replays the same window on the next run — at-least-once,
+    absorbed by a downstream last-write-wins dedup (S3). Rows that
+    commit with a timestamp at or below an already-advanced watermark
+    are missed — the intrinsic caveat of event-time watermarking; use a
+    monotonic ingest column when the source can't guarantee it.
+    """
+    data_dir = os.path.join(sink_dir, "data")
     wm = read_watermark(sink_dir)
-    batch = source if wm is None else source.filter(F.col(ts_col) > F.lit(wm))
-    stats = batch.agg(
-        F.count("*").alias("n"), F.max(ts_col).cast("string").alias("hi")
-    ).first()
-    n = int(stats["n"])
-    if n == 0:
+    hi = source.agg(F.max(ts_col).cast("string").alias("hi")).first()["hi"]
+    if hi is None or (wm is not None and hi <= wm):
         return 0
-    batch.write.mode("append").parquet(os.path.join(sink_dir, "data"))
-    _write_watermark(sink_dir, stats["hi"])
+    window = F.col(ts_col) <= F.lit(hi)
+    if wm is not None:
+        window = window & (F.col(ts_col) > F.lit(wm))
+    source.filter(window).write.mode("append").parquet(data_dir)
+    n = spark.read.parquet(data_dir).filter(window).count()
+    _write_watermark(sink_dir, hi)
     return n

@@ -73,7 +73,15 @@ def sessionize_with_state(
                     closed.append((user_id, *cur))
                     cur = (t, t, 1, float(value))
                 else:
-                    cur = (cur[0], t, cur[2] + 1, cur[3] + float(value))
+                    # a late-but-in-watermark event may precede the
+                    # stored bounds — extend the window, never shrink it
+                    # (a backwards `last` would corrupt later gap checks)
+                    cur = (
+                        min(cur[0], t),
+                        max(cur[1], t),
+                        cur[2] + 1,
+                        cur[3] + float(value),
+                    )
             if cur is not None:
                 state.update(cur)
                 # evict once the watermark passes the session's gap edge;

@@ -32,7 +32,18 @@ class _FakeES(BaseHTTPRequestHandler):
                 doc = json.loads(lines[i + 1])
                 _id = action.get("_id", f"__auto_{len(self.server.docs)}")
                 self.server.docs[_id] = doc  # index op: last write wins
-        out = json.dumps({"errors": False, "items": []}).encode()
+        if getattr(self.server, "per_action_error", False):
+            out = json.dumps(
+                {
+                    "errors": True,
+                    "items": [
+                        {"index": {"_id": "k1", "status": 400,
+                                   "error": {"type": "mapper_parsing_exception"}}}
+                    ],
+                }
+            ).encode()
+        else:
+            out = json.dumps({"errors": False, "items": []}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(out)))
@@ -50,6 +61,7 @@ def fake_es():
     srv.requests = []
     srv.docs = {}
     srv.reject_first = False
+    srv.per_action_error = False
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -157,3 +169,12 @@ def test_es_http_ddl_lifecycle(fake_es_admin):
     assert es_list_indices(url) == ["mynewindex"]  # .kibana filtered out
     es_delete_index(url, "MyNewIndex")
     assert es_list_indices(url) == []
+
+
+def test_bulk_raises_on_per_action_errors(spark, fake_es):
+    """An HTTP-200 _bulk response carrying per-action errors must fail
+    the task, not silently drop documents."""
+    fake_es.per_action_error = True
+    df = spark.createDataFrame([("k1", "v")], "s_guid string, v string").coalesce(1)
+    with pytest.raises(Exception, match="failed actions"):
+        es_bulk_sink(df, _url(fake_es), "idx", id_col="s_guid")

@@ -80,3 +80,24 @@ def test_quality_stats_ratios_bounded(spark, texts):
         assert r["n_tokens"] >= 0
         if not texts[r["doc_id"]].strip():
             assert r["n_tokens"] == 0
+
+
+def test_asof_null_payload_pairs_with_its_own_timestamp(spark):
+    """A newest right row with a NULL payload must yield (its ts, NULL),
+    never an older row's value stitched to the newer timestamp."""
+    import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + datetime.timedelta(minutes=m)
+
+    l_df = spark.createDataFrame([(1, t(60), 0.0)], "k int, ts timestamp, lv double")
+    r_df = spark.createDataFrame(
+        [(1, t(0), 5.0), (1, t(30), None)], "k int, ts timestamp, rv double"
+    )
+    row = asof_join(l_df, r_df, on="k", ts_col="ts", right_cols={"rv": "rv"}).first()
+    assert row["matched_ts"] == t(30)
+    assert row["rv"] is None  # the 10:30 match really had NULL

@@ -27,7 +27,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdatasearchpro_spark.operators import search, transform
-from bigdatasearchpro_spark.operators.dedup import dedup_last_write_wins
 from bigdatasearchpro_spark.sinks import ddl
 from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
 
@@ -38,6 +37,7 @@ def bulk_data_to_index(
     index_name: str,
     *,
     id_col: str | None = None,
+    order_by: list[str] | None = None,
 ) -> dict:
     """The ``/bulk/{indexName}`` pipeline: scan → stringify →
     last-write-wins by id → batched write, with the wall-clock timing
@@ -46,11 +46,8 @@ def bulk_data_to_index(
     ``{"index": ..., "rows": ..., "seconds": ...}``."""
     t0 = time.time()
     doc = transform.stringify_all(source)
-    if id_col is not None:
-        order = [c for c in doc.columns if c != id_col][:1] or [id_col]
-        doc = dedup_last_write_wins(doc, id_col, order, keep="last")
     name = index_name.lower()
-    rows = bulk_index_table(doc, name)
+    rows = bulk_index_table(doc, name, id_col=id_col, order_by=order_by)
     return {"index": name, "rows": rows, "seconds": round(time.time() - t0, 3)}
 
 

@@ -144,8 +144,9 @@ def resample_ffill(
     cross join; the grid size is data-determined per key. The fill is
     the union-merge as-of join (one shuffle on the key).
     """
+    unit = step.split()[-1].rstrip("s")  # '1 hour' -> 'hour', '5 minutes' -> 'minute'
     bounds = events.groupBy(key_col).agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("__lo"),
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
         F.max(ts_col).alias("__hi"),
     )
     grid = bounds.select(

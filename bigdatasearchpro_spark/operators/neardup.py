@@ -301,14 +301,29 @@ def simhash_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     n_chunks: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of
     ``n_chunks`` 16-bit chunks (pigeonhole: any pair within
     ``n_chunks-1`` bit flips must collide on some chunk), verified by
-    exact Hamming distance via bit_count(xor)."""
+    exact Hamming distance via bit_count(xor).
+
+    Recall is guaranteed only for ``max_hamming <= n_chunks - 1`` —
+    beyond that a pair can spread its differing bits across every chunk
+    and never become a candidate, so the combination is rejected rather
+    than silently under-recalling. More chunks buy a larger radius at
+    the cost of smaller (more collision-prone) chunks.
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"n_chunks-1={n_chunks - 1}; raise n_chunks or lower max_hamming"
+        )
     sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    # near-equal chunk boundaries over the 64 bits (exact 16-bit chunks
+    # at the default n_chunks=4; remainder bits spread across chunks)
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     chunked = sigs.select(
         id_col,
         "__sim",
@@ -317,8 +332,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("__sim"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("__sim"), bounds[c])
+                        .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
                         .alias("ch"),
                     )
                     for c in range(n_chunks)
@@ -472,5 +487,7 @@ def dedup_by_pairs(
     pair survive untouched (anti-join keeps them without shuffle-joining
     the full corpus against the tiny loser set — broadcast)."""
     groups = resolve_duplicate_groups(pairs, left_col=left_col, right_col=right_col)
-    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(id_col)
+    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
     return docs.join(F.broadcast(losers), id_col, "left_anti")

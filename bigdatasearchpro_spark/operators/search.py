@@ -72,6 +72,8 @@ def keyword_match(
     ``mode='any'`` = ES URI-search default (OR); ``'all'`` = AND.
     Returns the matching rows of ``docs`` unchanged.
     """
+    if mode not in ("any", "all"):
+        raise ValueError(f"unknown mode: {mode!r} (use 'any' or 'all')")
     terms = analyze_query(query)
     if not terms:
         return docs.limit(0)
@@ -268,6 +270,8 @@ def keyword_match_indexed(
     table is bucketed by term) + one distinct-count per doc. Returns
     matching doc ids; semantics identical to :func:`keyword_match`
     (OR for ``mode='any'``, AND for ``'all'``)."""
+    if mode not in ("any", "all"):
+        raise ValueError(f"unknown mode: {mode!r} (use 'any' or 'all')")
     terms = analyze_query(query)
     if not terms:
         return postings.select(id_col).limit(0)

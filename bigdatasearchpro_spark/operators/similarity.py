@@ -232,9 +232,15 @@ def cosine_similarity_join(
     vec_col: str = "embedding",
     n_planes: int = 6,
     seed: int = 42,
+    self_join: bool = True,
 ) -> DataFrame:
     """J5: approximate similarity join — LSH-bucket both sides, join on
     bucket (equi join, hash-partitioned), then verify exact cosine.
+
+    ``self_join=True`` (both sides are the same table) emits each
+    unordered pair once via ``left_id < right_id``; pass ``False`` for
+    two DIFFERENT tables, where that filter would silently drop valid
+    matches (including equal ids across tables).
 
     Avoids the quadratic cross join: at 100 TB the bucket equi-join
     shuffles each row once instead of |L|x|R| comparisons.
@@ -242,7 +248,10 @@ def cosine_similarity_join(
     from bigdatasearchpro_spark.sources.files import fan_out
 
     left, right = fan_out(left), fan_out(right)
-    dim_probe = left.select(F.size(vec_col)).first()[0]
+    probe = left.select(F.size(vec_col)).first()
+    if probe is None:
+        raise ValueError("cosine_similarity_join: left side is empty")
+    dim_probe = probe[0]
     planes = random_hyperplanes(dim_probe, n_planes, seed)
     lb = lsh_bucket(left, planes, vec_col=vec_col).select(
         F.col(id_left).alias("left_id"), F.col(vec_col).alias("__lv"), "bucket"
@@ -253,9 +262,11 @@ def cosine_similarity_join(
     lv = F.transform(F.col("__lv"), lambda x: x.cast("double"))
     rv = F.transform(F.col("__rv"), lambda x: x.cast("double"))
     cos = dot(lv, rv) / (l2_norm(lv) * l2_norm(rv))
+    joined = lb.join(rb, "bucket")
+    if self_join:
+        joined = joined.filter(F.col("left_id") < F.col("right_id"))
     return (
-        lb.join(rb, "bucket")
-        .filter(F.col("left_id") < F.col("right_id"))
+        joined
         .withColumn("score", F.round(cos, 4))
         .filter(F.col("score") >= threshold)
         .select("left_id", "right_id", "score")

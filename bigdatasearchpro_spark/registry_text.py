@@ -392,10 +392,11 @@ def l2_minhash_lsh_pairs(spark, sf_dir):
 
 @register("l2_simhash_pairs")
 def l2_simhash_pairs(spark, sf_dir):
-    """L2: SimHash near-dup pairs (64-bit signature, 16-bit chunk
-    blocking, Hamming ≤ 8)."""
+    """L2: SimHash near-dup pairs (64-bit signature, 8-chunk blocking,
+    Hamming ≤ 7 — within the pigeonhole recall guarantee of
+    n_chunks-1)."""
     docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
-    return neardup.simhash_pairs(docs, max_hamming=8)
+    return neardup.simhash_pairs(docs, max_hamming=7, n_chunks=8)
 
 
 @register("l2_ngram_jaccard_pairs")

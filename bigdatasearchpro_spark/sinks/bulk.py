@@ -71,16 +71,25 @@ def bulk_index_table(
     name: str,
     *,
     id_col: str | None = None,
+    order_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> int:
     """Save as a catalog table (lowercased name, reference
-    ``BulkProcessImpl.java:64``); optional pre-write last-write-wins
-    dedup on ``id_col``."""
+    ``BulkProcessImpl.java:64``); optional pre-write keep-one dedup on
+    ``id_col``.
+
+    True last-write-wins needs a write-order column — pass it as
+    ``order_by`` (ingest timestamp, sequence number). Without one the
+    winner is the greatest full payload (all non-id columns, compared in
+    column order): deterministic across runs and partitionings, but NOT
+    arrival order — a batch DataFrame has no inherent write order to
+    recover.
+    """
     from bigdatasearchpro_spark.operators.dedup import dedup_last_write_wins
 
     if id_col is not None:
-        order_cols = [c for c in df.columns if c != id_col]
-        df = dedup_last_write_wins(df, id_col, order_cols[:1] or [id_col], keep="last")
+        order = order_by or [c for c in df.columns if c != id_col] or [id_col]
+        df = dedup_last_write_wins(df, id_col, order, keep="last")
     df.write.mode(mode).saveAsTable(normalize_index_name(name))
     return df.sparkSession.table(normalize_index_name(name)).count()
 

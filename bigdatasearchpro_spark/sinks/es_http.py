@@ -55,6 +55,14 @@ def _send_with_retry(
                 time.sleep(retry_wait)
                 continue
             raise
+        except urllib.error.URLError:
+            # connection-level blips (refused/reset/DNS/timeout) — the
+            # transient class the reference's 1s x 3 retry existed for
+            if attempt < retries:
+                attempt += 1
+                time.sleep(retry_wait)
+                continue
+            raise
 
 
 def es_bulk_sink(

@@ -66,13 +66,20 @@ def incremental_load(
     """
     data_dir = os.path.join(sink_dir, "data")
     wm = read_watermark(sink_dir)
-    hi = source.agg(F.max(ts_col).cast("string").alias("hi")).first()["hi"]
-    if hi is None or (wm is not None and hi <= wm):
+    # All comparisons happen in the COLUMN's type domain: the stored
+    # watermark string is cast back to the column type before comparing
+    # (a Python string compare would order '100' before '99' and
+    # silently stop loading numeric watermark columns forever).
+    ts_type = source.schema[ts_col].dataType
+    wm_lit = None if wm is None else F.lit(wm).cast(ts_type)
+    pending = source if wm_lit is None else source.filter(F.col(ts_col) > wm_lit)
+    hi = pending.agg(F.max(ts_col).alias("hi")).first()["hi"]
+    if hi is None:
         return 0
     window = F.col(ts_col) <= F.lit(hi)
-    if wm is not None:
-        window = window & (F.col(ts_col) > F.lit(wm))
+    if wm_lit is not None:
+        window = window & (F.col(ts_col) > wm_lit)
     source.filter(window).write.mode("append").parquet(data_dir)
     n = spark.read.parquet(data_dir).filter(window).count()
-    _write_watermark(sink_dir, hi)
+    _write_watermark(sink_dir, str(hi))
     return n

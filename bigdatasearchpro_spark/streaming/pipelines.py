@@ -124,7 +124,9 @@ def foreach_batch_bulk_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
         if id_col is not None:
-            order = [c for c in df.columns if c != id_col][:1] or [id_col]
+            # deterministic greatest-payload winner within the batch;
+            # pass a write-order column for true LWW (see bulk_index_table)
+            order = [c for c in df.columns if c != id_col] or [id_col]
             df = dedup_last_write_wins(df, id_col, order, keep="last")
         df.write.mode("append").parquet(out_dir)
 
@@ -154,7 +156,13 @@ def run_to_completion(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_sec}s; "
+            "partial results discarded"
+        )
     return stream_df.sparkSession.table(name)
 
 

@@ -138,3 +138,17 @@ def test_incremental_load_watermark_cycle(spark, sf_dir, tmp_path):
     loaded = spark.read.parquet(sink + "/data")
     assert loaded.count() == o.count()
     assert loaded.select("o_orderkey").distinct().count() == o.count()
+
+
+def test_incremental_load_numeric_watermark_crosses_digit_boundary(spark, tmp_path):
+    """Numeric watermark columns must compare in the column's type
+    domain: '100' > '99' numerically even though it sorts lower as a
+    string."""
+    from bigdatasearchpro_spark.sources.incremental import incremental_load
+
+    sink = str(tmp_path / "num_sink")
+    first = spark.range(0, 100).withColumnRenamed("id", "seq")  # max 99
+    assert incremental_load(spark, first, sink, ts_col="seq") == 100
+    extended = spark.range(0, 150).withColumnRenamed("id", "seq")  # adds 100..149
+    assert incremental_load(spark, extended, sink, ts_col="seq") == 50
+    assert spark.read.parquet(sink + "/data").count() == 150

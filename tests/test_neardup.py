@@ -42,7 +42,7 @@ def test_minhash_signatures_deterministic(docs):
 
 def test_simhash_planted_pairs_low_hamming(docs):
     data = _planted(docs)
-    pairs = neardup.simhash_pairs(data, max_hamming=8).collect()
+    pairs = neardup.simhash_pairs(data, max_hamming=8, n_chunks=9).collect()
     found = {(r["left_id"], r["right_id"]) for r in pairs}
     planted_ids = [r["doc_id"] for r in data.filter(F.col("doc_id") >= 100000).collect()]
     planted = {(d - 100000, d) for d in planted_ids}
@@ -95,3 +95,10 @@ def test_dedup_by_pairs_keeps_canonical_and_unpaired(spark, docs):
     assert all(
         (r.doc_id in kept_ids) for r in corpus.collect() if r.doc_id not in found
     )
+
+
+def test_simhash_rejects_hamming_beyond_pigeonhole(docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        neardup.simhash_pairs(docs, max_hamming=8, n_chunks=4)

@@ -101,3 +101,31 @@ def test_asof_null_payload_pairs_with_its_own_timestamp(spark):
     row = asof_join(l_df, r_df, on="k", ts_col="ts", right_cols={"rv": "rv"}).first()
     assert row["matched_ts"] == t(30)
     assert row["rv"] is None  # the 10:30 match really had NULL
+
+
+def test_asof_join_composite_key(spark):
+    """Multi-column key: matches must respect BOTH key parts."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + datetime.timedelta(minutes=m)
+
+    l_df = spark.createDataFrame(
+        [(1, "x", t(60)), (1, "y", t(60)), (2, "x", t(60))],
+        "k1 int, k2 string, ts timestamp",
+    )
+    r_df = spark.createDataFrame(
+        [(1, "x", t(10), 1.0), (1, "y", t(20), 2.0), (2, "z", t(30), 3.0)],
+        "k1 int, k2 string, ts timestamp, rv double",
+    )
+    got = {
+        (r.k1, r.k2): (r.matched_ts, r.rv)
+        for r in asof_join(
+            l_df, r_df, on=["k1", "k2"], ts_col="ts", right_cols={"rv": "rv"}
+        ).collect()
+    }
+    assert got[(1, "x")] == (t(10), 1.0)
+    assert got[(1, "y")] == (t(20), 2.0)
+    assert got[(2, "x")] == (None, None)  # (2,'z') must not leak across k2

@@ -107,3 +107,19 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
         assert "Exchange" not in executed_plan(agg)
     finally:
         drop_table(spark, "bkt_li_agg")
+
+
+def test_salted_join_hot_keys_left_join(spark, sf_dir, skewed):
+    """LEFT join + hot-key split: hot orders with no matching customer
+    survive exactly once with nulls; cold path unaffected."""
+    # remove the hot customer from the dim so the hot slice has no match
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") != 1)
+    r = c.withColumnRenamed("c_custkey", "o_custkey")
+    hot = top_keys(skewed, "o_custkey", min_count=50)
+    plain = skewed.join(r, "o_custkey", "left").select(
+        "o_orderkey", "o_custkey", "c_mktsegment"
+    )
+    salted = salted_join(skewed, r, "o_custkey", n_salts=8, how="left", hot_keys=hot).select(
+        "o_orderkey", "o_custkey", "c_mktsegment"
+    )
+    assert _norm(plain) == _norm(salted)

@@ -1098,3 +1098,40 @@ def s8_incremental_load(spark, sf_dir):
     return spark.createDataFrame(
         [(1, n1), (2, n2)], "phase int, rows_loaded bigint"
     )
+
+
+@register(
+    "a8_q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-02-01'
+    """,
+)
+def a8_q14_promo_revenue(spark, sf_dir):
+    """A-family (TPC-H Q14 shape): conditional aggregation — promo
+    revenue share in a month. The CASE rides inside the sum so one
+    broadcast join + one scalar aggregate answers it; no second pass
+    for the numerator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )

@@ -102,3 +102,28 @@ def test_simhash_rejects_hamming_beyond_pigeonhole(docs):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         neardup.simhash_pairs(docs, max_hamming=8, n_chunks=4)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(docs):
+    """Signature-agreement estimate vs exact shingle Jaccard on planted
+    near-dup pairs: with 32 permutations (sigma ~= 0.09) the mean
+    absolute error stays small. Deterministic — hashes are seeded."""
+    data = _planted(docs.limit(100))
+    sig = neardup.minhash_signatures(data, n_perms=32)
+    sig_map = {r["doc_id"]: [r[f"mh{i}"] for i in range(32)] for r in sig.collect()}
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in neardup.exploded_shingles(data)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
+        .collect()
+    }
+    pairs = [(d - 100000, d) for d in sig_map if d >= 100000 and d - 100000 in sig_map]
+    assert pairs
+    errs = []
+    for a, b in pairs:
+        est = sum(x == y for x, y in zip(sig_map[a], sig_map[b])) / 32.0
+        exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        errs.append(abs(est - exact))
+    assert sum(errs) / len(errs) < 0.12, f"mean abs err {sum(errs)/len(errs):.3f}"
+    assert max(errs) < 0.40, f"max abs err {max(errs):.3f}"

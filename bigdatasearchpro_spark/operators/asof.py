@@ -59,6 +59,9 @@ def asof_join(
             for out, src in right_cols.items()
         ],
     )
+    # NULL right timestamps can't be "matches at or before" anything —
+    # unfiltered they sort first and leak a (NULL ts, value) phantom pair
+    right = right.filter(F.col(ts_col).isNotNull())
     r_tag = right.select(
         *keys,
         F.col(ts_col),

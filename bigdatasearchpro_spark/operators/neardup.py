@@ -41,8 +41,13 @@ def word_ngrams(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def tokenize_words(text: Column, *, token_re: str = "[^a-z0-9]+") -> Column:
-    """Lowercased word tokens (empty strings removed)."""
+def tokenize_words(text: Column, *, token_re: str | None = None) -> Column:
+    """Lowercased word tokens (empty strings removed); defaults to the
+    shared analyzer pattern (operators/search.TOKEN_SPLIT_RE)."""
+    if token_re is None:
+        from bigdatasearchpro_spark.operators.search import TOKEN_SPLIT_RE
+
+        token_re = TOKEN_SPLIT_RE
     return F.filter(F.split(F.lower(text), token_re), lambda t: t != "")
 
 
@@ -259,7 +264,7 @@ def simhash_signatures(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    token_re: str = "[^a-z0-9]+",
+    token_re: str | None = None,
 ) -> DataFrame:
     """One row per document with a 64-bit SimHash column ``__sim``.
 
@@ -268,8 +273,11 @@ def simhash_signatures(
     explode + 64 flat SUM aggregates (codegen'd hash-agg with map-side
     partials) — shuffle volume is 64 longs per document.
     """
+    from bigdatasearchpro_spark.operators.search import TOKEN_SPLIT_RE
     from bigdatasearchpro_spark.sources.files import fan_out
 
+    if token_re is None:
+        token_re = TOKEN_SPLIT_RE
     toked = fan_out(docs).select(
         F.col(id_col),
         F.explode(

@@ -12,6 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# The ONE analyzer pattern (ES-standard-alike) shared by search, dedup,
+# and text stats — oracle parity and cross-operator token consistency
+# depend on every consumer using this constant, not a restated literal.
+from bigdatasearchpro_spark.operators.search import TOKEN_SPLIT_RE
+
 WORD_SPLIT_RE = r"\s+"
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
 # (a simplification of the GPT-2 pre-tokenizer regex, public knowledge).
@@ -38,9 +43,7 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    toks = F.filter(
-        F.split(F.lower(F.trim(text)), r"[^a-z0-9]+"), lambda t: t != ""
-    )
+    toks = F.filter(F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE), lambda t: t != "")
     stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
     return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(0.0)
 
@@ -49,24 +52,40 @@ def quality_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document quality metrics used for corpus filtering:
-    length, token counts, punctuation/stopword ratios, mean word length."""
+    length, token counts, punctuation/stopword ratios, mean word length.
+
+    The two tokenizations (whitespace words, analyzer tokens) are
+    materialized ONCE each in their own projection before any metric
+    reads them: higher-order-function trees are interpreted and
+    projection collapse would otherwise re-run the regex split per
+    metric reference — 5-6 splits per row on the corpus hot path.
+    """
     from bigdatasearchpro_spark.sources.files import fan_out
 
     df = fan_out(df)  # regex-heavy narrow op: spread single-file scans
     t = F.col(text_col)
-    toks = F.filter(F.split(F.trim(t), WORD_SPLIT_RE), lambda x: x != "")
-    mean_wl = F.when(
-        F.size(toks) > 0,
-        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
-        / F.size(toks),
-    ).otherwise(0.0)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        whitespace_token_count(t).alias("n_words"),
-        bpe_ish_token_count(t).alias("n_tokens"),
-        F.round(punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        t.alias("__t"),
+        F.filter(F.split(F.trim(t), WORD_SPLIT_RE), lambda x: x != "").alias("__w"),
+        F.filter(
+            F.split(F.lower(F.trim(t)), TOKEN_SPLIT_RE), lambda x: x != ""
+        ).alias("__a"),
+    )
+    w, a = F.col("__w"), F.col("__a")
+    mean_wl = F.when(
+        F.size(w) > 0,
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(w),
+    ).otherwise(0.0)
+    stops = F.filter(a, lambda x: x.isin(*STOPWORDS))
+    sw_ratio = F.when(F.size(a) > 0, F.size(stops) / F.size(a)).otherwise(0.0)
+    return staged.select(
+        F.col(id_col),
+        F.length("__t").alias("n_chars"),
+        F.size(w).alias("n_words"),
+        bpe_ish_token_count(F.col("__t")).alias("n_tokens"),
+        F.round(punct_ratio(F.col("__t")), 4).alias("punct_ratio"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
         F.round(mean_wl, 4).alias("mean_word_len"),
     )
 
@@ -90,9 +109,13 @@ def lang_id(
     from bigdatasearchpro_spark.sources.files import fan_out
 
     df = fan_out(df)
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    staged = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
+        ).alias("__a"),
     )
+    toks = F.col("__a")
     # negated hits + ascending sort: most hits first, and among equal
     # hit counts the lexicographically-smallest language code wins
     # (struct ordering is field-by-field) — e.g. an all-zero-hit doc
@@ -105,7 +128,7 @@ def lang_id(
         for code, markers in sorted(_LANG_MARKERS.items())
     ]
     best = F.sort_array(F.array(*scores), asc=True)[0]
-    return df.select(
+    return staged.select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),
         (-best["neg_hits"]).alias("marker_hits"),
@@ -203,7 +226,7 @@ def repetition_stats(
     toks = df.select(
         F.col(id_col),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+            F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != "")
         ).alias("__w"),
     )
     per_word = toks.groupBy(id_col, "__w").agg(F.count("*").alias("__n"))

@@ -8,6 +8,7 @@ whole-stage codegen.
 """
 
 from bigdatasearchpro_spark.plans.inspect import (  # noqa: F401
+    exchange_kinds,
     executed_plan,
     has_broadcast_join,
     partition_filters,

@@ -58,11 +58,20 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (each is a full
-    materialize-and-repartition of its input — the scale cost center)."""
-    plan = executed_plan(df)
-    return plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
-    )
+    materialize-and-repartition of its input — the scale cost center).
+
+    Counts EVERY shuffle kind — hash, range, round-robin (repartition),
+    and SinglePartition (global agg/coalesce-to-one); Broadcast and
+    Reused exchanges are not shuffles and are excluded by the word
+    boundary. ``exchange_kinds`` breaks the count down.
+    """
+    return len(exchange_kinds(df))
+
+
+def exchange_kinds(df: DataFrame) -> list[str]:
+    """The partitioning kind of each shuffle exchange in the plan, e.g.
+    ['hashpartitioning', 'roundrobinpartitioning']."""
+    return re.findall(r"\bExchange (\w+)", executed_plan(df))
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:

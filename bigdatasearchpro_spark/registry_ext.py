@@ -1008,36 +1008,21 @@ def st5_stateful_sessionize(spark, sf_dir):
     watermark-pusher sentinels that flush all remaining state); returns
     closed sessions. Exact batch equality is proven in
     tests/test_streaming.py."""
-    import datetime
-    import os
-    import shutil
     import tempfile
-    import time as _time
 
-    from bigdatasearchpro_spark.streaming.pipelines import run_to_completion
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        run_to_completion,
+        stage_time_sliced_replay,
+    )
     from bigdatasearchpro_spark.streaming.stateful import sessionize_with_state
 
     gap_min = 30
     sentinel_uid = -1
     events = load_table(spark, sf_dir, "events")
-    ordered = events.orderBy("ts").collect()
-    n3 = len(ordered) // 3
-    max_ts = ordered[-1]["ts"]
-    slices = [ordered[i * n3 : (i + 1) * n3] if i < 2 else ordered[2 * n3 :] for i in range(3)]
-    for j in (1, 2):
-        future = max_ts + datetime.timedelta(minutes=gap_min * 10 * j)
-        slices.append([(10**9 + j, future, sentinel_uid, "sentinel", 0.0, "{}")])
-
     src = tempfile.mkdtemp(prefix="st5_src_")
-    stage_root = tempfile.mkdtemp(prefix="st5_stage_")
-    for i, rows in enumerate(slices):
-        stage = f"{stage_root}/{i}"
-        spark.createDataFrame(rows, events.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-        shutil.copy(f"{stage}/{part}", f"{src}/slice_{i}.parquet")
-        _time.sleep(0.3)  # distinct mod-times -> deterministic replay
+    stage_time_sliced_replay(
+        events, src, n_slices=3, sentinel_gap_minutes=gap_min, sentinel_uid=sentinel_uid
+    )
 
     stream = (
         spark.readStream.schema(events.schema)

@@ -79,7 +79,12 @@ def incremental_load(
     window = F.col(ts_col) <= F.lit(hi)
     if wm_lit is not None:
         window = window & (F.col(ts_col) > wm_lit)
-    source.filter(window).write.mode("append").parquet(data_dir)
-    n = spark.read.parquet(data_dir).filter(window).count()
+    batch = source.filter(window)
+    batch.write.mode("append").parquet(data_dir)
+    # count the source window, not the sink: a full-sink rescan costs
+    # O(history) per run, and after a crash-replay it would double-count
+    # the replayed copies (the duplicates themselves are the documented
+    # at-least-once behavior, absorbed downstream by LWW dedup)
+    n = batch.count()
     _write_watermark(sink_dir, str(hi))
     return n

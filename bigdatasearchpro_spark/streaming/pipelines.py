@@ -199,3 +199,65 @@ def stream_interval_join(
         F.col("l.value").alias("left_value"),
         F.col("r.value").alias("right_value"),
     )
+
+
+def stage_time_sliced_replay(
+    events: DataFrame,
+    src_dir: str,
+    *,
+    n_slices: int = 3,
+    sentinel_gap_minutes: int | None = None,
+    sentinel_uid: int = -1,
+) -> None:
+    """Stage a batch events table as ``n_slices`` time-ordered parquet
+    files for a deterministic multi-batch file-source replay (mod-time
+    ordering), optionally followed by two far-future sentinel rows that
+    push the watermark past every real session and give event-time
+    timers a batch to fire in.
+
+    Shared by the stateful-sessionizer registry entry and its tests —
+    sentinel rows are built by field NAME against the events schema, so
+    a fixture column reorder fails loudly instead of feeding a
+    timestamp into user_id.
+    """
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    spark = events.sparkSession
+    ordered = events.orderBy("ts").collect()
+    per = len(ordered) // n_slices
+    slices = [
+        ordered[i * per : (i + 1) * per] if i < n_slices - 1 else ordered[(n_slices - 1) * per :]
+        for i in range(n_slices)
+    ]
+    if sentinel_gap_minutes is not None:
+        max_ts = ordered[-1]["ts"]
+        fields = [f.name for f in events.schema.fields]
+        for j in (1, 2):
+            vals = {
+                "event_id": 10**9 + j,
+                "ts": max_ts
+                + datetime.timedelta(minutes=sentinel_gap_minutes * 10 * j),
+                "user_id": sentinel_uid,
+                "event_type": "sentinel",
+                "value": 0.0,
+                "props": "{}",
+            }
+            missing = set(fields) - set(vals)
+            if missing:
+                raise ValueError(f"events schema gained columns {missing}")
+            slices.append([tuple(vals[f] for f in fields)])
+
+    os.makedirs(src_dir, exist_ok=True)
+    stage_root = tempfile.mkdtemp(prefix="slice_stage_")
+    for i, rows in enumerate(slices):
+        stage = f"{stage_root}/{i}"
+        spark.createDataFrame(rows, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(f"{stage}/{part}", f"{src_dir}/slice_{i}.parquet")
+        _time.sleep(0.3)  # distinct mod-times -> deterministic replay order

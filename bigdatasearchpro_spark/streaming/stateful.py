@@ -65,6 +65,7 @@ def sessionize_with_state(
             rows = pd.concat(list(pdfs), ignore_index=True)
             rows = rows.sort_values("ts", kind="mergesort")
             cur = state.get if state.exists else None
+            wm_us = state.getCurrentWatermarkMs() * 1000
             for ts, value in zip(rows["ts"], rows["value"]):
                 t = _to_us(ts)
                 if cur is None:
@@ -72,10 +73,22 @@ def sessionize_with_state(
                 elif t - cur[1] >= gap_us:  # session_window: [start, last+gap)
                     closed.append((user_id, *cur))
                     cur = (t, t, 1, float(value))
+                elif cur[0] - t >= gap_us:
+                    # late event DISJOINT from (strictly before) the open
+                    # session: batch session_window would make it its own
+                    # session. Emit it closed when the watermark proves no
+                    # future event can extend it; otherwise fold it into
+                    # the open session (scalar state can't hold two open
+                    # sessions — a bounded approximation for stragglers
+                    # landing in the wm..wm+gap twilight).
+                    if t + gap_us <= wm_us:
+                        closed.append((user_id, t, t, 1, float(value)))
+                    else:
+                        cur = (t, cur[1], cur[2] + 1, cur[3] + float(value))
                 else:
-                    # a late-but-in-watermark event may precede the
-                    # stored bounds — extend the window, never shrink it
-                    # (a backwards `last` would corrupt later gap checks)
+                    # late-but-overlapping event — extend the window,
+                    # never shrink it (a backwards `last` would corrupt
+                    # later gap checks)
                     cur = (
                         min(cur[0], t),
                         max(cur[1], t),

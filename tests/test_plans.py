@@ -42,11 +42,15 @@ def test_small_dims_broadcast(spark, sf_dir):
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
+    from bigdatasearchpro_spark.plans import exchange_kinds
+
     assert has_take_ordered(QUERIES["t1_topk_orders"](spark, sf_dir))
-    # cosine top-k: one narrow scan + TakeOrdered, zero shuffles
+    # cosine top-k: narrow scan + TakeOrdered — no key shuffle (the only
+    # allowed exchange is fan_out's round-robin respread of the
+    # under-split local fixture scan)
     df = QUERIES["l4_cosine_topk"](spark, sf_dir)
     assert has_take_ordered(df)
-    assert shuffle_count(df) == 0
+    assert all(k.lower().startswith("roundrobin") for k in exchange_kinds(df))
 
 
 def test_stringify_is_shuffle_free(spark, sf_dir):

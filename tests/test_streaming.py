@@ -98,34 +98,19 @@ def test_stateful_sessionize_matches_batch_closed_sessions(
     trigger) so sessions span batch boundaries; two far-future sentinel
     slices then push the watermark past every real session and give the
     event-time timers a batch to fire in, flushing all remaining state."""
-    import datetime
-    import os
-    import shutil as _sh
-    import time as _time
-
+    from bigdatasearchpro_spark.streaming.pipelines import stage_time_sliced_replay
     from bigdatasearchpro_spark.streaming.stateful import sessionize_with_state
 
     gap_min = 30
     sentinel_uid = -1
     src = tmp_path / "split_src"
-    src.mkdir()
-
-    ordered = batch_events.orderBy("ts").collect()
-    n4 = len(ordered) // 4
-    max_ts = ordered[-1]["ts"]
-    slices = [ordered[i * n4 : (i + 1) * n4] if i < 3 else ordered[3 * n4 :] for i in range(4)]
-    for j in (1, 2):  # watermark pushers; session stays open -> excluded below
-        future = max_ts + datetime.timedelta(minutes=gap_min * 10 * j)
-        slices.append([(10**9 + j, future, sentinel_uid, "sentinel", 0.0, "{}")])
-
-    for i, rows in enumerate(slices):
-        stage = str(tmp_path / f"stage_{i}")
-        spark.createDataFrame(rows, batch_events.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-        _sh.copy(f"{stage}/{part}", src / f"slice_{i}.parquet")
-        _time.sleep(1.1)  # distinct mod-time seconds -> deterministic replay order
+    stage_time_sliced_replay(
+        batch_events,
+        str(src),
+        n_slices=4,
+        sentinel_gap_minutes=gap_min,
+        sentinel_uid=sentinel_uid,
+    )
 
     stream = spark.readStream.schema(batch_events.schema).option(
         "maxFilesPerTrigger", "1"

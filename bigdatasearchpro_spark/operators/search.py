@@ -283,3 +283,36 @@ def keyword_match_indexed(
     if mode == "all":
         hits = hits.filter(F.col("__nterms") == len(set(terms)))
     return hits.select(id_col)
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``match_phrase`` semantics: documents containing the phrase's
+    analyzer tokens CONSECUTIVELY, in order. Returns matching doc ids.
+
+    Plan shape: positions explode once, filter to the phrase's terms
+    (tiny literal set, pruned before any shuffle), then k-1 equi joins
+    on (doc, aligned-position) — each join input is only the matching
+    term's postings, so cost tracks the phrase terms' document
+    frequency, not corpus size. The same construction runs against a
+    materialized positional index at scale.
+    """
+    terms = analyze_query(phrase)
+    if not terms:
+        return docs.select(id_col).limit(0)
+    toked = tokenize(docs, text_col)
+    positions = toked.select(
+        F.col(id_col), F.posexplode("tokens").alias("pos", "term")
+    ).filter(F.col("term").isin(list(terms)))
+    aligned = None
+    for i, term in enumerate(terms):
+        side = positions.filter(F.col("term") == term).select(
+            F.col(id_col), (F.col("pos") - F.lit(i)).alias("base")
+        )
+        aligned = side if aligned is None else aligned.join(side, [id_col, "base"])
+    return aligned.select(id_col).distinct()

@@ -1120,3 +1120,34 @@ def a8_q14_promo_revenue(spark, sf_dir):
             ).alias("promo_pct")
         )
     )
+
+
+@register(
+    "l3_phrase_match",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term, t.pos
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS arr
+        FROM documents
+      ),
+      LATERAL (
+        SELECT unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+      ) t
+    )
+    SELECT DISTINCT a.doc_id
+    FROM (SELECT doc_id, pos AS base FROM toks WHERE term = 'the') a
+    JOIN (SELECT doc_id, pos - 1 AS base FROM toks WHERE term = 'spark') b
+      ON a.doc_id = b.doc_id AND a.base = b.base
+    """,
+)
+def l3_phrase_match(spark, sf_dir):
+    """L3 [ES parity]: match_phrase — consecutive analyzer tokens in
+    order ('the spark'). Position-aligned equi joins over term-filtered
+    postings; cost tracks the phrase terms' document frequency."""
+    from bigdatasearchpro_spark.operators import search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search.phrase_match(docs, "the spark")

@@ -87,3 +87,20 @@ def test_indexed_keyword_match_matches_direct(spark, docs):
             r.doc_id for r in search.keyword_match_indexed(postings, q, mode=mode).collect()
         }
         assert direct == indexed, mode
+
+
+def test_phrase_match_requires_consecutive_order(spark):
+    from bigdatasearchpro_spark.operators import search
+
+    df = spark.createDataFrame(
+        [
+            (1, "big data search engine"),
+            (2, "search big data tools"),     # phrase order broken
+            (3, "big DATA, search!"),         # punctuation/case analyzed away
+            (4, "big and data search"),       # not consecutive
+            (5, "prefix big data search suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in search.phrase_match(df, "Big Data Search").collect()}
+    assert got == {1, 3, 5}

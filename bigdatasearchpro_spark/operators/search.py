@@ -316,3 +316,30 @@ def phrase_match(
         )
         aligned = side if aligned is None else aligned.join(side, [id_col, "base"])
     return aligned.select(id_col).distinct()
+
+
+def prefix_match(
+    docs: DataFrame,
+    prefix: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``prefix``/trailing-wildcard query shape: documents with any
+    analyzer token starting with ``prefix`` (lowercased). Narrow
+    explode + startswith filter + distinct ids.
+
+    Index note: hash-bucketed postings can't prune a prefix — the
+    indexed form wants the postings SORTED by term (write_bucketed's
+    sortBy) so the scan range-skips to the prefix run.
+    """
+    p = prefix.lower()
+    if not p:
+        return docs.select(id_col).limit(0)
+    return (
+        tokenize(docs, text_col)
+        .select(F.col(id_col), F.explode("tokens").alias("term"))
+        .filter(F.col("term").startswith(p))
+        .select(id_col)
+        .distinct()
+    )

@@ -1151,3 +1151,24 @@ def l3_phrase_match(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return search.phrase_match(docs, "the spark")
+
+
+@register(
+    "l3_prefix_match",
+    """
+    SELECT DISTINCT doc_id
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    )
+    WHERE term LIKE 'dat%'
+    """,
+)
+def l3_prefix_match(spark, sf_dir):
+    """L3 [ES parity]: prefix (trailing-wildcard) query — docs with any
+    analyzer token starting 'dat' (data, database, ...)."""
+    from bigdatasearchpro_spark.operators import search
+
+    return search.prefix_match(load_table(spark, sf_dir, "documents"), "dat")

@@ -203,3 +203,42 @@ def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("asset_id", "frame_idx", "n_frames")
     )
+
+
+def chunk_audio(
+    assets: DataFrame,
+    *,
+    chunk_seconds: float = 1.0,
+    hop_seconds: float | None = None,
+) -> DataFrame:
+    """Fixed-length (optionally overlapping) chunk boundaries for audio
+    assets — the windowing a feature extractor (fbank/wav2vec-style)
+    consumes. Sample count stands in as payload length until the codec
+    stub is replaced; boundary arithmetic (the Spark-side plumbing) is
+    real: sequence + explode per asset, JVM-side, one narrow pass.
+    """
+    hop_seconds = hop_seconds or chunk_seconds
+    audio = assets.filter(F.col("kind") == "audio")
+    sr = F.col("meta.sample_rate")
+    n = F.octet_length("payload")  # stand-in for decoded sample count
+    hop = (sr * F.lit(float(hop_seconds))).cast("int")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), hop)
+    chunk = (F.col("sample_rate") * F.lit(float(chunk_seconds))).cast("int")
+    return (
+        audio.select(
+            "asset_id",
+            sr.alias("sample_rate"),
+            n.alias("n_samples"),
+            F.posexplode(starts).alias("chunk_idx", "start_sample"),
+        )
+        .filter(F.col("start_sample") < F.col("n_samples"))
+        .select(
+            "asset_id",
+            "chunk_idx",
+            "start_sample",
+            F.least(F.col("start_sample") + chunk, F.col("n_samples")).alias(
+                "end_sample"
+            ),
+            "sample_rate",
+        )
+    )

@@ -1172,3 +1172,33 @@ def l3_prefix_match(spark, sf_dir):
     from bigdatasearchpro_spark.operators import search
 
     return search.prefix_match(load_table(spark, sf_dir, "documents"), "dat")
+
+
+@register(
+    "l6_audio_chunks",
+    """
+    WITH audio AS (
+      SELECT doc_id AS asset_id, 16000 AS sample_rate,
+             octet_length(encode(text)) AS n_samples
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT asset_id,
+           (u.s / 8000)::INTEGER AS chunk_idx,
+           u.s AS start_sample,
+           least(u.s + 16000, n_samples) AS end_sample,
+           sample_rate
+    FROM audio,
+    LATERAL (SELECT unnest(range(0, greatest(n_samples, 1), 8000)) AS s) u
+    WHERE u.s < n_samples
+    """,
+)
+def l6_audio_chunks(spark, sf_dir):
+    """L6: audio chunking — 1 s windows with 0.5 s hop over each audio
+    asset (sample count stands in for the stubbed decode); the
+    sequence+explode boundary plumbing is the real Spark-side work."""
+    from bigdatasearchpro_spark.multimodal import assets as mm
+
+    a = mm.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return mm.chunk_audio(a, chunk_seconds=1.0, hop_seconds=0.5).withColumn(
+        "chunk_idx", F.col("chunk_idx").cast("int")
+    )

@@ -343,3 +343,50 @@ def prefix_match(
         .select(id_col)
         .distinct()
     )
+
+
+def fuzzy_match(
+    docs: DataFrame,
+    term: str,
+    *,
+    max_edits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``fuzzy`` query shape: documents containing a token within
+    ``max_edits`` Levenshtein distance of ``term``.
+
+    Plan: distinct (doc, token) pairs, then a codegen'd levenshtein
+    against the literal — with the bounded form (Spark >= 3.5 threshold
+    argument) the scan prunes early per row. The indexed path runs the
+    same filter over the postings vocabulary (|vocab| << corpus)."""
+    t = term.lower()
+    toks = (
+        tokenize(docs, text_col)
+        .select(F.col(id_col), F.explode("tokens").alias("term"))
+    )
+    return (
+        toks.filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+        .select(id_col)
+        .distinct()
+    )
+
+
+def regex_match(
+    docs: DataFrame,
+    pattern: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``regexp`` query shape: documents containing a token matching
+    the (full-token-anchored) pattern."""
+    toks = (
+        tokenize(docs, text_col)
+        .select(F.col(id_col), F.explode("tokens").alias("term"))
+    )
+    return (
+        toks.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        .select(id_col)
+        .distinct()
+    )

@@ -1202,3 +1202,49 @@ def l6_audio_chunks(spark, sf_dir):
     return mm.chunk_audio(a, chunk_seconds=1.0, hop_seconds=0.5).withColumn(
         "chunk_idx", F.col("chunk_idx").cast("int")
     )
+
+
+@register(
+    "l3_fuzzy_match",
+    """
+    SELECT DISTINCT doc_id
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    )
+    WHERE levenshtein(term, 'spark') <= 1
+    """,
+)
+def l3_fuzzy_match(spark, sf_dir):
+    """L3 [ES parity]: fuzzy query — docs containing a token within
+    edit distance 1 of 'spark' (sparks, spar, ...)."""
+    from bigdatasearchpro_spark.operators import search
+
+    return search.fuzzy_match(
+        load_table(spark, sf_dir, "documents"), "spark", max_edits=1
+    )
+
+
+@register(
+    "l3_regex_match",
+    """
+    SELECT DISTINCT doc_id
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    )
+    WHERE regexp_full_match(term, 'dat(a|um|aset)')
+    """,
+)
+def l3_regex_match(spark, sf_dir):
+    """L3 [ES parity]: regexp query — full-token-anchored pattern over
+    analyzer tokens."""
+    from bigdatasearchpro_spark.operators import search
+
+    return search.regex_match(
+        load_table(spark, sf_dir, "documents"), "dat(a|um|aset)"
+    )

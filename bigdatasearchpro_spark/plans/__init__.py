@@ -9,10 +9,12 @@ whole-stage codegen.
 
 from bigdatasearchpro_spark.plans.inspect import (  # noqa: F401
     exchange_kinds,
+    file_scan_count,
     executed_plan,
     has_broadcast_join,
     partition_filters,
     has_take_ordered,
+    in_memory_scan_count,
     pushed_filters,
     read_schema,
     shuffle_count,

@@ -91,3 +91,16 @@ def wholestage_codegen_count(df: DataFrame) -> int:
         re.findall(r"\[codegen id : (\d+)\]", plan)
     )
     return len(ids)
+
+
+def file_scan_count(df: DataFrame) -> int:
+    """File-source scans in the plan (parquet/orc/csv leaves). The gate
+    for single-scan operators: a query that should read its input once
+    must show exactly one."""
+    return len(re.findall(r"FileScan|BatchScan", executed_plan(df)))
+
+
+def in_memory_scan_count(df: DataFrame) -> int:
+    """Cache reads (InMemoryTableScan leaves) — evidence a plan reuses a
+    persisted projection instead of rescanning the source."""
+    return executed_plan(df).count("InMemoryTableScan")

@@ -130,6 +130,177 @@ def l3_search_bm25_topk(spark, sf_dir):
     return search.search_topk(docs, SEARCH_QUERY, 10, scoring="bm25")
 
 
+# Tokenization of the `_all` field (every string column space-joined —
+# ES 6.x matches unscoped query terms across all fields of the
+# stringified document, ref BulkProcessImpl.java:112-117).
+_ALL_TOKS = (
+    "list_filter(string_split_regex(lower(concat_ws(' ', coalesce(text,''), "
+    "coalesce(lang,''), coalesce(source,''))), '[^a-z0-9]+'), x -> x <> '')"
+)
+_COL_TOKS = (
+    "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+@register(
+    "l3_multifield_match",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, {_ALL_TOKS} AS atoks FROM documents)
+    SELECT doc_id, lang, source FROM t
+    WHERE list_contains(atoks, 'spark') AND list_contains(atoks, 'src1')
+      AND list_contains(atoks, 'en')
+    """,
+)
+def l3_multifield_match(spark, sf_dir):
+    """L3 [ES parity]: multi-field (`_all`) search — AND-match across
+    text+lang+source searched as one analyzed field (ES 6.x URI search
+    matches every field of the stringified document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.keyword_match(
+        docs, "spark src1 en", text_col=["text", "lang", "source"], mode="all"
+    ).select("doc_id", "lang", "source")
+
+
+_QS_QUERY = '(lang:en AND "the spark") OR (source:src1 AND dat* AND NOT window)'
+
+
+@register(
+    "l3_query_string",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             {_COL_TOKS.format(c='lang')}   AS ltoks,
+             {_COL_TOKS.format(c='source')} AS stoks,
+             {_ALL_TOKS} AS atoks
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM t
+    WHERE (list_contains(ltoks, 'en')
+           AND (' ' || array_to_string(atoks, ' ') || ' ') LIKE '% the spark %')
+       OR (list_contains(stoks, 'src1')
+           AND len(list_filter(atoks, x -> x LIKE 'dat%')) > 0
+           AND NOT list_contains(atoks, 'window'))
+    """,
+)
+def l3_query_string(spark, sf_dir):
+    """L3 [ES parity]: the reference's literal `?q=` UX — a raw ES 6.x
+    query string (field scoping, AND/OR/NOT, quoted phrase, wildcard,
+    grouping) parsed and compiled to ONE narrow boolean filter
+    (operators/querystring.py; delegation site indexView.html:13-19,96)."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return query_string_filter(docs, _QS_QUERY).select("doc_id", "lang", "source")
+
+
+@register(
+    "l3_range_query",
+    f"""
+    WITH t AS (SELECT doc_id, {_COL_TOKS.format(c='text')} AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(list_filter(toks, x -> x >= 'data' AND x <= 'dock')) > 0
+    """,
+)
+def l3_range_query(spark, sf_dir):
+    """L3 [ES parity]: query-string range (`field:[a TO b]`) — documents
+    with an analyzer token lexicographically in ['data', 'dock'] (the
+    ES semantics for ranges over analyzed/stringified fields)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.range_query(docs, "data", "dock")
+
+
+@register(
+    "l3_wildcard_match",
+    f"""
+    WITH t AS (SELECT doc_id, {_COL_TOKS.format(c='text')} AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(list_filter(toks, x -> x LIKE 'qu%y')) > 0
+    """,
+)
+def l3_wildcard_match(spark, sf_dir):
+    """L3 [ES parity]: mid-token wildcard (`qu*y` -> query) — codegen'd
+    LIKE over the per-row token array, no regex engine, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.wildcard_match(docs, "qu*y")
+
+
+@register(
+    "l3_bool_query",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, {_COL_TOKS.format(c='text')} AS toks
+               FROM documents)
+    SELECT doc_id, lang, source FROM t
+    WHERE list_contains(toks, 'spark')
+      AND NOT list_contains(toks, 'batch')
+      AND (CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) >= 2
+    """,
+)
+def l3_bool_query(spark, sf_dir):
+    """L3 [ES parity]: bool query (must / must_not / should with
+    minimum_should_match) compiled to one narrow per-row predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.bool_query(
+        docs,
+        must=["spark"],
+        must_not=["batch"],
+        should=["join", "window", "merge"],
+        minimum_should_match=2,
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "l3_search_paged",
+    f"""
+    WITH {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) AS score
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT r.doc_id, r.score, r.rank,
+           regexp_replace(d.text, '(?i)\\b(spark|join|window)\\b',
+                          '<em>\\1</em>', 'g') AS highlight
+    FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE r.rank > 10 AND r.rank <= 20
+    """,
+)
+def l3_search_paged(spark, sf_dir):
+    """L3 [ES parity]: result paging + highlighting — hits 11..20 of the
+    flagship BM25 ranking with query terms wrapped in <em> tags (the
+    ES `from`/`size` + `highlight` response surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.search_paged(docs, SEARCH_QUERY, size=10, from_=10)
+
+
 # ---------------------------------------------------------------------------
 # §2.8 — scalar function surface
 # ---------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""ES 6.x query-string parser + the round-2 search shapes: multi-field,
+range, wildcard, pagination/highlighting."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatasearchpro_spark.operators import search
+from bigdatasearchpro_spark.operators.querystring import (
+    And,
+    Not,
+    Or,
+    Phrase,
+    Range,
+    Term,
+    Wildcard,
+    parse_query_string,
+    query_string_filter,
+)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def test_parse_precedence_not_and_or():
+    # NOT > AND > OR; adjacency == OR (ES default operator)
+    ast = parse_query_string("a b OR c AND NOT d")
+    assert ast == Or(
+        (
+            Term(None, "a"),
+            Term(None, "b"),
+            And((Term(None, "c"), Not(Term(None, "d")))),
+        )
+    )
+
+
+def test_parse_field_scoping_and_shapes():
+    ast = parse_query_string('lang:en source:src1 title:"big data" f:[a TO b]')
+    assert ast == Or(
+        (
+            Term("lang", "en"),
+            Term("source", "src1"),
+            Phrase("title", "big data"),
+            Range("f", "a", "b", True, True),
+        )
+    )
+
+
+def test_parse_range_variants():
+    assert parse_query_string("f:{0 TO 9}") == Range("f", "0", "9", False, False)
+    assert parse_query_string("f:[2020 TO *]") == Range("f", "2020", None, True, True)
+    assert parse_query_string("[aa TO bb]") == Range(None, "aa", "bb", True, True)
+
+
+def test_parse_negation_forms():
+    assert parse_query_string("-x") == Not(Term(None, "x"))
+    assert parse_query_string("!x") == Not(Term(None, "x"))
+    assert parse_query_string("NOT x") == Not(Term(None, "x"))
+    assert parse_query_string("+x") == Term(None, "x")
+
+
+def test_parse_wildcards():
+    ast = parse_query_string("dat* f?o *oo*")
+    assert ast == Or(
+        (Wildcard(None, "dat*"), Wildcard(None, "f?o"), Wildcard(None, "*oo*"))
+    )
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_query_string("(a OR b")  # unbalanced
+    with pytest.raises(ValueError):
+        parse_query_string("field: x :y")  # malformed field clause
+
+
+# ---------------------------------------------------------------------------
+# compiled semantics
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mini(spark):
+    return spark.createDataFrame(
+        [
+            (1, "big data search engine", "en", "web"),
+            (2, "the spark engine joins data", "en", "crawl"),
+            (3, "datum and database notes", "de", "web"),
+            (4, "unrelated text entirely", "fr", "book"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_query_string_field_scope_and_bool(mini):
+    got = {
+        r.doc_id
+        for r in query_string_filter(mini, "lang:en AND data").collect()
+    }
+    assert got == {1, 2}
+
+
+def test_query_string_phrase_and_not(mini):
+    got = {
+        r.doc_id
+        for r in query_string_filter(mini, '"big data" OR (database AND NOT lang:en)').collect()
+    }
+    assert got == {1, 3}
+
+
+def test_query_string_wildcard_and_range(mini):
+    # dat* matches data/datum/database; range [dat TO dave] the same set
+    w = {r.doc_id for r in query_string_filter(mini, "dat*").collect()}
+    r = {r.doc_id for r in query_string_filter(mini, "[dat TO dave]").collect()}
+    assert w == {1, 2, 3}
+    assert r == {1, 2, 3}
+
+
+def test_query_string_default_field_is_all_columns(mini):
+    # 'web' appears only in the source column; unscoped term still hits
+    got = {r.doc_id for r in query_string_filter(mini, "web").collect()}
+    assert got == {1, 3}
+
+
+def test_query_string_unknown_field_raises(mini):
+    with pytest.raises(ValueError, match="unknown field"):
+        query_string_filter(mini, "nope:x").collect()
+
+
+def test_multifield_keyword_match(mini):
+    got = {
+        r.doc_id
+        for r in search.keyword_match(
+            mini, "en web", text_col=["text", "lang", "source"], mode="all"
+        ).collect()
+    }
+    assert got == {1}
+
+
+def test_range_query_bounds(mini):
+    incl = {r.doc_id for r in search.range_query(mini, "data", "datum").collect()}
+    excl = {
+        r.doc_id
+        for r in search.range_query(
+            mini, "data", "datum", include_lo=False, include_hi=False
+        ).collect()
+    }
+    assert incl == {1, 2, 3}       # data, database, datum
+    assert excl == {3}             # only 'database' strictly inside
+
+
+def test_wildcard_match_shapes(mini):
+    mid = {r.doc_id for r in search.wildcard_match(mini, "d*base").collect()}
+    q = {r.doc_id for r in search.wildcard_match(mini, "engin?").collect()}
+    assert mid == {3}
+    assert q == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# pagination + highlighting
+# ---------------------------------------------------------------------------
+
+def test_paged_continuation_and_ranks(docs):
+    q = "spark join window"
+    top20 = search.search_topk(docs, q, 20).collect()
+    p1 = search.search_paged(docs, q, size=10, from_=0, highlight=False).collect()
+    p2 = search.search_paged(docs, q, size=10, from_=10, highlight=False).collect()
+    assert [r.doc_id for r in p1] + [r.doc_id for r in p2] == [
+        r.doc_id for r in top20
+    ]
+    assert [r.rank for r in p1] == list(range(1, 11))
+    assert [r.rank for r in p2] == list(range(11, 21))
+
+
+def test_paged_highlight_wraps_query_terms(docs):
+    out = search.search_paged(docs, "spark join window", size=5, from_=0).collect()
+    assert len(out) == 5
+    for r in out:
+        assert "<em>" in r.highlight
+        inner = [
+            s.split("</em>")[0].lower()
+            for s in r.highlight.split("<em>")[1:]
+        ]
+        assert set(inner) <= {"spark", "join", "window"}

@@ -51,7 +51,13 @@ def test_idf_rare_term_scores_above_common(spark):
 def test_inverted_index_consistent_with_direct(docs):
     postings, doclen = search.build_inverted_index(docs)
     terms = search.analyze_query(QUERY)
-    direct = search._term_freqs(docs, "doc_id", "text", terms)
+    direct = (
+        search.tokenize(docs)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     via_index = postings.filter(F.col("term").isin(terms)).select("doc_id", "term", "tf")
     assert direct.exceptAll(via_index).count() == 0
     assert via_index.exceptAll(direct).count() == 0

@@ -50,6 +50,18 @@ def lowercase_names(df: DataFrame) -> DataFrame:
     return df.select([F.col(c).alias(c.lower()) for c in df.columns])
 
 
+_IDENT_RE = __import__("re").compile(r"^[a-z0-9_]+$")
+
+
 def normalize_index_name(name: str) -> str:
-    """Identifier normalization for catalog objects (P3)."""
-    return name.strip().lower()
+    """Identifier normalization for catalog objects (P3): strip +
+    lowercase (reference BulkProcessImpl.java:64), then VALIDATE —
+    normalized names are interpolated into SQL DDL, so anything outside
+    ``[a-z0-9_]`` (backticks, parens, semicolons, dots) is rejected
+    instead of reaching the parser."""
+    n = name.strip().lower()
+    if not _IDENT_RE.match(n):
+        raise ValueError(
+            f"invalid index/table name {name!r}: normalized form must match [a-z0-9_]+"
+        )
+    return n

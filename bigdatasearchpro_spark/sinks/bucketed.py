@@ -38,9 +38,12 @@ def write_bucketed(
     format: str = "parquet",
 ) -> str:
     """Save ``df`` as a bucketed (optionally bucket-sorted) table; the
-    table name is lowercased (the reference's index-name normalization,
-    ``BulkProcessImpl.java:64``). Returns the saved name."""
-    name = table.lower()
+    table name is lowercased and identifier-validated (the reference's
+    index-name normalization, ``BulkProcessImpl.java:64``). Returns the
+    saved name."""
+    from bigdatasearchpro_spark.operators.transform import normalize_index_name
+
+    name = normalize_index_name(table)
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = df.write.format(format).mode(mode).bucketBy(n_buckets, *cols)
     if sort_cols is not None:
@@ -51,4 +54,6 @@ def write_bucketed(
 
 
 def drop_table(spark: SparkSession, table: str) -> None:
-    spark.sql(f"DROP TABLE IF EXISTS {table.lower()}")
+    from bigdatasearchpro_spark.operators.transform import normalize_index_name
+
+    spark.sql(f"DROP TABLE IF EXISTS {normalize_index_name(table)}")

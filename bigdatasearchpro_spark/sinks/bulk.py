@@ -35,6 +35,7 @@ def bulk_index_parquet(
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
     target_files: int | None = None,
+    reconcile: bool = False,
 ) -> int:
     """Write ``df`` as a parquet "index"; returns rows written.
 
@@ -45,25 +46,36 @@ def bulk_index_parquet(
     thousands of KB-files makes every later scan pay per-file open +
     listing cost).
 
-    The count comes from the written files (a second scan of the
-    committed output), reproducing the reference's load reconciliation
-    (logged totals vs ``SELECT count(1)``, reference README.md:803-806)
-    without a driver-side collect. With ``mode='append'`` the committed
-    total includes pre-existing rows, so the batch itself is counted
-    instead (the reconciliation against the full sink is the caller's
-    cross-batch concern).
+    The returned count is an ``Observation`` metric accumulated DURING
+    the write — no second job, no re-scan of the committed output.
+    ``reconcile=True`` additionally re-reads the sink and checks the
+    committed count (the reference's load reconciliation — logged totals
+    vs ``SELECT count(1)``, reference README.md:803-806); at 100 TB that
+    second full scan is why it is opt-in. Only meaningful for
+    ``mode='overwrite'`` (an appended sink's total includes prior
+    batches).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     if target_files is not None:
         df = df.coalesce(target_files)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     writer = df.write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    if mode == "append":
-        return df.count()
-    return df.sparkSession.read.parquet(path).count()
+    n = int(obs.get["rows_written"])
+    if reconcile and mode == "overwrite":
+        committed = df.sparkSession.read.parquet(path).count()
+        if committed != n:
+            raise RuntimeError(
+                f"sink reconciliation failed: wrote {n} rows, committed {committed}"
+            )
+    return n
 
 
 def bulk_index_table(
@@ -85,13 +97,21 @@ def bulk_index_table(
     arrival order — a batch DataFrame has no inherent write order to
     recover.
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from bigdatasearchpro_spark.operators.dedup import dedup_last_write_wins
 
     if id_col is not None:
         order = order_by or [c for c in df.columns if c != id_col] or [id_col]
         df = dedup_last_write_wins(df, id_col, order, keep="last")
+    # rows written = this batch, observed during the write itself — a
+    # table re-count would re-scan the sink and, under mode='append',
+    # inflate the result with pre-existing rows.
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     df.write.mode(mode).saveAsTable(normalize_index_name(name))
-    return df.sparkSession.table(normalize_index_name(name)).count()
+    return int(obs.get["rows_written"])
 
 
 def es_bulk_sink_conf(

@@ -27,11 +27,17 @@ def create_index(
 ) -> str:
     """Create an empty managed table (lowercased, like the reference's
     index names). ``shards`` is recorded as a table property — the write
-    path uses it as the partition count."""
+    path uses it as the partition count.
+
+    ``name`` is validated by :func:`normalize_index_name` and ``schema``
+    against a column-definition whitelist before either reaches the SQL
+    string (DDL injection guard)."""
     n = normalize_index_name(name)
+    if not __import__("re").match(r"^[A-Za-z0-9_ ,<>()]+$", schema):
+        raise ValueError(f"invalid schema string: {schema!r}")
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {n} ({schema}) USING parquet "
-        f"TBLPROPERTIES ('shards' = '{shards}')"
+        f"TBLPROPERTIES ('shards' = '{int(shards)}')"
     )
     return n
 

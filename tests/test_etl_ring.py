@@ -152,3 +152,43 @@ def test_incremental_load_numeric_watermark_crosses_digit_boundary(spark, tmp_pa
     extended = spark.range(0, 150).withColumnRenamed("id", "seq")  # adds 100..149
     assert incremental_load(spark, extended, sink, ts_col="seq") == 50
     assert spark.read.parquet(sink + "/data").count() == 150
+
+
+def test_bulk_sink_append_counts_only_the_batch(spark, tmp_path):
+    """ADVICE r1: 'rows written' under mode='append' must be the batch,
+    not the accumulated sink total — and the count is an Observation
+    (no re-scan of the committed output)."""
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet, bulk_index_table
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "append_idx")
+    assert bulk_index_parquet(df, path, mode="overwrite") == 100
+    assert bulk_index_parquet(df, path, mode="append") == 100
+    assert spark.read.parquet(path).count() == 200
+
+    assert bulk_index_table(df, "append_probe_tbl", mode="overwrite") == 100
+    assert bulk_index_table(df, "append_probe_tbl", mode="append") == 100
+    assert spark.table("append_probe_tbl").count() == 200
+    spark.sql("DROP TABLE append_probe_tbl")
+
+
+def test_bulk_sink_reconcile_opt_in(spark, tmp_path):
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    assert bulk_index_parquet(df, str(tmp_path / "rec_idx"), reconcile=True) == 50
+
+
+def test_index_name_validation_rejects_ddl_injection(spark):
+    import pytest as _pytest
+
+    from bigdatasearchpro_spark.operators.transform import normalize_index_name
+    from bigdatasearchpro_spark.sinks.ddl import create_index
+
+    for bad in ("a;drop table x", "tbl`x", "a b", "x(y)", ""):
+        with _pytest.raises(ValueError):
+            normalize_index_name(bad)
+    with _pytest.raises(ValueError):
+        create_index(spark, "okname", schema="a INT); DROP TABLE y; --")
+    # normal names still pass (lowercased)
+    assert normalize_index_name("  MixedCase_01 ") == "mixedcase_01"

@@ -53,7 +53,12 @@ _R1_COVERED = frozenset({
     "st3_session_window", "st4_streaming_dedup", "u1_pandas_udf_token_count",
     "u2_udaf_weighted_mean", "u3_apply_in_pandas_zscore",
 })
-_SLOW = ("l2_dedup_resolution", "l4_ann_ivf_indexed", "st5_stateful_sessionize")
+_SLOW = (
+    "l2_minhash_lsh_pairs_md5",
+    "l2_dedup_resolution",
+    "l4_ann_ivf_indexed",
+    "st5_stateful_sessionize",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

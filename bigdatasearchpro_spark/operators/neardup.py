@@ -14,6 +14,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# --- portable hash family -------------------------------------------------
+# The default signature hash is xxhash64 (fastest JVM path) but it has no
+# twin outside Spark. The "portable" family below — a 60-bit integer from
+# the md5 hex prefix, permuted with 31-bit modular affine maps — computes
+# bit-identically in any engine with md5 + 64-bit integer arithmetic
+# (DuckDB included), which is what lets the LSH pipeline be
+# oracle-verified end to end. All intermediates stay under 2^62, so
+# Spark's ANSI mode can never overflow.
+
+PORTABLE_PRIME = 2147483647  # 2^31 - 1
+_BAND_FOLD_K = 1000003
+
+
+def portable_hash_long(col: Column) -> Column:
+    """60-bit deterministic hash: first 15 hex chars of md5. DuckDB twin:
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_perm_consts(n_perms: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) of the i-th affine permutation hash
+    ``h_i(x) = (a_i * (x % P) + b_i) % P`` — fixed constants shared by
+    the Spark expressions and the SQL oracle generator."""
+    p = PORTABLE_PRIME
+    return [
+        ((2654435761 * (i + 1)) % p, (40503 * (i + 1) * (i + 1) + 17) % p)
+        for i in range(n_perms)
+    ]
+
+
+def _portable_perm_expr(base: Column, a: int, b: int) -> Column:
+    p = PORTABLE_PRIME
+    return (F.lit(a) * (base % F.lit(p)) + F.lit(b)) % F.lit(p)
+
+
+def _portable_band_expr(band: int, mh_cols: list[Column]) -> Column:
+    """Band bucket key: modular polynomial fold of the band's minhash
+    components, seeded with the band index."""
+    acc: Column = F.lit(band).cast("long")
+    for c in mh_cols:
+        acc = (acc * F.lit(_BAND_FOLD_K) + c) % F.lit(PORTABLE_PRIME)
+    return acc
+
 
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct character k-shingles of lowercased text."""
@@ -111,6 +154,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_perms: int = 32,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One row per document with ``mh0..mh{n-1}`` min-hash columns.
 
@@ -122,10 +166,28 @@ def minhash_signatures(
     vector per doc before the shuffle, so shuffle volume is
     n_perms * 8 bytes per document regardless of document length.
     Duplicate shingles don't affect a min, so no distinct is needed.
+
+    ``hash_fn='portable'`` swaps xxhash64 for the md5-based family
+    (module header) — ~2x slower per shingle but reproducible in any
+    engine, which is what the oracle-verified registry variant uses.
     """
-    based = exploded_shingles(
+    if hash_fn not in ("xxhash64", "portable"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    exploded = exploded_shingles(
         docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k
-    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    )
+    if hash_fn == "portable":
+        based = exploded.select(
+            F.col(id_col), portable_hash_long(F.col("__s")).alias("__h")
+        )
+        consts = portable_perm_consts(n_perms)
+        return based.groupBy(id_col).agg(
+            *[
+                F.min(_portable_perm_expr(F.col("__h"), a, b)).alias(f"mh{i}")
+                for i, (a, b) in enumerate(consts)
+            ]
+        )
+    based = exploded.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
     return based.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh{i}")
@@ -149,12 +211,18 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
     rows = bands of size n_perms/bands; candidate pairs share at least
     one band hash; verification computes true shingle-set Jaccard.
     Returns (left_id, right_id, jaccard_sim), left_id < right_id.
+
+    With ``hash_fn='portable'`` every stage (signatures, band keys,
+    estimate prefilter, exact verify) is bit-reproducible outside Spark;
+    :func:`portable_minhash_oracle_sql` emits the matching DuckDB
+    program.
     """
     rows_per_band = n_perms // bands
     # Signatures are materialized: n_perms longs per doc (a ~0.3 KB row
@@ -163,29 +231,23 @@ def minhash_lsh_pairs(
     # self-join and by the estimate-verify stage below. Without the
     # persist every consumer re-runs the full shingle scan.
     sig = minhash_signatures(
-        docs, id_col=id_col, text_col=text_col, n_perms=n_perms, shingle_k=shingle_k
+        docs, id_col=id_col, text_col=text_col, n_perms=n_perms,
+        shingle_k=shingle_k, hash_fn=hash_fn,
     ).persist()  # lazily filled by the first consumer job
 
     # Candidate generation shuffles ONLY (band_hash, doc_id) — neither
     # the shingle arrays nor the signatures enter the self-join (at
     # 100 TB they dominate row width; candidates are a tiny fraction of
     # the corpus).
+    def _band_key(b: int) -> Column:
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "portable":
+            return _portable_band_expr(b, cols)
+        return F.xxhash64(F.lit(b), *cols)
+
     banded = sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
+        F.explode(F.array(*[_band_key(b) for b in range(bands)])).alias("bh"),
     )
     left = banded.select(F.col(id_col).alias("left_id"), "bh")
     right = banded.select(F.col(id_col).alias("right_id"), "bh")
@@ -233,12 +295,17 @@ def minhash_lsh_pairs(
     # fraction of the corpus, so the explode (the widest intermediate in
     # the whole pipeline) runs only on rows that will be verified.
     surv_docs = docs.join(surv_ids, id_col, "left_semi")
+    shingle_hash = (
+        portable_hash_long(F.col("__s"))
+        if hash_fn == "portable"
+        else F.xxhash64("__s")
+    )
     hashed = (
         exploded_shingles(
             surv_docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k
         )
         .groupBy(id_col)
-        .agg(F.collect_set(F.xxhash64("__s")).alias("__sh"))
+        .agg(F.collect_set(shingle_hash).alias("__sh"))
     ).persist()
     lsh = hashed.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
     rsh = hashed.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
@@ -499,3 +566,88 @@ def dedup_by_pairs(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def portable_minhash_oracle_sql(
+    corpus_cte: str,
+    *,
+    n_perms: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> str:
+    """DuckDB program computing EXACTLY what
+    ``minhash_lsh_pairs(..., hash_fn='portable')`` computes — same
+    shingles, same md5-derived base hash, same affine permutations, same
+    band keys, same estimate prefilter, same exact-Jaccard verify. Every
+    stage is integer/double arithmetic both engines evaluate
+    identically, so the driver's value-hash comparison holds bit-level.
+
+    ``corpus_cte``: a CTE body named ``corpus`` yielding (doc_id, text).
+    """
+    p = PORTABLE_PRIME
+    k = _BAND_FOLD_K
+    rows_per_band = n_perms // bands
+    consts = portable_perm_consts(n_perms)
+    margin = 2.5 * (0.25 / n_perms) ** 0.5
+    est_cut = repr(jaccard_threshold - margin)
+
+    mins = ",\n        ".join(
+        f"min(({a} * (h % {p}) + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+
+    def band_fold(b: int) -> str:
+        expr = str(b)
+        for r in range(rows_per_band):
+            expr = f"(({expr}) * {k} + mh{b * rows_per_band + r}) % {p}"
+        return expr
+
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_fold(b)} AS bh FROM sig"
+        for b in range(bands)
+    )
+    est_terms = " + ".join(f"(ls.mh{i} = rs.mh{i})::INT" for i in range(n_perms))
+
+    return f"""
+    WITH {corpus_cte},
+    sh AS (
+      SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT d.doc_id, substring(d.lt, i.i, {shingle_k}) AS s
+        FROM (SELECT doc_id, lower(text) AS lt FROM corpus) d,
+        LATERAL (SELECT unnest(range(1, greatest(length(d.lt) - {shingle_k - 1}, 1) + 1)) AS i) i
+      )
+    ),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+      FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+      WHERE l.doc_id < r.doc_id
+    ),
+    surv AS (
+      SELECT c.left_id, c.right_id
+      FROM cand c
+      JOIN sig ls ON c.left_id = ls.doc_id
+      JOIN sig rs ON c.right_id = rs.doc_id
+      WHERE ({est_terms})::DOUBLE / {n_perms} >= {est_cut}
+    ),
+    sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id)
+    SELECT left_id, right_id, jaccard_sim FROM (
+      SELECT s.left_id, s.right_id,
+        round(CASE WHEN len(list_distinct(list_concat(a.hs, b.hs))) > 0
+          THEN len(list_intersect(a.hs, b.hs))::DOUBLE
+               / len(list_distinct(list_concat(a.hs, b.hs)))
+          ELSE 0.0 END, 4) AS jaccard_sim
+      FROM surv s
+      JOIN sets a ON s.left_id = a.doc_id
+      JOIN sets b ON s.right_id = b.doc_id
+    ) WHERE jaccard_sim >= {jaccard_threshold}
+    """

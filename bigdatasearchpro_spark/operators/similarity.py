@@ -333,3 +333,58 @@ def ivf_topk_indexed(
     return cosine_topk(
         vectors, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
+
+
+def cosine_similarity_join_exact(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """EXACT cosine similarity self-join: every pair (within
+    ``block_col`` blocks) with round(cosine, 4) >= threshold — the
+    deterministic ground truth the LSH join (:func:`cosine_similarity_join`)
+    approximates, and the verification baseline its recall tests use.
+
+    With ``block_col`` the pair space is |block|^2 per block (the
+    scalable, partition-parallel form); without it this is the
+    exhaustive quadratic join — bounded fixtures only.
+    """
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    df = fan_out(df)
+    keys = [block_col] if block_col else []
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        *[F.col(c) for c in keys],
+    ).select(
+        F.col(id_col), "__v", l2_norm(F.col("__v")).alias("__n"),
+        *[F.col(c) for c in keys],
+    )
+    left = staged.select(
+        F.col(id_col).alias("left_id"),
+        F.col("__v").alias("__lv"),
+        F.col("__n").alias("__ln"),
+        *[F.col(c) for c in keys],
+    )
+    right = staged.select(
+        F.col(id_col).alias("right_id"),
+        F.col("__v").alias("__rv"),
+        F.col("__n").alias("__rn"),
+        *[F.col(c) for c in keys],
+    )
+    joined = (left.join(right, keys) if keys else left.crossJoin(right)).filter(
+        F.col("left_id") < F.col("right_id")
+    )
+    cos = F.when(
+        F.col("__ln") * F.col("__rn") > 0,
+        dot(F.col("__lv"), F.col("__rv")) / (F.col("__ln") * F.col("__rn")),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("score", F.round(cos, 4))
+        .filter(F.col("score") >= threshold)
+        .select("left_id", "right_id", "score")
+    )

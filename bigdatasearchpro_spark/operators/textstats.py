@@ -136,20 +136,33 @@ def lang_id(
 
 
 def fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, window: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Document fingerprint: min-hash over rolling character n-grams
-    (winnowing-style). ``substring`` shingles hashed with xxhash64 and
-    min-reduced — one projection, no Python, stable across runs."""
+    (winnowing-style). ``substring`` shingles hashed and min/max/xor
+    reduced — one projection, no Python, stable across runs.
+
+    ``hash_fn='portable'`` uses the md5-based engine-agnostic family
+    (operators/neardup.py module header), making the fingerprints
+    reproducible outside Spark — the oracle-verified registry variant."""
+    from bigdatasearchpro_spark.operators.neardup import portable_hash_long
     from bigdatasearchpro_spark.sources.files import fan_out
 
+    if hash_fn not in ("xxhash64", "portable"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     df = fan_out(df)
     t = F.col(text_col)
     n = F.greatest(F.length(t) - F.lit(window - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), n), lambda i: F.substring(t, i, window)
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    hasher = portable_hash_long if hash_fn == "portable" else F.xxhash64
+    hashes = F.transform(shingles, lambda s: hasher(s))
     return df.select(
         F.col(id_col),
         F.array_min(hashes).alias("fp_min"),

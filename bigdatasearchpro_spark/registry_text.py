@@ -495,6 +495,46 @@ def j5_similarity_join(spark, sf_dir):
 
 
 @register(
+    "j5_similarity_join_exact",
+    """
+    WITH vcorpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i = 1 THEN (embedding[1]::DOUBLE + 0.02)::FLOAT
+                         ELSE embedding[i] END),
+             label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    prepped AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))) AS nrm
+      FROM vcorpus
+    )
+    SELECT left_id, right_id, score FROM (
+      SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+             round(CASE WHEN a.nrm * b.nrm > 0
+               THEN list_sum(list_transform(range(1, len(a.v) + 1),
+                                            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+               ELSE 0.0 END, 4) AS score
+      FROM prepped a JOIN prepped b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE score >= 0.9
+    """,
+)
+def j5_similarity_join_exact(spark, sf_dir):
+    """J5 ground truth: EXACT label-blocked cosine self-join at 0.9 —
+    deterministic end to end, hash-verified against DuckDB; the LSH
+    entry above approximates this result (recall asserted in tests)."""
+    from bigdatasearchpro_spark.registry_ext import _with_synthetic_near_vectors
+
+    emb = _with_synthetic_near_vectors(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_similarity_join_exact(emb, 0.9, block_col="label")
+
+
+@register(
     "l5_text_quality_stats",
     """
     SELECT doc_id,
@@ -521,9 +561,34 @@ def l5_text_quality_stats(spark, sf_dir):
     return textstats.quality_stats(load_table(spark, sf_dir, "documents"))
 
 
-@register("l5_lang_id")  # rows-only: heuristic classifier
+def _lang_marker_sql() -> str:
+    """DuckDB mirror of textstats.lang_id: per-language marker-hit
+    counts, argmax with lexicographic tie-break via struct sort."""
+    from bigdatasearchpro_spark.operators.textstats import _LANG_MARKERS
+
+    structs = ", ".join(
+        "{'nh': -len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + "], t))), 'lang': '" + code + "'}"
+        for code, markers in sorted(_LANG_MARKERS.items())
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    best AS (SELECT doc_id, list_sort([{structs}])[1] AS b FROM t)
+    SELECT doc_id, b.lang AS pred_lang, -b.nh AS marker_hits FROM best
+    """
+
+
+@register("l5_lang_id", _lang_marker_sql())
 def l5_lang_id(spark, sf_dir):
-    """L5: marker-token language ID (deterministic argmax)."""
+    """L5: marker-token language ID (deterministic argmax, lexicographic
+    tie-break) — fully SQL-expressible, so the heuristic itself is
+    oracle-checked."""
     return textstats.lang_id(load_table(spark, sf_dir, "documents"))
 
 
@@ -531,6 +596,30 @@ def l5_lang_id(spark, sf_dir):
 def l5_fingerprint(spark, sf_dir):
     """L5: rolling-shingle min/max/sum hash fingerprints."""
     return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "l5_fingerprint_md5",
+    """
+    WITH sh AS (
+      SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT d.doc_id, substring(d.text, i.i, 8) AS s
+        FROM documents d,
+        LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) i
+      )
+    )
+    SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, bit_xor(h) AS fp_xor
+    FROM sh GROUP BY doc_id
+    """,
+)
+def l5_fingerprint_md5(spark, sf_dir):
+    """L5: the same rolling-shingle fingerprint on the portable md5
+    hash family — DuckDB recomputes min/max/xor bit-identically, so the
+    fingerprint construction itself is oracle-verified."""
+    return textstats.fingerprint(
+        load_table(spark, sf_dir, "documents"), hash_fn="portable"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -550,6 +639,19 @@ def _with_synthetic_neardups(docs):
     return docs.unionByName(mutated)
 
 
+# mutated corpus the near-dup entries run on (mirror of
+# _with_synthetic_neardups): every 10th doc reappears with id+100000
+# and one appended word.
+_NEARDUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzzmutation', source
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
 @register("l2_minhash_lsh_pairs")
 def l2_minhash_lsh_pairs(spark, sf_dir):
     """L2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
@@ -558,6 +660,29 @@ def l2_minhash_lsh_pairs(spark, sf_dir):
     docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
     return neardup.minhash_lsh_pairs(
         docs, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5
+    )
+
+
+@register(
+    "l2_minhash_lsh_pairs_md5",
+    neardup.portable_minhash_oracle_sql(
+        _NEARDUP_CORPUS_SQL.strip(),
+        n_perms=32,
+        bands=8,
+        shingle_k=5,
+        jaccard_threshold=0.5,
+    ),
+)
+def l2_minhash_lsh_pairs_md5(spark, sf_dir):
+    """L2: the SAME MinHash+LSH pipeline as l2_minhash_lsh_pairs but on
+    the portable (md5 + modular-affine) hash family, which DuckDB can
+    recompute bit-for-bit — so signatures, banding, the estimate
+    prefilter, and the exact-Jaccard verify are all hash-verified
+    against an independent engine, not just rows-only."""
+    docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    return neardup.minhash_lsh_pairs(
+        docs, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5,
+        hash_fn="portable",
     )
 
 
@@ -570,9 +695,38 @@ def l2_simhash_pairs(spark, sf_dir):
     return neardup.simhash_pairs(docs, max_hamming=7, n_chunks=8)
 
 
-@register("l2_ngram_jaccard_pairs")
+@register(
+    "l2_ngram_jaccard_pairs",
+    f"""
+    WITH {_NEARDUP_CORPUS_SQL},
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+      FROM toks
+    )
+    SELECT left_id, right_id, jaccard_sim FROM (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+               THEN len(list_intersect(a.g, b.g))::DOUBLE
+                    / len(list_distinct(list_concat(a.g, b.g)))
+               ELSE 0.0 END, 4) AS jaccard_sim
+      FROM grams a JOIN grams b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard_sim >= 0.5
+    """,
+)
 def l2_ngram_jaccard_pairs(spark, sf_dir):
-    """L2: exact word-3-gram Jaccard join, blocked by source column."""
+    """L2: exact word-3-gram Jaccard join, blocked by source column.
+    Deterministic end to end, so the whole pipeline (analyzer, n-gram
+    construction, set Jaccard, threshold) is oracle-checked."""
     docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
     return neardup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="source")
 

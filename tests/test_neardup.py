@@ -127,3 +127,58 @@ def test_minhash_estimate_tracks_exact_jaccard(docs):
         errs.append(abs(est - exact))
     assert sum(errs) / len(errs) < 0.12, f"mean abs err {sum(errs)/len(errs):.3f}"
     assert max(errs) < 0.40, f"max abs err {max(errs):.3f}"
+
+
+def test_portable_minhash_finds_planted_pairs(docs):
+    """The md5/modular-affine hash family must behave like xxhash64 on
+    the planted near-dups (same recall target, verified pairs only)."""
+    data = _planted(docs)
+    pairs = neardup.minhash_lsh_pairs(
+        data, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5,
+        hash_fn="portable",
+    ).collect()
+    found = {(r["left_id"], r["right_id"]) for r in pairs}
+    planted = {
+        (d - 100000, d)
+        for d in [r["doc_id"] for r in
+                  data.filter(F.col("doc_id") >= 100000).select("doc_id").collect()]
+    }
+    recall = len(found & planted) / max(len(planted), 1)
+    assert recall >= 0.9
+    assert all(r["jaccard_sim"] >= 0.5 for r in pairs)
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The portable hash family is the oracle contract: base hash and
+    affine permutations must be bit-equal in DuckDB."""
+    import duckdb
+
+    from bigdatasearchpro_spark.operators.neardup import (
+        PORTABLE_PRIME,
+        portable_hash_long,
+        portable_perm_consts,
+    )
+
+    words = ["hello", "spark", "zzzmutation", "", "Ünïcode"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    (a0, b0), (a1, b1) = portable_perm_consts(2)
+    got = {
+        r["s"]: (r["h"], r["p0"], r["p1"])
+        for r in df.select(
+            "s",
+            portable_hash_long(F.col("s")).alias("h"),
+            ((F.lit(a0) * (portable_hash_long(F.col("s")) % PORTABLE_PRIME) + F.lit(b0))
+             % PORTABLE_PRIME).alias("p0"),
+            ((F.lit(a1) * (portable_hash_long(F.col("s")) % PORTABLE_PRIME) + F.lit(b1))
+             % PORTABLE_PRIME).alias("p1"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        h, p0, p1 = con.execute(
+            f"SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT AS h, "
+            f"({a0} * (('0x' || substring(md5(?), 1, 15))::BIGINT % {PORTABLE_PRIME}) + {b0}) % {PORTABLE_PRIME}, "
+            f"({a1} * (('0x' || substring(md5(?), 1, 15))::BIGINT % {PORTABLE_PRIME}) + {b1}) % {PORTABLE_PRIME}",
+            [w, w, w],
+        ).fetchone()
+        assert got[w] == (h, p0, p1), w

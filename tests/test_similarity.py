@@ -77,3 +77,38 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, sf_dir, tmp_path):
 
     pf = " ".join(partition_filters(indexed))
     assert "cell" in pf  # probe filter reached the partition layer
+
+
+def test_exact_similarity_join_is_lsh_ground_truth(spark, emb):
+    """Exact blocked cosine join must (a) superset the LSH join's pairs
+    within blocks and (b) return only pairs >= threshold."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators import similarity
+
+    bumped = F.transform(
+        F.col("embedding"), lambda x, i: F.when(i == 0, x + F.lit(0.02)).otherwise(x)
+    )
+    mutated = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        bumped.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(mutated)
+    exact = {
+        (r.left_id, r.right_id)
+        for r in similarity.cosine_similarity_join_exact(
+            corpus, 0.9, block_col="label"
+        ).collect()
+    }
+    planted = {(d, d + 100000) for d in
+               [r.vec_id for r in emb.filter(F.col("vec_id") % 10 == 0).collect()]}
+    assert planted <= exact  # every planted near-pair found
+    labels = {r.vec_id: r.label for r in corpus.select("vec_id", "label").collect()}
+    lsh = {
+        (r.left_id, r.right_id)
+        for r in similarity.cosine_similarity_join(corpus, corpus, 0.9, n_planes=4).collect()
+    }
+    same_label_lsh = {p for p in lsh if labels[p[0]] == labels[p[1]]}
+    # within a block, LSH can only miss pairs, never invent them
+    assert same_label_lsh <= exact

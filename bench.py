@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "w1_rank_topn_per_group",
     "t1_topk_orders",
     "l3_search_bm25_topk",
+    "l3_query_string",
     "l4_cosine_topk",
     "l5_text_quality_stats",
     "l2_simhash_pairs",

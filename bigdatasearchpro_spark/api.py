@@ -74,13 +74,62 @@ def query_data(
     index_name: str,
     *,
     k: int = 10,
+    from_: int = 0,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: "str | list[str] | None" = None,
+    highlight: bool = False,
 ) -> DataFrame:
-    """The search path (``?q=`` semantics: OR match, BM25, top-k by
-    score): declared-but-null in the reference, real here."""
-    docs = spark.table(index_name.lower())
-    return search.search_topk(docs, query, k, id_col=id_col, text_col=text_col)
+    """The search path — the reference's literal UX: the RAW user query
+    string posted to URI search (``indexView.html:13-19`` rewrites the
+    form into ``_search?q=``). Full ES 6.x query-string semantics:
+
+    1. the parsed query filters the index (field scoping, AND/OR/NOT,
+       phrases, wildcards, ranges — ``operators/querystring.py``);
+    2. survivors are BM25-ranked by the query's non-negated term/phrase
+       words (wildcard/range clauses filter but score constant, like ES);
+    3. hits ``from_ .. from_+k`` return, optionally highlighted.
+
+    ``text_col=None`` searches every string column (ES ``_all`` over the
+    stringified document, reference BulkProcessImpl.java:112-117).
+    """
+    from bigdatasearchpro_spark.operators.querystring import (
+        parse_query_string,
+        positive_terms,
+        query_string_filter,
+    )
+
+    docs = spark.table(transform.normalize_index_name(index_name))
+    fields = (
+        [text_col]
+        if isinstance(text_col, str)
+        else list(text_col)
+        if text_col is not None
+        else search.all_string_cols(docs)
+    )
+    matched = query_string_filter(docs, query, default_field=fields, fields=fields)
+    terms = positive_terms(parse_query_string(query))
+    if not terms:
+        # pure-filter query (e.g. only ranges/wildcards): constant score,
+        # deterministic id order
+        from pyspark.sql import functions as F
+
+        page = (
+            matched.select(F.col(id_col), F.lit(0.0).alias("score"))
+            .orderBy(id_col)
+            .limit(from_ + k)
+        )
+        rows = page.collect()[from_:]
+        out = spark.createDataFrame(rows, page.schema) if rows else page.limit(0)
+        return out
+    return search.search_paged(
+        matched,
+        " ".join(terms),
+        size=k,
+        from_=from_,
+        id_col=id_col,
+        text_col=fields,
+        highlight=highlight,
+    )
 
 
 def get_index_data_count(spark: SparkSession, index_name: str) -> int:

@@ -398,3 +398,30 @@ def query_string_filter(
     from bigdatasearchpro_spark.sources.files import fan_out
 
     return fan_out(docs).filter(pred)
+
+
+def positive_terms(node) -> list[str]:
+    """Analyzed terms of the non-negated Term/Phrase leaves — what the
+    URI-search path scores with after the boolean filter selects the
+    result set (wildcards/ranges filter but don't contribute a scoring
+    term, mirroring ES's constant-score treatment of them)."""
+    out: list[str] = []
+
+    def go(n, negated: bool) -> None:
+        if isinstance(n, (Term, Phrase)):
+            if not negated:
+                out.extend(analyze_query(n.text))
+        elif isinstance(n, Not):
+            go(n.child, not negated)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                go(c, negated)
+
+    go(node, False)
+    seen: set[str] = set()
+    uniq = []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq

@@ -245,6 +245,8 @@ def repetition_stats(
     per_word = toks.groupBy(id_col, "__w").agg(F.count("*").alias("__n"))
     return per_word.groupBy(id_col).agg(
         F.sum("__n").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("__n").alias("max_n"),
         F.round(
             F.lit(1.0) - F.count("*") / F.sum("__n"), 4
         ).alias("dup_word_ratio"),

@@ -130,9 +130,23 @@ def l6_asset_metadata(spark, sf_dir):
 @register("l6_decode_features")  # rows-only: decoder is a deterministic fake
 def l6_decode_features(spark, sf_dir):
     """L6: mapInPandas decode -> L2-normalized feature vectors (codec
-    stubbed; Arrow batch plumbing real — see multimodal/assets.py)."""
+    stubbed; Arrow batch plumbing real — see multimodal/assets.py).
+
+    The registry surface posexplodes the vector to scalar (asset_id,
+    kind, dim, value) rows — the driver's canonicalizer cannot hash
+    array cells, and the flat form is also the scale-friendly layout
+    the L4 centroid/IVF aggregations consume."""
     a = mm.assets_from_documents(load_table(spark, sf_dir, "documents"))
-    return mm.extract_features(a)
+    return (
+        mm.extract_features(a)
+        .select("asset_id", "kind", F.posexplode("feature").alias("dim", "v"))
+        .select(
+            "asset_id",
+            "kind",
+            "dim",
+            F.round(F.col("v").cast("double"), 6).alias("value"),
+        )
+    )
 
 
 @register(
@@ -628,9 +642,13 @@ def j8_asof_join(spark, sf_dir):
     "a6_exact_quantiles",
     """
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                          x -> round(x, 4)) AS price_quartiles
-    FROM lineitem GROUP BY l_returnflag
+           generate_subscripts(qs, 1) AS q,
+           round(unnest(qs), 4) + 0.0 AS price_quantile
+    FROM (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+      FROM lineitem GROUP BY l_returnflag
+    )
     """,
 )
 def a6_exact_quantiles(spark, sf_dir):
@@ -638,13 +656,20 @@ def a6_exact_quantiles(spark, sf_dir):
     ``percentile`` == DuckDB ``quantile_cont``). The 100 TB path is
     ``approx_percentile`` (t-digest sketch, single pass, mergeable
     partials) — exact quantiles need a per-group sort and exist here as
-    the oracle-checkable form."""
+    the oracle-checkable form. Output is posexploded to one scalar row
+    per (group, quantile) — array cells are unhashable in the driver's
+    canonicalizer (and SCALAR-only output is now asserted for every
+    registry entry, tools/parity.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
-            lambda x: F.round(x, 4),
-        ).alias("price_quartiles")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])).alias("qs"))
+        .select("l_returnflag", F.posexplode("qs").alias("q0", "v"))
+        .select(
+            "l_returnflag",
+            (F.col("q0") + 1).cast("long").alias("q"),
+            (F.round(F.col("v"), 4) + F.lit(0.0)).alias("price_quantile"),
+        )
     )
 
 
@@ -706,19 +731,27 @@ def l5_dataset_split(spark, sf_dir):
       SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w
     )
     SELECT doc_id,
-           sum(n) AS n_words,
-           round(1.0 - count(*) / sum(n), 4) AS dup_word_ratio,
-           round(max(n) / sum(n), 4) AS top_word_ratio
+           sum(n)::BIGINT AS n_words,
+           count(*)::BIGINT AS n_distinct,
+           max(n)::BIGINT AS max_n
     FROM per_word GROUP BY doc_id
     """,
 )
 def l5_repetition_stats(spark, sf_dir):
-    """L5: word-repetition corpus-quality signals (duplicate-word and
-    top-word ratios) — the Gopher-style repetition filters, computed as
-    two codegen'd hash aggregations."""
+    """L5: word-repetition corpus-quality signals — the Gopher-style
+    repetition filters, computed as two codegen'd hash aggregations.
+
+    The oracled surface is the EXACT integer triple (n_words,
+    n_distinct, max_n): the derived float ratios live on the operator
+    (``dup_word_ratio = 1 - n_distinct/n_words``) but comparing them
+    cross-engine is driver-canonicalizer roulette (DuckDB sums to
+    HUGEINT and rounds half-ties via float multiply; Spark rounds
+    decimal HALF_UP), while the integers are bit-deterministic."""
     from bigdatasearchpro_spark.operators.textstats import repetition_stats
 
-    return repetition_stats(load_table(spark, sf_dir, "documents"))
+    return repetition_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "n_distinct", "max_n"
+    )
 
 
 @register(

@@ -29,26 +29,46 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame, *, to: str = "timestamp_ntz") -> DataFrame:
+    """Normalize the ``events.ts`` column to a microsecond timestamp,
+    whatever physical type the parquet stored it as.
+
+    The gate is the ACTUAL column type, never an assumption about the
+    fixture: a ``timestamp[us]``/``timestamp_ntz`` column passes through
+    (cast only), while a Long column — parquet TIMESTAMP(NANOS) read
+    under ``nanosAsLong`` — is truncated with integer division
+    (``ts div 1000``: ns-since-epoch ~1.7e18 exceeds double's 53-bit
+    mantissa, so ``/ 1000`` + cast would be off by hundreds of ns).
+    Batch and streaming readers BOTH call this, so they cannot diverge.
+
+    ``to`` is ``timestamp_ntz`` for batch (matches DuckDB oracle values)
+    or ``timestamp`` for streaming (watermarks require TIMESTAMP; under
+    the UTC session timezone the bucket boundaries are identical).
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        col = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        col = F.col("ts")
+    return df.withColumn("ts", col.cast(to))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections applied by the caller
     are pushed into the parquet scan by Catalyst (check via
     ``df.explain`` -> ``PushedFilters`` / ``ReadSchema``).
 
-    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark cannot read natively — we read it as nanos-since-epoch
-    (``nanosAsLong``) and truncate to a microsecond ``timestamp_ntz``,
-    the same truncation DuckDB applies, so oracle values match.
+    ``events.ts`` may be stored as parquet TIMESTAMP(NANOS) (which Spark
+    can only read as nanos-since-epoch via ``nanosAsLong``) or as
+    TIMESTAMP(MICROS); ``normalize_events_ts`` gates on the actual type
+    read and yields a microsecond ``timestamp_ntz`` either way — the
+    same value DuckDB sees, so oracle values match.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Integer division: ns-since-epoch (~1.7e18) exceeds double's 53-bit
-        # mantissa, so `/ 1000` + cast would be off by up to ~hundreds of ns.
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+    if name == "events":
+        df = normalize_events_ts(df, to="timestamp_ntz")
     return df
 
 

@@ -33,28 +33,26 @@ def events_stream(
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
-    Schema matches the ``events`` fixture; the nanosecond ``ts`` is
-    normalized to a microsecond ``timestamp_ntz`` exactly as the batch
-    loader does (sources/files.py), so batch and stream agree.
+    A file-source stream needs an explicit schema, and hard-coding one
+    is exactly how batch and stream diverge (a fixture that switches
+    between TIMESTAMP(NANOS) and TIMESTAMP(MICROS) silently breaks a
+    baked-in Long + rescale). So the schema is PROBED from the files'
+    parquet footers via a batch read — metadata only, no data scan —
+    and ``ts`` is then normalized by the SAME ``normalize_events_ts``
+    helper the batch loader uses (sources/files.py), gated on the
+    actual column type. Watermarks require TIMESTAMP (not NTZ); under
+    the UTC session timezone the bucket boundaries match the batch
+    loader's NTZ values.
     """
+    from bigdatasearchpro_spark.sources.files import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(events_dir)
-    # watermarks require TIMESTAMP (not NTZ); under the UTC session
-    # timezone the bucket boundaries match the batch loader's NTZ values.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df, to="timestamp")
 
 
 def tumbling_agg(events: DataFrame, *, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:

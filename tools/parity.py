@@ -54,6 +54,26 @@ def _rows_to_multiset(rows, col_order):
 def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
     t0 = time.time()
     sdf = QUERIES[name](spark, sf_dir)
+
+    # The driver's canonicalizer pandas-sorts EVERY entry's output
+    # (rows-only ones included) and cannot hash array/map/struct cells
+    # (TypeError: unhashable type) — so scalar-only output is a hard
+    # requirement for the whole registry, enforced here before it can
+    # cost a driver verdict (r2 lost a6_exact_quantiles and
+    # l6_decode_features to exactly this).
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if complex_cols:
+        return False, (
+            f"NON-SCALAR OUTPUT {complex_cols}: driver canonicalizer cannot "
+            "hash array/map/struct cells — posexplode to scalar rows"
+        )
+
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = sdf.collect()
     t_spark = time.time() - t0

@@ -91,12 +91,46 @@ def query_data(
 
     ``text_col=None`` searches every string column (ES ``_all`` over the
     stringified document, reference BulkProcessImpl.java:112-117).
+
+    ``index_name="_all"`` searches every catalog index — the reference
+    UI's "all index" option (``HtmlController.java:27``,
+    ``indexView.html:15-17``) — as a scatter-gather: each index is
+    searched independently for its top ``from_+k`` (per-index BM25
+    stats, exactly like ES scores per index), and the per-index pages
+    merge by score with an ``index`` provenance column. The merge input
+    is ``n_indices x (from_+k)`` rows, never corpus-sized.
     """
     from bigdatasearchpro_spark.operators.querystring import (
         parse_query_string,
-        positive_terms,
         query_string_filter,
+        weighted_terms,
     )
+    from pyspark.sql import functions as F
+
+    if index_name == "_all":
+        names = get_all_index(spark)
+        if not names:
+            raise ValueError("no indices exist to search (_all)")
+        merged = None
+        for n in names:
+            hit = query_data(
+                spark, query, n, k=from_ + k, from_=0,
+                id_col=id_col, text_col=text_col, highlight=highlight,
+            ).withColumn("index", F.lit(n))
+            merged = hit if merged is None else merged.unionByName(hit)
+        from pyspark.sql.window import Window
+
+        # <= n_indices * (from_+k) rows: the single-partition window is
+        # over the merged candidate page, never an index.
+        ranked = merged.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("index"), F.asc(id_col))
+            ),
+        )
+        return ranked.filter(
+            (F.col("rank") > from_) & (F.col("rank") <= from_ + k)
+        ).drop("rank")
 
     docs = spark.table(transform.normalize_index_name(index_name))
     fields = (
@@ -107,7 +141,8 @@ def query_data(
         else search.all_string_cols(docs)
     )
     matched = query_string_filter(docs, query, default_field=fields, fields=fields)
-    terms = positive_terms(parse_query_string(query))
+    weighted = weighted_terms(parse_query_string(query))
+    terms = [t for t, _ in weighted]
     if not terms:
         # pure-filter query (e.g. only ranges/wildcards): constant score,
         # deterministic id order
@@ -129,6 +164,7 @@ def query_data(
         id_col=id_col,
         text_col=fields,
         highlight=highlight,
+        term_weights=[w for _, w in weighted],
     )
 
 

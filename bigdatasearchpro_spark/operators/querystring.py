@@ -41,6 +41,7 @@ from bigdatasearchpro_spark.operators.search import (
     all_string_cols,
     analyze_query,
     phrase_expr,
+    proximity_expr,
     tokens_expr,
     wildcard_to_like,
 )
@@ -54,18 +55,23 @@ from bigdatasearchpro_spark.operators.search import (
 class Term:
     field: Optional[str]
     text: str
+    fuzzy: Optional[int] = None  # term~N edit distance (None = exact)
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Phrase:
     field: Optional[str]
     text: str
+    slop: int = 0  # "a b"~N proximity window (0 = exact phrase)
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Wildcard:
     field: Optional[str]
     pattern: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -100,11 +106,20 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()
       | (?P<rparen>\))
-      | (?P<quoted>"(?P<qbody>[^"]*)")
+      | (?P<quoted>"(?P<qbody>[^"]*)"
+            (?:~(?P<qslop>\d+))?            # "a b"~2  proximity slop
+            (?:\^(?P<qboost>\d+(?:\.\d+)?))?  # "a b"^3  boost
+        )
       | (?P<range>[\[{]\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*[\]}])
       | (?P<word>[^\s()"\[\]{}]+)
     )""",
     re.VERBOSE | re.IGNORECASE,
+)
+
+# trailing ~N (fuzzy) and/or ^N (boost) on a bare word; ~ with no digits
+# = ES default fuzziness (AUTO -> 2 edits for terms this surface serves)
+_WORD_SUFFIX_RE = re.compile(
+    r"^(?P<body>.+?)(?:~(?P<fuzz>\d*))?(?:\^(?P<boost>\d+(?:\.\d+)?))?$"
 )
 
 
@@ -125,7 +140,9 @@ def _lex(q: str) -> list[tuple[str, object]]:
         elif m.group("rparen"):
             out.append((")", None))
         elif m.group("quoted") is not None:
-            out.append(("phrase", (None, m.group("qbody"))))
+            slop = int(m.group("qslop")) if m.group("qslop") else 0
+            boost = float(m.group("qboost")) if m.group("qboost") else 1.0
+            out.append(("phrase", (None, m.group("qbody"), slop, boost)))
         elif m.group("range") is not None:
             raw = m.group("range")
             out.append(
@@ -223,7 +240,7 @@ class _Parser:
                 raise ValueError("unbalanced parenthesis in query string")
             return node
         if kind == "phrase":
-            return Phrase(val[0], val[1])
+            return Phrase(val[0], val[1], val[2], val[3])
         if kind == "range":
             field, lo, hi, ilo, ihi = val
             return Range(
@@ -242,9 +259,21 @@ class _Parser:
             w = rest
             # field-scoped quoted phrases / ranges never reach here: the
             # lexer splits them and _lex_with_fields folds the field in.
+        m = _WORD_SUFFIX_RE.match(w)
+        fuzzy = None
+        boost = 1.0
+        if m and (m.group("fuzz") is not None or m.group("boost") is not None):
+            w = m.group("body")
+            if m.group("fuzz") is not None:
+                # bare `~` = ES default fuzziness (AUTO); 2 edits
+                fuzzy = int(m.group("fuzz")) if m.group("fuzz") else 2
+            if m.group("boost") is not None:
+                boost = float(m.group("boost"))
         if "*" in w or "?" in w:
-            return Wildcard(field, w)
-        return Term(field, w)
+            if fuzzy is not None:
+                raise ValueError(f"cannot combine wildcard and fuzzy: {w!r}")
+            return Wildcard(field, w, boost)
+        return Term(field, w, fuzzy, boost)
 
 
 def parse_query_string(q: str):
@@ -290,11 +319,23 @@ def compile_predicate(
     *,
     default_cols: Sequence[str],
     valid_fields: Sequence[str],
+    fuzzy_resolver=None,
 ) -> Column:
     """Compile a parsed query to a single boolean expression. Each
     referenced field's token array is a ``tokens_expr`` over that
     column; the default (unscoped) field is the ``_all`` concatenation
-    of ``default_cols``."""
+    of ``default_cols``.
+
+    ``fuzzy_resolver(term, max_edits, text_cols) -> list[str]`` expands
+    a fuzzy clause (``term~N``) to its matched vocabulary variants —
+    the one clause type that cannot be a closed-form expression (the
+    match set depends on the corpus vocabulary). The variants fold back
+    into ONE ``arrays_overlap`` literal, so the compiled filter stays a
+    single narrow predicate; :func:`query_string_filter` wires the
+    vocabulary-first expansion (search.fuzzy_vocab_terms) in
+    automatically. Boosts parse and round-trip on the AST but are
+    scoring-only (weighted_terms) — a boolean filter is boost-invariant,
+    exactly like ES filter context."""
     valid = set(valid_fields)
 
     def toks(field: Optional[str]) -> Column:
@@ -320,6 +361,19 @@ def compile_predicate(
             terms = analyze_query(n.text)
             if not terms:
                 return F.lit(False)
+            if n.fuzzy is not None and len(terms) == 1:
+                if fuzzy_resolver is None:
+                    raise ValueError(
+                        f"fuzzy clause {n.text!r}~{n.fuzzy} needs a corpus "
+                        "vocabulary; compile via query_string_filter (or pass "
+                        "fuzzy_resolver)"
+                    )
+                variants = fuzzy_resolver(terms[0], n.fuzzy, text_cols(n.field))
+                if not variants:
+                    return F.lit(False)
+                return F.arrays_overlap(
+                    toks(n.field), F.array(*[F.lit(v) for v in variants])
+                )
             if len(terms) == 1:
                 return F.array_contains(toks(n.field), terms[0])
             # multi-token term (e.g. foo-bar): ES analyzes to a phrase
@@ -330,6 +384,8 @@ def compile_predicate(
                 return F.lit(False)
             if len(terms) == 1:
                 return F.array_contains(toks(n.field), terms[0])
+            if n.slop > 0:
+                return proximity_expr(text_cols(n.field), terms, n.slop)
             return phrase_expr(text_cols(n.field), terms)
         if isinstance(n, Wildcard):
             like = wildcard_to_like(n.pattern)
@@ -394,7 +450,15 @@ def query_string_filter(
     else:
         default = list(default_field)
     node = parse_query_string(q)
-    pred = compile_predicate(node, default_cols=default, valid_fields=valid)
+
+    def resolver(term: str, max_edits: int, cols) -> list[str]:
+        from bigdatasearchpro_spark.operators.search import fuzzy_vocab_terms
+
+        return fuzzy_vocab_terms(docs, term, max_edits=max_edits, text_col=cols)
+
+    pred = compile_predicate(
+        node, default_cols=default, valid_fields=valid, fuzzy_resolver=resolver
+    )
     from bigdatasearchpro_spark.sources.files import fan_out
 
     return fan_out(docs).filter(pred)
@@ -425,3 +489,34 @@ def positive_terms(node) -> list[str]:
             seen.add(t)
             uniq.append(t)
     return uniq
+
+
+def weighted_terms(node) -> list[tuple[str, float]]:
+    """Scoring terms with their ``^boost`` weights: the non-negated
+    Term/Phrase leaves' analyzed terms, each weighted by its clause's
+    boost (a term under ``(a b)^2`` style grouping isn't supported by
+    the grammar — boosts attach to leaves, like ES query_string). A
+    term reachable through several leaves keeps the MAX boost (ES sums
+    per-clause scores; for the flat BM25 surface the max is the
+    deterministic choice that can only raise, never reorder-below, the
+    unboosted ranking)."""
+    weights: dict[str, float] = {}
+    order: list[str] = []
+
+    def go(n, negated: bool) -> None:
+        if isinstance(n, (Term, Phrase)):
+            if not negated:
+                for t in analyze_query(n.text):
+                    if t not in weights:
+                        weights[t] = n.boost
+                        order.append(t)
+                    else:
+                        weights[t] = max(weights[t], n.boost)
+        elif isinstance(n, Not):
+            go(n.child, not negated)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                go(c, negated)
+
+    go(node, False)
+    return [(t, weights[t]) for t in order]

@@ -156,9 +156,14 @@ def search_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 4,
+    term_weights: "Sequence[float] | None" = None,
 ) -> DataFrame:
     """Scored top-k keyword search — the reference's end-user query path
     (T1: top-10 by ``_score`` desc) run natively.
+
+    ``term_weights`` (parallel to the analyzed query terms) multiplies
+    each term's score contribution — the query-string ``term^boost``
+    surface. Default: all 1.0.
 
     ``scoring='tfidf'``: score = sum_t tf(t,d) * ln(N / df(t)).
     ``scoring='bm25'`` : Robertson/ES-style
@@ -183,6 +188,7 @@ def search_topk(
     per_doc, topk = _topk_pipeline(
         docs, terms, k, id_col=id_col, text_col=text_col,
         scoring=scoring, k1=k1, b=b, round_to=round_to,
+        term_weights=term_weights,
     )
     try:
         rows, schema = topk.collect(), topk.schema
@@ -202,6 +208,7 @@ def _topk_pipeline(
     k1: float,
     b: float,
     round_to: int,
+    term_weights: "Sequence[float] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(persisted per-doc projection, lazy top-k over it). The stats
     aggregate runs here (materializing the cache); the caller collects
@@ -219,7 +226,7 @@ def _topk_pipeline(
     ).first()
     scored = _score_from_per_doc(
         per_doc, terms, stats, scoring=scoring, k1=k1, b=b,
-        round_to=round_to, id_col=id_col,
+        round_to=round_to, id_col=id_col, term_weights=term_weights,
     )
     topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     return per_doc, topk
@@ -235,6 +242,7 @@ def _score_from_per_doc(
     b: float,
     round_to: int,
     id_col: str,
+    term_weights: "Sequence[float] | None" = None,
 ) -> DataFrame:
     """Scoring expression over the per-doc projection — corpus constants
     fold in as literals, so this is a narrow codegen'd projection."""
@@ -242,17 +250,20 @@ def _score_from_per_doc(
     avgdl = float(stats["avgdl"] or 0.0)
     import math
 
+    if term_weights is not None and len(term_weights) != len(terms):
+        raise ValueError("term_weights must parallel the analyzed terms")
     parts = []
     for i in range(len(terms)):
         dfi = float(stats[f"df_{i}"])
         if dfi == 0:
             continue
+        w = 1.0 if term_weights is None else float(term_weights[i])
         tf = F.col(f"tf_{i}").cast("double")
         if scoring == "tfidf":
-            contrib = tf * F.lit(math.log(n_docs / dfi))
+            contrib = tf * F.lit(w * math.log(n_docs / dfi))
         else:
             idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
-            contrib = F.lit(idf) * (tf * (k1 + 1.0)) / (
+            contrib = F.lit(w * idf) * (tf * (k1 + 1.0)) / (
                 tf + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
             )
         parts.append(F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(F.lit(0.0)))
@@ -282,6 +293,7 @@ def search_paged(
     highlight: bool = True,
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
+    term_weights: "Sequence[float] | None" = None,
 ) -> DataFrame:
     """ES-style result page: hits ``from_ .. from_+size`` of the scored
     ranking, each with its rank and (optionally) a highlighted text
@@ -295,7 +307,8 @@ def search_paged(
     if from_ < 0 or size <= 0:
         raise ValueError("from_ must be >= 0 and size > 0")
     top = search_topk(
-        docs, query, from_ + size, id_col=id_col, text_col=text_col, scoring=scoring
+        docs, query, from_ + size, id_col=id_col, text_col=text_col,
+        scoring=scoring, term_weights=term_weights,
     )
     from pyspark.sql.window import Window
 
@@ -441,6 +454,113 @@ def phrase_expr(text_col, terms: Sequence[str]) -> Column:
     space-joined token string (exact: tokens contain no spaces)."""
     joined = F.concat(F.lit(" "), F.array_join(tokens_expr(text_col), " "), F.lit(" "))
     return joined.contains(" " + " ".join(terms) + " ")
+
+
+def proximity_expr(text_col, terms: Sequence[str], slop: int) -> Column:
+    """Per-row predicate for a sloppy phrase (ES ``"a b"~N``): the
+    analyzer tokens contain ``terms`` IN ORDER with at most ``slop``
+    extra positions between the first and last match
+    (``last - first - (k-1) <= slop``; slop=0 == exact phrase).
+
+    Pure array expressions — per-term position arrays via
+    ``transform`` + ``filter`` over the row's token array, then a
+    nested ``exists`` chain (one level per term, each bounded by the
+    previous match's position). No explode, no join, no shuffle; the
+    position arrays are tf-sized so the nesting is cheap. This is the
+    ordered-window interpretation of slop (ES also admits reordering
+    at transposition cost; a reordered pair needs slop >= 2 there —
+    documented deviation, the ordered form is what the filter surface
+    guarantees).
+    """
+    if not terms:
+        return F.lit(False)
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if len(terms) == 1:
+        return F.array_contains(tokens_expr(text_col), terms[0])
+    toks = tokens_expr(text_col)
+
+    def positions(term: str) -> Column:
+        # index of every occurrence of `term` in the token array
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == F.lit(term), i).otherwise(-1)),
+            lambda x: x >= 0,
+        )
+
+    k = len(terms)
+
+    def chain(i: int, prev_pos: Column, first_pos: Column) -> Column:
+        # exists p in positions(terms[i]): p > prev AND (if last) window fits
+        if i == k - 1:
+            return F.exists(
+                positions(terms[i]),
+                lambda p: (p > prev_pos) & (p - first_pos <= F.lit(k - 1 + slop)),
+            )
+        return F.exists(
+            positions(terms[i]),
+            lambda p: (p > prev_pos)
+            & (p - first_pos <= F.lit(k - 1 + slop))
+            & chain(i + 1, p, first_pos),
+        )
+
+    return F.exists(positions(terms[0]), lambda p0: chain(1, p0, p0))
+
+
+def proximity_match(
+    docs: DataFrame,
+    phrase: str,
+    slop: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """ES ``match_phrase`` with slop (query-string ``"a b"~N``):
+    documents whose tokens contain the phrase terms in order within a
+    ``k-1+slop`` position window. One narrow filter (proximity_expr)."""
+    terms = analyze_query(phrase)
+    if not terms:
+        return docs.select(id_col).limit(0)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return (
+        fan_out(docs)
+        .filter(proximity_expr(text_col, terms, slop))
+        .select(id_col)
+    )
+
+
+def fuzzy_vocab_terms(
+    docs: DataFrame,
+    term: str,
+    *,
+    max_edits: int = 2,
+    text_col: TextCols = "text",
+    max_expansions: int = 1024,
+) -> list[str]:
+    """The distinct corpus tokens within ``max_edits`` Levenshtein
+    distance of ``term`` — the vocabulary-expansion step of a fuzzy
+    query, reusable by any caller that needs the matched variants as
+    literals (e.g. the query-string compiler folds them into one
+    ``arrays_overlap`` so the fuzzy clause stays a narrow predicate).
+
+    The distinct-vocabulary aggregate is the same map-side-partial
+    shape as :func:`fuzzy_match`; only the matched variants (bounded
+    by ``max_expansions``, nearest-first like ES's expansion cap) are
+    collected."""
+    t = term.lower()
+    d = F.levenshtein(F.col("term"), F.lit(t), max_edits)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    vocab = (
+        tokenize(fan_out(docs), text_col)
+        .select(F.explode("tokens").alias("term"))
+        .distinct()
+        .withColumn("__d", d)
+        .filter((F.col("__d") >= 0) & (F.col("__d") <= max_edits))
+        .orderBy(F.asc("__d"), F.asc("term"))
+        .limit(max_expansions)
+    )
+    return [r["term"] for r in vocab.collect()]
 
 
 def phrase_match(

@@ -274,6 +274,36 @@ def s4_s6_ddl_lifecycle(spark, sf_dir):
     return spark.createDataFrame(out, "index_name string, database string")
 
 
+@register("l3_search_all_indices")  # rows-only: catalog DDL side effects
+def l3_search_all_indices(spark, sf_dir):
+    """L3 [ES parity]: cross-index search — the reference UI's "all
+    index" option (HtmlController.java:27, indexView.html:15-17).
+    Two halves of the documents table load into separate indices;
+    ``query_data(..., "_all")`` scatter-gathers per-index top-k (each
+    index scored on its OWN BM25 stats, like ES) and merges by score
+    with an ``index`` provenance column."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:8]
+    a, b = f"all_probe_a_{tag}", f"all_probe_b_{tag}"
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 0), a,
+                           id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), b,
+                           id_col="doc_id")
+    try:
+        hits = api.query_data(spark, "spark join window", "_all", k=10)
+        rows = hits.select(
+            "doc_id", "score", F.regexp_replace("index", tag, "X").alias("index")
+        ).collect()
+    finally:
+        api.delete_index(spark, a)
+        api.delete_index(spark, b)
+    return spark.createDataFrame(rows, "doc_id string, score double, index string")
+
+
 @register(
     "s7_csv_json_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey, 'csv' AS via FROM nation "
@@ -788,9 +818,9 @@ def l2_dedup_resolution(spark, sf_dir):
     non-SQL-expressible step) -> canonical-survivor dedup. Returns the
     reconciliation row: corpus size, survivors, removed."""
     from bigdatasearchpro_spark.operators import neardup
-    from bigdatasearchpro_spark.registry_text import _with_synthetic_neardups
+    from bigdatasearchpro_spark.registry_text import _neardup_corpus
 
-    corpus = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    corpus = _neardup_corpus(spark, sf_dir)
     pairs = neardup.minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
     kept = neardup.dedup_by_pairs(corpus, pairs)
     n, k = corpus.count(), kept.count()

@@ -193,6 +193,115 @@ def l3_query_string(spark, sf_dir):
     return query_string_filter(docs, _QS_QUERY).select("doc_id", "lang", "source")
 
 
+_FTOKS = _COL_TOKS.format(c="text")
+
+
+@register(
+    "l3_qs_fuzzy",
+    f"""
+    WITH t AS (SELECT doc_id, {_FTOKS} AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest(toks) AS term FROM t)
+    SELECT DISTINCT doc_id FROM pos WHERE levenshtein(term, 'strem') <= 1
+    """,
+)
+def l3_qs_fuzzy(spark, sf_dir):
+    """L3 [ES parity]: query-string fuzzy (`strem~1`) — vocabulary-first
+    expansion (bounded levenshtein once per DISTINCT term) folded back
+    into one arrays_overlap literal, so the corpus-side filter stays a
+    narrow codegen'd predicate (operators/querystring.py grammar;
+    public ES 6.x syntax reachable from the reference's search box,
+    indexView.html:13-19)."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return query_string_filter(docs, "strem~1", default_field="text").select(
+        "doc_id"
+    ).distinct()
+
+
+@register(
+    "l3_qs_proximity",
+    f"""
+    WITH t AS (SELECT doc_id, {_FTOKS} AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS p
+            FROM t)
+    SELECT DISTINCT a.doc_id
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.p > a.p AND b.p - a.p <= 4
+    WHERE a.term = 'data' AND b.term = 'window'
+    """,
+)
+def l3_qs_proximity(spark, sf_dir):
+    """L3 [ES parity]: query-string proximity (`"data window"~3`) — the
+    phrase terms in order within a k-1+slop position window, as a pure
+    array expression over per-term position arrays (no explode, no
+    join; operators/search.py proximity_expr). The oracle is the
+    equivalent positional self-join."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return query_string_filter(docs, '"data window"~3', default_field="text").select(
+        "doc_id"
+    ).distinct()
+
+
+@register(
+    "l3_qs_boost_topk",
+    f"""
+    WITH {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl)
+    SELECT tf.doc_id,
+           round(sum(
+             (CASE tf.term WHEN 'join' THEN 2.0 WHEN 'window' THEN 3.0
+                           ELSE 1.0 END)
+             * ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+           ), 4) AS score
+    FROM tf
+    CROSS JOIN nn CROSS JOIN avgdl
+    JOIN dfs ON tf.term = dfs.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_qs_boost_topk(spark, sf_dir):
+    """L3 [ES parity]: query-string boosts (`spark join^2 window^3`) —
+    per-term `^N` weights multiply the BM25 term contributions
+    (weighted_terms -> search_topk term_weights); plan identical to the
+    unboosted flagship (single corpus scan, weights fold into the
+    scoring literals)."""
+    from bigdatasearchpro_spark.operators.querystring import (
+        parse_query_string,
+        weighted_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = weighted_terms(parse_query_string("spark join^2 window^3"))
+    return search.search_topk(
+        docs,
+        " ".join(t for t, _ in wt),
+        10,
+        term_weights=[w for _, w in wt],
+    )
+
+
 @register(
     "l3_range_query",
     f"""
@@ -639,6 +748,25 @@ def _with_synthetic_neardups(docs):
     return docs.unionByName(mutated)
 
 
+# One persisted copy of the mutated corpus per (session, sf_dir): each
+# near-dup query reads it 2-3x (signatures + verification join-back),
+# and the bench suite runs five of them back to back — without the
+# cache the scan+union recomputes ~12x per run. This is a FIXTURE-PREP
+# cache, deliberately session-lifetime: the corpus is the small
+# documents table (never 100 TB — production near-dup runs on the real
+# corpus, where the analogous move is persisting the signature table,
+# which the operators already do).
+_neardup_corpus_cache: dict = {}
+
+
+def _neardup_corpus(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _neardup_corpus_cache:
+        df = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+        _neardup_corpus_cache[key] = df.persist()
+    return _neardup_corpus_cache[key]
+
+
 # mutated corpus the near-dup entries run on (mirror of
 # _with_synthetic_neardups): every 10th doc reappears with id+100000
 # and one appended word.
@@ -657,7 +785,7 @@ def l2_minhash_lsh_pairs(spark, sf_dir):
     """L2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
     verified with exact shingle Jaccard. Synthetic mutations guarantee
     recall targets exist; tests assert (d, d+100000) pairs are found."""
-    docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    docs = _neardup_corpus(spark, sf_dir)
     return neardup.minhash_lsh_pairs(
         docs, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5
     )
@@ -679,7 +807,7 @@ def l2_minhash_lsh_pairs_md5(spark, sf_dir):
     recompute bit-for-bit — so signatures, banding, the estimate
     prefilter, and the exact-Jaccard verify are all hash-verified
     against an independent engine, not just rows-only."""
-    docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    docs = _neardup_corpus(spark, sf_dir)
     return neardup.minhash_lsh_pairs(
         docs, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5,
         hash_fn="portable",
@@ -691,7 +819,7 @@ def l2_simhash_pairs(spark, sf_dir):
     """L2: SimHash near-dup pairs (64-bit signature, 8-chunk blocking,
     Hamming ≤ 7 — within the pigeonhole recall guarantee of
     n_chunks-1)."""
-    docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    docs = _neardup_corpus(spark, sf_dir)
     return neardup.simhash_pairs(docs, max_hamming=7, n_chunks=8)
 
 
@@ -727,7 +855,7 @@ def l2_ngram_jaccard_pairs(spark, sf_dir):
     """L2: exact word-3-gram Jaccard join, blocked by source column.
     Deterministic end to end, so the whole pipeline (analyzer, n-gram
     construction, set Jaccard, threshold) is oracle-checked."""
-    docs = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
+    docs = _neardup_corpus(spark, sf_dir)
     return neardup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="source")
 
 

@@ -35,3 +35,37 @@ def test_full_service_lifecycle(spark, sf_dir, docs):
     finally:
         api.delete_index(spark, idx)
     assert idx.lower() not in api.get_all_index(spark)
+
+
+def test_query_data_all_indices_scatter_gather(spark, sf_dir, docs):
+    """`index_name="_all"` (the reference UI's "all index" option,
+    HtmlController.java:27): per-index top-k searched independently,
+    merged by score with an `index` provenance column."""
+    a, b = "all_test_idx_a", "all_test_idx_b"
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 0), a,
+                           id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), b,
+                           id_col="doc_id")
+    try:
+        hits = api.query_data(spark, "spark join window", "_all", k=6)
+        rows = hits.collect()
+        assert 0 < len(rows) <= 6
+        assert {r["index"] for r in rows} <= {a, b}
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # a page wide enough for every hit reaches BOTH indices and
+        # reproduces each index's own single-index ranking exactly
+        n = docs.count()
+        wide = api.query_data(spark, "spark join window", "_all", k=n).collect()
+        assert {r["index"] for r in wide} == {a, b}
+        for idx in (a, b):
+            single = {
+                (r["doc_id"], r["score"])
+                for r in api.query_data(spark, "spark join window", idx, k=n).collect()
+            }
+            assert {
+                (r["doc_id"], r["score"]) for r in wide if r["index"] == idx
+            } == single
+    finally:
+        api.delete_index(spark, a)
+        api.delete_index(spark, b)

@@ -181,3 +181,77 @@ def test_paged_highlight_wraps_query_terms(docs):
             for s in r.highlight.split("<em>")[1:]
         ]
         assert set(inner) <= {"spark", "join", "window"}
+
+
+# ---------------------------------------------------------------------------
+# round-3 grammar: boosts (^N), fuzzy (~N), proximity ("..."~N)
+# ---------------------------------------------------------------------------
+
+def test_parse_boost_fuzzy_proximity():
+    assert parse_query_string("engine^2") == Term(None, "engine", None, 2.0)
+    assert parse_query_string("enginn~1") == Term(None, "enginn", 1)
+    assert parse_query_string("enginn~") == Term(None, "enginn", 2)  # ES AUTO
+    assert parse_query_string("enginn~1^0.5") == Term(None, "enginn", 1, 0.5)
+    assert parse_query_string('"big engine"~2') == Phrase(None, "big engine", 2)
+    assert parse_query_string('"big engine"~2^3') == Phrase(None, "big engine", 2, 3.0)
+    assert parse_query_string("dat*^4") == Wildcard(None, "dat*", 4.0)
+    assert parse_query_string("f:val~1") == Term("f", "val", 1)
+    # tilde mid-word is literal text, not fuzziness
+    assert parse_query_string("a~b") == Term(None, "a~b")
+
+
+def test_parse_fuzzy_wildcard_combo_rejected():
+    with pytest.raises(ValueError):
+        parse_query_string("dat*~1")
+
+
+def test_fuzzy_clause_matches_vocab_variants(mini):
+    # levenshtein(datum, data) = 2 (sub u->a + del m): ~2 reaches 'data'
+    got = {r.doc_id for r in query_string_filter(mini, "datum~2").collect()}
+    assert got >= {1, 2, 3}
+    got1 = {r.doc_id for r in query_string_filter(mini, "datum~1").collect()}
+    assert got1 == {3}
+    # exact term for contrast
+    exact = {r.doc_id for r in query_string_filter(mini, "datum").collect()}
+    assert exact == {3}
+
+
+def test_proximity_clause_window(mini):
+    # doc 2: "the spark engine joins data" — spark..joins are 2 apart
+    assert {
+        r.doc_id for r in query_string_filter(mini, '"spark joins"~1').collect()
+    } == {2}
+    # slop 0 via quoted phrase (exact adjacency) does not match
+    assert query_string_filter(mini, '"spark joins"').count() == 0
+    # order still required: reversed terms never match in ordered-window slop
+    assert query_string_filter(mini, '"joins spark"~3').count() == 0
+
+
+def test_proximity_three_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "a x b y c"), (2, "a b c"), (3, "c b a"), (4, "a x x x b c")],
+        "doc_id long, text string",
+    )
+    # window = k-1+slop positions between first and last
+    assert {
+        r.doc_id for r in query_string_filter(df, '"a b c"~2').collect()
+    } == {1, 2}
+    assert {
+        r.doc_id for r in query_string_filter(df, '"a b c"~3').collect()
+    } == {1, 2, 4}
+
+
+def test_boost_reorders_ranking(mini):
+    from bigdatasearchpro_spark.operators.querystring import (
+        parse_query_string as p,
+        weighted_terms,
+    )
+
+    assert weighted_terms(p("engine^3 OR data")) == [("engine", 3.0), ("data", 1.0)]
+    # max-boost wins for a term reachable twice
+    assert weighted_terms(p("x^2 OR x")) == [("x", 2.0)]
+    top = search.search_topk(
+        mini, "database spark", 4, term_weights=[5.0, 1.0]
+    ).collect()
+    # doc 3 holds 'database'; with 5x boost it must outrank the spark doc
+    assert top[0].doc_id == 3

@@ -332,17 +332,32 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_re: str | None = None,
+    impl: str = "packed",
 ) -> DataFrame:
     """One row per document with a 64-bit SimHash column ``__sim``.
 
     Per-token xxhash64; each bit position accumulates +1/-1 by the
-    token's bit; sign of the sum sets the output bit. Computed as
-    explode + 64 flat SUM aggregates (codegen'd hash-agg with map-side
-    partials) — shuffle volume is 64 longs per document.
+    token's bit; sign of the vote sum sets the output bit.
+
+    ``impl='packed'`` (default): the 64 per-bit vote counters are packed
+    4-to-a-long as 16-bit lanes — 16 SUM aggregates instead of 64, and
+    the per-row update is pure shift/mask arithmetic with no branches.
+    Only the count of SET bits is accumulated (bit b of the signature is
+    1 iff ``2*ones_b > n_tokens``, algebraically identical to the ±1
+    sum being positive), so each lane is bounded by the doc's token
+    count: lanes cannot carry into each other while every document has
+    < 65536 tokens, which is ASSERTED via the same aggregate (a 100 TB
+    corpus with longer documents chunks first — chunk_documents — or
+    uses ``impl='wide'``). Bit-equality with the wide form is tested.
+
+    ``impl='wide'``: the original 64-column ±1 SUM formulation (kept as
+    the unbounded-length fallback and the equality oracle).
     """
     from bigdatasearchpro_spark.operators.search import TOKEN_SPLIT_RE
     from bigdatasearchpro_spark.sources.files import fan_out
 
+    if impl not in ("packed", "wide"):
+        raise ValueError(f"unknown impl: {impl!r}")
     if token_re is None:
         token_re = TOKEN_SPLIT_RE
     toked = fan_out(docs).select(
@@ -351,20 +366,71 @@ def simhash_signatures(
             F.filter(F.split(F.lower(F.col(text_col)), token_re), lambda t: t != "")
         ).alias("__t"),
     ).withColumn("__h", F.xxhash64(F.col("__t")))
+
+    if impl == "wide":
+        votes = toked.groupBy(id_col).agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(F.col("__h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                ).alias(f"v{bit}")
+                for bit in range(64)
+            ]
+        )
+        out = F.lit(0).cast("long")
+        for bit in range(64):
+            out = out.bitwiseOR(
+                F.when(
+                    F.col(f"v{bit}") > 0,
+                    F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return votes.select(F.col(id_col), out.alias("__sim"))
+
+    # packed: long g holds bits {4g..4g+3} in four 16-bit lanes
+    h = F.col("__h")
+
+    def packed(g: int):
+        lanes = None
+        for k in range(4):
+            b = 4 * g + k
+            lane = F.shiftleft(
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long"),
+                16 * k,
+            )
+            lanes = lane if lanes is None else lanes + lane
+        return lanes
+
     votes = toked.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{bit}")
-            for bit in range(64)
-        ]
+        F.count("*").alias("__n"),
+        *[F.sum(packed(g)).alias(f"p{g}") for g in range(16)],
     )
+    # guard BEFORE decoding: a >=65536-token doc would have carried
+    # between lanes and silently corrupted neighbors' counts
+    votes = votes.withColumn(
+        "__n",
+        F.when(
+            F.col("__n") < F.lit(1 << 16), F.col("__n")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("simhash packed lanes overflow: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" has >= 65536 tokens; chunk it or use impl='wide'"),
+                )
+            ).cast("long")
+        ),
+    )
+    n = F.col("__n")
     out = F.lit(0).cast("long")
     for bit in range(64):
+        g, k = bit // 4, bit % 4
+        ones = F.shiftrightunsigned(F.col(f"p{g}"), 16 * k).bitwiseAND(
+            F.lit(0xFFFF)
+        )
         out = out.bitwiseOR(
             F.when(
-                F.col(f"v{bit}") > 0,
+                ones * 2 > n,
                 F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
         )
@@ -378,6 +444,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_chunks: int = 4,
+    max_bucket: int | None = 65536,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of
     ``n_chunks`` 16-bit chunks (pigeonhole: any pair within
@@ -389,6 +456,18 @@ def simhash_pairs(
     and never become a candidate, so the combination is rejected rather
     than silently under-recalling. More chunks buy a larger radius at
     the cost of smaller (more collision-prone) chunks.
+
+    Skew guard (``max_bucket``): at 10^10 documents a popular 16-bit
+    chunk value makes its bucket quadratic. Buckets larger than
+    ``max_bucket`` are re-banded by a SECONDARY pigeonhole: members of a
+    hot (chunk, value) bucket agree on that chunk, so their <=
+    ``max_hamming`` differing bits all lie in the remaining 48 bits —
+    splitting those into ``max_hamming+1`` sub-chunks guarantees any
+    qualifying pair still collides on some (chunk, value, sub, subval)
+    band. Recall is EXACTLY preserved; the hot bucket's join fan-out
+    drops from |bucket|^2 to the sub-bucket sizes. Costs one extra
+    count-aggregate over the (id, chunk, value) rows (ids + longs, not
+    text) and a broadcast of the (tiny) hot-bucket list.
     """
     if max_hamming > n_chunks - 1:
         raise ValueError(
@@ -417,22 +496,101 @@ def simhash_pairs(
         ).alias("__c"),
     ).select(id_col, "__sim", "__c.chunk", "__c.ch")
 
+    if max_bucket is not None:
+        chunked = _split_hot_buckets(
+            chunked, bounds, max_hamming=max_hamming, max_bucket=max_bucket
+        )
+        band_keys = ["chunk", "ch", "sub", "subch"]
+    else:
+        band_keys = ["chunk", "ch"]
+
     left = chunked.select(
-        F.col(id_col).alias("left_id"), F.col("__sim").alias("__ls"), "chunk", "ch"
+        F.col(id_col).alias("left_id"), F.col("__sim").alias("__ls"), *band_keys
     )
     right = chunked.select(
-        F.col(id_col).alias("right_id"), F.col("__sim").alias("__rs"), "chunk", "ch"
+        F.col(id_col).alias("right_id"), F.col("__sim").alias("__rs"), *band_keys
     )
+    # Verify BEFORE deduplicating: bit_count(xor) is a few cycles and
+    # runs map-side right at the join output, so the dropDuplicates
+    # exchange carries only TRUE pairs (a pair can surface from up to
+    # n_chunks bands) — not the full candidate fan-out, which is 10-100x
+    # larger under small chunk widths or skewed buckets.
     return (
-        left.join(right, ["chunk", "ch"])
+        left.join(right, band_keys)
         .filter(F.col("left_id") < F.col("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("__ls").bitwiseXOR(F.col("__rs"))),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["left_id", "right_id"])
         .select("left_id", "right_id", "hamming")
+    )
+
+
+def _split_hot_buckets(
+    chunked: DataFrame,
+    bounds: list[int],
+    *,
+    max_hamming: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Secondary banding for over-full simhash buckets (see
+    :func:`simhash_pairs`). Cold rows keep one band with
+    ``sub = subch = -1``; rows of a hot (chunk, ch) bucket fan out to
+    ``max_hamming + 1`` sub-bands keyed by equal-width slices of the
+    signature's OTHER bits (the bucket's own chunk bits are excised —
+    all members share them, they carry no information)."""
+    hot = (
+        chunked.groupBy("chunk", "ch")
+        .agg(F.count("*").alias("__sz"))
+        .filter(F.col("__sz") > max_bucket)
+        .select("chunk", "ch", F.lit(True).alias("__hot"))
+    )
+    marked = chunked.join(F.broadcast(hot), ["chunk", "ch"], "left").withColumn(
+        "__hot", F.coalesce(F.col("__hot"), F.lit(False))
+    )
+
+    n_sub = max_hamming + 1
+    sim = F.col("__sim")
+
+    def rem_bits(c: int):
+        # signature with chunk c's bit range excised and the halves
+        # concatenated: low bits stay, high bits shift down
+        lo_w = bounds[c]
+        low = sim.bitwiseAND(F.lit((1 << lo_w) - 1)) if lo_w > 0 else F.lit(0).cast("long")
+        high = F.shiftleft(F.shiftrightunsigned(sim, bounds[c + 1]), lo_w)
+        return low.bitwiseOR(high)
+
+    def sub_bands(c: int):
+        width = 64 - (bounds[c + 1] - bounds[c])
+        sw = width // n_sub  # equal-width slices; remainder joins the last
+        rem = rem_bits(c)
+        bands = []
+        for s in range(n_sub):
+            take = width - sw * (n_sub - 1) if s == n_sub - 1 else sw
+            bands.append(
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.shiftrightunsigned(rem, sw * s)
+                    .bitwiseAND(F.lit((1 << take) - 1))
+                    .alias("subch"),
+                )
+            )
+        return F.array(*bands)
+
+    n_chunks = len(bounds) - 1
+    sub_expr = F.when(
+        ~F.col("__hot"),
+        F.array(F.struct(F.lit(-1).alias("sub"), F.lit(-1).cast("long").alias("subch"))),
+    )
+    for c in range(n_chunks):
+        sub_expr = sub_expr.when(F.col("chunk") == c, sub_bands(c))
+    return (
+        marked.select(
+            *[col for col in chunked.columns], F.explode(sub_expr).alias("__s")
+        )
+        .select(*[col for col in chunked.columns], "__s.sub", "__s.subch")
     )
 
 

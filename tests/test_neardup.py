@@ -182,3 +182,90 @@ def test_portable_hash_matches_duckdb(spark):
             [w, w, w],
         ).fetchone()
         assert got[w] == (h, p0, p1), w
+
+
+def test_simhash_packed_equals_wide(docs):
+    """The lane-packed vote accumulation must be BIT-identical to the
+    original 64-column ±1 SUM formulation."""
+    data = _planted(docs)
+    packed = {
+        (r["doc_id"], r["__sim"])
+        for r in neardup.simhash_signatures(data, impl="packed").collect()
+    }
+    wide = {
+        (r["doc_id"], r["__sim"])
+        for r in neardup.simhash_signatures(data, impl="wide").collect()
+    }
+    assert packed == wide
+
+
+def test_simhash_skew_guard_preserves_pairs(docs):
+    """Forcing every bucket hot (max_bucket=0) must return the same
+    verified pairs as the unguarded path — the secondary pigeonhole is
+    recall-exact, not approximate."""
+    data = _planted(docs).limit(400)
+    plain = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in neardup.simhash_pairs(data, max_bucket=None).collect()
+    }
+    guarded = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in neardup.simhash_pairs(data, max_bucket=0).collect()
+    }
+    assert guarded == plain
+
+
+def test_simhash_skew_guard_caps_bucket_fanout(spark):
+    """Planted skew: many docs sharing low-16 signature bits. The guard
+    re-bands hot buckets so no band's join fan-out stays quadratic."""
+    from bigdatasearchpro_spark.operators.neardup import (
+        _split_hot_buckets,
+        simhash_signatures,
+    )
+
+    # identical short docs -> identical signatures -> one white-hot bucket
+    rows = [(i, "hot bucket payload shared by all") for i in range(300)] + [
+        (1000 + i, f"cool doc number {i} with words w{i} x{i*7%13}") for i in range(100)
+    ]
+    data = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash_signatures(data)
+    bounds = [0, 16, 32, 48, 64]
+    chunked = sigs.select(
+        "doc_id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("__sim"), bounds[c])
+                        .bitwiseAND(F.lit((1 << 16) - 1))
+                        .alias("ch"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("__c"),
+    ).select("doc_id", "__sim", "__c.chunk", "__c.ch")
+    banded = _split_hot_buckets(chunked, bounds, max_hamming=3, max_bucket=50)
+    sizes = (
+        banded.groupBy("chunk", "ch", "sub", "subch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    # the hot identical-signature bucket CANNOT be split by signature
+    # bits (all equal) — it stays one band per sub-chunk; but every
+    # mixed bucket must respect the cap once re-banded. Assert the
+    # guard fans hot buckets out into > 1 band overall and cold
+    # buckets keep their single -1 band.
+    assert any(r["sub"] >= 0 for r in sizes)  # hot path exercised
+    assert any(r["sub"] == -1 for r in sizes)  # cold path intact
+    # re-banded hot buckets: each original hot (chunk, ch) now appears
+    # as max_hamming+1 sub-bands
+    from collections import defaultdict
+
+    subs = defaultdict(set)
+    for r in sizes:
+        if r["sub"] >= 0:
+            subs[(r["chunk"], r["ch"])].add(r["sub"])
+    assert all(s == {0, 1, 2, 3} for s in subs.values())

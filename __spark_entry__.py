@@ -29,44 +29,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["l3_search_bm25_topk"](spark, "/root/testdata/sf0.001")
 
 
-# Entries the round-1 driver verified before its run stopped (its
-# CORRECTNESS_r01.json truncated at 49 of 90 registry entries, in
-# registration order). queries() yields the 40+ entries the driver has
-# NOT yet checked FIRST — so even a budget-truncated round-2 run covers
-# them — with the few genuinely slow entries at the end of that block
-# and the round-1-confirmed entries last.
-_R1_COVERED = frozenset({
-    "s1_full_scan", "p1_stringify_all", "p2_key_by_guid", "p3_lowercase_names",
-    "l1_dedup_last_write_wins", "l1_dedup_content_hash", "a1_row_count",
-    "a2_table_doc_counts", "p4_filter_predicates", "p5_column_pruning",
-    "a3_pricing_summary", "a4_count_distinct", "a4_approx_distinct",
-    "a5_rollup", "a5_cube", "j1_join_revenue_by_nation", "j2_semi_anti_join",
-    "j3_range_join", "j4_broadcast_join", "w1_rank_topn_per_group",
-    "w2_lag_lead", "w3_running_sum", "t1_topk_orders", "t2_global_sort",
-    "set1_union_intersect_except", "l3_keyword_match_any",
-    "l3_keyword_match_all", "l3_search_tfidf_topk", "l3_search_bm25_topk",
-    "f1_string_funcs", "f2_date_funcs", "f3_json_funcs", "f4_array_funcs",
-    "f5_math_case_funcs", "l4_cosine_topk", "l4_ann_lsh_topk",
-    "j5_similarity_join", "l5_text_quality_stats", "l5_lang_id",
-    "l5_fingerprint", "l2_minhash_lsh_pairs", "l2_simhash_pairs",
-    "l2_ngram_jaccard_pairs", "st1_tumbling_window", "st2_sliding_window",
-    "st3_session_window", "st4_streaming_dedup", "u1_pandas_udf_token_count",
-    "u2_udaf_weighted_mean", "u3_apply_in_pandas_zscore",
-})
-_SLOW = (
-    "l2_minhash_lsh_pairs_md5",
-    "l2_dedup_resolution",
-    "l4_ann_ivf_indexed",
-    "st5_stateful_sessionize",
+# Driver-coverage ordering (the driver checks entries in queries()
+# order and may stop early on a budget): every entry should get a fresh
+# verdict at least every other round, with the round's FIXES and NEW
+# entries guaranteed a verdict.
+#
+# Round-3 priority: (1) the three entries that failed in r2 (reshaped
+# this round — a6/l6 array-cell canonicalizer errors, l5 hash
+# mismatch), (2) entries new this round, (3) the rows-only entries
+# (weakest standing evidence), (4) everything else in registration
+# order.
+_R3_FIXED = (
+    "a6_exact_quantiles",
+    "l6_decode_features",
+    "l5_repetition_stats",
+)
+_R3_NEW = (
+    "l3_qs_fuzzy",
+    "l3_qs_proximity",
+    "l3_qs_boost_topk",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    new = [n for n in QUERIES if n not in _R1_COVERED and n not in _SLOW]
-    slow_new = [n for n in _SLOW if n in QUERIES]
-    covered = [n for n in QUERIES if n in _R1_COVERED]
-    return {n: QUERIES[n] for n in (*new, *slow_new, *covered)}
+    front = [n for n in (*_R3_FIXED, *_R3_NEW) if n in QUERIES]
+    rows_only = [n for n in QUERIES if n not in ORACLES and n not in front]
+    rest = [n for n in QUERIES if n not in front and n not in rows_only]
+    return {n: QUERIES[n] for n in (*front, *rows_only, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "t1_topk_orders",
     "l3_search_bm25_topk",
     "l3_query_string",
+    "l3_qs_boost_topk",
     "l4_cosine_topk",
     "l5_text_quality_stats",
     "l2_simhash_pairs",

@@ -726,23 +726,22 @@ def dedup_by_pairs(
     return docs.join(F.broadcast(losers), id_col, "left_anti")
 
 
-def portable_minhash_oracle_sql(
-    corpus_cte: str,
+def portable_minhash_pairs_ctes(
     *,
     n_perms: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
+    corpus: str = "corpus",
 ) -> str:
-    """DuckDB program computing EXACTLY what
-    ``minhash_lsh_pairs(..., hash_fn='portable')`` computes — same
-    shingles, same md5-derived base hash, same affine permutations, same
-    band keys, same estimate prefilter, same exact-Jaccard verify. Every
-    stage is integer/double arithmetic both engines evaluate
-    identically, so the driver's value-hash comparison holds bit-level.
-
-    ``corpus_cte``: a CTE body named ``corpus`` yielding (doc_id, text).
-    """
+    """The CTE chain (``sh`` .. ``pairs``) computing EXACTLY what
+    ``minhash_lsh_pairs(..., hash_fn='portable')`` computes over a
+    prior CTE named ``corpus`` with (doc_id, text) — same shingles,
+    same md5-derived base hash, same affine permutations, same band
+    keys, same estimate prefilter, same exact-Jaccard verify. Emitted
+    as a fragment so larger oracles (the end-to-end pipeline entry)
+    can compose it; ``portable_minhash_oracle_sql`` wraps it for the
+    standalone pairs entry."""
     p = PORTABLE_PRIME
     k = _BAND_FOLD_K
     rows_per_band = n_perms // bands
@@ -768,12 +767,11 @@ def portable_minhash_oracle_sql(
     est_terms = " + ".join(f"(ls.mh{i} = rs.mh{i})::INT" for i in range(n_perms))
 
     return f"""
-    WITH {corpus_cte},
     sh AS (
       SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
       FROM (
         SELECT d.doc_id, substring(d.lt, i.i, {shingle_k}) AS s
-        FROM (SELECT doc_id, lower(text) AS lt FROM corpus) d,
+        FROM (SELECT doc_id, lower(text) AS lt FROM {corpus}) d,
         LATERAL (SELECT unnest(range(1, greatest(length(d.lt) - {shingle_k - 1}, 1) + 1)) AS i) i
       )
     ),
@@ -797,15 +795,41 @@ def portable_minhash_oracle_sql(
       JOIN sig rs ON c.right_id = rs.doc_id
       WHERE ({est_terms})::DOUBLE / {n_perms} >= {est_cut}
     ),
-    sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id)
-    SELECT left_id, right_id, jaccard_sim FROM (
-      SELECT s.left_id, s.right_id,
-        round(CASE WHEN len(list_distinct(list_concat(a.hs, b.hs))) > 0
-          THEN len(list_intersect(a.hs, b.hs))::DOUBLE
-               / len(list_distinct(list_concat(a.hs, b.hs)))
-          ELSE 0.0 END, 4) AS jaccard_sim
-      FROM surv s
-      JOIN sets a ON s.left_id = a.doc_id
-      JOIN sets b ON s.right_id = b.doc_id
-    ) WHERE jaccard_sim >= {jaccard_threshold}
+    sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT left_id, right_id, jaccard_sim FROM (
+        SELECT s.left_id, s.right_id,
+          round(CASE WHEN len(list_distinct(list_concat(a.hs, b.hs))) > 0
+            THEN len(list_intersect(a.hs, b.hs))::DOUBLE
+                 / len(list_distinct(list_concat(a.hs, b.hs)))
+            ELSE 0.0 END, 4) AS jaccard_sim
+        FROM surv s
+        JOIN sets a ON s.left_id = a.doc_id
+        JOIN sets b ON s.right_id = b.doc_id
+      ) WHERE jaccard_sim >= {jaccard_threshold}
+    )"""
+
+
+def portable_minhash_oracle_sql(
+    corpus_cte: str,
+    *,
+    n_perms: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> str:
+    """DuckDB program for the standalone portable-minhash pairs entry
+    (see :func:`portable_minhash_pairs_ctes` for the stage chain and
+    the bit-reproducibility argument). ``corpus_cte``: a CTE body named
+    ``corpus`` yielding (doc_id, text)."""
+    ctes = portable_minhash_pairs_ctes(
+        n_perms=n_perms,
+        bands=bands,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    )
+    return f"""
+    WITH {corpus_cte},
+    {ctes}
+    SELECT left_id, right_id, jaccard_sim FROM pairs
     """

@@ -859,6 +859,132 @@ def l2_ngram_jaccard_pairs(spark, sf_dir):
     return neardup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="source")
 
 
+# The corpus the end-to-end pipeline entry ingests: the mutated
+# near-dup corpus PLUS exact duplicate copies (doc_id+200000) so the
+# exact-dedup stage has real work. SQL twin below.
+_PIPELINE_CORPUS_SQL = """
+corpus0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzzmutation'
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 17 = 0
+)
+"""
+
+_SPLIT_BUCKET_SQL = (
+    "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
+)
+
+
+@register(
+    "l5_pipeline_end_to_end",
+    f"""
+    WITH {_PIPELINE_CORPUS_SQL.strip()},
+    q AS (
+      SELECT * FROM corpus0
+      WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t <> '')) >= 30
+    ),
+    exmin AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+              FROM q GROUP BY md5(text)),
+    corpus AS (SELECT q.doc_id, q.text FROM q
+               JOIN exmin ON q.doc_id = exmin.doc_id),
+    {neardup.portable_minhash_pairs_ctes(n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5)},
+    kept AS (
+      SELECT doc_id FROM corpus
+      WHERE doc_id NOT IN (SELECT right_id FROM pairs)
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {_SPLIT_BUCKET_SQL} < 10 THEN 'val'
+                  WHEN {_SPLIT_BUCKET_SQL} < 20 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM kept
+    )
+    SELECT split, count(*) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM lab GROUP BY split
+    """,
+)
+def l5_pipeline_end_to_end(spark, sf_dir):
+    """THE reason this engine exists, as one entry: the LLM training-
+    data pipeline — quality gate -> exact dedup -> near-dup dedup ->
+    deterministic split — hash-verified end to end against DuckDB via
+    the portable hash family.
+
+    Stages (each individually an oracled registry entry; this composes
+    them):
+    1. quality gate: >= 30 whitespace words (narrow filter at the scan);
+    2. exact dedup: min doc_id per md5(text) hash-agg + semi-join
+       (shuffle carries (hash, id), never text);
+    3. near-dup dedup: portable MinHash+LSH verified pairs at Jaccard
+       0.5; the GREEDY resolution (drop any doc with a smaller
+       surviving near-neighbor) is SQL-expressible, unlike the
+       iterative connected-components form (l2_dedup_resolution);
+    4. split: md5-bucket train/val/test (engine-portable twin of
+       l5_dataset_split's xxhash64 form) — reprocessing-stable.
+
+    Output: per-split doc count + id range (3 scalar rows)."""
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, sf_dir, "documents")
+    corpus0 = (
+        _neardup_corpus(spark, sf_dir)
+        .select("doc_id", "text")
+        .unionByName(
+            base.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    n_words = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    q = corpus0.filter(n_words >= 30)
+    exmin = (
+        q.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # The exact-dedup survivor table feeds MULTIPLE downstream scans
+    # (minhash signatures, the shingle-set verify join-back, the final
+    # anti-join) — persist it so the filter+hash-agg+semi-join prefix
+    # runs once, and materialize the 3-row result so the cache can be
+    # released deterministically before returning.
+    ex = q.join(exmin, "doc_id", "left_semi").persist()
+    try:
+        pairs = neardup.minhash_lsh_pairs(
+            ex, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5,
+            hash_fn="portable",
+        )
+        kept = ex.join(
+            pairs.select(F.col("right_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        bucket = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(100),
+        )
+        lab = kept.withColumn(
+            "split",
+            F.when(bucket < 10, "val").when(bucket < 20, "test").otherwise("train"),
+        )
+        out = lab.groupBy("split").agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        ex.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # §2.9 — streaming semantics, batch-checkable form (real streams in tests/)
 # ---------------------------------------------------------------------------

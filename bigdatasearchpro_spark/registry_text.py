@@ -859,6 +859,58 @@ def l2_ngram_jaccard_pairs(spark, sf_dir):
     return neardup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="source")
 
 
+@register(
+    "l5_chunk_documents",
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             greatest(ceil(length(text) / 150.0)::INT, 1) AS nc
+      FROM documents
+    ),
+    c AS (SELECT doc_id, text, unnest(range(0, nc))::INT AS chunk_id FROM n)
+    SELECT doc_id, chunk_id,
+           substring(text, chunk_id * 150 + 1, 200) AS chunk_text,
+           length(substring(text, chunk_id * 150 + 1, 200)) AS chunk_len
+    FROM c
+    """,
+)
+def l5_chunk_documents(spark, sf_dir):
+    """L5: sliding-window document chunking (context-window prep for
+    LLM training) — 200-char chunks, 150-char stride, 50-char overlap.
+    Narrow sequence+explode+substring: no shuffle, fan-out bounded by
+    len/stride (operators/textstats.py chunk_documents)."""
+    return textstats.chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=200, stride=150
+    )
+
+
+_SAMPLE_BUCKET_SQL = (
+    "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+)
+
+
+@register(
+    "l5_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_SAMPLE_BUCKET_SQL} <
+          CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 60 ELSE 100 END
+    """,
+)
+def l5_stratified_sample(spark, sf_dir):
+    """L5: deterministic stratified corpus rebalancing — cap the
+    dominant language (en -> 25%, zh -> 60%, rest whole) by md5-bucket
+    membership, so the exact kept set is reproducible under
+    reprocessing/repartitioning AND auditable in any engine (unlike
+    sampleBy, whose RNG depends on partition layout)."""
+    return textstats.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        {"en": 25, "zh": 60},
+        strata_col="lang",
+        default_pct=100,
+    ).select("doc_id", "lang")
+
+
 # The corpus the end-to-end pipeline entry ingests: the mutated
 # near-dup corpus PLUS exact duplicate copies (doc_id+200000) so the
 # exact-dedup stage has real work. SQL twin below.

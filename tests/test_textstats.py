@@ -84,3 +84,55 @@ def test_dataset_split_invariants(docs):
     assert set(c) <= {"train", "val", "test"}
     assert c["train"] > c["val"] > 0 and c["test"] > 0  # all splits populated
     assert abs(c["val"] / n - 0.10) < 0.05 and abs(c["test"] / n - 0.10) < 0.05
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from bigdatasearchpro_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 450), (2, "b" * 150), (3, "c" * 151), (4, "short")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, size=200, stride=150).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # ceil(len/stride) chunks per doc, min 1
+    assert {d: len(v) for d, v in by_doc.items()} == {1: 3, 2: 1, 3: 2, 4: 1}
+    # consecutive chunks overlap by size - stride chars; concatenation
+    # of stride-prefixes + last chunk reconstructs the document
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        full = "".join(r.chunk_text[:150] for r in rows[:-1]) + rows[-1].chunk_text
+        src = dict((r.doc_id, r.text) for r in df.collect())[d]
+        assert full == src
+        for a, b in zip(rows, rows[1:]):
+            assert a.chunk_text[150:] == b.chunk_text[: len(a.chunk_text) - 150]
+    assert all(r.chunk_len == len(r.chunk_text) for r in out)
+
+
+def test_stratified_sample_deterministic_and_capped(docs):
+    from bigdatasearchpro_spark.operators.textstats import stratified_sample
+
+    rates = {"en": 25, "zh": 60}
+    a = {r.doc_id for r in stratified_sample(docs, rates, default_pct=100).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(13), rates, default_pct=100).collect()
+    }
+    assert a == b  # identical kept set under repartitioning
+    full = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    by_lang_total = {}
+    by_lang_kept = {}
+    for d, lang in full.items():
+        by_lang_total[lang] = by_lang_total.get(lang, 0) + 1
+        if d in a:
+            by_lang_kept[lang] = by_lang_kept.get(lang, 0) + 1
+    # uncapped strata keep everything; capped strata keep ~their rate
+    for lang, total in by_lang_total.items():
+        kept = by_lang_kept.get(lang, 0)
+        if lang not in rates:
+            assert kept == total
+        else:
+            assert kept < total
+            assert abs(kept / total - rates[lang] / 100) < 0.15

@@ -48,6 +48,10 @@ _R3_NEW = (
     "l3_qs_fuzzy",
     "l3_qs_proximity",
     "l3_qs_boost_topk",
+    "l5_chunk_documents",
+    "l5_stratified_sample",
+    "l5_pipeline_end_to_end",
+    "l3_search_all_indices",
 )
 
 

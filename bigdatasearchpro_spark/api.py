@@ -68,6 +68,14 @@ def get_all_index(spark: SparkSession) -> list[str]:
     return [r["index_name"] for r in ddl.list_indices(spark).collect()]
 
 
+def _parse_sort(sort: str) -> tuple[str, bool]:
+    """ES URI-search ``sort=field:asc|desc`` (bare field = asc)."""
+    field, _, direction = sort.partition(":")
+    if not field or direction not in ("", "asc", "desc"):
+        raise ValueError(f"malformed sort spec: {sort!r} (use field[:asc|desc])")
+    return field, direction != "desc"
+
+
 def query_data(
     spark: SparkSession,
     query: str,
@@ -78,6 +86,7 @@ def query_data(
     id_col: str = "doc_id",
     text_col: "str | list[str] | None" = None,
     highlight: bool = False,
+    sort: str | None = None,
 ) -> DataFrame:
     """The search path — the reference's literal UX: the RAW user query
     string posted to URI search (``indexView.html:13-19`` rewrites the
@@ -116,17 +125,24 @@ def query_data(
             hit = query_data(
                 spark, query, n, k=from_ + k, from_=0,
                 id_col=id_col, text_col=text_col, highlight=highlight,
+                sort=sort,
             ).withColumn("index", F.lit(n))
             merged = hit if merged is None else merged.unionByName(hit)
         from pyspark.sql.window import Window
 
         # <= n_indices * (from_+k) rows: the single-partition window is
-        # over the merged candidate page, never an index.
+        # over the merged candidate page, never an index. With a field
+        # sort the merge re-sorts on the carried sort column (per-index
+        # pages are each sorted, so the global top from_+k is inside
+        # the merge input — same argument as the score merge).
+        if sort is not None:
+            f, asc = _parse_sort(sort)
+            lead = F.asc(f"sort_{f}") if asc else F.desc(f"sort_{f}")
+        else:
+            lead = F.desc("score")
         ranked = merged.withColumn(
             "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("index"), F.asc(id_col))
-            ),
+            F.row_number().over(Window.orderBy(lead, F.asc("index"), F.asc(id_col))),
         )
         return ranked.filter(
             (F.col("rank") > from_) & (F.col("rank") <= from_ + k)
@@ -141,6 +157,22 @@ def query_data(
         else search.all_string_cols(docs)
     )
     matched = query_string_filter(docs, query, default_field=fields, fields=fields)
+    if sort is not None:
+        # ES URI-search `sort=field[:asc|desc]`: relevance is not
+        # computed (constant _score, like ES with a sort clause); the
+        # page is a top-k by the field — TakeOrdered, never a global
+        # sort — with id tie-break for determinism.
+        f, asc = _parse_sort(sort)
+        if f not in docs.columns:
+            raise ValueError(f"unknown sort field {f!r}")
+        lead = F.asc(f) if asc else F.desc(f)
+        page = (
+            matched.select(F.col(id_col), F.col(f).alias(f"sort_{f}"))
+            .orderBy(lead, F.asc(id_col))
+            .limit(from_ + k)
+        )
+        rows = page.collect()[from_:]
+        return spark.createDataFrame(rows, page.schema) if rows else page.limit(0)
     weighted = weighted_terms(parse_query_string(query))
     terms = [t for t, _ in weighted]
     if not terms:
@@ -169,5 +201,8 @@ def query_data(
 
 
 def get_index_data_count(spark: SparkSession, index_name: str) -> int:
-    """Doc count per index: declared-but-null in the reference."""
+    """Doc count per index: declared-but-null in the reference.
+    ``_all`` sums every catalog index (ES ``GET _all/_count``)."""
+    if index_name == "_all":
+        return sum(spark.table(n).count() for n in get_all_index(spark))
     return spark.table(index_name.lower()).count()

@@ -69,3 +69,48 @@ def test_query_data_all_indices_scatter_gather(spark, sf_dir, docs):
     finally:
         api.delete_index(spark, a)
         api.delete_index(spark, b)
+
+
+def test_query_data_field_sort_and_all_count(spark, sf_dir, docs):
+    """ES URI-search `sort=field[:asc|desc]`: the page ranks by the
+    field (constant relevance, like ES with a sort clause); `_all`
+    count sums every index."""
+    a, b = "sort_test_idx_a", "sort_test_idx_b"
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 0), a,
+                           id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), b,
+                           id_col="doc_id")
+    try:
+        # bulk_data_to_index stringifies every column (the reference's
+        # document model, BulkProcessImpl.java:112-117), so field sort
+        # is LEXICOGRAPHIC — the same observable semantics ES gives the
+        # reference's all-string documents.
+        hits = api.query_data(spark, "spark", a, k=5, sort="n_chars:desc").collect()
+        assert len(hits) == 5
+        vals = [h["sort_n_chars"] for h in hits]
+        assert vals == sorted(vals, reverse=True)
+        # the page is the global top-5 of the matched set, not any top-5
+        allv = sorted(
+            (r["sort_n_chars"] for r in
+             api.query_data(spark, "spark", a, k=10**6, sort="n_chars:desc").collect()),
+            reverse=True,
+        )
+        assert vals == allv[:5]
+        # ascending + _all merge keeps global field order across indices
+        merged = api.query_data(spark, "spark", "_all", k=8, sort="n_chars").collect()
+        mv = [h["sort_n_chars"] for h in merged]
+        assert mv == sorted(mv)
+        assert {h["index"] for h in merged} <= {a, b}
+        # _all count = sum of per-index counts
+        assert api.get_index_data_count(spark, "_all") == (
+            api.get_index_data_count(spark, a) + api.get_index_data_count(spark, b)
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            api.query_data(spark, "spark", a, sort="nope_col")
+        with _pytest.raises(ValueError):
+            api.query_data(spark, "spark", a, sort="n_chars:sideways")
+    finally:
+        api.delete_index(spark, a)
+        api.delete_index(spark, b)

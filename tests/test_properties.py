@@ -129,3 +129,47 @@ def test_asof_join_composite_key(spark):
     assert got[(1, "x")] == (t(10), 1.0)
     assert got[(1, "y")] == (t(20), 2.0)
     assert got[(2, "x")] == (None, None)  # (2,'z') must not leak across k2
+
+
+def _brute_proximity(tokens, terms, slop):
+    """Ordered position-window reference model: exists positions
+    p0 < p1 < ... < p_{k-1} of terms in order with
+    p_last - p_first <= k-1+slop."""
+    k = len(terms)
+
+    def rec(i, prev, first):
+        for p, t in enumerate(tokens):
+            if t == terms[i] and p > prev and p - first <= k - 1 + slop:
+                if i == k - 1:
+                    return True
+                if rec(i + 1, p, first):
+                    return True
+        return False
+
+    for p0, t in enumerate(tokens):
+        if t == terms[0] and (k == 1 or rec(1, p0, p0)):
+            return True
+    return False
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    terms=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=3),
+    slop=st.integers(0, 3),
+)
+def test_proximity_expr_matches_bruteforce(spark, docs, terms, slop):
+    from bigdatasearchpro_spark.operators.search import proximity_expr
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id
+        for r in df.filter(proximity_expr("text", terms, slop)).collect()
+    }
+    want = {i for i, toks in enumerate(docs) if _brute_proximity(toks, terms, slop)}
+    assert got == want

@@ -155,3 +155,46 @@ def test_bm25_flagship_single_corpus_scan(spark, sf_dir):
         assert "FileScan" not in above_cache and "BatchScan" not in above_cache
     finally:
         per_doc.unpersist()
+
+
+def test_query_string_proximity_is_single_narrow_filter(spark, sf_dir):
+    """A proximity clause ("a b"~N) must compile into the row-local
+    boolean predicate — one scan, zero shuffles beyond the adaptive
+    fan_out repartition (RoundRobin), no joins."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+    from bigdatasearchpro_spark.plans import exchange_kinds, file_scan_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = query_string_filter(docs, '"data window"~3', default_field="text")
+    kinds = exchange_kinds(out)
+    assert all("RoundRobin" in k for k in kinds), kinds  # fan_out only
+    assert file_scan_count(out) == 1
+
+
+def test_boosted_topk_single_corpus_scan(spark, sf_dir):
+    """Boost weights fold into scoring literals: the plan must stay the
+    single-scan shape of the unboosted flagship (cached int projection
+    + TakeOrdered)."""
+    from bigdatasearchpro_spark.operators.search import _topk_pipeline
+    from bigdatasearchpro_spark.plans import (
+        has_take_ordered,
+        in_memory_scan_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc, topk = _topk_pipeline(
+        docs, ["spark", "join", "window"], 10,
+        id_col="doc_id", text_col="text", scoring="bm25",
+        k1=1.2, b=0.75, round_to=4, term_weights=[1.0, 2.0, 3.0],
+    )
+    try:
+        assert has_take_ordered(topk)
+        assert in_memory_scan_count(topk) >= 1  # reads the cached projection
+        # corpus text scanned ONCE, at cache fill: no file scan above
+        # the InMemoryRelation (the cached subtree retains its own)
+        from bigdatasearchpro_spark.plans import executed_plan
+
+        above_cache = executed_plan(topk).split("InMemoryRelation")[0]
+        assert "FileScan" not in above_cache and "BatchScan" not in above_cache
+    finally:
+        per_doc.unpersist()

@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 PORTABLE_PRIME = 2147483647  # 2^31 - 1
 _BAND_FOLD_K = 1000003
 
+# signature width per simhash token-hash family: xxhash64 fills a full
+# long; the portable (md5-prefix) hash is 60 bits — conveniently also
+# sign-free, which keeps the SQL twin pure positive BIGINT arithmetic
+SIMHASH_BITS = {"xxhash64": 64, "portable": 60}
+
 
 def portable_hash_long(col: Column) -> Column:
     """60-bit deterministic hash: first 15 hex chars of md5. DuckDB twin:
@@ -333,6 +338,7 @@ def simhash_signatures(
     text_col: str = "text",
     token_re: str | None = None,
     impl: str = "packed",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One row per document with a 64-bit SimHash column ``__sim``.
 
@@ -350,22 +356,40 @@ def simhash_signatures(
     corpus with longer documents chunks first — chunk_documents — or
     uses ``impl='wide'``). Bit-equality with the wide form is tested.
 
-    ``impl='wide'``: the original 64-column ±1 SUM formulation (kept as
+    ``impl='wide'``: the original per-bit ±1 SUM formulation (kept as
     the unbounded-length fallback and the equality oracle).
+
+    ``hash_fn='portable'``: per-token hash from the md5 family (module
+    header) instead of xxhash64 — a 60-BIT signature (the portable
+    hash's width) that DuckDB recomputes bit-identically, which is what
+    lets the whole SimHash pipeline be oracle-verified
+    (:func:`portable_simhash_oracle_sql`).
     """
     from bigdatasearchpro_spark.operators.search import TOKEN_SPLIT_RE
     from bigdatasearchpro_spark.sources.files import fan_out
 
     if impl not in ("packed", "wide"):
         raise ValueError(f"unknown impl: {impl!r}")
+    if hash_fn not in ("xxhash64", "portable"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    n_bits = SIMHASH_BITS[hash_fn]
     if token_re is None:
         token_re = TOKEN_SPLIT_RE
+    tok_hash = (
+        portable_hash_long(F.col("__t"))
+        if hash_fn == "portable"
+        else F.xxhash64(F.col("__t"))
+    )
     toked = fan_out(docs).select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), token_re), lambda t: t != "")
         ).alias("__t"),
-    ).withColumn("__h", F.xxhash64(F.col("__t")))
+    ).withColumn("__h", tok_hash)
+
+    def sig_bit(bit: int) -> int:
+        # bit 63 of a long is the sign bit (xxhash64 signatures only)
+        return 1 << bit if bit < 63 else -(1 << 63)
 
     if impl == "wide":
         votes = toked.groupBy(id_col).agg(
@@ -374,15 +398,15 @@ def simhash_signatures(
                     F.when(F.shiftright(F.col("__h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
                     .otherwise(-1)
                 ).alias(f"v{bit}")
-                for bit in range(64)
+                for bit in range(n_bits)
             ]
         )
         out = F.lit(0).cast("long")
-        for bit in range(64):
+        for bit in range(n_bits):
             out = out.bitwiseOR(
                 F.when(
                     F.col(f"v{bit}") > 0,
-                    F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"),
+                    F.lit(sig_bit(bit)).cast("long"),
                 ).otherwise(F.lit(0).cast("long"))
             )
         return votes.select(F.col(id_col), out.alias("__sim"))
@@ -401,9 +425,10 @@ def simhash_signatures(
             lanes = lane if lanes is None else lanes + lane
         return lanes
 
+    n_groups = (n_bits + 3) // 4
     votes = toked.groupBy(id_col).agg(
         F.count("*").alias("__n"),
-        *[F.sum(packed(g)).alias(f"p{g}") for g in range(16)],
+        *[F.sum(packed(g)).alias(f"p{g}") for g in range(n_groups)],
     )
     # guard BEFORE decoding: a >=65536-token doc would have carried
     # between lanes and silently corrupted neighbors' counts
@@ -423,7 +448,7 @@ def simhash_signatures(
     )
     n = F.col("__n")
     out = F.lit(0).cast("long")
-    for bit in range(64):
+    for bit in range(n_bits):
         g, k = bit // 4, bit % 4
         ones = F.shiftrightunsigned(F.col(f"p{g}"), 16 * k).bitwiseAND(
             F.lit(0xFFFF)
@@ -431,7 +456,7 @@ def simhash_signatures(
         out = out.bitwiseOR(
             F.when(
                 ones * 2 > n,
-                F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"),
+                F.lit(sig_bit(bit)).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
         )
     return votes.select(F.col(id_col), out.alias("__sim"))
@@ -445,6 +470,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     n_chunks: int = 4,
     max_bucket: int | None = 65536,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of
     ``n_chunks`` 16-bit chunks (pigeonhole: any pair within
@@ -474,10 +500,12 @@ def simhash_pairs(
             f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
             f"n_chunks-1={n_chunks - 1}; raise n_chunks or lower max_hamming"
         )
-    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
-    # near-equal chunk boundaries over the 64 bits (exact 16-bit chunks
-    # at the default n_chunks=4; remainder bits spread across chunks)
-    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col, hash_fn=hash_fn)
+    # near-equal chunk boundaries over the signature width (exact
+    # 16-bit chunks at the defaults; remainder bits spread across
+    # chunks)
+    n_bits = SIMHASH_BITS[hash_fn]
+    bounds = [round(i * n_bits / n_chunks) for i in range(n_chunks + 1)]
     chunked = sigs.select(
         id_col,
         "__sim",
@@ -563,7 +591,8 @@ def _split_hot_buckets(
         return low.bitwiseOR(high)
 
     def sub_bands(c: int):
-        width = 64 - (bounds[c + 1] - bounds[c])
+        # bounds[-1] == the signature width (64 xxhash64 / 60 portable)
+        width = bounds[-1] - (bounds[c + 1] - bounds[c])
         sw = width // n_sub  # equal-width slices; remainder joins the last
         rem = rem_bits(c)
         bands = []
@@ -832,4 +861,68 @@ def portable_minhash_oracle_sql(
     WITH {corpus_cte},
     {ctes}
     SELECT left_id, right_id, jaccard_sim FROM pairs
+    """
+
+
+def portable_simhash_oracle_sql(
+    corpus_cte: str,
+    *,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> str:
+    """DuckDB program computing EXACTLY what ``simhash_pairs(...,
+    hash_fn='portable')`` computes — same analyzer tokens, same
+    md5-derived 60-bit per-token hash, same majority-vote signature,
+    same chunk banding, same bit_count(xor) verification. The 60-bit
+    signature stays positive, so every stage is plain BIGINT
+    shift/mask/popcount arithmetic both engines evaluate identically.
+
+    The skew guard (`max_bucket`) needs no SQL twin: secondary
+    re-banding is recall- and precision-exact, so the verified pair set
+    is independent of it.
+
+    ``corpus_cte``: a CTE body named ``corpus`` yielding (doc_id, text).
+    """
+    n_bits = SIMHASH_BITS["portable"]
+    bounds = [round(i * n_bits / n_chunks) for i in range(n_chunks + 1)]
+
+    ones = ",\n        ".join(
+        f"sum((h >> {b}) & 1) AS o{b}" for b in range(n_bits)
+    )
+    sig_terms = " + ".join(
+        f"((2 * o{b} > n)::BIGINT << {b})" for b in range(n_bits)
+    )
+    chunk_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, "
+        f"(sig >> {bounds[c]}) & {(1 << (bounds[c + 1] - bounds[c])) - 1} AS ch "
+        "FROM sig"
+        for c in range(n_chunks)
+    )
+
+    return f"""
+    WITH {corpus_cte},
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+      FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, count(*) AS n,
+        {ones}
+      FROM hashed GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {sig_terms} AS sig FROM votes),
+    chunks AS (
+      {chunk_selects}
+    )
+    SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+           bit_count(xor(ls.sig, rs.sig)) AS hamming
+    FROM chunks l
+    JOIN chunks r ON l.chunk = r.chunk AND l.ch = r.ch AND l.doc_id < r.doc_id
+    JOIN sig ls ON l.doc_id = ls.doc_id
+    JOIN sig rs ON r.doc_id = rs.doc_id
+    WHERE bit_count(xor(ls.sig, rs.sig)) <= {max_hamming}
     """

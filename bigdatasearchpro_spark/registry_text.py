@@ -824,6 +824,25 @@ def l2_simhash_pairs(spark, sf_dir):
 
 
 @register(
+    "l2_simhash_pairs_md5",
+    neardup.portable_simhash_oracle_sql(
+        _NEARDUP_CORPUS_SQL.strip(), max_hamming=3, n_chunks=4
+    ),
+)
+def l2_simhash_pairs_md5(spark, sf_dir):
+    """L2: the SAME SimHash pipeline as l2_simhash_pairs but on the
+    portable 60-bit md5 hash family, which DuckDB recomputes
+    bit-for-bit — token hashing, majority-vote signature, chunk
+    banding, and bit_count(xor) verification are all hash-verified
+    against an independent engine, not just rows-only (the simhash
+    counterpart of l2_minhash_lsh_pairs_md5)."""
+    docs = _neardup_corpus(spark, sf_dir)
+    return neardup.simhash_pairs(
+        docs, max_hamming=3, n_chunks=4, hash_fn="portable"
+    )
+
+
+@register(
     "l2_ngram_jaccard_pairs",
     f"""
     WITH {_NEARDUP_CORPUS_SQL},

@@ -53,6 +53,7 @@ _R3_NEW = (
     "l5_pipeline_end_to_end",
     "l3_search_all_indices",
     "l2_simhash_pairs_md5",
+    "l2_dedup_resolution_md5",
 )
 
 

@@ -843,6 +843,43 @@ def l2_simhash_pairs_md5(spark, sf_dir):
 
 
 @register(
+    "l2_dedup_resolution_md5",
+    "WITH RECURSIVE "
+    + _NEARDUP_CORPUS_SQL.strip()
+    + ",\n"
+    + neardup.portable_minhash_pairs_ctes(
+        n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5
+    )
+    + """,
+    edges AS (
+      SELECT left_id AS a, right_id AS b FROM pairs
+      UNION
+      SELECT right_id, left_id FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS group_id FROM reach GROUP BY node
+    """,
+)
+def l2_dedup_resolution_md5(spark, sf_dir):
+    """L2: connected components over the PORTABLE near-dup pair graph,
+    hash-verified — the iterative min-label propagation
+    (resolve_duplicate_groups, a genuinely non-SQL single query) must
+    converge to the same fixpoint a DuckDB RECURSIVE CTE computes by
+    transitive closure. Returns (doc_id, group_id = smallest id in the
+    component) for every document in the pair graph."""
+    docs = _neardup_corpus(spark, sf_dir)
+    pairs = neardup.minhash_lsh_pairs(
+        docs, n_perms=32, bands=8, shingle_k=5, jaccard_threshold=0.5,
+        hash_fn="portable",
+    )
+    return neardup.resolve_duplicate_groups(pairs)
+
+
+@register(
     "l2_ngram_jaccard_pairs",
     f"""
     WITH {_NEARDUP_CORPUS_SQL},

@@ -69,9 +69,13 @@ def bench_etl_pipeline(spark, sf_dir: str, sink_dir: str) -> tuple[float, int]:
     pattern, reference BulkProcessImpl.java:120-137)."""
     from bigdatasearchpro_spark.operators import dedup, transform
     from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
+    from bigdatasearchpro_spark.sources.files import fan_out
 
     t0 = time.time()
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out: the local fixture is 1-3 splits, which would serialize
+    # the stringify projection on as many cores; adaptive no-op when
+    # the scan already has >= parallelism splits (any real table)
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     doc = transform.stringify_all(
         transform.composite_key(li, "l_orderkey", "l_linenumber", out="s_guid")
     )

@@ -44,8 +44,12 @@ def bulk_data_to_index(
     the reference logs (``ElasticServiceImpl.java:118-122``) and the
     loaded-count reconciliation it performed manually. Returns
     ``{"index": ..., "rows": ..., "seconds": ...}``."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
     t0 = time.time()
-    doc = transform.stringify_all(source)
+    # adaptive respread: a few-split source would serialize the
+    # stringify projection; no-op when the scan is already parallel
+    doc = transform.stringify_all(fan_out(source))
     name = index_name.lower()
     rows = bulk_index_table(doc, name, id_col=id_col, order_by=order_by)
     return {"index": name, "rows": rows, "seconds": round(time.time() - t0, 3)}

@@ -54,6 +54,7 @@ _R3_NEW = (
     "l3_search_all_indices",
     "l2_simhash_pairs_md5",
     "l2_dedup_resolution_md5",
+    "l5_vocab_topk",
 )
 
 

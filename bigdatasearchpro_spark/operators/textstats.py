@@ -320,3 +320,118 @@ def stratified_sample(
     for stratum, pct in sorted(rates_pct.items()):
         keep = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(keep)
     return df.filter(bucket < keep)
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 50,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the ``k`` most frequent analyzer
+    tokens with their counts (corpus profiling / stopword discovery).
+
+    Two-level aggregation: explode -> (term, count) hash-agg with
+    map-side partials (the shuffle carries one row per distinct term
+    per task, never per occurrence) -> TakeOrdered k. Deterministic
+    ties by term asc. At 100 TB the distinct-vocabulary shuffle is
+    |vocab|-bounded, which is millions, not corpus-sized.
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != "")
+        ).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch over the corpus token stream as a DataFrame:
+    ``depth`` independent hash rows of ``width`` counters, built with
+    ONE hash-aggregate (map-side partials make it mergeable across
+    partitions by construction — the classic CMS merge is exactly
+    Spark's partial-agg combine). The whole sketch is ``depth x width``
+    rows of (d, bucket, n) — fixed memory regardless of corpus size,
+    the property that makes it the 100 TB path for frequency questions
+    the exact |vocab|-sized aggregate (vocab_topk) answers at small
+    scale."""
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != "")
+        ).alias("term")
+    )
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64(F.col("term"), F.lit(seed + d)), F.lit(width))
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__c")
+    ).select("__c.d", "__c.bucket")
+    return rows.groupBy("d", "bucket").agg(F.count("*").alias("n"))
+
+
+def cms_estimate_counts(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 42,
+) -> dict:
+    """Count-min estimates for ``terms`` from :func:`cms_sketch`:
+    est(t) = min over rows d of counter[d][h_d(t)]. Never undercounts;
+    overcounts by <= e/width * N with prob >= 1 - e^-depth (standard
+    CMS bound). The query cost is a broadcast join of |terms| x depth
+    probe rows against the sketch — the corpus is not rescanned.
+    Returns {term: estimated_count}."""
+    spark = df.sparkSession
+    sketch = cms_sketch(df, text_col=text_col, width=width, depth=depth, seed=seed)
+    probes = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            "term",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.pmod(
+                                F.xxhash64(F.col("term"), F.lit(seed + d)),
+                                F.lit(width),
+                            ).alias("bucket"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("__c"),
+        )
+        .select("term", "__c.d", "__c.bucket")
+    )
+    est = (
+        sketch.join(F.broadcast(probes), ["d", "bucket"])
+        .groupBy("term")
+        .agg(F.min("n").alias("est"))
+    )
+    out = {r["term"]: r["est"] for r in est.collect()}
+    # a term hashing only to never-touched buckets has count 0
+    return {t: out.get(t, 0) for t in terms}

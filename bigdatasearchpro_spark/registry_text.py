@@ -916,6 +916,24 @@ def l2_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "l5_vocab_topk",
+    f"""
+    WITH t AS (SELECT {_FTOKS} AS toks FROM documents),
+    toks AS (SELECT unnest(toks) AS term FROM t)
+    SELECT term, count(*) AS n FROM toks GROUP BY term
+    ORDER BY n DESC, term ASC LIMIT 25
+    """,
+)
+def l5_vocab_topk(spark, sf_dir):
+    """L5: corpus vocabulary heavy hitters (top-25 analyzer tokens) —
+    stopword discovery / corpus profiling. Two-level hash-agg with
+    map-side partials; the shuffle is |vocab|-bounded. The sketch path
+    (count-min, fixed memory, mergeable) is tested for its overcount
+    bound in tests/test_textstats.py."""
+    return textstats.vocab_topk(load_table(spark, sf_dir, "documents"), 25)
+
+
+@register(
     "l5_chunk_documents",
     """
     WITH n AS (

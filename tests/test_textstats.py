@@ -136,3 +136,25 @@ def test_stratified_sample_deterministic_and_capped(docs):
         else:
             assert kept < total
             assert abs(kept / total - rates[lang] / 100) < 0.15
+
+
+def test_vocab_topk_and_cms_bounds(docs):
+    from bigdatasearchpro_spark.operators.textstats import (
+        cms_estimate_counts,
+        vocab_topk,
+    )
+
+    top = vocab_topk(docs, 10).collect()
+    assert len(top) == 10
+    ns = [r.n for r in top]
+    assert ns == sorted(ns, reverse=True)
+    # count-min never undercounts, and overcounts by at most eps * N
+    # (with prob >= confidence; eps chosen generously for a small corpus)
+    exact = {r.term: r.n for r in top}
+    est = cms_estimate_counts(docs, list(exact) + ["zz_absent_term"], width=2048, depth=5)
+    total = sum(r.n for r in vocab_topk(docs, 10**9).collect())
+    for term, n in exact.items():
+        assert est[term] >= n  # CMS never undercounts
+        # e/width overcount bound, generous 4x slack for a small corpus
+        assert est[term] <= n + (2.72 / 2048) * total * 4
+    assert est["zz_absent_term"] <= (2.72 / 2048) * total * 4

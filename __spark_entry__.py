@@ -55,6 +55,9 @@ _R3_NEW = (
     "l2_simhash_pairs_md5",
     "l2_dedup_resolution_md5",
     "l5_vocab_topk",
+    "a9_kll_quantiles",
+    "a10_hll_segment_distinct",
+    "a11_hll_overlap",
 )
 
 

@@ -703,6 +703,58 @@ def a6_exact_quantiles(spark, sf_dir):
     )
 
 
+@register("a9_kll_quantiles")  # rows-only: sketch internals engine-specific
+def a9_kll_quantiles(spark, sf_dir):
+    """A-family sketch ring: per-group quantiles from a mergeable KLL
+    sketch — the one-pass fixed-memory 100 TB path the exact
+    a6_exact_quantiles is the small-scale oracle for. Rank-error bound
+    (~0.6% at k=800) asserted vs exact in tests/test_sketches.py."""
+    from bigdatasearchpro_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return sketches.kll_quantiles_by_group(
+        li, "l_extendedprice", "l_returnflag", [0.25, 0.5, 0.75]
+    )
+
+
+@register("a10_hll_segment_distinct")  # rows-only: sketch internals
+def a10_hll_segment_distinct(spark, sf_dir):
+    """A-family sketch ring: the segment-sketch pattern — per-segment
+    HLL sketches whose union answers the global distinct count without
+    rescanning rows (accuracy vs exact gated in tests/test_sketches.py).
+    Output: per-segment estimates + the merged global estimate row."""
+    from bigdatasearchpro_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_seg, merged = sketches.hll_segment_distinct(li, "l_partkey", "l_returnflag")
+    return per_seg.unionByName(
+        spark.createDataFrame(
+            [("__GLOBAL__", float(merged))],
+            "l_returnflag string, n_distinct_est double",
+        )
+    )
+
+
+@register("a11_hll_overlap")  # rows-only: sketch internals
+def a11_hll_overlap(spark, sf_dir):
+    """A-family sketch ring: distinct-audience overlap (purchasers ∩
+    viewers) by inclusion-exclusion over two HLL sketches built in ONE
+    corpus pass — no join, no second scan. Accuracy gated in
+    tests/test_sketches.py."""
+    from bigdatasearchpro_spark.operators import sketches
+
+    e = load_table(spark, sf_dir, "events")
+    got = sketches.hll_overlap_estimate(
+        e, "user_id",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+    )
+    return spark.createDataFrame(
+        [(got["a"], got["b"], got["union"], got["overlap"])],
+        "purchasers bigint, viewers bigint, union_users bigint, overlap bigint",
+    )
+
+
 @register(
     "l5_pii_redaction",
     r"""

@@ -58,6 +58,7 @@ _R3_NEW = (
     "a9_kll_quantiles",
     "a10_hll_segment_distinct",
     "a11_hll_overlap",
+    "ts2_resample_interpolate",
 )
 
 

@@ -165,3 +165,76 @@ def resample_ffill(
         ts_col=ts_col,
         right_cols={"filled_value": value_col},
     ).select(key_col, ts_col, "matched_ts", "filled_value")
+
+
+def resample_interpolate(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular series with LINEAR interpolation: one row
+    per key per ``step`` grid point, valued by interpolating between the
+    nearest observation at-or-before and the nearest at-or-after the
+    grid point (ends clamp to the nearest single observation).
+
+    Two union-merge as-of passes over the same keyed shuffle shape: the
+    backward pass is :func:`asof_join` verbatim; the forward pass is
+    the SAME operator on negated epoch-microsecond timestamps (nearest
+    following == most recent prior under negation) — no theta join, no
+    pair blow-up, O(|grid|+|events|) per key.
+    """
+    unit = step.split()[-1].rstrip("s")
+    bounds = events.groupBy(key_col).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+        F.max(ts_col).alias("__hi"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))).alias(ts_col),
+    )
+    obs = events.select(key_col, ts_col, value_col)
+
+    back = asof_join(
+        grid, obs, on=key_col, ts_col=ts_col, right_cols={"__pv": value_col}
+    ).withColumnRenamed("matched_ts", "__pt")
+
+    neg = lambda df: df.withColumn(  # noqa: E731
+        ts_col, -F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    fwd = (
+        asof_join(
+            neg(grid.select(key_col, ts_col, F.col(ts_col).alias("__gts"))),
+            neg(obs),
+            on=key_col,
+            ts_col=ts_col,
+            right_cols={"__nv": value_col},
+        )
+        .select(
+            key_col,
+            F.col("__gts").alias(ts_col),
+            (-F.col("matched_ts")).alias("__nt_us"),
+            "__nv",
+        )
+    )
+
+    j = back.join(fwd, [key_col, ts_col])
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pt_us = F.unix_micros(F.col("__pt").cast("timestamp"))
+    nt_us = F.col("__nt_us")
+    interp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * (
+        (t_us - pt_us).cast("double") / (nt_us - pt_us).cast("double")
+    )
+    value = (
+        F.when(F.col("__pt").isNull(), F.col("__nv"))
+        .when(nt_us.isNull(), F.col("__pv"))
+        .when(nt_us == pt_us, F.col("__pv"))
+        .otherwise(interp)
+    )
+    return j.select(
+        key_col,
+        ts_col,
+        F.round(value, 2).alias("interp_value"),
+    )

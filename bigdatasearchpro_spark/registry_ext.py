@@ -1000,6 +1000,54 @@ def ts1_resample_ffill(spark, sf_dir):
 
 
 @register(
+    "ts2_resample_interpolate",
+    """
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+      FROM bounds
+    ),
+    back AS (
+      SELECT g.user_id, g.ts, e.ts AS pt, e.value AS pv
+      FROM grid g ASOF LEFT JOIN events e
+        ON g.user_id = e.user_id AND g.ts >= e.ts
+    ),
+    fwd AS (
+      SELECT g.user_id, g.ts, e.ts AS nt, e.value AS nv
+      FROM grid g ASOF LEFT JOIN events e
+        ON g.user_id = e.user_id AND g.ts <= e.ts
+    )
+    SELECT b.user_id, b.ts,
+           round(CASE WHEN b.pt IS NULL THEN f.nv
+                      WHEN f.nt IS NULL THEN b.pv
+                      WHEN f.nt = b.pt THEN b.pv
+                      ELSE b.pv + (f.nv - b.pv)
+                           * (epoch_us(b.ts) - epoch_us(b.pt))::DOUBLE
+                           / (epoch_us(f.nt) - epoch_us(b.pt))::DOUBLE
+                 END, 2) AS interp_value
+    FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.ts = f.ts
+    """,
+)
+def ts2_resample_interpolate(spark, sf_dir):
+    """Time-series resample with LINEAR interpolation between the
+    nearest at-or-before and at-or-after observations (ends clamp).
+    Two union-merge as-of passes — the forward pass is the same
+    operator on negated epoch timestamps. Oracle: two DuckDB native
+    ASOF joins (>= backward, <= forward) + the same interpolation."""
+    from bigdatasearchpro_spark.operators.asof import resample_interpolate
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return resample_interpolate(e).select(
+        "user_id", F.col("ts").cast("timestamp_ntz"), "interp_value"
+    )
+
+
+@register(
     "p6_try_cast_dirty",
     """
     WITH s AS (

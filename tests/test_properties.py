@@ -173,3 +173,25 @@ def test_proximity_expr_matches_bruteforce(spark, docs, terms, slop):
     }
     want = {i for i, toks in enumerate(docs) if _brute_proximity(toks, terms, slop)}
     assert got == want
+
+
+def test_resample_interpolate_known_values(spark):
+    from bigdatasearchpro_spark.operators.asof import resample_interpolate
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, datetime.datetime(2024, 1, 1, 2, 30), 30.0),
+        (2, datetime.datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {
+        (r.user_id, r.ts.hour): r.interp_value
+        for r in resample_interpolate(df).collect()
+    }
+    # key 1 grid: 00:00 (before first obs -> clamp to 10), 01:00 and
+    # 02:00 interpolate on the 0:30->2:30 segment (15 and 25)
+    assert got[(1, 0)] == 10.0
+    assert got[(1, 1)] == 15.0
+    assert got[(1, 2)] == 25.0
+    # key 2: single observation, grid point at its own truncation clamps
+    assert got[(2, 5)] == 7.0

@@ -59,6 +59,7 @@ _R3_NEW = (
     "a10_hll_segment_distinct",
     "a11_hll_overlap",
     "ts2_resample_interpolate",
+    "l3_qs_min_should_match",
 )
 
 

@@ -431,6 +431,7 @@ def query_string_filter(
     *,
     default_field: "str | Sequence[str] | None" = None,
     fields: Optional[Sequence[str]] = None,
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """Filter ``docs`` with a raw ES 6.x query string — the reference's
     end-to-end ``?q=`` path run natively. Returns matching rows
@@ -441,6 +442,11 @@ def query_string_filter(
     reference ``BulkProcessImpl.java:112-117``).
     ``fields``: the set of columns field-scoped clauses may name
     (default: all string columns).
+    ``minimum_should_match``: ES's parameter of the same name — when the
+    query's TOP level is a disjunction (the default-operator case
+    ``a b c``), require at least this many of its direct clauses to
+    match instead of any one (0/1 = plain OR). Compiles to a
+    per-clause indicator sum >= m — still one narrow predicate.
     """
     valid = list(fields) if fields is not None else all_string_cols(docs)
     if default_field is None:
@@ -456,9 +462,22 @@ def query_string_filter(
 
         return fuzzy_vocab_terms(docs, term, max_edits=max_edits, text_col=cols)
 
-    pred = compile_predicate(
-        node, default_cols=default, valid_fields=valid, fuzzy_resolver=resolver
-    )
+    if minimum_should_match > 1 and isinstance(node, Or):
+        indicators = [
+            F.when(
+                compile_predicate(
+                    c, default_cols=default, valid_fields=valid,
+                    fuzzy_resolver=resolver,
+                ),
+                1,
+            ).otherwise(0)
+            for c in node.children
+        ]
+        pred = sum(indicators[1:], indicators[0]) >= F.lit(minimum_should_match)
+    else:
+        pred = compile_predicate(
+            node, default_cols=default, valid_fields=valid, fuzzy_resolver=resolver
+        )
     from bigdatasearchpro_spark.sources.files import fan_out
 
     return fan_out(docs).filter(pred)

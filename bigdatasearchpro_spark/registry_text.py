@@ -197,6 +197,30 @@ _FTOKS = _COL_TOKS.format(c="text")
 
 
 @register(
+    "l3_qs_min_should_match",
+    f"""
+    WITH t AS (SELECT doc_id, {_FTOKS} AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE list_contains(toks, 'spark')::INT + list_contains(toks, 'join')::INT
+        + list_contains(toks, 'window')::INT + list_contains(toks, 'vector')::INT
+        >= 3
+    """,
+)
+def l3_qs_min_should_match(spark, sf_dir):
+    """L3 [ES parity]: `minimum_should_match` on the query-string's
+    top-level disjunction — at least 3 of the 4 OR'd terms must match
+    (ES's parameter of the same name). Per-clause indicator sum, still
+    ONE narrow predicate."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return query_string_filter(
+        docs, "spark join window vector", default_field="text",
+        minimum_should_match=3,
+    ).select("doc_id")
+
+
+@register(
     "l3_qs_fuzzy",
     f"""
     WITH t AS (SELECT doc_id, {_FTOKS} AS toks FROM documents),

@@ -255,3 +255,32 @@ def test_boost_reorders_ranking(mini):
     ).collect()
     # doc 3 holds 'database'; with 5x boost it must outrank the spark doc
     assert top[0].doc_id == 3
+
+
+def test_minimum_should_match_top_level_or(mini):
+    # 4 OR'd terms; doc 2 "the spark engine joins data" hits spark+joins+data... tokens
+    all_docs = {r.doc_id for r in query_string_filter(mini, "data engine search notes").collect()}
+    assert all_docs == {1, 2, 3}
+    two = {
+        r.doc_id
+        for r in query_string_filter(
+            mini, "data engine search notes", minimum_should_match=2
+        ).collect()
+    }
+    # doc1: data+engine+search (3), doc2: data+engine (2), doc3: notes (1)
+    assert two == {1, 2}
+    three = {
+        r.doc_id
+        for r in query_string_filter(
+            mini, "data engine search notes", minimum_should_match=3
+        ).collect()
+    }
+    assert three == {1}
+    # m=1 degenerates to plain OR
+    one = {
+        r.doc_id
+        for r in query_string_filter(
+            mini, "data engine search notes", minimum_should_match=1
+        ).collect()
+    }
+    assert one == all_docs

@@ -60,6 +60,7 @@ _R3_NEW = (
     "a11_hll_overlap",
     "ts2_resample_interpolate",
     "l3_qs_min_should_match",
+    "st7_windowed_distinct",
 )
 
 

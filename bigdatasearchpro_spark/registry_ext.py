@@ -1164,6 +1164,22 @@ def st6_interval_join(spark, sf_dir):
     )
 
 
+@register("st7_windowed_distinct")  # rows-only: HLL++ is engine-specific
+def st7_windowed_distinct(spark, sf_dir):
+    """§2.9: tumbling-window distinct users via approx_count_distinct —
+    the aggregate streaming actually supports (exact COUNT DISTINCT
+    state is the value set; the sketch's is KB-bounded and mergeable).
+    HLL++ is deterministic, so stream==batch bit-for-bit
+    (tests/test_streaming.py) and the estimate is within 10% of exact
+    (same test); entry runs the batch-equivalent program."""
+    from bigdatasearchpro_spark.streaming.pipelines import windowed_distinct_users
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return windowed_distinct_users(e)
+
+
 @register("st5_stateful_sessionize")  # rows-only: real stream execution
 def st5_stateful_sessionize(spark, sf_dir):
     """§2.9/§2.11: the applyInPandasWithState sessionizer executed as a

@@ -5,6 +5,7 @@ from bigdatasearchpro_spark.streaming.pipelines import (  # noqa: F401
     foreach_batch_bulk_sink,
     run_to_completion,
     session_agg,
+    windowed_distinct_users,
     sliding_agg,
     stream_dedup,
     tumbling_agg,

@@ -99,6 +99,36 @@ def session_agg(events: DataFrame, *, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Tumbling-window distinct-user counts via ``approx_count_distinct``
+    (HLL++) — the aggregate Structured Streaming actually supports
+    (exact COUNT DISTINCT is not a streaming aggregate: its state is
+    the value set; the sketch's state is KB-bounded and mergeable).
+    HLL++ is a deterministic algorithm, so the stream result equals the
+    batch result bit-for-bit (tested), and at 100 TB/day the per-window
+    state is the sketch, not the user set."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_users_approx",
+            "n_events",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, keys: list[str], *, watermark: str = "30 minutes") -> DataFrame:
     """Streaming dedup: first event per key wins; state bounded by the
     watermark (dropDuplicatesWithinWatermark)."""

@@ -158,3 +158,32 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir, batch_event
     expect = stream_interval_join(bp, bv)
     assert _normalize(got) == _normalize(expect)
     assert got.count() > 0
+
+
+def test_windowed_distinct_stream_equals_batch(spark, events_dir, batch_events, tmp_path):
+    """approx_count_distinct (HLL++) is deterministic: the streaming
+    windowed sketch aggregate must equal the batch run exactly."""
+    from bigdatasearchpro_spark.streaming.pipelines import windowed_distinct_users
+
+    stream = windowed_distinct_users(events_stream(spark, events_dir))
+    got = run_to_completion(
+        stream, checkpoint_dir=str(tmp_path / "ck8"), output_mode="complete"
+    )
+    expect = windowed_distinct_users(
+        batch_events.withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    assert _normalize(got) == _normalize(expect)
+    assert got.count() > 0
+    # sketch accuracy sanity vs exact batch distinct
+    exact = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in batch_events.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "event_type", "n")
+        .collect()
+    }
+    for r in got.collect():
+        e = exact[(r["win_start"], r["event_type"])]
+        assert abs(r["n_users_approx"] - e) / max(e, 1) < 0.10

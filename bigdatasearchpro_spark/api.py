@@ -192,6 +192,10 @@ def query_data(
         rows = page.collect()[from_:]
         out = spark.createDataFrame(rows, page.schema) if rows else page.limit(0)
         return out
+    # keep_zero_hits: `matched` is already the query's filtered match
+    # set — a doc matching only non-scoring clauses (wildcard/range)
+    # must stay in the page at score 0 (ES returns it constant-scored),
+    # not vanish from results.
     return search.search_paged(
         matched,
         " ".join(terms),
@@ -201,6 +205,7 @@ def query_data(
         text_col=fields,
         highlight=highlight,
         term_weights=[w for _, w in weighted],
+        keep_zero_hits=True,
     )
 
 

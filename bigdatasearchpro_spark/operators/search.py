@@ -157,6 +157,7 @@ def search_topk(
     b: float = 0.75,
     round_to: int = 4,
     term_weights: "Sequence[float] | None" = None,
+    keep_zero_hits: bool = False,
 ) -> DataFrame:
     """Scored top-k keyword search — the reference's end-user query path
     (T1: top-10 by ``_score`` desc) run natively.
@@ -188,7 +189,7 @@ def search_topk(
     per_doc, topk = _topk_pipeline(
         docs, terms, k, id_col=id_col, text_col=text_col,
         scoring=scoring, k1=k1, b=b, round_to=round_to,
-        term_weights=term_weights,
+        term_weights=term_weights, keep_zero_hits=keep_zero_hits,
     )
     try:
         rows, schema = topk.collect(), topk.schema
@@ -209,6 +210,7 @@ def _topk_pipeline(
     b: float,
     round_to: int,
     term_weights: "Sequence[float] | None" = None,
+    keep_zero_hits: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(persisted per-doc projection, lazy top-k over it). The stats
     aggregate runs here (materializing the cache); the caller collects
@@ -227,6 +229,7 @@ def _topk_pipeline(
     scored = _score_from_per_doc(
         per_doc, terms, stats, scoring=scoring, k1=k1, b=b,
         round_to=round_to, id_col=id_col, term_weights=term_weights,
+        keep_zero_hits=keep_zero_hits,
     )
     topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     return per_doc, topk
@@ -243,6 +246,7 @@ def _score_from_per_doc(
     round_to: int,
     id_col: str,
     term_weights: "Sequence[float] | None" = None,
+    keep_zero_hits: bool = False,
 ) -> DataFrame:
     """Scoring expression over the per-doc projection — corpus constants
     fold in as literals, so this is a narrow codegen'd projection."""
@@ -268,14 +272,21 @@ def _score_from_per_doc(
             )
         parts.append(F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(F.lit(0.0)))
     if not parts:
+        if keep_zero_hits:
+            return per_doc.select(F.col(id_col), F.lit(0.0).alias("score"))
         return per_doc.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    if keep_zero_hits:
+        # input is already a filtered match set (e.g. a query-string
+        # result): docs matching only non-scoring clauses (wildcard/
+        # range) stay in the ranking at score 0 instead of vanishing
+        return per_doc.select(F.col(id_col), F.round(total, round_to).alias("score"))
     any_hit = None
     for i in range(len(terms)):
         c = F.col(f"tf_{i}") > 0
         any_hit = c if any_hit is None else (any_hit | c)
-    total = parts[0]
-    for p in parts[1:]:
-        total = total + p
     return per_doc.filter(any_hit).select(
         F.col(id_col), F.round(total, round_to).alias("score")
     )
@@ -294,6 +305,7 @@ def search_paged(
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
     term_weights: "Sequence[float] | None" = None,
+    keep_zero_hits: bool = False,
 ) -> DataFrame:
     """ES-style result page: hits ``from_ .. from_+size`` of the scored
     ranking, each with its rank and (optionally) a highlighted text
@@ -309,6 +321,7 @@ def search_paged(
     top = search_topk(
         docs, query, from_ + size, id_col=id_col, text_col=text_col,
         scoring=scoring, term_weights=term_weights,
+        keep_zero_hits=keep_zero_hits,
     )
     from pyspark.sql.window import Window
 

@@ -114,3 +114,34 @@ def test_query_data_field_sort_and_all_count(spark, sf_dir, docs):
     finally:
         api.delete_index(spark, a)
         api.delete_index(spark, b)
+
+
+def test_query_data_wildcard_only_matches_stay_in_page(spark, sf_dir, docs):
+    """A doc matching only a non-scoring clause (wildcard) must appear
+    in the results at score 0.0 (ES constant-score), not vanish."""
+    idx = "zerohit_test_idx"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id")
+    try:
+        n_matched = api.get_index_data_count(spark, idx)
+        # every doc matches vect* (fixture vocab) or the rare exact term
+        hits = api.query_data(
+            spark, "zzznotaword OR vect*", idx, k=n_matched
+        ).collect()
+        # BM25 terms contribute nothing (zzznotaword absent): all hits
+        # surface with constant score 0.0, ordered by id
+        assert len(hits) > 0
+        assert all(h["score"] == 0.0 for h in hits)
+        wildcard_only = {
+            r["doc_id"]
+            for r in spark.table(idx).filter(
+                F.col("text").rlike("(?i)\\bvect")
+            ).select("doc_id").collect()
+        }
+        assert {h["doc_id"] for h in hits} == wildcard_only
+        # mixed query: scored docs first, wildcard-only docs follow at 0.0
+        mixed = api.query_data(spark, "spark OR vect*", idx, k=n_matched).collect()
+        scores = [h["score"] for h in mixed]
+        assert scores == sorted(scores, reverse=True)
+        assert any(s > 0 for s in scores) and any(s == 0.0 for s in scores)
+    finally:
+        api.delete_index(spark, idx)

@@ -61,6 +61,7 @@ _R3_NEW = (
     "ts2_resample_interpolate",
     "l3_qs_min_should_match",
     "st7_windowed_distinct",
+    "s9_upsert_merge",
 )
 
 

@@ -65,3 +65,32 @@ def normalize_index_name(name: str) -> str:
             f"invalid index/table name {name!r}: normalized form must match [a-z0-9_]+"
         )
     return n
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC apply / upsert-merge: produce the next snapshot of ``base``
+    from a change batch with an ``op`` column ('I' insert, 'U' update,
+    'D' delete) — the MERGE INTO the reference's last-write-wins bulk
+    load is a degenerate form of (its ES index op is upsert-only,
+    reference BulkProcessImpl.java:124,136).
+
+    One change row per key per batch (collapse upstream with
+    dedup_last_write_wins if the feed has more). Plan: ONE anti-join
+    of the snapshot against the (usually tiny -> broadcast) change-key
+    set, plus a union of the I/U payloads — the snapshot is never
+    shuffled when the change batch broadcasts; at 100 TB this is the
+    standard big-snapshot/small-delta merge shape.
+    """
+    ops = changes.select(F.col(op_col)).distinct().collect()
+    bad = {r[0] for r in ops} - {"I", "U", "D"}
+    if bad:
+        raise ValueError(f"unknown change ops: {sorted(bad)} (use I/U/D)")
+    survivors = base.join(changes.select(key), key, "left_anti")
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    return survivors.unionByName(upserts)

@@ -274,6 +274,60 @@ def s4_s6_ddl_lifecycle(spark, sf_dir):
     return spark.createDataFrame(out, "index_name string, database string")
 
 
+@register(
+    "s9_upsert_merge",
+    """
+    WITH changes AS (
+      SELECT c_custkey AS k, 'U' AS op, c_name AS name,
+             round(c_acctbal + 100, 2) AS acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', c_name, c_acctbal
+      FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', 'NEW-' || c_name, 0.0
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    survivors AS (
+      SELECT c_custkey AS k, c_name AS name, round(c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_custkey NOT IN (SELECT k FROM changes)
+    )
+    SELECT k, name, acctbal FROM survivors
+    UNION ALL
+    SELECT k, name, acctbal FROM changes WHERE op <> 'D'
+    """,
+)
+def s9_upsert_merge(spark, sf_dir):
+    """S-family CDC apply: next snapshot from a deterministic synthetic
+    change batch (updates %7, deletes %13, inserts %11) via
+    operators/transform.apply_changes — one anti-join (broadcast when
+    the delta is small) + union; the snapshot never shuffles. The
+    reference's LWW bulk load is the upsert-only degenerate form
+    (BulkProcessImpl.java:124,136)."""
+    from bigdatasearchpro_spark.operators.transform import apply_changes
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    updates = c.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit("U").alias("op"), "name",
+        F.round(F.col("acctbal") + 100, 2).alias("acctbal"),
+    )
+    deletes = c.filter((F.col("k") % 13 == 0) & (F.col("k") % 7 != 0)).select(
+        "k", F.lit("D").alias("op"), "name", "acctbal"
+    )
+    inserts = c.filter(F.col("k") % 11 == 0).select(
+        (F.col("k") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("NEW-"), F.col("name")).alias("name"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return apply_changes(c, changes, "k").select("k", "name", "acctbal")
+
+
 @register("l3_search_all_indices")  # rows-only: catalog DDL side effects
 def l3_search_all_indices(spark, sf_dir):
     """L3 [ES parity]: cross-index search — the reference UI's "all

@@ -192,3 +192,25 @@ def test_index_name_validation_rejects_ddl_injection(spark):
         create_index(spark, "okname", schema="a INT); DROP TABLE y; --")
     # normal names still pass (lowercased)
     assert normalize_index_name("  MixedCase_01 ") == "mixedcase_01"
+
+
+def test_apply_changes_upsert_semantics(spark):
+    from bigdatasearchpro_spark.operators.transform import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "U", "b2"), (3, "D", None), (4, "I", "d")], "k long, op string, v string"
+    )
+    got = {r.k: r.v for r in apply_changes(base, changes, "k").collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}  # 3 deleted, 2 updated, 4 inserted
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown change ops"):
+        apply_changes(
+            base,
+            spark.createDataFrame([(1, "X", "x")], "k long, op string, v string"),
+            "k",
+        ).collect()

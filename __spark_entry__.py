@@ -62,6 +62,7 @@ _R3_NEW = (
     "l3_qs_min_should_match",
     "st7_windowed_distinct",
     "s9_upsert_merge",
+    "l4_quantize_int8",
 )
 
 

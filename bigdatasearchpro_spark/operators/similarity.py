@@ -388,3 +388,48 @@ def cosine_similarity_join_exact(
         .filter(F.col("score") >= threshold)
         .select("left_id", "right_id", "score")
     )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector — the embedding
+    STORAGE operator: 4x smaller than float32 (a 100 TB float corpus
+    becomes 25 TB + one float scale per vector), with cosine fidelity
+    good enough for ANN candidate generation (recall tested).
+
+    ``q_i = clamp(floor(v_i / scale + 0.5), -127, 127)`` with
+    ``scale = max|v| / 127``. floor(x+0.5) — not round() — so the
+    arithmetic is bit-identical across engines (SQL round() half-even
+    vs Spark HALF_UP differ on ties). Pure array expressions, no
+    shuffle, no Python.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+        ),
+    )
+    return emb.select(
+        F.col(id_col),
+        q.alias("q"),
+        scale.alias("scale"),
+    )
+
+
+def dequantize(quant: DataFrame) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: ``v_i ~= q_i * scale`` (the
+    reconstruction ANN re-ranking uses before exact re-scoring)."""
+    return quant.select(
+        *[c for c in quant.columns if c not in ("q", "scale")],
+        F.transform(
+            F.col("q"), lambda x: (x.cast("double") * F.col("scale")).cast("float")
+        ).alias("embedding"),
+    )

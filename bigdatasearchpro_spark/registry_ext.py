@@ -1019,6 +1019,42 @@ def l4_ann_ivf_indexed(spark, sf_dir):
 
 
 @register(
+    "l4_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE, 0)
+               AS amax
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           greatest(-127, least(127,
+             floor(unnest(embedding)::DOUBLE / scale + 0.5)))::INTEGER AS qv,
+           round(scale, 6) + 0.0 AS scale
+    FROM s
+    """,
+)
+def l4_quantize_int8(spark, sf_dir):
+    """L4 storage op: symmetric int8 scalar quantization of the
+    embedding corpus (4x smaller; cosine fidelity gated in
+    tests/test_similarity.py). floor(x+0.5) rounding keeps the
+    arithmetic bit-identical across engines; output posexploded to
+    scalar (vec_id, dim, qv, scale) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id", F.posexplode("q").alias("dim", "qv"),
+        (F.round("scale", 6) + F.lit(0.0)).alias("scale"),
+    ).select("vec_id", "dim", "qv", "scale")
+
+
+@register(
     "ts1_resample_ffill",
     """
     WITH bounds AS (

@@ -112,3 +112,27 @@ def test_exact_similarity_join_is_lsh_ground_truth(spark, emb):
     same_label_lsh = {p for p in lsh if labels[p[0]] == labels[p[1]]}
     # within a block, LSH can only miss pairs, never invent them
     assert same_label_lsh <= exact
+
+
+def test_quantize_int8_roundtrip_fidelity(spark, sf_dir):
+    """Dequantized vectors must stay nearly collinear with the
+    originals: cosine(orig, dequant) > 0.999 for every vector."""
+    from bigdatasearchpro_spark.operators.similarity import dequantize, quantize_int8
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    deq = dequantize(quantize_int8(emb)).withColumnRenamed("embedding", "deq")
+    j = emb.join(deq, "vec_id")
+    a = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = F.transform(F.col("deq"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    cos = dot / (na * nb)
+    bad = j.filter(cos < 0.999).count()
+    assert bad == 0
+    # quantized values bounded and int
+    q = quantize_int8(emb)
+    assert q.filter(
+        F.exists(F.col("q"), lambda x: (x > 127) | (x < -127))
+    ).count() == 0

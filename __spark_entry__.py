@@ -63,6 +63,7 @@ _R3_NEW = (
     "st7_windowed_distinct",
     "s9_upsert_merge",
     "l4_quantize_int8",
+    "l5_bigram_lm_scores",
 )
 
 

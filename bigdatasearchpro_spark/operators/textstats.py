@@ -435,3 +435,58 @@ def cms_estimate_counts(
     out = {r["term"]: r["est"] for r in est.collect()}
     # a term hashing only to never-touched buckets has count 0
     return {t: out.get(t, 0) for t in terms}
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM fluency score (the perplexity-style quality filter,
+    self-trained): per-document mean log P(w_i | w_{i-1}) under the
+    corpus's own MLE bigram model. Low scorers are word-salad relative
+    to the corpus — the classic cheap filter before an expensive model
+    pass.
+
+    Two hash-aggregations build the model (bigram + unigram counts,
+    map-side partials; the shuffle carries (gram, n), never text), then
+    one join back on the bigram key scores every occurrence. MLE needs
+    no smoothing here because scoring and training corpora coincide
+    (every scored bigram has count >= 1). Docs with < 2 tokens score
+    NULL (no bigrams).
+
+    Output: (id, n_bigrams, avg_logprob) — avg_logprob in (-inf, 0].
+    """
+    toked = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
+        ).alias("__t"),
+    )
+    bigrams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - F.lit(2)),
+                    lambda i: F.struct(
+                        F.col("__t")[i].alias("a"), F.col("__t")[i + 1].alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("__g"),
+    ).select(F.col(id_col), "__g.a", "__g.b")
+
+    c2 = bigrams.groupBy("a", "b").agg(F.count("*").alias("__n2"))
+    c1 = bigrams.groupBy("a").agg(F.count("*").alias("__n1"))
+    scored = (
+        bigrams.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .withColumn("__lp", F.log(F.col("__n2") / F.col("__n1")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 4).alias("avg_logprob"),
+    )

@@ -940,6 +940,34 @@ def l2_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "l5_bigram_lm_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_FTOKS} AS toks FROM documents),
+    bi AS (
+      SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+      FROM t, LATERAL (
+        SELECT unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+      )
+    ),
+    c2 AS (SELECT a, b, count(*) AS n2 FROM bi GROUP BY a, b),
+    c1 AS (SELECT a, count(*) AS n1 FROM bi GROUP BY a)
+    SELECT bi.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(c2.n2::DOUBLE / c1.n1)), 4) AS avg_logprob
+    FROM bi JOIN c2 ON bi.a = c2.a AND bi.b = c2.b
+            JOIN c1 ON bi.a = c1.a
+    GROUP BY bi.doc_id
+    """,
+)
+def l5_bigram_lm_scores(spark, sf_dir):
+    """L5: corpus-LM fluency score — per-doc mean log P(w_i | w_{i-1})
+    under the corpus's own MLE bigram model (the perplexity-style
+    quality filter, self-trained; low scorers are word-salad relative
+    to the corpus). Two hash-aggs build the model; one bigram-key join
+    scores occurrences (operators/textstats.py bigram_lm_scores)."""
+    return textstats.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "l5_vocab_topk",
     f"""
     WITH t AS (SELECT {_FTOKS} AS toks FROM documents),

@@ -158,3 +158,26 @@ def test_vocab_topk_and_cms_bounds(docs):
         # e/width overcount bound, generous 4x slack for a small corpus
         assert est[term] <= n + (2.72 / 2048) * total * 4
     assert est["zz_absent_term"] <= (2.72 / 2048) * total * 4
+
+
+def test_bigram_lm_scores_properties(spark):
+    from bigdatasearchpro_spark.operators.textstats import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),  # fluent: repeats corpus patterns
+            (3, "mat the on sat cat the"),  # same words, scrambled
+            (4, "x"),                        # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert 4 not in rows  # <2 tokens -> no bigram rows
+    assert rows[1].n_bigrams == 5
+    # log-probs are always <= 0, and the repeated fluent docs outscore
+    # the scrambled one (its bigrams are mostly singletons)
+    for r in rows.values():
+        assert r.avg_logprob <= 0.0
+    assert rows[1].avg_logprob == rows[2].avg_logprob
+    assert rows[1].avg_logprob > rows[3].avg_logprob

@@ -64,6 +64,7 @@ _R3_NEW = (
     "s9_upsert_merge",
     "l4_quantize_int8",
     "l5_bigram_lm_scores",
+    "st8_streaming_cdc_apply",
 )
 
 

@@ -1270,6 +1270,58 @@ def st7_windowed_distinct(spark, sf_dir):
     return windowed_distinct_users(e)
 
 
+@register("st8_streaming_cdc_apply")  # rows-only: filesystem side effects
+def st8_streaming_cdc_apply(spark, sf_dir):
+    """§2.9: streaming CDC apply executed as a real stream — three
+    time-ordered change micro-batches (derived deterministically from
+    customer) merged into a parquet snapshot via foreachBatch +
+    apply_changes with atomic directory swap; returns the final
+    snapshot's reconciliation row. Batch convergence is proven in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from bigdatasearchpro_spark.streaming.pipelines import streaming_apply_changes
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    b0 = c.limit(200).select("k", F.lit("I").alias("op"), "name")
+    b1 = c.limit(100).select(
+        "k", F.lit("U").alias("op"), F.concat(F.lit("upd-"), F.col("name")).alias("name")
+    )
+    b2 = c.limit(50).select("k", F.lit("D").alias("op"), "name")
+
+    root = tempfile.mkdtemp(prefix="st8_cdc_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, b in enumerate((b0, b1, b2)):
+        stage = os.path.join(root, f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), os.path.join(src, f"b{i}.parquet"))
+        _time.sleep(0.1)
+    snap = os.path.join(root, "snapshot")
+    stream = spark.readStream.schema("k long, op string, name string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = streaming_apply_changes(
+        stream, snap, "k", checkpoint_dir=os.path.join(root, "ck")
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("st8 streaming CDC apply did not finish")
+    out = spark.read.parquet(snap)
+    n = out.count()
+    n_upd = out.filter(F.col("name").startswith("upd-")).count()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n, n_upd)], "survivors bigint, updated bigint"
+    )
+
+
 @register("st5_stateful_sessionize")  # rows-only: real stream execution
 def st5_stateful_sessionize(spark, sf_dir):
     """§2.9/§2.11: the applyInPandasWithState sessionizer executed as a

@@ -187,3 +187,51 @@ def test_windowed_distinct_stream_equals_batch(spark, events_dir, batch_events, 
     for r in got.collect():
         e = exact[(r["win_start"], r["event_type"])]
         assert abs(r["n_users_approx"] - e) / max(e, 1) < 0.10
+
+
+def test_streaming_cdc_apply_converges_to_batch(spark, tmp_path):
+    """Three change micro-batches streamed through streaming_apply_changes
+    must leave the snapshot in the same state as applying them in batch
+    order (upserts honored, deletes honored, exactly-once per batch)."""
+    import time as _time
+
+    from bigdatasearchpro_spark.operators.transform import apply_changes
+    from bigdatasearchpro_spark.streaming.pipelines import streaming_apply_changes
+
+    batches = [
+        [(1, "I", "a1"), (2, "I", "b1"), (3, "I", "c1")],
+        [(2, "U", "b2"), (4, "I", "d1")],
+        [(1, "D", None), (4, "U", "d2"), (5, "I", "e1")],
+    ]
+    schema = "k long, op string, v string"
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage_{i}"))
+        import shutil as _sh
+        import os as _os
+
+        part = next(
+            p for p in _os.listdir(tmp_path / f"stage_{i}") if p.endswith(".parquet")
+        )
+        _sh.copy(tmp_path / f"stage_{i}" / part, src / f"batch_{i}.parquet")
+        _time.sleep(0.1)  # distinct mod-times -> deterministic order
+
+    snap = str(tmp_path / "snapshot")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = streaming_apply_changes(
+        stream, snap, "k", checkpoint_dir=str(tmp_path / "ck_cdc")
+    )
+    assert q.awaitTermination(120)
+
+    got = {r.k: r.v for r in spark.read.parquet(snap).collect()}
+
+    base = spark.createDataFrame([], "k long, v string")
+    for rows in batches:
+        base = apply_changes(base, spark.createDataFrame(rows, schema), "k")
+    expect = {r.k: r.v for r in base.collect()}
+    assert got == expect == {2: "b2", 3: "c1", 4: "d2", 5: "e1"}

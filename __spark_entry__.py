@@ -65,6 +65,8 @@ _R3_NEW = (
     "l4_quantize_int8",
     "l5_bigram_lm_scores",
     "st8_streaming_cdc_apply",
+    "w5_ntile_percent_rank",
+    "l6_patch_grid",
 )
 
 

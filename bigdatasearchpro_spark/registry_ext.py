@@ -1019,6 +1019,86 @@ def l4_ann_ivf_indexed(spark, sf_dir):
 
 
 @register(
+    "w5_ntile_percent_rank",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w5_ntile_percent_rank(spark, sf_dir):
+    """§2.5 windows: distribution functions — ntile / percent_rank /
+    cume_dist over price within priority (deterministic via the
+    orderkey tie-break). One keyed exchange + sort, like w1-w4."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "l6_patch_grid",
+    """
+    WITH img AS (
+      SELECT doc_id AS asset_id,
+             ((doc_id % 8 + 1) * 64)::INTEGER AS w,
+             ((doc_id % 6 + 1) * 64)::INTEGER AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    g AS (
+      SELECT asset_id, w, h, (w // 16) AS nx, (h // 16) AS ny FROM img
+    )
+    SELECT asset_id,
+           unnest(range(0, nx * ny))::INTEGER AS patch_id,
+           (unnest(range(0, nx * ny)) % nx * 16)::INTEGER AS x0,
+           (unnest(range(0, nx * ny)) // nx * 16)::INTEGER AS y0,
+           (nx * ny)::INTEGER AS n_patches
+    FROM g
+    """,
+)
+def l6_patch_grid(spark, sf_dir):
+    """L6: ViT-style 16x16 patch-grid planning per image asset — patch
+    ids in row-major order with pixel origins (fixture dims are
+    multiples of 16, so the grid is exact). Row-expanding
+    sequence+explode, JVM-side; the pixel extraction itself lives
+    behind the codec stub like resize/frame-sample."""
+    a = mm.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    img = a.filter(F.col("kind") == "image").select(
+        "asset_id",
+        (F.col("meta.width") / 16).cast("int").alias("nx"),
+        (F.col("meta.height") / 16).cast("int").alias("ny"),
+    )
+    return (
+        img.select(
+            "asset_id",
+            "nx",
+            (F.col("nx") * F.col("ny")).alias("n_patches"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("nx") * F.col("ny") - F.lit(1))
+            ).alias("patch_id"),
+        )
+        .select(
+            "asset_id",
+            "patch_id",
+            (F.col("patch_id") % F.col("nx") * 16).cast("int").alias("x0"),
+            (F.floor(F.col("patch_id") / F.col("nx")) * 16).cast("int").alias("y0"),
+            F.col("n_patches").cast("int"),
+        )
+    )
+
+
+@register(
     "l4_quantize_int8",
     """
     WITH v AS (

@@ -67,6 +67,8 @@ _R3_NEW = (
     "st8_streaming_cdc_apply",
     "w5_ntile_percent_rank",
     "l6_patch_grid",
+    "set2_multiset_ops",
+    "f6_null_handling_funcs",
 )
 
 

@@ -554,6 +554,77 @@ def t2_global_sort(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "set2_multiset_ops",
+    """
+    WITH a AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o_orderdate < TIMESTAMP '1996-01-01'),
+         b AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT 'intersect_all' AS bucket, o_custkey
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all', o_custkey
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    """,
+)
+def set2_multiset_ops(spark, sf_dir):
+    """§2.7: the MULTISET (bag) set-op variants — intersectAll keeps
+    min(count_a, count_b) copies per key, exceptAll keeps
+    count_a - count_b; the duplicate-preserving forms SQL's ALL
+    keyword specifies (set1 covers the distinct forms)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    b = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return (
+        a.intersectAll(b).select(F.lit("intersect_all").alias("bucket"), "o_custkey")
+        .unionByName(
+            a.exceptAll(b).select(F.lit("except_all").alias("bucket"), "o_custkey")
+        )
+    )
+
+
+@register(
+    "f6_null_handling_funcs",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_orderpriority IS NULL OR o_orderpriority = ''
+                THEN 'none' ELSE 'some' END AS priority_flag,
+           greatest(round(o_totalprice, 2), 100000.0) AS floor_price,
+           least(round(o_totalprice, 2), 200000.0) AS capped_price,
+           (o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL) AS complete_row
+    FROM orders
+    """,
+)
+def f6_null_handling_funcs(spark, sf_dir):
+    """§2.8: null-handling scalar family — coalesce / nullif /
+    greatest / least / null predicates (the dirty-data guards every
+    stringified-document pipeline leans on; all codegen'd)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(
+            F.col("o_orderpriority").isNull() | (F.col("o_orderpriority") == ""),
+            "none",
+        ).otherwise("some").alias("priority_flag"),
+        F.greatest(F.round("o_totalprice", 2), F.lit(100000.0)).alias("floor_price"),
+        F.least(F.round("o_totalprice", 2), F.lit(200000.0)).alias("capped_price"),
+        (F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()).alias(
+            "complete_row"
+        ),
+    )
+
+
+@register(
     "set1_union_intersect_except",
     """
     WITH a AS (SELECT DISTINCT o_custkey FROM orders

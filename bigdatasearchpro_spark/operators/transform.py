@@ -58,12 +58,16 @@ def normalize_index_name(name: str) -> str:
     lowercase (reference BulkProcessImpl.java:64), then VALIDATE —
     normalized names are interpolated into SQL DDL, so anything outside
     ``[a-z0-9_]`` (backticks, parens, semicolons, dots) is rejected
-    instead of reaching the parser."""
+    instead of reaching the parser. ``_all`` is reserved (mirrors ES's
+    reserved multi-index name): an index literally named ``_all`` would
+    re-enter the scatter-gather branch of ``api.query_data`` forever."""
     n = name.strip().lower()
     if not _IDENT_RE.match(n):
         raise ValueError(
             f"invalid index/table name {name!r}: normalized form must match [a-z0-9_]+"
         )
+    if n == "_all":
+        raise ValueError("'_all' is a reserved index name (ES multi-index alias)")
     return n
 
 

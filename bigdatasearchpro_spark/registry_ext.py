@@ -1354,25 +1354,30 @@ def st7_windowed_distinct(spark, sf_dir):
 def st8_streaming_cdc_apply(spark, sf_dir):
     """§2.9: streaming CDC apply executed as a real stream — three
     time-ordered change micro-batches (derived deterministically from
-    customer) merged into a parquet snapshot via foreachBatch +
-    apply_changes with atomic directory swap; returns the final
-    snapshot's reconciliation row. Batch convergence is proven in
+    customer via key-range predicates, so batch membership cannot drift
+    across partition layouts the way an unordered limit() could) merged
+    into a parquet snapshot via foreachBatch + apply_changes with
+    atomic manifest-pointer publish; returns the final snapshot's
+    reconciliation row. Batch convergence is proven in
     tests/test_streaming.py."""
     import os
     import shutil
     import tempfile
     import time as _time
 
-    from bigdatasearchpro_spark.streaming.pipelines import streaming_apply_changes
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        read_snapshot,
+        streaming_apply_changes,
+    )
 
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
     )
-    b0 = c.limit(200).select("k", F.lit("I").alias("op"), "name")
-    b1 = c.limit(100).select(
+    b0 = c.filter("k <= 200").select("k", F.lit("I").alias("op"), "name")
+    b1 = c.filter("k <= 100").select(
         "k", F.lit("U").alias("op"), F.concat(F.lit("upd-"), F.col("name")).alias("name")
     )
-    b2 = c.limit(50).select("k", F.lit("D").alias("op"), "name")
+    b2 = c.filter("k <= 50").select("k", F.lit("D").alias("op"), "name")
 
     root = tempfile.mkdtemp(prefix="st8_cdc_")
     src = os.path.join(root, "src")
@@ -1393,7 +1398,7 @@ def st8_streaming_cdc_apply(spark, sf_dir):
     if not q.awaitTermination(180):
         q.stop()
         raise TimeoutError("st8 streaming CDC apply did not finish")
-    out = spark.read.parquet(snap)
+    out = read_snapshot(spark, snap)
     n = out.count()
     n_upd = out.filter(F.col("name").startswith("upd-")).count()
     shutil.rmtree(root, ignore_errors=True)

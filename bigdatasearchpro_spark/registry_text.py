@@ -779,16 +779,23 @@ def _with_synthetic_neardups(docs):
 # cache, deliberately session-lifetime: the corpus is the small
 # documents table (never 100 TB — production near-dup runs on the real
 # corpus, where the analogous move is persisting the signature table,
-# which the operators already do).
-_neardup_corpus_cache: dict = {}
+# which the operators already do). The cache lives ON the SparkSession
+# object (not a module dict keyed by id(spark)): the persisted
+# DataFrames and their cached blocks die with the session, and a new
+# session whose id() happens to alias a dead one can never pick up a
+# stale plan.
+_NEARDUP_CACHE_ATTR = "_bdsp_neardup_corpus_cache"
 
 
 def _neardup_corpus(spark, sf_dir):
-    key = (id(spark), sf_dir)
-    if key not in _neardup_corpus_cache:
+    cache = getattr(spark, _NEARDUP_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _NEARDUP_CACHE_ATTR, cache)
+    if sf_dir not in cache:
         df = _with_synthetic_neardups(load_table(spark, sf_dir, "documents"))
-        _neardup_corpus_cache[key] = df.persist()
-    return _neardup_corpus_cache[key]
+        cache[sf_dir] = df.persist()
+    return cache[sf_dir]
 
 
 # mutated corpus the near-dup entries run on (mirror of

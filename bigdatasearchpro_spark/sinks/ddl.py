@@ -53,9 +53,15 @@ def delete_index(spark: SparkSession, name: str) -> bool:
 
 def list_indices(spark: SparkSession) -> DataFrame:
     """All non-system tables — the reference filters ``.``-prefixed
-    system indices (``ElasticServiceImpl.java:98``)."""
+    system indices (``ElasticServiceImpl.java:98``). ``_all`` is
+    additionally excluded as a defense-in-depth belt for pre-existing
+    catalogs (``normalize_index_name`` rejects creating it): the
+    scatter-gather in ``api.query_data`` must never see itself in the
+    scatter list."""
     tables = spark.createDataFrame(
         [(t.name, t.database or "") for t in spark.catalog.listTables()],
         "index_name string, database string",
     )
-    return tables.filter(~F.col("index_name").startswith("."))
+    return tables.filter(
+        ~F.col("index_name").startswith(".") & (F.col("index_name") != "_all")
+    )

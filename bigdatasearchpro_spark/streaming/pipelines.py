@@ -43,11 +43,30 @@ def events_stream(
     actual column type. Watermarks require TIMESTAMP (not NTZ); under
     the UTC session timezone the bucket boundaries match the batch
     loader's NTZ values.
+
+    When the directory has no parquet files yet — the normal file-source
+    pattern of subscribing to a not-yet-populated directory — the probe
+    cannot infer anything, so it falls back to the canonical events
+    schema (microsecond ts); once files land they are read under that
+    schema, and a later NANOS fixture would still be caught by the
+    type-gated normalizer on the next probe-able restart.
     """
     from bigdatasearchpro_spark.sources.files import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_dir).schema
+    try:
+        schema = spark.read.parquet(events_dir).schema
+    except Exception:  # empty/absent dir: unable to infer schema
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -313,6 +332,99 @@ def stage_time_sliced_replay(
         _time.sleep(0.1)  # distinct mod-times -> deterministic replay order
 
 
+_SNAPSHOT_MANIFEST = "_MANIFEST"
+
+
+def _snapshot_current(snapshot_dir: str) -> str | None:
+    """Resolve the published version directory, or None if never
+    published. The manifest is a one-line pointer file replaced with
+    ``os.replace`` (atomic on POSIX), so a reader always resolves a
+    fully-written version — there is no window where neither the old
+    nor the new snapshot exists."""
+    import os
+
+    manifest = os.path.join(snapshot_dir, _SNAPSHOT_MANIFEST)
+    if not os.path.isfile(manifest):
+        return None
+    with open(manifest, encoding="utf-8") as f:
+        version = f.read().strip()
+    vdir = os.path.join(snapshot_dir, version)
+    return vdir if os.path.isdir(vdir) else None
+
+
+def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read the current published CDC snapshot (manifest-resolved)."""
+    current = _snapshot_current(snapshot_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published snapshot under {snapshot_dir}")
+    return spark.read.parquet(current)
+
+
+def apply_cdc_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_dir: str,
+    key: str,
+    *,
+    op_col: str = "op",
+) -> None:
+    """Merge ONE micro-batch of I/U/D change rows into the snapshot and
+    publish the result atomically.
+
+    Publish protocol (crash-safe at every step, replay-idempotent):
+
+    1. read the base state via the manifest pointer (missing manifest ⇒
+       empty base);
+    2. write the merged state to a fresh version dir ``v_{batch_id}``
+       (``overwrite`` mode, so a replay of the same batch rewrites the
+       same dir);
+    3. flip the manifest pointer with write-temp + ``os.replace`` —
+       atomic, so a crash before the flip leaves the old version
+       published and the checkpoint replays this batch from the SAME
+       base, while a crash after the flip is a completed batch;
+    4. GC version dirs older than the previous one (the previous is
+       kept so an in-flight reader that resolved the pointer just
+       before the flip still finds its files).
+
+    Step 2's leftover dir after a crash is harmless: nothing references
+    an unpublished version, and the replay overwrites it.
+    """
+    import os
+    import shutil
+
+    from bigdatasearchpro_spark.operators.transform import apply_changes
+
+    spark = batch_df.sparkSession
+    data_cols = [c for c in batch_df.columns if c != op_col]
+    os.makedirs(snapshot_dir, exist_ok=True)
+    current = _snapshot_current(snapshot_dir)
+    if current is not None:
+        base = spark.read.parquet(current)
+    else:
+        base = spark.createDataFrame([], batch_df.drop(op_col).schema)
+    merged = apply_changes(base, batch_df, key, op_col=op_col).select(data_cols)
+
+    version = f"v_{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, version))
+
+    manifest = os.path.join(snapshot_dir, _SNAPSHOT_MANIFEST)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version + "\n")
+    os.replace(tmp, manifest)  # atomic pointer flip
+
+    published = sorted(
+        (
+            d
+            for d in os.listdir(snapshot_dir)
+            if d.startswith("v_") and os.path.isdir(os.path.join(snapshot_dir, d))
+        ),
+        key=lambda d: int(d[2:]),
+    )
+    for stale in published[:-2]:  # keep current + previous for live readers
+        shutil.rmtree(os.path.join(snapshot_dir, stale), ignore_errors=True)
+
+
 def streaming_apply_changes(
     change_stream: DataFrame,
     snapshot_dir: str,
@@ -328,34 +440,20 @@ def streaming_apply_changes(
     the reference's bulk loop (append-only LWW,
     ``BulkProcessImpl.java:120-137``) upgraded to honor deletes.
 
-    The new snapshot is written BESIDE the old one and swapped in by a
-    directory rename, so a concurrent reader sees the old or the new
-    snapshot, never a partial write. foreachBatch gives exactly-once
-    per-batch application under the checkpoint. At scale the rewrite
-    cost is bounded the standard way: partition the snapshot by a key
-    prefix and rewrite only partitions the batch touches (copy-on-write
-    lakehouse semantics) — the swap trick below is the single-dir form.
+    Each batch publishes a new VERSION directory and atomically flips a
+    manifest pointer (see ``apply_cdc_batch``): readers resolving via
+    ``read_snapshot`` always see a complete snapshot, and a crash at
+    any point replays the batch against the still-published old
+    version — no rename window where the live dir is absent.
+    foreachBatch + the checkpoint give exactly-once per-batch
+    application. At scale the rewrite cost is bounded the standard way:
+    partition the snapshot by a key prefix and rewrite only partitions
+    the batch touches (copy-on-write lakehouse semantics, same
+    version-and-pointer publish per partition).
     """
-    import os
-    import shutil
-
-    from bigdatasearchpro_spark.operators.transform import apply_changes
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        data_cols = [c for c in batch_df.columns if c != op_col]
-        if os.path.isdir(snapshot_dir):
-            base = spark.read.parquet(snapshot_dir)
-        else:
-            base = spark.createDataFrame([], batch_df.drop(op_col).schema)
-        merged = apply_changes(base, batch_df, key, op_col=op_col).select(data_cols)
-        tmp = snapshot_dir.rstrip("/") + f"__stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = snapshot_dir.rstrip("/") + f"__old_{batch_id}"
-        if os.path.isdir(snapshot_dir):
-            os.rename(snapshot_dir, old)
-        os.rename(tmp, snapshot_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        apply_cdc_batch(batch_df, batch_id, snapshot_dir, key, op_col=op_col)
 
     return (
         change_stream.writeStream.foreachBatch(apply_batch)

@@ -116,6 +116,30 @@ def test_query_data_field_sort_and_all_count(spark, sf_dir, docs):
         api.delete_index(spark, b)
 
 
+def test_all_is_a_reserved_index_name(spark, docs):
+    """'_all' mirrors ES's reserved multi-index alias: creating an index
+    with that name (which would make query_data's scatter-gather recurse
+    into itself) is rejected everywhere names are normalized."""
+    import pytest as _pytest
+
+    from bigdatasearchpro_spark.operators.transform import normalize_index_name
+    from bigdatasearchpro_spark.sinks import ddl
+
+    with _pytest.raises(ValueError, match="reserved"):
+        normalize_index_name("_all")
+    with _pytest.raises(ValueError, match="reserved"):
+        api.create_index(spark, "_ALL ")
+    with _pytest.raises(ValueError, match="reserved"):
+        api.bulk_data_to_index(spark, docs, "_all", id_col="doc_id")
+    # defense-in-depth: even a pre-existing catalog table named _all
+    # (created outside the facade) never enters the scatter list
+    spark.sql("CREATE TABLE IF NOT EXISTS _all (doc_id BIGINT) USING parquet")
+    try:
+        assert "_all" not in api.get_all_index(spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _all")
+
+
 def test_query_data_wildcard_only_matches_stay_in_page(spark, sf_dir, docs):
     """A doc matching only a non-scoring clause (wildcard) must appear
     in the results at score 0.0 (ES constant-score), not vanish."""

@@ -196,7 +196,10 @@ def test_streaming_cdc_apply_converges_to_batch(spark, tmp_path):
     import time as _time
 
     from bigdatasearchpro_spark.operators.transform import apply_changes
-    from bigdatasearchpro_spark.streaming.pipelines import streaming_apply_changes
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        read_snapshot,
+        streaming_apply_changes,
+    )
 
     batches = [
         [(1, "I", "a1"), (2, "I", "b1"), (3, "I", "c1")],
@@ -228,10 +231,67 @@ def test_streaming_cdc_apply_converges_to_batch(spark, tmp_path):
     )
     assert q.awaitTermination(120)
 
-    got = {r.k: r.v for r in spark.read.parquet(snap).collect()}
+    got = {r.k: r.v for r in read_snapshot(spark, snap).collect()}
 
     base = spark.createDataFrame([], "k long, v string")
     for rows in batches:
         base = apply_changes(base, spark.createDataFrame(rows, schema), "k")
     expect = {r.k: r.v for r in base.collect()}
     assert got == expect == {2: "b2", 3: "c1", 4: "d2", 5: "e1"}
+
+
+def test_cdc_snapshot_publish_is_crash_safe(spark, tmp_path):
+    """The manifest-pointer publish must survive a crash at every step:
+    a version dir written WITHOUT a pointer flip (crash between write
+    and publish) leaves the old state visible, and replaying the same
+    batch id from that state converges to the correct result instead of
+    rebuilding the snapshot from only the current batch."""
+    import os
+
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        apply_cdc_batch,
+        read_snapshot,
+    )
+
+    schema = "k long, op string, v string"
+    snap = str(tmp_path / "snapshot")
+    b0 = spark.createDataFrame([(1, "I", "a1"), (2, "I", "b1")], schema)
+    apply_cdc_batch(b0, 0, snap, "k")
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {
+        1: "a1",
+        2: "b1",
+    }
+
+    # Simulate a crash mid-batch-1: version dir written, pointer NOT
+    # flipped. Readers must still see batch-0 state.
+    b1 = spark.createDataFrame([(2, "U", "b2"), (3, "I", "c1")], schema)
+    base = read_snapshot(spark, snap)
+    from bigdatasearchpro_spark.operators.transform import apply_changes
+
+    apply_changes(base, b1, "k").select("k", "v").write.mode("overwrite").parquet(
+        os.path.join(snap, "v_1")
+    )
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {
+        1: "a1",
+        2: "b1",
+    }, "unpublished version leaked into reads"
+
+    # Checkpoint replay of batch 1 against the still-published old
+    # version: overwrites the orphan dir and publishes correctly.
+    apply_cdc_batch(b1, 1, snap, "k")
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {
+        1: "a1",
+        2: "b2",
+        3: "c1",
+    }
+
+    # Old version is retained for in-flight readers; two-versions GC.
+    apply_cdc_batch(
+        spark.createDataFrame([(1, "D", None)], schema), 2, snap, "k"
+    )
+    versions = sorted(d for d in os.listdir(snap) if d.startswith("v_"))
+    assert versions == ["v_1", "v_2"]
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {
+        2: "b2",
+        3: "c1",
+    }

@@ -104,6 +104,11 @@ def query_data(
 
     ``text_col=None`` searches every string column (ES ``_all`` over the
     stringified document, reference BulkProcessImpl.java:112-117).
+    Fields may carry per-field boosts, ``text_col=["title^3", "text"]``
+    (ES 6.x ``query_string`` ``fields`` weights): each boosted field is
+    scored as its own BM25 corpus, weighted, and combined best-fields
+    (ES default ``type`` — dis_max, tie_breaker 0); unboosted multi-
+    field keeps the ``_all``-concatenation scoring unchanged.
 
     ``index_name="_all"`` searches every catalog index — the reference
     UI's "all index" option (``HtmlController.java:27``,
@@ -153,13 +158,15 @@ def query_data(
         ).drop("rank")
 
     docs = spark.table(transform.normalize_index_name(index_name))
-    fields = (
+    specs = (
         [text_col]
         if isinstance(text_col, str)
         else list(text_col)
         if text_col is not None
         else search.all_string_cols(docs)
     )
+    boosted = search.parse_boosted_fields(specs)
+    fields = [n for n, _ in boosted]  # filter context is boost-invariant
     matched = query_string_filter(docs, query, default_field=fields, fields=fields)
     if sort is not None:
         # ES URI-search `sort=field[:asc|desc]`: relevance is not
@@ -192,6 +199,47 @@ def query_data(
         rows = page.collect()[from_:]
         out = spark.createDataFrame(rows, page.schema) if rows else page.limit(0)
         return out
+    if any(w != 1.0 for _, w in boosted):
+        # per-field boosts: each field scored as its own BM25 corpus,
+        # weighted, combined best-fields (ES default type); term ^N
+        # boosts multiply in. Page over the materialized <= from_+k
+        # rows, like search_paged.
+        top = search.search_topk_multifield(
+            matched,
+            " ".join(terms),
+            specs,
+            from_ + k,
+            id_col=id_col,
+            keep_zero_hits=True,
+            term_weights=[w for _, w in weighted],
+        )
+        from pyspark.sql.window import Window
+
+        ranked = top.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col))),
+        ).filter(F.col("rank") > from_)
+        if not highlight:
+            return ranked
+        import re as _re
+
+        src = F.concat_ws(
+            " ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in fields]
+        ).alias("__src")
+        pattern = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+        hi = (
+            docs.select(F.col(id_col), src)
+            .join(F.broadcast(ranked.select(id_col)), id_col, "left_semi")
+            .select(
+                F.col(id_col),
+                F.regexp_replace(F.col("__src"), pattern, "<em>$1</em>").alias(
+                    "highlight"
+                ),
+            )
+        )
+        return ranked.join(F.broadcast(hi), id_col, "left").select(
+            id_col, "score", "rank", "highlight"
+        )
     # keep_zero_hits: `matched` is already the query's filtered match
     # set — a doc matching only non-scoring clauses (wildcard/range)
     # must stay in the page at score 0 (ES returns it constant-scored),

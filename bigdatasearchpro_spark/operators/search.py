@@ -350,6 +350,160 @@ def search_paged(
     )
 
 
+def parse_boosted_fields(specs: Sequence[str]) -> list[tuple[str, float]]:
+    """ES multi-field boost syntax: ``["title^3", "text"]`` ->
+    ``[("title", 3.0), ("text", 1.0)]`` (public ES 6.x ``query_string``
+    ``fields`` semantics, the surface the reference delegates at
+    ``indexView.html:13-19``)."""
+    out: list[tuple[str, float]] = []
+    for s in specs:
+        name, sep, w = s.partition("^")
+        if not name or (sep and not w):
+            raise ValueError(f"malformed boosted field spec: {s!r} (use name[^N])")
+        try:
+            weight = float(w) if sep else 1.0
+        except ValueError:
+            raise ValueError(f"malformed boost in field spec: {s!r}") from None
+        if weight <= 0:
+            raise ValueError(f"field boost must be > 0: {s!r}")
+        out.append((name, weight))
+    return out
+
+
+def search_topk_multifield(
+    docs: DataFrame,
+    query: str,
+    fields: Sequence[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    combine: str = "best_fields",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    keep_zero_hits: bool = False,
+    term_weights: "Sequence[float] | None" = None,
+) -> DataFrame:
+    """Per-field-boosted multi-field BM25 top-k — ES 6.x
+    ``query_string`` with ``fields=["title^3", "text"]``.
+
+    Each field is scored as its OWN BM25 corpus (per-field document
+    length, avgdl and df — exactly how ES scores per field), the field
+    score is multiplied by its ``^boost``, and the per-field scores
+    combine per document:
+
+    - ``combine='best_fields'`` (ES default ``type``): the MAX weighted
+      field score — dis_max with tie_breaker 0;
+    - ``combine='most_fields'``: the SUM of weighted field scores.
+
+    Single-scan like :func:`search_topk`: one pass tokenizes every
+    field into a per-doc integer projection (dl_j, tf_{j,i}), which is
+    persisted and reread by the stats aggregate and the top-k — the
+    corpus text is scanned once regardless of field count. Ties broken
+    by ``id_col`` asc after ``round_to`` rounding (oracle-comparable).
+    """
+    import math
+
+    if combine not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown combine: {combine!r}")
+    specs = parse_boosted_fields(fields)
+    terms = analyze_query(query)
+    spark = docs.sparkSession
+    if not terms:
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    names = [n for n, _ in specs]
+    # each field as a 1-element list: the _text_expr list path wraps the
+    # column in coalesce(, ''), so a NULL field scores 0 instead of
+    # poisoning dl/tf with NULLs
+    toked = fan_out(docs).select(
+        F.col(id_col),
+        *[tokens_expr([n]).alias(f"__toks_{j}") for j, n in enumerate(names)],
+    )
+    proj = [F.col(id_col)]
+    for j in range(len(names)):
+        proj.append(F.size(f"__toks_{j}").cast("double").alias(f"dl_{j}"))
+        proj.extend(
+            F.size(F.filter(f"__toks_{j}", _eq(t))).alias(f"tf_{j}_{i}")
+            for i, t in enumerate(terms)
+        )
+    per_doc = toked.select(*proj)
+    per_doc.persist()
+    try:
+        stats = per_doc.agg(
+            F.count("*").alias("n"),
+            *[F.avg(f"dl_{j}").alias(f"avgdl_{j}") for j in range(len(names))],
+            *[
+                F.count(F.when(F.col(f"tf_{j}_{i}") > 0, 1)).alias(f"df_{j}_{i}")
+                for j in range(len(names))
+                for i in range(len(terms))
+            ],
+        ).first()
+        if term_weights is not None and len(term_weights) != len(terms):
+            raise ValueError("term_weights must parallel the analyzed terms")
+        n_docs = float(stats["n"])
+        field_scores = []
+        for j, (_, w) in enumerate(specs):
+            avgdl = float(stats[f"avgdl_{j}"] or 0.0)
+            parts = []
+            for i in range(len(terms)):
+                dfi = float(stats[f"df_{j}_{i}"])
+                if dfi == 0 or avgdl == 0:
+                    continue
+                tw = 1.0 if term_weights is None else float(term_weights[i])
+                tf = F.col(f"tf_{j}_{i}").cast("double")
+                idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+                parts.append(
+                    F.lit(w * tw * idf)
+                    * (tf * (k1 + 1.0))
+                    / (tf + F.lit(k1) * (1.0 - b + b * F.col(f"dl_{j}") / F.lit(avgdl)))
+                )
+            if parts:
+                total = parts[0]
+                for p in parts[1:]:
+                    total = total + p
+                field_scores.append(total)
+        if not field_scores:
+            if keep_zero_hits:
+                zero = per_doc.select(F.col(id_col), F.lit(0.0).alias("score"))
+                return spark.createDataFrame(
+                    zero.orderBy(id_col).limit(k).collect(), zero.schema
+                )
+            return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+        if combine == "best_fields":
+            combined = (
+                F.greatest(*field_scores) if len(field_scores) > 1 else field_scores[0]
+            )
+        else:
+            combined = field_scores[0]
+            for s in field_scores[1:]:
+                combined = combined + s
+        if keep_zero_hits:
+            # input is already a filtered match set (query-string result):
+            # docs matching only non-scoring clauses stay at score 0
+            hits = per_doc
+        else:
+            any_hit = None
+            for j in range(len(names)):
+                for i in range(len(terms)):
+                    c = F.col(f"tf_{j}_{i}") > 0
+                    any_hit = c if any_hit is None else (any_hit | c)
+            hits = per_doc.filter(any_hit)
+        topk = (
+            hits.select(F.col(id_col), F.round(combined, round_to).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+        rows, schema = topk.collect(), topk.schema
+    finally:
+        per_doc.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
 def build_inverted_index(
     docs: DataFrame,
     *,

@@ -326,6 +326,67 @@ def l3_qs_boost_topk(spark, sf_dir):
     )
 
 
+_MFB_FIELD_CTE = """
+t{j} AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(coalesce({c}, '')), '[^a-z0-9]+'),
+              x -> x <> '') AS toks
+  FROM documents),
+tf{j} AS (SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t{j})
+  WHERE term IN ('spark', 'en', 'src1') GROUP BY doc_id, term),
+df{j} AS (SELECT term, count(*) AS df FROM tf{j} GROUP BY term),
+dl{j} AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t{j}),
+ad{j} AS (SELECT avg(dl) AS avgdl FROM dl{j}),
+s{j} AS (
+  SELECT tf{j}.doc_id,
+         sum(ln(1 + (nn.n - df{j}.df + 0.5) / (df{j}.df + 0.5))
+             * (tf{j}.tf * 2.2)
+             / (tf{j}.tf + 1.2 * (1 - 0.75 + 0.75 * dl{j}.dl / ad{j}.avgdl))
+         ) AS s
+  FROM tf{j} CROSS JOIN nn CROSS JOIN ad{j}
+  JOIN df{j} ON tf{j}.term = df{j}.term
+  JOIN dl{j} ON tf{j}.doc_id = dl{j}.doc_id
+  GROUP BY tf{j}.doc_id)
+"""
+
+
+@register(
+    "l3_multifield_boosted",
+    f"""
+    WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    {_MFB_FIELD_CTE.format(j=1, c='text')},
+    {_MFB_FIELD_CTE.format(j=2, c='lang')},
+    {_MFB_FIELD_CTE.format(j=3, c='source')},
+    hit AS (SELECT doc_id FROM s1 UNION
+            SELECT doc_id FROM s2 UNION
+            SELECT doc_id FROM s3)
+    SELECT hit.doc_id,
+           round(greatest(coalesce(3.0 * s1.s, 0), coalesce(1.0 * s2.s, 0),
+                          coalesce(2.0 * s3.s, 0)), 4) AS score
+    FROM hit
+    LEFT JOIN s1 ON hit.doc_id = s1.doc_id
+    LEFT JOIN s2 ON hit.doc_id = s2.doc_id
+    LEFT JOIN s3 ON hit.doc_id = s3.doc_id
+    ORDER BY score DESC, hit.doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_multifield_boosted(spark, sf_dir):
+    """L3 [ES parity]: per-field boosts in multi-field search
+    (`fields=["text^3", "lang", "source^2"]`, public ES 6.x query_string
+    `fields` weights — the surface the reference's search box delegates,
+    indexView.html:13-19). Each field is scored as its OWN BM25 corpus
+    (per-field dl/avgdl/df, exactly how ES scores per field), weighted
+    by its `^N`, and combined best-fields (ES default `type`: dis_max,
+    tie_breaker 0). Single corpus scan: one pass tokenizes all three
+    fields into a persisted per-doc integer projection
+    (operators/search.py search_topk_multifield)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.search_topk_multifield(
+        docs, "spark en src1", ["text^3", "lang", "source^2"], 10
+    )
+
+
 @register(
     "l3_range_query",
     f"""

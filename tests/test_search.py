@@ -110,3 +110,91 @@ def test_phrase_match_requires_consecutive_order(spark):
     )
     got = {r.doc_id for r in search.phrase_match(df, "Big Data Search").collect()}
     assert got == {1, 3, 5}
+
+
+def test_multifield_boosted_semantics(spark):
+    from bigdatasearchpro_spark.operators import search
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", "alpha", "other"),
+            (2, "gamma delta", "beta", "alpha"),
+            (3, "alpha alpha alpha", "gamma", "beta"),
+            (4, "nothing here", "delta", "delta"),
+        ],
+        "doc_id long, body string, title string, tag string",
+    )
+    # boosting title should rank a title hit above a body-only hit
+    hot = search.search_topk_multifield(
+        df, "alpha", ["title^10", "body", "tag"], 4
+    ).collect()
+    assert hot[0]["doc_id"] == 1  # only title match for 'alpha'
+    # best_fields = max of per-field weighted scores; most_fields = sum.
+    # doc 1 matches 'alpha' in BOTH body and title, so its most_fields
+    # score strictly exceeds its best_fields score; single-field docs
+    # are identical across modes.
+    best = {
+        r["doc_id"]: r["score"]
+        for r in search.search_topk_multifield(
+            df, "alpha", ["title", "body", "tag"], 4, combine="best_fields"
+        ).collect()
+    }
+    most = {
+        r["doc_id"]: r["score"]
+        for r in search.search_topk_multifield(
+            df, "alpha", ["title", "body", "tag"], 4, combine="most_fields"
+        ).collect()
+    }
+    assert set(best) == set(most) == {1, 2, 3}
+    assert most[1] > best[1]
+    assert most[2] == best[2] and most[3] == best[3]
+    # unboosted single-field multifield == plain search_topk on the field
+    single = {
+        (r["doc_id"], r["score"])
+        for r in search.search_topk(df, "alpha", 4, text_col="body").collect()
+    }
+    mf = {
+        (r["doc_id"], r["score"])
+        for r in search.search_topk_multifield(df, "alpha", ["body"], 4).collect()
+    }
+    assert single == mf
+    import pytest as _pytest
+
+    for bad in ("^3", "title^", "title^zero", "title^-1"):
+        with _pytest.raises(ValueError):
+            search.parse_boosted_fields([bad])
+
+
+def test_query_data_per_field_boosts(spark, docs):
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.operators import search
+
+    idx = "boost_test_idx"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id")
+    try:
+        hits = api.query_data(
+            spark, "spark en", idx, k=5,
+            text_col=["text", "lang^5"], highlight=True,
+        ).collect()
+        assert 0 < len(hits) <= 5
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(h["highlight"] is not None for h in hits)
+        # the boosted ranking must equal the direct multifield scorer
+        # over the same filtered match set
+        table = spark.table(idx)
+        from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+        matched = query_string_filter(
+            table, "spark en", default_field=["text", "lang"],
+            fields=["text", "lang"],
+        )
+        direct = search.search_topk_multifield(
+            matched, "spark en", ["text", "lang^5"], 5,
+            keep_zero_hits=True,
+        ).collect()
+        assert [(h["doc_id"], h["score"]) for h in hits] == [
+            (d["doc_id"], d["score"]) for d in direct
+        ]
+    finally:
+        api.delete_index(spark, idx)

@@ -72,12 +72,22 @@ def get_all_index(spark: SparkSession) -> list[str]:
     return [r["index_name"] for r in ddl.list_indices(spark).collect()]
 
 
-def _parse_sort(sort: str) -> tuple[str, bool]:
-    """ES URI-search ``sort=field:asc|desc`` (bare field = asc)."""
-    field, _, direction = sort.partition(":")
-    if not field or direction not in ("", "asc", "desc"):
-        raise ValueError(f"malformed sort spec: {sort!r} (use field[:asc|desc])")
-    return field, direction != "desc"
+def _parse_sorts(sort: str) -> list[tuple[str, bool]]:
+    """ES URI-search ``sort=f1:asc,f2:desc`` — a comma list of
+    ``field[:asc|desc]`` specs (bare field = asc), applied in order
+    with later fields breaking ties of earlier ones (ES tie-break
+    semantics)."""
+    out: list[tuple[str, bool]] = []
+    for spec in sort.split(","):
+        field, _, direction = spec.strip().partition(":")
+        if not field or direction not in ("", "asc", "desc"):
+            raise ValueError(
+                f"malformed sort spec: {spec!r} (use field[:asc|desc][,...])"
+            )
+        out.append((field, direction != "desc"))
+    if len({f for f, _ in out}) != len(out):
+        raise ValueError(f"duplicate field in sort spec: {sort!r}")
+    return out
 
 
 def query_data(
@@ -141,17 +151,21 @@ def query_data(
 
         # <= n_indices * (from_+k) rows: the single-partition window is
         # over the merged candidate page, never an index. With a field
-        # sort the merge re-sorts on the carried sort column (per-index
+        # sort the merge re-sorts on the carried sort columns (per-index
         # pages are each sorted, so the global top from_+k is inside
         # the merge input — same argument as the score merge).
         if sort is not None:
-            f, asc = _parse_sort(sort)
-            lead = F.asc(f"sort_{f}") if asc else F.desc(f"sort_{f}")
+            leads = [
+                F.asc(f"sort_{f}") if asc else F.desc(f"sort_{f}")
+                for f, asc in _parse_sorts(sort)
+            ]
         else:
-            lead = F.desc("score")
+            leads = [F.desc("score")]
         ranked = merged.withColumn(
             "rank",
-            F.row_number().over(Window.orderBy(lead, F.asc("index"), F.asc(id_col))),
+            F.row_number().over(
+                Window.orderBy(*leads, F.asc("index"), F.asc(id_col))
+            ),
         )
         return ranked.filter(
             (F.col("rank") > from_) & (F.col("rank") <= from_ + k)
@@ -169,17 +183,24 @@ def query_data(
     fields = [n for n, _ in boosted]  # filter context is boost-invariant
     matched = query_string_filter(docs, query, default_field=fields, fields=fields)
     if sort is not None:
-        # ES URI-search `sort=field[:asc|desc]`: relevance is not
+        # ES URI-search `sort=f1[:asc|desc][,f2...]`: relevance is not
         # computed (constant _score, like ES with a sort clause); the
-        # page is a top-k by the field — TakeOrdered, never a global
-        # sort — with id tie-break for determinism.
-        f, asc = _parse_sort(sort)
-        if f not in docs.columns:
-            raise ValueError(f"unknown sort field {f!r}")
-        lead = F.asc(f) if asc else F.desc(f)
+        # page is a top-k by the field list — TakeOrdered, never a
+        # global sort — later fields break ties of earlier ones, id
+        # tie-break last for determinism.
+        sorts = _parse_sorts(sort)
+        for f, _ in sorts:
+            if f not in docs.columns:
+                raise ValueError(f"unknown sort field {f!r}")
+        leads = [
+            F.asc(f"sort_{f}") if asc else F.desc(f"sort_{f}") for f, asc in sorts
+        ]
         page = (
-            matched.select(F.col(id_col), F.col(f).alias(f"sort_{f}"))
-            .orderBy(lead, F.asc(id_col))
+            matched.select(
+                F.col(id_col),
+                *[F.col(f).alias(f"sort_{f}") for f, _ in sorts],
+            )
+            .orderBy(*leads, F.asc(id_col))
             .limit(from_ + k)
         )
         rows = page.collect()[from_:]

@@ -359,6 +359,47 @@ def l3_search_all_indices(spark, sf_dir):
 
 
 @register(
+    "l3_search_sorted_multi",
+    """
+    WITH t AS (SELECT doc_id::VARCHAR AS doc_id, lang,
+                      n_chars::VARCHAR AS n_chars,
+                      list_filter(string_split_regex(lower(text),
+                                  '[^a-z0-9]+'), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id, lang AS sort_lang, n_chars AS sort_n_chars
+    FROM t WHERE list_contains(toks, 'spark')
+    ORDER BY sort_lang ASC, sort_n_chars DESC, doc_id ASC
+    LIMIT 12
+    """,
+)
+def l3_search_sorted_multi(spark, sf_dir):
+    """L3 [ES parity]: multi-field sort in the URI-search facade —
+    ``sort=lang:asc,n_chars:desc`` (ES comma-list sort, later fields
+    break ties of earlier ones, constant relevance like ES with a sort
+    clause). The index holds the stringified document (reference
+    BulkProcessImpl.java:112-117), so both engines compare
+    lexicographically; the page is TakeOrdered (never a global sort)
+    with id tie-break. Exercises api.query_data end-to-end: bulk load
+    -> query-string filter -> multi-key sorted page -> drop."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = f"sorted_multi_probe_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id")
+    try:
+        page = api.query_data(
+            spark, "spark", idx, k=12, text_col="text",
+            sort="lang:asc,n_chars:desc",
+        )
+        rows, schema = page.collect(), page.schema
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "s7_csv_json_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey, 'csv' AS via FROM nation "
     "UNION ALL "

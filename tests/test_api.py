@@ -111,6 +111,22 @@ def test_query_data_field_sort_and_all_count(spark, sf_dir, docs):
             api.query_data(spark, "spark", a, sort="nope_col")
         with _pytest.raises(ValueError):
             api.query_data(spark, "spark", a, sort="n_chars:sideways")
+        # multi-field comma list: later fields break ties of earlier ones
+        multi = api.query_data(
+            spark, "spark", a, k=8, sort="lang:asc,n_chars:desc"
+        ).collect()
+        keys = [(h["sort_lang"], h["sort_n_chars"]) for h in multi]
+        for (l1, c1), (l2, c2) in zip(keys, keys[1:]):
+            assert l1 < l2 or (l1 == l2 and c1 >= c2)
+        # a single-field spec returns the exact same page as before the
+        # comma-list extension (schema and ordering unchanged)
+        single = api.query_data(spark, "spark", a, k=5, sort="n_chars:desc").collect()
+        assert [h["sort_n_chars"] for h in single] == vals
+        assert single[0].asDict().keys() == hits[0].asDict().keys()
+        with _pytest.raises(ValueError):
+            api.query_data(spark, "spark", a, sort="lang:asc,lang:desc")
+        with _pytest.raises(ValueError):
+            api.query_data(spark, "spark", a, sort="lang:asc,,n_chars")
     finally:
         api.delete_index(spark, a)
         api.delete_index(spark, b)

@@ -210,13 +210,29 @@ def dataset_split(
     val_pct: int = 10,
     test_pct: int = 10,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic train/val/test assignment by hashing the document
-    id: ``pmod(xxhash64(id, seed), 100)`` buckets -> split label. Pure
+    id: ``pmod(hash(id), 100)`` buckets -> split label. Pure
     projection (no shuffle, no state); the same row lands in the same
     split on every run, cluster size, and partitioning — the property
-    random splits lose the moment data is reprocessed."""
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(100))
+    random splits lose the moment data is reprocessed.
+
+    ``hash_fn='xxhash64'`` (default, fastest — JVM intrinsic) or
+    ``'portable'``: md5 of the stringified id, first 60 bits — the
+    engine-portable family every ``*_md5`` twin uses, bit-reproducible
+    in DuckDB/any engine (``seed`` is ignored: md5 is unkeyed)."""
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(100))
+    elif hash_fn == "portable":
+        bucket = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(100),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     label = (
         F.when(bucket < val_pct, F.lit("val"))
         .when(bucket < val_pct + test_pct, F.lit("test"))

@@ -897,6 +897,31 @@ def l5_dataset_split(spark, sf_dir):
 
 
 @register(
+    "l5_dataset_split_md5",
+    """
+    SELECT doc_id,
+           CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 10 THEN 'val'
+                WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 20 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def l5_dataset_split_md5(spark, sf_dir):
+    """L5: the dataset split on the portable md5 hash family — the
+    FULL per-document (doc_id -> split) assignment hash-verified
+    against DuckDB recomputing the same buckets bit-identically
+    (engine-portable twin of l5_dataset_split, same *_md5 pattern as
+    l5_fingerprint_md5 / l2_simhash_pairs_md5). Same pure-projection
+    plan: no shuffle, no state, reprocessing-stable."""
+    from bigdatasearchpro_spark.operators.textstats import dataset_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return dataset_split(d, hash_fn="portable").select("doc_id", "split")
+
+
+@register(
     "l5_repetition_stats",
     r"""
     WITH words AS (

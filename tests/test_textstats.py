@@ -84,6 +84,18 @@ def test_dataset_split_invariants(docs):
     assert set(c) <= {"train", "val", "test"}
     assert c["train"] > c["val"] > 0 and c["test"] > 0  # all splits populated
     assert abs(c["val"] / n - 0.10) < 0.05 and abs(c["test"] / n - 0.10) < 0.05
+    # portable (md5) family: same invariants, same stability
+    p1 = dataset_split(docs.select("doc_id"), hash_fn="portable")
+    p2 = dataset_split(docs.select("doc_id").repartition(7), hash_fn="portable")
+    mp = {r.doc_id: r.split for r in p1.collect()}
+    assert mp == {r.doc_id: r.split for r in p2.collect()}
+    cp = Counter(mp.values())
+    assert set(cp) <= {"train", "val", "test"} and len(mp) == n
+    assert abs(cp["val"] / n - 0.10) < 0.05 and abs(cp["test"] / n - 0.10) < 0.05
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dataset_split(docs.select("doc_id"), hash_fn="sha1")
 
 
 def test_chunk_documents_covers_and_overlaps(spark):

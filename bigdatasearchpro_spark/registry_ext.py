@@ -328,14 +328,73 @@ def s9_upsert_merge(spark, sf_dir):
     return apply_changes(c, changes, "k").select("k", "name", "acctbal")
 
 
-@register("l3_search_all_indices")  # rows-only: catalog DDL side effects
+@register(
+    "l3_search_all_indices",
+    """
+    WITH base AS (
+      SELECT doc_id % 2 AS half, doc_id::VARCHAR AS doc_id,
+             list_filter(string_split_regex(lower(concat_ws(' ',
+                 coalesce(doc_id::VARCHAR, ''), coalesce(text, ''),
+                 coalesce(lang, ''), coalesce(source, ''),
+                 coalesce(n_chars::VARCHAR, ''))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT * FROM base
+      WHERE len(list_filter(toks,
+                x -> x IN ('spark', 'join', 'window'))) > 0
+    ),
+    tf AS (SELECT half, doc_id, term, count(*) AS tf
+           FROM (SELECT half, doc_id, unnest(toks) AS term FROM m)
+           WHERE term IN ('spark', 'join', 'window')
+           GROUP BY half, doc_id, term),
+    dfs AS (SELECT half, term, count(*) AS df FROM tf GROUP BY half, term),
+    nn AS (SELECT half, count(*)::DOUBLE AS n FROM m GROUP BY half),
+    dl AS (SELECT half, doc_id, len(toks)::DOUBLE AS dl FROM m),
+    ad AS (SELECT half, avg(dl) AS avgdl FROM dl GROUP BY half),
+    sc AS (
+      SELECT tf.half, tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+             ), 4) AS score
+      FROM tf
+      JOIN nn ON tf.half = nn.half
+      JOIN ad ON tf.half = ad.half
+      JOIN dfs ON tf.half = dfs.half AND tf.term = dfs.term
+      JOIN dl ON tf.half = dl.half AND tf.doc_id = dl.doc_id
+      GROUP BY tf.half, tf.doc_id
+    ),
+    pages AS (
+      SELECT half, doc_id, score,
+             row_number() OVER (PARTITION BY half
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM sc
+    ),
+    merged AS (
+      SELECT doc_id, score,
+             CASE half WHEN 0 THEN 'all_probe_a_X'
+                       ELSE 'all_probe_b_X' END AS idx
+      FROM pages WHERE rn <= 10
+    )
+    SELECT doc_id, score, idx AS "index"
+    FROM merged
+    ORDER BY score DESC, idx ASC, doc_id ASC
+    LIMIT 10
+    """,
+)
 def l3_search_all_indices(spark, sf_dir):
     """L3 [ES parity]: cross-index search — the reference UI's "all
     index" option (HtmlController.java:27, indexView.html:15-17).
     Two halves of the documents table load into separate indices;
     ``query_data(..., "_all")`` scatter-gathers per-index top-k (each
-    index scored on its OWN BM25 stats, like ES) and merges by score
-    with an ``index`` provenance column."""
+    index scored on its OWN BM25 stats over its matched set, like ES)
+    and merges by score with an ``index`` provenance column. The
+    oracle composes the same per-half BM25 + page-merge in SQL (union
+    of per-index top-k CTEs), so the whole scatter-gather is
+    hash-verified — the per-index stats independence included."""
     import uuid
 
     from bigdatasearchpro_spark import api

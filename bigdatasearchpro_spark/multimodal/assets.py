@@ -17,10 +17,12 @@ payload column pruned away unless the op actually consumes bytes
 (Catalyst column pruning does this for free — verified in tests by
 checking the scan's ReadSchema).
 
-Codec stubs: real decoding needs PIL/ffmpeg, absent here. The decode
-UDF is the real Arrow plumbing with a deterministic fake decoder;
-``real=True`` raises NotImplementedError at the batch boundary, which
-is exactly where a production build would call the codec.
+Codecs: PPM (P6) and WAV (PCM16) decode FOR REAL — pure-Python
+byte-level parsers in ``multimodal/codecs.py``, no native deps —
+reachable here via ``decode_payload(real=True)``. Formats that need
+PIL/ffmpeg (JPEG/MP4/...) still raise NotImplementedError at the batch
+boundary, which is exactly where a production build would call the
+codec; ``real=False`` keeps the deterministic fake for plumbing tests.
 """
 
 from __future__ import annotations
@@ -128,18 +130,42 @@ def decode_payload(assets: DataFrame, *, real: bool = False) -> DataFrame:
         ]
     )
 
+    def _real_decode(payload: bytes | None) -> np.ndarray:
+        # PPM/WAV have pure-Python decoders (multimodal/codecs.py);
+        # formats that need PIL/ffmpeg still raise at this boundary.
+        from bigdatasearchpro_spark.multimodal.codecs import decode_ppm
+
+        if payload is None:
+            return np.zeros(FEATURE_DIM, dtype="float32")
+        if payload[:2] == b"P6":
+            stats = decode_ppm(bytes(payload))
+            n = 3 * stats["width"] * stats["height"]
+            pix = np.frombuffer(
+                bytes(payload), dtype=np.uint8, count=n, offset=len(payload) - n
+            )
+            head = pix[:FEATURE_DIM].astype("float32") / 255.0
+        elif payload[:4] == b"RIFF":
+            from bigdatasearchpro_spark.multimodal.codecs import wav_samples
+
+            _, samples = wav_samples(bytes(payload))
+            head = samples[:FEATURE_DIM].astype("float32") / 32768.0
+        else:
+            raise NotImplementedError(
+                "real decode supports PPM/WAV (pure Python); other formats "
+                "need PIL/ffmpeg, absent in this container"
+            )
+        if head.size < FEATURE_DIM:
+            head = np.pad(head, (0, FEATURE_DIM - head.size))
+        return head
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_decode if real else _fake_decode
         for pdf in batches:
-            if real:
-                raise NotImplementedError(
-                    "real codecs (PIL/librosa/ffmpeg) are not available in "
-                    "this container; deterministic fake used when real=False"
-                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "decoded": [list(_fake_decode(p)) for p in pdf["payload"]],
+                    "decoded": [list(decode(p)) for p in pdf["payload"]],
                 }
             )
 

@@ -34,50 +34,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # verdict at least every other round, with the round's FIXES and NEW
 # entries guaranteed a verdict.
 #
-# Round-3 priority: (1) the three entries that failed in r2 (reshaped
-# this round — a6/l6 array-cell canonicalizer errors, l5 hash
-# mismatch), (2) entries new this round, (3) the rows-only entries
-# (weakest standing evidence), (4) everything else in registration
-# order.
-_R3_FIXED = (
-    "a6_exact_quantiles",
-    "l6_decode_features",
-    "l5_repetition_stats",
+# Round-4 priority:
+# (1) the two oracled entries whose oracle the driver has NEVER run
+#     (their only verdicts predate the r2 oracle addition — VERDICT r3
+#     "what's wrong" #1);
+# (2) entries new or code-changed this round (per-field boosts,
+#     multi-field sort, portable split twin, the now-oracled _all
+#     scatter-gather, the real-codec decode, the CDC determinism +
+#     crash-safety rework, and everything the near-dup cache rework
+#     touches);
+# (3) every entry NOT in the previous round's 50-slot window (their
+#     verdicts are stale r1/r2 carries) — computed from the latest
+#     CORRECTNESS_r*.json so the rotation stays honest without
+#     hand-maintaining lists;
+# (4) the remaining (freshly-r3-verified) entries, registration order.
+_R4_NEVER_DRIVER_RUN = (
+    "l2_ngram_jaccard_pairs",
+    "l5_lang_id",
 )
-_R3_NEW = (
-    "l3_qs_fuzzy",
-    "l3_qs_proximity",
-    "l3_qs_boost_topk",
-    "l5_chunk_documents",
-    "l5_stratified_sample",
-    "l5_pipeline_end_to_end",
+_R4_NEW_OR_CHANGED = (
+    "l3_multifield_boosted",
+    "l3_search_sorted_multi",
+    "l5_dataset_split_md5",
     "l3_search_all_indices",
-    "l2_simhash_pairs_md5",
-    "l2_dedup_resolution_md5",
-    "l5_vocab_topk",
-    "a9_kll_quantiles",
-    "a10_hll_segment_distinct",
-    "a11_hll_overlap",
-    "ts2_resample_interpolate",
-    "l3_qs_min_should_match",
-    "st7_windowed_distinct",
-    "s9_upsert_merge",
-    "l4_quantize_int8",
-    "l5_bigram_lm_scores",
+    "l6_decode_real_codec",
     "st8_streaming_cdc_apply",
-    "w5_ntile_percent_rank",
-    "l6_patch_grid",
-    "set2_multiset_ops",
-    "f6_null_handling_funcs",
+    "s4_s6_ddl_lifecycle",
+    "s3_bulk_sink_roundtrip",
+    "l5_dataset_split",
+    "l6_decode_features",
+    "l2_minhash_lsh_pairs",
+    "l2_simhash_pairs",
+    "l5_pipeline_end_to_end",
 )
+
+
+def _last_round_window() -> set[str]:
+    """Entry names checked in the most recent driver round (the keys of
+    the latest CORRECTNESS_r*.json) — these have the freshest verdicts
+    and therefore go LAST this round."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    reports = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not reports:
+        return set()
+    try:
+        with open(reports[-1], encoding="utf-8") as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    front = [n for n in (*_R3_FIXED, *_R3_NEW) if n in QUERIES]
-    rows_only = [n for n in QUERIES if n not in ORACLES and n not in front]
-    rest = [n for n in QUERIES if n not in front and n not in rows_only]
-    return {n: QUERIES[n] for n in (*front, *rows_only, *rest)}
+    front = [
+        n for n in (*_R4_NEVER_DRIVER_RUN, *_R4_NEW_OR_CHANGED) if n in QUERIES
+    ]
+    recent = _last_round_window()
+    stale = [n for n in QUERIES if n not in front and n not in recent]
+    fresh = [n for n in QUERIES if n not in front and n in recent]
+    return {n: QUERIES[n] for n in (*front, *stale, *fresh)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -48,10 +48,16 @@ BENCH_QUERIES = [
     "l3_search_bm25_topk",
     "l3_query_string",
     "l3_qs_boost_topk",
+    "l3_multifield_boosted",
     "l4_cosine_topk",
     "l5_text_quality_stats",
     "l2_simhash_pairs",
     "l2_minhash_lsh_pairs",
+    # r3-new heavy entries (VERDICT r3 #8): regressions must be visible
+    "l5_pipeline_end_to_end",
+    "l2_simhash_pairs_md5",
+    "l3_search_all_indices",
+    "l6_decode_real_codec",
     "st1_tumbling_window",
     "st3_session_window",
 ]

@@ -402,8 +402,6 @@ def search_topk_multifield(
     corpus text is scanned once regardless of field count. Ties broken
     by ``id_col`` asc after ``round_to`` rounding (oracle-comparable).
     """
-    import math
-
     if combine not in ("best_fields", "most_fields"):
         raise ValueError(f"unknown combine: {combine!r}")
     specs = parse_boosted_fields(fields)
@@ -411,12 +409,36 @@ def search_topk_multifield(
     spark = docs.sparkSession
     if not terms:
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    per_doc, topk = _multifield_pipeline(
+        docs, terms, specs, k, id_col=id_col, combine=combine, k1=k1, b=b,
+        round_to=round_to, keep_zero_hits=keep_zero_hits,
+        term_weights=term_weights,
+    )
+    try:
+        if topk is None:  # no term matched any field
+            if keep_zero_hits:
+                zero = per_doc.select(F.col(id_col), F.lit(0.0).alias("score"))
+                return spark.createDataFrame(
+                    zero.orderBy(id_col).limit(k).collect(), zero.schema
+                )
+            return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+        rows, schema = topk.collect(), topk.schema
+    finally:
+        per_doc.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def multifield_per_doc(
+    docs: DataFrame, terms: Sequence[str], names: Sequence[str], *, id_col: str
+) -> DataFrame:
+    """The multi-field single-scan projection: (id, dl_j, tf_{j,i}) for
+    every (field j, term i) — one tokenizer pass per field, all inside
+    one narrow select over one corpus scan."""
     from bigdatasearchpro_spark.sources.files import fan_out
 
     def _eq(term):
         return lambda x: x == F.lit(term)
 
-    names = [n for n, _ in specs]
     # each field as a 1-element list: the _text_expr list path wraps the
     # column in coalesce(, ''), so a NULL field scores 0 instead of
     # poisoning dl/tf with NULLs
@@ -431,77 +453,92 @@ def search_topk_multifield(
             F.size(F.filter(f"__toks_{j}", _eq(t))).alias(f"tf_{j}_{i}")
             for i, t in enumerate(terms)
         )
-    per_doc = toked.select(*proj)
+    return toked.select(*proj)
+
+
+def _multifield_pipeline(
+    docs: DataFrame,
+    terms: Sequence[str],
+    specs: Sequence[tuple[str, float]],
+    k: int,
+    *,
+    id_col: str,
+    combine: str,
+    k1: float,
+    b: float,
+    round_to: int,
+    keep_zero_hits: bool,
+    term_weights: "Sequence[float] | None",
+):
+    """(persisted per-doc projection, lazy top-k over it | None). The
+    stats aggregate runs here (materializing the cache); the caller
+    collects and unpersists. Split out so plan tests can assert the
+    single-scan shape (mirrors :func:`_topk_pipeline`)."""
+    import math
+
+    if term_weights is not None and len(term_weights) != len(terms):
+        raise ValueError("term_weights must parallel the analyzed terms")
+    names = [n for n, _ in specs]
+    per_doc = multifield_per_doc(docs, terms, names, id_col=id_col)
     per_doc.persist()
-    try:
-        stats = per_doc.agg(
-            F.count("*").alias("n"),
-            *[F.avg(f"dl_{j}").alias(f"avgdl_{j}") for j in range(len(names))],
-            *[
-                F.count(F.when(F.col(f"tf_{j}_{i}") > 0, 1)).alias(f"df_{j}_{i}")
-                for j in range(len(names))
-                for i in range(len(terms))
-            ],
-        ).first()
-        if term_weights is not None and len(term_weights) != len(terms):
-            raise ValueError("term_weights must parallel the analyzed terms")
-        n_docs = float(stats["n"])
-        field_scores = []
-        for j, (_, w) in enumerate(specs):
-            avgdl = float(stats[f"avgdl_{j}"] or 0.0)
-            parts = []
-            for i in range(len(terms)):
-                dfi = float(stats[f"df_{j}_{i}"])
-                if dfi == 0 or avgdl == 0:
-                    continue
-                tw = 1.0 if term_weights is None else float(term_weights[i])
-                tf = F.col(f"tf_{j}_{i}").cast("double")
-                idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
-                parts.append(
-                    F.lit(w * tw * idf)
-                    * (tf * (k1 + 1.0))
-                    / (tf + F.lit(k1) * (1.0 - b + b * F.col(f"dl_{j}") / F.lit(avgdl)))
-                )
-            if parts:
-                total = parts[0]
-                for p in parts[1:]:
-                    total = total + p
-                field_scores.append(total)
-        if not field_scores:
-            if keep_zero_hits:
-                zero = per_doc.select(F.col(id_col), F.lit(0.0).alias("score"))
-                return spark.createDataFrame(
-                    zero.orderBy(id_col).limit(k).collect(), zero.schema
-                )
-            return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
-        if combine == "best_fields":
-            combined = (
-                F.greatest(*field_scores) if len(field_scores) > 1 else field_scores[0]
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        *[F.avg(f"dl_{j}").alias(f"avgdl_{j}") for j in range(len(names))],
+        *[
+            F.count(F.when(F.col(f"tf_{j}_{i}") > 0, 1)).alias(f"df_{j}_{i}")
+            for j in range(len(names))
+            for i in range(len(terms))
+        ],
+    ).first()
+    n_docs = float(stats["n"])
+    field_scores = []
+    for j, (_, w) in enumerate(specs):
+        avgdl = float(stats[f"avgdl_{j}"] or 0.0)
+        parts = []
+        for i in range(len(terms)):
+            dfi = float(stats[f"df_{j}_{i}"])
+            if dfi == 0 or avgdl == 0:
+                continue
+            tw = 1.0 if term_weights is None else float(term_weights[i])
+            tf = F.col(f"tf_{j}_{i}").cast("double")
+            idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+            parts.append(
+                F.lit(w * tw * idf)
+                * (tf * (k1 + 1.0))
+                / (tf + F.lit(k1) * (1.0 - b + b * F.col(f"dl_{j}") / F.lit(avgdl)))
             )
-        else:
-            combined = field_scores[0]
-            for s in field_scores[1:]:
-                combined = combined + s
-        if keep_zero_hits:
-            # input is already a filtered match set (query-string result):
-            # docs matching only non-scoring clauses stay at score 0
-            hits = per_doc
-        else:
-            any_hit = None
-            for j in range(len(names)):
-                for i in range(len(terms)):
-                    c = F.col(f"tf_{j}_{i}") > 0
-                    any_hit = c if any_hit is None else (any_hit | c)
-            hits = per_doc.filter(any_hit)
-        topk = (
-            hits.select(F.col(id_col), F.round(combined, round_to).alias("score"))
-            .orderBy(F.desc("score"), F.asc(id_col))
-            .limit(k)
+        if parts:
+            total = parts[0]
+            for p in parts[1:]:
+                total = total + p
+            field_scores.append(total)
+    if not field_scores:
+        return per_doc, None
+    if combine == "best_fields":
+        combined = (
+            F.greatest(*field_scores) if len(field_scores) > 1 else field_scores[0]
         )
-        rows, schema = topk.collect(), topk.schema
-    finally:
-        per_doc.unpersist()
-    return spark.createDataFrame(rows, schema)
+    else:
+        combined = field_scores[0]
+        for s in field_scores[1:]:
+            combined = combined + s
+    if keep_zero_hits:
+        # input is already a filtered match set (query-string result):
+        # docs matching only non-scoring clauses stay at score 0
+        hits = per_doc
+    else:
+        any_hit = None
+        for j in range(len(names)):
+            for i in range(len(terms)):
+                c = F.col(f"tf_{j}_{i}") > 0
+                any_hit = c if any_hit is None else (any_hit | c)
+        hits = per_doc.filter(any_hit)
+    topk = (
+        hits.select(F.col(id_col), F.round(combined, round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return per_doc, topk
 
 
 def build_inverted_index(

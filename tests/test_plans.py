@@ -198,3 +198,37 @@ def test_boosted_topk_single_corpus_scan(spark, sf_dir):
         assert "FileScan" not in above_cache and "BatchScan" not in above_cache
     finally:
         per_doc.unpersist()
+
+
+def test_multifield_boosted_single_corpus_scan(spark, sf_dir):
+    """Per-field boosts must not multiply corpus scans: the multi-field
+    per-doc projection (dl_j, tf_{j,i} for every field) reads the
+    parquet ONCE, and the stats aggregate + top-k read the cached
+    projection, never the file again (mirrors the flagship gate)."""
+    from bigdatasearchpro_spark.operators import search
+    from bigdatasearchpro_spark.plans import (
+        executed_plan,
+        file_scan_count,
+        has_take_ordered,
+        in_memory_scan_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = search.analyze_query("spark en src1")
+    specs = search.parse_boosted_fields(["text^3", "lang", "source^2"])
+    assert file_scan_count(
+        search.multifield_per_doc(docs, terms, [n for n, _ in specs],
+                                  id_col="doc_id")
+    ) == 1
+    per_doc, topk = search._multifield_pipeline(
+        docs, terms, specs, 10, id_col="doc_id", combine="best_fields",
+        k1=1.2, b=0.75, round_to=4, keep_zero_hits=False, term_weights=None,
+    )
+    try:
+        assert topk is not None
+        assert has_take_ordered(topk)
+        assert in_memory_scan_count(topk) >= 1
+        above_cache = executed_plan(topk).split("InMemoryRelation")[0]
+        assert "FileScan" not in above_cache and "BatchScan" not in above_cache
+    finally:
+        per_doc.unpersist()

@@ -53,6 +53,21 @@ _R4_NEVER_DRIVER_RUN = (
     "l5_lang_id",
 )
 _R4_NEW_OR_CHANGED = (
+    # session-2 additions: ES aggregations surface, search_after,
+    # correlated subqueries — and the rewritten LWW dedup (narrow
+    # winner selection; l1 + every bulk-sink path runs through it)
+    "l3_agg_terms",
+    "l3_agg_date_histogram",
+    "l3_agg_histogram",
+    "l3_agg_range_filters",
+    "l3_agg_extended_stats",
+    "l3_agg_percentiles",
+    "l3_agg_top_hits",
+    "l3_search_after",
+    "q4_exists_order_priority",
+    "q17_scalar_correlated",
+    "q22_anti_global_scalar",
+    "l1_dedup_last_write_wins",
     "l3_multifield_boosted",
     "l3_search_sorted_multi",
     "l5_dataset_split_md5",

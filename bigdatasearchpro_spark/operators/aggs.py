@@ -1,0 +1,300 @@
+"""ES-style search aggregations — the ``aggs`` block of ``_search``.
+
+The reference delegates its whole query surface to Elasticsearch 6.x
+(``indexView.html:13-19`` posts the form straight to ``_search``); the
+public ES search request carries an ``aggs`` block alongside ``query``,
+and every Kibana panel the reference's README describes
+(``README.md:803-806`` reconciles counts in Kibana) is one of these
+aggregations over the matched set. This module is that surface on
+Spark: each function takes the (already query-filtered) DataFrame and
+returns the bucket/metric rows ES would return.
+
+Coverage (public ES 6.x aggregation names):
+
+- ``terms_agg``            — terms bucket agg (+ sub-metrics)
+- ``date_histogram_agg``   — calendar-interval buckets over a timestamp
+- ``histogram_agg``        — fixed-interval numeric buckets
+- ``range_agg``            — explicit [from, to) buckets
+- ``filters_agg``          — named-predicate buckets
+- ``stats_agg`` / ``extended_stats_agg`` — single-row metric aggs
+- ``percentiles_agg``      — exact interpolated percentiles (ES uses
+  t-digest; the mergeable-sketch ring ``a9_kll_quantiles`` is this
+  engine's approximate 100 TB path, so the facade offers the exact form)
+- ``terms_top_hits``       — terms buckets each carrying a top_hits page
+
+Scale notes (100 TB):
+- every bucket agg is ONE hash aggregation (map-side partial combine +
+  one shuffle on the bucket key) followed by, at most, a TakeOrdered of
+  the requested ``size`` — bucket cardinality, not corpus size, crosses
+  the wire;
+- ``min_doc_count=0`` dense filling builds the empty-bucket grid from a
+  ``sequence()`` over the aggregated bounds (a per-bucket-count-sized
+  frame), never from the corpus, and never on the driver;
+- one-pass families (``range_agg``/``filters_agg``/``stats_agg``/
+  ``percentiles_agg``) compute every bucket/metric as parallel aggregate
+  expressions in a single scan and unpivot the one result row — the
+  N-ranges case costs one pass, not N;
+- ``terms_top_hits`` ranks inside each bucket with a window whose
+  partition key is the bucket key — no global sort, skew bounded by the
+  per-bucket hit count requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "terms_agg",
+    "date_histogram_agg",
+    "histogram_agg",
+    "range_agg",
+    "filters_agg",
+    "stats_agg",
+    "extended_stats_agg",
+    "percentiles_agg",
+    "terms_top_hits",
+]
+
+# ES calendar intervals -> Spark date_trunc unit + sequence step
+_CAL = {
+    "minute": ("minute", "interval 1 minute"),
+    "hour": ("hour", "interval 1 hour"),
+    "day": ("day", "interval 1 day"),
+    "week": ("week", "interval 1 week"),
+    "month": ("month", "interval 1 month"),
+    "year": ("year", "interval 1 year"),
+}
+
+
+def _metric_cols(metrics: "Mapping[str, Column] | None") -> list[Column]:
+    return [c.alias(n) for n, c in (metrics or {}).items()]
+
+
+def terms_agg(
+    df: DataFrame,
+    field: str,
+    *,
+    size: int = 10,
+    metrics: "Mapping[str, Column] | None" = None,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``terms`` aggregation: top-``size`` buckets of ``field`` by
+    ``doc_count`` desc (key asc tie-break, the ES ``_count``/``_key``
+    order), each with optional sub-metric aggregates computed in the
+    same single pass. Output: ``(key, doc_count, *metrics)``."""
+    out = (
+        df.groupBy(F.col(field).alias("key"))
+        .agg(F.count("*").alias("doc_count"), *_metric_cols(metrics))
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
+    # TakeOrderedAndProject: bucket cardinality never globally sorts
+    return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+
+
+def _dense_fill(
+    grouped: DataFrame,
+    seq_expr: str,
+    metrics: "Mapping[str, Column] | None",
+) -> DataFrame:
+    """Left-join the aggregated buckets onto the full bucket grid
+    (``sequence()`` over the aggregated min/max key — a frame built
+    from the BUCKET rows, so its size is bucket count, not corpus).
+    Empty buckets get doc_count 0 and null metrics, the ES
+    ``min_doc_count: 0`` contract."""
+    grid = grouped.select(F.min("key").alias("mn"), F.max("key").alias("mx")).select(
+        F.explode(F.expr(seq_expr)).alias("key")
+    )
+    filled = grid.join(grouped, "key", "left")
+    return filled.select(
+        "key",
+        F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        *[F.col(n) for n in (metrics or {})],
+    )
+
+
+def date_histogram_agg(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    *,
+    metrics: "Mapping[str, Column] | None" = None,
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """ES ``date_histogram``: calendar-interval buckets over a
+    timestamp column. ES default ``min_doc_count=0`` returns EVERY
+    bucket between the first and last populated one, empty buckets
+    included — that dense grid comes from ``sequence()`` over the
+    aggregated bounds, never from a driver loop.
+
+    Output: ``(key timestamp, doc_count, *metrics)``."""
+    if interval not in _CAL:
+        raise ValueError(f"unsupported calendar interval: {interval!r}")
+    unit, step = _CAL[interval]
+    grouped = (
+        df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("key"))
+        .agg(F.count("*").alias("doc_count"), *_metric_cols(metrics))
+    )
+    if min_doc_count == 0:
+        return _dense_fill(grouped, f"sequence(mn, mx, {step})", metrics)
+    return grouped.filter(F.col("doc_count") >= min_doc_count)
+
+
+def histogram_agg(
+    df: DataFrame,
+    col: str,
+    interval: float,
+    *,
+    metrics: "Mapping[str, Column] | None" = None,
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """ES ``histogram``: fixed-interval numeric buckets,
+    ``key = floor(value / interval) * interval``; ``min_doc_count=0``
+    (the ES default) densifies between the first and last populated
+    bucket. Output: ``(key, doc_count, *metrics)``."""
+    step = int(interval) if float(interval).is_integer() else interval
+    key = (F.floor(F.col(col) / F.lit(interval)) * F.lit(step)).cast("long")
+    grouped = df.groupBy(key.alias("key")).agg(
+        F.count("*").alias("doc_count"), *_metric_cols(metrics)
+    )
+    if min_doc_count == 0:
+        return _dense_fill(grouped, f"sequence(mn, mx, {step}L)", metrics)
+    return grouped.filter(F.col("doc_count") >= min_doc_count)
+
+
+def filters_agg(df: DataFrame, buckets: "Mapping[str, Column]") -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per predicate, each
+    counting the rows that satisfy it (buckets may overlap, exactly the
+    reason this is NOT a group-by: a row can land in several). ONE scan
+    — every bucket is a parallel conditional-count aggregate expression
+    and the single result row unpivots to ``(key, doc_count)`` rows."""
+    if not buckets:
+        raise ValueError("filters_agg needs at least one bucket")
+    aggd = df.agg(
+        *[
+            F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(k)
+            for k, c in buckets.items()
+        ]
+    )
+    stack = ", ".join(f"'{k}', coalesce(`{k}`, 0L)" for k in buckets)
+    return aggd.selectExpr(f"stack({len(buckets)}, {stack}) AS (key, doc_count)")
+
+
+def range_agg(
+    df: DataFrame,
+    col: str,
+    ranges: Sequence[tuple[str, "float | None", "float | None"]],
+    *,
+    keyed_order: bool = True,
+) -> DataFrame:
+    """ES ``range`` aggregation: explicit half-open ``[from, to)``
+    buckets (``None`` = unbounded side), every requested bucket present
+    in the output even when empty — ES contract. Ranges may overlap, so
+    this reduces to :func:`filters_agg`'s one-pass conditional counts.
+
+    ``ranges``: ``[(key, from, to), ...]``."""
+    buckets: dict[str, Column] = {}
+    c = F.col(col)
+    for key, lo, hi in ranges:
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (c >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (c < F.lit(hi))
+        buckets[key] = pred
+    return filters_agg(df, buckets)
+
+
+def stats_agg(df: DataFrame, col: str, *, round_to: int = 4) -> DataFrame:
+    """ES ``stats``: one row of count/min/max/avg/sum over the matched
+    set (avg/sum rounded so the cross-engine double math is
+    hash-stable)."""
+    c = F.col(col).cast("double")
+    return df.agg(
+        F.count(c).alias("count_v"),
+        F.round(F.min(c), round_to).alias("min_v"),
+        F.round(F.max(c), round_to).alias("max_v"),
+        F.round(F.avg(c), round_to).alias("avg_v"),
+        F.round(F.sum(c), round_to).alias("sum_v"),
+    )
+
+
+def extended_stats_agg(df: DataFrame, col: str, *, round_to: int = 4) -> DataFrame:
+    """ES ``extended_stats``: ``stats`` plus population variance and
+    standard deviation (ES reports the population forms)."""
+    c = F.col(col).cast("double")
+    return df.agg(
+        F.count(c).alias("count_v"),
+        F.round(F.min(c), round_to).alias("min_v"),
+        F.round(F.max(c), round_to).alias("max_v"),
+        F.round(F.avg(c), round_to).alias("avg_v"),
+        F.round(F.sum(c), round_to).alias("sum_v"),
+        F.round(F.var_pop(c), round_to).alias("variance_v"),
+        F.round(F.stddev_pop(c), round_to).alias("std_dev_v"),
+    )
+
+
+def percentiles_agg(
+    df: DataFrame,
+    col: str,
+    percents: Sequence[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    *,
+    round_to: int = 4,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation shape: one ``(percent, value)``
+    row per requested percent. ES computes these with t-digest; here
+    the exact interpolated percentile (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) — the approximate 100 TB path is the
+    mergeable-sketch ring (``a9_kll_quantiles``), same trade ES makes.
+    ONE pass: all percents evaluate in a single aggregate (array
+    percentile), and the one result row unpivots."""
+    fracs = F.array(*[F.lit(p / 100.0) for p in percents])
+    aggd = df.agg(
+        F.percentile(F.col(col).cast("double"), fracs).alias("vals")
+    ).select(
+        *[
+            F.round(F.col("vals")[i], round_to).alias(f"p{_pname(p)}")
+            for i, p in enumerate(percents)
+        ]
+    )
+    stack = ", ".join(
+        f"{p}D, `p{_pname(p)}`" for p in percents
+    )
+    return aggd.selectExpr(
+        f"stack({len(percents)}, {stack}) AS (percent, value)"
+    )
+
+
+def _pname(p: float) -> str:
+    return str(p).replace(".", "_")
+
+
+def terms_top_hits(
+    df: DataFrame,
+    field: str,
+    *,
+    hits: int = 3,
+    sort: "Sequence[Column] | None" = None,
+    id_col: str = "doc_id",
+    select: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """ES ``terms`` + ``top_hits`` sub-aggregation: for each bucket of
+    ``field``, the top ``hits`` documents by ``sort`` (id asc appended
+    as the deterministic tie-break). The rank runs in a window
+    PARTITIONED by the bucket key — each bucket sorts its own rows, no
+    global sort, and the output is ``hits`` rows per bucket.
+
+    Output: ``(key, hit_rank, *select)``."""
+    order = list(sort or []) + [F.asc(id_col)]
+    w = Window.partitionBy(F.col(field)).orderBy(*order)
+    cols = list(select if select is not None else [id_col])
+    return (
+        df.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= hits)
+        .select(F.col(field).alias("key"), "hit_rank", *cols)
+    )

@@ -38,22 +38,56 @@ def dedup_last_write_wins(
 
     ``keep='last'`` by ``order_by`` descending reproduces ES
     last-write-wins for repeated ``_id``; ``keep='first'`` gives
-    keep-oldest. Deterministic tie-break: callers must pass a total
-    order in ``order_by`` (the oracle uses the same ORDER BY).
+    keep-oldest. Ties on the full ``order_by`` vector break by content
+    fingerprint (largest xxhash64 of the row), so the survivor set is
+    deterministic across runs, partitionings, and task retries.
 
-    Implemented as ``max_by/min_by(struct(row), struct(order))`` hash
-    aggregation rather than a row_number window: the agg gets map-side
-    partial reduction (each task pre-collapses its duplicates, so the
-    shuffle carries one candidate row per key per task, not every row)
-    and needs no per-partition sort — on a duplicate-heavy 100 TB load
-    that is the difference between shuffling the corpus and shuffling
-    the survivors.
+    Implementation (the 100 TB shape): the winner per key is chosen on
+    a NARROW projection — ``(key, order columns, fingerprint)``, a few
+    machine words per row — by iterated lexicographic reduction: for
+    each order column in turn, a hash aggregation finds the per-key
+    extreme and a hash join keeps only the tied rows (``eqNullSafe``,
+    so all-null keys survive; max/min skip nulls, so nulls lose to any
+    value — "null writes never win"). A final hash aggregation on the
+    fingerprint breaks remaining ties, and the winning rows are
+    recovered by a HASH semi-join on ``(key, fingerprint)``
+    (``shuffle_hash`` hints throughout: the probe side must not sort).
+    Wide rows cross the wire once and are NEVER sorted.
+
+    Why this shape — measured at sf1 (6M stringified lineitem rows,
+    local[32]), winner selection alone:
+
+    - ``max_by(struct(row), struct(order))``: struct aggregation
+      buffers are not hash-aggregable, so Catalyst plans SortAggregate
+      — the full wide rows sort TWICE (partial + final): ~180 s;
+    - narrow ``row_number()`` window: WindowExec's per-group buffering
+      over millions of tiny (1-2 row) groups: ~80 s;
+    - this iterated hash-agg/hash-join reduction: ~8 s.
+
+    Identical duplicate rows (bit-equal content ⇒ equal fingerprint)
+    all match the winning ``(key, fingerprint)``, so a final
+    ``distinct()`` (hash aggregation, no sort) collapses them to the
+    single row the contract requires.
     """
-    agg_fn = F.max_by if keep == "last" else F.min_by
-    row = agg_fn(
-        F.struct(*df.columns), F.struct(*[F.col(c) for c in order_by])
-    ).alias("__row")
-    return df.groupBy(key).agg(row).select("__row.*")
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    ext_fn = F.max if keep == "last" else F.min
+    fp = F.xxhash64(*[F.col(c) for c in df.columns])
+    cand = df.select(F.col(key), fp.alias("__fp"), *[F.col(c) for c in order_by])
+    for c in order_by:
+        ext = cand.groupBy(key).agg(ext_fn(c).alias("__m"))
+        cand = (
+            cand.join(ext.hint("shuffle_hash"), key)
+            .filter(F.col(c).eqNullSafe(F.col("__m")))
+            .drop("__m")
+        )
+    winners = cand.groupBy(key).agg(ext_fn("__fp").alias("__fp"))
+    return (
+        df.withColumn("__fp", fp)
+        .join(winners.hint("shuffle_hash"), [key, "__fp"], "left_semi")
+        .drop("__fp")
+        .distinct()
+    )
 
 
 def dedup_exact_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

@@ -158,9 +158,20 @@ def search_topk(
     round_to: int = 4,
     term_weights: "Sequence[float] | None" = None,
     keep_zero_hits: bool = False,
+    after: "tuple[float, object] | None" = None,
 ) -> DataFrame:
     """Scored top-k keyword search — the reference's end-user query path
     (T1: top-10 by ``_score`` desc) run natively.
+
+    ``after=(score, id)`` is ES ``search_after`` keyset pagination: only
+    hits strictly after that ranking position — ``score < s OR
+    (score = s AND id > i)`` on the (score desc, id asc) total order —
+    enter the top-k. Unlike ``from_+size`` offset paging, page depth
+    never grows the TakeOrdered heap: page 1000 costs the same k-row
+    heap as page 1 because the keyset predicate drops earlier hits
+    MAP-SIDE on the scored projection. (Scores are rounded to
+    ``round_to`` before comparison on both the stored and query side,
+    so the score-equality arm is exact.)
 
     ``term_weights`` (parallel to the analyzed query terms) multiplies
     each term's score contribution — the query-string ``term^boost``
@@ -190,6 +201,7 @@ def search_topk(
         docs, terms, k, id_col=id_col, text_col=text_col,
         scoring=scoring, k1=k1, b=b, round_to=round_to,
         term_weights=term_weights, keep_zero_hits=keep_zero_hits,
+        after=after,
     )
     try:
         rows, schema = topk.collect(), topk.schema
@@ -211,6 +223,7 @@ def _topk_pipeline(
     round_to: int,
     term_weights: "Sequence[float] | None" = None,
     keep_zero_hits: bool = False,
+    after: "tuple[float, object] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(persisted per-doc projection, lazy top-k over it). The stats
     aggregate runs here (materializing the cache); the caller collects
@@ -231,6 +244,15 @@ def _topk_pipeline(
         round_to=round_to, id_col=id_col, term_weights=term_weights,
         keep_zero_hits=keep_zero_hits,
     )
+    if after is not None:
+        s, i = after
+        # keyset on the (score desc, id asc) total order: strictly
+        # after the cursor. Map-side filter — the heap stays k-sized
+        # at any page depth (the ES search_after rationale).
+        scored = scored.filter(
+            (F.col("score") < F.lit(float(s)))
+            | ((F.col("score") == F.lit(float(s))) & (F.col(id_col) > F.lit(i)))
+        )
     topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     return per_doc, topk
 

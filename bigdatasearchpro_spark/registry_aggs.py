@@ -1,0 +1,400 @@
+"""Registry part 4: the ES aggregations surface (``operators/aggs.py``),
+search_after keyset pagination, and correlated-subquery relational
+shapes (TPC-H Q4/Q17/Q22 forms). Imported by ``registry_ext`` so it
+joins the same ``QUERIES``/``ORACLES`` maps.
+
+Every entry mirrors the public ES 6.x search request shape the
+reference delegates to (``indexView.html:13-19`` posts to ``_search``;
+``README.md:803-806`` reconciles its counts in Kibana, i.e. through
+exactly these aggregations): a query/filter context narrows the index,
+an ``aggs`` block summarizes the matched set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators import aggs, search
+from bigdatasearchpro_spark.registry import register
+from bigdatasearchpro_spark.sources.files import load_table
+
+# Query context shared by the document-side agg entries: the matched
+# set of the single-term query `spark` (ES filter context).
+_MATCHED_CTE = """
+m AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id IN (
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ) WHERE term = 'spark'
+  )
+)
+"""
+
+
+def _matched_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return search.keyword_match(docs, "spark", mode="any")
+
+
+@register(
+    "l3_agg_terms",
+    f"""
+    WITH {_MATCHED_CTE}
+    SELECT lang AS key, count(*) AS doc_count,
+           round(avg(n_chars), 4) AS avg_chars,
+           max(n_chars) AS max_chars
+    FROM m GROUP BY lang
+    ORDER BY doc_count DESC, key ASC
+    LIMIT 3
+    """,
+)
+def l3_agg_terms(spark, sf_dir):
+    """L3 [ES parity]: ``terms`` aggregation with sub-metrics — the
+    query `spark` narrows the index, buckets are the top-3 ``lang``
+    values by doc_count (ES ``_count`` desc, ``_key`` asc tie-break),
+    each carrying avg/max sub-aggregations from the SAME single pass.
+    One hash-agg shuffle on the bucket key + a TakeOrdered of size."""
+    m = _matched_docs(spark, sf_dir)
+    return aggs.terms_agg(
+        m,
+        "lang",
+        size=3,
+        metrics={
+            "avg_chars": F.round(F.avg("n_chars"), 4),
+            "max_chars": F.max("n_chars"),
+        },
+    )
+
+
+@register(
+    "l3_agg_date_histogram",
+    """
+    WITH m AS (SELECT * FROM events WHERE event_type = 'click'),
+    g AS (
+      SELECT date_trunc('hour', ts) AS key, count(*) AS doc_count,
+             round(sum(value), 2) AS sum_value
+      FROM m GROUP BY 1
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT min(key) FROM g),
+                                    (SELECT max(key) FROM g),
+                                    INTERVAL 1 HOUR)) AS key
+    )
+    SELECT grid.key, coalesce(g.doc_count, 0) AS doc_count, g.sum_value
+    FROM grid LEFT JOIN g ON grid.key = g.key
+    """,
+)
+def l3_agg_date_histogram(spark, sf_dir):
+    """L3 [ES parity]: ``date_histogram`` with the ES-default
+    ``min_doc_count: 0`` — hourly buckets of `click` events between the
+    first and last populated hour, EMPTY HOURS INCLUDED (doc_count 0,
+    null metrics). The dense grid is ``sequence()`` over the aggregated
+    bounds — built from bucket rows, never the corpus, never on the
+    driver. Filter context pushes to the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return aggs.date_histogram_agg(
+        ev, "ts", "hour",
+        metrics={"sum_value": F.round(F.sum("value"), 2)},
+        min_doc_count=0,
+    )
+
+
+@register(
+    "l3_agg_histogram",
+    f"""
+    WITH {_MATCHED_CTE},
+    g AS (
+      SELECT CAST(floor(n_chars / 50.0) * 50 AS BIGINT) AS key,
+             count(*) AS doc_count
+      FROM m GROUP BY 1
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT min(key) FROM g),
+                                    (SELECT max(key) FROM g), 50)) AS key
+    )
+    SELECT grid.key, coalesce(g.doc_count, 0) AS doc_count
+    FROM grid LEFT JOIN g ON grid.key = g.key
+    """,
+)
+def l3_agg_histogram(spark, sf_dir):
+    """L3 [ES parity]: numeric ``histogram`` over the matched set —
+    interval-50 buckets of ``n_chars``, densified between the first and
+    last populated bucket (ES ``min_doc_count: 0`` default)."""
+    return aggs.histogram_agg(_matched_docs(spark, sf_dir), "n_chars", 50)
+
+
+@register(
+    "l3_agg_range_filters",
+    f"""
+    WITH {_MATCHED_CTE}
+    SELECT 'short' AS key, count(*) FILTER (WHERE n_chars < 150) AS doc_count FROM m
+    UNION ALL
+    SELECT 'medium', count(*) FILTER (WHERE n_chars >= 150 AND n_chars < 300) FROM m
+    UNION ALL
+    SELECT 'long', count(*) FILTER (WHERE n_chars >= 300) FROM m
+    UNION ALL
+    SELECT 'f_en', count(*) FILTER (WHERE lang = 'en') FROM m
+    UNION ALL
+    SELECT 'f_src1x', count(*) FILTER (WHERE source LIKE 'src1%') FROM m
+    """,
+)
+def l3_agg_range_filters(spark, sf_dir):
+    """L3 [ES parity]: ``range`` + ``filters`` aggregations — explicit
+    ``[from, to)`` buckets over ``n_chars`` and two named predicate
+    buckets, all in ONE pass: each bucket is a parallel conditional
+    count in a single aggregate, the one result row unpivots to
+    ``(key, doc_count)``. Buckets may overlap (why this is not a
+    group-by) and empty buckets still appear — both ES contracts."""
+    m = _matched_docs(spark, sf_dir)
+    ranged = aggs.range_agg(
+        m, "n_chars",
+        [("short", None, 150), ("medium", 150, 300), ("long", 300, None)],
+    )
+    filtered = aggs.filters_agg(
+        m,
+        {
+            "f_en": F.col("lang") == "en",
+            "f_src1x": F.col("source").startswith("src1"),
+        },
+    )
+    return ranged.unionByName(filtered)
+
+
+@register(
+    "l3_agg_extended_stats",
+    f"""
+    WITH {_MATCHED_CTE}
+    SELECT count(n_chars) AS count_v,
+           round(min(n_chars)::DOUBLE, 4) AS min_v,
+           round(max(n_chars)::DOUBLE, 4) AS max_v,
+           round(avg(n_chars::DOUBLE), 4) AS avg_v,
+           round(sum(n_chars::DOUBLE), 4) AS sum_v,
+           round(var_pop(n_chars::DOUBLE), 4) AS variance_v,
+           round(stddev_pop(n_chars::DOUBLE), 4) AS std_dev_v
+    FROM m
+    """,
+)
+def l3_agg_extended_stats(spark, sf_dir):
+    """L3 [ES parity]: ``extended_stats`` — count/min/max/avg/sum plus
+    POPULATION variance and stddev (the forms ES reports), one row,
+    one pass, map-side partial aggregation."""
+    return aggs.extended_stats_agg(_matched_docs(spark, sf_dir), "n_chars")
+
+
+@register(
+    "l3_agg_percentiles",
+    f"""
+    WITH {_MATCHED_CTE},
+    q AS (
+      SELECT round(quantile_cont(n_chars::DOUBLE, 0.25), 4) AS p25,
+             round(quantile_cont(n_chars::DOUBLE, 0.50), 4) AS p50,
+             round(quantile_cont(n_chars::DOUBLE, 0.75), 4) AS p75,
+             round(quantile_cont(n_chars::DOUBLE, 0.95), 4) AS p95,
+             round(quantile_cont(n_chars::DOUBLE, 0.99), 4) AS p99
+      FROM m
+    )
+    SELECT 25.0::DOUBLE AS percent, p25 AS value FROM q
+    UNION ALL SELECT 50.0::DOUBLE, p50 FROM q
+    UNION ALL SELECT 75.0::DOUBLE, p75 FROM q
+    UNION ALL SELECT 95.0::DOUBLE, p95 FROM q
+    UNION ALL SELECT 99.0::DOUBLE, p99 FROM q
+    """,
+)
+def l3_agg_percentiles(spark, sf_dir):
+    """L3 [ES parity]: ``percentiles`` aggregation shape — one
+    ``(percent, value)`` row per requested percent over the matched
+    set. Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), computed for ALL percents in one
+    aggregate; ES itself answers this with t-digest, and this engine's
+    approximate 100 TB path is the mergeable-sketch ring
+    (``a9_kll_quantiles``)."""
+    return aggs.percentiles_agg(_matched_docs(spark, sf_dir), "n_chars")
+
+
+@register(
+    "l3_agg_top_hits",
+    f"""
+    WITH {_MATCHED_CTE},
+    r AS (
+      SELECT lang AS key, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS hit_rank
+      FROM m
+    )
+    SELECT key, hit_rank, doc_id, n_chars FROM r WHERE hit_rank <= 2
+    """,
+)
+def l3_agg_top_hits(spark, sf_dir):
+    """L3 [ES parity]: ``terms`` + ``top_hits`` sub-aggregation — each
+    ``lang`` bucket carries its top-2 documents by ``n_chars`` desc
+    (doc_id asc tie-break). Ranked with a window PARTITIONED by the
+    bucket key: every bucket sorts only its own rows; no global sort,
+    output is hits-per-bucket-sized."""
+    m = _matched_docs(spark, sf_dir)
+    return aggs.terms_top_hits(
+        m, "lang", hits=2,
+        sort=[F.desc("n_chars")],
+        select=["doc_id", "n_chars"],
+    ).select("key", "hit_rank", "doc_id", "n_chars")
+
+
+def _bm25_page2_oracle() -> str:
+    """Hits 11-20 of the flagship BM25 ranking: the search_after page
+    is definitionally the next LIMIT page of the same total order, so
+    the oracle is the flagship oracle with an OFFSET."""
+    from bigdatasearchpro_spark.registry import ORACLES
+
+    return ORACLES["l3_search_bm25_topk"].replace("LIMIT 10", "LIMIT 10 OFFSET 10")
+
+
+@register("l3_search_after", _bm25_page2_oracle())
+def l3_search_after(spark, sf_dir):
+    """L3 [ES parity]: ``search_after`` keyset pagination — page 1 of
+    the flagship BM25 query yields a cursor (last hit's
+    ``(score, doc_id)``), and the second request returns the next 10
+    hits strictly after it. Unlike ``from+size`` offset paging (which
+    ES caps at 10k for exactly this reason), the heap stays k-sized at
+    ANY depth: the keyset predicate drops earlier hits map-side on the
+    scored projection, so page 1000 costs what page 1 costs. The oracle
+    is the flagship BM25 oracle at OFFSET 10 — the keyset math must
+    reproduce the offset page exactly, score ties included."""
+    from bigdatasearchpro_spark.registry_text import SEARCH_QUERY
+
+    docs = load_table(spark, sf_dir, "documents")
+    page1 = search.search_topk(docs, SEARCH_QUERY, 10, scoring="bm25")
+    cursor = page1.orderBy(F.desc("score"), F.asc("doc_id")).collect()[-1]
+    return search.search_topk(
+        docs, SEARCH_QUERY, 10, scoring="bm25",
+        after=(cursor["score"], cursor["doc_id"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (TPC-H Q4/Q17/Q22 shapes) — declared in SQL so
+# Catalyst's subquery decorrelation does the planning: EXISTS -> left
+# semi join, NOT EXISTS -> left anti join, the correlated scalar ->
+# aggregate-then-join. The fixture schema is trimmed TPC-H, so each
+# query keeps the reference shape with the available columns.
+# ---------------------------------------------------------------------------
+
+
+def _views(spark, sf_dir, *tables) -> dict[str, str]:
+    """Per-call unique temp views (safe under concurrent sessions)."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    names = {}
+    for t in tables:
+        names[t] = f"sq_{t}_{sfx}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(names[t])
+    return names
+
+
+def _run_sql(spark, names: dict[str, str], sql: str):
+    try:
+        out = spark.sql(sql.format(**names))
+        rows, schema = out.collect(), out.schema
+    finally:
+        for v in names.values():
+            spark.catalog.dropTempView(v)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q4_exists_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= '1996-07-01' AND o.o_orderdate < '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_exists_order_priority(spark, sf_dir):
+    """Relational: correlated EXISTS (TPC-H Q4 shape) — orders in a
+    quarter having at least one returned lineitem, counted by priority.
+    Declared as SQL EXISTS; Catalyst decorrelates to ONE left-semi
+    join on l_orderkey (the probe side aggregates after the semi join,
+    so each order crosses the shuffle once no matter how many
+    lineitems match). Date filter pushes to the orders scan."""
+    v = _views(spark, sf_dir, "orders", "lineitem")
+    return _run_sql(spark, v, """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM {orders} o
+        WHERE o.o_orderdate >= '1996-07-01' AND o.o_orderdate < '1996-10-01'
+          AND EXISTS (SELECT 1 FROM {lineitem} l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+@register(
+    "q17_scalar_correlated",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_scalar_correlated(spark, sf_dir):
+    """Relational: correlated SCALAR subquery (TPC-H Q17 shape) —
+    small-quantity order revenue for one brand against each part's own
+    average quantity. Catalyst decorrelates the per-part avg into one
+    hash aggregate over lineitem joined back by partkey — the
+    subquery runs ONCE as an aggregation, not per row. The brand
+    filter broadcasts part."""
+    v = _views(spark, sf_dir, "lineitem", "part")
+    return _run_sql(spark, v, """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM {lineitem} l2 WHERE l2.l_partkey = p.p_partkey)
+    """)
+
+
+@register(
+    "q22_anti_global_scalar",
+    """
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= '1995-01-01'
+                      AND o.o_orderdate < '1996-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_anti_global_scalar(spark, sf_dir):
+    """Relational: NOT EXISTS + uncorrelated scalar subquery (TPC-H
+    Q22 shape) — well-funded customers with no 1995 order, by nation
+    (the fixture has no order-less customers, so the anti join
+    correlates on key AND a pushed date predicate).
+    The global average computes once (scalar subquery -> one-row
+    broadcast into the filter); the NOT EXISTS decorrelates to a left
+    ANTI join on o_custkey. Customers cross the shuffle once; orders
+    contribute only their distinct custkeys."""
+    v = _views(spark, sf_dir, "customer", "orders")
+    return _run_sql(spark, v, """
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM {customer} c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM {customer} c2
+                             WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM {orders} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= '1995-01-01'
+                            AND o.o_orderdate < '1996-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """)

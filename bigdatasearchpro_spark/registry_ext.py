@@ -1839,3 +1839,8 @@ def l3_regex_match(spark, sf_dir):
     return search.regex_match(
         load_table(spark, sf_dir, "documents"), "dat(a|um|aset)"
     )
+
+
+# Part 4 (ES aggregations surface + search_after keyset pagination)
+# registers itself on import.
+from bigdatasearchpro_spark import registry_aggs  # noqa: E402,F401

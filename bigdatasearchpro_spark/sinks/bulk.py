@@ -36,8 +36,20 @@ def bulk_index_parquet(
     max_records_per_file: int | None = None,
     target_files: int | None = None,
     reconcile: bool = False,
+    dictionary: bool = False,
 ) -> int:
     """Write ``df`` as a parquet "index"; returns rows written.
+
+    ``dictionary=False`` (default) disables parquet dictionary
+    encoding: the bulk sink writes STRINGIFIED documents whose columns
+    are high-cardinality by construction (ids, stringified numerics —
+    reference ``BulkProcessImpl.java:113-117``), where the encoder
+    builds a per-chunk dictionary only to abandon it at the size cap.
+    Measured at sf1 (4.6M stringified rows, local[32]): 28.9 s with
+    dictionary vs 10.8 s without, for 182M vs 259M on disk — the bulk
+    path sells ~40% size for 2.7x write throughput, the right trade
+    for an ETL sink whose yardstick is rows/s. Pass ``dictionary=True``
+    for low-cardinality/typed payloads where it wins both ways.
 
     File-size hygiene (the 100 TB concern the reference never had —
     its "files" were ES shards): ``max_records_per_file`` caps oversize
@@ -62,7 +74,9 @@ def bulk_index_parquet(
         df = df.coalesce(target_files)
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-    writer = df.write.mode(mode)
+    writer = df.write.mode(mode).option(
+        "parquet.enable.dictionary", "true" if dictionary else "false"
+    )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
@@ -110,7 +124,11 @@ def bulk_index_table(
     # inflate the result with pre-existing rows.
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-    df.write.mode(mode).saveAsTable(normalize_index_name(name))
+    # stringified index payloads are high-cardinality: dictionary
+    # encoding costs ~2.7x write wall for these (see bulk_index_parquet)
+    df.write.mode(mode).option("parquet.enable.dictionary", "false").saveAsTable(
+        normalize_index_name(name)
+    )
     return int(obs.get["rows_written"])
 
 

@@ -1,0 +1,260 @@
+"""ES aggregations surface (`operators/aggs.py`), search_after keyset
+pagination, and the correlated-subquery shapes: semantic invariants
+beyond the DuckDB oracles, plus the plan gates that make them scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators import aggs, search
+from bigdatasearchpro_spark.plans import has_take_ordered, shuffle_count
+from bigdatasearchpro_spark.sources.files import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# terms
+# ---------------------------------------------------------------------------
+
+
+def test_terms_agg_order_and_truncation(docs):
+    out = aggs.terms_agg(docs, "lang", size=3).collect()
+    assert len(out) == 3
+    counts = [r["doc_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    # top bucket is the majority language of the fixture
+    assert out[0]["key"] == "en"
+
+
+def test_terms_agg_metrics_match_direct_groupby(docs):
+    via_agg = {
+        r["key"]: (r["doc_count"], r["avg_chars"])
+        for r in aggs.terms_agg(
+            docs, "lang", size=100,
+            metrics={"avg_chars": F.round(F.avg("n_chars"), 4)},
+        ).collect()
+    }
+    direct = {
+        r["lang"]: (r["n"], r["a"])
+        for r in docs.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 4).alias("a"))
+        .collect()
+    }
+    assert via_agg == direct
+
+
+def test_terms_agg_is_takeordered(docs):
+    # bucket truncation must never global-sort
+    assert has_take_ordered(aggs.terms_agg(docs, "lang", size=3))
+
+
+# ---------------------------------------------------------------------------
+# histogram / date_histogram dense fill
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_dense_grid_contiguous(docs):
+    out = aggs.histogram_agg(docs, "n_chars", 50).collect()
+    keys = sorted(r["key"] for r in out)
+    # ES min_doc_count=0: every interval between first and last bucket
+    assert keys == list(range(keys[0], keys[-1] + 1, 50))
+    # doc_counts over all buckets == matched rows
+    assert sum(r["doc_count"] for r in out) == docs.count()
+
+
+def test_histogram_min_doc_count_1_drops_empties(docs):
+    dense = aggs.histogram_agg(docs, "n_chars", 50, min_doc_count=0).collect()
+    sparse = aggs.histogram_agg(docs, "n_chars", 50, min_doc_count=1).collect()
+    assert {r["key"] for r in sparse} == {
+        r["key"] for r in dense if r["doc_count"] > 0
+    }
+
+
+def test_date_histogram_empty_buckets_zero_with_null_metrics(events):
+    few = events.filter(F.dayofmonth("ts") % 7 == 0)  # guarantees gaps
+    out = aggs.date_histogram_agg(
+        few, "ts", "day", metrics={"sv": F.round(F.sum("value"), 2)}
+    ).collect()
+    empties = [r for r in out if r["doc_count"] == 0]
+    assert empties, "expected empty day buckets"
+    assert all(r["sv"] is None for r in empties)
+    assert sum(r["doc_count"] for r in out) == few.count()
+
+
+def test_date_histogram_keys_are_truncated(events):
+    out = aggs.date_histogram_agg(events, "ts", "day", min_doc_count=1).collect()
+    assert all(
+        r["key"].hour == 0 and r["key"].minute == 0 and r["key"].second == 0
+        for r in out
+    )
+
+
+# ---------------------------------------------------------------------------
+# range / filters — overlap semantics and one-pass plan
+# ---------------------------------------------------------------------------
+
+
+def test_range_agg_overlapping_and_empty_buckets(docs):
+    n = docs.count()
+    out = {
+        r["key"]: r["doc_count"]
+        for r in aggs.range_agg(
+            docs, "n_chars",
+            [("all", None, None), ("low", None, 300), ("also_low", 0, 300),
+             ("none", 100000, None)],
+        ).collect()
+    }
+    assert out["all"] == n
+    assert out["low"] == out["also_low"]  # overlapping buckets both count
+    assert out["none"] == 0  # empty bucket still present (ES contract)
+
+
+def test_filters_agg_single_pass_plan(docs):
+    out = aggs.filters_agg(
+        docs,
+        {"en": F.col("lang") == "en", "big": F.col("n_chars") > 300},
+    )
+    # one scan, conditional counts aggregate to ONE row: the only
+    # exchange is the single-row final aggregation — N buckets must not
+    # become N scans or a bucket-key shuffle
+    assert shuffle_count(out) <= 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# stats / percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_extended_stats_identities(docs):
+    r = aggs.extended_stats_agg(docs, "n_chars", round_to=6).collect()[0]
+    assert r["count_v"] == docs.count()
+    assert r["min_v"] <= r["avg_v"] <= r["max_v"]
+    assert abs(r["std_dev_v"] ** 2 - r["variance_v"]) < 1e-2
+    assert abs(r["avg_v"] * r["count_v"] - r["sum_v"]) < 1.0
+
+
+def test_percentiles_monotone_and_bounded(docs):
+    rows = aggs.percentiles_agg(docs, "n_chars").collect()
+    by_p = {r["percent"]: r["value"] for r in rows}
+    vals = [by_p[p] for p in (25.0, 50.0, 75.0, 95.0, 99.0)]
+    assert vals == sorted(vals)
+    lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert lo <= vals[0] and vals[-1] <= hi
+
+
+# ---------------------------------------------------------------------------
+# top_hits
+# ---------------------------------------------------------------------------
+
+
+def test_terms_top_hits_matches_bruteforce(docs):
+    got = {
+        (r["key"], r["hit_rank"], r["doc_id"])
+        for r in aggs.terms_top_hits(
+            docs, "lang", hits=2, sort=[F.desc("n_chars")]
+        ).collect()
+    }
+    import itertools
+
+    rows = sorted(
+        docs.select("lang", "doc_id", "n_chars").collect(),
+        key=lambda r: (r["lang"], -r["n_chars"], r["doc_id"]),
+    )
+    want = set()
+    for lang, grp in itertools.groupby(rows, key=lambda r: r["lang"]):
+        for i, r in enumerate(list(grp)[:2], start=1):
+            want.add((lang, i, r["doc_id"]))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# search_after
+# ---------------------------------------------------------------------------
+
+
+def test_search_after_pages_tile_the_ranking(docs):
+    q = "spark join window"
+    full = search.search_topk(docs, q, 30).collect()
+    p1 = search.search_topk(docs, q, 10).collect()
+    c1 = p1[-1]
+    p2 = search.search_topk(docs, q, 10, after=(c1["score"], c1["doc_id"])).collect()
+    c2 = p2[-1]
+    p3 = search.search_topk(docs, q, 10, after=(c2["score"], c2["doc_id"])).collect()
+    tiled = [(r["doc_id"], r["score"]) for r in (*p1, *p2, *p3)]
+    assert tiled == [(r["doc_id"], r["score"]) for r in full]
+
+
+def test_search_after_excludes_cursor_even_on_score_tie(docs):
+    q = "spark join window"
+    p1 = search.search_topk(docs, q, 10).collect()
+    cursor = p1[-1]
+    p2 = search.search_topk(
+        docs, q, 10, after=(cursor["score"], cursor["doc_id"])
+    ).collect()
+    seen1 = {r["doc_id"] for r in p1}
+    assert all(r["doc_id"] not in seen1 for r in p2)
+    # keyset total order: nothing in p2 ranks before the cursor
+    assert all(
+        (r["score"], -_num(r["doc_id"])) <= (cursor["score"], -_num(cursor["doc_id"]))
+        for r in p2
+    )
+
+
+def _num(x):
+    return x if isinstance(x, (int, float)) else hash(x)
+
+
+# ---------------------------------------------------------------------------
+# correlated subqueries — Catalyst decorrelation plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    from bigdatasearchpro_spark.registry import QUERIES
+
+    df = QUERIES["q4_exists_order_priority"](spark, sf_dir)
+    # the entry materializes (collect->createDataFrame) for view cleanup;
+    # recreate the plan directly to inspect it
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("pt_orders")
+    li.createOrReplaceTempView("pt_lineitem")
+    plan = (
+        spark.sql(
+            """
+        SELECT o_orderpriority, count(*) AS order_count FROM pt_orders o
+        WHERE EXISTS (SELECT 1 FROM pt_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert df.count() == 5  # all five priorities appear
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("pt_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pt_ord")
+    plan = (
+        spark.sql(
+            """
+        SELECT count(*) FROM pt_cust c
+        WHERE NOT EXISTS (SELECT 1 FROM pt_ord o WHERE o.o_custkey = c.c_custkey)
+        """
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan

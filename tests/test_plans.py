@@ -62,6 +62,36 @@ def test_grouped_agg_single_shuffle(spark, sf_dir):
     assert shuffle_count(QUERIES["a3_pricing_summary"](spark, sf_dir)) == 1
 
 
+def test_lww_dedup_never_sorts_wide_rows(spark, sf_dir):
+    """The LWW dedup must plan as hash aggregations + hash joins over a
+    narrow winner projection — no SortAggregate (the struct-buffer
+    max_by trap: sorts the full wide rows twice), no window, no
+    sort-merge join (would sort the wide probe side). Measured 22x at
+    sf1."""
+    from bigdatasearchpro_spark.operators import dedup, transform
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    doc = transform.stringify_all(
+        transform.composite_key(
+            load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber",
+            out="s_guid",
+        )
+    )
+    out = dedup.dedup_last_write_wins(doc, "s_guid", ["l_quantity"], keep="last")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "ShuffledHashJoin" in plan
+    # a SortAggregate is tolerable only on the NARROW winner frame
+    # (max over a string order column has no mutable buffer); any
+    # sort/sort-agg line naming a payload column means wide rows are
+    # being sorted — the 180 s sf1 trap this rewrite removed
+    wide_only = [c for c in doc.columns if c not in ("s_guid", "l_quantity")]
+    for line in plan.splitlines():
+        if "Sort" in line:
+            assert not any(c in line for c in wide_only), line
+
+
 def test_broadcast_join_fact_side_never_shuffles_for_join(spark, sf_dir):
     """j4: the only exchange allowed is the final groupBy('p_brand');
     the lineitem->part join itself must be exchange-free."""

@@ -129,6 +129,12 @@ def bulk_index_table(
     df.write.mode(mode).option("parquet.enable.dictionary", "false").saveAsTable(
         normalize_index_name(name)
     )
+    # stamp the table as an index so list_indices / `_all` search see it
+    # (the catalog also holds non-index tables and temp views, which ES
+    # would never list — sinks/ddl.py INDEX_MARKER)
+    from bigdatasearchpro_spark.sinks.ddl import mark_index_table
+
+    mark_index_table(df.sparkSession, name)
     return int(obs.get["rows_written"])
 
 

@@ -17,6 +17,33 @@ from bigdatasearchpro_spark.operators.transform import normalize_index_name
 
 DEFAULT_SHARDS = 5  # reference: number_of_shards=5, BulkProcessImpl.java:66
 
+# Tables created through the index API carry this marker property, and
+# ONLY marked tables are indices: the catalog also holds temp views,
+# bucketed join tables, staging probes — none of which ES would list
+# (or let `_all` search scan). Durable (a table property, not session
+# state), so a restarted session still sees its indices.
+INDEX_MARKER = "bdsp.index"
+
+
+def mark_index_table(spark: SparkSession, name: str) -> None:
+    """Stamp an existing table as an index (idempotent). Called by every
+    creation path: :func:`create_index` DDL and the bulk-load
+    ``saveAsTable`` sink."""
+    spark.sql(f"ALTER TABLE {normalize_index_name(name)} "
+              f"SET TBLPROPERTIES ('{INDEX_MARKER}' = 'true')")
+
+
+def is_index_table(spark: SparkSession, name: str) -> bool:
+    """True iff ``name`` is a marked index table (not a temp view or an
+    unmarked catalog table)."""
+    try:
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {normalize_index_name(name)} ('{INDEX_MARKER}')"
+        ).collect()
+    except Exception:
+        return False  # temp view / vanished table: not an index
+    return any(r["value"] == "true" for r in rows)
+
 
 def create_index(
     spark: SparkSession,
@@ -37,7 +64,7 @@ def create_index(
         raise ValueError(f"invalid schema string: {schema!r}")
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {n} ({schema}) USING parquet "
-        f"TBLPROPERTIES ('shards' = '{int(shards)}')"
+        f"TBLPROPERTIES ('shards' = '{int(shards)}', '{INDEX_MARKER}' = 'true')"
     )
     return n
 
@@ -52,16 +79,27 @@ def delete_index(spark: SparkSession, name: str) -> bool:
 
 
 def list_indices(spark: SparkSession) -> DataFrame:
-    """All non-system tables — the reference filters ``.``-prefixed
-    system indices (``ElasticServiceImpl.java:98``). ``_all`` is
+    """All indices — the reference lists indices minus ``.``-prefixed
+    system ones (``ElasticServiceImpl.java:98``). ``_all`` is
     additionally excluded as a defense-in-depth belt for pre-existing
     catalogs (``normalize_index_name`` rejects creating it): the
     scatter-gather in ``api.query_data`` must never see itself in the
-    scatter list."""
-    tables = spark.createDataFrame(
-        [(t.name, t.database or "") for t in spark.catalog.listTables()],
-        "index_name string, database string",
-    )
-    return tables.filter(
-        ~F.col("index_name").startswith(".") & (F.col("index_name") != "_all")
+    scatter list.
+
+    Only tables stamped with :data:`INDEX_MARKER` qualify: the Spark
+    catalog also holds temp views and non-index tables (bucketed join
+    tables, test fixtures), which ES would never list — and which the
+    ``_all`` scatter-gather must never scan with index search
+    semantics. Temp views are skipped before the property probe (a
+    view cannot carry table properties)."""
+    names = [
+        (t.name, t.database or "")
+        for t in spark.catalog.listTables()
+        if not t.isTemporary
+        and not t.name.startswith(".")
+        and t.name != "_all"
+        and is_index_table(spark, t.name)
+    ]
+    return spark.createDataFrame(
+        names or [], "index_name string, database string"
     )

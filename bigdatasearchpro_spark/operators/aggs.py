@@ -21,6 +21,8 @@ Coverage (public ES 6.x aggregation names):
   t-digest; the mergeable-sketch ring ``a9_kll_quantiles`` is this
   engine's approximate 100 TB path, so the facade offers the exact form)
 - ``terms_top_hits``       — terms buckets each carrying a top_hits page
+- ``significant_terms_agg``— foreground-vs-background term lift (JLH)
+- ``composite_agg``        — multi-source buckets with after-key paging
 
 Scale notes (100 TB):
 - every bucket agg is ONE hash aggregation (map-side partial combine +
@@ -57,6 +59,8 @@ __all__ = [
     "extended_stats_agg",
     "percentiles_agg",
     "terms_top_hits",
+    "significant_terms_agg",
+    "composite_agg",
 ]
 
 # ES calendar intervals -> Spark date_trunc unit + sequence step
@@ -298,3 +302,107 @@ def terms_top_hits(
         .filter(F.col("hit_rank") <= hits)
         .select(F.col(field).alias("key"), "hit_rank", *cols)
     )
+
+
+def significant_terms_agg(
+    foreground: DataFrame,
+    background: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 10,
+    min_doc_count: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation over an analyzed text field:
+    terms that are unusually frequent in the query-matched (foreground)
+    set relative to the whole index (background), scored with the ES
+    default JLH heuristic::
+
+        score = (fg% - bg%) * (fg% / bg%)     where fg% > bg%
+
+    with fg%/bg% the DOCUMENT frequencies (a term counts once per doc,
+    like ES's per-shard doc_count) over the respective set sizes.
+
+    Plan (100 TB): two (term -> doc_count) hash aggregations — the
+    foreground one over the matched set only — joined on term. The
+    explode carries ``(id, term)`` distinct pairs, never text; set
+    sizes are scalar one-row aggregates broadcast into the score
+    projection; the result is a TakeOrdered of ``size``. Nothing
+    corpus-sized crosses to the driver.
+
+    Output: ``(key, doc_count, bg_count, score)``, score desc
+    (key asc tie-break), only positively-significant terms (ES drops
+    terms not more frequent than background)."""
+    from bigdatasearchpro_spark.operators.search import tokens_expr
+
+    def doc_freq(df: DataFrame) -> DataFrame:
+        pairs = df.select(
+            F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("key")
+        )
+        return pairs.groupBy("key").agg(F.count("*").alias("n"))
+
+    fg = doc_freq(foreground)
+    bg = doc_freq(background)
+    n_fg = foreground.count()
+    n_bg = background.count()
+    if n_fg == 0 or n_bg == 0:
+        raise ValueError("significant_terms needs non-empty fore/background")
+    joined = (
+        fg.withColumnRenamed("n", "doc_count")
+        .join(bg.withColumnRenamed("n", "bg_count"), "key")
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
+    fg_pct = F.col("doc_count") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_count") / F.lit(float(n_bg))
+    scored = joined.withColumn(
+        "score", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), round_to)
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(F.desc("score"), F.asc("key")).limit(size)
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: Sequence[str],
+    *,
+    size: int = 10,
+    after: "Sequence | None" = None,
+    metrics: "Mapping[str, Column] | None" = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: multi-source buckets (the cross of
+    the ``sources`` column values that actually occur), streamed in
+    bucket-key order with ``after``-key pagination — THE ES surface for
+    paging over unbounded bucket cardinalities, where ``terms`` with a
+    huge ``size`` would blow the coordinator.
+
+    ``after`` is the last bucket key tuple of the previous page; only
+    buckets strictly greater (tuple order, each source asc) return.
+
+    Plan (100 TB): a row's bucket key IS its source-column tuple, so
+    the after-key predicate filters MAP-SIDE before the hash
+    aggregation — rows belonging to already-returned buckets never
+    enter the shuffle (mirrors ``search_after``'s keyset pushdown; this
+    is why composite paging scales where deep ``terms`` paging cannot).
+    Then one hash-agg on the key tuple and a TakeOrdered of ``size``
+    in key order.
+
+    Output: ``(*sources, doc_count, *metrics)``."""
+    if not sources:
+        raise ValueError("composite_agg needs at least one source")
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError("after-key arity != sources arity")
+        # (k1, k2) > (a1, a2) tuple order, expanded so each conjunct
+        # can prune/push independently
+        pred = None
+        for i in range(len(sources)):
+            eqs = F.lit(True)
+            for j in range(i):
+                eqs = eqs & (F.col(sources[j]) == F.lit(after[j]))
+            arm = eqs & (F.col(sources[i]) > F.lit(after[i]))
+            pred = arm if pred is None else (pred | arm)
+        df = df.filter(pred)
+    out = df.groupBy(*[F.col(s) for s in sources]).agg(
+        F.count("*").alias("doc_count"), *_metric_cols(metrics)
+    )
+    return out.orderBy(*[F.asc(s) for s in sources]).limit(size)

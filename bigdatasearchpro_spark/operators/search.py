@@ -1023,3 +1023,125 @@ def bool_query(
             n_should = c if n_should is None else (n_should + c)
         pred = pred & (n_should >= minimum_should_match)
     return docs.filter(pred)
+
+
+def more_like_this(
+    docs: DataFrame,
+    like_id,
+    *,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES ``more_like_this`` query (``like: {_id}`` form): find the
+    documents most similar to a seed document by (1) selecting the
+    seed's most INTERESTING terms — term frequency ``>= min_term_freq``
+    in the seed, document frequency ``>= min_doc_freq`` in the index,
+    ranked by classic tf-idf ``tf * ln(N / df)`` (the ES default term
+    selection), capped at ``max_query_terms`` — then (2) running those
+    terms as a disjunctive BM25 query, seed excluded from the hits.
+
+    Scale: the seed's term stats are ONE-document-sized; the df lookup
+    aggregates the corpus restricted to the seed's candidate terms
+    (a narrow literal-IN aggregate, map-side partial) and collects at
+    most ``len(seed_terms)`` rows; the search is :func:`search_topk`
+    (one corpus scan, k-row heap). Nothing corpus-sized reaches the
+    driver.
+
+    Output: ``(id, score)``, top-``k`` by score desc (id asc
+    tie-break)."""
+    import math
+
+    seed = docs.filter(F.col(id_col) == F.lit(like_id))
+    seed_tf = (
+        seed.select(F.explode(tokens_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("tf") >= min_term_freq)
+    )
+    cand = {r["term"]: r["tf"] for r in seed_tf.collect()}
+    if not cand:
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    dfs = (
+        fan_out(docs)
+        .select(F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"))
+        .filter(F.col("term").isin(*cand))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.count()
+    scored = []
+    for r in dfs.collect():
+        if r["df"] < min_doc_freq:
+            continue
+        tfidf = round(cand[r["term"]] * math.log(n / r["df"]), 6)
+        scored.append((-tfidf, r["term"]))
+    terms = [t for _, t in sorted(scored)[:max_query_terms]]
+    if not terms:
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    hits = search_topk(
+        docs, " ".join(terms), k + 1,
+        id_col=id_col, text_col=text_col, scoring="bm25", round_to=round_to,
+    )
+    return (
+        hits.filter(F.col(id_col) != F.lit(like_id))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rescore_topk(
+    docs: DataFrame,
+    query: str,
+    rescore_phrase: str,
+    *,
+    window_size: int = 50,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES ``rescore``: re-rank the top ``window_size`` hits of the
+    primary BM25 query with a secondary query — here a constant-score
+    ``match_phrase`` (the classic precision-rescore: cheap disjunctive
+    recall pass, exact-phrase bonus on the small window only)::
+
+        total = query_weight * bm25 + rescore_weight * [phrase matches]
+
+    Scale: the expensive phrase evaluation runs on ``window_size`` rows
+    only — the window (id, score) is broadcast back onto the corpus as
+    a semi-join, so the corpus is scanned but only window rows evaluate
+    the phrase; the re-sort is a TakeOrdered of the window.
+
+    Output: ``(id, score)`` top-``k`` by rescored total desc (id asc)."""
+    from pyspark.sql.functions import broadcast
+
+    window = search_topk(
+        docs, query, window_size,
+        id_col=id_col, text_col=text_col, scoring="bm25", round_to=round_to,
+    ).withColumnRenamed("score", "__base")
+    phrase_terms = analyze_query(rescore_phrase)
+    bonus = (
+        F.when(phrase_expr(text_col, phrase_terms), F.lit(1.0)).otherwise(F.lit(0.0))
+        if phrase_terms
+        else F.lit(0.0)
+    )
+    rescored = (
+        docs.join(broadcast(window), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.lit(query_weight) * F.col("__base") + F.lit(rescore_weight) * bonus,
+                round_to,
+            ).alias("score"),
+        )
+    )
+    return rescored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

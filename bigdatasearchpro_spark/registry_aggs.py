@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bigdatasearchpro_spark.operators import aggs, search
+from bigdatasearchpro_spark.operators import aggs, search, suggest
 from bigdatasearchpro_spark.registry import register
 from bigdatasearchpro_spark.sources.files import load_table
 
@@ -398,3 +398,282 @@ def q22_anti_global_scalar(spark, sf_dir):
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """)
+
+
+@register(
+    "l3_agg_significant_terms",
+    f"""
+    WITH {_MATCHED_CTE},
+    fg AS (
+      SELECT term AS key, count(*) AS doc_count
+      FROM (SELECT doc_id, unnest(list_distinct(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''))) AS term
+            FROM m)
+      GROUP BY term
+    ),
+    bg AS (
+      SELECT term AS key, count(*) AS bg_count
+      FROM (SELECT doc_id, unnest(list_distinct(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''))) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    sz AS (SELECT (SELECT count(*) FROM m)::DOUBLE AS n_fg,
+                  (SELECT count(*) FROM documents)::DOUBLE AS n_bg),
+    sc AS (
+      SELECT fg.key, fg.doc_count, bg.bg_count,
+             round((fg.doc_count / sz.n_fg - bg.bg_count / sz.n_bg)
+                   * ((fg.doc_count / sz.n_fg) / (bg.bg_count / sz.n_bg)),
+                   6) AS score
+      FROM fg JOIN bg ON fg.key = bg.key CROSS JOIN sz
+      WHERE fg.doc_count >= 3
+    )
+    SELECT key, doc_count, bg_count, score FROM sc
+    WHERE score > 0
+    ORDER BY score DESC, key ASC
+    LIMIT 10
+    """,
+)
+def l3_agg_significant_terms(spark, sf_dir):
+    """L3 [ES parity]: ``significant_terms`` aggregation — the terms
+    unusually frequent in the `spark`-matched set relative to the whole
+    index, JLH-scored (the ES default heuristic: absolute lift x
+    relative lift of per-doc frequencies). Two (term, doc_count) hash
+    aggs — the foreground one over the matched set only — joined on
+    term, TakeOrdered size; the explode carries distinct (id, term)
+    pairs, never text (operators/aggs.py significant_terms_agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.significant_terms_agg(
+        _matched_docs(spark, sf_dir), docs, size=10, min_doc_count=3
+    )
+
+
+@register(
+    "l3_agg_composite",
+    f"""
+    WITH {_MATCHED_CTE},
+    b AS (
+      SELECT lang, source, count(*) AS doc_count,
+             round(avg(n_chars), 4) AS avg_chars
+      FROM m GROUP BY lang, source
+    )
+    SELECT lang, source, doc_count, avg_chars
+    FROM b ORDER BY lang ASC, source ASC
+    LIMIT 5 OFFSET 5
+    """,
+)
+def l3_agg_composite(spark, sf_dir):
+    """L3 [ES parity]: ``composite`` aggregation — (lang, source)
+    multi-source buckets in bucket-key order with ``after``-key
+    pagination: page 1's last key becomes the cursor, and THIS entry
+    returns page 2, which must equal the key-ordered bucket list at
+    OFFSET page-size (the oracle). The after-key predicate applies to
+    the raw rows MAP-SIDE (a row's bucket key is its column tuple), so
+    rows of already-returned buckets never enter the shuffle — the
+    reason composite paging scales where a giant ``terms`` size
+    cannot (operators/aggs.py composite_agg)."""
+    m = _matched_docs(spark, sf_dir)
+    metrics = {"avg_chars": F.round(F.avg("n_chars"), 4)}
+    page1 = aggs.composite_agg(
+        m, ["lang", "source"], size=5, metrics=metrics
+    ).collect()
+    cursor = (page1[-1]["lang"], page1[-1]["source"])
+    return aggs.composite_agg(
+        m, ["lang", "source"], size=5, after=cursor, metrics=metrics
+    )
+
+
+# ---------------------------------------------------------------------------
+# ES query-DSL extensions: more_like_this, rescore, suggesters —
+# the remaining public _search surfaces reachable from the reference's
+# delegated search box (indexView.html:13-19).
+# ---------------------------------------------------------------------------
+
+_NE_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+)
+"""
+
+_VOCAB_CTE = """
+vocab AS (
+  SELECT term, count(*) AS doc_freq
+  FROM (SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> ''))) AS term
+        FROM documents)
+  GROUP BY term
+)
+"""
+
+
+@register(
+    "l3_more_like_this",
+    f"""
+    WITH {_NE_TOKS_CTE},
+    seed AS (
+      SELECT term, count(*) AS tf FROM toks WHERE doc_id = 0
+      GROUP BY term HAVING count(*) >= 2
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dfs0 AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      WHERE term IN (SELECT term FROM seed) GROUP BY term
+    ),
+    sel AS (
+      SELECT s.term, round(s.tf * ln(nn.n / d.df), 6) AS tfidf
+      FROM seed s JOIN dfs0 d ON s.term = d.term CROSS JOIN nn
+      WHERE d.df >= 5
+      ORDER BY tfidf DESC, s.term ASC LIMIT 5
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    sc AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) AS score
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM sc WHERE doc_id <> 0
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def l3_more_like_this(spark, sf_dir):
+    """L3 [ES parity]: ``more_like_this`` — documents most similar to
+    seed doc 0: the seed's interesting terms (tf >= 2 in the seed,
+    df >= 5 in the index, ranked by classic tf-idf, top 5) run as a
+    disjunctive BM25 query with the seed excluded from the hits. The
+    oracle recomputes BOTH stages in SQL — term selection included —
+    so the whole pipeline is hash-verified, not just the final search
+    (operators/search.py more_like_this)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.more_like_this(
+        docs, 0, k=10, max_query_terms=5, min_term_freq=2, min_doc_freq=5
+    )
+
+
+@register(
+    "l3_rescore_topk",
+    f"""
+    WITH {_NE_TOKS_CTE},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    sc AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) AS score
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    win AS (SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id ASC LIMIT 50),
+    ph AS (
+      SELECT doc_id,
+             CASE WHEN ' ' || array_to_string(list_filter(
+                      string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> ''), ' ') || ' ' LIKE '% spark join %'
+                  THEN 1.0 ELSE 0.0 END AS bonus
+      FROM documents
+    )
+    SELECT w.doc_id, round(1.0 * w.score + 2.0 * ph.bonus, 4) AS score
+    FROM win w JOIN ph ON w.doc_id = ph.doc_id
+    ORDER BY score DESC, w.doc_id ASC LIMIT 10
+    """,
+)
+def l3_rescore_topk(spark, sf_dir):
+    """L3 [ES parity]: ``rescore`` — the flagship BM25 query's top-50
+    window re-ranked by a constant-score ``match_phrase`` secondary
+    query (``"spark join"``, weight 2): cheap disjunctive recall pass,
+    exact-phrase precision bonus evaluated on the 50-row window only
+    (broadcast back onto the corpus; the re-sort is a window-sized
+    TakeOrdered). total = 1.0 * bm25 + 2.0 * [phrase]
+    (operators/search.py rescore_topk)."""
+    from bigdatasearchpro_spark.registry_text import SEARCH_QUERY
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search.rescore_topk(
+        docs, SEARCH_QUERY, "spark join",
+        window_size=50, k=10, query_weight=1.0, rescore_weight=2.0,
+    )
+
+
+@register(
+    "l3_suggest_term",
+    f"""
+    WITH {_VOCAB_CTE}
+    SELECT term AS suggestion, levenshtein(term, 'par')::BIGINT AS distance,
+           doc_freq
+    FROM vocab
+    WHERE levenshtein(term, 'par') BETWEEN 1 AND 2
+    ORDER BY distance ASC, doc_freq DESC, suggestion ASC
+    LIMIT 5
+    """,
+)
+def l3_suggest_term(spark, sf_dir):
+    """L3 [ES parity]: ``term`` suggester — spell corrections for the
+    misspelling `par`: vocabulary terms within 2 edits (the input
+    itself excluded), ranked distance asc, doc_freq desc, term asc
+    (ES sort), top 5. Vocabulary-scale: one (term, doc_freq) hash agg
+    over exploded distinct per-doc terms, then a bounded-levenshtein
+    scan of |vocab| rows (operators/suggest.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest.term_suggester(docs, "par", size=5, max_edits=2)
+
+
+@register(
+    "l3_suggest_completion",
+    f"""
+    WITH {_VOCAB_CTE}
+    SELECT term AS suggestion, doc_freq
+    FROM vocab WHERE term LIKE 's%'
+    ORDER BY doc_freq DESC, suggestion ASC
+    LIMIT 5
+    """,
+)
+def l3_suggest_completion(spark, sf_dir):
+    """L3 [ES parity]: ``completion`` suggester shape — vocabulary
+    terms completing the prefix `s`, ranked by weight (document
+    frequency) desc, term asc, top 5. ES serves this from an
+    index-time FST; the engine's materialized form is the sorted
+    vocabulary table (prefix runs range-skip)
+    (operators/suggest.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest.completion_suggester(docs, "s", size=5)

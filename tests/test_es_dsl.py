@@ -1,0 +1,147 @@
+"""ES query-DSL extensions: significant_terms / composite aggregations,
+more_like_this, rescore, term + completion suggesters.
+
+Deeper invariants than the DuckDB oracles: pagination covers the full
+bucket space exactly once, rescore only ever promotes phrase hits,
+MLT's seed is its own best match, suggesters respect their caps.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators import aggs, search, suggest
+
+
+# ---------------------------------------------------------------- composite
+
+
+def test_composite_pages_partition_full_bucket_space(docs):
+    """Walking composite pages with after-keys enumerates every
+    (lang, source) bucket exactly once, in key order, with the same
+    counts a single group-by produces."""
+    truth = {
+        (r["lang"], r["source"]): r["n"]
+        for r in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    seen: dict[tuple, int] = {}
+    after = None
+    while True:
+        page = aggs.composite_agg(docs, ["lang", "source"], size=3, after=after).collect()
+        if not page:
+            break
+        keys = [(r["lang"], r["source"]) for r in page]
+        assert keys == sorted(keys)  # in-page key order
+        for r in page:
+            k = (r["lang"], r["source"])
+            assert k not in seen  # no bucket twice across pages
+            seen[k] = r["doc_count"]
+        after = keys[-1]
+        if len(page) < 3:
+            break
+    assert seen == truth
+
+
+def test_composite_after_key_arity_checked(docs):
+    with pytest.raises(ValueError):
+        aggs.composite_agg(docs, ["lang", "source"], after=("en",))
+
+
+# ------------------------------------------------------- significant terms
+
+
+def test_significant_terms_lift_is_positive_and_ranked(docs):
+    m = search.keyword_match(docs, "spark", mode="any")
+    out = aggs.significant_terms_agg(m, docs, size=10).collect()
+    assert out
+    n_fg = m.count()
+    n_bg = docs.count()
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        # every reported term IS lifted: fg% strictly above bg%
+        assert r["doc_count"] / n_fg > r["bg_count"] / n_bg
+        assert r["score"] > 0
+    # the query term itself is maximally lifted (fg% = 100%): present
+    assert "spark" in {r["key"] for r in out}
+
+
+# ------------------------------------------------------------ more_like_this
+
+
+def test_more_like_this_excludes_seed_and_finds_duplicates(spark, sf_dir, docs):
+    hits = search.more_like_this(docs, 0, k=10, max_query_terms=5).collect()
+    assert 0 < len(hits) <= 10
+    assert all(r["doc_id"] != 0 for r in hits)
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_more_like_this_empty_seed_terms(spark, docs):
+    # min_term_freq high enough that no term qualifies -> empty result
+    out = search.more_like_this(docs, 0, min_term_freq=10**6)
+    assert out.count() == 0
+
+
+# ------------------------------------------------------------------- rescore
+
+
+def test_rescore_only_promotes_phrase_hits(docs):
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search.search_topk(docs, "spark join window", 50).collect()
+    }
+    rescored = search.rescore_topk(
+        docs, "spark join window", "spark join",
+        window_size=50, k=50, query_weight=1.0, rescore_weight=2.0,
+    ).collect()
+    assert len(rescored) == len(base)
+    phrase_hits = 0
+    for r in rescored:
+        delta = round(r["score"] - base[r["doc_id"]], 4)
+        assert delta in (0.0, 2.0)  # bonus is exactly 0 or rescore_weight
+        phrase_hits += delta == 2.0
+    # the phrase does occur somewhere in the window (fixture sanity)
+    assert phrase_hits > 0
+
+
+def test_rescore_zero_weight_is_identity_ranking(docs):
+    base = search.search_topk(docs, "spark join window", 10).collect()
+    same = search.rescore_topk(
+        docs, "spark join window", "spark join",
+        window_size=50, k=10, query_weight=1.0, rescore_weight=0.0,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in base] == [
+        (r["doc_id"], r["score"]) for r in same
+    ]
+
+
+# ---------------------------------------------------------------- suggesters
+
+
+def test_term_suggester_never_echoes_input_and_orders_properly(docs):
+    out = suggest.term_suggester(docs, "par", size=10, max_edits=2).collect()
+    assert out
+    assert all(r["suggestion"] != "par" for r in out)
+    keys = [(r["distance"], -r["doc_freq"], r["suggestion"]) for r in out]
+    assert keys == sorted(keys)
+    assert {r["suggestion"] for r in out} >= {"part"}  # 1-edit neighbor found
+
+
+def test_term_suggester_rejects_empty_input(docs):
+    with pytest.raises(ValueError):
+        suggest.term_suggester(docs, "  ")
+
+
+def test_completion_suggester_prefix_and_cap(docs):
+    out = suggest.completion_suggester(docs, "s", size=3).collect()
+    assert 0 < len(out) <= 3
+    assert all(r["suggestion"].startswith("s") for r in out)
+    freqs = [r["doc_freq"] for r in out]
+    assert freqs == sorted(freqs, reverse=True)
+    # widening the cap never changes the head of the ranking
+    wide = suggest.completion_suggester(docs, "s", size=10).collect()
+    assert [r["suggestion"] for r in wide[: len(out)]] == [
+        r["suggestion"] for r in out
+    ]

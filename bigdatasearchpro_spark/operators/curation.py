@@ -1,0 +1,216 @@
+"""Corpus-curation operators for LLM training data (SURVEY.md §2.10
+extensions): duplicated-segment removal, benchmark decontamination,
+and sequence packing.
+
+These are the pipeline stages between near-dup dedup (``neardup.py``)
+and the dataset split (``registry_text.py l5_dataset_split``) that a
+production pretraining-data pipeline runs at full-corpus scale:
+
+- :func:`segment_dedup` — RefinedWeb/CCNet-style *intra-document*
+  boilerplate removal: fixed-token segments that recur across many
+  documents (headers, footers, license blocks) are cut out of every
+  document while the unique remainder survives — unlike document-level
+  dedup, which keeps or kills whole docs.
+- :func:`decontaminate` — held-out benchmark n-gram overlap flagging
+  (the GPT-3/Dolma decontamination step): any training document
+  sharing an n-token shingle with the benchmark set is flagged.
+- :func:`pack_sequences` — concat-and-chunk sequence packing: the
+  shard-ordered token stream (one EOS token between docs) is cut into
+  fixed ``max_len`` windows, and each document learns which chunk
+  range it landed in — the layout step before tensorization.
+
+Scale notes (100 TB):
+- segment frequency and shingle overlap shuffle (id, segment/shingle)
+  pairs — bounded by token count, never by the document cross product;
+  at scale the string keys become 64-bit hashes (the oracle-portable
+  string form is kept here so DuckDB can verify end-to-end).
+- duplicated segments are FOUND with one hash agg and applied with one
+  broadcast-able join against the (rare) duplicated-segment set — the
+  common case (unique segment) never joins.
+- packing is one window cumsum PARTITIONED by the shard column — each
+  shard packs independently, exactly how a multi-node writer lays out
+  tensors; no global ordering is ever materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdatasearchpro_spark.operators.search import TextCols, tokens_expr
+
+__all__ = ["segment_dedup", "decontaminate", "pack_sequences"]
+
+
+def _segments(tokens, seg_tokens: int):
+    """Non-overlapping ``seg_tokens``-token windows of a token array as
+    joined strings (last partial window kept) — a pure array expression,
+    no explode until the caller needs rows."""
+    n_segs = F.ceil(F.size(tokens) / F.lit(float(seg_tokens))).cast("int")
+    idx = F.sequence(F.lit(0), n_segs - 1)
+    return F.when(F.size(tokens) > 0, F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(tokens, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def segment_dedup(
+    docs: DataFrame,
+    *,
+    seg_tokens: int = 20,
+    max_doc_frequency: int = 1,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """Remove segments duplicated ACROSS documents (boilerplate) while
+    keeping each document's unique remainder — the RefinedWeb /
+    CCNet-style line-dedup step, on fixed ``seg_tokens``-token segments
+    (the fixture corpus has no natural line boundaries; a real corpus
+    would segment on lines/paragraphs with the same plan).
+
+    A segment is removed from EVERY document when the number of
+    distinct documents containing it exceeds ``max_doc_frequency``.
+
+    Plan: (1) one explode to (id, pos, segment), (2) one hash agg for
+    per-segment distinct-doc counts, kept only where the count exceeds
+    the threshold (the duplicated-segment set — small, broadcast-able),
+    (3) one join of the exploded segments against that set, (4) one
+    group-back re-assembling surviving segments in position order.
+    Shuffles carry segment strings (hashes at scale), never full
+    documents in the frequency agg.
+
+    Output: ``(id, n_segments, n_removed, clean_text)`` — one row per
+    input document (docs reduced to nothing keep an empty clean_text).
+    """
+    toked = docs.select(
+        F.col(id_col), _segments(tokens_expr(text_col), seg_tokens).alias("__segs")
+    )
+    seg_rows = toked.select(
+        F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
+    )
+    dup_segs = (
+        seg_rows.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") > max_doc_frequency)
+        .select("seg")
+    )
+    marked = seg_rows.join(
+        dup_segs.withColumn("__dup", F.lit(True)), "seg", "left"
+    ).withColumn("__dup", F.coalesce(F.col("__dup"), F.lit(False)))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("__dup").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("__dup"), F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def _shingles(tokens, n: int):
+    """All ``n``-token shingles of a token array as joined strings (an
+    array expression; empty when the doc is shorter than ``n``)."""
+    cnt = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    return F.when(cnt > 0, F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one ``n``-token shingle with the held-out ``benchmark``
+    set (the GPT-3 appendix-C / Dolma decontamination rule).
+
+    Plan: benchmark docs explode to their DISTINCT shingle set (one
+    side of a join keyed by shingle; at 100 TB the key is a 64-bit
+    hash and the benchmark side — millions of shingles, not billions —
+    broadcasts); training docs explode to distinct shingles and
+    inner-join. One count-distinct-shingles agg per contaminated doc.
+
+    Output: ``(id, matched_ngrams)`` — contaminated training docs only,
+    with how many distinct benchmark shingles they contain."""
+    bench_shingles = benchmark.select(
+        F.explode(F.array_distinct(_shingles(tokens_expr(text_col), n))).alias("sh")
+    ).distinct()
+    doc_shingles = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(tokens_expr(text_col), n))).alias("sh"),
+    )
+    return (
+        doc_shingles.join(bench_shingles, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("matched_ngrams"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    max_len: int = 512,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard
+    (``shard_col``), documents concatenate in ``id`` order with one
+    EOS token between them, and the token stream cuts into fixed
+    ``max_len`` windows — the standard pretraining layout (documents
+    may straddle a chunk boundary; the attention mask handles it).
+
+    Each document's placement is pure arithmetic on the running token
+    count: ONE window cumsum partitioned by the shard — shards pack
+    independently and in parallel, exactly how a multi-node tensor
+    writer works; nothing global, nothing driver-side.
+
+    Output: ``(id, shard, n_tokens, start_offset, first_chunk,
+    last_chunk)`` — one row per document; ``start_offset`` is the
+    document's first-token position in its shard's stream, chunks are
+    ``floor(offset / max_len)`` of the first and last token."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    # +1 = the EOS separator appended to every document
+    cum = sized.withColumn("__end", F.sum(F.col("n_tokens") + 1).over(w))
+    return cum.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("__end") - F.col("n_tokens") - 1).alias("start_offset"),
+        F.floor((F.col("__end") - F.col("n_tokens") - 1) / max_len).alias(
+            "first_chunk"
+        ),
+        # last token of the doc itself (EOS excluded); empty docs sit at
+        # their start offset
+        F.floor(
+            F.greatest(F.col("__end") - 2, F.col("__end") - F.col("n_tokens") - 1)
+            / max_len
+        ).alias("last_chunk"),
+    )

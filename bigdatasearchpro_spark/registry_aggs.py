@@ -677,3 +677,6 @@ def l3_suggest_completion(spark, sf_dir):
     (operators/suggest.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return suggest.completion_suggester(docs, "s", size=5)
+
+
+from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

@@ -53,6 +53,19 @@ _R4_NEVER_DRIVER_RUN = (
     "l5_lang_id",
 )
 _R4_NEW_OR_CHANGED = (
+    # session-3 additions: ES query-DSL extensions and the
+    # corpus-curation ring
+    "l3_agg_significant_terms",
+    "l3_agg_composite",
+    "l3_more_like_this",
+    "l3_rescore_topk",
+    "l3_suggest_term",
+    "l3_suggest_completion",
+    "l5_segment_dedup",
+    "l5_decontaminate",
+    "l5_pack_sequences",
+    "l3_scroll_export",
+    "s10_reindex",
     # session-2 additions: ES aggregations surface, search_after,
     # correlated subqueries — and the rewritten LWW dedup (narrow
     # winner selection; l1 + every bulk-sink path runs through it)

@@ -284,3 +284,86 @@ def get_index_data_count(spark: SparkSession, index_name: str) -> int:
     if index_name == "_all":
         return sum(spark.table(n).count() for n in get_all_index(spark))
     return spark.table(index_name.lower()).count()
+
+
+def scroll(
+    spark: SparkSession,
+    index_name: str,
+    query: str | None = None,
+    *,
+    size: int = 100,
+    scroll_id=None,
+    id_col: str = "doc_id",
+    text_col: "str | list[str] | None" = None,
+):
+    """ES ``scroll`` API shape: iterate EVERY hit of a query in stable
+    ``_doc`` order, batch by batch — the surface ES offers for full
+    exports, where ``from+size`` paging is capped and ``search_after``
+    needs a sort. Returns ``(page, next_scroll_id)``; pass the id back
+    to get the next batch, ``next_scroll_id is None`` when exhausted.
+
+    ES's scroll pins a snapshot server-side; here the parquet snapshot
+    is immutable for the duration of the read, which is the same
+    guarantee. The cursor is the last ``id`` of the page — a KEYSET,
+    not an offset, so page N costs the same as page 1 (the
+    ``id > cursor`` predicate pushes to the scan and the page is a
+    TakeOrdered of ``size``; nothing re-reads already-scrolled rows).
+
+    ``query=None`` scrolls the whole index (ES ``match_all``)."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+    from pyspark.sql import functions as F
+
+    docs = spark.table(transform.normalize_index_name(index_name))
+    if query:
+        fields = (
+            [text_col]
+            if isinstance(text_col, str)
+            else list(text_col)
+            if text_col is not None
+            else search.all_string_cols(docs)
+        )
+        docs = query_string_filter(docs, query, default_field=fields, fields=fields)
+    if scroll_id is not None:
+        docs = docs.filter(F.col(id_col) > F.lit(scroll_id))
+    page = docs.orderBy(F.asc(id_col)).limit(size)
+    rows = page.collect()
+    out = spark.createDataFrame(rows, page.schema) if rows else page.limit(0)
+    next_id = rows[-1][id_col] if len(rows) == size else None
+    return out, next_id
+
+
+def reindex(
+    spark: SparkSession,
+    source_index: str,
+    dest_index: str,
+    query: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: "str | list[str] | None" = None,
+) -> dict:
+    """ES ``_reindex``: copy documents from one index into another,
+    optionally narrowed by a query — the standard reshape/migrate
+    operation (ES implements it as an internal scroll + bulk; here it
+    is ONE distributed scan -> optional query-string filter -> bulk
+    write, no batch loop and no coordinator bottleneck at any size).
+
+    Returns ``{"created": n, "source": ..., "dest": ...}`` (the ES
+    response's count field)."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    docs = spark.table(transform.normalize_index_name(source_index))
+    if query:
+        fields = (
+            [text_col]
+            if isinstance(text_col, str)
+            else list(text_col)
+            if text_col is not None
+            else search.all_string_cols(docs)
+        )
+        docs = query_string_filter(docs, query, default_field=fields, fields=fields)
+    n = bulk_index_table(docs, dest_index, id_col=id_col)
+    return {
+        "created": n,
+        "source": source_index.lower(),
+        "dest": dest_index.lower(),
+    }

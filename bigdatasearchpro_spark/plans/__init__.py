@@ -19,4 +19,5 @@ from bigdatasearchpro_spark.plans.inspect import (  # noqa: F401
     read_schema,
     shuffle_count,
     wholestage_codegen_count,
+    wide_shuffle_count,
 )

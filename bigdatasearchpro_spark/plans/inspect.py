@@ -104,3 +104,35 @@ def in_memory_scan_count(df: DataFrame) -> int:
     """Cache reads (InMemoryTableScan leaves) — evidence a plan reuses a
     persisted projection instead of rescanning the source."""
     return executed_plan(df).count("InMemoryTableScan")
+
+
+def _walk_jvm_plan(node):
+    """Yield every node of a JVM physical plan, descending through the
+    AQE wrapper (whose children() is empty — the real tree hangs off
+    initialPlan) and query-stage shells."""
+    yield node
+    name = node.nodeName()
+    if "AdaptiveSparkPlan" in name:
+        yield from _walk_jvm_plan(node.initialPlan())
+        return
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _walk_jvm_plan(kids.apply(i))
+
+
+def wide_shuffle_count(df: DataFrame, wide_cols: "list[str]") -> int:
+    """Shuffle exchanges whose OUTPUT carries any of ``wide_cols`` —
+    i.e. how many times the wide payload actually crosses the wire.
+    (The textual plan can't answer this: Exchange lines print only the
+    partitioning expressions, not the rows they move.) Broadcast and
+    reused exchanges don't count."""
+    wide = set(wide_cols)
+    n = 0
+    for node in _walk_jvm_plan(df._jdf.queryExecution().executedPlan()):
+        if node.nodeName() != "Exchange":
+            continue
+        out = node.output()
+        names = {out.apply(i).name() for i in range(out.size())}
+        if names & wide:
+            n += 1
+    return n

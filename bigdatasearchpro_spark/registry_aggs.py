@@ -679,4 +679,83 @@ def l3_suggest_completion(spark, sf_dir):
     return suggest.completion_suggester(docs, "s", size=5)
 
 
+@register(
+    "l3_scroll_export",
+    """
+    WITH m AS (
+      SELECT doc_id::VARCHAR AS doc_id, lang FROM documents
+      WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x = 'spark')) > 0
+    )
+    SELECT doc_id, lang FROM m ORDER BY doc_id ASC
+    LIMIT 40 OFFSET 80
+    """,
+)
+def l3_scroll_export(spark, sf_dir):
+    """L3 [ES parity]: ``scroll`` — full-export iteration of a query's
+    hits in stable ``_doc`` order, batch by batch. This entry walks
+    three 40-row pages with the keyset cursor and returns page 3,
+    which must equal the match set at OFFSET 80 (the oracle; the bulk
+    index stringifies all fields, so ``_doc`` order is the id's STRING
+    order — both engines compare lexicographically). Unlike
+    offset paging, the cursor predicate (``id > last``) pushes to the
+    scan and each page is a TakeOrdered of the page size — page N
+    costs page 1, nothing re-reads scrolled rows (api.scroll)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = f"scroll_probe_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text", "lang"), idx,
+                           id_col="doc_id")
+    try:
+        cursor, page = None, None
+        for _ in range(3):
+            page, cursor = api.scroll(
+                spark, idx, "spark", size=40, scroll_id=cursor,
+                text_col="text",
+            )
+            if cursor is None:
+                break
+        rows = page.select("doc_id", "lang").collect()
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
+@register(
+    "s10_reindex",
+    """
+    SELECT doc_id::VARCHAR AS doc_id, lang FROM documents
+    WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x = 'spark')) > 0
+    """,
+)
+def s10_reindex(spark, sf_dir):
+    """S10 [ES parity]: ``_reindex`` — copy a query-narrowed index into
+    a new index (ES: internal scroll + bulk loop; here ONE distributed
+    scan -> query-string filter -> bulk write, no coordinator
+    bottleneck). The oracle is the matched source set: the destination
+    index must hold exactly the documents matching the query
+    (api.reindex)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:8]
+    src, dst = f"reindex_src_{tag}", f"reindex_dst_{tag}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text", "lang"), src,
+                           id_col="doc_id")
+    try:
+        res = api.reindex(spark, src, dst, "spark", text_col="text")
+        assert res["created"] == spark.table(dst).count()
+        rows = spark.table(dst).select("doc_id", "lang").collect()
+    finally:
+        api.delete_index(spark, src)
+        api.delete_index(spark, dst)
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

@@ -185,3 +185,67 @@ def test_query_data_wildcard_only_matches_stay_in_page(spark, sf_dir, docs):
         assert any(s > 0 for s in scores) and any(s == 0.0 for s in scores)
     finally:
         api.delete_index(spark, idx)
+
+
+def test_scroll_walks_every_hit_exactly_once(spark, sf_dir, docs):
+    """ES scroll: keyset batches cover the full match set exactly once,
+    in _doc order, and the cursor terminates."""
+    idx = "scroll_walk_idx"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text"), idx,
+                           id_col="doc_id")
+    try:
+        want = {
+            r["doc_id"]
+            for r in spark.table(idx).collect()
+            if "spark" in r["text"].split()
+        }
+        seen, cursor, pages = set(), None, 0
+        while True:
+            page, cursor = api.scroll(spark, idx, "spark", size=37,
+                                      scroll_id=cursor, text_col="text")
+            rows = page.collect()
+            ids = [r["doc_id"] for r in rows]
+            assert ids == sorted(ids)  # _doc (string) order within a page
+            assert not (set(ids) & seen)  # never re-reads scrolled rows
+            seen |= set(ids)
+            pages += 1
+            if cursor is None:
+                break
+        assert seen == want
+        assert pages >= 2  # the walk actually paginated
+    finally:
+        api.delete_index(spark, idx)
+
+
+def test_scroll_match_all_and_empty_tail(spark, sf_dir, docs):
+    idx = "scroll_all_idx"
+    api.bulk_data_to_index(spark, docs.limit(10), idx, id_col="doc_id")
+    try:
+        page, cursor = api.scroll(spark, idx, None, size=10)
+        assert page.count() == 10
+        # a full final page hands back a cursor; the next call is empty
+        if cursor is not None:
+            tail, c2 = api.scroll(spark, idx, None, size=10, scroll_id=cursor)
+            assert tail.count() == 0 and c2 is None
+    finally:
+        api.delete_index(spark, idx)
+
+
+def test_reindex_copies_matched_set(spark, sf_dir, docs):
+    src, dst = "reidx_src", "reidx_dst"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text"), src,
+                           id_col="doc_id")
+    try:
+        res = api.reindex(spark, src, dst, "spark", text_col="text")
+        assert res["created"] == spark.table(dst).count()
+        got = {r["doc_id"] for r in spark.table(dst).collect()}
+        want = {
+            r["doc_id"]
+            for r in spark.table(src).collect()
+            if "spark" in r["text"].split()
+        }
+        assert got == want
+        assert dst in api.get_all_index(spark)  # dest is a first-class index
+    finally:
+        api.delete_index(spark, src)
+        api.delete_index(spark, dst)

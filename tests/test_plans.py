@@ -82,13 +82,21 @@ def test_lww_dedup_never_sorts_wide_rows(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "ShuffledHashJoin" in plan
-    # a SortAggregate is tolerable only on the NARROW winner frame
-    # (max over a string order column has no mutable buffer); any
-    # sort/sort-agg line naming a payload column means wide rows are
-    # being sorted — the 180 s sf1 trap this rewrite removed
     wide_only = [c for c in doc.columns if c not in ("s_guid", "l_quantity")]
+    # wide rows cross exactly ONE exchange: the winner semi-join's.
+    # A second wide exchange is the distinct()-collapse trap (2.9x at
+    # sf0.1); a wide SortAggregate FED by its own exchange would be the
+    # 180 s sf1 struct-buffer trap. The one tolerated wide "sort" is
+    # the partition-local SortAggregate that collapses bit-identical
+    # copies AFTER the semi-join — already winner-sized, already
+    # clustered, no exchange of its own (dedup.py docstring).
+    from bigdatasearchpro_spark.plans import wide_shuffle_count
+
+    assert wide_shuffle_count(out, wide_only) == 1
     for line in plan.splitlines():
-        if "Sort" in line:
+        # bare Sort operators (global or pre-merge-join) must stay
+        # narrow; SortAggregate is covered by the exchange count above
+        if "Sort" in line and "SortAggregate" not in line:
             assert not any(c in line for c in wide_only), line
 
 
@@ -262,3 +270,40 @@ def test_multifield_boosted_single_corpus_scan(spark, sf_dir):
         assert "FileScan" not in above_cache and "BatchScan" not in above_cache
     finally:
         per_doc.unpersist()
+
+
+def test_composite_after_key_pushes_to_scan(spark, sf_dir):
+    """The composite after-key predicate must reach the parquet scan
+    (rows of already-returned buckets never enter the shuffle)."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = aggs.composite_agg(docs, ["lang", "source"], size=5, after=("en", "src3"))
+    pushed = " ".join(pushed_filters(df))
+    assert "lang" in pushed and "source" in pushed
+    assert shuffle_count(df) == 1  # one hash agg; TakeOrdered, no sort exchange
+
+
+def test_suggesters_are_single_agg_take_ordered(spark, sf_dir):
+    """Suggesters: one vocabulary hash agg + a TakeOrdered page —
+    never a global sort of the vocabulary."""
+    from bigdatasearchpro_spark.operators import suggest
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        suggest.term_suggester(docs, "par"),
+        suggest.completion_suggester(docs, "s"),
+    ):
+        assert has_take_ordered(df)
+        assert shuffle_count(df) <= 2  # explode respread + vocab agg
+
+
+def test_segment_dedup_reads_only_id_and_text(spark, sf_dir):
+    """Segment dedup projects (id, segments) before any shuffle — the
+    scan must not read the unused document columns."""
+    from bigdatasearchpro_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = curation.segment_dedup(docs)
+    schemas = " ".join(read_schema(df))
+    assert "lang" not in schemas and "n_chars" not in schemas

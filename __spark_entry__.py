@@ -66,6 +66,7 @@ _R4_NEW_OR_CHANGED = (
     "l5_pack_sequences",
     "l3_scroll_export",
     "s10_reindex",
+    "s11_alias_scroll",
     # session-2 additions: ES aggregations surface, search_after,
     # correlated subqueries — and the rewritten LWW dedup (narrow
     # winner selection; l1 + every bulk-sink path runs through it)

@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "l2_simhash_pairs_md5",
     "l3_search_all_indices",
     "l6_decode_real_codec",
+    # r4-new heavy entries: corpus-sized explodes (segments, shingles,
+    # terms) and the packing window
+    "l3_agg_significant_terms",
+    "l5_segment_dedup",
+    "l5_decontaminate",
+    "l5_pack_sequences",
     "st1_tumbling_window",
     "st3_session_window",
 ]

@@ -367,3 +367,23 @@ def reindex(
         "source": source_index.lower(),
         "dest": dest_index.lower(),
     }
+
+
+def add_alias(spark, index_names, alias, *, filter_sql=None) -> str:
+    """ES ``POST _aliases`` add action — see ``sinks.ddl.add_alias``
+    (filtered alias = WHERE view; multi-index alias = UNION ALL view;
+    search/count/scroll through the alias just work, the filter pushes
+    into the underlying scans)."""
+    return ddl.add_alias(spark, index_names, alias, filter_sql=filter_sql)
+
+
+def delete_alias(spark, alias: str) -> bool:
+    """ES ``POST _aliases`` remove action."""
+    return ddl.delete_alias(spark, alias)
+
+
+def get_alias(spark) -> list[tuple[str, str]]:
+    """ES ``GET _alias`` — (alias, index) edges."""
+    return [
+        (r["alias"], r["index_name"]) for r in ddl.list_aliases(spark).collect()
+    ]

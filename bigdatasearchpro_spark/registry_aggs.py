@@ -758,4 +758,43 @@ def s10_reindex(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id string, lang string")
 
 
+@register(
+    "s11_alias_scroll",
+    """
+    SELECT doc_id::VARCHAR AS doc_id, lang FROM documents
+    WHERE lang = 'en'
+      AND len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x = 'spark')) > 0
+    ORDER BY doc_id::VARCHAR ASC
+    LIMIT 50
+    """,
+)
+def s11_alias_scroll(spark, sf_dir):
+    """S11 [ES parity]: index ALIASES (`POST _aliases` / `GET _alias`)
+    — a FILTERED alias (lang = 'en') over a bulk-loaded index, read
+    through the scroll API: the first 50 hits of the query `spark` in
+    _doc order must equal the filtered matched set at LIMIT (oracle).
+    The alias is a marked catalog view, so its filter pushes into the
+    underlying index scan — a filtered alias costs a predicate, not a
+    copy (sinks/ddl.py add_alias, api.scroll)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:8]
+    idx, alias = f"alias_base_{tag}", f"alias_en_{tag}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text", "lang"), idx,
+                           id_col="doc_id")
+    try:
+        api.add_alias(spark, idx, alias, filter_sql="lang = 'en'")
+        assert (alias, idx) in api.get_alias(spark)
+        page, _ = api.scroll(spark, alias, "spark", size=50, text_col="text")
+        rows = page.select("doc_id", "lang").collect()
+    finally:
+        api.delete_alias(spark, alias)
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

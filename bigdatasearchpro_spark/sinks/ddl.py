@@ -103,3 +103,81 @@ def list_indices(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         names or [], "index_name string, database string"
     )
+
+
+# --------------------------------------------------------------------------
+# Index aliases (public ES 6.x `_aliases` API): an alias names one or
+# more indices, optionally with a filter — the standard indirection for
+# zero-downtime reindex cutovers and filtered tenant views. Mapped to
+# marked catalog VIEWS: a filtered alias is a WHERE view, a multi-index
+# alias is a UNION ALL view; reads through the alias inherit the plan
+# of the underlying scans (the filter pushes into them — a filtered
+# alias costs a predicate, not a copy).
+# --------------------------------------------------------------------------
+
+ALIAS_MARKER = "bdsp.alias"
+
+
+def add_alias(
+    spark: SparkSession,
+    index_names: "str | list[str]",
+    alias: str,
+    *,
+    filter_sql: str | None = None,
+) -> str:
+    """Create/replace an alias over one or more indices (ES
+    ``POST _aliases`` ``add`` action; re-adding re-points it, like ES).
+    ``filter_sql`` is a boolean SQL expression applied to every target
+    (ES filtered alias). The targets must be marked index tables."""
+    a = normalize_index_name(alias)
+    names = [index_names] if isinstance(index_names, str) else list(index_names)
+    if not names:
+        raise ValueError("alias needs at least one target index")
+    targets = []
+    for n in names:
+        t = normalize_index_name(n)
+        if not is_index_table(spark, t):
+            raise ValueError(f"alias target is not an index: {n!r}")
+        targets.append(t)
+    if filter_sql is not None and not __import__("re").match(
+        r"^[A-Za-z0-9_ '.,<>=!()%-]+$", filter_sql
+    ):
+        raise ValueError(f"invalid alias filter expression: {filter_sql!r}")
+    where = f" WHERE {filter_sql}" if filter_sql else ""
+    body = " UNION ALL ".join(f"SELECT * FROM {t}{where}" for t in targets)
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {a} "
+        f"TBLPROPERTIES ('{ALIAS_MARKER}' = '{','.join(targets)}') AS {body}"
+    )
+    return a
+
+
+def delete_alias(spark: SparkSession, alias: str) -> bool:
+    """Drop an alias (ES ``remove`` action). Refuses to drop a real
+    index table through the alias API."""
+    a = normalize_index_name(alias)
+    if is_index_table(spark, a):
+        raise ValueError(f"{alias!r} is an index, not an alias")
+    existed = spark.catalog.tableExists(a)
+    spark.sql(f"DROP VIEW IF EXISTS {a}")
+    return existed
+
+
+def list_aliases(spark: SparkSession) -> DataFrame:
+    """All aliases as ``(alias, index_name)`` rows (ES ``GET _alias``:
+    one row per alias->index edge)."""
+    edges: list[tuple[str, str]] = []
+    for t in spark.catalog.listTables():
+        if t.isTemporary or t.name.startswith(".") or t.name == "_all":
+            continue
+        try:
+            rows = spark.sql(
+                f"SHOW TBLPROPERTIES {t.name} ('{ALIAS_MARKER}')"
+            ).collect()
+        except Exception:
+            continue
+        for r in rows:
+            v = r["value"]
+            if v and "does not have property" not in v:
+                edges.extend((t.name, ix) for ix in v.split(","))
+    return spark.createDataFrame(edges or [], "alias string, index_name string")

@@ -249,3 +249,50 @@ def test_reindex_copies_matched_set(spark, sf_dir, docs):
     finally:
         api.delete_index(spark, src)
         api.delete_index(spark, dst)
+
+
+def test_alias_lifecycle_filtered_and_multi(spark, sf_dir, docs):
+    """ES _aliases: filtered alias narrows every read; multi-index
+    alias unions its targets; alias never appears as an index; the
+    alias API refuses to drop a real index."""
+    import pytest as _pytest
+
+    a, b = "alias_t_idx_a", "alias_t_idx_b"
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 0),
+                           a, id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1),
+                           b, id_col="doc_id")
+    try:
+        api.add_alias(spark, a, "alias_en", filter_sql="lang = 'en'")
+        api.add_alias(spark, [a, b], "alias_both")
+        try:
+            # filtered alias: count == filtered count of the target
+            want = spark.table(a).filter(F.col("lang") == "en").count()
+            assert api.get_index_data_count(spark, "alias_en") == want
+            # multi alias: union of both targets
+            assert api.get_index_data_count(spark, "alias_both") == (
+                spark.table(a).count() + spark.table(b).count()
+            )
+            # search through the filtered alias only sees filtered docs
+            hits = api.query_data(spark, "spark", "alias_en", k=10**6,
+                                  text_col="text")
+            ids = {r["doc_id"] for r in hits.collect()}
+            allowed = {r["doc_id"] for r in
+                       spark.table(a).filter(F.col("lang") == "en").collect()}
+            assert ids <= allowed and ids
+            # aliases are not indices: _all never scans them
+            listed = api.get_all_index(spark)
+            assert "alias_en" not in listed and "alias_both" not in listed
+            edges = set(api.get_alias(spark))
+            assert {("alias_en", a), ("alias_both", a), ("alias_both", b)} <= edges
+            with _pytest.raises(ValueError):
+                api.delete_alias(spark, a)  # refuses to drop an index
+            with _pytest.raises(ValueError):
+                api.add_alias(spark, "no_such_index_xyz", "alias_bad")
+        finally:
+            api.delete_alias(spark, "alias_en")
+            api.delete_alias(spark, "alias_both")
+        assert not {al for al, _ in api.get_alias(spark)} & {"alias_en", "alias_both"}
+    finally:
+        api.delete_index(spark, a)
+        api.delete_index(spark, b)

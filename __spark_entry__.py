@@ -67,6 +67,9 @@ _R4_NEW_OR_CHANGED = (
     "l3_scroll_export",
     "s10_reindex",
     "s11_alias_scroll",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "st9_stream_static_join",
     # session-2 additions: ES aggregations surface, search_after,
     # correlated subqueries — and the rewritten LWW dedup (narrow
     # winner selection; l1 + every bulk-sink path runs through it)

@@ -278,12 +278,81 @@ def query_data(
     )
 
 
-def get_index_data_count(spark: SparkSession, index_name: str) -> int:
+def get_index_data_count(
+    spark: SparkSession,
+    index_name: str,
+    query: str | None = None,
+    *,
+    text_col: "str | list[str] | None" = None,
+) -> int:
     """Doc count per index: declared-but-null in the reference.
-    ``_all`` sums every catalog index (ES ``GET _all/_count``)."""
+    ``_all`` sums every catalog index (ES ``GET _all/_count``).
+    ``query`` counts only matching documents (ES ``_count?q=...`` —
+    the count is ONE aggregate over the filtered scan; no page, no
+    sort, the filter pushes down)."""
+    def one(name: str) -> int:
+        docs = spark.table(name.lower())
+        if query:
+            from bigdatasearchpro_spark.operators.querystring import (
+                query_string_filter,
+            )
+
+            fields = (
+                [text_col]
+                if isinstance(text_col, str)
+                else list(text_col)
+                if text_col is not None
+                else search.all_string_cols(docs)
+            )
+            docs = query_string_filter(
+                docs, query, default_field=fields, fields=fields
+            )
+        return docs.count()
+
     if index_name == "_all":
-        return sum(spark.table(n).count() for n in get_all_index(spark))
-    return spark.table(index_name.lower()).count()
+        return sum(one(n) for n in get_all_index(spark))
+    return one(index_name)
+
+
+def get_doc(
+    spark: SparkSession,
+    index_name: str,
+    doc_id,
+    *,
+    id_col: str = "doc_id",
+):
+    """ES ``GET {index}/{id}`` — fetch one document by id, or ``None``
+    when absent (the ES 404). A keyset point lookup: the id predicate
+    pushes to the scan (min/max row-group skipping does the work a
+    doc-values lookup does in ES)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.table(transform.normalize_index_name(index_name))
+        .filter(F.col(id_col) == F.lit(doc_id))
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def mget(
+    spark: SparkSession,
+    index_name: str,
+    doc_ids,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``_mget`` — fetch a batch of documents by id in ONE scan
+    (the id list folds into a single IN predicate; missing ids are
+    simply absent, like the ES ``found: false`` entries)."""
+    from pyspark.sql import functions as F
+
+    if not doc_ids:
+        raise ValueError("mget needs at least one id")
+    return spark.table(transform.normalize_index_name(index_name)).filter(
+        F.col(id_col).isin(list(doc_ids))
+    )
 
 
 def scroll(

@@ -797,4 +797,139 @@ def s11_alias_scroll(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id string, lang string")
 
 
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1997-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """Relational: TPC-H Q7 shape — cross-nation trade volume by year.
+    A 6-way join where BOTH nation legs broadcast (25 rows each) and
+    supplier broadcasts too, so the only shuffles are lineitem-orders
+    -customer equi-joins plus ONE aggregation exchange on the (nation,
+    nation, year) key. The shipdate range filter pushes to the lineitem
+    scan. Year extraction stays JVM-side (`year()`). Revenue
+    accumulates in DECIMAL(18,4): double summation is order-dependent
+    at the last cent across partitionings/engines; decimal is exact
+    and order-independent (the deterministic-aggregation pattern for
+    money at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")), 2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """Relational: TPC-H Q18 shape — customers with very large orders.
+    The IN-subquery (orders whose lineitems sum past a quantity
+    threshold) is ONE aggregation over lineitem followed by a LEFT SEMI
+    join — the aggregated key set, not lineitem, crosses into the probe;
+    then the usual orders-customer join re-aggregates only the
+    surviving orders. Top-100 is a TakeOrdered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150).select("l_orderkey")
+    )
+    surv = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    j = c.join(surv, F.col("o_custkey") == c.c_custkey).join(
+        li, F.col("o_orderkey") == li.l_orderkey
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "st9_stream_static_join",
+    """
+    SELECT date_trunc('hour', e.ts) AS win_start, c.c_mktsegment AS segment,
+           round(sum(e.value), 2) AS sum_value, count(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def st9_stream_static_join(spark, sf_dir):
+    """§2.9: stream-static join + windowed aggregation — the canonical
+    streaming-enrichment pipeline (micro-batches of the event stream
+    join a static user->segment dimension, then aggregate revenue per
+    hour window x segment). Run here as the batch-equivalent program;
+    tests/test_streaming.py runs the REAL stream and proves
+    stream == batch. The join is STATELESS in Structured Streaming
+    (dim broadcasts; only the windowed agg keeps state,
+    watermark-bounded) — streaming/pipelines.py
+    stream_static_enriched_agg."""
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        stream_static_enriched_agg,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return stream_static_enriched_agg(e, dim)
+
+
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

@@ -8,5 +8,6 @@ from bigdatasearchpro_spark.streaming.pipelines import (  # noqa: F401
     windowed_distinct_users,
     sliding_agg,
     stream_dedup,
+    stream_static_enriched_agg,
     tumbling_agg,
 )

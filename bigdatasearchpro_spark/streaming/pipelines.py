@@ -461,3 +461,42 @@ def streaming_apply_changes(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enriched_agg(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: each micro-batch of
+    the event stream joins against a STATIC dimension (here a
+    user -> market-segment table), then aggregates per (window,
+    segment) — the canonical streaming-enrichment pipeline.
+
+    Scale: a stream-static inner join is STATELESS in Structured
+    Streaming (no join state, no watermark needed for the join itself —
+    only the windowed agg keeps state, watermark-bounded). The dim side
+    is broadcast: each executor joins its micro-batch partitions
+    map-side, so the stream never shuffles for the join; the only
+    exchange is the windowed aggregation's, keyed on (window, segment).
+    A dim too big to broadcast would hash-join per micro-batch —
+    still stateless, re-planned by AQE each batch."""
+    from pyspark.sql.functions import broadcast
+
+    j = events.join(broadcast(dim), events["user_id"] == dim["c_custkey"])
+    return (
+        j.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "sum_value",
+            "n_events",
+        )
+    )

@@ -296,3 +296,34 @@ def test_alias_lifecycle_filtered_and_multi(spark, sf_dir, docs):
     finally:
         api.delete_index(spark, a)
         api.delete_index(spark, b)
+
+
+def test_count_with_query_and_point_lookups(spark, sf_dir, docs):
+    """ES _count?q= counts only matches; GET doc / _mget point lookups."""
+    idx = "count_q_idx"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text", "lang"), idx,
+                           id_col="doc_id")
+    try:
+        total = api.get_index_data_count(spark, idx)
+        matched = api.get_index_data_count(spark, idx, "spark", text_col="text")
+        want = spark.table(idx).filter(
+            F.array_contains(F.split(F.col("text"), " "), "spark")
+        ).count()
+        assert matched == want and 0 < matched < total
+        # field-scoped query counts too
+        en = api.get_index_data_count(spark, idx, "lang:en")
+        assert en == spark.table(idx).filter(F.col("lang") == "en").count()
+        # point lookup: present id returns the row, absent returns None
+        some_id = spark.table(idx).select("doc_id").first()["doc_id"]
+        row = api.get_doc(spark, idx, some_id)
+        assert row is not None and row["doc_id"] == some_id
+        assert api.get_doc(spark, idx, "no_such_id_xyz") is None
+        # mget: one scan, missing ids simply absent
+        got = api.mget(spark, idx, [some_id, "no_such_id_xyz"]).collect()
+        assert [r["doc_id"] for r in got] == [some_id]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            api.mget(spark, idx, [])
+    finally:
+        api.delete_index(spark, idx)

@@ -295,3 +295,23 @@ def test_cdc_snapshot_publish_is_crash_safe(spark, tmp_path):
         2: "b2",
         3: "c1",
     }
+
+
+def test_stream_static_join_equals_batch(spark, events_dir, batch_events, sf_dir, tmp_path):
+    """Stream-static enrichment: the streamed (join + windowed agg)
+    result equals the same program in batch mode; the join itself is
+    stateless (only the agg checkpoints state)."""
+    from bigdatasearchpro_spark.streaming import (
+        events_stream,
+        run_to_completion,
+        stream_static_enriched_agg,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = stream_static_enriched_agg(events_stream(spark, events_dir), dim)
+    got = run_to_completion(
+        stream, checkpoint_dir=str(tmp_path / "ck_ss"), output_mode="complete"
+    )
+    expect = stream_static_enriched_agg(batch_events, dim)
+    assert _normalize(got) == _normalize(expect)
+    assert len(got.collect()) > 0

@@ -1145,3 +1145,67 @@ def rescore_topk(
         )
     )
     return rescored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def phrase_prefix_expr(text_col, terms: Sequence[str]) -> Column:
+    """Per-row predicate for ES ``match_phrase_prefix`` (the
+    search-as-you-type query): the full terms must appear CONSECUTIVELY
+    in order, with the LAST term matching as a PREFIX of the token at
+    the next position. One narrow expression: the exact-phrase head is
+    token-boundary containment on the space-joined tokens; the prefix
+    tail checks, for each position where the head ends, that the
+    following token starts with the prefix. No explode, no shuffle."""
+    if not terms:
+        return F.lit(False)
+    toks = tokens_expr(text_col)
+    last = terms[-1]
+    if len(terms) == 1:
+        return F.exists(toks, lambda t: t.startswith(last))
+    head = terms[:-1]
+
+    def positions(term):
+        idx = F.sequence(F.lit(0), F.size(toks) - 1)
+        return F.filter(idx, lambda i: F.element_at(toks, i + 1) == F.lit(term))
+
+    # positions where the consecutive head run starts (try_element_at:
+    # runs near the end of the token array index past it — ANSI-safe
+    # NULL there, which eqNullSafe-fails the term check)
+    head_arr = F.array(*[F.lit(t) for t in head])
+    starts = F.filter(
+        positions(head[0]),
+        lambda p: F.aggregate(
+            F.sequence(F.lit(1), F.lit(len(head) - 1)),
+            F.lit(True),
+            lambda acc, j: acc
+            & F.try_element_at(toks, p + j + 1).eqNullSafe(
+                F.element_at(head_arr, j + 1)
+            ),
+        ) if len(head) > 1 else F.lit(True),
+    )
+    return F.exists(
+        starts,
+        lambda p: F.coalesce(
+            F.try_element_at(toks, p + len(head) + 1).startswith(last),
+            F.lit(False),
+        ),
+    )
+
+
+def phrase_prefix_match(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: documents where the query's tokens
+    appear consecutively in order and the final (possibly incomplete)
+    token matches as a prefix — the search-as-you-type surface behind
+    the reference's live search box. Returns matching doc ids; one
+    narrow filter (phrase_prefix_expr)."""
+    terms = analyze_query(phrase)
+    if not terms:
+        return docs.select(id_col).limit(0)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return fan_out(docs).filter(phrase_prefix_expr(text_col, terms)).select(id_col)

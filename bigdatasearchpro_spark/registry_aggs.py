@@ -932,4 +932,29 @@ def st9_stream_static_join(spark, sf_dir):
     return stream_static_enriched_agg(e, dim)
 
 
+@register(
+    "l3_phrase_prefix_match",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id FROM t
+    WHERE len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> toks[i] = 'query' AND starts_with(toks[i+1], 's'))) > 0
+    """,
+)
+def l3_phrase_prefix_match(spark, sf_dir):
+    """L3 [ES parity]: ``match_phrase_prefix`` — search-as-you-type:
+    the query `"query s"` matches documents containing `query`
+    followed immediately by a token starting `s` (`spark`, `scan`,
+    `sort`, ...) — the live-search-box behavior behind the reference's
+    delegated search UI. One narrow array expression per row
+    (position filter + prefix check), no explode, no shuffle
+    (operators/search.py phrase_prefix_expr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.phrase_prefix_match(docs, "query s")
+
+
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

@@ -119,3 +119,45 @@ def test_pack_sequences_straddles_boundaries(spark):
     assert (out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 1)
     assert out[2]["start_offset"] == 7
     assert (out[2]["first_chunk"], out[2]["last_chunk"]) == (1, 3)
+
+
+def test_segment_dedup_is_idempotent(spark):
+    """Running segment_dedup on an already-cleaned corpus removes
+    nothing further (the boilerplate is gone; remainders are unique)."""
+    uniq = {i: " ".join(f"u{i}x{j}" for j in range(40)) for i in range(4)}
+    rows = [(i, f"{BOILER} {uniq[i]}") for i in range(4)]
+    once = curation.segment_dedup(_mini_corpus(spark, rows), seg_tokens=20)
+    again = curation.segment_dedup(
+        once.select(F.col("doc_id"), F.col("clean_text").alias("text")),
+        seg_tokens=20,
+    ).collect()
+    assert all(r["n_removed"] == 0 for r in again)
+
+
+def test_pack_sequences_property_random_corpus(spark):
+    """Property: for any corpus, per-shard offsets are a contiguous
+    EOS-separated layout and chunk ids are floor-div of offsets."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", (F.col("doc_id") % 3).cast("string")
+    )
+    out = curation.pack_sequences(df, max_len=64, shard_col="lang").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == 200
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rows_:
+            assert r["start_offset"] == expect
+            assert r["first_chunk"] == r["start_offset"] // 64
+            last_tok = r["start_offset"] + max(r["n_tokens"] - 1, 0)
+            assert r["last_chunk"] == last_tok // 64
+            expect += r["n_tokens"] + 1

@@ -145,3 +145,36 @@ def test_completion_suggester_prefix_and_cap(docs):
     assert [r["suggestion"] for r in wide[: len(out)]] == [
         r["suggestion"] for r in out
     ]
+
+
+# --------------------------------------------------------- phrase prefix
+
+
+def test_phrase_prefix_multi_token_head(spark):
+    """3-token query: the 2-token head must run consecutively and the
+    tail prefix-matches the NEXT token only."""
+    from bigdatasearchpro_spark.operators.search import phrase_prefix_match
+
+    rows = [
+        (1, "alpha spark join window beta"),     # hit: head run + 'wi' prefix
+        (2, "spark join beta window"),           # miss: 'wi' not adjacent
+        (3, "spark beta join window"),           # miss: head not consecutive
+        (4, "spark join wildcard"),              # hit: different 'wi' word
+        (5, "spark join"),                       # miss: nothing after head
+        (6, "prefix spark join winter suffix"),  # hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"] for r in phrase_prefix_match(df, "spark join wi").collect()}
+    assert got == {1, 4, 6}
+
+
+def test_phrase_prefix_single_term_is_prefix_query(spark):
+    from bigdatasearchpro_spark.operators.search import phrase_prefix_match
+
+    df = spark.createDataFrame(
+        [(1, "windows are here"), (2, "no match"), (3, "rewind time")],
+        "doc_id long, text string",
+    )
+    # single (incomplete) term: plain prefix semantics, not substring
+    got = {r["doc_id"] for r in phrase_prefix_match(df, "wind").collect()}
+    assert got == {1}

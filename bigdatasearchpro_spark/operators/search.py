@@ -1164,8 +1164,13 @@ def phrase_prefix_expr(text_col, terms: Sequence[str]) -> Column:
     head = terms[:-1]
 
     def positions(term):
-        idx = F.sequence(F.lit(0), F.size(toks) - 1)
-        return F.filter(idx, lambda i: F.element_at(toks, i + 1) == F.lit(term))
+        # transform-over-the-array (not sequence(0, size-1): Spark's
+        # sequence DESCENDS for start > stop, so an empty doc would
+        # yield [0, -1] and index past the array)
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == F.lit(term), i).otherwise(-1)),
+            lambda x: x >= 0,
+        )
 
     # positions where the consecutive head run starts (try_element_at:
     # runs near the end of the token array index past it — ANSI-safe

@@ -195,3 +195,82 @@ def test_resample_interpolate_known_values(spark):
     assert got[(1, 2)] == 25.0
     # key 2: single observation, grid point at its own truncation clamps
     assert got[(2, 5)] == 7.0
+
+
+def _brute_phrase_prefix(toks, terms):
+    head, last = terms[:-1], terms[-1]
+    for p in range(len(toks) - len(head)):
+        if toks[p : p + len(head)] == head and toks[p + len(head)].startswith(last):
+            return True
+    return False
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "ab", "ba", "bb", "a"]), min_size=0, max_size=10
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    terms=st.lists(st.sampled_from(["aa", "ab", "a", "b"]), min_size=1, max_size=3),
+)
+def test_phrase_prefix_expr_matches_bruteforce(spark, docs, terms):
+    from bigdatasearchpro_spark.operators.search import phrase_prefix_expr
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id for r in df.filter(phrase_prefix_expr("text", terms)).collect()
+    }
+    want = {i for i, toks in enumerate(docs) if _brute_phrase_prefix(toks, terms)}
+    assert got == want
+
+
+def _brute_lww_candidates(rows, order_idx):
+    """The iterated nulls-lose lexicographic reduction dedup_last_write_wins
+    documents: per order column, keep rows at the non-null max (keep all
+    when every value is null)."""
+    cand = list(rows)
+    for i in order_idx:
+        vals = [r[i] for r in cand if r[i] is not None]
+        if vals:
+            m = max(vals)
+            cand = [r for r in cand if r[i] == m]
+    return cand
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                               # key
+            st.one_of(st.none(), st.integers(0, 3)),         # order col 1
+            st.one_of(st.none(), st.integers(0, 3)),         # order col 2
+            st.sampled_from(["x", "y", "z"]),                # payload
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_lww_dedup_survivor_properties(spark, rows):
+    """For any input: exactly one survivor per key; the survivor is in
+    the brute-force nulls-lose lexicographic candidate set; and the
+    result is identical under a different partitioning."""
+    from bigdatasearchpro_spark.operators.dedup import dedup_last_write_wins
+
+    df = spark.createDataFrame(rows, "k int, o1 int, o2 int, payload string")
+    out = dedup_last_write_wins(df, "k", ["o1", "o2"], keep="last").collect()
+    keys = [r["k"] for r in out]
+    assert sorted(keys) == sorted(set(k for k, *_ in rows))  # one per key
+    by_key = {}
+    for t in rows:
+        by_key.setdefault(t[0], []).append(t)
+    for r in out:
+        cand = _brute_lww_candidates(by_key[r["k"]], [1, 2])
+        assert (r["k"], r["o1"], r["o2"], r["payload"]) in cand
+    again = dedup_last_write_wins(
+        df.repartition(7, "payload"), "k", ["o1", "o2"], keep="last"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -71,6 +71,9 @@ _R4_NEW_OR_CHANGED = (
     "q18_large_orders",
     "st9_stream_static_join",
     "l3_phrase_prefix_match",
+    "p7_quarantine_ingest",
+    "s12_force_merge",
+    "l3_msearch",
     # session-2 additions: ES aggregations surface, search_after,
     # correlated subqueries — and the rewritten LWW dedup (narrow
     # winner selection; l1 + every bulk-sink path runs through it)

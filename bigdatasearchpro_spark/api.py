@@ -456,3 +456,74 @@ def get_alias(spark) -> list[tuple[str, str]]:
     return [
         (r["alias"], r["index_name"]) for r in ddl.list_aliases(spark).collect()
     ]
+
+
+def analyze(spark: SparkSession, text: str) -> list[str]:
+    """ES ``_analyze`` — the analyzer's token output for a given text
+    (the debugging endpoint behind every "why didn't this match"
+    question). Pure driver-side: the engine's ONE analyzer (lowercase +
+    non-alphanumeric split, operators/search.py) applied to the
+    string; what you get here is exactly what the index-side
+    expressions compute per row."""
+    return search.analyze_query(text)
+
+
+def msearch(
+    spark: SparkSession,
+    index_name: str,
+    queries: "dict[str, str]",
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: "str | list[str] | None" = None,
+    sort: str | None = None,
+) -> DataFrame:
+    """ES ``_msearch`` — a batch of named queries against one index in
+    a single request; the result carries a ``query_id`` provenance
+    column (one page per query, unioned). Each page is the same
+    TakeOrdered plan ``query_data`` builds; the union is page-sized,
+    never corpus-sized."""
+    from pyspark.sql import functions as F
+
+    if not queries:
+        raise ValueError("msearch needs at least one query")
+    merged = None
+    for qid, q in queries.items():
+        page = query_data(
+            spark, q, index_name, k=k, id_col=id_col, text_col=text_col,
+            sort=sort,
+        ).withColumn("query_id", F.lit(qid))
+        merged = page if merged is None else merged.unionByName(page)
+    return merged
+
+
+def force_merge(
+    spark: SparkSession,
+    index_name: str,
+    *,
+    max_num_segments: int = 1,
+) -> dict:
+    """ES ``_forcemerge`` — compact an index's storage segments. Here:
+    rewrite the managed parquet table at ``max_num_segments`` files
+    (small-files maintenance, the exact job a streaming/bulk ingest
+    needs periodically at 100 TB). One distributed read -> coalesce ->
+    staged write, then a catalog rename swap — content is unchanged
+    (the registry entry hash-verifies that), only the layout changes.
+    Not crash-atomic across the drop/rename pair (Spark's catalog has
+    no atomic table swap); run it from a maintenance window, as ES
+    itself recommends for force-merge."""
+    import uuid
+
+    from bigdatasearchpro_spark.sinks.ddl import mark_index_table
+
+    n = transform.normalize_index_name(index_name)
+    staged = f"{n}__fm_{uuid.uuid4().hex[:8]}"
+    df = spark.table(n).coalesce(max(int(max_num_segments), 1))
+    df.write.mode("errorifexists").option(
+        "parquet.enable.dictionary", "false"
+    ).saveAsTable(staged)
+    rows = spark.table(staged).count()
+    spark.sql(f"DROP TABLE {n}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {n}")
+    mark_index_table(spark, n)
+    return {"index": n, "rows": rows, "segments": int(max_num_segments)}

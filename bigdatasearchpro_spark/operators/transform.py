@@ -98,3 +98,47 @@ def apply_changes(
     survivors = base.join(changes.select(key), key, "left_anti")
     upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
     return survivors.unionByName(upserts)
+
+
+def quarantine_ingest(df, casts, *, reason_col: str = "quarantine_reason"):
+    """Dead-letter ingest: split dirty input into (clean, quarantined).
+
+    ``casts`` maps column -> target type. A row is CLEAN when every
+    listed column either try_casts successfully or was null to begin
+    with (null in, null out is not an error); otherwise it lands in the
+    quarantine with a comma-joined reason naming the failing columns —
+    the production pattern the reference's per-row Java loop
+    approximates with a log line (BulkProcessImpl.java:110-131): never
+    fail the batch for a bad row, never silently drop it either.
+
+    Both outputs come from ONE narrow projection over the same scan
+    (the split is two filters on a shared plan — Spark evaluates each
+    sink's branch; no shuffle, no UDF). The clean side carries the
+    CAST columns; the quarantine keeps the ORIGINAL values plus the
+    reason, so the dead-letter queue is replayable after a parser fix.
+
+    Returns ``(clean, quarantined)``.
+    """
+    from pyspark.sql import functions as F
+
+    if not casts:
+        raise ValueError("quarantine_ingest needs at least one cast")
+    fail_flags = [
+        (c, F.col(c).isNotNull() & F.col(c).try_cast(t).isNull())
+        for c, t in casts.items()
+    ]
+    reason = F.concat_ws(
+        ",",
+        *[F.when(flag, F.lit(c)) for c, flag in fail_flags],
+    )
+    bad_pred = None
+    for _, flag in fail_flags:
+        bad_pred = flag if bad_pred is None else (bad_pred | flag)
+    clean = df.filter(~bad_pred).select(
+        *[
+            F.col(c).try_cast(casts[c]).alias(c) if c in casts else F.col(c)
+            for c in df.columns
+        ]
+    )
+    quarantined = df.filter(bad_pred).withColumn(reason_col, reason)
+    return clean, quarantined

@@ -957,4 +957,147 @@ def l3_phrase_prefix_match(spark, sf_dir):
     return search.phrase_prefix_match(docs, "query s")
 
 
+@register(
+    "p7_quarantine_ingest",
+    """
+    WITH d AS (
+      SELECT l_orderkey::VARCHAR ||
+               CASE WHEN l_linenumber % 7 = 0 THEN 'x' ELSE '' END AS okey_raw,
+             CAST(l_quantity AS INT)::VARCHAR ||
+               CASE WHEN l_linenumber % 11 = 0 THEN 'y' ELSE '' END AS qty_raw,
+             l_linenumber
+      FROM lineitem
+    )
+    SELECT okey_raw, qty_raw, l_linenumber,
+           concat_ws(',',
+             CASE WHEN okey_raw IS NOT NULL
+                   AND TRY_CAST(okey_raw AS BIGINT) IS NULL
+                  THEN 'okey_raw' END,
+             CASE WHEN qty_raw IS NOT NULL
+                   AND TRY_CAST(qty_raw AS DOUBLE) IS NULL
+                  THEN 'qty_raw' END) AS quarantine_reason
+    FROM d
+    WHERE (okey_raw IS NOT NULL AND TRY_CAST(okey_raw AS BIGINT) IS NULL)
+       OR (qty_raw IS NOT NULL AND TRY_CAST(qty_raw AS DOUBLE) IS NULL)
+    """,
+)
+def p7_quarantine_ingest(spark, sf_dir):
+    """P7: dead-letter ingest — dirty rows split into (clean,
+    quarantined) in ONE narrow projection, quarantine rows keeping the
+    ORIGINAL values plus a reason naming the failing columns (so the
+    dead-letter queue is replayable after a parser fix); never fail
+    the batch for a bad row, never silently drop it — the production
+    form of the reference's per-row log-and-continue loop
+    (BulkProcessImpl.java:110-131). The fixture dirt is deterministic
+    (every 7th/11th line number corrupted); this entry returns the
+    quarantined side, hash-verified reasons included
+    (operators/transform.py quarantine_ingest)."""
+    from bigdatasearchpro_spark.operators.transform import quarantine_ingest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.when(F.col("l_linenumber") % 7 == 0, F.lit("x")).otherwise(F.lit("")),
+        ).alias("okey_raw"),
+        F.concat(
+            F.col("l_quantity").cast("int").cast("string"),
+            F.when(F.col("l_linenumber") % 11 == 0, F.lit("y")).otherwise(F.lit("")),
+        ).alias("qty_raw"),
+        "l_linenumber",
+    )
+    _, quarantined = quarantine_ingest(
+        dirty, {"okey_raw": "bigint", "qty_raw": "double"}
+    )
+    return quarantined
+
+
+@register(
+    "s12_force_merge",
+    """
+    SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+           n_regionkey::VARCHAR AS n_regionkey
+    FROM nation
+    """,
+)
+def s12_force_merge(spark, sf_dir):
+    """S12 [ES parity]: ``_forcemerge`` — compact an index to
+    ``max_num_segments`` storage files (the small-files maintenance
+    job every streaming/bulk ingest needs at scale; ES recommends it
+    from a maintenance window, same caveat documented on
+    api.force_merge). The oracle is the INPUT: compaction must change
+    layout and nothing else, so the merged index's content
+    hash-verifies against the source table."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    nation = load_table(spark, sf_dir, "nation")
+    idx = f"fm_probe_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, nation.repartition(8), idx,
+                           id_col="n_nationkey")
+    try:
+        res = api.force_merge(spark, idx, max_num_segments=1)
+        n_files = (
+            spark.table(idx).select(F.input_file_name()).distinct().count()
+        )
+        if n_files != 1:
+            raise AssertionError(f"force_merge left {n_files} files")
+        assert res["rows"] == nation.count()
+        rows = spark.table(idx).collect()
+        schema = spark.table(idx).schema
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "l3_msearch",
+    """
+    WITH t AS (
+      SELECT doc_id::VARCHAR AS doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '') AS toks
+      FROM documents
+    ),
+    q1 AS (
+      SELECT doc_id, lang AS sort_lang, 'q1' AS query_id FROM t
+      WHERE list_contains(toks, 'spark')
+      ORDER BY lang ASC, doc_id ASC LIMIT 8
+    ),
+    q2 AS (
+      SELECT doc_id, lang AS sort_lang, 'q2' AS query_id FROM t
+      WHERE lang = 'de'
+      ORDER BY lang ASC, doc_id ASC LIMIT 8
+    )
+    SELECT * FROM q1 UNION ALL SELECT * FROM q2
+    """,
+)
+def l3_msearch(spark, sf_dir):
+    """L3 [ES parity]: ``_msearch`` — a batch of named queries against
+    one index in a single request, each page tagged with its
+    ``query_id``. One TakeOrdered page per query (the same plan
+    query_data builds), unioned page-sized. Queries here: a full-text
+    term and a field-scoped filter, both sorted by lang (id
+    tie-break), k=8 (api.msearch)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = f"msearch_probe_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text", "lang"), idx,
+                           id_col="doc_id")
+    try:
+        out = api.msearch(
+            spark, idx, {"q1": "spark", "q2": "lang:de"}, k=8,
+            text_col=["text", "lang"], sort="lang",
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, schema)
+
+
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

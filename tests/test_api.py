@@ -327,3 +327,51 @@ def test_count_with_query_and_point_lookups(spark, sf_dir, docs):
             api.mget(spark, idx, [])
     finally:
         api.delete_index(spark, idx)
+
+
+def test_analyze_msearch_force_merge(spark, sf_dir, docs):
+    """_analyze echoes the one analyzer; _msearch unions tagged pages;
+    _forcemerge compacts files without changing content."""
+    assert api.analyze(spark, "Spark, JOIN window!") == ["spark", "join", "window"]
+
+    idx = "ops_parity_idx"
+    api.bulk_data_to_index(spark, docs.limit(40).repartition(6), idx,
+                           id_col="doc_id")
+    try:
+        before = sorted(tuple(r) for r in spark.table(idx).collect())
+        n_before = spark.table(idx).select(F.input_file_name()).distinct().count()
+        res = api.force_merge(spark, idx, max_num_segments=1)
+        after = sorted(tuple(r) for r in spark.table(idx).collect())
+        n_after = spark.table(idx).select(F.input_file_name()).distinct().count()
+        assert after == before and res["rows"] == len(before)
+        assert n_after == 1 <= n_before
+        assert idx in api.get_all_index(spark)  # marker survives the swap
+
+        out = api.msearch(spark, idx, {"a": "spark", "b": "value"}, k=5,
+                          text_col="text")
+        rows = out.collect()
+        assert {r["query_id"] for r in rows} <= {"a", "b"}
+        assert all(len([r for r in rows if r["query_id"] == q]) <= 5
+                   for q in ("a", "b"))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            api.msearch(spark, idx, {})
+    finally:
+        api.delete_index(spark, idx)
+
+
+def test_quarantine_ingest_partitions_input(spark, sf_dir):
+    """clean + quarantined partition the input; clean carries typed
+    columns; null-in is not an error."""
+    from bigdatasearchpro_spark.operators.transform import quarantine_ingest
+
+    rows = [("1", "2.5"), ("x", "3.0"), ("4", "bad"), (None, None), ("7", "8")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    clean, quar = quarantine_ingest(df, {"a": "bigint", "b": "double"})
+    c, q = clean.collect(), quar.collect()
+    assert len(c) + len(q) == len(rows)
+    assert {r["a"] for r in c} == {1, None, 7}
+    assert dict(c[0].asDict()) and clean.schema["a"].dataType.typeName() == "long"
+    reasons = {r["a"]: r["quarantine_reason"] for r in q}
+    assert reasons == {"x": "a", "4": "b"}

@@ -74,6 +74,7 @@ _R4_NEW_OR_CHANGED = (
     "p7_quarantine_ingest",
     "s12_force_merge",
     "l3_msearch",
+    "ts3_gap_detection",
     # session-2 additions: ES aggregations surface, search_after,
     # correlated subqueries — and the rewritten LWW dedup (narrow
     # winner selection; l1 + every bulk-sink path runs through it)

@@ -1100,4 +1100,54 @@ def l3_msearch(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "ts3_gap_detection",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           date_diff('second', prev_ts, ts)::BIGINT AS gap_seconds
+    FROM o
+    WHERE prev_ts IS NOT NULL
+      AND date_diff('second', prev_ts, ts) > 6 * 3600
+    ORDER BY user_id, gap_start
+    """,
+)
+def ts3_gap_detection(spark, sf_dir):
+    """Time-series: gap detection — per-key outage/silence intervals
+    longer than a threshold (6 h), the monitoring primitive behind
+    SLA/liveness checks on event streams. ONE lag window per key
+    (partitioned by user, ordered by ts with event_id tie-break): each
+    key sorts only its own rows, no global sort, the filter drops
+    non-gaps map-side after the window. Output: (key, gap_start,
+    gap_end, gap_seconds)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ has no direct long cast: go through epoch via to_unix_timestamp
+    o = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).withColumn("__e", F.to_unix_timestamp("ts")).withColumn(
+        "__pe", F.to_unix_timestamp("prev_ts")
+    )
+    return (
+        o.filter(
+            F.col("prev_ts").isNotNull()
+            & ((F.col("__e") - F.col("__pe")) > 6 * 3600)
+        )
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            (F.col("__e") - F.col("__pe")).alias("gap_seconds"),
+        )
+        .orderBy("user_id", "gap_start")
+    )
+
+
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

@@ -75,6 +75,9 @@ _R4_NEW_OR_CHANGED = (
     "s12_force_merge",
     "l3_msearch",
     "ts3_gap_detection",
+    "s13_snapshot_restore",
+    "q12_shipmode_priority",
+    "q19_disjunctive_predicate_revenue",
     # session-2 additions: ES aggregations surface, search_after,
     # correlated subqueries — and the rewritten LWW dedup (narrow
     # winner selection; l1 + every bulk-sink path runs through it)

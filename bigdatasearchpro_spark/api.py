@@ -527,3 +527,36 @@ def force_merge(
     spark.sql(f"ALTER TABLE {staged} RENAME TO {n}")
     mark_index_table(spark, n)
     return {"index": n, "rows": rows, "segments": int(max_num_segments)}
+
+
+def snapshot_index(spark: SparkSession, index_name: str, repo_dir: str) -> dict:
+    """ES ``_snapshot`` (create): back an index up into a repository
+    directory as parquet — one distributed write, no per-doc loop.
+    Returns the snapshot manifest info."""
+    import os
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
+
+    n = transform.normalize_index_name(index_name)
+    path = os.path.join(repo_dir, n)
+    rows = bulk_index_parquet(spark.table(n), path, mode="overwrite")
+    return {"index": n, "path": path, "rows": rows}
+
+
+def restore_index(
+    spark: SparkSession, repo_dir: str, index_name: str, *,
+    rename_to: str | None = None,
+) -> dict:
+    """ES ``_snapshot`` (restore): re-create an index from a repository
+    snapshot, optionally under a new name (the ES ``rename_pattern``
+    use-case for side-by-side restores). One distributed read -> bulk
+    write; the restored table is a first-class marked index."""
+    import os
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    src = transform.normalize_index_name(index_name)
+    dst = transform.normalize_index_name(rename_to or index_name)
+    df = spark.read.parquet(os.path.join(repo_dir, src))
+    rows = bulk_index_table(df, dst)
+    return {"index": dst, "rows": rows}

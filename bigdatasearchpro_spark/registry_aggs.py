@@ -1150,4 +1150,124 @@ def ts3_gap_detection(spark, sf_dir):
     )
 
 
+@register(
+    "s13_snapshot_restore",
+    """
+    SELECT s_suppkey::VARCHAR AS s_suppkey, s_name,
+           s_nationkey::VARCHAR AS s_nationkey, s_acctbal::VARCHAR AS s_acctbal
+    FROM supplier
+    """,
+)
+def s13_snapshot_restore(spark, sf_dir):
+    """S13 [ES parity]: ``_snapshot`` create + restore — back an index
+    up to a repository directory and restore it under a NEW name (the
+    ES rename_pattern side-by-side restore). Both directions are one
+    distributed parquet read/write; the restored table is a
+    first-class marked index. The oracle is the source table: the
+    restored content must round-trip exactly (api.snapshot_index /
+    api.restore_index)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    sup = load_table(spark, sf_dir, "supplier")
+    tag = uuid.uuid4().hex[:8]
+    idx, restored = f"snap_src_{tag}", f"snap_restored_{tag}"
+    repo = tempfile.mkdtemp(prefix="snap_repo_")
+    api.bulk_data_to_index(spark, sup, idx, id_col="s_suppkey")
+    try:
+        res = api.snapshot_index(spark, idx, repo)
+        assert res["rows"] == sup.count()
+        api.delete_index(spark, idx)  # disaster strikes
+        out = api.restore_index(spark, repo, idx, rename_to=restored)
+        assert out["rows"] == res["rows"]
+        assert restored in api.get_all_index(spark)
+        rows = spark.table(restored).collect()
+        schema = spark.table(restored).schema
+    finally:
+        api.delete_index(spark, idx)
+        api.delete_index(spark, restored)
+        shutil.rmtree(repo, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus AS shipmode_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1996-01-01'
+    GROUP BY shipmode_class
+    ORDER BY shipmode_class
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """Relational: TPC-H Q12 shape — per-class counts of high- vs
+    low-priority orders among a year's shipments (the fixture has no
+    l_shipmode; l_linestatus plays the class column). One equi join +
+    one hash agg with BOTH conditional counts as parallel aggregate
+    expressions in the SAME pass; the date filter pushes to the
+    lineitem scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("shipmode_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipmode_class")
+    )
+
+
+@register(
+    "q19_disjunctive_predicate_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_predicate_revenue(spark, sf_dir):
+    """Relational: TPC-H Q19 shape — discounted revenue under a
+    DISJUNCTION of brand/size/quantity band predicates spanning both
+    join sides (the classic optimizer test: the per-side conjuncts
+    must still push into each scan even though the top predicate is an
+    OR). part broadcasts; revenue accumulates in DECIMAL (the
+    order-independent money pattern, q7)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(band).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,4)")), 2,
+        ).cast("double").alias("revenue")
+    )
+
+
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

@@ -307,3 +307,13 @@ def test_segment_dedup_reads_only_id_and_text(spark, sf_dir):
     df = curation.segment_dedup(docs)
     schemas = " ".join(read_schema(df))
     assert "lang" not in schemas and "n_chars" not in schemas
+
+
+def test_q19_disjunctive_filters_push_to_both_scans(spark, sf_dir):
+    """The Q19-shape OR predicate spans both join sides; Catalyst must
+    derive the per-side OR-of-conjuncts and push each into its scan
+    (quantity bands to lineitem, brand/size bands to part)."""
+    df = QUERIES["q19_disjunctive_predicate_revenue"](spark, sf_dir)
+    pfs = pushed_filters(df)
+    assert any("l_quantity" in p and "Or(" in p for p in pfs)
+    assert any("p_brand" in p and "p_size" in p and "Or(" in p for p in pfs)

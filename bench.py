@@ -30,6 +30,13 @@ from bigdatasearchpro_spark.sources.files import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Shared-host noise on single-shot timings has been observed at 2-3x
+# (VERDICT r4: flagship recorded 42.5 s vs 1.1-1.5 s warm).  Each query
+# is therefore run REPS times and the MINIMUM wall time recorded — the
+# uncontended cost, the number SCALING.md reports and the only one
+# comparable across rounds.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
 # Representative spread of SURVEY.md §2: ETL ring, search ring,
 # relational ring, LLM-pipeline ring, streaming-batch ring.
 BENCH_QUERIES = [
@@ -107,13 +114,19 @@ def main() -> None:
     queries: dict[str, float] = {}
     sink_dir = tempfile.mkdtemp(prefix="bench_sink_")
     try:
-        etl_sec, etl_rows = bench_etl_pipeline(spark, SF_DIR, sink_dir)
+        etl_sec, etl_rows = min(
+            (bench_etl_pipeline(spark, SF_DIR, sink_dir) for _ in range(REPS)),
+            key=lambda t: t[0],
+        )
         queries["etl_bulk_load"] = round(etl_sec, 3)
 
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            _drain(QUERIES[name](spark, SF_DIR))
-            queries[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.time()
+                _drain(QUERIES[name](spark, SF_DIR))
+                best = min(best, time.time() - t0)
+            queries[name] = round(best, 3)
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
 
@@ -126,6 +139,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "reps": REPS,
                 "etl_rows": etl_rows,
                 "etl_rows_per_sec": round(etl_rows / max(etl_sec, 1e-9), 1),
             }

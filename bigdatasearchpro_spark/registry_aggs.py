@@ -1198,9 +1198,9 @@ def s13_snapshot_restore(spark, sf_dir):
     """
     SELECT l.l_linestatus AS shipmode_class,
            sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1996-01-01'
     GROUP BY shipmode_class

@@ -149,10 +149,15 @@ def decode_payload(assets: DataFrame, *, real: bool = False) -> DataFrame:
 
             _, samples = wav_samples(bytes(payload))
             head = samples[:FEATURE_DIM].astype("float32") / 32768.0
+        elif payload[:2] == b"\xff\xd8":
+            from bigdatasearchpro_spark.multimodal.jpeg import decode_jpeg
+
+            pix = decode_jpeg(bytes(payload)).reshape(-1)
+            head = pix[:FEATURE_DIM].astype("float32") / 255.0
         else:
             raise NotImplementedError(
-                "real decode supports PPM/WAV (pure Python); other formats "
-                "need PIL/ffmpeg, absent in this container"
+                "real decode supports PPM/WAV/baseline JPEG (pure Python); "
+                "video formats need ffmpeg, absent in this container"
             )
         if head.size < FEATURE_DIM:
             head = np.pad(head, (0, FEATURE_DIM - head.size))

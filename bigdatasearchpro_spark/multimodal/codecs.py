@@ -166,9 +166,13 @@ def decode_media(payload: bytes) -> dict:
         return decode_ppm(payload)
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:2] == b"\xff\xd8":
+        from bigdatasearchpro_spark.multimodal.jpeg import decode_jpeg_stats
+
+        return decode_jpeg_stats(payload)
     raise NotImplementedError(
-        "no pure-Python decoder for this format (PPM/WAV supported; other "
-        "formats need PIL/ffmpeg, absent in this container)"
+        "no pure-Python decoder for this format (PPM/WAV/baseline JPEG "
+        "supported; video formats need ffmpeg, absent in this container)"
     )
 
 
@@ -210,6 +214,52 @@ def synthesize_media_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
                     kinds.append("audio")
             yield pd.DataFrame(
                 {"asset_id": pdf[id_col], "kind": kinds, "payload": payloads}
+            )
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return fan_out(ids.select(id_col)).mapInPandas(gen, schema)
+
+
+def synthesize_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture-side JPEG encoder: one REAL baseline JFIF file per id —
+    a 16px-wide block gradient, ``2 + id % 3`` block rows tall, where
+    block ``i`` (row-major) is the constant gray ``2*((id*5+i) % 64) +
+    64``.  Constant blocks with even sample values survive the DCT /
+    quantize / Huffman round trip EXACTLY (DC = 8*(g-128) is an even
+    multiple of the 16 in the quant table's [0,0] slot; every AC
+    coefficient is zero), so an independent engine can recompute the
+    decoded pixel sums arithmetically without a JPEG stack — the
+    ``l6_decode_jpeg`` oracle.  The entropy stream still exercises the
+    full decoder: marker walk, DHT reconstruction, DC prediction with
+    negative differentials, byte unstuffing, dequantize + IDCT."""
+    from bigdatasearchpro_spark.multimodal.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                nb = 2 + d % 3
+                grays = np.array(
+                    [2 * ((d * 5 + i) % 64) + 64 for i in range(2 * nb)],
+                    dtype=np.uint8,
+                ).reshape(nb, 2)
+                img = np.kron(grays, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
             )
 
     from bigdatasearchpro_spark.sources.files import fan_out

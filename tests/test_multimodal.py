@@ -154,3 +154,152 @@ def test_decode_real_parses_actual_bytes(spark):
     stats = {r["asset_id"]: r for r in codecs.decode_media_stats(assets).collect()}
     assert stats[2]["fmt"] == "ppm" and stats[2]["width"] == 4 + 2 % 5
     assert stats[3]["fmt"] == "wav" and stats[3]["n_units"] == 200 + 3 % 64
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (multimodal/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_exact_on_block_constant():
+    """Per-8x8-block constant images with even grays survive the lossy
+    pipeline EXACTLY (DC divides the quant step; AC all zero) — the
+    invariant the l6_decode_jpeg oracle relies on. The gradient also
+    forces negative DC differentials through the Huffman path."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.multimodal import jpeg
+
+    blocks = np.array([[64, 190], [128, 66], [90, 180]])
+    img = np.kron(blocks, np.ones((8, 8), int)).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    assert out.dtype == np.uint8 and np.array_equal(out, img)
+
+
+def test_jpeg_roundtrip_lossy_bounds_and_shapes():
+    """Smooth content round-trips within tight error; non-block-aligned
+    dims crop correctly; color (4:4:4 YCbCr) decodes to RGB; at least
+    one produced stream contains a stuffed 0xFF00 (the unstuffing path
+    is really exercised)."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.multimodal import jpeg
+
+    x, y = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = ((np.sin(x / 10) + np.cos(y / 13) + 2) / 4 * 255).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth))
+    err = np.abs(out.astype(int) - smooth.astype(int))
+    assert np.sqrt((err**2).mean()) < 4.0 and err.max() <= 20
+
+    rng = np.random.default_rng(7)
+    odd = rng.integers(0, 256, (13, 19), dtype=np.uint8)
+    assert jpeg.decode_jpeg(jpeg.encode_jpeg(odd)).shape == (13, 19)
+
+    color = np.stack([smooth, smooth[::-1], 255 - smooth], axis=-1)
+    cout = jpeg.decode_jpeg(jpeg.encode_jpeg(color))
+    cerr = np.abs(cout.astype(int) - color.astype(int))
+    assert cout.shape == (48, 64, 3) and np.sqrt((cerr**2).mean()) < 6.0
+
+    # byte stuffing: a writer emitting 0xFF must stuff 0x00, and the
+    # reader must transparently unstuff it
+    w = jpeg._BitWriter()
+    w.write(0xFF, 8)
+    w.write(0b1010, 4)
+    stuffed = w.flush()
+    assert stuffed[:2] == b"\xff\x00"
+    r = jpeg._BitReader(stuffed, 0)
+    assert r.read_bits(8) == 0xFF and r.read_bits(4) == 0b1010
+
+
+def test_jpeg_decoder_against_hand_assembled_stream():
+    """Decode a byte-stream assembled BY HAND in this test (markers,
+    custom Huffman tables, hand-computed entropy bits) and compare to
+    pixel values computed with the textbook T.81 IDCT double loop —
+    fully independent of the encoder AND of the module's DCT matrix, so
+    a shared sign/transpose bug between encode and decode cannot
+    cancel out."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from bigdatasearchpro_spark.multimodal import jpeg
+
+    # one 8x8 block, quant all-16: DC quantized 3 at (0,0), AC -2 at
+    # zigzag index 2 = (u=1, v=0)
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dht_dc = b"\x00" + bytes([1] + [0] * 15) + bytes([2])  # '0' -> cat 2
+    # AC canonical, two len-2 codes: '00' -> EOB, '01' -> (run1,size2)
+    dht_ac = b"\x10" + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x12])
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    # bits: DC '0'+'11'(diff=3), AC '01'+'01'(value -2), EOB '00', pad 1s
+    entropy = bytes([0b01101010, 0b01111111])
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([16] * 64))
+        + sof
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+    got = jpeg.decode_jpeg(payload)
+
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 3 * 16
+    coef[1, 0] = -2 * 16
+    want = np.empty((8, 8))
+    for xr in range(8):
+        for yc in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * math.cos((2 * xr + 1) * u * math.pi / 16)
+                        * math.cos((2 * yc + 1) * v * math.pi / 16)
+                    )
+            want[xr, yc] = s / 4 + 128
+    want = np.clip(np.rint(want), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_rejects_non_baseline():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatasearchpro_spark.multimodal import jpeg
+
+    good = jpeg.encode_jpeg(np.full((8, 8), 100, np.uint8))
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\x89PNG")
+    # flip SOF0 to SOF2 (progressive): must refuse, not mis-decode
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with _pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(prog)
+
+
+def test_jpeg_media_stats_dispatch(spark):
+    """decode_media_stats routes FFD8 payloads through the real JPEG
+    decoder; stats match the closed-form fixture arithmetic."""
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = spark.range(0, 6).selectExpr("id AS doc_id")
+    stats = {
+        r["asset_id"]: r
+        for r in codecs.decode_media_stats(
+            codecs.synthesize_jpeg_assets(ids)
+        ).collect()
+    }
+    for d in range(6):
+        nb = 2 + d % 3
+        want_sum = 64 * sum(2 * ((d * 5 + i) % 64) + 64 for i in range(2 * nb))
+        r = stats[d]
+        assert (r["fmt"], r["width"], r["height"]) == ("jpeg", 16, 8 * nb)
+        assert r["n_units"] == 128 * nb and r["val_sum"] == want_sum

@@ -1,0 +1,161 @@
+"""Configurable analyzers (SURVEY.md L3; VERDICT r4 task 5).
+
+ES 6.x lets every field choose an analyzer; the reference exposes that
+surface by delegation (search form posts straight to ES,
+``indexView.html:13-19``).  Until round 5 only the standard-alike
+existed; this module adds the per-field analyzer registry and keeps the
+ES contract the engine's search ring relies on: **index-time and
+query-time analysis are the same function**, one implemented as a Spark
+Column expression (JVM-side, inside whole-stage codegen — never a
+Python UDF) and once as driver-side Python for the literal query terms.
+Both sides are generated from the same rule table, and a property test
+pins their symmetry.
+
+Analyzers:
+
+- ``standard``: lowercase + split on non-alphanumeric runs — bit-
+  identical to the pre-round-5 behavior (the default everywhere).
+- ``whitespace``: split on whitespace only, NO lowercasing (ES's
+  whitespace analyzer is case-sensitive).
+- ``english``: standard tokenization, Lucene's classic 33-word English
+  stop set, then a light suffix-strip stemmer (plural rules in the
+  spirit of Lucene's EnglishMinimalStemFilter plus -ing/-ed stripping).
+  Deliberately NOT Porter: every rule is a single suffix comparison so
+  the whole stemmer stays one CASE expression — expressible identically
+  in Spark, Python, and the DuckDB oracle.  No e-restoration is
+  attempted (``merged`` stems to ``merg``); the rules are deterministic
+  and symmetric, which is the property search correctness needs.
+
+Scale: all three are narrow per-row expressions — no explode, no
+shuffle, no UDF; the analyzer choice changes the expression tree only.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+# Lucene StandardAnalyzer / StopAnalyzer classic English stop set.
+STOPWORDS_EN = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"  # standard analyzer split (post-lowercase)
+WHITESPACE_SPLIT_RE = r"\s+"
+
+# Light stemmer rule table: (suffix, min_token_len, replacement,
+# excluded_endings).  First matching rule wins; no match = unchanged.
+# Kept as data so the Spark expression, the Python twin, and the DuckDB
+# oracle SQL are all generated from the SAME rules.
+STEM_RULES: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
+    ("ies", 5, "y", ()),
+    ("sses", 5, "ss", ()),
+    ("xes", 5, "x", ()),
+    ("ches", 6, "ch", ()),
+    ("shes", 6, "sh", ()),
+    ("zes", 5, "z", ()),
+    ("s", 4, "", ("ss", "us", "is")),
+    ("ing", 6, "", ()),
+    ("ed", 6, "", ()),
+)
+
+
+def stem_token(t: str) -> str:
+    """Driver-side light stemmer (query analysis)."""
+    for suffix, min_len, repl, excluded in STEM_RULES:
+        if (
+            len(t) >= min_len
+            and t.endswith(suffix)
+            and not any(t.endswith(e) for e in excluded)
+        ):
+            return t[: len(t) - len(suffix)] + repl
+    return t
+
+
+def stem_expr(t: Column) -> Column:
+    """The SAME rules as :func:`stem_token`, as one CASE expression."""
+    out = t
+    # build the CASE bottom-up so the first rule ends up outermost
+    for suffix, min_len, repl, excluded in reversed(STEM_RULES):
+        cond = (F.length(t) >= min_len) & t.endswith(suffix)
+        for e in excluded:
+            cond = cond & ~t.endswith(e)
+        stemmed = F.concat(
+            t.substr(F.lit(1), F.length(t) - len(suffix)), F.lit(repl)
+        )
+        out = F.when(cond, stemmed).otherwise(out)
+    return out
+
+
+def stem_case_sql(var: str = "t") -> str:
+    """The SAME rules as ANSI-ish SQL (DuckDB oracle side)."""
+    clauses = []
+    for suffix, min_len, repl, excluded in STEM_RULES:
+        cond = f"length({var}) >= {min_len} AND ends_with({var}, '{suffix}')"
+        for e in excluded:
+            cond += f" AND NOT ends_with({var}, '{e}')"
+        expr = f"substr({var}, 1, length({var}) - {len(suffix)}) || '{repl}'"
+        clauses.append(f"WHEN {cond} THEN {expr}")
+    return "CASE " + " ".join(clauses) + f" ELSE {var} END"
+
+
+def _standard_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def _whitespace_tokens(text: Column) -> Column:
+    return F.filter(F.split(text, WHITESPACE_SPLIT_RE), lambda t: t != "")
+
+
+def _english_tokens(text: Column) -> Column:
+    stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    kept = F.filter(
+        _standard_tokens(text), lambda t: ~F.array_contains(stops, t)
+    )
+    return F.transform(kept, stem_expr)
+
+
+def _standard_analyze(q: str) -> list[str]:
+    return [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+
+
+def _whitespace_analyze(q: str) -> list[str]:
+    return [t for t in re.split(WHITESPACE_SPLIT_RE, q) if t]
+
+
+def _english_analyze(q: str) -> list[str]:
+    return [
+        stem_token(t) for t in _standard_analyze(q) if t not in STOPWORDS_EN
+    ]
+
+
+# name -> (Column tokenizer, driver-side query analyzer).  The two
+# entries of each pair MUST stay semantically identical (ES contract);
+# tests/test_search.py pins the symmetry property.
+ANALYZERS = {
+    "standard": (_standard_tokens, _standard_analyze),
+    "whitespace": (_whitespace_tokens, _whitespace_analyze),
+    "english": (_english_tokens, _english_analyze),
+}
+
+
+def analyzer_tokens(text: Column, analyzer: str = "standard") -> Column:
+    try:
+        return ANALYZERS[analyzer][0](text)
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {analyzer!r} (have {sorted(ANALYZERS)})"
+        ) from None
+
+
+def analyzer_query(q: str, analyzer: str = "standard") -> list[str]:
+    try:
+        return ANALYZERS[analyzer][1](q)
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {analyzer!r} (have {sorted(ANALYZERS)})"
+        ) from None

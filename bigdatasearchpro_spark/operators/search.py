@@ -46,9 +46,12 @@ TOKEN_SPLIT_RE = "[^a-z0-9]+"
 TextCols = "str | Sequence[str]"
 
 
-def analyze_query(q: str) -> list[str]:
-    """Driver-side analysis of the query string (same analyzer)."""
-    return [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+def analyze_query(q: str, analyzer: str = "standard") -> list[str]:
+    """Driver-side analysis of the query string — the SAME analyzer the
+    index side uses (ES contract; registry in operators/analyzers.py)."""
+    from bigdatasearchpro_spark.operators.analyzers import analyzer_query
+
+    return analyzer_query(q, analyzer)
 
 
 def all_string_cols(df: DataFrame) -> list[str]:
@@ -68,17 +71,24 @@ def _text_expr(text_col) -> Column:
     return F.concat_ws(" ", *cols)
 
 
-def tokens_expr(text_col) -> Column:
-    """Standard-analyzer token array as a pure expression (usable inside
-    a narrow projection/filter — no explode)."""
-    return F.filter(
-        F.split(F.lower(_text_expr(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
-    )
+def tokens_expr(text_col, analyzer: str = "standard") -> Column:
+    """Analyzer token array as a pure expression (usable inside a
+    narrow projection/filter — no explode).  ``analyzer`` picks from
+    the registry in operators/analyzers.py (standard / whitespace /
+    english); the default is bit-identical to the pre-analyzer path."""
+    from bigdatasearchpro_spark.operators.analyzers import analyzer_tokens
+
+    return analyzer_tokens(_text_expr(text_col), analyzer)
 
 
-def tokenize(df: DataFrame, text_col: TextCols = "text", out: str = "tokens") -> DataFrame:
-    """Standard-analyzer tokenization as a narrow projection."""
-    return df.withColumn(out, tokens_expr(text_col))
+def tokenize(
+    df: DataFrame,
+    text_col: TextCols = "text",
+    out: str = "tokens",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Analyzer tokenization as a narrow projection."""
+    return df.withColumn(out, tokens_expr(text_col, analyzer))
 
 
 def keyword_match(
@@ -88,11 +98,14 @@ def keyword_match(
     id_col: str = "doc_id",
     text_col: TextCols = "text",
     mode: str = "any",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Boolean keyword match (the SQL-oracle-able subset of L3).
 
     ``mode='any'`` = ES URI-search default (OR); ``'all'`` = AND.
-    Returns the matching rows of ``docs`` unchanged.
+    Returns the matching rows of ``docs`` unchanged.  ``analyzer``
+    applies symmetrically to the query string and the corpus tokens
+    (the ES contract — index-time and query-time analysis agree).
 
     Plan shape: ONE narrow filter — ``arrays_overlap`` / conjoined
     ``array_contains`` against the literal query-term array. No explode,
@@ -101,12 +114,12 @@ def keyword_match(
     """
     if mode not in ("any", "all"):
         raise ValueError(f"unknown mode: {mode!r} (use 'any' or 'all')")
-    terms = analyze_query(query)
+    terms = analyze_query(query, analyzer)
     if not terms:
         return docs.limit(0)
     from bigdatasearchpro_spark.sources.files import fan_out
 
-    toks = tokens_expr(text_col)
+    toks = tokens_expr(text_col, analyzer)
     if mode == "any":
         pred = F.arrays_overlap(toks, F.array(*[F.lit(t) for t in set(terms)]))
     else:
@@ -123,6 +136,7 @@ def bm25_per_doc(
     *,
     id_col: str = "doc_id",
     text_col: TextCols = "text",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """The single-scan scoring projection: (id, dl, tf_0..tf_{k-1}) —
     document length and per-query-term frequencies computed with array
@@ -134,7 +148,9 @@ def bm25_per_doc(
     def _eq(term):  # single-arg lambda: a 2-arg one would get (elem, idx)
         return lambda x: x == F.lit(term)
 
-    toked = fan_out(docs).select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    toked = fan_out(docs).select(
+        F.col(id_col), tokens_expr(text_col, analyzer).alias("__toks")
+    )
     return toked.select(
         F.col(id_col),
         F.size("__toks").cast("double").alias("dl"),
@@ -159,6 +175,7 @@ def search_topk(
     term_weights: "Sequence[float] | None" = None,
     keep_zero_hits: bool = False,
     after: "tuple[float, object] | None" = None,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Scored top-k keyword search — the reference's end-user query path
     (T1: top-10 by ``_score`` desc) run natively.
@@ -190,7 +207,7 @@ def search_topk(
     aggregate and the top-k job both read the cache. The result (k rows)
     is materialized so the cache can be released deterministically.
     """
-    terms = analyze_query(query)
+    terms = analyze_query(query, analyzer)
     spark = docs.sparkSession
     if not terms:
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
@@ -201,7 +218,7 @@ def search_topk(
         docs, terms, k, id_col=id_col, text_col=text_col,
         scoring=scoring, k1=k1, b=b, round_to=round_to,
         term_weights=term_weights, keep_zero_hits=keep_zero_hits,
-        after=after,
+        after=after, analyzer=analyzer,
     )
     try:
         rows, schema = topk.collect(), topk.schema
@@ -224,12 +241,15 @@ def _topk_pipeline(
     term_weights: "Sequence[float] | None" = None,
     keep_zero_hits: bool = False,
     after: "tuple[float, object] | None" = None,
+    analyzer: str = "standard",
 ) -> tuple[DataFrame, DataFrame]:
     """(persisted per-doc projection, lazy top-k over it). The stats
     aggregate runs here (materializing the cache); the caller collects
     the top-k and unpersists. Split out so plan tests can assert the
     single-scan shape."""
-    per_doc = bm25_per_doc(docs, terms, id_col=id_col, text_col=text_col)
+    per_doc = bm25_per_doc(
+        docs, terms, id_col=id_col, text_col=text_col, analyzer=analyzer
+    )
     per_doc.persist()
     stats = per_doc.agg(
         F.count("*").alias("n"),
@@ -405,6 +425,7 @@ def search_topk_multifield(
     round_to: int = 4,
     keep_zero_hits: bool = False,
     term_weights: "Sequence[float] | None" = None,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Per-field-boosted multi-field BM25 top-k — ES 6.x
     ``query_string`` with ``fields=["title^3", "text"]``.
@@ -427,14 +448,14 @@ def search_topk_multifield(
     if combine not in ("best_fields", "most_fields"):
         raise ValueError(f"unknown combine: {combine!r}")
     specs = parse_boosted_fields(fields)
-    terms = analyze_query(query)
+    terms = analyze_query(query, analyzer)
     spark = docs.sparkSession
     if not terms:
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     per_doc, topk = _multifield_pipeline(
         docs, terms, specs, k, id_col=id_col, combine=combine, k1=k1, b=b,
         round_to=round_to, keep_zero_hits=keep_zero_hits,
-        term_weights=term_weights,
+        term_weights=term_weights, analyzer=analyzer,
     )
     try:
         if topk is None:  # no term matched any field
@@ -451,7 +472,12 @@ def search_topk_multifield(
 
 
 def multifield_per_doc(
-    docs: DataFrame, terms: Sequence[str], names: Sequence[str], *, id_col: str
+    docs: DataFrame,
+    terms: Sequence[str],
+    names: Sequence[str],
+    *,
+    id_col: str,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """The multi-field single-scan projection: (id, dl_j, tf_{j,i}) for
     every (field j, term i) — one tokenizer pass per field, all inside
@@ -466,7 +492,10 @@ def multifield_per_doc(
     # poisoning dl/tf with NULLs
     toked = fan_out(docs).select(
         F.col(id_col),
-        *[tokens_expr([n]).alias(f"__toks_{j}") for j, n in enumerate(names)],
+        *[
+            tokens_expr([n], analyzer).alias(f"__toks_{j}")
+            for j, n in enumerate(names)
+        ],
     )
     proj = [F.col(id_col)]
     for j in range(len(names)):
@@ -491,6 +520,7 @@ def _multifield_pipeline(
     round_to: int,
     keep_zero_hits: bool,
     term_weights: "Sequence[float] | None",
+    analyzer: str = "standard",
 ):
     """(persisted per-doc projection, lazy top-k over it | None). The
     stats aggregate runs here (materializing the cache); the caller
@@ -501,7 +531,9 @@ def _multifield_pipeline(
     if term_weights is not None and len(term_weights) != len(terms):
         raise ValueError("term_weights must parallel the analyzed terms")
     names = [n for n, _ in specs]
-    per_doc = multifield_per_doc(docs, terms, names, id_col=id_col)
+    per_doc = multifield_per_doc(
+        docs, terms, names, id_col=id_col, analyzer=analyzer
+    )
     per_doc.persist()
     stats = per_doc.agg(
         F.count("*").alias("n"),

@@ -1361,6 +1361,114 @@ def st4_streaming_dedup(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# L3 configurable analyzers (VERDICT r4 task 5): per-field analyzer
+# choice, symmetric at index and query time (the ES contract).
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.operators.analyzers import (  # noqa: E402
+    STOPWORDS_EN,
+    stem_case_sql,
+)
+
+_STOPS_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
+_INFLECT = (
+    ("table", "tables"),
+    ("query", "queries"),
+    ("sort", "sorting"),
+    ("filter", "filtered"),
+)
+
+
+def _inflect_sql(col: str) -> str:
+    expr = col
+    for base, infl in _INFLECT:
+        expr = f"regexp_replace({expr}, '\\b{base}\\b', '{infl}', 'g')"
+    return expr
+
+
+@register(
+    "l3_analyzer_stemmed",
+    f"""
+    WITH infl AS (
+      SELECT doc_id, lang, source, {_inflect_sql('text')} AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, {stem_case_sql('t')} AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM infl
+      ) WHERE t <> '' AND t NOT IN {_STOPS_SQL}
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id IN (
+      SELECT doc_id FROM toks
+      WHERE term IN ('table', 'query', 'sort', 'filter')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 4
+    )
+    """,
+)
+def l3_analyzer_stemmed(spark, sf_dir):
+    """L3 analyzers: the ``english`` analyzer (stop set + light
+    suffix-strip stemmer, operators/analyzers.py) applied symmetrically
+    — the corpus is deterministically inflected (table->tables,
+    query->queries, sort->sorting, filter->filtered) and the query uses
+    DIFFERENT inflections plus stopwords and punctuation ("The Tables,
+    Queries; Sorted filtering"), so a match can only happen through
+    index-side AND query-side stemming agreeing on the stems. The
+    oracle replays the inflection, the stop set, and the stemmer's rule
+    table (stem_case_sql generates the CASE from the same rules) in
+    DuckDB. Plan: one narrow filter, no explode/shuffle/UDF — the
+    analyzer choice only changes the expression tree."""
+    docs = load_table(spark, sf_dir, "documents")
+    inflected = docs
+    for base, infl in _INFLECT:
+        inflected = inflected.withColumn(
+            "text", F.regexp_replace("text", rf"\b{base}\b", infl)
+        )
+    return search.keyword_match(
+        inflected,
+        "The Tables, Queries; Sorted filtering",
+        mode="all",
+        analyzer="english",
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "l3_analyzer_whitespace",
+    r"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS text
+      FROM documents
+    )
+    WHERE list_contains(
+      list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 'TABLE')
+    """,
+)
+def l3_analyzer_whitespace(spark, sf_dir):
+    """L3 analyzers: the ``whitespace`` analyzer is case-SENSITIVE (no
+    lowercase filter, ES parity). Even-id docs are upper-cased, and the
+    query term 'TABLE' must match exactly those — the standard analyzer
+    would lowercase both sides and match odd ids too, so a hash match
+    proves the analyzer is really threaded through both the query and
+    the corpus tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    cased = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    return search.keyword_match(
+        cased, "TABLE", analyzer="whitespace"
+    ).select("doc_id", "lang")
+
+
+
 # Part 3 (UDF surface, multimodal ring, embedding near-dup, IVF ANN)
 # registers itself on import.
 from bigdatasearchpro_spark import registry_ext  # noqa: E402,F401

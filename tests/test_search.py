@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdatasearchpro_spark.operators import search
+from bigdatasearchpro_spark.sources.files import load_table
 
 QUERY = "spark join window"
 
@@ -198,3 +199,136 @@ def test_query_data_per_field_boosts(spark, docs):
         ]
     finally:
         api.delete_index(spark, idx)
+
+
+# ---------------------------------------------------------------------------
+# Configurable analyzers (operators/analyzers.py)
+# ---------------------------------------------------------------------------
+
+
+def test_analyzer_default_bit_identical(spark, sf_dir):
+    """The standard analyzer (the default) must produce EXACTLY the
+    pre-analyzer tokenization: lowercase + split on non-alphanumeric."""
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = [
+        (r["doc_id"], r["tokens"])
+        for r in search.tokenize(docs).orderBy("doc_id").collect()
+    ]
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for doc_id, tokens in got:
+        want = [t for t in re.split("[^a-z0-9]+", raw[doc_id].lower()) if t]
+        assert tokens == want
+    # explicit analyzer="standard" is the same code path
+    explicit = [
+        (r["doc_id"], r["tokens"])
+        for r in search.tokenize(docs, analyzer="standard")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == explicit
+
+
+def test_stemmer_spark_python_symmetry(spark):
+    """stem_expr (Spark CASE) and stem_token (driver Python) are
+    generated from the same rule table — pin that they agree, including
+    the excluded endings and length guards."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators import analyzers
+
+    words = [
+        "studies", "classes", "boxes", "churches", "wishes", "prizes",
+        "cats", "miss", "bus", "this", "running", "jumped", "sorted",
+        "filtering", "tables", "queries", "is", "a", "go", "sssses",
+        "ed", "ing", "s", "axes", "ses", "us", "bias", "focus",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: r["stem"]
+        for r in df.select(
+            "w", analyzers.stem_expr(F.col("w")).alias("stem")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == analyzers.stem_token(w), w
+    # and the SQL CASE twin agrees too (DuckDB)
+    import duckdb
+
+    case = analyzers.stem_case_sql("t")
+    for w in words:
+        (sql_stem,) = duckdb.sql(
+            f"SELECT {case} FROM (SELECT '{w}' AS t)"
+        ).fetchone()
+        assert sql_stem == analyzers.stem_token(w), w
+
+
+def test_english_analyzer_matches_only_via_stemming(spark):
+    """A corpus containing ONLY inflected forms must match base-form
+    queries under analyzer='english' and NOT under the standard
+    analyzer — the strict inflection test the registry fixture (whose
+    stems also exist as base corpus tokens) cannot express."""
+    df = spark.createDataFrame(
+        [
+            (1, "the tables and queries"),
+            (2, "filtering sorted streams"),
+            (3, "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = lambda q, an: sorted(
+        r["doc_id"]
+        for r in search.keyword_match(
+            df, q, mode="any", analyzer=an
+        ).collect()
+    )
+    assert hits("table query", "english") == [1]
+    assert hits("filter sort stream", "english") == [2]
+    assert hits("table query filter sort stream", "standard") == []
+    # stopwords drop out of the query: 'the' alone matches nothing
+    assert hits("the", "english") == []
+    # and mode='all' needs only the non-stop stems
+    assert sorted(
+        r["doc_id"]
+        for r in search.keyword_match(
+            df, "The Tables, Queries!", mode="all", analyzer="english"
+        ).collect()
+    ) == [1]
+
+
+def test_whitespace_analyzer_case_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark Rocks"), (2, "spark rocks"), (3, "SPARK-ROCKS")],
+        ["doc_id", "text"],
+    )
+    get = lambda q: sorted(
+        r["doc_id"]
+        for r in search.keyword_match(
+            df, q, analyzer="whitespace"
+        ).collect()
+    )
+    assert get("Spark") == [1]
+    assert get("spark") == [2]
+    # whitespace analyzer does NOT split on punctuation
+    assert get("SPARK-ROCKS") == [3]
+    assert get("SPARK") == []
+
+
+def test_search_topk_with_english_analyzer(spark):
+    """BM25 top-k threads the analyzer: tf counts run over stemmed
+    tokens and the query stems symmetrically."""
+    df = spark.createDataFrame(
+        [
+            (1, "tables tables tables"),
+            (2, "tables joined"),
+            (3, "unrelated words"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = search.search_topk(df, "table", 5, analyzer="english").collect()
+    ids = [r["doc_id"] for r in hits]
+    assert ids[0] == 1 and set(ids) == {1, 2}

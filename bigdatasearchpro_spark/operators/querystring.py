@@ -320,6 +320,7 @@ def compile_predicate(
     default_cols: Sequence[str],
     valid_fields: Sequence[str],
     fuzzy_resolver=None,
+    nested_resolver=None,
 ) -> Column:
     """Compile a parsed query to a single boolean expression. Each
     referenced field's token array is a ``tokens_expr`` over that
@@ -338,12 +339,25 @@ def compile_predicate(
     exactly like ES filter context."""
     valid = set(valid_fields)
 
+    def _nested(field: str):
+        """ES dotted-path scoping (``props.k:v``): resolve through
+        ``nested_resolver`` to a text expression over a struct member /
+        JSON path — still one narrow per-row expression."""
+        if nested_resolver is not None and "." in field:
+            expr = nested_resolver(field)
+            if expr is not None:
+                return expr
+        return None
+
     def toks(field: Optional[str]) -> Column:
         if field is None:
             return tokens_expr(list(default_cols))
         if field == "_all":
             return tokens_expr(list(valid_fields))
         if field not in valid:
+            nested = _nested(field)
+            if nested is not None:
+                return tokens_expr(nested)
             raise ValueError(f"unknown field {field!r}; searchable: {sorted(valid)}")
         return tokens_expr(field)
 
@@ -353,6 +367,9 @@ def compile_predicate(
         if field == "_all":
             return list(valid_fields)
         if field not in valid:
+            nested = _nested(field)
+            if nested is not None:
+                return nested
             raise ValueError(f"unknown field {field!r}; searchable: {sorted(valid)}")
         return field
 
@@ -425,6 +442,42 @@ def compile_predicate(
     return go(node)
 
 
+def dotted_path_resolver(docs: DataFrame):
+    """ES-style dotted-path field resolution over a DataFrame's ACTUAL
+    schema (VERDICT r4 task 8): ``a.b.c`` scopes into a struct column's
+    member (``F.col("a.b.c")`` — Catalyst prunes to the member, so the
+    scan reads only that leaf) or a JSON-string column's path
+    (``get_json_object(a, '$.b.c')`` — a narrow JVM expression).  ES
+    matches dotted paths into object fields the same way; the reference
+    exposes it by delegation (indexView.html:13-19).  Returns
+    ``field -> Column | None`` (None = not a resolvable path, caller
+    keeps its unknown-field error)."""
+    from pyspark.sql import types as T
+
+    def resolve(field: str):
+        root, _, rest = field.partition(".")
+        if not rest or root not in docs.columns:
+            return None
+        dt = docs.schema[root].dataType
+        if isinstance(dt, T.StructType):
+            cur = dt
+            for part in rest.split("."):
+                if not isinstance(cur, T.StructType) or part not in cur.names:
+                    return None
+                cur = cur[part].dataType
+            return F.col(field).cast("string")
+        if isinstance(dt, T.StringType):
+            return F.get_json_object(F.col(root), "$." + rest)
+        if isinstance(dt, T.MapType):
+            expr: Column = F.col(root)
+            for part in rest.split("."):
+                expr = expr.getItem(part)
+            return expr.cast("string")
+        return None
+
+    return resolve
+
+
 def query_string_filter(
     docs: DataFrame,
     q: str,
@@ -462,12 +515,14 @@ def query_string_filter(
 
         return fuzzy_vocab_terms(docs, term, max_edits=max_edits, text_col=cols)
 
+    nested = dotted_path_resolver(docs)
+
     if minimum_should_match > 1 and isinstance(node, Or):
         indicators = [
             F.when(
                 compile_predicate(
                     c, default_cols=default, valid_fields=valid,
-                    fuzzy_resolver=resolver,
+                    fuzzy_resolver=resolver, nested_resolver=nested,
                 ),
                 1,
             ).otherwise(0)
@@ -476,7 +531,8 @@ def query_string_filter(
         pred = sum(indicators[1:], indicators[0]) >= F.lit(minimum_should_match)
     else:
         pred = compile_predicate(
-            node, default_cols=default, valid_fields=valid, fuzzy_resolver=resolver
+            node, default_cols=default, valid_fields=valid,
+            fuzzy_resolver=resolver, nested_resolver=nested,
         )
     from bigdatasearchpro_spark.sources.files import fan_out
 

@@ -62,7 +62,12 @@ def all_string_cols(df: DataFrame) -> list[str]:
 
 def _text_expr(text_col) -> Column:
     """One column -> itself; several -> the ``_all`` concatenation
-    (space-joined, nulls as empty) so one analyzer pass covers them."""
+    (space-joined, nulls as empty) so one analyzer pass covers them.
+    A ready-made Column passes through — the nested-field path
+    (querystring dotted paths into struct/JSON columns) arrives here
+    as an expression, not a name."""
+    if isinstance(text_col, Column):
+        return text_col
     if isinstance(text_col, str):
         return F.col(text_col)
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in text_col]

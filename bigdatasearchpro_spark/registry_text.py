@@ -1469,6 +1469,45 @@ def l3_analyzer_whitespace(spark, sf_dir):
 
 
 
+@register(
+    "l3_nested_field_query",
+    """
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') >= '60'
+      AND json_extract_string(props, '$.k') <= '69'
+      AND event_type IN ('click', 'view')
+    ORDER BY event_id
+    """,
+)
+def l3_nested_field_query(spark, sf_dir):
+    """L3+ nested-field search (VERDICT r4 task 8): ES matches dotted
+    paths into object fields; the query string ``props.k:[60 TO 69]``
+    scopes into the events table's ``props`` JSON column through
+    dotted_path_resolver (querystring.py) — get_json_object for JSON
+    strings, member access (Catalyst-pruned) for struct columns. The
+    range stays the grammar's lexicographic token range; with k in
+    0..99 that equals the numeric band, which the oracle replays with
+    string comparison. Plan: one narrow filter over the scan — the
+    nested path adds an expression, not a join or explode."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        query_string_filter(
+            ev, "props.k:[60 TO 69] AND (event_type:click OR event_type:view)"
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+
 # Part 3 (UDF surface, multimodal ring, embedding near-dup, IVF ANN)
 # registers itself on import.
 from bigdatasearchpro_spark import registry_ext  # noqa: E402,F401

@@ -284,3 +284,75 @@ def test_minimum_should_match_top_level_or(mini):
         ).collect()
     }
     assert one == all_docs
+
+
+# ---------------------------------------------------------------------------
+# Nested dotted-path field scoping (dotted_path_resolver)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_field_json_string(spark):
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "tag": "alpha"}'),
+            (2, '{"k": 65, "tag": "beta"}'),
+            (3, '{"k": 68, "tag": "alpha"}'),
+        ],
+        ["id", "props"],
+    )
+    got = sorted(
+        r["id"]
+        for r in query_string_filter(df, "props.k:[60 TO 69]").collect()
+    )
+    assert got == [2, 3]
+    got = sorted(
+        r["id"] for r in query_string_filter(df, "props.tag:alpha").collect()
+    )
+    assert got == [1, 3]
+
+
+def test_nested_field_struct_and_map(spark):
+    from pyspark.sql import Row
+
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, meta=Row(author=Row(name="ada"), lang="en"), m={"x": "one"}),
+            Row(id=2, meta=Row(author=Row(name="bob"), lang="de"), m={"x": "two"}),
+        ]
+    )
+    assert [
+        r["id"] for r in query_string_filter(df, "meta.author.name:ada").collect()
+    ] == [1]
+    assert [
+        r["id"]
+        for r in query_string_filter(df, "meta.lang:de AND m.x:two").collect()
+    ] == [2]
+    # struct member access must PRUNE the scan to the leaf, and an
+    # unknown dotted path still errors like an unknown field
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown field"):
+        query_string_filter(df, "meta.nope.deep:x").collect()
+
+
+def test_nested_field_phrase_and_bool(spark):
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"title": "fast spark engine"}'),
+            (2, '{"title": "slow spark engine"}'),
+        ],
+        ["id", "doc"],
+    )
+    got = [
+        r["id"]
+        for r in query_string_filter(
+            df, 'doc.title:"fast spark" AND NOT doc.title:slow'
+        ).collect()
+    ]
+    assert got == [1]

@@ -302,6 +302,21 @@ def l2_embedding_cosine_pairs(spark, sf_dir):
     return similarity.cosine_similarity_join(emb, emb, 0.99, n_planes=4)
 
 
+@register("l4_ann_ivfpq_topk")  # rows-only: ANN, float scores
+def l4_ann_ivfpq_topk(spark, sf_dir):
+    """L4 scale path #3 (VERDICT r4 task 6): IVF-PQ with exact
+    refinement — coarse quantizer prunes to nprobe/n_cells of the
+    corpus, per-subvector product-quantization codes (m=16, ksub=16:
+    8 bytes/vector vs 256 bytes of float32[64] — 32x smaller) rank
+    survivors via ADC table lookups, and the refine*k best are
+    re-scored with exact cosine. recall@10 >= 0.9 vs brute force gated
+    in tests/test_similarity.py; memory-per-vector accounting in
+    SCALING.md."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_topk_ivfpq(emb, qv, 10)
+
+
 @register("l4_ann_ivf_topk")  # rows-only: IVF cell assignment is engine-specific
 def l4_ann_ivf_topk(spark, sf_dir):
     """L4 scale path #2: IVF-Flat approximate top-10 (k-means-lite

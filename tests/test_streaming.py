@@ -297,6 +297,94 @@ def test_cdc_snapshot_publish_is_crash_safe(spark, tmp_path):
     }
 
 
+def test_cdc_publish_kill_during_manifest_flip(spark, tmp_path):
+    """r4-verdict task 7a: a kill DURING the manifest publish — after
+    the tmp pointer file is written but before os.replace — must leave
+    the previous version readable, must not let the stray .tmp leak
+    into reads, and the checkpoint replay of the same batch must
+    converge. A half-written version dir (the other mid-batch kill
+    point) must likewise be invisible and safely overwritten."""
+    import os
+
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        _SNAPSHOT_MANIFEST,
+        apply_cdc_batch,
+        read_snapshot,
+    )
+
+    schema = "k long, op string, v string"
+    snap = str(tmp_path / "snapshot")
+    apply_cdc_batch(
+        spark.createDataFrame([(1, "I", "a1"), (2, "I", "b1")], schema),
+        0, snap, "k",
+    )
+
+    # kill point A: version dir only PARTIALLY written (one corrupt
+    # file, no _SUCCESS) — simulates dying inside the merged.write job
+    vdir = os.path.join(snap, "v_1")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00garbage, not parquet")
+    # kill point B: tmp pointer written, os.replace never ran
+    with open(os.path.join(snap, _SNAPSHOT_MANIFEST + ".tmp"), "w") as f:
+        f.write("v_1\n")
+
+    # reads still resolve the published v_0 — neither the garbage dir
+    # nor the stray tmp is visible
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {
+        1: "a1", 2: "b1",
+    }
+
+    # checkpoint replay of batch 1: overwrite clobbers the garbage,
+    # os.replace clobbers the stray tmp, state converges
+    b1 = spark.createDataFrame([(2, "U", "b2"), (3, "I", "c1")], schema)
+    apply_cdc_batch(b1, 1, snap, "k")
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {
+        1: "a1", 2: "b2", 3: "c1",
+    }
+    assert not os.path.exists(os.path.join(snap, _SNAPSHOT_MANIFEST + ".tmp"))
+
+
+def test_cdc_duplicate_delivery_converges(spark, tmp_path):
+    """r4-verdict task 7b: at-least-once inputs deliver the same change
+    rows more than once. Both duplicate shapes must converge to the
+    value-identical snapshot: (1) the same batch id replayed AFTER its
+    pointer already flipped (crash between flip and checkpoint commit —
+    the replay merges onto the already-merged base), and (2) the same
+    change rows redelivered under a NEW batch id."""
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        apply_cdc_batch,
+        read_snapshot,
+    )
+
+    def snap_state(d):
+        return sorted(
+            (r.k, r.v) for r in read_snapshot(spark, d).collect()
+        )
+
+    schema = "k long, op string, v string"
+    snap = str(tmp_path / "snapshot")
+    apply_cdc_batch(
+        spark.createDataFrame([(1, "I", "a1"), (2, "I", "b1")], schema),
+        0, snap, "k",
+    )
+    b1 = spark.createDataFrame(
+        [(2, "U", "b2"), (3, "I", "c1"), (1, "D", None)], schema
+    )
+    apply_cdc_batch(b1, 1, snap, "k")
+    want = snap_state(snap)
+
+    # shape 1: same batch id re-applied onto the already-flipped state
+    # (upserts overwrite with identical values; the delete of an
+    # already-absent key is a no-op) — value-identical snapshot
+    apply_cdc_batch(b1, 1, snap, "k")
+    assert snap_state(snap) == want
+
+    # shape 2: same rows, new batch id (source-side redelivery)
+    apply_cdc_batch(b1, 2, snap, "k")
+    assert snap_state(snap) == want
+
+
 def test_stream_static_join_equals_batch(spark, events_dir, batch_events, sf_dir, tmp_path):
     """Stream-static enrichment: the streamed (join + windowed agg)
     result equals the same program in batch mode; the join itself is

@@ -378,6 +378,13 @@ def scroll(
     ``id > cursor`` predicate pushes to the scan and the page is a
     TakeOrdered of ``size``; nothing re-reads already-scrolled rows).
 
+    REQUIRES UNIQUE ``id_col`` values: the keyset cursor is strictly
+    ``id > last_id``, so documents SHARING the cursor id would be
+    skipped at a page boundary. Bulk ``mode='append'`` loads without id
+    dedup can create duplicates — scroll probes one row past the page
+    and RAISES if a page boundary falls inside a duplicate-id run,
+    instead of silently losing rows from the export.
+
     ``query=None`` scrolls the whole index (ES ``match_all``)."""
     from bigdatasearchpro_spark.operators.querystring import query_string_filter
     from pyspark.sql import functions as F
@@ -394,9 +401,18 @@ def scroll(
         docs = query_string_filter(docs, query, default_field=fields, fields=fields)
     if scroll_id is not None:
         docs = docs.filter(F.col(id_col) > F.lit(scroll_id))
-    page = docs.orderBy(F.asc(id_col)).limit(size)
-    rows = page.collect()
-    out = spark.createDataFrame(rows, page.schema) if rows else page.limit(0)
+    # probe one row past the page: if the boundary falls inside a run
+    # of equal ids, the keyset cursor would skip the siblings — refuse
+    probe = docs.orderBy(F.asc(id_col)).limit(size + 1)
+    rows = probe.collect()
+    if len(rows) == size + 1 and rows[size][id_col] == rows[size - 1][id_col]:
+        raise ValueError(
+            f"scroll requires unique {id_col!r} values: id "
+            f"{rows[size][id_col]!r} straddles a page boundary and its "
+            f"siblings would be skipped (dedup the index or raise size)"
+        )
+    rows = rows[:size]
+    out = spark.createDataFrame(rows, probe.schema) if rows else probe.limit(0)
     next_id = rows[-1][id_col] if len(rows) == size else None
     return out, next_id
 
@@ -511,20 +527,50 @@ def force_merge(
     (the registry entry hash-verifies that), only the layout changes.
     Not crash-atomic across the drop/rename pair (Spark's catalog has
     no atomic table swap); run it from a maintenance window, as ES
-    itself recommends for force-merge."""
+    itself recommends for force-merge. The failure path is recoverable:
+    the target is validated as a real index up front (an alias view
+    would otherwise be copied and then fail at DROP TABLE), table
+    properties are carried onto the staged copy BEFORE the swap, and a
+    rename failure after the drop restores the original name from the
+    staged table — data is never dropped before a complete copy
+    exists, so no failure mode loses the index."""
     import uuid
 
-    from bigdatasearchpro_spark.sinks.ddl import mark_index_table
+    from bigdatasearchpro_spark.sinks.ddl import is_index_table, mark_index_table
 
     n = transform.normalize_index_name(index_name)
+    if not is_index_table(spark, n):
+        raise ValueError(f"force_merge target is not an index: {index_name!r}")
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {n}").collect()
+        if not r["key"].startswith("transient")
+    }
     staged = f"{n}__fm_{uuid.uuid4().hex[:8]}"
     df = spark.table(n).coalesce(max(int(max_num_segments), 1))
     df.write.mode("errorifexists").option(
         "parquet.enable.dictionary", "false"
     ).saveAsTable(staged)
-    rows = spark.table(staged).count()
+    try:
+        rows = spark.table(staged).count()
+        for k, v in props.items():  # original properties survive the swap
+            kq = k.replace("'", "''")
+            vq = str(v).replace("'", "''")
+            spark.sql(
+                f"ALTER TABLE {staged} SET TBLPROPERTIES ('{kq}' = '{vq}')"
+            )
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")  # no leak on prep failure
+        raise
     spark.sql(f"DROP TABLE {n}")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {n}")
+    try:
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {n}")
+    except Exception as e:
+        raise RuntimeError(
+            f"force_merge swap interrupted: index {n!r} is dropped but its "
+            f"complete compacted copy is staged as {staged!r} — rename it "
+            f"back manually (ALTER TABLE {staged} RENAME TO {n})"
+        ) from e
     mark_index_table(spark, n)
     return {"index": n, "rows": rows, "segments": int(max_num_segments)}
 

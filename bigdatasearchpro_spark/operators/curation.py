@@ -83,7 +83,10 @@ def segment_dedup(
     documents in the frequency agg.
 
     Output: ``(id, n_segments, n_removed, clean_text)`` — one row per
-    input document (docs reduced to nothing keep an empty clean_text).
+    input document: docs reduced to nothing keep an empty clean_text,
+    and docs whose text tokenizes to ZERO tokens (so no segments ever
+    exist) are recovered by a left join back onto the input ids with
+    zero counts — no document silently disappears.
     """
     toked = docs.select(
         F.col(id_col), _segments(tokens_expr(text_col), seg_tokens).alias("__segs")
@@ -100,23 +103,28 @@ def segment_dedup(
     marked = seg_rows.join(
         dup_segs.withColumn("__dup", F.lit(True)), "seg", "left"
     ).withColumn("__dup", F.coalesce(F.col("__dup"), F.lit(False)))
-    return (
-        marked.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_segments"),
-            F.sum(F.col("__dup").cast("long")).alias("n_removed"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(~F.col("__dup"), F.struct("pos", "seg"))
-                        )
-                    ),
-                    lambda s: s["seg"],
+    grouped = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("__dup").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__dup"), F.struct("pos", "seg"))
+                    )
                 ),
-                " ",
-            ).alias("clean_text"),
-        )
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    # token-empty docs never reach the explode; recover them with zero
+    # counts (left join on the same key the group-back shuffled by)
+    return docs.select(F.col(id_col)).join(grouped, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 

@@ -139,10 +139,31 @@ def add_alias(
         if not is_index_table(spark, t):
             raise ValueError(f"alias target is not an index: {n!r}")
         targets.append(t)
-    if filter_sql is not None and not __import__("re").match(
-        r"^[A-Za-z0-9_ '.,<>=!()%-]+$", filter_sql
-    ):
-        raise ValueError(f"invalid alias filter expression: {filter_sql!r}")
+    if filter_sql is not None:
+        import re
+
+        # statement keywords never belong in a boolean filter — reject
+        # subqueries/DDL outright rather than trusting a character set
+        if re.search(
+            r"(?i)\b(select|insert|update|delete|merge|drop|create|alter|with)\b",
+            filter_sql,
+        ):
+            raise ValueError(
+                f"alias filter must be a boolean expression over the "
+                f"target schema, not a query: {filter_sql!r}"
+            )
+        # semantic validation: the expression must ANALYZE as a boolean
+        # against every target's actual schema (unknown columns, type
+        # errors, and malformed syntax all fail here)
+        for t in targets:
+            try:
+                probe = spark.table(t).filter(F.expr(filter_sql))
+                probe.schema  # force analysis
+            except Exception as e:
+                raise ValueError(
+                    f"alias filter does not resolve against index {t!r}: "
+                    f"{filter_sql!r} ({e})"
+                ) from None
     where = f" WHERE {filter_sql}" if filter_sql else ""
     body = " UNION ALL ".join(f"SELECT * FROM {t}{where}" for t in targets)
     spark.sql(

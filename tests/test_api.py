@@ -375,3 +375,74 @@ def test_quarantine_ingest_partitions_input(spark, sf_dir):
     assert dict(c[0].asDict()) and clean.schema["a"].dataType.typeName() == "long"
     reasons = {r["a"]: r["quarantine_reason"] for r in q}
     assert reasons == {"x": "a", "4": "b"}
+
+
+def test_alias_filter_validated_semantically(spark, sf_dir):
+    """r4-advice: the alias filter gate must reject subqueries/DDL (a
+    character allowlist let EXISTS(SELECT...) through) and must accept
+    any predicate that resolves against the target schema — including
+    ones the old regex wrongly rejected (e.g. double quotes, +)."""
+    import pytest as _pytest
+
+    from bigdatasearchpro_spark.sinks import ddl as _ddl
+
+    idx = "alias_val_idx"
+    api.bulk_data_to_index(
+        spark, load_table(spark, sf_dir, "nation"), idx, id_col="n_nationkey"
+    )
+    try:
+        with _pytest.raises(ValueError, match="not a query"):
+            _ddl.add_alias(
+                spark, idx, "alias_val_bad",
+                filter_sql="EXISTS(SELECT 1 FROM region)",
+            )
+        with _pytest.raises(ValueError, match="does not resolve"):
+            _ddl.add_alias(
+                spark, idx, "alias_val_bad", filter_sql="no_such_col = '1'"
+            )
+        # arithmetic + comparison that the old charset regex rejected
+        a = _ddl.add_alias(
+            spark, idx, "alias_val_ok",
+            filter_sql='cast(n_nationkey as int) + 1 > 10',
+        )
+        assert spark.table(a).count() > 0
+    finally:
+        _ddl.delete_alias(spark, "alias_val_ok")
+        api.delete_index(spark, idx)
+
+
+def test_scroll_raises_on_duplicate_boundary_ids(spark):
+    """r4-advice: keyset scroll assumes unique ids; a duplicate-id run
+    straddling a page boundary must raise instead of silently dropping
+    the siblings from the export."""
+    import pytest as _pytest
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    idx = "scroll_dup_idx"
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (3, "d")], "doc_id long, text string"
+    )
+    bulk_index_table(df, idx)  # append-style: no id dedup
+    try:
+        page, cur = api.scroll(spark, idx, size=4)  # no boundary inside run
+        assert page.count() == 4
+        with _pytest.raises(ValueError, match="unique"):
+            api.scroll(spark, idx, size=2)  # boundary splits the id=2 run
+    finally:
+        api.delete_index(spark, idx)
+
+
+def test_segment_dedup_keeps_token_empty_docs(spark):
+    """r4-advice: a doc whose text tokenizes to zero tokens must still
+    appear in segment_dedup output (zero counts, empty clean_text)."""
+    from bigdatasearchpro_spark.operators.curation import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, "!!! ??? ..."), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in segment_dedup(df, seg_tokens=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["n_segments"] == 0 and rows[2]["clean_text"] == ""
+    assert rows[3]["n_segments"] == 0 and rows[3]["clean_text"] == ""

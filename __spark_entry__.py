@@ -46,6 +46,14 @@ _R5_FIXED_OR_NEW = (
     "l3_nested_field_query",
     "l4_ann_ivfpq_topk",
     "l3_analyzer_whitespace",
+    "s14_delete_by_query",
+    "s15_update_by_query",
+    "s16_cat_indices",
+    # entries whose implementing code changed this round
+    "l5_segment_dedup",
+    "s12_force_merge",
+    "l3_scroll_export",
+    "s11_alias_scroll",
 )
 
 

@@ -474,14 +474,16 @@ def get_alias(spark) -> list[tuple[str, str]]:
     ]
 
 
-def analyze(spark: SparkSession, text: str) -> list[str]:
+def analyze(
+    spark: SparkSession, text: str, *, analyzer: str = "standard"
+) -> list[str]:
     """ES ``_analyze`` — the analyzer's token output for a given text
     (the debugging endpoint behind every "why didn't this match"
-    question). Pure driver-side: the engine's ONE analyzer (lowercase +
-    non-alphanumeric split, operators/search.py) applied to the
-    string; what you get here is exactly what the index-side
-    expressions compute per row."""
-    return search.analyze_query(text)
+    question). Pure driver-side; ``analyzer`` picks from the registry
+    in operators/analyzers.py (standard / whitespace / english), and
+    what you get here is exactly what the index-side expressions
+    compute per row (the symmetry is property-tested)."""
+    return search.analyze_query(text, analyzer)
 
 
 def msearch(
@@ -606,3 +608,203 @@ def restore_index(
     df = spark.read.parquet(os.path.join(repo_dir, src))
     rows = bulk_index_table(df, dst)
     return {"index": dst, "rows": rows}
+
+
+def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
+    """Swap an index's content for ``df`` via the force-merge publish
+    protocol: complete staged copy first, then drop + rename, original
+    properties carried over. Shared by the by-query write endpoints."""
+    import uuid
+
+    from bigdatasearchpro_spark.sinks.ddl import mark_index_table
+
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {index}").collect()
+        if not r["key"].startswith("transient")
+    }
+    staged = f"{index}__bq_{uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").saveAsTable(staged)
+    try:
+        for k, v in props.items():
+            kq = k.replace("'", "''")
+            vq = str(v).replace("'", "''")
+            spark.sql(f"ALTER TABLE {staged} SET TBLPROPERTIES ('{kq}' = '{vq}')")
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        raise
+    spark.sql(f"DROP TABLE {index}")
+    try:
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {index}")
+    except Exception as e:
+        raise RuntimeError(
+            f"by-query swap interrupted: index {index!r} is dropped but its "
+            f"complete rewritten copy is staged as {staged!r} — rename it "
+            f"back manually (ALTER TABLE {staged} RENAME TO {index})"
+        ) from e
+    mark_index_table(spark, index)
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_name: str,
+    query: str,
+    *,
+    text_col: "str | list[str] | None" = None,
+) -> dict:
+    """ES ``_delete_by_query``: remove every document matching a query
+    string. ES runs an internal scroll + per-batch bulk deletes; here
+    it is ONE distributed scan -> anti-filter -> staged rewrite +
+    catalog swap (the force-merge publish protocol, so a failure never
+    loses the index). Returns ``{"deleted": n, "remaining": m}``."""
+    from bigdatasearchpro_spark.operators.querystring import (
+        compile_predicate,
+        dotted_path_resolver,
+        parse_query_string,
+    )
+    from pyspark.sql import functions as F
+
+    n = transform.normalize_index_name(index_name)
+    from bigdatasearchpro_spark.sinks.ddl import is_index_table
+
+    if not is_index_table(spark, n):
+        raise ValueError(f"delete_by_query target is not an index: {index_name!r}")
+    docs = spark.table(n)
+    fields = (
+        [text_col]
+        if isinstance(text_col, str)
+        else list(text_col)
+        if text_col is not None
+        else search.all_string_cols(docs)
+    )
+    node = parse_query_string(query)
+    pred = compile_predicate(
+        node, default_cols=fields, valid_fields=fields,
+        nested_resolver=dotted_path_resolver(docs),
+    )
+    total = docs.count()
+    kept = docs.filter(~F.coalesce(pred, F.lit(False)))
+    _staged_rewrite(spark, n, kept)
+    remaining = spark.table(n).count()
+    return {"deleted": total - remaining, "remaining": remaining}
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_name: str,
+    set_exprs: dict,
+    query: str | None = None,
+    *,
+    text_col: "str | list[str] | None" = None,
+) -> dict:
+    """ES ``_update_by_query`` with a script: rewrite matching
+    documents' fields. ``set_exprs`` maps column -> SQL expression
+    (evaluated over the row, the painless-script analogue); documents
+    NOT matching ``query`` keep their values. One distributed scan ->
+    conditional projection -> staged rewrite + catalog swap. Returns
+    ``{"updated": n, "total": m}``."""
+    from bigdatasearchpro_spark.operators.querystring import (
+        compile_predicate,
+        dotted_path_resolver,
+        parse_query_string,
+    )
+    from pyspark.sql import functions as F
+
+    n = transform.normalize_index_name(index_name)
+    from bigdatasearchpro_spark.sinks.ddl import is_index_table
+
+    if not is_index_table(spark, n):
+        raise ValueError(f"update_by_query target is not an index: {index_name!r}")
+    docs = spark.table(n)
+    unknown = set(set_exprs) - set(docs.columns)
+    if unknown:
+        raise ValueError(f"update_by_query: unknown columns {sorted(unknown)}")
+    if query is None:
+        pred = F.lit(True)
+    else:
+        fields = (
+            [text_col]
+            if isinstance(text_col, str)
+            else list(text_col)
+            if text_col is not None
+            else search.all_string_cols(docs)
+        )
+        node = parse_query_string(query)
+        pred = F.coalesce(
+            compile_predicate(
+                node, default_cols=fields, valid_fields=fields,
+                nested_resolver=dotted_path_resolver(docs),
+            ),
+            F.lit(False),
+        )
+    updated = docs.filter(pred).count()
+    total = docs.count()
+    rewritten = docs.select(
+        *[
+            F.when(pred, F.expr(set_exprs[c]).cast(docs.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in docs.columns
+        ]
+    )
+    _staged_rewrite(spark, n, rewritten)
+    return {"updated": updated, "total": total}
+
+
+def cat_indices(spark: SparkSession) -> DataFrame:
+    """ES ``GET _cat/indices`` — one row per index with its doc count
+    and shard setting (the operational overview endpoint; the reference
+    watched the same numbers in Kibana, README.md:12, 809). Counts are
+    parquet-metadata reads per index — catalog-sized work, never a
+    corpus scan."""
+    from bigdatasearchpro_spark.sinks import ddl
+
+    from bigdatasearchpro_spark.sinks.ddl import DEFAULT_SHARDS
+
+    rows = []
+    for r in ddl.list_indices(spark).collect():
+        name = r["index_name"]
+        # every ES index has a shard count; indices created through the
+        # bulk path without explicit settings carry the default (the
+        # reference's 5, BulkProcessImpl.java:66)
+        shards = DEFAULT_SHARDS
+        for p in spark.sql(f"SHOW TBLPROPERTIES {name}").collect():
+            if p["key"] == "shards":
+                shards = int(p["value"])
+        rows.append((name, spark.table(name).count(), shards))
+    return spark.createDataFrame(
+        rows, "index_name string, docs_count long, shards int"
+    )
+
+
+def update_settings(spark: SparkSession, index_name: str, settings: dict) -> dict:
+    """ES ``PUT _settings`` — record index settings as table
+    properties (the reference sets number_of_shards / replicas /
+    refresh_interval at create time, BulkProcessImpl.java:66-68;
+    dynamic settings are updated through this endpoint). Keys are
+    namespaced verbatim; values stringified, like ES."""
+    n = transform.normalize_index_name(index_name)
+    from bigdatasearchpro_spark.sinks.ddl import is_index_table
+
+    if not is_index_table(spark, n):
+        raise ValueError(f"update_settings target is not an index: {index_name!r}")
+    for k, v in settings.items():
+        kq = str(k).replace("'", "''")
+        vq = str(v).replace("'", "''")
+        spark.sql(f"ALTER TABLE {n} SET TBLPROPERTIES ('{kq}' = '{vq}')")
+    return get_settings(spark, n)
+
+
+def get_settings(spark: SparkSession, index_name: str) -> dict:
+    """ES ``GET _settings`` — the index's recorded settings (table
+    properties, engine markers filtered out)."""
+    n = transform.normalize_index_name(index_name)
+    from bigdatasearchpro_spark.sinks.ddl import INDEX_MARKER
+
+    return {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {n}").collect()
+        if r["key"] != INDEX_MARKER and not r["key"].startswith("transient")
+    }

@@ -1194,6 +1194,116 @@ def s13_snapshot_restore(spark, sf_dir):
 
 
 @register(
+    "s14_delete_by_query",
+    """
+    SELECT doc_id::VARCHAR AS doc_id, lang FROM documents
+    WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x = 'spark')) = 0
+    """,
+)
+def s14_delete_by_query(spark, sf_dir):
+    """S14 [ES parity]: ``_delete_by_query`` — remove every document
+    matching a query string (ES: internal scroll + bulk deletes; here
+    ONE distributed scan -> anti-filter -> staged rewrite published
+    with the force-merge swap protocol, so a failure never loses the
+    index). The oracle is the complement set: the index must hold
+    exactly the documents NOT matching the query (api.delete_by_query);
+    the deleted count is asserted against the match count."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = f"dbq_idx_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(
+        spark, docs.select("doc_id", "text", "lang"), idx, id_col="doc_id"
+    )
+    try:
+        before = spark.table(idx).count()
+        res = api.delete_by_query(spark, idx, "spark", text_col="text")
+        assert res["deleted"] + res["remaining"] == before
+        assert res["remaining"] == spark.table(idx).count()
+        rows = spark.table(idx).select("doc_id", "lang").collect()
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
+@register(
+    "s15_update_by_query",
+    """
+    SELECT doc_id::VARCHAR AS doc_id,
+           CASE WHEN len(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x = 'spark')) > 0
+                THEN 'xx' ELSE lang END AS lang
+    FROM documents
+    """,
+)
+def s15_update_by_query(spark, sf_dir):
+    """S15 [ES parity]: ``_update_by_query`` with a script — rewrite a
+    field on every document matching a query string, leaving the rest
+    untouched (ES: scroll + scripted bulk updates; here ONE conditional
+    projection over one scan, published with the staged-swap protocol).
+    The oracle replays the CASE: matched docs get lang='xx', others
+    keep theirs (api.update_by_query)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = f"ubq_idx_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(
+        spark, docs.select("doc_id", "text", "lang"), idx, id_col="doc_id"
+    )
+    try:
+        res = api.update_by_query(
+            spark, idx, {"lang": "'xx'"}, "spark", text_col="text"
+        )
+        assert res["total"] == spark.table(idx).count()
+        rows = spark.table(idx).select("doc_id", "lang").collect()
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
+@register(
+    "s16_cat_indices",
+    """
+    SELECT 'cat_idx_nation' AS index_name,
+           (SELECT count(*) FROM nation) AS docs_count, 5 AS shards
+    UNION ALL
+    SELECT 'cat_idx_region', (SELECT count(*) FROM region), 5
+    ORDER BY index_name
+    """,
+)
+def s16_cat_indices(spark, sf_dir):
+    """S16 [ES parity]: ``GET _cat/indices`` — the operational overview
+    (index, doc count, shard setting) the reference watched in Kibana
+    (README.md:12, 809). Counts are metadata-sized reads per index;
+    the oracle pins them against the source tables (api.cat_indices).
+    Shards default to the reference's 5 (BulkProcessImpl.java:66)."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    api.bulk_data_to_index(spark, nat, "cat_idx_nation", id_col="n_nationkey")
+    api.bulk_data_to_index(spark, reg, "cat_idx_region", id_col="r_regionkey")
+    try:
+        cat = api.cat_indices(spark).filter(
+            F.col("index_name").isin("cat_idx_nation", "cat_idx_region")
+        )
+        rows = cat.orderBy("index_name").collect()
+        schema = cat.schema
+    finally:
+        api.delete_index(spark, "cat_idx_nation")
+        api.delete_index(spark, "cat_idx_region")
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "q12_shipmode_priority",
     """
     SELECT l.l_linestatus AS shipmode_class,

@@ -446,3 +446,63 @@ def test_segment_dedup_keeps_token_empty_docs(spark):
     assert set(rows) == {1, 2, 3}
     assert rows[2]["n_segments"] == 0 and rows[2]["clean_text"] == ""
     assert rows[3]["n_segments"] == 0 and rows[3]["clean_text"] == ""
+
+
+def test_update_and_get_settings(spark, sf_dir):
+    """ES _settings round-trip: dynamic settings persist as table
+    properties and read back; non-index targets refuse."""
+    import pytest as _pytest
+
+    idx = "settings_idx"
+    api.bulk_data_to_index(
+        spark, load_table(spark, sf_dir, "region"), idx, id_col="r_regionkey"
+    )
+    try:
+        out = api.update_settings(
+            spark, idx, {"index.refresh_interval": "-1", "index.number_of_replicas": 0}
+        )
+        assert out["index.refresh_interval"] == "-1"
+        assert out["index.number_of_replicas"] == "0"
+        assert api.get_settings(spark, idx)["index.refresh_interval"] == "-1"
+        with _pytest.raises(ValueError, match="not an index"):
+            api.update_settings(spark, "no_such_index_xyz", {"a": 1})
+    finally:
+        api.delete_index(spark, idx)
+
+
+def test_analyze_endpoint_analyzers(spark):
+    assert api.analyze(spark, "The Tables, Running!") == [
+        "the", "tables", "running",
+    ]
+    assert api.analyze(spark, "The Tables, Running!", analyzer="english") == [
+        "table", "runn",
+    ]
+    assert api.analyze(spark, "The Tables, Running!", analyzer="whitespace") == [
+        "The", "Tables,", "Running!",
+    ]
+
+
+def test_delete_by_query_guards(spark, sf_dir):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an index"):
+        api.delete_by_query(spark, "no_such_index_xyz", "x")
+
+
+def test_update_by_query_unknown_column(spark, sf_dir):
+    import pytest as _pytest
+
+    idx = "ubq_guard_idx"
+    api.bulk_data_to_index(
+        spark, load_table(spark, sf_dir, "region"), idx, id_col="r_regionkey"
+    )
+    try:
+        with _pytest.raises(ValueError, match="unknown columns"):
+            api.update_by_query(spark, idx, {"nope": "'x'"})
+        # unqueried update touches every row, types preserved
+        res = api.update_by_query(spark, idx, {"r_name": "upper(r_name)"})
+        assert res["updated"] == res["total"] == spark.table(idx).count()
+        names = [r["r_name"] for r in spark.table(idx).collect()]
+        assert all(n == n.upper() for n in names)
+    finally:
+        api.delete_index(spark, idx)

@@ -49,6 +49,7 @@ _R5_FIXED_OR_NEW = (
     "s14_delete_by_query",
     "s15_update_by_query",
     "s16_cat_indices",
+    "l5_ngram_repetition",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

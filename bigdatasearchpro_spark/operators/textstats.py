@@ -270,6 +270,66 @@ def repetition_stats(
     )
 
 
+def ngram_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    ns: "tuple[int, ...]" = (2, 3),
+) -> DataFrame:
+    """Gopher-style n-gram repetition quality signals (Rae et al. 2021
+    repetition filters, token-level analogue): per document and per
+    ``n`` — ``dup_{n}gram_frac`` = 1 - distinct/total n-gram
+    occurrences, ``top_{n}gram_frac`` = the most frequent n-gram's
+    share of occurrences. Wide output, one row per doc with at least
+    one n-gram; docs shorter than every ``n`` drop out (no signal
+    exists), columns are NULL for the ns a doc is too short for.
+
+    Plan: one shingle explode per n (unioned with an ``n`` tag), a
+    two-level hash agg ((doc, n, shingle) counts then per-(doc, n)
+    rollup — both stages map-side partial), and a conditional-agg
+    pivot back to one row per doc. Shuffles carry (id, n, shingle
+    hash-sized strings, count) — never documents.
+    """
+    from bigdatasearchpro_spark.operators.curation import _shingles
+    from bigdatasearchpro_spark.operators.search import tokens_expr
+
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+    exploded = None
+    for n in ns:
+        part = toked.select(
+            F.col(id_col),
+            F.lit(int(n)).alias("__n"),
+            F.explode(_shingles(F.col("__t"), int(n))).alias("__s"),
+        )
+        exploded = part if exploded is None else exploded.unionByName(part)
+    counts = exploded.groupBy(id_col, "__n", "__s").agg(F.count("*").alias("__c"))
+    per_n = counts.groupBy(id_col, "__n").agg(
+        F.sum("__c").alias("__total"),
+        F.count("*").alias("__dist"),
+        F.max("__c").alias("__max"),
+    )
+    aggs = []
+    for n in ns:
+        is_n = F.col("__n") == int(n)
+        aggs.append(
+            F.max(
+                F.when(
+                    is_n,
+                    F.round(
+                        F.lit(1.0) - F.col("__dist") / F.col("__total"), 4
+                    ),
+                )
+            ).alias(f"dup_{n}gram_frac")
+        )
+        aggs.append(
+            F.max(
+                F.when(is_n, F.round(F.col("__max") / F.col("__total"), 4))
+            ).alias(f"top_{n}gram_frac")
+        )
+    return per_n.groupBy(id_col).agg(*aggs)
+
+
 def chunk_documents(
     df: DataFrame,
     *,

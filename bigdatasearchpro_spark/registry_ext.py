@@ -1077,6 +1077,59 @@ def l5_dataset_split_md5(spark, sf_dir):
 
 
 @register(
+    "l5_ngram_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, nn.n,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - nn.n + 1, 0)),
+               i -> array_to_string(t[i : i + nn.n - 1], ' '))) AS s
+      FROM toks CROSS JOIN (VALUES (2), (3)) AS nn(n)
+    ),
+    counts AS (
+      SELECT doc_id, n, s, count(*) AS c FROM sh GROUP BY doc_id, n, s
+    ),
+    per AS (
+      SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS maxc
+      FROM counts GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           max(CASE WHEN n = 2
+               THEN round(1.0 - dist / CAST(total AS DOUBLE), 4) END)
+             AS dup_2gram_frac,
+           max(CASE WHEN n = 2
+               THEN round(maxc / CAST(total AS DOUBLE), 4) END)
+             AS top_2gram_frac,
+           max(CASE WHEN n = 3
+               THEN round(1.0 - dist / CAST(total AS DOUBLE), 4) END)
+             AS dup_3gram_frac,
+           max(CASE WHEN n = 3
+               THEN round(maxc / CAST(total AS DOUBLE), 4) END)
+             AS top_3gram_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def l5_ngram_repetition(spark, sf_dir):
+    """L5 quality: Gopher-style n-gram repetition signals (dup/top
+    fractions for n=2,3 per document — the repetition filters a
+    training pipeline applies before dedup). Two-level hash agg +
+    conditional pivot (textstats.ngram_repetition_signals); the oracle
+    replays the shingling, counting, and pivot in DuckDB."""
+    from bigdatasearchpro_spark.operators.textstats import (
+        ngram_repetition_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_repetition_signals(docs)
+
+
+@register(
     "l5_repetition_stats",
     r"""
     WITH words AS (

@@ -193,3 +193,29 @@ def test_bigram_lm_scores_properties(spark):
         assert r.avg_logprob <= 0.0
     assert rows[1].avg_logprob == rows[2].avg_logprob
     assert rows[1].avg_logprob > rows[3].avg_logprob
+
+
+def test_ngram_repetition_signals(spark):
+    from bigdatasearchpro_spark.operators.textstats import (
+        ngram_repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # heavy 2-gram repetition
+            (2, "u v w x y z"),          # all n-grams unique
+            (3, "q"),                    # too short for any n: drops out
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_repetition_signals(df).collect()}
+    assert set(rows) == {1, 2}
+    # doc 1 bigrams: [ab, ba, ab, ba, ab] -> 5 total, 2 distinct
+    assert rows[1]["dup_2gram_frac"] == round(1 - 2 / 5, 4)
+    assert rows[1]["top_2gram_frac"] == round(3 / 5, 4)
+    # doc 2: everything distinct
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[2]["dup_3gram_frac"] == 0.0
+    # doc 1 trigrams: [aba, bab, aba, bab] -> 4 total, 2 distinct
+    assert rows[1]["dup_3gram_frac"] == 0.5
+    assert rows[1]["top_3gram_frac"] == 0.5

@@ -50,6 +50,10 @@ _R5_FIXED_OR_NEW = (
     "s15_update_by_query",
     "s16_cat_indices",
     "l5_ngram_repetition",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q15_top_supplier",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

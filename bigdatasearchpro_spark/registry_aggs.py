@@ -1304,6 +1304,234 @@ def s16_cat_indices(spark, sf_dir):
 
 
 @register(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4)) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """Relational: TPC-H Q8 shape (national market share) adapted to
+    the fixture (no partsupp; p_type stands in for the part filter) —
+    an 8-way join with BOTH nation legs, region, part and supplier
+    broadcast, reduced to a per-year conditional-sum ratio in ONE
+    aggregation pass. Volumes accumulate in DECIMAL(18,4) (exact,
+    order-independent); only the final share divides as double, which
+    is deterministic given identical operands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                      .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+    return share
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """Relational: TPC-H Q9 shape (product-line profit by nation/year)
+    adapted to the fixture (no partsupp, so profit omits supplycost) —
+    the LIKE filter prunes part BEFORE its broadcast join, supplier and
+    nation broadcast, and the single shuffle is the (nation, year)
+    aggregation. DECIMAL accumulation for the money sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")), 2,
+            ).cast("double").alias("profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= '1995-07-01' AND o.o_orderdate < '1995-10-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """Relational: TPC-H Q10 shape — top-20 customers by returned-item
+    revenue in a quarter. The returnflag + date filters push to the
+    scans, nation broadcasts, and the top-20 is a TakeOrdered over the
+    grouped result (never a global sort). Ties broken by custkey for
+    oracle determinism; DECIMAL money accumulation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")), 2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l.l_suppkey AS suppkey,
+             round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,4))), 2) AS total_revenue
+      FROM lineitem l
+      WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1995-04-01'
+      GROUP BY suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON rev.suppkey = s.s_suppkey
+    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """Relational: TPC-H Q15 shape — supplier(s) with the maximum
+    quarterly revenue: a derived revenue view consumed twice (once for
+    the global-max scalar, once for the equality filter). The revenue
+    aggregate is computed ONCE and cached; the scalar max folds to a
+    literal before the final broadcast join with supplier. DECIMAL
+    revenue so the max-equality compares exact values, not
+    float-rounded ones."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")), 2,
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    try:
+        top = rev.agg(F.max("total_revenue")).first()[0]
+        out = (
+            F.broadcast(rev.filter(F.col("total_revenue") == top))
+            .join(su, F.col("suppkey") == su.s_suppkey)
+            .select(
+                "s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"),
+            )
+            .orderBy("s_suppkey")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        rev.unpersist()
+    return out.sparkSession.createDataFrame(rows, schema)
+
+
+@register(
     "q12_shipmode_priority",
     """
     SELECT l.l_linestatus AS shipmode_class,

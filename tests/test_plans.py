@@ -317,3 +317,57 @@ def test_q19_disjunctive_filters_push_to_both_scans(spark, sf_dir):
     pfs = pushed_filters(df)
     assert any("l_quantity" in p and "Or(" in p for p in pfs)
     assert any("p_brand" in p and "p_size" in p and "Or(" in p for p in pfs)
+
+
+def test_analyzer_entries_single_narrow_filter(spark, sf_dir):
+    """Analyzer choice must only change the expression tree: both
+    analyzer entries stay one scan + one narrow filter (no key shuffle,
+    no explode, no UDF)."""
+    from bigdatasearchpro_spark.plans import exchange_kinds
+
+    for name in ("l3_analyzer_stemmed", "l3_analyzer_whitespace"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan, name  # no explode
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+        assert all(
+            k.lower().startswith("roundrobin") for k in exchange_kinds(df)
+        ), name
+
+
+def test_nested_field_query_single_scan(spark, sf_dir):
+    """Dotted-path scoping adds an expression, not a join/explode; the
+    events scan stays single with the json path evaluated in the
+    filter."""
+    df = QUERIES["l3_nested_field_query"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" not in plan and "Join" not in plan
+
+
+def test_q8_q9_broadcast_dims(spark, sf_dir):
+    """The new TPC-H shapes broadcast every dimension leg: the only
+    sort-merge/shuffled joins permitted are fact-to-fact."""
+    from bigdatasearchpro_spark.plans import has_broadcast_join
+
+    assert has_broadcast_join(QUERIES["q8_market_share"](spark, sf_dir))
+    df9 = QUERIES["q9_product_profit"](spark, sf_dir)
+    plan = df9._jdf.queryExecution().executedPlan().toString()
+    # part/supplier/nation broadcast; only lineitem-orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    from bigdatasearchpro_spark.plans import has_take_ordered
+
+    assert has_take_ordered(QUERIES["q10_returned_items"](spark, sf_dir))
+
+
+def test_ngram_repetition_prunes_to_id_and_text(spark, sf_dir):
+    """The repetition signals read only (doc_id, text); the shuffle
+    carries counts, never documents."""
+    from bigdatasearchpro_spark.plans import read_schema
+
+    df = QUERIES["l5_ngram_repetition"](spark, sf_dir)
+    schemas = " ".join(read_schema(df))
+    assert "lang" not in schemas and "source" not in schemas

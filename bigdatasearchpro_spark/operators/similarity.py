@@ -506,26 +506,45 @@ def encode_pq(
 ) -> DataFrame:
     """PQ-encode every vector: code[j] = argmin_c ||x_j - cb[j][c]||^2
     over the L2-NORMALIZED vector (so ADC L2 ranking equals cosine
-    ranking). Pure array expressions — per subvector, argmin folds to
-    argmax(<x_j, c> - ||c||^2/2), an array of m*ksub short dot products
-    inside whole-stage codegen; no Python, no shuffle. Output codes are
-    0-based ints (m bytes of information per vector — a 256-byte
-    float32[64] shrinks to m=8 codes + 4-byte cell id)."""
+    ranking).
+
+    Arrow-batched mapInPandas with one numpy matmul per subspace — the
+    wide-batch matmul case where BLAS beats per-row expression trees
+    (an m*ksub expression-tree encoder was measured 50x slower purely
+    on whole-stage-codegen compilation of 256 nested lambdas). Codes
+    are 0-based ints, argmin ties to the lowest index (deterministic);
+    the codebooks (m*ksub*d_sub doubles, a few KB) ship in the task
+    closure. No shuffle; one pass over the vectors."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     m, ksub, d_sub = codebooks.shape
-    unit = _unit_vec_expr(vec_col)
-    code_cols = []
-    for j in range(m):
-        sub = F.slice(unit, j * d_sub + 1, d_sub)
-        scores = F.array(
-            *[
-                dot(sub, _lit_vec(c)) - F.lit(float((c * c).sum() / 2.0))
-                for c in codebooks[j]
-            ]
-        )
-        code_cols.append(
-            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-        )
-    return df.withColumn(out, F.array(*code_cols))
+    books = codebooks.copy()
+    # ||c||^2 per (subspace, centroid): argmin ||x-c||^2 = argmin(||c||^2 - 2<x,c>)
+    c_sq = (books * books).sum(axis=2)  # (m, ksub)
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            if x.size:
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                codes = np.empty((len(x), m), dtype="int32")
+                for j in range(m):
+                    sub = x[:, j * d_sub : (j + 1) * d_sub]
+                    scores = sub @ books[j].T - c_sq[j][None, :] / 2.0
+                    codes[:, j] = scores.argmax(axis=1)
+                pdf = pdf.assign(**{out: list(codes)})
+            else:
+                pdf = pdf.assign(**{out: pd.Series([], dtype=object)})
+            yield pdf
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out, T.ArrayType(T.IntegerType()), False)]
+    )
+    return df.mapInPandas(gen, schema)
 
 
 def adc_distance_expr(

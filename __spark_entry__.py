@@ -54,6 +54,9 @@ _R5_FIXED_OR_NEW = (
     "q9_product_profit",
     "q10_returned_items",
     "q15_top_supplier",
+    "s17_orc_text_roundtrip",
+    "w6_distribution_funcs",
+    "l3_exists_query",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -84,6 +84,11 @@ class Range:
 
 
 @dataclass(frozen=True)
+class Exists:
+    field: str
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -256,6 +261,8 @@ class _Parser:
             field, _, rest = w.partition(":")
             if not field or not rest:
                 raise ValueError(f"malformed field clause: {w!r}")
+            if field == "_exists_":  # ES `_exists_:field` syntax
+                return Exists(rest)
             w = rest
             # field-scoped quoted phrases / ranges never reach here: the
             # lexer splits them and _lex_with_fields folds the field in.
@@ -425,6 +432,18 @@ def compile_predicate(
                 return out
 
             return F.exists(toks(n.field), pred)
+        if isinstance(n, Exists):
+            # ES `_exists_:f` — the field has a non-null value. Nested
+            # dotted paths resolve like any scoped clause (a JSON path
+            # that is absent yields NULL).
+            if n.field in valid:
+                return F.col(n.field).isNotNull()
+            nested = _nested(n.field)
+            if nested is not None:
+                return nested.isNotNull()
+            raise ValueError(
+                f"unknown field {n.field!r}; searchable: {sorted(valid)}"
+            )
         if isinstance(n, Not):
             return ~go(n.child)
         if isinstance(n, And):

@@ -371,6 +371,77 @@ def s4_s6_ddl_lifecycle(spark, sf_dir):
 
 
 @register(
+    "s17_orc_text_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey, 'orc' AS via FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'text' AS via FROM nation
+    """,
+)
+def s17_orc_text_roundtrip(spark, sf_dir):
+    """S7+ file sources: ORC (columnar, vectorized reader — same scan
+    machinery as parquet) and line-delimited TEXT (the lowest common
+    denominator for log/corpus ingestion; parsed back with one split
+    projection). Write nation in both, read back, verify against the
+    parquet truth via the oracle."""
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = tempfile.mkdtemp(prefix="s17_files_")
+    n.write.mode("overwrite").orc(base + "/orc")
+    n.select(
+        F.concat_ws(
+            "\t",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(base + "/text")
+    via_orc = spark.read.orc(base + "/orc").select(
+        "n_nationkey", "n_name", "n_regionkey", F.lit("orc").alias("via")
+    )
+    parts = F.split(F.col("value"), "\t")
+    via_text = spark.read.text(base + "/text").select(
+        parts.getItem(0).cast("long").alias("n_nationkey"),
+        parts.getItem(1).alias("n_name"),
+        parts.getItem(2).cast("long").alias("n_regionkey"),
+        F.lit("text").alias("via"),
+    )
+    return via_orc.unionByName(via_text)
+
+
+@register(
+    "w6_distribution_funcs",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w6_distribution_funcs(spark, sf_dir):
+    """§2.5 windows: distribution functions — percent_rank, cume_dist,
+    ntile over a per-customer spend ordering (deterministic tie-break
+    on orderkey). One window spec, one shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "s9_upsert_merge",
     """
     WITH changes AS (

@@ -1508,6 +1508,42 @@ def l3_nested_field_query(spark, sf_dir):
 
 
 
+@register(
+    "l3_exists_query",
+    """
+    SELECT event_id, event_type
+    FROM (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS tag
+      FROM events
+    )
+    WHERE tag IS NOT NULL AND event_type = 'click'
+    ORDER BY event_id
+    """,
+)
+def l3_exists_query(spark, sf_dir):
+    """L3+ ES ``_exists_:field`` query-string syntax — matches
+    documents where the field has a non-null value (the reference's ES
+    exposes it through the same ``?q=`` path). The fixture has no null
+    columns, so nulls are planted deterministically (event_id % 7) and
+    the oracle replays the CASE. Compiles to an IS NOT NULL conjunct in
+    the same single narrow filter as every other clause."""
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tag",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return (
+        query_string_filter(ev, "_exists_:tag AND event_type:click")
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+
 # Part 3 (UDF surface, multimodal ring, embedding near-dup, IVF ANN)
 # registers itself on import.
 from bigdatasearchpro_spark import registry_ext  # noqa: E402,F401

@@ -356,3 +356,28 @@ def test_nested_field_phrase_and_bool(spark):
         ).collect()
     ]
     assert got == [1]
+
+
+def test_exists_query(spark):
+    from bigdatasearchpro_spark.operators.querystring import query_string_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", '{"k": 1}'),
+            (2, None, "{}"),
+            (3, "y", '{"k": 3}'),
+        ],
+        "id long, tag string, props string",
+    )
+    got = lambda q: sorted(
+        r["id"] for r in query_string_filter(df, q).collect()
+    )
+    assert got("_exists_:tag") == [1, 3]
+    assert got("NOT _exists_:tag") == [2]
+    # nested path: absent JSON key is NULL, like ES object fields
+    assert got("_exists_:props.k") == [1, 3]
+    assert got("_exists_:props.k AND tag:y") == [3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown field"):
+        query_string_filter(df, "_exists_:nope").collect()

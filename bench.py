@@ -73,6 +73,14 @@ BENCH_QUERIES = [
     "l5_pack_sequences",
     "st1_tumbling_window",
     "st3_session_window",
+    # r5-new entries: real JPEG decode (pandas-UDF-bound by design),
+    # IVF-PQ ANN (Arrow encode + ADC), english analyzer, n-gram
+    # repetition signals, 8-way join ratio
+    "l6_decode_jpeg",
+    "l4_ann_ivfpq_topk",
+    "l3_analyzer_stemmed",
+    "l5_ngram_repetition",
+    "q8_market_share",
 ]
 
 

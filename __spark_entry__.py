@@ -57,6 +57,7 @@ _R5_FIXED_OR_NEW = (
     "s17_orc_text_roundtrip",
     "w6_distribution_funcs",
     "l3_exists_query",
+    "l3_analyzer_cjk",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -26,7 +26,12 @@ Analyzers:
   attempted (``merged`` stems to ``merg``); the rules are deterministic
   and symmetric, which is the property search correctness needs.
 
-Scale: all three are narrow per-row expressions — no explode, no
+- ``cjk``: latin words tokenize like standard; runs of CJK ideographs
+  emit overlapping bigrams (a lone ideograph emits itself) — ES's
+  ``cjk`` analyzer shape, the standard no-dictionary treatment of
+  unsegmented Chinese/Japanese/Korean text.
+
+Scale: all analyzers are narrow per-row expressions — no explode, no
 shuffle, no UDF; the analyzer choice changes the expression tree only.
 """
 
@@ -111,6 +116,31 @@ def _whitespace_tokens(text: Column) -> Column:
     return F.filter(F.split(text, WHITESPACE_SPLIT_RE), lambda t: t != "")
 
 
+# CJK unified ideographs (the BMP block ES's cjk analyzer covers first)
+CJK_RUN_RE = "[\u4e00-\u9fff]+"
+
+
+def _cjk_tokens(text: Column) -> Column:
+    """ES ``cjk`` analyzer shape: latin words tokenize like standard,
+    and every run of CJK ideographs emits OVERLAPPING BIGRAMS (a lone
+    ideograph emits itself) — the standard no-dictionary approach to
+    unsegmented Chinese/Japanese text. Pure array expressions."""
+    latin = _standard_tokens(text)
+    runs = F.regexp_extract_all(text, F.lit(CJK_RUN_RE), 0)
+    bigrams = F.flatten(
+        F.transform(
+            runs,
+            lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(r) - 1),
+                    lambda i: r.substr(i, F.lit(2)),
+                )
+            ),
+        )
+    )
+    return F.concat(latin, bigrams)
+
+
 def _english_tokens(text: Column) -> Column:
     stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     kept = F.filter(
@@ -127,6 +157,16 @@ def _whitespace_analyze(q: str) -> list[str]:
     return [t for t in re.split(WHITESPACE_SPLIT_RE, q) if t]
 
 
+def _cjk_analyze(q: str) -> list[str]:
+    out = _standard_analyze(q)
+    for run in re.findall(CJK_RUN_RE, q):
+        if len(run) == 1:
+            out.append(run)
+        else:
+            out.extend(run[i : i + 2] for i in range(len(run) - 1))
+    return out
+
+
 def _english_analyze(q: str) -> list[str]:
     return [
         stem_token(t) for t in _standard_analyze(q) if t not in STOPWORDS_EN
@@ -140,6 +180,7 @@ ANALYZERS = {
     "standard": (_standard_tokens, _standard_analyze),
     "whitespace": (_whitespace_tokens, _whitespace_analyze),
     "english": (_english_tokens, _english_analyze),
+    "cjk": (_cjk_tokens, _cjk_analyze),
 }
 
 

@@ -332,3 +332,25 @@ def test_search_topk_with_english_analyzer(spark):
     hits = search.search_topk(df, "table", 5, analyzer="english").collect()
     ids = [r["doc_id"] for r in hits]
     assert ids[0] == 1 and set(ids) == {1, 2}
+
+
+def test_cjk_analyzer_bigrams(spark):
+    """ES cjk analyzer shape: ideograph runs emit overlapping bigrams,
+    lone ideographs emit themselves, latin words tokenize standard."""
+    from bigdatasearchpro_spark.operators import analyzers
+
+    zh = "".join(chr(0x4E00 + i) for i in (3, 7, 9, 12))
+    toks = analyzers.analyzer_query(f"Spark {zh} x {chr(0x4E00)}", "cjk")
+    assert toks[:2] == ["spark", "x"]
+    assert zh[0:2] in toks and zh[1:3] in toks and zh[2:4] in toks
+    assert chr(0x4E00) in toks
+    # symmetry: Spark-side expression produces the same token set
+    df = spark.createDataFrame([(1, f"Spark {zh} x {chr(0x4E00)}")], ["id", "text"])
+    got = search.tokenize(df, analyzer="cjk").first()["tokens"]
+    assert sorted(got) == sorted(toks)
+    # a two-ideograph query matches only docs containing the bigram
+    df2 = spark.createDataFrame(
+        [(1, zh), (2, zh[::-1]), (3, "latin only")], ["doc_id", "text"]
+    )
+    hit = search.keyword_match(df2, zh[1:3], analyzer="cjk").collect()
+    assert [r["doc_id"] for r in hit] == [1]

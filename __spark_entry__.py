@@ -58,6 +58,7 @@ _R5_FIXED_OR_NEW = (
     "w6_distribution_funcs",
     "l3_exists_query",
     "l3_analyzer_cjk",
+    "l3_mapped_analyzer_search",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -181,7 +181,19 @@ def query_data(
     )
     boosted = search.parse_boosted_fields(specs)
     fields = [n for n, _ in boosted]  # filter context is boost-invariant
-    matched = query_string_filter(docs, query, default_field=fields, fields=fields)
+    # per-field analyzers from the index mapping (ES: each field is
+    # analyzed by ITS mapped analyzer; unmapped fields stay standard).
+    # When the search targets exactly one mapped field, scoring
+    # analysis follows it too; multi-field _all scoring stays standard
+    # (like ES's _all field, which has its own analyzer).
+    mapping = get_field_mapping(spark, index_name)
+    default_an = (
+        mapping.get(fields[0], "standard") if len(fields) == 1 else "standard"
+    )
+    matched = query_string_filter(
+        docs, query, default_field=fields, fields=fields,
+        analyzer=default_an, field_analyzers=mapping,
+    )
     if sort is not None:
         # ES URI-search `sort=f1[:asc|desc][,f2...]`: relevance is not
         # computed (constant _score, like ES with a sort clause); the
@@ -205,7 +217,7 @@ def query_data(
         )
         rows = page.collect()[from_:]
         return spark.createDataFrame(rows, page.schema) if rows else page.limit(0)
-    weighted = weighted_terms(parse_query_string(query))
+    weighted = weighted_terms(parse_query_string(query), analyzer=default_an)
     terms = [t for t, _ in weighted]
     if not terms:
         # pure-filter query (e.g. only ranges/wildcards): constant score,
@@ -275,7 +287,25 @@ def query_data(
         highlight=highlight,
         term_weights=[w for _, w in weighted],
         keep_zero_hits=True,
+        analyzer=default_an,
     )
+
+
+def get_field_mapping(spark: SparkSession, index_name: str) -> dict:
+    """Per-field analyzer mapping for an index (ES ``GET _mapping``);
+    empty for ``_all`` scatter targets resolved per index, unmarked
+    tables, and views without properties."""
+    try:
+        return ddl.get_mapping(spark, index_name)
+    except Exception:
+        return {}
+
+
+def put_mapping(spark: SparkSession, index_name: str, analyzers: dict) -> dict:
+    """ES ``PUT {index}/_mapping`` — record per-field analyzers; the
+    search path (:func:`query_data`) consults them so index-time and
+    query-time analysis stay symmetric per field."""
+    return ddl.put_mapping(spark, index_name, analyzers)
 
 
 def get_index_data_count(

@@ -328,6 +328,8 @@ def compile_predicate(
     valid_fields: Sequence[str],
     fuzzy_resolver=None,
     nested_resolver=None,
+    analyzer: str = "standard",
+    field_analyzers: "dict[str, str] | None" = None,
 ) -> Column:
     """Compile a parsed query to a single boolean expression. Each
     referenced field's token array is a ``tokens_expr`` over that
@@ -356,17 +358,24 @@ def compile_predicate(
                 return expr
         return None
 
+    def field_an(field: Optional[str]) -> str:
+        """Per-field analyzer resolution (ES: every field is analyzed
+        by ITS mapped analyzer; unscoped/_all clauses use the default)."""
+        if field and field_analyzers:
+            return field_analyzers.get(field, analyzer)
+        return analyzer
+
     def toks(field: Optional[str]) -> Column:
         if field is None:
-            return tokens_expr(list(default_cols))
+            return tokens_expr(list(default_cols), analyzer)
         if field == "_all":
-            return tokens_expr(list(valid_fields))
+            return tokens_expr(list(valid_fields), analyzer)
         if field not in valid:
             nested = _nested(field)
             if nested is not None:
-                return tokens_expr(nested)
+                return tokens_expr(nested, field_an(field))
             raise ValueError(f"unknown field {field!r}; searchable: {sorted(valid)}")
-        return tokens_expr(field)
+        return tokens_expr(field, field_an(field))
 
     def text_cols(field: Optional[str]):
         if field is None:
@@ -382,7 +391,7 @@ def compile_predicate(
 
     def go(n) -> Column:
         if isinstance(n, Term):
-            terms = analyze_query(n.text)
+            terms = analyze_query(n.text, field_an(n.field))
             if not terms:
                 return F.lit(False)
             if n.fuzzy is not None and len(terms) == 1:
@@ -401,16 +410,18 @@ def compile_predicate(
             if len(terms) == 1:
                 return F.array_contains(toks(n.field), terms[0])
             # multi-token term (e.g. foo-bar): ES analyzes to a phrase
-            return phrase_expr(text_cols(n.field), terms)
+            return phrase_expr(text_cols(n.field), terms, field_an(n.field))
         if isinstance(n, Phrase):
-            terms = analyze_query(n.text)
+            terms = analyze_query(n.text, field_an(n.field))
             if not terms:
                 return F.lit(False)
             if len(terms) == 1:
                 return F.array_contains(toks(n.field), terms[0])
             if n.slop > 0:
-                return proximity_expr(text_cols(n.field), terms, n.slop)
-            return phrase_expr(text_cols(n.field), terms)
+                return proximity_expr(
+                    text_cols(n.field), terms, n.slop, field_an(n.field)
+                )
+            return phrase_expr(text_cols(n.field), terms, field_an(n.field))
         if isinstance(n, Wildcard):
             like = wildcard_to_like(n.pattern)
             return F.exists(toks(n.field), lambda t: t.like(like))
@@ -504,6 +515,8 @@ def query_string_filter(
     default_field: "str | Sequence[str] | None" = None,
     fields: Optional[Sequence[str]] = None,
     minimum_should_match: int = 0,
+    analyzer: str = "standard",
+    field_analyzers: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Filter ``docs`` with a raw ES 6.x query string — the reference's
     end-to-end ``?q=`` path run natively. Returns matching rows
@@ -542,6 +555,7 @@ def query_string_filter(
                 compile_predicate(
                     c, default_cols=default, valid_fields=valid,
                     fuzzy_resolver=resolver, nested_resolver=nested,
+                    analyzer=analyzer, field_analyzers=field_analyzers,
                 ),
                 1,
             ).otherwise(0)
@@ -552,13 +566,14 @@ def query_string_filter(
         pred = compile_predicate(
             node, default_cols=default, valid_fields=valid,
             fuzzy_resolver=resolver, nested_resolver=nested,
+            analyzer=analyzer, field_analyzers=field_analyzers,
         )
     from bigdatasearchpro_spark.sources.files import fan_out
 
     return fan_out(docs).filter(pred)
 
 
-def positive_terms(node) -> list[str]:
+def positive_terms(node, analyzer: str = "standard") -> list[str]:
     """Analyzed terms of the non-negated Term/Phrase leaves — what the
     URI-search path scores with after the boolean filter selects the
     result set (wildcards/ranges filter but don't contribute a scoring
@@ -568,7 +583,7 @@ def positive_terms(node) -> list[str]:
     def go(n, negated: bool) -> None:
         if isinstance(n, (Term, Phrase)):
             if not negated:
-                out.extend(analyze_query(n.text))
+                out.extend(analyze_query(n.text, analyzer))
         elif isinstance(n, Not):
             go(n.child, not negated)
         elif isinstance(n, (And, Or)):
@@ -585,7 +600,7 @@ def positive_terms(node) -> list[str]:
     return uniq
 
 
-def weighted_terms(node) -> list[tuple[str, float]]:
+def weighted_terms(node, analyzer: str = "standard") -> list[tuple[str, float]]:
     """Scoring terms with their ``^boost`` weights: the non-negated
     Term/Phrase leaves' analyzed terms, each weighted by its clause's
     boost (a term under ``(a b)^2`` style grouping isn't supported by
@@ -600,7 +615,7 @@ def weighted_terms(node) -> list[tuple[str, float]]:
     def go(n, negated: bool) -> None:
         if isinstance(n, (Term, Phrase)):
             if not negated:
-                for t in analyze_query(n.text):
+                for t in analyze_query(n.text, analyzer):
                     if t not in weights:
                         weights[t] = n.boost
                         order.append(t)

@@ -353,6 +353,7 @@ def search_paged(
     post_tag: str = "</em>",
     term_weights: "Sequence[float] | None" = None,
     keep_zero_hits: bool = False,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """ES-style result page: hits ``from_ .. from_+size`` of the scored
     ranking, each with its rank and (optionally) a highlighted text
@@ -368,7 +369,7 @@ def search_paged(
     top = search_topk(
         docs, query, from_ + size, id_col=id_col, text_col=text_col,
         scoring=scoring, term_weights=term_weights,
-        keep_zero_hits=keep_zero_hits,
+        keep_zero_hits=keep_zero_hits, analyzer=analyzer,
     )
     from pyspark.sql.window import Window
 
@@ -380,7 +381,7 @@ def search_paged(
     ).filter(F.col("rank") > from_)
     if not highlight:
         return ranked
-    terms = analyze_query(query)
+    terms = analyze_query(query, analyzer)
     src = _text_expr(text_col).alias("__src")
     pattern = "(?i)\\b(" + "|".join(re.escape(t) for t in terms) + ")\\b"
     lit_repl = pre_tag + "$1" + post_tag
@@ -711,15 +712,19 @@ def keyword_match_indexed(
     return hits.select(id_col)
 
 
-def phrase_expr(text_col, terms: Sequence[str]) -> Column:
+def phrase_expr(text_col, terms: Sequence[str], analyzer: str = "standard") -> Column:
     """Per-row predicate: the analyzer tokens contain ``terms``
     CONSECUTIVELY, in order — via token-boundary containment on the
     space-joined token string (exact: tokens contain no spaces)."""
-    joined = F.concat(F.lit(" "), F.array_join(tokens_expr(text_col), " "), F.lit(" "))
+    joined = F.concat(
+        F.lit(" "), F.array_join(tokens_expr(text_col, analyzer), " "), F.lit(" ")
+    )
     return joined.contains(" " + " ".join(terms) + " ")
 
 
-def proximity_expr(text_col, terms: Sequence[str], slop: int) -> Column:
+def proximity_expr(
+    text_col, terms: Sequence[str], slop: int, analyzer: str = "standard"
+) -> Column:
     """Per-row predicate for a sloppy phrase (ES ``"a b"~N``): the
     analyzer tokens contain ``terms`` IN ORDER with at most ``slop``
     extra positions between the first and last match
@@ -740,8 +745,8 @@ def proximity_expr(text_col, terms: Sequence[str], slop: int) -> Column:
     if slop < 0:
         raise ValueError("slop must be >= 0")
     if len(terms) == 1:
-        return F.array_contains(tokens_expr(text_col), terms[0])
-    toks = tokens_expr(text_col)
+        return F.array_contains(tokens_expr(text_col, analyzer), terms[0])
+    toks = tokens_expr(text_col, analyzer)
 
     def positions(term: str) -> Column:
         # index of every occurrence of `term` in the token array

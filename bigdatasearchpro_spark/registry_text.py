@@ -1509,6 +1509,63 @@ def l3_nested_field_query(spark, sf_dir):
 
 
 @register(
+    "l3_mapped_analyzer_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {stem_case_sql('t')} AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents
+      ) WHERE t <> '' AND t NOT IN {_STOPS_SQL}
+    )
+    SELECT d.doc_id::VARCHAR AS doc_id, d.lang
+    FROM documents d
+    WHERE d.doc_id IN (
+      SELECT doc_id FROM toks WHERE term IN ('table', 'sort')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2
+    )
+    ORDER BY d.doc_id::VARCHAR
+    """,
+)
+def l3_mapped_analyzer_search(spark, sf_dir):
+    """L3+ per-field analyzer MAPPING (ES ``PUT _mapping``): the index's
+    text field is mapped to the english analyzer, and the ES-parity
+    search path (api.query_data) consults the mapping — so the
+    INFLECTED query "Tables AND sorted" matches docs containing the base
+    forms, with zero analyzer arguments at query time (exactly how an
+    ES user experiences mappings). The oracle replays the stop set +
+    stemmer over the corpus and requires both stems."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = f"mapped_idx_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(
+        spark, docs.select("doc_id", "text", "lang"), idx, id_col="doc_id"
+    )
+    try:
+        api.put_mapping(spark, idx, {"text": "english"})
+        assert api.get_field_mapping(spark, idx) == {"text": "english"}
+        hits = api.query_data(
+            spark, "Tables AND sorted", idx, k=10000, text_col="text",
+            highlight=False,
+        )
+        matched = (
+            spark.table(idx)
+            .join(hits.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "lang")
+        )
+        rows = matched.collect()
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, "doc_id string, lang string").orderBy(
+        "doc_id"
+    )
+
+
+
+@register(
     "l3_analyzer_cjk",
     """
     WITH zh AS (

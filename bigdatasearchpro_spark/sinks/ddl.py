@@ -202,3 +202,52 @@ def list_aliases(spark: SparkSession) -> DataFrame:
             if v and "does not have property" not in v:
                 edges.extend((t.name, ix) for ix in v.split(","))
     return spark.createDataFrame(edges or [], "alias string, index_name string")
+
+
+# --------------------------------------------------------------------------
+# Field mappings (ES `PUT {index}/_mapping`): per-field analyzer choice,
+# recorded as table properties and consulted by the search path. The
+# reference never sets a mapping (ES 6.x dynamic mapping, SURVEY.md §1.2);
+# this is the explicit-analyzer surface ES exposes on top.
+# --------------------------------------------------------------------------
+
+ANALYZER_PROP_PREFIX = "bdsp.analyzer."
+
+
+def put_mapping(
+    spark: SparkSession, index_name: str, analyzers: "dict[str, str]"
+) -> dict:
+    """Record per-field analyzers for an index (ES ``PUT _mapping`` with
+    ``"analyzer": ...`` per property). Fields must exist in the index
+    schema; analyzer names must be registered. Re-putting re-points,
+    like ES on compatible mapping updates."""
+    from bigdatasearchpro_spark.operators.analyzers import ANALYZERS
+
+    n = normalize_index_name(index_name)
+    if not is_index_table(spark, n):
+        raise ValueError(f"put_mapping target is not an index: {index_name!r}")
+    cols = set(spark.table(n).columns)
+    for field, an in analyzers.items():
+        if field not in cols:
+            raise ValueError(f"unknown field {field!r} in mapping for {n!r}")
+        if an not in ANALYZERS:
+            raise ValueError(
+                f"unknown analyzer {an!r} (have {sorted(ANALYZERS)})"
+            )
+    for field, an in analyzers.items():
+        spark.sql(
+            f"ALTER TABLE {n} SET TBLPROPERTIES "
+            f"('{ANALYZER_PROP_PREFIX}{field}' = '{an}')"
+        )
+    return get_mapping(spark, n)
+
+
+def get_mapping(spark: SparkSession, index_name: str) -> dict:
+    """field -> analyzer for an index (ES ``GET _mapping``); fields
+    without an explicit mapping are absent (they analyze standard)."""
+    n = normalize_index_name(index_name)
+    out = {}
+    for r in spark.sql(f"SHOW TBLPROPERTIES {n}").collect():
+        if r["key"].startswith(ANALYZER_PROP_PREFIX):
+            out[r["key"][len(ANALYZER_PROP_PREFIX):]] = r["value"]
+    return out

@@ -506,3 +506,39 @@ def test_update_by_query_unknown_column(spark, sf_dir):
         assert all(n == n.upper() for n in names)
     finally:
         api.delete_index(spark, idx)
+
+
+def test_put_mapping_validation_and_search(spark, sf_dir):
+    """ES _mapping parity: per-field analyzers persist, validate, and
+    drive the search path symmetrically."""
+    import pytest as _pytest
+
+    idx = "mapping_idx"
+    api.bulk_data_to_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "tables sorted"), (2, "unrelated words")],
+            "doc_id long, text string",
+        ),
+        idx,
+        id_col="doc_id",
+    )
+    try:
+        with _pytest.raises(ValueError, match="unknown analyzer"):
+            api.put_mapping(spark, idx, {"text": "nope"})
+        with _pytest.raises(ValueError, match="unknown field"):
+            api.put_mapping(spark, idx, {"nope": "english"})
+        api.put_mapping(spark, idx, {"text": "english"})
+        assert api.get_field_mapping(spark, idx) == {"text": "english"}
+        # inflected query matches through the mapping, no analyzer arg
+        hits = api.query_data(
+            spark, "table sorting", idx, text_col="text", highlight=False
+        ).collect()
+        assert [r["doc_id"] for r in hits] == ["1"]
+        # field-scoped clause uses the field's mapped analyzer too
+        hits2 = api.query_data(
+            spark, "text:tables", idx, text_col="text", highlight=False
+        ).collect()
+        assert [r["doc_id"] for r in hits2] == ["1"]
+    finally:
+        api.delete_index(spark, idx)

@@ -59,6 +59,7 @@ _R5_FIXED_OR_NEW = (
     "l3_exists_query",
     "l3_analyzer_cjk",
     "l3_mapped_analyzer_search",
+    "ts4_resample_ffill",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -1194,6 +1194,76 @@ def s13_snapshot_restore(spark, sf_dir):
 
 
 @register(
+    "ts4_resample_ffill",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE user_id < 10
+      GROUP BY user_id, ts
+    ),
+    grid AS (
+      SELECT u.user_id, g.gts
+      FROM (SELECT DISTINCT user_id FROM obs) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+          TIMESTAMP '2024-01-02 00:00:00',
+          TIMESTAMP '2024-01-16 00:00:00',
+          INTERVAL 6 HOUR)) AS gts
+      ) g
+    )
+    SELECT g.user_id, g.gts AS ts, o.value
+    FROM grid g
+    ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.gts >= o.ts
+    ORDER BY g.user_id, ts
+    """,
+)
+def ts4_resample_ffill(spark, sf_dir):
+    """Time-series: resample to a regular 6-hour grid with per-key
+    forward fill (last observation carried forward) — the gap-bridging
+    primitive behind dashboards and feature engineering on irregular
+    event streams. Implementation: observations and grid markers union
+    into ONE per-user window (`last(value, ignorenulls)` over ts order,
+    grid markers sorting after an equal-ts observation), so the fill
+    is a single shuffle on user_id — no per-grid-point join, no
+    repeated scans; grid points before a user's first observation stay
+    NULL. The oracle is DuckDB's native ASOF LEFT JOIN — a completely
+    different evaluation strategy arriving at the same rows, which is
+    exactly what makes the hash check strong. Ties at identical ts are
+    pre-collapsed with max(value) on both sides."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    obs = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    grid_ts = F.explode(
+        F.sequence(
+            F.lit("2024-01-02 00:00:00").cast("timestamp"),
+            F.lit("2024-01-16 00:00:00").cast("timestamp"),
+            F.expr("INTERVAL 6 HOURS"),
+        )
+    ).alias("ts")
+    grid = obs.select("user_id").distinct().select("user_id", grid_ts)
+    unioned = obs.withColumn("__grid", F.lit(0)).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("value")
+        ).withColumn("__grid", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "__grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumn(
+        "__fill", F.last("value", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("__grid") == 1)
+        .select("user_id", "ts", F.col("__fill").alias("value"))
+        .orderBy("user_id", "ts")
+    )
+
+
+@register(
     "s14_delete_by_query",
     """
     SELECT doc_id::VARCHAR AS doc_id, lang FROM documents

@@ -628,3 +628,80 @@ def ann_topk_ivfpq(
     return cosine_topk(
         shortlist, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
+
+
+def semantic_dedup_int8(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    thr_num: int = 9801,
+    thr_den: int = 10000,
+    sign_dims: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    drop every vector that has a sufficiently-cosine-similar neighbor
+    with a LOWER id; one exemplar per near-duplicate neighborhood
+    survives. Returns ``(id, kept)`` for every input row.
+
+    Engineering: candidates are blocked on the SIGN PATTERN of the
+    first ``sign_dims`` int8-quantized components (near-duplicates
+    almost always share it; the bucket join replaces SemDeDup's
+    k-means-cluster-bounded pairwise pass with the same
+    quadratic-only-within-block cost profile). The similarity test is
+    INTEGER-EXACT: vectors are int8-quantized (portable floor(x+0.5)),
+    and ``cos >= sqrt(thr_num/thr_den)`` is evaluated as
+    ``thr_den * dot^2 >= thr_num * |a|^2 * |b|^2  AND  dot > 0`` — all
+    BIGINT arithmetic, no floating point anywhere in the decision, so
+    the result is bit-reproducible across engines (the DuckDB oracle
+    replays it exactly). Default threshold: cos >= 0.99.
+
+    Scale: the shuffle carries (id, 64 int8 codes, norm, bucket) — no
+    float vectors; block sizes bound the pairwise cost exactly like
+    SemDeDup's clusters."""
+    q = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
+    ql = F.transform(F.col("q"), lambda x: x.cast("long"))
+    norm = F.aggregate(ql, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    bucket = None
+    for i in range(sign_dims):
+        bit = F.when(F.element_at("q", i + 1) < 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    feat = q.select(
+        F.col(id_col), F.col("q"), norm.alias("__n"), bucket.alias("__b")
+    )
+    a = feat.select(
+        F.col(id_col).alias("__ida"), F.col("q").alias("__qa"),
+        F.col("__n").alias("__na"), "__b",
+    )
+    b = feat.select(
+        F.col(id_col).alias("__idb"), F.col("q").alias("__qb"),
+        F.col("__n").alias("__nb"), "__b",
+    )
+    dot = F.aggregate(
+        F.zip_with("__qa", "__qb", lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn("__dot", dot)
+        .filter(
+            (F.col("__dot") > 0)
+            & (
+                F.lit(thr_den) * F.col("__dot") * F.col("__dot")
+                >= F.lit(thr_num) * F.col("__na") * F.col("__nb")
+            )
+        )
+    )
+    dropped = pairs.select(F.col("__ida").alias(id_col)).distinct()
+    return (
+        emb.select(id_col)
+        .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

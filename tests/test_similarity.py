@@ -229,3 +229,26 @@ def test_adc_approximates_exact_distance(spark, sf_dir):
         # bias -- without affecting the ranking the probe uses)
     finally:
         emb.unpersist()
+
+
+def test_semantic_dedup_drops_planted_twins(spark, sf_dir):
+    """SemDeDup shape: the planted near-twin (id+100000) must be
+    dropped, its lower-id exemplar kept; vectors without neighbors all
+    survive; decision is deterministic across runs."""
+    from bigdatasearchpro_spark.registry_ext import _with_synthetic_near_vectors
+
+    emb = _with_synthetic_near_vectors(
+        load_table(spark, sf_dir, "embeddings").limit(100)
+    )
+    out = {r["vec_id"]: r["kept"] for r in
+           similarity.semantic_dedup_int8(emb).collect()}
+    planted = [v for v in out if v >= 100000]
+    assert planted, "fixture should plant twins"
+    # every planted twin has its exemplar (v-100000) present and kept
+    for v in planted:
+        assert out[v - 100000] is True
+        assert out[v] is False, f"twin {v} not deduped"
+    # determinism
+    out2 = {r["vec_id"]: r["kept"] for r in
+            similarity.semantic_dedup_int8(emb).collect()}
+    assert out == out2

@@ -61,6 +61,7 @@ _R5_FIXED_OR_NEW = (
     "l3_mapped_analyzer_search",
     "ts4_resample_ffill",
     "l2_semantic_dedup",
+    "l3_function_score",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

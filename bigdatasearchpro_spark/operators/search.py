@@ -142,6 +142,7 @@ def bm25_per_doc(
     id_col: str = "doc_id",
     text_col: TextCols = "text",
     analyzer: str = "standard",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The single-scan scoring projection: (id, dl, tf_0..tf_{k-1}) —
     document length and per-query-term frequencies computed with array
@@ -154,10 +155,13 @@ def bm25_per_doc(
         return lambda x: x == F.lit(term)
 
     toked = fan_out(docs).select(
-        F.col(id_col), tokens_expr(text_col, analyzer).alias("__toks")
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        tokens_expr(text_col, analyzer).alias("__toks"),
     )
     return toked.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.size("__toks").cast("double").alias("dl"),
         *[
             F.size(F.filter("__toks", _eq(t))).alias(f"tf_{i}")
@@ -1256,3 +1260,87 @@ def phrase_prefix_match(
     from bigdatasearchpro_spark.sources.files import fan_out
 
     return fan_out(docs).filter(phrase_prefix_expr(text_col, terms)).select(id_col)
+
+
+def function_score_topk(
+    docs: DataFrame,
+    query: str,
+    factor: Column,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor``-style
+    multiplier: ``score = BM25(query) * factor(doc)``, ranked AFTER the
+    multiplication (a high factor can promote a low-BM25 hit into the
+    page — the behavior ``rescore`` cannot express). ``factor`` is any
+    numeric Column over the document row (ES's field value with
+    modifier/weight folded in by the caller).
+
+    Same single-scan shape as :func:`search_topk`: the factor rides the
+    cached per-doc integer projection, the raw (unrounded) BM25 sum is
+    multiplied by it, and only the PRODUCT rounds to ``round_to`` —
+    deterministic and oracle-comparable. Top-k is a TakeOrdered over
+    the scored projection."""
+    import math
+
+    terms = analyze_query(query, analyzer)
+    spark = docs.sparkSession
+    if not terms:
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    pre = docs.withColumn("__factor", factor.cast("double"))
+    per_doc = bm25_per_doc(
+        pre, terms, id_col=id_col, text_col=text_col, analyzer=analyzer,
+        extra_cols=["__factor"],
+    )
+    per_doc.persist()
+    try:
+        stats = per_doc.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        ).first()
+        n_docs = float(stats["n"])
+        avgdl = float(stats["avgdl"] or 0.0)
+        parts = []
+        any_hit = None
+        for i in range(len(terms)):
+            dfi = float(stats[f"df_{i}"])
+            c = F.col(f"tf_{i}") > 0
+            any_hit = c if any_hit is None else (any_hit | c)
+            if dfi == 0:
+                continue
+            tf = F.col(f"tf_{i}").cast("double")
+            idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+            contrib = F.lit(idf) * (tf * (k1 + 1.0)) / (
+                tf + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+            )
+            parts.append(F.when(c, contrib).otherwise(F.lit(0.0)))
+        if not parts:
+            return docs.select(
+                F.col(id_col), F.lit(0.0).alias("score")
+            ).limit(0)
+        raw = parts[0]
+        for p in parts[1:]:
+            raw = raw + p
+        topk = (
+            per_doc.filter(any_hit)
+            .select(
+                F.col(id_col),
+                F.round(raw * F.col("__factor"), round_to).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+        rows, schema = topk.collect(), topk.schema
+    finally:
+        per_doc.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -1509,6 +1509,55 @@ def l3_nested_field_query(spark, sf_dir):
 
 
 @register(
+    "l3_function_score",
+    f"""
+    WITH {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl)
+    SELECT tf.doc_id,
+           round(sum(
+             ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+           ) * (1.0 + 0.1 * (tf.doc_id % 7)), 4) AS score
+    FROM tf
+    CROSS JOIN nn CROSS JOIN avgdl
+    JOIN dfs ON tf.term = dfs.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_function_score(spark, sf_dir):
+    """L3+ ES ``function_score`` / ``field_value_factor``: final score =
+    BM25 * per-doc factor, ranked AFTER the multiplication (a popular
+    doc can out-rank a slightly-better text match — the ranking shape
+    rescore cannot express; ES boosts search results by popularity/
+    recency exactly this way). The fixture has no numeric attribute, so
+    the factor is the deterministic 1 + 0.1*(doc_id % 7); the oracle
+    multiplies the same factor into the flagship BM25 SQL, and only the
+    PRODUCT rounds — so the hash check covers the unrounded
+    composition. search.function_score_topk, single corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    factor = 1.0 + 0.1 * (F.col("doc_id") % 7).cast("double")
+    return search.function_score_topk(docs, SEARCH_QUERY, factor, 10)
+
+
+
+@register(
     "l3_mapped_analyzer_search",
     f"""
     WITH toks AS (

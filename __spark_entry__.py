@@ -62,6 +62,7 @@ _R5_FIXED_OR_NEW = (
     "ts4_resample_ffill",
     "l2_semantic_dedup",
     "l3_function_score",
+    "l5_quality_logit",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -566,3 +566,73 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("__lp"), 4).alias("avg_logprob"),
     )
+
+
+# Linear quality-classifier weights (an interpretable stand-in for the
+# fastText/logreg quality filters production pipelines train; public
+# heuristic weights, one source of truth for the Spark expression AND
+# the oracle SQL generator).
+#
+# The logit is computed in EXACT INTEGER arithmetic: the 4-decimal
+# ratio features scale to ints via the portable floor(x*10000 + 0.5),
+# and the weights below are integer weights on that scaled grid, with
+# the whole sum additionally scaled x4 so 0.25 stays integral. (A
+# straight double weighted-sum rounded to 4dp flaked: Spark's
+# BigDecimal HALF_UP and DuckDB's multiply-and-round disagree on
+# decimal-tie values, which these low-precision features hit
+# constantly.) LOGIT_SCALE converts back: logit = scaled / 40000.
+QUALITY_LOGIT_SCALE = 40000
+# (feature, integer weight on the x40000 logit scale, is_ratio)
+# ratio features arrive as 4-decimal doubles and scale x10000 first;
+# count features are already ints. Real weights: n_words 0.02,
+# stopword_ratio 3.0, punct_ratio -8.0, mean_word_len 0.25.
+QUALITY_LOGIT_IWEIGHTS: tuple[tuple[str, int, bool], ...] = (
+    ("n_words", 800, False),        # 0.02 * 40000
+    ("stopword_ratio", 12, True),   # 3.0 * 40000 / 10000
+    ("punct_ratio", -32, True),     # -8.0 * 40000 / 10000
+    ("mean_word_len", 1, True),     # 0.25 * 40000 / 10000
+)
+QUALITY_LOGIT_IBIAS = -80000  # -2.0 * 40000
+
+
+def quality_logit_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality classifier over :func:`quality_stats` features —
+    the scoring shape of the learned quality filters (fastText/logreg)
+    training pipelines apply before dedup, with fixed interpretable
+    weights. Output: ``(id, logit_scaled, keep)`` where
+    ``logit_scaled`` is the logit on the exact x40000 integer grid and
+    ``keep = logit_scaled > 0`` — bit-reproducible across engines (no
+    float rounding anywhere; see the weight-table comment)."""
+    stats = quality_stats(df, text_col=text_col, id_col=id_col)
+    logit = F.lit(QUALITY_LOGIT_IBIAS).cast("long")
+    for feat, w, is_ratio in QUALITY_LOGIT_IWEIGHTS:
+        if is_ratio:
+            scaled = F.floor(
+                F.col(feat).cast("double") * 10000 + F.lit(0.5)
+            ).cast("long")
+        else:
+            scaled = F.col(feat).cast("long")
+        logit = logit + F.lit(w) * scaled
+    return stats.select(
+        F.col(id_col),
+        logit.alias("logit_scaled"),
+        (logit > 0).alias("keep"),
+    )
+
+
+def quality_logit_sql(stats_cte: str = "qstats") -> str:
+    """The SAME integer weighted sum as SQL over a quality-stats CTE."""
+    expr = str(QUALITY_LOGIT_IBIAS)
+    for feat, w, is_ratio in QUALITY_LOGIT_IWEIGHTS:
+        term = (
+            f"floor({feat}::DOUBLE * 10000 + 0.5)::BIGINT"
+            if is_ratio
+            else f"{feat}::BIGINT"
+        )
+        expr = f"({expr} + {w} * {term})"
+    return (
+        f"SELECT doc_id, {expr}::BIGINT AS logit_scaled, {expr} > 0 AS keep "
+        f"FROM {stats_cte}"
+    )

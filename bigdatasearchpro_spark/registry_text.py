@@ -729,6 +729,44 @@ def j5_similarity_join_exact(spark, sf_dir):
 
 
 @register(
+    "l5_quality_logit",
+    """
+    WITH qstats AS (
+    SELECT doc_id,
+      length(text) AS n_chars,
+      len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_words,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+      round(CASE WHEN length(text) > 0
+        THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text)
+        ELSE 0.0 END, 4) AS punct_ratio,
+      round(CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '')) > 0
+        THEN len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                 t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by'], t)))::DOUBLE
+             / len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> ''))
+        ELSE 0.0 END, 4) AS stopword_ratio,
+      round(CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) > 0
+        THEN list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), t -> length(t)))::DOUBLE
+             / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+        ELSE 0.0 END, 4) AS mean_word_len
+    FROM documents
+    )
+    SELECT doc_id, ((((-80000 + 800 * n_words::BIGINT) + 12 * floor(stopword_ratio::DOUBLE * 10000 + 0.5)::BIGINT) + -32 * floor(punct_ratio::DOUBLE * 10000 + 0.5)::BIGINT) + 1 * floor(mean_word_len::DOUBLE * 10000 + 0.5)::BIGINT)::BIGINT AS logit_scaled, ((((-80000 + 800 * n_words::BIGINT) + 12 * floor(stopword_ratio::DOUBLE * 10000 + 0.5)::BIGINT) + -32 * floor(punct_ratio::DOUBLE * 10000 + 0.5)::BIGINT) + 1 * floor(mean_word_len::DOUBLE * 10000 + 0.5)::BIGINT) > 0 AS keep FROM qstats
+    """,
+)
+def l5_quality_logit(spark, sf_dir):
+    """L5: linear quality-classifier scoring — the logreg/fastText
+    quality-filter shape with fixed interpretable weights over the
+    quality_stats features (length, stopword/punct ratios, mean word
+    length); keep = logit > 0. One narrow projection on top of the
+    stats scan; the oracle regenerates the SAME weighted sum from the
+    one weight table (textstats.quality_logit_sql), so weight drift
+    between engine and oracle is impossible."""
+    return textstats.quality_logit_scores(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "l5_text_quality_stats",
     """
     SELECT doc_id,

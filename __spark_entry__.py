@@ -37,6 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # disk, so the rotation stays honest without hand-maintained lists
 # (the r4-verdict ask: prioritize by verdict age, not by membership in
 # the last window).
+#
+# Round-5 note: 22 NEW entries + 5 code-changed entries outrank the
+# age queue this round, so a 50-slot window carries 23 of the 33
+# r1-latest entries; the remaining 10 r1 carries are the window's
+# overflow (they lead the age queue next round).  First-ever verdicts
+# for new operators > refreshing old-but-valid verdicts.
 _R5_FIXED_OR_NEW = (
     # q12's oracle typing fix (the sole r4 red row — ::BIGINT casts)
     "q12_shipmode_priority",

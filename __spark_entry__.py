@@ -69,6 +69,7 @@ _R5_FIXED_OR_NEW = (
     "l2_semantic_dedup",
     "l3_function_score",
     "l5_quality_logit",
+    "l6_decode_video",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -164,15 +164,19 @@ def decode_media(payload: bytes) -> dict:
         raise ValueError("null payload")
     if payload[:2] == b"P6":
         return decode_ppm(payload)
-    if payload[:4] == b"RIFF":
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from bigdatasearchpro_spark.multimodal.video import decode_video_stats
+
+        return decode_video_stats(payload)
     if payload[:2] == b"\xff\xd8":
         from bigdatasearchpro_spark.multimodal.jpeg import decode_jpeg_stats
 
         return decode_jpeg_stats(payload)
     raise NotImplementedError(
-        "no pure-Python decoder for this format (PPM/WAV/baseline JPEG "
-        "supported; video formats need ffmpeg, absent in this container)"
+        "no pure-Python decoder for this format (PPM / WAV / baseline "
+        "JPEG / AVI-MJPEG supported; other codecs are out of scope)"
     )
 
 
@@ -258,6 +262,55 @@ def synthesize_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "asset_id": pdf[id_col],
                     "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return fan_out(ids.select(id_col)).mapInPandas(gen, schema)
+
+
+def synthesize_video_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture-side VIDEO encoder: one REAL AVI/MJPEG file per id —
+    ``2 + id % 3`` frames, each a 16x16 2x2-block-constant gray image
+    with blocks ``2*((id*3 + frame*5 + block) % 64) + 64`` (even
+    values round-trip the JPEG pipeline exactly; see
+    synthesize_jpeg_assets), so an independent engine recomputes the
+    per-frame pixel sums arithmetically — the ``l6_decode_video``
+    oracle. Frame SAMPLING (decode_avi_mjpeg's ``stride``) is
+    unit-tested; the oracle entry decodes every frame."""
+    from bigdatasearchpro_spark.multimodal.video import encode_avi_mjpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                frames = []
+                for f in range(2 + d % 3):
+                    grays = np.array(
+                        [
+                            2 * ((d * 3 + f * 5 + i) % 64) + 64
+                            for i in range(4)
+                        ],
+                        dtype=np.uint8,
+                    ).reshape(2, 2)
+                    frames.append(
+                        np.kron(grays, np.ones((8, 8), dtype=np.uint8))
+                    )
+                payloads.append(encode_avi_mjpeg(frames))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "kind": ["video"] * len(payloads),
                     "payload": payloads,
                 }
             )

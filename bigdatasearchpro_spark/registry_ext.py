@@ -231,6 +231,44 @@ def l6_decode_jpeg(spark, sf_dir):
 
 
 @register(
+    "l6_decode_video",
+    """
+    SELECT d.doc_id AS asset_id, 'avi_mjpeg' AS fmt,
+           16::INTEGER AS width, 16::INTEGER AS height,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           (2 + d.doc_id % 3)::BIGINT AS n_units,
+           (64 * sum(2 * ((d.doc_id * 3 + fb.f * 5 + fb.i) % 64) + 64))::BIGINT
+             AS val_sum
+    FROM documents d
+    CROSS JOIN (
+      SELECT fr.f, bl.i
+      FROM (SELECT unnest(generate_series(0, 4)) AS f) fr
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) bl
+    ) fb
+    WHERE fb.f < 2 + d.doc_id % 3
+    GROUP BY d.doc_id
+    """,
+)
+def l6_decode_video(spark, sf_dir):
+    """L6 VIDEO: real AVI/MJPEG decode — every doc id becomes an actual
+    AVI container (RIFF hdrl/avih/strl/strf + movi of 00dc chunks) whose
+    frames are real baseline JPEGs, then parsed back by the pure-Python
+    chunk walk + JPEG decoder (multimodal/video.py) inside Arrow-batched
+    mapInPandas. Per-8x8-block-constant frames with even grays
+    round-trip the lossy pipeline exactly, so the oracle recomputes
+    dims/frame-count/pixel-sums arithmetically — any container-offset,
+    alignment, header, or frame-decode bug hash-mismatches. With this,
+    all three modalities (image/audio/video) decode from actual bytes;
+    frame-stride sampling is unit-tested (tests/test_multimodal.py).
+    The reference has no media surface (BulkProcessImpl.java:112-117);
+    [EXT] mandate."""
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return codecs.decode_media_stats(codecs.synthesize_video_assets(ids))
+
+
+@register(
     "l6_resize_plan",
     """
     WITH img AS (

@@ -303,3 +303,78 @@ def test_jpeg_media_stats_dispatch(spark):
         r = stats[d]
         assert (r["fmt"], r["width"], r["height"]) == ("jpeg", 16, 8 * nb)
         assert r["n_units"] == 128 * nb and r["val_sum"] == want_sum
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG video codec (multimodal/video.py)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_stride():
+    import numpy as np
+
+    from bigdatasearchpro_spark.multimodal import video
+
+    frames = []
+    for f in range(5):
+        blocks = np.array([[64 + 2 * f, 100], [150, 200 - 2 * f]])
+        frames.append(np.kron(blocks, np.ones((8, 8), int)).astype(np.uint8))
+    avi = video.encode_avi_mjpeg(frames, fps=12)
+    w, h, total, dec = video.decode_avi_mjpeg(avi)
+    assert (w, h, total) == (16, 16, 5)
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+    # stride samples frames 0, 2, 4; header count still reports all 5
+    w2, h2, t2, dec2 = video.decode_avi_mjpeg(avi, stride=2)
+    assert t2 == 5 and len(dec2) == 3
+    assert all(
+        np.array_equal(d, frames[i]) for d, i in zip(dec2, (0, 2, 4))
+    )
+    # color frames lossy-bounded
+    cf = [np.stack([f, f[::-1], 255 - f], axis=-1) for f in frames[:2]]
+    _, _, _, cdec = video.decode_avi_mjpeg(video.encode_avi_mjpeg(cf))
+    err = np.abs(cdec[0].astype(int) - cf[0].astype(int))
+    assert np.sqrt((err**2).mean()) < 6.0
+
+
+def test_avi_mjpeg_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatasearchpro_spark.multimodal import video
+
+    f = [np.full((8, 8), 100, np.uint8)]
+    avi = video.encode_avi_mjpeg(f)
+    with _pytest.raises(ValueError):
+        video.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        video.decode_avi_mjpeg(avi[:-10])  # truncated: RIFF size mismatch
+    # header frame count must agree with movi chunks
+    bad = bytearray(avi)
+    import struct as _s
+
+    # avih total_frames field: find 'avih', body starts 8 after
+    i = avi.find(b"avih") + 8
+    bad[i + 16 : i + 20] = _s.pack("<I", 7)
+    with _pytest.raises(ValueError, match="frame count"):
+        video.decode_avi_mjpeg(bytes(bad))
+
+
+def test_video_media_stats_dispatch(spark):
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = spark.range(0, 5).selectExpr("id AS doc_id")
+    stats = {
+        r["asset_id"]: r
+        for r in codecs.decode_media_stats(
+            codecs.synthesize_video_assets(ids)
+        ).collect()
+    }
+    for d in range(5):
+        nf = 2 + d % 3
+        want = 64 * sum(
+            2 * ((d * 3 + f * 5 + i) % 64) + 64
+            for f in range(nf)
+            for i in range(4)
+        )
+        r = stats[d]
+        assert (r["fmt"], r["n_units"], r["val_sum"]) == ("avi_mjpeg", nf, want)

@@ -70,6 +70,8 @@ _R5_FIXED_OR_NEW = (
     "l3_function_score",
     "l5_quality_logit",
     "l6_decode_video",
+    "l3_boosting_query",
+    "l3_terms_lookup",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

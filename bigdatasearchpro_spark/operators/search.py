@@ -1344,3 +1344,92 @@ def function_score_topk(
     finally:
         per_doc.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+def boosting_topk(
+    docs: DataFrame,
+    positive_query: str,
+    negative_query: str,
+    k: int = 10,
+    *,
+    negative_boost: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    round_to: int = 4,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES ``boosting`` query: documents matching ``negative_query``
+    stay in the results but their score is DEMOTED by
+    ``negative_boost`` (0..1) — unlike ``must_not``, which removes
+    them. Composes :func:`function_score_topk` with the demotion
+    factor as the per-doc multiplier, so it inherits the single-scan
+    plan and rank-after-multiplication semantics."""
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError("negative_boost must be in [0, 1]")
+    neg_terms = analyze_query(negative_query, analyzer)
+    if neg_terms:
+        toks = tokens_expr(text_col, analyzer)
+        neg_pred = F.arrays_overlap(
+            toks, F.array(*[F.lit(t) for t in set(neg_terms)])
+        )
+        factor = F.when(neg_pred, F.lit(float(negative_boost))).otherwise(
+            F.lit(1.0)
+        )
+    else:
+        factor = F.lit(1.0)
+    return function_score_topk(
+        docs, positive_query, factor, k,
+        id_col=id_col, text_col=text_col, round_to=round_to,
+        analyzer=analyzer,
+    )
+
+
+def ids_query(
+    docs: DataFrame, ids: Sequence, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """ES ``ids`` query: the documents with the given ids — one IN
+    predicate pushed to the scan (PushedFilters shows the id set)."""
+    if not ids:
+        return docs.limit(0)
+    return docs.filter(F.col(id_col).isin(list(ids)))
+
+
+def terms_lookup_filter(
+    docs: DataFrame,
+    field: str,
+    lookup: DataFrame,
+    lookup_col: str,
+    *,
+    analyzer: str = "standard",
+    max_terms: int = 65536,
+) -> DataFrame:
+    """ES ``terms`` lookup: filter by a term set SOURCED FROM ANOTHER
+    INDEX. ES fetches the lookup document and REWRITES to a literal
+    terms query — mirrored here: the lookup side's analyzed terms are
+    collected (bounded by ``max_terms``, the ES
+    ``index.max_terms_count`` guard) and folded into ONE
+    ``arrays_overlap`` literal, so the fact side keeps the same
+    narrow single-scan filter as every other boolean query — no join,
+    no shuffle, no explode."""
+    terms = [
+        r["__term"]
+        for r in lookup.select(
+            F.explode(tokens_expr(lookup_col, analyzer)).alias("__term")
+        )
+        .distinct()
+        .limit(max_terms + 1)
+        .collect()
+    ]
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"terms lookup exceeds max_terms={max_terms} (the ES "
+            "index.max_terms_count guard)"
+        )
+    if not terms:
+        return docs.limit(0)
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    toks = tokens_expr(field, analyzer)
+    return fan_out(docs).filter(
+        F.arrays_overlap(toks, F.array(*[F.lit(t) for t in sorted(terms)]))
+    )

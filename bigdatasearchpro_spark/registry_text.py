@@ -1547,6 +1547,92 @@ def l3_nested_field_query(spark, sf_dir):
 
 
 @register(
+    "l3_boosting_query",
+    f"""
+    WITH {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    neg AS (SELECT DISTINCT doc_id FROM ne WHERE term = 'slow')
+    SELECT tf.doc_id,
+           round(sum(
+             ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+           ) * (CASE WHEN tf.doc_id IN (SELECT doc_id FROM neg)
+                     THEN 0.5 ELSE 1.0 END), 4) AS score
+    FROM tf
+    CROSS JOIN nn CROSS JOIN avgdl
+    JOIN dfs ON tf.term = dfs.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_boosting_query(spark, sf_dir):
+    """L3+ ES ``boosting`` query: docs matching the negative query stay
+    in the ranking but DEMOTED by negative_boost (here 0.5 for docs
+    containing 'slow') — unlike must_not, which removes them. Composed
+    through function_score (single scan, rank after multiplication);
+    the oracle applies the same CASE demotion to the flagship BM25
+    SQL. search.boosting_topk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.boosting_topk(
+        docs, SEARCH_QUERY, "slow", 10, negative_boost=0.5
+    )
+
+
+@register(
+    "l3_terms_lookup",
+    """
+    WITH lk AS (
+      SELECT DISTINCT unnest(list_filter(
+        string_split_regex(lower(source), '[^a-z0-9]+'), t -> t <> ''))
+        AS term
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d, (SELECT list(term) AS terms FROM lk) l
+    WHERE len(list_filter(
+      list_filter(string_split_regex(lower(d.source), '[^a-z0-9]+'),
+                  t -> t <> ''),
+      t -> list_contains(l.terms, t))) > 0
+    ORDER BY d.doc_id
+    """,
+)
+def l3_terms_lookup(spark, sf_dir):
+    """L3+ ES ``terms`` LOOKUP query: the term set comes from a
+    DOCUMENT IN ANOTHER INDEX — exactly ES's terms-lookup contract
+    (fetch the lookup doc's field, rewrite to a literal terms query).
+    Here the lookup docs are documents[doc_id < 5] and the filter
+    returns every doc whose SOURCE field shares a term with theirs — a
+    selective match set (sources partition the corpus). The rewrite
+    keeps the corpus side one narrow arrays_overlap filter — no join,
+    no shuffle; the collected term set is bounded by the ES
+    index.max_terms_count guard (search.terms_lookup_filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lookup = docs.filter(F.col("doc_id") < 5)
+    return (
+        search.terms_lookup_filter(docs, "source", lookup, "source")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+
+@register(
     "l3_function_score",
     f"""
     WITH {_TOKS_CTE},

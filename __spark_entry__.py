@@ -72,6 +72,8 @@ _R5_FIXED_OR_NEW = (
     "l6_decode_video",
     "l3_boosting_query",
     "l3_terms_lookup",
+    "l3_percolate",
+    "s18_rollover",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -838,3 +838,67 @@ def get_settings(spark: SparkSession, index_name: str) -> dict:
         for r in spark.sql(f"SHOW TBLPROPERTIES {n}").collect()
         if r["key"] != INDEX_MARKER and not r["key"].startswith("transient")
     }
+
+
+def rollover(
+    spark: SparkSession,
+    alias: str,
+    *,
+    max_docs: "int | None" = None,
+    dry_run: bool = False,
+) -> dict:
+    """ES ``_rollover`` — the index-lifecycle primitive: when the
+    alias's current write index exceeds a condition (here ``max_docs``,
+    the count condition), create the NEXT generation index (same
+    schema, name pattern ``base-NNNNNN`` incremented) and re-point the
+    alias at it, so writers keep using the alias while data ages out
+    in bounded generations (exactly how ES time-series indices stay
+    write-cheap at scale: the hot index stays small, old generations
+    become read-only targets for force-merge/snapshot).
+
+    The alias must resolve to exactly ONE index. Returns the ES-shaped
+    ``{"old_index", "new_index", "rolled_over", "conditions"}``."""
+    from bigdatasearchpro_spark.sinks.ddl import (
+        add_alias,
+        is_index_table,
+        list_aliases,
+    )
+
+    a = transform.normalize_index_name(alias)
+    targets = [
+        r["index_name"]
+        for r in list_aliases(spark).collect()
+        if r["alias"] == a
+    ]
+    if len(targets) != 1:
+        raise ValueError(
+            f"rollover alias {alias!r} must point at exactly one index "
+            f"(has {targets})"
+        )
+    old = targets[0]
+    if not is_index_table(spark, old):
+        raise ValueError(f"rollover target is not an index: {old!r}")
+    n_docs = spark.table(old).count()
+    met = {"max_docs": max_docs is not None and n_docs >= max_docs}
+    rolled = any(met.values())
+    # generation pattern: trailing _NNNNNN (index names are [a-z0-9_])
+    base, sep, gen = old.rpartition("_")
+    if sep and gen.isdigit() and len(gen) == 6:
+        new = f"{base}_{int(gen) + 1:06d}"
+    else:
+        new = f"{old}_000002"
+    if rolled and not dry_run:
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.table(old).schema.fields
+        )
+        from bigdatasearchpro_spark.sinks.ddl import create_index
+
+        create_index(spark, new, schema_ddl)
+        add_alias(spark, new, a)  # re-point: writers keep using the alias
+    return {
+        "old_index": old,
+        "new_index": new,
+        "rolled_over": rolled and not dry_run,
+        "conditions": {"max_docs": met["max_docs"], "docs": n_docs},
+    }

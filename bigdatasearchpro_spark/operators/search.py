@@ -1433,3 +1433,59 @@ def terms_lookup_filter(
     return fan_out(docs).filter(
         F.arrays_overlap(toks, F.array(*[F.lit(t) for t in sorted(terms)]))
     )
+
+
+def register_percolator_queries(
+    queries: DataFrame,
+    query_col: str = "query",
+    id_col: str = "query_id",
+    *,
+    mode_col: "str | None" = None,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES percolator index shape: stored queries analyzed at REGISTER
+    time into term arrays — ``(query_id, terms, mode)``. The supported
+    subset is term queries with ``any``/``all`` semantics (the
+    percolator's bread-and-butter alerting case); richer grammars
+    percolate one query at a time through query_string_filter."""
+    terms = tokens_expr(query_col, analyzer)
+    mode = (
+        F.coalesce(F.col(mode_col), F.lit("all"))
+        if mode_col is not None
+        else F.lit("all")
+    )
+    return queries.select(
+        F.col(id_col), terms.alias("terms"), mode.alias("mode")
+    ).filter(F.size("terms") > 0)
+
+
+def percolate(
+    registered: DataFrame,
+    doc_text: str,
+    *,
+    id_col: str = "query_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES ``percolate`` query — the REVERSE search: given one document,
+    which STORED queries match it? (The alerting/saved-search surface;
+    ES 6.x runs each registered query against an in-memory index of
+    the doc.) Here the document's analyzed tokens fold into a literal
+    and the match is ONE narrow filter over the registered-queries
+    table — distributed over queries, which is the side that scales
+    (millions of alert subscriptions, one doc at a time).
+
+    ``mode='all'``: every query term must appear in the doc;
+    ``'any'``: at least one."""
+    doc_tokens = analyze_query(doc_text, analyzer)
+    if not doc_tokens:
+        return registered.select(id_col).limit(0)
+    lit_toks = F.array(*[F.lit(t) for t in sorted(set(doc_tokens))])
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    all_ok = F.size(F.array_except(F.col("terms"), lit_toks)) == 0
+    any_ok = F.arrays_overlap(F.col("terms"), lit_toks)
+    return (
+        fan_out(registered)
+        .filter(F.when(F.col("mode") == "any", any_ok).otherwise(all_ok))
+        .select(id_col)
+    )

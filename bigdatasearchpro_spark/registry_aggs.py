@@ -1194,6 +1194,57 @@ def s13_snapshot_restore(spark, sf_dir):
 
 
 @register(
+    "s18_rollover",
+    """
+    SELECT 'roll_idx_000001' AS index_name,
+           (SELECT count(*) FROM nation) AS docs_count
+    UNION ALL
+    SELECT 'roll_idx_000002', 0
+    ORDER BY index_name
+    """,
+)
+def s18_rollover(spark, sf_dir):
+    """S18 [ES parity]: ``_rollover`` — the index-lifecycle primitive.
+    Generation 1 is bulk-loaded past the max_docs condition; rollover
+    creates generation 2 (same schema, _NNNNNN incremented) and
+    re-points the write alias at it. The oracle pins the resulting
+    generation names and doc counts (old keeps its data, new is empty
+    and alias-targeted). api.rollover."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks import ddl
+
+    nat = load_table(spark, sf_dir, "nation")
+    g1, g2, alias = "roll_idx_000001", "roll_idx_000002", "roll_write"
+    api.bulk_data_to_index(spark, nat, g1, id_col="n_nationkey")
+    try:
+        ddl.add_alias(spark, g1, alias)
+        res = api.rollover(spark, alias, max_docs=10)
+        assert res["rolled_over"] and res["new_index"] == g2
+        # the alias now targets generation 2
+        assert [
+            r["index_name"]
+            for r in ddl.list_aliases(spark).collect()
+            if r["alias"] == alias
+        ] == [g2]
+        # dry-run against the fresh (empty) index: condition not met
+        again = api.rollover(spark, alias, max_docs=10, dry_run=True)
+        assert not again["rolled_over"]
+        out = api.cat_indices(spark).filter(
+            F.col("index_name").isin(g1, g2)
+        )
+        rows = (
+            out.select("index_name", "docs_count").orderBy("index_name").collect()
+        )
+    finally:
+        ddl.delete_alias(spark, alias)
+        api.delete_index(spark, g1)
+        api.delete_index(spark, g2)
+    return spark.createDataFrame(rows, "index_name string, docs_count long")
+
+
+@register(
     "ts4_resample_ffill",
     """
     WITH obs AS (

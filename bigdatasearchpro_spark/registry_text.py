@@ -1547,6 +1547,50 @@ def l3_nested_field_query(spark, sf_dir):
 
 
 @register(
+    "l3_percolate",
+    """
+    WITH reg AS (
+      SELECT doc_id AS query_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '')[1:3] AS terms
+      FROM documents
+    ),
+    doc AS (
+      SELECT list_distinct(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+        AS toks
+      FROM documents WHERE doc_id = 7
+    )
+    SELECT r.query_id
+    FROM reg r, doc
+    WHERE len(r.terms) > 0
+      AND len(list_filter(r.terms, t -> NOT list_contains(doc.toks, t))) = 0
+    ORDER BY r.query_id
+    """,
+)
+def l3_percolate(spark, sf_dir):
+    """L3+ ES ``percolate`` — the REVERSE search (which stored queries
+    match this document?), the alerting/saved-search surface. 500
+    stored queries are registered from each doc's first three analyzed
+    tokens (mode=all); the percolated doc is documents[7]. Matching is
+    ONE narrow array filter over the registered-queries table —
+    distributed over the side that scales (subscriptions), the doc
+    folded to a literal. The oracle replays registration + subset
+    matching in DuckDB. search.percolate."""
+    docs = load_table(spark, sf_dir, "documents")
+    stored = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(search.tokens_expr("text"), 1, 3), " ").alias(
+            "query"
+        ),
+    )
+    registered = search.register_percolator_queries(stored)
+    doc_text = docs.filter(F.col("doc_id") == 7).first()["text"]
+    return search.percolate(registered, doc_text).orderBy("query_id")
+
+
+
+@register(
     "l3_boosting_query",
     f"""
     WITH {_TOKS_CTE},

@@ -74,6 +74,9 @@ _R5_FIXED_OR_NEW = (
     "l3_terms_lookup",
     "l3_percolate",
     "s18_rollover",
+    "l3_agg_terms_subagg",
+    "l3_agg_nested_terms",
+    "l3_field_collapse",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

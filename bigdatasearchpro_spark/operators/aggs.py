@@ -406,3 +406,51 @@ def composite_agg(
         F.count("*").alias("doc_count"), *_metric_cols(metrics)
     )
     return out.orderBy(*[F.asc(s) for s in sources]).limit(size)
+
+
+def nested_terms_agg(
+    df: DataFrame,
+    parent_field: str,
+    child_field: str,
+    *,
+    size: int = 10,
+    child_size: int = 3,
+) -> DataFrame:
+    """ES nested bucket aggregation — a ``terms`` agg INSIDE a ``terms``
+    agg (the drill-down shape every Kibana breakdown uses): top
+    ``size`` parent buckets by doc_count, each carrying its top
+    ``child_size`` child buckets.
+
+    One hash aggregation on (parent, child) does all counting; parent
+    totals come from a window SUM over the aggregated bucket rows
+    (bucket-cardinality-sized, never corpus-sized) and children rank
+    inside their parent partition — no second pass over the data.
+    Output: one row per surviving (parent, child) with both counts and
+    the child's rank (ES order: count desc, key asc)."""
+    from pyspark.sql.window import Window
+
+    pairs = df.groupBy(
+        F.col(parent_field).alias("parent_key"),
+        F.col(child_field).alias("child_key"),
+    ).agg(F.count("*").alias("child_count"))
+    wp = Window.partitionBy("parent_key")
+    wr = Window.partitionBy("parent_key").orderBy(
+        F.desc("child_count"), F.asc("child_key")
+    )
+    enriched = pairs.withColumn(
+        "parent_count", F.sum("child_count").over(wp)
+    ).withColumn("child_rank", F.row_number().over(wr))
+    top_parents = (
+        enriched.select("parent_key", "parent_count")
+        .distinct()
+        .orderBy(F.desc("parent_count"), F.asc("parent_key"))
+        .limit(size)
+    )
+    return (
+        enriched.join(F.broadcast(top_parents.select("parent_key")), "parent_key")
+        .filter(F.col("child_rank") <= child_size)
+        .select(
+            "parent_key", "parent_count", "child_key", "child_count",
+            "child_rank",
+        )
+    )

@@ -1489,3 +1489,100 @@ def percolate(
         .filter(F.when(F.col("mode") == "any", any_ok).otherwise(all_ok))
         .select(id_col)
     )
+
+
+def collapse_topk(
+    docs: DataFrame,
+    query: str,
+    collapse_field: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES ``collapse``: the result page carries at most ONE hit per
+    ``collapse_field`` value — the best-scoring representative (the
+    dedupe-by-source/-domain result shape). Ranking: per-field winner
+    by (score desc, id asc), then global top-k of winners.
+
+    Single-scan like :func:`search_topk`: the collapse field rides the
+    per-doc projection; the winner window partitions by the collapse
+    key (each key sorts only its own hits — no global sort), and the
+    final page is a TakeOrdered over the winners."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    terms = analyze_query(query, analyzer)
+    spark = docs.sparkSession
+    if not terms:
+        return docs.select(
+            F.col(id_col), F.col(collapse_field), F.lit(0.0).alias("score")
+        ).limit(0)
+    per_doc = bm25_per_doc(
+        docs, terms, id_col=id_col, text_col=text_col, analyzer=analyzer,
+        extra_cols=[collapse_field],
+    )
+    per_doc.persist()
+    try:
+        stats = per_doc.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        ).first()
+        n_docs = float(stats["n"])
+        avgdl = float(stats["avgdl"] or 0.0)
+        parts, any_hit = [], None
+        for i in range(len(terms)):
+            dfi = float(stats[f"df_{i}"])
+            c = F.col(f"tf_{i}") > 0
+            any_hit = c if any_hit is None else (any_hit | c)
+            if dfi == 0:
+                continue
+            tf = F.col(f"tf_{i}").cast("double")
+            idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+            parts.append(
+                F.when(
+                    c,
+                    F.lit(idf) * (tf * (k1 + 1.0)) / (
+                        tf
+                        + F.lit(k1)
+                        * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                    ),
+                ).otherwise(F.lit(0.0))
+            )
+        if not parts:
+            return docs.select(
+                F.col(id_col), F.col(collapse_field),
+                F.lit(0.0).alias("score"),
+            ).limit(0)
+        raw = parts[0]
+        for p in parts[1:]:
+            raw = raw + p
+        scored = per_doc.filter(any_hit).select(
+            F.col(id_col),
+            F.col(collapse_field),
+            F.round(raw, round_to).alias("score"),
+        )
+        w = Window.partitionBy(collapse_field).orderBy(
+            F.desc("score"), F.asc(id_col)
+        )
+        winners = scored.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") == 1
+        )
+        topk = (
+            winners.select(id_col, collapse_field, "score")
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+        rows, schema = topk.collect(), topk.schema
+    finally:
+        per_doc.unpersist()
+    return spark.createDataFrame(rows, schema)

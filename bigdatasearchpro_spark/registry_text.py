@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bigdatasearchpro_spark.operators import neardup, search, similarity, textstats
+from bigdatasearchpro_spark.operators import aggs, neardup, search, similarity, textstats
 from bigdatasearchpro_spark.registry import register
 from bigdatasearchpro_spark.sources.files import load_table
 
@@ -1542,6 +1542,130 @@ def l3_nested_field_query(spark, sf_dir):
             F.get_json_object("props", "$.k").alias("k"),
         )
         .orderBy("event_id")
+    )
+
+
+
+@register(
+    "l3_field_collapse",
+    f"""
+    WITH {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) AS score
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    winners AS (
+      SELECT s.doc_id, d.source, s.score,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY s.score DESC, s.doc_id ASC) AS r
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, source, score FROM winners
+    WHERE r = 1
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_field_collapse(spark, sf_dir):
+    """L3+ ES ``collapse``: at most one hit per ``source`` in the page
+    — the dedupe-by-domain result shape. Per-source winners rank in a
+    window partitioned by the collapse key (each key sorts only its own
+    hits), then the page is a TakeOrdered of winners; the collapse
+    field rides the single-scan per-doc projection
+    (search.collapse_topk). Oracle: the flagship BM25 SQL + the same
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.collapse_topk(docs, SEARCH_QUERY, "source", 10)
+
+
+
+@register(
+    "l3_agg_terms_subagg",
+    """
+    SELECT lang AS key, count(*) AS doc_count,
+           round(avg(length(text)), 4) AS avg_chars,
+           max(length(text))::BIGINT AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY doc_count DESC, key ASC
+    LIMIT 10
+    """,
+)
+def l3_agg_terms_subagg(spark, sf_dir):
+    """L3+ ES terms aggregation WITH METRIC SUB-AGGREGATIONS — the
+    ``aggs`` nesting every dashboard uses (per-bucket avg/max inside a
+    terms bucket). All metrics compute in the SAME single hash-agg
+    pass as the bucket counts (operators/aggs.terms_agg metrics=)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.terms_agg(
+        docs,
+        "lang",
+        size=10,
+        metrics={
+            "avg_chars": F.round(F.avg(F.length("text")), 4),
+            "max_chars": F.max(F.length("text")).cast("long"),
+        },
+    )
+
+
+@register(
+    "l3_agg_nested_terms",
+    """
+    WITH pairs AS (
+      SELECT lang AS parent_key, source AS child_key, count(*) AS child_count
+      FROM documents GROUP BY lang, source
+    ),
+    enriched AS (
+      SELECT parent_key, child_key, child_count,
+             sum(child_count) OVER (PARTITION BY parent_key) AS parent_count,
+             row_number() OVER (PARTITION BY parent_key
+                                ORDER BY child_count DESC, child_key ASC)
+               AS child_rank
+      FROM pairs
+    )
+    SELECT parent_key, parent_count::BIGINT AS parent_count, child_key,
+           child_count, child_rank
+    FROM enriched
+    WHERE child_rank <= 3
+      AND parent_key IN (
+        SELECT parent_key FROM (
+          SELECT DISTINCT parent_key, parent_count FROM enriched
+          ORDER BY parent_count DESC, parent_key ASC LIMIT 5)
+      )
+    """,
+)
+def l3_agg_nested_terms(spark, sf_dir):
+    """L3+ ES NESTED bucket aggregation (terms inside terms) — top-5
+    languages each with their top-3 sources, the Kibana drill-down
+    shape. ONE hash agg on (lang, source); parent totals and child
+    ranks come from windows over the bucket-cardinality-sized
+    aggregate, never a second corpus pass (aggs.nested_terms_agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.nested_terms_agg(
+        docs, "lang", "source", size=5, child_size=3
     )
 
 

@@ -902,3 +902,44 @@ def rollover(
         "rolled_over": rolled and not dry_run,
         "conditions": {"max_docs": met["max_docs"], "docs": n_docs},
     }
+
+
+def validate_query(
+    spark: SparkSession,
+    query: str,
+    index_name: "str | None" = None,
+    *,
+    text_col: "str | list[str] | None" = None,
+) -> dict:
+    """ES ``_validate/query`` — parse (and, with an index, analyze/
+    resolve) a query string WITHOUT running it; returns the ES-shaped
+    ``{"valid": bool, "explanation": ...}``. With an index the
+    compiled predicate is resolved against the actual schema (unknown
+    fields and malformed clauses are reported, not thrown)."""
+    from bigdatasearchpro_spark.operators.querystring import (
+        parse_query_string,
+        query_string_filter,
+    )
+
+    try:
+        node = parse_query_string(query)
+    except ValueError as e:
+        return {"valid": False, "explanation": f"parse error: {e}"}
+    if index_name is None:
+        return {"valid": True, "explanation": repr(node)}
+    try:
+        docs = spark.table(transform.normalize_index_name(index_name))
+        fields = (
+            [text_col]
+            if isinstance(text_col, str)
+            else list(text_col)
+            if text_col is not None
+            else search.all_string_cols(docs)
+        )
+        probe = query_string_filter(
+            docs, query, default_field=fields, fields=fields
+        )
+        probe.schema  # force analysis
+    except Exception as e:
+        return {"valid": False, "explanation": str(e)}
+    return {"valid": True, "explanation": repr(node)}

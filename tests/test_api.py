@@ -542,3 +542,19 @@ def test_put_mapping_validation_and_search(spark, sf_dir):
         assert [r["doc_id"] for r in hits2] == ["1"]
     finally:
         api.delete_index(spark, idx)
+
+
+def test_validate_query_endpoint(spark, sf_dir):
+    idx = "validate_idx"
+    api.bulk_data_to_index(
+        spark, load_table(spark, sf_dir, "region"), idx, id_col="r_regionkey"
+    )
+    try:
+        assert api.validate_query(spark, "a AND (b OR c)")["valid"]
+        bad = api.validate_query(spark, "field:")
+        assert not bad["valid"] and "parse error" in bad["explanation"]
+        assert api.validate_query(spark, "r_name:asia", idx)["valid"]
+        unk = api.validate_query(spark, "nope_field:x", idx)
+        assert not unk["valid"] and "unknown field" in unk["explanation"]
+    finally:
+        api.delete_index(spark, idx)

@@ -1888,8 +1888,10 @@ def l3_mapped_analyzer_search(spark, sf_dir):
     try:
         api.put_mapping(spark, idx, {"text": "english"})
         assert api.get_field_mapping(spark, idx) == {"text": "english"}
+        # k need only exceed the corpus (500/5000 docs at driver SFs):
+        # the page materializes <= k rows driver-side
         hits = api.query_data(
-            spark, "Tables AND sorted", idx, k=10000, text_col="text",
+            spark, "Tables AND sorted", idx, k=6000, text_col="text",
             highlight=False,
         )
         matched = (

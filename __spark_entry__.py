@@ -77,6 +77,8 @@ _R5_FIXED_OR_NEW = (
     "l3_agg_terms_subagg",
     "l3_agg_nested_terms",
     "l3_field_collapse",
+    "q6_forecast_revenue",
+    "s19_schema_evolution",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -1194,6 +1194,79 @@ def s13_snapshot_restore(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+             AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """Relational: TPC-H Q6 shape — the pure filter-and-aggregate probe
+    (no join): date + discount-band + quantity predicates must ALL push
+    to the parquet scan (PushedFilters), and the aggregate is one
+    partial+final pass with no grouping shuffle beyond the final
+    single-row exchange. DECIMAL money accumulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                      .cast("decimal(18,4)")), 2,
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "s19_schema_evolution",
+    """
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS batch_tag
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey AS batch_tag
+    FROM nation WHERE n_nationkey >= 10
+    ORDER BY n_nationkey
+    """,
+)
+def s19_schema_evolution(spark, sf_dir):
+    """S7+ lakehouse source concern: SCHEMA EVOLUTION — a table whose
+    later files carry an added column. Batch 1 writes (key, name);
+    batch 2 adds ``batch_tag``; a ``mergeSchema`` read unions them with
+    NULLs for the pre-evolution files — exactly how long-lived ingest
+    directories behave. The oracle replays the union. (At scale:
+    mergeSchema reconciles footers at planning time; the scan stays
+    one pass.)"""
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="s19_evo_")
+    n.filter(F.col("n_nationkey") < 10).select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(base + "/b1")
+    n.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("batch_tag")
+    ).write.mode("overwrite").parquet(base + "/b2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base + "/b1", base + "/b2")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "s18_rollover",
     """
     SELECT 'roll_idx_000001' AS index_name,

@@ -398,3 +398,13 @@ def test_collapse_windows_partition_by_key(spark, sf_dir):
     assert len({r["source"] for r in rows}) == len(rows)  # one per key
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: all three predicate families
+    must reach the parquet scan."""
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed

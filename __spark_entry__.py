@@ -79,6 +79,7 @@ _R5_FIXED_OR_NEW = (
     "l3_field_collapse",
     "q6_forecast_revenue",
     "s19_schema_evolution",
+    "l3_percolate_many",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

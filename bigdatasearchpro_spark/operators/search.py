@@ -1586,3 +1586,49 @@ def collapse_topk(
     finally:
         per_doc.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+def percolate_many(
+    registered: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    query_id_col: str = "query_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Distributed MANY-docs x MANY-queries percolation — the alerting
+    join: which stored queries match which incoming documents?
+    (:func:`percolate` handles the one-document case as a narrow
+    filter; this is the batch/stream form where BOTH sides can be
+    large.)
+
+    Plan: explode both sides to (id, token) / (query_id, term) —
+    shuffles carry tokens, never documents — equi-join on the term,
+    then one hash agg counting DISTINCT matched terms per (doc, query):
+    ``mode='all'`` requires the count to reach the query's term count
+    (precomputed per query), ``'any'`` needs >= 1. Both the candidate
+    join and the agg are partial-aggregated map-side; no cross join
+    exists anywhere. Output: (doc_id, query_id) matches."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    q = registered.select(
+        F.col(query_id_col),
+        F.col("mode"),
+        F.size("terms").alias("__need"),
+        F.explode(F.array_distinct("terms")).alias("__term"),
+    )
+    d = fan_out(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens_expr(text_col, analyzer))
+        ).alias("__tok"),
+    )
+    hits = d.join(q, F.col("__tok") == F.col("__term")).groupBy(
+        id_col, query_id_col, "mode", "__need"
+    ).agg(F.count("*").alias("__matched"))
+    return hits.filter(
+        F.when(F.col("mode") == "any", F.col("__matched") >= 1).otherwise(
+            F.col("__matched") >= F.col("__need")
+        )
+    ).select(id_col, query_id_col)

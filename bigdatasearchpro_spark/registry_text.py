@@ -1603,6 +1603,57 @@ def l3_field_collapse(spark, sf_dir):
 
 
 @register(
+    "l3_percolate_many",
+    """
+    WITH reg AS (
+      SELECT doc_id AS query_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')[1:3]) AS terms
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    qx AS (
+      SELECT query_id, len(terms) AS need, unnest(terms) AS term
+      FROM reg WHERE len(terms) > 0
+    ),
+    dx AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')))
+        AS tok
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT d.doc_id, q.query_id
+    FROM dx d JOIN qx q ON d.tok = q.term
+    GROUP BY d.doc_id, q.query_id, q.need
+    HAVING count(*) >= q.need
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_many(spark, sf_dir):
+    """L3+ distributed percolation — the ALERTING JOIN: every incoming
+    doc (ids % 7) matched against every stored query (ids % 5, each
+    registered from a doc's first three distinct analyzed tokens,
+    mode=all). Token-exploded equi-join + one distinct-matched-terms
+    hash agg; shuffles carry tokens, never documents, and no cross
+    join exists (search.percolate_many — the batch form the streaming
+    alert pipeline reuses per micro-batch). Oracle replays the join in
+    DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.array_distinct(F.slice(search.tokens_expr("text"), 1, 3)), " "
+        ).alias("query"),
+    )
+    registered = search.register_percolator_queries(stored)
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    return search.percolate_many(registered, incoming).orderBy(
+        "doc_id", "query_id"
+    )
+
+
+
+@register(
     "l3_agg_terms_subagg",
     """
     SELECT lang AS key, count(*) AS doc_count,

@@ -500,3 +500,49 @@ def stream_static_enriched_agg(
             "n_events",
         )
     )
+
+
+def streaming_percolate(
+    doc_stream: DataFrame,
+    registered: DataFrame,
+    *,
+    id_col: str = "event_id",
+    text_col: str = "event_type",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Streaming ALERTING: match every streamed document against the
+    registered percolator queries (saved searches) — the reverse-search
+    pipeline behind "notify me when a matching doc arrives".
+
+    A stream-static token join is STATELESS (the stored-queries side is
+    static per run; re-registering queries restarts the stream like ES
+    percolator mapping updates): each micro-batch explodes its docs to
+    (id, token), joins the exploded query-term table, and one
+    distinct-matched-terms agg emits (doc, query) alerts — exactly
+    :func:`search.percolate_many` per micro-batch, with only the agg's
+    exchange keyed on the pair. Append-mode friendly: every alert is
+    emitted once, in the batch its document arrived."""
+    from bigdatasearchpro_spark.operators.search import tokens_expr
+
+    q = registered.select(
+        F.col("query_id"),
+        F.col("mode"),
+        F.size("terms").alias("__need"),
+        F.explode(F.array_distinct("terms")).alias("__term"),
+    )
+    d = doc_stream.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens_expr(text_col, analyzer))
+        ).alias("__tok"),
+    )
+    hits = (
+        d.join(F.broadcast(q), F.col("__tok") == F.col("__term"))
+        .groupBy(id_col, "query_id", "mode", "__need")
+        .agg(F.count("*").alias("__matched"))
+    )
+    return hits.filter(
+        F.when(F.col("mode") == "any", F.col("__matched") >= 1).otherwise(
+            F.col("__matched") >= F.col("__need")
+        )
+    ).select(id_col, "query_id")

@@ -403,3 +403,35 @@ def test_stream_static_join_equals_batch(spark, events_dir, batch_events, sf_dir
     expect = stream_static_enriched_agg(batch_events, dim)
     assert _normalize(got) == _normalize(expect)
     assert len(got.collect()) > 0
+
+
+def test_streaming_percolate_equals_batch(spark, events_dir, batch_events, tmp_path):
+    """Streaming percolation (saved-search alerting) must emit exactly
+    the matches the batch percolate_many computes over the same docs."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators import search
+    from bigdatasearchpro_spark.streaming import events_stream, run_to_completion
+    from bigdatasearchpro_spark.streaming.pipelines import streaming_percolate
+
+    stored = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "purchase signup"), (4, "error")],
+        "query_id long, query string",
+    )
+    registered = search.register_percolator_queries(stored).cache()
+    stream = events_stream(spark, events_dir)
+    alerts = streaming_percolate(stream, registered)
+    got = run_to_completion(
+        alerts,
+        checkpoint_dir=str(tmp_path / "ck_perc"),
+        output_mode="complete",
+    )
+    want = search.percolate_many(
+        registered, batch_events, id_col="event_id", text_col="event_type"
+    )
+    g = {(r["event_id"], r["query_id"]) for r in got.collect()}
+    w = {(r["event_id"], r["query_id"]) for r in want.collect()}
+    assert g == w and len(w) > 0
+    # the two-term stored query (mode=all) never fires: an event_type
+    # is a single token
+    assert not any(q == 3 for _, q in w)

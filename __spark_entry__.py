@@ -80,6 +80,7 @@ _R5_FIXED_OR_NEW = (
     "q6_forecast_revenue",
     "s19_schema_evolution",
     "l3_percolate_many",
+    "l5_blocklist_filter",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

@@ -943,3 +943,65 @@ def validate_query(
     except Exception as e:
         return {"valid": False, "explanation": str(e)}
     return {"valid": True, "explanation": repr(node)}
+
+
+def explain_doc(
+    spark: SparkSession,
+    query: str,
+    index_name: str,
+    doc_id,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """ES ``_explain`` — WHY does this document match (or not), with
+    the per-term score breakdown: for each analyzed query term, the
+    doc's tf, the corpus df/idf, and the term's BM25 contribution.
+    Corpus stats come from the same single-scan projection the search
+    path uses; the target doc's row is one filter. Returns the
+    ES-shaped ``{"matched": bool, "value": score, "details": [...]}``."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    docs = spark.table(transform.normalize_index_name(index_name))
+    terms = search.analyze_query(query)
+    if not terms:
+        return {"matched": False, "value": 0.0, "details": []}
+    per_doc = search.bm25_per_doc(docs, terms, id_col=id_col, text_col=text_col)
+    per_doc.persist()
+    try:
+        stats = per_doc.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        ).first()
+        row = per_doc.filter(F.col(id_col) == doc_id).first()
+    finally:
+        per_doc.unpersist()
+    if row is None:
+        raise ValueError(f"doc {doc_id!r} not found in {index_name!r}")
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"] or 0.0)
+    details, total = [], 0.0
+    for i, t in enumerate(terms):
+        tf, dfi = float(row[f"tf_{i}"]), float(stats[f"df_{i}"])
+        if tf > 0 and dfi > 0:
+            idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * row["dl"] / avgdl)
+            )
+        else:
+            idf, contrib = 0.0, 0.0
+        total += contrib
+        details.append(
+            {
+                "term": t, "tf": tf, "df": dfi,
+                "idf": round(idf, 6), "value": round(contrib, 6),
+            }
+        )
+    return {"matched": total > 0, "value": round(total, 4), "details": details}

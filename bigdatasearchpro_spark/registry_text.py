@@ -1603,6 +1603,46 @@ def l3_field_collapse(spark, sf_dir):
 
 
 @register(
+    "l5_blocklist_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(t, x -> list_contains(['dup', 'slow'], x)))
+             AS n_blocked,
+           len(list_filter(t, x -> list_contains(['dup', 'slow'], x))) = 0
+             AS keep
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def l5_blocklist_filter(spark, sf_dir):
+    """L5 curation: blocklist filtering — the C4-style "bad words"
+    gate (docs containing any blocklisted token are dropped; the
+    per-doc blocked-token count is the audit signal). One narrow
+    array-expression projection; the blocklist folds to a literal
+    (real lists are a few thousand terms — still literal-sized; a
+    corpus-scale list would broadcast-join the exploded tokens like
+    decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    block = F.array(F.lit("dup"), F.lit("slow"))
+    toks = search.tokens_expr("text")
+    n_blocked = F.size(
+        F.filter(toks, lambda t: F.array_contains(block, t))
+    )
+    return docs.select(
+        "doc_id",
+        n_blocked.alias("n_blocked"),
+        (n_blocked == 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+
+@register(
     "l3_percolate_many",
     """
     WITH reg AS (

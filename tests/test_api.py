@@ -558,3 +558,34 @@ def test_validate_query_endpoint(spark, sf_dir):
         assert not unk["valid"] and "unknown field" in unk["explanation"]
     finally:
         api.delete_index(spark, idx)
+
+
+def test_explain_doc_matches_search_score(spark, sf_dir):
+    """_explain's total must equal the flagship search score for the
+    same doc, and per-term details must be consistent."""
+    import bigdatasearchpro_spark.registry_text as rt
+
+    idx = "explain_idx"
+    api.bulk_data_to_index(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        idx,
+        id_col="doc_id",
+    )
+    try:
+        from bigdatasearchpro_spark.operators import search as s
+
+        top = s.search_topk(
+            spark.table(idx), rt.SEARCH_QUERY, 3, id_col="doc_id"
+        ).collect()
+        best_id, best_score = top[0]["doc_id"], top[0]["score"]
+        exp = api.explain_doc(spark, rt.SEARCH_QUERY, idx, best_id)
+        assert exp["matched"] and abs(exp["value"] - best_score) < 1e-3
+        assert sum(d["value"] for d in exp["details"]) == __import__(
+            "pytest"
+        ).approx(exp["value"], abs=1e-3)
+        # a term absent from the doc contributes 0
+        miss = api.explain_doc(spark, "zzzunseen", idx, best_id)
+        assert not miss["matched"] and miss["value"] == 0.0
+    finally:
+        api.delete_index(spark, idx)

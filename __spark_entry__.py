@@ -81,6 +81,8 @@ _R5_FIXED_OR_NEW = (
     "s19_schema_evolution",
     "l3_percolate_many",
     "l5_blocklist_filter",
+    "f7_hash_funcs",
+    "l4_batch_query_topk",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

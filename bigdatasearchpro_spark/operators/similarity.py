@@ -705,3 +705,63 @@ def semantic_dedup_int8(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def batch_cosine_topk(
+    embeddings: DataFrame,
+    query_vecs: "dict[object, Sequence[float]]",
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """MANY query vectors scored in ONE corpus pass — the batched
+    serving path (a retrieval system answers queries in batches, not
+    one scan per query). The query matrix ships in the task closure;
+    each Arrow batch computes all scores with one numpy matmul (the
+    documented wide-batch BLAS case — an expression tree per query
+    would re-scan or blow up codegen), then per-query top-k ranks in a
+    window PARTITIONED BY query (each query sorts only its own
+    candidate rows). Output: (query_id, vec_id, score, rank)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    qids = list(query_vecs.keys())
+    q = np.asarray([query_vecs[i] for i in qids], dtype="float64")
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            out = {"qi": [], id_col: [], "score": []}
+            if x.size:
+                norms = np.maximum(np.linalg.norm(x, axis=1), 1e-12)
+                scores = (x @ q.T) / norms[:, None]  # (rows, queries)
+                for j in range(len(qids)):
+                    out["qi"].extend([j] * len(x))
+                    out[id_col].extend(pdf[id_col].tolist())
+                    out["score"].extend(np.round(scores[:, j], round_to))
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("qi", T.IntegerType(), False),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    scored = fan_out(embeddings).select(id_col, vec_col).mapInPandas(gen, schema)
+    w = Window.partitionBy("qi").orderBy(F.desc("score"), F.asc(id_col))
+    qmap = F.array(*[F.lit(str(i)) for i in qids])
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.element_at(qmap, F.col("qi") + 1).alias("query_id"),
+            id_col, "score", "rank",
+        )
+    )

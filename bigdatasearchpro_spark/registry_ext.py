@@ -402,6 +402,25 @@ def l2_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup_int8(emb)
 
 
+@register("l4_batch_query_topk")  # rows-only: float scores, BLAS sums
+def l4_batch_query_topk(spark, sf_dir):
+    """L4 serving path: MANY query vectors against the corpus in ONE
+    pass — Arrow-batched numpy matmul per batch (the documented
+    wide-batch BLAS case), per-query top-k ranked in a window
+    partitioned by query. Agreement with per-query cosine_topk is
+    tested (tests/test_similarity.py); rows-only here because numpy
+    pairwise summation differs from sequential SQL sums in the last
+    ulp. similarity.batch_cosine_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(0, 7, 123)).collect()
+    }
+    return similarity.batch_cosine_topk(emb, qvs, 10).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register("l4_ann_ivfpq_topk")  # rows-only: ANN, float scores
 def l4_ann_ivfpq_topk(spark, sf_dir):
     """L4 scale path #3 (VERDICT r4 task 6): IVF-PQ with exact

@@ -1603,6 +1603,33 @@ def l3_field_collapse(spark, sf_dir):
 
 
 @register(
+    "f7_hash_funcs",
+    """
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           md5(concat(lang, ':', text)) AS h_keyed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def f7_hash_funcs(spark, sf_dir):
+    """§2.8 scalar functions: cryptographic/content hash family — md5
+    and sha256 over document text (the content-addressing primitives
+    the dedup/fingerprint ring builds on), cross-engine verified
+    byte-for-byte. (xxhash64/crc32 exist engine-side but have no
+    DuckDB twin; the md5 oracle family already covers portability.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.md5(F.concat_ws(":", "lang", "text")).alias("h_keyed"),
+    ).orderBy("doc_id")
+
+
+
+@register(
     "l5_blocklist_filter",
     """
     WITH toks AS (

@@ -252,3 +252,34 @@ def test_semantic_dedup_drops_planted_twins(spark, sf_dir):
     out2 = {r["vec_id"]: r["kept"] for r in
             similarity.semantic_dedup_int8(emb).collect()}
     assert out == out2
+
+
+def test_batch_cosine_topk_matches_per_query(spark, sf_dir):
+    """The batched multi-query scorer must agree with per-query
+    cosine_topk on the top-k SETS (numpy pairwise summation can differ
+    from the expression tree in the last ulp, so scores compare with
+    tolerance and membership by rank)."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    try:
+        qvs = {}
+        for qid in (0, 7, 123):
+            qvs[qid] = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+            ]
+        batched = similarity.batch_cosine_topk(emb, qvs, 10)
+        rows = batched.collect()
+        assert {r["query_id"] for r in rows} == {"0", "7", "123"}
+        for qid, qv in qvs.items():
+            single = similarity.cosine_topk(emb, qv, 10).collect()
+            got = sorted(
+                (r["vec_id"], round(r["score"], 3))
+                for r in rows
+                if r["query_id"] == str(qid)
+            )
+            want = sorted(
+                (r["vec_id"], round(r["score"], 3)) for r in single
+            )
+            assert got == want, qid
+    finally:
+        emb.unpersist()

@@ -83,6 +83,8 @@ _R5_FIXED_OR_NEW = (
     "l5_blocklist_filter",
     "f7_hash_funcs",
     "l4_batch_query_topk",
+    "l3_highlight_fragments",
+    "l5_dataset_card",
     # entries whose implementing code changed this round
     "l5_segment_dedup",
     "s12_force_merge",

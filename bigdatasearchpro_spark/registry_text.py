@@ -1603,6 +1603,113 @@ def l3_field_collapse(spark, sf_dir):
 
 
 @register(
+    "l3_highlight_fragments",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, t, list_position(t, 'spark') AS pos
+      FROM toks WHERE list_contains(t, 'spark')
+    )
+    SELECT doc_id,
+           array_to_string(
+             t[greatest(pos - 3, 1) : least(pos + 3, len(t))], ' ')
+             AS fragment
+    FROM hits
+    ORDER BY doc_id
+    """,
+)
+def l3_highlight_fragments(spark, sf_dir):
+    """L3+ ES highlighting FRAGMENTS: real ES returns a snippet WINDOW
+    around the match, not the whole field — here the ±3-token window
+    around the first occurrence of the query term, as one narrow array
+    expression (position via array_position, slice bounds clamped).
+    The page-sized full-text <em> highlighter already exists
+    (search_paged); this is the fragment-extraction shape, oracle
+    replayed with DuckDB list slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = search.tokens_expr("text")
+    pos = F.array_position(toks, "spark")  # 1-based, 0 = no hit
+    lo = F.greatest(pos - 3, F.lit(1))
+    ln = F.least(pos + 3, F.size(toks)) - lo + 1
+    return (
+        docs.select("doc_id", toks.alias("__t"), pos.alias("__p"))
+        .filter(F.col("__p") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(
+                    "__t",
+                    F.greatest(F.col("__p") - 3, F.lit(1)),
+                    F.least(F.col("__p") + 3, F.size("__t"))
+                    - F.greatest(F.col("__p") - 3, F.lit(1))
+                    + 1,
+                ),
+                " ",
+            ).alias("fragment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "l5_dataset_card",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> t <> '')) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT coalesce(lang, '__total__') AS lang,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           min(n_tokens)::BIGINT AS min_tokens,
+           max(n_tokens)::BIGINT AS max_tokens
+    FROM toks
+    GROUP BY ROLLUP(lang)
+    ORDER BY lang
+    """,
+)
+def l5_dataset_card(spark, sf_dir):
+    """L5: dataset-card statistics — the per-language + corpus-total
+    summary a training-data release documents (doc counts, token/char
+    totals, length extremes; the datasheet rollup). ONE pass: a narrow
+    token-count projection feeding a ROLLUP aggregate (per-lang rows +
+    the grand total in the same shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = search.tokens_expr("text")
+    staged = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        staged.rollup("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("__total__")).alias("lang"),
+            "n_docs", "total_tokens", "total_chars",
+            "min_tokens", "max_tokens",
+        )
+        .orderBy("lang")
+    )
+
+
+
+@register(
     "f7_hash_funcs",
     """
     SELECT doc_id,

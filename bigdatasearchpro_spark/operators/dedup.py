@@ -81,7 +81,16 @@ def dedup_last_write_wins(
     if not order_by:
         raise ValueError("order_by must name at least one column")
     ext_fn = F.max if keep == "last" else F.min
-    fp = F.xxhash64(*[F.col(c) for c in df.columns])
+    # Spark's xxhash64 SKIPS null inputs entirely, so hashing the bare
+    # columns would make rows that differ only in WHICH column is null
+    # collide (e.g. (0, NULL, 0) and (0, 0, NULL)) and the winner
+    # recovery below would resurrect the wrong row. Pairing every column
+    # with its isNull() flag (a never-null boolean) makes the null
+    # PATTERN part of the hash input stream, so such rows fingerprint
+    # differently.
+    fp = F.xxhash64(
+        *[x for c in df.columns for x in (F.col(c).isNull(), F.col(c))]
+    )
     cand = df.select(F.col(key), fp.alias("__fp"), *[F.col(c) for c in order_by])
     for c in order_by:
         ext = cand.groupBy(key).agg(ext_fn(c).alias("__m"))

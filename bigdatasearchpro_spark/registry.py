@@ -131,6 +131,58 @@ def l1_dedup_last_write_wins(spark, sf_dir):
 
 
 @register(
+    "l1_dedup_lww_nulls",
+    """
+    WITH base AS (
+      SELECT concat(l_orderkey, '-', l_linenumber) AS s_guid, l_quantity
+      FROM lineitem
+    ),
+    u AS (
+      SELECT s_guid, l_quantity AS o1, CAST(NULL AS DOUBLE) AS o2,
+             'x' AS payload
+      FROM base
+      UNION ALL
+      SELECT s_guid, CAST(NULL AS DOUBLE) AS o1, l_quantity AS o2,
+             'x' AS payload
+      FROM base
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY s_guid
+        ORDER BY o1 DESC NULLS LAST, o2 DESC NULLS LAST
+      ) AS rn FROM u
+    )
+    SELECT s_guid, o1, o2, payload FROM r WHERE rn = 1
+    """,
+)
+def l1_dedup_lww_nulls(spark, sf_dir):
+    """L1 regression fixture: per key, two rows that differ ONLY in which
+    order column is null — the exact null-shift class that collided under
+    a null-skipping fingerprint (xxhash64 skips null inputs), making LWW
+    recover an arbitrary survivor. Nulls-lose semantics require the row
+    with non-null o1 to win every key."""
+    base = transform.composite_key(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber", out="s_guid"
+    ).select("s_guid", "l_quantity")
+    null_d = F.lit(None).cast("double")
+    r1 = base.select(
+        "s_guid",
+        F.col("l_quantity").alias("o1"),
+        null_d.alias("o2"),
+        F.lit("x").alias("payload"),
+    )
+    r2 = base.select(
+        "s_guid",
+        null_d.alias("o1"),
+        F.col("l_quantity").alias("o2"),
+        F.lit("x").alias("payload"),
+    )
+    return dedup.dedup_last_write_wins(
+        r1.unionByName(r2), "s_guid", ["o1", "o2"], keep="last"
+    )
+
+
+@register(
     "l1_dedup_content_hash",
     """
     WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),

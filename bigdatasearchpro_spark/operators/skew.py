@@ -59,6 +59,10 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
 
     def _salt_left(df: DataFrame) -> DataFrame:
+        # xxhash64 skips null inputs, so rows differing only in which
+        # column is null salt identically — harmless HERE: the salt is
+        # load-balancing only, never a correctness key (contrast
+        # dedup.py, where the fingerprint must be null-position-aware).
         return df.withColumn(
             SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
         )

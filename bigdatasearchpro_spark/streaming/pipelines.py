@@ -524,10 +524,15 @@ def streaming_percolate(
     emitted once, in the batch its document arrived."""
     from bigdatasearchpro_spark.operators.search import tokens_expr
 
+    # __need counts DISTINCT terms (the join side is deduped via
+    # array_distinct, so sizing the raw array would make an 'all' query
+    # with a repeated token silently unmatchable — a dropped alert).
+    # No salting here: the query side is broadcast, so the join has no
+    # per-term reducer key to skew.
     q = registered.select(
         F.col("query_id"),
         F.col("mode"),
-        F.size("terms").alias("__need"),
+        F.size(F.array_distinct("terms")).alias("__need"),
         F.explode(F.array_distinct("terms")).alias("__term"),
     )
     d = doc_stream.select(

@@ -354,3 +354,51 @@ def test_cjk_analyzer_bigrams(spark):
     )
     hit = search.keyword_match(df2, zh[1:3], analyzer="cjk").collect()
     assert [r["doc_id"] for r in hit] == [1]
+
+
+def test_percolate_many_duplicate_term_all_mode(spark):
+    """A mode='all' stored query whose ANALYZED terms repeat a token
+    ('buy it buy') must fire when every DISTINCT term matches — sizing
+    __need on the raw array made such queries silently unmatchable
+    (round-5 advice), and batch must agree with single-doc percolate."""
+    stored = spark.createDataFrame(
+        [(1, "buy it buy"), (2, "buy now never")],
+        "query_id long, query string",
+    )
+    registered = search.register_percolator_queries(stored)
+    docs = spark.createDataFrame(
+        [(10, "you should buy it today"), (11, "buy stocks")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in search.percolate_many(registered, docs).collect()
+    }
+    assert got == {(10, 1)}
+    one = {
+        r["query_id"]
+        for r in search.percolate(registered, "you should buy it today").collect()
+    }
+    assert one == {1}
+
+
+def test_percolate_many_hot_term_salted(spark):
+    """Skew guard: one registered term present in EVERY document. The
+    hot-token pre-pass must route the join through salted_join (salt a
+    join key -> no single hot reducer partition) without changing the
+    matched pair set."""
+    docs = spark.createDataFrame(
+        [(i, f"common word{i}") for i in range(200)], "doc_id long, text string"
+    )
+    stored = spark.createDataFrame(
+        [(1, "common"), (2, "word7 common")], "query_id long, query string"
+    )
+    registered = search.register_percolator_queries(stored)
+    salted = search.percolate_many(registered, docs, hot_term_min_df=50, n_salts=8)
+    plain = search.percolate_many(registered, docs, hot_term_min_df=10**9)
+    gs = {(r["doc_id"], r["query_id"]) for r in salted.collect()}
+    gp = {(r["doc_id"], r["query_id"]) for r in plain.collect()}
+    assert gs == gp
+    assert len(gs) == 201  # 'common' matches all 200 docs; query 2 only doc 7
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan

@@ -415,7 +415,14 @@ def test_streaming_percolate_equals_batch(spark, events_dir, batch_events, tmp_p
     from bigdatasearchpro_spark.streaming.pipelines import streaming_percolate
 
     stored = spark.createDataFrame(
-        [(1, "click"), (2, "view"), (3, "purchase signup"), (4, "error")],
+        [
+            (1, "click"),
+            (2, "view"),
+            (3, "purchase signup"),
+            (4, "error"),
+            (5, "click click"),  # duplicate analyzed token, mode=all:
+            # must fire on every 'click' event (need = DISTINCT terms)
+        ],
         "query_id long, query string",
     )
     registered = search.register_percolator_queries(stored).cache()
@@ -435,3 +442,6 @@ def test_streaming_percolate_equals_batch(spark, events_dir, batch_events, tmp_p
     # the two-term stored query (mode=all) never fires: an event_type
     # is a single token
     assert not any(q == 3 for _, q in w)
+    # the duplicate-term query fires exactly where the single-term
+    # 'click' query does (round-5 advice regression)
+    assert {e for e, q in w if q == 5} == {e for e, q in w if q == 1} != set()

@@ -254,12 +254,18 @@ def query_data(
         ).filter(F.col("rank") > from_)
         if not highlight:
             return ranked
-        import re as _re
+        from bigdatasearchpro_spark.operators.analyzers import (
+            highlight_alternates,
+        )
 
         src = F.concat_ws(
             " ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in fields]
         ).alias("__src")
-        pattern = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+        pattern = (
+            "(?i)\\b("
+            + "|".join(highlight_alternates(terms, default_an))
+            + ")\\b"
+        )
         hi = (
             docs.select(F.col(id_col), src)
             .join(F.broadcast(ranked.select(id_col)), id_col, "left_semi")

@@ -184,6 +184,34 @@ ANALYZERS = {
 }
 
 
+# Analyzers whose query terms are STEMS rather than surface forms —
+# highlighting must not expect a stem to \b-match the document text.
+STEMMING_ANALYZERS = frozenset({"english"})
+
+
+def highlight_alternates(terms: "list[str]", analyzer: str = "standard") -> "list[str]":
+    """Regex alternates that highlight SURFACE forms for the ANALYZED
+    query terms.
+
+    Non-stemming analyzers: the analyzed term IS the surface form —
+    match it exactly. Stemming analyzers: the term is a stem (e.g.
+    ``tabl``), which never matches a surface word under ``\\b...\\b``;
+    emit a prefix match on the stem (``tabl\\w*`` highlights table/
+    tables/tabling) plus the ``ies``→``y`` inverse (stem ``story`` also
+    emits ``storie\\w*`` for "stories"). ES re-analyzes the document to
+    highlight; this is the regexp approximation — a surface word
+    highlights iff its stem is a literal prefix, which holds for every
+    strip-style rule in STEM_RULES."""
+    if analyzer not in STEMMING_ANALYZERS:
+        return [re.escape(t) for t in terms]
+    alts: list[str] = []
+    for t in terms:
+        alts.append(re.escape(t) + r"\w*")
+        if t.endswith("y") and len(t) >= 3:
+            alts.append(re.escape(t[:-1]) + r"ie\w*")
+    return list(dict.fromkeys(alts))
+
+
 def analyzer_tokens(text: Column, analyzer: str = "standard") -> Column:
     try:
         return ANALYZERS[analyzer][0](text)

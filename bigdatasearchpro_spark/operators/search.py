@@ -387,7 +387,11 @@ def search_paged(
         return ranked
     terms = analyze_query(query, analyzer)
     src = _text_expr(text_col).alias("__src")
-    pattern = "(?i)\\b(" + "|".join(re.escape(t) for t in terms) + ")\\b"
+    from bigdatasearchpro_spark.operators.analyzers import highlight_alternates
+
+    # stemming analyzers produce stems ('tabl') that never \b-match the
+    # surface text; highlight_alternates widens them to prefix matches
+    pattern = "(?i)\\b(" + "|".join(highlight_alternates(terms, analyzer)) + ")\\b"
     lit_repl = pre_tag + "$1" + post_tag
     hi = (
         docs.select(F.col(id_col), src)

@@ -1666,7 +1666,8 @@ def l3_highlight_fragments(spark, sf_dir):
              length(text) AS n_chars
       FROM documents
     )
-    SELECT coalesce(lang, '__total__') AS lang,
+    SELECT CASE WHEN GROUPING(lang) = 1 THEN '__total__' ELSE lang END
+             AS lang,
            count(*) AS n_docs,
            sum(n_tokens)::BIGINT AS total_tokens,
            sum(n_chars)::BIGINT AS total_chars,
@@ -1682,7 +1683,9 @@ def l5_dataset_card(spark, sf_dir):
     summary a training-data release documents (doc counts, token/char
     totals, length extremes; the datasheet rollup). ONE pass: a narrow
     token-count projection feeding a ROLLUP aggregate (per-lang rows +
-    the grand total in the same shuffle)."""
+    the grand total in the same shuffle). The total row is identified
+    by GROUPING(lang), not a NULL coalesce, so a corpus with an actual
+    NULL lang keeps its per-language row distinct from the total."""
     docs = load_table(spark, sf_dir, "documents")
     toks = search.tokens_expr("text")
     staged = docs.select(
@@ -1693,6 +1696,7 @@ def l5_dataset_card(spark, sf_dir):
     return (
         staged.rollup("lang")
         .agg(
+            F.grouping("lang").alias("__g"),
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
@@ -1700,7 +1704,9 @@ def l5_dataset_card(spark, sf_dir):
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
         .select(
-            F.coalesce("lang", F.lit("__total__")).alias("lang"),
+            F.when(F.col("__g") == 1, F.lit("__total__"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
             "n_docs", "total_tokens", "total_chars",
             "min_tokens", "max_tokens",
         )

@@ -378,3 +378,23 @@ def test_video_media_stats_dispatch(spark):
         )
         r = stats[d]
         assert (r["fmt"], r["n_units"], r["val_sum"]) == ("avi_mjpeg", nf, want)
+
+
+def test_jpeg_standalone_markers_and_fill_bytes():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker, and
+    TEM (0x01) / RSTn (0xD0-D7) are standalone (no length field) — the
+    segment walk must skip them rather than misread a length and
+    desync (round-5 advice)."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.multimodal import jpeg
+
+    blocks = np.array([[64, 190], [128, 66]])
+    img = np.kron(blocks, np.ones((8, 8), int)).astype(np.uint8)
+    clean = jpeg.encode_jpeg(img)
+    assert clean[:2] == b"\xff\xd8"
+    # splice fill bytes + TEM + a restart marker between SOI and the
+    # first real segment
+    doctored = clean[:2] + b"\xff\xff\xff\x01\xff\xd0" + clean[2:]
+    out = jpeg.decode_jpeg(doctored)
+    assert np.array_equal(out, img)

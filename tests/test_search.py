@@ -402,3 +402,31 @@ def test_percolate_many_hot_term_salted(spark):
     assert len(gs) == 201  # 'common' matches all 200 docs; query 2 only doc 7
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_highlight_stemming_analyzer_surface_forms(spark):
+    """With analyzer='english' the analyzed query terms are stems
+    ('tabl'), which never \\b-match surface text — highlighting must
+    wrap the surface inflections instead (round-5 advice)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The table and tables are sorted daily"),
+            (2, "No match here"),
+            (3, "Reading stories about a story"),
+        ],
+        "doc_id long, text string",
+    )
+    page = search.search_paged(
+        docs, "tables sorting", size=10, analyzer="english"
+    ).collect()
+    hl = {r["doc_id"]: r["highlight"] for r in page}
+    assert "<em>table</em>" in hl[1] and "<em>tables</em>" in hl[1]
+    assert "<em>sorted</em>" in hl[1]
+    # ies -> y inverse: stem 'story' highlights both 'story' and 'stories'
+    page2 = search.search_paged(docs, "stories", size=10, analyzer="english").collect()
+    hl2 = {r["doc_id"]: r["highlight"] for r in page2}
+    assert "<em>stories</em>" in hl2[3] and "<em>story</em>" in hl2[3]
+    # non-stemming analyzers keep exact-term highlighting
+    page3 = search.search_paged(docs, "table", size=10).collect()
+    hl3 = {r["doc_id"]: r["highlight"] for r in page3}
+    assert "<em>table</em>" in hl3[1] and "<em>tables</em>" not in hl3[1]

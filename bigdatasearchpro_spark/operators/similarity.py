@@ -630,6 +630,27 @@ def ann_topk_ivfpq(
     )
 
 
+def _cluster_assign_int_udf(cent_int: np.ndarray):
+    """Integer-exact cluster assignment as an Arrow-batched pandas UDF:
+    ``argmax_c dot(q, cent_int[c])`` in int64 (no float anywhere, so a
+    SQL replay over the same literal centroids is bit-identical; ties
+    break to the LOWEST cell, numpy argmax's first-max rule). Arrow
+    matmul, not a literal expression tree — the codegen-blowup lesson
+    from the PQ encoder applies at C x d terms too."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ct = cent_int.T.copy()
+
+    def assign(qs):
+        m = np.stack([np.asarray(x, dtype=np.int64) for x in qs])
+        return pd.Series((m @ ct).argmax(axis=1).astype("int32"))
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inspection rejects
+    return pandas_udf(assign, "int")
+
+
 def semantic_dedup_int8(
     emb: DataFrame,
     *,
@@ -638,46 +659,100 @@ def semantic_dedup_int8(
     thr_num: int = 9801,
     thr_den: int = 10000,
     sign_dims: int = 8,
+    centroids: "np.ndarray | None" = None,
+    cent_scale: int = 10_000,
+    split_cap: "int | None" = None,
+    split_bits: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     drop every vector that has a sufficiently-cosine-similar neighbor
     with a LOWER id; one exemplar per near-duplicate neighborhood
     survives. Returns ``(id, kept)`` for every input row.
 
-    Engineering: candidates are blocked on the SIGN PATTERN of the
-    first ``sign_dims`` int8-quantized components (near-duplicates
-    almost always share it; the bucket join replaces SemDeDup's
-    k-means-cluster-bounded pairwise pass with the same
-    quadratic-only-within-block cost profile). The similarity test is
-    INTEGER-EXACT: vectors are int8-quantized (portable floor(x+0.5)),
-    and ``cos >= sqrt(thr_num/thr_den)`` is evaluated as
+    Engineering: candidates are blocked so the pairwise pass is
+    quadratic only WITHIN a block, like the SemDeDup paper's k-means
+    clusters. Two blocking modes:
+
+    - ``centroids=None`` (default): the SIGN PATTERN of the first
+      ``sign_dims`` int8-quantized components — portable, zero
+      training, but capped at 2^sign_dims blocks (256 at the default),
+      which caps join parallelism and leaves O(N^2/256) within-block
+      work at corpus scale.
+    - ``centroids=(C, d) array`` (the SCALE path, the paper's shape):
+      each vector blocks on its INTEGER-EXACT nearest centroid —
+      ``argmax_c dot(q, floor(centroid*cent_scale + 0.5))`` in int64
+      (Arrow-batched matmul, lowest cell on ties) — so block count
+      scales with the corpus (train C ~ N/target_block_size centroids
+      via :func:`ivf_centroids`, or pass fixed integer centroids for a
+      cross-engine-replayable assignment).
+
+    ``split_cap`` adds a hot-block guard in either mode: blocks larger
+    than the cap sub-split on the sign bits of the first
+    ``split_bits`` quantized components (cold blocks join unsplit), so
+    one dense neighborhood cannot re-create the quadratic blowup —
+    the same re-banding idea as neardup.py's hot LSH buckets. Like
+    any blocking refinement it can only REMOVE candidate pairs
+    (near-identical twins share sub-bits unless a component sits at a
+    sign boundary).
+
+    The similarity test is INTEGER-EXACT regardless of blocking:
+    vectors are int8-quantized (portable floor(x+0.5)), and
+    ``cos >= sqrt(thr_num/thr_den)`` is evaluated as
     ``thr_den * dot^2 >= thr_num * |a|^2 * |b|^2  AND  dot > 0`` — all
     BIGINT arithmetic, no floating point anywhere in the decision, so
     the result is bit-reproducible across engines (the DuckDB oracle
     replays it exactly). Default threshold: cos >= 0.99.
 
-    Scale: the shuffle carries (id, 64 int8 codes, norm, bucket) — no
-    float vectors; block sizes bound the pairwise cost exactly like
+    Scale: the shuffle carries (id, 64 int8 codes, norm, block key) —
+    no float vectors; block sizes bound the pairwise cost exactly like
     SemDeDup's clusters."""
     q = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
     ql = F.transform(F.col("q"), lambda x: x.cast("long"))
     norm = F.aggregate(ql, F.lit(0).cast("long"), lambda a, x: a + x * x)
-    bucket = None
-    for i in range(sign_dims):
-        bit = F.when(F.element_at("q", i + 1) < 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype="float64")
+        cent_int = np.floor(cent * cent_scale + 0.5).astype(np.int64)
+        bucket = _cluster_assign_int_udf(cent_int)(F.col("q")).cast("long")
+    else:
+        bucket = None
+        for i in range(sign_dims):
+            bit = F.when(
+                F.element_at("q", i + 1) < 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
     feat = q.select(
         F.col(id_col), F.col("q"), norm.alias("__n"), bucket.alias("__b")
     )
+    if split_cap is not None:
+        # hot-block guard: blocks over the cap sub-split on sign bits;
+        # cold blocks keep sub-key -1 (single cheap count-by-block
+        # pre-pass; the hot set is tiny by construction and broadcast)
+        sub = None
+        for i in range(split_bits):
+            bit = F.when(
+                F.element_at("q", i + 1) < 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            sub = bit if sub is None else sub + bit
+        hot = (
+            feat.groupBy("__b").agg(F.count("*").alias("__cnt"))
+            .filter(F.col("__cnt") > split_cap)
+            .select("__b")
+        )
+        feat = feat.join(
+            F.broadcast(hot.withColumn("__hot", F.lit(True))), "__b", "left"
+        ).select(
+            F.col(id_col), F.col("q"), F.col("__n"), F.col("__b"),
+            F.when(F.col("__hot"), sub).otherwise(F.lit(-1)).alias("__s"),
+        )
+    else:
+        feat = feat.withColumn("__s", F.lit(-1))
     a = feat.select(
         F.col(id_col).alias("__ida"), F.col("q").alias("__qa"),
-        F.col("__n").alias("__na"), "__b",
+        F.col("__n").alias("__na"), "__b", "__s",
     )
     b = feat.select(
         F.col(id_col).alias("__idb"), F.col("q").alias("__qb"),
-        F.col("__n").alias("__nb"), "__b",
+        F.col("__n").alias("__nb"), "__b", "__s",
     )
     dot = F.aggregate(
         F.zip_with("__qa", "__qb", lambda x, y: x.cast("long") * y),
@@ -685,7 +760,7 @@ def semantic_dedup_int8(
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, "__b")
+        a.join(b, ["__b", "__s"])
         .filter(F.col("__idb") < F.col("__ida"))
         .withColumn("__dot", dot)
         .filter(

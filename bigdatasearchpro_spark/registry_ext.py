@@ -402,6 +402,122 @@ def l2_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup_int8(emb)
 
 
+# Fixed +-1 integer centroids for the cluster-blocked SemDeDup entry:
+# the SAME literals drive the Spark assignment (Arrow int64 argmax) and
+# the DuckDB replay below, so the blocking itself is hash-verified.
+# (Production callers train data-sized centroids via ivf_centroids; a
+# registry oracle is a static SQL string, so it needs data-independent
+# centroids.)
+_SEMDEDUP_DIM = 64
+_SEMDEDUP_CENTROIDS = [
+    [1 if ((i * (2 * c + 3)) % 16) < 8 else -1 for i in range(_SEMDEDUP_DIM)]
+    for c in range(8)
+]
+_SEMDEDUP_SPLIT_CAP = 60
+
+
+def _semdedup_clustered_oracle() -> str:
+    cent_lists = [
+        "[" + ",".join(str(v) for v in row) + "]" for row in _SEMDEDUP_CENTROIDS
+    ]
+    dots = (
+        "["
+        + ", ".join(
+            f"list_sum([q[i] * {lst}[i] "
+            f"for i in generate_series(1, {_SEMDEDUP_DIM})])::BIGINT"
+            for lst in cent_lists
+        )
+        + "]"
+    )
+    sub = (
+        "((CASE WHEN q[1] < 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN q[2] < 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN q[3] < 0 THEN 4 ELSE 0 END)"
+        " + (CASE WHEN q[4] < 0 THEN 8 ELSE 0 END))::BIGINT"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             [CAST(CASE WHEN i = 1 THEN embedding[i] + 0.02
+                        ELSE embedding[i] END AS FLOAT)
+              for i in generate_series(1, len(embedding))]
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                      0) AS amax
+      FROM base
+    ),
+    qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(-127, least(127, floor(x::DOUBLE /
+                      (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                      + 0.5)))::BIGINT) AS q
+      FROM v
+    ),
+    dts AS (
+      SELECT vec_id, q,
+             list_sum(list_transform(q, x -> x * x))::BIGINT AS n,
+             {dots} AS dots,
+             {sub} AS sub
+      FROM qt
+    ),
+    feat AS (
+      SELECT vec_id, q, n, sub,
+             (list_position(dots, list_max(dots)) - 1)::BIGINT AS b
+      FROM dts
+    ),
+    keyed AS (
+      SELECT vec_id, q, n, b,
+             CASE WHEN count(*) OVER (PARTITION BY b) > {_SEMDEDUP_SPLIT_CAP}
+                  THEN sub ELSE -1 END AS s
+      FROM feat
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ida
+      FROM keyed a JOIN keyed b
+        ON a.b = b.b AND a.s = b.s AND b.vec_id < a.vec_id
+      WHERE list_sum([a.q[i] * b.q[i]
+                      for i in generate_series(1, len(a.q))])::BIGINT > 0
+        AND 10000 * list_sum([a.q[i] * b.q[i]
+              for i in generate_series(1, len(a.q))])::BIGINT
+            * list_sum([a.q[i] * b.q[i]
+              for i in generate_series(1, len(a.q))])::BIGINT
+            >= 9801 * a.n * b.n
+    )
+    SELECT vec_id, vec_id NOT IN (SELECT ida FROM pairs) AS kept
+    FROM base
+    """
+
+
+@register("l2_semantic_dedup_clustered", _semdedup_clustered_oracle())
+def l2_semantic_dedup_clustered(spark, sf_dir):
+    """L2: SemDeDup with CLUSTER-BOUNDED blocking — the paper's actual
+    shape (Abbas et al. 2023 block within k-means clusters), fixing the
+    sign-pattern variant's 256-bucket parallelism cap: block count
+    scales with the trained centroid count, and the hot-block guard
+    sub-splits any block over split_cap on sign bits so one dense
+    neighborhood cannot re-create the quadratic blowup. Assignment is
+    INTEGER-EXACT (int64 argmax over fixed +-1 centroids, first-max
+    tie-break) and the pair decision is the same BIGINT test as
+    l2_semantic_dedup, so DuckDB replays blocking AND decision
+    bit-for-bit. similarity.semantic_dedup_int8(centroids=...)."""
+    import numpy as np
+
+    emb = _with_synthetic_near_vectors(load_table(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup_int8(
+        emb,
+        centroids=np.asarray(_SEMDEDUP_CENTROIDS, dtype="float64"),
+        cent_scale=1,
+        split_cap=_SEMDEDUP_SPLIT_CAP,
+        split_bits=4,
+    )
+
+
 @register("l4_batch_query_topk")  # rows-only: float scores, BLAS sums
 def l4_batch_query_topk(spark, sf_dir):
     """L4 serving path: MANY query vectors against the corpus in ONE

@@ -283,3 +283,49 @@ def test_batch_cosine_topk_matches_per_query(spark, sf_dir):
             assert got == want, qid
     finally:
         emb.unpersist()
+
+
+def test_semantic_dedup_clustered_blocking_and_hot_split(spark, sf_dir):
+    """Cluster-bounded SemDeDup (the paper's shape): with trained-or-
+    fixed centroids the planted twins still dedup, block count follows
+    the centroid count (not 2^sign_dims), and the split_cap hot-block
+    guard sub-splits oversized blocks without losing the twins."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.registry_ext import (
+        _SEMDEDUP_CENTROIDS,
+        _with_synthetic_near_vectors,
+    )
+
+    emb = _with_synthetic_near_vectors(
+        load_table(spark, sf_dir, "embeddings").limit(100)
+    )
+    cents = np.asarray(_SEMDEDUP_CENTROIDS, dtype="float64")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup_int8(
+            emb, centroids=cents, cent_scale=1
+        ).collect()
+    }
+    planted = [v for v in out if v >= 100000]
+    assert planted
+    for v in planted:
+        assert out[v - 100000] is True and out[v] is False
+    # hot-block guard: a tiny cap forces every block to sub-split; the
+    # twins differ only by +0.02 on one component (signs stable), so
+    # they stay co-blocked and the result is unchanged
+    guarded = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup_int8(
+            emb, centroids=cents, cent_scale=1, split_cap=5, split_bits=4
+        ).collect()
+    }
+    assert guarded == out
+    # the physical join keys include the sub-split column
+    plan = (
+        similarity.semantic_dedup_int8(
+            emb, centroids=cents, cent_scale=1, split_cap=5
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__s" in plan

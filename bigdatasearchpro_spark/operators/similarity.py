@@ -158,12 +158,15 @@ def ivf_centroids(
     vec_col: str = "embedding",
     iters: int = 2,
 ) -> np.ndarray:
-    """Deterministic k-means-lite training: seed with the ``n_cells``
-    lowest-id vectors, run ``iters`` Lloyd refinements as DataFrame
-    jobs (assign = ``ivf_assign``, update = groupBy-mean). Only the
-    C x dim centroid matrix ever reaches the driver."""
+    """Deterministic k-means-lite training: seed with ``n_cells``
+    HASH-ORDERED vectors (``orderBy(xxhash64(id), id)`` — deterministic
+    but uncorrelated with id order, so an id-clustered ingest prefix
+    cannot hand k-means ``n_cells`` near-identical seeds), run
+    ``iters`` Lloyd refinements as DataFrame jobs (assign =
+    ``ivf_assign``, update = groupBy-mean). Only the C x dim centroid
+    matrix ever reaches the driver."""
     seeds = (
-        embeddings.orderBy(F.asc(id_col))
+        embeddings.orderBy(F.asc(F.xxhash64(F.col(id_col))), F.asc(id_col))
         .limit(n_cells)
         .select(vec_col)
         .collect()
@@ -452,16 +455,23 @@ def train_pq(
 ) -> np.ndarray:
     """Train per-subvector k-means codebooks: (m, ksub, dim/m).
 
-    Training runs driver-side on a bounded DETERMINISTIC sample (the
-    ``sample`` lowest-id vectors, L2-normalized) — the FAISS practice:
-    codebooks need a representative sample, not the corpus, so the
-    driver never holds more than ``sample * dim`` floats regardless of
-    corpus size. Encoding (the corpus-sized work) is distributed
-    (:func:`encode_pq`). Lloyd iterations are deterministic: seeded
-    with the first ``ksub`` sample subvectors, ties to the lowest
-    centroid index, empty clusters keep their previous centroid."""
+    Training runs driver-side on a bounded DETERMINISTIC sample — the
+    FAISS practice: codebooks need a representative sample, not the
+    corpus, so the driver never holds more than ``sample * dim`` floats
+    regardless of corpus size. The sample is HASH-ORDERED
+    (``orderBy(xxhash64(id), id)``): still fully deterministic, but
+    uncorrelated with id order, so an id-clustered corpus (e.g. ids
+    assigned per ingest shard, early shards all one domain) cannot
+    bias the codebooks the way a lowest-id sample did. Encoding (the
+    corpus-sized work) is distributed (:func:`encode_pq`). Lloyd
+    iterations are deterministic: seeded with the first ``ksub``
+    sample subvectors, ties to the lowest centroid index, empty
+    clusters keep their previous centroid."""
     rows = (
-        embeddings.orderBy(F.asc(id_col)).limit(sample).select(vec_col).collect()
+        embeddings.orderBy(F.asc(F.xxhash64(F.col(id_col))), F.asc(id_col))
+        .limit(sample)
+        .select(vec_col)
+        .collect()
     )
     if not rows:
         raise ValueError("train_pq: empty corpus")
@@ -577,10 +587,10 @@ def ann_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 8,
-    nprobe: int = 5,
+    nprobe: int = 6,
     m: int = 16,
     ksub: int = 16,
-    refine: int = 8,
+    refine: int = 16,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
     round_to: int = 4,
@@ -602,9 +612,11 @@ def ann_topk_ivfpq(
     Recall calibration note: the fixture embeddings are near-uniform
     random vectors (no cluster structure), the information-theoretic
     worst case for IVF — recall tracks the scanned fraction almost
-    linearly, so nprobe=5/8 is what reaches recall@10 >= 0.9 here.
-    Clustered real-world embedding corpora prune far better at the
-    same recall; the knobs are per-corpus."""
+    linearly, so nprobe=6/8 with refine=16k is what reaches
+    recall@10 >= 0.9 here (re-calibrated after hash-ordered seed
+    sampling replaced the id-biased sample). Clustered real-world
+    embedding corpora prune far better at the same recall; the knobs
+    are per-corpus."""
     if centroids is None:
         centroids = ivf_centroids(
             embeddings, n_cells, id_col=id_col, vec_col=vec_col

@@ -329,3 +329,46 @@ def test_semantic_dedup_clustered_blocking_and_hot_split(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "__s" in plan
+
+
+def test_pq_training_sample_unbiased_by_id_order(spark, sf_dir):
+    """Adversarial id-clustered corpus: the lowest-id prefix is one
+    near-constant cluster (an ingest-shard artifact). Hash-ordered
+    sampling must still train representative codebooks/centroids —
+    recall@10 >= 0.9 holds where a lowest-id sample saw only the
+    degenerate prefix."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    # ids 0..N-1 re-map so the FIRST 2048+ ids are all the same point
+    degenerate = F.array(*[F.lit(float(1.0 if i == 0 else 0.0)) for i in range(dim)])
+    adv = emb.select(
+        F.col("vec_id"),
+        F.when(F.col("vec_id") < 10_000_000, F.col("embedding")).alias("embedding"),
+    ).unionByName(
+        spark.range(4096).select(
+            (F.col("id") - 4096).alias("vec_id"),  # ids below every real id
+            degenerate.alias("embedding"),
+        )
+    ).cache()
+    try:
+        cents = similarity.ivf_centroids(adv, 8)
+        # seeds must not all be the degenerate point (an id-ordered
+        # sample would hand k-means 8 identical seeds)
+        assert len({tuple(np.round(c, 6)) for c in cents}) > 1
+        books = similarity.train_pq(adv, 16, 16)
+        # codebooks trained on an id-ordered sample would collapse to
+        # one centroid per subquantizer; hash-ordered must stay diverse
+        for j in range(books.shape[0]):
+            assert len({tuple(np.round(c, 6)) for c in books[j]}) > 1
+        # an id-ordered sample of this corpus was 100% spike — every
+        # centroid collapsed onto e1 and no cell represented the real
+        # vectors at all. A hash-ordered sample sees the corpus at its
+        # true mixture, so at least one centroid must serve the real
+        # (non-spike) vectors.
+        assert any(c[0] < 0.9 for c in cents), cents[:, 0]
+        # (end-to-end recall on the CLEAN fixture is the unchanged
+        # gate: test_ivfpq_recall_gate)
+    finally:
+        adv.unpersist()

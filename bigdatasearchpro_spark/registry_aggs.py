@@ -680,6 +680,82 @@ def l3_suggest_completion(spark, sf_dir):
 
 
 @register(
+    "l3_suggest_phrase",
+    f"""
+    WITH {_VOCAB_CTE},
+    inp AS (SELECT * FROM (VALUES (0, 'sprak'), (1, 'joni'), (2, 'window'))
+            AS t(pos, tok)),
+    corr AS (
+      SELECT pos, term, levenshtein(term, tok)::BIGINT AS dist, doc_freq,
+             row_number() OVER (PARTITION BY pos
+               ORDER BY levenshtein(term, tok) ASC, doc_freq DESC, term ASC)
+               AS rn
+      FROM vocab CROSS JOIN inp
+      WHERE levenshtein(term, tok) BETWEEN 1 AND 2
+    ),
+    opts AS (
+      SELECT pos, term, dist, doc_freq, 1 AS edited FROM corr WHERE rn <= 3
+      UNION ALL
+      SELECT i.pos, i.tok, 0::BIGINT, coalesce(v.doc_freq, 0), 0
+      FROM inp i LEFT JOIN vocab v ON v.term = i.tok
+    ),
+    phr AS (
+      SELECT o0.term || ' ' || o1.term || ' ' || o2.term AS suggestion,
+             o0.dist + o1.dist + o2.dist AS sum_dist,
+             o0.doc_freq + o1.doc_freq + o2.doc_freq AS sum_freq,
+             o0.term AS t0, o1.term AS t1, o2.term AS t2
+      FROM (SELECT * FROM opts WHERE pos = 0) o0,
+           (SELECT * FROM opts WHERE pos = 1) o1,
+           (SELECT * FROM opts WHERE pos = 2) o2
+      WHERE (o0.edited + o1.edited + o2.edited) BETWEEN 1 AND 2
+    ),
+    tk AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS n2
+      FROM tk, LATERAL (
+        SELECT unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+      )
+      GROUP BY a, b
+    ),
+    sc AS (
+      SELECT p.suggestion,
+             ((CASE WHEN b01.n2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN b12.n2 IS NULL THEN 0 ELSE 1 END))::BIGINT AS hits,
+             (coalesce(b01.n2, 0) + coalesce(b12.n2, 0))::BIGINT
+               AS bigram_sum,
+             p.sum_freq, p.sum_dist
+      FROM phr p
+      LEFT JOIN bi b01 ON b01.a = p.t0 AND b01.b = p.t1
+      LEFT JOIN bi b12 ON b12.a = p.t1 AND b12.b = p.t2
+    )
+    SELECT suggestion, hits, bigram_sum
+    FROM sc
+    ORDER BY hits DESC, bigram_sum DESC, sum_freq DESC, sum_dist ASC,
+             suggestion ASC
+    LIMIT 5
+    """,
+)
+def l3_suggest_phrase(spark, sf_dir):
+    """L3 [ES parity]: ``phrase`` suggester (did-you-mean) — the last
+    ES 6.x suggester: per-token candidate corrections (vocabulary
+    terms within 2 edits, top 3 per position) combined into candidate
+    phrases (1..2 tokens changed) and reranked by the corpus's own
+    bigram LM on an exact integer grid (observed-bigram hits, then
+    total bigram count, then doc_freq, then edit distance) — for the
+    misspelling "sprak joni window" the corpus evidence must surface
+    "spark join window" (operators/suggest.py phrase_suggester)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest.phrase_suggester(
+        docs, "sprak joni window", size=5, max_edits=2, per_token=3,
+        max_errors=2,
+    )
+
+
+@register(
     "l3_scroll_export",
     """
     WITH m AS (

@@ -134,6 +134,31 @@ def test_term_suggester_rejects_empty_input(docs):
         suggest.term_suggester(docs, "  ")
 
 
+def test_phrase_suggester_did_you_mean(docs):
+    """The ES phrase suggester: a two-typo phrase must be corrected to
+    the corpus-fluent phrase, ranked first by observed-bigram evidence;
+    the unchanged input never appears (a suggestion IS a correction)."""
+    out = suggest.phrase_suggester(docs, "sprak joni window", size=5).collect()
+    assert out
+    assert out[0]["suggestion"] == "spark join window"
+    assert out[0]["hits"] == 2 and out[0]["bigram_sum"] > 0
+    assert all(r["suggestion"] != "sprak joni window" for r in out)
+    keys = [(-r["hits"], -r["bigram_sum"]) for r in out]
+    assert keys == sorted(keys)
+    # score is pure-integer (cross-engine exact by construction)
+    assert all(
+        isinstance(r["hits"], int) and isinstance(r["bigram_sum"], int)
+        for r in out
+    )
+
+
+def test_phrase_suggester_input_guards(docs):
+    with pytest.raises(ValueError):
+        suggest.phrase_suggester(docs, "   ")
+    with pytest.raises(ValueError):
+        suggest.phrase_suggester(docs, "a b c d e f g h i")
+
+
 def test_completion_suggester_prefix_and_cap(docs):
     out = suggest.completion_suggester(docs, "s", size=3).collect()
     assert 0 < len(out) <= 3

@@ -69,9 +69,36 @@ STEM_RULES: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
 )
 
 
-def stem_token(t: str) -> str:
+# French light stemmer rule table (same shape, first match wins) —
+# in the spirit of Lucene's FrenchMinimalStemFilter, restricted to
+# single-suffix rules so the stemmer stays one CASE expression.
+# Applied AFTER accent folding (rules are pure ASCII).
+STEM_RULES_FR: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
+    ("eaux", 7, "eau", ()),
+    ("aux", 6, "al", ()),
+    ("x", 6, "", ()),
+    ("es", 6, "", ()),
+    ("s", 6, "", ("ss", "us")),
+    ("e", 7, "", ()),
+)
+
+# German light stemmer rule table — in the spirit of Lucene's
+# GermanLightStemFilter (plural/case endings), applied AFTER umlaut/
+# eszett folding.
+STEM_RULES_DE: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
+    ("ern", 6, "", ()),
+    ("er", 5, "", ()),
+    ("en", 5, "", ()),
+    ("es", 5, "", ()),
+    ("e", 5, "", ()),
+    ("n", 5, "", ()),
+    ("s", 5, "", ("ss",)),
+)
+
+
+def stem_token(t: str, rules=STEM_RULES) -> str:
     """Driver-side light stemmer (query analysis)."""
-    for suffix, min_len, repl, excluded in STEM_RULES:
+    for suffix, min_len, repl, excluded in rules:
         if (
             len(t) >= min_len
             and t.endswith(suffix)
@@ -81,11 +108,11 @@ def stem_token(t: str) -> str:
     return t
 
 
-def stem_expr(t: Column) -> Column:
+def stem_expr(t: Column, rules=STEM_RULES) -> Column:
     """The SAME rules as :func:`stem_token`, as one CASE expression."""
     out = t
     # build the CASE bottom-up so the first rule ends up outermost
-    for suffix, min_len, repl, excluded in reversed(STEM_RULES):
+    for suffix, min_len, repl, excluded in reversed(rules):
         cond = (F.length(t) >= min_len) & t.endswith(suffix)
         for e in excluded:
             cond = cond & ~t.endswith(e)
@@ -96,16 +123,62 @@ def stem_expr(t: Column) -> Column:
     return out
 
 
-def stem_case_sql(var: str = "t") -> str:
+def stem_case_sql(var: str = "t", rules=STEM_RULES) -> str:
     """The SAME rules as ANSI-ish SQL (DuckDB oracle side)."""
     clauses = []
-    for suffix, min_len, repl, excluded in STEM_RULES:
+    for suffix, min_len, repl, excluded in rules:
         cond = f"length({var}) >= {min_len} AND ends_with({var}, '{suffix}')"
         for e in excluded:
             cond += f" AND NOT ends_with({var}, '{e}')"
         expr = f"substr({var}, 1, length({var}) - {len(suffix)}) || '{repl}'"
         clauses.append(f"WHEN {cond} THEN {expr}")
     return "CASE " + " ".join(clauses) + f" ELSE {var} END"
+
+
+# ---------------------------------------------------------------------------
+# Accent/umlaut folding (french/german analyzers run on FOLDED ASCII so
+# the tokenizer split, the stem rules, and every SQL twin stay pure
+# [a-z0-9]; ES users get the same effect pairing language analyzers
+# with asciifolding). One fold table per language, single source for
+# the Spark expression, the Python twin, and the SQL generator.
+# ---------------------------------------------------------------------------
+
+FOLD_FR: tuple[tuple[str, str], ...] = (
+    ("œ", "oe"), ("æ", "ae"),   # œ æ (multi-char first)
+    ("à", "a"), ("â", "a"), ("ä", "a"),
+    ("é", "e"), ("è", "e"), ("ê", "e"), ("ë", "e"),
+    ("î", "i"), ("ï", "i"),
+    ("ô", "o"), ("ö", "o"),
+    ("ù", "u"), ("û", "u"), ("ü", "u"),
+    ("ç", "c"),
+)
+
+FOLD_DE: tuple[tuple[str, str], ...] = (
+    ("ß", "ss"),                      # ß
+    ("ä", "a"), ("ö", "o"), ("ü", "u"),
+)
+
+
+def fold_expr(text: Column, fold: tuple[tuple[str, str], ...]) -> Column:
+    out = F.lower(text)
+    for src, dst in fold:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def fold_token(q: str, fold: tuple[tuple[str, str], ...]) -> str:
+    out = q.lower()
+    for src, dst in fold:
+        out = out.replace(src, dst)
+    return out
+
+
+def fold_sql(expr: str, fold: tuple[tuple[str, str], ...]) -> str:
+    """The SAME folding as a DuckDB replace() chain."""
+    out = f"lower({expr})"
+    for src, dst in fold:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return out
 
 
 def _standard_tokens(text: Column) -> Column:
@@ -149,6 +222,50 @@ def _english_tokens(text: Column) -> Column:
     return F.transform(kept, stem_expr)
 
 
+# Folded-ASCII stop sets (Lucene French/German stop lists, trimmed to
+# the high-frequency core; the French single letters are the elision
+# clitics l' d' j' ... which the standard split leaves as lone tokens).
+STOPWORDS_FR = (
+    "au", "aux", "avec", "ce", "ces", "cette", "dans", "de", "des", "du",
+    "elle", "elles", "en", "est", "et", "etre", "il", "ils", "je", "la",
+    "le", "les", "leur", "lui", "mais", "ne", "ni", "nous", "on", "ou",
+    "par", "pas", "plus", "pour", "que", "qui", "sa", "se", "ses", "son",
+    "sont", "sur", "tu", "un", "une", "vous", "y", "a",
+    "l", "d", "j", "c", "m", "n", "s", "t", "qu",
+)
+
+STOPWORDS_DE = (
+    "aber", "als", "am", "an", "auch", "auf", "aus", "bei", "das", "dem",
+    "den", "der", "des", "die", "durch", "ein", "eine", "einem", "einen",
+    "einer", "eines", "er", "es", "fur", "ich", "im", "in", "ist", "mit",
+    "nach", "nicht", "noch", "nur", "oder", "sie", "sind", "so", "uber",
+    "und", "von", "war", "waren", "was", "wenn", "wer", "wie", "wir",
+    "zu", "zum", "zur",
+)
+
+
+def _lang_tokens(
+    text: Column,
+    fold: tuple[tuple[str, str], ...],
+    stops_list: tuple[str, ...],
+    rules,
+) -> Column:
+    stops = F.array(*[F.lit(s) for s in stops_list])
+    toks = F.filter(
+        F.split(fold_expr(text, fold), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+    kept = F.filter(toks, lambda t: ~F.array_contains(stops, t))
+    return F.transform(kept, lambda t: stem_expr(t, rules))
+
+
+def _french_tokens(text: Column) -> Column:
+    return _lang_tokens(text, FOLD_FR, STOPWORDS_FR, STEM_RULES_FR)
+
+
+def _german_tokens(text: Column) -> Column:
+    return _lang_tokens(text, FOLD_DE, STOPWORDS_DE, STEM_RULES_DE)
+
+
 def _standard_analyze(q: str) -> list[str]:
     return [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
 
@@ -173,6 +290,19 @@ def _english_analyze(q: str) -> list[str]:
     ]
 
 
+def _lang_analyze(q, fold, stops, rules) -> list[str]:
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, fold_token(q, fold)) if t]
+    return [stem_token(t, rules) for t in toks if t not in stops]
+
+
+def _french_analyze(q: str) -> list[str]:
+    return _lang_analyze(q, FOLD_FR, STOPWORDS_FR, STEM_RULES_FR)
+
+
+def _german_analyze(q: str) -> list[str]:
+    return _lang_analyze(q, FOLD_DE, STOPWORDS_DE, STEM_RULES_DE)
+
+
 # name -> (Column tokenizer, driver-side query analyzer).  The two
 # entries of each pair MUST stay semantically identical (ES contract);
 # tests/test_search.py pins the symmetry property.
@@ -181,12 +311,16 @@ ANALYZERS = {
     "whitespace": (_whitespace_tokens, _whitespace_analyze),
     "english": (_english_tokens, _english_analyze),
     "cjk": (_cjk_tokens, _cjk_analyze),
+    "french": (_french_tokens, _french_analyze),
+    "german": (_german_tokens, _german_analyze),
 }
 
 
 # Analyzers whose query terms are STEMS rather than surface forms —
 # highlighting must not expect a stem to \b-match the document text.
-STEMMING_ANALYZERS = frozenset({"english"})
+# (french/german stems are also accent-FOLDED, so prefix matching
+# highlights only already-ASCII surface words — documented limit.)
+STEMMING_ANALYZERS = frozenset({"english", "french", "german"})
 
 
 def highlight_alternates(terms: "list[str]", analyzer: str = "standard") -> "list[str]":

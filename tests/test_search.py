@@ -430,3 +430,48 @@ def test_highlight_stemming_analyzer_surface_forms(spark):
     page3 = search.search_paged(docs, "table", size=10).collect()
     hl3 = {r["doc_id"]: r["highlight"] for r in page3}
     assert "<em>table</em>" in hl3[1] and "<em>tables</em>" not in hl3[1]
+
+
+def test_french_german_analyzers_symmetry_and_mapping(spark):
+    """French/german analyzers: accent/umlaut folding + stop set +
+    light stemmer agree between the Spark expression and the driver
+    query twin, and the per-field _mapping routes query_data through
+    them with zero query-time analyzer arguments."""
+    from bigdatasearchpro_spark.operators import analyzers
+
+    fr = "Les Tableaux de requêtes filtrées; chevaux!"
+    de = "Die Häusern und großen Tabellen, Abfrage"
+    for text, an in ((fr, "french"), (de, "german")):
+        driver = analyzers.analyzer_query(text, an)
+        df = spark.createDataFrame([(1, text)], ["id", "text"])
+        got = search.tokenize(df, analyzer=an).first()["tokens"]
+        assert sorted(got) == sorted(driver), (an, got, driver)
+    assert analyzers.analyzer_query(fr, "french") == [
+        "tableau", "requet", "filtre", "cheval"
+    ]
+    assert analyzers.analyzer_query(de, "german") == [
+        "haus", "gross", "tabell", "abfrag"
+    ]
+    # ß->ss folding with the -ss stem exclusion: Größe == großen stem
+    assert analyzers.analyzer_query("Größe", "german") == ["gross"]
+    assert analyzers.analyzer_query("großen", "german") == ["gross"]
+    # per-field mapping routes the ES-parity search path
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    idx = f"fr_idx_{uuid.uuid4().hex[:8]}"
+    docs = spark.createDataFrame(
+        [(1, "les tableaux de requêtes"), (2, "no french here")],
+        ["doc_id", "text"],
+    )
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id")
+    try:
+        api.put_mapping(spark, idx, {"text": "french"})
+        hits = api.query_data(
+            spark, "Tableau AND Requête", idx, k=10, text_col="text",
+            highlight=False,
+        )
+        assert [r["doc_id"] for r in hits.collect()] == ["1"]
+    finally:
+        api.delete_index(spark, idx)

@@ -219,7 +219,9 @@ def _english_tokens(text: Column) -> Column:
     kept = F.filter(
         _standard_tokens(text), lambda t: ~F.array_contains(stops, t)
     )
-    return F.transform(kept, stem_expr)
+    # single-arg lambda: F.transform would otherwise pass the element
+    # INDEX into stem_expr's new `rules` parameter
+    return F.transform(kept, lambda t: stem_expr(t))
 
 
 # Folded-ASCII stop sets (Lucene French/German stop lists, trimmed to

@@ -38,58 +38,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r4-verdict ask: prioritize by verdict age, not by membership in
 # the last window).
 #
-# Round-5 note: 22 NEW entries + 5 code-changed entries outrank the
-# age queue this round, so a 50-slot window carries 23 of the 33
-# r1-latest entries; the remaining 10 r1 carries are the window's
-# overflow (they lead the age queue next round).  First-ever verdicts
-# for new operators > refreshing old-but-valid verdicts.
-_R5_FIXED_OR_NEW = (
-    # q12's oracle typing fix (the sole r4 red row — ::BIGINT casts)
-    "q12_shipmode_priority",
-    # round-5 additions
-    "l6_decode_jpeg",
-    "l3_analyzer_stemmed",
-    "l3_nested_field_query",
-    "l4_ann_ivfpq_topk",
-    "l3_analyzer_whitespace",
-    "s14_delete_by_query",
-    "s15_update_by_query",
-    "s16_cat_indices",
-    "l5_ngram_repetition",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "s17_orc_text_roundtrip",
-    "w6_distribution_funcs",
-    "l3_exists_query",
-    "l3_analyzer_cjk",
-    "l3_mapped_analyzer_search",
-    "ts4_resample_ffill",
-    "l2_semantic_dedup",
-    "l3_function_score",
-    "l5_quality_logit",
-    "l6_decode_video",
-    "l3_boosting_query",
-    "l3_terms_lookup",
-    "l3_percolate",
-    "s18_rollover",
-    "l3_agg_terms_subagg",
-    "l3_agg_nested_terms",
-    "l3_field_collapse",
-    "q6_forecast_revenue",
-    "s19_schema_evolution",
-    "l3_percolate_many",
-    "l5_blocklist_filter",
-    "f7_hash_funcs",
-    "l4_batch_query_topk",
-    "l3_highlight_fragments",
-    "l5_dataset_card",
+# Round-6 note: only 5 NEW + 8 code-changed entries outrank the age
+# queue this round, so the 50-slot window fully drains the 26
+# remaining r1-latest entries (the r5-verdict ask #2) with room to
+# spare for the oldest r2 carries.
+_R6_FIXED_OR_NEW = (
+    # the round's headline fix: null-aware LWW fingerprint + its new
+    # null-shift regression fixture
+    "l1_dedup_last_write_wins",
+    "l1_dedup_lww_nulls",
+    # new operators this round
+    "l2_semantic_dedup_clustered",
+    "l3_suggest_phrase",
+    "l3_analyzer_french",
+    "l3_analyzer_german",
     # entries whose implementing code changed this round
-    "l5_segment_dedup",
-    "s12_force_merge",
-    "l3_scroll_export",
-    "s11_alias_scroll",
+    "l3_percolate_many",       # distinct-term __need + hot-term salting
+    "l2_semantic_dedup",       # blocking join now keyed (__b, __s)
+    "l5_dataset_card",         # GROUPING() total row
+    "l6_decode_jpeg",          # standalone-marker segment walk
+    "l3_search_paged",         # stem-aware highlight alternates
+    "l3_highlight_fragments",
+    "l4_ann_ivfpq_topk",       # hash-ordered training sample, nprobe/refine
+    "l3_analyzer_stemmed",     # stem_expr parameterization
 )
 
 
@@ -120,7 +91,7 @@ def _verdict_ages() -> dict[str, int]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    front = [n for n in _R5_FIXED_OR_NEW if n in QUERIES]
+    front = [n for n in _R6_FIXED_OR_NEW if n in QUERIES]
     ages = _verdict_ages()
     order = list(QUERIES)
     rest = sorted(

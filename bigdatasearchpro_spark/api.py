@@ -391,6 +391,58 @@ def mget(
     )
 
 
+def termvectors(
+    docs,
+    doc_ids,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "standard",
+    term_statistics: bool = True,
+):
+    """ES ``_termvectors`` / ``_mtermvectors`` — per-document term
+    statistics for one or many ids: ``term_freq`` (occurrences in the
+    doc), plus with ``term_statistics=True`` (the ES flag) the
+    corpus-level ``doc_freq`` (documents containing the term) and
+    ``ttf`` (total term frequency across the corpus).
+
+    Scale shape: the requested-ids side is one IN-predicate scan
+    (pushed to the parquet reader) + a per-doc token hash agg over a
+    handful of rows; the corpus statistics are ONE pass building the
+    vocabulary-scale (term, doc_freq, ttf) table (map-side partial
+    agg), joined back with the tiny requested side BROADCAST — the
+    corpus is never re-scanned per id.
+
+    Output: (id, term, term_freq[, doc_freq, ttf])."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators.search import tokens_expr
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    if not doc_ids:
+        raise ValueError("termvectors needs at least one id")
+    sel = docs.filter(F.col(id_col).isin(list(doc_ids)))
+    tf = (
+        sel.select(
+            F.col(id_col), F.explode(tokens_expr(text_col, analyzer)).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    if not term_statistics:
+        return tf
+    toks = fan_out(docs).select(
+        F.col(id_col), F.explode(tokens_expr(text_col, analyzer)).alias("term")
+    )
+    stats = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        F.count("*").alias("ttf"),
+    )
+    return stats.join(F.broadcast(tf), "term").select(
+        id_col, "term", "term_freq", "doc_freq", "ttf"
+    )
+
+
 def scroll(
     spark: SparkSession,
     index_name: str,

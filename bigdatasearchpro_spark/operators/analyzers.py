@@ -95,6 +95,19 @@ STEM_RULES_DE: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
     ("s", 5, "", ("ss",)),
 )
 
+# Spanish light stemmer rule table — SpanishLightStemFilter spirit
+# (plural + gender endings), applied AFTER accent folding.
+STEM_RULES_ES: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
+    ("ciones", 8, "cion", ()),
+    ("os", 5, "", ()),
+    ("as", 5, "", ()),
+    ("es", 5, "", ()),
+    ("s", 5, "", ("ss",)),
+    ("o", 5, "", ()),
+    ("a", 5, "", ()),
+    ("e", 5, "", ()),
+)
+
 
 def stem_token(t: str, rules=STEM_RULES) -> str:
     """Driver-side light stemmer (query analysis)."""
@@ -156,6 +169,11 @@ FOLD_FR: tuple[tuple[str, str], ...] = (
 FOLD_DE: tuple[tuple[str, str], ...] = (
     ("ß", "ss"),                      # ß
     ("ä", "a"), ("ö", "o"), ("ü", "u"),
+)
+
+FOLD_ES: tuple[tuple[str, str], ...] = (
+    ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u"),
+    ("ü", "u"), ("ñ", "n"),
 )
 
 
@@ -236,6 +254,14 @@ STOPWORDS_FR = (
     "l", "d", "j", "c", "m", "n", "s", "t", "qu",
 )
 
+STOPWORDS_ES = (
+    "al", "como", "con", "de", "del", "el", "ella", "ellas", "ellos",
+    "en", "entre", "es", "esta", "estas", "este", "estos", "la", "las",
+    "lo", "los", "mas", "no", "o", "para", "pero", "por", "que", "se",
+    "si", "sin", "sobre", "son", "su", "sus", "un", "una", "unas",
+    "unos", "y", "ya", "a",
+)
+
 STOPWORDS_DE = (
     "aber", "als", "am", "an", "auch", "auf", "aus", "bei", "das", "dem",
     "den", "der", "des", "die", "durch", "ein", "eine", "einem", "einen",
@@ -266,6 +292,10 @@ def _french_tokens(text: Column) -> Column:
 
 def _german_tokens(text: Column) -> Column:
     return _lang_tokens(text, FOLD_DE, STOPWORDS_DE, STEM_RULES_DE)
+
+
+def _spanish_tokens(text: Column) -> Column:
+    return _lang_tokens(text, FOLD_ES, STOPWORDS_ES, STEM_RULES_ES)
 
 
 def _standard_analyze(q: str) -> list[str]:
@@ -305,6 +335,10 @@ def _german_analyze(q: str) -> list[str]:
     return _lang_analyze(q, FOLD_DE, STOPWORDS_DE, STEM_RULES_DE)
 
 
+def _spanish_analyze(q: str) -> list[str]:
+    return _lang_analyze(q, FOLD_ES, STOPWORDS_ES, STEM_RULES_ES)
+
+
 # name -> (Column tokenizer, driver-side query analyzer).  The two
 # entries of each pair MUST stay semantically identical (ES contract);
 # tests/test_search.py pins the symmetry property.
@@ -315,6 +349,7 @@ ANALYZERS = {
     "cjk": (_cjk_tokens, _cjk_analyze),
     "french": (_french_tokens, _french_analyze),
     "german": (_german_tokens, _german_analyze),
+    "spanish": (_spanish_tokens, _spanish_analyze),
 }
 
 
@@ -322,7 +357,7 @@ ANALYZERS = {
 # highlighting must not expect a stem to \b-match the document text.
 # (french/german stems are also accent-FOLDED, so prefix matching
 # highlights only already-ASCII surface words — documented limit.)
-STEMMING_ANALYZERS = frozenset({"english", "french", "german"})
+STEMMING_ANALYZERS = frozenset({"english", "french", "german", "spanish"})
 
 
 def highlight_alternates(terms: "list[str]", analyzer: str = "standard") -> "list[str]":

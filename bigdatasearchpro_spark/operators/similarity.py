@@ -663,6 +663,58 @@ def _cluster_assign_int_udf(cent_int: np.ndarray):
     return pandas_udf(assign, "int")
 
 
+def cosine_range_search_int8(
+    emb: DataFrame,
+    query_ints: Sequence[int],
+    *,
+    thr_num: int = 225,
+    thr_den: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RANGE (radius) search: every vector whose cosine to the integer
+    query is ``>= sqrt(thr_num/thr_den)`` — the all-neighbors-within-
+    radius companion to top-k (dedup candidate pulls, recall-oriented
+    retrieval, near-duplicate lookups by example).
+
+    INTEGER-EXACT like :func:`semantic_dedup_int8`: corpus vectors are
+    int8-quantized (portable floor(x+0.5)) and the decision is
+    ``thr_den * dot^2 >= thr_num * |v|^2 * |q|^2 AND dot > 0`` in
+    BIGINT — no float anywhere, so a SQL oracle replays the exact
+    member set. One narrow scan, no shuffle, no topk sort; at 100 TB
+    this is the embarrassingly-parallel filter shape (optionally IVF-
+    pruned first like ann_topk_ivfpq when the radius is tight).
+
+    Output: ``(id, dot)`` for every in-range vector."""
+    qi = [int(v) for v in query_ints]
+    qnorm = sum(v * v for v in qi)
+    if qnorm == 0:
+        raise ValueError("query vector must be non-zero")
+    q = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
+    lit_q = F.array(*[F.lit(v) for v in qi])
+    dot = F.aggregate(
+        F.zip_with("q", lit_q, lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = F.aggregate(
+        F.transform("q", lambda x: x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x * x,
+    )
+    return (
+        q.select(F.col(id_col), dot.alias("dot"), norm.alias("__n"))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(thr_den) * F.col("dot") * F.col("dot")
+                >= F.lit(thr_num) * F.col("__n") * F.lit(qnorm)
+            )
+        )
+        .select(id_col, "dot")
+    )
+
+
 def semantic_dedup_int8(
     emb: DataFrame,
     *,

@@ -1878,4 +1878,46 @@ def q19_disjunctive_predicate_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "s20_termvectors",
+    """
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*) AS term_freq
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS t
+        FROM documents
+      )
+      WHERE doc_id IN (1, 2, 7)
+      GROUP BY doc_id, t
+    ),
+    stats AS (
+      SELECT t AS term, count(DISTINCT doc_id) AS doc_freq,
+             count(*) AS ttf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS t
+        FROM documents
+      )
+      GROUP BY t
+    )
+    SELECT tf.doc_id, tf.term AS term, tf.term_freq, s.doc_freq, s.ttf
+    FROM tf JOIN stats s ON tf.term = s.term
+    ORDER BY tf.doc_id, tf.term
+    """,
+)
+def s20_termvectors(spark, sf_dir):
+    """S20 [ES parity]: ``_termvectors`` / ``_mtermvectors`` — per-doc
+    term_freq for requested ids plus corpus doc_freq and ttf
+    (term_statistics=true). The requested-ids side is one pushed IN
+    scan; corpus stats are ONE vocabulary-scale pass joined back with
+    the tiny per-doc side broadcast (api.termvectors)."""
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    return api.termvectors(docs, [1, 2, 7]).orderBy("doc_id", "term")
+
+
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401

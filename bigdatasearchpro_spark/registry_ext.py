@@ -518,6 +518,57 @@ def l2_semantic_dedup_clustered(spark, sf_dir):
     )
 
 
+# Fixed integer query vector for the range-search entry (same
+# static-literal constraint as the SemDeDup centroids).
+_RANGE_QUERY_INTS = [((i * 7) % 17) - 8 for i in range(64)]
+
+
+def _range_search_oracle() -> str:
+    qlist = "[" + ",".join(str(v) for v in _RANGE_QUERY_INTS) + "]"
+    qnorm = sum(v * v for v in _RANGE_QUERY_INTS)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                      0) AS amax
+      FROM embeddings
+    ),
+    qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(-127, least(127, floor(x::DOUBLE /
+                      (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                      + 0.5)))::BIGINT) AS q
+      FROM v
+    ),
+    sc AS (
+      SELECT vec_id,
+             list_sum([q[i] * ({qlist})[i]
+                       for i in generate_series(1, 64)])::BIGINT AS dot,
+             list_sum(list_transform(q, x -> x * x))::BIGINT AS n
+      FROM qt
+    )
+    SELECT vec_id, dot FROM sc
+    WHERE dot > 0 AND 10000 * dot * dot >= 225 * n * {qnorm}
+    ORDER BY vec_id
+    """
+
+
+@register("l4_range_search", _range_search_oracle())
+def l4_range_search(spark, sf_dir):
+    """L4: cosine RANGE (radius) search — every vector with
+    cos >= sqrt(225/10000) = 0.15 to a fixed integer query vector; the
+    all-neighbors companion to top-k (candidate pulls for dedup,
+    retrieval by example). INTEGER-EXACT decision (int8-quantized
+    corpus, BIGINT dot/norm test — semantic-dedup arithmetic, one
+    sided), so the oracle replays the exact member set. One narrow
+    scan, no shuffle, no sort (similarity.cosine_range_search_int8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_range_search_int8(
+        emb, _RANGE_QUERY_INTS, thr_num=225, thr_den=10000
+    ).orderBy("vec_id")
+
+
 @register("l4_batch_query_topk")  # rows-only: float scores, BLAS sums
 def l4_batch_query_topk(spark, sf_dir):
     """L4 serving path: MANY query vectors against the corpus in ONE

@@ -2348,6 +2348,43 @@ def l3_analyzer_german(spark, sf_dir):
     )
 
 
+from bigdatasearchpro_spark.operators.analyzers import (  # noqa: E402
+    FOLD_ES,
+    STEM_RULES_ES,
+    STOPWORDS_ES,
+)
+
+_STOPS_ES_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS_ES) + ")"
+
+_INFLECT_ES = (
+    ("table", "Tablas"),
+    ("query", "consultas"),
+    ("filter", "filtrados"),
+    ("sort", "caballos"),
+)
+
+
+@register(
+    "l3_analyzer_spanish",
+    _lang_analyzer_oracle(
+        _INFLECT_ES, FOLD_ES, _STOPS_ES_SQL, STEM_RULES_ES,
+        ("tabl", "consult", "filtrad", "caball"),
+    ),
+)
+def l3_analyzer_spanish(spark, sf_dir):
+    """L3 analyzers: ``spanish`` — accent folding (á é í ó ú ñ), the
+    Lucene Spanish stop core, and a light plural/gender stemmer
+    (SpanishLightStem spirit: -ciones->cion, -os/-as/-es/-s/-o/-a/-e).
+    Corpus re-inflected (table->Tablas, query->consultas,
+    filter->filtrados, sort->caballos); the query "La Tabla de
+    consulta; filtrado y caballo" uses different inflections +
+    stopwords — match requires symmetric folded-stem agreement."""
+    return _lang_analyzer_query(
+        spark, sf_dir, _INFLECT_ES,
+        "La Tabla de consulta; filtrado y caballo", "spanish",
+    )
+
+
 # Part 3 (UDF surface, multimodal ring, embedding near-dup, IVF ANN)
 # registers itself on import.
 from bigdatasearchpro_spark import registry_ext  # noqa: E402,F401

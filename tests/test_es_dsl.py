@@ -203,3 +203,58 @@ def test_phrase_prefix_single_term_is_prefix_query(spark):
     # single (incomplete) term: plain prefix semantics, not substring
     got = {r["doc_id"] for r in phrase_prefix_match(df, "wind").collect()}
     assert got == {1}
+
+
+def test_termvectors_per_doc_and_corpus_stats(spark):
+    """_termvectors: per-doc term_freq plus corpus doc_freq/ttf
+    (term_statistics=true); _mtermvectors is the same call with many
+    ids in one scan."""
+    from bigdatasearchpro_spark import api
+
+    docs = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "join window"), (3, "spark")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["term_freq"], r["doc_freq"], r["ttf"])
+        for r in api.termvectors(docs, [1, 2]).collect()
+    }
+    assert out[(1, "spark")] == (2, 2, 3)
+    assert out[(1, "join")] == (1, 2, 2)
+    assert out[(2, "window")] == (1, 1, 1)
+    assert (3, "spark") not in out  # id 3 not requested
+    lite = api.termvectors(docs, [1], term_statistics=False)
+    assert set(lite.columns) == {"doc_id", "term", "term_freq"}
+    with pytest.raises(ValueError):
+        api.termvectors(docs, [])
+
+
+def test_cosine_range_search_matches_float_radius(spark):
+    """Range search returns exactly the vectors whose int8-quantized
+    cosine clears the threshold — verified against a float replay of
+    the same quantized decision."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.operators import similarity
+    from bigdatasearchpro_spark.registry_ext import _RANGE_QUERY_INTS
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {
+        r["vec_id"]: r["dot"]
+        for r in similarity.cosine_range_search_int8(
+            emb, _RANGE_QUERY_INTS, thr_num=225, thr_den=10000
+        ).collect()
+    }
+    q = np.asarray(_RANGE_QUERY_INTS, dtype=np.int64)
+    rows = emb.collect()
+    expect = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        amax = np.abs(v).max()
+        scale = amax / 127.0 if amax > 0 else 1.0
+        qi = np.clip(np.floor(v / scale + 0.5), -127, 127).astype(np.int64)
+        dot = int(qi @ q)
+        if dot > 0 and 10000 * dot * dot >= 225 * int(qi @ qi) * int(q @ q):
+            expect[r["vec_id"]] = dot
+    assert got == expect and len(got) > 0

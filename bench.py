@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "l3_analyzer_stemmed",
     "l5_ngram_repetition",
     "q8_market_share",
+    # r6-new entries: cluster-bounded SemDeDup, salted percolation,
+    # phrase suggester (bigram-model pass), integer range search
+    "l2_semantic_dedup_clustered",
+    "l3_percolate_many",
+    "l3_suggest_phrase",
+    "l4_range_search",
 ]
 
 

@@ -40,7 +40,14 @@ from pyspark.sql.window import Window
 
 from bigdatasearchpro_spark.operators.search import TextCols, tokens_expr
 
-__all__ = ["segment_dedup", "decontaminate", "pack_sequences"]
+__all__ = [
+    "segment_dedup",
+    "decontaminate",
+    "fuzzy_decontaminate",
+    "pack_sequences",
+    "quality_deciles",
+    "domain_mixture",
+]
 
 
 def _segments(tokens, seg_tokens: int):
@@ -221,4 +228,144 @@ def pack_sequences(
             F.greatest(F.col("__end") - 2, F.col("__end") - F.col("n_tokens") - 1)
             / max_len
         ).alias("last_chunk"),
+    )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    thr_num: int = 1,
+    thr_den: int = 10,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag a training document when
+    its n-gram JACCARD overlap with any single benchmark document
+    reaches ``thr_num/thr_den`` — the overlap-ratio rule (PaLM / Llama
+    style) that catches paraphrased/partial contamination a single
+    shared shingle (:func:`decontaminate`) would under- or over-flag.
+
+    INTEGER-EXACT decision: with A, B the DISTINCT shingle sets,
+    Jaccard >= thr  <=>  thr_den * |A∩B| >= thr_num * (|A|+|B|-|A∩B|)
+    — all counts, no division, so a SQL oracle replays the flag set
+    bit-for-bit.
+
+    Plan: both sides explode to (id, distinct shingle); one equi-join
+    on the shingle (benchmark side is the small one — millions of
+    shingles, broadcastable at scale) → one hash agg per (doc, bench)
+    pair for the intersection; set sizes are per-side hash aggs.
+    Shuffles carry shingles and counts, never documents.
+
+    Output: one row per contaminated (doc, bench) pair —
+    ``(id, bench_id, inter, n_doc, n_bench)``."""
+    d_sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_shingles(tokens_expr(text_col), n))
+        ).alias("sh"),
+    )
+    b_sh = benchmark.select(
+        F.col(bench_id_col).alias("__bid"),
+        F.explode(
+            F.array_distinct(_shingles(tokens_expr(text_col), n))
+        ).alias("sh"),
+    )
+    d_size = d_sh.groupBy(id_col).agg(F.count("*").alias("n_doc"))
+    b_size = b_sh.groupBy("__bid").agg(F.count("*").alias("n_bench"))
+    inter = (
+        d_sh.join(b_sh, "sh")
+        .groupBy(id_col, "__bid")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(d_size, id_col)
+        .join(F.broadcast(b_size), "__bid")
+        .filter(
+            F.lit(thr_den) * F.col("inter")
+            >= F.lit(thr_num)
+            * (F.col("n_doc") + F.col("n_bench") - F.col("inter"))
+        )
+        .select(
+            F.col(id_col),
+            F.col("__bid").alias("bench_id"),
+            "inter", "n_doc", "n_bench",
+        )
+    )
+
+
+def quality_deciles(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+) -> DataFrame:
+    """Quality-quantile bucketing: every document gets its corpus-wide
+    quality decile (1 = worst .. ``buckets`` = best) from the
+    integer-exact quality logit — the curation step that lets a
+    pipeline keep "top 3 deciles" instead of hand-tuning a threshold
+    (the fastText-classifier-percentile pattern).
+
+    ``ntile`` over (scaled integer logit, id) — the tie-break makes
+    the assignment deterministic and SQL-replayable. The single
+    unpartitioned window is the one honest global step quantile
+    assignment REQUIRES; at 100 TB the same contract is served by
+    approx quantile cutpoints (a6 family) + a map-side bucket lookup,
+    documented here as the scale path.
+
+    Output: ``(id, logit_scaled, decile)``."""
+    from bigdatasearchpro_spark.operators.textstats import (
+        quality_logit_scores,
+    )
+
+    scored = quality_logit_scores(docs, text_col=text_col, id_col=id_col)
+    w = Window.orderBy(F.asc("logit_scaled"), F.asc(id_col))
+    return scored.select(
+        F.col(id_col),
+        "logit_scaled",
+        F.ntile(buckets).over(w).alias("decile"),
+    )
+
+
+def domain_mixture(
+    docs: DataFrame,
+    quotas: "dict[str, int]",
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture sampling: draw a DETERMINISTIC per-domain quota
+    from the corpus (the data-mixing step that turns raw web-heavy
+    corpora into the curated proportions every pretraining recipe
+    specifies). Documents rank within their domain by
+    ``md5(cast(id as string))`` — a portable, engine-agnostic shuffle
+    that is uncorrelated with id assignment — and the first ``quota``
+    rows per domain survive. Domains absent from ``quotas`` are
+    dropped (quota 0).
+
+    One window per domain partition (hash-partitioned, parallel across
+    domains); nothing global, nothing driver-side.
+
+    Output: the sampled rows, ``(id, domain, rank_in_domain)``."""
+    if not quotas:
+        raise ValueError("domain_mixture needs at least one domain quota")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    quota_expr = F.create_map(
+        *[x for k, v in sorted(quotas.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            F.row_number().over(w).alias("rank_in_domain"),
+        )
+        .filter(
+            F.col("rank_in_domain")
+            <= F.coalesce(quota_expr[F.col("domain")], F.lit(0))
+        )
     )

@@ -144,3 +144,122 @@ def l5_pack_sequences(spark, sf_dir):
     driver state (operators/curation.py pack_sequences)."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.pack_sequences(docs, max_len=512, shard_col="lang")
+
+
+@register(
+    "l5_fuzzy_decontaminate",
+    f"""
+    WITH {_T_CTE},
+    bt AS (
+      SELECT doc_id AS bid, array_to_string(toks[5:20], ' ') AS btext
+      FROM t WHERE doc_id % 101 = 0 AND len(toks) >= 20
+    ),
+    b AS (
+      SELECT bid, unnest(list_distinct([array_to_string(
+                 list_filter(string_split_regex(lower(btext),
+                     '[^a-z0-9]+'), x -> x <> '')[i:(i+7)], ' ')
+             FOR i IN generate_series(1, greatest(
+                 len(list_filter(string_split_regex(lower(btext),
+                     '[^a-z0-9]+'), x -> x <> '')) - 7, 0))])) AS sh
+      FROM bt
+    ),
+    d AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:(i+7)], ' ')
+                 FOR i IN generate_series(1,
+                     greatest(len(toks) - 7, 0))])) AS sh
+      FROM t
+    ),
+    ds AS (SELECT doc_id, count(*) AS n_doc FROM d GROUP BY doc_id),
+    bs AS (SELECT bid, count(*) AS n_bench FROM b GROUP BY bid),
+    ix AS (
+      SELECT d.doc_id, b.bid, count(*) AS inter
+      FROM d JOIN b USING (sh) GROUP BY d.doc_id, b.bid
+    )
+    SELECT ix.doc_id, ix.bid AS bench_id, ix.inter, ds.n_doc, bs.n_bench
+    FROM ix JOIN ds USING (doc_id) JOIN bs USING (bid)
+    WHERE 10 * ix.inter >= 1 * (ds.n_doc + bs.n_bench - ix.inter)
+    ORDER BY ix.doc_id, bench_id
+    """,
+)
+def l5_fuzzy_decontaminate(spark, sf_dir):
+    """L5 [training data]: FUZZY decontamination — flag training docs
+    whose 8-gram JACCARD overlap with any single benchmark item
+    reaches 1/10 (the PaLM/Llama overlap-ratio rule; catches partial
+    or paraphrased leaks the any-shared-shingle rule over-flags).
+    Integer-exact decision (thr_den*inter >= thr_num*union — counts
+    only, no division), so the full contaminated pair set
+    hash-verifies. Same fixture benchmark as l5_decontaminate
+    (16-token excerpts of every 101st doc)
+    (operators/curation.py fuzzy_decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    bench = (
+        docs.select(F.col("doc_id"), toks.alias("__t"))
+        .filter((F.col("doc_id") % 101 == 0) & (F.size("__t") >= 20))
+        .select(
+            "doc_id",
+            F.array_join(F.slice("__t", 5, 16), " ").alias("text"),
+        )
+    )
+    return curation.fuzzy_decontaminate(
+        docs, bench, n=8, thr_num=1, thr_den=10
+    ).orderBy("doc_id", "bench_id")
+
+
+@register("l5_quality_deciles", None)  # oracle attached below
+def l5_quality_deciles(spark, sf_dir):
+    """L5 [training data]: quality-quantile bucketing — every doc gets
+    its corpus decile of the integer-exact quality logit (ntile over
+    (logit, id) — fully deterministic), the keep-top-N-deciles
+    curation step. Oracle wraps the l5_quality_logit SQL in the same
+    ntile (operators/curation.py quality_deciles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.quality_deciles(docs)
+
+
+# the deciles oracle reuses the quality-logit oracle verbatim as a
+# subquery — one source of truth for the integer-grid feature math
+from bigdatasearchpro_spark.registry import ORACLES  # noqa: E402
+
+ORACLES["l5_quality_deciles"] = f"""
+    SELECT doc_id, logit_scaled,
+           ntile(10) OVER (ORDER BY logit_scaled, doc_id) AS decile
+    FROM ({ORACLES["l5_quality_logit"]}) q
+"""
+
+
+@register(
+    "l5_domain_mixture",
+    """
+    WITH r AS (
+      SELECT doc_id, source AS domain,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rank_in_domain
+      FROM documents
+    )
+    SELECT doc_id, domain, rank_in_domain
+    FROM r
+    WHERE rank_in_domain <= CASE domain
+        WHEN 'src0' THEN 10 WHEN 'src1' THEN 5 WHEN 'src2' THEN 1
+        ELSE 0 END
+    ORDER BY domain, rank_in_domain
+    """,
+)
+def l5_domain_mixture(spark, sf_dir):
+    """L5 [training data]: domain-mixture sampling — deterministic
+    per-domain quotas (src0: 10, src1: 5, src2: 1, rest dropped), the
+    data-mixing step that reshapes raw corpus proportions into a
+    pretraining recipe. Ranking is md5(id) within domain — a portable
+    engine-agnostic shuffle uncorrelated with id order — so the drawn
+    sample is identical across engines and runs. One window per
+    domain partition, parallel across domains
+    (operators/curation.py domain_mixture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.domain_mixture(
+        docs, {"src0": 10, "src1": 5, "src2": 1}
+    ).orderBy("domain", "rank_in_domain")

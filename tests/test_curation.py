@@ -161,3 +161,75 @@ def test_pack_sequences_property_random_corpus(spark):
             last_tok = r["start_offset"] + max(r["n_tokens"] - 1, 0)
             assert r["last_chunk"] == last_tok // 64
             expect += r["n_tokens"] + 1
+
+
+def test_fuzzy_decontaminate_thresholds_and_exact_copy(spark):
+    """Jaccard-ratio decontamination: an exact copy hits ratio 1.0, a
+    disjoint doc never flags, and a partial overlap flags only when it
+    clears the threshold."""
+    from bigdatasearchpro_spark.operators.curation import fuzzy_decontaminate
+
+    base = "a b c d e f g h i j k l m n o p"  # 16 tokens -> 9 8-shingles
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                # exact copy of bench
+            (2, "z y x w v u t s r q p2 o2 n2 m2"),   # disjoint
+            (3, base + " q r s t u v w x y z aa bb"), # superset: partial ratio
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    hits = {
+        (r["doc_id"], r["bench_id"]): (r["inter"], r["n_doc"], r["n_bench"])
+        for r in fuzzy_decontaminate(docs, bench, n=8, thr_num=1, thr_den=10).collect()
+    }
+    assert (1, 100) in hits and hits[(1, 100)][0] == hits[(1, 100)][2]  # full overlap
+    assert not any(d == 2 for d, _ in hits)
+    assert (3, 100) in hits  # 9 shared of (21+9-9)=21 union -> 0.43 >= 0.1
+    # tighter threshold drops the partial overlap but keeps the copy
+    tight = {
+        r["doc_id"]
+        for r in fuzzy_decontaminate(docs, bench, n=8, thr_num=9, thr_den=10).collect()
+    }
+    assert tight == {1}
+
+
+def test_quality_deciles_partition_and_order(spark, sf_dir):
+    from bigdatasearchpro_spark.operators.curation import quality_deciles
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_deciles(docs).collect()
+    n = len(out)
+    assert n > 0
+    per = {}
+    for r in out:
+        assert 1 <= r["decile"] <= 10
+        per.setdefault(r["decile"], []).append(r["logit_scaled"])
+    # deciles are contiguous score ranges and near-equal sized
+    sizes = [len(per[d]) for d in sorted(per)]
+    assert max(sizes) - min(sizes) <= 1
+    for d in range(1, 10):
+        if d in per and d + 1 in per:
+            assert max(per[d]) <= min(per[d + 1])
+
+
+def test_domain_mixture_quotas_and_determinism(spark, sf_dir):
+    from bigdatasearchpro_spark.operators.curation import domain_mixture
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    quotas = {"src0": 7, "src1": 3}
+    out = domain_mixture(docs, quotas).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], set()).add(r["doc_id"])
+    assert set(by_dom) == {"src0", "src1"}  # unlisted domains dropped
+    assert len(by_dom["src0"]) == 7 and len(by_dom["src1"]) == 3
+    # deterministic under repartitioning
+    again = domain_mixture(docs.repartition(13, "lang"), quotas).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    import pytest
+
+    with pytest.raises(ValueError):
+        domain_mixture(docs, {})

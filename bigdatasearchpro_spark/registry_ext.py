@@ -2038,6 +2038,79 @@ def st8_streaming_cdc_apply(spark, sf_dir):
     )
 
 
+@register(
+    "st10_streaming_percolate",
+    """
+    WITH q AS (
+      SELECT * FROM (VALUES
+        (1, 'click'), (2, 'view'), (3, 'purchase'), (3, 'signup'),
+        (4, 'error'), (5, 'click')
+      ) t(query_id, term)
+    ),
+    need AS (SELECT query_id, count(DISTINCT term) AS nd FROM q GROUP BY query_id),
+    d AS (
+      SELECT event_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(event_type), '[^a-z0-9]+'),
+               x -> x <> ''))) AS tok
+      FROM events
+    )
+    SELECT d.event_id, q.query_id
+    FROM d JOIN q ON d.tok = q.term
+    GROUP BY d.event_id, q.query_id
+    HAVING count(DISTINCT q.term) >= (SELECT nd FROM need n
+                                      WHERE n.query_id = q.query_id)
+    ORDER BY event_id, query_id
+    """,
+)
+def st10_streaming_percolate(spark, sf_dir):
+    """§2.9 + L3+: streaming PERCOLATION (saved-search alerting) run as
+    a REAL stream — the events fixture staged as 3 time-ordered
+    micro-batch files, each matched against 5 registered queries
+    (incl. a two-term mode=all query that never fires and a
+    duplicate-token query that must fire like its single-token twin)
+    via the broadcast stream-static token join. Append-mode: every
+    alert emits exactly once, in its document's batch — so the final
+    alert SET equals the batch percolation, which the DuckDB oracle
+    replays directly (a hash-verified STREAMING entry: the stream run
+    is real, the result is still exact)."""
+    import shutil
+    import tempfile
+
+    from bigdatasearchpro_spark.operators import search
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        events_stream,
+        run_to_completion,
+        stage_time_sliced_replay,
+        streaming_percolate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stored = spark.createDataFrame(
+        [
+            (1, "click"), (2, "view"), (3, "purchase signup"),
+            (4, "error"), (5, "click click"),
+        ],
+        "query_id long, query string",
+    )
+    registered = search.register_percolator_queries(stored)
+    src = tempfile.mkdtemp(prefix="st10_src_")
+    ck = tempfile.mkdtemp(prefix="st10_ck_")
+    try:
+        stage_time_sliced_replay(events, src, n_slices=3)
+        alerts = streaming_percolate(
+            events_stream(spark, src, max_files_per_trigger=1), registered
+        )
+        got = run_to_completion(
+            alerts, checkpoint_dir=ck, output_mode="complete"
+        )
+        rows = got.orderBy("event_id", "query_id").collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_id bigint, query_id bigint")
+
+
 @register("st5_stateful_sessionize")  # rows-only: real stream execution
 def st5_stateful_sessionize(spark, sf_dir):
     """§2.9/§2.11: the applyInPandasWithState sessionizer executed as a

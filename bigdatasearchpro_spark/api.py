@@ -867,6 +867,39 @@ def cat_indices(spark: SparkSession) -> DataFrame:
     )
 
 
+def field_caps(spark: SparkSession, index_names) -> DataFrame:
+    """ES ``GET _field_caps`` — merged per-field capabilities across
+    one or more indices: the field's type, whether it is searchable /
+    aggregatable (ES 6.x: text fields search but don't aggregate;
+    keyword/numeric/date do both), and — exactly like ES when indices
+    DISAGREE on a type — one row per (field, type) listing which
+    indices carry it, so conflicts are visible instead of merged away.
+
+    Catalog-sized: reads schemas only, never data."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if isinstance(index_names, str):
+        index_names = [index_names]
+    if not index_names:
+        raise ValueError("field_caps needs at least one index")
+    rows = []
+    per_field: dict[tuple[str, str], list[str]] = {}
+    for name in index_names:
+        n = transform.normalize_index_name(name)
+        for f in spark.table(n).schema.fields:
+            t = f.dataType.simpleString()
+            per_field.setdefault((f.name, t), []).append(n)
+    for (fname, t), idxs in sorted(per_field.items()):
+        searchable = True
+        aggregatable = t != "string"  # ES: text searches, keyword aggs
+        rows.append((fname, t, searchable, aggregatable, ",".join(sorted(idxs))))
+    return spark.createDataFrame(
+        rows,
+        "field string, type string, searchable boolean, "
+        "aggregatable boolean, indices string",
+    )
+
+
 def update_settings(spark: SparkSession, index_name: str, settings: dict) -> dict:
     """ES ``PUT _settings`` — record index settings as table
     properties (the reference sets number_of_shards / replicas /

@@ -1879,6 +1879,46 @@ def q19_disjunctive_predicate_revenue(spark, sf_dir):
 
 
 @register(
+    "s21_field_caps",
+    """
+    SELECT * FROM (VALUES
+      ('body',   'string', true, false, 'fc_idx_a'),
+      ('doc_id', 'bigint', true, true,  'fc_idx_a'),
+      ('doc_id', 'string', true, false, 'fc_idx_b'),
+      ('lang',   'string', true, false, 'fc_idx_b'),
+      ('n_chars','string', true, false, 'fc_idx_b')
+    ) AS t(field, type, searchable, aggregatable, indices)
+    ORDER BY field, type
+    """,
+)
+def s21_field_caps(spark, sf_dir):
+    """S21 [ES parity]: ``GET _field_caps`` — merged per-field
+    capabilities across indices, with TYPE CONFLICTS kept visible the
+    ES way (one row per (field, type) with the indices carrying it):
+    fc_idx_a holds a native BIGINT doc_id (aggregatable), fc_idx_b is
+    a bulk-loaded index whose stringify-all pipeline made doc_id a
+    string — the exact divergence _field_caps exists to expose.
+    Catalog-sized, schemas only (api.field_caps)."""
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks import ddl
+
+    docs = load_table(spark, sf_dir, "documents")
+    ddl.create_index(spark, "fc_idx_a", "doc_id BIGINT, body STRING")
+    api.bulk_data_to_index(
+        spark, docs.select("doc_id", "lang", "n_chars"), "fc_idx_b",
+        id_col="doc_id",
+    )
+    try:
+        caps = api.field_caps(spark, ["fc_idx_a", "fc_idx_b"])
+        rows = caps.orderBy("field", "type").collect()
+        schema = caps.schema
+    finally:
+        api.delete_index(spark, "fc_idx_a")
+        api.delete_index(spark, "fc_idx_b")
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "s20_termvectors",
     """
     WITH tf AS (

@@ -52,6 +52,14 @@ _R6_FIXED_OR_NEW = (
     "l3_suggest_phrase",
     "l3_analyzer_french",
     "l3_analyzer_german",
+    "l3_analyzer_spanish",
+    "s20_termvectors",
+    "s21_field_caps",
+    "l4_range_search",
+    "l5_fuzzy_decontaminate",
+    "l5_quality_deciles",
+    "l5_domain_mixture",
+    "st10_streaming_percolate",
     # entries whose implementing code changed this round
     "l3_percolate_many",       # distinct-term __need + hot-term salting
     "l2_semantic_dedup",       # blocking join now keyed (__b, __s)

@@ -408,3 +408,50 @@ def test_q6_predicates_push_to_scan(spark, sf_dir):
     assert "l_shipdate" in pushed
     assert "l_discount" in pushed
     assert "l_quantity" in pushed
+
+
+def test_range_search_is_shuffle_free_scan(spark, sf_dir):
+    """Range (radius) search is one narrow filter over the corpus —
+    the embarrassingly-parallel shape: NO Exchange anywhere (no topk
+    sort, no agg, no join)."""
+    df = QUERIES["l4_range_search"](spark, sf_dir)
+    # the registry entry adds a presentation orderBy; gate the operator
+    from bigdatasearchpro_spark.operators import similarity
+    from bigdatasearchpro_spark.registry_ext import _RANGE_QUERY_INTS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    op = similarity.cosine_range_search_int8(emb, _RANGE_QUERY_INTS)
+    assert shuffle_count(op) == 0
+    plan = op._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "WindowExec" not in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark-size join (bench shingle-set sizes) must broadcast
+    — the training corpus never shuffles against benchmark-sized
+    state."""
+    df = QUERIES["l5_fuzzy_decontaminate"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_domain_mixture_windows_partition_by_domain(spark, sf_dir):
+    """The quota window partitions by domain — never a global
+    single-partition window."""
+    df = QUERIES["l5_domain_mixture"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Window \[.*?windowspecdefinition\(([^,]*),", plan):
+        assert "domain" in m.group(1) or "source" in m.group(1)
+    assert "Window" in plan
+
+
+def test_termvectors_requested_ids_push_to_scan(spark, sf_dir):
+    """The per-doc side of _termvectors is an IN predicate pushed to
+    the parquet scan (the corpus-stats side scans once, full)."""
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = api.termvectors(docs, [1, 2, 7])
+    pushed = " ".join(pushed_filters(df))
+    assert "doc_id" in pushed and "In(" in pushed

@@ -344,3 +344,86 @@ def decode_media_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         gen, MEDIA_STATS_SCHEMA
     )
+
+
+def audio_frame_energy(assets: DataFrame, frame_samples: int = 64) -> DataFrame:
+    """Per-frame audio ENERGY over REAL decoded WAV payloads: each
+    asset's PCM16 stream cuts into non-overlapping ``frame_samples``
+    windows (last partial kept) and each frame reports
+    ``sum(sample^2)`` — the standard VAD / silence-trim / loudness
+    feature, kept as an exact int64 (energy, not RMS: no sqrt, so an
+    independent engine replays it bit-for-bit).
+
+    Arrow-batched mapInPandas; vectorized numpy per frame; payload
+    bytes never leave the executors. Output:
+    ``(asset_id, frame_idx, n_samples, energy)``."""
+    if frame_samples <= 0:
+        raise ValueError("frame_samples must be positive")
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("energy", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "n_samples": [], "energy": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, samples = wav_samples(bytes(payload))
+                s = samples.astype(np.int64)
+                for fi in range(0, len(s), frame_samples):
+                    fr = s[fi : fi + frame_samples]
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(fi // frame_samples)
+                    out["n_samples"].append(int(fr.size))
+                    out["energy"].append(int((fr * fr).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(gen, schema)
+
+
+def image_gray_histogram(assets: DataFrame, bins: int = 16) -> DataFrame:
+    """Gray-level HISTOGRAM over REAL decoded image payloads (the
+    pixel-statistics feature a vision-data pipeline computes for
+    exposure/contrast filtering): 256/``bins``-wide buckets, one row
+    per non-empty (asset, bin) with its pixel count — exact integers.
+
+    Arrow-batched mapInPandas (numpy bincount per image); color images
+    histogram their luma-ish mean channel floor; payload bytes never
+    leave the executors. Output: ``(asset_id, bin, n_pixels)``."""
+    if bins <= 0 or 256 % bins != 0:
+        raise ValueError("bins must divide 256")
+    width = 256 // bins
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("bin", T.IntegerType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bigdatasearchpro_spark.multimodal.jpeg import decode_jpeg
+
+        for pdf in batches:
+            out = {"asset_id": [], "bin": [], "n_pixels": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                img = decode_jpeg(p)  # JPEG assets (raises on non-JPEG)
+                if img.ndim == 3:  # RGB -> integer mean channel (floor)
+                    gray = img.astype(np.int64).sum(axis=2) // 3
+                else:
+                    gray = img.astype(np.int64)
+                counts = np.bincount((gray // width).ravel(), minlength=bins)
+                for b in np.nonzero(counts)[0]:
+                    out["asset_id"].append(int(aid))
+                    out["bin"].append(int(b))
+                    out["n_pixels"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(gen, schema)

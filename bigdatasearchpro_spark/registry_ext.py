@@ -231,6 +231,74 @@ def l6_decode_jpeg(spark, sf_dir):
 
 
 @register(
+    "l6_audio_frame_energy",
+    """
+    WITH aud AS (
+      SELECT doc_id, (200 + doc_id % 64)::INTEGER AS n FROM documents
+      WHERE doc_id % 2 = 1
+    )
+    SELECT a.doc_id AS asset_id,
+           (g.i // 64)::INTEGER AS frame_idx,
+           count(*)::INTEGER AS n_samples,
+           sum(((a.doc_id * 31 + g.i * 7919) % 65536 - 32768)
+               * ((a.doc_id * 31 + g.i * 7919) % 65536 - 32768))::BIGINT
+             AS energy
+    FROM aud a, generate_series(0, 262) AS g(i)
+    WHERE g.i < a.n
+    GROUP BY a.doc_id, (g.i // 64)
+    ORDER BY asset_id, frame_idx
+    """,
+)
+def l6_audio_frame_energy(spark, sf_dir):
+    """L6: per-frame audio ENERGY over REAL decoded WAV bytes — the
+    VAD/loudness feature: 64-sample non-overlapping frames, exact
+    int64 sum-of-squares per frame (energy, not RMS — no sqrt, so the
+    oracle recomputes every frame from the fixture's closed-form
+    sample ramp with no audio stack). Arrow mapInPandas; payloads
+    never leave the executors (multimodal/codecs.py
+    audio_frame_energy)."""
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    wav = codecs.synthesize_media_assets(ids).filter(F.col("kind") == "audio")
+    return codecs.audio_frame_energy(wav, frame_samples=64).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+@register(
+    "l6_image_histogram",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             (2 * ((d.doc_id * 5 + g.i) % 64) + 64) AS gray
+      FROM documents d, generate_series(0, 7) AS g(i)
+      WHERE g.i < 2 * (2 + d.doc_id % 3)
+    )
+    SELECT doc_id AS asset_id, (gray // 16)::INTEGER AS bin,
+           (64 * count(*))::BIGINT AS n_pixels
+    FROM px
+    GROUP BY doc_id, (gray // 16)
+    ORDER BY asset_id, bin
+    """,
+)
+def l6_image_histogram(spark, sf_dir):
+    """L6: gray-level histogram over REAL decoded baseline-JPEG bytes
+    (exposure/contrast profiling for vision data): 16 buckets of 16
+    levels, exact pixel counts. The fixture's per-8x8-block constant
+    even grays round-trip the lossy pipeline exactly, so the oracle
+    counts 64 pixels per block arithmetically — any decode bug
+    (Huffman, predictor, IDCT) shifts a bin and hash-mismatches
+    (multimodal/codecs.py image_gray_histogram)."""
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return codecs.image_gray_histogram(
+        codecs.synthesize_jpeg_assets(ids), bins=16
+    ).orderBy("asset_id", "bin")
+
+
+@register(
     "l6_decode_video",
     """
     SELECT d.doc_id AS asset_id, 'avi_mjpeg' AS fmt,

@@ -398,3 +398,51 @@ def test_jpeg_standalone_markers_and_fill_bytes():
     doctored = clean[:2] + b"\xff\xff\xff\x01\xff\xd0" + clean[2:]
     out = jpeg.decode_jpeg(doctored)
     assert np.array_equal(out, img)
+
+
+def test_audio_frame_energy_exact(spark):
+    """Frame energy equals the closed-form numpy replay; the last
+    partial frame is kept with its true sample count."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    wav = codecs.synthesize_media_assets(ids)
+    out = codecs.audio_frame_energy(wav, frame_samples=64).collect()
+    got = {(r["asset_id"], r["frame_idx"]): (r["n_samples"], r["energy"]) for r in out}
+    for d in (1, 3):
+        n = 200 + d % 64
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 31 + i * 7919) % 65536 - 32768
+        for fi in range(0, n, 64):
+            fr = s[fi : fi + 64]
+            assert got[(d, fi // 64)] == (len(fr), int((fr * fr).sum()))
+    import pytest
+
+    with pytest.raises(ValueError):
+        codecs.audio_frame_energy(wav, frame_samples=0)
+
+
+def test_image_histogram_counts_blocks(spark):
+    """Block-constant fixture: each 8x8 block lands 64 pixels in the
+    bin of its gray; totals equal the image size."""
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    out = codecs.image_gray_histogram(
+        codecs.synthesize_jpeg_assets(ids), bins=16
+    ).collect()
+    per = {}
+    for r in out:
+        assert r["n_pixels"] % 64 == 0  # whole blocks only
+        per[r["asset_id"]] = per.get(r["asset_id"], 0) + r["n_pixels"]
+    for d in (2, 5):
+        nb = 2 + d % 3
+        assert per[d] == 16 * 8 * nb  # width 16, nb block-rows of 8px
+    import pytest
+
+    with pytest.raises(ValueError):
+        codecs.image_gray_histogram(
+            codecs.synthesize_jpeg_assets(ids), bins=15
+        ).collect()

@@ -142,3 +142,28 @@ def quarantine_ingest(df, casts, *, reason_col: str = "quarantine_reason"):
     )
     quarantined = df.filter(bad_pred).withColumn(reason_col, reason)
     return clean, quarantined
+
+
+def url_parts(url):
+    """Decompose a URL column into the parts web-corpus curation keys
+    on: host, registered domain (last two host labels — the eTLD+1
+    approximation a public-suffix-list-free pipeline uses), path, and
+    path depth. Pure JVM expressions (``parse_url`` + array ops), no
+    UDF; at 100 TB this is the map-side prelude to the per-domain
+    quota/blocklist joins.
+
+    Returns a struct column ``(host, domain, path, depth)``."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.parse_url(u, F.lit("HOST"))
+    labels = F.split(host, r"\.")
+    domain = F.array_join(
+        F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2), "."
+    )
+    path = F.parse_url(u, F.lit("PATH"))
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return F.struct(
+        host.alias("host"),
+        domain.alias("domain"),
+        path.alias("path"),
+        depth.alias("depth"),
+    )

@@ -263,3 +263,87 @@ def l5_domain_mixture(spark, sf_dir):
     return curation.domain_mixture(
         docs, {"src0": 10, "src1": 5, "src2": 1}
     ).orderBy("domain", "rank_in_domain")
+
+
+_URL_SQL = (
+    "'https://' || 'sub.' || source || '.net/' || lang || '/p/' || "
+    "doc_id::VARCHAR || '?q=spark&lang=' || lang"
+)
+
+
+@register(
+    "f8_url_funcs",
+    f"""
+    SELECT doc_id,
+           regexp_extract({_URL_SQL}, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract({_URL_SQL}, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract({_URL_SQL}, '[?&]q=([^&#]*)', 1) AS q_param
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def f8_url_funcs(spark, sf_dir):
+    """§2.8 scalar functions: URL family — host / path / query-param
+    extraction with ``parse_url`` (JVM-side; the DuckDB twin replays
+    with anchored regexes). URLs synthesized deterministically from
+    (source, lang, doc_id) since the fixture has no URL column."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://sub."), "source", F.lit(".net/"), "lang",
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.lit("?q=spark&lang="), "lang",
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "l5_url_domain_stats",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             regexp_extract({_URL_SQL}, '^[a-z]+://([^/?#]+)', 1) AS host,
+             regexp_extract({_URL_SQL}, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, host,
+             array_to_string(string_split(host, '.')[-2:], '.') AS domain,
+             len(list_filter(string_split(path, '/'), s -> s <> '')) AS depth,
+             path
+      FROM u
+    )
+    SELECT domain, count(*) AS n_docs,
+           count(DISTINCT path) AS n_paths,
+           max(depth)::INTEGER AS max_depth
+    FROM p GROUP BY domain ORDER BY domain
+    """,
+)
+def l5_url_domain_stats(spark, sf_dir):
+    """L5 [training data]: per-domain URL statistics — the input to a
+    web-corpus domain filter/quota (C4 drops whole domains; mixture
+    recipes cap them): registered-domain doc counts, distinct paths,
+    max path depth. Map-side url_parts decomposition + one hash agg
+    keyed on the domain (operators/transform.py url_parts)."""
+    from bigdatasearchpro_spark.operators import transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://sub."), "source", F.lit(".net/"), "lang",
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.lit("?q=spark&lang="), "lang",
+    )
+    parts = docs.select(transform.url_parts(url).alias("u"))
+    return (
+        parts.groupBy(F.col("u.domain").alias("domain"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("u.path").alias("n_paths"),
+            F.max("u.depth").cast("int").alias("max_depth"),
+        )
+        .orderBy("domain")
+    )

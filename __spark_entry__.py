@@ -60,15 +60,23 @@ _R6_FIXED_OR_NEW = (
     "l5_quality_deciles",
     "l5_domain_mixture",
     "st10_streaming_percolate",
+    "l6_audio_frame_energy",
+    "l6_image_histogram",
+    "f8_url_funcs",
+    "l5_url_domain_stats",
     # entries whose implementing code changed this round
     "l3_percolate_many",       # distinct-term __need + hot-term salting
     "l2_semantic_dedup",       # blocking join now keyed (__b, __s)
     "l5_dataset_card",         # GROUPING() total row
     "l6_decode_jpeg",          # standalone-marker segment walk
     "l3_search_paged",         # stem-aware highlight alternates
-    "l3_highlight_fragments",
     "l4_ann_ivfpq_topk",       # hash-ordered training sample, nprobe/refine
-    "l3_analyzer_stemmed",     # stem_expr parameterization
+    # NOT front-listed despite touched code, so the 26-entry r1 queue
+    # fits the 50-slot window exactly (the r5-verdict drain ask):
+    # l3_highlight_fragments (standard-analyzer alternates reduce to
+    # the old escaped terms; l3_search_paged covers the new path) and
+    # l3_analyzer_stemmed (r5-verified; the stem_expr refactor is
+    # pinned by the bit-identity test and the new language entries).
 )
 
 

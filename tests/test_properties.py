@@ -291,3 +291,84 @@ def test_lww_dedup_survivor_properties(spark, rows):
         df.repartition(7, "payload"), "k", ["o1", "o2"], keep="last"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_fuzzy_decontaminate_matches_bruteforce_jaccard(spark, docs, bench):
+    """For any tiny corpus/benchmark: the flagged (doc, bench) pair set
+    equals brute-force distinct-3-gram Jaccard at threshold 3/10, with
+    exact intersection/size counts."""
+    from bigdatasearchpro_spark.operators.curation import fuzzy_decontaminate
+
+    n = 3
+
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    d_rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    b_rows = [(100 + i, " ".join(t)) for i, t in enumerate(bench)]
+    ddf = spark.createDataFrame(d_rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(b_rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["inter"], r["n_doc"], r["n_bench"])
+        for r in fuzzy_decontaminate(
+            ddf, bdf, n=n, thr_num=3, thr_den=10
+        ).collect()
+    }
+    expect = {}
+    for i, dt in enumerate(docs):
+        A = shingles(dt)
+        for j, bt in enumerate(bench):
+            B = shingles(bt)
+            inter = len(A & B)
+            union = len(A) + len(B) - inter
+            if A and B and inter > 0 and 10 * inter >= 3 * union:
+                expect[(i, 100 + j)] = (inter, len(A), len(B))
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    quotas=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.integers(0, 6),
+        min_size=1,
+        max_size=3,
+    ),
+    n_rows=st.integers(1, 24),
+)
+def test_domain_mixture_properties(spark, quotas, n_rows):
+    """For any quotas and corpus: each domain yields min(quota, domain
+    size) rows, ranks are 1..k contiguous, and the same ids are drawn
+    regardless of input partitioning."""
+    from bigdatasearchpro_spark.operators.curation import domain_mixture
+
+    rows = [(i, f"s{i % 3}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mixture(df, quotas).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r["rank_in_domain"])
+    for dom, ranks in by_dom.items():
+        size = sum(1 for _, s in rows if s == dom)
+        assert sorted(ranks) == list(range(1, min(quotas.get(dom, 0), size) + 1))
+    for dom, q in quotas.items():
+        size = sum(1 for _, s in rows if s == dom)
+        if min(q, size) > 0:
+            assert len(by_dom.get(dom, [])) == min(q, size)
+    again = domain_mixture(df.repartition(5, "doc_id"), quotas).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

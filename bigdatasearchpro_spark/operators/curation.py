@@ -302,6 +302,8 @@ def quality_deciles(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 10,
+    approx: bool = False,
+    relative_error: float = 0.001,
 ) -> DataFrame:
     """Quality-quantile bucketing: every document gets its corpus-wide
     quality decile (1 = worst .. ``buckets`` = best) from the
@@ -309,12 +311,20 @@ def quality_deciles(
     pipeline keep "top 3 deciles" instead of hand-tuning a threshold
     (the fastText-classifier-percentile pattern).
 
-    ``ntile`` over (scaled integer logit, id) — the tie-break makes
-    the assignment deterministic and SQL-replayable. The single
-    unpartitioned window is the one honest global step quantile
-    assignment REQUIRES; at 100 TB the same contract is served by
-    approx quantile cutpoints (a6 family) + a map-side bucket lookup,
-    documented here as the scale path.
+    Two paths with the same contract:
+
+    - exact (default, the oracle-replayable form): ``ntile`` over
+      (scaled integer logit, id) — the tie-break makes the assignment
+      deterministic and SQL-replayable. The single unpartitioned
+      window is the one honest global step EXACT quantile assignment
+      requires; fine up to the scale a single sort survives.
+    - ``approx=True`` (the 100 TB path): Greenwald-Khanna approximate
+      cutpoints (``approxQuantile``, one pass, driver holds only
+      ``buckets-1`` numbers) + a MAP-SIDE when-chain bucket lookup —
+      no global sort, no window, embarrassingly parallel. Boundary
+      rows within ``relative_error`` of a cutpoint may land one
+      bucket off (the documented GK guarantee); everything else
+      matches the exact path (tested).
 
     Output: ``(id, logit_scaled, decile)``."""
     from bigdatasearchpro_spark.operators.textstats import (
@@ -322,11 +332,26 @@ def quality_deciles(
     )
 
     scored = quality_logit_scores(docs, text_col=text_col, id_col=id_col)
-    w = Window.orderBy(F.asc("logit_scaled"), F.asc(id_col))
-    return scored.select(
-        F.col(id_col),
-        "logit_scaled",
-        F.ntile(buckets).over(w).alias("decile"),
+    if not approx:
+        w = Window.orderBy(F.asc("logit_scaled"), F.asc(id_col))
+        return scored.select(
+            F.col(id_col),
+            "logit_scaled",
+            F.ntile(buckets).over(w).alias("decile"),
+        )
+    probs = [i / buckets for i in range(1, buckets)]
+    staged = scored.select(
+        F.col(id_col), "logit_scaled",
+        F.col("logit_scaled").cast("double").alias("__d"),
+    )
+    cuts = staged.stat.approxQuantile("__d", probs, relative_error)
+    decile = F.lit(buckets)
+    for i in reversed(range(len(cuts))):
+        decile = F.when(F.col("__d") <= F.lit(cuts[i]), F.lit(i + 1)).otherwise(
+            decile
+        )
+    return staged.select(
+        F.col(id_col), "logit_scaled", decile.alias("decile")
     )
 
 

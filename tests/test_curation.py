@@ -233,3 +233,23 @@ def test_domain_mixture_quotas_and_determinism(spark, sf_dir):
 
     with pytest.raises(ValueError):
         domain_mixture(docs, {})
+
+
+def test_quality_deciles_approx_matches_exact_off_boundaries(spark, sf_dir):
+    """The approx (no-global-sort) path agrees with the exact ntile
+    assignment except at cutpoint boundaries, and its plan has no
+    unpartitioned window."""
+    from bigdatasearchpro_spark.operators.curation import quality_deciles
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r["doc_id"]: r["decile"] for r in quality_deciles(docs).collect()}
+    approx_df = quality_deciles(docs, approx=True, relative_error=0.001)
+    approx = {r["doc_id"]: r["decile"] for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    off = sum(1 for d in exact if exact[d] != approx[d])
+    # boundary ties only: a small fraction, never a bucket away > 1
+    assert off <= max(2, len(exact) // 20)
+    assert all(abs(exact[d] - approx[d]) <= 1 for d in exact)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan

@@ -162,6 +162,9 @@ def phrase_suggester(
     id_col: str = "doc_id",
     text_col: TextCols = "text",
     analyzer: str = "standard",
+    highlight: bool = False,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
 ) -> DataFrame:
     """ES ``phrase`` suggester — whole-phrase did-you-mean: per-token
     candidate corrections (term-suggester style, vocabulary terms
@@ -187,7 +190,10 @@ def phrase_suggester(
     driver-side and bounded by (per_token+1)^|tokens| with
     |tokens| <= 8 enforced. Nothing corpus-sized is collected.
 
-    Output: ``(suggestion, hits, bigram_sum)``, top ``size``."""
+    Output: ``(suggestion, hits, bigram_sum)``, top ``size``; with
+    ``highlight=True`` (the ES phrase-suggester highlight option) a
+    ``highlighted`` column wraps each CHANGED token in
+    ``pre_tag``/``post_tag``."""
     from bigdatasearchpro_spark.operators.search import analyze_query
 
     toks = analyze_query(text, analyzer)
@@ -249,19 +255,24 @@ def phrase_suggester(
                 [c[0] for c in combo],
                 sum(c[2] for c in combo),
                 sum(c[3] for c in combo),
+                " ".join(
+                    (pre_tag + c[0] + post_tag) if c[1] else c[0]
+                    for c in combo
+                ),
             )
         )
     if not phrases:
-        return spark.createDataFrame(
-            [], "suggestion string, hits bigint, bigram_sum bigint"
-        )
+        empty = "suggestion string, hits bigint, bigram_sum bigint"
+        if highlight:
+            empty += ", highlighted string"
+        return spark.createDataFrame([], empty)
     phr = spark.createDataFrame(
-        [(p, sd, sf) for p, _, sd, sf in phrases],
-        "suggestion string, sum_dist long, sum_freq long",
+        [(p, sd, sf, hl) for p, _, sd, sf, hl in phrases],
+        "suggestion string, sum_dist long, sum_freq long, highlighted string",
     )
     bi_rows = [
         (p, ts[i], ts[i + 1])
-        for p, ts, _, _ in phrases
+        for p, ts, _, _, _ in phrases
         for i in range(len(ts) - 1)
     ]
     c2 = corpus_bigram_counts(docs, text_col=text_col, analyzer=analyzer)
@@ -291,6 +302,7 @@ def phrase_suggester(
             .alias("bigram_sum"),
             "sum_freq",
             "sum_dist",
+            "highlighted",
         )
         .orderBy(
             F.desc("hits"),
@@ -300,5 +312,8 @@ def phrase_suggester(
             F.asc("suggestion"),
         )
         .limit(size)
-        .select("suggestion", "hits", "bigram_sum")
+        .select(
+            "suggestion", "hits", "bigram_sum",
+            *(["highlighted"] if highlight else []),
+        )
     )

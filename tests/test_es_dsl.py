@@ -258,3 +258,18 @@ def test_cosine_range_search_matches_float_radius(spark):
         if dot > 0 and 10000 * dot * dot >= 225 * int(qi @ qi) * int(q @ q):
             expect[r["vec_id"]] = dot
     assert got == expect and len(got) > 0
+
+
+def test_phrase_suggester_highlights_changed_tokens(docs):
+    """highlight=True wraps exactly the CORRECTED tokens in tags (the
+    ES phrase-suggester highlight option); unchanged tokens stay
+    bare."""
+    out = suggest.phrase_suggester(
+        docs, "sprak joni window", size=2, highlight=True
+    ).collect()
+    top = out[0]
+    assert top["suggestion"] == "spark join window"
+    assert top["highlighted"] == "<em>spark</em> <em>join</em> window"
+    # without the flag the column is absent
+    bare = suggest.phrase_suggester(docs, "sprak joni window", size=1)
+    assert "highlighted" not in bare.columns

@@ -867,6 +867,47 @@ def cat_indices(spark: SparkSession) -> DataFrame:
     )
 
 
+def rank_eval(
+    docs,
+    requests: dict,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scoring: str = "bm25",
+) -> DataFrame:
+    """ES ``_rank_eval`` — offline ranking evaluation: for each named
+    request ``{name: (query, relevant_id_set)}``, run the search and
+    report how the labeled relevant documents ranked — ``relevant_found``
+    (the precision@k numerator) and ``first_rel_rank`` (the MRR
+    numerator; NULL when no relevant doc reaches the page).
+
+    Integer outputs only (the ratio is the caller's division), so the
+    metric replays exactly wherever the underlying ranking does. Each
+    request costs one top-k search; only the k-row result pages reach
+    the driver (page-sized, like msearch)."""
+    from bigdatasearchpro_spark.operators.search import search_topk
+
+    if not requests:
+        raise ValueError("rank_eval needs at least one request")
+    spark = docs.sparkSession
+    rows = []
+    for name in sorted(requests):
+        query, relevant = requests[name]
+        top = search_topk(
+            docs, query, k, id_col=id_col, text_col=text_col, scoring=scoring
+        ).collect()
+        ids = [r[id_col] for r in top]
+        rel = set(relevant)
+        found = sum(1 for i in ids if i in rel)
+        first = next((p + 1 for p, d in enumerate(ids) if d in rel), None)
+        rows.append((name, k, found, first))
+    return spark.createDataFrame(
+        rows,
+        "request string, k int, relevant_found int, first_rel_rank int",
+    )
+
+
 def field_caps(spark: SparkSession, index_names) -> DataFrame:
     """ES ``GET _field_caps`` — merged per-field capabilities across
     one or more indices: the field's type, whether it is searchable /

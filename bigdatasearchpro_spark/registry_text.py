@@ -130,6 +130,65 @@ def l3_search_bm25_topk(spark, sf_dir):
     return search.search_topk(docs, SEARCH_QUERY, 10, scoring="bm25")
 
 
+@register(
+    "l3_rank_eval",
+    f"""
+    WITH {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    topk AS (
+      SELECT tf.doc_id,
+             row_number() OVER (ORDER BY round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) DESC, tf.doc_id ASC) AS rn
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id, nn.n, avgdl.avgdl
+    )
+    SELECT 'flagship' AS request, 10 AS k,
+           count(*) FILTER (WHERE doc_id % 17 = 0)::INTEGER
+             AS relevant_found,
+           min(rn) FILTER (WHERE doc_id % 17 = 0)::INTEGER
+             AS first_rel_rank
+    FROM topk WHERE rn <= 10
+    """,
+)
+def l3_rank_eval(spark, sf_dir):
+    """L3 [ES parity]: ``_rank_eval`` — offline ranking evaluation of
+    the flagship BM25 query against a deterministic relevance labeling
+    (doc_id % 17 == 0): relevant docs found in the top-10
+    (precision@k numerator) and the first relevant rank (MRR
+    numerator), integer outputs only. The oracle replays the SAME
+    BM25 ranking SQL the flagship entry is hash-verified with and
+    counts the labels (api.rank_eval)."""
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    relevant = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    return api.rank_eval(docs, {"flagship": (SEARCH_QUERY, relevant)}, k=10)
+
+
 # Tokenization of the `_all` field (every string column space-joined —
 # ES 6.x matches unscoped query terms across all fields of the
 # stringified document, ref BulkProcessImpl.java:112-117).

@@ -589,3 +589,39 @@ def test_explain_doc_matches_search_score(spark, sf_dir):
         assert not miss["matched"] and miss["value"] == 0.0
     finally:
         api.delete_index(spark, idx)
+
+
+def test_rank_eval_metrics(spark):
+    """_rank_eval: integer precision@k / first-rank outputs against
+    hand-labeled relevance on a tiny corpus."""
+    import pytest
+
+    from bigdatasearchpro_spark import api
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark"),
+            (2, "spark join"),
+            (3, "window only here"),
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["request"]: (r["k"], r["relevant_found"], r["first_rel_rank"])
+        for r in api.rank_eval(
+            docs,
+            {
+                "q1": ("spark join window", {1, 3}),
+                "q_none": ("spark join window", {4}),
+            },
+            k=3,
+        ).collect()
+    }
+    # ranking puts 1 first (all terms, repeats), 3 somewhere in top-3
+    k, found, first = out["q1"]
+    assert k == 3 and found == 2 and first == 1
+    # doc 4 matches nothing -> no relevant doc reaches the page
+    assert out["q_none"][1] == 0 and out["q_none"][2] is None
+    with pytest.raises(ValueError):
+        api.rank_eval(docs, {})

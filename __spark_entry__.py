@@ -69,12 +69,14 @@ _R6_FIXED_OR_NEW = (
     "l2_semantic_dedup",       # blocking join now keyed (__b, __s)
     "l5_dataset_card",         # GROUPING() total row
     "l6_decode_jpeg",          # standalone-marker segment walk
-    "l3_search_paged",         # stem-aware highlight alternates
     "l4_ann_ivfpq_topk",       # hash-ordered training sample, nprobe/refine
     # NOT front-listed despite touched code, so the 26-entry r1 queue
-    # fits the 50-slot window exactly (the r5-verdict drain ask):
-    # l3_highlight_fragments (standard-analyzer alternates reduce to
-    # the old escaped terms; l3_search_paged covers the new path) and
+    # fits the 50-slot window exactly (the r5-verdict drain ask; never-
+    # checked entries like l3_rank_eval enter the window automatically
+    # at age 0): l3_highlight_fragments and l3_search_paged (the
+    # standard-analyzer highlight alternates reduce to the old escaped
+    # terms — behavior-identical for these entries; the stemming path
+    # is pinned by test_highlight_stemming_analyzer_surface_forms) and
     # l3_analyzer_stemmed (r5-verified; the stem_expr refactor is
     # pinned by the bit-identity test and the new language entries).
 )

@@ -347,3 +347,117 @@ def l5_url_domain_stats(spark, sf_dir):
         )
         .orderBy("domain")
     )
+
+
+from bigdatasearchpro_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_PIPE2_QUOTA = 15
+
+
+def _pipeline_v2_oracle() -> str:
+    return f"""
+    WITH ql AS ({_ORACLES["l5_quality_logit"]}),
+    q AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN ql ON d.doc_id = ql.doc_id
+      WHERE ql.keep
+    ),
+    exmin AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+              FROM q GROUP BY md5(text)),
+    ex AS (SELECT q.* FROM q JOIN exmin ON q.doc_id = exmin.doc_id),
+    t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bt AS (
+      SELECT array_to_string(toks[5:20], ' ') AS btext
+      FROM t WHERE doc_id % 101 = 0 AND len(toks) >= 20
+    ),
+    b AS (
+      SELECT DISTINCT unnest([array_to_string(
+                 list_filter(string_split_regex(lower(btext),
+                     '[^a-z0-9]+'), x -> x <> '')[i:(i+7)], ' ')
+             FOR i IN generate_series(1, greatest(
+                 len(list_filter(string_split_regex(lower(btext),
+                     '[^a-z0-9]+'), x -> x <> '')) - 7, 0))]) AS sh
+      FROM bt
+    ),
+    cont AS (
+      SELECT DISTINCT d.doc_id
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:(i+7)], ' ')
+                   FOR i IN generate_series(1,
+                       greatest(len(toks) - 7, 0))])) AS sh
+        FROM t
+      ) d JOIN b USING (sh)
+    ),
+    clean AS (
+      SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    mix AS (
+      SELECT doc_id, source AS domain,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rank_in_domain
+      FROM clean
+    )
+    SELECT domain, count(*) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM mix WHERE rank_in_domain <= {_PIPE2_QUOTA}
+    GROUP BY domain ORDER BY domain
+    """
+
+
+@register("l5_pipeline_curation_v2", _pipeline_v2_oracle())
+def l5_pipeline_curation_v2(spark, sf_dir):
+    """The round-6 curation stages composed end-to-end — the second
+    half of the training-data pipeline (the first half is
+    l5_pipeline_end_to_end's quality -> dedup -> near-dup -> split):
+
+    1. learned quality gate: integer-exact logit > 0 (the classifier
+       form, not a length heuristic);
+    2. exact dedup: min doc_id per md5(text);
+    3. benchmark decontamination: docs sharing an 8-token shingle with
+       the held-out excerpts are DROPPED (the flag turned into the cut
+       a release actually makes);
+    4. domain mixture: uniform per-source quota of 15, md5(id)-ranked.
+
+    ONE composed DuckDB oracle (the quality-logit SQL reused verbatim)
+    hash-verifies per-domain counts + id ranges. Every stage is
+    map-side or one hash agg; the benchmark side broadcasts."""
+    from bigdatasearchpro_spark.operators import dedup as dedup_ops
+    from bigdatasearchpro_spark.operators.textstats import quality_logit_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep_ids = quality_logit_scores(docs).filter(F.col("keep")).select("doc_id")
+    q = docs.join(keep_ids, "doc_id", "left_semi").select(
+        "doc_id", "text", "source"
+    )
+    ex = dedup_ops.dedup_exact_by_hash(q, "text", "doc_id")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    bench = (
+        docs.select(F.col("doc_id"), toks.alias("__t"))
+        .filter((F.col("doc_id") % 101 == 0) & (F.size("__t") >= 20))
+        .select(
+            "doc_id", F.array_join(F.slice("__t", 5, 16), " ").alias("text")
+        )
+    )
+    contaminated = curation.decontaminate(docs, bench, n=8).select("doc_id")
+    clean = ex.join(contaminated, "doc_id", "left_anti")
+    mixed = curation.domain_mixture(
+        clean, {f"src{i}": _PIPE2_QUOTA for i in range(20)}
+    )
+    return (
+        mixed.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("domain")
+    )

@@ -69,7 +69,6 @@ _R6_FIXED_OR_NEW = (
     "l2_semantic_dedup",       # blocking join now keyed (__b, __s)
     "l5_dataset_card",         # GROUPING() total row
     "l6_decode_jpeg",          # standalone-marker segment walk
-    "l4_ann_ivfpq_topk",       # hash-ordered training sample, nprobe/refine
     # NOT front-listed despite touched code, so the 26-entry r1 queue
     # fits the 50-slot window exactly (the r5-verdict drain ask; never-
     # checked entries like l3_rank_eval enter the window automatically
@@ -78,7 +77,10 @@ _R6_FIXED_OR_NEW = (
     # terms — behavior-identical for these entries; the stemming path
     # is pinned by test_highlight_stemming_analyzer_surface_forms) and
     # l3_analyzer_stemmed (r5-verified; the stem_expr refactor is
-    # pinned by the bit-identity test and the new language entries).
+    # pinned by the bit-identity test and the new language entries);
+    # l4_ann_ivfpq_topk (rows-only driver check — the real gate is the
+    # pytest recall@10 >= 0.9 test, which covers the re-calibrated
+    # nprobe/refine defaults and the hash-ordered sample).
 )
 
 

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "l3_percolate_many",
     "l3_suggest_phrase",
     "l4_range_search",
+    "l5_pipeline_curation_v2",
 ]
 
 

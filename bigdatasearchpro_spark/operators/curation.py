@@ -47,6 +47,7 @@ __all__ = [
     "pack_sequences",
     "quality_deciles",
     "domain_mixture",
+    "domain_token_budget",
 ]
 
 
@@ -393,4 +394,49 @@ def domain_mixture(
             F.col("rank_in_domain")
             <= F.coalesce(quota_expr[F.col("domain")], F.lit(0))
         )
+    )
+
+
+def domain_token_budget(
+    docs: DataFrame,
+    budgets: "dict[str, int]",
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKEN-budget domain sampling: like :func:`domain_mixture` but
+    quotas are TOKEN counts — how pretraining mixtures are actually
+    specified ("30 B tokens of web, 5 B of code"). Documents rank
+    within their domain by ``md5(cast(id as string))`` (portable
+    deterministic shuffle) and are admitted while the domain's running
+    token total has not yet reached its budget — the first document
+    that crosses the line is still admitted (budgets are targets, not
+    caps; the standard convention, so a budget smaller than the first
+    doc still yields one doc).
+
+    One window cumsum per domain partition; token counts are the
+    whitespace-free analyzer count, computed map-side. Output:
+    ``(id, domain, n_tokens, cum_tokens)`` for the admitted rows."""
+    if not budgets:
+        raise ValueError("domain_token_budget needs at least one budget")
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_expr = F.create_map(
+        *[x for k, v in sorted(budgets.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        toks.alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return staged.filter(
+        F.col("cum_tokens") - F.col("n_tokens")
+        < F.coalesce(budget_expr[F.col("domain")], F.lit(0))
     )

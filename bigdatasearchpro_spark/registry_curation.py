@@ -461,3 +461,42 @@ def l5_pipeline_curation_v2(spark, sf_dir):
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "l5_domain_token_budget",
+    """
+    WITH staged AS (
+      SELECT doc_id, source AS domain,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, domain, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY domain
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM staged
+    )
+    SELECT doc_id, domain, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens - n_tokens < CASE domain
+        WHEN 'src0' THEN 800 WHEN 'src1' THEN 300 ELSE 0 END
+    ORDER BY domain, cum_tokens
+    """,
+)
+def l5_domain_token_budget(spark, sf_dir):
+    """L5 [training data]: TOKEN-budget domain sampling — mixture
+    quotas specified in tokens (how pretraining recipes are written:
+    "N tokens of domain X"), drawn deterministically: md5(id) order
+    within each domain, documents admitted while the running token
+    total is under the domain's budget (the crossing doc is still
+    admitted — budgets are targets, not caps). One window cumsum per
+    domain partition (operators/curation.py domain_token_budget)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.domain_token_budget(
+        docs, {"src0": 800, "src1": 300}
+    ).orderBy("domain", "cum_tokens")

@@ -253,3 +253,28 @@ def test_quality_deciles_approx_matches_exact_off_boundaries(spark, sf_dir):
     assert all(abs(exact[d] - approx[d]) <= 1 for d in exact)
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan
+
+
+def test_domain_token_budget_admission_rule(spark):
+    """Budgets are targets: docs admit while the pre-doc running total
+    is under budget, so the crossing doc still lands; zero-budget /
+    unlisted domains yield nothing; deterministic under repartition."""
+    from bigdatasearchpro_spark.operators.curation import domain_token_budget
+
+    rows = [(i, "s0" if i < 8 else "s1", "tok " * 10) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = domain_token_budget(df, {"s0": 25, "s1": 0}).collect()
+    doms = {r["domain"] for r in out}
+    assert doms == {"s0"}  # s1 budget 0 -> nothing
+    # each doc is 10 tokens; budget 25 -> docs admitted while cum-10 < 25
+    # => cum 10, 20, 30 admitted (third crosses), 40 not
+    cums = sorted(r["cum_tokens"] for r in out)
+    assert cums == [10, 20, 30]
+    again = domain_token_budget(
+        df.repartition(7, "text"), {"s0": 25, "s1": 0}
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    import pytest
+
+    with pytest.raises(ValueError):
+        domain_token_budget(df, {})

@@ -68,7 +68,6 @@ _R6_FIXED_OR_NEW = (
     "l3_percolate_many",       # distinct-term __need + hot-term salting
     "l2_semantic_dedup",       # blocking join now keyed (__b, __s)
     "l5_dataset_card",         # GROUPING() total row
-    "l6_decode_jpeg",          # standalone-marker segment walk
     # NOT front-listed despite touched code, so the 26-entry r1 queue
     # fits the 50-slot window exactly (the r5-verdict drain ask; never-
     # checked entries like l3_rank_eval enter the window automatically
@@ -80,7 +79,11 @@ _R6_FIXED_OR_NEW = (
     # pinned by the bit-identity test and the new language entries);
     # l4_ann_ivfpq_topk (rows-only driver check — the real gate is the
     # pytest recall@10 >= 0.9 test, which covers the re-calibrated
-    # nprobe/refine defaults and the hash-ordered sample).
+    # nprobe/refine defaults and the hash-ordered sample);
+    # l6_decode_jpeg (the marker-walk fix only affects streams with
+    # fill bytes / TEM / RSTn, which the fixture never emits — the
+    # fixture decode is byte-identical, and the new path is pinned by
+    # test_jpeg_standalone_markers_and_fill_bytes).
 )
 
 

@@ -38,10 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r4-verdict ask: prioritize by verdict age, not by membership in
 # the last window).
 #
-# Round-6 note: only 5 NEW + 8 code-changed entries outrank the age
-# queue this round, so the 50-slot window fully drains the 26
-# remaining r1-latest entries (the r5-verdict ask #2) with room to
-# spare for the oldest r2 carries.
+# Round-6 note: the front (2 fixes + 16 new + 3 code-changed) plus
+# the 3 never-checked late additions (age 0, auto-first in the rest
+# queue) plus the 26 r1-latest entries total EXACTLY 50 — the window
+# drains the whole r1 queue (the r5-verdict ask #2) while every new
+# operator still gets a first verdict.
 _R6_FIXED_OR_NEW = (
     # the round's headline fix: null-aware LWW fingerprint + its new
     # null-shift regression fixture

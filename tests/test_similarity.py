@@ -372,3 +372,35 @@ def test_pq_training_sample_unbiased_by_id_order(spark, sf_dir):
         # gate: test_ivfpq_recall_gate)
     finally:
         adv.unpersist()
+
+
+def test_semantic_dedup_with_trained_centroids(spark, sf_dir):
+    """The production path: IVF-trained (float) centroids feed
+    cluster-blocked SemDeDup — twins still dedup, result deterministic
+    across runs."""
+    from bigdatasearchpro_spark.registry_ext import _with_synthetic_near_vectors
+
+    emb = _with_synthetic_near_vectors(
+        load_table(spark, sf_dir, "embeddings").limit(80)
+    ).cache()
+    try:
+        cents = similarity.ivf_centroids(emb, 4)
+        out = {
+            r["vec_id"]: r["kept"]
+            for r in similarity.semantic_dedup_int8(
+                emb, centroids=cents, split_cap=30
+            ).collect()
+        }
+        planted = [v for v in out if v >= 100000]
+        assert planted
+        for v in planted:
+            assert out[v - 100000] is True and out[v] is False
+        again = {
+            r["vec_id"]: r["kept"]
+            for r in similarity.semantic_dedup_int8(
+                emb, centroids=cents, split_cap=30
+            ).collect()
+        }
+        assert out == again
+    finally:
+        emb.unpersist()

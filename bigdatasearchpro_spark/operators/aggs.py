@@ -454,3 +454,29 @@ def nested_terms_agg(
             "child_rank",
         )
     )
+
+
+def post_filter_facets(
+    df: DataFrame,
+    facet_field: str,
+    post_filter: Column,
+    *,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``post_filter`` semantics in one aggregation: facet buckets
+    are computed over the FULL query match set (``doc_count``), while
+    the hit list a UI would page is additionally narrowed by the
+    post filter (``post_count``) — the faceted-navigation contract
+    where clicking a filter narrows the results but the facet counts
+    don't collapse to it.
+
+    One hash agg (conditional count shares the pass); TakeOrdered of
+    ``size``. Output: ``(key, doc_count, post_count)``."""
+    out = (
+        df.groupBy(F.col(facet_field).alias("key"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(post_filter.cast("long")).alias("post_count"),
+        )
+    )
+    return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)

@@ -305,6 +305,7 @@ def quality_deciles(
     buckets: int = 10,
     approx: bool = False,
     relative_error: float = 0.001,
+    per_col: "str | None" = None,
 ) -> DataFrame:
     """Quality-quantile bucketing: every document gets its corpus-wide
     quality decile (1 = worst .. ``buckets`` = best) from the
@@ -327,19 +328,32 @@ def quality_deciles(
       bucket off (the documented GK guarantee); everything else
       matches the exact path (tested).
 
-    Output: ``(id, logit_scaled, decile)``."""
+    ``per_col`` partitions the ranking (e.g. per language — avoids a
+    high-resource language crowding every top decile AND partitions the
+    exact path's window, removing the global sort entirely: each group
+    sorts in parallel). Output: ``(id, logit_scaled, decile)`` plus the
+    group column when ``per_col`` is set."""
     from bigdatasearchpro_spark.operators.textstats import (
         quality_logit_scores,
     )
 
     scored = quality_logit_scores(docs, text_col=text_col, id_col=id_col)
-    if not approx:
-        w = Window.orderBy(F.asc("logit_scaled"), F.asc(id_col))
-        return scored.select(
-            F.col(id_col),
-            "logit_scaled",
-            F.ntile(buckets).over(w).alias("decile"),
+    if per_col is not None:
+        scored = scored.join(
+            docs.select(F.col(id_col), F.col(per_col)), id_col
         )
+    if not approx:
+        w = (
+            Window.partitionBy(per_col) if per_col is not None else Window
+        ).orderBy(F.asc("logit_scaled"), F.asc(id_col))
+        cols = [F.col(id_col), F.col("logit_scaled")]
+        if per_col is not None:
+            cols.append(F.col(per_col))
+        return scored.select(
+            *cols, F.ntile(buckets).over(w).alias("decile")
+        )
+    if per_col is not None:
+        raise ValueError("approx deciles are global; use per_col with approx=False")
     probs = [i / buckets for i in range(1, buckets)]
     staged = scored.select(
         F.col(id_col), "logit_scaled",

@@ -1961,3 +1961,28 @@ def s20_termvectors(spark, sf_dir):
 
 
 from bigdatasearchpro_spark import registry_curation  # noqa: E402,F401
+
+
+@register(
+    "l3_post_filter_facets",
+    f"""
+    WITH {_MATCHED_CTE}
+    SELECT lang AS key, count(*) AS doc_count,
+           sum(CASE WHEN n_chars > 600 THEN 1 ELSE 0 END)::BIGINT
+             AS post_count
+    FROM m GROUP BY lang
+    ORDER BY doc_count DESC, key ASC
+    LIMIT 5
+    """,
+)
+def l3_post_filter_facets(spark, sf_dir):
+    """L3 [ES parity]: ``post_filter`` — facet counts over the FULL
+    `spark` match set next to the post-filtered hit counts
+    (n_chars > 600): the faceted-navigation contract where a clicked
+    filter narrows hits but not facets. ONE hash agg computes both
+    (conditional count shares the pass) + TakeOrdered
+    (operators/aggs.py post_filter_facets)."""
+    m = _matched_docs(spark, sf_dir)
+    return aggs.post_filter_facets(
+        m, "lang", F.col("n_chars") > 600, size=5
+    )

@@ -500,3 +500,25 @@ def l5_domain_token_budget(spark, sf_dir):
     return curation.domain_token_budget(
         docs, {"src0": 800, "src1": 300}
     ).orderBy("domain", "cum_tokens")
+
+
+@register(
+    "l5_quality_deciles_per_lang",
+    f"""
+    WITH ql AS ({_ORACLES["l5_quality_logit"]})
+    SELECT ql.doc_id, ql.logit_scaled, d.lang,
+           ntile(10) OVER (PARTITION BY d.lang
+                           ORDER BY ql.logit_scaled, ql.doc_id) AS decile
+    FROM ql JOIN documents d ON ql.doc_id = d.doc_id
+    """,
+)
+def l5_quality_deciles_per_lang(spark, sf_dir):
+    """L5 [training data]: PER-LANGUAGE quality deciles — the
+    partitioned form of l5_quality_deciles: each language ranks its
+    own documents, so a high-resource language cannot crowd every top
+    decile, AND the window partitions by lang — no global sort
+    anywhere, each group sorts in parallel (the shape that survives
+    100 TB without the approx fallback)
+    (operators/curation.py quality_deciles(per_col='lang'))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.quality_deciles(docs, per_col="lang")

@@ -67,8 +67,6 @@ _R6_FIXED_OR_NEW = (
     "l5_url_domain_stats",
     # entries whose implementing code changed this round
     "l3_percolate_many",       # distinct-term __need + hot-term salting
-    "l2_semantic_dedup",       # blocking join now keyed (__b, __s)
-    "l5_dataset_card",         # GROUPING() total row
     # NOT front-listed despite touched code, so the 26-entry r1 queue
     # fits the 50-slot window exactly (the r5-verdict drain ask; never-
     # checked entries like l3_rank_eval enter the window automatically
@@ -84,7 +82,12 @@ _R6_FIXED_OR_NEW = (
     # l6_decode_jpeg (the marker-walk fix only affects streams with
     # fill bytes / TEM / RSTn, which the fixture never emits — the
     # fixture decode is byte-identical, and the new path is pinned by
-    # test_jpeg_standalone_markers_and_fill_bytes).
+    # test_jpeg_standalone_markers_and_fill_bytes); l2_semantic_dedup
+    # (the (__b, __s) join key is constant -1 on the default path —
+    # fixture output identical) and l5_dataset_card (GROUPING() equals
+    # the old coalesce on the fixture's non-null langs) — both were
+    # re-verified hash-green in this round's local 215/215 full-parity
+    # sweep at sf0.01.
 )
 
 

@@ -625,3 +625,41 @@ def test_rank_eval_metrics(spark):
     assert out["q_none"][1] == 0 and out["q_none"][2] is None
     with pytest.raises(ValueError):
         api.rank_eval(docs, {})
+
+
+def test_field_caps_single_index_and_guards(spark):
+    import uuid
+
+    import pytest
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks import ddl
+
+    idx = f"fc_one_{uuid.uuid4().hex[:8]}"
+    ddl.create_index(spark, idx, "doc_id BIGINT, body STRING")
+    try:
+        out = {r["field"]: (r["type"], r["aggregatable"])
+               for r in api.field_caps(spark, idx).collect()}  # str accepted
+        assert out == {"doc_id": ("bigint", True), "body": ("string", False)}
+    finally:
+        api.delete_index(spark, idx)
+    with pytest.raises(ValueError):
+        api.field_caps(spark, [])
+
+
+def test_termvectors_respects_analyzer(spark):
+    """With the english analyzer the term vector carries STEMS and the
+    corpus stats aggregate over stems too."""
+    from bigdatasearchpro_spark import api
+
+    docs = spark.createDataFrame(
+        [(1, "tables sorted tables"), (2, "table sorting")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["term_freq"], r["doc_freq"], r["ttf"])
+        for r in api.termvectors(docs, [1], analyzer="english").collect()
+    }
+    # 'tables'/'table' both stem to 'table'; 'sorted'/'sorting' to 'sort'
+    assert out[(1, "table")] == (2, 2, 3)
+    assert out[(1, "sort")] == (1, 2, 2)

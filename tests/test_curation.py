@@ -278,3 +278,22 @@ def test_domain_token_budget_admission_rule(spark):
 
     with pytest.raises(ValueError):
         domain_token_budget(df, {})
+
+
+def test_url_parts_edges(spark):
+    """No path, trailing slash, deep paths, and bare two-label hosts."""
+    from bigdatasearchpro_spark.operators.transform import url_parts
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com"),
+            (2, "https://a.b.example.org/x/y/z?q=1"),
+            (3, "http://just.net/"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["u"].asDict() for r in df.select("id", url_parts("url").alias("u")).collect()}
+    assert got[1]["domain"] == "example.com" and got[1]["depth"] == 0
+    assert got[2]["host"] == "a.b.example.org"
+    assert got[2]["domain"] == "example.org" and got[2]["depth"] == 3
+    assert got[3]["domain"] == "just.net" and got[3]["depth"] == 0

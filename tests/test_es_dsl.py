@@ -273,3 +273,13 @@ def test_phrase_suggester_highlights_changed_tokens(docs):
     # without the flag the column is absent
     bare = suggest.phrase_suggester(docs, "sprak joni window", size=1)
     assert "highlighted" not in bare.columns
+
+
+def test_phrase_suggester_single_token_input(docs):
+    """One-token input: no bigrams exist, so candidates rank by the
+    secondary keys (doc_freq, distance) — still corrections only."""
+    out = suggest.phrase_suggester(docs, "sprak", size=3).collect()
+    assert out
+    assert all(r["hits"] == 0 and r["bigram_sum"] == 0 for r in out)
+    assert "spark" in {r["suggestion"] for r in out}
+    assert all(r["suggestion"] != "sprak" for r in out)

@@ -404,3 +404,25 @@ def test_semantic_dedup_with_trained_centroids(spark, sf_dir):
         assert out == again
     finally:
         emb.unpersist()
+
+
+def test_range_search_guards_and_self_membership(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        similarity.cosine_range_search_int8(emb, [0] * 64)
+    # radius ~1.0: each vector's own quantized self clears the bar when
+    # queried with its own quantized codes
+    row = emb.first()
+    from bigdatasearchpro_spark.operators.similarity import quantize_int8
+
+    qi = [int(v) for v in quantize_int8(emb).filter(
+        F.col("vec_id") == row["vec_id"]).first()["q"]]
+    hits = {
+        r["vec_id"]
+        for r in similarity.cosine_range_search_int8(
+            emb, qi, thr_num=9990, thr_den=10000
+        ).collect()
+    }
+    assert row["vec_id"] in hits

@@ -685,25 +685,40 @@ def cosine_range_search_int8(
     this is the embarrassingly-parallel filter shape (optionally IVF-
     pruned first like ann_topk_ivfpq when the radius is tight).
 
-    Output: ``(id, dot)`` for every in-range vector."""
+    Output: ``(id, dot)`` for every in-range vector.
+
+    The whole per-row pipeline — int8 quantization, dot, norm — runs
+    as ONE Arrow-batched numpy pass (a pandas UDF), not Spark
+    higher-order folds: HOF lambdas are interpreted per element (~2 s
+    for 5 k x 64 arrays measured, vs ~50 ms batched). numpy float64
+    division/floor/clip are IEEE-identical to the Spark expression
+    form and the int64 products exact, so the oracle (which replays
+    quantization in DuckDB double math) is unaffected. Same lesson as
+    the PQ encoder."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     qi = [int(v) for v in query_ints]
     qnorm = sum(v * v for v in qi)
     if qnorm == 0:
         raise ValueError("query vector must be non-zero")
-    q = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
-    lit_q = F.array(*[F.lit(v) for v in qi])
-    dot = F.aggregate(
-        F.zip_with("q", lit_q, lambda x, y: x.cast("long") * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    norm = F.aggregate(
-        F.transform("q", lambda x: x.cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x * x,
-    )
+    qv = np.asarray(qi, dtype=np.int64)
+
+    def dot_norm(batch):
+        m = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in batch]
+        )
+        amax = np.abs(m).max(axis=1, keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        q = np.clip(np.floor(m / scale + 0.5), -127, 127).astype(np.int64)
+        return pd.DataFrame({"dot": q @ qv, "n": (q * q).sum(axis=1)})
+
+    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>")
+    q = emb.select(F.col(id_col), F.col(vec_col).alias("q"))
     return (
-        q.select(F.col(id_col), dot.alias("dot"), norm.alias("__n"))
+        q.select(F.col(id_col), dn(F.col("q")).alias("__dn"))
+        .select(F.col(id_col), F.col("__dn.dot").alias("dot"),
+                F.col("__dn.n").alias("__n"))
         .filter(
             (F.col("dot") > 0)
             & (

@@ -37,6 +37,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # comparable across rounds.
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+# Sub-second queries are the most noise-prone (r6 saw 1.5-2x swings on
+# five <1 s join/agg micro-queries with no implicated commit — VERDICT
+# r6 item 2).  When the min-of-REPS lands under this threshold, run
+# EXTRA more reps so they are effectively min-of-(REPS+EXTRA).
+SUBSEC_THRESHOLD = 1.0
+SUBSEC_EXTRA_REPS = max(
+    0, int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_EXTRA", "2"))
+)
+
 # Representative spread of SURVEY.md §2: ETL ring, search ring,
 # relational ring, LLM-pipeline ring, streaming-batch ring.
 BENCH_QUERIES = [
@@ -136,11 +145,17 @@ def main() -> None:
         queries["etl_bulk_load"] = round(etl_sec, 3)
 
         for name in BENCH_QUERIES:
-            best = float("inf")
-            for _ in range(REPS):
+
+            def _run_once() -> float:
                 t0 = time.time()
                 _drain(QUERIES[name](spark, SF_DIR))
-                best = min(best, time.time() - t0)
+                return time.time() - t0
+
+            best = min(_run_once() for _ in range(REPS))
+            if best < SUBSEC_THRESHOLD:
+                # min-of-(REPS+EXTRA) for noise-prone sub-second queries
+                for _ in range(SUBSEC_EXTRA_REPS):
+                    best = min(best, _run_once())
             queries[name] = round(best, 3)
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)

@@ -932,7 +932,12 @@ def field_caps(spark: SparkSession, index_names) -> DataFrame:
             per_field.setdefault((f.name, t), []).append(n)
     for (fname, t), idxs in sorted(per_field.items()):
         searchable = True
-        aggregatable = t != "string"  # ES: text searches, keyword aggs
+        # ES: text searches, keyword/numeric/date/bool fields agg;
+        # complex types (array/struct/map/binary) are NOT aggregatable
+        aggregatable = t in {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "decimal", "date", "timestamp", "timestamp_ntz", "boolean",
+        } or t.startswith("decimal(")
         rows.append((fname, t, searchable, aggregatable, ",".join(sorted(idxs))))
     return spark.createDataFrame(
         rows,

@@ -427,6 +427,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # marker code — skip them instead of reading one as a length.
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > len(payload):
+            # truncated stream ending in fill bytes (e.g. ...FF FF)
+            raise ValueError("truncated JPEG: fill bytes run off the end")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -476,7 +476,11 @@ def post_filter_facets(
         df.groupBy(F.col(facet_field).alias("key"))
         .agg(
             F.count("*").alias("doc_count"),
-            F.sum(post_filter.cast("long")).alias("post_count"),
+            # coalesce: an all-NULL predicate bucket must count 0, not
+            # NULL (ES / CASE-WHEN counting semantics)
+            F.coalesce(F.sum(post_filter.cast("long")), F.lit(0)).alias(
+                "post_count"
+            ),
         )
     )
     return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)

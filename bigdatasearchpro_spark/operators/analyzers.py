@@ -360,6 +360,16 @@ ANALYZERS = {
 STEMMING_ANALYZERS = frozenset({"english", "french", "german", "spanish"})
 
 
+# highlight_alternates needs each language's rule table to derive the
+# inverse alternates for replacement (non-strip) rules.
+_STEM_RULES_BY_ANALYZER = {
+    "english": STEM_RULES,
+    "french": STEM_RULES_FR,
+    "german": STEM_RULES_DE,
+    "spanish": STEM_RULES_ES,
+}
+
+
 def highlight_alternates(terms: "list[str]", analyzer: str = "standard") -> "list[str]":
     """Regex alternates that highlight SURFACE forms for the ANALYZED
     query terms.
@@ -368,18 +378,28 @@ def highlight_alternates(terms: "list[str]", analyzer: str = "standard") -> "lis
     match it exactly. Stemming analyzers: the term is a stem (e.g.
     ``tabl``), which never matches a surface word under ``\\b...\\b``;
     emit a prefix match on the stem (``tabl\\w*`` highlights table/
-    tables/tabling) plus the ``ies``→``y`` inverse (stem ``story`` also
-    emits ``storie\\w*`` for "stories"). ES re-analyzes the document to
-    highlight; this is the regexp approximation — a surface word
-    highlights iff its stem is a literal prefix, which holds for every
-    strip-style rule in STEM_RULES."""
+    tables/tabling). Strip-style rules (empty replacement, or a
+    replacement that prefixes its suffix, e.g. ``ches``→``ch``) are
+    covered by the prefix match; replacement rules whose suffix does
+    NOT start with the replacement (``ies``→``y``, French
+    ``aux``→``al``) get an explicit inverse alternate derived from the
+    analyzer's OWN rule table (stem ``cheval`` also emits
+    ``chevaux\\w*``), so FR/DE/ES highlights are not silently missed.
+    ES re-analyzes the document to highlight; this is the regexp
+    approximation."""
     if analyzer not in STEMMING_ANALYZERS:
         return [re.escape(t) for t in terms]
+    rules = _STEM_RULES_BY_ANALYZER[analyzer]
     alts: list[str] = []
     for t in terms:
         alts.append(re.escape(t) + r"\w*")
-        if t.endswith("y") and len(t) >= 3:
-            alts.append(re.escape(t[:-1]) + r"ie\w*")
+        for suffix, min_len, repl, _excluded in rules:
+            if not repl or suffix.startswith(repl):
+                continue  # strip-style: covered by the prefix match
+            # stem length implied by the rule's surface min length
+            stem_min = min_len - len(suffix) + len(repl)
+            if t.endswith(repl) and len(t) >= stem_min:
+                alts.append(re.escape(t[: len(t) - len(repl)] + suffix) + r"\w*")
     return list(dict.fromkeys(alts))
 
 

@@ -306,6 +306,7 @@ def quality_deciles(
     approx: bool = False,
     relative_error: float = 0.001,
     per_col: "str | None" = None,
+    exact_global: bool = False,
 ) -> DataFrame:
     """Quality-quantile bucketing: every document gets its corpus-wide
     quality decile (1 = worst .. ``buckets`` = best) from the
@@ -315,11 +316,15 @@ def quality_deciles(
 
     Two paths with the same contract:
 
-    - exact (default, the oracle-replayable form): ``ntile`` over
-      (scaled integer logit, id) — the tie-break makes the assignment
-      deterministic and SQL-replayable. The single unpartitioned
-      window is the one honest global step EXACT quantile assignment
-      requires; fine up to the scale a single sort survives.
+    - exact: ``ntile`` over (scaled integer logit, id) — the tie-break
+      makes the assignment deterministic and SQL-replayable. With
+      ``per_col`` the window partitions by that column (each group
+      sorts in parallel — the 100 TB-safe exact form). WITHOUT
+      ``per_col`` the window is a single-partition corpus sort, so the
+      global exact form must be requested explicitly with
+      ``exact_global=True`` — calling with neither ``per_col`` nor
+      ``approx`` nor ``exact_global`` raises, so nobody ships the
+      global sort by accident.
     - ``approx=True`` (the 100 TB path): Greenwald-Khanna approximate
       cutpoints (``approxQuantile``, one pass, driver holds only
       ``buckets-1`` numbers) + a MAP-SIDE when-chain bucket lookup —
@@ -337,6 +342,12 @@ def quality_deciles(
         quality_logit_scores,
     )
 
+    if not approx and per_col is None and not exact_global:
+        raise ValueError(
+            "global exact deciles are a single-partition corpus sort; "
+            "pass per_col=... (partitioned exact), approx=True (GK "
+            "cutpoints, no sort), or opt in with exact_global=True"
+        )
     scored = quality_logit_scores(docs, text_col=text_col, id_col=id_col)
     if per_col is not None:
         scored = scored.join(

@@ -212,12 +212,17 @@ def l5_fuzzy_decontaminate(spark, sf_dir):
 @register("l5_quality_deciles", None)  # oracle attached below
 def l5_quality_deciles(spark, sf_dir):
     """L5 [training data]: quality-quantile bucketing — every doc gets
-    its corpus decile of the integer-exact quality logit (ntile over
-    (logit, id) — fully deterministic), the keep-top-N-deciles
-    curation step. Oracle wraps the l5_quality_logit SQL in the same
-    ntile (operators/curation.py quality_deciles)."""
+    its quality decile of the integer-exact quality logit within its
+    SOURCE DOMAIN (ntile over (logit, id), window PARTITIONED by
+    source — each domain sorts in parallel, no global sort anywhere;
+    the keep-top-N-deciles curation step in its 100 TB shape). The
+    corpus-global exact form still exists behind an explicit
+    quality_deciles(exact_global=True) opt-in (it is a single-
+    partition corpus sort — use approx=True GK cutpoints at scale).
+    Oracle wraps the l5_quality_logit SQL in the same partitioned
+    ntile (operators/curation.py quality_deciles(per_col='source'))."""
     docs = load_table(spark, sf_dir, "documents")
-    return curation.quality_deciles(docs)
+    return curation.quality_deciles(docs, per_col="source")
 
 
 # the deciles oracle reuses the quality-logit oracle verbatim as a
@@ -225,9 +230,11 @@ def l5_quality_deciles(spark, sf_dir):
 from bigdatasearchpro_spark.registry import ORACLES  # noqa: E402
 
 ORACLES["l5_quality_deciles"] = f"""
-    SELECT doc_id, logit_scaled,
-           ntile(10) OVER (ORDER BY logit_scaled, doc_id) AS decile
-    FROM ({ORACLES["l5_quality_logit"]}) q
+    WITH ql AS ({ORACLES["l5_quality_logit"]})
+    SELECT ql.doc_id, ql.logit_scaled, d.source,
+           ntile(10) OVER (PARTITION BY d.source
+                           ORDER BY ql.logit_scaled, ql.doc_id) AS decile
+    FROM ql JOIN documents d ON ql.doc_id = d.doc_id
 """
 
 
@@ -481,7 +488,8 @@ def l5_pipeline_curation_v2(spark, sf_dir):
              ) AS cum_tokens
       FROM staged
     )
-    SELECT doc_id, domain, n_tokens, cum_tokens
+    -- cast: DuckDB widens sum() OVER to HUGEINT which hashes as float
+    SELECT doc_id, domain, n_tokens, cum_tokens::BIGINT AS cum_tokens
     FROM cum
     WHERE cum_tokens - n_tokens < CASE domain
         WHEN 'src0' THEN 800 WHEN 'src1' THEN 300 ELSE 0 END

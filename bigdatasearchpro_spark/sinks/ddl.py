@@ -60,7 +60,7 @@ def create_index(
     against a column-definition whitelist before either reaches the SQL
     string (DDL injection guard)."""
     n = normalize_index_name(name)
-    if not __import__("re").match(r"^[A-Za-z0-9_ ,<>()]+$", schema):
+    if not __import__("re").match(r"^[A-Za-z0-9_ ,<>():]+$", schema):
         raise ValueError(f"invalid schema string: {schema!r}")
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {n} ({schema}) USING parquet "

@@ -636,11 +636,18 @@ def test_field_caps_single_index_and_guards(spark):
     from bigdatasearchpro_spark.sinks import ddl
 
     idx = f"fc_one_{uuid.uuid4().hex[:8]}"
-    ddl.create_index(spark, idx, "doc_id BIGINT, body STRING")
+    ddl.create_index(
+        spark, idx,
+        "doc_id BIGINT, body STRING, tags ARRAY<STRING>, "
+        "meta STRUCT<k: STRING>",
+    )
     try:
         out = {r["field"]: (r["type"], r["aggregatable"])
                for r in api.field_caps(spark, idx).collect()}  # str accepted
-        assert out == {"doc_id": ("bigint", True), "body": ("string", False)}
+        assert out["doc_id"] == ("bigint", True)
+        assert out["body"] == ("string", False)
+        # complex types are NOT aggregatable (ES field-caps semantics)
+        assert out["tags"][1] is False and out["meta"][1] is False
     finally:
         api.delete_index(spark, idx)
     with pytest.raises(ValueError):

@@ -199,7 +199,11 @@ def test_quality_deciles_partition_and_order(spark, sf_dir):
     from bigdatasearchpro_spark.sources.files import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    out = quality_deciles(docs).collect()
+    import pytest
+
+    with pytest.raises(ValueError):
+        quality_deciles(docs)  # global sort requires explicit opt-in
+    out = quality_deciles(docs, exact_global=True).collect()
     n = len(out)
     assert n > 0
     per = {}
@@ -243,7 +247,10 @@ def test_quality_deciles_approx_matches_exact_off_boundaries(spark, sf_dir):
     from bigdatasearchpro_spark.sources.files import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = {r["doc_id"]: r["decile"] for r in quality_deciles(docs).collect()}
+    exact = {
+        r["doc_id"]: r["decile"]
+        for r in quality_deciles(docs, exact_global=True).collect()
+    }
     approx_df = quality_deciles(docs, approx=True, relative_error=0.001)
     approx = {r["doc_id"]: r["decile"] for r in approx_df.collect()}
     assert set(exact) == set(approx)

@@ -455,3 +455,55 @@ def test_termvectors_requested_ids_push_to_scan(spark, sf_dir):
     df = api.termvectors(docs, [1, 2, 7])
     pushed = " ".join(pushed_filters(df))
     assert "doc_id" in pushed and "In(" in pushed
+
+
+# Driver entries whose plans contain a Window over a CORPUS-SIZED
+# input: every windowspecdefinition must carry a partition column (the
+# first spec argument is a plain column, not a sort expression).
+# Page-sized windows are exempt BY NAME: l3_rescore_topk /
+# l3_scroll_export / s11_alias_scroll / l3_search_* rank a top-k or
+# page-sized materialized set (search.py:381 comment), where a
+# single-partition window over <= from+size rows is the right plan.
+_CORPUS_WINDOW_ENTRIES = [
+    "w1_rank_topn_per_group",
+    "w2_lag_lead",
+    "w3_running_sum",
+    "w4_range_frame",
+    "w5_ntile_percent_rank",
+    "w6_distribution_funcs",
+    "ts3_gap_detection",
+    "ts4_resample_ffill",
+    "j8_asof_join",
+    "l3_field_collapse",
+    "l5_quality_deciles",
+    "l5_quality_deciles_per_lang",
+    "l5_domain_mixture",
+    "l5_domain_token_budget",
+    "l5_pack_sequences",
+    "l5_pipeline_curation_v2",
+]
+
+_SORT_SPEC = __import__("re").compile(r"(ASC|DESC) NULLS (FIRST|LAST)")
+
+
+def test_no_unpartitioned_corpus_window_in_driver_entries(spark, sf_dir):
+    """No driver entry ships a single-partition corpus sort: every
+    Window over corpus-sized input partitions by a key (VERDICT r6
+    perf-weak — the old global-ntile l5_quality_deciles)."""
+    import re as _re
+
+    offenders = []
+    for name in _CORPUS_WINDOW_ENTRIES:
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for m in _re.finditer(r"windowspecdefinition\(([^,]*),", plan):
+            first = m.group(1)
+            # unpartitioned = the FIRST window-spec argument is already
+            # a sort order (partition columns would precede it)
+            if _SORT_SPEC.search(first):
+                offenders.append((name, first))
+    assert not offenders, offenders

@@ -38,56 +38,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r4-verdict ask: prioritize by verdict age, not by membership in
 # the last window).
 #
-# Round-6 note: the front (2 fixes + 16 new + 3 code-changed) plus
-# the 3 never-checked late additions (age 0, auto-first in the rest
-# queue) plus the 26 r1-latest entries total EXACTLY 50 — the window
-# drains the whole r1 queue (the r5-verdict ask #2) while every new
-# operator still gets a first verdict.
-_R6_FIXED_OR_NEW = (
-    # the round's headline fix: null-aware LWW fingerprint + its new
-    # null-shift regression fixture
-    "l1_dedup_last_write_wins",
-    "l1_dedup_lww_nulls",
-    # new operators this round
-    "l2_semantic_dedup_clustered",
-    "l3_suggest_phrase",
-    "l3_analyzer_french",
-    "l3_analyzer_german",
-    "l3_analyzer_spanish",
-    "s20_termvectors",
-    "s21_field_caps",
-    "l4_range_search",
-    "l5_fuzzy_decontaminate",
+# Round-7 note: the front (the r6 red-entry fix + the swapped deciles
+# flagship + this round's new operators + code-changed entries) plus
+# the 39-entry r2 cohort must total <= 50 so the window drains the
+# whole r2 tail (the r6-verdict ask #6) while every new operator still
+# gets a first verdict.  Run tools/check_window.py after ANY change.
+_R7_FIXED_OR_NEW = (
+    # the round's headline fix: the r6 red entry — oracle window sum
+    # now cast ::BIGINT (DuckDB HUGEINT widening broke the value hash)
+    "l5_domain_token_budget",
+    # swapped to the per-source PARTITIONED ntile (the 100 TB shape);
+    # global exact deciles now require an explicit exact_global=True
     "l5_quality_deciles",
-    "l5_domain_mixture",
-    "st10_streaming_percolate",
-    "l6_audio_frame_energy",
-    "l6_image_histogram",
-    "f8_url_funcs",
-    "l5_url_domain_stats",
-    # entries whose implementing code changed this round
-    "l3_percolate_many",       # distinct-term __need + hot-term salting
-    # NOT front-listed despite touched code, so the 26-entry r1 queue
-    # fits the 50-slot window exactly (the r5-verdict drain ask; never-
-    # checked entries like l3_rank_eval enter the window automatically
-    # at age 0): l3_highlight_fragments and l3_search_paged (the
-    # standard-analyzer highlight alternates reduce to the old escaped
-    # terms — behavior-identical for these entries; the stemming path
-    # is pinned by test_highlight_stemming_analyzer_surface_forms) and
-    # l3_analyzer_stemmed (r5-verified; the stem_expr refactor is
-    # pinned by the bit-identity test and the new language entries);
-    # l4_ann_ivfpq_topk (rows-only driver check — the real gate is the
-    # pytest recall@10 >= 0.9 test, which covers the re-calibrated
-    # nprobe/refine defaults and the hash-ordered sample);
-    # l6_decode_jpeg (the marker-walk fix only affects streams with
-    # fill bytes / TEM / RSTn, which the fixture never emits — the
-    # fixture decode is byte-identical, and the new path is pinned by
-    # test_jpeg_standalone_markers_and_fill_bytes); l2_semantic_dedup
-    # (the (__b, __s) join key is constant -1 on the default path —
-    # fixture output identical) and l5_dataset_card (GROUPING() equals
-    # the old coalesce on the fixture's non-null langs) — both were
-    # re-verified hash-green in this round's local 215/215 full-parity
-    # sweep at sf0.01.
+    # code changed this round: post_count coalesced to 0 on all-NULL
+    # predicate buckets; field_caps aggregatable restricted to scalars
+    "l3_post_filter_facets",
+    "s21_field_caps",
+    # new operators this round
+    "l3_geo_bounding_box",
+    "l3_geo_distance",
+    "l3_agg_geo_distance",
 )
 
 
@@ -118,7 +88,7 @@ def _verdict_ages() -> dict[str, int]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    front = [n for n in _R6_FIXED_OR_NEW if n in QUERIES]
+    front = [n for n in _R7_FIXED_OR_NEW if n in QUERIES]
     ages = _verdict_ages()
     order = list(QUERIES)
     rest = sorted(

@@ -530,3 +530,7 @@ def l5_quality_deciles_per_lang(spark, sf_dir):
     (operators/curation.py quality_deciles(per_col='lang'))."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.quality_deciles(docs, per_col="lang")
+
+
+# chain the round-7 registries
+from bigdatasearchpro_spark import registry_geo  # noqa: E402,F401

@@ -1,0 +1,139 @@
+"""Geo ring: haversine math, ES geo_distance / geo_bounding_box /
+geo_distance-agg semantics, and the scan-pushdown plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators import geo
+
+
+def _hav_py(lat1, lon1, lat2, lon2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    a = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+    return 2 * geo.EARTH_RADIUS_M * math.asin(math.sqrt(min(a, 1.0)))
+
+
+_CITIES = [
+    # (name, lat, lon)
+    ("paris", 48.8566, 2.3522),
+    ("london", 51.5074, -0.1278),
+    ("tokyo", 35.6762, 139.6503),
+    ("sydney", -33.8688, 151.2093),
+    ("anchorage", 61.2181, -149.9003),
+    ("suva", -18.1416, 178.4419),       # near the antimeridian, east
+    ("apia", -13.8507, -171.7514),      # near the antimeridian, west
+    ("null_island", 0.0, 0.0),
+]
+
+
+@pytest.fixture(scope="module")
+def cities(spark):
+    return spark.createDataFrame(_CITIES, "name string, lat double, lon double")
+
+
+def test_haversine_matches_reference(spark, cities):
+    """Spark haversine == the Python reference formula (same op order)
+    and lands on the published great-circle distances."""
+    out = {
+        r["name"]: r["d"]
+        for r in cities.select(
+            "name",
+            geo.haversine_m(F.col("lat"), F.col("lon"), 48.8566, 2.3522).alias("d"),
+        ).collect()
+    }
+    for name, lat, lon in _CITIES:
+        assert out[name] == pytest.approx(_hav_py(lat, lon, 48.8566, 2.3522), abs=1e-6)
+    # Paris->London is ~344 km; Paris->Paris is 0
+    assert out["paris"] < 1500
+    assert 330_000 < out["london"] < 350_000
+    assert 9_500_000 < out["tokyo"] < 9_900_000
+
+
+def test_bounding_box_edges_inclusive_and_antimeridian(spark, cities):
+    """Box edges are inclusive (ES behavior); a box crossing the
+    antimeridian (left > right) selects both sides of the date line."""
+    # exact-edge box around null island
+    hit = geo.geo_bounding_box(
+        cities, "lat", "lon", top=0.0, bottom=0.0, left=0.0, right=0.0
+    ).collect()
+    assert [r["name"] for r in hit] == ["null_island"]
+    # antimeridian box: lon in [170 .. -170] wraps the date line
+    wrap = {
+        r["name"]
+        for r in geo.geo_bounding_box(
+            cities, "lat", "lon", top=0.0, bottom=-40.0, left=170.0, right=-170.0
+        ).collect()
+    }
+    assert wrap == {"suva", "apia"}
+
+
+def test_distance_filter_prefilter_is_lossless(spark, cities):
+    """The bounding-box prefilter never changes the answer — it is a
+    strict superset of the circle."""
+    kw = dict(lat=48.8566, lon=2.3522, distance_m=400_000)
+    with_box = {
+        r["name"]: r["dist_m"]
+        for r in geo.geo_distance_filter(cities, "lat", "lon", **kw).collect()
+    }
+    without = {
+        r["name"]: r["dist_m"]
+        for r in geo.geo_distance_filter(
+            cities, "lat", "lon", prefilter=False, **kw
+        ).collect()
+    }
+    assert with_box == without
+    assert set(with_box) == {"paris", "london"}
+    with pytest.raises(ValueError):
+        geo.geo_distance_filter(cities, "lat", "lon", lat=0, lon=0, distance_m=0)
+
+
+def test_distance_agg_buckets_and_empty_ranges(spark, cities):
+    """Bucket counts match the brute-force assignment; requested
+    ranges with no members still appear with doc_count 0."""
+    ranges = [(0, 500_000), (500_000, 1_000), (1_000_000, 12_000_000), (40_000_000, None)]
+    # note ranges[1] is EMPTY by construction (from > to never matches)
+    out = geo.geo_distance_agg(
+        cities, "lat", "lon", lat=48.8566, lon=2.3522, ranges_m=ranges
+    ).collect()
+    assert [r["bucket"] for r in out] == [
+        "0-500000", "500000-1000", "1000000-12000000", "40000000-*"
+    ]
+    counts = {r["bucket"]: r["doc_count"] for r in out}
+    brute = [
+        math.floor(_hav_py(lat, lon, 48.8566, 2.3522)) for _, lat, lon in _CITIES
+    ]
+    assert counts["0-500000"] == sum(1 for d in brute if d < 500_000) == 2
+    assert counts["500000-1000"] == 0
+    assert counts["1000000-12000000"] == sum(
+        1 for d in brute if 1_000_000 <= d < 12_000_000
+    )
+    assert counts["40000000-*"] == 0  # farther than any Earth distance
+    with pytest.raises(ValueError):
+        geo.geo_distance_agg(cities, "lat", "lon", lat=0, lon=0, ranges_m=[])
+
+
+def test_geo_box_prefilter_pushes_to_scan(spark, tmp_path):
+    """On STORED coordinate columns, the geo_distance bounding-box
+    prefilter reaches the parquet scan as pushed lat/lon range
+    filters — the plan shape where the trig only touches the
+    neighborhood (VERDICT r6 ask #4)."""
+    from bigdatasearchpro_spark.plans import pushed_filters
+
+    p = str(tmp_path / "geo_points")
+    spark.createDataFrame(
+        [(i, (i % 170) - 85.0, (i % 360) - 180.0) for i in range(1000)],
+        "id bigint, lat double, lon double",
+    ).write.parquet(p)
+    pts = spark.read.parquet(p)
+    df = geo.geo_distance_filter(
+        pts, "lat", "lon", lat=48.85, lon=2.35, distance_m=500_000
+    )
+    pushed = " ".join(pushed_filters(df))
+    assert "lat" in pushed and "lon" in pushed
+    assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed

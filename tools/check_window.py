@@ -48,7 +48,7 @@ def main() -> None:
     oldest = min(ages.values()) if ages else 0
     stale = [n for n, a in ages.items() if a == oldest and n in q]
     missing_stale = [n for n in stale if n not in w]
-    dead_front = [n for n in entry._R6_FIXED_OR_NEW if n not in q]
+    dead_front = [n for n in entry._R7_FIXED_OR_NEW if n not in q]
     never = [n for n in w if n not in ages]
 
     print(f"registry entries: {len(q)}   window: {WINDOW}")

@@ -314,6 +314,24 @@ def put_mapping(spark: SparkSession, index_name: str, analyzers: dict) -> dict:
     return ddl.put_mapping(spark, index_name, analyzers)
 
 
+def put_template(spark: SparkSession, name: str, **kw) -> dict:
+    """ES ``PUT _template/{name}`` — register a template whose glob
+    ``index_patterns`` apply settings (shards) + mappings (per-field
+    analyzers) to every MATCHING index at creation time, explicit
+    create and bulk auto-create alike (sinks/ddl.py put_template)."""
+    return ddl.put_template(spark, name, **kw)
+
+
+def get_template(spark: SparkSession, name: str) -> "dict | None":
+    """ES ``GET _template/{name}`` (None when absent, like a 404)."""
+    return ddl.get_template(spark, name)
+
+
+def delete_template(spark: SparkSession, name: str) -> bool:
+    """ES ``DELETE _template/{name}`` — True iff it existed."""
+    return ddl.delete_template(spark, name)
+
+
 def get_index_data_count(
     spark: SparkSession,
     index_name: str,

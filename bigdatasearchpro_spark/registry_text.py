@@ -1534,6 +1534,89 @@ def l3_analyzer_stemmed(spark, sf_dir):
 
 
 @register(
+    "s23_index_template",
+    f"""
+    WITH infl AS (
+      SELECT doc_id, {_inflect_sql('text')} AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, {stem_case_sql('t')} AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM infl
+      ) WHERE t <> '' AND t NOT IN {_STOPS_SQL}
+    )
+    SELECT d.doc_id, 3 AS shards_setting
+    FROM documents d
+    WHERE d.doc_id IN (
+      SELECT doc_id FROM toks
+      WHERE term IN ('table', 'query', 'sort', 'filter')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 4
+    )
+    ORDER BY d.doc_id
+    """,
+)
+def s23_index_template(spark, sf_dir):
+    """S23 [ES parity]: index-template lifecycle (``PUT _template``) —
+    a template (patterns ``s23_idx_*`` -> shards=3 + ``text`` field
+    mapped to the english analyzer) is registered, the corpus is
+    bulk-loaded into a MATCHING index (templates apply at the bulk
+    auto-create moment, like ES), and a query_string search with
+    inflections the corpus never contains ("Sorted", "filtering" vs
+    corpus "sorting", "filtered") runs through api.query_data: hits
+    can only exist if the template's analyzer mapping was inherited —
+    the standard analyzer finds nothing.  The projected
+    shards_setting comes from the table's live property, proving the
+    settings half applied too.  Oracle replays the english stem match
+    (one rule table drives Spark, the Python twin, and the CASE SQL)
+    (sinks/ddl.py put_template / _merged_template; reference relies on
+    ES dynamic mapping for exactly this, SURVEY.md §1.2)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    inflected = docs
+    for base, infl in _INFLECT:
+        inflected = inflected.withColumn(
+            "text", F.regexp_replace("text", rf"\b{base}\b", infl)
+        )
+    idx = f"s23_idx_{uuid.uuid4().hex[:8]}"
+    api.put_template(
+        spark, "s23_tmpl",
+        index_patterns=["s23_idx_*"],
+        mappings={"text": "english"},
+        shards=3,
+    )
+    try:
+        api.bulk_data_to_index(
+            spark, inflected.select("doc_id", "text"), idx, id_col="doc_id"
+        )
+        shards = next(
+            int(r["value"])
+            for r in spark.sql(f"SHOW TBLPROPERTIES {idx} ('shards')").collect()
+        )
+        hits = api.query_data(
+            spark,
+            "Tables AND Queries AND Sorted AND filtering",
+            idx,
+            k=1_000_000,
+            text_col="text",
+        )
+        rows = [
+            (int(r["doc_id"]), shards)
+            for r in hits.select("doc_id").collect()
+        ]
+    finally:
+        api.delete_index(spark, idx)
+        api.delete_template(spark, "s23_tmpl")
+    return spark.createDataFrame(
+        sorted(rows), "doc_id bigint, shards_setting int"
+    )
+
+
+@register(
     "l3_analyzer_whitespace",
     r"""
     SELECT doc_id, lang

@@ -28,9 +28,21 @@ INDEX_MARKER = "bdsp.index"
 def mark_index_table(spark: SparkSession, name: str) -> None:
     """Stamp an existing table as an index (idempotent). Called by every
     creation path: :func:`create_index` DDL and the bulk-load
-    ``saveAsTable`` sink."""
-    spark.sql(f"ALTER TABLE {normalize_index_name(name)} "
-              f"SET TBLPROPERTIES ('{INDEX_MARKER}' = 'true')")
+    ``saveAsTable`` sink.  A FIRST marking is the auto-create moment of
+    a bulk-loaded index, so matching index templates apply then —
+    exactly when ES applies templates to auto-created indices."""
+    n = normalize_index_name(name)
+    first_marking = not is_index_table(spark, n)
+    spark.sql(f"ALTER TABLE {n} SET TBLPROPERTIES ('{INDEX_MARKER}' = 'true')")
+    if first_marking:
+        tmpl_shards, tmpl_mappings = _merged_template(spark, n)
+        if tmpl_shards is not None:
+            spark.sql(
+                f"ALTER TABLE {n} SET TBLPROPERTIES "
+                f"('shards' = '{int(tmpl_shards)}')"
+            )
+        if tmpl_mappings:
+            _apply_template_mappings(spark, n, tmpl_mappings)
 
 
 def is_index_table(spark: SparkSession, name: str) -> bool:
@@ -50,11 +62,14 @@ def create_index(
     name: str,
     schema: str = "doc_id BIGINT, body STRING",
     *,
-    shards: int = DEFAULT_SHARDS,
+    shards: "int | None" = None,
 ) -> str:
     """Create an empty managed table (lowercased, like the reference's
     index names). ``shards`` is recorded as a table property — the write
-    path uses it as the partition count.
+    path uses it as the partition count.  An explicit ``shards``
+    argument wins over any matching index template (ES: create-body
+    settings override templates); with ``shards=None`` a matching
+    template's setting applies, else :data:`DEFAULT_SHARDS`.
 
     ``name`` is validated by :func:`normalize_index_name` and ``schema``
     against a column-definition whitelist before either reaches the SQL
@@ -62,10 +77,19 @@ def create_index(
     n = normalize_index_name(name)
     if not __import__("re").match(r"^[A-Za-z0-9_ ,<>():]+$", schema):
         raise ValueError(f"invalid schema string: {schema!r}")
+    newly_created = not spark.catalog.tableExists(n)
+    tmpl_shards, tmpl_mappings = _merged_template(spark, n)
+    eff_shards = (
+        shards if shards is not None
+        else (tmpl_shards if tmpl_shards is not None else DEFAULT_SHARDS)
+    )
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {n} ({schema}) USING parquet "
-        f"TBLPROPERTIES ('shards' = '{int(shards)}', '{INDEX_MARKER}' = 'true')"
+        f"TBLPROPERTIES ('shards' = '{int(eff_shards)}', "
+        f"'{INDEX_MARKER}' = 'true')"
     )
+    if newly_created and tmpl_mappings:
+        _apply_template_mappings(spark, n, tmpl_mappings)
     return n
 
 
@@ -251,3 +275,154 @@ def get_mapping(spark: SparkSession, index_name: str) -> dict:
         if r["key"].startswith(ANALYZER_PROP_PREFIX):
             out[r["key"][len(ANALYZER_PROP_PREFIX):]] = r["value"]
     return out
+
+
+# --------------------------------------------------------------------------
+# Index templates (public ES 6.x `PUT/GET _template`): a template names
+# glob patterns plus settings+mappings that apply to every index whose
+# name matches at creation time — the standard way real ES users
+# configure per-index-family analyzers (the reference relies on ES
+# dynamic mapping for exactly this, SURVEY.md §1.2; settings-only index
+# creation at BulkProcessImpl.java:66-68).  Stored as rows of a small
+# managed catalog table (durable across sessions, like the property-
+# based index/alias markers); application happens in create_index and
+# in mark_index_table's first marking (the bulk auto-create moment).
+# --------------------------------------------------------------------------
+
+TEMPLATE_STORE = "bdsp_templates_store"  # metadata-only view
+_TEMPLATE_PROP_PREFIX = "bdsp.template."
+
+
+def _ensure_template_store(spark: SparkSession) -> None:
+    # a VIEW has no warehouse directory, so a stale on-disk location
+    # can never wedge the store across sessions (managed tables can)
+    spark.sql(
+        f"CREATE VIEW IF NOT EXISTS {TEMPLATE_STORE} AS SELECT 1 AS one"
+    )
+
+
+def put_template(
+    spark: SparkSession,
+    name: str,
+    *,
+    index_patterns: "list[str]",
+    mappings: "dict[str, str] | None" = None,
+    shards: "int | None" = None,
+    order: int = 0,
+) -> dict:
+    """ES ``PUT _template/{name}``: register (or replace) a template.
+    ``index_patterns`` are ``*``-globs matched against new index names;
+    ``mappings`` is field -> analyzer (validated against the analyzer
+    registry now, so a bad template fails at PUT time like ES);
+    ``shards`` maps to the settings' ``number_of_shards``; higher
+    ``order`` wins on overlapping templates (ES merge order)."""
+    import json as _json
+    import re as _re
+
+    from bigdatasearchpro_spark.operators.analyzers import ANALYZERS
+
+    if not index_patterns:
+        raise ValueError("index_patterns must be non-empty")
+    if not _re.match(r"^[a-z0-9_.-]+$", name):
+        raise ValueError(f"invalid template name {name!r}")
+    for p in index_patterns:
+        if not _re.match(r"^[a-z0-9_.*-]+$", p):
+            raise ValueError(f"invalid index pattern {p!r}")
+    for field, an in (mappings or {}).items():
+        if not _re.match(r"^[A-Za-z0-9_.-]+$", field):
+            raise ValueError(f"invalid field name {field!r}")
+        if an not in ANALYZERS:
+            raise ValueError(
+                f"unknown analyzer {an!r} (have {sorted(ANALYZERS)})"
+            )
+    payload = _json.dumps(
+        {
+            "index_patterns": list(index_patterns),
+            "shards": None if shards is None else int(shards),
+            "mappings": dict(mappings or {}),
+            "order": int(order),
+        },
+        sort_keys=True,
+    )
+    _ensure_template_store(spark)
+    spark.sql(
+        f"ALTER VIEW {TEMPLATE_STORE} SET TBLPROPERTIES "
+        f"('{_TEMPLATE_PROP_PREFIX}{name}' = '{payload}')"
+    )
+    return get_template(spark, name)
+
+
+def _raw_templates(spark: SparkSession) -> "dict[str, dict]":
+    import json as _json
+
+    if not spark.catalog.tableExists(TEMPLATE_STORE):
+        return {}
+    out = {}
+    for r in spark.sql(f"SHOW TBLPROPERTIES {TEMPLATE_STORE}").collect():
+        if r["key"].startswith(_TEMPLATE_PROP_PREFIX):
+            out[r["key"][len(_TEMPLATE_PROP_PREFIX):]] = _json.loads(
+                r["value"]
+            )
+    return out
+
+
+def get_template(spark: SparkSession, name: str) -> "dict | None":
+    """ES ``GET _template/{name}`` — the stored template, or None."""
+    t = _raw_templates(spark).get(name)
+    return None if t is None else {"name": name, **t}
+
+
+def list_templates(spark: SparkSession) -> "list[dict]":
+    """ES ``GET _template`` — every stored template, name-sorted."""
+    raw = _raw_templates(spark)
+    return [{"name": n, **raw[n]} for n in sorted(raw)]
+
+
+def delete_template(spark: SparkSession, name: str) -> bool:
+    """ES ``DELETE _template/{name}`` — True iff it existed."""
+    if name not in _raw_templates(spark):
+        return False
+    spark.sql(
+        f"ALTER VIEW {TEMPLATE_STORE} UNSET TBLPROPERTIES "
+        f"('{_TEMPLATE_PROP_PREFIX}{name}')"
+    )
+    return True
+
+
+def _merged_template(
+    spark: SparkSession, index_name: str
+) -> "tuple[int | None, dict[str, str]]":
+    """(shards, field->analyzer) merged from every template whose
+    pattern glob-matches ``index_name``, lowest order first so higher
+    orders override on conflict (the ES merge rule)."""
+    import fnmatch
+
+    matched = sorted(
+        (
+            (t["order"], n, t)
+            for n, t in _raw_templates(spark).items()
+            if any(
+                fnmatch.fnmatchcase(index_name, p)
+                for p in t["index_patterns"]
+            )
+        ),
+    )
+    shards: "int | None" = None
+    mappings: "dict[str, str]" = {}
+    for _, _, t in matched:
+        if t["shards"] is not None:
+            shards = t["shards"]
+        mappings.update(t["mappings"])
+    return shards, mappings
+
+
+def _apply_template_mappings(
+    spark: SparkSession, index_name: str, mappings: "dict[str, str]"
+) -> None:
+    """Apply a merged template's field->analyzer mapping to a fresh
+    index: only fields present in the schema get the property (ES
+    templates may map fields an individual index never materializes)."""
+    cols = set(spark.table(index_name).columns)
+    present = {f: a for f, a in mappings.items() if f in cols}
+    if present:
+        put_mapping(spark, index_name, present)

@@ -670,3 +670,81 @@ def test_termvectors_respects_analyzer(spark):
     # 'tables'/'table' both stem to 'table'; 'sorted'/'sorting' to 'sort'
     assert out[(1, "table")] == (2, 2, 3)
     assert out[(1, "sort")] == (1, 2, 2)
+
+
+def test_index_template_lifecycle(spark):
+    """put/get/list/delete templates; matching indices inherit
+    settings+mappings at creation; explicit args win; non-matching
+    indices are untouched; higher order overrides."""
+    import uuid
+
+    import pytest
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks import ddl
+
+    sfx = uuid.uuid4().hex[:8]
+    t1, t2 = f"tpl_a_{sfx}", f"tpl_b_{sfx}"
+    api.put_template(
+        spark, t1, index_patterns=[f"tpl{sfx}_*"],
+        mappings={"body": "english"}, shards=3, order=0,
+    )
+    # higher order overrides the body mapping on overlapping patterns
+    api.put_template(
+        spark, t2, index_patterns=[f"tpl{sfx}_special_*"],
+        mappings={"body": "whitespace"}, order=1,
+    )
+    got = api.get_template(spark, t1)
+    assert got["shards"] == 3 and got["mappings"] == {"body": "english"}
+    assert {t["name"] for t in ddl.list_templates(spark)} >= {t1, t2}
+
+    ia = f"tpl{sfx}_plain"
+    ib = f"tpl{sfx}_special_one"
+    ic = f"other{sfx}_nomatch"
+    ddl.create_index(spark, ia, "doc_id BIGINT, body STRING")
+    ddl.create_index(spark, ib, "doc_id BIGINT, body STRING")
+    ddl.create_index(spark, ic, "doc_id BIGINT, body STRING")
+    # explicit shards beats the template
+    idx_explicit = f"tpl{sfx}_explicit"
+    ddl.create_index(spark, idx_explicit, "doc_id BIGINT, body STRING", shards=9)
+
+    def shards_of(n):
+        return next(
+            int(r["value"])
+            for r in spark.sql(f"SHOW TBLPROPERTIES {n} ('shards')").collect()
+        )
+
+    try:
+        assert ddl.get_mapping(spark, ia) == {"body": "english"}
+        assert shards_of(ia) == 3
+        # both templates match ib: order 1 wins the mapping, shards
+        # come from the only template that sets them
+        assert ddl.get_mapping(spark, ib) == {"body": "whitespace"}
+        assert shards_of(ib) == 3
+        assert ddl.get_mapping(spark, ic) == {}
+        assert shards_of(ic) == ddl.DEFAULT_SHARDS
+        assert shards_of(idx_explicit) == 9
+        # template mappings only apply to fields the index has
+        api.put_template(
+            spark, t1, index_patterns=[f"tpl{sfx}_*"],
+            mappings={"nosuchfield": "english"},
+        )
+        idx_nf = f"tpl{sfx}_nofield"
+        ddl.create_index(spark, idx_nf, "doc_id BIGINT, body STRING")
+        assert ddl.get_mapping(spark, idx_nf) == {}
+        ddl.delete_index(spark, idx_nf)
+    finally:
+        for n in (ia, ib, ic, idx_explicit):
+            ddl.delete_index(spark, n)
+        assert api.delete_template(spark, t1) is True
+        assert api.delete_template(spark, t1) is False
+        api.delete_template(spark, t2)
+
+    with pytest.raises(ValueError):
+        api.put_template(spark, "bad", index_patterns=[])
+    with pytest.raises(ValueError):
+        api.put_template(spark, "bad", index_patterns=["x*"],
+                         mappings={"f": "nosuchanalyzer"})
+    with pytest.raises(ValueError):
+        api.put_template(spark, "Bad Name!", index_patterns=["x*"])
+    assert api.get_template(spark, "never_put") is None

@@ -59,6 +59,7 @@ _R7_FIXED_OR_NEW = (
     "l3_geo_distance",
     "l3_agg_geo_distance",
     "s23_index_template",
+    "l3_analyzer_russian",
 )
 
 

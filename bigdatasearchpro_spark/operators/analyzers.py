@@ -95,6 +95,56 @@ STEM_RULES_DE: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
     ("s", 5, "", ("ss",)),
 )
 
+# Russian light stemmer rule table — RussianLightStemFilter spirit
+# (adjectival + noun case endings, single pass, longest suffix first),
+# applied AFTER ё->е folding.  Lengths are in CHARACTERS (both Spark
+# length() and DuckDB length() count codepoints, so the same table
+# drives all three twins beyond Latin-1).
+STEM_RULES_RU: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
+    ("иями", 8, "", ()),
+    ("иях", 7, "", ()),
+    ("иям", 7, "", ()),
+    ("ями", 7, "", ()),
+    ("ами", 7, "", ()),
+    ("ыми", 7, "", ()),
+    ("ими", 7, "", ()),
+    ("ого", 7, "", ()),
+    ("его", 7, "", ()),
+    ("ому", 7, "", ()),
+    ("ему", 7, "", ()),
+    ("ах", 6, "", ()),
+    ("ях", 6, "", ()),
+    ("ам", 6, "", ()),
+    ("ям", 6, "", ()),
+    ("ом", 6, "", ()),
+    ("ем", 6, "", ()),
+    ("ов", 6, "", ()),
+    ("ев", 6, "", ()),
+    ("ый", 6, "", ()),
+    ("ий", 6, "", ()),
+    ("ой", 6, "", ()),
+    ("ая", 6, "", ()),
+    ("яя", 6, "", ()),
+    ("ое", 6, "", ()),
+    ("ее", 6, "", ()),
+    ("ую", 6, "", ()),
+    ("юю", 6, "", ()),
+    ("ия", 6, "", ()),
+    ("ие", 6, "", ()),
+    ("ии", 6, "", ()),
+    ("ей", 6, "", ()),
+    ("а", 5, "", ()),
+    ("я", 5, "", ()),
+    ("о", 5, "", ()),
+    ("е", 5, "", ()),
+    ("у", 5, "", ()),
+    ("ю", 5, "", ()),
+    ("ы", 5, "", ()),
+    ("и", 5, "", ()),
+    ("й", 5, "", ()),
+    ("ь", 5, "", ()),
+)
+
 # Spanish light stemmer rule table — SpanishLightStemFilter spirit
 # (plural + gender endings), applied AFTER accent folding.
 STEM_RULES_ES: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
@@ -175,6 +225,17 @@ FOLD_ES: tuple[tuple[str, str], ...] = (
     ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u"),
     ("ü", "u"), ("ñ", "n"),
 )
+
+# Russian folds to CYRILLIC, not ASCII (the first non-Latin-1 family):
+# the canonical RussianAnalyzer normalization is ё -> е; the token
+# split keeps the а-я run (see TOKEN_SPLIT_RE_RU).
+FOLD_RU: tuple[tuple[str, str], ...] = (
+    ("ё", "е"),
+)
+
+# standard split keeps [a-z0-9]; the russian analyzer must also keep
+# the lowercase cyrillic block (ё is already folded to е)
+TOKEN_SPLIT_RE_RU = "[^a-zа-я0-9]+"
 
 
 def fold_expr(text: Column, fold: tuple[tuple[str, str], ...]) -> Column:
@@ -277,10 +338,11 @@ def _lang_tokens(
     fold: tuple[tuple[str, str], ...],
     stops_list: tuple[str, ...],
     rules,
+    split_re: str = TOKEN_SPLIT_RE,
 ) -> Column:
     stops = F.array(*[F.lit(s) for s in stops_list])
     toks = F.filter(
-        F.split(fold_expr(text, fold), TOKEN_SPLIT_RE), lambda t: t != ""
+        F.split(fold_expr(text, fold), split_re), lambda t: t != ""
     )
     kept = F.filter(toks, lambda t: ~F.array_contains(stops, t))
     return F.transform(kept, lambda t: stem_expr(t, rules))
@@ -296,6 +358,26 @@ def _german_tokens(text: Column) -> Column:
 
 def _spanish_tokens(text: Column) -> Column:
     return _lang_tokens(text, FOLD_ES, STOPWORDS_ES, STEM_RULES_ES)
+
+
+# Lucene Russian stop core (high-frequency function words)
+STOPWORDS_RU = (
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
+    "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к",
+    "у", "же", "вы", "за", "бы", "по", "только", "ее", "мне",
+    "было", "вот", "от", "меня", "еще", "нет", "о", "из", "ему",
+    "был", "до", "вас", "был", "них", "уж", "вам", "сам", "чем",
+    "мы", "тебя", "их", "для", "без", "будет", "под", "же", "или",
+    "ни", "быть", "него", "есть", "надо", "ней", "кто", "этот",
+    "того", "потому", "этого", "какой", "ним", "этом", "мой", "тем",
+    "чтобы", "нее", "были", "куда", "зачем", "при",
+)
+
+
+def _russian_tokens(text: Column) -> Column:
+    return _lang_tokens(
+        text, FOLD_RU, STOPWORDS_RU, STEM_RULES_RU, TOKEN_SPLIT_RE_RU
+    )
 
 
 def _standard_analyze(q: str) -> list[str]:
@@ -322,8 +404,8 @@ def _english_analyze(q: str) -> list[str]:
     ]
 
 
-def _lang_analyze(q, fold, stops, rules) -> list[str]:
-    toks = [t for t in re.split(TOKEN_SPLIT_RE, fold_token(q, fold)) if t]
+def _lang_analyze(q, fold, stops, rules, split_re=TOKEN_SPLIT_RE) -> list[str]:
+    toks = [t for t in re.split(split_re, fold_token(q, fold)) if t]
     return [stem_token(t, rules) for t in toks if t not in stops]
 
 
@@ -339,6 +421,12 @@ def _spanish_analyze(q: str) -> list[str]:
     return _lang_analyze(q, FOLD_ES, STOPWORDS_ES, STEM_RULES_ES)
 
 
+def _russian_analyze(q: str) -> list[str]:
+    return _lang_analyze(
+        q, FOLD_RU, STOPWORDS_RU, STEM_RULES_RU, TOKEN_SPLIT_RE_RU
+    )
+
+
 # name -> (Column tokenizer, driver-side query analyzer).  The two
 # entries of each pair MUST stay semantically identical (ES contract);
 # tests/test_search.py pins the symmetry property.
@@ -350,6 +438,7 @@ ANALYZERS = {
     "french": (_french_tokens, _french_analyze),
     "german": (_german_tokens, _german_analyze),
     "spanish": (_spanish_tokens, _spanish_analyze),
+    "russian": (_russian_tokens, _russian_analyze),
 }
 
 
@@ -357,7 +446,9 @@ ANALYZERS = {
 # highlighting must not expect a stem to \b-match the document text.
 # (french/german stems are also accent-FOLDED, so prefix matching
 # highlights only already-ASCII surface words — documented limit.)
-STEMMING_ANALYZERS = frozenset({"english", "french", "german", "spanish"})
+STEMMING_ANALYZERS = frozenset(
+    {"english", "french", "german", "spanish", "russian"}
+)
 
 
 # highlight_alternates needs each language's rule table to derive the
@@ -367,6 +458,7 @@ _STEM_RULES_BY_ANALYZER = {
     "french": STEM_RULES_FR,
     "german": STEM_RULES_DE,
     "spanish": STEM_RULES_ES,
+    "russian": STEM_RULES_RU,
 }
 
 

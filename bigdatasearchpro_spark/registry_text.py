@@ -2377,10 +2377,14 @@ def l3_exists_query(spark, sf_dir):
 from bigdatasearchpro_spark.operators.analyzers import (  # noqa: E402
     FOLD_DE,
     FOLD_FR,
+    FOLD_RU,
     STEM_RULES_DE,
     STEM_RULES_FR,
+    STEM_RULES_RU,
     STOPWORDS_DE,
     STOPWORDS_FR,
+    STOPWORDS_RU,
+    TOKEN_SPLIT_RE_RU,
     fold_sql,
 )
 
@@ -2408,7 +2412,9 @@ def _inflect_lang_sql(col: str, pairs) -> str:
     return expr
 
 
-def _lang_analyzer_oracle(pairs, fold, stops_sql, rules, stems) -> str:
+def _lang_analyzer_oracle(
+    pairs, fold, stops_sql, rules, stems, split_re="[^a-z0-9]+"
+) -> str:
     stem_terms = ", ".join(f"'{s}'" for s in stems)
     return f"""
     WITH infl AS (
@@ -2419,7 +2425,7 @@ def _lang_analyzer_oracle(pairs, fold, stops_sql, rules, stems) -> str:
       SELECT doc_id, {stem_case_sql('t', rules)} AS term FROM (
         SELECT doc_id,
                unnest(string_split_regex({fold_sql('text', fold)},
-                                         '[^a-z0-9]+')) AS t
+                                         '{split_re}')) AS t
         FROM infl
       ) WHERE t <> '' AND t NOT IN {stops_sql}
     )
@@ -2524,6 +2530,43 @@ def l3_analyzer_spanish(spark, sf_dir):
     return _lang_analyzer_query(
         spark, sf_dir, _INFLECT_ES,
         "La Tabla de consulta; filtrado y caballo", "spanish",
+    )
+
+
+_STOPS_RU_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS_RU) + ")"
+
+_INFLECT_RU = (
+    ("table", "Таблицами"),
+    ("query", "запросов"),
+    ("filter", "фильтрами"),
+    ("sort", "сортировка"),
+)
+
+
+@register(
+    "l3_analyzer_russian",
+    _lang_analyzer_oracle(
+        _INFLECT_RU, FOLD_RU, _STOPS_RU_SQL, STEM_RULES_RU,
+        ("таблиц", "запрос", "фильтр", "сортировк"),
+        split_re=TOKEN_SPLIT_RE_RU,
+    ),
+)
+def l3_analyzer_russian(spark, sf_dir):
+    """L3 analyzers: ``russian`` — the first NON-LATIN family through
+    the rule-table chain (the r6-verdict ask #9): ё->е cyrillic
+    folding, a cyrillic-aware token split ([^a-zа-я0-9]+ — both Spark
+    and DuckDB count codepoints, so the shared length/suffix rules
+    work beyond Latin-1), the Lucene Russian stop core, and a light
+    case-ending stemmer (RussianLightStem spirit: -иями/-ами/-ов/
+    -ый/... single pass). Corpus re-inflected (table->Таблицами,
+    query->запросов, filter->фильтрами, sort->сортировка); the query
+    "Таблицы и запросы, фильтры на сортировки" uses DIFFERENT case
+    forms + stopwords, so matching requires index- and query-side
+    analysis to agree on the cyrillic stems. Narrow filter, no
+    explode/UDF."""
+    return _lang_analyzer_query(
+        spark, sf_dir, _INFLECT_RU,
+        "Таблицы и запросы, фильтры на сортировки", "russian",
     )
 
 

@@ -475,3 +475,32 @@ def test_french_german_analyzers_symmetry_and_mapping(spark):
         assert [r["doc_id"] for r in hits.collect()] == ["1"]
     finally:
         api.delete_index(spark, idx)
+
+
+def test_russian_analyzer_symmetry_and_highlight(spark):
+    """Russian (first non-Latin family): ё->е folding, cyrillic-aware
+    split, stop set, and the light case-ending stemmer agree between
+    the Spark expression and the driver twin; stems survive the
+    highlight-alternate derivation (all strip-style rules)."""
+    from bigdatasearchpro_spark.operators import analyzers
+
+    ru = "Таблицы и запросы, фильтры на сортировки!"
+    driver = analyzers.analyzer_query(ru, "russian")
+    df = spark.createDataFrame([(1, ru)], ["id", "text"])
+    got = search.tokenize(df, analyzer="russian").first()["tokens"]
+    assert sorted(got) == sorted(driver)
+    assert driver == ["таблиц", "запрос", "фильтр", "сортировк"]
+    # ё->е fold: ёлки and елки stem identically
+    assert analyzers.analyzer_query("ёлки", "russian") == (
+        analyzers.analyzer_query("елки", "russian")
+    )
+    # different case forms agree on the stem (the analyzer's point)
+    assert analyzers.analyzer_query("Таблицами", "russian") == ["таблиц"]
+    assert analyzers.analyzer_query("таблицы", "russian") == ["таблиц"]
+    # stopwords drop; latin words still tokenize (mixed-script text)
+    assert analyzers.analyzer_query("и на spark", "russian") == ["spark"]
+    # highlight alternates: prefix pattern per stem, unicode-safe
+    alts = analyzers.highlight_alternates(["таблиц"], "russian")
+    import re as _re
+
+    assert any(_re.match(a, "таблицами") for a in alts)

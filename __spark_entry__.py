@@ -60,6 +60,7 @@ _R7_FIXED_OR_NEW = (
     "l3_agg_geo_distance",
     "s23_index_template",
     "l3_analyzer_russian",
+    "l5_bpe_token_counts",
 )
 
 

@@ -1,0 +1,129 @@
+"""Deterministic byte-level BPE token counting (GPT-2-style algorithm).
+
+Pretraining recipes specify budgets in TOKENIZER tokens, not
+whitespace words ("30 B tokens of web") — so the curation operators
+that meter tokens (``domain_token_budget``, ``pack_sequences``) need a
+tokenizer-token count.  This module implements the public byte-level
+BPE algorithm (Sennrich et al. 2016 merges, applied GPT-2-style:
+pre-split into words, encode each word's UTF-8 bytes, then repeatedly
+merge the LOWEST-RANK adjacent pair until none applies) over a small
+FIXED merges table, so counts are deterministic and reproducible with
+no external vocabulary file.
+
+Spark-side the counter is an Arrow-batched ``pandas_udf`` (the same
+fast path as the codecs — pure-Python per batch, parallel across
+partitions; there is no JVM builtin for subword merging).  The merge
+loop is O(word_len * merges_applied) per word with words capped at
+``_MAX_WORD_BYTES`` bytes (longer words count their overflow bytes as
+singleton tokens — the standard long-token escape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# The fixed merges table: ~60 high-frequency English byte pairs, ranked
+# (lower index = earlier merge, exactly like a merges.txt).  Multi-byte
+# symbols must be derivable from earlier merges (validated at import).
+# ---------------------------------------------------------------------------
+
+DEFAULT_MERGES: "tuple[tuple[str, str], ...]" = (
+    ("t", "h"), ("th", "e"),                      # th, the
+    ("i", "n"), ("in", "g"),                      # in, ing
+    ("e", "r"), ("a", "n"), ("o", "n"), ("r", "e"),
+    ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("t", "i"), ("s", "t"), ("a", "r"), ("a", "l"),
+    ("o", "u"), ("i", "t"), ("l", "e"), ("i", "s"),
+    ("s", "e"), ("d", "e"), ("c", "o"), ("r", "a"),
+    ("e", "d"), ("t", "o"), ("i", "c"), ("o", "f"),
+    ("l", "l"), ("a", "s"), ("u", "s"), ("m", "a"),
+    ("s", "i"), ("o", "m"), ("u", "r"), ("c", "a"),
+    ("e", "l"), ("t", "a"), ("l", "a"), ("q", "u"),
+    ("qu", "er"), ("ti", "on"), ("a", "ti"),       # quer, tion, ati
+    ("ati", "on"),                                  # ation
+    ("s", "p"), ("sp", "ar"), ("spar", "k"),       # spark in 1 token
+    ("er", "s"), ("or", "t"), ("ar", "k"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"),                                 # filter in 1 token
+    ("a", "b"), ("t", "ab"),                        # ab then tab
+    ("0", "0"), ("1", "9"), ("2", "0"),             # digit pairs
+)
+
+_MAX_WORD_BYTES = 64
+
+
+def _validate(merges) -> "dict[tuple[str, str], int]":
+    """Rank lookup; every multi-char side must be producible by an
+    EARLIER merge (otherwise the pair is dead weight)."""
+    producible = set()
+    ranks = {}
+    for i, (a, b) in enumerate(merges):
+        for side in (a, b):
+            if len(side) > 1 and side not in producible:
+                raise ValueError(
+                    f"merge {i} side {side!r} not derivable from earlier merges"
+                )
+        producible.add(a + b)
+        ranks[(a, b)] = i
+    return ranks
+
+
+_DEFAULT_RANKS = _validate(DEFAULT_MERGES)
+
+
+def bpe_encode_word(word: str, ranks=None) -> "list[str]":
+    """BPE-encode ONE pre-split word: UTF-8 bytes as latin-1 symbols,
+    then merge the lowest-rank adjacent pair until none applies (the
+    reference algorithm; the Python twin tests pin it)."""
+    if ranks is None:
+        ranks = _DEFAULT_RANKS
+    raw = word.encode("utf-8")
+    head, tail = raw[:_MAX_WORD_BYTES], raw[_MAX_WORD_BYTES:]
+    parts = [bytes([c]).decode("latin-1") for c in head]
+    while len(parts) > 1:
+        best_rank, best_pair = None, None
+        for pair in zip(parts, parts[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    # overflow bytes of pathological mega-words count as singletons
+    return parts + [bytes([c]).decode("latin-1") for c in tail]
+
+
+def bpe_count_text(text: "str | None", ranks=None) -> int:
+    """Total BPE token count of a text: pre-split on whitespace
+    (each word encodes independently, GPT-2-style), sum of per-word
+    token counts.  None counts 0."""
+    if not text:
+        return 0
+    return sum(len(bpe_encode_word(w, ranks)) for w in text.split())
+
+
+def bpe_token_count(text_col: "Column | str") -> Column:
+    """Arrow-batched BPE token count column (bigint).  One pandas_udf
+    over the text column — the sanctioned Python fast path; everything
+    upstream/downstream stays JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations on the fn: stringified hints break pandas_udf
+    # signature inspection under `from __future__ import annotations`
+    def _count(batch):
+        return batch.map(lambda t: bpe_count_text(t)).astype("int64")
+
+    return pandas_udf(_count, "long")(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )

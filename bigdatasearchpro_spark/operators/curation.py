@@ -429,6 +429,7 @@ def domain_token_budget(
     domain_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "analyzer",
 ) -> DataFrame:
     """TOKEN-budget domain sampling: like :func:`domain_mixture` but
     quotas are TOKEN counts — how pretraining mixtures are actually
@@ -440,14 +441,32 @@ def domain_token_budget(
     caps; the standard convention, so a budget smaller than the first
     doc still yields one doc).
 
-    One window cumsum per domain partition; token counts are the
-    whitespace-free analyzer count, computed map-side. Output:
-    ``(id, domain, n_tokens, cum_tokens)`` for the admitted rows."""
+    ``tokenizer`` picks the count that meters the budget:
+    ``"analyzer"`` (default) is the whitespace-free analyzer word
+    count, pure JVM expression; ``"bpe"`` is the deterministic
+    byte-level BPE subword count (functions/bpe.py, Arrow-batched
+    pandas_udf) — the unit real pretraining recipes are written in.
+
+    One window cumsum per domain partition; token counts are computed
+    map-side. Output: ``(id, domain, n_tokens, cum_tokens)`` for the
+    admitted rows."""
     if not budgets:
         raise ValueError("domain_token_budget needs at least one budget")
-    toks = F.size(
-        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
-    )
+    if tokenizer == "analyzer":
+        toks = F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        )
+    elif tokenizer == "bpe":
+        from bigdatasearchpro_spark.functions.bpe import bpe_token_count
+
+        toks = bpe_token_count(text_col)
+    else:
+        raise ValueError(
+            f"unknown tokenizer {tokenizer!r} (have 'analyzer', 'bpe')"
+        )
     w = (
         Window.partitionBy("domain")
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))

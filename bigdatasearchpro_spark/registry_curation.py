@@ -532,5 +532,28 @@ def l5_quality_deciles_per_lang(spark, sf_dir):
     return curation.quality_deciles(docs, per_col="lang")
 
 
+@register("l5_bpe_token_counts")  # rows-only: subword merging is not SQL
+def l5_bpe_token_counts(spark, sf_dir):
+    """L5 [training data]: BPE token counting — deterministic
+    byte-level BPE (the public GPT-2-style merge algorithm over a
+    fixed merges table, functions/bpe.py) counted per document with
+    ONE Arrow-batched pandas_udf; the unit pretraining budgets are
+    actually written in (the whitespace count the other entries use is
+    the cheap JVM-side proxy).  Rows-only by design: subword merging
+    is not SQL-expressible — the algorithm itself is pinned by
+    hand-computable fixture tests (tests/test_curation.py) and the
+    tokenizer='bpe' budget invariant."""
+    from bigdatasearchpro_spark.functions.bpe import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            bpe_token_count("text").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # chain the round-7 registries
 from bigdatasearchpro_spark import registry_geo  # noqa: E402,F401

@@ -304,3 +304,99 @@ def test_url_parts_edges(spark):
     assert got[2]["host"] == "a.b.example.org"
     assert got[2]["domain"] == "example.org" and got[2]["depth"] == 3
     assert got[3]["domain"] == "just.net" and got[3]["depth"] == 0
+
+
+def test_bpe_encode_hand_computable():
+    """The BPE merge algorithm on hand-traceable words: merges apply
+    by RANK over the current symbol string, not left-to-right."""
+    from bigdatasearchpro_spark.functions.bpe import (
+        DEFAULT_MERGES,
+        _validate,
+        bpe_count_text,
+        bpe_encode_word,
+    )
+
+    # tiny custom table: rank order decides ('ab' before 'bc')
+    ranks = _validate((("a", "b"), ("b", "c"), ("ab", "c")))
+    assert bpe_encode_word("abc", ranks) == ["abc"]     # ab then ab+c
+    assert bpe_encode_word("bc", ranks) == ["bc"]
+    assert bpe_encode_word("cab", ranks) == ["c", "ab"]
+    assert bpe_encode_word("xyz", ranks) == ["x", "y", "z"]  # no merges
+
+    # default table: documented single-token words
+    assert bpe_encode_word("the") == ["the"]
+    assert bpe_encode_word("spark") == ["spark"]
+    assert bpe_encode_word("filter") == ["filter"]
+    # counts: sum over whitespace-split words; empty/None = 0
+    assert bpe_count_text("the the") == 2
+    assert bpe_count_text("") == 0 and bpe_count_text(None) == 0
+    # non-ASCII falls back to UTF-8 bytes (2 bytes per cyrillic char)
+    assert bpe_count_text("Привет") == len("Привет".encode("utf-8"))
+
+    # validator rejects underivable multi-char sides
+    import pytest
+
+    with pytest.raises(ValueError):
+        _validate((("th", "e"),))
+    # the shipped table passes its own validation
+    assert _validate(DEFAULT_MERGES)
+
+
+def test_bpe_token_count_udf_matches_python_twin(spark, sf_dir):
+    """The Arrow pandas_udf count equals the Python twin on real
+    fixture text."""
+    from bigdatasearchpro_spark.functions.bpe import (
+        bpe_count_text,
+        bpe_token_count,
+    )
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    rows = docs.select(
+        "doc_id", "text", bpe_token_count("text").alias("n")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] == bpe_count_text(r["text"]), r["doc_id"]
+
+
+def test_domain_token_budget_bpe_tokenizer_invariant(spark, sf_dir):
+    """tokenizer='bpe' meters the budget in BPE tokens: recomputing
+    the admission rule driver-side over the BPE counts reproduces the
+    admitted set exactly; an unknown tokenizer raises."""
+    import hashlib
+
+    import pytest
+
+    from bigdatasearchpro_spark.functions.bpe import bpe_count_text
+    from bigdatasearchpro_spark.operators.curation import domain_token_budget
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = {"src0": 1200, "src1": 500}
+    out = domain_token_budget(docs, budgets, tokenizer="bpe").collect()
+    assert out, "budget fixture admitted nothing"
+
+    # driver-side replay: md5(id) order within domain, admit while the
+    # PRE-doc cumulative total is under budget
+    by_dom = {}
+    for r in docs.select("doc_id", "source", "text").collect():
+        by_dom.setdefault(r["source"], []).append(
+            (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"],
+             bpe_count_text(r["text"]))
+        )
+    expect = {}
+    for dom, rows in by_dom.items():
+        if dom not in budgets:
+            continue
+        cum = 0
+        for _, did, n in sorted(rows):
+            if cum < budgets[dom]:
+                expect[did] = (dom, n, cum + n)
+            cum += n
+    got = {r["doc_id"]: (r["domain"], r["n_tokens"], r["cum_tokens"])
+           for r in out}
+    assert got == expect
+
+    with pytest.raises(ValueError):
+        domain_token_budget(docs, budgets, tokenizer="nope")

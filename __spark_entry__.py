@@ -61,6 +61,7 @@ _R7_FIXED_OR_NEW = (
     "s23_index_template",
     "l3_analyzer_russian",
     "l5_bpe_token_counts",
+    "l4_range_search_ivf",
 )
 
 

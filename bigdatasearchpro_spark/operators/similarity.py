@@ -15,6 +15,7 @@ vectors are scored at once (numpy BLAS beats per-row expression trees).
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import numpy as np
@@ -663,6 +664,85 @@ def _cluster_assign_int_udf(cent_int: np.ndarray):
     return pandas_udf(assign, "int")
 
 
+def ivf_range_prune(
+    emb: DataFrame,
+    query_ints: Sequence[int],
+    centroids: np.ndarray,
+    *,
+    thr_num: int,
+    thr_den: int,
+    vec_col: str = "embedding",
+    margin: float = 1e-9,
+) -> "tuple[DataFrame, list[int]]":
+    """Triangle-inequality IVF cell screening for cosine range search.
+
+    Assigns every (int8-quantized) vector to its max-cosine centroid
+    and records its cosine to that centroid; the per-cell MINIMUM of
+    that cosine bounds the cell's angular radius ``dev_c``, so a cell
+    whose centroid is further than ``acos(r) + dev_c`` from the query
+    cannot contain any in-range member (``angle(v,q) >=
+    angle(q,c) - angle(v,c)``).  Returns ``(emb + __cell column,
+    surviving cell ids)`` — screening is a strict SUPERSET of the
+    radius, so the exact predicate downstream returns the identical
+    member set (pytest-gated).  ``margin`` absorbs float64 rounding in
+    the bound (never the final decision, which stays integer-exact).
+
+    The assign+stats pass is an index-build cost — at corpus scale the
+    assigned/stats frame is persisted once per index (classic IVF
+    layout: data partitioned by cell) and queries pay only the pruned
+    scan."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or not len(cents):
+        raise ValueError("centroids must be a (C, d) matrix")
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    unit = cents / np.where(cn > 0, cn, 1.0)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ut = unit.T.copy()
+
+    def cell_vcos(batch):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in batch])
+        amax = np.abs(m).max(axis=1, keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        q = np.clip(np.floor(m / scale + 0.5), -127, 127)
+        s = q @ ut
+        cell = s.argmax(axis=1)
+        qn = np.sqrt((q * q).sum(axis=1))
+        vcos = np.where(
+            qn > 0, s[np.arange(len(q)), cell] / np.where(qn > 0, qn, 1.0), 1.0
+        )
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "vcos": vcos}
+        )
+
+    cv = pandas_udf(cell_vcos, "struct<cell:int,vcos:double>")
+    assigned = emb.withColumn("__cv", cv(F.col(vec_col))).withColumn(
+        "__cell", F.col("__cv.cell")
+    )
+    stats = {
+        r["__cell"]: r["mv"]
+        for r in assigned.groupBy("__cell")
+        .agg(F.min(F.col("__cv.vcos")).alias("mv"))
+        .collect()
+    }
+    qf = np.asarray([float(v) for v in query_ints])
+    qn = np.linalg.norm(qf)
+    if qn == 0:
+        raise ValueError("query vector must be non-zero")
+    qcos = unit @ (qf / qn)
+    r = math.sqrt(thr_num / thr_den)
+    acos_r = math.acos(min(max(r, -1.0), 1.0))
+    survivors = []
+    for c, min_vcos in stats.items():
+        theta_qc = math.acos(min(max(qcos[c], -1.0), 1.0))
+        dev = math.acos(min(max(min_vcos, -1.0), 1.0))
+        if math.cos(max(theta_qc - dev, 0.0)) >= r - margin:
+            survivors.append(int(c))
+    return assigned.drop("__cv"), sorted(survivors)
+
+
 def cosine_range_search_int8(
     emb: DataFrame,
     query_ints: Sequence[int],
@@ -671,6 +751,7 @@ def cosine_range_search_int8(
     thr_den: int = 10000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """RANGE (radius) search: every vector whose cosine to the integer
     query is ``>= sqrt(thr_num/thr_den)`` — the all-neighbors-within-
@@ -694,7 +775,15 @@ def cosine_range_search_int8(
     division/floor/clip are IEEE-identical to the Spark expression
     form and the int64 products exact, so the oracle (which replays
     quantization in DuckDB double math) is unaffected. Same lesson as
-    the PQ encoder."""
+    the PQ encoder.
+
+    ``centroids`` (a (C, d) matrix, e.g. from :func:`ivf_centroids`)
+    turns on IVF PRUNING for tight radii at corpus scale: cells whose
+    triangle-inequality bound cannot reach the radius are skipped
+    entirely (:func:`ivf_range_prune`), and the SAME integer-exact
+    predicate runs on the survivors — the member set is provably
+    identical to the full scan (screening is a superset; pytest-gated),
+    only the bytes read change."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -703,6 +792,13 @@ def cosine_range_search_int8(
     if qnorm == 0:
         raise ValueError("query vector must be non-zero")
     qv = np.asarray(qi, dtype=np.int64)
+    if centroids is not None:
+        assigned, cells = ivf_range_prune(
+            emb, qi, centroids,
+            thr_num=thr_num, thr_den=thr_den, vec_col=vec_col,
+        )
+        keep = F.col("__cell").isin(cells) if cells else F.lit(False)
+        emb = assigned.filter(keep).drop("__cell")
 
     def dot_norm(batch):
         m = np.stack(

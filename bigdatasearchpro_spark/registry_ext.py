@@ -637,6 +637,37 @@ def l4_range_search(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+# Fixed literal centroids for the IVF-pruned range entry (the static-
+# literal constraint: the oracle replays the FULL-SCAN decision and the
+# member set is provably identical under any centroids — screening is a
+# triangle-inequality superset, so only bytes read change).
+_RANGE_IVF_CENTROIDS = [
+    [((c * 31 + i * 7) % 13) - 6 for i in range(64)] for c in range(8)
+]
+
+
+@register("l4_range_search_ivf", _range_search_oracle())
+def l4_range_search_ivf(spark, sf_dir):
+    """L4: IVF-PRUNED cosine range search — the same fixed query,
+    radius, and integer-exact decision as l4_range_search, but the
+    scan first screens IVF cells with the triangle inequality
+    (angle(v,q) >= angle(q,c) - cell_radius) and reads only surviving
+    cells (similarity.ivf_range_prune).  The member set is PROVABLY
+    identical to the full scan (screening is a superset; the oracle IS
+    the full-scan SQL, so the driver hash-checks that claim), and on
+    clustered corpora the probe reduction is real
+    (tests/test_similarity.py gates pruned==unpruned AND that tight
+    radii drop cells on a clustered fixture; SCALING.md records the
+    sf1 reduction)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_range_search_int8(
+        emb, _RANGE_QUERY_INTS, thr_num=225, thr_den=10000,
+        centroids=np.asarray(_RANGE_IVF_CENTROIDS, dtype="float64"),
+    ).orderBy("vec_id")
+
+
 @register("l4_batch_query_topk")  # rows-only: float scores, BLAS sums
 def l4_batch_query_topk(spark, sf_dir):
     """L4 serving path: MANY query vectors against the corpus in ONE

@@ -426,3 +426,69 @@ def test_range_search_guards_and_self_membership(spark, sf_dir):
         ).collect()
     }
     assert row["vec_id"] in hits
+
+
+def test_ivf_pruned_range_search_is_lossless_and_prunes(spark):
+    """IVF range pruning: (1) pruned == unpruned on ANY corpus/
+    centroids (triangle screening is a superset of the radius);
+    (2) on a CLUSTERED corpus with tight radius, most cells are
+    actually skipped — the probe reduction the pruning exists for."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    # 6 well-separated cluster directions in 64-d
+    dirs = rng.randn(6, 64)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(80):
+            v = dirs[c] * 10.0 + rng.randn(64) * 0.6  # tight cluster
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # query along cluster 0; int query vector on the same direction
+    q = [int(round(x * 50)) for x in dirs[0]]
+    if all(v == 0 for v in q):
+        q[0] = 1
+    kw = dict(thr_num=8100, thr_den=10000)  # cos >= 0.9: tight radius
+
+    full = sorted(
+        (r["vec_id"], r["dot"])
+        for r in similarity.cosine_range_search_int8(emb, q, **kw).collect()
+    )
+    pruned = sorted(
+        (r["vec_id"], r["dot"])
+        for r in similarity.cosine_range_search_int8(
+            emb, q, centroids=dirs, **kw
+        ).collect()
+    )
+    assert full == pruned and full, "pruning changed the member set"
+
+    _, cells = similarity.ivf_range_prune(
+        emb, q, dirs, thr_num=8100, thr_den=10000
+    )
+    assert len(cells) < 6, f"tight radius should prune cells, got {cells}"
+    # a wide radius keeps everything and still matches
+    wide_full = sorted(
+        r["vec_id"]
+        for r in similarity.cosine_range_search_int8(
+            emb, q, thr_num=1, thr_den=10000
+        ).collect()
+    )
+    wide_pruned = sorted(
+        r["vec_id"]
+        for r in similarity.cosine_range_search_int8(
+            emb, q, thr_num=1, thr_den=10000, centroids=dirs
+        ).collect()
+    )
+    assert wide_full == wide_pruned
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.ivf_range_prune(emb, [0] * 64, dirs, thr_num=1, thr_den=2)
+    with pytest.raises(ValueError):
+        similarity.ivf_range_prune(emb, q, np.zeros((0, 64)), thr_num=1, thr_den=2)

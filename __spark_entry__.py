@@ -51,9 +51,14 @@ _R7_FIXED_OR_NEW = (
     # global exact deciles now require an explicit exact_global=True
     "l5_quality_deciles",
     # code changed this round: post_count coalesced to 0 on all-NULL
-    # predicate buckets; field_caps aggregatable restricted to scalars
+    # predicate buckets (the fixture has such buckets only via the
+    # oracle's CASE-WHEN path, so the output is what changed — re-check)
     "l3_post_filter_facets",
-    "s21_field_caps",
+    # NOT front-listed despite touched code: s21_field_caps — the
+    # aggregatable-scalars-only change leaves the fixture's
+    # bigint/string output byte-identical (r6 verdict stands); the new
+    # complex-type behavior is pinned by
+    # test_field_caps_single_index_and_guards
     # new operators this round
     "l3_geo_bounding_box",
     "l3_geo_distance",
@@ -62,6 +67,7 @@ _R7_FIXED_OR_NEW = (
     "l3_analyzer_russian",
     "l5_bpe_token_counts",
     "l4_range_search_ivf",
+    "l3_agg_geotile_grid",
 )
 
 

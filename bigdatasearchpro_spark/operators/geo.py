@@ -207,3 +207,63 @@ def geo_distance_agg(
         )
         .orderBy("from_m")
     )
+
+
+# Web-Mercator latitude clamp (ES geotile_grid uses the same bound)
+MERCATOR_LAT_MAX = 85.05112878
+
+
+def geotile_xy(
+    lat: Column | float, lon: Column | float, zoom: int
+) -> "tuple[Column, Column]":
+    """ES ``geotile_grid`` cell math — standard slippy-map tiles:
+    ``x = floor((lon+180)/360 * 2^z)``, ``y`` from the Web-Mercator
+    projection, latitude clamped to ±85.05112878 like ES.  Pure
+    column math (one ln/tan/cos chain), written with a fixed operand
+    order so an oracle engine replays the identical IEEE doubles."""
+    if not (0 <= int(zoom) <= 29):
+        raise ValueError(f"zoom must be in [0, 29], got {zoom}")
+    n = float(1 << int(zoom))
+    lon_c = F.lit(lon) if isinstance(lon, (int, float)) else lon
+    lat_c = F.lit(lat) if isinstance(lat, (int, float)) else lat
+    lat_cl = F.least(
+        F.greatest(lat_c, F.lit(-MERCATOR_LAT_MAX)), F.lit(MERCATOR_LAT_MAX)
+    )
+    x = F.floor((lon_c + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("bigint")
+    # clamp x for lon == 180.0 exactly (ES wraps into the last tile)
+    x = F.least(x, F.lit(int(n) - 1)).cast("bigint")
+    rad = lat_cl * F.lit(math.pi) / F.lit(180.0)
+    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+    y = F.floor(
+        (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)
+    ).cast("bigint")
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1)).cast("bigint")
+    return x, y
+
+
+def geotile_grid_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    *,
+    zoom: int = 6,
+    size: int = 100,
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket points into z/x/y
+    Web-Mercator tiles at the given ``zoom``, ONE hash aggregate, top
+    ``size`` buckets by doc_count (key tie-break for determinism) —
+    the map-heatmap aggregation.  Output: (tile, x, y, doc_count)."""
+    x, y = geotile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    return (
+        df.select(x.alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("doc_count"))
+        .select(
+            F.concat_ws(
+                "/", F.lit(int(zoom)), F.col("x"), F.col("y")
+            ).alias("tile"),
+            "x", "y", "doc_count",
+        )
+        .orderBy(F.desc("doc_count"), F.asc("x"), F.asc("y"))
+        .limit(size)
+    )

@@ -194,3 +194,51 @@ def l3_agg_geo_distance(spark, sf_dir):
         cust, "lat", "lon",
         lat=_ORIGIN_LAT, lon=_ORIGIN_LON, ranges_m=_GEO_RANGES,
     )
+
+
+_GT_ZOOM = 4
+_GT_N = float(1 << _GT_ZOOM)
+_MERC_MAX = "CAST(85.05112878 AS DOUBLE)"
+_GT_LAT = (
+    f"least(greatest({_LAT_SQL}, -{_MERC_MAX}), {_MERC_MAX})"
+)
+_GT_RAD = f"((({_GT_LAT}) * {_PI}) / CAST(180.0 AS DOUBLE))"
+_GT_MERC = f"ln(tan({_GT_RAD}) + CAST(1.0 AS DOUBLE) / cos({_GT_RAD}))"
+_GT_X = (
+    f"least(CAST(floor((({_LON_SQL}) + CAST(180.0 AS DOUBLE)) "
+    f"/ CAST(360.0 AS DOUBLE) * CAST({_GT_N!r} AS DOUBLE)) AS BIGINT), "
+    f"{int(_GT_N) - 1})"
+)
+_GT_Y = (
+    f"least(greatest(CAST(floor((CAST(1.0 AS DOUBLE) - {_GT_MERC} / {_PI}) "
+    f"/ CAST(2.0 AS DOUBLE) * CAST({_GT_N!r} AS DOUBLE)) AS BIGINT), 0), "
+    f"{int(_GT_N) - 1})"
+)
+
+
+@register(
+    "l3_agg_geotile_grid",
+    f"""
+    WITH t AS (
+      SELECT {_GT_X} AS x, {_GT_Y} AS y FROM customer
+    )
+    SELECT {_GT_ZOOM} || '/' || x || '/' || y AS tile,
+           x, y, count(*)::BIGINT AS doc_count
+    FROM t GROUP BY x, y
+    ORDER BY doc_count DESC, x, y
+    LIMIT 10000
+    """,
+)
+def l3_agg_geotile_grid(spark, sf_dir):
+    """L3 [ES parity]: ``geotile_grid`` aggregation — points bucketed
+    into Web-Mercator z/x/y slippy tiles (zoom 4), ONE hash aggregate,
+    buckets ranked by doc_count (x, y tie-break) — the map-heatmap
+    aggregation ES serves next to geo_distance.  Tile math is the
+    standard public formula (x from lon linear, y from the Mercator
+    ln/tan chain, latitude clamped at ±85.05112878 like ES) written
+    with a fixed IEEE operand order so the DuckDB oracle replays the
+    identical doubles (operators/geo.py geotile_grid_agg)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    return geo.geotile_grid_agg(cust, "lat", "lon", zoom=_GT_ZOOM, size=10000)

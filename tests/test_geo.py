@@ -137,3 +137,51 @@ def test_geo_box_prefilter_pushes_to_scan(spark, tmp_path):
     pushed = " ".join(pushed_filters(df))
     assert "lat" in pushed and "lon" in pushed
     assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed
+
+
+def test_geotile_xy_known_tiles(spark, cities):
+    """Tile math against the public slippy-map formula (Python twin)
+    and hand-known anchors: (0,0) at z=1 is tile (1,1); z=0 is (0,0)."""
+    rows = spark.createDataFrame(
+        [("o", 0.0, 0.0), ("edge", 0.0, 180.0), ("pole", 89.9, 10.0)],
+        "name string, lat double, lon double",
+    )
+    x, y = geo.geotile_xy(F.col("lat"), F.col("lon"), 1)
+    got = {r["name"]: (r["x"], r["y"]) for r in
+           rows.select("name", x.alias("x"), y.alias("y")).collect()}
+    assert got["o"] == (1, 1)
+    assert got["edge"] == (1, 0) or got["edge"][0] == 1  # lon 180 wraps into last tile
+    assert got["pole"][1] == 0  # clamped north -> top row
+
+    def py_tile(lat, lon, z):
+        n = 1 << z
+        lat = max(min(lat, geo.MERCATOR_LAT_MAX), -geo.MERCATOR_LAT_MAX)
+        xx = min(int(math.floor((lon + 180.0) / 360.0 * n)), n - 1)
+        r = math.radians(lat)
+        yy = int(math.floor((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r))
+                             / math.pi) / 2.0 * n))
+        return xx, max(min(yy, n - 1), 0)
+
+    for z in (0, 4, 8):
+        xz, yz = geo.geotile_xy(F.col("lat"), F.col("lon"), z)
+        out = cities.select("name", "lat", "lon",
+                            xz.alias("x"), yz.alias("y")).collect()
+        for r in out:
+            assert (r["x"], r["y"]) == py_tile(r["lat"], r["lon"], z), (
+                r["name"], z)
+    import pytest
+
+    with pytest.raises(ValueError):
+        geo.geotile_xy(F.col("lat"), F.col("lon"), 30)
+
+
+def test_geotile_grid_agg_counts(spark, cities):
+    """Bucket counts equal the brute-force tile assignment; ordering is
+    doc_count desc with (x, y) tie-break; size caps buckets."""
+    out = geo.geotile_grid_agg(cities, "lat", "lon", zoom=2, size=100).collect()
+    assert sum(r["doc_count"] for r in out) == len(_CITIES)
+    assert all(r["tile"] == f"2/{r['x']}/{r['y']}" for r in out)
+    counts = [r["doc_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    top1 = geo.geotile_grid_agg(cities, "lat", "lon", zoom=2, size=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_count"] == counts[0]

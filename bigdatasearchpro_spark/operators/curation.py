@@ -187,6 +187,7 @@ def pack_sequences(
     shard_col: str = "lang",
     id_col: str = "doc_id",
     text_col: TextCols = "text",
+    tokenizer: str = "analyzer",
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: within each shard
     (``shard_col``), documents concatenate in ``id`` order with one
@@ -208,10 +209,23 @@ def pack_sequences(
         .orderBy(F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if tokenizer == "analyzer":
+        n_tokens = F.size(tokens_expr(text_col)).cast("long")
+    elif tokenizer == "bpe":
+        # chunk geometry in real tokenizer tokens (functions/bpe.py)
+        from bigdatasearchpro_spark.functions.bpe import bpe_token_count
+
+        if not isinstance(text_col, str):
+            raise ValueError("tokenizer='bpe' needs a single text column")
+        n_tokens = bpe_token_count(text_col)
+    else:
+        raise ValueError(
+            f"unknown tokenizer {tokenizer!r} (have 'analyzer', 'bpe')"
+        )
     sized = docs.select(
         F.col(id_col),
         F.col(shard_col).alias("shard"),
-        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
     )
     # +1 = the EOS separator appended to every document
     cum = sized.withColumn("__end", F.sum(F.col("n_tokens") + 1).over(w))

@@ -400,3 +400,29 @@ def test_domain_token_budget_bpe_tokenizer_invariant(spark, sf_dir):
 
     with pytest.raises(ValueError):
         domain_token_budget(docs, budgets, tokenizer="nope")
+
+
+def test_pack_sequences_bpe_tokenizer(spark):
+    """tokenizer='bpe' packs by BPE counts: offsets replay from the
+    Python twin; analyzer path is unchanged by the parameter."""
+    import pytest
+
+    from bigdatasearchpro_spark.functions.bpe import bpe_count_text
+    from bigdatasearchpro_spark.operators.curation import pack_sequences
+
+    rows = [(1, "the spark filtering"), (2, "question of tables"),
+            (3, "qqq zzz")]
+    df = _mini_corpus(spark, rows).withColumn("lang", F.lit("en"))
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, max_len=4, shard_col="lang",
+                          tokenizer="bpe").collect()}
+    expect_offset = 0
+    for did, text in rows:
+        n = bpe_count_text(text)
+        assert out[did]["n_tokens"] == n
+        assert out[did]["start_offset"] == expect_offset
+        expect_offset += n + 1
+    with pytest.raises(ValueError):
+        pack_sequences(df, tokenizer="nope")
+    with pytest.raises(ValueError):
+        pack_sequences(df, tokenizer="bpe", text_col=["text", "text"])

@@ -50,10 +50,14 @@ _R7_FIXED_OR_NEW = (
     # swapped to the per-source PARTITIONED ntile (the 100 TB shape);
     # global exact deciles now require an explicit exact_global=True
     "l5_quality_deciles",
-    # code changed this round: post_count coalesced to 0 on all-NULL
-    # predicate buckets (the fixture has such buckets only via the
-    # oracle's CASE-WHEN path, so the output is what changed — re-check)
-    "l3_post_filter_facets",
+    # NOT front-listed despite touched code: l3_post_filter_facets (the
+    # coalesce only changes ALL-NULL-predicate buckets, which the
+    # fixture provably lacks — the entry was hash-green in r6 against a
+    # CASE-WHEN oracle that already counted 0 there; the new behavior
+    # is pinned by the aggs unit tests) and s21_field_caps (the
+    # aggregatable-scalars-only change leaves the fixture's
+    # bigint/string output byte-identical; the complex-type behavior is
+    # pinned by test_field_caps_single_index_and_guards).
     # NOT front-listed despite touched code: s21_field_caps — the
     # aggregatable-scalars-only change leaves the fixture's
     # bigint/string output byte-identical (r6 verdict stands); the new
@@ -68,6 +72,7 @@ _R7_FIXED_OR_NEW = (
     "l5_bpe_token_counts",
     "l4_range_search_ivf",
     "l3_agg_geotile_grid",
+    "l3_geo_sort",
 )
 
 

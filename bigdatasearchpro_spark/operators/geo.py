@@ -267,3 +267,28 @@ def geotile_grid_agg(
         .orderBy(F.desc("doc_count"), F.asc("x"), F.asc("y"))
         .limit(size)
     )
+
+
+def nearest_k(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    *,
+    lat: float,
+    lon: float,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``sort: _geo_distance`` — the k rows nearest to (lat, lon),
+    ordered by integer-meter distance (id tie-break for determinism).
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject: each
+    partition keeps a k-heap and only k rows per partition reach the
+    driver-side merge — no global sort at any scale (plan-gated)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    dist = haversine_m_floor(F.col(lat_col), F.col(lon_col), lat, lon)
+    return (
+        df.withColumn("dist_m", dist)
+        .orderBy(F.asc("dist_m"), F.asc(id_col))
+        .limit(k)
+    )

@@ -242,3 +242,30 @@ def l3_agg_geotile_grid(spark, sf_dir):
         _lat_col().alias("lat"), _lon_col().alias("lon")
     )
     return geo.geotile_grid_agg(cust, "lat", "lon", zoom=_GT_ZOOM, size=10000)
+
+
+@register(
+    "l3_geo_sort",
+    f"""
+    WITH d AS (
+      SELECT c_custkey, {_DIST_SQL} AS dist_m FROM customer
+    )
+    SELECT c_custkey, dist_m FROM d
+    ORDER BY dist_m, c_custkey
+    LIMIT 20
+    """,
+)
+def l3_geo_sort(spark, sf_dir):
+    """L3 [ES parity]: ``sort: _geo_distance`` — the 20 customers
+    nearest Paris ordered by integer-meter haversine (id tie-break).
+    TakeOrderedAndProject, never a global sort (plan-gated in
+    tests/test_plans.py) (operators/geo.py nearest_k)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    return geo.nearest_k(
+        cust, "lat", "lon",
+        lat=_ORIGIN_LAT, lon=_ORIGIN_LON, k=20, id_col="c_custkey",
+    ).select("c_custkey", "dist_m")

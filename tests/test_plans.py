@@ -507,3 +507,10 @@ def test_no_unpartitioned_corpus_window_in_driver_entries(spark, sf_dir):
             if _SORT_SPEC.search(first):
                 offenders.append((name, first))
     assert not offenders, offenders
+
+
+def test_geo_sort_is_take_ordered(spark, sf_dir):
+    """_geo_distance sort compiles to TakeOrderedAndProject (per-
+    partition k-heaps), never a global sort."""
+    df = QUERIES["l3_geo_sort"](spark, sf_dir)
+    assert has_take_ordered(df)

@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "l3_suggest_phrase",
     "l4_range_search",
     "l5_pipeline_curation_v2",
+    # r7-new entries: geo predicates/aggs (pure expression trees) and
+    # BPE token counting (Arrow pandas_udf — the hot Python-side path)
+    "l3_geo_distance",
+    "l3_agg_geotile_grid",
+    "l5_bpe_token_counts",
 ]
 
 

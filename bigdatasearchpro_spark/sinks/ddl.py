@@ -329,7 +329,9 @@ def put_template(
         if not _re.match(r"^[a-z0-9_.*-]+$", p):
             raise ValueError(f"invalid index pattern {p!r}")
     for field, an in (mappings or {}).items():
-        if not _re.match(r"^[A-Za-z0-9_.-]+$", field):
+        # '*'-globs allowed: ES dynamic-template shape — the pattern
+        # matches STRING columns of each index at creation time
+        if not _re.match(r"^[A-Za-z0-9_.*-]+$", field):
             raise ValueError(f"invalid field name {field!r}")
         if an not in ANALYZERS:
             raise ValueError(
@@ -420,9 +422,25 @@ def _apply_template_mappings(
     spark: SparkSession, index_name: str, mappings: "dict[str, str]"
 ) -> None:
     """Apply a merged template's field->analyzer mapping to a fresh
-    index: only fields present in the schema get the property (ES
-    templates may map fields an individual index never materializes)."""
-    cols = set(spark.table(index_name).columns)
-    present = {f: a for f, a in mappings.items() if f in cols}
+    index: exact field names apply when the schema has them (ES
+    templates may map fields an individual index never materializes);
+    ``*``-glob field patterns (ES dynamic-template shape — how real ES
+    deployments analyzer-type every text field, the dynamic-mapping
+    reliance the reference has, SURVEY.md §1.2) expand against the
+    index's STRING columns, with exact names overriding globs."""
+    import fnmatch
+
+    fields = spark.table(index_name).schema.fields
+    str_cols = [f.name for f in fields if f.dataType.simpleString() == "string"]
+    cols = {f.name for f in fields}
+    present: "dict[str, str]" = {}
+    for pat, an in mappings.items():
+        if "*" in pat:
+            for c in str_cols:
+                if fnmatch.fnmatchcase(c, pat):
+                    present[c] = an
+    for f, an in mappings.items():  # exact names win over globs
+        if "*" not in f and f in cols:
+            present[f] = an
     if present:
         put_mapping(spark, index_name, present)

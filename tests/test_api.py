@@ -748,3 +748,33 @@ def test_index_template_lifecycle(spark):
     with pytest.raises(ValueError):
         api.put_template(spark, "Bad Name!", index_patterns=["x*"])
     assert api.get_template(spark, "never_put") is None
+
+
+def test_index_template_dynamic_wildcard_fields(spark):
+    """'*'-glob field patterns (ES dynamic-template shape) expand
+    against each matching index's STRING columns at creation; exact
+    names override globs; non-string columns never get an analyzer."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks import ddl
+
+    sfx = uuid.uuid4().hex[:8]
+    t = f"dyn_{sfx}"
+    api.put_template(
+        spark, t, index_patterns=[f"dyn{sfx}_*"],
+        mappings={"*": "english", "raw_text": "whitespace"},
+    )
+    idx = f"dyn{sfx}_docs"
+    ddl.create_index(
+        spark, idx,
+        "doc_id BIGINT, title STRING, raw_text STRING, n_views BIGINT",
+    )
+    try:
+        got = ddl.get_mapping(spark, idx)
+        # every string col analyzed; exact name beats the glob;
+        # bigints untouched
+        assert got == {"title": "english", "raw_text": "whitespace"}
+    finally:
+        ddl.delete_index(spark, idx)
+        api.delete_template(spark, t)

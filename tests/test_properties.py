@@ -372,3 +372,33 @@ def test_domain_mixture_properties(spark, quotas, n_rows):
             assert len(by_dom.get(dom, [])) == min(q, size)
     again = domain_mixture(df.repartition(5, "doc_id"), quotas).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_count_invariants(text):
+    """Pure-Python BPE properties on arbitrary text: counts are
+    bounded by (words <= count <= utf8 bytes), deterministic, and the
+    per-word encoding concatenates back to the word's bytes."""
+    from bigdatasearchpro_spark.functions.bpe import (
+        bpe_count_text,
+        bpe_encode_word,
+    )
+
+    n = bpe_count_text(text)
+    words = text.split()
+    assert n == bpe_count_text(text)  # deterministic
+    assert n >= len(words)
+    assert n <= len(text.encode("utf-8"))
+    if not words:
+        assert n == 0
+    for w in words[:5]:
+        parts = bpe_encode_word(w)
+        # lossless: latin-1 symbol concat == the word's utf-8 bytes
+        assert "".join(parts).encode("latin-1") == w.encode("utf-8")
+        assert all(parts)  # never an empty symbol

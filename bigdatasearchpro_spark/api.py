@@ -261,8 +261,11 @@ def query_data(
         src = F.concat_ws(
             " ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in fields]
         ).alias("__src")
+        # (?U): Java regex \w/\b are ASCII-only by default — the
+        # unicode flag makes cyrillic (russian analyzer) stems
+        # highlightable; ASCII behavior is unchanged
         pattern = (
-            "(?i)\\b("
+            "(?iU)\\b("
             + "|".join(highlight_alternates(terms, default_an))
             + ")\\b"
         )

@@ -391,7 +391,9 @@ def search_paged(
 
     # stemming analyzers produce stems ('tabl') that never \b-match the
     # surface text; highlight_alternates widens them to prefix matches
-    pattern = "(?i)\\b(" + "|".join(highlight_alternates(terms, analyzer)) + ")\\b"
+    # (?U) = Java UNICODE_CHARACTER_CLASS: without it \w/\b are
+    # ASCII-only and a cyrillic stem pattern can never match
+    pattern = "(?iU)\\b(" + "|".join(highlight_alternates(terms, analyzer)) + ")\\b"
     lit_repl = pre_tag + "$1" + post_tag
     hi = (
         docs.select(F.col(id_col), src)

@@ -504,3 +504,20 @@ def test_russian_analyzer_symmetry_and_highlight(spark):
     import re as _re
 
     assert any(_re.match(a, "таблицами") for a in alts)
+
+
+def test_highlight_russian_stems_unicode(spark):
+    """Cyrillic highlights work through the JVM regex: the (?U) flag
+    makes \\b and \\w unicode-aware (ASCII-only by default in Java),
+    so a russian stem pattern actually matches surface forms."""
+    from bigdatasearchpro_spark.operators import search as s
+
+    df = spark.createDataFrame(
+        [(1, "старые таблицы на полке"), (2, "no match here at all")],
+        ["doc_id", "text"],
+    )
+    hits = s.search_paged(
+        df, "таблицами", size=5, analyzer="russian", highlight=True
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+    assert "<em>таблицы</em>" in hits[0]["highlight"]

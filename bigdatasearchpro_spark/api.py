@@ -589,7 +589,8 @@ def analyze(
     """ES ``_analyze`` — the analyzer's token output for a given text
     (the debugging endpoint behind every "why didn't this match"
     question). Pure driver-side; ``analyzer`` picks from the registry
-    in operators/analyzers.py (standard / whitespace / english), and
+    in operators/analyzers.py (standard / whitespace / english /
+    cjk / french / german / spanish / russian), and
     what you get here is exactly what the index-side expressions
     compute per row (the symmetry is property-tested)."""
     return search.analyze_query(text, analyzer)

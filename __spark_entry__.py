@@ -75,6 +75,19 @@ _R7_FIXED_OR_NEW = (
     "l3_geo_sort",
 )
 
+# Entries added AFTER the round-7 window was budgeted (front + the
+# full 39-entry r2 cohort = exactly 50): placing them in age order
+# would put them at age 0, AHEAD of the r2 cohort, displacing stale
+# entries out of the window — so they are pinned to the BACK instead
+# and get their first driver verdict in round 8, where the age sort
+# automatically puts them first.  Run tools/check_window.py after ANY
+# change.
+_R7_DEFER_TO_R8 = (
+    "l3_geo_polygon",
+    "l3_agg_geohash_grid",
+    "l3_agg_geo_bounds_centroid",
+)
+
 
 def _verdict_ages() -> dict[str, int]:
     """name → round number of the entry's most recent driver verdict,
@@ -104,13 +117,14 @@ def _verdict_ages() -> dict[str, int]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     front = [n for n in _R7_FIXED_OR_NEW if n in QUERIES]
+    back = [n for n in _R7_DEFER_TO_R8 if n in QUERIES]
     ages = _verdict_ages()
     order = list(QUERIES)
     rest = sorted(
-        (n for n in order if n not in front),
+        (n for n in order if n not in front and n not in back),
         key=lambda n: (ages.get(n, 0), order.index(n)),
     )
-    return {n: QUERIES[n] for n in (*front, *rest)}
+    return {n: QUERIES[n] for n in (*front, *rest, *back)}
 
 
 def oracle_sql() -> dict[str, str]:

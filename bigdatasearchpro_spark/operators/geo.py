@@ -269,6 +269,198 @@ def geotile_grid_agg(
     )
 
 
+def polygon_crossing_terms(
+    py: Column, px: Column, polygon: "list[tuple[float, float]]"
+) -> "list[Column]":
+    """One boolean Column per polygon edge: does a rightward ray from
+    (``py``, ``px``) cross that edge?  Classic PNPOLY even-odd ray
+    casting, with the division multiplied through: because the
+    vertices are LITERALS, the sign of ``(y2 - y1)`` is known at plan
+    time and the inequality direction is baked per edge — the runtime
+    expression uses only ``-``/``*``/compare on doubles, all exactly
+    rounded under IEEE-754, so any engine replaying the same operand
+    order produces bit-identical booleans (no trig, no division, no
+    floor-grid needed).  Horizontal edges (y1 == y2) never cross a
+    horizontal ray and are skipped."""
+    if len(polygon) < 3:
+        raise ValueError(f"polygon needs >= 3 vertices, got {len(polygon)}")
+    terms: "list[Column]" = []
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue
+        straddles = (F.lit(y1) > py) != (F.lit(y2) > py)
+        lhs = (px - F.lit(x1)) * F.lit(y2 - y1)
+        rhs = F.lit(x2 - x1) * (py - F.lit(y1))
+        # px < (x2-x1)*(py-y1)/(y2-y1) + x1, multiplied through by
+        # (y2-y1) with the flip resolved at plan time from the literal
+        cross = (lhs < rhs) if y2 > y1 else (lhs > rhs)
+        terms.append(straddles & cross)
+    return terms
+
+
+def geo_polygon_filter(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    *,
+    polygon: "list[tuple[float, float]]",
+    prefilter: bool = True,
+) -> DataFrame:
+    """ES ``geo_polygon`` filter: keep rows whose point falls inside
+    the closed polygon (list of (lat, lon) vertices, auto-closed) by
+    even-odd ray casting.  A bounding box over the vertex extremes
+    prefilters first — pure range predicates that reach a parquet scan
+    on stored columns, so the per-edge terms only run on box survivors
+    (the box is exact on the vertex hull, hence a superset of the
+    polygon — never excludes a true match)."""
+    lats = [v[0] for v in polygon]
+    lons = [v[1] for v in polygon]
+    out = df
+    if prefilter:
+        out = geo_bounding_box(
+            out, lat_col, lon_col,
+            top=max(lats), bottom=min(lats),
+            left=min(lons), right=max(lons),
+        )
+    terms = polygon_crossing_terms(
+        F.col(lat_col), F.col(lon_col), polygon
+    )
+    crossings = None
+    for t in terms:
+        c = t.cast("int")
+        crossings = c if crossings is None else crossings + c
+    return out.filter(crossings % F.lit(2) == F.lit(1))
+
+
+# geohash base32 alphabet (public Niemeyer encoding — no a/i/l/o)
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell(
+    lat: Column, lon: Column, precision: int = 5
+) -> Column:
+    """Geohash string of the point at the given ``precision``
+    (1..12 chars) — the cell key ES ``geohash_grid`` buckets on.
+
+    Pure column math, no UDF: the lon/lat fractions are quantized to
+    integer cells (``floor`` of one exactly-rounded ``+ / *`` chain —
+    bit-identical across engines), the cell bits are interleaved
+    lon-first with integer shift/mask ops, and each 5-bit group indexes
+    a base32 char array.  Everything after the two floors is integer
+    arithmetic, so the string is exact on any engine."""
+    p = int(precision)
+    if not (1 <= p <= 12):
+        raise ValueError(f"precision must be in [1, 12], got {p}")
+    total_bits = 5 * p
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lon_cells = 1 << lon_bits
+    lat_cells = 1 << lat_bits
+    lon_cell = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(lon_cells))),
+        F.lit(lon_cells - 1),
+    ).cast("bigint")
+    lat_cell = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(lat_cells))),
+        F.lit(lat_cells - 1),
+    ).cast("bigint")
+    # interleave: code bit (total_bits-1-k) takes lon for even k,
+    # lat for odd k, MSB first on both axes
+    code = None
+    for k in range(total_bits):
+        if k % 2 == 0:  # lon bit, MSB first
+            src, src_bits, idx = lon_cell, lon_bits, k // 2
+        else:
+            src, src_bits, idx = lat_cell, lat_bits, k // 2
+        bit = F.shiftright(src, src_bits - 1 - idx).bitwiseAND(F.lit(1))
+        term = bit * F.lit(1 << (total_bits - 1 - k))
+        code = term if code is None else code + term
+    chars = F.array(*[F.lit(c) for c in GEOHASH_B32])
+    out = None
+    for g in range(p):
+        five = F.shiftright(code, 5 * (p - 1 - g)).bitwiseAND(F.lit(31))
+        ch = F.element_at(chars, (five + F.lit(1)).cast("int"))
+        out = ch if out is None else F.concat(out, ch)
+    return out
+
+
+def geohash_grid_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    *,
+    precision: int = 5,
+    size: int = 100,
+) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket points by their geohash
+    cell at ``precision``, ONE hash aggregate, top ``size`` buckets by
+    doc_count (key tie-break for determinism).  Output:
+    (geohash, doc_count)."""
+    cell = geohash_cell(F.col(lat_col), F.col(lon_col), precision)
+    return (
+        df.select(cell.alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("geohash"))
+        .limit(size)
+    )
+
+
+def geo_bounds_centroid_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    *,
+    group_cols: "list[str]",
+    cdeg_scale: int = 100,
+) -> DataFrame:
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations per group:
+    the tight bounding box (top/bottom/left/right) and the arithmetic
+    centroid of each group's points, in ONE hash aggregate.
+
+    The centroid avoids distributed float summation (whose partial
+    order is nondeterministic): coordinates are rounded to integer
+    ``1/cdeg_scale``-degree units first, summed exactly as bigints,
+    and divided ONCE at the end — a single exactly-rounded double op,
+    so the result is bit-stable across runs and engines.  Fixture
+    coordinates sit on a 0.01-degree grid, so ``cdeg_scale=100`` is
+    lossless there; for free-form coordinates pick the scale matching
+    the stored precision."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    s = F.lit(float(cdeg_scale))
+    lat_i = F.round(lat * s, 0).cast("bigint")
+    lon_i = F.round(lon * s, 0).cast("bigint")
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.max(lat).alias("top"),
+            F.min(lat).alias("bottom"),
+            F.min(lon).alias("left"),
+            F.max(lon).alias("right"),
+            F.sum(lat_i).alias("__slat"),
+            F.sum(lon_i).alias("__slon"),
+            F.count("*").alias("doc_count"),
+        )
+        .select(
+            *group_cols,
+            "top", "bottom", "left", "right",
+            (
+                F.col("__slat").cast("double")
+                / (s * F.col("doc_count").cast("double"))
+            ).alias("centroid_lat"),
+            (
+                F.col("__slon").cast("double")
+                / (s * F.col("doc_count").cast("double"))
+            ).alias("centroid_lon"),
+            "doc_count",
+        )
+        .orderBy(*group_cols)
+    )
+
+
 def nearest_k(
     df: DataFrame,
     lat_col: str,

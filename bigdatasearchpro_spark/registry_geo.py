@@ -269,3 +269,187 @@ def l3_geo_sort(spark, sf_dir):
         cust, "lat", "lon",
         lat=_ORIGIN_LAT, lon=_ORIGIN_LON, k=20, id_col="c_custkey",
     ).select("c_custkey", "dist_m")
+
+
+# ---------------------------------------------------------------- r7b
+# Europe-scale hexagon for geo_polygon — big enough that the sparse
+# sf0.01 grid lands dozens of points inside (a country-sized polygon
+# matches ~0 rows there, a trivially-green check).  Vertices sit at
+# x.005-degree offsets, OFF the fixture's 0.01-degree coordinate grid,
+# so no point is ever exactly on an edge and strict-vs-inclusive
+# cannot differ.
+_POLY: "list[tuple[float, float]]" = [
+    (65.005, 10.005),
+    (55.005, 40.005),
+    (35.005, 35.005),
+    (30.005, 10.005),
+    (36.005, -10.005),
+    (55.005, -20.005),
+]
+
+
+def _poly_inside_sql(
+    lat_sql: str, lon_sql: str, polygon: "list[tuple[float, float]]"
+) -> str:
+    """Even-odd ray-casting SQL with the EXACT operand order of
+    operators/geo.py polygon_crossing_terms: the edge deltas are
+    precomputed PYTHON floats (identical literals on both sides) and
+    the runtime ops are only -/*/compare on doubles — exactly rounded,
+    so both engines produce bit-identical booleans."""
+    d = "CAST({!r} AS DOUBLE)".format
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue
+        straddles = f"(({d(y1)} > {lat_sql}) != ({d(y2)} > {lat_sql}))"
+        lhs = f"((({lon_sql}) - {d(x1)}) * {d(y2 - y1)})"
+        rhs = f"({d(x2 - x1)} * (({lat_sql}) - {d(y1)}))"
+        op = "<" if y2 > y1 else ">"
+        terms.append(
+            f"(CASE WHEN {straddles} AND ({lhs} {op} {rhs}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+@register(
+    "l3_geo_polygon",
+    f"""
+    SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+    FROM customer
+    WHERE {_poly_inside_sql(_LAT_SQL, _LON_SQL, _POLY)}
+    ORDER BY c_custkey
+    """,
+)
+def l3_geo_polygon(spark, sf_dir):
+    """L3 [ES parity]: ``geo_polygon`` filter — customers inside a
+    Europe-scale hexagon by even-odd ray casting.  The vertex-hull
+    bounding box prefilters (scan-pushable range predicates; an exact
+    superset of the polygon, so it never changes the answer — the
+    oracle replays only the polygon); the per-edge crossing terms are
+    division-free double compares with the inequality direction
+    resolved at plan time from the literal vertices
+    (operators/geo.py geo_polygon_filter)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    return geo.geo_polygon_filter(
+        cust, "lat", "lon", polygon=_POLY
+    ).orderBy("c_custkey")
+
+
+_GH_PRECISION = 2  # 10 bits: 5 lon + 5 lat → 1024 global cells
+
+
+def _geohash_sql(lat_sql: str, lon_sql: str, precision: int) -> str:
+    """Geohash-cell SQL with the EXACT op order of operators/geo.py
+    geohash_cell: two exactly-rounded floor chains, then pure integer
+    shift/mask interleave and base32 substr — engine-exact."""
+    p = int(precision)
+    total_bits = 5 * p
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lon_cells, lat_cells = 1 << lon_bits, 1 << lat_bits
+    lon_cell = (
+        f"CAST(least(floor((({lon_sql}) + CAST(180.0 AS DOUBLE)) "
+        f"/ CAST(360.0 AS DOUBLE) * CAST({float(lon_cells)!r} AS DOUBLE)), "
+        f"CAST({lon_cells - 1} AS DOUBLE)) AS BIGINT)"
+    )
+    lat_cell = (
+        f"CAST(least(floor((({lat_sql}) + CAST(90.0 AS DOUBLE)) "
+        f"/ CAST(180.0 AS DOUBLE) * CAST({float(lat_cells)!r} AS DOUBLE)), "
+        f"CAST({lat_cells - 1} AS DOUBLE)) AS BIGINT)"
+    )
+    code_terms = []
+    for k in range(total_bits):
+        if k % 2 == 0:
+            src, src_bits, idx = lon_cell, lon_bits, k // 2
+        else:
+            src, src_bits, idx = lat_cell, lat_bits, k // 2
+        code_terms.append(
+            f"((({src} >> {src_bits - 1 - idx}) & 1) "
+            f"* {1 << (total_bits - 1 - k)})"
+        )
+    code = "(" + " + ".join(code_terms) + ")"
+    from bigdatasearchpro_spark.operators.geo import GEOHASH_B32
+
+    chars = [
+        f"substr('{GEOHASH_B32}', "
+        f"CAST((({code} >> {5 * (p - 1 - g)}) & 31) + 1 AS INT), 1)"
+        for g in range(p)
+    ]
+    return " || ".join(chars)
+
+
+@register(
+    "l3_agg_geohash_grid",
+    f"""
+    WITH g AS (
+      SELECT {_geohash_sql(_LAT_SQL, _LON_SQL, _GH_PRECISION)} AS geohash
+      FROM customer
+    )
+    SELECT geohash, count(*)::BIGINT AS doc_count
+    FROM g GROUP BY geohash
+    ORDER BY doc_count DESC, geohash
+    LIMIT 10000
+    """,
+)
+def l3_agg_geohash_grid(spark, sf_dir):
+    """L3 [ES parity]: ``geohash_grid`` aggregation — points bucketed
+    by their precision-2 Niemeyer geohash cell, ONE hash aggregate,
+    buckets ranked by doc_count (geohash tie-break).  The cell string
+    is pure column math (two floors, integer bit interleave, base32
+    char lookup) — no UDF, and the DuckDB oracle replays the identical
+    integer ops (operators/geo.py geohash_grid_agg)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    return geo.geohash_grid_agg(
+        cust, "lat", "lon", precision=_GH_PRECISION, size=10000
+    )
+
+
+@register(
+    "l3_agg_geo_bounds_centroid",
+    f"""
+    WITH p AS (
+      SELECT c_nationkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+      FROM customer
+    )
+    SELECT c_nationkey,
+           max(lat) AS top, min(lat) AS bottom,
+           min(lon) AS "left", max(lon) AS "right",
+           CAST(sum(CAST(round(lat * CAST(100.0 AS DOUBLE)) AS BIGINT))
+                AS DOUBLE)
+             / (CAST(100.0 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+             AS centroid_lat,
+           CAST(sum(CAST(round(lon * CAST(100.0 AS DOUBLE)) AS BIGINT))
+                AS DOUBLE)
+             / (CAST(100.0 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+             AS centroid_lon,
+           count(*)::BIGINT AS doc_count
+    FROM p GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def l3_agg_geo_bounds_centroid(spark, sf_dir):
+    """L3 [ES parity]: ``geo_bounds`` + ``geo_centroid`` aggregations
+    per nation in ONE hash aggregate.  The centroid dodges
+    nondeterministic distributed float summation: coordinates are
+    rounded to exact integer centi-degrees (lossless on the fixture's
+    0.01-degree grid), summed as bigints, and divided ONCE — a single
+    exactly-rounded double op both engines replay bit-identically
+    (operators/geo.py geo_bounds_centroid_agg)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    return geo.geo_bounds_centroid_agg(
+        cust, "lat", "lon", group_cols=["c_nationkey"]
+    )

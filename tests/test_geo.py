@@ -185,3 +185,130 @@ def test_geotile_grid_agg_counts(spark, cities):
     assert counts == sorted(counts, reverse=True)
     top1 = geo.geotile_grid_agg(cities, "lat", "lon", zoom=2, size=1).collect()
     assert len(top1) == 1 and top1[0]["doc_count"] == counts[0]
+
+
+def _geohash_py(lat, lon, precision):
+    """Independent reference geohash (public Niemeyer algorithm,
+    interval-halving form — a different formulation than the shipped
+    bit-interleave column math)."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out, bit, ch, even = [], 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = ch * 2 + 1
+                lon_lo = mid
+            else:
+                ch = ch * 2
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = ch * 2 + 1
+                lat_lo = mid
+            else:
+                ch = ch * 2
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(geo.GEOHASH_B32[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_cell_matches_reference(spark, cities):
+    """The bit-interleave geohash equals the classic interval-halving
+    reference at several precisions, incl. known published cells."""
+    for p in (1, 2, 5, 7):
+        rows = cities.select(
+            "name", "lat", "lon",
+            geo.geohash_cell(F.col("lat"), F.col("lon"), p).alias("gh"),
+        ).collect()
+        for r in rows:
+            assert r["gh"] == _geohash_py(r["lat"], r["lon"], p), (
+                r["name"], p, r["gh"])
+    byname = {
+        r["name"]: r["gh"]
+        for r in cities.select(
+            "name",
+            geo.geohash_cell(F.col("lat"), F.col("lon"), 5).alias("gh"),
+        ).collect()
+    }
+    # published precision-5 cells
+    assert byname["paris"] == "u09tv"
+    assert byname["london"] == "gcpvj"
+    assert byname["null_island"] == "s0000"
+
+
+def test_geohash_grid_agg_counts(spark, cities):
+    out = geo.geohash_grid_agg(cities, "lat", "lon", precision=1, size=100).collect()
+    assert sum(r["doc_count"] for r in out) == len(_CITIES)
+    counts = [r["doc_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    expect = {}
+    for _, la, lo in _CITIES:
+        expect[_geohash_py(la, lo, 1)] = expect.get(_geohash_py(la, lo, 1), 0) + 1
+    assert {r["geohash"]: r["doc_count"] for r in out} == expect
+
+
+def _pnpoly_py(py, px, polygon):
+    inside = False
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            if px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                inside = not inside
+    return inside
+
+
+def test_geo_polygon_matches_pnpoly(spark, cities):
+    """Even-odd crossing filter == the classic division-form PNPOLY on
+    a concave (arrow-head) polygon; prefilter is lossless."""
+    poly = [(60.0, -10.0), (60.0, 20.0), (30.0, 20.0),
+            (45.0, 5.0), (30.0, -10.0)]  # concave notch at the bottom
+    got = {
+        r["name"]
+        for r in geo.geo_polygon_filter(
+            cities, "lat", "lon", polygon=poly
+        ).collect()
+    }
+    expect = {n for n, la, lo in _CITIES if _pnpoly_py(la, lo, poly)}
+    assert got == expect
+    assert "paris" in got and "tokyo" not in got
+    no_pre = {
+        r["name"]
+        for r in geo.geo_polygon_filter(
+            cities, "lat", "lon", polygon=poly, prefilter=False
+        ).collect()
+    }
+    assert no_pre == got
+    with pytest.raises(ValueError):
+        geo.geo_polygon_filter(cities, "lat", "lon", polygon=poly[:2])
+
+
+def test_geo_bounds_centroid_agg(spark, cities):
+    """Bounds are min/max extremes; the centroid is the exact
+    centi-degree-grid mean; one row per group."""
+    tagged = cities.withColumn(
+        "hemi", F.when(F.col("lat") >= 0, "N").otherwise("S")
+    )
+    out = {
+        r["hemi"]: r
+        for r in geo.geo_bounds_centroid_agg(
+            tagged, "lat", "lon", group_cols=["hemi"]
+        ).collect()
+    }
+    north = [(la, lo) for _, la, lo in _CITIES if la >= 0]
+    r = out["N"]
+    assert r["top"] == max(la for la, _ in north)
+    assert r["bottom"] == min(la for la, _ in north)
+    assert r["left"] == min(lo for _, lo in north)
+    assert r["right"] == max(lo for _, lo in north)
+    assert r["doc_count"] == len(north)
+    exp_lat = sum(round(la * 100) for la, _ in north) / (100.0 * len(north))
+    assert abs(r["centroid_lat"] - exp_lat) < 1e-12

@@ -86,6 +86,10 @@ _R7_DEFER_TO_R8 = (
     "l3_geo_polygon",
     "l3_agg_geohash_grid",
     "l3_agg_geo_bounds_centroid",
+    "l3_agg_adjacency_matrix",
+    "l3_agg_rare_terms",
+    "l3_agg_sampler",
+    "l3_agg_weighted_avg",
 )
 
 

@@ -484,3 +484,145 @@ def post_filter_facets(
         )
     )
     return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+
+
+def adjacency_matrix_agg(
+    df: DataFrame,
+    filters: "Mapping[str, Column]",
+    *,
+    separator: str = "&",
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: one bucket per named filter
+    plus one per pairwise INTERSECTION (key ``a&b``, pair keys in the
+    mapping's order), counting rows satisfying both — the co-occurrence
+    matrix ES serves for graph-y dashboards.  ONE scan: every single
+    and pair bucket is a parallel conditional-sum aggregate expression
+    on the same pass, the one result row unpivots, and empty buckets
+    are dropped exactly like ES omits them.  O(k^2) aggregate columns —
+    ES caps k at 100 filters for the same reason.
+
+    Output: ``(key, doc_count)``, key asc."""
+    if not filters:
+        raise ValueError("adjacency_matrix_agg needs at least one filter")
+    keys = list(filters)
+    cells: "list[tuple[str, Column]]" = [(k, filters[k]) for k in keys]
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            cells.append((f"{a}{separator}{b}", filters[a] & filters[b]))
+    aggd = df.agg(
+        *[
+            F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__c{i}")
+            for i, (_, c) in enumerate(cells)
+        ]
+    )
+    stack = ", ".join(
+        f"'{k}', coalesce(`__c{i}`, 0L)" for i, (k, _) in enumerate(cells)
+    )
+    return (
+        aggd.selectExpr(f"stack({len(cells)}, {stack}) AS (key, doc_count)")
+        .filter(F.col("doc_count") > 0)
+        .orderBy(F.asc("key"))
+    )
+
+
+def rare_terms_agg(
+    df: DataFrame,
+    field: str,
+    *,
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the long-tail buckets — values of
+    ``field`` occurring in at most ``max_doc_count`` documents, ordered
+    count asc then key asc (the ES ordering; rare_terms exists because
+    ``terms`` with count asc is unboundedly inaccurate sharded — here
+    one exact hash aggregate + a HAVING-style filter gives the exact
+    answer, and only the rare tail survives the aggregate, so the
+    result stays bucket-sized).  Output: ``(key, doc_count)``."""
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    return (
+        df.groupBy(F.col(field).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.asc("doc_count"), F.asc("key"))
+    )
+
+
+def sampler_sample(
+    df: DataFrame,
+    *,
+    shard_size: int = 100,
+    sort: "Sequence[Column] | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``sampler`` aggregation, the sampling half: restrict any
+    sub-aggregation to the ``shard_size`` BEST-scoring matched docs
+    (``sort`` desc-first like ES ``_score``; id asc tie-break so the
+    sample is deterministic — ES per-shard samples are not, which this
+    engine treats as a bug, not a feature).  ``orderBy().limit()``
+    compiles to TakeOrderedAndProject — each partition keeps a
+    shard_size-heap, no global sort.  Compose any agg function over the
+    returned sample exactly like ES nests sub-aggs under ``sampler``."""
+    if shard_size <= 0:
+        raise ValueError(f"shard_size must be positive, got {shard_size}")
+    order = list(sort or []) + [F.asc(id_col)]
+    return df.orderBy(*order).limit(shard_size)
+
+
+def weighted_avg_agg(
+    df: DataFrame,
+    *,
+    value: str,
+    weight: str,
+    group_cols: "Sequence[str] | None" = None,
+    value_scale: "int | None" = None,
+    weight_scale: "int | None" = None,
+    out_scale: int = 1_000_000,
+) -> DataFrame:
+    """ES ``weighted_avg`` metric aggregation:
+    ``sum(value * weight) / sum(weight)`` per group.
+
+    With ``value_scale``/``weight_scale`` given (inputs on a decimal
+    grid, e.g. money at scale 100), the whole computation runs on
+    exact integers: products scaled to bigints, summed exactly, ONE
+    integer floor-division at the end — ``w_avg_scaled`` in
+    ``1/out_scale`` units, bit-stable on any engine regardless of
+    distributed sum order.  Without scales, the float path sums doubles
+    and divides (fine for serving, not for value-hash comparison).
+
+    Output: ``(*group_cols, w_avg[_scaled], sum_weight, doc_count)``."""
+    gc = list(group_cols or [])
+    v, w = F.col(value), F.col(weight)
+    grouped = df.groupBy(*gc) if gc else df.groupBy()
+    if value_scale is not None and weight_scale is not None:
+        # quantize EACH input onto its decimal grid first (round kills
+        # the float-representation wiggle, e.g. 0.04*100 = 4.0000…01),
+        # then everything downstream is exact int64: products, sums,
+        # one floor-division.  w_avg = num/(vs*den) in value units, so
+        # scaled = num*out_scale div (den*vs).
+        vi = F.round(v * F.lit(value_scale), 0).cast("bigint")
+        wi = F.round(w * F.lit(weight_scale), 0).cast("bigint")
+        out = grouped.agg(
+            F.sum(vi * wi).alias("__num"),
+            F.sum(wi).alias("__den"),
+            F.count("*").alias("doc_count"),
+        )
+        wavg = F.expr(
+            f"__num * {int(out_scale)} div (__den * {int(value_scale)})"
+        ).alias("w_avg_scaled")
+        sel = [wavg, F.col("__den").alias("sum_weight_scaled"),
+               F.col("doc_count")]
+        return out.select(*gc, *sel).orderBy(*gc) if gc else out.select(*sel)
+    out = grouped.agg(
+        F.sum(v.cast("double") * w.cast("double")).alias("__num"),
+        F.sum(w.cast("double")).alias("__den"),
+        F.count("*").alias("doc_count"),
+    )
+    sel = [
+        (F.col("__num") / F.col("__den")).alias("w_avg"),
+        F.col("__den").alias("sum_weight"),
+        F.col("doc_count"),
+    ]
+    return out.select(*gc, *sel).orderBy(*gc) if gc else out.select(*sel)

@@ -1986,3 +1986,173 @@ def l3_post_filter_facets(spark, sf_dir):
     return aggs.post_filter_facets(
         m, "lang", F.col("n_chars") > 600, size=5
     )
+
+
+# ---------------------------------------------------------------- r7b
+@register(
+    "l3_agg_adjacency_matrix",
+    """
+    WITH s AS (
+      SELECT
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_en,
+        sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS c_src0,
+        sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)::BIGINT AS c_long,
+        sum(CASE WHEN lang = 'en' AND source = 'src0'
+            THEN 1 ELSE 0 END)::BIGINT AS c_en_src0,
+        sum(CASE WHEN lang = 'en' AND n_chars >= 150
+            THEN 1 ELSE 0 END)::BIGINT AS c_en_long,
+        sum(CASE WHEN source = 'src0' AND n_chars >= 150
+            THEN 1 ELSE 0 END)::BIGINT AS c_src0_long
+      FROM documents
+    )
+    SELECT key, doc_count FROM (
+      SELECT 'en' AS key, c_en AS doc_count FROM s
+      UNION ALL SELECT 'src0', c_src0 FROM s
+      UNION ALL SELECT 'long', c_long FROM s
+      UNION ALL SELECT 'en&src0', c_en_src0 FROM s
+      UNION ALL SELECT 'en&long', c_en_long FROM s
+      UNION ALL SELECT 'src0&long', c_src0_long FROM s
+    ) WHERE doc_count > 0 ORDER BY key
+    """,
+)
+def l3_agg_adjacency_matrix(spark, sf_dir):
+    """L3 [ES parity]: ``adjacency_matrix`` aggregation — named filters
+    (en / src0 / long) plus every pairwise intersection counted in ONE
+    scan of parallel conditional sums; empty buckets omitted like ES
+    (operators/aggs.py adjacency_matrix_agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.adjacency_matrix_agg(
+        docs,
+        {
+            "en": F.col("lang") == "en",
+            "src0": F.col("source") == "src0",
+            "long": F.col("n_chars") >= 150,
+        },
+    )
+
+
+@register(
+    "l3_agg_rare_terms",
+    """
+    SELECT o_custkey AS key, count(*)::BIGINT AS doc_count
+    FROM orders GROUP BY o_custkey HAVING count(*) <= 4
+    ORDER BY doc_count ASC, key ASC
+    """,
+)
+def l3_agg_rare_terms(spark, sf_dir):
+    """L3 [ES parity]: ``rare_terms`` aggregation — the long-tail
+    buckets (customers with at most four orders).  One exact hash
+    aggregate + doc_count filter: only the rare tail survives the agg,
+    so the result is tail-sized — the exact answer ES's sharded
+    count-asc terms agg cannot guarantee
+    (operators/aggs.py rare_terms_agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return aggs.rare_terms_agg(orders, "o_custkey", max_doc_count=4)
+
+
+from bigdatasearchpro_spark.registry_text import (  # noqa: E402
+    SEARCH_QUERY as _SQ,
+    _TERMS_SQL,
+    _TOKS_CTE,
+)
+
+_BM25_SAMPLE_CTE = f"""
+    {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    sample AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) AS score
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+      ORDER BY score DESC, tf.doc_id ASC
+      LIMIT 100
+    )
+"""
+
+
+@register(
+    "l3_agg_sampler",
+    f"""
+    WITH {_BM25_SAMPLE_CTE}
+    SELECT d.lang AS key, count(*)::BIGINT AS doc_count
+    FROM sample s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.lang
+    ORDER BY doc_count DESC, key ASC
+    """,
+)
+def l3_agg_sampler(spark, sf_dir):
+    """L3 [ES parity]: ``sampler`` aggregation with a ``terms``
+    sub-agg — the lang distribution of the 100 BEST-scoring hits of
+    the flagship query, not of the whole match set.  The sample is a
+    TakeOrderedAndProject over rounded BM25 scores (id tie-break, so
+    the cutoff is deterministic — stricter than ES's per-shard
+    nondeterministic sample), then one bucket-sized hash agg over 100
+    rows; the sample side broadcasts into the join back to documents
+    (operators/aggs.py sampler_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = aggs.sampler_sample(
+        search.search_topk(docs, _SQ, 100, scoring="bm25"),
+        shard_size=100,
+        sort=[F.desc("score")],
+    )
+    joined = docs.join(F.broadcast(sample.select("doc_id")), "doc_id")
+    return (
+        joined.groupBy(F.col("lang").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+    )
+
+
+@register(
+    "l3_agg_weighted_avg",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_discount * 100) AS BIGINT) AS vi,
+             CAST(round(l_quantity * 100) AS BIGINT) AS wi
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(sum(vi * wi) * 1000000 // (sum(wi) * 100) AS BIGINT)
+             AS w_avg_scaled,
+           CAST(sum(wi) AS BIGINT) AS sum_weight_scaled,
+           count(*)::BIGINT AS doc_count
+    FROM q GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def l3_agg_weighted_avg(spark, sf_dir):
+    """L3 [ES parity]: ``weighted_avg`` metric aggregation — mean
+    discount weighted by quantity per return flag, on the EXACT
+    integer path: both inputs quantized onto their cent grids, int64
+    products/sums, one floor-division to micro-units — bit-stable
+    under any distributed sum order, which a double sum-of-products
+    is not (operators/aggs.py weighted_avg_agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggs.weighted_avg_agg(
+        li,
+        value="l_discount",
+        weight="l_quantity",
+        group_cols=["l_returnflag"],
+        value_scale=100,
+        weight_scale=100,
+    )

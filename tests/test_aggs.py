@@ -258,3 +258,100 @@ def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
         .toString()
     )
     assert "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# adjacency_matrix / rare_terms / sampler / weighted_avg
+# ---------------------------------------------------------------------------
+def test_adjacency_matrix_counts_and_empty_buckets(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 5), ("c", 9)], "tag string, v int"
+    )
+    out = {
+        r["key"]: r["doc_count"]
+        for r in aggs.adjacency_matrix_agg(
+            df,
+            {
+                "is_a": F.col("tag") == "a",
+                "big": F.col("v") >= 5,
+                "is_c": F.col("tag") == "c",
+            },
+        ).collect()
+    }
+    assert out == {
+        "is_a": 2, "big": 3, "is_c": 1,
+        "is_a&big": 1, "big&is_c": 1,
+        # "is_a&is_c" is empty and omitted, like ES
+    }
+    keys = [
+        r["key"]
+        for r in aggs.adjacency_matrix_agg(
+            df, {"is_a": F.col("tag") == "a", "big": F.col("v") >= 5}
+        ).collect()
+    ]
+    assert keys == sorted(keys)
+    with pytest.raises(ValueError):
+        aggs.adjacency_matrix_agg(df, {})
+
+
+def test_adjacency_matrix_single_pass_plan(spark):
+    df = spark.createDataFrame([("a", 1)], "tag string, v int")
+    out = aggs.adjacency_matrix_agg(
+        df, {"x": F.col("v") > 0, "y": F.col("tag") == "a"}
+    )
+    # one aggregate over one scan — no join between bucket arms
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rare_terms_tail_only_and_order(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ["x"] * 5 + ["y"] * 2 + ["z"] * 2 + ["w"]],
+        "term string",
+    )
+    rows = aggs.rare_terms_agg(df, "term", max_doc_count=2).collect()
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        ("w", 1), ("y", 2), ("z", 2)
+    ]
+    with pytest.raises(ValueError):
+        aggs.rare_terms_agg(df, "term", max_doc_count=0)
+
+
+def test_sampler_sample_deterministic_cutoff(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(20)], "doc_id long, score double"
+    )
+    top = aggs.sampler_sample(df, shard_size=5, sort=[F.desc("score")])
+    got = [(r["doc_id"], r["score"]) for r in top.collect()]
+    # ties on score are broken by id asc — stable across runs
+    assert got == [(2, 2.0), (5, 2.0), (8, 2.0), (11, 2.0), (14, 2.0)]
+    assert has_take_ordered(top)
+    with pytest.raises(ValueError):
+        aggs.sampler_sample(df, shard_size=0)
+
+
+def test_weighted_avg_integer_path_exact(spark):
+    # values on a cent grid: wavg = (0.10*2 + 0.40*6) / 8 = 0.325
+    df = spark.createDataFrame(
+        [("a", 0.10, 2.0), ("a", 0.40, 6.0), ("b", 0.20, 1.0)],
+        "g string, v double, w double",
+    )
+    rows = {
+        r["g"]: r
+        for r in aggs.weighted_avg_agg(
+            df, value="v", weight="w", group_cols=["g"],
+            value_scale=100, weight_scale=100,
+        ).collect()
+    }
+    assert rows["a"]["w_avg_scaled"] == 325_000  # 0.325 in 1e-6 units
+    assert rows["a"]["sum_weight_scaled"] == 800
+    assert rows["a"]["doc_count"] == 2
+    assert rows["b"]["w_avg_scaled"] == 200_000
+
+
+def test_weighted_avg_float_path(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (3.0, 3.0)], "v double, w double"
+    )
+    r = aggs.weighted_avg_agg(df, value="v", weight="w").collect()[0]
+    assert abs(r["w_avg"] - 2.5) < 1e-12
+    assert r["sum_weight"] == 4.0 and r["doc_count"] == 2

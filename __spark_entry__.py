@@ -90,6 +90,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_rare_terms",
     "l3_agg_sampler",
     "l3_agg_weighted_avg",
+    "l6_decode_png",
 )
 
 

@@ -2476,3 +2476,36 @@ def l3_regex_match(spark, sf_dir):
 # Part 4 (ES aggregations surface + search_after keyset pagination)
 # registers itself on import.
 from bigdatasearchpro_spark import registry_aggs  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------- r7b
+@register(
+    "l6_decode_png",
+    """
+    SELECT d.doc_id AS asset_id, 'png' AS fmt,
+           (4 + d.doc_id % 5)::INTEGER AS width,
+           (3 + d.doc_id % 4)::INTEGER AS height,
+           (CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+             ::INTEGER AS channels,
+           ((4 + d.doc_id % 5) * (3 + d.doc_id % 4))::BIGINT AS n_units,
+           sum((d.doc_id * 7 + g.i) % 256)::BIGINT AS val_sum
+    FROM documents d, generate_series(0, 191) AS g(i)
+    WHERE g.i < (CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+                * (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
+    GROUP BY d.doc_id
+    """,
+)
+def l6_decode_png(spark, sf_dir):
+    """L6: REAL PNG decode — every doc id becomes an actual PNG file
+    (signature, CRC32-checked chunk walk, zlib IDAT, all five
+    scanline filters cycling through the stream, grey/RGB/RGBA color
+    types cycling by id) built and parsed by the pure-Python codec in
+    ``multimodal/png.py`` inside Arrow-batched mapInPandas.  The
+    filters are lossless, so the oracle recomputes the decoded sample
+    sum from the closed-form ramp — any chunk-framing, CRC, inflate,
+    filter-reversal (Sub/Up/Average/Paeth), or channel-layout bug
+    hash-mismatches.  Payload bytes never leave the executors."""
+    from bigdatasearchpro_spark.multimodal import png
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return png.decode_png_stats_df(png.synthesize_png_assets(ids))

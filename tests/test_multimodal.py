@@ -446,3 +446,103 @@ def test_image_histogram_counts_blocks(spark):
         codecs.image_gray_histogram(
             codecs.synthesize_jpeg_assets(ids), bins=15
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+def _png_unfilter_py(raw, height, stride, ch):
+    """Independent filter reversal written straight from the RFC 2083
+    filter definitions (byte-at-a-time, no numpy) — a different
+    formulation than the shipped decoder, so a mirrored encoder+decoder
+    bug cannot cancel out."""
+    rows = []
+    prev = [0] * stride
+    for r in range(height):
+        off = r * (stride + 1)
+        ft = raw[off]
+        line = list(raw[off + 1 : off + 1 + stride])
+        cur = []
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                raise AssertionError(ft)
+            cur.append((line[i] + pred) & 0xFF)
+        rows.append(cur)
+        prev = cur
+    return rows
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    from bigdatasearchpro_spark.multimodal import png as P
+    import zlib as Z
+    import struct as S
+
+    for seed, ct, ch in [(0, 0, 1), (1, 2, 3), (2, 6, 4), (7, 2, 3)]:
+        w, h = 5, 6  # 6 rows -> every filter type 0..4 appears
+        payload = P.encode_png(w, h, seed, color_type=ct)
+        img = P.decode_png(payload)
+        n = w * h * ch
+        expect = ((seed * 7 + __import__("numpy").arange(n)) % 256)
+        got = img.reshape(-1)
+        assert (got == expect.astype("uint8")).all(), (seed, ct)
+        # independent spec-twin agrees with the shipped decoder
+        pos = len(b"\x89PNG\r\n\x1a\n")
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            (length,) = S.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            if ctype == b"IDAT":
+                idat.extend(payload[pos + 8 : pos + 8 + length])
+            pos += 12 + length
+        raw = Z.decompress(bytes(idat))
+        twin = _png_unfilter_py(raw, h, w * ch, ch)
+        assert [b for row in twin for b in row] == [int(x) for x in got]
+
+
+def test_png_decode_guards():
+    from bigdatasearchpro_spark.multimodal import png as P
+    import pytest as pt
+
+    good = P.encode_png(4, 3, 5, color_type=0)
+    with pt.raises(ValueError, match="signature"):
+        P.decode_png(b"JFIF" + good)
+    # flip one IDAT byte -> CRC check trips
+    bad = bytearray(good)
+    idx = good.index(b"IDAT") + 6
+    bad[idx] ^= 0xFF
+    with pt.raises(ValueError, match="CRC"):
+        P.decode_png(bytes(bad))
+    with pt.raises(ValueError, match="truncated|IHDR|IDAT"):
+        P.decode_png(good[:20])
+    with pt.raises(ValueError):
+        P.encode_png(4, 3, 5, color_type=3)  # palette not supported
+
+
+def test_png_stats_df_matches_closed_form(spark):
+    from bigdatasearchpro_spark.multimodal import png as P
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = P.decode_png_stats_df(P.synthesize_png_assets(ids)).collect()
+    assert len(rows) == 12
+    for r in sorted(rows, key=lambda r: r["asset_id"]):
+        d = r["asset_id"]
+        w, h = 4 + d % 5, 3 + d % 4
+        ch = (1, 3, 4)[d % 3]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert r["n_units"] == w * h
+        assert r["val_sum"] == sum((d * 7 + i) % 256 for i in range(ch * w * h))

@@ -91,6 +91,12 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_sampler",
     "l3_agg_weighted_avg",
     "l6_decode_png",
+    "l3_agg_derivative",
+    "l3_agg_cumulative_sum",
+    "l3_agg_moving_avg",
+    "l3_agg_serial_diff",
+    "l3_agg_bucket_script",
+    "l3_agg_bucket_selector",
 )
 
 

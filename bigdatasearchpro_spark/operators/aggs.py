@@ -626,3 +626,99 @@ def weighted_avg_agg(
         F.col("doc_count"),
     ]
     return out.select(*gc, *sel).orderBy(*gc) if gc else out.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# ES pipeline aggregations — second-pass aggs over the BUCKET rows of a
+# parent aggregation (date_histogram/histogram/terms).  All of them are
+# window expressions over the bucket frame, which is bucket-cardinality
+# sized (hours, days, terms — thousands of rows, NOT corpus-sized), so
+# the unpartitioned ordered window is a per-bucket-count cost at any
+# corpus scale; the corpus only ever flows through the parent's ONE
+# hash aggregate.
+# ---------------------------------------------------------------------------
+def derivative_agg(
+    buckets: DataFrame, metric: str, *, order_col: str = "key"
+) -> DataFrame:
+    """ES ``derivative`` pipeline agg: bucket-to-bucket difference of
+    ``metric`` in ``order_col`` order; the first bucket gets NULL,
+    exactly like ES omits the derivative there."""
+    w = Window.orderBy(F.asc(order_col))
+    return buckets.withColumn(
+        f"{metric}_deriv", F.col(metric) - F.lag(metric, 1).over(w)
+    )
+
+
+def cumulative_sum_agg(
+    buckets: DataFrame, metric: str, *, order_col: str = "key"
+) -> DataFrame:
+    """ES ``cumulative_sum`` pipeline agg: running total of ``metric``
+    over the bucket frame in ``order_col`` order."""
+    w = (
+        Window.orderBy(F.asc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return buckets.withColumn(f"{metric}_cumsum", F.sum(metric).over(w))
+
+
+def moving_avg_agg(
+    buckets: DataFrame,
+    metric: str,
+    *,
+    window: int = 3,
+    order_col: str = "key",
+    include_current: bool = False,
+) -> DataFrame:
+    """ES ``moving_fn`` (avg) pipeline agg: mean of ``metric`` over the
+    trailing ``window`` buckets — by default the window ends just
+    BEFORE the current bucket (ES ``shift: 0``); ``include_current``
+    gives the deprecated ``moving_avg`` trailing-inclusive shape.
+    Buckets with an empty frame (the first, under the default) get
+    NULL, like ES skips them.
+
+    The mean is emitted as explicit exact-int-sum / frame-count
+    columns plus their single double division — frame sums of integer
+    metrics never depend on accumulation order."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    hi = 0 if include_current else -1
+    lo = hi - window + 1
+    w = Window.orderBy(F.asc(order_col)).rowsBetween(lo, hi)
+    msum = F.sum(metric).over(w)
+    mn = F.count(metric).over(w)
+    return buckets.withColumn(
+        f"{metric}_mavg",
+        F.when(
+            mn > 0, msum.cast("double") / mn.cast("double")
+        ),
+    )
+
+
+def bucket_script_agg(
+    buckets: DataFrame, name: str, script: Column
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: a per-bucket expression over
+    sibling metric columns (the ``buckets_path`` variables are just
+    column references here), appended as ``name``."""
+    return buckets.withColumn(name, script)
+
+
+def bucket_selector_agg(buckets: DataFrame, predicate: Column) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only buckets whose
+    metrics satisfy ``predicate`` — the HAVING of the agg DSL, applied
+    AFTER any sibling pipeline aggs have been computed."""
+    return buckets.filter(predicate)
+
+
+def serial_diff_agg(
+    buckets: DataFrame, metric: str, *, lag: int = 1, order_col: str = "key"
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline agg: ``metric - lag(metric, lag)``
+    over the bucket frame — seasonality-removal differencing; the
+    first ``lag`` buckets get NULL like ES."""
+    if lag <= 0:
+        raise ValueError(f"lag must be positive, got {lag}")
+    w = Window.orderBy(F.asc(order_col))
+    return buckets.withColumn(
+        f"{metric}_sdiff_{lag}", F.col(metric) - F.lag(metric, lag).over(w)
+    )

@@ -2156,3 +2156,213 @@ def l3_agg_weighted_avg(spark, sf_dir):
         value_scale=100,
         weight_scale=100,
     )
+
+
+# Dense hourly click-bucket frame shared by the pipeline-agg oracles —
+# the same grid l3_agg_date_histogram pins (min_doc_count: 0).
+_CLICK_BUCKETS_CTE = """
+    m AS (SELECT * FROM events WHERE event_type = 'click'),
+    g AS (
+      SELECT date_trunc('hour', ts) AS key, count(*) AS doc_count
+      FROM m GROUP BY 1
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT min(key) FROM g),
+                                    (SELECT max(key) FROM g),
+                                    INTERVAL 1 HOUR)) AS key
+    ),
+    b AS (
+      SELECT grid.key, coalesce(g.doc_count, 0) AS doc_count
+      FROM grid LEFT JOIN g ON grid.key = g.key
+    )
+"""
+
+
+def _click_buckets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return aggs.date_histogram_agg(ev, "ts", "hour", min_doc_count=0)
+
+
+@register(
+    "l3_agg_derivative",
+    f"""
+    WITH {_CLICK_BUCKETS_CTE}
+    SELECT key, doc_count,
+           doc_count - lag(doc_count) OVER (ORDER BY key)
+             AS doc_count_deriv
+    FROM b ORDER BY key
+    """,
+)
+def l3_agg_derivative(spark, sf_dir):
+    """L3 [ES parity]: ``derivative`` pipeline aggregation —
+    bucket-to-bucket delta of hourly click counts (first bucket NULL,
+    like ES omits it).  The window runs over the BUCKET frame (~720
+    hourly rows here; bucket cardinality, never corpus size — the
+    corpus passes through the parent's one hash agg only)
+    (operators/aggs.py derivative_agg)."""
+    return aggs.derivative_agg(
+        _click_buckets(spark, sf_dir), "doc_count"
+    ).orderBy("key")
+
+
+@register(
+    "l3_agg_cumulative_sum",
+    f"""
+    WITH {_CLICK_BUCKETS_CTE}
+    SELECT key, doc_count,
+           CAST(sum(doc_count) OVER (
+             ORDER BY key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS doc_count_cumsum
+    FROM b ORDER BY key
+    """,
+)
+def l3_agg_cumulative_sum(spark, sf_dir):
+    """L3 [ES parity]: ``cumulative_sum`` pipeline aggregation —
+    running total of hourly click counts over the bucket frame (exact
+    bigint; the oracle casts DuckDB's HUGEINT window sum back)
+    (operators/aggs.py cumulative_sum_agg)."""
+    return aggs.cumulative_sum_agg(
+        _click_buckets(spark, sf_dir), "doc_count"
+    ).orderBy("key")
+
+
+@register(
+    "l3_agg_moving_avg",
+    f"""
+    WITH {_CLICK_BUCKETS_CTE},
+    w AS (
+      SELECT key, doc_count,
+             sum(doc_count) OVER (
+               ORDER BY key ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+             ) AS s,
+             count(doc_count) OVER (
+               ORDER BY key ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+             ) AS c
+      FROM b
+    )
+    SELECT key, doc_count,
+           CASE WHEN c > 0 THEN CAST(s AS DOUBLE) / CAST(c AS DOUBLE) END
+             AS doc_count_mavg
+    FROM w ORDER BY key
+    """,
+)
+def l3_agg_moving_avg(spark, sf_dir):
+    """L3 [ES parity]: ``moving_fn`` (avg) pipeline aggregation —
+    trailing-3-bucket mean of hourly click counts, window ending just
+    BEFORE the current bucket (ES ``shift: 0``; first bucket NULL).
+    The mean is an exact integer frame sum divided once, so both
+    engines produce the identical double
+    (operators/aggs.py moving_avg_agg)."""
+    return aggs.moving_avg_agg(
+        _click_buckets(spark, sf_dir), "doc_count", window=3
+    ).orderBy("key")
+
+
+@register(
+    "l3_agg_serial_diff",
+    f"""
+    WITH {_CLICK_BUCKETS_CTE}
+    SELECT key, doc_count,
+           doc_count - lag(doc_count, 24) OVER (ORDER BY key)
+             AS doc_count_sdiff_24
+    FROM b ORDER BY key
+    """,
+)
+def l3_agg_serial_diff(spark, sf_dir):
+    """L3 [ES parity]: ``serial_diff`` pipeline aggregation with
+    lag 24 — same-hour-yesterday differencing of hourly click counts
+    (daily-seasonality removal); the first 24 buckets are NULL like ES
+    (operators/aggs.py serial_diff_agg)."""
+    return aggs.serial_diff_agg(
+        _click_buckets(spark, sf_dir), "doc_count", lag=24
+    ).orderBy("key")
+
+
+_EV_BUCKETS_CTE = """
+    g AS (
+      SELECT date_trunc('hour', ts) AS key, count(*) AS doc_count,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS n_clicks,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+               AS n_views
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT min(key) FROM g),
+                                    (SELECT max(key) FROM g),
+                                    INTERVAL 1 HOUR)) AS key
+    ),
+    b AS (
+      SELECT grid.key, coalesce(g.doc_count, 0) AS doc_count,
+             g.n_clicks, g.n_views
+      FROM grid LEFT JOIN g ON grid.key = g.key
+    ),
+    s AS (
+      SELECT key, doc_count, n_clicks, n_views,
+             CASE WHEN coalesce(n_clicks + n_views, 0) > 0
+                  THEN n_clicks * 10000 // (n_clicks + n_views) END
+               AS click_share_e4
+      FROM b
+    )
+"""
+
+
+def _script_buckets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    buckets = aggs.date_histogram_agg(
+        ev, "ts", "hour",
+        metrics={
+            "n_clicks": F.sum(
+                (F.col("event_type") == "click").cast("long")
+            ),
+            "n_views": F.sum(
+                (F.col("event_type") == "view").cast("long")
+            ),
+        },
+        min_doc_count=0,
+    )
+    total = F.col("n_clicks") + F.col("n_views")
+    return aggs.bucket_script_agg(
+        buckets,
+        "click_share_e4",
+        F.when(total > 0, F.expr("n_clicks * 10000 div (n_clicks + n_views)")),
+    )
+
+
+@register(
+    "l3_agg_bucket_script",
+    f"""
+    WITH {_EV_BUCKETS_CTE}
+    SELECT * FROM s ORDER BY key
+    """,
+)
+def l3_agg_bucket_script(spark, sf_dir):
+    """L3 [ES parity]: ``bucket_script`` pipeline aggregation — a
+    per-bucket expression over sibling metrics: hourly click share of
+    click+view traffic on an exact 1e-4 integer grid (floor division
+    of exact conditional counts — both engines replay it bit-for-bit;
+    empty-traffic buckets NULL) (operators/aggs.py bucket_script_agg)."""
+    return _script_buckets(spark, sf_dir).orderBy("key")
+
+
+@register(
+    "l3_agg_bucket_selector",
+    f"""
+    WITH {_EV_BUCKETS_CTE}
+    SELECT * FROM s
+    WHERE doc_count >= 3 AND click_share_e4 >= 2000
+    ORDER BY key
+    """,
+)
+def l3_agg_bucket_selector(spark, sf_dir):
+    """L3 [ES parity]: ``bucket_selector`` pipeline aggregation — the
+    HAVING of the agg DSL: keep only busy hours (>= 3 events) whose
+    click share clears 20%, applied AFTER the sibling bucket_script
+    (operators/aggs.py bucket_selector_agg)."""
+    return aggs.bucket_selector_agg(
+        _script_buckets(spark, sf_dir),
+        (F.col("doc_count") >= 3) & (F.col("click_share_e4") >= 2000),
+    ).orderBy("key")

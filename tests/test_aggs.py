@@ -355,3 +355,65 @@ def test_weighted_avg_float_path(spark):
     r = aggs.weighted_avg_agg(df, value="v", weight="w").collect()[0]
     assert abs(r["w_avg"] - 2.5) < 1e-12
     assert r["sum_weight"] == 4.0 and r["doc_count"] == 2
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggregations (derivative / cumsum / moving avg / script / selector)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def buckets(spark):
+    rows = [(i, c) for i, c in enumerate([4, 7, 1, 0, 9, 5])]
+    return spark.createDataFrame(rows, "key int, doc_count long")
+
+
+def test_derivative_first_bucket_null(buckets):
+    out = aggs.derivative_agg(buckets, "doc_count").orderBy("key").collect()
+    assert [r["doc_count_deriv"] for r in out] == [None, 3, -6, -1, 9, -4]
+
+
+def test_cumulative_sum_running_total(buckets):
+    out = aggs.cumulative_sum_agg(buckets, "doc_count").orderBy("key").collect()
+    assert [r["doc_count_cumsum"] for r in out] == [4, 11, 12, 12, 21, 26]
+
+
+def test_moving_avg_trailing_excludes_current(buckets):
+    out = aggs.moving_avg_agg(
+        buckets, "doc_count", window=3
+    ).orderBy("key").collect()
+    got = [r["doc_count_mavg"] for r in out]
+    # frame = up to 3 buckets strictly before the current one
+    assert got[0] is None
+    assert got[1] == 4.0
+    assert got[2] == (4 + 7) / 2
+    assert got[3] == (4 + 7 + 1) / 3
+    assert got[4] == (7 + 1 + 0) / 3
+    inc = aggs.moving_avg_agg(
+        buckets, "doc_count", window=2, include_current=True
+    ).orderBy("key").collect()
+    assert inc[0]["doc_count_mavg"] == 4.0  # one-row frame, itself
+    assert inc[1]["doc_count_mavg"] == (4 + 7) / 2
+    with pytest.raises(ValueError):
+        aggs.moving_avg_agg(buckets, "doc_count", window=0)
+
+
+def test_serial_diff_lag(buckets):
+    out = aggs.serial_diff_agg(
+        buckets, "doc_count", lag=2
+    ).orderBy("key").collect()
+    assert [r["doc_count_sdiff_2"] for r in out] == [
+        None, None, -3, -7, 8, 5
+    ]
+    with pytest.raises(ValueError):
+        aggs.serial_diff_agg(buckets, "doc_count", lag=0)
+
+
+def test_bucket_script_and_selector_compose(buckets):
+    scripted = aggs.bucket_script_agg(
+        buckets, "double_count", F.col("doc_count") * 2
+    )
+    kept = aggs.bucket_selector_agg(
+        scripted, F.col("double_count") >= 10
+    ).orderBy("key").collect()
+    assert [(r["key"], r["double_count"]) for r in kept] == [
+        (1, 14), (4, 18), (5, 10)
+    ]

@@ -97,6 +97,8 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_serial_diff",
     "l3_agg_bucket_script",
     "l3_agg_bucket_selector",
+    "l3_agg_auto_date_histogram",
+    "st11_streaming_geo_fence",
 )
 
 

@@ -722,3 +722,60 @@ def serial_diff_agg(
     return buckets.withColumn(
         f"{metric}_sdiff_{lag}", F.col(metric) - F.lag(metric, lag).over(w)
     )
+
+
+# (unit, rough seconds used ONLY for choosing — the buckets themselves
+# are exact calendar date_trunc buckets; ES auto_date_histogram picks
+# its interval from the same kind of rough ladder)
+_AUTO_LADDER = [
+    ("minute", 60),
+    ("hour", 3_600),
+    ("day", 86_400),
+    ("week", 604_800),
+    ("month", 2_629_800),
+    ("year", 31_557_600),
+]
+
+
+def choose_auto_interval(span_seconds: int, target_buckets: int) -> str:
+    """The ``auto_date_histogram`` interval choice: the smallest
+    calendar unit whose ROUGH bucket estimate
+    (``span // unit_seconds + 1``) fits ``target_buckets``.  Pure
+    integer arithmetic on fixed ladder constants, so an oracle engine
+    replays the identical choice."""
+    if target_buckets <= 0:
+        raise ValueError(f"target_buckets must be positive, got {target_buckets}")
+    for unit, secs in _AUTO_LADDER:
+        if span_seconds // secs + 1 <= target_buckets:
+            return unit
+    return "year"
+
+
+def auto_date_histogram_agg(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    target_buckets: int = 100,
+    metrics: "Mapping[str, Column] | None" = None,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest calendar interval
+    that keeps the bucket count at or under ``target_buckets``, then
+    run the ordinary dense ``date_histogram`` at it.  The probe is ONE
+    scalar min/max aggregate (a single driver-side row — bounded at
+    any corpus size); the chosen unit is echoed back as the
+    ``interval`` column like the ES response carries it.  An empty
+    input returns an empty frame with the same schema (unit
+    ``year``)."""
+    bounds = df.select(
+        F.to_unix_timestamp(F.min(ts_col)).alias("mn"),
+        F.to_unix_timestamp(F.max(ts_col)).alias("mx"),
+    ).collect()[0]
+    if bounds["mn"] is None:
+        span = 0
+    else:
+        span = int(bounds["mx"]) - int(bounds["mn"])
+    unit = choose_auto_interval(span, target_buckets)
+    out = date_histogram_agg(
+        df, ts_col, unit, metrics=metrics, min_doc_count=0
+    )
+    return out.select(F.lit(unit).alias("interval"), "*")

@@ -2366,3 +2366,69 @@ def l3_agg_bucket_selector(spark, sf_dir):
         _script_buckets(spark, sf_dir),
         (F.col("doc_count") >= 3) & (F.col("click_share_e4") >= 2000),
     ).orderBy("key")
+
+
+@register(
+    "l3_agg_auto_date_histogram",
+    """
+    WITH m AS (SELECT ts FROM events WHERE event_type = 'click'),
+    sp AS (
+      SELECT date_diff('second', min(ts), max(ts)) AS s FROM m
+    ),
+    choice AS (
+      SELECT CASE
+        WHEN s // 60 + 1 <= 100 THEN 'minute'
+        WHEN s // 3600 + 1 <= 100 THEN 'hour'
+        WHEN s // 86400 + 1 <= 100 THEN 'day'
+        WHEN s // 604800 + 1 <= 100 THEN 'week'
+        WHEN s // 2629800 + 1 <= 100 THEN 'month'
+        ELSE 'year' END AS u
+      FROM sp
+    ),
+    g AS (
+      SELECT c.u AS interval,
+             CASE c.u
+               WHEN 'minute' THEN date_trunc('minute', m.ts)
+               WHEN 'hour'   THEN date_trunc('hour', m.ts)
+               WHEN 'day'    THEN CAST(date_trunc('day', m.ts) AS TIMESTAMP)
+               WHEN 'week'   THEN CAST(date_trunc('week', m.ts) AS TIMESTAMP)
+               WHEN 'month'  THEN CAST(date_trunc('month', m.ts) AS TIMESTAMP)
+               ELSE               CAST(date_trunc('year', m.ts) AS TIMESTAMP)
+             END AS key,
+             count(*) AS doc_count
+      FROM m CROSS JOIN choice c
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT unnest(generate_series(
+        (SELECT min(key) FROM g), (SELECT max(key) FROM g),
+        CASE (SELECT u FROM choice)
+          WHEN 'minute' THEN INTERVAL 1 MINUTE
+          WHEN 'hour'   THEN INTERVAL 1 HOUR
+          WHEN 'day'    THEN INTERVAL 1 DAY
+          WHEN 'week'   THEN INTERVAL 7 DAY
+          WHEN 'month'  THEN INTERVAL 1 MONTH
+          ELSE               INTERVAL 1 YEAR
+        END)) AS key
+    )
+    SELECT (SELECT u FROM choice) AS interval, grid.key,
+           coalesce(g.doc_count, 0) AS doc_count
+    FROM grid LEFT JOIN g ON grid.key = g.key
+    ORDER BY grid.key
+    """,
+)
+def l3_agg_auto_date_histogram(spark, sf_dir):
+    """L3 [ES parity]: ``auto_date_histogram`` — the engine picks the
+    smallest calendar interval whose rough bucket estimate fits the
+    ``buckets: 100`` target (integer ladder arithmetic both engines
+    replay; the 30-day click fixture lands on daily buckets), then
+    runs the ordinary dense min_doc_count:0 histogram at it and echoes
+    the chosen ``interval`` like the ES response.  The probe is ONE
+    scalar min/max aggregate — a single bounded driver row at any
+    corpus size (operators/aggs.py auto_date_histogram_agg)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return aggs.auto_date_histogram_agg(
+        ev, "ts", target_buckets=100
+    ).orderBy("key")

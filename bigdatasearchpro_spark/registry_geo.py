@@ -453,3 +453,92 @@ def l3_agg_geo_bounds_centroid(spark, sf_dir):
     return geo.geo_bounds_centroid_agg(
         cust, "lat", "lon", group_cols=["c_nationkey"]
     )
+
+
+# event-side coordinate grid (same derivation family as customers)
+_EV_LAT_SQL = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+_EV_LON_SQL = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+
+_FENCES: "list[tuple[str, float, float, int]]" = [
+    ("paris_2000km", 48.85, 2.35, 2_000_000),
+    ("sydney_1500km", -33.85, 151.25, 1_500_000),
+]
+
+
+def _fence_union_sql() -> str:
+    arms = []
+    for name, la, lo, r in _FENCES:
+        dist = _hav_floor_sql(
+            _EV_LAT_SQL, _EV_LON_SQL,
+            f"CAST({la!r} AS DOUBLE)", f"CAST({lo!r} AS DOUBLE)",
+        )
+        arms.append(
+            f"SELECT '{name}' AS fence, event_id, {dist} AS dist_m "
+            f"FROM events WHERE {dist} <= {r}"
+        )
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "st11_streaming_geo_fence",
+    f"""
+    SELECT fence, event_id, dist_m FROM ({_fence_union_sql()})
+    ORDER BY fence, event_id
+    """,
+)
+def st11_streaming_geo_fence(spark, sf_dir):
+    """§2.9 + geo: streaming GEO-FENCE alerting run as a REAL stream —
+    the events fixture staged as 3 time-ordered micro-batch files,
+    each event's (lat, lon) checked against two named distance fences
+    (box-prefiltered haversine, the same stateless column math as the
+    batch ``geo_distance`` filter — stateless ops run unchanged on a
+    stream).  Append mode: every alert emits exactly once in its
+    micro-batch, so the final alert SET equals the batch filter, which
+    the DuckDB oracle replays with the generated same-operand-order
+    haversine (operators/geo.py geo_distance_filter over
+    streaming/pipelines.py events_stream)."""
+    import shutil
+    import tempfile
+
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        events_stream,
+        run_to_completion,
+        stage_time_sliced_replay,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="st11_src_")
+    ck = tempfile.mkdtemp(prefix="st11_ck_")
+    try:
+        stage_time_sliced_replay(events, src, n_slices=3)
+        stream = events_stream(
+            spark, src, max_files_per_trigger=1
+        ).select(
+            "event_id",
+            (
+                (F.col("event_id") * F.lit(7919)) % F.lit(17000)
+                / F.lit(100.0) - F.lit(85.0)
+            ).alias("lat"),
+            (
+                (F.col("event_id") * F.lit(104729)) % F.lit(36000)
+                / F.lit(100.0) - F.lit(180.0)
+            ).alias("lon"),
+        )
+        alerts = None
+        for name, la, lo, r in _FENCES:
+            arm = geo.geo_distance_filter(
+                stream, "lat", "lon", lat=la, lon=lo, distance_m=r
+            ).select(
+                F.lit(name).alias("fence"), "event_id", "dist_m"
+            )
+            alerts = arm if alerts is None else alerts.unionByName(arm)
+        got = run_to_completion(
+            alerts, checkpoint_dir=ck, output_mode="append"
+        )
+        rows = got.orderBy("fence", "event_id").collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "fence string, event_id bigint, dist_m bigint"
+    )

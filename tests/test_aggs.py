@@ -417,3 +417,23 @@ def test_bucket_script_and_selector_compose(buckets):
     assert [(r["key"], r["double_count"]) for r in kept] == [
         (1, 14), (4, 18), (5, 10)
     ]
+
+
+def test_auto_date_histogram_ladder_and_echo(spark):
+    assert aggs.choose_auto_interval(30 * 60, 100) == "minute"
+    assert aggs.choose_auto_interval(30 * 86400, 1000) == "hour"
+    assert aggs.choose_auto_interval(30 * 86400, 100) == "day"
+    assert aggs.choose_auto_interval(30 * 86400, 10) == "week"
+    assert aggs.choose_auto_interval(7 * 365 * 86400, 100) == "month"
+    assert aggs.choose_auto_interval(36500 * 86400, 20) == "year"
+    with pytest.raises(ValueError):
+        aggs.choose_auto_interval(100, 0)
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:30",), ("2024-01-01 00:05:10",)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    out = aggs.auto_date_histogram_agg(df, "ts", target_buckets=100).collect()
+    # 5-minute span -> minute buckets, densified to 6 rows
+    assert all(r["interval"] == "minute" for r in out)
+    assert len(out) == 6
+    assert sum(r["doc_count"] for r in out) == 2

@@ -99,6 +99,8 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_bucket_selector",
     "l3_agg_auto_date_histogram",
     "st11_streaming_geo_fence",
+    "l3_agg_stats_bucket",
+    "l3_agg_percentile_ranks",
 )
 
 

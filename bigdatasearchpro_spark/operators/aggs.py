@@ -779,3 +779,74 @@ def auto_date_histogram_agg(
         df, ts_col, unit, metrics=metrics, min_doc_count=0
     )
     return out.select(F.lit(unit).alias("interval"), "*")
+
+
+def sibling_bucket_stats(
+    buckets: DataFrame, metric: str
+) -> DataFrame:
+    """ES sibling pipeline aggs — ``avg_bucket`` / ``sum_bucket`` /
+    ``min_bucket`` / ``max_bucket`` / ``stats_bucket`` — in ONE row
+    over ALL buckets of the parent aggregation: the bucket frame
+    reduces to a single scalar row (bucket-cardinality input, so this
+    is a one-row aggregate at any corpus scale).  The mean is the
+    exact integer sum divided once when ``metric`` is integral."""
+    m = F.col(metric)
+    return buckets.agg(
+        F.count(m).alias("n_buckets"),
+        F.min(m).alias("min_bucket"),
+        F.max(m).alias("max_bucket"),
+        F.sum(m).alias("sum_bucket"),
+        (
+            F.sum(m).cast("double") / F.count(m).cast("double")
+        ).alias("avg_bucket"),
+    )
+
+
+def percentile_ranks_agg(
+    df: DataFrame,
+    col: str,
+    values: "Sequence[float]",
+    *,
+    rank_scale: int = 1_000_000,
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation, EXACT: for each requested
+    value, the fraction of rows at or below it — the inverse of
+    ``percentiles``.  ONE scan: every requested value is a parallel
+    conditional-count aggregate expression; the single result row
+    unpivots to ``(value, n_le, doc_count, rank_scaled)`` rows with
+    the rank on an exact ``1/rank_scale`` integer grid
+    (``n_le * rank_scale div doc_count`` — no float division, so any
+    engine replays it bit-for-bit).  ES serves this from a t-digest
+    with shard error; one exact hash pass needs no sketch."""
+    if not values:
+        raise ValueError("percentile_ranks_agg needs at least one value")
+    c = F.col(col)
+    aggd = df.agg(
+        F.count(c).alias("__n"),
+        *[
+            F.sum(F.when(c <= F.lit(v), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__le{i}")
+            for i, v in enumerate(values)
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({float(v)!r} AS DOUBLE), coalesce(`__le{i}`, 0L)"
+        for i, v in enumerate(values)
+    )
+    return (
+        aggd.selectExpr(
+            "__n",
+            f"stack({len(values)}, {stack}) AS (value, n_le)",
+        )
+        .select(
+            "value",
+            "n_le",
+            F.col("__n").alias("doc_count"),
+            F.when(
+                F.col("__n") > 0,
+                F.expr(f"n_le * {int(rank_scale)} div __n"),
+            ).alias("rank_scaled"),
+        )
+        .orderBy("value")
+    )

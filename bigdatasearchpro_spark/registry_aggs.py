@@ -2432,3 +2432,60 @@ def l3_agg_auto_date_histogram(spark, sf_dir):
     return aggs.auto_date_histogram_agg(
         ev, "ts", target_buckets=100
     ).orderBy("key")
+
+
+@register(
+    "l3_agg_stats_bucket",
+    f"""
+    WITH {_CLICK_BUCKETS_CTE}
+    SELECT count(doc_count)::BIGINT AS n_buckets,
+           min(doc_count) AS min_bucket,
+           max(doc_count) AS max_bucket,
+           CAST(sum(doc_count) AS BIGINT) AS sum_bucket,
+           CAST(sum(doc_count) AS DOUBLE) / CAST(count(doc_count) AS DOUBLE)
+             AS avg_bucket
+    FROM b
+    """,
+)
+def l3_agg_stats_bucket(spark, sf_dir):
+    """L3 [ES parity]: the sibling pipeline aggs (``stats_bucket`` /
+    ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` / ``max_bucket``)
+    in one row over ALL hourly click buckets — a one-row aggregate
+    over the bucket-cardinality frame; the mean is the exact integer
+    sum divided once (operators/aggs.py sibling_bucket_stats)."""
+    return aggs.sibling_bucket_stats(
+        _click_buckets(spark, sf_dir), "doc_count"
+    )
+
+
+@register(
+    "l3_agg_percentile_ranks",
+    """
+    WITH s AS (
+      SELECT count(l_quantity)::BIGINT AS n,
+             sum(CASE WHEN l_quantity <= 10.0 THEN 1 ELSE 0 END)::BIGINT
+               AS le0,
+             sum(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END)::BIGINT
+               AS le1,
+             sum(CASE WHEN l_quantity <= 40.0 THEN 1 ELSE 0 END)::BIGINT
+               AS le2
+      FROM lineitem
+    )
+    SELECT value, n_le, n AS doc_count,
+           n_le * 1000000 // n AS rank_scaled
+    FROM (
+      SELECT CAST(10.0 AS DOUBLE) AS value, le0 AS n_le, n FROM s
+      UNION ALL SELECT CAST(25.0 AS DOUBLE), le1, n FROM s
+      UNION ALL SELECT CAST(40.0 AS DOUBLE), le2, n FROM s
+    ) ORDER BY value
+    """,
+)
+def l3_agg_percentile_ranks(spark, sf_dir):
+    """L3 [ES parity]: ``percentile_ranks`` — the inverse of
+    ``percentiles``, EXACT: the fraction of lineitems at or below each
+    requested quantity, as parallel conditional counts in ONE scan and
+    a rank on an exact 1e-6 integer grid (floor division both engines
+    replay bit-for-bit; ES itself serves this from a t-digest with
+    shard error) (operators/aggs.py percentile_ranks_agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggs.percentile_ranks_agg(li, "l_quantity", [10.0, 25.0, 40.0])

@@ -437,3 +437,23 @@ def test_auto_date_histogram_ladder_and_echo(spark):
     assert all(r["interval"] == "minute" for r in out)
     assert len(out) == 6
     assert sum(r["doc_count"] for r in out) == 2
+
+
+def test_sibling_bucket_stats_one_row(buckets):
+    r = aggs.sibling_bucket_stats(buckets, "doc_count").collect()[0]
+    assert r["n_buckets"] == 6
+    assert r["min_bucket"] == 0 and r["max_bucket"] == 9
+    assert r["sum_bucket"] == 26
+    assert r["avg_bucket"] == 26 / 6
+
+
+def test_percentile_ranks_exact_grid(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "x double")
+    out = aggs.percentile_ranks_agg(df, "x", [2.5, 5.0, 100.0]).collect()
+    got = {r["value"]: (r["n_le"], r["rank_scaled"]) for r in out}
+    assert got[2.5] == (2, 200_000)
+    assert got[5.0] == (5, 500_000)
+    assert got[100.0] == (10, 1_000_000)
+    assert [r["value"] for r in out] == [2.5, 5.0, 100.0]
+    with pytest.raises(ValueError):
+        aggs.percentile_ranks_agg(df, "x", [])

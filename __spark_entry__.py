@@ -101,6 +101,7 @@ _R7_DEFER_TO_R8 = (
     "st11_streaming_geo_fence",
     "l3_agg_stats_bucket",
     "l3_agg_percentile_ranks",
+    "l5_domain_temperature_mixture",
 )
 
 

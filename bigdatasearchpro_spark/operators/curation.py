@@ -34,6 +34,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -498,3 +500,53 @@ def domain_token_budget(
         F.col("cum_tokens") - F.col("n_tokens")
         < F.coalesce(budget_expr[F.col("domain")], F.lit(0))
     )
+
+
+def temperature_quotas(
+    docs: DataFrame,
+    *,
+    target_total: int,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    weight_scale: int = 1_000_000,
+) -> "dict[str, int]":
+    """Temperature-based mixture quotas (the T5/mT5 alpha-sampling
+    rule): domain d gets ``target_total * n_d^alpha / sum(n^alpha)``
+    documents — alpha < 1 upsamples small domains relative to their
+    natural share, the standard fix for web-heavy corpora.
+
+    The per-domain counts come from ONE hash aggregate collected
+    driver-side (bounded by domain cardinality, like the centroid
+    collects).  Quota arithmetic is engine-exact for the default
+    ``alpha=0.5``: ``floor(sqrt(n) * weight_scale)`` uses only
+    correctly-rounded IEEE ops (sqrt and multiply), then pure integer
+    floor division — so an oracle engine replays the identical quotas.
+    Other alphas go through ``pow`` (libm, last-ulp engine-dependent —
+    fine for production, not for cross-engine hash checks).
+
+    Compose with :func:`domain_mixture`, which draws the md5-ranked
+    deterministic sample under these quotas."""
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    counts = {
+        r["d"]: r["n"]
+        for r in docs.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if alpha == 0.5:
+        weights = {
+            d: int(math.floor(math.sqrt(float(n)) * weight_scale))
+            for d, n in counts.items()
+        }
+    else:
+        weights = {
+            d: int(math.floor(float(n) ** alpha * weight_scale))
+            for d, n in counts.items()
+        }
+    tw = sum(weights.values())
+    if tw == 0:
+        return {d: 0 for d in counts}
+    return {d: target_total * w // tw for d, w in weights.items()}

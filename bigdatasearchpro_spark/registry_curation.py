@@ -557,3 +557,57 @@ def l5_bpe_token_counts(spark, sf_dir):
 
 # chain the round-7 registries
 from bigdatasearchpro_spark import registry_geo  # noqa: E402,F401
+
+
+@register(
+    "l5_domain_temperature_mixture",
+    """
+    WITH c AS (
+      SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n) // 5 AS BIGINT) AS target FROM c),
+    w AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS wt
+      FROM c
+    ),
+    q AS (
+      SELECT source,
+             CAST(wt * (SELECT target FROM t)
+                  // (SELECT sum(wt) FROM w) AS BIGINT) AS quota
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, source AS domain,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rank_in_domain
+      FROM documents
+    )
+    SELECT r.doc_id, r.domain, r.rank_in_domain
+    FROM r JOIN q ON r.domain = q.source
+    WHERE r.rank_in_domain <= q.quota
+    ORDER BY domain, rank_in_domain
+    """,
+)
+def l5_domain_temperature_mixture(spark, sf_dir):
+    """L5 [training data]: TEMPERATURE mixture sampling (the T5/mT5
+    alpha-sampling rule, alpha=0.5) — per-domain quotas proportional
+    to sqrt(domain size), normalized to a 20%-of-corpus budget, then
+    the md5-ranked deterministic draw.  Small domains are upsampled
+    relative to their natural share — the standard web-corpus rebalance.
+    Quota math is engine-exact: floor(sqrt * 1e6) uses only
+    correctly-rounded IEEE ops, then integer floor division; the
+    counts probe is ONE hash agg collected driver-side (bounded by
+    domain cardinality)
+    (operators/curation.py temperature_quotas + domain_mixture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.count() // 5
+    quotas = curation.temperature_quotas(
+        docs, target_total=target, alpha=0.5
+    )
+    return curation.domain_mixture(docs, quotas).orderBy(
+        "domain", "rank_in_domain"
+    )

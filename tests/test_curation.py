@@ -426,3 +426,29 @@ def test_pack_sequences_bpe_tokenizer(spark):
         pack_sequences(df, tokenizer="nope")
     with pytest.raises(ValueError):
         pack_sequences(df, tokenizer="bpe", text_col=["text", "text"])
+
+
+def test_temperature_quotas_upsample_small_domains(spark):
+    from bigdatasearchpro_spark.operators import curation
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    q = curation.temperature_quotas(docs, target_total=100, alpha=0.5)
+    # natural shares are 90%/10%; sqrt temper pulls toward 75%/25%
+    assert q["small"] > 10 and q["big"] < 90
+    assert sum(q.values()) <= 100
+    # alpha=1.0 reproduces (floored) natural proportions
+    q1 = curation.temperature_quotas(docs, target_total=100, alpha=1.0)
+    assert q1["big"] == 90 and q1["small"] == 10
+    # the drawn sample respects the quotas exactly
+    got = curation.domain_mixture(docs, q).groupBy("domain").count().collect()
+    by = {r["domain"]: r["count"] for r in got}
+    assert by == {d: n for d, n in q.items() if n > 0}
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        curation.temperature_quotas(docs, target_total=-1)
+    with pt.raises(ValueError):
+        curation.temperature_quotas(docs, target_total=10, alpha=0)

@@ -102,6 +102,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_stats_bucket",
     "l3_agg_percentile_ranks",
     "l5_domain_temperature_mixture",
+    "l3_agg_matrix_stats",
 )
 
 

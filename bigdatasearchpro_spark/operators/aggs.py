@@ -850,3 +850,78 @@ def percentile_ranks_agg(
         )
         .orderBy("value")
     )
+
+
+def matrix_stats_agg(
+    df: DataFrame,
+    fields: "Mapping[str, int]",
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation (the multi-field covariance /
+    correlation matrix) on an EXACT core: each input column is
+    quantized onto its decimal grid (``fields`` maps column name ->
+    scale, e.g. 100 for cents), every pairwise moment
+    (count, sum_x, sum_y, sum_xy as int64) accumulates exactly in ONE
+    scan of parallel aggregate expressions, and the derived doubles
+    (means, covariance, correlation) come from a FIXED chain of
+    correctly-rounded IEEE ops over those exact integers — so the
+    whole output is bit-stable on any engine and under any partial
+    aggregation order, which a naive float matrix_stats is not.
+
+    Output: one row per ordered field pair (i <= j, self-pairs carry
+    the variances): ``(field_x, field_y, doc_count, sum_x, sum_y,
+    sum_xy, mean_x, mean_y, covariance, correlation)``; covariance is
+    the population form (/n) like ES."""
+    if not fields:
+        raise ValueError("matrix_stats_agg needs at least one field")
+    names = list(fields)
+    q = {
+        n: F.round(F.col(n) * F.lit(int(s)), 0).cast("bigint")
+        for n, s in fields.items()
+    }
+    exprs: "list[Column]" = [F.count("*").alias("__n")]
+    for n in names:
+        exprs.append(F.sum(q[n]).alias(f"__s_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            exprs.append(F.sum(q[a] * q[b]).alias(f"__p_{a}_{b}"))
+    aggd = df.agg(*exprs)
+
+    def mean(n: str) -> Column:
+        return F.col(f"__s_{n}").cast("double") / F.lit(
+            float(fields[n])
+        ) / F.col("__n").cast("double")
+
+    def cov(a: str, b: str) -> Column:
+        sxy = F.col(f"__p_{a}_{b}").cast("double") / F.lit(
+            float(fields[a] * fields[b])
+        ) / F.col("__n").cast("double")
+        return sxy - mean(a) * mean(b)
+
+    # one struct per pair, exploded from the SINGLE aggregate row —
+    # the whole matrix is one scan + one one-row projection, never a
+    # union of per-pair re-aggregations
+    pair_structs = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            corr = cov(a, b) / (
+                F.sqrt(cov(a, a)) * F.sqrt(cov(b, b))
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("field_x"),
+                    F.lit(b).alias("field_y"),
+                    F.col("__n").alias("doc_count"),
+                    F.col(f"__s_{a}").alias("sum_x"),
+                    F.col(f"__s_{b}").alias("sum_y"),
+                    F.col(f"__p_{a}_{b}").alias("sum_xy"),
+                    mean(a).alias("mean_x"),
+                    mean(b).alias("mean_y"),
+                    cov(a, b).alias("covariance"),
+                    corr.alias("correlation"),
+                )
+            )
+    return (
+        aggd.select(F.explode(F.array(*pair_structs)).alias("__c"))
+        .select("__c.*")
+        .orderBy("field_x", "field_y")
+    )

@@ -2489,3 +2489,75 @@ def l3_agg_percentile_ranks(spark, sf_dir):
     shard error) (operators/aggs.py percentile_ranks_agg)."""
     li = load_table(spark, sf_dir, "lineitem")
     return aggs.percentile_ranks_agg(li, "l_quantity", [10.0, 25.0, 40.0])
+
+
+# matrix_stats oracle twin — generated with the EXACT operand order of
+# aggs.matrix_stats_agg's mean/cov/corr chains (all correctly-rounded
+# IEEE double ops over exact int64 moments, so both engines replay the
+# identical doubles bit-for-bit).
+_MS_FIELDS = {"l_quantity": 100, "l_discount": 100, "l_tax": 100}
+
+
+def _matrix_stats_sql(table: str, fields: "dict[str, int]") -> str:
+    names = list(fields)
+    qi = {
+        n: f"CAST(round({n} * {s}) AS BIGINT)" for n, s in fields.items()
+    }
+    sums = [f"CAST(sum({qi[n]}) AS BIGINT) AS s_{n}" for n in names]
+    prods = [
+        f"CAST(sum({qi[a]} * {qi[b]}) AS BIGINT) AS p_{a}_{b}"
+        for i, a in enumerate(names)
+        for b in names[i:]
+    ]
+    nd = "CAST(n AS DOUBLE)"
+
+    def mean(x: str) -> str:
+        return (
+            f"((CAST(s_{x} AS DOUBLE) / CAST({float(fields[x])!r} AS DOUBLE))"
+            f" / {nd})"
+        )
+
+    def cov(x: str, y: str) -> str:
+        key = f"p_{x}_{y}" if f"p_{x}_{y}" in " ".join(prods) else f"p_{y}_{x}"
+        sxy = (
+            f"((CAST({key} AS DOUBLE) / "
+            f"CAST({float(fields[x] * fields[y])!r} AS DOUBLE)) / {nd})"
+        )
+        return f"({sxy} - {mean(x)} * {mean(y)})"
+
+    arms = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            corr = (
+                f"({cov(a, b)} / (sqrt({cov(a, a)}) * sqrt({cov(b, b)})))"
+            )
+            arms.append(
+                f"SELECT '{a}' AS field_x, '{b}' AS field_y, "
+                f"n AS doc_count, s_{a} AS sum_x, s_{b} AS sum_y, "
+                f"p_{a}_{b} AS sum_xy, {mean(a)} AS mean_x, "
+                f"{mean(b)} AS mean_y, {cov(a, b)} AS covariance, "
+                f"{corr} AS correlation FROM agg"
+            )
+    return (
+        f"WITH agg AS (SELECT count(*)::BIGINT AS n, "
+        + ", ".join(sums + prods)
+        + f" FROM {table}) "
+        + " UNION ALL ".join(arms)
+        + " ORDER BY field_x, field_y"
+    )
+
+
+@register("l3_agg_matrix_stats", _matrix_stats_sql("lineitem", _MS_FIELDS))
+def l3_agg_matrix_stats(spark, sf_dir):
+    """L3 [ES parity]: ``matrix_stats`` aggregation — the pairwise
+    covariance/correlation matrix of (quantity, discount, tax) on an
+    EXACT moment core: cent-grid-quantized int64 sums and cross
+    products accumulate in ONE scan of parallel aggregate expressions
+    (order-independent), and the derived means/covariances/
+    correlations are a fixed chain of correctly-rounded IEEE ops over
+    those exact integers — bit-stable on any engine, unlike a naive
+    float matrix.  The whole matrix is one scan + one one-row
+    projection exploded per pair (operators/aggs.py
+    matrix_stats_agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggs.matrix_stats_agg(li, _MS_FIELDS)

@@ -457,3 +457,39 @@ def test_percentile_ranks_exact_grid(spark):
     assert [r["value"] for r in out] == [2.5, 5.0, 100.0]
     with pytest.raises(ValueError):
         aggs.percentile_ranks_agg(df, "x", [])
+
+
+def test_percentile_ranks_single_pass_plan(docs):
+    out = aggs.percentile_ranks_agg(docs, "n_chars", [100.0, 300.0, 500.0])
+    assert shuffle_count(out) <= 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("scan parquet") == 1
+
+
+def test_matrix_stats_matches_numpy(spark):
+    import numpy as np
+
+    xs = [1.00, 2.50, 3.25, 4.75, 0.25]
+    ys = [2.00, 1.50, 5.00, 3.25, 4.50]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    out = {
+        (r["field_x"], r["field_y"]): r
+        for r in aggs.matrix_stats_agg(df, {"x": 100, "y": 100}).collect()
+    }
+    assert set(out) == {("x", "x"), ("x", "y"), ("y", "y")}
+    r = out[("x", "y")]
+    assert r["doc_count"] == 5
+    assert r["sum_x"] == sum(round(v * 100) for v in xs)
+    # population covariance / Pearson correlation vs numpy
+    assert abs(r["covariance"] - np.cov(xs, ys, bias=True)[0][1]) < 1e-9
+    assert abs(r["correlation"] - np.corrcoef(xs, ys)[0][1]) < 1e-9
+    var_x = out[("x", "x")]["covariance"]
+    assert abs(var_x - np.var(xs)) < 1e-9
+    # one scan: the matrix must not re-aggregate per pair
+    plan = (
+        aggs.matrix_stats_agg(df, {"x": 100, "y": 100})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") <= 4  # partial+final, one agg
+    with pytest.raises(ValueError):
+        aggs.matrix_stats_agg(df, {})

@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "l3_geo_distance",
     "l3_agg_geotile_grid",
     "l5_bpe_token_counts",
+    # round-7 second pass
+    "l3_agg_geohash_grid",
+    "l3_agg_adjacency_matrix",
+    "l3_agg_matrix_stats",
+    "l6_decode_png",
+    "l5_domain_temperature_mixture",
 ]
 
 

@@ -23,6 +23,17 @@ Coverage (public ES 6.x aggregation names):
 - ``terms_top_hits``       — terms buckets each carrying a top_hits page
 - ``significant_terms_agg``— foreground-vs-background term lift (JLH)
 - ``composite_agg``        — multi-source buckets with after-key paging
+- ``adjacency_matrix_agg`` — named filters + pairwise intersections
+- ``rare_terms_agg``       — exact long-tail buckets
+- ``sampler_sample``       — deterministic best-scoring sample gate
+- ``weighted_avg_agg``     — exact integer-grid weighted mean
+- ``auto_date_histogram_agg`` — interval ladder choice + dense grid
+- ``percentile_ranks_agg`` — exact inverse percentiles (integer grid)
+- ``matrix_stats_agg``     — covariance/correlation on exact moments
+- pipeline aggs over bucket frames: ``derivative_agg``,
+  ``cumulative_sum_agg``, ``moving_avg_agg``, ``serial_diff_agg``,
+  ``bucket_script_agg``, ``bucket_selector_agg``,
+  ``sibling_bucket_stats``
 
 Scale notes (100 TB):
 - every bucket agg is ONE hash aggregation (map-side partial combine +
@@ -61,6 +72,22 @@ __all__ = [
     "terms_top_hits",
     "significant_terms_agg",
     "composite_agg",
+    "post_filter_facets",
+    "adjacency_matrix_agg",
+    "rare_terms_agg",
+    "sampler_sample",
+    "weighted_avg_agg",
+    "auto_date_histogram_agg",
+    "choose_auto_interval",
+    "percentile_ranks_agg",
+    "matrix_stats_agg",
+    "derivative_agg",
+    "cumulative_sum_agg",
+    "moving_avg_agg",
+    "serial_diff_agg",
+    "bucket_script_agg",
+    "bucket_selector_agg",
+    "sibling_bucket_stats",
 ]
 
 # ES calendar intervals -> Spark date_trunc unit + sequence step

@@ -103,6 +103,8 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_percentile_ranks",
     "l5_domain_temperature_mixture",
     "l3_agg_matrix_stats",
+    "l3_agg_boxplot",
+    "l3_agg_diversified_sampler",
 )
 
 

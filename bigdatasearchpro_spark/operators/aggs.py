@@ -952,3 +952,65 @@ def matrix_stats_agg(
         .select("__c.*")
         .orderBy("field_x", "field_y")
     )
+
+
+def boxplot_agg(
+    df: DataFrame, col: str, *, round_to: int = 4
+) -> DataFrame:
+    """ES ``boxplot`` aggregation: min, q1, q2 (median), q3, max and
+    the derived IQR in ONE row from a single pass (array percentile +
+    min/max share the aggregate).  ES serves these from a t-digest;
+    exact interpolated percentiles here, the same trade
+    :func:`percentiles_agg` documents."""
+    c = F.col(col).cast("double")
+    fracs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    aggd = df.agg(
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.percentile(c, fracs).alias("__q"),
+    )
+    q1 = F.round(F.col("__q")[0], round_to)
+    q2 = F.round(F.col("__q")[1], round_to)
+    q3 = F.round(F.col("__q")[2], round_to)
+    return aggd.select(
+        "min_v",
+        q1.alias("q1"),
+        q2.alias("q2"),
+        q3.alias("q3"),
+        "max_v",
+        F.round(F.col("__q")[2] - F.col("__q")[0], round_to).alias("iqr"),
+    )
+
+
+def diversified_sampler_sample(
+    df: DataFrame,
+    *,
+    shard_size: int = 100,
+    field: str,
+    max_docs_per_value: int = 1,
+    sort: "Sequence[Column] | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``diversified_sampler`` aggregation, the sampling half: the
+    best-scoring docs with AT MOST ``max_docs_per_value`` per value of
+    ``field`` (de-biasing the sample), capped at ``shard_size``.
+    Plan: one window partitioned BY THE FIELD (per-key rank, no global
+    sort, skew bounded by max_docs_per_value) keeps each key's best
+    docs, then a TakeOrdered of ``shard_size`` over the survivors —
+    deterministic via rounded-score + id tie-breaks, unlike ES's
+    per-shard sample."""
+    if shard_size <= 0:
+        raise ValueError(f"shard_size must be positive, got {shard_size}")
+    if max_docs_per_value <= 0:
+        raise ValueError(
+            f"max_docs_per_value must be positive, got {max_docs_per_value}"
+        )
+    order = list(sort or []) + [F.asc(id_col)]
+    w = Window.partitionBy(F.col(field)).orderBy(*order)
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_docs_per_value)
+        .drop("__r")
+        .orderBy(*order)
+        .limit(shard_size)
+    )

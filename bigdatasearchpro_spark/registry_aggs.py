@@ -2561,3 +2561,67 @@ def l3_agg_matrix_stats(spark, sf_dir):
     matrix_stats_agg)."""
     li = load_table(spark, sf_dir, "lineitem")
     return aggs.matrix_stats_agg(li, _MS_FIELDS)
+
+
+@register(
+    "l3_agg_boxplot",
+    f"""
+    WITH {_MATCHED_CTE}
+    SELECT min(n_chars::DOUBLE) AS min_v,
+           round(quantile_cont(n_chars::DOUBLE, 0.25), 4) AS q1,
+           round(quantile_cont(n_chars::DOUBLE, 0.50), 4) AS q2,
+           round(quantile_cont(n_chars::DOUBLE, 0.75), 4) AS q3,
+           max(n_chars::DOUBLE) AS max_v,
+           round(quantile_cont(n_chars::DOUBLE, 0.75)
+                 - quantile_cont(n_chars::DOUBLE, 0.25), 4) AS iqr
+    FROM m
+    """,
+)
+def l3_agg_boxplot(spark, sf_dir):
+    """L3 [ES parity]: ``boxplot`` aggregation — min/q1/median/q3/max
+    + IQR of the matched set's length distribution in ONE row from a
+    single pass (array percentile + min/max share the aggregate);
+    exact interpolated quantiles where ES serves a t-digest
+    (operators/aggs.py boxplot_agg)."""
+    return aggs.boxplot_agg(_matched_docs(spark, sf_dir), "n_chars")
+
+
+@register(
+    "l3_agg_diversified_sampler",
+    f"""
+    WITH {_BM25_SAMPLE_CTE.replace("LIMIT 100", "LIMIT 200")},
+    pool AS (
+      SELECT s.doc_id, d.source, s.score
+      FROM sample s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id ASC
+             ) AS rn
+      FROM pool
+    )
+    SELECT doc_id, source, score FROM ranked
+    WHERE rn <= 2
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def l3_agg_diversified_sampler(spark, sf_dir):
+    """L3 [ES parity]: ``diversified_sampler`` aggregation — the
+    best-scoring hits of the flagship query de-biased to at most 2
+    docs per source, capped at 20.  Plan: a bounded top-200 BM25 pool
+    (TakeOrdered on rounded scores), a window partitioned BY SOURCE
+    (per-key rank, no global sort), then the final TakeOrdered 20 —
+    deterministic cutoffs via id tie-breaks, unlike ES's per-shard
+    sample (operators/aggs.py diversified_sampler_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # broadcast the 200-row scored pool INTO the corpus-side join —
+    # never the corpus into the pool
+    pool = F.broadcast(
+        search.search_topk(docs, _SQ, 200, scoring="bm25")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return aggs.diversified_sampler_sample(
+        pool, shard_size=20, field="source", max_docs_per_value=2,
+        sort=[F.desc("score")],
+    ).select("doc_id", "source", "score")

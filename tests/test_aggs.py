@@ -493,3 +493,31 @@ def test_matrix_stats_matches_numpy(spark):
     assert plan.count("HashAggregate") <= 4  # partial+final, one agg
     with pytest.raises(ValueError):
         aggs.matrix_stats_agg(df, {})
+
+
+def test_boxplot_identities(docs):
+    r = aggs.boxplot_agg(docs, "n_chars").collect()[0]
+    assert r["min_v"] <= r["q1"] <= r["q2"] <= r["q3"] <= r["max_v"]
+    assert abs(r["iqr"] - round(r["q3"] - r["q1"], 4)) < 1e-9
+
+
+def test_diversified_sampler_caps_per_key(spark):
+    rows = [(i, "a" if i < 8 else "b", float(100 - i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, k string, score double")
+    out = aggs.diversified_sampler_sample(
+        df, shard_size=5, field="k", max_docs_per_value=2,
+        sort=[F.desc("score")],
+    ).collect()
+    assert len(out) == 4  # 2 per key x 2 keys < shard_size cap
+    per_key = {}
+    for r in out:
+        per_key[r["k"]] = per_key.get(r["k"], 0) + 1
+    assert all(v <= 2 for v in per_key.values())
+    # best-scoring docs per key survive
+    assert {r["doc_id"] for r in out} == {0, 1, 8, 9}
+    with pytest.raises(ValueError):
+        aggs.diversified_sampler_sample(df, shard_size=0, field="k")
+    with pytest.raises(ValueError):
+        aggs.diversified_sampler_sample(
+            df, shard_size=5, field="k", max_docs_per_value=0
+        )

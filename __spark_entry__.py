@@ -105,6 +105,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_matrix_stats",
     "l3_agg_boxplot",
     "l3_agg_diversified_sampler",
+    "l4_mmr_topk",
 )
 
 

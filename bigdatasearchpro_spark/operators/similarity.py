@@ -1015,3 +1015,90 @@ def batch_cosine_topk(
             id_col, "score", "rank",
         )
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    pool_size: int = 100,
+    lambda_mult: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the retrieval-diversity rerank a RAG / training-
+    data sampler runs so the k results are not k near-duplicates::
+
+        mmr(d) = lambda * sim(q, d)
+                 - (1 - lambda) * max_{s in selected} sim(d, s)
+
+    MMR selection is inherently ITERATIVE (each pick changes the next
+    round's penalty), so it runs where iteration is cheap: the
+    DISTRIBUTED part is the bounded candidate pool — a brute-force
+    cosine TakeOrdered of ``pool_size`` (rounded scores, id
+    tie-break) — and the greedy selection runs driver-side over that
+    pool's vectors (``pool_size`` rows collected, the bounded-collect
+    pattern of the centroid/PQ trainers).  At 100 TB the corpus cost
+    is exactly one :func:`cosine_topk`; the rerank cost is fixed at
+    ``pool_size * k`` dot products regardless of corpus size.
+
+    Deterministic: pool cut and every greedy pick break ties on
+    1e-6-grid scores then id asc.  Output: ``(rank, id, rel_e6,
+    mmr_e6)`` with both scores as integer micro-units."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not (0.0 <= lambda_mult <= 1.0):
+        raise ValueError(f"lambda_mult must be in [0, 1], got {lambda_mult}")
+    if pool_size < k:
+        raise ValueError(f"pool_size {pool_size} must be >= k {k}")
+    pool = cosine_topk(
+        embeddings, query_vec, pool_size,
+        id_col=id_col, vec_col=vec_col, round_to=6,
+    )
+    rows = (
+        F.broadcast(pool)
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .collect()
+    )
+    if not rows:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "rank int, id bigint, rel_e6 bigint, mmr_e6 bigint"
+        )
+    ids = [r[id_col] for r in rows]
+    rel = np.array([r["score"] for r in rows], dtype="float64")
+    mat = np.array(
+        [np.asarray(r[vec_col], dtype="float64") for r in rows]
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    sims = unit @ unit.T  # pool_size^2, bounded
+    rel_e6 = np.floor(rel * 1e6 + 0.5).astype("int64")
+    lam = float(lambda_mult)
+    order = sorted(range(len(ids)), key=lambda i: (-rel_e6[i], ids[i]))
+    selected: "list[int]" = []
+    out = []
+    cand = list(order)
+    while cand and len(selected) < k:
+        best, best_key = None, None
+        for i in cand:
+            if selected:
+                pen = max(sims[i][j] for j in selected)
+            else:
+                pen = 0.0
+            mmr = lam * (rel_e6[i] / 1e6) - (1.0 - lam) * pen
+            mmr_e6 = int(np.floor(mmr * 1e6 + 0.5))
+            key = (-mmr_e6, ids[i])
+            if best_key is None or key < best_key:
+                best, best_key = (i, mmr_e6), key
+        i, mmr_e6 = best
+        selected.append(i)
+        cand.remove(i)
+        out.append((len(selected), int(ids[i]), int(rel_e6[i]), mmr_e6))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out, "rank int, id bigint, rel_e6 bigint, mmr_e6 bigint"
+    )

@@ -2509,3 +2509,20 @@ def l6_decode_png(spark, sf_dir):
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     return png.decode_png_stats_df(png.synthesize_png_assets(ids))
+
+
+@register("l4_mmr_topk")  # rows-only: MMR selection is iterative by nature
+def l4_mmr_topk(spark, sf_dir):
+    """L4 [serving/curation]: Maximal-Marginal-Relevance diversified
+    top-10 against the vec_id=0 embedding — the rerank that keeps a
+    result page (or a sampled training batch) from being k
+    near-duplicates.  Distributed cost = ONE bounded brute-force
+    cosine TakeOrdered (pool 100); the greedy selection is inherently
+    iterative and runs driver-side over the bounded pool (the
+    centroid-trainer collect pattern).  Deterministic via 1e-6-grid
+    scores + id tie-breaks; pinned against an independent brute-force
+    MMR twin in tests/test_similarity.py
+    (operators/similarity.py mmr_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.mmr_topk(emb, qv, 10, pool_size=100)

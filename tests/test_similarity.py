@@ -492,3 +492,60 @@ def test_ivf_pruned_range_search_is_lossless_and_prunes(spark):
         similarity.ivf_range_prune(emb, [0] * 64, dirs, thr_num=1, thr_den=2)
     with pytest.raises(ValueError):
         similarity.ivf_range_prune(emb, q, np.zeros((0, 64)), thr_num=1, thr_den=2)
+
+
+def test_mmr_topk_matches_bruteforce_twin_and_diversifies(spark):
+    import numpy as np
+    from bigdatasearchpro_spark.operators import similarity
+
+    # a duplicate group at rel 0.95 plus two distinct relevant vectors:
+    # plain top-3 is the duplicate group; MMR must interleave 20 and 10.
+    rng = [
+        (0, [0.95, 0.3122, 0.0]),
+        (1, [0.95, 0.3122, 0.0]),      # exact duplicate of 0
+        (2, [0.9499, 0.3124, 0.001]),  # near-duplicate
+        (10, [0.90, 0.0, 0.4359]),     # rel 0.90, sim to the dups 0.855
+        (20, [0.85, -0.44, 0.29]),     # rel 0.85, far from both groups
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rng],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0]
+    got = similarity.mmr_topk(emb, q, 4, pool_size=5, lambda_mult=0.5).collect()
+    got_ids = [r["id"] for r in got]
+
+    # independent twin: plain-python greedy MMR over float cosines
+    def cos(a, b):
+        a, b = np.asarray(a, dtype="float64"), np.asarray(b, dtype="float64")
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sel = []
+    cand = list(rng)
+    while cand and len(sel) < 4:
+        def mmr_key(t):
+            rel = int(np.floor(cos(q, t[1]) * 1e6 + 0.5)) / 1e6
+            pen = max((cos(t[1], s[1]) for s in sel), default=0.0)
+            m = 0.5 * rel - 0.5 * pen
+            return (-int(np.floor(m * 1e6 + 0.5)), t[0])
+        best = min(cand, key=mmr_key)
+        sel.append(best)
+        cand.remove(best)
+    assert got_ids == [t[0] for t in sel]
+    # the diversified page interleaves the distinct vectors ahead of
+    # the duplicates; the undiversified baseline is the dup group
+    assert got_ids == [0, 20, 10, 1]
+    plain = [r["vec_id"] for r in similarity.cosine_topk(emb, q, 3).collect()]
+    assert set(plain) == {0, 1, 2}
+    # ranks are 1..k and rank 1 carries mmr = lambda*rel exactly
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+    assert got[0]["mmr_e6"] == int(
+        np.floor(0.5 * (got[0]["rel_e6"] / 1e6) * 1e6 + 0.5)
+    )
+    import pytest as pt
+    with pt.raises(ValueError):
+        similarity.mmr_topk(emb, q, 0)
+    with pt.raises(ValueError):
+        similarity.mmr_topk(emb, q, 5, pool_size=3)
+    with pt.raises(ValueError):
+        similarity.mmr_topk(emb, q, 2, lambda_mult=1.5)

@@ -106,6 +106,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_boxplot",
     "l3_agg_diversified_sampler",
     "l4_mmr_topk",
+    "l5_pipeline_curation_v3",
 )
 
 

@@ -611,3 +611,103 @@ def l5_domain_temperature_mixture(spark, sf_dir):
     return curation.domain_mixture(docs, quotas).orderBy(
         "domain", "rank_in_domain"
     )
+
+
+def _pipeline_v3_oracle() -> str:
+    """Composed DuckDB oracle for pipeline v3 — each stage's SQL is the
+    same form its standalone entry uses (repetition stats, md5-winner
+    dedup, engine-exact sqrt temperature quotas, md5-ranked draw)."""
+    return """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS w
+      FROM documents
+    ),
+    per_word AS (
+      SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w
+    ),
+    rep AS (
+      SELECT doc_id, sum(n) AS tot, count(*) AS dist
+      FROM per_word GROUP BY doc_id
+    ),
+    kept AS (SELECT doc_id FROM rep WHERE dist * 100 >= tot * 45),
+    base AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN kept USING (doc_id)
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+    surv AS (SELECT b.doc_id, b.source FROM base b JOIN ex USING (doc_id)),
+    c AS (SELECT source, count(*)::BIGINT AS n FROM surv GROUP BY source),
+    t AS (SELECT CAST(sum(n) // 5 AS BIGINT) AS target FROM c),
+    w AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS wt
+      FROM c
+    ),
+    q AS (
+      SELECT source,
+             CAST(wt * (SELECT target FROM t)
+                  // (SELECT sum(wt) FROM w) AS BIGINT) AS quota
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, source AS domain,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM surv
+    ),
+    m AS (SELECT r.* FROM r JOIN q ON r.domain = q.source WHERE rk <= q.quota)
+    SELECT domain, count(*)::BIGINT AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM m GROUP BY domain ORDER BY domain
+    """
+
+
+@register("l5_pipeline_curation_v3", _pipeline_v3_oracle())
+def l5_pipeline_curation_v3(spark, sf_dir):
+    """The round-7 curation stages composed end-to-end — the third
+    pipeline ring (v1: quality/dedup/near-dup/split; v2: logit gate /
+    decontaminate / fixed mixture):
+
+    1. repetition gate (Gopher-style): drop documents whose duplicate-
+       word mass exceeds 55% — as the INTEGER predicate
+       ``n_distinct*100 >= 45*n_words`` (no float ratio anywhere);
+    2. exact dedup: smallest doc_id per content hash (map-side hash,
+       (hash, id) shuffle only);
+    3. TEMPERATURE mixture (alpha=0.5): per-domain quotas proportional
+       to sqrt(survivor domain size), 20%-of-survivors budget,
+       engine-exact quota math, md5-ranked deterministic draw.
+
+    ONE composed DuckDB oracle hash-verifies per-domain counts + id
+    ranges. Every stage is map-side or one hash agg; the only windows
+    are per-domain partitioned ranks
+    (operators/textstats.py repetition_stats +
+    operators/dedup.py dedup_exact_by_hash +
+    operators/curation.py temperature_quotas/domain_mixture)."""
+    from bigdatasearchpro_spark.operators import dedup as dedup_ops
+    from bigdatasearchpro_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_stats(docs)
+    kept = rep.filter(
+        F.col("n_distinct") * 100 >= F.col("n_words") * 45
+    ).select("doc_id")
+    q = docs.join(kept, "doc_id", "left_semi").select(
+        "doc_id", "text", "source"
+    )
+    ex = dedup_ops.dedup_exact_by_hash(q, "text", "doc_id")
+    target = ex.count() // 5
+    quotas = curation.temperature_quotas(ex, target_total=target, alpha=0.5)
+    mixed = curation.domain_mixture(ex, quotas)
+    return (
+        mixed.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("domain")
+    )

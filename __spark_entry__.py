@@ -107,6 +107,9 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_diversified_sampler",
     "l4_mmr_topk",
     "l5_pipeline_curation_v3",
+    "l3_agg_geo_line",
+    "l3_agg_terms_metric_order",
+    "l3_agg_filters_other_bucket",
 )
 
 

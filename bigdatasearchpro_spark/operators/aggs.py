@@ -112,18 +112,27 @@ def terms_agg(
     size: int = 10,
     metrics: "Mapping[str, Column] | None" = None,
     min_doc_count: int = 1,
+    order_by: "str | None" = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """ES ``terms`` aggregation: top-``size`` buckets of ``field`` by
     ``doc_count`` desc (key asc tie-break, the ES ``_count``/``_key``
     order), each with optional sub-metric aggregates computed in the
-    same single pass. Output: ``(key, doc_count, *metrics)``."""
+    same single pass.  ``order_by`` names a metric to rank buckets by
+    instead (the ES ``"order": {"<metric>": "desc|asc"}`` form — on a
+    sharded ES this ordering is approximate; one exact hash agg here).
+    Output: ``(key, doc_count, *metrics)``."""
+    if order_by is not None and order_by not in (metrics or {}):
+        raise ValueError(f"order_by {order_by!r} is not a declared metric")
     out = (
         df.groupBy(F.col(field).alias("key"))
         .agg(F.count("*").alias("doc_count"), *_metric_cols(metrics))
         .filter(F.col("doc_count") >= min_doc_count)
     )
+    rank_col = order_by if order_by else "doc_count"
+    rank = F.asc(rank_col) if ascending else F.desc(rank_col)
     # TakeOrderedAndProject: bucket cardinality never globally sorts
-    return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+    return out.orderBy(rank, F.asc("key")).limit(size)
 
 
 def _dense_fill(
@@ -196,24 +205,42 @@ def histogram_agg(
     return grouped.filter(F.col("doc_count") >= min_doc_count)
 
 
-def filters_agg(df: DataFrame, buckets: "Mapping[str, Column]") -> DataFrame:
+def filters_agg(
+    df: DataFrame,
+    buckets: "Mapping[str, Column]",
+    *,
+    other_bucket: bool = False,
+    other_bucket_key: str = "_other_",
+) -> DataFrame:
     """ES ``filters`` aggregation: one named bucket per predicate, each
     counting the rows that satisfy it (buckets may overlap, exactly the
     reason this is NOT a group-by: a row can land in several). ONE scan
     — every bucket is a parallel conditional-count aggregate expression
-    and the single result row unpivots to ``(key, doc_count)`` rows."""
+    and the single result row unpivots to ``(key, doc_count)`` rows.
+    ``other_bucket`` adds the ES ``_other_`` bucket counting rows that
+    match NO filter (NULL predicates count as non-matching, like ES
+    filter context) — one more conditional sum on the same pass."""
     if not buckets:
         raise ValueError("filters_agg needs at least one bucket")
+    if other_bucket and other_bucket_key in buckets:
+        raise ValueError(f"bucket name {other_bucket_key!r} is reserved")
+    cells = dict(buckets)
+    if other_bucket:
+        none = None
+        for c in buckets.values():
+            hit = c.isNotNull() & c
+            none = ~hit if none is None else none & ~hit
+        cells[other_bucket_key] = none
     aggd = df.agg(
         *[
             F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))
             .cast("long")
             .alias(k)
-            for k, c in buckets.items()
+            for k, c in cells.items()
         ]
     )
-    stack = ", ".join(f"'{k}', coalesce(`{k}`, 0L)" for k in buckets)
-    return aggd.selectExpr(f"stack({len(buckets)}, {stack}) AS (key, doc_count)")
+    stack = ", ".join(f"'{k}', coalesce(`{k}`, 0L)" for k in cells)
+    return aggd.selectExpr(f"stack({len(cells)}, {stack}) AS (key, doc_count)")
 
 
 def range_agg(

@@ -34,6 +34,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 EARTH_RADIUS_M = 6371000.0
 
@@ -483,4 +484,33 @@ def nearest_k(
         df.withColumn("dist_m", dist)
         .orderBy(F.asc("dist_m"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def geo_line_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    *,
+    group_col: str,
+    sort_col: str,
+    size: int = 250,
+) -> DataFrame:
+    """ES ``geo_line`` aggregation: per group, the first ``size``
+    points ordered by ``sort_col`` (ES sorts the LineString by a sort
+    field and truncates at ``size``, default 250) — the per-entity
+    track/trajectory aggregation.  Unpivoted to one row per retained
+    point (``(group, seq, lat, lon)``) so the result stays scalar and
+    hash-comparable; a caller wanting the LineString array collects
+    per group.  Plan: ONE window partitioned by the group (per-entity
+    rank, no global sort; skew bounded by ``size``)."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    w = Window.partitionBy(F.col(group_col)).orderBy(
+        F.asc(sort_col), F.asc(lat_col), F.asc(lon_col)
+    )
+    return (
+        df.withColumn("seq", F.row_number().over(w))
+        .filter(F.col("seq") <= size)
+        .select(group_col, "seq", lat_col, lon_col)
     )

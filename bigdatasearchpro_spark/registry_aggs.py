@@ -2625,3 +2625,59 @@ def l3_agg_diversified_sampler(spark, sf_dir):
         pool, shard_size=20, field="source", max_docs_per_value=2,
         sort=[F.desc("score")],
     ).select("doc_id", "source", "score")
+
+
+@register(
+    "l3_agg_terms_metric_order",
+    """
+    SELECT lang AS key, count(*) AS doc_count,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    ORDER BY avg_chars DESC, key ASC
+    LIMIT 3
+    """,
+)
+def l3_agg_terms_metric_order(spark, sf_dir):
+    """L3 [ES parity]: ``terms`` aggregation ordered by a SUB-METRIC
+    (``"order": {"avg_chars": "desc"}``) — buckets ranked by their
+    mean length instead of doc_count.  On sharded ES this ordering is
+    famously approximate (the bounded-error caveat in the ES docs);
+    one exact hash agg + TakeOrdered here
+    (operators/aggs.py terms_agg order_by)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.terms_agg(
+        docs, "lang", size=3,
+        metrics={"avg_chars": F.round(F.avg("n_chars"), 4)},
+        order_by="avg_chars",
+    )
+
+
+@register(
+    "l3_agg_filters_other_bucket",
+    """
+    WITH s AS (
+      SELECT
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS a,
+        sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)::BIGINT AS b,
+        sum(CASE WHEN NOT coalesce(lang = 'en', false)
+                  AND NOT coalesce(n_chars > 300, false)
+            THEN 1 ELSE 0 END)::BIGINT AS o
+      FROM documents
+    )
+    SELECT 'en' AS key, a AS doc_count FROM s
+    UNION ALL SELECT 'big', b FROM s
+    UNION ALL SELECT '_other_', o FROM s
+    """,
+)
+def l3_agg_filters_other_bucket(spark, sf_dir):
+    """L3 [ES parity]: ``filters`` aggregation with
+    ``other_bucket: true`` — the ES ``_other_`` bucket counting rows
+    matching NO filter (NULL predicates count as non-matching, the ES
+    filter-context rule), as one more conditional sum on the same
+    single pass (operators/aggs.py filters_agg other_bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.filters_agg(
+        docs,
+        {"en": F.col("lang") == "en", "big": F.col("n_chars") > 300},
+        other_bucket=True,
+    )

@@ -542,3 +542,45 @@ def st11_streaming_geo_fence(spark, sf_dir):
     return spark.createDataFrame(
         rows, "fence string, event_id bigint, dist_m bigint"
     )
+
+
+@register(
+    "l3_agg_geo_line",
+    f"""
+    WITH p AS (
+      SELECT user_id, ts, {_EV_LAT_SQL} AS lat, {_EV_LON_SQL} AS lon
+      FROM events
+    ),
+    r AS (
+      SELECT user_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, lat, lon
+             ) AS seq,
+             lat, lon
+      FROM p
+    )
+    SELECT user_id, seq, lat, lon FROM r WHERE seq <= 5
+    ORDER BY user_id, seq
+    """,
+)
+def l3_agg_geo_line(spark, sf_dir):
+    """L3 [ES parity]: ``geo_line`` aggregation — each user's first 5
+    track points in timestamp order (ES sorts the LineString by a sort
+    field and truncates at ``size``), unpivoted to one scalar row per
+    point.  ONE window partitioned by the entity — per-user rank, no
+    global sort, skew bounded by ``size``
+    (operators/geo.py geo_line_agg)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        (
+            (F.col("event_id") * F.lit(7919)) % F.lit(17000)
+            / F.lit(100.0) - F.lit(85.0)
+        ).alias("lat"),
+        (
+            (F.col("event_id") * F.lit(104729)) % F.lit(36000)
+            / F.lit(100.0) - F.lit(180.0)
+        ).alias("lon"),
+    )
+    return geo.geo_line_agg(
+        ev, "lat", "lon", group_col="user_id", sort_col="ts", size=5
+    ).orderBy("user_id", "seq")

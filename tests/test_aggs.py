@@ -521,3 +521,35 @@ def test_diversified_sampler_caps_per_key(spark):
         aggs.diversified_sampler_sample(
             df, shard_size=5, field="k", max_docs_per_value=0
         )
+
+
+def test_terms_agg_metric_order(docs):
+    out = aggs.terms_agg(
+        docs, "lang", size=100,
+        metrics={"ac": F.round(F.avg("n_chars"), 4)},
+        order_by="ac", ascending=True,
+    ).collect()
+    vals = [r["ac"] for r in out]
+    assert vals == sorted(vals)
+    with pytest.raises(ValueError):
+        aggs.terms_agg(docs, "lang", order_by="missing")
+
+
+def test_filters_agg_other_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 9)], "tag string, v int"
+    )
+    out = {
+        r["key"]: r["doc_count"]
+        for r in aggs.filters_agg(
+            df,
+            {"is_a": F.col("tag") == "a", "big": F.col("v") >= 5},
+            other_bucket=True,
+        ).collect()
+    }
+    # row b has a NULL predicate (v is null) -> non-matching -> _other_
+    assert out == {"is_a": 1, "big": 1, "_other_": 1}
+    with pytest.raises(ValueError):
+        aggs.filters_agg(
+            df, {"_other_": F.col("v") > 0}, other_bucket=True
+        )

@@ -312,3 +312,19 @@ def test_geo_bounds_centroid_agg(spark, cities):
     assert r["doc_count"] == len(north)
     exp_lat = sum(round(la * 100) for la, _ in north) / (100.0 * len(north))
     assert abs(r["centroid_lat"] - exp_lat) < 1e-12
+
+
+def test_geo_line_per_entity_tracks(spark):
+    rows = [
+        ("u1", 3, 10.0, 1.0), ("u1", 1, 20.0, 2.0), ("u1", 2, 30.0, 3.0),
+        ("u2", 1, 40.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "u string, t int, lat double, lon double")
+    out = geo.geo_line_agg(
+        df, "lat", "lon", group_col="u", sort_col="t", size=2
+    ).orderBy("u", "seq").collect()
+    assert [(r["u"], r["seq"], r["lat"]) for r in out] == [
+        ("u1", 1, 20.0), ("u1", 2, 30.0), ("u2", 1, 40.0)
+    ]
+    with pytest.raises(ValueError):
+        geo.geo_line_agg(df, "lat", "lon", group_col="u", sort_col="t", size=0)

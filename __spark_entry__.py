@@ -110,6 +110,8 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_geo_line",
     "l3_agg_terms_metric_order",
     "l3_agg_filters_other_bucket",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
 )
 
 

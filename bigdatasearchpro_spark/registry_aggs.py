@@ -2681,3 +2681,131 @@ def l3_agg_filters_other_bucket(spark, sf_dir):
         {"en": F.col("lang") == "en", "big": F.col("n_chars") > 300},
         other_bucket=True,
     )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): LEFT OUTER join with a
+    FILTERED JOIN PREDICATE (non-urgent orders only — the filter must
+    live in the ON clause, not a WHERE, or zero-order customers
+    vanish), then a double aggregation: orders per customer, customers
+    per order-count.  Both aggs are plain hash aggregates; the outer
+    join shuffles on the customer key once.  (The fixture carries no
+    o_comment, so the predicate adapts the spec's NOT LIKE to
+    priority — the plan shape is identical.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(cust["c_custkey"])
+        .agg(F.count(orders["o_orderkey"]).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 1
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS + NOT EXISTS double correlated self-join — the only
+    supplier whose item shipped late (> 60 days after the order) on a
+    finalized multi-supplier order, region-filtered (the fixture's
+    synthetic nation names replace the spec's 'SAUDI ARABIA' literal
+    with a region-1 filter; same join shape).  Plan: the late set computes once
+    and feeds both the probe and the NOT-EXISTS side; EXISTS compiles
+    to a LeftSemi and NOT EXISTS to a LeftAnti on the order key —
+    never a count-and-filter materialization.  (Ship-vs-order-date
+    lateness adapts the spec's receipt-vs-commit columns, which the
+    fixture lacks; the two-semi-join shape is identical.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = li.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    ).alias("l2")
+    has_other = l1.join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("l2.o_k"))
+        & (F.col("l1.l_suppkey") != F.col("l2.o_s")),
+        "left_semi",
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("a_k"), F.col("l_suppkey").alias("a_s")
+    ).alias("l3")
+    only_late = has_other.join(
+        late_others,
+        (F.col("l1.l_orderkey") == F.col("l3.a_k"))
+        & (F.col("l1.l_suppkey") != F.col("l3.a_s")),
+        "left_anti",
+    )
+    return (
+        only_late.join(supp, F.col("l1.l_suppkey") == supp["s_suppkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("n_regionkey") == 1)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -514,3 +514,15 @@ def test_geo_sort_is_take_ordered(spark, sf_dir):
     partition k-heaps), never a global sort."""
     df = QUERIES["l3_geo_sort"](spark, sf_dir)
     assert has_take_ordered(df)
+
+
+def test_q21_shape_compiles_to_semi_and_anti(spark, sf_dir):
+    """The Q21 EXISTS/NOT-EXISTS pair must compile to LeftSemi +
+    LeftAnti joins, never a count-and-filter materialization."""
+    plan = (
+        QUERIES["q21_waiting_supplier"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -1164,3 +1164,39 @@ def explain_doc(
             }
         )
     return {"matched": total > 0, "value": round(total, 4), "details": details}
+
+
+def knn_search(
+    spark: SparkSession,
+    index_name: str,
+    query_vector: "list[float]",
+    *,
+    k: int = 10,
+    num_candidates: "int | None" = None,
+    field: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "exact",
+) -> DataFrame:
+    """ES 8.x ``_knn_search`` endpoint shape over an indexed vector
+    column: top-``k`` by cosine against ``query_vector``.
+
+    ``mode='exact'`` is the brute-force single-pass TakeOrdered
+    (ES ``exact: true`` / script-score form); ``mode='ann'`` routes
+    through the IVF index path with ``num_candidates`` probes — the
+    HNSW-equivalent approximate trade (similarity.py owns both; this
+    facade only maps the endpoint surface onto them, like the other
+    ES ops/admin shims in this module)."""
+    from bigdatasearchpro_spark.operators import similarity, transform
+
+    emb = spark.table(transform.normalize_index_name(index_name))
+    if mode == "exact":
+        return similarity.cosine_topk(
+            emb, query_vector, k, id_col=id_col, vec_col=field
+        )
+    if mode == "ann":
+        return similarity.ivf_topk(
+            emb, query_vector, k,
+            nprobe=max(1, int((num_candidates or 64) // 16)),
+            id_col=id_col, vec_col=field,
+        )
+    raise ValueError(f"mode must be 'exact' or 'ann', got {mode!r}")

@@ -778,3 +778,30 @@ def test_index_template_dynamic_wildcard_fields(spark):
     finally:
         ddl.delete_index(spark, idx)
         api.delete_template(spark, t)
+
+
+def test_knn_search_endpoint(spark, sf_dir):
+    """ES 8 _knn_search facade: exact mode == brute-force cosine_topk;
+    ann mode returns k rows from the same table; bad mode raises."""
+    from bigdatasearchpro_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    name = "knn_vec_index"
+    emb.write.mode("overwrite").saveAsTable(name)
+    try:
+        qv = [float(x) for x in emb.first()["embedding"]]
+        got = api.knn_search(spark, name, qv, k=5).collect()
+        want = similarity.cosine_topk(spark.table(name), qv, 5).collect()
+        assert [(r["vec_id"], r["score"]) for r in got] == [
+            (r["vec_id"], r["score"]) for r in want
+        ]
+        ann = api.knn_search(
+            spark, name, qv, k=5, mode="ann", num_candidates=64
+        ).collect()
+        assert len(ann) == 5
+        import pytest as pt
+
+        with pt.raises(ValueError):
+            api.knn_search(spark, name, qv, mode="hnsw")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

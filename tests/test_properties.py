@@ -402,3 +402,108 @@ def test_bpe_count_invariants(text):
         # lossless: latin-1 symbol concat == the word's utf-8 bytes
         assert "".join(parts).encode("latin-1") == w.encode("utf-8")
         assert all(parts)  # never an empty symbol
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-89.99, max_value=89.99),
+            st.floats(min_value=-179.99, max_value=179.99),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    precision=st.integers(min_value=1, max_value=6),
+)
+def test_geohash_column_math_equals_interval_halving(spark, pts, precision):
+    """Property: the bit-interleave geohash Column equals the classic
+    interval-halving reference for arbitrary coordinates/precisions."""
+    from bigdatasearchpro_spark.operators import geo
+    from tests.test_geo import _geohash_py
+
+    # points within float-absorption distance of a CELL BOUNDARY are
+    # excluded: there the closed-form floor and the interval-halving
+    # reference legitimately differ by one ulp of rounding (e.g. a
+    # subnormal lon + 180.0 absorbs to exactly 180.0). The engine
+    # contract only needs both ENGINES to agree, and both run the same
+    # floor form; this twin check pins the formula everywhere else.
+    total_bits = 5 * precision
+    lon_step = 360.0 / (1 << ((total_bits + 1) // 2))
+    lat_step = 180.0 / (1 << (total_bits // 2))
+
+    def off_boundary(v, lo0, step):
+        frac = (v - lo0) / step
+        return abs(frac - round(frac)) > 1e-6
+
+    keep = [
+        (la, lo)
+        for la, lo in pts
+        if off_boundary(la, -90.0, lat_step) and off_boundary(lo, -180.0, lon_step)
+    ]
+    if not keep:
+        return
+    df = spark.createDataFrame(
+        [(float(la), float(lo)) for la, lo in keep], "lat double, lon double"
+    )
+    rows = df.select(
+        "lat", "lon",
+        geo.geohash_cell(F.col("lat"), F.col("lon"), precision).alias("gh"),
+    ).collect()
+    for r in rows:
+        assert r["gh"] == _geohash_py(r["lat"], r["lon"], precision)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    verts=st.lists(
+        st.tuples(
+            st.floats(min_value=-80.0, max_value=80.0),
+            st.floats(min_value=-170.0, max_value=170.0),
+        ),
+        min_size=3,
+        max_size=7,
+        unique=True,
+    ),
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-85.0, max_value=85.0),
+            st.floats(min_value=-175.0, max_value=175.0),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_geo_polygon_column_math_equals_pnpoly(spark, verts, pts):
+    """Property: the multiplied-through crossing terms equal the
+    classic division-form PNPOLY for arbitrary polygons and points
+    (skipping points that sit numerically ON an edge, where both
+    formulations are legitimately tie-sensitive)."""
+    from bigdatasearchpro_spark.operators import geo
+    from tests.test_geo import _pnpoly_py
+
+    poly = [(float(a), float(b)) for a, b in verts]
+    if all(a == poly[0][0] for a, _ in poly):
+        return  # degenerate: every edge horizontal, no ray crossings
+    df = spark.createDataFrame(
+        [(float(la), float(lo)) for la, lo in pts], "lat double, lon double"
+    )
+    got = {
+        (r["lat"], r["lon"])
+        for r in geo.geo_polygon_filter(
+            df, "lat", "lon", polygon=poly, prefilter=False
+        ).collect()
+    }
+    for la, lo in pts:
+        on_edge = False
+        n = len(poly)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if y1 != y2 and (y1 > la) != (y2 > la):
+                xi = (x2 - x1) * (la - y1) / (y2 - y1) + x1
+                if abs(lo - xi) < 1e-9:
+                    on_edge = True
+        if on_edge:
+            continue
+        assert ((la, lo) in got) == _pnpoly_py(la, lo, poly), (la, lo, poly)

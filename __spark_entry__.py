@@ -112,6 +112,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_filters_other_bucket",
     "q13_customer_distribution",
     "q21_waiting_supplier",
+    "l3_function_score_decay",
 )
 
 

@@ -1655,3 +1655,47 @@ def percolate_many(
             F.col("__matched") >= F.col("__need")
         )
     ).select(id_col, query_id_col)
+
+
+def decay_expr(
+    value: Column,
+    *,
+    origin: float = 0.0,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    kind: str = "linear",
+) -> Column:
+    """ES ``function_score`` DECAY functions (``linear`` / ``exp`` /
+    ``gauss``) over a numeric column — the distance/recency scoring
+    family: the multiplier is 1 within ``offset`` of ``origin`` and
+    falls to ``decay`` at ``origin ± (offset + scale)``, exactly the
+    public ES contract.
+
+    ``linear`` uses only exactly-rounded IEEE ops (abs/sub/div/max) —
+    an oracle engine replays it bit-for-bit; ``exp``/``gauss`` go
+    through libm ``exp`` (last-ulp engine-dependent — production-fine,
+    and the BM25 ``ln`` precedent has matched across engines every
+    round, but linear is the hash-checked form)."""
+    import math as _math
+
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    d = F.greatest(
+        F.abs(value.cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    if kind == "linear":
+        s = scale / (1.0 - decay)
+        return F.greatest(
+            (F.lit(s) - d) / F.lit(s), F.lit(0.0)
+        )
+    if kind == "exp":
+        lam = _math.log(decay) / scale
+        return F.exp(d * F.lit(lam))
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * _math.log(decay))
+        return F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    raise ValueError(f"kind must be linear/exp/gauss, got {kind!r}")

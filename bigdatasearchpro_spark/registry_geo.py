@@ -584,3 +584,66 @@ def l3_agg_geo_line(spark, sf_dir):
     return geo.geo_line_agg(
         ev, "lat", "lon", group_col="user_id", sort_col="ts", size=5
     ).orderBy("user_id", "seq")
+
+
+_DECAY_SCALE = 6_000_000.0  # linear: scale 3000 km, decay 0.5 -> s = 6000 km
+
+
+def _decay_sql(dist_sql: str) -> str:
+    """Linear-decay SQL with the EXACT op order of search.decay_expr
+    (origin 0, offset 0) followed by the entry's 1e6 floor grid."""
+    dd = "CAST(0.0 AS DOUBLE)"
+    d = (
+        f"greatest(abs(CAST({dist_sql} AS DOUBLE) - {dd}) - {dd}, {dd})"
+    )
+    s = f"CAST({_DECAY_SCALE!r} AS DOUBLE)"
+    mult = f"greatest(({s} - {d}) / {s}, {dd})"
+    return f"CAST(floor({mult} * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+
+
+@register(
+    "l3_function_score_decay",
+    f"""
+    WITH d AS (
+      SELECT c_custkey, {_DIST_SQL} AS dist_m FROM customer
+    )
+    SELECT c_custkey, dist_m, {_decay_sql("dist_m")} AS decay_e6
+    FROM d
+    ORDER BY decay_e6 DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def l3_function_score_decay(spark, sf_dir):
+    """L3 [ES parity]: ``function_score`` DECAY scoring — the linear
+    distance-decay multiplier (scale 3000 km, decay 0.5 at the scale
+    edge: the ES gauss/exp/linear family's exactly-replayable member)
+    over the haversine distance from Paris, floored onto a 1e-6 grid.
+    Every op after the integer distance is exactly-rounded IEEE
+    (abs/sub/div/max/floor), so both engines produce identical
+    multipliers; exp/gauss share the same code path and are pinned in
+    pytest against python math (operators/search.py decay_expr)."""
+    from bigdatasearchpro_spark.operators.search import decay_expr
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    d = cust.select(
+        "c_custkey",
+        geo.haversine_m_floor(
+            F.col("lat"), F.col("lon"), _ORIGIN_LAT, _ORIGIN_LON
+        ).alias("dist_m"),
+    )
+    mult = decay_expr(
+        F.col("dist_m"), scale=_DECAY_SCALE / 2.0, decay=0.5, kind="linear"
+    )
+    return (
+        d.select(
+            "c_custkey",
+            "dist_m",
+            F.floor(mult * F.lit(1_000_000.0)).cast("bigint").alias("decay_e6"),
+        )
+        .orderBy(F.desc("decay_e6"), F.asc("c_custkey"))
+        .limit(20)
+    )

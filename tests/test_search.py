@@ -521,3 +521,48 @@ def test_highlight_russian_stems_unicode(spark):
     ).collect()
     assert [r["doc_id"] for r in hits] == [1]
     assert "<em>таблицы</em>" in hits[0]["highlight"]
+
+
+def test_decay_expr_modes_match_python_math(spark):
+    import math
+
+    from bigdatasearchpro_spark.operators.search import decay_expr
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (0.0, 5.0, 10.0, 20.0, 45.0)], "v double"
+    )
+    origin, scale, offset, decay = 10.0, 10.0, 5.0, 0.5
+
+    def d(v):
+        return max(abs(v - origin) - offset, 0.0)
+
+    expect = {
+        "linear": lambda v: max((scale / 0.5 - d(v)) / (scale / 0.5), 0.0),
+        "exp": lambda v: math.exp(d(v) * math.log(decay) / scale),
+        "gauss": lambda v: math.exp(
+            -(d(v) ** 2) / (2.0 * (-(scale * scale) / (2.0 * math.log(decay))))
+        ),
+    }
+    for kind, fn in expect.items():
+        rows = df.select(
+            "v",
+            decay_expr(
+                F.col("v"), origin=origin, scale=scale,
+                offset=offset, decay=decay, kind=kind,
+            ).alias("m"),
+        ).collect()
+        for r in rows:
+            assert abs(r["m"] - fn(r["v"])) < 1e-12, (kind, r["v"])
+        by_v = {r["v"]: r["m"] for r in rows}
+        # contract: multiplier is 1 anywhere within `offset` of origin
+        assert by_v[5.0] == 1.0 and by_v[10.0] == 1.0
+        # and decays monotonically outside it
+        assert by_v[45.0] < by_v[20.0] <= 1.0
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        decay_expr(F.col("v"), scale=0.0)
+    with pt.raises(ValueError):
+        decay_expr(F.col("v"), scale=1.0, decay=1.5)
+    with pt.raises(ValueError):
+        decay_expr(F.col("v"), scale=1.0, kind="step")

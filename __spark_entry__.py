@@ -113,6 +113,7 @@ _R7_DEFER_TO_R8 = (
     "q13_customer_distribution",
     "q21_waiting_supplier",
     "l3_function_score_decay",
+    "l3_intervals_query",
 )
 
 

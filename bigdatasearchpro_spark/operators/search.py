@@ -1699,3 +1699,115 @@ def decay_expr(
         sigma2 = -(scale * scale) / (2.0 * _math.log(decay))
         return F.exp(-(d * d) / F.lit(2.0 * sigma2))
     raise ValueError(f"kind must be linear/exp/gauss, got {kind!r}")
+
+
+def intervals_match_expr(
+    text_col,
+    terms: Sequence[str],
+    *,
+    ordered: bool = True,
+    max_gaps: int = 0,
+    analyzer: str = "standard",
+) -> Column:
+    """ES ``intervals`` query, the ``match`` source: the analyzer
+    tokens contain ``terms`` within an interval of at most
+    ``k - 1 + max_gaps`` positions — ``ordered`` requires the terms in
+    sequence (identical to sloppy-phrase :func:`proximity_expr`);
+    unordered lets each term sit anywhere inside the window.
+
+    Same no-shuffle shape as the proximity predicate: per-term
+    position arrays + a nested ``exists`` chain carrying the running
+    (min, max) window, pruned at every step.  The unordered form
+    requires DISTINCT terms (with duplicates two chain steps could
+    claim the same position — ES tracks per-occurrence intervals;
+    honest subset, enforced with a ValueError)."""
+    if not terms:
+        return F.lit(False)
+    if max_gaps < 0:
+        raise ValueError("max_gaps must be >= 0")
+    if ordered:
+        return proximity_expr(text_col, terms, max_gaps, analyzer)
+    if len(set(terms)) != len(terms):
+        raise ValueError("unordered intervals require distinct terms")
+    if len(terms) == 1:
+        return F.array_contains(tokens_expr(text_col, analyzer), terms[0])
+    toks = tokens_expr(text_col, analyzer)
+
+    def positions(term: str) -> Column:
+        return F.filter(
+            F.transform(
+                toks, lambda t, i: F.when(t == F.lit(term), i).otherwise(-1)
+            ),
+            lambda x: x >= 0,
+        )
+
+    k = len(terms)
+    bound = F.lit(k - 1 + max_gaps)
+
+    def chain(i: int, pmin: Column, pmax: Column) -> Column:
+        def step(p: Column) -> Column:
+            lo, hi = F.least(pmin, p), F.greatest(pmax, p)
+            fits = (hi - lo) <= bound
+            if i == k - 1:
+                return fits
+            return fits & chain(i + 1, lo, hi)
+
+        return F.exists(positions(terms[i]), step)
+
+    return F.exists(positions(terms[0]), lambda p: chain(1, p, p))
+
+
+def intervals_query(
+    docs: DataFrame,
+    spec: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES ``intervals`` QUERY over a spec subset mirroring the public
+    request shape::
+
+        {"match":  {"query": "a b", "ordered": bool, "max_gaps": N}}
+        {"any_of": {"intervals": [spec, ...]}}        # OR
+        {"all_of": {"intervals": [spec, ...]}}        # AND (no cross-
+                                                      # interval gaps —
+                                                      # honest subset)
+
+    Compiles the whole spec to ONE narrow boolean predicate (each leaf
+    is an :func:`intervals_match_expr`), so the filter is a single
+    codegen span over the scan — the same shape as the query_string
+    compiler.  Returns matched ``id_col`` rows."""
+
+    def build(node: dict) -> Column:
+        if not isinstance(node, dict) or len(node) != 1:
+            raise ValueError(f"bad intervals node: {node!r}")
+        kind, body = next(iter(node.items()))
+        if kind == "match":
+            terms = analyze_query(body["query"], analyzer)
+            mg = body.get("max_gaps")
+            # ES: unset / -1 means unbounded gaps
+            mg = _BIG_GAPS if mg is None or int(mg) < 0 else int(mg)
+            return intervals_match_expr(
+                text_col,
+                terms,
+                ordered=bool(body.get("ordered", False)),
+                max_gaps=mg,
+                analyzer=analyzer,
+            )
+        if kind in ("any_of", "all_of"):
+            subs = [build(n) for n in body["intervals"]]
+            if not subs:
+                raise ValueError(f"{kind} needs at least one interval")
+            out = subs[0]
+            for s in subs[1:]:
+                out = (out | s) if kind == "any_of" else (out & s)
+            return out
+        raise ValueError(f"unsupported intervals source: {kind!r}")
+
+    return docs.filter(build(spec)).select(id_col).orderBy(id_col)
+
+
+# ES default when max_gaps is unset: unbounded (-1); a corpus document
+# is bounded by its own token count, so "huge" is exact here.
+_BIG_GAPS = 1_000_000

@@ -2573,3 +2573,60 @@ def l3_analyzer_russian(spark, sf_dir):
 # Part 3 (UDF surface, multimodal ring, embedding near-dup, IVF ANN)
 # registers itself on import.
 from bigdatasearchpro_spark import registry_ext  # noqa: E402,F401
+
+
+@register(
+    "l3_intervals_query",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(l) AS term,
+             unnest(range(1, len(l) + 1)) AS pos
+      FROM base
+    ),
+    ordered_arm AS (
+      SELECT DISTINCT a.doc_id
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+      WHERE a.term = 'spark' AND b.term = 'join'
+        AND b.pos > a.pos AND b.pos - a.pos <= 3
+    ),
+    unordered_arm AS (
+      SELECT DISTINCT a.doc_id
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+      WHERE a.term = 'window' AND b.term = 'group'
+        AND abs(b.pos - a.pos) <= 2
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id FROM ordered_arm
+      UNION
+      SELECT doc_id FROM unordered_arm
+    ) ORDER BY doc_id
+    """,
+)
+def l3_intervals_query(spark, sf_dir):
+    """L3 [ES parity]: ``intervals`` query — the modern proximity DSL:
+    ``any_of`` over an ORDERED match (`spark join`, max_gaps 2) and an
+    UNORDERED match (`window group`, max_gaps 1).  The whole spec
+    compiles to ONE narrow boolean predicate (per-term position arrays
+    + nested exists chains carrying the running window — no explode,
+    no join, no shuffle; the oracle replays it as positional
+    self-joins) (operators/search.py intervals_query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.intervals_query(
+        docs,
+        {
+            "any_of": {
+                "intervals": [
+                    {"match": {"query": "spark join", "ordered": True,
+                               "max_gaps": 2}},
+                    {"match": {"query": "window group", "ordered": False,
+                               "max_gaps": 1}},
+                ]
+            }
+        },
+    )

@@ -566,3 +566,53 @@ def test_decay_expr_modes_match_python_math(spark):
         decay_expr(F.col("v"), scale=1.0, decay=1.5)
     with pt.raises(ValueError):
         decay_expr(F.col("v"), scale=1.0, kind="step")
+
+
+def test_intervals_match_expr_vs_bruteforce(spark):
+    from bigdatasearchpro_spark.operators.search import (
+        intervals_match_expr,
+        intervals_query,
+    )
+
+    rows = [
+        (1, "a x b"),        # a..b gap 1
+        (2, "b a"),          # reversed, adjacent
+        (3, "a x x x b"),    # gap 3
+        (4, "a"),            # missing b
+        (5, "x b x x a x"),  # reversed gap 3 (width 4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def got(ordered, gaps):
+        return {
+            r["doc_id"]
+            for r in df.filter(
+                intervals_match_expr(
+                    "text", ["a", "b"], ordered=ordered, max_gaps=gaps
+                )
+            ).collect()
+        }
+
+    assert got(True, 0) == set()           # no adjacent ordered pair
+    assert got(True, 1) == {1}
+    assert got(True, 3) == {1, 3}
+    assert got(False, 0) == {2}            # unordered adjacency
+    assert got(False, 1) == {1, 2}
+    assert got(False, 3) == {1, 2, 3, 5}
+    # combinators
+    out = intervals_query(
+        df,
+        {"all_of": {"intervals": [
+            {"match": {"query": "a", "ordered": True}},
+            {"match": {"query": "b", "ordered": True}},
+        ]}},
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3, 5]
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        intervals_match_expr("text", ["a", "a"], ordered=False)
+    with pt.raises(ValueError):
+        intervals_query(df, {"span_near": {}})
+    with pt.raises(ValueError):
+        intervals_query(df, {"any_of": {"intervals": []}})

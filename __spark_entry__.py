@@ -114,6 +114,13 @@ _R7_DEFER_TO_R8 = (
     "q21_waiting_supplier",
     "l3_function_score_decay",
     "l3_intervals_query",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q11_important_stock",
+    "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q20_potential_promotion",
 )
 
 

@@ -2809,3 +2809,419 @@ def q21_waiting_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 7, third pass): the seven shapes still absent
+# from the optimizer-parity suite — Q2/Q3/Q5/Q11/Q14/Q16/Q20.  The
+# fixture has no partsupp table (TESTDATA.md), so the partsupp-based
+# queries (Q2/Q11/Q16/Q20) derive the part-supplier relation from
+# lineitem — the JOIN/SUBQUERY SHAPES (correlated min, global scalar
+# threshold, distinct-count + anti-join, correlated quantity threshold)
+# are preserved exactly; only the base relation is adapted.
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name,
+           CAST(ps.cost AS DOUBLE) AS cost
+    FROM ps
+    JOIN eu ON eu.s_suppkey = ps.l_suppkey
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+      AND ps.cost = (
+        SELECT min(ps2.cost) FROM ps ps2
+        JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+        WHERE ps2.l_partkey = ps.l_partkey
+      )
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """Relational: TPC-H Q2 shape — the cheapest supplier per part
+    within a region, i.e. a CORRELATED MIN subquery.  Adapted to the
+    fixture (no partsupp): the part-supplier relation is the per-pair
+    min lineitem price, in DECIMAL so the min is exact and the
+    min-equality rejoin is bit-stable cross-engine.  The correlated
+    subquery decorrelates to ONE aggregation (min cost per part over
+    region suppliers) re-joined on (partkey, cost) — no per-row
+    subquery execution at any scale; region/nation/supplier all
+    broadcast, so the only shuffles are the two partkey aggregations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("cost"))
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        su.join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+    best = ps_eu.groupBy(F.col("l_partkey").alias("b_pk")).agg(
+        F.min("cost").alias("best_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    return (
+        ps_eu.join(
+            best,
+            (ps_eu.l_partkey == best.b_pk) & (ps_eu.cost == best.best_cost),
+        )
+        .join(F.broadcast(p), ps_eu.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < '1998-03-15' AND l.l_shipdate > '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Relational: TPC-H Q3 shape — top-10 unshipped orders of one
+    market segment by revenue.  The segment filter prunes customer
+    BEFORE its join (and customer stays the small build side); the
+    date filters push to the orders and lineitem scans; one (orderkey,
+    orderdate) aggregation; the top-10 is a TakeOrderedAndProject, so
+    nothing but the heap crosses to the driver at any scale.  Money in
+    DECIMAL, per the deterministic-aggregation pattern."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")), 2,
+            ).cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """Relational: TPC-H Q5 shape — revenue where supplier and
+    customer share a nation, per nation of a region.  The signature
+    constraint s_nationkey = c_nationkey rides the supplier join as a
+    SECOND equi-key (no post-filter): supplier+nation+region broadcast,
+    the date filter pushes to the orders scan, and the only shuffles
+    are lineitem-orders-customer plus one 5-row nation aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (su.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")), 2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,4))) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    )
+    , tot AS (
+      SELECT CAST(sum(v) AS DOUBLE) AS t, count(*) AS k FROM val
+    )
+    SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE CAST(v AS DOUBLE) > 2.0 * t / k
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """Relational: TPC-H Q11 shape — parts whose stock value within one
+    region exceeds a FRACTION OF THE GLOBAL TOTAL (a scalar subquery in
+    the HAVING).  Adapted to the fixture (no partsupp): value is the
+    per-part revenue from region suppliers.  The scalar global total is
+    ONE extra reduce over the already-aggregated per-part values — a
+    1-row broadcast crossed back in, NOT a rescan of lineitem; the
+    threshold compares in DOUBLE on both engines (exact decimal-to-
+    double conversion, identical operand order) so the cut is
+    bit-stable.  The fraction is 2x the MEAN per-part share (2.0/k) —
+    spec'd TPC-H uses 0.0001/SF, i.e. also scales inversely with part
+    count; a fixed fraction returns the whole table at small SF and
+    nothing at large SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        su.join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asia), li.l_suppkey == asia.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,4)")).alias("v")
+        )
+    )
+    total = val.agg(
+        F.sum("v").cast("double").alias("t"), F.count("*").alias("k")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.lit(2.0) * F.col("t") / F.col("k"))
+        .select(
+            "l_partkey",
+            F.round("v", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+             AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= '1997-09-01' AND l.l_shipdate < '1997-10-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """Relational: TPC-H Q14 shape — promo revenue share for one
+    month: a conditional aggregate over a broadcast part join, zero
+    GROUP BY keys (one global reduce).  Both sums accumulate in
+    DECIMAL (exact, order-independent), convert to DOUBLE once, and
+    divide in the same operand order on both engines — the ratio is
+    bit-stable with NO rounding step (rounding a low-precision float
+    is the cross-engine hash trap; a deterministic dividend/divisor
+    pair needs none)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                  .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 4, 7, 10, 14, 19, 25, 30, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """Relational: TPC-H Q16 shape — how many distinct suppliers offer
+    each (brand, type, size), EXCLUDING a supplier blocklist (the
+    NOT-IN subquery; fixture stand-in: low account balance for the
+    spec's complaint-comment scan).  Adapted to the fixture (no
+    partsupp): the offer relation is lineitem.  The NOT IN becomes a
+    broadcast LEFT ANTI join (supplier keys are never null here, so
+    anti == NOT IN), the brand/size filters prune part before its
+    broadcast, and the distinct-count is one partial_count(distinct)
+    aggregation on the group key — no global distinct."""
+    su_bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 30, 36, 45, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(su_bad), li.l_suppkey == su_bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS q_ss
+      FROM lineitem
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    part_total AS (
+      SELECT l_partkey, sum(q_ss) AS q_p FROM shipped GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM shipped s
+      JOIN part_total t ON t.l_partkey = s.l_partkey
+      JOIN part p ON p.p_partkey = s.l_partkey
+      WHERE p.p_name LIKE '%widget%' AND 2 * s.q_ss > t.q_p
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+      AND n.n_regionkey = 2
+    ORDER BY s.s_name
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """Relational: TPC-H Q20 shape — suppliers who DOMINATE the supply
+    of a named part family in a year (the spec's availqty >
+    half-of-shipped correlated subquery; fixture adaptation without
+    partsupp: a supplier qualifies when its own 1997 shipments of a
+    widget part exceed half that part's total 1997 shipments).  The
+    correlated half-sum decorrelates into two stacked aggregations on
+    the SAME partkey shuffle key (the second is map-side combinable on
+    the first's partitioning), the dominance test is integer-exact
+    (2*q_ss > q_p; quantities are integral), and the IN collapses to a
+    LEFT SEMI join against the tiny dominant-supplier set, which
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q_ss")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("t_pk")).agg(
+        F.sum("q_ss").alias("q_p")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    dominant = (
+        shipped.join(part_total, shipped.l_partkey == part_total.t_pk)
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(2 * F.col("q_ss") > F.col("q_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        su.join(F.broadcast(dominant), su.s_suppkey == dominant.l_suppkey,
+                "left_semi")
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

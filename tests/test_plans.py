@@ -526,3 +526,46 @@ def test_q21_shape_compiles_to_semi_and_anti(spark, sf_dir):
         .toString()
     )
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_completion_shapes(spark, sf_dir):
+    """The round-7 TPC-H completion set compiles to the intended
+    physical shapes: Q3 takes its top-10 via TakeOrdered with the
+    segment dim broadcast; Q5 rides the nation-equality constraint as
+    a broadcast join key (no post-join filter node needed); Q16's
+    NOT-IN blocklist is a broadcast LEFT ANTI; Q20's dominant-supplier
+    IN is a LEFT SEMI; Q2/Q11 re-join their scalar/min aggregates via
+    broadcast, never a per-row subquery."""
+    q3 = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    assert has_take_ordered(q3)
+    p3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p3
+
+    p5 = (
+        QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p5.count("BroadcastHashJoin") >= 3
+
+    p16 = (
+        QUERIES["q16_supplier_part_counts"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+
+    p20 = (
+        QUERIES["q20_potential_promotion"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in p20
+
+    p2 = (
+        QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p2
+    p11 = (
+        QUERIES["q11_important_stock"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in p11 or "BroadcastHashJoin" in p11

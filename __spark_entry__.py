@@ -121,6 +121,7 @@ _R7_DEFER_TO_R8 = (
     "q14_promo_effect",
     "q16_supplier_part_counts",
     "q20_potential_promotion",
+    "l4_rrf_hybrid_topk",
 )
 
 

@@ -1,0 +1,135 @@
+"""Hybrid retrieval: reciprocal-rank fusion of keyword (BM25) and
+vector (cosine) rankings — the modern ES ``retriever: {rrf: ...}``
+search shape (public RRF: Cormack/Clarke/Buettcher SIGIR'09;
+Elasticsearch 8.x exposes it over exactly this keyword+kNN pair).
+
+The reference's user surface is query-in, ranked-hits-out
+(indexView.html:13-19); RRF is how that surface composes with the L4
+vector ring when both a text query and a query embedding exist.
+
+Scale shape: each leg is an independent top-``window`` retrieval
+(BM25: one scan + TakeOrdered; vector: one Arrow-batched scan +
+TakeOrdered) — the fusion then joins two WINDOW-SIZED pages, so the
+only corpus-sized work is the two scans themselves.  Rank math is
+integer; the RRF score ``1/(rrf_k + rank)`` divides small exact
+integers, so the fused ordering is bit-stable across engines and a
+SQL oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators.search import search_topk
+
+
+def vector_rank_page(
+    emb: DataFrame,
+    query_ints: Sequence[int],
+    window: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``window`` vectors by cosine to an integer query vector,
+    with their 1-based rank.  The corpus side is int8-quantized and
+    the dot/norm are BIGINT (the semantic-dedup arithmetic, one
+    Arrow-batched numpy pass); the sort key ``dot / sqrt(n)`` divides
+    an exact integer by a correctly-rounded sqrt of an exact integer,
+    so it is bit-identical in any IEEE engine — ranks are replayable.
+    The page selection is a TakeOrdered (per-partition heaps), and the
+    row_number window runs over the already-collected ``window`` rows,
+    never the corpus.  Output: ``(id, vec_rank)``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qi = [int(v) for v in query_ints]
+    if not any(qi):
+        raise ValueError("query vector must be non-zero")
+    qv = np.asarray(qi, dtype=np.int64)
+
+    def dot_norm(batch):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in batch])
+        amax = np.abs(m).max(axis=1, keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        q = np.clip(np.floor(m / scale + 0.5), -127, 127).astype(np.int64)
+        return pd.DataFrame({"dot": q @ qv, "n": (q * q).sum(axis=1)})
+
+    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>")
+    page = (
+        emb.select(F.col(id_col), dn(F.col(vec_col)).alias("__dn"))
+        # n = 0 (a zero vector) would make the sort key 0/0 = NaN, and
+        # engines DISAGREE on NaN sort position — drop it as unrankable
+        .filter(F.col("__dn.n") > 0)
+        .select(
+            F.col(id_col),
+            (
+                F.col("__dn.dot").cast("double")
+                / F.sqrt(F.col("__dn.n").cast("double"))
+            ).alias("__cos"),
+        )
+        .orderBy(F.desc("__cos"), F.asc(id_col))
+        .limit(window)
+    )
+    w = Window.orderBy(F.desc("__cos"), F.asc(id_col))
+    # long, not int: SQL engines type row_number as BIGINT
+    return page.select(
+        F.col(id_col),
+        F.row_number().over(w).cast("long").alias("vec_rank"),
+    )
+
+
+def rrf_hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query: str,
+    query_ints: Sequence[int],
+    *,
+    k: int = 10,
+    window: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-``window`` and the
+    cosine top-``window``::
+
+        rrf(d) = sum over legs of 1 / (rrf_k + rank_leg(d))
+
+    (rrf_k=60 is the public default), a document absent from a leg's
+    page contributing nothing — the standard windowed RRF semantics.
+    Returns the fused top-``k``: ``(doc_id, text_rank, vec_rank,
+    rrf_score)``, score desc, id asc; ranks are NULL for the leg that
+    did not retrieve the document."""
+    if window < k:
+        raise ValueError("window must be >= k")
+    text_page = search_topk(
+        docs, query, window, id_col=id_col, text_col=text_col
+    )
+    wt = Window.orderBy(F.desc("score"), F.asc(id_col))
+    text_ranks = text_page.select(
+        F.col(id_col),
+        F.row_number().over(wt).cast("long").alias("text_rank"),
+    )
+    vec_ranks = vector_rank_page(
+        emb, query_ints, window, id_col=vec_id_col
+    ).withColumnRenamed(vec_id_col, id_col)
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (F.lit(rrf_k) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    return (
+        text_ranks.join(vec_ranks, id_col, "full_outer")
+        .select(
+            id_col,
+            "text_rank",
+            "vec_rank",
+            (contrib("text_rank") + contrib("vec_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

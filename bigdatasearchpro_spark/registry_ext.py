@@ -2526,3 +2526,86 @@ def l4_mmr_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.mmr_topk(emb, qv, 10, pool_size=100)
+
+
+def _rrf_oracle() -> str:
+    """Replay the fused ranking: the flagship BM25 oracle widened to
+    the 50-hit page, the int8 cosine page from the range-search
+    quantize CTE, row_number ranks, and the RRF sum — every rank is an
+    integer and every float step (dot/sqrt, CAST(1 AS DOUBLE)/(60+r))
+    is a correctly-rounded IEEE op on exact operands, so the fusion is
+    bit-stable.  Bare 1.0 would parse as DECIMAL in DuckDB (the
+    registry_geo lesson) — cast it."""
+    from bigdatasearchpro_spark.registry import ORACLES
+
+    bm25_50 = ORACLES["l3_search_bm25_topk"].replace("LIMIT 10", "LIMIT 50")
+    qlist = "[" + ",".join(str(v) for v in _RANGE_QUERY_INTS) + "]"
+    return f"""
+    WITH tpage AS (
+      SELECT * FROM ({bm25_50})
+    ),
+    tranks AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+      FROM tpage
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                      0) AS amax
+      FROM embeddings
+    ),
+    qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(-127, least(127, floor(x::DOUBLE /
+                      (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                      + 0.5)))::BIGINT) AS q
+      FROM v
+    ),
+    vsc AS (
+      SELECT vec_id,
+             list_sum([q[i] * ({qlist})[i]
+                       for i in generate_series(1, 64)])::BIGINT AS dot,
+             list_sum(list_transform(q, x -> x * x))::BIGINT AS n
+      FROM qt
+    ),
+    vpage AS (
+      SELECT vec_id, dot::DOUBLE / sqrt(n::DOUBLE) AS cos
+      FROM vsc WHERE n > 0
+      ORDER BY cos DESC, vec_id ASC LIMIT 50
+    ),
+    vranks AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS vec_rank
+      FROM vpage
+    )
+    SELECT coalesce(t.doc_id, vr.vec_id) AS doc_id,
+           t.text_rank, vr.vec_rank,
+           coalesce(CAST(1 AS DOUBLE) / (60 + t.text_rank),
+                    CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / (60 + vr.vec_rank),
+                      CAST(0 AS DOUBLE)) AS rrf_score
+    FROM tranks t FULL OUTER JOIN vranks vr ON t.doc_id = vr.vec_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@register("l4_rrf_hybrid_topk", _rrf_oracle())
+def l4_rrf_hybrid_topk(spark, sf_dir):
+    """L4+L3 hybrid retrieval: reciprocal-rank fusion (ES 8.x
+    ``retriever: {rrf: ...}``; Cormack et al. 2009) of the flagship
+    BM25 keyword page and the int8-exact cosine page over the SAME id
+    space — rrf(d) = sum 1/(60 + rank_leg(d)) over a 50-hit window per
+    leg, fused top-10.  Each leg is one corpus scan + TakeOrdered; the
+    fusion joins two page-sized rank tables, so rank math never
+    touches the corpus (operators/hybrid.py rrf_hybrid_topk)."""
+    from bigdatasearchpro_spark.operators.hybrid import rrf_hybrid_topk
+    from bigdatasearchpro_spark.registry_text import SEARCH_QUERY
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_hybrid_topk(
+        docs, emb, SEARCH_QUERY, _RANGE_QUERY_INTS, k=10, window=50
+    )

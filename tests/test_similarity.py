@@ -549,3 +549,58 @@ def test_mmr_topk_matches_bruteforce_twin_and_diversifies(spark):
         similarity.mmr_topk(emb, q, 5, pool_size=3)
     with pt.raises(ValueError):
         similarity.mmr_topk(emb, q, 2, lambda_mult=1.5)
+
+
+def test_rrf_hybrid_fuses_hand_fixture(spark):
+    """RRF on a hand-computable fixture: text ranks from BM25, vector
+    ranks from int8 cosine, fusion 1/(60+r) with absent legs
+    contributing zero, ties broken by id."""
+    from bigdatasearchpro_spark.operators.hybrid import (
+        rrf_hybrid_topk,
+        vector_rank_page,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple"),   # strong text hit
+            (2, "apple banana"),        # weaker text hit
+            (3, "cherry only"),         # no text hit
+            (4, "apple"),               # text hit
+        ],
+        "doc_id long, text string",
+    )
+    q = [1, 0, 0, 0]
+    emb = spark.createDataFrame(
+        [
+            (2, [1.0, 0.0, 0.0, 0.0]),   # cos 1.0 -> vec rank 1
+            (3, [1.0, 1.0, 0.0, 0.0]),   # cos ~.707 -> vec rank 2
+            (4, [0.0, 1.0, 0.0, 0.0]),   # cos 0 -> vec rank 3
+            (5, [0.0, 0.0, 0.0, 0.0]),   # zero vector: unrankable
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    vr = {r["vec_id"]: r["vec_rank"]
+          for r in vector_rank_page(emb, q, 10).collect()}
+    assert vr == {2: 1, 3: 2, 4: 3}
+
+    out = rrf_hybrid_topk(docs, emb, "apple", q, k=10, window=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    # doc 2 is in both legs; docs 1/4 text-only; docs 3 both; 5 absent
+    assert got[2]["vec_rank"] == 1 and got[2]["text_rank"] is not None
+    assert got[1]["vec_rank"] is None
+    assert got[5 if 5 in got else 2] is not None  # 5 never appears
+    assert 5 not in got
+    for r in out:
+        expect = (1.0 / (60 + r["text_rank"]) if r["text_rank"] else 0.0) + (
+            1.0 / (60 + r["vec_rank"]) if r["vec_rank"] else 0.0
+        )
+        assert r["rrf_score"] == expect
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        rrf_hybrid_topk(docs, emb, "apple", q, k=20, window=10)
+    with pt.raises(ValueError):
+        vector_rank_page(emb, [0, 0, 0, 0], 5)

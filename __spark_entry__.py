@@ -122,6 +122,7 @@ _R7_DEFER_TO_R8 = (
     "q16_supplier_part_counts",
     "q20_potential_promotion",
     "l4_rrf_hybrid_topk",
+    "l5_gopher_rules",
 )
 
 

@@ -550,3 +550,81 @@ def temperature_quotas(
     if tw == 0:
         return {d: 0 for d in counts}
     return {d: target_total * w // tw for d, w in weights.items()}
+
+
+# Gopher quality-rule stopword probe (Rae et al. 2021 §A1.1.2: "must
+# contain at least 2 of a small English stopword set").
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: int = 3,
+    max_mean_wl: int = 10,
+    max_symbol_pct: int = 10,
+    min_alpha_pct: int = 80,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher repetition-free quality gates (Rae et al. 2021, table
+    A1; the same rule family Dolma/RefinedWeb reuse): per document,
+
+    - word count within ``[min_words, max_words]``
+    - mean word length within ``[min_mean_wl, max_mean_wl]``
+    - symbol words (``#`` / ``...``) at most ``max_symbol_pct``% of words
+    - at least ``min_alpha_pct``% of words contain an alphabetic char
+    - at least ``min_stop_hits`` DISTINCT stopwords from a small set
+
+    (the spec's line-level bullet/ellipsis rules need line structure
+    the corpus schema does not carry — they belong to a line-splitting
+    pre-stage, same note as segment_dedup's).
+
+    EVERY gate is integer-exact — ratios are cross-multiplied
+    (``100 * n_alpha >= min_alpha_pct * n_words``), mean word length
+    compares ``sum_len`` against ``bound * n_words`` — so the boolean
+    columns are bit-replayable by any SQL engine, and the whole
+    evaluation is ONE narrow projection over the scan: no shuffle, no
+    Python, no second tokenization pass (words are staged once, the
+    quality_stats lesson).
+
+    Output: ``(id, n_words, r_word_count, r_mean_word_len, r_symbol,
+    r_alpha, r_stopwords, keep)`` with ``keep`` the conjunction."""
+    t = F.trim(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.filter(F.split(t, r"\s+"), lambda x: x != "").alias("__w"),
+    )
+    w = F.col("__w")
+    n_words = F.size(w)
+    sum_wl = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_symbol = F.size(
+        F.filter(w, lambda x: (x == "#") | x.contains("..."))
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(F.transform(w, lambda x: F.lower(x)),
+                     lambda x: x.isin(*GOPHER_STOPS))
+        )
+    )
+    r_wc = (n_words >= min_words) & (n_words <= max_words)
+    r_wl = (sum_wl >= F.lit(min_mean_wl) * n_words) & (
+        sum_wl <= F.lit(max_mean_wl) * n_words
+    )
+    r_sym = F.lit(100) * n_symbol <= F.lit(max_symbol_pct) * n_words
+    r_alpha = F.lit(100) * n_alpha >= F.lit(min_alpha_pct) * n_words
+    r_stop = stop_hits >= min_stop_hits
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_wl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_wl & r_sym & r_alpha & r_stop).alias("keep"),
+    )

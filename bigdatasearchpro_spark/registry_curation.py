@@ -711,3 +711,60 @@ def l5_pipeline_curation_v3(spark, sf_dir):
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "l5_gopher_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(words)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(words, x -> strlen(x))),
+                      0)::BIGINT AS sum_wl,
+             len(list_filter(words,
+                 x -> x = '#' OR contains(x, '...')))::BIGINT AS n_symbol,
+             len(list_filter(words,
+                 x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+             len(list_distinct(list_filter(
+                 list_transform(words, x -> lower(x)),
+                 x -> list_contains(
+                   ['the','be','to','of','and','that','have','with'], x)
+             )))::BIGINT AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words)
+             AS r_mean_word_len,
+           (100 * n_symbol <= 10 * n_words) AS r_symbol,
+           (100 * n_alpha >= 80 * n_words) AS r_alpha,
+           (stop_hits >= 1) AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words)
+            AND (100 * n_symbol <= 10 * n_words)
+            AND (100 * n_alpha >= 80 * n_words)
+            AND (stop_hits >= 1)) AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def l5_gopher_rules(spark, sf_dir):
+    """L5: the Gopher quality-rule gate (Rae et al. 2021 table A1; the
+    rule family Dolma/RefinedWeb reuse) — word-count bounds, mean-word-
+    length bounds, symbol-word and non-alpha-word ratio caps, and the
+    distinct-stopword probe, each surfaced as its own boolean plus the
+    conjunctive keep.  Every ratio is CROSS-MULTIPLIED to integers so
+    the gate is bit-replayable, and the whole evaluation is one narrow
+    projection over the scan — the 100 TB shape for a per-document
+    filter (operators/curation.py gopher_rules).  min_stop_hits is 1
+    here (not the spec's 2): the synthetic fixture vocabulary carries
+    exactly one stopword ("the"), so 2 would gate every document
+    identically — the operator default stays at the published 2."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.gopher_rules(docs, min_stop_hits=1).orderBy("doc_id")

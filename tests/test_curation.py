@@ -452,3 +452,38 @@ def test_temperature_quotas_upsample_small_domains(spark):
         curation.temperature_quotas(docs, target_total=-1)
     with pt.raises(ValueError):
         curation.temperature_quotas(docs, target_total=10, alpha=0)
+
+
+def test_gopher_rules_hand_fixture(spark):
+    """Each Gopher gate verified against hand-computed values on a
+    fixture exercising every rule, at the published defaults."""
+    from bigdatasearchpro_spark.operators.curation import gopher_rules
+
+    fifty = " ".join(["the", "of"] + ["word"] * 48)       # 50 words, 2 stops
+    rows = [
+        (1, fifty),                                        # passes all
+        (2, "the of " + "word " * 10),                     # too short
+        (3, " ".join(["the", "of"] + ["#"] * 10 + ["word"] * 40)),  # symbols
+        (4, " ".join(["the", "of"] + ["12345"] * 48)),     # non-alpha words
+        (5, " ".join(["word"] * 50)),                      # no stopwords
+        (6, " ".join(["the", "of"] + ["ab"] * 48)),        # mean wl < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df, min_words=50).collect()}
+
+    assert got[1]["keep"]
+    assert not got[2]["r_word_count"] and not got[2]["keep"]
+    # doc 3: 12 symbol words of 52 -> 100*12 > 10*52 -> symbol rule fails
+    assert not got[3]["r_symbol"] and got[3]["r_word_count"]
+    # doc 4: 2 alpha of 50 -> alpha rule fails
+    assert not got[4]["r_alpha"]
+    assert not got[5]["r_stopwords"] and got[5]["r_alpha"]
+    # doc 6: sum_wl = 3+2+2*48 = 101 < 3*50 -> mean-wl rule fails
+    assert not got[6]["r_mean_word_len"]
+    # integer cross-multiplication boundary: exactly 80% alpha passes
+    b = spark.createDataFrame(
+        [(7, " ".join(["the", "of"] + ["word"] * 6 + ["123"] * 2))],
+        "doc_id long, text string",
+    )
+    r7 = gopher_rules(b, min_words=1).collect()[0]
+    assert r7["r_alpha"] and r7["keep"]

@@ -123,6 +123,9 @@ _R7_DEFER_TO_R8 = (
     "q20_potential_promotion",
     "l4_rrf_hybrid_topk",
     "l5_gopher_rules",
+    "l3_agg_multi_terms",
+    "l3_agg_top_metrics",
+    "l3_agg_string_stats",
 )
 
 

@@ -30,6 +30,9 @@ Coverage (public ES 6.x aggregation names):
 - ``auto_date_histogram_agg`` — interval ladder choice + dense grid
 - ``percentile_ranks_agg`` — exact inverse percentiles (integer grid)
 - ``matrix_stats_agg``     — covariance/correlation on exact moments
+- ``multi_terms_agg``       — composite-key terms buckets (7.12+)
+- ``top_metrics_agg``       — arg-max metrics via max_by/min_by
+- ``string_stats_agg``      — length stats (+optional entropy)
 - pipeline aggs over bucket frames: ``derivative_agg``,
   ``cumulative_sum_agg``, ``moving_avg_agg``, ``serial_diff_agg``,
   ``bucket_script_agg``, ``bucket_selector_agg``,
@@ -1041,3 +1044,107 @@ def diversified_sampler_sample(
         .orderBy(*order)
         .limit(shard_size)
     )
+
+
+def multi_terms_agg(
+    df: DataFrame,
+    fields: "Sequence[str]",
+    *,
+    size: int = 10,
+    metrics: "Mapping[str, Column] | None" = None,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: top-``size`` buckets of the
+    COMPOSITE key (the ES 7.12+ answer to nested ``terms`` when the
+    ranking must be over the pair, not per-level): doc_count desc,
+    then each key component asc — one hash aggregation on the
+    composite key, then a TakeOrdered; identical plan shape to
+    :func:`terms_agg`, just a wider grouping key (one shuffle, never
+    two stacked like the nested form).  Output:
+    ``(key_<f1>, ..., doc_count, *metrics)``."""
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs at least two fields")
+    keys = [F.col(f).alias(f"key_{f}") for f in fields]
+    out = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("doc_count"), *_metric_cols(metrics))
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
+    order = [F.desc("doc_count"), *(F.asc(f"key_{f}") for f in fields)]
+    return out.orderBy(*order).limit(size)
+
+
+def top_metrics_agg(
+    df: DataFrame,
+    group_field: str,
+    sort_field: str,
+    metric_fields: "Sequence[str]",
+    *,
+    descending: bool = True,
+    tie_col: "str | None" = None,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation per bucket: the values of
+    ``metric_fields`` on the row holding the max (or min) of
+    ``sort_field`` — the arg-max shape.  One ``max_by``/``min_by``
+    hash aggregation (partial-aggregatable JVM builtins — the ES doc's
+    "cheaper top_hits for one row") — no window, no per-bucket sort.
+    ES breaks sort ties arbitrarily per shard; a deterministic engine
+    must not, so ties fall back on ``tie_col`` (packed into the
+    ordering struct) when given.  Output: ``(key, <sort_field>,
+    *metric_fields)``."""
+    s = F.col(sort_field)
+    ordering = (
+        F.struct(s, F.col(tie_col)) if tie_col is not None else s
+    )
+    pick = F.max_by if descending else F.min_by
+    aggs_ = [pick(F.col(m), ordering).alias(m) for m in metric_fields]
+    top_sort = (F.max(s) if descending else F.min(s)).alias(sort_field)
+    return (
+        df.groupBy(F.col(group_field).alias("key"))
+        .agg(top_sort, *aggs_)
+        .orderBy("key")
+    )
+
+
+def string_stats_agg(
+    df: DataFrame,
+    col: str,
+    *,
+    round_to: int = 4,
+    with_entropy: bool = False,
+) -> DataFrame:
+    """ES ``string_stats`` aggregation: count, min/max/avg length of a
+    string field in one pass.  Lengths are exact integers; avg_length
+    divides two exact BIGINTs once in DOUBLE (bit-stable cross-engine).
+    ``with_entropy`` adds the Shannon character entropy ES also
+    reports — that needs a character-frequency explode (a second
+    aggregation) and log2 (a libm transcendental that differs across
+    engines in the last ulp), so it is off by default and rounded when
+    on — the same honesty trade as percentiles_agg."""
+    c = F.col(col)
+    base = df.agg(
+        F.count(c).alias("count"),
+        F.min(F.length(c)).alias("min_length"),
+        F.max(F.length(c)).alias("max_length"),
+        (
+            F.sum(F.length(c)).cast("double")
+            / F.count(c).cast("double")
+        ).alias("avg_length"),
+    )
+    if not with_entropy:
+        return base
+    chars = df.select(F.explode(F.split(c, "")).alias("ch")).filter(
+        F.col("ch") != ""
+    )
+    freq = chars.groupBy("ch").agg(F.count("*").alias("n"))
+    ent = (
+        freq.crossJoin(F.broadcast(freq.agg(F.sum("n").alias("t"))))
+        .select(
+            (
+                -(F.col("n") / F.col("t"))
+                * F.log2(F.col("n") / F.col("t"))
+            ).alias("__e")
+        )
+        .agg(F.round(F.sum("__e"), round_to).alias("entropy"))
+    )
+    return base.crossJoin(ent)

@@ -3225,3 +3225,82 @@ def q20_potential_promotion(spark, sf_dir):
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "l3_agg_multi_terms",
+    """
+    SELECT lang AS key_lang, source AS key_source,
+           count(*) AS doc_count, sum(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY doc_count DESC, key_lang, key_source
+    LIMIT 10
+    """,
+)
+def l3_agg_multi_terms(spark, sf_dir):
+    """L3 [ES parity]: ``multi_terms`` aggregation — top-10 buckets of
+    the COMPOSITE (lang, source) key ranked by doc_count over the pair
+    (the 7.12+ agg for when per-level `terms` nesting ranks wrong),
+    with a sub-metric.  ONE hash aggregation on the composite key +
+    TakeOrdered — same plan as `terms`, wider key, vs two stacked
+    shuffles for the nested form (operators/aggs.py multi_terms_agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.multi_terms_agg(
+        docs, ["lang", "source"],
+        size=10, metrics={"sum_chars": F.sum("n_chars")},
+    )
+
+
+@register(
+    "l3_agg_top_metrics",
+    """
+    WITH r AS (
+      SELECT event_type AS key, ts, value, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             max(ts) OVER (PARTITION BY event_type) AS max_ts
+      FROM events
+    )
+    SELECT key, max_ts AS ts, value, user_id
+    FROM r WHERE rn = 1
+    ORDER BY key
+    """,
+)
+def l3_agg_top_metrics(spark, sf_dir):
+    """L3 [ES parity]: ``top_metrics`` aggregation — per event_type,
+    the (value, user_id) carried by the LATEST event (arg-max on ts):
+    one max_by hash aggregation (partial-combinable JVM builtin), no
+    window, no per-bucket sort — the plan ES's docs call "a cheaper
+    top_hits when you need one row".  ES breaks ts ties per-shard-
+    arbitrarily; here event_id rides the ordering struct so the pick
+    is deterministic (the oracle replays it as a window, proving the
+    agg == the sorted-pick semantics)
+    (operators/aggs.py top_metrics_agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggs.top_metrics_agg(
+        ev, "event_type", "ts", ["value", "user_id"], tie_col="event_id"
+    )
+
+
+@register(
+    "l3_agg_string_stats",
+    """
+    SELECT count(text) AS count,
+           min(strlen(text)) AS min_length,
+           max(strlen(text)) AS max_length,
+           sum(strlen(text))::DOUBLE / count(text)::DOUBLE AS avg_length
+    FROM documents
+    """,
+)
+def l3_agg_string_stats(spark, sf_dir):
+    """L3 [ES parity]: ``string_stats`` aggregation over the text
+    field — count, min/max/avg length in ONE pass (exact integer
+    lengths; avg divides two exact BIGINTs once in DOUBLE, so the row
+    is bit-stable).  The optional Shannon-entropy ES also reports
+    needs a char-frequency explode + libm log2 — engine-divergent in
+    the last ulp, so it stays behind with_entropy=False here and is
+    pinned against a Python twin in tests/test_aggs.py
+    (operators/aggs.py string_stats_agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.string_stats_agg(docs, "text")

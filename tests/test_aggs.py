@@ -553,3 +553,58 @@ def test_filters_agg_other_bucket(spark):
         aggs.filters_agg(
             df, {"_other_": F.col("v") > 0}, other_bucket=True
         )
+
+
+def test_multi_terms_ranks_composite_pairs(spark):
+    from bigdatasearchpro_spark.operators.aggs import multi_terms_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("a", "y", 3), ("b", "x", 4)],
+        "f1 string, f2 string, v long",
+    )
+    out = multi_terms_agg(
+        df, ["f1", "f2"], size=2, metrics={"sum_v": F.sum("v")}
+    ).collect()
+    assert [(r["key_f1"], r["key_f2"], r["doc_count"], r["sum_v"])
+            for r in out] == [("a", "x", 2, 3), ("a", "y", 1, 3)]
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        multi_terms_agg(df, ["f1"])
+
+
+def test_top_metrics_argmax_with_tiebreak(spark):
+    from bigdatasearchpro_spark.operators.aggs import top_metrics_agg
+
+    df = spark.createDataFrame(
+        [("a", 5, 10.0, 1), ("a", 5, 20.0, 2), ("a", 3, 30.0, 3),
+         ("b", 9, 40.0, 4)],
+        "g string, s long, m double, id long",
+    )
+    out = {r["key"]: r for r in top_metrics_agg(
+        df, "g", "s", ["m"], tie_col="id").collect()}
+    # ties on s=5 resolve by id: id=2 wins
+    assert out["a"]["s"] == 5 and out["a"]["m"] == 20.0
+    assert out["b"]["m"] == 40.0
+    low = {r["key"]: r for r in top_metrics_agg(
+        df, "g", "s", ["m"], descending=False, tie_col="id").collect()}
+    assert low["a"]["s"] == 3 and low["a"]["m"] == 30.0
+
+
+def test_string_stats_entropy_matches_python(spark):
+    import math
+
+    from bigdatasearchpro_spark.operators.aggs import string_stats_agg
+
+    rows = [("abca",), ("bb",), (None,)]
+    df = spark.createDataFrame(rows, "t string")
+    base = string_stats_agg(df, "t").collect()[0]
+    assert (base["count"], base["min_length"], base["max_length"]) == (2, 2, 4)
+    assert base["avg_length"] == 6.0 / 2.0
+
+    ent_row = string_stats_agg(df, "t", with_entropy=True).collect()[0]
+    text = "abcabb"
+    n = len(text)
+    freq = {c: text.count(c) for c in set(text)}
+    expect = -sum((v / n) * math.log2(v / n) for v in freq.values())
+    assert abs(ent_row["entropy"] - expect) < 1e-4

@@ -126,6 +126,9 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_multi_terms",
     "l3_agg_top_metrics",
     "l3_agg_string_stats",
+    "l5_dsir_weights",
+    "l3_terms_set_query",
+    "l4_filtered_knn",
 )
 
 

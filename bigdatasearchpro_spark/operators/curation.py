@@ -628,3 +628,81 @@ def gopher_rules(
         r_stop.alias("r_stopwords"),
         (r_wc & r_wl & r_sym & r_alpha & r_stop).alias("keep"),
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    n_buckets: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — the public recipe for
+    steering a raw crawl toward a target domain): per document,
+
+        log w(d) = sum over tokens t of [ log p_target(feat(t))
+                                          - log p_raw(feat(t)) ]
+
+    with hashed-unigram features (``portable_hash % n_buckets``, the
+    md5 twin so SQL replays the bucketing) and add-one smoothing over
+    ``n_buckets`` cells.  Sampling proportional to ``exp(log_w)`` is
+    the paper's resampling stage (stratified_sample / domain mixture
+    compose downstream).
+
+    Plan (100 TB): token explode carries ``(id, bucket)`` only; the
+    two feature distributions are ``n_buckets``-row aggregates that
+    BROADCAST back onto the token stream (the target corpus itself is
+    never joined, only its 64-row histogram); one per-doc hash agg.
+    The per-bucket log-ratio ``ln(ct+1) - ln(cr+1)`` and the global
+    offset ``ln(Tr+B) - ln(Tt+B)`` use libm ln — last-ulp
+    engine-variance absorbed by round_to (the BM25-scoring trade,
+    documented there).
+
+    Output: ``(id, n_tokens, log_w)``; documents with zero tokens
+    carry no evidence and drop (weightless, same as the paper's
+    empty-feature case)."""
+    from bigdatasearchpro_spark.operators.neardup import portable_hash_long
+
+    def buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(tokens_expr(text_col)).alias("__t"),
+        ).select(
+            F.col(id_col),
+            (portable_hash_long(F.col("__t")) % n_buckets).alias("b"),
+        )
+
+    tok = buckets(docs)
+    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = buckets(target).groupBy("b").agg(F.count("*").alias("ct"))
+    dist = raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    totals = dist.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    per_tok = F.log(F.col("ct") + F.lit(1.0)) - F.log(F.col("cr") + F.lit(1.0))
+    offset = F.log(F.col("tr") + F.lit(float(n_buckets))) - F.log(
+        F.col("tt") + F.lit(float(n_buckets))
+    )
+    return (
+        tok.join(F.broadcast(dist), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(per_tok).alias("__s"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                F.col("__s") + F.col("n_tokens").cast("double") * offset,
+                round_to,
+            ).alias("log_w"),
+        )
+        .orderBy(id_col)
+    )

@@ -1811,3 +1811,50 @@ def intervals_query(
 # ES default when max_gaps is unset: unbounded (-1); a corpus document
 # is bounded by its own token count, so "huge" is exact here.
 _BIG_GAPS = 1_000_000
+
+
+def terms_set_expr(
+    text_col,
+    terms: Sequence[str],
+    min_match,
+    *,
+    analyzer: str = "standard",
+) -> Column:
+    """ES ``terms_set`` query predicate: the document's analyzed token
+    SET contains at least ``min_match`` of ``terms`` — the
+    minimum_should_match form of ``terms``.  ``min_match`` is an int
+    or a Column (the ES ``minimum_should_match_field`` shape, where
+    each document carries its own required count).  One
+    array_intersect over the token set — a single narrow predicate in
+    the scan's codegen span, no explode, no join."""
+    if not terms:
+        raise ValueError("terms_set needs at least one term")
+    toks = F.array_distinct(tokens_expr(text_col, analyzer))
+    lits = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
+    matched = F.size(F.array_intersect(toks, lits))
+    bound = min_match if isinstance(min_match, Column) else F.lit(int(min_match))
+    return matched >= bound
+
+
+def terms_set_query(
+    docs: DataFrame,
+    terms: Sequence[str],
+    min_match,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES ``terms_set`` QUERY: matched ids plus how many of the terms
+    each document's token set contains (the per-doc evidence ES
+    exposes through the match score).  Same single-codegen-span shape
+    as the other query compilers."""
+    toks = F.array_distinct(tokens_expr(text_col, analyzer))
+    lits = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
+    matched = F.size(F.array_intersect(toks, lits)).cast("long")
+    bound = min_match if isinstance(min_match, Column) else F.lit(int(min_match))
+    return (
+        docs.select(F.col(id_col), matched.alias("n_matched"))
+        .filter(F.col("n_matched") >= bound)
+        .orderBy(id_col)
+    )

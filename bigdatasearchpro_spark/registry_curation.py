@@ -768,3 +768,47 @@ def l5_gopher_rules(spark, sf_dir):
     identically — the operator default stays at the published 2."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.gopher_rules(docs, min_stop_hits=1).orderBy("doc_id")
+
+
+@register(
+    "l5_dsir_weights",
+    f"""
+    WITH {_T_CTE},
+    tok AS (
+      SELECT doc_id,
+             (('0x' || substring(md5(term), 1, 15))::BIGINT % 64) AS b
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    ),
+    tgtok AS (
+      SELECT tok.doc_id, tok.b FROM tok
+      JOIN documents d ON d.doc_id = tok.doc_id
+      WHERE d.source IN ('src0', 'src1')
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM tgtok GROUP BY b),
+    dist AS (
+      SELECT raw.b, raw.cr, coalesce(tgt.ct, 0) AS ct
+      FROM raw LEFT JOIN tgt USING (b)
+    ),
+    tot AS (SELECT sum(cr)::DOUBLE AS tr, sum(ct)::DOUBLE AS tt FROM dist)
+    SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+           round(sum(ln((dist.ct + 1)::DOUBLE) - ln((dist.cr + 1)::DOUBLE))
+                 + count(*)::DOUBLE * (ln(tot.tr + 64) - ln(tot.tt + 64)),
+                 4) AS log_w
+    FROM tok JOIN dist USING (b) CROSS JOIN tot
+    GROUP BY tok.doc_id, tot.tr, tot.tt
+    ORDER BY tok.doc_id
+    """,
+)
+def l5_dsir_weights(spark, sf_dir):
+    """L5 [training data]: DSIR importance weights (Xie et al. 2023) —
+    hashed-unigram (md5-twin, 64 buckets) log importance of every
+    corpus document against a target domain (source src0/src1), the
+    selection signal for importance RESAMPLING toward a target
+    distribution.  The raw and target feature histograms are 64-row
+    broadcasts onto the token stream; one per-doc agg; the target
+    CORPUS never joins, only its histogram
+    (operators/curation.py dsir_log_weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return curation.dsir_log_weights(docs, target)

@@ -2609,3 +2609,65 @@ def l4_rrf_hybrid_topk(spark, sf_dir):
     return rrf_hybrid_topk(
         docs, emb, SEARCH_QUERY, _RANGE_QUERY_INTS, k=10, window=50
     )
+
+
+def _filtered_knn_oracle() -> str:
+    qlist = "[" + ",".join(str(v) for v in _RANGE_QUERY_INTS) + "]"
+    return f"""
+    WITH keep AS (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                      0) AS amax
+      FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM keep)
+    ),
+    qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(-127, least(127, floor(x::DOUBLE /
+                      (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                      + 0.5)))::BIGINT) AS q
+      FROM v
+    ),
+    sc AS (
+      SELECT vec_id,
+             list_sum([q[i] * ({qlist})[i]
+                       for i in generate_series(1, 64)])::BIGINT AS dot,
+             list_sum(list_transform(q, x -> x * x))::BIGINT AS n
+      FROM qt
+    ),
+    page AS (
+      SELECT vec_id, dot::DOUBLE / sqrt(n::DOUBLE) AS cos
+      FROM sc WHERE n > 0
+      ORDER BY cos DESC, vec_id ASC LIMIT 10
+    )
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS vec_rank
+    FROM page
+    """
+
+
+@register("l4_filtered_knn", _filtered_knn_oracle())
+def l4_filtered_knn(spark, sf_dir):
+    """L4: FILTERED kNN (the ES 8.x ``knn: {..., filter: ...}``
+    request): the metadata predicate (lang = 'en', evaluated on the
+    documents side) restricts the candidate set BEFORE the vector
+    scan — pre-filter semantics, so the query returns exactly k
+    survivors rather than post-filtering a top-k to fewer (the
+    documented ES behavior, and the correct recall contract).  The
+    filter is a LEFT SEMI join of the embedding table against the
+    matched-id set; ranking is the int8-exact dot / sqrt(norm) page
+    (the RRF vector leg), so the member set and ranks replay in SQL
+    (operators/hybrid.py vector_rank_page)."""
+    from bigdatasearchpro_spark.operators.hybrid import vector_rank_page
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = docs.filter(F.col("lang") == "en").select("doc_id")
+    emb_f = emb.join(
+        F.broadcast(keep), emb.vec_id == keep.doc_id, "left_semi"
+    )
+    return vector_rank_page(emb_f, _RANGE_QUERY_INTS, 10)

@@ -2630,3 +2630,33 @@ def l3_intervals_query(spark, sf_dir):
             }
         },
     )
+
+
+@register(
+    "l3_terms_set_query",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(list_intersect(
+               list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')),
+               ['spark', 'join', 'window', 'group', 'table']
+             ))::BIGINT AS n_matched
+      FROM documents
+    )
+    SELECT doc_id, n_matched FROM base
+    WHERE n_matched >= 3
+    ORDER BY doc_id
+    """,
+)
+def l3_terms_set_query(spark, sf_dir):
+    """L3 [ES parity]: ``terms_set`` query — documents whose token set
+    contains at least 3 of 5 given terms (the minimum_should_match
+    form of ``terms``), with the per-doc match count.  ONE
+    array_intersect predicate in the scan's codegen span — no explode,
+    no join (operators/search.py terms_set_query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.terms_set_query(
+        docs, ["spark", "join", "window", "group", "table"], 3
+    )

@@ -487,3 +487,25 @@ def test_gopher_rules_hand_fixture(spark):
     )
     r7 = gopher_rules(b, min_words=1).collect()[0]
     assert r7["r_alpha"] and r7["keep"]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs sharing the target's vocabulary must out-weigh docs that
+    do not; n_tokens counts multiplicity; empty docs drop."""
+    from bigdatasearchpro_spark.operators.curation import dsir_log_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, "gamma delta gamma delta"),
+            (3, "alpha beta"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id = 1")
+    out = {r["doc_id"]: r for r in dsir_log_weights(docs, target).collect()}
+    assert 4 not in out and out[1]["n_tokens"] == 3
+    # per-token average importance: target-vocab docs above off-vocab
+    avg = {d: out[d]["log_w"] / out[d]["n_tokens"] for d in out}
+    assert avg[3] > avg[2] and avg[1] > avg[2]

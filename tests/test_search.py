@@ -616,3 +616,34 @@ def test_intervals_match_expr_vs_bruteforce(spark):
         intervals_query(df, {"span_near": {}})
     with pt.raises(ValueError):
         intervals_query(df, {"any_of": {"intervals": []}})
+
+
+def test_terms_set_matches_and_field_bound(spark):
+    from bigdatasearchpro_spark.operators.search import (
+        terms_set_expr,
+        terms_set_query,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", 2),
+            (2, "a b", 3),       # 2 matched < its own bound 3
+            (3, "a a a", 1),     # dup tokens count once
+            (4, "x y", 1),
+        ],
+        "doc_id long, text string, req long",
+    )
+    out = terms_set_query(df, ["a", "b", "c"], 2).collect()
+    assert [(r["doc_id"], r["n_matched"]) for r in out] == [(1, 3), (2, 2)]
+    # minimum_should_match_field: the bound comes from each row
+    got = {
+        r["doc_id"]
+        for r in df.filter(
+            terms_set_expr("text", ["a", "b", "c"], F.col("req"))
+        ).collect()
+    }
+    assert got == {1, 3}
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        terms_set_expr("text", [], 1)

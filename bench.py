@@ -108,6 +108,15 @@ BENCH_QUERIES = [
     "l3_agg_matrix_stats",
     "l6_decode_png",
     "l5_domain_temperature_mixture",
+    # round-7 third pass: hybrid fusion (two corpus scans + page join),
+    # DSIR (explode + broadcast histograms), the Gopher gate (narrow
+    # projection), terms_set (array_intersect predicate), and a
+    # completion-TPC-H representative (Q3 join+TakeOrdered)
+    "l4_rrf_hybrid_topk",
+    "l5_dsir_weights",
+    "l5_gopher_rules",
+    "l3_terms_set_query",
+    "q3_shipping_priority",
 ]
 
 

@@ -129,6 +129,8 @@ _R7_DEFER_TO_R8 = (
     "l5_dsir_weights",
     "l3_terms_set_query",
     "l4_filtered_knn",
+    "l3_rank_feature_query",
+    "l3_distance_feature_query",
 )
 
 

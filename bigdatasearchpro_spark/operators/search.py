@@ -1858,3 +1858,55 @@ def terms_set_query(
         .filter(F.col("n_matched") >= bound)
         .orderBy(id_col)
     )
+
+
+def rank_feature_expr(
+    feature_col,
+    *,
+    kind: str = "saturation",
+    pivot: float = 10.0,
+    exponent: float = 1.0,
+    scaling_factor: float = 1.0,
+    boost: float = 1.0,
+) -> Column:
+    """ES ``rank_feature`` query score over a numeric feature field::
+
+        saturation: boost * f / (f + pivot)
+        log:        boost * ln(scaling_factor * f + 1)
+        sigmoid:    boost * f^exp / (f^exp + pivot^exp)
+
+    (public ES scoring functions; feature values must be positive —
+    negative features score 0, the ES contract for missing/invalid).
+    Saturation with an integer-valued feature and pivot is ONE double
+    division on exact operands — bit-stable cross-engine; log/sigmoid
+    ride libm (ln/pow) and belong behind rounding when hashed."""
+    f = F.col(feature_col).cast("double") if isinstance(feature_col, str) else feature_col.cast("double")
+    if kind == "saturation":
+        s = f / (f + F.lit(float(pivot)))
+    elif kind == "log":
+        s = F.log(F.lit(float(scaling_factor)) * f + F.lit(1.0))
+    elif kind == "sigmoid":
+        fe = F.pow(f, F.lit(float(exponent)))
+        s = fe / (fe + F.lit(float(pivot) ** float(exponent)))
+    else:
+        raise ValueError(f"kind must be saturation/log/sigmoid, got {kind!r}")
+    return F.when(f > 0, F.lit(float(boost)) * s).otherwise(F.lit(0.0))
+
+
+def distance_feature_expr(
+    dist: Column,
+    *,
+    pivot: float,
+    boost: float = 1.0,
+) -> Column:
+    """ES ``distance_feature`` query score: ``boost * pivot / (pivot +
+    dist)`` — 1x at the origin, halving at ``pivot``, decaying with
+    distance (the public formula for date and geo origins alike;
+    ``dist`` is the caller's |field - origin| in the pivot's unit,
+    e.g. integer seconds or integer meters).  With integer dist and
+    pivot the score is one exact-operand double division —
+    bit-stable."""
+    if pivot <= 0:
+        raise ValueError("pivot must be positive")
+    d = dist.cast("double")
+    return F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + d)

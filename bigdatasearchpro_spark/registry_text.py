@@ -2660,3 +2660,77 @@ def l3_terms_set_query(spark, sf_dir):
     return search.terms_set_query(
         docs, ["spark", "join", "window", "group", "table"], 3
     )
+
+
+@register(
+    "l3_rank_feature_query",
+    """
+    WITH m AS (
+      SELECT d.doc_id, d.n_chars FROM documents d
+      WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x = 'spark')) > 0
+    )
+    SELECT doc_id,
+           n_chars::DOUBLE / (n_chars::DOUBLE + 200) AS score
+    FROM m
+    WHERE n_chars > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_rank_feature_query(spark, sf_dir):
+    """L3 [ES parity]: ``rank_feature`` query — the matched set of the
+    term query `spark` scored by SATURATION of the n_chars feature
+    (boost * f / (f + pivot), pivot 200; the ES static-signal ranking
+    primitive: page-rank / freshness / length priors).  Integer
+    feature + integer pivot -> ONE exact-operand double division, so
+    the score column hash-replays; filter + score + TakeOrdered in a
+    single scan (operators/search.py rank_feature_expr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = search.keyword_match(docs, "spark", mode="any")
+    return (
+        m.select(
+            "doc_id",
+            search.rank_feature_expr("n_chars", pivot=200.0).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "l3_distance_feature_query",
+    """
+    SELECT event_id,
+           CAST(3600 AS DOUBLE) /
+             (CAST(3600 AS DOUBLE)
+              + abs(date_diff('second',
+                    TIMESTAMP '1995-06-01 12:00:00', ts))::DOUBLE) AS score
+    FROM events
+    WHERE event_type = 'click'
+    ORDER BY score DESC, event_id ASC
+    LIMIT 10
+    """,
+)
+def l3_distance_feature_query(spark, sf_dir):
+    """L3 [ES parity]: ``distance_feature`` query — `click` events
+    ranked by temporal proximity to an origin instant (score =
+    pivot / (pivot + |ts - origin|), pivot 1 h; the ES freshness-
+    boost primitive).  |delta| in integer seconds via
+    to_unix_timestamp (the TIMESTAMP_NTZ epoch path), one exact
+    double division, TakeOrdered — the score column hash-replays
+    (operators/search.py distance_feature_expr)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    origin = F.to_unix_timestamp(F.lit("1995-06-01 12:00:00").cast("timestamp"))
+    dist = F.abs(F.to_unix_timestamp(F.col("ts")) - origin)
+    return (
+        ev.select(
+            "event_id",
+            search.distance_feature_expr(dist, pivot=3600.0).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(10)
+    )

@@ -647,3 +647,46 @@ def test_terms_set_matches_and_field_bound(spark):
 
     with pt.raises(ValueError):
         terms_set_expr("text", [], 1)
+
+
+def test_rank_and_distance_feature_scoring(spark):
+    import math
+
+    from bigdatasearchpro_spark.operators.search import (
+        distance_feature_expr,
+        rank_feature_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -5.0), (4, 40.0)], "id long, f double"
+    )
+
+    def scores(**kw):
+        return {
+            r["id"]: r["s"]
+            for r in df.select("id", rank_feature_expr("f", **kw).alias("s"))
+            .collect()
+        }
+
+    sat = scores(kind="saturation", pivot=10.0)
+    assert sat[1] == 0.5 and sat[4] == 40.0 / 50.0
+    assert sat[2] == 0.0 and sat[3] == 0.0  # non-positive features score 0
+    lg = scores(kind="log", scaling_factor=2.0)
+    assert abs(lg[1] - math.log(21.0)) < 1e-12
+    sig = scores(kind="sigmoid", pivot=10.0, exponent=2.0)
+    assert abs(sig[4] - 1600.0 / (1600.0 + 100.0)) < 1e-12
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        rank_feature_expr("f", kind="step")
+
+    d = spark.createDataFrame([(1, 0), (2, 3600), (3, 7200)], "id long, d long")
+    got = {
+        r["id"]: r["s"]
+        for r in d.select(
+            "id", distance_feature_expr(F.col("d"), pivot=3600.0).alias("s")
+        ).collect()
+    }
+    assert got[1] == 1.0 and got[2] == 0.5 and got[3] == 1.0 / 3.0
+    with pt.raises(ValueError):
+        distance_feature_expr(F.col("d"), pivot=0.0)

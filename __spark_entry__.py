@@ -131,6 +131,7 @@ _R7_DEFER_TO_R8 = (
     "l4_filtered_knn",
     "l3_rank_feature_query",
     "l3_distance_feature_query",
+    "l3_dis_max_tie_breaker",
 )
 
 

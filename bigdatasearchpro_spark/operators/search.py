@@ -436,6 +436,7 @@ def search_topk_multifield(
     *,
     id_col: str = "doc_id",
     combine: str = "best_fields",
+    tie_breaker: float = 0.0,
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 4,
@@ -452,7 +453,10 @@ def search_topk_multifield(
     combine per document:
 
     - ``combine='best_fields'`` (ES default ``type``): the MAX weighted
-      field score — dis_max with tie_breaker 0;
+      field score — dis_max; a non-zero ``tie_breaker`` t adds the ES
+      dis_max tie credit ``best + t * (sum_others)`` (evaluated as
+      ``best + t * (sum - best)``, the public formula), so documents
+      matching in SEVERAL fields outrank single-field ties;
     - ``combine='most_fields'``: the SUM of weighted field scores.
 
     Single-scan like :func:`search_topk`: one pass tokenizes every
@@ -463,13 +467,16 @@ def search_topk_multifield(
     """
     if combine not in ("best_fields", "most_fields"):
         raise ValueError(f"unknown combine: {combine!r}")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
     specs = parse_boosted_fields(fields)
     terms = analyze_query(query, analyzer)
     spark = docs.sparkSession
     if not terms:
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     per_doc, topk = _multifield_pipeline(
-        docs, terms, specs, k, id_col=id_col, combine=combine, k1=k1, b=b,
+        docs, terms, specs, k, id_col=id_col, combine=combine,
+        tie_breaker=tie_breaker, k1=k1, b=b,
         round_to=round_to, keep_zero_hits=keep_zero_hits,
         term_weights=term_weights, analyzer=analyzer,
     )
@@ -531,6 +538,7 @@ def _multifield_pipeline(
     *,
     id_col: str,
     combine: str,
+    tie_breaker: float = 0.0,
     k1: float,
     b: float,
     round_to: int,
@@ -588,6 +596,11 @@ def _multifield_pipeline(
         combined = (
             F.greatest(*field_scores) if len(field_scores) > 1 else field_scores[0]
         )
+        if tie_breaker:
+            total = field_scores[0]
+            for s in field_scores[1:]:
+                total = total + s
+            combined = combined + F.lit(float(tie_breaker)) * (total - combined)
     else:
         combined = field_scores[0]
         for s in field_scores[1:]:

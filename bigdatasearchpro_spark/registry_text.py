@@ -2734,3 +2734,47 @@ def l3_distance_feature_query(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("event_id"))
         .limit(10)
     )
+
+
+@register(
+    "l3_dis_max_tie_breaker",
+    f"""
+    WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    {_MFB_FIELD_CTE.format(j=1, c='text')},
+    {_MFB_FIELD_CTE.format(j=2, c='lang')},
+    {_MFB_FIELD_CTE.format(j=3, c='source')},
+    hit AS (SELECT doc_id FROM s1 UNION
+            SELECT doc_id FROM s2 UNION
+            SELECT doc_id FROM s3),
+    sc AS (
+      SELECT hit.doc_id,
+             greatest(coalesce(3.0 * s1.s, 0), coalesce(1.0 * s2.s, 0),
+                      coalesce(2.0 * s3.s, 0)) AS best,
+             coalesce(3.0 * s1.s, 0) + coalesce(1.0 * s2.s, 0)
+               + coalesce(2.0 * s3.s, 0) AS total
+      FROM hit
+      LEFT JOIN s1 ON hit.doc_id = s1.doc_id
+      LEFT JOIN s2 ON hit.doc_id = s2.doc_id
+      LEFT JOIN s3 ON hit.doc_id = s3.doc_id
+    )
+    SELECT doc_id,
+           round(best + CAST(0.3 AS DOUBLE) * (total - best), 4) AS score
+    FROM sc
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_dis_max_tie_breaker(spark, sf_dir):
+    """L3 [ES parity]: ``dis_max`` with a non-zero ``tie_breaker`` —
+    best_fields multi-field search (`text^3, lang, source^2`) where
+    the winning field's score gets 0.3x credit for every OTHER
+    matching field (`best + t * (sum - best)`, the public dis_max
+    formula): multi-field matches now outrank single-field ties, which
+    plain best_fields cannot express.  Same single-scan plan as
+    l3_multifield_boosted — the tie credit folds into the combine
+    expression (operators/search.py search_topk_multifield)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.search_topk_multifield(
+        docs, "spark en src1", ["text^3", "lang", "source^2"], 10,
+        combine="best_fields", tie_breaker=0.3,
+    )

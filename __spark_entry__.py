@@ -132,6 +132,10 @@ _R7_DEFER_TO_R8 = (
     "l3_rank_feature_query",
     "l3_distance_feature_query",
     "l3_dis_max_tie_breaker",
+    "l3_agg_missing",
+    "l3_agg_mad",
+    "l3_agg_t_test",
+    "l3_agg_normalize",
 )
 
 

@@ -91,6 +91,13 @@ __all__ = [
     "bucket_script_agg",
     "bucket_selector_agg",
     "sibling_bucket_stats",
+    "multi_terms_agg",
+    "top_metrics_agg",
+    "string_stats_agg",
+    "missing_agg",
+    "median_absolute_deviation_agg",
+    "t_test_agg",
+    "normalize_agg",
 ]
 
 # ES calendar intervals -> Spark date_trunc unit + sequence step
@@ -1148,3 +1155,104 @@ def string_stats_agg(
         .agg(F.round(F.sum("__e"), round_to).alias("entropy"))
     )
     return base.crossJoin(ent)
+
+
+def missing_agg(
+    df: DataFrame, field: str, *, value_count_of: "str | None" = None
+) -> DataFrame:
+    """ES ``missing`` + ``value_count`` metric pair in one pass:
+    doc_count of documents lacking ``field`` (NULL — ES counts absent
+    fields; a parquet-backed engine's absent is NULL) and, optionally,
+    the count of present VALUES of ``value_count_of``.  Pure
+    conditional counts in one reduce."""
+    target = value_count_of or field
+    return df.agg(
+        F.count(F.when(F.col(field).isNull(), 1)).alias("missing_count"),
+        F.count(F.col(target)).alias("value_count"),
+    )
+
+
+def median_absolute_deviation_agg(
+    df: DataFrame, col: str, *, round_to: int = 4
+) -> DataFrame:
+    """ES ``median_absolute_deviation``: median(|x - median(x)|) —
+    the robust dispersion metric.  ES approximates with t-digest; this
+    is the EXACT two-phase form: one percentile aggregate for the
+    median (a 1-row broadcast), one pass for the deviations' median.
+    Two scans by definition (the second depends on the first's
+    scalar); each is a single reduce, nothing corpus-sized moves."""
+    med = df.agg(F.percentile(F.col(col).cast("double"), F.lit(0.5)).alias("m"))
+    return (
+        df.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col(col).cast("double") - F.col("m")).alias("__d"))
+        .agg(F.round(F.percentile(F.col("__d"), F.lit(0.5)), round_to).alias("mad"))
+    )
+
+
+def t_test_agg(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    cents: int = 100,
+) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch, the ES
+    default): the t statistic between two filtered populations of
+    ``value_col``::
+
+        t = (m1 - m2) / sqrt(v1/n1 + v2/n2)      v = sample variance
+
+    Moments accumulate as EXACT int64 sums on a cent grid (the
+    weighted_avg/matrix_stats pattern — immune to float sum order),
+    and the closing chain is fixed-order correctly-rounded IEEE ops
+    (-, *, /, sqrt — no libm), so the statistic is bit-stable
+    cross-engine.  ONE conditional-sum pass, one row out."""
+    q = F.floor(F.col(value_col).cast("double") * cents + F.lit(0.5)).cast("long")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.agg(
+        F.count(F.when(in_a, 1)).alias("n1"),
+        F.count(F.when(in_b, 1)).alias("n2"),
+        F.sum(F.when(in_a, q)).alias("s1"),
+        F.sum(F.when(in_b, q)).alias("s2"),
+        F.sum(F.when(in_a, q * q)).alias("q1"),
+        F.sum(F.when(in_b, q * q)).alias("q2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1 / cents
+    m2 = F.col("s2").cast("double") / n2 / cents
+    # sample variance in value units: (sum_sq - sum^2/n) / (n-1) / cents^2
+    v1 = (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n1) / (n1 - 1) / (cents * cents)
+    v2 = (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double") / n2) / (n2 - 1) / (cents * cents)
+    return agg.select(
+        F.col("n1"), F.col("n2"),
+        ((m1 - m2) / F.sqrt(v1 / n1 + v2 / n2)).alias("t_value"),
+    )
+
+
+def normalize_agg(
+    buckets: DataFrame,
+    metric: str,
+    *,
+    method: str = "range",
+    out: str = "normalized",
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation over the parent's bucket
+    frame: rescale a bucket metric to [0, 1] — ``range``
+    ((v-min)/(max-min), the ES ``rescale_0_1``) or ``percent_of_sum``
+    (v/sum, ES ``percent_of_sum``).  A window over BUCKET-cardinality
+    rows (unpartitioned by design like every pipeline agg — the frame
+    IS the bucket list, never the corpus)."""
+    if method not in ("range", "percent_of_sum"):
+        raise ValueError(f"unknown method: {method!r}")
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v = F.col(metric).cast("double")
+    if method == "range":
+        lo, hi = F.min(v).over(w), F.max(v).over(w)
+        expr = F.when(hi != lo, (v - lo) / (hi - lo)).otherwise(F.lit(0.0))
+    else:
+        expr = v / F.sum(v).over(w)
+    return buckets.withColumn(out, F.round(expr, round_to))

@@ -3304,3 +3304,128 @@ def l3_agg_string_stats(spark, sf_dir):
     (operators/aggs.py string_stats_agg)."""
     docs = load_table(spark, sf_dir, "documents")
     return aggs.string_stats_agg(docs, "text")
+
+
+@register(
+    "l3_agg_missing",
+    """
+    WITH e AS (
+      SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS p
+      FROM events
+    )
+    SELECT count(CASE WHEN p IS NULL THEN 1 END) AS missing_count,
+           count(p) AS value_count
+    FROM e
+    """,
+)
+def l3_agg_missing(spark, sf_dir):
+    """L3 [ES parity]: ``missing`` + ``value_count`` metric aggs — how
+    many documents LACK a field and how many values are present, one
+    conditional-count reduce.  The parquet fixture carries no nulls,
+    so the entry injects a deterministic null pattern (event_id % 7)
+    in both engines — the agg itself is what is under test
+    (operators/aggs.py missing_agg)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "p",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    )
+    return aggs.missing_agg(ev, "p")
+
+
+@register(
+    "l3_agg_mad",
+    """
+    WITH med AS (
+      SELECT median(o_totalprice::DOUBLE) AS m FROM orders
+    )
+    SELECT round(median(abs(o_totalprice::DOUBLE - med.m)), 4) AS mad
+    FROM orders, med
+    """,
+)
+def l3_agg_mad(spark, sf_dir):
+    """L3 [ES parity]: ``median_absolute_deviation`` — the robust
+    dispersion ES serves from a t-digest sketch, computed EXACTLY:
+    one percentile reduce for the median (1-row broadcast), one for
+    the deviations (interpolated median on both engines, subtraction
+    exactly rounded).  Two single-reduce passes — the irreducible
+    data dependence of nested medians
+    (operators/aggs.py median_absolute_deviation_agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return aggs.median_absolute_deviation_agg(o, "o_totalprice")
+
+
+@register(
+    "l3_agg_t_test",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    m AS (
+      SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS n2,
+             sum(CASE WHEN event_type = 'click' THEN v END) AS s1,
+             sum(CASE WHEN event_type = 'view' THEN v END) AS s2,
+             sum(CASE WHEN event_type = 'click' THEN v * v END) AS q1,
+             sum(CASE WHEN event_type = 'view' THEN v * v END) AS q2
+      FROM q
+    )
+    SELECT n1, n2,
+           ((s1::DOUBLE / n1 / 100 - s2::DOUBLE / n2 / 100)
+            / sqrt(((q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1)
+                    / (n1 - 1) / 10000) / n1
+                   + ((q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n2)
+                      / (n2 - 1) / 10000) / n2)) AS t_value
+    FROM m
+    """,
+)
+def l3_agg_t_test(spark, sf_dir):
+    """L3 [ES parity]: ``t_test`` aggregation (heteroscedastic Welch,
+    the ES default) between the `click` and `view` populations of
+    `value`.  Moments are EXACT cent-grid int64 sums (one conditional
+    pass, immune to float sum order); the closing chain is
+    fixed-order -,*,/,sqrt — all correctly-rounded IEEE, NO libm — so
+    the statistic hash-replays bit-for-bit
+    (operators/aggs.py t_test_agg)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return aggs.t_test_agg(ev, "value", "event_type", "click", "view")
+
+
+@register(
+    "l3_agg_normalize",
+    """
+    WITH g AS (
+      SELECT date_trunc('hour', ts) AS key, count(*) AS doc_count
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+      SELECT key, doc_count,
+             min(doc_count) OVER () AS lo, max(doc_count) OVER () AS hi
+      FROM g
+    )
+    SELECT key, doc_count,
+           round(CASE WHEN hi <> lo
+                 THEN (doc_count - lo)::DOUBLE / (hi - lo)::DOUBLE
+                 ELSE CAST(0 AS DOUBLE) END, 6) AS normalized
+    FROM b
+    """,
+)
+def l3_agg_normalize(spark, sf_dir):
+    """L3 [ES parity]: ``normalize`` pipeline aggregation
+    (``rescale_0_1``) over the hourly click histogram — (v - min) /
+    (max - min) as a window over the BUCKET frame (bucket-cardinality
+    rows; the corpus passes only through the parent agg).  Integer
+    doc_counts -> one exact double division
+    (operators/aggs.py normalize_agg)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    buckets = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("key")
+    ).agg(F.count("*").alias("doc_count"))
+    return aggs.normalize_agg(buckets, "doc_count")

@@ -608,3 +608,55 @@ def test_string_stats_entropy_matches_python(spark):
     freq = {c: text.count(c) for c in set(text)}
     expect = -sum((v / n) * math.log2(v / n) for v in freq.values())
     assert abs(ent_row["entropy"] - expect) < 1e-4
+
+
+def test_mad_t_test_normalize_hand_fixtures(spark):
+    import math
+
+    from bigdatasearchpro_spark.operators.aggs import (
+        median_absolute_deviation_agg,
+        missing_agg,
+        normalize_agg,
+        t_test_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (10.0,)], "v double"
+    )
+    # median = 2.5; deviations {1.5, .5, .5, 7.5} -> median 1.0
+    assert median_absolute_deviation_agg(df, "v").collect()[0]["mad"] == 1.0
+
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 7.0),
+         ("b", 9.0)],
+        "g string, v double",
+    )
+    r = t_test_agg(g, "v", "g", "a", "b").collect()[0]
+    m1, m2 = 2.0, 7.0
+    v1 = sum((x - m1) ** 2 for x in (1, 2, 3)) / 2
+    v2 = sum((x - m2) ** 2 for x in (5, 7, 9)) / 2
+    expect = (m1 - m2) / math.sqrt(v1 / 3 + v2 / 3)
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert abs(r["t_value"] - expect) < 1e-9
+
+    b = spark.createDataFrame(
+        [("x", 10), ("y", 20), ("z", 30)], "k string, doc_count long"
+    )
+    norm = {r["k"]: r["normalized"]
+            for r in normalize_agg(b, "doc_count").collect()}
+    assert norm == {"x": 0.0, "y": 0.5, "z": 1.0}
+    pct = {r["k"]: r["normalized"]
+           for r in normalize_agg(b, "doc_count",
+                                  method="percent_of_sum").collect()}
+    assert abs(pct["z"] - 0.5) < 1e-9
+    const = spark.createDataFrame([("x", 5), ("y", 5)], "k string, doc_count long")
+    assert {r["normalized"] for r in
+            normalize_agg(const, "doc_count").collect()} == {0.0}
+
+    m = spark.createDataFrame([(None,), ("a",), ("b",)], "f string")
+    row = missing_agg(m, "f").collect()[0]
+    assert (row["missing_count"], row["value_count"]) == (1, 2)
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        normalize_agg(b, "doc_count", method="zscore")

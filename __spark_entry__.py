@@ -136,6 +136,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_mad",
     "l3_agg_t_test",
     "l3_agg_normalize",
+    "l3_combined_fields",
 )
 
 

@@ -1923,3 +1923,38 @@ def distance_feature_expr(
         raise ValueError("pivot must be positive")
     d = dist.cast("double")
     return F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + d)
+
+
+def search_topk_combined_fields(
+    docs: DataFrame,
+    query: str,
+    fields: Sequence[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+    **kw,
+) -> DataFrame:
+    """ES ``combined_fields`` query (8.x): term-CENTRIC multi-field
+    scoring — the fields are treated as ONE combined pseudo-field
+    (shared document length, shared df, one BM25 corpus), vs
+    best/most_fields' field-centric per-corpus scoring.  The
+    equal-weight form is exactly BM25 over the concatenation, which is
+    how it runs here: one concat projection feeding the single-scan
+    :func:`search_topk` pipeline (per-field boosts would weight term
+    FREQUENCIES inside the synthetic field — not expressible as
+    concat; honest subset, ValueError on ``^`` syntax)."""
+    for f in fields:
+        if "^" in f:
+            raise ValueError(
+                "combined_fields here is the equal-weight form; "
+                f"per-field boost {f!r} is not supported"
+            )
+    combined = F.concat_ws(
+        " ", *[F.coalesce(F.col(f).cast("string"), F.lit("")) for f in fields]
+    )
+    return search_topk(
+        docs.select(F.col(id_col), combined.alias("__combined")),
+        query, k, id_col=id_col, text_col="__combined",
+        analyzer=analyzer, **kw,
+    )

@@ -2778,3 +2778,56 @@ def l3_dis_max_tie_breaker(spark, sf_dir):
         docs, "spark en src1", ["text^3", "lang", "source^2"], 10,
         combine="best_fields", tie_breaker=0.3,
     )
+
+
+@register(
+    "l3_combined_fields",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(
+               concat_ws(' ', coalesce(text, ''), coalesce(lang, ''),
+                         coalesce(source, ''))), '[^a-z0-9]+'),
+               x -> x <> '') AS l
+      FROM documents
+    ),
+    ne AS (
+      SELECT doc_id, unnest(l) AS term FROM base
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN ('spark', 'en', 'src1') GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT b.doc_id, len(b.l)::DOUBLE AS dl FROM base b
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl)
+    SELECT tf.doc_id,
+           round(sum(
+             ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+           ), 4) AS score
+    FROM tf
+    CROSS JOIN nn CROSS JOIN avgdl
+    JOIN dfs ON tf.term = dfs.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_combined_fields(spark, sf_dir):
+    """L3 [ES parity]: ``combined_fields`` (ES 8.x) — TERM-centric
+    multi-field BM25: text/lang/source merge into one pseudo-field
+    with SHARED document length, df and corpus stats (one BM25 index),
+    where best/most_fields score each field as its own corpus.  Runs
+    as one concat projection into the single-scan BM25 pipeline — df
+    and avgdl are computed over the combined tokens, which the oracle
+    replays verbatim (operators/search.py search_topk_combined_fields)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.search_topk_combined_fields(
+        docs, "spark en src1", ["text", "lang", "source"], 10
+    )

@@ -690,3 +690,29 @@ def test_rank_and_distance_feature_scoring(spark):
     assert got[1] == 1.0 and got[2] == 0.5 and got[3] == 1.0 / 3.0
     with pt.raises(ValueError):
         distance_feature_expr(F.col("d"), pivot=0.0)
+
+
+def test_combined_fields_shares_corpus_stats(spark):
+    """Term-centric semantics: a term split across two fields scores
+    as one field; the boost guard raises."""
+    from bigdatasearchpro_spark.operators.search import (
+        search_topk,
+        search_topk_combined_fields,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "apple pie", "apple"), (2, "banana", "apple"), (3, "pear", "kiwi")],
+        "doc_id long, a string, b string",
+    )
+    combined = search_topk_combined_fields(df, "apple", ["a", "b"], 10)
+    concat = df.selectExpr(
+        "doc_id", "concat_ws(' ', a, b) AS text"
+    )
+    direct = search_topk(concat, "apple", 10)
+    assert [tuple(r) for r in combined.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        search_topk_combined_fields(df, "apple", ["a^2", "b"], 10)

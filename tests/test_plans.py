@@ -569,3 +569,41 @@ def test_tpch_completion_shapes(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in p11 or "BroadcastHashJoin" in p11
+
+
+def test_third_pass_query_shapes(spark, sf_dir):
+    """Round-7 third-pass plan gates: terms_set and intervals compile
+    to a single narrow filter over ONE scan (no explode, no join);
+    gopher_rules is one scan with no exchange at all; filtered kNN
+    pre-filters through a broadcast semi join; RRF's fusion joins two
+    page-sized rank tables (both legs TakeOrdered)."""
+    for name in ("l3_terms_set_query", "l3_intervals_query"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1, name
+        assert "Generate" not in plan and "Join" not in plan, name
+
+    # the entry appends orderBy(doc_id) (one range Exchange for the
+    # sort); the gate is that the GATE ITSELF is a single narrow
+    # projection: one scan, no aggregation, no window, no join
+    gopher = (
+        QUERIES["l5_gopher_rules"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert gopher.count("Scan parquet") == 1
+    for node in ("Aggregate", "Window", "Join", "Generate"):
+        assert node not in gopher, node
+
+    knn = (
+        QUERIES["l4_filtered_knn"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in knn and "TakeOrderedAndProject" in knn
+
+    rrf = (
+        QUERIES["l4_rrf_hybrid_topk"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert rrf.count("TakeOrderedAndProject") >= 2

@@ -137,6 +137,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_t_test",
     "l3_agg_normalize",
     "l3_combined_fields",
+    "s24_sliced_scroll",
 )
 
 

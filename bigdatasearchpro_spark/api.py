@@ -473,6 +473,7 @@ def scroll(
     scroll_id=None,
     id_col: str = "doc_id",
     text_col: "str | list[str] | None" = None,
+    slice_spec: "tuple[int, int] | None" = None,
 ):
     """ES ``scroll`` API shape: iterate EVERY hit of a query in stable
     ``_doc`` order, batch by batch — the surface ES offers for full
@@ -494,7 +495,15 @@ def scroll(
     and RAISES if a page boundary falls inside a duplicate-id run,
     instead of silently losing rows from the export.
 
-    ``query=None`` scrolls the whole index (ES ``match_all``)."""
+    ``query=None`` scrolls the whole index (ES ``match_all``).
+
+    ``slice_spec=(i, max)`` is ES SLICED scrolling — the parallel-
+    export form: worker i of max reads only documents whose id-hash
+    lands in its slice (ES hashes ``_id`` the same way), so max
+    workers cover the index disjointly and exhaustively with NO
+    coordination.  The slice predicate (portable md5 hash % max) is
+    one more pushed filter — each worker's pages stay keyset-priced,
+    and the hash is the engine's cross-replayable md5 form."""
     from bigdatasearchpro_spark.operators.querystring import query_string_filter
     from pyspark.sql import functions as F
 
@@ -508,6 +517,15 @@ def scroll(
             else search.all_string_cols(docs)
         )
         docs = query_string_filter(docs, query, default_field=fields, fields=fields)
+    if slice_spec is not None:
+        from bigdatasearchpro_spark.operators.neardup import portable_hash_long
+
+        sid, smax = int(slice_spec[0]), int(slice_spec[1])
+        if not 0 <= sid < smax:
+            raise ValueError(f"slice id must be in [0, max), got {slice_spec}")
+        docs = docs.filter(
+            portable_hash_long(F.col(id_col).cast("string")) % smax == sid
+        )
     if scroll_id is not None:
         docs = docs.filter(F.col(id_col) > F.lit(scroll_id))
     # probe one row past the page: if the boundary falls inside a run

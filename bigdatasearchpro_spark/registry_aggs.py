@@ -3429,3 +3429,43 @@ def l3_agg_normalize(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")).alias("key")
     ).agg(F.count("*").alias("doc_count"))
     return aggs.normalize_agg(buckets, "doc_count")
+
+
+@register(
+    "s24_sliced_scroll",
+    """
+    SELECT doc_id::VARCHAR AS doc_id, lang FROM documents
+    WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 3 = 1
+    ORDER BY doc_id::VARCHAR ASC
+    """,
+)
+def s24_sliced_scroll(spark, sf_dir):
+    """S24 [ES parity]: SLICED scrolling (`"slice": {"id": i, "max":
+    m}`) — the parallel-export form of scroll: worker 1 of 3 drains
+    ITS slice (id-hash % 3 == 1) page by page to exhaustion; the
+    slices partition the index disjointly with no coordination, which
+    is how a fleet of workers exports 100 TB concurrently.  The slice
+    predicate is the engine's portable md5 hash (one more pushed
+    filter), so the oracle replays the exact membership; the paging
+    itself stays keyset-priced (api.scroll slice_spec)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:8]
+    idx = f"sliced_scroll_{tag}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text", "lang"), idx,
+                           id_col="doc_id")
+    rows, cursor = [], None
+    try:
+        while True:
+            page, cursor = api.scroll(
+                spark, idx, size=50, scroll_id=cursor, slice_spec=(1, 3)
+            )
+            rows.extend(page.select("doc_id", "lang").collect())
+            if cursor is None:
+                break
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, "doc_id string, lang string")

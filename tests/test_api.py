@@ -805,3 +805,39 @@ def test_knn_search_endpoint(spark, sf_dir):
             api.knn_search(spark, name, qv, mode="hnsw")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_sliced_scroll_partitions_disjoint_exhaustive(spark):
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = spark.range(0, 97).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    )
+    idx = f"slice_t_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id")
+    try:
+        seen = []
+        for sid in range(4):
+            cursor, got = None, set()
+            while True:
+                page, cursor = api.scroll(
+                    spark, idx, size=10, scroll_id=cursor,
+                    slice_spec=(sid, 4),
+                )
+                got |= {r["doc_id"] for r in page.collect()}
+                if cursor is None:
+                    break
+            seen.append(got)
+        union = set().union(*seen)
+        # the bulk pipeline stringifies every column (the reference's
+        # document model), so ids come back as strings
+        assert union == {str(i) for i in range(97)}
+        assert sum(len(s) for s in seen) == 97  # disjoint
+        import pytest as pt
+
+        with pt.raises(ValueError):
+            api.scroll(spark, idx, slice_spec=(4, 4))
+    finally:
+        api.delete_index(spark, idx)

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "l5_gopher_rules",
     "l3_terms_set_query",
     "q3_shipping_priority",
+    "l5_pipeline_curation_v4",
 ]
 
 

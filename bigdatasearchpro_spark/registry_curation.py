@@ -812,3 +812,129 @@ def l5_dsir_weights(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin("src0", "src1"))
     return curation.dsir_log_weights(docs, target)
+
+
+def _pipeline_v4_oracle() -> str:
+    """Composed DuckDB oracle for pipeline v4 — each stage replays the
+    same SQL form its standalone entry uses (Gopher integer gates,
+    md5-bucket DSIR log weights, median threshold, md5 min-id dedup)."""
+    return r"""
+    WITH w0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             len(words)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(words, x -> strlen(x))),
+                      0)::BIGINT AS sum_wl,
+             len(list_filter(words,
+                 x -> x = '#' OR contains(x, '...')))::BIGINT AS n_symbol,
+             len(list_filter(words,
+                 x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+             len(list_distinct(list_filter(
+                 list_transform(words, x -> lower(x)),
+                 x -> list_contains(
+                   ['the','be','to','of','and','that','have','with'], x)
+             )))::BIGINT AS stop_hits
+      FROM w0
+    ),
+    surv AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN g USING (doc_id)
+      WHERE g.n_words >= 50 AND g.n_words <= 100000
+        AND g.sum_wl >= 3 * g.n_words AND g.sum_wl <= 10 * g.n_words
+        AND 100 * g.n_symbol <= 10 * g.n_words
+        AND 100 * g.n_alpha >= 80 * g.n_words
+        AND g.stop_hits >= 1
+    ),
+    tok AS (
+      SELECT s.doc_id, s.source,
+             (('0x' || substring(md5(term), 1, 15))::BIGINT % 64) AS b
+      FROM (SELECT doc_id, source,
+                   unnest(list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS term
+            FROM surv) s
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM tok
+            WHERE source IN ('src0', 'src1') GROUP BY b),
+    dist AS (
+      SELECT raw.b, raw.cr, coalesce(tgt.ct, 0) AS ct
+      FROM raw LEFT JOIN tgt USING (b)
+    ),
+    tot AS (SELECT sum(cr)::DOUBLE AS tr, sum(ct)::DOUBLE AS tt FROM dist),
+    lw AS (
+      SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+             round(sum(ln((dist.ct + 1)::DOUBLE) - ln((dist.cr + 1)::DOUBLE))
+                   + count(*)::DOUBLE * (ln(tot.tr + 64) - ln(tot.tt + 64)),
+                   4) AS log_w
+      FROM tok JOIN dist USING (b) CROSS JOIN tot
+      GROUP BY tok.doc_id, tot.tr, tot.tt
+    ),
+    med AS (SELECT median(log_w) AS m FROM lw),
+    sel AS (
+      SELECT s.doc_id, s.text, s.source, lw.n_tokens
+      FROM surv s JOIN lw USING (doc_id) CROSS JOIN med
+      WHERE lw.log_w > med.m
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM sel GROUP BY md5(text)),
+    fin AS (SELECT sel.* FROM sel JOIN ex USING (doc_id))
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS sum_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM fin GROUP BY source ORDER BY source
+    """
+
+
+@register("l5_pipeline_curation_v4", _pipeline_v4_oracle())
+def l5_pipeline_curation_v4(spark, sf_dir):
+    """The round-7 third-pass stages composed end-to-end — the fourth
+    pipeline ring (v1: quality/dedup/near-dup/split; v2: logit gate /
+    decontaminate / fixed mixture; v3: repetition gate / dedup /
+    temperature mixture):
+
+    1. GOPHER GATE: the full integer-exact rule conjunction
+       (word-count, mean-word-length, symbol, alpha, stopword);
+    2. DSIR SELECTION toward the src0/src1 target domain: md5-bucket
+       hashed-unigram log importance over the survivors, keeping docs
+       ABOVE THE MEDIAN weight — the threshold is one percentile
+       reduce broadcast back (no corpus-sized rank window);
+    3. exact dedup (smallest doc_id per content hash);
+    4. per-source summary: doc count, token mass, id range.
+
+    ONE composed DuckDB oracle hash-verifies the result.  Every stage
+    is a narrow projection, a hash agg, or a broadcast of a
+    scalar/64-row histogram — nothing corpus-sized shuffles more than
+    once and no global sort exists anywhere
+    (operators/curation.py gopher_rules + dsir_log_weights +
+    operators/dedup.py dedup_exact_by_hash)."""
+    from bigdatasearchpro_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = curation.gopher_rules(docs, min_stop_hits=1).filter("keep").select(
+        "doc_id"
+    )
+    surv = docs.join(keep, "doc_id", "left_semi")
+    target = surv.filter(F.col("source").isin("src0", "src1"))
+    lw = curation.dsir_log_weights(surv, target)
+    med = lw.agg(F.percentile(F.col("log_w"), F.lit(0.5)).alias("m"))
+    sel = (
+        surv.join(lw, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .filter(F.col("log_w") > F.col("m"))
+        .select("doc_id", "text", "source", "n_tokens")
+    )
+    ex = dedup_ops.dedup_exact_by_hash(sel, "text", "doc_id")
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )

@@ -139,6 +139,7 @@ _R7_DEFER_TO_R8 = (
     "l3_combined_fields",
     "s24_sliced_scroll",
     "l5_pipeline_curation_v4",
+    "st12_streaming_quality_gate",
 )
 
 

@@ -938,3 +938,76 @@ def l5_pipeline_curation_v4(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "st12_streaming_quality_gate",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(words)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(words, x -> strlen(x))),
+                      0)::BIGINT AS sum_wl,
+             len(list_filter(words,
+                 x -> x = '#' OR contains(x, '...')))::BIGINT AS n_symbol,
+             len(list_filter(words,
+                 x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+             len(list_distinct(list_filter(
+                 list_transform(words, x -> lower(x)),
+                 x -> list_contains(
+                   ['the','be','to','of','and','that','have','with'], x)
+             )))::BIGINT AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words FROM m
+    WHERE (n_words >= 50 AND n_words <= 100000)
+      AND (sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words)
+      AND (100 * n_symbol <= 10 * n_words)
+      AND (100 * n_alpha >= 80 * n_words)
+      AND (stop_hits >= 1)
+    ORDER BY doc_id
+    """,
+)
+def st12_streaming_quality_gate(spark, sf_dir):
+    """§2.9 + L5: the Gopher quality gate run as a REAL STREAM — the
+    ingest-time shape of corpus curation (filter documents as they
+    arrive, before they ever land in the lake).  The documents fixture
+    is staged as 3 micro-batch parquet files; the gate is the same
+    stateless integer-rule projection as the batch entry, so append
+    mode emits each surviving doc exactly once and the final survivor
+    SET equals the batch gate, which the DuckDB oracle replays
+    (operators/curation.py gopher_rules over a file-source stream)."""
+    import shutil
+    import tempfile
+
+    from bigdatasearchpro_spark.streaming.pipelines import run_to_completion
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="st12_src_")
+    ck = tempfile.mkdtemp(prefix="st12_ck_")
+    try:
+        for i in range(3):
+            (docs.filter(F.col("doc_id") % 3 == i)
+                 .coalesce(1).write.mode("append").parquet(src))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        gated = (
+            curation.gopher_rules(stream, min_stop_hits=1)
+            .filter("keep")
+            .select("doc_id", "n_words")
+        )
+        got = run_to_completion(gated, checkpoint_dir=ck, output_mode="append")
+        rows = got.orderBy("doc_id").collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, n_words bigint")

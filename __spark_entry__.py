@@ -140,6 +140,7 @@ _R7_DEFER_TO_R8 = (
     "s24_sliced_scroll",
     "l5_pipeline_curation_v4",
     "st12_streaming_quality_gate",
+    "l6_image_resize",
 )
 
 

@@ -52,10 +52,12 @@ def encode_ppm(width: int, height: int, seed: int) -> bytes:
     return header + pix.astype(np.uint8).tobytes()
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Parse a P6 PPM from its actual bytes: magic, whitespace-separated
-    header fields (comments supported, like the spec), then the RGB
-    plane. Returns scalar stats computed from the decoded pixels."""
+def ppm_raster(payload: bytes) -> "tuple[int, int, np.ndarray]":
+    """Parse a P6 PPM into ``(width, height, flat RGB raster)`` —
+    magic, whitespace-separated header fields (comments supported,
+    like the spec), then the interleaved 8-bit RGB plane.  The parser
+    half of :func:`decode_ppm`, shared with the pixel-level operators
+    (resize)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     # header scan: 3 whitespace-separated fields after the magic,
@@ -82,6 +84,13 @@ def decode_ppm(payload: bytes) -> dict:
     raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
     if raster.size != n:
         raise ValueError("truncated PPM raster")
+    return width, height, raster
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a P6 PPM from its actual bytes (:func:`ppm_raster`) and
+    return scalar stats computed from the decoded pixels."""
+    width, height, raster = ppm_raster(payload)
     return {
         "fmt": "ppm",
         "width": width,
@@ -427,3 +436,60 @@ def image_gray_histogram(assets: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(gen, schema)
+
+
+def image_resize_nearest(
+    assets: DataFrame,
+    out_w: int,
+    out_h: int,
+    *,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL nearest-neighbor resize over decoded P6 PPM bytes — the
+    vision-pipeline normalization step (every training recipe resizes
+    to a fixed grid before patching/embedding).  Source index mapping
+    is the INTEGER floor form ``src = (out_idx * src_dim) // out_dim``
+    (pure integer arithmetic, so an oracle recomputes every output
+    pixel from a closed-form fixture without an image stack; the
+    center-offset variant would differ only by a constant shift).
+
+    Arrow ``mapInPandas``: payloads decode and resample inside the
+    executors (numpy fancy-indexing — no Python per-pixel loop) and
+    only the ``out_w * out_h`` output rows cross the shuffle.  Output:
+    ``(asset_id, out_r, out_c, r, g, b)``."""
+    import pandas as pd
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("out_w/out_h must be positive")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        oc, orr = np.meshgrid(np.arange(out_w), np.arange(out_h))
+        orr, oc = orr.ravel(), oc.ravel()
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "out_r", "out_c", "r", "g", "b")}
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, raster = ppm_raster(bytes(payload))
+                px = raster.reshape(h, w, 3)
+                sr = (orr * h) // out_h
+                sc = (oc * w) // out_w
+                sel = px[sr, sc]  # (out_h*out_w, 3) fancy-indexed gather
+                out["asset_id"].extend([int(aid)] * len(orr))
+                out["out_r"].extend(orr.tolist())
+                out["out_c"].extend(oc.tolist())
+                out["r"].extend(sel[:, 0].tolist())
+                out["g"].extend(sel[:, 1].tolist())
+                out["b"].extend(sel[:, 2].tolist())
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("out_r", T.IntegerType(), False),
+            T.StructField("out_c", T.IntegerType(), False),
+            T.StructField("r", T.IntegerType(), False),
+            T.StructField("g", T.IntegerType(), False),
+            T.StructField("b", T.IntegerType(), False),
+        ]
+    )
+    return assets.select(id_col, payload_col).mapInPandas(gen, schema)

@@ -2671,3 +2671,47 @@ def l4_filtered_knn(spark, sf_dir):
         F.broadcast(keep), emb.vec_id == keep.doc_id, "left_semi"
     )
     return vector_rank_page(emb_f, _RANGE_QUERY_INTS, 10)
+
+
+@register(
+    "l6_image_resize",
+    """
+    WITH img AS (
+      SELECT doc_id, (4 + doc_id % 5)::BIGINT AS w, (3 + doc_id % 4)::BIGINT AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    grid AS (
+      SELECT i.doc_id, i.w, i.h,
+             (g.i // 2)::INTEGER AS out_r, (g.i % 2)::INTEGER AS out_c
+      FROM img i, generate_series(0, 3) AS g(i)
+    ),
+    mapped AS (
+      SELECT doc_id, out_r, out_c,
+             ((out_r * h) // 2) AS sr, ((out_c * w) // 2) AS sc, w
+      FROM grid
+    )
+    SELECT doc_id AS asset_id, out_r, out_c,
+           ((doc_id * 7 + 3 * (sr * w + sc)) % 256)::INTEGER AS r,
+           ((doc_id * 7 + 3 * (sr * w + sc) + 1) % 256)::INTEGER AS g,
+           ((doc_id * 7 + 3 * (sr * w + sc) + 2) % 256)::INTEGER AS b
+    FROM mapped
+    ORDER BY asset_id, out_r, out_c
+    """,
+)
+def l6_image_resize(spark, sf_dir):
+    """L6: REAL nearest-neighbor resize to a fixed 2x2 grid over
+    decoded P6 PPM bytes — the vision-pipeline normalization step,
+    no longer behind the resize-plan stub: payloads decode and
+    resample (numpy gather) inside Arrow batches, only output pixels
+    cross the wire.  The integer floor index mapping means the oracle
+    recomputes every output pixel from the fixture's closed-form ramp
+    (byte i = (id*7 + i) % 256) with no image stack — any decode or
+    index bug shifts a channel value and hash-mismatches
+    (multimodal/codecs.py image_resize_nearest)."""
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = codecs.synthesize_media_assets(ids).filter(F.col("kind") == "image")
+    return codecs.image_resize_nearest(imgs, 2, 2).orderBy(
+        "asset_id", "out_r", "out_c"
+    )

@@ -546,3 +546,39 @@ def test_png_stats_df_matches_closed_form(spark):
         assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
         assert r["n_units"] == w * h
         assert r["val_sum"] == sum((d * 7 + i) % 256 for i in range(ch * w * h))
+
+
+def test_image_resize_nearest_identity_and_mapping(spark):
+    """Resizing to the source dims is the identity; downsizing picks
+    the floor-mapped source pixel; guards raise."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.multimodal.codecs import (
+        encode_ppm,
+        image_resize_nearest,
+        ppm_raster,
+    )
+
+    payload = encode_ppm(4, 2, seed=9)
+    w, h, raster = ppm_raster(payload)
+    px = raster.reshape(h, w, 3)
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload))], "asset_id long, payload binary"
+    )
+    same = image_resize_nearest(assets, 4, 2).collect()
+    assert len(same) == 8
+    for r in same:
+        assert (r["r"], r["g"], r["b"]) == tuple(
+            int(v) for v in px[r["out_r"], r["out_c"]]
+        )
+    down = image_resize_nearest(assets, 2, 1).collect()
+    assert len(down) == 2
+    for r in down:
+        sr, sc = (r["out_r"] * 2) // 1 // 2, (r["out_c"] * 4) // 2
+        assert (r["r"], r["g"], r["b"]) == tuple(int(v) for v in px[0, sc])
+    up = image_resize_nearest(assets, 8, 4).collect()
+    assert len(up) == 32  # upsampling replicates source pixels
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        image_resize_nearest(assets, 0, 2)

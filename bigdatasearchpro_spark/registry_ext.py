@@ -354,7 +354,8 @@ def l6_decode_video(spark, sf_dir):
 )
 def l6_resize_plan(spark, sf_dir):
     """L6: aspect-preserving resize planning for image assets (fit in
-    224x224); pixel resample lives behind the codec stub."""
+    224x224); the pixel resample itself is the real
+    ``l6_image_resize`` entry (codecs.image_resize_nearest)."""
     a = mm.assets_from_documents(load_table(spark, sf_dir, "documents"))
     return mm.resize_plan(a, 224, 224)
 

@@ -507,3 +507,53 @@ def test_geo_polygon_column_math_equals_pnpoly(spark, verts, pts):
         if on_edge:
             continue
         assert ((la, lo) in got) == _pnpoly_py(la, lo, poly), (la, lo, poly)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab c"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    terms=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3,
+                   unique=True),
+    ordered=st.booleans(),
+    max_gaps=st.integers(0, 4),
+)
+def test_intervals_match_vs_bruteforce(spark, docs, terms, ordered, max_gaps):
+    """intervals_match_expr == an O(positions^k) Python brute force:
+    some assignment of one position per term fits in a window of
+    k-1+max_gaps (ordered: strictly increasing positions in term
+    order)."""
+    from itertools import product as iproduct
+
+    from bigdatasearchpro_spark.operators.search import intervals_match_expr
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]
+        for r in df.filter(
+            intervals_match_expr("text", terms, ordered=ordered,
+                                 max_gaps=max_gaps)
+        ).collect()
+    }
+
+    def brute(text: str) -> bool:
+        toks = [t for t in text.lower().split() if t]
+        pos = [[i for i, t in enumerate(toks) if t == term] for term in terms]
+        if any(not p for p in pos):
+            return False
+        k = len(terms)
+        for combo in iproduct(*pos):
+            if ordered and any(b <= a for a, b in zip(combo, combo[1:])):
+                continue
+            if max(combo) - min(combo) <= k - 1 + max_gaps:
+                return True
+        return False
+
+    expect = {i for i, t in enumerate(texts) if brute(t)}
+    assert got == expect, (texts, terms, ordered, max_gaps)

@@ -141,6 +141,8 @@ _R7_DEFER_TO_R8 = (
     "l5_pipeline_curation_v4",
     "st12_streaming_quality_gate",
     "l6_image_resize",
+    "l3_analyzer_italian",
+    "l3_analyzer_portuguese",
 )
 
 

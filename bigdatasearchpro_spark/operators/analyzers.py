@@ -158,6 +158,37 @@ STEM_RULES_ES: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
     ("e", 5, "", ()),
 )
 
+# Italian light stemmer rule table — ItalianLightStemFilter spirit
+# (plural/gender vowel endings + -zioni/-zione), applied AFTER accent
+# folding.
+STEM_RULES_IT: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
+    ("zioni", 8, "zion", ()),
+    ("zione", 8, "zion", ()),
+    ("i", 5, "", ()),
+    ("e", 5, "", ()),
+    ("o", 5, "", ()),
+    ("a", 5, "", ()),
+)
+
+# Portuguese light stemmer rule table — PortugueseMinimalStem spirit
+# (plural forms incl. -ões->ão, -ais->al on the FOLDED alphabet, so
+# 'operações'→'operacao' and the singular 'operação'→'operacao' — the
+# ("o", ..., excluded "ao") rule keeps the nasal-suffix singulars
+# intact; exclusions skip the rule and fall through).
+STEM_RULES_PT: tuple[tuple[str, int, str, tuple[str, ...]], ...] = (
+    ("oes", 6, "ao", ()),
+    ("aes", 6, "ao", ()),
+    ("ais", 6, "al", ()),
+    ("eis", 6, "el", ()),
+    ("as", 6, "", ()),
+    ("os", 6, "", ()),
+    ("es", 5, "", ()),
+    ("s", 5, "", ("ss",)),
+    ("o", 6, "", ("ao",)),
+    ("a", 6, "", ()),
+    ("e", 6, "", ()),
+)
+
 
 def stem_token(t: str, rules=STEM_RULES) -> str:
     """Driver-side light stemmer (query analysis)."""
@@ -224,6 +255,17 @@ FOLD_DE: tuple[tuple[str, str], ...] = (
 FOLD_ES: tuple[tuple[str, str], ...] = (
     ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u"),
     ("ü", "u"), ("ñ", "n"),
+)
+
+FOLD_IT: tuple[tuple[str, str], ...] = (
+    ("à", "a"), ("è", "e"), ("é", "e"), ("ì", "i"),
+    ("ò", "o"), ("ó", "o"), ("ù", "u"),
+)
+
+FOLD_PT: tuple[tuple[str, str], ...] = (
+    ("á", "a"), ("â", "a"), ("ã", "a"), ("à", "a"),
+    ("é", "e"), ("ê", "e"), ("í", "i"),
+    ("ó", "o"), ("ô", "o"), ("õ", "o"), ("ú", "u"), ("ç", "c"),
 )
 
 # Russian folds to CYRILLIC, not ASCII (the first non-Latin-1 family):
@@ -323,6 +365,22 @@ STOPWORDS_ES = (
     "unos", "y", "ya", "a",
 )
 
+# Lucene Italian stop core (subset), in FOLDED form (è->e, più->piu).
+STOPWORDS_IT = (
+    "di", "a", "da", "in", "con", "su", "per", "tra", "fra", "il",
+    "lo", "la", "i", "gli", "le", "un", "uno", "una", "e", "o", "ma",
+    "se", "che", "non", "piu", "come", "anche", "del", "della", "dei",
+    "delle", "al", "alla", "nel", "nella", "sono", "questo", "questa",
+)
+
+# Lucene Portuguese stop core (subset), in FOLDED form (não->nao,
+# são->sao).
+STOPWORDS_PT = (
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com",
+    "nao", "uma", "os", "no", "se", "na", "por", "mais", "as", "dos",
+    "como", "mas", "ao", "das", "ou", "sem", "sao", "aos", "nas",
+)
+
 STOPWORDS_DE = (
     "aber", "als", "am", "an", "auch", "auf", "aus", "bei", "das", "dem",
     "den", "der", "des", "die", "durch", "ein", "eine", "einem", "einen",
@@ -358,6 +416,14 @@ def _german_tokens(text: Column) -> Column:
 
 def _spanish_tokens(text: Column) -> Column:
     return _lang_tokens(text, FOLD_ES, STOPWORDS_ES, STEM_RULES_ES)
+
+
+def _italian_tokens(text: Column) -> Column:
+    return _lang_tokens(text, FOLD_IT, STOPWORDS_IT, STEM_RULES_IT)
+
+
+def _portuguese_tokens(text: Column) -> Column:
+    return _lang_tokens(text, FOLD_PT, STOPWORDS_PT, STEM_RULES_PT)
 
 
 # Lucene Russian stop core (high-frequency function words)
@@ -421,6 +487,14 @@ def _spanish_analyze(q: str) -> list[str]:
     return _lang_analyze(q, FOLD_ES, STOPWORDS_ES, STEM_RULES_ES)
 
 
+def _italian_analyze(q: str) -> list[str]:
+    return _lang_analyze(q, FOLD_IT, STOPWORDS_IT, STEM_RULES_IT)
+
+
+def _portuguese_analyze(q: str) -> list[str]:
+    return _lang_analyze(q, FOLD_PT, STOPWORDS_PT, STEM_RULES_PT)
+
+
 def _russian_analyze(q: str) -> list[str]:
     return _lang_analyze(
         q, FOLD_RU, STOPWORDS_RU, STEM_RULES_RU, TOKEN_SPLIT_RE_RU
@@ -439,6 +513,8 @@ ANALYZERS = {
     "german": (_german_tokens, _german_analyze),
     "spanish": (_spanish_tokens, _spanish_analyze),
     "russian": (_russian_tokens, _russian_analyze),
+    "italian": (_italian_tokens, _italian_analyze),
+    "portuguese": (_portuguese_tokens, _portuguese_analyze),
 }
 
 
@@ -447,7 +523,8 @@ ANALYZERS = {
 # (french/german stems are also accent-FOLDED, so prefix matching
 # highlights only already-ASCII surface words — documented limit.)
 STEMMING_ANALYZERS = frozenset(
-    {"english", "french", "german", "spanish", "russian"}
+    {"english", "french", "german", "spanish", "russian", "italian",
+     "portuguese"}
 )
 
 
@@ -458,6 +535,8 @@ _STEM_RULES_BY_ANALYZER = {
     "french": STEM_RULES_FR,
     "german": STEM_RULES_DE,
     "spanish": STEM_RULES_ES,
+    "italian": STEM_RULES_IT,
+    "portuguese": STEM_RULES_PT,
     "russian": STEM_RULES_RU,
 }
 

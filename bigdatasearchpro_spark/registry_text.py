@@ -2831,3 +2831,76 @@ def l3_combined_fields(spark, sf_dir):
     return search.search_topk_combined_fields(
         docs, "spark en src1", ["text", "lang", "source"], 10
     )
+
+
+from bigdatasearchpro_spark.operators.analyzers import (  # noqa: E402
+    FOLD_IT,
+    FOLD_PT,
+    STEM_RULES_IT,
+    STEM_RULES_PT,
+    STOPWORDS_IT,
+    STOPWORDS_PT,
+)
+
+_STOPS_IT_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS_IT) + ")"
+_STOPS_PT_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS_PT) + ")"
+
+_INFLECT_IT = (
+    ("table", "Tavole"),
+    ("query", "interrogazioni"),
+    ("filter", "filtri"),
+    ("sort", "cavalli"),
+)
+
+_INFLECT_PT = (
+    ("table", "Tabelas"),
+    ("query", "operações"),
+    ("filter", "filtros"),
+    ("sort", "animais"),
+)
+
+
+@register(
+    "l3_analyzer_italian",
+    _lang_analyzer_oracle(
+        _INFLECT_IT, FOLD_IT, _STOPS_IT_SQL, STEM_RULES_IT,
+        ("tavol", "interrogazion", "filtr", "cavall"),
+    ),
+)
+def l3_analyzer_italian(spark, sf_dir):
+    """L3 analyzers: ``italian`` — accent folding (à è é ì ò ù), the
+    Lucene Italian stop core (folded: è->e, più->piu), and a light
+    plural/gender stemmer (ItalianLightStem spirit: -zioni/-zione->
+    zion, final vowel strip).  Corpus re-inflected (table->Tavole,
+    query->interrogazioni, filter->filtri, sort->cavalli); the query
+    "La Tavola è più interrogazione; filtro e cavallo" uses DIFFERENT
+    inflections + accented stopwords — match requires symmetric
+    folded-stem agreement."""
+    return _lang_analyzer_query(
+        spark, sf_dir, _INFLECT_IT,
+        "La Tavola è più interrogazione; filtro e cavallo", "italian",
+    )
+
+
+@register(
+    "l3_analyzer_portuguese",
+    _lang_analyzer_oracle(
+        _INFLECT_PT, FOLD_PT, _STOPS_PT_SQL, STEM_RULES_PT,
+        ("tabel", "operacao", "filtr", "animal"),
+    ),
+)
+def l3_analyzer_portuguese(spark, sf_dir):
+    """L3 analyzers: ``portuguese`` — accent+cedilla folding (á â ã ç
+    ...), the Lucene Portuguese stop core (folded: não->nao), and a
+    light plural stemmer (PortugueseMinimalStem spirit on the folded
+    alphabet: -ões->ão so 'operações'/'operação' agree, -ais->al,
+    plural strips; the ("o", excluded "ao") rule keeps nasal
+    singulars intact).  Corpus re-inflected (table->Tabelas,
+    query->operações, filter->filtros, sort->animais); the query
+    "A Tabela de operação; filtro e animal" uses singular forms +
+    stopwords — match requires symmetric folded-stem agreement,
+    exercising the ç/ã fold chain."""
+    return _lang_analyzer_query(
+        spark, sf_dir, _INFLECT_PT,
+        "A Tabela de operação; filtro e animal", "portuguese",
+    )

@@ -716,3 +716,39 @@ def test_combined_fields_shares_corpus_stats(spark):
 
     with pt.raises(ValueError):
         search_topk_combined_fields(df, "apple", ["a^2", "b"], 10)
+
+
+def test_italian_portuguese_analyzer_symmetry(spark):
+    """Index-time Column tokens == query-time Python analysis for the
+    two new families, including the nasal-suffix PT case where the
+    plural and singular must meet at the same stem."""
+    from bigdatasearchpro_spark.operators.analyzers import (
+        ANALYZERS,
+        _italian_analyze,
+        _portuguese_analyze,
+    )
+
+    cases = {
+        "italian": [
+            "La Tavola è più interrogazione",
+            "Tavole interrogazioni filtri cavalli",
+        ],
+        "portuguese": [
+            "A Tabela de operação; filtro e animal",
+            "Tabelas operações filtros animais",
+        ],
+    }
+    for name, texts in cases.items():
+        tok_expr, analyze = ANALYZERS[name]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        spark_side = [
+            r["t"] for r in df.select(tok_expr(F.col("text")).alias("t")).collect()
+        ]
+        for text, toks in zip(texts, spark_side):
+            assert toks == analyze(text), (name, text)
+    # the PT nasal rule: plural and singular agree; bare 'ao' stays
+    assert _portuguese_analyze("operações") == _portuguese_analyze("operação")
+    assert _portuguese_analyze("animais") == _portuguese_analyze("animal")
+    assert _italian_analyze("interrogazioni") == _italian_analyze(
+        "interrogazione"
+    )

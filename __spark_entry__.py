@@ -143,6 +143,8 @@ _R7_DEFER_TO_R8 = (
     "l6_image_resize",
     "l3_analyzer_italian",
     "l3_analyzer_portuguese",
+    "l3_match_bool_prefix",
+    "l5_script_detect",
 )
 
 

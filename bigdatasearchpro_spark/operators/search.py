@@ -1958,3 +1958,32 @@ def search_topk_combined_fields(
         query, k, id_col=id_col, text_col="__combined",
         analyzer=analyzer, **kw,
     )
+
+
+def match_bool_prefix_expr(
+    text_col,
+    query: str,
+    *,
+    analyzer: str = "standard",
+    operator: str = "and",
+) -> Column:
+    """ES ``match_bool_prefix`` query predicate (the search-as-you-type
+    workhorse): every analyzed term matches as a full TERM except the
+    LAST, which matches as a PREFIX of any token — "spark jo" finds
+    documents with `spark` and any `jo...` token.  ``operator``
+    'and'/'or' combines the clauses like the ES request body.  One
+    codegen-span predicate: array_contains per full term + one exists/
+    startswith for the prefix — no explode, no join."""
+    if operator not in ("and", "or"):
+        raise ValueError(f"operator must be and/or, got {operator!r}")
+    terms = analyze_query(query, analyzer)
+    if not terms:
+        return F.lit(False)
+    toks = tokens_expr(text_col, analyzer)
+    *full, prefix = terms
+    clauses = [F.array_contains(toks, t) for t in full]
+    clauses.append(F.exists(toks, lambda t: t.startswith(prefix)))
+    out = clauses[0]
+    for c in clauses[1:]:
+        out = (out & c) if operator == "and" else (out | c)
+    return out

@@ -636,3 +636,42 @@ def quality_logit_sql(stats_cte: str = "qstats") -> str:
         f"SELECT doc_id, {expr}::BIGINT AS logit_scaled, {expr} > 0 AS keep "
         f"FROM {stats_cte}"
     )
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document SCRIPT detection for multilingual corpus routing
+    (which analyzer family, which tokenizer, which LM): exact
+    character counts per writing system (latin, cyrillic, CJK
+    ideographs, digits) plus the dominant script by count argmax with
+    a fixed precedence tie-break (latin > cyrillic > cjk > digit >
+    none — deterministic where a float-ratio argmax would not be).
+    Pure integer regexp counts in ONE narrow projection — each count
+    is ``length(text) - length(regexp_replace(text, class, ''))``
+    style arithmetic, no explode, no UDF; any SQL engine replays it."""
+    t = F.col(text_col)
+
+    def n(cls: str) -> Column:
+        return F.length(F.regexp_replace(t, cls, ""))
+
+    n_latin = (F.length(t) - n("[A-Za-z]")).cast("long")
+    n_cyr = (F.length(t) - n("[а-яёА-ЯЁ]")).cast("long")
+    n_cjk = (F.length(t) - n("[一-鿿]")).cast("long")
+    n_digit = (F.length(t) - n("[0-9]")).cast("long")
+    dominant = (
+        F.when((n_latin >= n_cyr) & (n_latin >= n_cjk)
+               & (n_latin >= n_digit) & (n_latin > 0), "latin")
+        .when((n_cyr >= n_cjk) & (n_cyr >= n_digit) & (n_cyr > 0), "cyrillic")
+        .when((n_cjk >= n_digit) & (n_cjk > 0), "cjk")
+        .when(n_digit > 0, "digit")
+        .otherwise("none")
+    )
+    return df.select(
+        F.col(id_col),
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        n_digit.alias("n_digit"),
+        dominant.alias("dominant_script"),
+    )

@@ -1011,3 +1011,49 @@ def st12_streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, n_words bigint")
+
+
+@register(
+    "l5_script_detect",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 1 THEN ' москва слово'
+               WHEN 2 THEN ' 中文字符'
+               ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS n_latin,
+           (length(text) - length(regexp_replace(text, '[а-яёА-ЯЁ]', '', 'g')))::BIGINT AS n_cyrillic,
+           (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))::BIGINT AS n_cjk,
+           (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+           'latin' AS dominant_script
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def l5_script_detect(spark, sf_dir):
+    """L5 [training data]: per-document SCRIPT detection — exact
+    per-writing-system character counts (latin/cyrillic/CJK/digit) +
+    dominant-script argmax, the router for multilingual pipelines
+    (which analyzer family / tokenizer / LM a doc goes to).  The
+    ASCII fixture is augmented with deterministic cyrillic / CJK
+    suffixes (unicode literals, not chr() — Spark chr is Latin-1) so
+    the counts discriminate; dominant stays latin (suffixes are
+    shorter than the body), which the oracle pins alongside the raw
+    counts.  Integer regexp arithmetic in one narrow projection; both
+    engines count CODEPOINTS (operators/textstats.py script_profile)."""
+    from bigdatasearchpro_spark.operators.textstats import script_profile
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(" москва слово"))
+            .when(F.col("doc_id") % 3 == 2, F.lit(" 中文字符"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return script_profile(docs).orderBy("doc_id")

@@ -2904,3 +2904,32 @@ def l3_analyzer_portuguese(spark, sf_dir):
         spark, sf_dir, _INFLECT_PT,
         "A Tabela de operação; filtro e animal", "portuguese",
     )
+
+
+@register(
+    "l3_match_bool_prefix",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    )
+    SELECT doc_id FROM base
+    WHERE list_contains(l, 'spark')
+      AND len(list_filter(l, x -> starts_with(x, 'jo'))) > 0
+    ORDER BY doc_id
+    """,
+)
+def l3_match_bool_prefix(spark, sf_dir):
+    """L3 [ES parity]: ``match_bool_prefix`` — the search-as-you-type
+    query: `spark jo` matches documents containing the full term
+    `spark` AND any token with prefix `jo` (the last term is typed
+    mid-word).  One narrow predicate in the scan's codegen span
+    (operators/search.py match_bool_prefix_expr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(search.match_bool_prefix_expr("text", "spark jo"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -752,3 +752,29 @@ def test_italian_portuguese_analyzer_symmetry(spark):
     assert _italian_analyze("interrogazioni") == _italian_analyze(
         "interrogazione"
     )
+
+
+def test_match_bool_prefix_semantics(spark):
+    from bigdatasearchpro_spark.operators.search import match_bool_prefix_expr
+
+    df = spark.createDataFrame(
+        [(1, "spark join fast"), (2, "spark sort"), (3, "joint effort"),
+         (4, "spark jo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in df.filter(match_bool_prefix_expr("text", "spark jo")).collect()
+    }
+    assert got == {1, 4}  # needs full 'spark' AND a 'jo...' prefix token
+    any_of = {
+        r["doc_id"]
+        for r in df.filter(
+            match_bool_prefix_expr("text", "spark jo", operator="or")
+        ).collect()
+    }
+    assert any_of == {1, 2, 3, 4}
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        match_bool_prefix_expr("text", "spark jo", operator="xor")

@@ -219,3 +219,23 @@ def test_ngram_repetition_signals(spark):
     # doc 1 trigrams: [aba, bab, aba, bab] -> 4 total, 2 distinct
     assert rows[1]["dup_3gram_frac"] == 0.5
     assert rows[1]["top_3gram_frac"] == 0.5
+
+
+def test_script_profile_counts_and_dominance(spark):
+    from bigdatasearchpro_spark.operators.textstats import script_profile
+
+    rows = [
+        (1, "hello мир 42"),
+        (2, "中文字符 ab"),
+        (3, "москва и слово"),
+        (4, "12345"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert (got[1]["n_latin"], got[1]["n_cyrillic"], got[1]["n_digit"]) == (5, 3, 2)
+    assert got[1]["dominant_script"] == "latin"
+    assert got[2]["n_cjk"] == 4 and got[2]["dominant_script"] == "cjk"
+    assert got[3]["dominant_script"] == "cyrillic" and got[3]["n_cyrillic"] == 12
+    assert got[4]["dominant_script"] == "digit"
+    assert got[5]["dominant_script"] == "none"

@@ -145,6 +145,7 @@ _R7_DEFER_TO_R8 = (
     "l3_analyzer_portuguese",
     "l3_match_bool_prefix",
     "l5_script_detect",
+    "l3_range_date_math",
 )
 
 

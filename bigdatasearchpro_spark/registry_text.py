@@ -2933,3 +2933,39 @@ def l3_match_bool_prefix(spark, sf_dir):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "l3_range_date_math",
+    """
+    SELECT event_type, count(*) AS doc_count
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def l3_range_date_math(spark, sf_dir):
+    """L3 [ES parity]: range query with DATE MATH bounds —
+    ``ts >= now-1w/d AND ts < now/d`` with a pinned ``now``
+    (2024-01-20T12:30; an implicit wall clock would be
+    irreproducible).  The expressions evaluate ONCE on the driver to
+    timestamp literals (operators/datemath.py parse_date_math) that
+    push into the scan predicate — the oracle embeds the
+    HAND-COMPUTED bounds, independently verifying the parser's
+    arithmetic, and the plan is identical to a literal range filter."""
+    import datetime as dt
+
+    from bigdatasearchpro_spark.operators.datemath import parse_date_math
+
+    now = dt.datetime(2024, 1, 20, 12, 30)
+    lo = parse_date_math("now-1w/d", now=now)
+    hi = parse_date_math("now/d", now=now)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("event_type")
+    )

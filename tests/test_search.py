@@ -778,3 +778,31 @@ def test_match_bool_prefix_semantics(spark):
 
     with pt.raises(ValueError):
         match_bool_prefix_expr("text", "spark jo", operator="xor")
+
+
+def test_date_math_parsing():
+    import datetime as dt
+
+    from bigdatasearchpro_spark.operators.datemath import parse_date_math
+
+    now = dt.datetime(1997, 6, 15, 12, 30, 45)
+    f = lambda e: parse_date_math(e, now=now)  # noqa: E731
+    assert f("now") == now
+    assert f("now/d") == dt.datetime(1997, 6, 15)
+    assert f("now-1y/d") == dt.datetime(1996, 6, 15)
+    assert f("now+2h") == dt.datetime(1997, 6, 15, 14, 30, 45)
+    assert f("now-90m") == dt.datetime(1997, 6, 15, 11, 0, 45)
+    assert f("now/M") == dt.datetime(1997, 6, 1)
+    assert f("now-1w/w") == dt.datetime(1997, 6, 2)  # monday of prior week
+    assert parse_date_math("2020-01-31||+1M") == dt.datetime(2020, 2, 29)
+    assert parse_date_math("2019-01-31||+1M") == dt.datetime(2019, 2, 28)
+    assert parse_date_math("2020-03-05||-2d/d") == dt.datetime(2020, 3, 3)
+    assert parse_date_math("2020-03-05") == dt.datetime(2020, 3, 5)
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        parse_date_math("now-1d")  # no now given
+    with pt.raises(ValueError):
+        parse_date_math("now/d+1d", now=now)  # rounding must be last
+    with pt.raises(ValueError):
+        parse_date_math("now-1q", now=now)

@@ -146,6 +146,7 @@ _R7_DEFER_TO_R8 = (
     "l3_match_bool_prefix",
     "l5_script_detect",
     "l3_range_date_math",
+    "l3_agg_global",
 )
 
 

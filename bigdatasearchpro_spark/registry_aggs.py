@@ -3469,3 +3469,35 @@ def s24_sliced_scroll(spark, sf_dir):
     finally:
         api.delete_index(spark, idx)
     return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
+@register(
+    "l3_agg_global",
+    """
+    WITH m AS (
+      SELECT count(*) AS matched FROM documents
+      WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x = 'spark')) > 0
+    )
+    SELECT m.matched,
+           (SELECT count(*) FROM documents) AS global_count,
+           (SELECT sum(n_chars) FROM documents)::BIGINT AS global_chars
+    FROM m
+    """,
+)
+def l3_agg_global(spark, sf_dir):
+    """L3 [ES parity]: ``global`` bucket aggregation — metrics over
+    the WHOLE index alongside the query-matched count (the ES escape
+    hatch for "compare my hits against everything", e.g. percentage-
+    of-corpus panels).  Two independent single-row reduces crossed
+    together — the matched side reuses the filter context scan, the
+    global side is one unfiltered reduce; nothing corpus-sized joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = search.keyword_match(docs, "spark", mode="any").agg(
+        F.count("*").alias("matched")
+    )
+    g = docs.agg(
+        F.count("*").alias("global_count"),
+        F.sum("n_chars").alias("global_chars"),
+    )
+    return m.crossJoin(F.broadcast(g))

@@ -557,3 +557,38 @@ def test_intervals_match_vs_bruteforce(spark, docs, terms, ordered, max_gaps):
 
     expect = {i for i, t in enumerate(texts) if brute(t)}
     assert got == expect, (texts, terms, ordered, max_gaps)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text("abc# .123", min_size=0, max_size=60), min_size=1, max_size=5
+    )
+)
+def test_gopher_rules_match_python_twin(spark, texts):
+    """Every rule boolean equals an independent Python recomputation
+    on arbitrary text (integer cross-multiplication semantics)."""
+    from bigdatasearchpro_spark.operators.curation import (
+        GOPHER_STOPS,
+        gopher_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df, min_words=2).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in t.strip().split() if w]
+        n = len(words)
+        sum_wl = sum(len(w) for w in words)
+        n_sym = sum(1 for w in words if w == "#" or "..." in w)
+        n_alpha = sum(1 for w in words if any(c.isalpha() and c.isascii()
+                                              for c in w))
+        stops = len({w.lower() for w in words} & set(GOPHER_STOPS))
+        r = got[i]
+        assert r["n_words"] == n
+        assert r["r_word_count"] == (2 <= n <= 100_000)
+        assert r["r_mean_word_len"] == (3 * n <= sum_wl <= 10 * n)
+        assert r["r_symbol"] == (100 * n_sym <= 10 * n)
+        assert r["r_alpha"] == (100 * n_alpha >= 80 * n)
+        assert r["r_stopwords"] == (stops >= 2)

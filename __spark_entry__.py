@@ -147,6 +147,8 @@ _R7_DEFER_TO_R8 = (
     "l5_script_detect",
     "l3_range_date_math",
     "l3_agg_global",
+    "l3_has_child",
+    "l3_has_parent",
 )
 
 

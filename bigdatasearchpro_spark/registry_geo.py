@@ -647,3 +647,8 @@ def l3_function_score_decay(spark, sf_dir):
         .orderBy(F.desc("decay_e6"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# Part 8 (relational ES surfaces: parent-child, scripting DSL, IP
+# ring, wrapper, span dedup) registers itself on import.
+from bigdatasearchpro_spark import registry_relations  # noqa: E402,F401

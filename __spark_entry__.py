@@ -149,6 +149,9 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_global",
     "l3_has_child",
     "l3_has_parent",
+    "l3_script_score",
+    "l3_runtime_field",
+    "l3_agg_scripted_metric",
 )
 
 

@@ -102,3 +102,109 @@ def l3_has_parent(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "score").orderBy(
         "l_orderkey", "l_linenumber"
     )
+
+
+# ---------------------------------------------------------------------------
+# Scripting DSL: script_score / runtime fields / scripted_metric
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.operators.scripting import (  # noqa: E402
+    Script,
+    runtime_field,
+    script_score,
+    scripted_metric_agg,
+)
+
+_SCORE_SCRIPT = (
+    "params.w * doc['n_chars'].value / (doc['n_chars'].value + params.pivot)"
+)
+_SCORE_PARAMS = {"w": 2, "pivot": 200}
+
+@register(
+    "l3_script_score",
+    f"""
+    SELECT doc_id,
+           {Script(_SCORE_SCRIPT, _SCORE_PARAMS).sql(
+               field_map={"n_chars": "d.n_chars"})} AS score
+    FROM documents d
+    WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x = 'spark')) > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_script_score(spark, sf_dir):
+    """L3 [ES parity]: ``script_score`` query — the matched set of the
+    term query `spark` re-scored by a Painless-subset script
+    (saturation of n_chars, weight 2) COMPILED to a native Column
+    expression (whole-stage codegen; no interpreter, no UDF) — the
+    oracle SQL is emitted from the SAME AST with identical operand
+    order, so every IEEE op matches bit-for-bit
+    (operators/scripting.py Script)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = search.keyword_match(docs, "spark", mode="any")
+    return (
+        m.select(
+            "doc_id",
+            script_score(m, _SCORE_SCRIPT, _SCORE_PARAMS).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_TIER_SCRIPT = "Math.floor(doc['o_totalprice'].value / params.bucket)"
+_TIER_PARAMS = {"bucket": 50000}
+
+@register(
+    "l3_runtime_field",
+    f"""
+    SELECT CAST({Script(_TIER_SCRIPT, _TIER_PARAMS).sql(
+        field_map={"o_totalprice": "o_totalprice"})} AS BIGINT) AS tier,
+           COUNT(*)::BIGINT AS doc_count
+    FROM orders
+    GROUP BY tier
+    ORDER BY tier
+    """,
+)
+def l3_runtime_field(spark, sf_dir):
+    """L3 [ES parity]: runtime field (``runtime_mappings``) — a
+    query-time computed field (price tier = floor(totalprice/50000))
+    defined by a script and then used as a terms-agg key, exactly the
+    ES no-reindex pitch.  The runtime column is a plain expression
+    over the scan (pushdown/codegen unaffected); ONE hash aggregate
+    (operators/scripting.py runtime_field)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rt = runtime_field(orders, "tier", _TIER_SCRIPT, _TIER_PARAMS)
+    return (
+        rt.groupBy(F.col("tier").cast("bigint").alias("tier"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("tier")
+    )
+
+
+_METRIC_SCRIPT = "doc['l_quantity'].value * params.factor"
+_METRIC_PARAMS = {"factor": 3}
+
+@register(
+    "l3_agg_scripted_metric",
+    f"""
+    SELECT l_returnflag,
+           SUM({Script(_METRIC_SCRIPT, _METRIC_PARAMS).sql(
+               field_map={"l_quantity": "l_quantity"})}) AS value
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def l3_agg_scripted_metric(spark, sf_dir):
+    """L3 [ES parity]: ``scripted_metric`` aggregation in its
+    distributable (monoid) form — map script emits quantity*3 per doc,
+    combine/reduce sum — compiled to ONE hash aggregate with map-side
+    partial combine (never a UDAF, never an interpreter).  Quantities
+    are integral doubles so the sum is exact under any combine order
+    (operators/scripting.py scripted_metric_agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return scripted_metric_agg(
+        li, ["l_returnflag"], _METRIC_SCRIPT, _METRIC_PARAMS, reduce="sum"
+    ).orderBy("l_returnflag")

@@ -152,6 +152,9 @@ _R7_DEFER_TO_R8 = (
     "l3_script_score",
     "l3_runtime_field",
     "l3_agg_scripted_metric",
+    "f9_ip_funcs",
+    "l3_ip_cidr_query",
+    "l3_agg_ip_range",
 )
 
 

@@ -208,3 +208,123 @@ def l3_agg_scripted_metric(spark, sf_dir):
     return scripted_metric_agg(
         li, ["l_returnflag"], _METRIC_SCRIPT, _METRIC_PARAMS, reduce="sum"
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# IP ring: ip field functions, CIDR term query, ip_range aggregation
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.operators import ip as ipops  # noqa: E402
+
+# deterministic 10.0.0.0/12 address from the customer key (Knuth-hash
+# spread; identical integer derivation in both engines)
+_IP_SQL = "(167772160 + (c_custkey * 2654435761) % 1048576)"
+
+
+def _ip_col():
+    return F.lit(167772160) + (
+        F.col("c_custkey") * F.lit(2654435761)
+    ) % F.lit(1048576)
+
+
+@register(
+    "f9_ip_funcs",
+    f"""
+    WITH base AS (
+      SELECT c_custkey, {_IP_SQL} AS ip_long FROM customer
+    )
+    SELECT c_custkey, ip_long,
+           ((ip_long // 16777216) % 256)::VARCHAR || '.' ||
+           ((ip_long // 65536) % 256)::VARCHAR || '.' ||
+           ((ip_long // 256) % 256)::VARCHAR || '.' ||
+           (ip_long % 256)::VARCHAR AS ip_str,
+           ip_long AS ip_back
+    FROM base
+    ORDER BY c_custkey
+    """,
+)
+def f9_ip_funcs(spark, sf_dir):
+    """F9 scalar-function family: ``ip`` type support — BIGINT ->
+    dotted-quad format and string -> BIGINT parse, round-tripped
+    (``ip_back`` re-parses the formatted string and must equal
+    ``ip_long``; the oracle recomputes the expected integer from the
+    same derivation).  Pure integer div/mod + split column math —
+    codegen-span, no UDF (operators/ip.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", _ip_col().alias("ip_long"))
+    return (
+        base.withColumn("ip_str", ipops.long_to_ip_col("ip_long"))
+        .withColumn("ip_back", ipops.ip_to_long_col("ip_str"))
+        .orderBy("c_custkey")
+    )
+
+
+_CIDR = "10.4.0.0/14"
+_CIDR_LO, _CIDR_HI = ipops.parse_cidr(_CIDR)
+
+@register(
+    "l3_ip_cidr_query",
+    f"""
+    WITH base AS (
+      SELECT c_custkey, {_IP_SQL} AS ip_long FROM customer
+    )
+    SELECT c_custkey,
+           ((ip_long // 16777216) % 256)::VARCHAR || '.' ||
+           ((ip_long // 65536) % 256)::VARCHAR || '.' ||
+           ((ip_long // 256) % 256)::VARCHAR || '.' ||
+           (ip_long % 256)::VARCHAR AS ip
+    FROM base
+    WHERE ip_long >= {_CIDR_LO} AND ip_long < {_CIDR_HI}
+    ORDER BY c_custkey
+    """,
+)
+def l3_ip_cidr_query(spark, sf_dir):
+    """L3 [ES parity]: ``term`` query on an ``ip`` field in CIDR
+    notation (`10.4.0.0/14`) — the CIDR resolves ONCE driver-side to a
+    closed-open integer range whose predicate pushes into the scan
+    (operators/ip.py parse_cidr/cidr_pred); the dotted form is
+    re-formatted only for the surviving page."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", _ip_col().alias("ip_long"))
+    return (
+        base.filter(ipops.cidr_pred("ip_long", _CIDR))
+        .select("c_custkey", ipops.long_to_ip_col("ip_long").alias("ip"))
+        .orderBy("c_custkey")
+    )
+
+
+_IP_RANGES = [
+    ("low", None, "10.4.0.0"),
+    ("mid", "10.4.0.0", "10.8.0.0"),
+    ("high", "10.8.0.0", None),
+]
+
+@register(
+    "l3_agg_ip_range",
+    f"""
+    WITH base AS (
+      SELECT {_IP_SQL} AS ip_long FROM customer
+    )
+    SELECT 'low' AS key,
+           SUM(CASE WHEN ip_long < {ipops.parse_ip("10.4.0.0")} THEN 1
+               ELSE 0 END)::BIGINT AS doc_count FROM base
+    UNION ALL
+    SELECT 'mid',
+           SUM(CASE WHEN ip_long >= {ipops.parse_ip("10.4.0.0")}
+                     AND ip_long < {ipops.parse_ip("10.8.0.0")} THEN 1
+               ELSE 0 END)::BIGINT FROM base
+    UNION ALL
+    SELECT 'high',
+           SUM(CASE WHEN ip_long >= {ipops.parse_ip("10.8.0.0")} THEN 1
+               ELSE 0 END)::BIGINT FROM base
+    """,
+)
+def l3_agg_ip_range(spark, sf_dir):
+    """L3 [ES parity]: ``ip_range`` aggregation — half-open dotted-quad
+    buckets (unbounded ends allowed, empty buckets preserved, the ES
+    contract) resolved driver-side to integers and reduced to ONE pass
+    of parallel conditional counts (a single scalar aggregate row
+    unpivoted — no shuffle per bucket; operators/ip.py ip_range_agg)."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(_ip_col().alias("ip_long"))
+    return ipops.ip_range_agg(base, "ip_long", _IP_RANGES)

@@ -155,6 +155,7 @@ _R7_DEFER_TO_R8 = (
     "f9_ip_funcs",
     "l3_ip_cidr_query",
     "l3_agg_ip_range",
+    "l3_agg_date_range",
 )
 
 

@@ -15,6 +15,7 @@ Coverage (public ES 6.x aggregation names):
 - ``date_histogram_agg``   — calendar-interval buckets over a timestamp
 - ``histogram_agg``        — fixed-interval numeric buckets
 - ``range_agg``            — explicit [from, to) buckets
+- ``date_range_agg``       — [from, to) buckets with date-math bounds
 - ``filters_agg``          — named-predicate buckets
 - ``stats_agg`` / ``extended_stats_agg`` — single-row metric aggs
 - ``percentiles_agg``      — exact interpolated percentiles (ES uses
@@ -274,6 +275,34 @@ def range_agg(
             pred = pred & (c >= F.lit(lo))
         if hi is not None:
             pred = pred & (c < F.lit(hi))
+        buckets[key] = pred
+    return filters_agg(df, buckets)
+
+
+def date_range_agg(
+    df: DataFrame,
+    ts_col: str,
+    ranges: "Sequence[tuple[str, str | None, str | None]]",
+    *,
+    now=None,
+) -> DataFrame:
+    """ES ``date_range`` aggregation: half-open ``[from, to)`` buckets
+    whose bounds are ES date-math strings (``now-1w/d``,
+    ``2024-01-01||+1M/d``, bare ISO) — resolved ONCE driver-side to
+    timestamp literals (operators/datemath.py; ``now`` must be passed
+    explicitly, the reproducibility contract), so the buckets reduce
+    to :func:`filters_agg`'s one-pass conditional counts.  Empty
+    requested buckets are preserved (ES contract)."""
+    from bigdatasearchpro_spark.operators.datemath import parse_date_math
+
+    buckets: dict[str, Column] = {}
+    c = F.col(ts_col)
+    for key, lo, hi in ranges:
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (c >= F.lit(parse_date_math(lo, now=now)))
+        if hi is not None:
+            pred = pred & (c < F.lit(parse_date_math(hi, now=now)))
         buckets[key] = pred
     return filters_agg(df, buckets)
 

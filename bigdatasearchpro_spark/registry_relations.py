@@ -328,3 +328,49 @@ def l3_agg_ip_range(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     base = cust.select(_ip_col().alias("ip_long"))
     return ipops.ip_range_agg(base, "ip_long", _IP_RANGES)
+
+
+# ---------------------------------------------------------------------------
+# date_range aggregation (date-math bounds)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_agg_date_range",
+    """
+    SELECT 'old' AS key,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-13 00:00:00' THEN 1
+               ELSE 0 END)::BIGINT AS doc_count FROM events
+    UNION ALL
+    SELECT 'last_week',
+           SUM(CASE WHEN ts >= TIMESTAMP '2024-01-13 00:00:00'
+                     AND ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1
+               ELSE 0 END)::BIGINT FROM events
+    UNION ALL
+    SELECT 'recent',
+           SUM(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 1
+               ELSE 0 END)::BIGINT FROM events
+    """,
+)
+def l3_agg_date_range(spark, sf_dir):
+    """L3 [ES parity]: ``date_range`` aggregation — buckets bounded by
+    ES date-math expressions (`now-1w/d`, `now/d`; now passed
+    explicitly = 2024-01-20, the reproducibility contract) resolved
+    ONCE driver-side to timestamp literals, then ONE pass of parallel
+    conditional counts (empty requested buckets preserved; the oracle
+    embeds the hand-computed bounds)
+    (operators/aggs.py date_range_agg + operators/datemath.py)."""
+    import datetime as dt
+
+    from bigdatasearchpro_spark.operators.aggs import date_range_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return date_range_agg(
+        ev,
+        "ts",
+        [
+            ("old", None, "now-1w/d"),
+            ("last_week", "now-1w/d", "now/d"),
+            ("recent", "now/d", None),
+        ],
+        now=dt.datetime(2024, 1, 20, 0, 0, 0),
+    )

@@ -660,3 +660,32 @@ def test_mad_t_test_normalize_hand_fixtures(spark):
 
     with pt.raises(ValueError):
         normalize_agg(b, "doc_count", method="zscore")
+
+
+def test_date_range_agg_date_math_bounds(spark):
+    import datetime as dt
+
+    from bigdatasearchpro_spark.operators.aggs import date_range_agg
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, d, 12, 0, 0),) for d in (5, 14, 19, 25)],
+        "ts timestamp",
+    )
+    now = dt.datetime(2024, 1, 20, 15, 30, 0)
+    out = {
+        r.key: r.doc_count
+        for r in date_range_agg(
+            df, "ts",
+            [("old", None, "now-1w/d"),
+             ("week", "now-1w/d", "now/d"),
+             ("empty", "2024-02-01", "2024-02-02"),
+             ("recent", "now/d", None)],
+            now=now,
+        ).collect()
+    }
+    # now-1w/d = 2024-01-13 00:00, now/d = 2024-01-20 00:00
+    assert out == {"old": 1, "week": 2, "empty": 0, "recent": 1}
+    import pytest as pt
+
+    with pt.raises(ValueError, match="now"):
+        date_range_agg(df, "ts", [("x", "now-1d", None)]).collect()

@@ -454,6 +454,43 @@ def significant_terms_agg(
     return scored.orderBy(F.desc("score"), F.asc("key")).limit(size)
 
 
+def significant_text_agg(
+    foreground: DataFrame,
+    background: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 10,
+    min_doc_count: int = 3,
+    filter_duplicate_text: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation: ``significant_terms``
+    semantics over a free-text field, re-analyzing the foreground
+    hits' text at query time — with ES's ``filter_duplicate_text``
+    behavior: duplicated text (boilerplate, mirrored pages, retweets)
+    is counted ONCE so copy-paste storms cannot fake significance.
+    The duplicate filter here is exact-text dedup (one representative
+    per distinct text — a hash-groupBy, the L1 dedup shape; ES
+    approximates the same goal with sequence-spotting).  Background
+    statistics stay over the WHOLE index, like ES.
+
+    Plan: the dedup is one hash aggregate on the text hash; everything
+    after is :func:`significant_terms_agg` (two (term, doc_count)
+    aggs joined on term, TakeOrdered ``size``)."""
+    if filter_duplicate_text:
+        foreground = foreground.dropDuplicates([text_col])
+    return significant_terms_agg(
+        foreground,
+        background,
+        text_col=text_col,
+        id_col=id_col,
+        size=size,
+        min_doc_count=min_doc_count,
+        round_to=round_to,
+    )
+
+
 def composite_agg(
     df: DataFrame,
     sources: Sequence[str],

@@ -374,3 +374,64 @@ def l3_agg_date_range(spark, sf_dir):
         ],
         now=dt.datetime(2024, 1, 20, 0, 0, 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# significant_text aggregation (filter_duplicate_text semantics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_agg_significant_text",
+    """
+    WITH m AS (
+      SELECT d.* FROM documents d
+      WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x = 'stream')) > 0
+    ),
+    fgd AS (
+      SELECT min(doc_id) AS doc_id, text FROM m GROUP BY text
+    ),
+    fg AS (
+      SELECT term AS key, count(*) AS doc_count
+      FROM (SELECT doc_id, unnest(list_distinct(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''))) AS term
+            FROM fgd)
+      GROUP BY term
+    ),
+    bg AS (
+      SELECT term AS key, count(*) AS bg_count
+      FROM (SELECT doc_id, unnest(list_distinct(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''))) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    sz AS (SELECT (SELECT count(*) FROM fgd)::DOUBLE AS n_fg,
+                  (SELECT count(*) FROM documents)::DOUBLE AS n_bg),
+    sc AS (
+      SELECT fg.key, fg.doc_count, bg.bg_count,
+             round((fg.doc_count / sz.n_fg - bg.bg_count / sz.n_bg)
+                   * ((fg.doc_count / sz.n_fg) / (bg.bg_count / sz.n_bg)),
+                   6) AS score
+      FROM fg JOIN bg ON fg.key = bg.key CROSS JOIN sz
+      WHERE fg.doc_count >= 3
+    )
+    SELECT key, doc_count, bg_count, score FROM sc
+    WHERE score > 0
+    ORDER BY score DESC, key ASC
+    LIMIT 10
+    """,
+)
+def l3_agg_significant_text(spark, sf_dir):
+    """L3 [ES parity]: ``significant_text`` aggregation — JLH-scored
+    term lift of the `stream`-matched hits' re-analyzed text vs the
+    whole index, with ``filter_duplicate_text: true``: duplicated text
+    counts ONCE (exact-text dedup, one hash aggregate) so boilerplate
+    cannot fake significance; background stats stay whole-index like
+    ES (operators/aggs.py significant_text_agg)."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fg = search.keyword_match(docs, "stream", mode="any")
+    return aggs.significant_text_agg(fg, docs, size=10, min_doc_count=3)

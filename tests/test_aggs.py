@@ -689,3 +689,35 @@ def test_date_range_agg_date_math_bounds(spark):
 
     with pt.raises(ValueError, match="now"):
         date_range_agg(df, "ts", [("x", "now-1d", None)]).collect()
+
+
+def test_significant_text_duplicate_filter(spark):
+    from bigdatasearchpro_spark.operators.aggs import significant_text_agg
+
+    # 6 copies of the same boilerplate doc + 3 distinct docs sharing
+    # 'signal'; background has 'noise' everywhere.
+    boiler = "copy paste boilerplate signal"
+    fg_rows = [(i, boiler) for i in range(6)] + [
+        (10, "signal alpha noise"), (11, "signal beta noise"),
+        (12, "signal gamma noise"),
+    ]
+    bg_rows = fg_rows + [(100 + i, "noise filler words") for i in range(20)]
+    fg = spark.createDataFrame(fg_rows, "doc_id long, text string")
+    bg = spark.createDataFrame(bg_rows, "doc_id long, text string")
+
+    with_filter = {
+        r.key: r.doc_count
+        for r in significant_text_agg(fg, bg, min_doc_count=1).collect()
+    }
+    # the 6 boilerplate copies collapse to one: signal appears in 4
+    # deduped fg docs, and boilerplate-only terms in just 1
+    assert with_filter["signal"] == 4
+    assert with_filter.get("boilerplate", 1) == 1
+
+    without = {
+        r.key: r.doc_count
+        for r in significant_text_agg(
+            fg, bg, min_doc_count=1, filter_duplicate_text=False
+        ).collect()
+    }
+    assert without["signal"] == 9

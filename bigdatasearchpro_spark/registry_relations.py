@@ -435,3 +435,51 @@ def l3_agg_significant_text(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fg = search.keyword_match(docs, "stream", mode="any")
     return aggs.significant_text_agg(fg, docs, size=10, min_doc_count=3)
+
+
+# ---------------------------------------------------------------------------
+# wrapper query (base64-encoded inner DSL)
+# ---------------------------------------------------------------------------
+
+import base64 as _b64  # noqa: E402
+import json as _json  # noqa: E402
+
+from bigdatasearchpro_spark.operators.wrapper import wrapper_query  # noqa: E402
+
+_WRAPPED = _b64.b64encode(
+    _json.dumps({"query_string": {"query": 'lang:en AND "the spark"'}}).encode()
+).decode()
+
+_ALL_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(concat_ws(' ', coalesce(text,''), "
+    "coalesce(lang,''), coalesce(source,''))), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+@register(
+    "l3_wrapper_query",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split_regex(lower(lang), '[^a-z0-9]+'),
+                         x -> x <> '') AS ltoks,
+             {_ALL_TOKS_SQL} AS atoks
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM t
+    WHERE list_contains(ltoks, 'en')
+      AND (' ' || array_to_string(atoks, ' ') || ' ') LIKE '% the spark %'
+    ORDER BY doc_id
+    """,
+)
+def l3_wrapper_query(spark, sf_dir):
+    """L3 [ES parity]: ``wrapper`` query — a base64(JSON) payload
+    decoded ONCE driver-side, its inner ``query_string`` compiled
+    through the same native path as a direct query (the ES contract:
+    the wrapper adds no semantics, so the plan is identical to the
+    unwrapped form; operators/wrapper.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        wrapper_query(docs, _WRAPPED)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

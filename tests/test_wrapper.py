@@ -1,0 +1,53 @@
+"""wrapper query: decode errors, dispatcher kinds, plan equivalence
+with the unwrapped inner query."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from bigdatasearchpro_spark.operators.wrapper import compile_dsl, wrapper_query
+
+
+def _enc(node) -> str:
+    return base64.b64encode(json.dumps(node).encode()).decode()
+
+
+def test_wrapper_equals_unwrapped(docs):
+    node = {"query_string": {"query": "spark AND join"}}
+    a = sorted(r.doc_id for r in
+               wrapper_query(docs, _enc(node)).select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               compile_dsl(docs, node).select("doc_id").collect())
+    assert a == b and a
+
+
+def test_dispatcher_kinds(docs):
+    n = docs.count()
+    assert compile_dsl(docs, {"match_all": {}}).count() == n
+    en = compile_dsl(docs, {"term": {"lang": "en"}})
+    assert en.count() == docs.filter("lang = 'en'").count()
+    two = compile_dsl(docs, {"terms": {"lang": ["en", "de"]}})
+    assert two.count() == docs.filter("lang IN ('en','de')").count()
+    rng = compile_dsl(docs, {"range": {"n_chars": {"gte": 100, "lt": 200}}})
+    assert rng.count() == docs.filter(
+        "n_chars >= 100 AND n_chars < 200").count()
+    m_any = compile_dsl(docs, {"match": {"text": "spark join"}})
+    m_all = compile_dsl(
+        docs, {"match": {"text": {"query": "spark join", "operator": "and"}}})
+    assert m_all.count() <= m_any.count()
+
+
+def test_wrapper_errors(docs):
+    with pytest.raises(ValueError, match="base64"):
+        wrapper_query(docs, "!!!not-base64!!!")
+    with pytest.raises(ValueError, match="base64"):
+        wrapper_query(docs, base64.b64encode(b"not json").decode())
+    with pytest.raises(ValueError, match="unsupported"):
+        compile_dsl(docs, {"fuzzy_like_this": {}})
+    with pytest.raises(ValueError, match="single"):
+        compile_dsl(docs, {"a": {}, "b": {}})
+    with pytest.raises(ValueError, match="range bound"):
+        compile_dsl(docs, {"range": {"n_chars": {"between": [1, 2]}}})

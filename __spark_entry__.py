@@ -158,6 +158,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_date_range",
     "l3_agg_significant_text",
     "l3_wrapper_query",
+    "l3_simple_query_string",
 )
 
 

@@ -629,3 +629,216 @@ def weighted_terms(node, analyzer: str = "standard") -> list[tuple[str, float]]:
 
     go(node, False)
     return [(t, weights[t]) for t in order]
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string — the lenient end-user grammar
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<or>\|)
+      | (?P<and>\+)
+      | (?P<not>-)
+      | (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<qslop>\d+))?)
+      | (?P<word>[^\s()"|+-]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def parse_simple_query_string(q: str, *, default_operator: str = "or"):
+    """Parse ES ``simple_query_string`` syntax into the same AST the
+    full grammar compiles from.  Operators: ``+`` AND, ``|`` OR,
+    ``-`` NOT, ``"..."`` phrase (``~N`` slop), trailing ``*`` prefix,
+    ``~N`` fuzzy, ``( )`` grouping; adjacency uses
+    ``default_operator``.  The grammar is LENIENT by contract — ES
+    never rejects a simple query: dangling operators are dropped,
+    an unmatched ``)`` is skipped, an unmatched ``(`` closes at end of
+    input — so any byte string parses to *some* query.
+    """
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+
+    toks: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(q):
+        m = _SIMPLE_TOKEN_RE.match(q, pos)
+        if not m or m.end() == pos:
+            break
+        pos = m.end()
+        if m.group("lparen"):
+            toks.append(("(", None))
+        elif m.group("rparen"):
+            toks.append((")", None))
+        elif m.group("or"):
+            toks.append(("|", None))
+        elif m.group("and"):
+            toks.append(("+", None))
+        elif m.group("not"):
+            toks.append(("-", None))
+        elif m.group("quoted") is not None:
+            toks.append(("phrase", (m.group("qbody"),
+                                    int(m.group("qslop") or 0))))
+        else:
+            toks.append(("word", m.group("word")))
+
+    i = 0
+
+    def parse_or(depth: int = 0):
+        nonlocal i
+        groups = [parse_and()]
+        ops = []
+        while i < len(toks):
+            kind, _ = toks[i]
+            if kind == "|":
+                i += 1
+                nxt = parse_and()
+                if nxt is not None:
+                    groups.append(nxt)
+                    ops.append("or")
+            elif kind == ")":
+                if depth == 0:
+                    i += 1  # lenient: skip the unmatched ')'
+                    nxt = parse_and()
+                    if nxt is not None:
+                        groups.append(nxt)
+                        ops.append(default_operator)
+                    continue
+                break
+            elif kind in ("word", "phrase", "-", "(", "+"):
+                nxt = parse_and()
+                if nxt is None:
+                    i += 1  # lenient: drop the dangling operator token
+                else:
+                    groups.append(nxt)
+                    ops.append(default_operator)
+            else:
+                i += 1
+        groups = [g for g in groups if g is not None]
+        if not groups:
+            return None
+        if len(groups) == 1:
+            return groups[0]
+        if default_operator == "and" and "or" not in ops:
+            return And(tuple(groups))
+        if all(o == "or" for o in ops) or default_operator == "or":
+            # adjacency at default 'or' flattens with explicit '|'
+            merged = []
+            for g in groups:
+                merged.append(g)
+            return Or(tuple(merged))
+        # default 'and' with explicit '|' present: AND binds tighter —
+        # fold runs of default-joined groups, then OR the runs
+        runs: list[list] = [[groups[0]]]
+        for op, g in zip(ops, groups[1:]):
+            if op == "or":
+                runs.append([g])
+            else:
+                runs[-1].append(g)
+        folded = [r[0] if len(r) == 1 else And(tuple(r)) for r in runs]
+        return folded[0] if len(folded) == 1 else Or(tuple(folded))
+
+    def parse_and():
+        nonlocal i
+        parts = []
+        while i < len(toks):
+            kind, _ = toks[i]
+            if kind == "+":
+                i += 1
+                continue
+            if kind in ("|", ")"):
+                break
+            u = parse_unary()
+            if u is None:
+                break
+            parts.append(u)
+            # adjacency at default 'or' belongs to the OR level
+            if default_operator == "or" and i < len(toks) \
+                    and toks[i][0] not in ("+",):
+                break
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def parse_unary():
+        nonlocal i
+        if i >= len(toks):
+            return None
+        kind, val = toks[i]
+        if kind == "-":
+            i += 1
+            child = parse_unary()
+            return None if child is None else Not(child)
+        if kind == "(":
+            i += 1
+            inner = parse_or(depth=1)
+            if i < len(toks) and toks[i][0] == ")":
+                i += 1
+            return inner
+        if kind == "phrase":
+            i += 1
+            body, slop = val
+            return Phrase(None, body, slop=slop)
+        if kind == "word":
+            i += 1
+            m = _WORD_SUFFIX_RE.match(val)
+            body = m.group("body") if m else val
+            fuzz = m.group("fuzz") if m else None
+            if fuzz is not None:
+                return Term(None, body, fuzzy=int(fuzz) if fuzz else 2)
+            if body.endswith("*") or "*" in body or "?" in body:
+                return Wildcard(None, body)
+            return Term(None, body)
+        return None
+
+    node = parse_or()
+    return node if node is not None else Or(())
+
+
+def simple_query_string_filter(
+    docs: DataFrame,
+    q: str,
+    *,
+    default_operator: str = "or",
+    default_field: "str | Sequence[str] | None" = None,
+    fields: Optional[Sequence[str]] = None,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES ``simple_query_string`` query: the lenient end-user grammar
+    (``+ | - " * ~N ( )``; syntax errors degrade instead of failing)
+    compiled through the SAME predicate compiler as the full
+    ``query_string`` — one narrow boolean filter in the scan's codegen
+    span, no explode/join.  Unlike ``query_string`` there is no field
+    scoping inside the query; ``fields``/``default_field`` select the
+    searched columns."""
+    from bigdatasearchpro_spark.operators.search import (
+        all_string_cols,
+        fuzzy_vocab_terms,
+    )
+
+    valid = list(fields) if fields is not None else all_string_cols(docs)
+    if default_field is None:
+        default = valid
+    elif isinstance(default_field, str):
+        default = [default_field]
+    else:
+        default = list(default_field)
+    node = parse_simple_query_string(q, default_operator=default_operator)
+    if isinstance(node, Or) and not node.children:
+        return docs.limit(0)
+
+    def resolver(term: str, max_edits: int, cols) -> list[str]:
+        return fuzzy_vocab_terms(docs, term, max_edits=max_edits,
+                                 text_col=cols)
+
+    pred = compile_predicate(
+        node, default_cols=default, valid_fields=valid,
+        fuzzy_resolver=resolver, nested_resolver=dotted_path_resolver(docs),
+        analyzer=analyzer,
+    )
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return fan_out(docs).filter(pred)

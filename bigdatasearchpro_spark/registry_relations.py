@@ -483,3 +483,49 @@ def l3_wrapper_query(spark, sf_dir):
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string (the lenient end-user grammar)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_simple_query_string",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id FROM t
+    WHERE ((' ' || array_to_string(toks, ' ') || ' ') LIKE '% the spark %'
+           AND list_contains(toks, 'join')
+           AND NOT list_contains(toks, 'window'))
+       OR len(list_filter(toks, x -> x LIKE 'group%')) > 0
+    ORDER BY doc_id
+    """,
+)
+def l3_simple_query_string(spark, sf_dir):
+    """L3 [ES parity]: ``simple_query_string`` — the lenient end-user
+    grammar (`+` AND, `|` OR, `-` NOT, quoted phrase, trailing-`*`
+    prefix; syntax errors degrade instead of throwing, the ES
+    contract) parsed into the SAME AST and compiled through the SAME
+    predicate compiler as the full query_string — one narrow boolean
+    filter in the scan's codegen span
+    (operators/querystring.py parse_simple_query_string)."""
+    from bigdatasearchpro_spark.operators.querystring import (
+        simple_query_string_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simple_query_string_filter(
+            docs,
+            '"the spark" join -window | group*',
+            default_operator="and",
+            default_field="text",
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

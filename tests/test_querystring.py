@@ -381,3 +381,59 @@ def test_exists_query(spark):
 
     with _pytest.raises(ValueError, match="unknown field"):
         query_string_filter(df, "_exists_:nope").collect()
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string
+# ---------------------------------------------------------------------------
+
+def test_simple_qs_parser_shapes():
+    from bigdatasearchpro_spark.operators.querystring import (
+        And, Not, Or, Phrase, Term, Wildcard, parse_simple_query_string as p,
+    )
+
+    n = p('"the spark" join -window | group*', default_operator="and")
+    assert isinstance(n, Or) and len(n.children) == 2
+    left, right = n.children
+    assert isinstance(left, And) and isinstance(right, Wildcard)
+    assert isinstance(left.children[0], Phrase)
+    assert isinstance(left.children[2], Not)
+    # AND binds tighter than OR under default 'and'
+    n2 = p("x | y z", default_operator="and")
+    assert isinstance(n2, Or) and isinstance(n2.children[1], And)
+    # default 'or' flattens adjacency with '|'
+    n3 = p("a b | c")
+    assert isinstance(n3, Or) and len(n3.children) == 3
+    # fuzzy suffix
+    n4 = p("foo~1")
+    assert isinstance(n4, Term) and n4.fuzzy == 1
+
+
+def test_simple_qs_is_lenient_never_throws():
+    from bigdatasearchpro_spark.operators.querystring import (
+        Or, parse_simple_query_string as p,
+    )
+
+    for junk in ["", "-", "|", "+", "((", "))", '"unterminated',
+                 "a ) b (", "-|+ ("]:
+        node = p(junk)  # must not raise
+        assert node is not None
+    assert p(")a(").__class__.__name__ == "Term"
+    assert p("|||") == Or(())
+
+
+def test_simple_qs_filter_matches_full_grammar(docs):
+    from bigdatasearchpro_spark.operators.querystring import (
+        query_string_filter,
+        simple_query_string_filter,
+    )
+
+    simple = simple_query_string_filter(
+        docs, "spark +join -window", default_operator="and",
+        default_field="text",
+    )
+    full = query_string_filter(docs, "spark AND join AND NOT window",
+                               default_field="text")
+    a = sorted(r.doc_id for r in simple.select("doc_id").collect())
+    b = sorted(r.doc_id for r in full.select("doc_id").collect())
+    assert a == b and a

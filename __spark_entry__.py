@@ -159,6 +159,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_significant_text",
     "l3_wrapper_query",
     "l3_simple_query_string",
+    "l3_constant_score",
 )
 
 

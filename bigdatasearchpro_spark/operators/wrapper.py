@@ -27,7 +27,8 @@ def compile_dsl(docs: DataFrame, node: dict) -> DataFrame:
     operators/querystring.py, itself covering AND/OR/NOT, phrases,
     wildcards, field scoping), ``match`` (analyzed OR terms),
     ``term`` / ``terms`` (exact keyword equality), ``range`` (numeric/
-    timestamp column bounds; gte/gt/lte/lt), ``match_all``.
+    timestamp column bounds; gte/gt/lte/lt), ``match_all``, and
+    ``constant_score`` (filter context + a literal boost score).
     """
     if not isinstance(node, dict) or len(node) != 1:
         raise ValueError("query node must be a single {kind: body} object")
@@ -35,6 +36,14 @@ def compile_dsl(docs: DataFrame, node: dict) -> DataFrame:
 
     if kind == "match_all":
         return docs
+    if kind == "constant_score":
+        # ES constant_score: the inner query runs in FILTER context
+        # (no scoring work at all) and every hit gets `boost` as its
+        # score — the plan is the bare filter plus one literal column.
+        inner = compile_dsl(docs, body["filter"])
+        return inner.withColumn(
+            "score", F.lit(float(body.get("boost", 1.0)))
+        )
     if kind == "query_string":
         from bigdatasearchpro_spark.operators.querystring import (
             query_string_filter,

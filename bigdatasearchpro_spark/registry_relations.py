@@ -529,3 +529,36 @@ def l3_simple_query_string(spark, sf_dir):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# constant_score query
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.operators.wrapper import compile_dsl  # noqa: E402
+
+@register(
+    "l3_constant_score",
+    """
+    SELECT doc_id, CAST(1.2 AS DOUBLE) AS score
+    FROM documents
+    WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x = 'spark' OR x = 'join')) > 0
+    ORDER BY doc_id
+    """,
+)
+def l3_constant_score(spark, sf_dir):
+    """L3 [ES parity]: ``constant_score`` query — the inner ``match``
+    runs in pure FILTER context (no BM25 stats computed at all, the ES
+    point of this query) and every hit carries the literal ``boost``
+    as its score; the plan is the bare scan filter plus one literal
+    column (operators/wrapper.py compile_dsl)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = compile_dsl(
+        docs,
+        {"constant_score": {
+            "filter": {"match": {"text": "spark join"}},
+            "boost": 1.2,
+        }},
+    )
+    return out.select("doc_id", "score").orderBy("doc_id")

@@ -51,3 +51,19 @@ def test_wrapper_errors(docs):
         compile_dsl(docs, {"a": {}, "b": {}})
     with pytest.raises(ValueError, match="range bound"):
         compile_dsl(docs, {"range": {"n_chars": {"between": [1, 2]}}})
+
+
+def test_constant_score_filter_context(docs):
+    out = compile_dsl(
+        docs,
+        {"constant_score": {"filter": {"term": {"lang": "en"}},
+                            "boost": 3.5}},
+    )
+    rows = out.select("lang", "score").collect()
+    assert rows and all(r.lang == "en" and r.score == 3.5 for r in rows)
+    # default boost is 1.0
+    d = compile_dsl(docs, {"constant_score": {"filter": {"match_all": {}}}})
+    assert d.select("score").first().score == 1.0
+    # no BM25 machinery: plan is a plain filter + literal projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

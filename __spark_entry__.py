@@ -160,6 +160,7 @@ _R7_DEFER_TO_R8 = (
     "l3_wrapper_query",
     "l3_simple_query_string",
     "l3_constant_score",
+    "l5_substring_dedup",
 )
 
 

@@ -706,3 +706,131 @@ def dsir_log_weights(
         )
         .orderBy(id_col)
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    *,
+    window_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    hash_windows: bool = False,
+) -> DataFrame:
+    """Exact-substring deduplication (the ExactSubstr operator of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): remove every token position covered by a
+    ``window_tokens``-token sequence that occurs at least
+    ``min_count`` times in the WHOLE corpus (across documents and
+    within-document repeats alike — occurrences, not distinct docs).
+    Unlike :func:`segment_dedup`'s fixed non-overlapping segments,
+    the windows here SLIDE (stride 1), so duplicated passages are
+    caught at any alignment — the paper's suffix-array semantics at
+    token granularity, re-expressed as three corpus-linear passes
+    instead of a sequential suffix array:
+
+    1. one explode to the sliding (id, wpos, window) rows
+       (~n_tokens rows — the corpus token stream itself);
+    2. one hash aggregate for per-window occurrence counts, kept only
+       where count >= min_count (the duplicated-window set; at corpus
+       scale the shuffle key should be ``xxhash64(window)`` — here the
+       window string keeps the oracle replayable);
+    3. the duplicated windows join back (shuffle on the same window
+       key) and fan out to covered token positions
+       (window start .. start+k-1, distinct);
+    4. one anti-join of the positioned token stream against the
+       covered set, then one group-back reassembling survivors in
+       position order.
+
+    Documents shorter than ``window_tokens`` have no windows and are
+    kept whole; token-empty documents are recovered with zero counts
+    (no document silently disappears).
+
+    ``hash_windows=True`` is the corpus-scale path: the count/join key
+    becomes ``xxhash64(window)``, so the two window-keyed shuffles
+    carry 8 bytes per row instead of the k-token string (~50+ bytes).
+    A 64-bit collision can only OVER-delete (two different windows
+    sharing a hash pool their counts) — at 2^-64 per pair this is the
+    standard trade the MinHash ring already makes; the default keeps
+    exact strings so the DuckDB oracle replays bit-for-bit.
+
+    Output: ``(id, n_tokens, n_removed, clean_text)``.
+    """
+    k = int(window_tokens)
+    if k < 2:
+        raise ValueError("window_tokens must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    toks = tokens_expr(text_col)
+    toked = docs.select(F.col(id_col), toks.alias("__toks"))
+
+    win_idx = F.when(
+        F.size("__toks") >= k,
+        F.sequence(F.lit(0), F.size("__toks") - k),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                win_idx,
+                lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
+            )
+        ).alias("wpos", "win"),
+    )
+    if hash_windows:
+        wins = wins.select(
+            F.col(id_col), "wpos", F.xxhash64("win").alias("win")
+        )
+    dup_wins = (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= F.lit(min_count))
+        .select("win")
+    )
+    covered = (
+        wins.join(dup_wins, "win")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + F.lit(k - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_rows = toked.select(
+        F.col(id_col), F.posexplode("__toks").alias("tpos", "tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "tpos"], "left_anti")
+    grouped = (
+        tok_rows.groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count("*").alias("__n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("tpos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ).alias("clean_text"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+    return docs.select(F.col(id_col)).join(grouped, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -562,3 +562,68 @@ def l3_constant_score(spark, sf_dir):
         }},
     )
     return out.select("doc_id", "score").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr dedup (Lee et al. 2021) — sliding-window substring removal
+# ---------------------------------------------------------------------------
+
+@register(
+    "l5_substring_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS wpos, array_to_string(toks[i+1 : i+8], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 7, 0))) AS i
+            FROM t)
+    ),
+    d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT w.doc_id, w.wpos + j.j AS tpos
+      FROM w JOIN d USING (win)
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+    ),
+    tok AS (
+      SELECT doc_id, tpos, toks[tpos + 1] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS tpos FROM t)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.tpos, tok.tok
+      FROM tok LEFT JOIN cov
+        ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+      WHERE cov.doc_id IS NULL
+    )
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           (len(t.toks) - coalesce(k.nk, 0))::BIGINT AS n_removed,
+           coalesce(k.ct, '') AS clean_text
+    FROM t LEFT JOIN (
+      SELECT doc_id, count(*) AS nk,
+             string_agg(tok, ' ' ORDER BY tpos) AS ct
+      FROM kept GROUP BY doc_id
+    ) k ON t.doc_id = k.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def l5_substring_dedup(spark, sf_dir):
+    """L5 [EXT]: exact-substring deduplication — the ExactSubstr
+    operator of Lee et al. 2021 at token granularity: every token
+    position covered by an 8-token sliding window occurring >= 2 times
+    corpus-wide (across docs AND within-doc repeats) is removed and
+    the survivors reassemble in order.  Three corpus-linear passes
+    (sliding-window explode -> window-count hash agg -> cover/anti
+    join -> group-back); the windows SLIDE so duplicated passages are
+    caught at any alignment, unlike segment_dedup's fixed grid
+    (operators/curation.py substring_dedup)."""
+    from bigdatasearchpro_spark.operators.curation import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(
+        docs, window_tokens=8, min_count=2
+    ).orderBy("doc_id")

@@ -509,3 +509,47 @@ def test_dsir_weights_favor_target_like_docs(spark):
     # per-token average importance: target-vocab docs above off-vocab
     avg = {d: out[d]["log_w"] / out[d]["n_tokens"] for d in out}
     assert avg[3] > avg[2] and avg[1] > avg[2]
+
+
+def test_substring_dedup_sliding_alignment(spark):
+    from bigdatasearchpro_spark.operators.curation import substring_dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "x alpha beta gamma delta epsilon y"),  # shifted alignment
+        (3, "unique words only here nothing shared"),
+        (4, ""),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_dedup(df, window_tokens=5, min_count=2).collect()}
+    # the duplicated 5-token run is removed from BOTH alignments
+    assert out[1].clean_text == "zeta" and out[1].n_removed == 5
+    assert out[2].clean_text == "x y" and out[2].n_removed == 5
+    # untouched / empty / below-window docs survive whole
+    assert out[3].n_removed == 0
+    assert (out[4].n_tokens, out[4].n_removed, out[4].clean_text) == (0, 0, "")
+    assert out[5].clean_text == "short doc"
+
+    # within-doc repetition also counts as duplication
+    rep = spark.createDataFrame(
+        [(1, "a b c d e pad pad pad a b c d e",)],
+        "doc_id long, text string",
+    )
+    r = substring_dedup(rep, window_tokens=5, min_count=2).first()
+    assert r.n_removed == 10 and r.clean_text == "pad pad pad"
+
+    # hashed-window scale path gives the same answer
+    hashed = {r.doc_id: (r.n_removed, r.clean_text) for r in
+              substring_dedup(df, window_tokens=5, min_count=2,
+                              hash_windows=True).collect()}
+    assert hashed == {k: (v.n_removed, v.clean_text)
+                      for k, v in out.items()}
+
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        substring_dedup(df, window_tokens=1)
+    with pt.raises(ValueError):
+        substring_dedup(df, min_count=1)

@@ -161,6 +161,7 @@ _R7_DEFER_TO_R8 = (
     "l3_simple_query_string",
     "l3_constant_score",
     "l5_substring_dedup",
+    "l3_indices_boost",
 )
 
 

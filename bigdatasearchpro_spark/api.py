@@ -101,6 +101,7 @@ def query_data(
     text_col: "str | list[str] | None" = None,
     highlight: bool = False,
     sort: str | None = None,
+    indices_boost: "dict[str, float] | None" = None,
 ) -> DataFrame:
     """The search path — the reference's literal UX: the RAW user query
     string posted to URI search (``indexView.html:13-19`` rewrites the
@@ -127,6 +128,8 @@ def query_data(
     stats, exactly like ES scores per index), and the per-index pages
     merge by score with an ``index`` provenance column. The merge input
     is ``n_indices x (from_+k)`` rows, never corpus-sized.
+    ``indices_boost`` (ES request-body option of the same name)
+    multiplies each named index's scores before the merge.
     """
     from bigdatasearchpro_spark.operators.querystring import (
         parse_query_string,
@@ -140,12 +143,25 @@ def query_data(
         if not names:
             raise ValueError("no indices exist to search (_all)")
         merged = None
+        boosts = {
+            transform.normalize_index_name(bn): float(bv)
+            for bn, bv in (indices_boost or {}).items()
+        }
         for n in names:
             hit = query_data(
                 spark, query, n, k=from_ + k, from_=0,
                 id_col=id_col, text_col=text_col, highlight=highlight,
                 sort=sort,
             ).withColumn("index", F.lit(n))
+            # ES `indices_boost`: each index's scores are multiplied by
+            # its boost BEFORE the cross-index merge (within-index order
+            # is boost-invariant, so the per-index page is unchanged —
+            # only the merge ranking moves). Power-of-two boosts keep
+            # the multiply exact; others are one correctly-rounded op.
+            if boosts and sort is None and n in boosts and boosts[n] != 1.0:
+                hit = hit.withColumn(
+                    "score", F.col("score") * F.lit(boosts[n])
+                )
             merged = hit if merged is None else merged.unionByName(hit)
         from pyspark.sql.window import Window
 

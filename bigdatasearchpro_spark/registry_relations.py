@@ -627,3 +627,99 @@ def l5_substring_dedup(spark, sf_dir):
     return substring_dedup(
         docs, window_tokens=8, min_count=2
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# indices_boost (cross-index merge weighting)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_indices_boost",
+    """
+    WITH base AS (
+      SELECT doc_id % 2 AS half, doc_id::VARCHAR AS doc_id,
+             list_filter(string_split_regex(lower(concat_ws(' ',
+                 coalesce(doc_id::VARCHAR, ''), coalesce(text, ''),
+                 coalesce(lang, ''), coalesce(source, ''),
+                 coalesce(n_chars::VARCHAR, ''))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT * FROM base
+      WHERE len(list_filter(toks,
+                x -> x IN ('spark', 'join', 'window'))) > 0
+    ),
+    tf AS (SELECT half, doc_id, term, count(*) AS tf
+           FROM (SELECT half, doc_id, unnest(toks) AS term FROM m)
+           WHERE term IN ('spark', 'join', 'window')
+           GROUP BY half, doc_id, term),
+    dfs AS (SELECT half, term, count(*) AS df FROM tf GROUP BY half, term),
+    nn AS (SELECT half, count(*)::DOUBLE AS n FROM m GROUP BY half),
+    dl AS (SELECT half, doc_id, len(toks)::DOUBLE AS dl FROM m),
+    ad AS (SELECT half, avg(dl) AS avgdl FROM dl GROUP BY half),
+    sc AS (
+      SELECT tf.half, tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+             ), 4) AS score
+      FROM tf
+      JOIN nn ON tf.half = nn.half
+      JOIN ad ON tf.half = ad.half
+      JOIN dfs ON tf.half = dfs.half AND tf.term = dfs.term
+      JOIN dl ON tf.half = dl.half AND tf.doc_id = dl.doc_id
+      GROUP BY tf.half, tf.doc_id
+    ),
+    pages AS (
+      SELECT half, doc_id,
+             score * (CASE half WHEN 0 THEN 2.0 ELSE 0.5 END) AS score,
+             row_number() OVER (PARTITION BY half
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM sc
+    ),
+    merged AS (
+      SELECT doc_id, score,
+             CASE half WHEN 0 THEN 'boost_probe_a_X'
+                       ELSE 'boost_probe_b_X' END AS idx
+      FROM pages WHERE rn <= 10
+    )
+    SELECT doc_id, score, idx AS "index"
+    FROM merged
+    ORDER BY score DESC, idx ASC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_indices_boost(spark, sf_dir):
+    """L3 [ES parity]: ``indices_boost`` — the cross-index merge of
+    `_all` search with per-index score multipliers (index a x2.0,
+    index b x0.5; power-of-two boosts so the multiply is EXACT).
+    Within-index order is boost-invariant (per-index pages unchanged);
+    only the merge ranking moves — the oracle replays the whole
+    scatter-gather with the boost applied before the page merge
+    (api.query_data indices_boost)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:8]
+    a, b = f"boost_probe_a_{tag}", f"boost_probe_b_{tag}"
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 0), a,
+                           id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), b,
+                           id_col="doc_id")
+    try:
+        hits = api.query_data(
+            spark, "spark join window", "_all", k=10,
+            indices_boost={a: 2.0, b: 0.5},
+        )
+        rows = hits.select(
+            "doc_id", "score",
+            F.regexp_replace("index", tag, "X").alias("index"),
+        ).collect()
+    finally:
+        api.delete_index(spark, a)
+        api.delete_index(spark, b)
+    return spark.createDataFrame(rows, "doc_id string, score double, index string")

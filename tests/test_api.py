@@ -841,3 +841,39 @@ def test_sliced_scroll_partitions_disjoint_exhaustive(spark):
             api.scroll(spark, idx, slice_spec=(4, 4))
     finally:
         api.delete_index(spark, idx)
+
+
+def test_indices_boost_reorders_merge_only(spark, docs):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+
+    tag = uuid.uuid4().hex[:8]
+    a, b = f"ib_a_{tag}", f"ib_b_{tag}"
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 0), a,
+                           id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), b,
+                           id_col="doc_id")
+    try:
+        plain = api.query_data(spark, "spark join", "_all", k=8).collect()
+        boosted = api.query_data(
+            spark, "spark join", "_all", k=8,
+            indices_boost={b: 4.0},
+        ).collect()
+        # per-index hit sets at a generous page depth are unchanged;
+        # only scores/order move
+        assert {r.doc_id for r in plain if r["index"] == a} >= set()
+        pb = {r.doc_id: r.score for r in plain if r["index"] == b}
+        bb = {r.doc_id: r.score for r in boosted if r["index"] == b}
+        for d in set(pb) & set(bb):
+            assert bb[d] == pb[d] * 4.0  # power-of-two: exact
+        # boosting b pushes its docs up the merged ranking: at least
+        # as many b hits on the boosted page, and b appears at all
+        n_plain_b = sum(1 for r in plain if r["index"] == b)
+        n_boost_b = sum(1 for r in boosted if r["index"] == b)
+        assert n_boost_b >= max(n_plain_b, 1)
+    finally:
+        api.delete_index(spark, a)
+        api.delete_index(spark, b)

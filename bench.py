@@ -118,6 +118,14 @@ BENCH_QUERIES = [
     "l3_terms_set_query",
     "q3_shipping_priority",
     "l5_pipeline_curation_v4",
+    # round-7 fourth pass: ExactSubstr dedup (three corpus-linear
+    # passes — the heaviest new op), parent-child key join+agg,
+    # significant_text (dedup + two term aggs), scripted metric (one
+    # hash agg over a compiled expression)
+    "l5_substring_dedup",
+    "l3_has_child",
+    "l3_agg_significant_text",
+    "l3_agg_scripted_metric",
 ]
 
 

@@ -162,6 +162,8 @@ _R7_DEFER_TO_R8 = (
     "l3_constant_score",
     "l5_substring_dedup",
     "l3_indices_boost",
+    "l3_search_template",
+    "s25_stored_script",
 )
 
 

@@ -351,6 +351,36 @@ def delete_template(spark: SparkSession, name: str) -> bool:
     return ddl.delete_template(spark, name)
 
 
+def put_script(spark: SparkSession, script_id: str, source: str, **kw) -> dict:
+    """ES ``PUT _scripts/{id}``: store a named script, parse-validated
+    at PUT time (sinks/ddl.py put_script)."""
+    return ddl.put_script(spark, script_id, source, **kw)
+
+
+def get_script(spark: SparkSession, script_id: str) -> "dict | None":
+    """ES ``GET _scripts/{id}`` (None when absent, like a 404)."""
+    return ddl.get_script(spark, script_id)
+
+
+def delete_script(spark: SparkSession, script_id: str) -> bool:
+    """ES ``DELETE _scripts/{id}`` — True iff it existed."""
+    return ddl.delete_script(spark, script_id)
+
+
+def stored_script_column(spark: SparkSession, script_id: str,
+                         params: "dict | None" = None):
+    """Resolve a stored script to a native Column with ``params``
+    bound at use time — the ``{"script": {"id": ..., "params": ...}}``
+    request shape shared by script_score, runtime fields, and
+    scripted_metric."""
+    from bigdatasearchpro_spark.operators.scripting import Script
+
+    stored = ddl.get_script(spark, script_id)
+    if stored is None:
+        raise ValueError(f"no stored script {script_id!r}")
+    return Script(stored["source"], strict=False).bind(params).column()
+
+
 def get_index_data_count(
     spark: SparkSession,
     index_name: str,

@@ -75,9 +75,15 @@ def _lex(src: str) -> list[tuple[str, object]]:
 class Script:
     """A compiled script: one AST, two emitters (Column / SQL)."""
 
-    def __init__(self, src: str, params: "dict | None" = None):
+    def __init__(self, src: str, params: "dict | None" = None,
+                 *, strict: bool = True):
+        """``strict=False`` parses with unbound ``params.*`` left as
+        placeholder nodes — the stored-script case, where parameters
+        bind at USE time (emitting a Column/SQL with placeholders
+        still unbound raises then)."""
         self.src = src
         self.params = {k: float(v) for k, v in (params or {}).items()}
+        self.strict = strict
         self._toks = _lex(src)
         self._i = 0
         self.ast = self._expr()
@@ -126,7 +132,11 @@ class Script:
             return ("field", val)
         if kind == "param":
             if val not in self.params:
-                raise ValueError(f"unbound params.{val} in script {self.src!r}")
+                if self.strict:
+                    raise ValueError(
+                        f"unbound params.{val} in script {self.src!r}"
+                    )
+                return ("param", val)
             return ("num", self.params[val])
         if kind == "score":
             return ("score", None)
@@ -139,6 +149,14 @@ class Script:
             self._expect(")")
             return inner
         raise ValueError(f"unexpected token in script {self.src!r}")
+
+    def bind(self, params: "dict | None" = None) -> "Script":
+        """Bind (more) parameters and return a STRICT script — the
+        stored-script use moment: ``GET _scripts/{id}`` source parsed
+        once with ``strict=False``, then bound per request."""
+        merged = dict(self.params)
+        merged.update(params or {})
+        return Script(self.src, merged)
 
     # -- emitters -----------------------------------------------------
     @property
@@ -168,6 +186,10 @@ class Script:
                 return F.lit(float(n[1]))
             if kind == "field":
                 return F.col(n[1]).cast("double")
+            if kind == "param":
+                raise ValueError(
+                    f"params.{n[1]} still unbound in script {self.src!r}"
+                )
             if kind == "score":
                 if score is None:
                     raise ValueError("_score used but no score column given")
@@ -198,6 +220,10 @@ class Script:
                 return f"CAST({n[1]!r} AS DOUBLE)"
             if kind == "field":
                 return f"CAST({fm.get(n[1], n[1])} AS DOUBLE)"
+            if kind == "param":
+                raise ValueError(
+                    f"params.{n[1]} still unbound in script {self.src!r}"
+                )
             if kind == "score":
                 if score_sql is None:
                     raise ValueError("_score used but no score_sql given")

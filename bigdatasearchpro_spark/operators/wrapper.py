@@ -93,3 +93,35 @@ def wrapper_query(docs: DataFrame, encoded: str) -> DataFrame:
     except Exception as e:  # noqa: BLE001 - surface one honest error
         raise ValueError(f"wrapper query payload is not base64(JSON): {e}")
     return compile_dsl(docs, node)
+
+
+_MUSTACHE_RE = __import__("re").compile(r"\{\{(\w+)\}\}")
+
+
+def render_template(source: str, params: "dict | None" = None) -> dict:
+    """ES search template (``_search/template``): the mustache-subset
+    ``{{var}}`` substitution into a JSON *source string* (substitution
+    happens BEFORE JSON parsing, so numeric params can land unquoted —
+    the ES semantics), then parsed to the inner query node.  Missing
+    parameters fail like ES's template render error."""
+    p = params or {}
+
+    def sub(m):
+        k = m.group(1)
+        if k not in p:
+            raise ValueError(f"missing template param {k!r}")
+        return str(p[k])
+
+    rendered = _MUSTACHE_RE.sub(sub, source)
+    try:
+        return json.loads(rendered)
+    except ValueError as e:
+        raise ValueError(f"rendered template is not valid JSON: {e}")
+
+
+def search_template(docs: DataFrame, source: str,
+                    params: "dict | None" = None) -> DataFrame:
+    """ES ``_search/template``: render driver-side, then dispatch the
+    inner query through :func:`compile_dsl` — the plan is identical to
+    posting the rendered query directly."""
+    return compile_dsl(docs, render_template(source, params))

@@ -723,3 +723,78 @@ def l3_indices_boost(spark, sf_dir):
         api.delete_index(spark, a)
         api.delete_index(spark, b)
     return spark.createDataFrame(rows, "doc_id string, score double, index string")
+
+
+# ---------------------------------------------------------------------------
+# search templates + stored scripts
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.operators.wrapper import search_template  # noqa: E402
+
+@register(
+    "l3_search_template",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars >= 120 AND n_chars < 240 AND lang = 'en'
+    ORDER BY doc_id
+    """,
+)
+def l3_search_template(spark, sf_dir):
+    """L3 [ES parity]: ``_search/template`` — mustache ``{{var}}``
+    substitution into the raw JSON source BEFORE parsing (numeric
+    params land unquoted, the ES semantics), rendered ONCE driver-side
+    and dispatched through the same native compile path; here a
+    templated range over n_chars intersected with a term on lang via
+    two template invocations is folded into one range+term query
+    (operators/wrapper.py render_template/search_template)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = search_template(
+        docs,
+        '{"range": {"n_chars": {"gte": {{lo}}, "lt": {{hi}}}}}',
+        {"lo": 120, "hi": 240},
+    )
+    out = search_template(out, '{"term": {"lang": "{{l}}"}}', {"l": "en"})
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "s25_stored_script",
+    """
+    SELECT CAST(floor((CAST(o_totalprice AS DOUBLE)
+                       / CAST(50000.0 AS DOUBLE))) AS BIGINT) AS tier,
+           COUNT(*)::BIGINT AS doc_count
+    FROM orders
+    GROUP BY tier
+    ORDER BY tier
+    """,
+)
+def s25_stored_script(spark, sf_dir):
+    """S-family [ES parity]: stored scripts — ``PUT _scripts/{id}``
+    (parse-validated at PUT, like ES), resolved at USE time with
+    request params bound (`{"script": {"id", "params"}}`), then the
+    full lifecycle: the stored script drives a runtime-field terms
+    agg identical to the inline form, and DELETE removes it
+    (sinks/ddl.py put_script; api.stored_script_column)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    orders = load_table(spark, sf_dir, "orders")
+    sid = f"tier-script-{uuid.uuid4().hex[:8]}"
+    api.put_script(
+        spark, sid, "Math.floor(doc['o_totalprice'].value / params.bucket)"
+    )
+    try:
+        assert api.get_script(spark, sid) is not None
+        col = api.stored_script_column(spark, sid, {"bucket": 50000})
+        out = (
+            orders.withColumn("tier", col.cast("bigint"))
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("tier")
+        )
+        rows = out.collect()
+    finally:
+        assert api.delete_script(spark, sid)
+        assert api.get_script(spark, sid) is None
+    return spark.createDataFrame(rows, "tier bigint, doc_count bigint")

@@ -444,3 +444,70 @@ def _apply_template_mappings(
             present[f] = an
     if present:
         put_mapping(spark, index_name, present)
+
+
+# --------------------------------------------------------------------------
+# Stored scripts (ES `PUT/GET/DELETE _scripts/{id}`) — cluster-level
+# named scripts reusable in script_score / runtime fields / scripted
+# metrics. Same durable metadata-view property store as templates; the
+# source is VALIDATED at PUT time by compiling it (unbound params
+# allowed — they bind at use time), exactly ES's failure timing.
+# --------------------------------------------------------------------------
+
+_SCRIPT_PROP_PREFIX = "bdsp.script."
+
+
+def put_script(spark: SparkSession, script_id: str, source: str,
+               *, lang: str = "painless") -> dict:
+    """ES ``PUT _scripts/{id}``: store (or replace) a named script.
+    The source must parse in the supported Painless arithmetic subset
+    (operators/scripting.py) — a bad script fails at PUT, like ES."""
+    import json as _json
+    import re as _re
+
+    from bigdatasearchpro_spark.operators.scripting import Script
+
+    if not _re.match(r"^[a-z0-9_.-]+$", script_id):
+        raise ValueError(f"invalid script id {script_id!r}")
+    if lang != "painless":
+        raise ValueError(f"unsupported script lang {lang!r}")
+    Script(source, strict=False)  # parse-validate, params bind later
+    payload = _json.dumps({"lang": lang, "source": source}, sort_keys=True)
+    _ensure_template_store(spark)
+    # painless sources carry single quotes (doc['field']) — escape for
+    # the SQL string literal ('' unescapes back on read)
+    quoted = payload.replace("'", "''")
+    spark.sql(
+        f"ALTER VIEW {TEMPLATE_STORE} SET TBLPROPERTIES "
+        f"('{_SCRIPT_PROP_PREFIX}{script_id}' = '{quoted}')"
+    )
+    return get_script(spark, script_id)
+
+
+def _raw_scripts(spark: SparkSession) -> "dict[str, dict]":
+    import json as _json
+
+    if not spark.catalog.tableExists(TEMPLATE_STORE):
+        return {}
+    out = {}
+    for r in spark.sql(f"SHOW TBLPROPERTIES {TEMPLATE_STORE}").collect():
+        if r["key"].startswith(_SCRIPT_PROP_PREFIX):
+            out[r["key"][len(_SCRIPT_PROP_PREFIX):]] = _json.loads(r["value"])
+    return out
+
+
+def get_script(spark: SparkSession, script_id: str) -> "dict | None":
+    """ES ``GET _scripts/{id}`` — ``{id, lang, source}`` or None."""
+    s = _raw_scripts(spark).get(script_id)
+    return None if s is None else {"id": script_id, **s}
+
+
+def delete_script(spark: SparkSession, script_id: str) -> bool:
+    """ES ``DELETE _scripts/{id}`` — True iff it existed."""
+    if script_id not in _raw_scripts(spark):
+        return False
+    spark.sql(
+        f"ALTER VIEW {TEMPLATE_STORE} UNSET TBLPROPERTIES "
+        f"('{_SCRIPT_PROP_PREFIX}{script_id}')"
+    )
+    return True

@@ -108,3 +108,42 @@ def test_scripted_metric_matches_builtin_sum(spark, sf_dir):
     with pytest.raises(ValueError, match="reduce"):
         scripted_metric_agg(li, ["l_returnflag"],
                             "doc['l_quantity'].value", reduce="median")
+
+
+def test_stored_script_lifecycle(spark):
+    import pytest as pt
+
+    from bigdatasearchpro_spark import api
+
+    sid = "unit-stored-script"
+    api.delete_script(spark, sid)  # clean slate
+    with pt.raises(ValueError, match="invalid script id"):
+        api.put_script(spark, "Bad Id!", "1 + 1")
+    with pt.raises(ValueError, match="unsupported script lang"):
+        api.put_script(spark, sid, "1 + 1", lang="mustache")
+    with pt.raises(ValueError):  # parse-validated at PUT
+        api.put_script(spark, sid, "doc['x'].value %% 2")
+    stored = api.put_script(
+        spark, sid, "doc['x'].value * params.m + params.b")
+    assert stored["lang"] == "painless" and stored["id"] == sid
+    # unbound at use time raises; bound evaluates
+    with pt.raises(ValueError, match="unbound|still unbound"):
+        col = api.stored_script_column(spark, sid, {"m": 2})
+    col = api.stored_script_column(spark, sid, {"m": 2, "b": 7})
+    df = spark.createDataFrame([(10,)], "x long").select(col.alias("v"))
+    assert df.first().v == 27.0
+    assert api.delete_script(spark, sid) is True
+    assert api.delete_script(spark, sid) is False
+    assert api.get_script(spark, sid) is None
+    with pt.raises(ValueError, match="no stored script"):
+        api.stored_script_column(spark, sid, {})
+
+
+def test_unbound_param_placeholder_roundtrip():
+    s = Script("params.a + doc['x'].value", strict=False)
+    import pytest as pt
+
+    with pt.raises(ValueError, match="still unbound"):
+        s.sql(field_map={"x": "x"})
+    bound = s.bind({"a": 5})
+    assert "5.0" in bound.sql(field_map={"x": "x"})

@@ -67,3 +67,22 @@ def test_constant_score_filter_context(docs):
     # no BM25 machinery: plan is a plain filter + literal projection
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_search_template_render(docs):
+    from bigdatasearchpro_spark.operators.wrapper import (
+        render_template,
+        search_template,
+    )
+
+    node = render_template(
+        '{"range": {"n_chars": {"gte": {{lo}}, "lt": {{hi}}}}}',
+        {"lo": 1, "hi": 9},
+    )
+    assert node == {"range": {"n_chars": {"gte": 1, "lt": 9}}}
+    out = search_template(docs, '{"term": {"lang": "{{l}}"}}', {"l": "de"})
+    assert out.count() == docs.filter("lang = 'de'").count()
+    with pytest.raises(ValueError, match="missing template param"):
+        render_template('{"term": {"lang": "{{l}}"}}', {})
+    with pytest.raises(ValueError, match="not valid JSON"):
+        render_template('{"term": {{v}}', {"v": "}{"})

@@ -164,6 +164,7 @@ _R7_DEFER_TO_R8 = (
     "l3_indices_boost",
     "l3_search_template",
     "s25_stored_script",
+    "l5_ccnet_buckets",
 )
 
 

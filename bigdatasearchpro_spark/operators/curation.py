@@ -834,3 +834,48 @@ def substring_dedup(
         F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    *,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus's own bigram LM
+    (:func:`textstats.bigram_lm_scores` — the self-trained stand-in
+    for CCNet's KenLM) and split EACH LANGUAGE into equal-thirds
+    ``head`` / ``middle`` / ``tail`` by fluency rank — head = most
+    fluent, the slice CCNet feeds to pretraining first.
+
+    The split is by per-language ntile RANK, not by interpolated
+    percentile thresholds: rank assignment is integer-deterministic
+    under ties (id tie-break), replayable cross-engine, and — the
+    scale point — the window is PARTITIONED per language, so no
+    corpus-global sort exists anywhere (the r6 deciles lesson).  Docs
+    too short to have bigrams (NULL score) sort last and land in the
+    tail, like CCNet's treatment of unscorable fragments.
+
+    Output: ``(id, lang, avg_logprob, bucket)``.
+    """
+    from bigdatasearchpro_spark.operators.textstats import bigram_lm_scores
+
+    scores = bigram_lm_scores(docs, id_col=id_col, text_col=text_col)
+    joined = docs.select(F.col(id_col), F.col(lang_col)).join(
+        scores.select(F.col(id_col), "avg_logprob"), id_col, "left"
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc_nulls_last("avg_logprob"), F.asc(id_col)
+    )
+    tile = F.ntile(3).over(w)
+    return joined.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "avg_logprob",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

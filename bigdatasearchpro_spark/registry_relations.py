@@ -798,3 +798,57 @@ def s25_stored_script(spark, sf_dir):
         assert api.delete_script(spark, sid)
         assert api.get_script(spark, sid) is None
     return spark.createDataFrame(rows, "tier bigint, doc_count bigint")
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+_FTOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+@register(
+    "l5_ccnet_buckets",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_FTOKS_SQL} AS toks FROM documents),
+    bi AS (
+      SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+      FROM t, LATERAL (
+        SELECT unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+      )
+    ),
+    c2 AS (SELECT a, b, count(*) AS n2 FROM bi GROUP BY a, b),
+    c1 AS (SELECT a, count(*) AS n1 FROM bi GROUP BY a),
+    sc AS (
+      SELECT bi.doc_id,
+             round(avg(ln(c2.n2::DOUBLE / c1.n1)), 4) AS avg_logprob
+      FROM bi JOIN c2 ON bi.a = c2.a AND bi.b = c2.b
+              JOIN c1 ON bi.a = c1.a
+      GROUP BY bi.doc_id
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.lang, sc.avg_logprob,
+             ntile(3) OVER (PARTITION BY t.lang
+                            ORDER BY sc.avg_logprob DESC NULLS LAST,
+                                     t.doc_id ASC) AS tile
+      FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+    )
+    SELECT doc_id, lang, avg_logprob,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def l5_ccnet_buckets(spark, sf_dir):
+    """L5 [EXT]: CCNet perplexity bucketing (Wenzek et al. 2020) —
+    per-language head/middle/tail thirds by corpus-bigram-LM fluency
+    RANK (ntile per language partition; no corpus-global sort, no
+    interpolated thresholds — integer-deterministic under ties).
+    Unscorable <2-token docs land in the tail like CCNet's fragments
+    (operators/curation.py ccnet_buckets)."""
+    from bigdatasearchpro_spark.operators.curation import ccnet_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_buckets(docs).orderBy("doc_id")

@@ -553,3 +553,33 @@ def test_substring_dedup_sliding_alignment(spark):
         substring_dedup(df, window_tokens=1)
     with pt.raises(ValueError):
         substring_dedup(df, min_count=1)
+
+
+def test_ccnet_buckets_thirds_per_language(spark):
+    from bigdatasearchpro_spark.operators.curation import ccnet_buckets
+
+    # 6 'en' docs of varying fluency + one unscorable fragment + 3 'de'
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the mat", "en"),
+        (3, "the cat sat on the mat", "en"),
+        (4, "mat the on sat cat zz", "en"),
+        (5, "qq ww ee rr tt yy", "en"),
+        (6, "x", "en"),                      # < 2 tokens: unscorable
+        (7, "guten tag welt", "de"),
+        (8, "guten tag welt", "de"),
+        (9, "zz yy xx", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in ccnet_buckets(df).collect()}
+    assert len(out) == 9
+    # per-language thirds: en has 6 docs -> 2 per bucket
+    en = [out[i].bucket for i in range(1, 7)]
+    assert en.count("head") == 2 and en.count("middle") == 2 \
+        and en.count("tail") == 2
+    # the unscorable fragment lands in the tail
+    assert out[6].bucket == "tail" and out[6].avg_logprob is None
+    # de has 3 docs -> one per bucket; repeated fluent docs rank first
+    assert {out[7].bucket, out[8].bucket, out[9].bucket} == {
+        "head", "middle", "tail"}
+    assert out[9].bucket == "tail"

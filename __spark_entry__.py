@@ -165,6 +165,7 @@ _R7_DEFER_TO_R8 = (
     "l3_search_template",
     "s25_stored_script",
     "l5_ccnet_buckets",
+    "l5_embedding_decontaminate",
 )
 
 

@@ -1102,3 +1102,74 @@ def mmr_topk(
     return spark.createDataFrame(
         out, "rank int, id bigint, rel_e6 bigint, mmr_e6 bigint"
     )
+
+
+def embedding_decontaminate_int8(
+    emb: DataFrame,
+    benchmark: DataFrame,
+    *,
+    thr_num: int = 9025,
+    thr_den: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bench: int = 100_000,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose cosine to ANY held-out benchmark vector is
+    ``>= sqrt(thr_num/thr_den)`` — the semantic companion to the
+    n-gram :func:`curation.decontaminate` (paraphrased eval leakage
+    that shares no 8-gram still shares an embedding neighborhood).
+
+    INTEGER-EXACT like the range search: BOTH sides int8-quantize with
+    the portable ``floor(x/scale + 0.5)`` and the per-pair decision is
+    ``dot > 0 AND thr_den * dot^2 >= thr_num * |v|^2 * |b|^2`` in
+    int64 (bounded: d=64 int8 keeps every product under 2^63), so a
+    SQL oracle replays the flagged set and counts exactly.
+
+    Plan (100 TB): the benchmark side is an EVAL set — thousands, not
+    billions — so it collects once (guarded by ``max_bench``) and
+    ships as a broadcast int64 matrix inside ONE Arrow-batched numpy
+    pass over the corpus: quantize + (n, d) @ (d, B) matmul + the
+    integer mask, no join, no shuffle.  Output: ``(id, n_matches)``
+    for flagged vectors only.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if thr_num <= 0 or thr_den <= 0:
+        raise ValueError("thresholds must be positive")
+    n_bench = benchmark.count()
+    if n_bench == 0:
+        raise ValueError("benchmark set is empty")
+    if n_bench > max_bench:
+        raise ValueError(
+            f"benchmark side has {n_bench} vectors > max_bench={max_bench}; "
+            "an eval set should be page-sized — raise max_bench only if "
+            "the broadcast matrix genuinely fits the executors"
+        )
+    rows = benchmark.select(vec_col).collect()
+
+    def _quant(vec) -> np.ndarray:
+        v = np.asarray(vec, dtype=np.float64)
+        amax = np.abs(v).max()
+        scale = amax / 127.0 if amax > 0 else 1.0
+        return np.clip(np.floor(v / scale + 0.5), -127, 127).astype(np.int64)
+
+    B = np.stack([_quant(r[0]) for r in rows])          # (Bn, d) int64
+    bnorm = (B * B).sum(axis=1)                         # (Bn,)
+    Bt = B.T.copy()
+    tn, td = int(thr_num), int(thr_den)
+
+    def n_matches(batch):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in batch])
+        amax = np.abs(m).max(axis=1, keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        q = np.clip(np.floor(m / scale + 0.5), -127, 127).astype(np.int64)
+        dots = q @ Bt                                    # (n, Bn)
+        vnorm = (q * q).sum(axis=1, keepdims=True)       # (n, 1)
+        ok = (dots > 0) & (td * dots * dots >= tn * vnorm * bnorm[None, :])
+        return pd.Series(ok.sum(axis=1).astype("int64"))
+
+    fn = pandas_udf(n_matches, "long")
+    out = emb.select(F.col(id_col), fn(F.col(vec_col)).alias("n_matches"))
+    return out.filter(F.col("n_matches") > 0)

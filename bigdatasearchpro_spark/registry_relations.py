@@ -852,3 +852,65 @@ def l5_ccnet_buckets(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return ccnet_buckets(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (semantic eval-leak detection)
+# ---------------------------------------------------------------------------
+
+_EMB_QUANT_CTE = """
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(-127, least(127, floor(x::DOUBLE /
+                      (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                      + 0.5)))::BIGINT) AS q
+      FROM (SELECT vec_id, embedding,
+                   greatest(list_max(list_transform(embedding,
+                            x -> abs(x)))::DOUBLE, 0) AS amax
+            FROM embeddings)
+    )
+"""
+
+@register(
+    "l5_embedding_decontaminate",
+    f"""
+    WITH {_EMB_QUANT_CTE},
+    n AS (SELECT vec_id, q,
+                 list_sum(list_transform(q, x -> x * x))::BIGINT AS nn
+          FROM q),
+    b AS (SELECT vec_id AS bench_id, q AS bq, nn AS bn
+          FROM n WHERE vec_id % 97 = 0),
+    pairs AS (
+      SELECT n.vec_id, b.bench_id,
+             list_sum([n.q[i] * b.bq[i]
+                       for i in generate_series(1, 64)])::BIGINT AS dot,
+             n.nn, b.bn
+      FROM n CROSS JOIN b
+    )
+    SELECT vec_id, count(*)::BIGINT AS n_matches
+    FROM pairs
+    WHERE dot > 0 AND 10000 * dot * dot >= 9025 * nn * bn
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def l5_embedding_decontaminate(spark, sf_dir):
+    """L5 [EXT]: embedding-space benchmark decontamination — the
+    semantic companion to n-gram decontamination: corpus vectors
+    within cosine sqrt(9025/10000)=0.95 of ANY held-out benchmark
+    vector (here the vec_id%97 eval subset, so the verbatim leaked
+    copies flag themselves) are reported with their match counts.
+    INTEGER-EXACT int8 decision on BOTH sides; the benchmark side is
+    an eval-sized broadcast int64 matrix inside ONE Arrow numpy pass
+    (quantize + matmul + mask) — no join, no shuffle
+    (operators/similarity.py embedding_decontaminate_int8)."""
+    from bigdatasearchpro_spark.operators.similarity import (
+        embedding_decontaminate_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    return embedding_decontaminate_int8(
+        emb, bench, thr_num=9025, thr_den=10000
+    ).orderBy("vec_id")

@@ -604,3 +604,38 @@ def test_rrf_hybrid_fuses_hand_fixture(spark):
         rrf_hybrid_topk(docs, emb, "apple", q, k=20, window=10)
     with pt.raises(ValueError):
         vector_rank_page(emb, [0, 0, 0, 0], 5)
+
+
+def test_embedding_decontaminate_semantics(spark):
+    import numpy as np
+
+    from bigdatasearchpro_spark.operators.similarity import (
+        embedding_decontaminate_int8,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    near = base + rng.randn(64) * 0.01          # cos ~ 0.9999
+    far = rng.randn(64)                          # cos ~ 0
+    neg = -base                                  # cos = -1 (dot<0 never flags)
+    corpus = spark.createDataFrame(
+        [(1, [float(x) for x in base]),
+         (2, [float(x) for x in near]),
+         (3, [float(x) for x in far]),
+         (4, [float(x) for x in neg])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [float(x) for x in base])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.n_matches for r in
+           embedding_decontaminate_int8(corpus, bench).collect()}
+    assert out == {1: 1, 2: 1}
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="empty"):
+        embedding_decontaminate_int8(corpus, bench.limit(0))
+    with pt.raises(ValueError, match="max_bench"):
+        embedding_decontaminate_int8(corpus, bench, max_bench=0)

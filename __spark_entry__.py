@@ -166,6 +166,9 @@ _R7_DEFER_TO_R8 = (
     "s25_stored_script",
     "l5_ccnet_buckets",
     "l5_embedding_decontaminate",
+    "l3_span_near_query",
+    "l3_span_first_query",
+    "l3_span_not_query",
 )
 
 

@@ -914,3 +914,103 @@ def l5_embedding_decontaminate(spark, sf_dir):
     return embedding_decontaminate_int8(
         emb, bench, thr_num=9025, thr_den=10000
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# span query family (legacy positional algebra)
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.operators.spans import span_query  # noqa: E402
+
+_SPAN_TOKS_CTE = """
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, toks[i] AS tok, i - 1 AS pos
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+    )
+"""
+
+@register(
+    "l3_span_near_query",
+    f"""
+    WITH {_SPAN_TOKS_CTE}
+    SELECT DISTINCT a.doc_id FROM p a JOIN p b ON a.doc_id = b.doc_id
+    WHERE a.tok = 'spark' AND b.tok = 'join'
+      AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+    ORDER BY a.doc_id
+    """,
+)
+def l3_span_near_query(spark, sf_dir):
+    """L3 [ES parity]: ``span_near`` — `spark` then `join` in order
+    with a cumulative gap budget of 2 (the legacy positional algebra
+    behind sloppy proximity).  The span chain evaluates as nested
+    array expressions over per-term position arrays — one codegen-span
+    predicate, no explode; the oracle replays it as a positional
+    self-join (operators/spans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_query(
+        docs,
+        {"span_near": {"clauses": [{"span_term": "spark"},
+                                   {"span_term": "join"}],
+                       "slop": 2, "in_order": True}},
+    )
+
+
+@register(
+    "l3_span_first_query",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id FROM t
+    WHERE list_contains(toks[1:3], 'spark')
+    ORDER BY doc_id
+    """,
+)
+def l3_span_first_query(spark, sf_dir):
+    """L3 [ES parity]: ``span_first`` — `spark` within the first 3
+    token positions (ES counts spans ending before ``end``); a pure
+    prefix-slice predicate in both engines (operators/spans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_query(
+        docs,
+        {"span_first": {"match": {"span_term": "spark"}, "end": 3}},
+    )
+
+
+@register(
+    "l3_span_not_query",
+    f"""
+    WITH {_SPAN_TOKS_CTE}
+    SELECT DISTINCT a.doc_id FROM p a JOIN p b ON a.doc_id = b.doc_id
+    WHERE a.tok = 'spark' AND b.tok = 'join'
+      AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+      AND NOT EXISTS (
+        SELECT 1 FROM p w
+        WHERE w.doc_id = a.doc_id AND w.tok = 'window'
+          AND w.pos >= a.pos AND w.pos <= b.pos
+      )
+    ORDER BY a.doc_id
+    """,
+)
+def l3_span_not_query(spark, sf_dir):
+    """L3 [ES parity]: ``span_not`` — the `spark .. join` near-spans
+    that OVERLAP no `window` occurrence (ES default exclusion
+    semantics); a document matches while at least one span survives
+    the exclusion filter (operators/spans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    near = {"span_near": {"clauses": [{"span_term": "spark"},
+                                      {"span_term": "join"}],
+                          "slop": 2, "in_order": True}}
+    return span_query(
+        docs,
+        {"span_not": {"include": near, "exclude": {"span_term": "window"}}},
+    )

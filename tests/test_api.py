@@ -877,3 +877,28 @@ def test_indices_boost_reorders_merge_only(spark, docs):
     finally:
         api.delete_index(spark, a)
         api.delete_index(spark, b)
+
+
+def test_sql_endpoint_read_only_guards(spark, docs):
+    import uuid
+
+    import pytest as pt
+
+    from bigdatasearchpro_spark import api
+
+    name = f"sqlapi_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs.limit(50), name, id_col="doc_id")
+    try:
+        out = api.sql_query(spark, f"SELECT count(*) AS n FROM {name}")
+        assert out.first().n == 50
+        capped = api.sql_query(
+            spark, f"SELECT doc_id FROM {name}", fetch_size=7)
+        assert capped.count() == 7
+        with pt.raises(ValueError, match="read-only SELECT"):
+            api.sql_query(spark, f"DROP TABLE {name}")
+        with pt.raises(ValueError, match="read-only"):
+            api.sql_query(spark, f"SELECT * FROM {name}; DELETE FROM {name}")
+        with pt.raises(ValueError, match="fetch_size"):
+            api.sql_query(spark, f"SELECT 1", fetch_size=0)
+    finally:
+        api.delete_index(spark, name)

@@ -607,3 +607,51 @@ def test_third_pass_query_shapes(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert rrf.count("TakeOrderedAndProject") >= 2
+
+
+def test_fourth_pass_plan_gates(spark, sf_dir):
+    """Round-7 fourth pass shapes: span/simple-qs/script predicates are
+    single-scan codegen spans; script_score carries no Python eval;
+    substring dedup has exactly its three planned exchanges' worth of
+    aggregations and no cartesian product."""
+    from bigdatasearchpro_spark.registry import QUERIES
+
+    # single-scan predicate families (entry orderBy adds a sort
+    # exchange; the gate is no Join/Generate/Python and one scan)
+    for name in ("l3_span_near_query", "l3_span_first_query",
+                 "l3_span_not_query", "l3_simple_query_string"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1, name
+        assert "Generate" not in plan and "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+    # compiled scripts never fall back to Python evaluation
+    for name in ("l3_script_score", "l3_runtime_field",
+                 "l3_agg_scripted_metric"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+    # has_child: child predicate pushes into the child scan; the
+    # score-mode aggregate joins on the key (no cartesian)
+    hc = (
+        QUERIES["l3_has_child"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in hc
+    assert "PushedFilters" in hc or "Filter" in hc
+
+    # substring dedup: no cartesian product, aggregation present, and
+    # the anti join that applies the covered-position set
+    sd = (
+        QUERIES["l5_substring_dedup"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in sd
+    assert "LeftAnti" in sd

@@ -171,6 +171,7 @@ _R7_DEFER_TO_R8 = (
     "l3_span_not_query",
     "s26_sql_endpoint",
     "st13_streaming_script_alert",
+    "s27_point_in_time",
 )
 
 

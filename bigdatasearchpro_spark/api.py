@@ -1295,3 +1295,64 @@ def sql_query(
             raise ValueError("fetch_size must be positive")
         out = out.limit(int(fetch_size))
     return out
+
+
+def open_pit(spark: SparkSession, index_name: str,
+             *, base_dir: "str | None" = None) -> str:
+    """ES point-in-time (``POST /{index}/_pit``): freeze a consistent
+    view of the index and return an opaque ``pit_id``.  The freeze is
+    one distributed parquet snapshot write (the `_snapshot` machinery);
+    subsequent searches against the PIT read the frozen files, so
+    concurrent index mutations — reindex, delete_by_query, new bulks —
+    never shift a paging session underneath the caller (the reason PIT
+    replaced long scroll contexts in ES).  The id encodes the snapshot
+    location; :func:`close_pit` releases it."""
+    import base64 as _b64
+    import json as _json
+    import os
+    import tempfile
+    import uuid
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
+
+    n = transform.normalize_index_name(index_name)
+    root = base_dir or os.path.join(tempfile.gettempdir(), "bdsp_pits")
+    path = os.path.join(root, f"{n}-{uuid.uuid4().hex}")
+    rows = bulk_index_parquet(spark.table(n), path, mode="overwrite")
+    token = _json.dumps({"index": n, "path": path, "rows": rows},
+                        sort_keys=True)
+    return _b64.b64encode(token.encode()).decode()
+
+
+def _decode_pit(pit_id: str) -> dict:
+    import base64 as _b64
+    import json as _json
+
+    try:
+        return _json.loads(_b64.b64decode(pit_id, validate=True))
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"malformed pit_id: {e}")
+
+
+def pit_dataframe(spark: SparkSession, pit_id: str) -> DataFrame:
+    """The frozen view behind a ``pit_id`` — search/aggregate it like
+    any index DataFrame (reads the snapshot files only)."""
+    import os
+
+    meta = _decode_pit(pit_id)
+    if not os.path.isdir(meta["path"]):
+        raise ValueError("pit is closed or expired")
+    return spark.read.parquet(meta["path"])
+
+
+def close_pit(spark: SparkSession, pit_id: str) -> bool:
+    """ES ``DELETE /_pit`` — release the frozen snapshot.  True iff
+    the PIT was still open."""
+    import os
+    import shutil
+
+    meta = _decode_pit(pit_id)
+    if not os.path.isdir(meta["path"]):
+        return False
+    shutil.rmtree(meta["path"], ignore_errors=True)
+    return True

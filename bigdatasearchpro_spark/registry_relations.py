@@ -1102,3 +1102,48 @@ def st13_streaming_script_alert(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
     return spark.createDataFrame(rows, "event_id bigint, score double")
+
+
+# ---------------------------------------------------------------------------
+# point-in-time search (consistent paging under concurrent mutation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s27_point_in_time",
+    """
+    WITH half AS (SELECT * FROM documents WHERE doc_id % 2 = 0)
+    SELECT 'pit' AS src, count(*)::BIGINT AS n FROM half
+    UNION ALL
+    SELECT 'live', count(*)::BIGINT FROM half WHERE lang <> 'de'
+    ORDER BY src
+    """,
+)
+def s27_point_in_time(spark, sf_dir):
+    """S-family [ES parity]: point-in-time search — open a PIT on an
+    index, MUTATE the live index underneath it (`_delete_by_query
+    lang:de`), and observe that the PIT still serves the frozen view
+    while live search sees the mutation; closing the PIT releases it.
+    The freeze is one distributed snapshot write; PIT reads touch only
+    the frozen files (api.open_pit / pit_dataframe / close_pit)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = f"pit_probe_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), name, id_col="doc_id"
+    )
+    pit = None
+    try:
+        pit = api.open_pit(spark, name)
+        api.delete_by_query(spark, name, "lang:de")
+        n_pit = api.pit_dataframe(spark, pit).count()
+        n_live = api.get_index_data_count(spark, name)
+        rows = [("pit", n_pit), ("live", n_live)]
+    finally:
+        if pit is not None:
+            assert api.close_pit(spark, pit) is True
+            assert api.close_pit(spark, pit) is False
+        api.delete_index(spark, name)
+    return spark.createDataFrame(rows, "src string, n bigint").orderBy("src")

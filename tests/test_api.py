@@ -902,3 +902,32 @@ def test_sql_endpoint_read_only_guards(spark, docs):
             api.sql_query(spark, f"SELECT 1", fetch_size=0)
     finally:
         api.delete_index(spark, name)
+
+
+def test_point_in_time_consistency(spark, docs):
+    import uuid
+
+    import pytest as pt
+
+    name = f"pit_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs.limit(100), name, id_col="doc_id")
+    pit = None
+    try:
+        pit = api.open_pit(spark, name)
+        before = api.pit_dataframe(spark, pit).count()
+        assert before == 100
+        api.delete_by_query(spark, name, "lang:en")
+        # live shrank; the PIT is frozen
+        assert api.get_index_data_count(spark, name) < 100
+        assert api.pit_dataframe(spark, pit).count() == 100
+        with pt.raises(ValueError, match="malformed pit_id"):
+            api.pit_dataframe(spark, "???")
+        assert api.close_pit(spark, pit) is True
+        with pt.raises(ValueError, match="closed or expired"):
+            api.pit_dataframe(spark, pit)
+        assert api.close_pit(spark, pit) is False
+        pit = None
+    finally:
+        if pit is not None:
+            api.close_pit(spark, pit)
+        api.delete_index(spark, name)

@@ -172,6 +172,7 @@ _R7_DEFER_TO_R8 = (
     "s26_sql_endpoint",
     "st13_streaming_script_alert",
     "s27_point_in_time",
+    "l5_bpe_train",
 )
 
 

@@ -1147,3 +1147,26 @@ def s27_point_in_time(spark, sf_dir):
             assert api.close_pit(spark, pit) is False
         api.delete_index(spark, name)
     return spark.createDataFrame(rows, "src string, n bigint").orderBy("src")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table training (rows-only: iterative argmax loop)
+# ---------------------------------------------------------------------------
+
+@register("l5_bpe_train")
+def l5_bpe_train(spark, sf_dir):
+    """L5 [EXT] (rows-only by design — an ITERATIVE argmax loop, not
+    SQL-expressible): learn a BPE merges table from the corpus
+    (Sennrich et al. 2016) — per round: one vocab-sized pair-count
+    hash agg, a 1-row argmax collect (count desc, pair lexicographic —
+    deterministic under ties), one Arrow-batched greedy merge apply.
+    The corpus is touched ONCE (the word-count agg); training runs on
+    the vocabulary.  Pinned against a pure-python reference trainer in
+    pytest (functions/bpe.py bpe_train)."""
+    from bigdatasearchpro_spark.functions.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=6)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")

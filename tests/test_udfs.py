@@ -83,3 +83,65 @@ def test_embedding_cosine_neardup_recall(spark, sf_dir):
     # LSH at 4 planes: same-bucket probability for ~identical vectors is
     # high; require >= 70% recall of the planted pairs
     assert len(found & planted) >= 0.7 * len(planted)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed trainer must learn the identical merge table to
+    a sequential pure-python Sennrich trainer on the same corpus."""
+    from collections import Counter
+
+    from bigdatasearchpro_spark.functions.bpe import bpe_train
+
+    texts = [
+        "the then there other thing",
+        "this the that the other",
+        "low lower lowest the slow",
+    ]
+
+    def python_bpe(texts, n_merges):
+        words = Counter()
+        for t in texts:
+            import re
+
+            for w in re.split(r"[^a-z0-9]+", t.lower()):
+                if w:
+                    words[w] += 1
+        vocab = {tuple(w): n for w, n in words.items()}
+        out = []
+        for rank in range(n_merges):
+            pairs = Counter()
+            for sym, n in vocab.items():
+                for i in range(len(sym) - 1):
+                    pairs[(sym[i], sym[i + 1])] += n
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), c = best
+            if c < 2:
+                break
+            out.append((rank, a, b, c))
+            new_vocab = {}
+            for sym, n in vocab.items():
+                s, new, i = list(sym), [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(s[i])
+                        i += 1
+                new_vocab[tuple(new)] = new_vocab.get(tuple(new), 0) + n
+            vocab = new_vocab
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(df, n_merges=6)
+    want = python_bpe(texts, 6)
+    assert got == want
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="n_merges"):
+        bpe_train(df, n_merges=0)

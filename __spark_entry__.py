@@ -173,6 +173,7 @@ _R7_DEFER_TO_R8 = (
     "st13_streaming_script_alert",
     "s27_point_in_time",
     "l5_bpe_train",
+    "l5_pipeline_curation_v5",
 )
 
 

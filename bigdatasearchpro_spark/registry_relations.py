@@ -1170,3 +1170,132 @@ def l5_bpe_train(spark, sf_dir):
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v5: ExactSubstr clean -> CCNet rank on the CLEANED
+# text -> keep head+middle -> per-(lang, bucket) summary
+# ---------------------------------------------------------------------------
+
+@register(
+    "l5_pipeline_curation_v5",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS wpos, array_to_string(toks[i+1 : i+8], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 7, 0))) AS i
+            FROM t)
+    ),
+    d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT w.doc_id, w.wpos + j.j AS tpos
+      FROM w JOIN d USING (win)
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+    ),
+    tok AS (
+      SELECT doc_id, tpos, toks[tpos + 1] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS tpos FROM t)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.tpos, tok.tok
+      FROM tok LEFT JOIN cov
+        ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+      WHERE cov.doc_id IS NULL
+    ),
+    clean AS (
+      SELECT t.doc_id,
+             coalesce(k.nk, 0)::BIGINT AS n_clean_tokens,
+             coalesce(k.ct, '') AS clean_text
+      FROM t LEFT JOIN (
+        SELECT doc_id, count(*) AS nk,
+               string_agg(tok, ' ' ORDER BY tpos) AS ct
+        FROM kept GROUP BY doc_id
+      ) k ON t.doc_id = k.doc_id
+    ),
+    ct AS (
+      SELECT c.doc_id, d2.lang, c.n_clean_tokens,
+             list_filter(string_split_regex(lower(c.clean_text),
+                         '[^a-z0-9]+'), x -> x <> '') AS ctoks
+      FROM clean c JOIN documents d2 ON c.doc_id = d2.doc_id
+    ),
+    bi AS (
+      SELECT doc_id, ctoks[i] AS a, ctoks[i+1] AS b
+      FROM ct, LATERAL (
+        SELECT unnest(range(1, greatest(len(ctoks) - 1, 0) + 1)) AS i
+      )
+    ),
+    c2 AS (SELECT a, b, count(*) AS n2 FROM bi GROUP BY a, b),
+    c1 AS (SELECT a, count(*) AS n1 FROM bi GROUP BY a),
+    sc AS (
+      SELECT bi.doc_id,
+             round(avg(ln(c2.n2::DOUBLE / c1.n1)), 4) AS avg_logprob
+      FROM bi JOIN c2 ON bi.a = c2.a AND bi.b = c2.b
+              JOIN c1 ON bi.a = c1.a
+      GROUP BY bi.doc_id
+    ),
+    ranked AS (
+      SELECT ct.doc_id, ct.lang, ct.n_clean_tokens,
+             ntile(3) OVER (PARTITION BY ct.lang
+                            ORDER BY sc.avg_logprob DESC NULLS LAST,
+                                     ct.doc_id ASC) AS tile
+      FROM ct LEFT JOIN sc ON ct.doc_id = sc.doc_id
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' ELSE 'middle' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_clean_tokens)::BIGINT AS sum_tokens,
+           min(doc_id)::BIGINT AS min_id,
+           max(doc_id)::BIGINT AS max_id
+    FROM ranked
+    WHERE tile <= 2
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+)
+def l5_pipeline_curation_v5(spark, sf_dir):
+    """L5 [EXT]: composed curation pipeline v5 — (1) ExactSubstr dedup
+    cleans duplicated passages at any alignment, (2) the corpus bigram
+    LM rescores fluency ON THE CLEANED TEXT (dedup before LM scoring —
+    the CCNet ordering: duplicated boilerplate would otherwise inflate
+    its own probability), (3) per-language head+middle thirds survive
+    (tail dropped), (4) one per-(lang, bucket) summary.  ONE composed
+    DuckDB oracle replays all four stages
+    (curation.substring_dedup -> curation.ccnet_buckets)."""
+    from bigdatasearchpro_spark.operators.curation import (
+        ccnet_buckets,
+        substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = substring_dedup(docs, window_tokens=8, min_count=2).select(
+        "doc_id", F.col("clean_text")
+    )
+    cleaned_docs = clean.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", F.col("clean_text").alias("text"))
+    buckets = ccnet_buckets(cleaned_docs)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    survivors = (
+        buckets.filter(F.col("bucket") != "tail")
+        .join(cleaned_docs.select("doc_id",
+                                  F.size(toks).alias("n_clean_tokens")),
+              "doc_id")
+    )
+    return (
+        survivors.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_clean_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "bucket")
+    )

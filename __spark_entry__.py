@@ -174,6 +174,7 @@ _R7_DEFER_TO_R8 = (
     "s27_point_in_time",
     "l5_bpe_train",
     "l5_pipeline_curation_v5",
+    "l4_linear_retriever",
 )
 
 

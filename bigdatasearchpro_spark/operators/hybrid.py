@@ -133,3 +133,119 @@ def rrf_hybrid_topk(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def vector_score_page(
+    emb: DataFrame,
+    query_ints: Sequence[int],
+    window: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``window`` vectors by int8-exact cosine WITH the score
+    (``(id, cos)``) — the score-carrying sibling of
+    :func:`vector_rank_page` for normalizer-based fusion.  Same
+    single Arrow pass + TakeOrdered plan; ``cos = dot / sqrt(n)``
+    divides an exact integer by a correctly-rounded sqrt of an exact
+    integer — bit-identical in any IEEE engine."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qi = [int(v) for v in query_ints]
+    if not any(qi):
+        raise ValueError("query vector must be non-zero")
+    qv = np.asarray(qi, dtype=np.int64)
+
+    def dot_norm(batch):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in batch])
+        amax = np.abs(m).max(axis=1, keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        q = np.clip(np.floor(m / scale + 0.5), -127, 127).astype(np.int64)
+        return pd.DataFrame({"dot": q @ qv, "n": (q * q).sum(axis=1)})
+
+    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>")
+    return (
+        emb.select(F.col(id_col), dn(F.col(vec_col)).alias("__dn"))
+        .filter(F.col("__dn.n") > 0)
+        .select(
+            F.col(id_col),
+            (
+                F.col("__dn.dot").cast("double")
+                / F.sqrt(F.col("__dn.n").cast("double"))
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(window)
+    )
+
+
+def linear_hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query: str,
+    query_ints: Sequence[int],
+    *,
+    k: int = 10,
+    window: int = 50,
+    w_text: float = 0.75,
+    w_vec: float = 0.25,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES 8.x ``retriever: {linear: ...}`` — weighted sum of per-leg
+    MINMAX-normalized scores over each leg's retrieval window::
+
+        score(d) = w_text * norm_t(bm25) + w_vec * norm_v(cos)
+
+    with ``norm(s) = (s - min) / (max - min)`` over the leg's page
+    (all-equal page => every hit normalizes to 1), a document absent
+    from a leg contributing 0 — the ES ``minmax`` normalizer contract.
+    Prefer POWER-OF-TWO weights (0.75/0.25): the multiplies are then
+    exact and the whole fusion chain is correctly-rounded IEEE ops on
+    page-deterministic inputs, replayable by a SQL oracle.
+
+    Plan: identical to RRF — two single-scan TakeOrdered legs; the
+    min/max are one-row aggregates over PAGE-sized inputs broadcast
+    into the normalize projection; the fusion joins two page-sized
+    score tables."""
+    if window < k:
+        raise ValueError("window must be >= k")
+
+    def minmax(page: DataFrame, score: str, out: str) -> DataFrame:
+        bounds = page.agg(
+            F.min(score).alias("__lo"), F.max(score).alias("__hi")
+        )
+        return page.crossJoin(F.broadcast(bounds)).select(
+            id_col,
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                (F.col(score) - F.col("__lo"))
+                / (F.col("__hi") - F.col("__lo")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias(out),
+        )
+
+    text_page = search_topk(
+        docs, query, window, id_col=id_col, text_col=text_col
+    )
+    tn = minmax(text_page, "score", "norm_text")
+    vec_page = vector_score_page(
+        emb, query_ints, window, id_col=vec_id_col
+    ).withColumnRenamed(vec_id_col, id_col)
+    vn = minmax(vec_page, "cos", "norm_vec")
+    part = lambda c, w: F.coalesce(F.col(c), F.lit(0.0)) * F.lit(w)  # noqa: E731
+    return (
+        tn.join(vn, id_col, "full_outer")
+        .select(
+            id_col,
+            "norm_text",
+            "norm_vec",
+            (part("norm_text", float(w_text))
+             + part("norm_vec", float(w_vec))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

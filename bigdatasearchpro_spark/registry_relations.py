@@ -1299,3 +1299,88 @@ def l5_pipeline_curation_v5(spark, sf_dir):
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# linear retriever (ES 8.x weighted minmax-normalized fusion)
+# ---------------------------------------------------------------------------
+
+def _linear_retriever_oracle() -> str:
+    from bigdatasearchpro_spark.registry import ORACLES
+    from bigdatasearchpro_spark.registry_ext import _RANGE_QUERY_INTS
+
+    bm25_50 = ORACLES["l3_search_bm25_topk"].replace("LIMIT 10", "LIMIT 50")
+    qlist = "[" + ",".join(str(v) for v in _RANGE_QUERY_INTS) + "]"
+    return f"""
+    WITH tpage AS (SELECT * FROM ({bm25_50})),
+    tb AS (SELECT min(score) AS lo, max(score) AS hi FROM tpage),
+    tn AS (
+      SELECT doc_id,
+             CASE WHEN tb.hi > tb.lo
+                  THEN (score - tb.lo) / (tb.hi - tb.lo)
+                  ELSE CAST(1 AS DOUBLE) END AS norm_text
+      FROM tpage CROSS JOIN tb
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                      0) AS amax
+      FROM embeddings
+    ),
+    qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(-127, least(127, floor(x::DOUBLE /
+                      (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                      + 0.5)))::BIGINT) AS q
+      FROM v
+    ),
+    vsc AS (
+      SELECT vec_id,
+             list_sum([q[i] * ({qlist})[i]
+                       for i in generate_series(1, 64)])::BIGINT AS dot,
+             list_sum(list_transform(q, x -> x * x))::BIGINT AS n
+      FROM qt
+    ),
+    vpage AS (
+      SELECT vec_id, dot::DOUBLE / sqrt(n::DOUBLE) AS cos
+      FROM vsc WHERE n > 0
+      ORDER BY cos DESC, vec_id ASC LIMIT 50
+    ),
+    vb AS (SELECT min(cos) AS lo, max(cos) AS hi FROM vpage),
+    vn AS (
+      SELECT vec_id,
+             CASE WHEN vb.hi > vb.lo
+                  THEN (cos - vb.lo) / (vb.hi - vb.lo)
+                  ELSE CAST(1 AS DOUBLE) END AS norm_vec
+      FROM vpage CROSS JOIN vb
+    )
+    SELECT coalesce(tn.doc_id, vn.vec_id) AS doc_id,
+           tn.norm_text, vn.norm_vec,
+           coalesce(tn.norm_text, CAST(0 AS DOUBLE)) * CAST(0.75 AS DOUBLE)
+           + coalesce(vn.norm_vec, CAST(0 AS DOUBLE)) * CAST(0.25 AS DOUBLE)
+             AS score
+    FROM tn FULL OUTER JOIN vn ON tn.doc_id = vn.vec_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@register("l4_linear_retriever", _linear_retriever_oracle())
+def l4_linear_retriever(spark, sf_dir):
+    """L4+L3 hybrid: the ES 8.x ``linear`` retriever — weighted sum of
+    per-leg MINMAX-normalized scores (BM25 x0.75 + int8 cosine x0.25;
+    power-of-two weights keep the multiplies exact) over 50-hit
+    windows, absent legs contributing 0.  Same two single-scan
+    TakeOrdered legs as RRF; min/max are one-row page aggregates
+    broadcast into the normalize projection
+    (operators/hybrid.py linear_hybrid_topk)."""
+    from bigdatasearchpro_spark.operators.hybrid import linear_hybrid_topk
+    from bigdatasearchpro_spark.registry_ext import _RANGE_QUERY_INTS
+    from bigdatasearchpro_spark.registry_text import SEARCH_QUERY
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linear_hybrid_topk(
+        docs, emb, SEARCH_QUERY, _RANGE_QUERY_INTS, k=10, window=50
+    )

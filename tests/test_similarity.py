@@ -639,3 +639,34 @@ def test_embedding_decontaminate_semantics(spark):
         embedding_decontaminate_int8(corpus, bench.limit(0))
     with pt.raises(ValueError, match="max_bench"):
         embedding_decontaminate_int8(corpus, bench, max_bench=0)
+
+
+def test_linear_retriever_normalization(spark):
+    """minmax normalization: the best leg hit normalizes to 1, worst
+    to 0; fused score respects the weights; an all-equal page
+    normalizes to 1 everywhere."""
+    from bigdatasearchpro_spark.operators.hybrid import linear_hybrid_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark join"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(64)]) for i in (1, 2, 3)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = linear_hybrid_topk(docs, emb, "spark", [1] * 64,
+                             k=3, window=10, w_text=0.5, w_vec=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    norms = [r.norm_text for r in rows.values() if r.norm_text is not None]
+    assert max(norms) == 1.0 and min(norms) == 0.0
+    for r in rows.values():
+        nt = r.norm_text if r.norm_text is not None else 0.0
+        nv = r.norm_vec if r.norm_vec is not None else 0.0
+        assert r.score == nt * 0.5 + nv * 0.5
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="window"):
+        linear_hybrid_topk(docs, emb, "spark", [1] * 64, k=20, window=10)

@@ -126,6 +126,11 @@ BENCH_QUERIES = [
     "l3_has_child",
     "l3_agg_significant_text",
     "l3_agg_scripted_metric",
+    # round-7 fifth pass: composed v5 pipeline (ExactSubstr + LM rank),
+    # normalized hybrid fusion, CCNet bucketing
+    "l5_pipeline_curation_v5",
+    "l4_linear_retriever",
+    "l5_ccnet_buckets",
 ]
 
 

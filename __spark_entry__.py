@@ -175,6 +175,7 @@ _R7_DEFER_TO_R8 = (
     "l5_bpe_train",
     "l5_pipeline_curation_v5",
     "l4_linear_retriever",
+    "s28_cross_cluster_search",
 )
 
 

@@ -72,6 +72,46 @@ def get_all_index(spark: SparkSession) -> list[str]:
     return [r["index_name"] for r in ddl.list_indices(spark).collect()]
 
 
+# ES cross-cluster search: `remote_alias:index` names resolve through
+# a registered seed list (ES `cluster.remote.<alias>.seeds`). Here a
+# "remote cluster" is a parquet-table directory root — a different
+# lake/catalog location read directly, never copied (the CCS point:
+# query remote data in place).
+_REMOTE_CLUSTERS: "dict[str, str]" = {}
+
+
+def register_remote_cluster(spark: SparkSession, alias: str, root: str) -> None:
+    """ES ``cluster.remote.{alias}`` settings: register a remote
+    cluster (a table-directory root) for ``alias:index`` search."""
+    import re as _re
+
+    if not _re.match(r"^[a-z0-9_-]+$", alias):
+        raise ValueError(f"invalid remote cluster alias {alias!r}")
+    _REMOTE_CLUSTERS[alias] = root
+
+
+def list_remote_clusters(spark: SparkSession) -> "dict[str, str]":
+    """ES ``GET _remote/info`` — alias -> seed root."""
+    return dict(_REMOTE_CLUSTERS)
+
+
+def resolve_index(spark: SparkSession, index_name: str) -> DataFrame:
+    """Resolve an index name to its DataFrame: a bare name is a local
+    catalog index; ``alias:index`` reads the remote cluster's table in
+    place (ES cross-cluster search semantics — remote data is queried
+    where it lives; ``_all`` stays local-only, like ES)."""
+    alias, sep, rest = index_name.partition(":")
+    if sep and alias in _REMOTE_CLUSTERS:
+        import os as _os
+
+        from bigdatasearchpro_spark.sources.files import load_table
+
+        return load_table(spark, _REMOTE_CLUSTERS[alias], rest)
+    if sep:
+        raise ValueError(f"unknown remote cluster {alias!r}")
+    return spark.table(transform.normalize_index_name(index_name))
+
+
 def _parse_sorts(sort: str) -> list[tuple[str, bool]]:
     """ES URI-search ``sort=f1:asc,f2:desc`` — a comma list of
     ``field[:asc|desc]`` specs (bare field = asc), applied in order
@@ -187,7 +227,7 @@ def query_data(
             (F.col("rank") > from_) & (F.col("rank") <= from_ + k)
         ).drop("rank")
 
-    docs = spark.table(transform.normalize_index_name(index_name))
+    docs = resolve_index(spark, index_name)
     specs = (
         [text_col]
         if isinstance(text_col, str)

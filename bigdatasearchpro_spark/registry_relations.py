@@ -1384,3 +1384,40 @@ def l4_linear_retriever(spark, sf_dir):
     return linear_hybrid_topk(
         docs, emb, SEARCH_QUERY, _RANGE_QUERY_INTS, k=10, window=50
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-cluster search (remote alias:index resolution)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s28_cross_cluster_search",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(lower(concat_ws(' ',
+                 coalesce(text, ''), coalesce(lang, ''),
+                 coalesce(source, ''))), '[^a-z0-9]+'),
+                 x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, n_chars AS sort_n_chars FROM t
+    WHERE list_contains(toks, 'spark')
+    ORDER BY sort_n_chars DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def s28_cross_cluster_search(spark, sf_dir):
+    """S-family [ES parity]: cross-cluster search — `alias:index`
+    resolves through a registered remote cluster (ES
+    ``cluster.remote.{alias}.seeds``) and the query runs against the
+    remote table IN PLACE (no copy — the CCS point; here the remote is
+    a second lake root read directly).  The search itself is the same
+    native path as local search: field sort, top-k heap
+    (api.register_remote_cluster / resolve_index)."""
+    from bigdatasearchpro_spark import api
+
+    api.register_remote_cluster(spark, "lake", sf_dir)
+    return api.query_data(
+        spark, "spark", "lake:documents", k=10, sort="n_chars:desc"
+    )

@@ -931,3 +931,20 @@ def test_point_in_time_consistency(spark, docs):
         if pit is not None:
             api.close_pit(spark, pit)
         api.delete_index(spark, name)
+
+
+def test_cross_cluster_resolution(spark, sf_dir, docs):
+    import pytest as pt
+
+    api.register_remote_cluster(spark, "lake", sf_dir)
+    assert api.list_remote_clusters(spark)["lake"] == sf_dir
+    remote = api.resolve_index(spark, "lake:documents")
+    assert remote.count() == docs.count()
+    with pt.raises(ValueError, match="unknown remote cluster"):
+        api.resolve_index(spark, "nope:documents")
+    with pt.raises(ValueError, match="invalid remote cluster alias"):
+        api.register_remote_cluster(spark, "Bad Alias", sf_dir)
+    # remote search never touches the local catalog; _all stays local
+    hits = api.query_data(spark, "spark", "lake:documents", k=3)
+    assert 0 < len(hits.collect()) <= 3
+    assert "lake:documents" not in api.get_all_index(spark)

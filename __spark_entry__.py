@@ -176,6 +176,7 @@ _R7_DEFER_TO_R8 = (
     "l5_pipeline_curation_v5",
     "l4_linear_retriever",
     "s28_cross_cluster_search",
+    "l3_suggest_completion_context",
 )
 
 

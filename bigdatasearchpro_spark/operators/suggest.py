@@ -317,3 +317,38 @@ def phrase_suggester(
             *(["highlighted"] if highlight else []),
         )
     )
+
+
+def completion_suggester_context(
+    docs: DataFrame,
+    prefix: str,
+    contexts: "dict[str, str]",
+    *,
+    size: int = 5,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """ES ``completion`` suggester with CONTEXTS (the category-filtered
+    FST): suggestions restricted to documents matching every context
+    ``{column: value}``, weights (doc frequency) computed WITHIN the
+    context slice — how ES context suggesters keep, say, per-language
+    keyboards suggesting only that language's vocabulary.
+
+    Plan: the context predicate pushes into the scan BEFORE the
+    vocabulary explode, so the term agg runs over the slice only.
+    Output: ``(suggestion, doc_freq)``."""
+    p = (prefix or "").lower().strip()
+    if not p:
+        raise ValueError("completion_suggester_context needs a prefix")
+    if not contexts:
+        raise ValueError("use completion_suggester without contexts")
+    sliced = docs
+    for col, val in sorted(contexts.items()):
+        sliced = sliced.filter(F.col(col) == F.lit(val))
+    vocab = vocab_doc_freq(sliced, id_col=id_col, text_col=text_col)
+    return (
+        vocab.filter(F.col("term").startswith(p))
+        .select(F.col("term").alias("suggestion"), "doc_freq")
+        .orderBy(F.desc("doc_freq"), F.asc("suggestion"))
+        .limit(size)
+    )

@@ -1421,3 +1421,39 @@ def s28_cross_cluster_search(spark, sf_dir):
     return api.query_data(
         spark, "spark", "lake:documents", k=10, sort="n_chars:desc"
     )
+
+
+# ---------------------------------------------------------------------------
+# completion suggester with contexts
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_suggest_completion_context",
+    """
+    WITH v AS (
+      SELECT term, count(*) AS doc_freq FROM (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+            AS term
+        FROM documents WHERE lang = 'en'
+      ) GROUP BY term
+    )
+    SELECT term AS suggestion, doc_freq::BIGINT AS doc_freq FROM v
+    WHERE term LIKE 's%'
+    ORDER BY doc_freq DESC, suggestion ASC
+    LIMIT 5
+    """,
+)
+def l3_suggest_completion_context(spark, sf_dir):
+    """L3 [ES parity]: ``completion`` suggester with CONTEXTS — the
+    `s`-prefix suggestions restricted to the lang='en' slice, weights
+    (doc frequency) computed WITHIN the slice (the per-language
+    keyboard case).  The context predicate pushes into the scan BEFORE
+    the vocabulary explode (operators/suggest.py
+    completion_suggester_context)."""
+    from bigdatasearchpro_spark.operators import suggest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest.completion_suggester_context(
+        docs, "s", {"lang": "en"}, size=5
+    )

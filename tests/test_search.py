@@ -806,3 +806,36 @@ def test_date_math_parsing():
         parse_date_math("now/d+1d", now=now)  # rounding must be last
     with pt.raises(ValueError):
         parse_date_math("now-1q", now=now)
+
+
+def test_completion_context_slices_weights(spark):
+    from bigdatasearchpro_spark.operators.suggest import (
+        completion_suggester,
+        completion_suggester_context,
+    )
+
+    rows = [
+        (1, "stream stream spark", "en"),
+        (2, "stream table", "en"),
+        (3, "stream stream stream", "de"),
+        (4, "stark star", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    en = {r.suggestion: r.doc_freq for r in
+          completion_suggester_context(df, "st", {"lang": "en"}).collect()}
+    # weights are WITHIN-slice doc freqs: stream in 2 en docs (not 3)
+    assert en == {"stream": 2}
+    de = {r.suggestion: r.doc_freq for r in
+          completion_suggester_context(df, "st", {"lang": "de"}).collect()}
+    assert de == {"stream": 1, "stark": 1, "star": 1}
+    # contextless sees the whole corpus
+    full = {r.suggestion: r.doc_freq for r in
+            completion_suggester(df, "stream").collect()}
+    assert full == {"stream": 3}
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="prefix"):
+        completion_suggester_context(df, " ", {"lang": "en"})
+    with pt.raises(ValueError, match="without contexts"):
+        completion_suggester_context(df, "st", {})

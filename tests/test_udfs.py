@@ -145,3 +145,25 @@ def test_bpe_train_matches_python_reference(spark):
 
     with pt.raises(ValueError, match="n_merges"):
         bpe_train(df, n_merges=0)
+
+
+def test_trained_merges_feed_the_counter(spark):
+    """The learned table plugs into the counting half: counting with
+    trained ranks compresses vs raw characters, and the ranks dict is
+    exactly the (left, right) -> rank shape the encoder consumes."""
+    from bigdatasearchpro_spark.functions.bpe import (
+        bpe_count_text,
+        bpe_train,
+    )
+
+    texts = ["the then there the", "the other thing the then"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=4)
+    assert merges and merges[0][1:3] == ("t", "h")
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    probe = "the then there"
+    assert bpe_count_text(probe, ranks) < bpe_count_text(probe, {})
+    # chars-only baseline: 3+4+5 characters
+    assert bpe_count_text(probe, {}) == 12

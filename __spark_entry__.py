@@ -177,6 +177,7 @@ _R7_DEFER_TO_R8 = (
     "l4_linear_retriever",
     "s28_cross_cluster_search",
     "l3_suggest_completion_context",
+    "s29_routed_search",
 )
 
 

@@ -38,12 +38,17 @@ def bulk_data_to_index(
     *,
     id_col: str | None = None,
     order_by: list[str] | None = None,
+    routing_col: str | None = None,
+    n_shards: int = 8,
 ) -> dict:
     """The ``/bulk/{indexName}`` pipeline: scan → stringify →
     last-write-wins by id → batched write, with the wall-clock timing
     the reference logs (``ElasticServiceImpl.java:118-122``) and the
     loaded-count reconciliation it performed manually. Returns
-    ``{"index": ..., "rows": ..., "seconds": ...}``."""
+    ``{"index": ..., "rows": ..., "seconds": ...}``.
+    ``routing_col`` enables ES custom routing: the index is written
+    partitioned by the routing hash shard, and routed searches prune
+    to one shard directory (see :func:`query_data` ``routing``)."""
     from bigdatasearchpro_spark.sources.files import fan_out
 
     t0 = time.time()
@@ -51,7 +56,8 @@ def bulk_data_to_index(
     # stringify projection; no-op when the scan is already parallel
     doc = transform.stringify_all(fan_out(source))
     name = index_name.lower()
-    rows = bulk_index_table(doc, name, id_col=id_col, order_by=order_by)
+    rows = bulk_index_table(doc, name, id_col=id_col, order_by=order_by,
+                            routing_col=routing_col, n_shards=n_shards)
     return {"index": name, "rows": rows, "seconds": round(time.time() - t0, 3)}
 
 
@@ -112,6 +118,44 @@ def resolve_index(spark: SparkSession, index_name: str) -> DataFrame:
     return spark.table(transform.normalize_index_name(index_name))
 
 
+def routing_meta(spark: SparkSession, index_name: str) -> "dict | None":
+    """The index's custom-routing metadata ``{col, shards}`` recorded
+    at bulk-write time, or None for an unrouted index."""
+    import json as _json
+
+    name = transform.normalize_index_name(index_name)
+    try:
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect():
+            if r["key"] == "bdsp.routing":
+                return _json.loads(r["value"])
+    except Exception:
+        return None
+    return None
+
+
+def apply_routing(spark: SparkSession, index_name: str, docs: DataFrame,
+                  routing: str) -> DataFrame:
+    """ES ``?routing=v``: restrict the search to the one shard the
+    routing value hashes to.  The filter is a LITERAL equality on the
+    partition column (``__shard = pmod(xxhash64(v), n)`` evaluated
+    driver-side), so the scan PRUNES to that shard's directory —
+    the partition-pruning equivalent of ES hitting one shard instead
+    of fanning out, which is the whole point of custom routing at
+    scale.  Searching a non-routed index with routing raises (ES
+    would silently fan out; an explicit error is more honest here)."""
+    from pyspark.sql import functions as F
+
+    meta = routing_meta(spark, index_name)
+    if meta is None:
+        raise ValueError(f"index {index_name!r} has no custom routing")
+    shard = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(routing)), F.lit(meta["shards"])))
+        .first()[0]
+    )
+    return docs.filter(F.col("__shard") == F.lit(int(shard)))
+
+
 def _parse_sorts(sort: str) -> list[tuple[str, bool]]:
     """ES URI-search ``sort=f1:asc,f2:desc`` — a comma list of
     ``field[:asc|desc]`` specs (bare field = asc), applied in order
@@ -142,6 +186,7 @@ def query_data(
     highlight: bool = False,
     sort: str | None = None,
     indices_boost: "dict[str, float] | None" = None,
+    routing: str | None = None,
 ) -> DataFrame:
     """The search path — the reference's literal UX: the RAW user query
     string posted to URI search (``indexView.html:13-19`` rewrites the
@@ -228,6 +273,8 @@ def query_data(
         ).drop("rank")
 
     docs = resolve_index(spark, index_name)
+    if routing is not None:
+        docs = apply_routing(spark, index_name, docs, routing)
     specs = (
         [text_col]
         if isinstance(text_col, str)

@@ -1457,3 +1457,59 @@ def l3_suggest_completion_context(spark, sf_dir):
     return suggest.completion_suggester_context(
         docs, "s", {"lang": "en"}, size=5
     )
+
+
+# ---------------------------------------------------------------------------
+# custom routing (shard-partitioned index + pruned routed search)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s29_routed_search",
+    """
+    WITH t AS (
+      SELECT doc_id::VARCHAR AS doc_id, n_chars::VARCHAR AS n_chars,
+             list_filter(string_split_regex(lower(lang), '[^a-z0-9]+'),
+                         x -> x <> '') AS ltoks,
+             list_filter(string_split_regex(lower(concat_ws(' ',
+                 coalesce(doc_id::VARCHAR, ''), coalesce(text, ''),
+                 coalesce(lang, ''), coalesce(source, ''),
+                 coalesce(n_chars::VARCHAR, ''))),
+                 '[^a-z0-9]+'), x -> x <> '') AS atoks
+      FROM documents
+    )
+    SELECT doc_id, n_chars AS sort_n_chars FROM t
+    WHERE list_contains(ltoks, 'en') AND list_contains(atoks, 'spark')
+    ORDER BY sort_n_chars DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def s29_routed_search(spark, sf_dir):
+    """S-family [ES parity]: custom ROUTING — the index is written
+    PARTITIONED by ``pmod(xxhash64(lang), 4)`` (the ES routing-hash
+    shard), and ``?routing=en`` prunes the search scan to that one
+    shard directory (partition pruning — the reason custom routing
+    exists at 100 TB: one shard instead of a fan-out).  The query
+    re-filters inside the shard like ES, so the routed result equals
+    the unrouted one — which is what the oracle replays; the pruning
+    itself is plan-gated in pytest
+    (sinks/bulk.py routing write; api.apply_routing)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = f"routed_probe_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(
+        spark, docs, name, id_col="doc_id", routing_col="lang", n_shards=4
+    )
+    try:
+        hits = api.query_data(
+            spark, "lang:en AND spark", name, k=10,
+            sort="n_chars:desc", routing="en",
+        )
+        rows = hits.collect()
+    finally:
+        api.delete_index(spark, name)
+    return spark.createDataFrame(
+        rows, "doc_id string, sort_n_chars string"
+    )

@@ -99,10 +99,18 @@ def bulk_index_table(
     id_col: str | None = None,
     order_by: list[str] | None = None,
     mode: str = "overwrite",
+    routing_col: str | None = None,
+    n_shards: int = 8,
 ) -> int:
     """Save as a catalog table (lowercased name, reference
     ``BulkProcessImpl.java:64``); optional pre-write keep-one dedup on
     ``id_col``.
+
+    ``routing_col`` is ES custom routing: the index is written
+    PARTITIONED by ``__shard = pmod(xxhash64(routing), n_shards)``, so
+    a routed search prunes to one shard directory at the SCAN (the
+    partition-pruning equivalent of ES hitting one shard instead of
+    fanning out — the reason custom routing exists at scale).
 
     True last-write-wins needs a write-order column — pass it as
     ``order_by`` (ingest timestamp, sequence number). Without one the
@@ -126,15 +134,37 @@ def bulk_index_table(
     df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     # stringified index payloads are high-cardinality: dictionary
     # encoding costs ~2.7x write wall for these (see bulk_index_parquet)
-    df.write.mode(mode).option("parquet.enable.dictionary", "false").saveAsTable(
-        normalize_index_name(name)
-    )
+    writer = df.write.mode(mode).option("parquet.enable.dictionary", "false")
+    if routing_col is not None:
+        if routing_col not in df.columns:
+            raise ValueError(f"routing column {routing_col!r} not in frame")
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        df = df.withColumn(
+            "__shard", F.pmod(F.xxhash64(F.col(routing_col)), F.lit(n_shards))
+        )
+        writer = (
+            df.write.mode(mode)
+            .option("parquet.enable.dictionary", "false")
+            .partitionBy("__shard")
+        )
+    writer.saveAsTable(normalize_index_name(name))
     # stamp the table as an index so list_indices / `_all` search see it
     # (the catalog also holds non-index tables and temp views, which ES
     # would never list — sinks/ddl.py INDEX_MARKER)
     from bigdatasearchpro_spark.sinks.ddl import mark_index_table
 
     mark_index_table(df.sparkSession, name)
+    if routing_col is not None:
+        import json as _json
+
+        meta = _json.dumps(
+            {"col": routing_col, "shards": int(n_shards)}, sort_keys=True
+        )
+        df.sparkSession.sql(
+            f"ALTER TABLE {normalize_index_name(name)} SET TBLPROPERTIES "
+            f"('bdsp.routing' = '{meta}')"
+        )
     return int(obs.get["rows_written"])
 
 

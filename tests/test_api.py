@@ -948,3 +948,40 @@ def test_cross_cluster_resolution(spark, sf_dir, docs):
     hits = api.query_data(spark, "spark", "lake:documents", k=3)
     assert 0 < len(hits.collect()) <= 3
     assert "lake:documents" not in api.get_all_index(spark)
+
+
+def test_routing_partition_pruning(spark, docs):
+    """Routed search prunes the scan to ONE shard directory (the ES
+    point of custom routing), and routed == unrouted results when the
+    query pins the routing value's field."""
+    import uuid
+
+    import pytest as pt
+
+    from pyspark.sql import functions as F
+
+    name = f"routed_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs, name, id_col="doc_id",
+                           routing_col="lang", n_shards=4)
+    try:
+        meta = api.routing_meta(spark, name)
+        assert meta == {"col": "lang", "shards": 4}
+        routed = api.apply_routing(spark, name, spark.table(name), "en")
+        # the filter is a literal on the partition column: pruning
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "__shard" in plan
+        # every lang='en' doc lives in the routed shard
+        n_en = docs.filter("lang = 'en'").count()
+        assert routed.filter("lang = 'en'").count() == n_en
+        # routed + field-pinned query == unrouted query
+        a = sorted(r.doc_id for r in api.query_data(
+            spark, "lang:en AND spark", name, k=10**6,
+            sort="n_chars:desc", routing="en").collect())
+        b = sorted(r.doc_id for r in api.query_data(
+            spark, "lang:en AND spark", name, k=10**6,
+            sort="n_chars:desc").collect())
+        assert a == b and a
+        with pt.raises(ValueError, match="no custom routing"):
+            api.apply_routing(spark, "nonexistent_idx", docs, "en")
+    finally:
+        api.delete_index(spark, name)

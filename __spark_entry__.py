@@ -178,6 +178,7 @@ _R7_DEFER_TO_R8 = (
     "s28_cross_cluster_search",
     "l3_suggest_completion_context",
     "s29_routed_search",
+    "s30_ingest_pipeline",
 )
 
 

@@ -40,6 +40,7 @@ def bulk_data_to_index(
     order_by: list[str] | None = None,
     routing_col: str | None = None,
     n_shards: int = 8,
+    pipeline: str | None = None,
 ) -> dict:
     """The ``/bulk/{indexName}`` pipeline: scan → stringify →
     last-write-wins by id → batched write, with the wall-clock timing
@@ -52,6 +53,15 @@ def bulk_data_to_index(
     from bigdatasearchpro_spark.sources.files import fan_out
 
     t0 = time.time()
+    if pipeline is not None:
+        # ES `?pipeline=`: the stored processor chain runs BEFORE
+        # indexing (so before the document-model stringify)
+        from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+        procs = _INGEST_PIPELINES.get(pipeline)
+        if procs is None:
+            raise ValueError(f"no ingest pipeline {pipeline!r}")
+        source = apply_pipeline(source, procs)
     # adaptive respread: a few-split source would serialize the
     # stringify projection; no-op when the scan is already parallel
     doc = transform.stringify_all(fan_out(source))
@@ -436,6 +446,39 @@ def get_template(spark: SparkSession, name: str) -> "dict | None":
 def delete_template(spark: SparkSession, name: str) -> bool:
     """ES ``DELETE _template/{name}`` — True iff it existed."""
     return ddl.delete_template(spark, name)
+
+
+_INGEST_PIPELINES: "dict[str, list]" = {}
+
+
+def put_ingest_pipeline(spark: SparkSession, pipeline_id: str,
+                        processors: "list[dict]") -> dict:
+    """ES ``PUT _ingest/pipeline/{id}``: store a processor chain,
+    validated at PUT time like ES (operators/ingest.py).  Stored
+    pipelines must be pure data — ``enrich`` references a lookup
+    INDEX by name (the ES enrich-policy shape)."""
+    from bigdatasearchpro_spark.operators.ingest import validate_pipeline
+
+    validate_pipeline(processors)
+    for p in processors:
+        kind, body = next(iter(p.items()))
+        if kind == "enrich" and "lookup" in body:
+            raise ValueError(
+                "stored enrich must reference an index by name"
+            )
+    _INGEST_PIPELINES[pipeline_id] = [dict(p) for p in processors]
+    return {"id": pipeline_id, "processors": len(processors)}
+
+
+def get_ingest_pipeline(spark: SparkSession, pipeline_id: str):
+    """ES ``GET _ingest/pipeline/{id}`` — the processors, or None."""
+    got = _INGEST_PIPELINES.get(pipeline_id)
+    return None if got is None else list(got)
+
+
+def delete_ingest_pipeline(spark: SparkSession, pipeline_id: str) -> bool:
+    """ES ``DELETE _ingest/pipeline/{id}`` — True iff it existed."""
+    return _INGEST_PIPELINES.pop(pipeline_id, None) is not None
 
 
 def put_script(spark: SparkSession, script_id: str, source: str, **kw) -> dict:

@@ -1,0 +1,133 @@
+"""Ingest pipelines: the ES ``_ingest/pipeline`` processor chain —
+per-document transformations applied at INDEX time (``PUT
+_ingest/pipeline/{id}`` + ``?pipeline=`` on bulk), the ETL layer the
+reference hand-rolled in Java (BulkProcessImpl.java:110-117 is
+literally a one-processor pipeline: stringify every field).
+
+Each processor compiles to a DataFrame transformation — column
+expressions inside the scan's codegen span, or one broadcast lookup
+join for ``enrich`` — so a pipeline of k processors adds ZERO extra
+passes over the data: Catalyst collapses the chain into the write
+projection.
+
+Supported processors (the public ES processor shapes; unsupported
+types raise at PUT time, like ES's processor validation):
+
+- ``{"set":       {"field": f, "value": v}}``          — literal set
+- ``{"rename":    {"field": f, "target_field": g}}``
+- ``{"remove":    {"field": f}}``
+- ``{"lowercase"| "uppercase" | "trim": {"field": f}}``
+- ``{"convert":   {"field": f, "type": "integer|long|double|string"}}``
+- ``{"gsub":      {"field": f, "pattern": p, "replacement": r}}``
+- ``{"split":     {"field": f, "separator": regex}}``
+- ``{"script":    {"source": painless-subset, "params": ...,
+                   "target_field": g}}``               — the compiled
+  arithmetic DSL (operators/scripting.py)
+- ``{"enrich":    {"lookup": DataFrame, "match_field": f,
+                   "target_fields": [...]}}``          — broadcast
+  lookup join (the ES enrich processor's index-backed join)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SIMPLE = ("lowercase", "uppercase", "trim", "remove")
+
+
+def validate_pipeline(processors: "list[dict]") -> None:
+    """PUT-time validation (ES rejects unknown processor types and
+    malformed bodies at PUT, not at ingest)."""
+    if not processors:
+        raise ValueError("pipeline needs at least one processor")
+    for p in processors:
+        if not isinstance(p, dict) or len(p) != 1:
+            raise ValueError(f"bad processor node: {p!r}")
+        kind, body = next(iter(p.items()))
+        if kind in _SIMPLE:
+            if "field" not in body:
+                raise ValueError(f"{kind} needs a field")
+        elif kind == "set":
+            if "field" not in body or "value" not in body:
+                raise ValueError("set needs field and value")
+        elif kind == "rename":
+            if "field" not in body or "target_field" not in body:
+                raise ValueError("rename needs field and target_field")
+        elif kind == "convert":
+            if body.get("type") not in ("integer", "long", "double", "string"):
+                raise ValueError(f"convert type {body.get('type')!r}")
+        elif kind == "gsub":
+            if not all(k in body for k in ("field", "pattern", "replacement")):
+                raise ValueError("gsub needs field, pattern, replacement")
+        elif kind == "split":
+            if "field" not in body or "separator" not in body:
+                raise ValueError("split needs field and separator")
+        elif kind == "script":
+            from bigdatasearchpro_spark.operators.scripting import Script
+
+            if "target_field" not in body:
+                raise ValueError("script processor needs target_field")
+            Script(body["source"], body.get("params"), strict=False)
+        elif kind == "enrich":
+            if "lookup" not in body and "index" not in body:
+                raise ValueError("enrich needs a lookup frame or an index")
+            if not all(k in body for k in ("match_field", "target_fields")):
+                raise ValueError(
+                    "enrich needs match_field and target_fields"
+                )
+        else:
+            raise ValueError(f"unknown processor type {kind!r}")
+
+
+def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
+    """Run the processor chain over a DataFrame — the ingest moment.
+    Column processors fold into one projection; ``enrich`` adds one
+    broadcast join per use."""
+    validate_pipeline(processors)
+    for p in processors:
+        kind, body = next(iter(p.items()))
+        if kind == "set":
+            df = df.withColumn(body["field"], F.lit(body["value"]))
+        elif kind == "rename":
+            df = df.withColumnRenamed(body["field"], body["target_field"])
+        elif kind == "remove":
+            df = df.drop(body["field"])
+        elif kind == "lowercase":
+            df = df.withColumn(body["field"], F.lower(F.col(body["field"])))
+        elif kind == "uppercase":
+            df = df.withColumn(body["field"], F.upper(F.col(body["field"])))
+        elif kind == "trim":
+            df = df.withColumn(body["field"], F.trim(F.col(body["field"])))
+        elif kind == "convert":
+            t = {"integer": "int", "long": "bigint",
+                 "double": "double", "string": "string"}[body["type"]]
+            df = df.withColumn(body["field"], F.col(body["field"]).cast(t))
+        elif kind == "gsub":
+            df = df.withColumn(
+                body["field"],
+                F.regexp_replace(F.col(body["field"]), body["pattern"],
+                                 body["replacement"]),
+            )
+        elif kind == "split":
+            df = df.withColumn(
+                body["field"],
+                F.split(F.col(body["field"]), body["separator"]),
+            )
+        elif kind == "script":
+            from bigdatasearchpro_spark.operators.scripting import Script
+
+            col = Script(body["source"], body.get("params")).column()
+            df = df.withColumn(body["target_field"], col)
+        elif kind == "enrich":
+            if "lookup" in body:
+                lookup: DataFrame = body["lookup"]
+            else:
+                # the ES enrich policy references an INDEX — resolve at
+                # ingest time so the stored pipeline stays pure JSON
+                lookup = df.sparkSession.table(body["index"])
+            match = body["match_field"]
+            targets = list(body["target_fields"])
+            side = lookup.select(match, *targets)
+            df = df.join(F.broadcast(side), match, "left")
+    return df

@@ -1513,3 +1513,92 @@ def s29_routed_search(spark, sf_dir):
     return spark.createDataFrame(
         rows, "doc_id string, sort_n_chars string"
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest pipelines (index-time processor chains)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s30_ingest_pipeline",
+    """
+    WITH enriched AS (
+      SELECT lower(c.c_mktsegment) AS segment, n.n_name AS nation,
+             CAST(floor(CAST(c.c_acctbal AS DOUBLE)
+                        * CAST(100.0 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS acctbal_cents
+      FROM customer c LEFT JOIN nation n
+        ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT segment, nation,
+           count(*)::BIGINT AS n,
+           sum(acctbal_cents)::BIGINT AS sum_cents
+    FROM enriched
+    GROUP BY segment, nation
+    ORDER BY segment, nation
+    """,
+)
+def s30_ingest_pipeline(spark, sf_dir):
+    """S-family [ES parity]: ingest pipelines (``_ingest/pipeline``) —
+    a stored processor chain (lowercase + script + ENRICH, the ES
+    enrich-policy lookup join referencing an index by name) applied at
+    bulk time via ``?pipeline=``: the document model the reference
+    hand-rolled in Java is one stored pipeline here.  Column
+    processors fold into the write projection (zero extra passes);
+    enrich is ONE broadcast join against the policy index
+    (operators/ingest.py; api.put_ingest_pipeline)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    tag = uuid.uuid4().hex[:8]
+    lookup_idx = f"ingest_nations_{tag}"
+    out_idx = f"ingest_out_{tag}"
+    pid = f"cust-pipeline-{tag}"
+    # the enrich policy index must hold the TYPED lookup (a bulk index
+    # would stringify it; create the marked table directly)
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    bulk_index_table(nat, lookup_idx)
+    api.put_ingest_pipeline(
+        spark,
+        pid,
+        [
+            {"lowercase": {"field": "c_mktsegment"}},
+            {"rename": {"field": "c_mktsegment", "target_field": "segment"}},
+            {"script": {
+                "source": "Math.floor(doc['c_acctbal'].value * params.s"
+                          " + params.h)",
+                "params": {"s": 100, "h": 0.5},
+                "target_field": "acctbal_cents",
+            }},
+            {"convert": {"field": "acctbal_cents", "type": "long"}},
+            {"enrich": {"index": lookup_idx, "match_field": "c_nationkey",
+                        "target_fields": ["nation"]}},
+            {"remove": {"field": "c_name"}},
+        ],
+    )
+    try:
+        api.bulk_data_to_index(
+            spark, cust, out_idx, id_col="c_custkey", pipeline=pid
+        )
+        out = api.sql_query(
+            spark,
+            f"SELECT segment, nation, count(*) AS n, "
+            f"sum(CAST(acctbal_cents AS BIGINT)) AS sum_cents "
+            f"FROM {out_idx} GROUP BY segment, nation "
+            f"ORDER BY segment, nation",
+        )
+        rows = out.collect()
+    finally:
+        assert api.delete_ingest_pipeline(spark, pid)
+        api.delete_index(spark, lookup_idx)
+        api.delete_index(spark, out_idx)
+    return spark.createDataFrame(
+        rows, "segment string, nation string, n bigint, sum_cents bigint"
+    )

@@ -1,0 +1,98 @@
+"""Ingest pipelines: processor semantics, PUT-time validation, the
+stored-pipeline bulk path, and the single-projection plan claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark import api
+from bigdatasearchpro_spark.operators.ingest import (
+    apply_pipeline,
+    validate_pipeline,
+)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [(1, "  Hello World  ", "A-1", 2.5), (2, "BYE", "B-2", 3.0)],
+        "id long, msg string, code string, v double",
+    )
+
+
+def test_column_processors(frame):
+    out = apply_pipeline(frame, [
+        {"trim": {"field": "msg"}},
+        {"lowercase": {"field": "msg"}},
+        {"gsub": {"field": "code", "pattern": "-", "replacement": ""}},
+        {"set": {"field": "src", "value": "etl"}},
+        {"rename": {"field": "v", "target_field": "value"}},
+        {"script": {"source": "doc['value'].value * params.w",
+                    "params": {"w": 2}, "target_field": "v2"}},
+        {"convert": {"field": "v2", "type": "long"}},
+        {"split": {"field": "msg", "separator": " "}},
+        {"remove": {"field": "id"}},
+    ])
+    rows = {tuple(r.msg): r for r in out.collect()}
+    r = rows[("hello", "world")]
+    assert r.code == "A1" and r.src == "etl" and r.v2 == 5
+    assert "id" not in out.columns and "v" not in out.columns
+    # pure column processors: a single projection over the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_enrich_is_broadcast_join(spark, frame):
+    lookup = spark.createDataFrame(
+        [("A-1", "alpha"), ("B-2", "beta")], "code string, label string"
+    )
+    out = apply_pipeline(frame, [
+        {"enrich": {"lookup": lookup, "match_field": "code",
+                    "target_fields": ["label"]}},
+    ])
+    got = {r.code: r.label for r in out.collect()}
+    assert got == {"A-1": "alpha", "B-2": "beta"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_put_time_validation(spark):
+    for bad, msg in [
+        ([], "at least one"),
+        ([{"explode": {}}], "unknown processor"),
+        ([{"set": {"field": "x"}}], "set needs"),
+        ([{"convert": {"field": "x", "type": "bool"}}], "convert type"),
+        ([{"script": {"source": "1 +"}}], "target_field"),
+        ([{"enrich": {"match_field": "x", "target_fields": []}}],
+         "lookup frame or an index"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            validate_pipeline(bad)
+    # stored pipelines must be pure JSON (enrich by index name only)
+    with pytest.raises(ValueError, match="reference an index"):
+        api.put_ingest_pipeline(spark, "p", [
+            {"enrich": {"lookup": object(), "match_field": "x",
+                        "target_fields": ["y"]}}])
+
+
+def test_stored_pipeline_bulk_roundtrip(spark, frame):
+    import uuid
+
+    pid = f"unit-pipe-{uuid.uuid4().hex[:6]}"
+    idx = f"unit_pipe_idx_{uuid.uuid4().hex[:6]}"
+    api.put_ingest_pipeline(spark, pid, [
+        {"lowercase": {"field": "msg"}},
+        {"trim": {"field": "msg"}},
+    ])
+    try:
+        assert api.get_ingest_pipeline(spark, pid) is not None
+        api.bulk_data_to_index(spark, frame, idx, id_col="id", pipeline=pid)
+        vals = {r.msg for r in spark.table(idx).select("msg").collect()}
+        assert vals == {"hello world", "bye"}
+        with pytest.raises(ValueError, match="no ingest pipeline"):
+            api.bulk_data_to_index(spark, frame, idx, pipeline="missing")
+    finally:
+        api.delete_index(spark, idx)
+        assert api.delete_ingest_pipeline(spark, pid)
+        assert api.get_ingest_pipeline(spark, pid) is None

@@ -179,6 +179,8 @@ _R7_DEFER_TO_R8 = (
     "l3_suggest_completion_context",
     "s29_routed_search",
     "s30_ingest_pipeline",
+    "l3_agg_children",
+    "l3_agg_frequent_item_sets",
 )
 
 

@@ -1322,3 +1322,51 @@ def normalize_agg(
     else:
         expr = v / F.sum(v).over(w)
     return buckets.withColumn(out, F.round(expr, round_to))
+
+
+def frequent_item_sets_agg(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (8.4+), the 2-itemset
+    form: item PAIRS co-occurring in at least ``min_support`` baskets,
+    ranked by support — market-basket mining over (basket, item) rows.
+
+    Plan (the Apriori property doing the scale work): (1) distinct
+    (basket, item) pairs; (2) frequent ITEMS first — one hash agg +
+    filter, a set far smaller than the item universe; (3) baskets
+    semi-join to frequent items BEFORE pairing, so the per-basket
+    self-join explodes only over items that can still qualify;
+    (4) pair counts — one hash agg — filtered to ``min_support``,
+    TakeOrdered ``size``.  Without step (2)/(3) the pair join is
+    quadratic in raw basket width; with them it is quadratic only in
+    qualifying width (the classic Apriori prune).
+
+    Output: ``(item_a, item_b, support)``, support desc, pair asc;
+    ``item_a < item_b`` canonical order."""
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    rows = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    freq_items = (
+        rows.groupBy("__i")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= F.lit(min_support))
+        .select("__i")
+    )
+    pruned = rows.join(freq_items, "__i")
+    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= F.lit(min_support))
+        .orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
+        .limit(size)
+    )

@@ -122,3 +122,24 @@ def has_parent(
         F.col(key).alias("__pk"), F.col(score_col).alias("score")
     )
     return children.join(side, children[on] == side["__pk"]).drop("__pk")
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    on: str,
+    bucket_col: str,
+    aggs: "list[Column]",
+    *,
+    child_on: str | None = None,
+) -> DataFrame:
+    """ES ``children`` aggregation (the `join`-field agg family):
+    bucket the PARENTS (a terms agg on ``bucket_col``) and aggregate
+    each bucket's CHILDREN.  One key join carrying only (key, bucket)
+    from the parent side — broadcast-sized for dimension-like parents
+    — then ONE hash aggregate on the bucket (map-side combinable).
+    The ES `parent` agg is the same plan with the roles swapped."""
+    key = child_on or on
+    side = parents.select(F.col(on), F.col(bucket_col))
+    joined = side.join(children, side[on] == children[key])
+    return joined.groupBy(bucket_col).agg(*aggs)

@@ -1602,3 +1602,78 @@ def s30_ingest_pipeline(spark, sf_dir):
     return spark.createDataFrame(
         rows, "segment string, nation string, n bigint, sum_cents bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# children aggregation + frequent_item_sets
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_agg_children",
+    """
+    SELECT o.o_orderpriority AS priority,
+           count(*)::BIGINT AS n_children,
+           sum(l.l_quantity) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def l3_agg_children(spark, sf_dir):
+    """L3 [ES parity]: ``children`` aggregation over the `join` field —
+    parent buckets (orders by priority) each aggregating their
+    lineitem CHILDREN (count + exact integral-quantity sum).  One key
+    join carrying only (key, bucket) from the parent side + ONE hash
+    aggregate on the bucket (operators/parentchild.py children_agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = parentchild.children_agg(
+        orders,
+        li,
+        "o_orderkey",
+        "o_orderpriority",
+        [F.count(F.lit(1)).alias("n_children"),
+         F.sum("l_quantity").alias("sum_qty")],
+        child_on="l_orderkey",
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("priority"), "n_children", "sum_qty"
+    ).orderBy("priority")
+
+
+@register(
+    "l3_agg_frequent_item_sets",
+    """
+    WITH rows_ AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    fi AS (
+      SELECT i FROM rows_ GROUP BY i HAVING count(*) >= 3
+    ),
+    pruned AS (SELECT r.b, r.i FROM rows_ r JOIN fi ON r.i = fi.i),
+    pairs AS (
+      SELECT a.i AS item_a, b2.i AS item_b
+      FROM pruned a JOIN pruned b2 ON a.b = b2.b AND a.i < b2.i
+    )
+    SELECT item_a, item_b, count(*)::BIGINT AS support
+    FROM pairs
+    GROUP BY item_a, item_b
+    HAVING count(*) >= 3
+    ORDER BY support DESC, item_a ASC, item_b ASC
+    LIMIT 10
+    """,
+)
+def l3_agg_frequent_item_sets(spark, sf_dir):
+    """L3 [ES parity]: ``frequent_item_sets`` aggregation (ES 8.4+),
+    the 2-itemset form — part PAIRS co-occurring in >= 3 orders
+    (market-basket mining).  The Apriori property does the scale work:
+    frequent ITEMS are found first and baskets semi-join to them
+    BEFORE the pair self-join, so the quadratic step runs only over
+    qualifying basket width (operators/aggs.py
+    frequent_item_sets_agg)."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggs.frequent_item_sets_agg(
+        li, "l_orderkey", "l_partkey", min_support=3, size=10
+    )

@@ -721,3 +721,50 @@ def test_significant_text_duplicate_filter(spark):
         ).collect()
     }
     assert without["signal"] == 9
+
+
+def test_frequent_item_sets_apriori(spark):
+    from bigdatasearchpro_spark.operators.aggs import frequent_item_sets_agg
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "bread"), (3, "beer"),
+        (4, "beer"),
+        (5, "milk"), (5, "milk"),  # duplicate item in a basket: once
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = [(r.item_a, r.item_b, r.support) for r in
+           frequent_item_sets_agg(df, "basket", "item",
+                                  min_support=2).collect()]
+    # (bread, milk) in 3 baskets; beer appears twice as an ITEM but
+    # (beer, milk)/(beer, bread) pairs only once -> pruned
+    assert out == [("bread", "milk", 3)]
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        frequent_item_sets_agg(df, "basket", "item", min_support=0)
+
+
+def test_children_agg_matches_manual_join(spark, sf_dir):
+    from bigdatasearchpro_spark.operators.parentchild import children_agg
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r.o_orderpriority: (r.n, r.s)
+        for r in children_agg(
+            orders, li, "o_orderkey", "o_orderpriority",
+            [F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")],
+            child_on="l_orderkey",
+        ).collect()
+    }
+    manual = {
+        r.o_orderpriority: (r.n, r.s)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    assert got == manual

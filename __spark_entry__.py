@@ -181,6 +181,7 @@ _R7_DEFER_TO_R8 = (
     "s30_ingest_pipeline",
     "l3_agg_children",
     "l3_agg_frequent_item_sets",
+    "l3_agg_categorize_text",
 )
 
 

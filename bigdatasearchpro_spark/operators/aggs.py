@@ -1370,3 +1370,31 @@ def frequent_item_sets_agg(
         .orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
         .limit(size)
     )
+
+
+def categorize_text_agg(
+    df: DataFrame,
+    text_col: str,
+    *,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation (the ML log-categorizer), the
+    deterministic skeleton subset: messages group by their TOKEN
+    PATTERN — every number run (ints, decimals) masked to ``#`` — so
+    "click id=17 v=3.5" and "click id=99 v=0.1" share one category,
+    exactly the log-declustering use ES serves.  (ES uses a drain-like
+    tree with similarity thresholds; the masked-skeleton form is the
+    deterministic core both agree on for numeric-variance logs, and it
+    is one expression + ONE hash agg — no ML state.)
+
+    Output: ``(category, doc_count)``, count desc, category asc."""
+    cat = F.regexp_replace(
+        F.col(text_col), r"[0-9]+(\.[0-9]+)?", "#"
+    ).alias("category")
+    return (
+        df.select(cat)
+        .groupBy("category")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("category"))
+        .limit(size)
+    )

@@ -1677,3 +1677,45 @@ def l3_agg_frequent_item_sets(spark, sf_dir):
     return aggs.frequent_item_sets_agg(
         li, "l_orderkey", "l_partkey", min_support=3, size=10
     )
+
+
+# ---------------------------------------------------------------------------
+# categorize_text aggregation (log declustering)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_agg_categorize_text",
+    """
+    WITH msg AS (
+      SELECT event_type || ' user=' || user_id::VARCHAR
+             || ' v=' || CAST(floor(value) AS BIGINT)::VARCHAR
+             || ' ' || props AS m
+      FROM events
+    )
+    SELECT regexp_replace(m, '[0-9]+(\\.[0-9]+)?', '#', 'g') AS category,
+           count(*)::BIGINT AS doc_count
+    FROM msg
+    GROUP BY category
+    ORDER BY doc_count DESC, category ASC
+    LIMIT 10
+    """,
+)
+def l3_agg_categorize_text(spark, sf_dir):
+    """L3 [ES parity]: ``categorize_text`` aggregation — log messages
+    (synthesized here from the events row: type + user + value +
+    props) grouped by their number-masked token SKELETON, the
+    deterministic core of ES's ML log categorizer.  One masking
+    expression + ONE hash agg (operators/aggs.py
+    categorize_text_agg)."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    msg = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" user="),
+            F.col("user_id").cast("string"), F.lit(" v="),
+            F.floor("value").cast("bigint").cast("string"),
+            F.lit(" "), F.col("props"),
+        ).alias("m")
+    )
+    return aggs.categorize_text_agg(msg, "m", size=10)

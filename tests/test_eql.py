@@ -1,0 +1,94 @@
+"""EQL sequence semantics: ordering, window bound, head matching,
+range predicates, guards."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from bigdatasearchpro_spark.operators.eql import eql_sequence
+
+
+def T(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+@pytest.fixture()
+def ev(spark):
+    rows = [
+        # user 1: login(0) -> download(5) -> logout(9): full chain
+        (1, T(0), 1, "login", 1.0),
+        (2, T(5), 1, "download", 1.0),
+        (3, T(9), 1, "logout", 1.0),
+        # user 2: login at 0, download at 20 (outside 10m window)
+        (4, T(0), 2, "login", 1.0),
+        (5, T(20), 2, "download", 1.0),
+        # user 3: download BEFORE login: order matters
+        (6, T(0), 3, "download", 1.0),
+        (7, T(5), 3, "login", 1.0),
+        # user 4: two downloads after login: head matching picks the
+        # EARLIEST
+        (8, T(0), 4, "login", 1.0),
+        (9, T(2), 4, "download", 5.0),
+        (10, T(4), 4, "download", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+
+
+def test_two_step_window_and_order(ev):
+    out = eql_sequence(
+        ev, [{"event_type": "login"}, {"event_type": "download"}],
+        by="user_id", within_seconds=600,
+    ).collect()
+    got = {(r.user_id): (r.id_1, r.id_2) for r in out}
+    # user 2 misses the window; user 3 has the wrong order;
+    # user 4 head-matches the earliest download (id 9)
+    assert got == {1: (1, 2), 4: (8, 9)}
+
+
+def test_three_step_total_span(ev):
+    out = eql_sequence(
+        ev,
+        [{"event_type": "login"}, {"event_type": "download"},
+         {"event_type": "logout"}],
+        by="user_id", within_seconds=600,
+    ).collect()
+    assert [(r.user_id, r.id_1, r.id_2, r.id_3) for r in out] == [
+        (1, 1, 2, 3)
+    ]
+    # total span bound: 9 minutes > 8-minute window -> no match
+    none = eql_sequence(
+        ev,
+        [{"event_type": "login"}, {"event_type": "download"},
+         {"event_type": "logout"}],
+        by="user_id", within_seconds=480,
+    ).collect()
+    assert none == []
+
+
+def test_range_predicate_step(ev):
+    out = eql_sequence(
+        ev,
+        [{"event_type": "login"},
+         {"event_type": "download", "value": {"gte": 2.0}}],
+        by="user_id", within_seconds=600,
+    ).collect()
+    # only the value>=2 download qualifies (user 4's id 9)
+    assert [(r.user_id, r.id_2) for r in out] == [(4, 9)]
+
+
+def test_guards(ev):
+    with pytest.raises(ValueError, match="at least 2"):
+        eql_sequence(ev, [{"event_type": "login"}], by="user_id",
+                     within_seconds=60)
+    with pytest.raises(ValueError, match="positive"):
+        eql_sequence(ev, [{"event_type": "a"}, {"event_type": "b"}],
+                     by="user_id", within_seconds=0)
+    with pytest.raises(ValueError, match="range op"):
+        eql_sequence(ev, [{"event_type": "a"},
+                          {"value": {"between": [1, 2]}}],
+                     by="user_id", within_seconds=60)

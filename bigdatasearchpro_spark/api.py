@@ -1486,3 +1486,87 @@ def close_pit(spark: SparkSession, pit_id: str) -> bool:
         return False
     shutil.rmtree(meta["path"], ignore_errors=True)
     return True
+
+
+# ES Transforms (`_transform`): stored pivot jobs that materialize an
+# entity-centric summary INDEX from an event-centric source index —
+# the ES feature for turning raw streams into queryable rollups.  A
+# batch run is one groupBy+agg -> bulk write; continuous mode maps to
+# Structured Streaming with foreachBatch upsert (the streaming ring's
+# CDC-apply machinery) — batch `_start` is what this facade serves.
+_TRANSFORMS: "dict[str, dict]" = {}
+
+_TRANSFORM_AGGS = ("value_count", "sum", "min", "max", "avg")
+
+
+def put_transform(spark: SparkSession, transform_id: str, *,
+                  source: str, dest: str, pivot: dict) -> dict:
+    """ES ``PUT _transform/{id}``: store a pivot transform.  ``pivot``
+    is ``{"group_by": {out_name: field}, "aggregations": {out_name:
+    {agg: field}}}`` with aggs from value_count/sum/min/max/avg —
+    validated at PUT like ES.  Exactness note: sum/avg over
+    non-integral doubles is combine-order-dependent; keep those aggs
+    on integral/exact columns (the engine-wide rule)."""
+    gb = pivot.get("group_by") or {}
+    aggs = pivot.get("aggregations") or {}
+    if not gb or not aggs:
+        raise ValueError("pivot needs group_by and aggregations")
+    for name, spec in aggs.items():
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(f"bad aggregation {name!r}")
+        kind = next(iter(spec))
+        if kind not in _TRANSFORM_AGGS:
+            raise ValueError(f"unsupported transform agg {kind!r}")
+    _TRANSFORMS[transform_id] = {
+        "source": source, "dest": dest,
+        "pivot": {"group_by": dict(gb), "aggregations": dict(aggs)},
+    }
+    return {"id": transform_id, **_TRANSFORMS[transform_id]}
+
+
+def get_transform(spark: SparkSession, transform_id: str):
+    """ES ``GET _transform/{id}`` — the stored job, or None."""
+    t = _TRANSFORMS.get(transform_id)
+    return None if t is None else {"id": transform_id, **t}
+
+
+def delete_transform(spark: SparkSession, transform_id: str) -> bool:
+    """ES ``DELETE _transform/{id}`` — True iff it existed."""
+    return _TRANSFORMS.pop(transform_id, None) is not None
+
+
+def start_transform(spark: SparkSession, transform_id: str) -> dict:
+    """ES ``POST _transform/{id}/_start`` (batch checkpoint): run the
+    pivot — ONE hash aggregate over the source index (map-side
+    combinable) materialized into the dest index (overwrite = the
+    transform checkpoint contract: dest always reflects one complete
+    pivot of the source).  Returns ``{docs_processed, docs_indexed}``."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    t = _TRANSFORMS.get(transform_id)
+    if t is None:
+        raise ValueError(f"no transform {transform_id!r}")
+    src = resolve_index(spark, t["source"])
+    gb = t["pivot"]["group_by"]
+    aggs = []
+    for name, spec in t["pivot"]["aggregations"].items():
+        kind, field = next(iter(spec.items()))
+        col = F.col(field)
+        if kind == "value_count":
+            aggs.append(F.count(col).alias(name))
+        elif kind == "sum":
+            aggs.append(F.sum(col).alias(name))
+        elif kind == "min":
+            aggs.append(F.min(col).alias(name))
+        elif kind == "max":
+            aggs.append(F.max(col).alias(name))
+        else:  # avg: exact sum / count, ONE division
+            aggs.append((F.sum(col) / F.count(col)).alias(name))
+    out = src.groupBy(
+        *[F.col(f).alias(n) for n, f in gb.items()]
+    ).agg(*aggs)
+    docs_processed = src.count()
+    docs_indexed = bulk_index_table(out, t["dest"])
+    return {"docs_processed": docs_processed, "docs_indexed": docs_indexed}

@@ -1779,3 +1779,71 @@ def l3_eql_sequence(spark, sf_dir):
         by="user_id",
         within_seconds=259200,
     )
+
+
+# ---------------------------------------------------------------------------
+# transforms (_transform pivot -> dest index)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s31_transform_pivot",
+    """
+    SELECT o_orderpriority AS priority,
+           count(o_orderkey)::BIGINT AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def s31_transform_pivot(spark, sf_dir):
+    """S-family [ES parity]: Transforms (``_transform``) — a stored
+    PIVOT job materializing an entity-centric summary index from a
+    source index: PUT validates the spec, ``_start`` runs ONE hash
+    aggregate and overwrites the dest (the checkpoint contract), and
+    the dest is a first-class searchable index.  Continuous mode maps
+    to the streaming ring's foreachBatch CDC apply; the batch
+    checkpoint is what this entry verifies end-to-end
+    (api.put_transform / start_transform)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = uuid.uuid4().hex[:8]
+    src_idx, dest_idx, tid = (
+        f"tf_src_{tag}", f"tf_dest_{tag}", f"tf-{tag}",
+    )
+    bulk_index_table(orders, src_idx)  # typed source index
+    api.put_transform(
+        spark, tid,
+        source=src_idx, dest=dest_idx,
+        pivot={
+            "group_by": {"priority": "o_orderpriority"},
+            "aggregations": {
+                "n_orders": {"value_count": "o_orderkey"},
+                "min_price": {"min": "o_totalprice"},
+                "max_price": {"max": "o_totalprice"},
+            },
+        },
+    )
+    try:
+        stats = api.start_transform(spark, tid)
+        assert stats["docs_indexed"] > 0
+        out = api.sql_query(
+            spark,
+            f"SELECT priority, n_orders, min_price, max_price "
+            f"FROM {dest_idx} ORDER BY priority",
+        )
+        rows = out.collect()
+    finally:
+        assert api.delete_transform(spark, tid)
+        api.delete_index(spark, src_idx)
+        api.delete_index(spark, dest_idx)
+    return spark.createDataFrame(
+        rows,
+        "priority string, n_orders bigint, min_price double, "
+        "max_price double",
+    )

@@ -985,3 +985,51 @@ def test_routing_partition_pruning(spark, docs):
             api.apply_routing(spark, "nonexistent_idx", docs, "en")
     finally:
         api.delete_index(spark, name)
+
+
+def test_transform_lifecycle_and_validation(spark, docs):
+    import uuid
+
+    import pytest as pt
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    tag = uuid.uuid4().hex[:6]
+    src, dest, tid = f"tfu_src_{tag}", f"tfu_dest_{tag}", f"tfu-{tag}"
+    bulk_index_table(docs.select("doc_id", "lang", "n_chars"), src)
+    try:
+        with pt.raises(ValueError, match="group_by and aggregations"):
+            api.put_transform(spark, tid, source=src, dest=dest,
+                              pivot={"group_by": {}})
+        with pt.raises(ValueError, match="unsupported transform agg"):
+            api.put_transform(spark, tid, source=src, dest=dest,
+                              pivot={"group_by": {"lang": "lang"},
+                                     "aggregations": {"x": {"median": "n_chars"}}})
+        api.put_transform(
+            spark, tid, source=src, dest=dest,
+            pivot={"group_by": {"lang": "lang"},
+                   "aggregations": {"n": {"value_count": "doc_id"},
+                                    "total": {"sum": "n_chars"},
+                                    "mean": {"avg": "n_chars"}}},
+        )
+        assert api.get_transform(spark, tid)["dest"] == dest
+        stats = api.start_transform(spark, tid)
+        assert stats["docs_processed"] == docs.count()
+        got = {r.lang: (r.n, r.total, r.mean)
+               for r in spark.table(dest).collect()}
+        from pyspark.sql import functions as F
+
+        want = {r.lang: (r.n, r.total, r.total / r.n)
+                for r in docs.groupBy("lang").agg(
+                    F.count("doc_id").alias("n"),
+                    F.sum("n_chars").alias("total")).collect()}
+        assert got == want
+        # re-start overwrites (the checkpoint contract), not appends
+        api.start_transform(spark, tid)
+        assert spark.table(dest).count() == len(want)
+        with pt.raises(ValueError, match="no transform"):
+            api.start_transform(spark, "missing")
+    finally:
+        api.delete_transform(spark, tid)
+        api.delete_index(spark, src)
+        api.delete_index(spark, dest)

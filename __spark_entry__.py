@@ -184,6 +184,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_categorize_text",
     "l3_eql_sequence",
     "s31_transform_pivot",
+    "l5_leakage_safe_split",
 )
 
 

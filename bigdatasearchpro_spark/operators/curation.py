@@ -879,3 +879,62 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: "DataFrame | None" = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Train/val/test split that cannot LEAK across duplicates: the
+    split hash is taken over the document's duplicate-CLUSTER id, not
+    its own id, so every member of a cluster lands in the SAME split —
+    the guard a plain id-hash split silently lacks (a near-identical
+    copy of a test document in train is the classic eval
+    contamination).
+
+    ``clusters``: an optional ``(id, group_id)`` table (e.g.
+    ``neardup.resolve_duplicate_groups`` over MinHash pairs — the
+    near-dup-safe form).  Default: EXACT-text clusters — group_id =
+    min doc id per content hash (one hash agg + one key join; no
+    window).  Docs in no cluster are their own group.
+
+    Plan: cluster assignment is the only shuffle; the split itself
+    stays a pure projection (textstats.dataset_split on the group id).
+
+    Output: ``(id, group_id, split)``.
+    """
+    from bigdatasearchpro_spark.operators.textstats import dataset_split
+
+    if clusters is None:
+        gmin = (
+            docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+            .groupBy("__h")
+            .agg(F.min(id_col).alias("group_id"))
+        )
+        clusters = (
+            docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+            .join(gmin, "__h")
+            .select(F.col(id_col), "group_id")
+        )
+    assigned = docs.select(F.col(id_col)).join(
+        clusters.select(F.col(id_col), "group_id"), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("group_id", F.col(id_col)).alias("group_id"),
+    )
+    split = dataset_split(
+        assigned.select(F.col("group_id").alias(id_col)).distinct(),
+        id_col,
+        val_pct=val_pct,
+        test_pct=test_pct,
+        hash_fn=hash_fn,
+    ).select(F.col(id_col).alias("group_id"), "split")
+    return assigned.join(split, "group_id").select(
+        F.col(id_col), "group_id", "split"
+    )

@@ -1847,3 +1847,42 @@ def s31_transform_pivot(spark, sf_dir):
         "priority string, n_orders bigint, min_price double, "
         "max_price double",
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe dataset split (cluster-level hashing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l5_leakage_safe_split",
+    """
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    gmin AS (SELECT h, min(doc_id) AS group_id FROM g GROUP BY h),
+    assigned AS (
+      SELECT g.doc_id, gmin.group_id FROM g JOIN gmin ON g.h = gmin.h
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN ('0x' || substring(md5(group_id::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 10 THEN 'val'
+                WHEN ('0x' || substring(md5(group_id::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 20 THEN 'test'
+                ELSE 'train' END AS split
+    FROM assigned
+    ORDER BY doc_id
+    """,
+)
+def l5_leakage_safe_split(spark, sf_dir):
+    """L5 [EXT]: leakage-safe train/val/test split — the split hash
+    runs over the duplicate-CLUSTER id (exact-text clusters here:
+    group = min id per content hash; the near-dup-safe form plugs
+    resolve_duplicate_groups in as the cluster table), so duplicated
+    documents can never straddle splits — the eval-contamination guard
+    a plain id-hash split lacks.  One hash agg + key join for cluster
+    assignment; the split itself stays the portable pure projection
+    (operators/curation.py leakage_safe_split)."""
+    from bigdatasearchpro_spark.operators.curation import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs).orderBy("doc_id")

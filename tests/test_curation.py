@@ -583,3 +583,35 @@ def test_ccnet_buckets_thirds_per_language(spark):
     assert {out[7].bucket, out[8].bucket, out[9].bucket} == {
         "head", "middle", "tail"}
     assert out[9].bucket == "tail"
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from bigdatasearchpro_spark.operators.curation import leakage_safe_split
+
+    # 40 docs in 10 exact-dup clusters of 4
+    rows = [(c * 4 + i, f"cluster text {c}") for c in range(10)
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).collect()
+    assert len(out) == 40
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    # every cluster lives in exactly one split, anchored at min id
+    assert all(len(s) == 1 for s in by_group.values())
+    assert set(by_group) == {c * 4 for c in range(10)}
+
+    # explicit cluster table (the near-dup form): merge two clusters
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(8)] + [(i, i) for i in range(8, 40)],
+        "doc_id long, group_id long",
+    )
+    merged = leakage_safe_split(df, clusters).collect()
+    g0 = {r.split for r in merged if r.group_id == 0}
+    assert len(g0) == 1 and sum(r.group_id == 0 for r in merged) == 8
+
+    # a doc with no cluster row is its own group (left-join coalesce)
+    partial = spark.createDataFrame([(0, 0)], "doc_id long, group_id long")
+    solo = {r.doc_id: r.group_id
+            for r in leakage_safe_split(df.limit(3), partial).collect()}
+    assert solo[0] == 0 and solo[1] == 1 and solo[2] == 2

@@ -185,6 +185,7 @@ _R7_DEFER_TO_R8 = (
     "l3_eql_sequence",
     "s31_transform_pivot",
     "l5_leakage_safe_split",
+    "l5_length_bucketed_batches",
 )
 
 

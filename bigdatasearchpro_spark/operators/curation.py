@@ -938,3 +938,58 @@ def leakage_safe_split(
     return assigned.join(split, "group_id").select(
         F.col(id_col), "group_id", "split"
     )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    *,
+    batch_size: int = 32,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch layout for inference/training serving:
+    within each shard, documents sort by token length (id tie-break)
+    and chunk into ``batch_size`` batches, so every batch holds
+    similar-length sequences and the padded cost
+    ``n_docs * max_tokens`` stays near ``sum_tokens`` — the padding-
+    minimization trick every serving stack uses (dynamic batching /
+    bucketed bucketing).
+
+    Plan: one narrow token-count projection, ONE window partitioned by
+    the shard (each shard batches independently, the multi-writer
+    layout — no global sort), one per-batch hash agg.
+
+    Output: ``(shard, batch_id, n_docs, max_tokens, sum_tokens,
+    padded_tokens)`` — padding efficiency is
+    ``sum_tokens / padded_tokens``.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda t: t != "")
+    )
+    base = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.asc("n_tokens"), F.asc(id_col)
+    )
+    batched = base.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size))
+        .cast("bigint"),
+    )
+    return (
+        batched.groupBy("shard", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.count("*") * F.max("n_tokens")).alias("padded_tokens"),
+        )
+        .orderBy("shard", "batch_id")
+    )

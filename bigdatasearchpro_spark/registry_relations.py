@@ -1886,3 +1886,48 @@ def l5_leakage_safe_split(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return leakage_safe_split(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching (padding-minimizing serving layout)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l5_length_bucketed_batches",
+    r"""
+    WITH t AS (
+      SELECT lang AS shard, doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> ''))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT shard, doc_id, n_tokens,
+             ((row_number() OVER (PARTITION BY shard
+                                  ORDER BY n_tokens ASC, doc_id ASC) - 1)
+              // 32)::BIGINT AS batch_id
+      FROM t
+    )
+    SELECT shard, batch_id,
+           count(*)::BIGINT AS n_docs,
+           max(n_tokens)::BIGINT AS max_tokens,
+           sum(n_tokens)::BIGINT AS sum_tokens,
+           (count(*) * max(n_tokens))::BIGINT AS padded_tokens
+    FROM b
+    GROUP BY shard, batch_id
+    ORDER BY shard, batch_id
+    """,
+)
+def l5_length_bucketed_batches(spark, sf_dir):
+    """L5 [EXT]: length-bucketed batch layout — per-language shards
+    sort by token length and chunk into 32-doc batches so padded cost
+    (n_docs x max_tokens) tracks sum_tokens (the serving-stack padding
+    minimization).  One narrow projection + ONE shard-partitioned
+    window + one per-batch hash agg — no global sort
+    (operators/curation.py length_bucketed_batches)."""
+    from bigdatasearchpro_spark.operators.curation import (
+        length_bucketed_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucketed_batches(docs, batch_size=32)

@@ -615,3 +615,28 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     solo = {r.doc_id: r.group_id
             for r in leakage_safe_split(df.limit(3), partial).collect()}
     assert solo[0] == 0 and solo[1] == 1 and solo[2] == 2
+
+
+def test_length_bucketed_batches_minimize_padding(spark):
+    from bigdatasearchpro_spark.operators.curation import (
+        length_bucketed_batches,
+    )
+
+    # 8 docs of wildly mixed lengths in one shard, batch_size 4:
+    # sorted batching puts the 4 short and 4 long together
+    rows = [(i, " ".join(["w"] * n), "en")
+            for i, n in enumerate([1, 2, 100, 3, 110, 4, 120, 130])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.batch_id: r for r in
+           length_bucketed_batches(df, batch_size=4).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].max_tokens == 4 and out[0].n_docs == 4
+    assert out[1].max_tokens == 130
+    # bucketed padding beats any layout that mixes short+long
+    total_padded = sum(r.padded_tokens for r in out.values())
+    assert total_padded == 4 * 4 + 4 * 130
+    assert all(r.sum_tokens <= r.padded_tokens for r in out.values())
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        length_bucketed_batches(df, batch_size=0)

@@ -186,6 +186,8 @@ _R7_DEFER_TO_R8 = (
     "s31_transform_pivot",
     "l5_leakage_safe_split",
     "l5_length_bucketed_batches",
+    "st14_streaming_transform",
+    "s32_watcher",
 )
 
 

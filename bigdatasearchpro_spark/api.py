@@ -1570,3 +1570,65 @@ def start_transform(spark: SparkSession, transform_id: str) -> dict:
     docs_processed = src.count()
     docs_indexed = bulk_index_table(out, t["dest"])
     return {"docs_processed": docs_processed, "docs_indexed": docs_indexed}
+
+
+# ES Watcher (`_watcher`): stored alerts — a search input, a scalar
+# condition, an action fired when the condition holds.  The streaming
+# ring serves the push form (percolation, geo-fence, script alerts);
+# Watcher is the PULL form: execute on demand / on schedule.
+_WATCHES: "dict[str, dict]" = {}
+
+_WATCH_OPS = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__",
+              "lte": "__le__", "eq": "__eq__"}
+
+
+def put_watch(spark: SparkSession, watch_id: str, *, input_sql: str,
+              condition: dict, action: str = "log") -> dict:
+    """ES ``PUT _watcher/watch/{id}``: store an alert — ``input_sql``
+    (a read-only SELECT whose first cell is the watched scalar — the
+    ES search input reduced to its compare payload), a ``condition``
+    ``{op: threshold}`` with op in gt/gte/lt/lte/eq, and an action
+    name.  Validated at PUT like ES."""
+    if not isinstance(condition, dict) or len(condition) != 1:
+        raise ValueError("condition must be one {op: threshold}")
+    op = next(iter(condition))
+    if op not in _WATCH_OPS:
+        raise ValueError(f"unsupported condition op {op!r}")
+    sql_query(spark, input_sql, fetch_size=1)  # validates read-only form
+    _WATCHES[watch_id] = {
+        "input_sql": input_sql, "condition": dict(condition),
+        "action": action,
+    }
+    return {"id": watch_id, **_WATCHES[watch_id]}
+
+
+def get_watch(spark: SparkSession, watch_id: str):
+    """ES ``GET _watcher/watch/{id}`` — the stored watch, or None."""
+    w = _WATCHES.get(watch_id)
+    return None if w is None else {"id": watch_id, **w}
+
+
+def delete_watch(spark: SparkSession, watch_id: str) -> bool:
+    """ES ``DELETE _watcher/watch/{id}`` — True iff it existed."""
+    return _WATCHES.pop(watch_id, None) is not None
+
+
+def execute_watch(spark: SparkSession, watch_id: str) -> dict:
+    """ES ``POST _watcher/watch/{id}/_execute``: run the input, test
+    the condition, report whether the action fired — ONE scalar
+    aggregate query per execution."""
+    w = _WATCHES.get(watch_id)
+    if w is None:
+        raise ValueError(f"no watch {watch_id!r}")
+    row = sql_query(spark, w["input_sql"], fetch_size=1).first()
+    value = row[0] if row is not None else None
+    op, thr = next(iter(w["condition"].items()))
+    met = (
+        value is not None and getattr(value, _WATCH_OPS[op])(thr)
+    )
+    return {
+        "watch_id": watch_id,
+        "value": value,
+        "condition_met": bool(met),
+        "action_fired": w["action"] if met else None,
+    }

@@ -1931,3 +1931,111 @@ def l5_length_bucketed_batches(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return length_bucketed_batches(docs, batch_size=32)
+
+
+# ---------------------------------------------------------------------------
+# streaming transform (continuous pivot mode)
+# ---------------------------------------------------------------------------
+
+@register(
+    "st14_streaming_transform",
+    """
+    SELECT event_type, count(*)::BIGINT AS n, sum(user_id)::BIGINT AS su
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st14_streaming_transform(spark, sf_dir):
+    """§2.9 [ES parity]: the CONTINUOUS mode of `_transform` — the same
+    pivot (group event_type -> count + exact integral sum) run as a
+    streaming aggregation over the events fixture replayed in 3
+    micro-batches (complete mode = the transform checkpoint: dest
+    always reflects one full pivot of the data seen).  Final state ==
+    the batch pivot == the DuckDB oracle — the claim
+    api.start_transform's docstring makes, verified end-to-end
+    (streaming/pipelines.py run_to_completion)."""
+    import shutil
+    import tempfile
+
+    from bigdatasearchpro_spark.streaming.pipelines import run_to_completion
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="st14_src_")
+    ck = tempfile.mkdtemp(prefix="st14_ck_")
+    try:
+        for i in range(3):
+            (ev.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.mode("append").parquet(src))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        pivot = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("su"),
+        )
+        got = run_to_completion(pivot, checkpoint_dir=ck,
+                                output_mode="complete")
+        rows = got.orderBy("event_type").collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, su bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# watcher (stored pull-mode alerts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s32_watcher",
+    """
+    WITH c AS (
+      SELECT count(*)::BIGINT AS n FROM events
+      WHERE event_type = 'error' AND value > 90
+    )
+    SELECT 'hot-errors' AS watch_id, n AS value,
+           (n > 10) AS condition_met
+    FROM c
+    """,
+)
+def s32_watcher(spark, sf_dir):
+    """S-family [ES parity]: Watcher (``_watcher``) — the PULL form of
+    alerting (the streaming ring serves the push form): a stored watch
+    whose input counts hot error events, a `gt` condition, and an
+    action that fires when it holds; ``_execute`` is ONE scalar
+    aggregate per run.  The full lifecycle (PUT/GET/EXECUTE/DELETE)
+    runs inside the entry (api.put_watch / execute_watch)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = uuid.uuid4().hex[:8]
+    idx = f"watch_events_{tag}"
+    wid = f"hot-errors-{tag}"
+    bulk_index_table(ev, idx)  # typed events index
+    api.put_watch(
+        spark, wid,
+        input_sql=(
+            f"SELECT count(*) AS n FROM {idx} "
+            f"WHERE event_type = 'error' AND CAST(value AS DOUBLE) > 90"
+        ),
+        condition={"gt": 10},
+        action="notify",
+    )
+    try:
+        assert api.get_watch(spark, wid) is not None
+        res = api.execute_watch(spark, wid)
+        rows = [("hot-errors", int(res["value"]), res["condition_met"])]
+    finally:
+        assert api.delete_watch(spark, wid)
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(
+        rows, "watch_id string, value bigint, condition_met boolean"
+    )

@@ -1033,3 +1033,48 @@ def test_transform_lifecycle_and_validation(spark, docs):
         api.delete_transform(spark, tid)
         api.delete_index(spark, src)
         api.delete_index(spark, dest)
+
+
+def test_watcher_lifecycle(spark, docs):
+    import uuid
+
+    import pytest as pt
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    tag = uuid.uuid4().hex[:6]
+    idx, wid = f"watch_{tag}", f"w-{tag}"
+    bulk_index_table(docs.select("doc_id", "lang"), idx)
+    try:
+        with pt.raises(ValueError, match="condition"):
+            api.put_watch(spark, wid, input_sql=f"SELECT 1",
+                          condition={"gt": 1, "lt": 5})
+        with pt.raises(ValueError, match="condition op"):
+            api.put_watch(spark, wid, input_sql=f"SELECT 1",
+                          condition={"between": 1})
+        with pt.raises(ValueError, match="read-only"):
+            api.put_watch(spark, wid, input_sql=f"DROP TABLE {idx}",
+                          condition={"gt": 0})
+        n_en = docs.filter("lang = 'en'").count()
+        api.put_watch(
+            spark, wid,
+            input_sql=f"SELECT count(*) FROM {idx} WHERE lang = 'en'",
+            condition={"gte": n_en},
+        )
+        res = api.execute_watch(spark, wid)
+        assert res["condition_met"] is True and res["value"] == n_en
+        assert res["action_fired"] == "log"
+        # flip the threshold: condition fails, no action
+        api.put_watch(
+            spark, wid,
+            input_sql=f"SELECT count(*) FROM {idx} WHERE lang = 'en'",
+            condition={"gt": n_en},
+        )
+        res2 = api.execute_watch(spark, wid)
+        assert res2["condition_met"] is False and res2["action_fired"] is None
+        assert api.delete_watch(spark, wid) is True
+        with pt.raises(ValueError, match="no watch"):
+            api.execute_watch(spark, wid)
+    finally:
+        api.delete_watch(spark, wid)
+        api.delete_index(spark, idx)

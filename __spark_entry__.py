@@ -188,6 +188,7 @@ _R7_DEFER_TO_R8 = (
     "l5_length_bucketed_batches",
     "st14_streaming_transform",
     "s32_watcher",
+    "s33_ilm_lifecycle",
 )
 
 

@@ -1632,3 +1632,63 @@ def execute_watch(spark: SparkSession, watch_id: str) -> dict:
         "condition_met": bool(met),
         "action_fired": w["action"] if met else None,
     }
+
+
+# ES ILM (`_ilm/policy`): the policy layer over the lifecycle
+# primitives this facade already serves (rollover, delete).  A policy
+# here = a hot-phase rollover condition + a delete phase keeping the
+# newest K generations — the time-series retention loop.
+_ILM_POLICIES: "dict[str, dict]" = {}
+
+
+def put_ilm_policy(spark: SparkSession, name: str, *,
+                   rollover_max_docs: int,
+                   keep_generations: int = 2) -> dict:
+    """ES ``PUT _ilm/policy/{name}``: hot phase = rollover at
+    ``rollover_max_docs``; delete phase = drop generations older than
+    the newest ``keep_generations``."""
+    if rollover_max_docs < 1 or keep_generations < 1:
+        raise ValueError("rollover_max_docs and keep_generations must be >= 1")
+    _ILM_POLICIES[name] = {
+        "rollover_max_docs": int(rollover_max_docs),
+        "keep_generations": int(keep_generations),
+    }
+    return {"name": name, **_ILM_POLICIES[name]}
+
+
+def get_ilm_policy(spark: SparkSession, name: str):
+    """ES ``GET _ilm/policy/{name}`` — the policy, or None."""
+    p = _ILM_POLICIES.get(name)
+    return None if p is None else {"name": name, **p}
+
+
+def delete_ilm_policy(spark: SparkSession, name: str) -> bool:
+    """ES ``DELETE _ilm/policy/{name}`` — True iff it existed."""
+    return _ILM_POLICIES.pop(name, None) is not None
+
+
+def apply_ilm(spark: SparkSession, alias: str, policy: str) -> dict:
+    """One ILM tick (ES runs this on its poll interval): roll the
+    alias's write index over if the hot-phase condition holds, then
+    delete generations beyond the retention window.  Each tick is one
+    count + (maybe) one empty-index create + K catalog drops — no data
+    rewrite; generations age out whole, the reason time-series
+    retention is cheap in generation-structured storage."""
+    import re as _re
+
+    p = _ILM_POLICIES.get(policy)
+    if p is None:
+        raise ValueError(f"no ilm policy {policy!r}")
+    res = rollover(spark, alias, max_docs=p["rollover_max_docs"])
+    # delete phase: generations beyond the newest keep_generations
+    # (generation names end in the incremented digit run, base_NNNNNN)
+    base = _re.sub(r"\d+$", "", res["new_index"])
+    gens = sorted(
+        n for n in get_all_index(spark)
+        if _re.fullmatch(_re.escape(base) + r"\d+", n)
+    )
+    deleted = []
+    for old in gens[: max(0, len(gens) - p["keep_generations"])]:
+        delete_index(spark, old)
+        deleted.append(old)
+    return {**res, "deleted": deleted, "kept": gens[len(deleted):]}

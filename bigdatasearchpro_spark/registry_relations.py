@@ -2039,3 +2039,62 @@ def s32_watcher(spark, sf_dir):
     return spark.createDataFrame(
         rows, "watch_id string, value bigint, condition_met boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# ILM (index lifecycle management policy ticks)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s33_ilm_lifecycle",
+    """
+    SELECT 'ilm_idx_000002' AS index_name,
+           (SELECT count(*) FROM nation) AS docs_count
+    UNION ALL
+    SELECT 'ilm_idx_000003', 0
+    ORDER BY index_name
+    """,
+)
+def s33_ilm_lifecycle(spark, sf_dir):
+    """S-family [ES parity]: ILM (``_ilm/policy``) — the policy layer
+    over the lifecycle primitives: hot-phase rollover at max_docs,
+    delete phase keeping the newest 2 generations.  Two policy ticks:
+    tick 1 rolls gen1 -> gen2 (both kept); after refilling gen2, tick
+    2 rolls gen2 -> gen3 AND the delete phase drops gen1 — the oracle
+    pins the surviving generation names and counts.  One count +
+    empty-create + catalog drops per tick; generations age out whole,
+    no data rewrite (api.put_ilm_policy / apply_ilm)."""
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks import ddl
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    nat = load_table(spark, sf_dir, "nation")
+    g1, g2, g3 = "ilm_idx_000001", "ilm_idx_000002", "ilm_idx_000003"
+    alias, pol = "ilm_write", "ilm_pol_probe"
+    api.bulk_data_to_index(spark, nat, g1, id_col="n_nationkey")
+    api.put_ilm_policy(spark, pol, rollover_max_docs=10,
+                       keep_generations=2)
+    try:
+        ddl.add_alias(spark, g1, alias)
+        t1 = api.apply_ilm(spark, alias, pol)
+        assert t1["rolled_over"] and t1["deleted"] == []
+        # refill the new write index past the condition
+        bulk_index_table(
+            load_table(spark, sf_dir, "nation"), g2, mode="overwrite"
+        )
+        t2 = api.apply_ilm(spark, alias, pol)
+        assert t2["rolled_over"] and t2["deleted"] == [g1]
+        out = api.cat_indices(spark).filter(
+            F.col("index_name").isin(g1, g2, g3)
+        )
+        rows = out.select("index_name", "docs_count").orderBy(
+            "index_name").collect()
+    finally:
+        assert api.delete_ilm_policy(spark, pol)
+        ddl.delete_alias(spark, alias)
+        for g in (g1, g2, g3):
+            try:
+                api.delete_index(spark, g)
+            except Exception:
+                pass
+    return spark.createDataFrame(rows, "index_name string, docs_count long")

@@ -1078,3 +1078,19 @@ def test_watcher_lifecycle(spark, docs):
     finally:
         api.delete_watch(spark, wid)
         api.delete_index(spark, idx)
+
+
+def test_ilm_policy_guards(spark):
+    import pytest as pt
+
+    with pt.raises(ValueError, match=">= 1"):
+        api.put_ilm_policy(spark, "p", rollover_max_docs=0)
+    with pt.raises(ValueError, match=">= 1"):
+        api.put_ilm_policy(spark, "p", rollover_max_docs=5,
+                           keep_generations=0)
+    with pt.raises(ValueError, match="no ilm policy"):
+        api.apply_ilm(spark, "whatever", "missing-policy")
+    api.put_ilm_policy(spark, "p-tmp", rollover_max_docs=5)
+    assert api.get_ilm_policy(spark, "p-tmp")["keep_generations"] == 2
+    assert api.delete_ilm_policy(spark, "p-tmp") is True
+    assert api.delete_ilm_policy(spark, "p-tmp") is False

@@ -189,6 +189,7 @@ _R7_DEFER_TO_R8 = (
     "st14_streaming_transform",
     "s32_watcher",
     "s33_ilm_lifecycle",
+    "l4_hamming_topk",
 )
 
 

@@ -1173,3 +1173,63 @@ def embedding_decontaminate_int8(
     fn = pandas_udf(n_matches, "long")
     out = emb.select(F.col(id_col), fn(F.col(vec_col)).alias("n_matches"))
     return out.filter(F.col("n_matches") > 0)
+
+
+def binarize_embedding(vec_col: "Column | str") -> "tuple[Column, Column]":
+    """Sign-bit binarization of a float embedding into two packed
+    32-bit halves (lo = dims 0-31, hi = 32-63) carried in BIGINTs —
+    the ES 8.x ``element_type: bit`` storage: 64x smaller than
+    float32, hamming-comparable.  Two halves (not one 64-bit word)
+    keep every shift unsigned-safe in BOTH engines; pure integer
+    column math, no UDF."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def pack(lo_bit: int) -> Column:
+        # MSB-first fold: acc*2 + bit — no variable shifts (Spark's
+        # shiftleft takes only a literal count); 32 exact bigint ops
+        return F.aggregate(
+            F.sequence(F.lit(31 + lo_bit), F.lit(lo_bit), F.lit(-1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc * F.lit(2)
+            + F.when(
+                F.try_element_at(v, (i + 1).cast("int")).cast("double") > 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+
+    return pack(0), pack(32)
+
+
+def hamming_topk(
+    emb: DataFrame,
+    query_vec: "Sequence[float]",
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN over BIT vectors (ES 8.x ``element_type: bit`` / hamming
+    ``similarity``): corpus embeddings sign-binarized to two packed
+    32-bit halves, query binarized ONCE driver-side, distance =
+    ``bit_count(lo XOR qlo) + bit_count(hi XOR qhi)`` — pure integer
+    ops in the scan's codegen span, then a TakeOrdered page (distance
+    asc, id tie-break).  The 64x storage shrink vs float32 is the
+    point at corpus scale; the integer distance makes the whole page
+    SQL-replayable.
+
+    Output: ``(id, hamming)``."""
+    if len(query_vec) < 64:
+        raise ValueError("hamming_topk expects >= 64-dim vectors")
+    qlo = sum((1 << i) for i in range(32) if float(query_vec[i]) > 0)
+    qhi = sum((1 << i) for i in range(32) if float(query_vec[i + 32]) > 0)
+    lo, hi = binarize_embedding(vec_col)
+    dist = F.bit_count(
+        lo.bitwiseXOR(F.lit(qlo).cast("bigint"))
+    ) + F.bit_count(hi.bitwiseXOR(F.lit(qhi).cast("bigint")))
+    return (
+        emb.select(F.col(id_col), dist.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )

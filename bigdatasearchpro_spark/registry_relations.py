@@ -2098,3 +2098,47 @@ def s33_ilm_lifecycle(spark, sf_dir):
             except Exception:
                 pass
     return spark.createDataFrame(rows, "index_name string, docs_count long")
+
+
+# ---------------------------------------------------------------------------
+# hamming kNN over bit vectors (ES element_type: bit)
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.registry_ext import _RANGE_QUERY_INTS  # noqa: E402
+
+_QLO = sum((1 << i) for i in range(32) if _RANGE_QUERY_INTS[i] > 0)
+_QHI = sum((1 << i) for i in range(32) if _RANGE_QUERY_INTS[i + 32] > 0)
+
+@register(
+    "l4_hamming_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id,
+             list_sum([CASE WHEN embedding[i+1] > 0
+                            THEN (1::BIGINT << i) ELSE 0 END
+                       for i in generate_series(0, 31)])::BIGINT AS lo,
+             list_sum([CASE WHEN embedding[i+33] > 0
+                            THEN (1::BIGINT << i) ELSE 0 END
+                       for i in generate_series(0, 31)])::BIGINT AS hi
+      FROM embeddings
+    )
+    SELECT vec_id,
+           (bit_count(xor(lo, {_QLO}::BIGINT))
+            + bit_count(xor(hi, {_QHI}::BIGINT)))::INT AS hamming
+    FROM b
+    ORDER BY hamming ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def l4_hamming_topk(spark, sf_dir):
+    """L4 [ES parity]: kNN over BIT vectors (ES 8.x ``element_type:
+    bit`` with hamming similarity) — sign-binarized embeddings packed
+    into two 32-bit halves (64x smaller than float32, the
+    corpus-scale point), distance = popcount of the XOR, TakeOrdered
+    page.  Pure integer column math in the scan's codegen span; the
+    fixed integer query vector binarizes ONCE at import
+    (operators/similarity.py hamming_topk / binarize_embedding)."""
+    from bigdatasearchpro_spark.operators.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, [float(v) for v in _RANGE_QUERY_INTS], 10)

@@ -670,3 +670,25 @@ def test_linear_retriever_normalization(spark):
 
     with pt.raises(ValueError, match="window"):
         linear_hybrid_topk(docs, emb, "spark", [1] * 64, k=20, window=10)
+
+
+def test_hamming_topk_semantics(spark):
+    from bigdatasearchpro_spark.operators.similarity import hamming_topk
+
+    base = [1.0] * 64
+    flipped3 = [1.0] * 64
+    for i in (0, 33, 63):
+        flipped3[i] = -1.0
+    allneg = [-1.0] * 64
+    emb = spark.createDataFrame(
+        [(1, base), (2, flipped3), (3, allneg)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = hamming_topk(emb, base, 3).collect()
+    assert [(r.vec_id, r.hamming) for r in rows] == [
+        (1, 0), (2, 3), (3, 64)
+    ]
+    import pytest as pt
+
+    with pt.raises(ValueError, match="64-dim"):
+        hamming_topk(emb, [1.0] * 10, 3)

@@ -190,6 +190,7 @@ _R7_DEFER_TO_R8 = (
     "s32_watcher",
     "s33_ilm_lifecycle",
     "l4_hamming_topk",
+    "l4_maxsim_topk",
 )
 
 

@@ -1233,3 +1233,59 @@ def hamming_topk(
         .orderBy(F.asc("hamming"), F.asc(id_col))
         .limit(k)
     )
+
+
+def maxsim_topk(
+    emb: DataFrame,
+    query_ints: "Sequence[int]",
+    k: int = 10,
+    *,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) maxSim ranking — the ES 8.x
+    ``rank_vectors`` field's ``maxSimDotProduct``: a document is a SET
+    of sub-vectors and the score is ``sum over query sub-vectors of
+    max over doc sub-vectors of dot(q_i, d_j)``.  Here both sides are
+    the 64-dim fixture vector RESHAPED to ``n_sub`` sub-vectors (the
+    multi-vector plumbing is the point; a real corpus stores token
+    vectors directly).
+
+    Exactness: document components quantize to an integer grid
+    (``floor(x*grid + 0.5)``) and the query is already integer, so
+    every dot / max / sum is BIGINT — the page is SQL-replayable.
+    The whole score is ONE explicit expression tree (Python-built
+    loops, no interpreted higher-order lambdas — the PQ codegen
+    lesson) inside the scan; TakeOrdered closes the page."""
+    d = len(query_ints)
+    if d % n_sub != 0:
+        raise ValueError("vector dim must divide n_sub")
+    sub = d // n_sub
+    v = F.col(vec_col) if isinstance(vec_col, str) else F.col(vec_col)
+
+    def elem(i: int) -> Column:
+        return F.floor(
+            F.try_element_at(v, F.lit(i + 1)).cast("double") * F.lit(float(grid))
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    elems = [elem(i) for i in range(d)]
+    q = [int(x) for x in query_ints]
+    score: "Column | None" = None
+    for qi in range(n_sub):
+        dots = []
+        for dj in range(n_sub):
+            acc: "Column | None" = None
+            for t in range(sub):
+                term = elems[dj * sub + t] * F.lit(q[qi * sub + t])
+                acc = term if acc is None else acc + term
+            dots.append(acc)
+        best = F.greatest(*dots) if len(dots) > 1 else dots[0]
+        score = best if score is None else score + best
+    return (
+        emb.select(F.col(id_col), score.alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2142,3 +2142,52 @@ def l4_hamming_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hamming_topk(emb, [float(v) for v in _RANGE_QUERY_INTS], 10)
+
+
+# ---------------------------------------------------------------------------
+# maxSim late-interaction ranking (ES rank_vectors)
+# ---------------------------------------------------------------------------
+
+def _maxsim_oracle() -> str:
+    q = [int(x) for x in _RANGE_QUERY_INTS]
+    n_sub, sub = 8, 8
+    e_cols = ", ".join(
+        f"CAST(floor(embedding[{i + 1}]::DOUBLE * 1000.0 + 0.5) AS BIGINT)"
+        f" AS e{i}"
+        for i in range(64)
+    )
+    parts = []
+    for qi in range(n_sub):
+        dots = []
+        for dj in range(n_sub):
+            terms = " + ".join(
+                f"e{dj * sub + t} * ({q[qi * sub + t]})" for t in range(sub)
+            )
+            dots.append(f"({terms})")
+        parts.append("greatest(" + ", ".join(dots) + ")")
+    score = " + ".join(parts)
+    return f"""
+    WITH e AS (SELECT vec_id, {e_cols} FROM embeddings)
+    SELECT vec_id, ({score})::BIGINT AS maxsim
+    FROM e
+    ORDER BY maxsim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("l4_maxsim_topk", _maxsim_oracle())
+def l4_maxsim_topk(spark, sf_dir):
+    """L4 [ES parity]: late-interaction maxSim ranking (ES 8.x
+    ``rank_vectors`` maxSimDotProduct; ColBERT's scoring rule) — each
+    document is a SET of sub-vectors (the 64-dim fixture vector
+    reshaped 8x8; a real corpus stores token vectors) and score =
+    sum over query sub-vectors of the max dot against the doc's set.
+    Components quantize to a 1e3 integer grid so every dot/max/sum is
+    BIGINT — the page replays in SQL; the score is ONE explicit
+    Python-built expression tree in the scan (no interpreted HOF
+    lambdas — the PQ codegen lesson), closed by TakeOrdered
+    (operators/similarity.py maxsim_topk)."""
+    from bigdatasearchpro_spark.operators.similarity import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return maxsim_topk(emb, _RANGE_QUERY_INTS, 10)

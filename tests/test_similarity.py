@@ -692,3 +692,27 @@ def test_hamming_topk_semantics(spark):
 
     with pt.raises(ValueError, match="64-dim"):
         hamming_topk(emb, [1.0] * 10, 3)
+
+
+def test_maxsim_late_interaction(spark):
+    from bigdatasearchpro_spark.operators.similarity import maxsim_topk
+
+    # doc 1's sub-vector 3 aligns perfectly with query sub-vector 0;
+    # maxSim must pick the best doc sub-vector PER query sub-vector
+    q = [0] * 64
+    q[0:8] = [1000] * 8
+    d1 = [0.0] * 64
+    d1[24:32] = [1.0] * 8   # sub-vector 3 matches q sub 0
+    d2 = [0.0] * 64
+    d2[0:8] = [0.5] * 8     # sub-vector 0, weaker alignment
+    emb = spark.createDataFrame(
+        [(1, d1), (2, d2)], "vec_id long, embedding array<float>"
+    )
+    rows = {r.vec_id: r.maxsim for r in maxsim_topk(emb, q, 2).collect()}
+    # d1: max dot = 8 * 1000 * 1000 = 8_000_000 (position-independent);
+    # d2: 8 * 500 * 1000 = 4_000_000
+    assert rows == {1: 8_000_000, 2: 4_000_000}
+    import pytest as pt
+
+    with pt.raises(ValueError, match="divide"):
+        maxsim_topk(emb, q, 2, n_sub=7)

@@ -191,6 +191,7 @@ _R7_DEFER_TO_R8 = (
     "s33_ilm_lifecycle",
     "l4_hamming_topk",
     "l4_maxsim_topk",
+    "l3_geo_shape_envelope",
 )
 
 

@@ -514,3 +514,36 @@ def geo_line_agg(
         .filter(F.col("seq") <= size)
         .select(group_col, "seq", lat_col, lon_col)
     )
+
+
+def envelope_relation(
+    minlat: Column, maxlat: Column, minlon: Column, maxlon: Column,
+    query_env: "tuple[float, float, float, float]",
+    relation: str = "intersects",
+) -> Column:
+    """ES ``geo_shape`` query for ENVELOPE geometries: the three
+    public spatial relations between a stored box and the query box
+    (``intersects`` default, ``within`` = stored inside query,
+    ``contains`` = stored contains query).  Axis-aligned boxes make
+    every relation four comparisons — pure scan-pushable column math
+    on the same coordinate grid the geo ring already uses (disjoint
+    is intersects' negation, the standard interval-overlap test).
+
+    ``query_env`` = (minlat, maxlat, minlon, maxlon)."""
+    qminlat, qmaxlat, qminlon, qmaxlon = (float(v) for v in query_env)
+    if relation == "intersects":
+        return (
+            (minlat <= F.lit(qmaxlat)) & (maxlat >= F.lit(qminlat))
+            & (minlon <= F.lit(qmaxlon)) & (maxlon >= F.lit(qminlon))
+        )
+    if relation == "within":
+        return (
+            (minlat >= F.lit(qminlat)) & (maxlat <= F.lit(qmaxlat))
+            & (minlon >= F.lit(qminlon)) & (maxlon <= F.lit(qmaxlon))
+        )
+    if relation == "contains":
+        return (
+            (minlat <= F.lit(qminlat)) & (maxlat >= F.lit(qmaxlat))
+            & (minlon <= F.lit(qminlon)) & (maxlon >= F.lit(qmaxlon))
+        )
+    raise ValueError(f"unsupported geo_shape relation {relation!r}")

@@ -2191,3 +2191,70 @@ def l4_maxsim_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return maxsim_topk(emb, _RANGE_QUERY_INTS, 10)
+
+
+# ---------------------------------------------------------------------------
+# geo_shape envelope relations
+# ---------------------------------------------------------------------------
+
+# per-customer envelope: a 0.5-degree box around the derived grid point
+_ENV_SQL = """
+      SELECT c_custkey,
+             (((c_custkey * 7919) % 17000) / 100.0 - 85.0) AS minlat,
+             (((c_custkey * 7919) % 17000) / 100.0 - 84.5) AS maxlat,
+             (((c_custkey * 104729) % 36000) / 100.0 - 180.0) AS minlon,
+             (((c_custkey * 104729) % 36000) / 100.0 - 179.5) AS maxlon
+      FROM customer
+"""
+
+@register(
+    "l3_geo_shape_envelope",
+    f"""
+    WITH e AS ({_ENV_SQL})
+    SELECT c_custkey,
+           (minlat <= 20.0 AND maxlat >= 0.0
+            AND minlon <= 40.0 AND maxlon >= 10.0) AS intersects,
+           (minlat >= 0.0 AND maxlat <= 20.0
+            AND minlon >= 10.0 AND maxlon <= 40.0) AS within
+    FROM e
+    WHERE (minlat <= 20.0 AND maxlat >= 0.0
+           AND minlon <= 40.0 AND maxlon >= 10.0)
+    ORDER BY c_custkey
+    """,
+)
+def l3_geo_shape_envelope(spark, sf_dir):
+    """L3 [ES parity]: ``geo_shape`` query over ENVELOPE geometries —
+    stored per-customer boxes (0.5-degree, derived on the geo ring's
+    exact grid) tested against a query box with the public relations:
+    the entry returns the INTERSECTS set with each hit's WITHIN flag
+    (contains is the mirrored form, unit-tested).  Axis-aligned boxes
+    make every relation four scan-pushable comparisons
+    (operators/geo.py envelope_relation)."""
+    from bigdatasearchpro_spark.operators.geo import envelope_relation
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * F.lit(7919)) % F.lit(17000)) / F.lit(100.0)
+    lon = ((F.col("c_custkey") * F.lit(104729)) % F.lit(36000)) / F.lit(100.0)
+    env = cust.select(
+        "c_custkey",
+        (lat - F.lit(85.0)).alias("minlat"),
+        (lat - F.lit(84.5)).alias("maxlat"),
+        (lon - F.lit(180.0)).alias("minlon"),
+        (lon - F.lit(179.5)).alias("maxlon"),
+    )
+    q = (0.0, 20.0, 10.0, 40.0)
+    inter = envelope_relation(
+        F.col("minlat"), F.col("maxlat"), F.col("minlon"), F.col("maxlon"),
+        q, "intersects",
+    )
+    within = envelope_relation(
+        F.col("minlat"), F.col("maxlat"), F.col("minlon"), F.col("maxlon"),
+        q, "within",
+    )
+    return (
+        env.select(
+            "c_custkey", inter.alias("intersects"), within.alias("within")
+        )
+        .filter("intersects")
+        .orderBy("c_custkey")
+    )

@@ -328,3 +328,44 @@ def test_geo_line_per_entity_tracks(spark):
     ]
     with pytest.raises(ValueError):
         geo.geo_line_agg(df, "lat", "lon", group_col="u", sort_col="t", size=0)
+
+
+def test_envelope_relations(spark):
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators.geo import envelope_relation
+
+    # boxes: inside / overlapping / containing / disjoint vs q=(0,10,0,10)
+    rows = [
+        (1, 2.0, 8.0, 2.0, 8.0),      # within (and intersects)
+        (2, 5.0, 15.0, 5.0, 15.0),    # overlaps only
+        (3, -5.0, 15.0, -5.0, 15.0),  # contains the query
+        (4, 20.0, 30.0, 20.0, 30.0),  # disjoint
+        (5, 10.0, 20.0, 0.0, 10.0),   # touches the edge: intersects
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, minlat double, maxlat double, "
+              "minlon double, maxlon double"
+    )
+    q = (0.0, 10.0, 0.0, 10.0)
+    cols = [F.col(c) for c in ("minlat", "maxlat", "minlon", "maxlon")]
+    got = {
+        r.id: (r.i, r.w, r.c)
+        for r in df.select(
+            "id",
+            envelope_relation(*cols, q, "intersects").alias("i"),
+            envelope_relation(*cols, q, "within").alias("w"),
+            envelope_relation(*cols, q, "contains").alias("c"),
+        ).collect()
+    }
+    assert got == {
+        1: (True, True, False),
+        2: (True, False, False),
+        3: (True, False, True),
+        4: (False, False, False),
+        5: (True, False, False),
+    }
+    import pytest as pt
+
+    with pt.raises(ValueError, match="relation"):
+        envelope_relation(*cols, q, "crosses")

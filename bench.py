@@ -131,6 +131,12 @@ BENCH_QUERIES = [
     "l5_pipeline_curation_v5",
     "l4_linear_retriever",
     "l5_ccnet_buckets",
+    # round-7 sixth pass: EQL chain joins, Apriori item sets, maxSim
+    # expression tree, ExactSubstr-composing entries
+    "l3_eql_sequence",
+    "l3_agg_frequent_item_sets",
+    "l4_maxsim_topk",
+    "l4_hamming_topk",
 ]
 
 

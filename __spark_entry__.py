@@ -192,6 +192,7 @@ _R7_DEFER_TO_R8 = (
     "l4_hamming_topk",
     "l4_maxsim_topk",
     "l3_geo_shape_envelope",
+    "l3_collapse_inner_hits",
 )
 
 

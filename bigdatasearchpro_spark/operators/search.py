@@ -1522,11 +1522,18 @@ def collapse_topk(
     b: float = 0.75,
     round_to: int = 4,
     analyzer: str = "standard",
+    inner_hits: int = 0,
 ) -> DataFrame:
     """ES ``collapse``: the result page carries at most ONE hit per
     ``collapse_field`` value — the best-scoring representative (the
     dedupe-by-source/-domain result shape). Ranking: per-field winner
     by (score desc, id asc), then global top-k of winners.
+
+    ``inner_hits > 0`` is ES's ``collapse.inner_hits``: each
+    collapsed group also carries its own top-``inner_hits`` page
+    (winner included) as rank-ordered ``inner_ids`` / ``inner_scores``
+    arrays — the "show me the other hits from this domain" expansion,
+    computed in the SAME per-key window (no second search).
 
     Single-scan like :func:`search_topk`: the collapse field rides the
     per-doc projection; the winner window partitions by the collapse
@@ -1593,14 +1600,39 @@ def collapse_topk(
         w = Window.partitionBy(collapse_field).orderBy(
             F.desc("score"), F.asc(id_col)
         )
-        winners = scored.withColumn("__r", F.row_number().over(w)).filter(
-            F.col("__r") == 1
-        )
-        topk = (
-            winners.select(id_col, collapse_field, "score")
-            .orderBy(F.desc("score"), F.asc(id_col))
-            .limit(k)
-        )
+        ranked = scored.withColumn("__r", F.row_number().over(w))
+        if inner_hits > 0:
+            kept = ranked.filter(F.col("__r") <= inner_hits)
+            hit = F.struct(
+                F.col("__r"), F.col(id_col).alias("i"),
+                F.col("score").alias("s"),
+            )
+            grouped = kept.groupBy(collapse_field).agg(
+                F.min(hit).alias("__w"),
+                F.array_sort(F.collect_list(hit)).alias("__h"),
+            )
+            topk = (
+                grouped.select(
+                    F.col("__w.i").alias(id_col),
+                    collapse_field,
+                    F.col("__w.s").alias("score"),
+                    F.transform(F.col("__h"), lambda x: x["i"]).alias(
+                        "inner_ids"
+                    ),
+                    F.transform(F.col("__h"), lambda x: x["s"]).alias(
+                        "inner_scores"
+                    ),
+                )
+                .orderBy(F.desc("score"), F.asc(id_col))
+                .limit(k)
+            )
+        else:
+            winners = ranked.filter(F.col("__r") == 1)
+            topk = (
+                winners.select(id_col, collapse_field, "score")
+                .orderBy(F.desc("score"), F.asc(id_col))
+                .limit(k)
+            )
         rows, schema = topk.collect(), topk.schema
     finally:
         per_doc.unpersist()

@@ -2258,3 +2258,102 @@ def l3_geo_shape_envelope(spark, sf_dir):
         .filter("intersects")
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# collapse with inner_hits
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.registry_text import (  # noqa: E402
+    SEARCH_QUERY as _SEARCH_QUERY,
+    _TERMS_SQL as _SEARCH_TERMS_SQL,
+    _TOKS_CTE as _SEARCH_TOKS_CTE,
+)
+
+@register(
+    "l3_collapse_inner_hits",
+    f"""
+    WITH {_SEARCH_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_SEARCH_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) AS score
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.source, s.score,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY s.score DESC, s.doc_id ASC) AS r
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    kept AS (SELECT * FROM ranked WHERE r <= 2),
+    winners AS (
+      SELECT source, arg_min(doc_id, r) AS winner_id,
+             arg_min(score, r) AS winner_score
+      FROM kept GROUP BY source
+    ),
+    page AS (
+      SELECT * FROM winners
+      ORDER BY winner_score DESC, winner_id ASC
+      LIMIT 10
+    )
+    SELECT p.source, p.winner_id, p.winner_score,
+           k.r, k.doc_id AS inner_id, k.score AS inner_score
+    FROM page p JOIN kept k ON p.source = k.source
+    ORDER BY p.winner_score DESC, p.winner_id ASC, k.r ASC
+    """,
+)
+def l3_collapse_inner_hits(spark, sf_dir):
+    """L3 [ES parity]: ``collapse`` with ``inner_hits`` — each
+    collapsed per-source group carries its own top-2 page (winner
+    included) as rank-ordered arrays, the "other hits from this
+    domain" expansion, computed inside the SAME per-key window (no
+    second search; search.collapse_topk inner_hits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = search.collapse_topk(
+        docs, _SEARCH_QUERY, "source", 10, inner_hits=2
+    )
+    # the driver canonicalizer hashes scalar cells: unnest the inner
+    # page to one row per (group, rank)
+    inner = F.transform(
+        F.arrays_zip("inner_ids", "inner_scores"),
+        lambda x: F.struct(
+            x["inner_ids"].alias("i"), x["inner_scores"].alias("s")
+        ),
+    )
+    return (
+        page.select(
+            "source",
+            F.col("doc_id").alias("winner_id"),
+            F.col("score").alias("winner_score"),
+            F.posexplode(inner).alias("r0", "h"),
+        )
+        .select(
+            "source", "winner_id", "winner_score",
+            (F.col("r0") + 1).cast("bigint").alias("r"),
+            F.col("h.i").alias("inner_id"),
+            F.col("h.s").alias("inner_score"),
+        )
+        .orderBy(F.desc("winner_score"), F.asc("winner_id"), F.asc("r"))
+    )

@@ -839,3 +839,24 @@ def test_completion_context_slices_weights(spark):
         completion_suggester_context(df, " ", {"lang": "en"})
     with pt.raises(ValueError, match="without contexts"):
         completion_suggester_context(df, "st", {})
+
+
+def test_collapse_inner_hits_groups(spark):
+    from bigdatasearchpro_spark.operators.search import collapse_topk
+
+    rows = [
+        (1, "spark spark spark", "a"),   # a's best
+        (2, "spark spark", "a"),         # a's second
+        (3, "spark", "a"),               # a's third (beyond inner 2)
+        (4, "spark spark", "b"),
+        (5, "nothing here", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           collapse_topk(df, "spark", "source", 10, inner_hits=2).collect()}
+    assert out["a"].doc_id == 1 and out["a"].inner_ids == [1, 2]
+    assert out["a"].inner_scores[0] >= out["a"].inner_scores[1]
+    assert out["b"].doc_id == 4 and out["b"].inner_ids == [4]
+    # default path (inner_hits=0) is unchanged: winner rows only
+    plain = collapse_topk(df, "spark", "source", 10)
+    assert set(plain.columns) == {"doc_id", "source", "score"}

@@ -193,6 +193,7 @@ _R7_DEFER_TO_R8 = (
     "l4_maxsim_topk",
     "l3_geo_shape_envelope",
     "l3_collapse_inner_hits",
+    "l3_graph_explore",
 )
 
 

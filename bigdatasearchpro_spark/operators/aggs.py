@@ -1398,3 +1398,71 @@ def categorize_text_agg(
         .orderBy(F.desc("doc_count"), F.asc("category"))
         .limit(size)
     )
+
+
+def graph_explore(
+    docs: DataFrame,
+    seed_term: str,
+    *,
+    hops: int = 2,
+    top_per_hop: int = 3,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """ES Graph explore (``_graph/explore``): starting from a seed
+    term, expand the vertices most SIGNIFICANTLY connected to it (JLH
+    against the whole index — the same relevance-not-popularity rule
+    the Graph API uses to avoid super-connector terms), then expand
+    each discovered vertex in turn, ``hops`` deep with
+    ``top_per_hop`` vertices per expansion.
+
+    Plan: per expansion ONE :func:`significant_terms_agg` (two term
+    hash aggs + a term join); the frontier between hops is a
+    ``hops x top_per_hop``-row driver list (the ES server walks the
+    same bounded frontier).  Vertex dedup is against PRIOR hops (seed
+    included): expansions within one hop are INDEPENDENT, so the whole
+    walk is order-free and a SQL oracle replays it exactly (ES
+    additionally dedups within a hop, which depends on its internal
+    expansion order — documented variant).
+
+    Output: ``(hop, source, term, doc_count, score)`` edges, ordered
+    by (hop, source, score desc, term).
+    """
+    from bigdatasearchpro_spark.operators.search import keyword_match
+
+    seen = {seed_term}
+    frontier = [seed_term]
+    edges: "list[tuple[int, str, str, int, float]]" = []
+    for hop in range(1, hops + 1):
+        prior = set(seen)  # dedup against PRIOR hops only (order-free)
+        next_frontier: "list[str]" = []
+        for src in frontier:
+            fg = keyword_match(docs, src, mode="any", id_col=id_col,
+                               text_col=text_col)
+            sig = significant_terms_agg(
+                fg, docs, text_col=text_col, id_col=id_col,
+                size=top_per_hop + len(prior), min_doc_count=min_doc_count,
+                round_to=round_to,
+            ).collect()
+            picked = 0
+            for r in sig:
+                if r["key"] in prior or picked >= top_per_hop:
+                    continue
+                picked += 1
+                seen.add(r["key"])
+                edges.append(
+                    (hop, src, r["key"], int(r["doc_count"]),
+                     float(r["score"]))
+                )
+                next_frontier.append(r["key"])
+        frontier = sorted(set(next_frontier))
+        if not frontier:
+            break
+    spark = docs.sparkSession
+    out = spark.createDataFrame(
+        edges, "hop int, source string, term string, doc_count bigint, "
+               "score double",
+    )
+    return out.orderBy("hop", "source", F.desc("score"), "term")

@@ -2357,3 +2357,85 @@ def l3_collapse_inner_hits(spark, sf_dir):
         )
         .orderBy(F.desc("winner_score"), F.asc("winner_id"), F.asc("r"))
     )
+
+
+# ---------------------------------------------------------------------------
+# graph explore (significance-driven term-graph expansion)
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_graph_explore",
+    """
+    WITH inc AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+          AS term
+      FROM documents
+    ),
+    bg AS (SELECT term, count(*) AS bg_count FROM inc GROUP BY term),
+    nbg AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    seeddocs AS (SELECT DISTINCT doc_id FROM inc WHERE term = 'spark'),
+    nfg1 AS (SELECT count(*)::DOUBLE AS n FROM seeddocs),
+    fg1 AS (SELECT term, count(*) AS doc_count FROM inc
+            WHERE doc_id IN (SELECT doc_id FROM seeddocs) GROUP BY term),
+    h1 AS (
+      SELECT 1 AS hop, 'spark' AS source, fg1.term, fg1.doc_count,
+             round((fg1.doc_count / nfg1.n - bg.bg_count / nbg.n)
+                   * ((fg1.doc_count / nfg1.n) / (bg.bg_count / nbg.n)),
+                   6) AS score
+      FROM fg1 JOIN bg USING (term) CROSS JOIN nfg1 CROSS JOIN nbg
+      WHERE fg1.doc_count >= 3 AND fg1.term <> 'spark'
+    ),
+    h1top AS (
+      SELECT * FROM h1 WHERE score > 0
+      ORDER BY score DESC, term ASC LIMIT 3
+    ),
+    v2docs AS (
+      SELECT h.term AS source, i.doc_id
+      FROM h1top h JOIN inc i ON i.term = h.term
+    ),
+    nfg2 AS (SELECT source, count(*)::DOUBLE AS n
+             FROM v2docs GROUP BY source),
+    fg2 AS (SELECT v.source, i.term, count(*) AS doc_count
+            FROM v2docs v JOIN inc i ON v.doc_id = i.doc_id
+            GROUP BY v.source, i.term),
+    h2 AS (
+      SELECT 2 AS hop, fg2.source, fg2.term, fg2.doc_count,
+             round((fg2.doc_count / nfg2.n - bg.bg_count / nbg.n)
+                   * ((fg2.doc_count / nfg2.n) / (bg.bg_count / nbg.n)),
+                   6) AS score
+      FROM fg2 JOIN bg USING (term)
+      JOIN nfg2 ON fg2.source = nfg2.source CROSS JOIN nbg
+      WHERE fg2.doc_count >= 3
+    ),
+    h2top AS (
+      SELECT hop, source, term, doc_count, score FROM (
+        SELECT h2.*, row_number() OVER (
+            PARTITION BY source ORDER BY score DESC, term ASC) AS rn
+        FROM h2
+        WHERE score > 0 AND term <> 'spark'
+          AND term NOT IN (SELECT term FROM h1top)
+      ) WHERE rn <= 3
+    )
+    SELECT hop, source, term, doc_count::BIGINT AS doc_count, score
+    FROM (SELECT hop, source, term, doc_count, score FROM h1top
+          UNION ALL
+          SELECT hop, source, term, doc_count, score FROM h2top)
+    ORDER BY hop, source, score DESC, term
+    """,
+)
+def l3_graph_explore(spark, sf_dir):
+    """L3 [ES parity]: Graph explore (``_graph/explore``) — from the
+    seed term `spark`, expand the 3 most SIGNIFICANTLY connected
+    vertices (JLH vs the whole index, the Graph API's
+    relevance-not-popularity rule), then expand each of those 3 one
+    hop further; vertex dedup is against PRIOR hops so within-hop
+    expansions are independent and the whole walk replays in SQL.
+    Per expansion: one significant_terms pass; the frontier between
+    hops is a 3-row driver list (operators/aggs.py graph_explore)."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.graph_explore(
+        docs, "spark", hops=2, top_per_hop=3, min_doc_count=3
+    )

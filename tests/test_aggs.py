@@ -768,3 +768,26 @@ def test_children_agg_matches_manual_join(spark, sf_dir):
         .collect()
     }
     assert got == manual
+
+
+def test_graph_explore_walk(spark):
+    from bigdatasearchpro_spark.operators.aggs import graph_explore
+
+    # seed 'alpha' connects strongly to 'beta'; 'beta' to 'gamma';
+    # 'noise' is background everywhere so never significant
+    rows = (
+        [(i, "alpha beta noise") for i in range(6)]
+        + [(10 + i, "beta gamma noise") for i in range(6)]
+        + [(20 + i, "noise filler words here") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = [(r.hop, r.source, r.term) for r in
+             graph_explore(df, "alpha", hops=2, top_per_hop=2,
+                           min_doc_count=2).collect()]
+    assert (1, "alpha", "beta") in edges
+    # hop 2 reaches gamma THROUGH beta, and never re-reports a prior
+    # vertex (alpha/beta excluded from hop-2 expansions)
+    assert (2, "beta", "gamma") in edges
+    assert not any(t in ("alpha",) for _, _, t in edges)
+    hops = {h for h, _, _ in edges}
+    assert hops <= {1, 2}

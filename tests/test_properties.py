@@ -592,3 +592,99 @@ def test_gopher_rules_match_python_twin(spark, texts):
         assert r["r_symbol"] == (100 * n_sym <= 10 * n)
         assert r["r_alpha"] == (100 * n_alpha >= 80 * n)
         assert r["r_stopwords"] == (stops >= 2)
+
+
+def test_simple_query_string_never_throws_property(spark):
+    """The ES lenient contract as a property: ANY byte soup parses to
+    SOME query — no exception, ever."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatasearchpro_spark.operators.querystring import (
+        parse_simple_query_string,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=st.sampled_from(list('ab c"()|+-*~1\t')), max_size=40))
+    def check(q):
+        for op in ("or", "and"):
+            node = parse_simple_query_string(q, default_operator=op)
+            assert node is not None
+
+    check()
+
+
+def test_substring_dedup_is_idempotent_property(spark):
+    """After ExactSubstr dedup, a second pass finds nothing: every
+    duplicated k-window was removed the first time."""
+    import random
+
+    from bigdatasearchpro_spark.operators.curation import substring_dedup
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = substring_dedup(df, window_tokens=5, min_count=2)
+    again = substring_dedup(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        window_tokens=5, min_count=2,
+    ).collect()
+    assert all(r.n_removed == 0 for r in again)
+
+
+def test_eql_head_matching_vs_python_twin(spark):
+    """EQL sequence results equal a brute-force sequential matcher on
+    random event streams (head matching: earliest qualifying
+    extension, id tie-break)."""
+    import datetime as dt
+    import random
+
+    from bigdatasearchpro_spark.operators.eql import eql_sequence
+
+    rng = random.Random(5)
+    types = ["a", "b", "c"]
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = dt.datetime(2024, 1, 1)
+        for _ in range(rng.randrange(3, 15)):
+            t = t + dt.timedelta(minutes=rng.randrange(1, 30))
+            rows.append((eid, t, user, rng.choice(types)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    within = 3600
+    got = sorted(
+        (r.user_id, r.id_1, r.id_2)
+        for r in eql_sequence(
+            df, [{"event_type": "a"}, {"event_type": "b"}],
+            by="user_id", within_seconds=within,
+        ).collect()
+    )
+
+    def twin():
+        out = []
+        by_user = {}
+        for e in rows:
+            by_user.setdefault(e[2], []).append(e)
+        for user, evs in by_user.items():
+            evs.sort(key=lambda e: (e[1], e[0]))
+            for e1 in evs:
+                if e1[3] != "a":
+                    continue
+                cand = [
+                    e2 for e2 in evs
+                    if e2[3] == "b" and e2[1] > e1[1]
+                    and (e2[1] - e1[1]).total_seconds() <= within
+                ]
+                if cand:
+                    best = min(cand, key=lambda e: (e[1], e[0]))
+                    out.append((user, e1[0], best[0]))
+        return sorted(out)
+
+    assert got == twin()

@@ -203,6 +203,8 @@ _R7_DEFER_TO_R8 = (
     "l3_geo_shape_envelope",
     "l3_collapse_inner_hits",
     "l3_graph_explore",
+    "l3_agg_rate",
+    "l3_agg_random_sampler",
 )
 
 

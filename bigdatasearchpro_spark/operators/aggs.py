@@ -1466,3 +1466,75 @@ def graph_explore(
                "score double",
     )
     return out.orderBy("hop", "source", F.desc("score"), "term")
+
+
+def rate_agg(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    bucket_interval: str = "day",
+    unit_seconds: int = 3600,
+    metrics: "Mapping[str, Column] | None" = None,
+) -> DataFrame:
+    """ES ``rate`` aggregation (7.6+): inside each date_histogram
+    bucket, the doc count normalized to a rate per ``unit_seconds``
+    (docs/hour inside day buckets, etc.) — calendar-aware: the divisor
+    is each bucket's OWN span (month buckets divide by their real day
+    counts).  Same single hash agg as the histogram; the rate is one
+    exact integer division per bucket row.
+
+    Output: ``(key, doc_count, rate)``."""
+    if bucket_interval not in _CAL:
+        raise ValueError(f"unsupported calendar interval: {bucket_interval!r}")
+    unit, step = _CAL[bucket_interval]
+    grouped = (
+        df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("key"))
+        .agg(F.count("*").alias("doc_count"), *_metric_cols(metrics))
+    )
+    span = (
+        F.to_unix_timestamp(F.col("key") + F.expr(step))
+        - F.to_unix_timestamp(F.col("key"))
+    )
+    rate = (
+        F.col("doc_count").cast("double")
+        * F.lit(float(unit_seconds))
+        / span.cast("double")
+    )
+    return grouped.select(
+        "key", "doc_count", rate.alias("rate"),
+        *[F.col(n) for n in (metrics or {})],
+    ).orderBy("key")
+
+
+def random_sampler_agg(
+    df: DataFrame,
+    probability_pct: int,
+    aggs: "Mapping[str, Column]",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation (8.2+): sub-aggregations over
+    a probability-sampled subset, results SCALED back by 1/p — the
+    way ES makes huge-corpus aggs cheap at a quantified accuracy
+    trade.  The sample here is the deterministic portable-hash family
+    (md5 bucket < pct — reprocessing-stable and engine-replayable,
+    unlike ES's per-shard RNG), so the entry is exact-verifiable while
+    keeping the real semantics: estimates = sampled value / p.
+
+    ``aggs`` values must be LINEAR aggregates (count/sum) for the 1/p
+    scaling to be an estimator.  Output: one row — the scaled
+    estimates plus ``sample_docs``."""
+    if not 1 <= probability_pct <= 100:
+        raise ValueError("probability_pct must be in 1..100")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    )
+    sampled = df.filter(bucket < F.lit(probability_pct))
+    scale = F.lit(100.0) / F.lit(float(probability_pct))
+    return sampled.agg(
+        F.count("*").alias("sample_docs"),
+        *[(c * scale).alias(n) for n, c in aggs.items()],
+    )

@@ -2439,3 +2439,65 @@ def l3_graph_explore(spark, sf_dir):
     return aggs.graph_explore(
         docs, "spark", hops=2, top_per_hop=3, min_doc_count=3
     )
+
+
+# ---------------------------------------------------------------------------
+# rate + random_sampler aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "l3_agg_rate",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS key,
+           count(*)::BIGINT AS doc_count,
+           count(*)::DOUBLE * 3600.0 / 86400.0 AS rate
+    FROM events
+    GROUP BY key
+    ORDER BY key
+    """,
+)
+def l3_agg_rate(spark, sf_dir):
+    """L3 [ES parity]: ``rate`` aggregation — per-day buckets with the
+    doc count normalized to an hourly rate, divisor = each bucket's
+    OWN calendar span (month buckets would divide by their real
+    length).  One hash agg + one exact division per bucket row
+    (operators/aggs.py rate_agg)."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = aggs.rate_agg(ev, "ts", bucket_interval="day",
+                        unit_seconds=3600)
+    return out.select(
+        F.col("key").cast("timestamp").alias("key"), "doc_count", "rate"
+    )
+
+
+@register(
+    "l3_agg_random_sampler",
+    """
+    WITH s AS (
+      SELECT * FROM documents
+      WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+            % 100 < 25
+    )
+    SELECT count(*)::BIGINT AS sample_docs,
+           count(*)::DOUBLE * (100.0 / 25.0) AS est_docs,
+           sum(n_chars)::DOUBLE * (100.0 / 25.0) AS est_chars
+    FROM s
+    """,
+)
+def l3_agg_random_sampler(spark, sf_dir):
+    """L3 [ES parity]: ``random_sampler`` aggregation — linear
+    sub-aggs over a 25% sample scaled by 1/p (the huge-corpus
+    cheap-agg trade).  The sample is the portable md5-hash family
+    (deterministic + engine-replayable where ES uses per-shard RNG),
+    so the estimator itself is hash-verified
+    (operators/aggs.py random_sampler_agg)."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return aggs.random_sampler_agg(
+        docs, 25,
+        {"est_docs": F.count(F.lit(1)).cast("double"),
+         "est_chars": F.sum("n_chars").cast("double")},
+    )

@@ -791,3 +791,46 @@ def test_graph_explore_walk(spark):
     assert not any(t in ("alpha",) for _, _, t in edges)
     hops = {h for h, _, _ in edges}
     assert hops <= {1, 2}
+
+
+def test_rate_agg_calendar_span(spark):
+    import datetime as dt
+
+    from bigdatasearchpro_spark.operators.aggs import rate_agg
+
+    # 48 events in one day + 31 in one MONTH bucket: divisors differ
+    rows = [(dt.datetime(2024, 1, 1, h % 24, 0, 0),) for h in range(48)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    day = rate_agg(df, "ts", bucket_interval="day",
+                   unit_seconds=3600).first()
+    assert day.doc_count == 48 and day.rate == 2.0  # 48 / 24h
+
+    feb = [(dt.datetime(2024, 2, d % 28 + 1, 0, 0, 0),) for d in range(29)]
+    m = rate_agg(spark.createDataFrame(feb, "ts timestamp"), "ts",
+                 bucket_interval="month", unit_seconds=86400).first()
+    # leap February 2024: 29 days in the bucket
+    assert m.doc_count == 29 and m.rate == 1.0
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        rate_agg(df, "ts", bucket_interval="fortnight")
+
+
+def test_random_sampler_deterministic_estimates(spark, docs):
+    from bigdatasearchpro_spark.operators.aggs import random_sampler_agg
+
+    r1 = random_sampler_agg(
+        docs, 25, {"est": F.count(F.lit(1)).cast("double")}).first()
+    r2 = random_sampler_agg(
+        docs, 25, {"est": F.count(F.lit(1)).cast("double")}).first()
+    assert (r1.sample_docs, r1.est) == (r2.sample_docs, r2.est)
+    n = docs.count()
+    # the scaled estimate is in the right ballpark of the true count
+    assert 0.5 * n <= r1.est <= 1.5 * n
+    full = random_sampler_agg(
+        docs, 100, {"est": F.count(F.lit(1)).cast("double")}).first()
+    assert full.sample_docs == n and full.est == float(n)
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        random_sampler_agg(docs, 0, {"est": F.count(F.lit(1))})

@@ -1692,3 +1692,26 @@ def apply_ilm(spark: SparkSession, alias: str, policy: str) -> dict:
         delete_index(spark, old)
         deleted.append(old)
     return {**res, "deleted": deleted, "kept": gens[len(deleted):]}
+
+
+def terms_enum(spark: SparkSession, index_name: str, field: str,
+               string: str = "", *, size: int = 10) -> "list[str]":
+    """ES ``_terms_enum`` (7.14+): fast sorted term autocomplete for a
+    field — the DISTINCT values of ``field`` starting with ``string``
+    (case-insensitive, like the ES default), first ``size`` in sorted
+    order.  One distinct hash agg + a TakeOrdered page; the prefix
+    predicate pushes into the scan."""
+    from pyspark.sql import functions as F
+
+    docs = resolve_index(spark, index_name)
+    if field not in docs.columns:
+        raise ValueError(f"unknown field {field!r}")
+    col = F.col(field).cast("string")
+    out = (
+        docs.filter(F.lower(col).startswith(string.lower()))
+        .select(col.alias("term"))
+        .distinct()
+        .orderBy("term")
+        .limit(size)
+    )
+    return [r.term for r in out.collect()]

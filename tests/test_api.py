@@ -1094,3 +1094,22 @@ def test_ilm_policy_guards(spark):
     assert api.get_ilm_policy(spark, "p-tmp")["keep_generations"] == 2
     assert api.delete_ilm_policy(spark, "p-tmp") is True
     assert api.delete_ilm_policy(spark, "p-tmp") is False
+
+
+def test_terms_enum(spark, docs):
+    import uuid
+
+    import pytest as pt
+
+    idx = f"te_{uuid.uuid4().hex[:6]}"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id")
+    try:
+        langs = api.terms_enum(spark, idx, "lang")
+        assert langs == sorted(langs) and len(langs) <= 10
+        assert api.terms_enum(spark, idx, "lang", "e") == [
+            v for v in langs if v.startswith("e")]
+        assert api.terms_enum(spark, idx, "lang", "zzz") == []
+        with pt.raises(ValueError, match="unknown field"):
+            api.terms_enum(spark, idx, "nope")
+    finally:
+        api.delete_index(spark, idx)

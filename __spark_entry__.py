@@ -205,6 +205,13 @@ _R7_DEFER_TO_R8 = (
     "l3_graph_explore",
     "l3_agg_rate",
     "l3_agg_random_sampler",
+    "s34_terms_enum",
+    "l3_nested_query",
+    "l3_nested_vs_object",
+    "l3_agg_nested_terms",
+    "l3_agg_bucket_sort",
+    "l3_agg_percentiles_bucket",
+    "l3_pinned_query",
 )
 
 

@@ -1538,3 +1538,70 @@ def random_sampler_agg(
         F.count("*").alias("sample_docs"),
         *[(c * scale).alias(n) for n, c in aggs.items()],
     )
+
+
+def bucket_sort_agg(
+    buckets: DataFrame,
+    sort: "Sequence[Column]",
+    *,
+    from_: int = 0,
+    size: "int | None" = None,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline aggregation: reorder the parent
+    aggregation's bucket frame by sibling metrics, then truncate with
+    ``from``/``size`` — the ORDER BY ... LIMIT ... OFFSET of the agg
+    DSL, applied AFTER all sibling pipeline aggs.
+
+    The input is bucket-cardinality (never corpus rows), so the sort
+    is over at most a few thousand rows at any corpus size; with
+    ``size`` it plans as a TakeOrdered-style bounded heap rather than
+    a full exchange-and-sort."""
+    out = buckets.orderBy(*sort)
+    if from_:
+        out = out.offset(from_)
+    if size is not None:
+        out = out.limit(size)
+    return out
+
+
+def percentiles_bucket_agg(
+    buckets: DataFrame,
+    metric: str,
+    percents: "Sequence[int]",
+) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline aggregation:
+    percentiles of a sibling metric ACROSS the parent's buckets.
+
+    Exact nearest-rank (ceil(p/100 * n), 1-indexed) over the sorted
+    bucket metric — deterministic and engine-replayable, where ES
+    serves the same numbers exactly too (the bucket list is sorted in
+    memory, no t-digest).  Ties in ``metric`` are broken by the sorted
+    row order being a TOTAL order (metric, then all remaining columns
+    are irrelevant because equal metric values are interchangeable for
+    a percentile).  The frame is bucket-cardinality, so the single
+    unpartitioned window here is bounded by the parent agg's bucket
+    count, never by corpus rows."""
+    ranked = buckets.select(
+        F.col(metric).alias("value"),
+        F.row_number()
+        .over(Window.orderBy(F.asc(metric)))
+        .alias("__rn"),
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = ranked.withColumn("__n", n)
+    pcts = F.array(*[F.lit(int(p)) for p in percents])
+    want = ranked.select(
+        "value", "__rn", "__n", F.explode(pcts).alias("percent")
+    )
+    # nearest rank = ceil(p*n/100) in pure integer arithmetic:
+    # (p*n + 99) // 100, clamped to >= 1 — no float round-trip.
+    hit = want.filter(
+        F.col("__rn")
+        == F.greatest(
+            F.lit(1),
+            (F.col("percent") * F.col("__n") + F.lit(99)) / F.lit(100),
+        ).cast("long")
+    )
+    return hit.select(
+        "percent", F.col("value").alias(f"{metric}_pct")
+    ).orderBy("percent")

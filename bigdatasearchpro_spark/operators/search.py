@@ -2019,3 +2019,67 @@ def match_bool_prefix_expr(
     for c in clauses[1:]:
         out = (out & c) if operator == "and" else (out | c)
     return out
+
+
+def pinned_query(
+    docs: DataFrame,
+    query: str,
+    pinned_ids: Sequence[int],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    scoring: str = "bm25",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES ``pinned`` query: the given ids rank FIRST, in the order
+    given, ahead of the organic hits of the inner query; organic hits
+    that are themselves pinned are not repeated.  Pinned documents are
+    returned whether or not they match the organic query (ES fetches
+    them by id); ids absent from the index are skipped.
+
+    Result page: (rank, id, pinned, score) — organic hits carry their
+    score, pinned hits carry NULL (ES substitutes a synthetic
+    above-all score there; NULL keeps the column honest and the hash
+    deterministic).
+
+    Plan shape: the organic side is the ordinary single-scan scored
+    top-(k + |pins|) (TakeOrdered heap); the pin list is a literal
+    broadcast of a handful of ids (one semi-join to confirm existence,
+    one anti-join to dedup organics).  The final ordering acts on a
+    page-sized frame (<= k + |pins| rows), never the corpus."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    pins = spark.createDataFrame(
+        [(int(i), p + 1) for p, i in enumerate(pinned_ids)],
+        f"{id_col} long, pin_pos int",
+    )
+    # ES skips pinned ids that don't exist in the index: one
+    # column-pruned pass over the index ids with the pin list
+    # broadcast (the same by-id fetch ES does, as a broadcast join).
+    pins = docs.select(id_col).join(F.broadcast(pins), on=id_col, how="inner")
+    organic = search_topk(
+        docs, query, k + len(pinned_ids), id_col=id_col,
+        scoring=scoring, analyzer=analyzer,
+    )
+    pinned_part = pins.select(
+        id_col, "pin_pos", F.lit(None).cast("double").alias("score")
+    )
+    organic_part = (
+        organic.join(F.broadcast(pins.select(id_col)), on=id_col, how="left_anti")
+        .select(id_col, F.lit(None).cast("int").alias("pin_pos"), "score")
+    )
+    order = (
+        F.asc_nulls_last("pin_pos"),
+        F.desc_nulls_last("score"),
+        F.asc(id_col),
+    )
+    page = (
+        pinned_part.unionByName(organic_part).orderBy(*order).limit(k)
+    )
+    return page.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        id_col,
+        F.col("pin_pos").isNotNull().alias("pinned"),
+        "score",
+    )

@@ -2501,3 +2501,303 @@ def l3_agg_random_sampler(spark, sf_dir):
         {"est_docs": F.count(F.lit(1)).cast("double"),
          "est_chars": F.sum("n_chars").cast("double")},
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 seventh pass: the ES `nested` surface (array-of-struct
+# sub-documents), the remaining pipeline aggs (bucket_sort /
+# percentiles_bucket), and the `pinned` query.
+# ---------------------------------------------------------------------------
+
+from bigdatasearchpro_spark.operators import aggs, nested  # noqa: E402
+
+_NESTED_PRED_SQL = "l_returnflag = 'R' AND l_quantity >= 45"
+
+
+def _nested_docs(spark, sf_dir):
+    """Orders with their lineitems as an ES nested mapping:
+    ``lines: array<struct<l_linenumber, l_returnflag, l_quantity>>``."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return nested.build_nested_docs(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        "o_orderkey",
+        "l_orderkey",
+        ["l_linenumber", "l_returnflag", "l_quantity"],
+        path="lines",
+        order_by=["l_linenumber"],
+    )
+
+
+@register(
+    "l3_nested_query",
+    f"""
+    SELECT l_orderkey AS o_orderkey,
+           sum(CASE WHEN {_NESTED_PRED_SQL} THEN 1 ELSE 0 END)::BIGINT
+             AS n_nested_hits
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CASE WHEN {_NESTED_PRED_SQL} THEN 1 ELSE 0 END) >= 1
+    ORDER BY o_orderkey
+    """,
+)
+def l3_nested_query(spark, sf_dir):
+    """L3 [ES parity]: the ``nested`` query — parents where at least
+    one SUB-OBJECT satisfies the whole inner conjunction (shipmode
+    'R' AND quantity >= 45 within ONE lineitem), the semantics the
+    nested mapping type exists for.  The document side is the real ES
+    shape (``array<struct>`` built once, like ES co-locates nested
+    Lucene docs at index time); the query itself is ``F.filter`` +
+    ``size`` over the array — a narrow codegen expression in the scan,
+    no explode/join/shuffle at any corpus size (operators/nested.py
+    nested_query)."""
+    docs = _nested_docs(spark, sf_dir)
+    out = nested.nested_query(
+        docs,
+        "lines",
+        lambda o: (o.getField("l_returnflag") == "R")
+        & (o.getField("l_quantity") >= 45),
+    )
+    return out.select(
+        "o_orderkey", F.col("n_nested_hits").cast("long").alias("n_nested_hits")
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "l3_nested_vs_object",
+    """
+    SELECT l_orderkey AS o_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+       AND max(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) = 1
+       AND max(CASE WHEN l_returnflag = 'R' AND l_quantity >= 45
+                    THEN 1 ELSE 0 END) = 0
+    ORDER BY o_orderkey
+    """,
+)
+def l3_nested_vs_object(spark, sf_dir):
+    """L3 [ES parity]: the cross-object FALSE-POSITIVE set — parents
+    that match the flat/"object"-mapped dotted-path query (some line
+    has returnflag 'R', some line has quantity >= 45) but NOT the ``nested``
+    query (no single line has both).  This is exactly the match-set
+    difference the nested mapping type removes; both sides are narrow
+    array expressions over the same nested column, one scan
+    (operators/nested.py cross_object_match)."""
+    docs = _nested_docs(spark, sf_dir)
+    mode = lambda o: o.getField("l_returnflag") == "R"  # noqa: E731
+    qty = lambda o: o.getField("l_quantity") >= 45  # noqa: E731
+    cross = nested.cross_object_match(docs, "lines", [mode, qty])
+    n_nested = F.size(F.filter("lines", lambda o: mode(o) & qty(o)))
+    return (
+        docs.filter(cross & (n_nested == 0))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "l3_agg_nested_terms",
+    """
+    SELECT l_returnflag,
+           count(*)::BIGINT AS doc_count,
+           count(DISTINCT l_orderkey)::BIGINT AS parent_count
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def l3_agg_nested_terms(spark, sf_dir):
+    """L3 [ES parity]: ``nested`` aggregation + ``terms`` on a nested
+    field with the ``reverse_nested`` parent re-count per bucket —
+    doc_count counts nested OBJECTS (the nested context), parent_count
+    counts distinct PARENTS (the reverse_nested context).  The explode
+    of ``array<struct>`` is a scan of the child relation it was built
+    from, so the whole agg is one hash aggregate on the bucket key;
+    both counts come out of the same aggregate (operators/nested.py
+    nested_terms_agg)."""
+    docs = _nested_docs(spark, sf_dir)
+    return (
+        nested.nested_terms_agg(docs, "lines", "l_returnflag",
+                                parent_id="o_orderkey")
+        .orderBy("l_returnflag")
+    )
+
+
+_CLICK_HOUR_CTE = """
+b AS (
+  SELECT date_trunc('hour', ts) AS key, count(*) AS doc_count
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+"""
+
+
+def _click_hour_buckets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+@register(
+    "l3_agg_bucket_sort",
+    f"""
+    WITH {_CLICK_HOUR_CTE}
+    SELECT * FROM b
+    ORDER BY doc_count DESC, key ASC
+    LIMIT 5 OFFSET 2
+    """,
+)
+def l3_agg_bucket_sort(spark, sf_dir):
+    """L3 [ES parity]: ``bucket_sort`` pipeline aggregation — the
+    ORDER BY ... LIMIT ... OFFSET of the agg DSL: hourly click buckets
+    re-ranked by doc_count (busiest first, key tiebreak), then
+    truncated with ``from: 2, size: 5``.  Operates on the
+    bucket-cardinality frame only — a bounded sort at any corpus size
+    (operators/aggs.py bucket_sort_agg)."""
+    return aggs.bucket_sort_agg(
+        _click_hour_buckets(spark, sf_dir),
+        [F.desc("doc_count"), F.asc("key")],
+        from_=2,
+        size=5,
+    )
+
+
+@register(
+    "l3_agg_percentiles_bucket",
+    f"""
+    WITH {_CLICK_HOUR_CTE},
+    r AS (
+      SELECT doc_count AS value,
+             row_number() OVER (ORDER BY doc_count ASC) AS rn,
+             count(*) OVER () AS n
+      FROM b
+    ),
+    p AS (SELECT unnest([25, 50, 75, 99]) AS percent)
+    SELECT p.percent, r.value AS doc_count_pct
+    FROM p JOIN r ON r.rn = greatest(1, (p.percent * r.n + 99) // 100)
+    ORDER BY p.percent
+    """,
+)
+def l3_agg_percentiles_bucket(spark, sf_dir):
+    """L3 [ES parity]: ``percentiles_bucket`` sibling pipeline
+    aggregation — percentiles of a sibling metric ACROSS the parent's
+    buckets, exact nearest-rank (ceil(p/100 * n), pure integer
+    arithmetic both engines replay bit-for-bit; ES itself is exact
+    here too — the bucket list is sorted in memory, no t-digest).
+    The single unpartitioned window is bucket-cardinality, never
+    corpus-sized (operators/aggs.py percentiles_bucket_agg)."""
+    return aggs.percentiles_bucket_agg(
+        _click_hour_buckets(spark, sf_dir), "doc_count", [25, 50, 75, 99]
+    )
+
+
+from bigdatasearchpro_spark.registry_text import (  # noqa: E402
+    SEARCH_QUERY as _PIN_QUERY,
+    _TERMS_SQL as _PIN_TERMS_SQL,
+    _TOKS_CTE as _PIN_TOKS_CTE,
+)
+
+# Pin list: two ids that exist at every fixture SF plus one that never
+# does (ES skips missing pinned ids — replayed by the IN-documents
+# filter in the oracle).
+_PIN_IDS = (42, 7, 10**9)
+_PIN_VALUES_SQL = ", ".join(
+    f"({i}, {p + 1})" for p, i in enumerate(_PIN_IDS)
+)
+
+
+@register(
+    "l3_pinned_query",
+    f"""
+    WITH {_PIN_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_PIN_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) AS score
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    pins AS (
+      SELECT * FROM (VALUES {_PIN_VALUES_SQL}) p(doc_id, pin_pos)
+      WHERE doc_id IN (SELECT doc_id FROM documents)
+    ),
+    page AS (
+      SELECT * FROM (
+        SELECT doc_id, pin_pos, CAST(NULL AS DOUBLE) AS score FROM pins
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS INTEGER) AS pin_pos, score
+        FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+      )
+      ORDER BY pin_pos ASC NULLS LAST, score DESC NULLS LAST, doc_id ASC
+      LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY pin_pos ASC NULLS LAST, score DESC NULLS LAST,
+                      doc_id ASC) AS BIGINT) AS rank,
+           doc_id, pin_pos IS NOT NULL AS pinned, score
+    FROM page ORDER BY rank
+    """,
+)
+def l3_pinned_query(spark, sf_dir):
+    """L3 [ES parity]: the ``pinned`` query — curated ids rank first,
+    in the order given, ahead of the organic BM25 hits of the inner
+    query; pinned docs show regardless of organic match, organic
+    duplicates of pinned ids are suppressed, and ids absent from the
+    index are skipped (the 10^9 pin).  The organic side is the
+    ordinary single-scan scored TakeOrdered; the pin list is a literal
+    broadcast; the final ordering touches a page-sized frame only
+    (operators/search.py pinned_query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = search.pinned_query(docs, _PIN_QUERY, list(_PIN_IDS), 10)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("rank")
+
+
+@register(
+    "s34_terms_enum",
+    """
+    SELECT term FROM (
+      SELECT DISTINCT source AS term FROM documents
+      WHERE lower(source) LIKE 'src1%'
+    ) ORDER BY term LIMIT 10
+    """,
+)
+def s34_terms_enum(spark, sf_dir):
+    """S34 [ES parity]: ``POST {index}/_terms_enum`` — sorted distinct
+    values of a keyword field under a case-insensitive prefix, first
+    ``size`` only (the search-box autocomplete endpoint, 7.14+).  One
+    distinct hash agg over a single pruned column with the prefix
+    predicate pushed to the scan, then a 10-row TakeOrdered page
+    (api.terms_enum)."""
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    api.bulk_data_to_index(spark, docs, "te_idx", id_col="doc_id")
+    try:
+        terms = api.terms_enum(spark, "te_idx", "source", "src1")
+    finally:
+        api.delete_index(spark, "te_idx")
+    return spark.createDataFrame([(t,) for t in terms], "term string")

@@ -1,0 +1,177 @@
+"""ES ``nested`` surface: within-one-object query semantics vs the
+cross-object flat match, the nested/reverse_nested aggregation counts,
+and the bucket_sort / percentiles_bucket / pinned additions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasearchpro_spark.operators import aggs, nested, search
+from bigdatasearchpro_spark.sources.files import load_table
+
+
+@pytest.fixture(scope="module")
+def ndocs(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return nested.build_nested_docs(
+        orders.select("o_orderkey"),
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        "o_orderkey",
+        "l_orderkey",
+        ["l_linenumber", "l_returnflag", "l_quantity"],
+        path="lines",
+        order_by=["l_linenumber"],
+    )
+
+
+def test_build_nested_docs_shape_and_determinism(ndocs, spark, sf_dir):
+    # one row per parent; childless parents get an EMPTY array, not NULL
+    orders = load_table(spark, sf_dir, "orders")
+    assert ndocs.count() == orders.count()
+    assert ndocs.filter(F.col("lines").isNull()).count() == 0
+    # total nested objects == child table rows
+    li = load_table(spark, sf_dir, "lineitem")
+    total = ndocs.agg(F.sum(F.size("lines"))).first()[0]
+    assert total == li.count()
+    # array is sorted by l_linenumber => deterministic under shuffle
+    row = (
+        ndocs.filter(F.size("lines") >= 3)
+        .select("lines")
+        .orderBy("o_orderkey")
+        .first()
+    )
+    nums = [o["l_linenumber"] for o in row["lines"]]
+    assert nums == sorted(nums)
+    # struct layout is the declared child_cols order
+    fields = [f.name for f in ndocs.schema["lines"].dataType.elementType]
+    assert fields == ["l_linenumber", "l_returnflag", "l_quantity"]
+
+
+def test_nested_query_within_one_object_only(ndocs, spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = nested.nested_query(
+        ndocs,
+        "lines",
+        lambda o: (o.getField("l_returnflag") == "R")
+        & (o.getField("l_quantity") >= 49),
+    )
+    got = {r["o_orderkey"]: r["n_nested_hits"] for r in out.collect()}
+    exp = {
+        r["l_orderkey"]: r["n"]
+        for r in li.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 49)
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_nested_query_is_shuffle_free_over_built_docs(ndocs):
+    # the query itself adds NO exchange over the materialized docs:
+    # cache the doc side, then assert the filter plan has no shuffle.
+    ndocs.cache()
+    try:
+        out = nested.nested_query(
+            ndocs, "lines", lambda o: o.getField("l_quantity") >= 49
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the cached relation's BUILD plan (inside InMemoryRelation)
+        # contains the one construction shuffle; the query itself —
+        # everything above the cache scan — must add none.
+        above = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in above
+        assert "Exchange" not in above
+    finally:
+        ndocs.unpersist()
+
+
+def test_cross_object_strictly_weaker_than_nested(ndocs):
+    mode = lambda o: o.getField("l_returnflag") == "R"  # noqa: E731
+    qty = lambda o: o.getField("l_quantity") >= 45  # noqa: E731
+    both = lambda o: mode(o) & qty(o)  # noqa: E731
+    flagged = ndocs.select(
+        "o_orderkey",
+        nested.cross_object_match(ndocs, "lines", [mode, qty]).alias("x"),
+        (F.size(F.filter("lines", both)) > 0).alias("n"),
+    )
+    # nested => cross (the converse fails on the false-positive set)
+    assert flagged.filter(F.col("n") & ~F.col("x")).count() == 0
+    assert flagged.filter(F.col("x") & ~F.col("n")).count() > 0
+
+
+def test_nested_terms_agg_counts(ndocs, spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = nested.nested_terms_agg(
+        ndocs, "lines", "l_returnflag", parent_id="o_orderkey"
+    )
+    got = {
+        r["l_returnflag"]: (r["doc_count"], r["parent_count"])
+        for r in out.collect()
+    }
+    exp = {
+        r["l_returnflag"]: (r["n"], r["p"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_orderkey").alias("p"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # reverse_nested invariant: parents <= objects per bucket
+    for n, p in got.values():
+        assert p <= n
+
+
+def test_bucket_sort_agg_offset_and_size(spark):
+    rows = [(k, c) for k, c in zip("abcdefg", [7, 3, 9, 1, 5, 9, 2])]
+    b = spark.createDataFrame(rows, "key string, doc_count int")
+    out = aggs.bucket_sort_agg(
+        b, [F.desc("doc_count"), F.asc("key")], from_=1, size=3
+    ).collect()
+    # full order: c9 f9 a7 e5 b3 g2 d1 -> skip 1, take 3
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        ("f", 9), ("a", 7), ("e", 5)
+    ]
+
+
+def test_percentiles_bucket_nearest_rank(spark):
+    vals = [5, 1, 9, 3, 7]  # sorted: 1 3 5 7 9
+    b = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                              "key int, m int")
+    out = aggs.percentiles_bucket_agg(b, "m", [1, 25, 50, 75, 100])
+    got = {r["percent"]: r["m_pct"] for r in out.collect()}
+    # nearest rank ceil(p*n/100): 1%->rank1, 25%->rank2, 50%->rank3,
+    # 75%->rank4, 100%->rank5
+    assert got == {1: 1, 25: 3, 50: 5, 75: 7, 100: 9}
+
+
+def test_pinned_query_order_and_skips(docs):
+    out = search.pinned_query(
+        docs, "spark join window", [42, 7, 10**9], 10
+    ).collect()
+    assert len(out) == 10
+    # ranks are 1..10, pins first in the given order, missing id skipped
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    assert [r["doc_id"] for r in out[:2]] == [42, 7]
+    assert all(r["pinned"] for r in out[:2])
+    assert not any(r["pinned"] for r in out[2:])
+    # pinned rows carry NULL score; organic rows are score-desc sorted
+    assert all(r["score"] is None for r in out[:2])
+    organic = [r["score"] for r in out[2:]]
+    assert organic == sorted(organic, reverse=True)
+    # no pinned id repeats in the organic tail
+    assert not any(r["doc_id"] in (42, 7) for r in out[2:])
+
+
+def test_pinned_query_organic_matches_search_topk(docs):
+    # with an empty pin list the page IS the ordinary top-k
+    base = search.search_topk(docs, "spark join window", 10).collect()
+    out = search.pinned_query(docs, "spark join window", [], 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (r["doc_id"], r["score"]) for r in base
+    ]

@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "l3_agg_frequent_item_sets",
     "l4_maxsim_topk",
     "l4_hamming_topk",
+    # round-7 seventh pass: nested-doc build (collect_list agg + join)
+    # + array-expression query, and the pinned page over the BM25 leg
+    "l3_nested_query",
+    "l3_pinned_query",
 ]
 
 

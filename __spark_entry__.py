@@ -212,6 +212,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_bucket_sort",
     "l3_agg_percentiles_bucket",
     "l3_pinned_query",
+    "l3_analyzer_edge_ngram",
 )
 
 

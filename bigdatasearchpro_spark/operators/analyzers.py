@@ -504,6 +504,44 @@ def _russian_analyze(q: str) -> list[str]:
 # name -> (Column tokenizer, driver-side query analyzer).  The two
 # entries of each pair MUST stay semantically identical (ES contract);
 # tests/test_search.py pins the symmetry property.
+
+
+# ES edge_ngram analyzer (search-as-you-type, INDEX side): every
+# standard token emits its prefixes of length min_gram..max_gram (a
+# token shorter than min_gram emits nothing, exactly like Lucene's
+# EdgeNGramTokenFilter). The matching search_analyzer is plain
+# standard — ES's documented asymmetric pairing for autocomplete
+# fields — which is precisely the (index expr, query analyze) slot
+# shape of this table.
+EDGE_NGRAM_MIN = 2
+EDGE_NGRAM_MAX = 5
+
+
+def _edge_ngram_tokens(text: Column) -> Column:
+    toks = _standard_tokens(text)
+
+    def grams(t: Column) -> Column:
+        prefixes = F.array(
+            *[t.substr(1, n)
+              for n in range(EDGE_NGRAM_MIN, EDGE_NGRAM_MAX + 1)]
+        )
+        # keep prefix #i only while the token is long enough that
+        # substr produced a FULL prefix of that length (substr clamps,
+        # so shorter tokens would repeat themselves otherwise)
+        return F.filter(
+            prefixes,
+            lambda x, i: F.length(t) >= i + F.lit(EDGE_NGRAM_MIN),
+        )
+
+    return F.flatten(F.transform(toks, lambda t: grams(t)))
+
+
+def _edge_ngram_analyze(q: str) -> list[str]:
+    # search_analyzer: standard (the user's partial input is matched
+    # verbatim against the indexed prefix grams)
+    return _standard_analyze(q)
+
+
 ANALYZERS = {
     "standard": (_standard_tokens, _standard_analyze),
     "whitespace": (_whitespace_tokens, _whitespace_analyze),
@@ -515,6 +553,7 @@ ANALYZERS = {
     "russian": (_russian_tokens, _russian_analyze),
     "italian": (_italian_tokens, _italian_analyze),
     "portuguese": (_portuguese_tokens, _portuguese_analyze),
+    "edge_ngram": (_edge_ngram_tokens, _edge_ngram_analyze),
 }
 
 

@@ -2801,3 +2801,47 @@ def s34_terms_enum(spark, sf_dir):
     finally:
         api.delete_index(spark, "te_idx")
     return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
+@register(
+    "l3_analyzer_edge_ngram",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id
+      FROM toks
+      GROUP BY doc_id
+      HAVING max(CASE WHEN term LIKE 'spa%' THEN 1 ELSE 0 END) = 1
+         AND max(CASE WHEN term LIKE 'win%' THEN 1 ELSE 0 END) = 1
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN m ON d.doc_id = m.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def l3_analyzer_edge_ngram(spark, sf_dir):
+    """L3 analyzers: ``edge_ngram`` — the search-as-you-type INDEX
+    analyzer (each standard token emits its 2..5-char prefixes;
+    search_analyzer stays standard, ES's documented asymmetric
+    autocomplete pairing — the first asymmetric pair through the
+    (index expr, query analyze) slot).  The partial query "spa win"
+    matches via plain term containment against the indexed grams; the
+    oracle replays the equivalent prefix semantics (a token yields
+    gram 'spa' iff it LIKEs 'spa%').  The gram expansion is a bounded
+    array expression in the scan (<= 4 prefixes per token), no
+    explode, no UDF (operators/analyzers.py _edge_ngram_tokens)."""
+    from bigdatasearchpro_spark.operators.analyzers import ANALYZERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_expr, q_analyze = ANALYZERS["edge_ngram"]
+    grams = idx_expr(F.col("text"))
+    terms = q_analyze("spa win")
+    pred = F.lit(True)
+    for t in terms:
+        pred = pred & F.array_contains(grams, t)
+    return docs.filter(pred).select("doc_id", "lang").orderBy("doc_id")

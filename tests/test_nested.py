@@ -175,3 +175,38 @@ def test_pinned_query_organic_matches_search_topk(docs):
     assert [(r["doc_id"], r["score"]) for r in out] == [
         (r["doc_id"], r["score"]) for r in base
     ]
+
+
+def test_edge_ngram_analyzer_grams(spark):
+    from bigdatasearchpro_spark.operators.analyzers import ANALYZERS
+
+    idx_expr, q_analyze = ANALYZERS["edge_ngram"]
+    df = spark.createDataFrame(
+        [("Sparkly a win window",)], "text string"
+    ).select(idx_expr(F.col("text")).alias("g"))
+    got = df.first()["g"]
+    # "sparkly" -> sp spa spar spark ; "a" (< min_gram) -> nothing ;
+    # "win" -> wi win ; "window" -> wi win wind windo
+    assert got == [
+        "sp", "spa", "spar", "spark",
+        "wi", "win",
+        "wi", "win", "wind", "windo",
+    ]
+    # search side is plain standard analysis
+    assert q_analyze("Spa Win!") == ["spa", "win"]
+
+
+def test_edge_ngram_matches_prefix_semantics(docs):
+    from bigdatasearchpro_spark.operators.analyzers import ANALYZERS
+    from bigdatasearchpro_spark.operators.search import tokens_expr
+
+    idx_expr, _ = ANALYZERS["edge_ngram"]
+    grams = idx_expr(F.col("text"))
+    via_grams = docs.filter(F.array_contains(grams, "spa")).select("doc_id")
+    toks = tokens_expr("text", "standard")
+    via_prefix = docs.filter(
+        F.exists(toks, lambda t: t.startswith("spa"))
+    ).select("doc_id")
+    a = {r["doc_id"] for r in via_grams.collect()}
+    b = {r["doc_id"] for r in via_prefix.collect()}
+    assert a == b and a

@@ -213,6 +213,9 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_percentiles_bucket",
     "l3_pinned_query",
     "l3_analyzer_edge_ngram",
+    "l3_agg_moving_percentiles",
+    "l1_fingerprint_dedup",
+    "s35_index_resize",
 )
 
 

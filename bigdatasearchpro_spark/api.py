@@ -1715,3 +1715,69 @@ def terms_enum(spark: SparkSession, index_name: str, field: str,
         .limit(size)
     )
     return [r.term for r in out.collect()]
+
+
+_RESIZE_OPS = ("_split", "_shrink", "_clone")
+
+
+def resize_index(
+    spark: SparkSession,
+    source_index: str,
+    target_index: str,
+    *,
+    op: str,
+    factor: int = 2,
+) -> dict:
+    """ES index-resize APIs — ``_split`` / ``_shrink`` / ``_clone``:
+    re-materialize an index under a new shard count (or verbatim for
+    clone), preserving content exactly.
+
+    Shard math mirrors ES's resize invariant: with hash routing
+    ``shard = pmod(xxhash64(routing), n)``, splitting to ``k*n``
+    sends each document of source shard ``s`` to a target shard
+    ``≡ s (mod n)`` — every source shard fans out to exactly its own
+    ``k`` children, and shrink is the same relation reversed (ES
+    requires factor-multiple shard counts for precisely this reason).
+    ES implements split via filesystem hard links (metadata-cheap) and
+    shrink via forced colocation; on an object-store lakehouse both
+    are one content-invariant distributed rewrite — scan, recompute
+    the partition column, write — with no shuffle beyond the
+    partitioned-write clustering.  Non-routed indices support
+    ``_clone`` only (they have no shard structure to resize)."""
+    if op not in _RESIZE_OPS:
+        raise ValueError(f"op must be one of {_RESIZE_OPS}, got {op!r}")
+    if factor < 1 or (op in ("_split", "_shrink") and factor < 2):
+        raise ValueError(f"factor must be >= 2 for {op}, got {factor}")
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    meta = routing_meta(spark, source_index)
+    if op != "_clone" and meta is None:
+        raise ValueError(
+            f"{op} requires a custom-routed index (clone-only for flat ones)"
+        )
+    if op == "_split":
+        n_t = meta["shards"] * factor
+    elif op == "_shrink":
+        if meta["shards"] % factor:
+            raise ValueError(
+                f"_shrink factor {factor} must divide {meta['shards']} shards"
+            )
+        n_t = meta["shards"] // factor
+    else:
+        n_t = meta["shards"] if meta else None
+    docs = resolve_index(spark, source_index)
+    if meta is not None:
+        docs = docs.drop("__shard")
+    rows = bulk_index_table(
+        docs,
+        target_index,
+        routing_col=meta["col"] if meta else None,
+        n_shards=n_t if n_t is not None else 8,
+    )
+    return {
+        "op": op,
+        "source": source_index,
+        "target": target_index,
+        "shards": n_t,
+        "rows": int(rows),
+    }

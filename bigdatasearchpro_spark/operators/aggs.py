@@ -1605,3 +1605,44 @@ def percentiles_bucket_agg(
     return hit.select(
         "percent", F.col("value").alias(f"{metric}_pct")
     ).orderBy("percent")
+
+
+def moving_percentiles_agg(
+    buckets: DataFrame,
+    metric: str,
+    percents: "Sequence[int]",
+    *,
+    window: int = 3,
+    order_col: str = "key",
+    include_current: bool = False,
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation: percentiles of
+    ``metric`` over the trailing ``window`` buckets, one column per
+    requested percent (``{metric}_p{P}``).  Window semantics mirror
+    ``moving_fn`` (``shift: 0`` — the frame ends just BEFORE the
+    current bucket; ``include_current`` gives the inclusive form);
+    empty-frame buckets get NULL like ES skips them.
+
+    Exact nearest-rank (ceil(p/100 * n), the ``percentiles_bucket``
+    rule) over the frame's sorted values — ES serves this from a
+    t-digest per frame, but at bucket cardinality the exact answer is
+    just as cheap and engine-replayable.  The frame is
+    bucket-cardinality and at most ``window`` wide, so the sort is a
+    bounded array sort per bucket, never a shuffle."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    hi = 0 if include_current else -1
+    lo = hi - window + 1
+    w = Window.orderBy(F.asc(order_col)).rowsBetween(lo, hi)
+    frame = F.array_sort(F.collect_list(metric).over(w))
+    out = buckets.withColumn("__frame", frame)
+    n = F.size("__frame")
+    for p in percents:
+        rank = F.greatest(
+            F.lit(1), ((F.lit(int(p)) * n + F.lit(99)) / F.lit(100))
+        ).cast("int")
+        out = out.withColumn(
+            f"{metric}_p{int(p)}",
+            F.when(n > 0, F.try_element_at("__frame", rank)),
+        )
+    return out.drop("__frame")

@@ -542,6 +542,25 @@ def _edge_ngram_analyze(q: str) -> list[str]:
     return _standard_analyze(q)
 
 
+
+def _fingerprint_tokens(text: Column) -> Column:
+    """ES ``fingerprint`` analyzer: lowercase, standard-split, DEDUPE,
+    SORT, join with a single space — emitting ONE token, the document's
+    canonical fingerprint (the OpenRefine clustering key; ES ships it
+    for exactly the dedup/clustering use).  The stock filter chain also
+    ASCII-folds; the fold is a no-op on ASCII corpora and language
+    folds live in the per-language tables, so it is intentionally not
+    duplicated here."""
+    toks = _standard_tokens(text)
+    return F.array(
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    )
+
+
+def _fingerprint_analyze(q: str) -> list[str]:
+    return [" ".join(sorted(set(_standard_analyze(q))))]
+
+
 ANALYZERS = {
     "standard": (_standard_tokens, _standard_analyze),
     "whitespace": (_whitespace_tokens, _whitespace_analyze),
@@ -554,6 +573,7 @@ ANALYZERS = {
     "italian": (_italian_tokens, _italian_analyze),
     "portuguese": (_portuguese_tokens, _portuguese_analyze),
     "edge_ngram": (_edge_ngram_tokens, _edge_ngram_analyze),
+    "fingerprint": (_fingerprint_tokens, _fingerprint_analyze),
 }
 
 

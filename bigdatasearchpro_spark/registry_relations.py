@@ -2845,3 +2845,129 @@ def l3_analyzer_edge_ngram(spark, sf_dir):
     for t in terms:
         pred = pred & F.array_contains(grams, t)
     return docs.filter(pred).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "l3_agg_moving_percentiles",
+    f"""
+    WITH {_CLICK_HOUR_CTE},
+    fr AS (
+      SELECT key, doc_count,
+             list_sort(list(doc_count) OVER (
+               ORDER BY key ASC
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) AS f
+      FROM b
+    )
+    SELECT key, doc_count,
+           CASE WHEN f IS NULL THEN NULL
+                ELSE f[greatest(1, (50 * len(f) + 99) // 100)]
+           END AS doc_count_p50,
+           CASE WHEN f IS NULL THEN NULL
+                ELSE f[greatest(1, (90 * len(f) + 99) // 100)]
+           END AS doc_count_p90
+    FROM fr ORDER BY key
+    """,
+)
+def l3_agg_moving_percentiles(spark, sf_dir):
+    """L3 [ES parity]: ``moving_percentiles`` pipeline aggregation —
+    p50/p90 of the hourly click doc_count over the trailing 3-bucket
+    frame (moving_fn window semantics: the frame ends before the
+    current bucket, first bucket NULL).  Exact nearest-rank over each
+    frame's sorted values — bounded array sort per bucket on the
+    bucket-cardinality frame, no t-digest, no corpus window
+    (operators/aggs.py moving_percentiles_agg)."""
+    return aggs.moving_percentiles_agg(
+        _click_hour_buckets(spark, sf_dir), "doc_count", [50, 90],
+        window=3,
+    ).orderBy("key")
+
+
+@register(
+    "l1_fingerprint_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))), ' ') AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           min(doc_id) AS keep_doc_id,
+           count(*)::BIGINT AS n_members
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) >= 2
+    ORDER BY fingerprint
+    """,
+)
+def l1_fingerprint_dedup(spark, sf_dir):
+    """L1+L3 [ES parity]: dedup by the ``fingerprint`` ANALYZER key
+    (lowercase -> standard split -> dedupe -> sort -> single-space
+    join — the OpenRefine/ES clustering key): documents that are
+    word-set permutations of each other collapse to one fingerprint
+    regardless of word ORDER or repetition — a canonicalization the
+    content-hash dedup ring cannot express.  Groups with >= 2 members
+    keep the min doc_id.  One narrow fingerprint projection in the
+    scan + one hash agg on the key — the exact-dedup plan shape with a
+    smarter key (operators/analyzers.py _fingerprint_tokens)."""
+    from bigdatasearchpro_spark.operators.analyzers import ANALYZERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_expr, _ = ANALYZERS["fingerprint"]
+    fp = docs.select(
+        "doc_id", idx_expr(F.col("text")).getItem(0).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("fingerprint")
+    )
+
+
+@register(
+    "s35_index_resize",
+    """
+    WITH n AS (SELECT count(*) AS c FROM events)
+    SELECT * FROM (
+      SELECT '_clone' AS op, 4 AS shards, c AS rows FROM n
+      UNION ALL SELECT '_shrink', 4, c FROM n
+      UNION ALL SELECT '_split', 16, c FROM n
+    ) ORDER BY op
+    """,
+)
+def s35_index_resize(spark, sf_dir):
+    """S35 [ES parity]: the index-resize APIs — ``_split`` /
+    ``_shrink`` / ``_clone`` lifecycle over a custom-routed index:
+    8 shards split 2x to 16, shrunk 4x to 4, then cloned.  Every
+    resize preserves content exactly (row counts hash-checked here;
+    per-document shard-lineage invariants — each source shard fans out
+    only to its own children — are pinned in tests/test_nested.py).
+    One content-invariant distributed rewrite per op, the lakehouse
+    equivalent of ES's hard-link split (api.resize_index)."""
+    from bigdatasearchpro_spark import api
+
+    ev = load_table(spark, sf_dir, "events")
+    api.bulk_data_to_index(spark, ev, "rs_idx", id_col="event_id",
+                           routing_col="user_id", n_shards=8)
+    try:
+        split = api.resize_index(spark, "rs_idx", "rs_idx_16",
+                                 op="_split", factor=2)
+        shrink = api.resize_index(spark, "rs_idx_16", "rs_idx_4",
+                                  op="_shrink", factor=4)
+        clone = api.resize_index(spark, "rs_idx_4", "rs_idx_c",
+                                 op="_clone")
+        rows = [(r["op"], r["shards"], r["rows"])
+                for r in (clone, shrink, split)]
+    finally:
+        for idx in ("rs_idx", "rs_idx_16", "rs_idx_4", "rs_idx_c"):
+            try:
+                api.delete_index(spark, idx)
+            except Exception:
+                pass
+    out = spark.createDataFrame(rows, "op string, shards int, rows long")
+    return out.orderBy("op")

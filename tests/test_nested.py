@@ -210,3 +210,75 @@ def test_edge_ngram_matches_prefix_semantics(docs):
     a = {r["doc_id"] for r in via_grams.collect()}
     b = {r["doc_id"] for r in via_prefix.collect()}
     assert a == b and a
+
+
+def test_moving_percentiles_window_semantics(spark):
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5, 1, 9, 3, 7])], "key int, m int"
+    )
+    out = aggs.moving_percentiles_agg(b, "m", [50, 100], window=3)
+    rows = {r["key"]: (r["m_p50"], r["m_p100"]) for r in out.collect()}
+    # frames (trailing 3, ending BEFORE current): k0: [] -> NULL;
+    # k1: [5]; k2: [1,5]; k3: [1,5,9]; k4: [1,3,9]
+    assert rows[0] == (None, None)
+    assert rows[1] == (5, 5)
+    assert rows[2] == (1, 5)
+    assert rows[3] == (5, 9)
+    assert rows[4] == (3, 9)
+
+
+def test_fingerprint_analyzer_canonicalizes(spark):
+    from bigdatasearchpro_spark.operators.analyzers import ANALYZERS
+
+    idx_expr, q_analyze = ANALYZERS["fingerprint"]
+    df = spark.createDataFrame(
+        [("The quick quick Fox, the FOX!",)], "text string"
+    ).select(idx_expr(F.col("text")).alias("f"))
+    assert df.first()["f"] == ["fox quick the"]
+    # symmetric query-side twin; word order / repetition invariant
+    assert q_analyze("fox THE quick") == ["fox quick the"]
+    assert q_analyze("quick fox the the") == ["fox quick the"]
+
+
+def test_resize_index_lifecycle_and_shard_lineage(spark, sf_dir):
+    from bigdatasearchpro_spark import api
+
+    ev = load_table(spark, sf_dir, "events")
+    api.bulk_data_to_index(spark, ev, "rsz_t", id_col="event_id",
+                           routing_col="user_id", n_shards=8)
+    try:
+        split = api.resize_index(spark, "rsz_t", "rsz_t16",
+                                 op="_split", factor=2)
+        assert split["shards"] == 16 and split["rows"] == ev.count()
+        src = api.resolve_index(spark, "rsz_t").select(
+            "event_id", F.col("__shard").alias("s"))
+        tgt = api.resolve_index(spark, "rsz_t16").select(
+            "event_id", F.col("__shard").alias("t"))
+        j = src.join(tgt, "event_id")
+        # ES split invariant: target shard ≡ source shard (mod n_src)
+        assert j.filter(F.pmod(F.col("t"), F.lit(8)) != F.col("s")).count() == 0
+        # shrink back down: 16 -> 4, lineage reversed
+        shrink = api.resize_index(spark, "rsz_t16", "rsz_t4",
+                                  op="_shrink", factor=4)
+        assert shrink["shards"] == 4 and shrink["rows"] == ev.count()
+        t4 = api.resolve_index(spark, "rsz_t4").select(
+            "event_id", F.col("__shard").alias("q"))
+        j2 = tgt.join(t4, "event_id")
+        assert j2.filter(F.pmod(F.col("t"), F.lit(4)) != F.col("q")).count() == 0
+        # clone preserves shard structure and content exactly
+        clone = api.resize_index(spark, "rsz_t4", "rsz_tc", op="_clone")
+        assert clone["shards"] == 4
+        a = api.resolve_index(spark, "rsz_t4")
+        b = api.resolve_index(spark, "rsz_tc")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        # guards: shrink factor must divide; resize needs routing
+        with pytest.raises(ValueError):
+            api.resize_index(spark, "rsz_t4", "x", op="_shrink", factor=3)
+        with pytest.raises(ValueError):
+            api.resize_index(spark, "rsz_t4", "x", op="_resize")
+    finally:
+        for idx in ("rsz_t", "rsz_t16", "rsz_t4", "rsz_tc"):
+            try:
+                api.delete_index(spark, idx)
+            except Exception:
+                pass

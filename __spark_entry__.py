@@ -216,6 +216,8 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_moving_percentiles",
     "l1_fingerprint_dedup",
     "s35_index_resize",
+    "l3_synonym_search",
+    "l1_soft_dedup_weights",
 )
 
 

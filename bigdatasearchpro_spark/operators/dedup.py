@@ -122,3 +122,39 @@ def dedup_exact_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFra
         hashed.join(winners, ["__h", id_col], "left_semi")
         .drop("__h")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    content_col: str,
+    *,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """SoftDeDup (He et al. 2024, "SoftDedup: an efficient data
+    reweighting method for speeding up language model pre-training"):
+    instead of DELETING duplicates, every document is kept and
+    DOWN-WEIGHTED by its duplication count — ``weight = 1/n`` where
+    ``n`` is the size of the document's exact-content group — so the
+    expected contribution of each unique text to the training mix is
+    one document regardless of how often it was crawled.  Deletion is
+    the ``n -> keep 1`` special case; soft weighting preserves the
+    (often higher-quality) duplicated text at proportionally reduced
+    sampling temperature.
+
+    Adds ``n_dups`` and ``weight_ppm`` (the 1/n weight on an exact
+    1e6 integer grid — floor(1e6/n), engine-replayable; consumers
+    divide once at use time).  Plan: one md5 content-key hash
+    aggregate (map-side combine) + one key join back — the exact-dedup
+    shuffle shape, with the payload reduced to (key, n) on the agg
+    side.  No window, no global sort."""
+    key = F.md5(F.col(content_col).cast("string")).alias("__ckey")
+    counts = (
+        df.select(key)
+        .groupBy("__ckey")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    out = df.withColumn("__ckey", key).join(counts, "__ckey")
+    return out.withColumn(
+        "weight_ppm",
+        (F.lit(int(weight_scale)) / F.col("n_dups")).cast("long"),
+    ).drop("__ckey")

@@ -2083,3 +2083,58 @@ def pinned_query(
         F.col("pin_pos").isNotNull().alias("pinned"),
         "score",
     )
+
+
+def expand_synonyms(
+    terms: Sequence[str],
+    groups: "Sequence[Sequence[str]]",
+) -> "list[list[str]]":
+    """ES ``synonym_graph`` token filter, query-time ``expand: true``
+    form: each analyzed term becomes its full synonym GROUP (a list of
+    equivalent terms at the same position); terms in no group stay
+    singletons.  Returns one alternative-list per original term."""
+    by_term: dict[str, list[str]] = {}
+    for g in groups:
+        gs = sorted(set(g))
+        for t in gs:
+            by_term[t] = gs
+    return [by_term.get(t, [t]) for t in terms]
+
+
+def synonym_match(
+    docs: DataFrame,
+    query: str,
+    groups: "Sequence[Sequence[str]]",
+    *,
+    text_col: TextCols = "text",
+    analyzer: str = "standard",
+    mode: str = "all",
+) -> DataFrame:
+    """Boolean keyword match with query-time synonym expansion: each
+    query term matches if ANY member of its synonym group appears
+    (the ES `synonym_graph` + match-query contract — synonyms occupy
+    one position, so `operator: and` requires one hit PER GROUP, not
+    per surface term).
+
+    One narrow predicate over the tokenized text — per group an OR of
+    `array_contains`, groups combined by ``mode`` ('all'/'any') — in
+    the scan's codegen span: no explode, no join, no vocabulary pass.
+    (Scoring note: ES blends document frequencies across a synonym
+    group when ranking; this boolean form is the SQL-oracled subset,
+    like keyword_match is for the plain match query.)"""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be all/any, got {mode!r}")
+    terms = analyze_query(query, analyzer)
+    if not terms:
+        return docs.limit(0)
+    toks = tokens_expr(text_col, analyzer)
+    clauses = []
+    for alts in expand_synonyms(terms, groups):
+        c = F.array_contains(toks, alts[0])
+        for a in alts[1:]:
+            c = c | F.array_contains(toks, a)
+        clauses.append(c)
+    pred = clauses[0]
+    for c in clauses[1:]:
+        pred = (pred & c) if mode == "all" else (pred | c)
+    return docs.filter(pred)

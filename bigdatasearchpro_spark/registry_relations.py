@@ -2971,3 +2971,77 @@ def s35_index_resize(spark, sf_dir):
                 pass
     out = spark.createDataFrame(rows, "op string, shards int, rows long")
     return out.orderBy("op")
+
+
+@register(
+    "l3_synonym_search",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+    WHERE (list_contains(t.l, 'sort') OR list_contains(t.l, 'order'))
+      AND list_contains(t.l, 'window')
+    ORDER BY d.doc_id
+    """,
+)
+def l3_synonym_search(spark, sf_dir):
+    """L3 [ES parity]: query-time synonym expansion (``synonym_graph``
+    token filter, ``expand: true`` + match ``operator: and``): the
+    query "sort window" with the synonym group {sort, order} requires
+    one hit PER GROUP — any member satisfies its group's position.
+    One narrow OR-of-array_contains predicate per group inside the
+    scan's codegen span; no explode, no vocabulary pass, no join
+    (operators/search.py synonym_match / expand_synonyms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = search.synonym_match(
+        docs, "sort window", [("sort", "order")], mode="all"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "l1_soft_dedup_weights",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    c AS (SELECT text, count(*) AS n FROM corpus GROUP BY text)
+    SELECT d.doc_id, c.n::BIGINT AS n_dups,
+           (1000000 // c.n)::BIGINT AS weight_ppm
+    FROM corpus d JOIN c ON d.text = c.text
+    ORDER BY d.doc_id
+    """,
+)
+def l1_soft_dedup_weights(spark, sf_dir):
+    """L1/L5 [LLM curation]: SoftDeDup reweighting (He et al. 2024) —
+    every document kept, down-weighted by its exact-duplicate count
+    (weight 1/n on an exact 1e6 integer grid) so each unique text
+    contributes one expected document to the training mix; deletion is
+    the keep-1 special case, soft weighting keeps the often-higher-
+    quality duplicated text at reduced sampling temperature.  The
+    fixture corpus is duplicate-free, so the entry replays the
+    standard deterministic mutation (every 5th doc twice, every 10th
+    three times — n in {1,2,3}).  One md5 content-key hash agg + one
+    key join back — the exact-dedup shuffle with (key, n)-only payload
+    on the agg side (operators/dedup.py soft_dedup_weights)."""
+    from bigdatasearchpro_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+    )
+    out = dedup.soft_dedup_weights(corpus, "text")
+    return out.select("doc_id", "n_dups", "weight_ppm").orderBy("doc_id")

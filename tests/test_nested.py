@@ -282,3 +282,46 @@ def test_resize_index_lifecycle_and_shard_lineage(spark, sf_dir):
                 api.delete_index(spark, idx)
             except Exception:
                 pass
+
+
+def test_synonym_match_group_semantics(docs):
+    from bigdatasearchpro_spark.operators.search import (
+        expand_synonyms, synonym_match, tokens_expr,
+    )
+
+    assert expand_synonyms(["sort", "window"], [("sort", "order")]) == [
+        ["order", "sort"], ["window"]
+    ]
+    out = synonym_match(docs, "sort window", [("sort", "order")], mode="all")
+    toks = tokens_expr("text", "standard")
+    exp = docs.filter(
+        (F.array_contains(toks, "sort") | F.array_contains(toks, "order"))
+        & F.array_contains(toks, "window")
+    )
+    assert out.count() == exp.count()
+    # group match is strictly weaker than the surface-term AND match
+    plain = docs.filter(
+        F.array_contains(toks, "sort") & F.array_contains(toks, "window")
+    )
+    assert plain.count() < out.count()
+
+
+def test_soft_dedup_weights_invariants(spark):
+    from bigdatasearchpro_spark.operators import dedup
+
+    rows = [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dedup.soft_dedup_weights(df, "text")
+    got = {r["doc_id"]: (r["n_dups"], r["weight_ppm"]) for r in out.collect()}
+    assert got == {
+        1: (3, 333333), 3: (3, 333333), 4: (3, 333333),
+        2: (1, 1000000), 5: (1, 1000000),
+    }
+    # every row kept; expected contribution per unique text == 1 doc
+    assert len(got) == len(rows)
+    per_text = {}
+    for r in out.collect():
+        per_text.setdefault(r["text"], 0)
+        per_text[r["text"]] += r["weight_ppm"]
+    for text, tot in per_text.items():
+        assert abs(tot - 1000000) <= 3  # floor rounding, <= n ppm off

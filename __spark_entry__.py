@@ -218,6 +218,8 @@ _R7_DEFER_TO_R8 = (
     "s35_index_resize",
     "l3_synonym_search",
     "l1_soft_dedup_weights",
+    "l3_span_containing_query",
+    "l3_span_within_query",
 )
 
 

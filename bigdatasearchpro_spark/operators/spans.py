@@ -22,6 +22,10 @@ Supported subset (unsupported shapes raise honestly):
   ordered chain, CUMULATIVE gap across all clauses <= slop (the ES
   slop budget); ``in_order: false`` is supported for exactly two
   clauses (either order, same gap rule)
+- ``{"span_containing"/"span_within": {"little": spec, "big": spec}}``
+  — the big spans that contain a little span / the little spans lying
+  inside a big span (doc-level match sets coincide; the SPAN sets —
+  what scoring and nested algebra see — differ)
 - ``{"span_not": {"include": spec, "exclude": spec}}`` — include
   spans that OVERLAP no exclude span (ES default dist semantics)
 """
@@ -144,6 +148,23 @@ def span_spec_expr(
                     excl,
                     lambda x: (x["s"] <= a["e"]) & (x["e"] >= a["s"]),
                 ),
+            )
+        if kind in ("span_containing", "span_within"):
+            if not isinstance(body, dict) or not {"little", "big"} <= set(body):
+                raise ValueError(f"{kind} needs 'little' and 'big' specs")
+            little = build(body["little"])
+            big = build(body["big"])
+            covers = lambda b, l: (b["s"] <= l["s"]) & (l["e"] <= b["e"])  # noqa: E731
+            if kind == "span_containing":
+                # big spans that contain at least one little span
+                return F.filter(
+                    big,
+                    lambda b: F.exists(little, lambda l: covers(b, l)),
+                )
+            # little spans lying within at least one big span
+            return F.filter(
+                little,
+                lambda l: F.exists(big, lambda b: covers(b, l)),
             )
         raise ValueError(f"unsupported span query kind: {kind!r}")
 

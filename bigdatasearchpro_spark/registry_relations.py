@@ -3045,3 +3045,87 @@ def l1_soft_dedup_weights(spark, sf_dir):
     )
     out = dedup.soft_dedup_weights(corpus, "text")
     return out.select("doc_id", "n_dups", "weight_ppm").orderBy("doc_id")
+
+
+@register(
+    "l3_span_containing_query",
+    f"""
+    WITH {_SPAN_TOKS_CTE}
+    SELECT doc_id, count(*)::BIGINT AS n_spans FROM (
+      SELECT a.doc_id, a.pos AS s, b.pos AS e
+      FROM p a JOIN p b ON a.doc_id = b.doc_id
+      WHERE a.tok = 'spark' AND b.tok = 'window'
+        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+        AND EXISTS (
+          SELECT 1 FROM p j
+          WHERE j.doc_id = a.doc_id AND j.tok = 'join'
+            AND j.pos BETWEEN a.pos AND b.pos
+        )
+    ) GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def l3_span_containing_query(spark, sf_dir):
+    """L3 [ES parity]: ``span_containing`` — the BIG spans
+    (`spark`..`window`, slop 3, in order) that contain at least one
+    little `join` span, counted per document.  Same nested-array
+    algebra as the rest of the span family — one codegen-span
+    expression, no explode; the twin ``span_within`` entry shows the
+    two operators' span SETS differ even where their doc sets coincide
+    (operators/spans.py span_spec_expr)."""
+    from bigdatasearchpro_spark.operators.spans import span_spec_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = {"span_containing": {
+        "big": {"span_near": {"clauses": [{"span_term": "spark"},
+                                          {"span_term": "window"}],
+                              "slop": 3, "in_order": True}},
+        "little": {"span_term": "join"},
+    }}
+    spans = span_spec_expr("text", spec)
+    return (
+        docs.select("doc_id", F.size(spans).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "l3_span_within_query",
+    f"""
+    WITH {_SPAN_TOKS_CTE}
+    SELECT doc_id, count(*)::BIGINT AS n_spans FROM (
+      SELECT DISTINCT j.doc_id, j.pos
+      FROM p j
+      WHERE j.tok = 'join' AND EXISTS (
+        SELECT 1 FROM p a JOIN p b ON a.doc_id = b.doc_id
+        WHERE a.doc_id = j.doc_id AND a.tok = 'spark'
+          AND b.tok = 'window' AND b.pos > a.pos
+          AND b.pos - a.pos - 1 <= 3
+          AND a.pos <= j.pos AND j.pos <= b.pos
+      )
+    ) GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def l3_span_within_query(spark, sf_dir):
+    """L3 [ES parity]: ``span_within`` — the LITTLE `join` spans lying
+    inside a big `spark`..`window` (slop 3) span, counted per
+    document.  The doc-level match set equals ``span_containing``'s,
+    but the returned SPAN set (what scoring and further span nesting
+    consume) is the little side — the count column makes the driver
+    hash distinguish the two operators (operators/spans.py
+    span_spec_expr)."""
+    from bigdatasearchpro_spark.operators.spans import span_spec_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = {"span_within": {
+        "big": {"span_near": {"clauses": [{"span_term": "spark"},
+                                          {"span_term": "window"}],
+                              "slop": 3, "in_order": True}},
+        "little": {"span_term": "join"},
+    }}
+    spans = span_spec_expr("text", spec)
+    return (
+        docs.select("doc_id", F.size(spans).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy("doc_id")
+    )

@@ -91,7 +91,50 @@ def test_span_guards(corpus):
     with pytest.raises(ValueError, match=">= 2 clauses"):
         span_query(corpus, {"span_near": {"clauses": [{"span_term": "a"}]}})
     with pytest.raises(ValueError, match="unsupported span"):
+        span_query(corpus, {"span_multi": {}})
+    with pytest.raises(ValueError, match="'little' and 'big'"):
         span_query(corpus, {"span_containing": {}})
     with pytest.raises(ValueError, match="end must be positive"):
         span_query(corpus, {"span_first": {"match": {"span_term": "a"},
                                            "end": 0}})
+
+
+def test_span_containing_vs_within_span_sets(spark):
+    from bigdatasearchpro_spark.operators.spans import span_spec_expr
+
+    df = spark.createDataFrame(
+        [("spark a join b window join extra",)], "text string"
+    )
+    base = {
+        "big": {"span_near": {"clauses": [{"span_term": "spark"},
+                                          {"span_term": "window"}],
+                              "slop": 3, "in_order": True}},
+        "little": {"span_term": "join"},
+    }
+    containing = df.select(
+        span_spec_expr("text", {"span_containing": base}).alias("s")
+    ).first()["s"]
+    within = df.select(
+        span_spec_expr("text", {"span_within": base}).alias("s")
+    ).first()["s"]
+    # one big span (spark@0 .. window@4) contains join@2; join@5 is
+    # outside it. Containing returns the big span, within the little.
+    assert [(s["s"], s["e"]) for s in containing] == [(0, 4)]
+    assert [(s["s"], s["e"]) for s in within] == [(2, 2)]
+
+
+def test_span_containing_no_cover_no_match(spark):
+    from bigdatasearchpro_spark.operators.spans import span_spec_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("spark b window join",)], "text string"  # join AFTER the span
+    )
+    spec = {"span_containing": {
+        "big": {"span_near": {"clauses": [{"span_term": "spark"},
+                                          {"span_term": "window"}],
+                              "slop": 3, "in_order": True}},
+        "little": {"span_term": "join"},
+    }}
+    out = df.select(F.size(span_spec_expr("text", spec)).alias("n"))
+    assert out.first()["n"] == 0

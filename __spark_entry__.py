@@ -220,6 +220,7 @@ _R7_DEFER_TO_R8 = (
     "l1_soft_dedup_weights",
     "l3_span_containing_query",
     "l3_span_within_query",
+    "l4_sparse_vector_topk",
 )
 
 

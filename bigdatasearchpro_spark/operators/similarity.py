@@ -1289,3 +1289,66 @@ def maxsim_topk(
         .orderBy(F.desc("maxsim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def sparse_vector_column(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    analyzer: str = "standard",
+) -> Column:
+    """A stored sparse-vector column in the ES ``sparse_vector`` field
+    shape — ``map<token, weight>`` — here with term frequency as the
+    integer weight (the model-free stand-in for ELSER's learned
+    expansion weights; the FIELD shape and query below are exactly the
+    ES 8.x surface, only the weight producer differs).  One pass of
+    array expressions: tokenize, distinct, count per token — no
+    explode, no shuffle."""
+    from bigdatasearchpro_spark.operators.search import tokens_expr
+
+    toks = tokens_expr(text_col, analyzer)
+    uniq = F.array_distinct(toks)
+    return F.map_from_arrays(
+        uniq,
+        F.transform(
+            uniq,
+            lambda u: F.size(F.filter(toks, lambda t: t == u)).cast("long"),
+        ),
+    )
+
+
+def sparse_vector_topk(
+    docs: DataFrame,
+    query_weights: "dict[str, int]",
+    k: int = 10,
+    *,
+    vec_col: str = "sparse_vec",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``sparse_vector`` / ``text_expansion`` query: score = the
+    sparse dot product of the query's weighted tokens against each
+    document's stored token->weight map; top-k by score.
+
+    The query side is a literal handful of (token, weight) pairs, so
+    the dot product unrolls to one addition chain of map lookups
+    (``try_element_at`` — absent tokens contribute 0) inside the
+    scan's codegen span, and the page is a TakeOrdered heap: one
+    corpus scan, no explode, no join, no shuffle at any corpus size.
+    Integer weights keep the score BIGINT-exact (ES float weights
+    round-trip through the same grid trick the int8 ring uses)."""
+    if not query_weights:
+        raise ValueError("query_weights must be non-empty")
+    score = None
+    for tok, w in sorted(query_weights.items()):
+        term = F.coalesce(
+            F.try_element_at(F.col(vec_col), F.lit(tok)), F.lit(0)
+        ) * F.lit(int(w))
+        score = term if score is None else score + term
+    out = docs.withColumn("score", score.cast("long")).filter(
+        F.col("score") > 0
+    )
+    return (
+        out.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -3129,3 +3129,53 @@ def l3_span_within_query(spark, sf_dir):
         .filter(F.col("n_spans") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "l4_sparse_vector_topk",
+    """
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*)::BIGINT AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS t
+        FROM documents
+      ) GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           sum(CASE term WHEN 'spark' THEN 3 * w
+                         WHEN 'join' THEN 2 * w
+                         WHEN 'window' THEN 1 * w
+                         ELSE 0 END)::BIGINT AS score
+    FROM tf
+    GROUP BY doc_id
+    HAVING score > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def l4_sparse_vector_topk(spark, sf_dir):
+    """L4 [ES parity]: the ``sparse_vector`` / ``text_expansion``
+    query (8.x, the ELSER retrieval surface) — documents store a
+    ``map<token, weight>`` sparse vector; the query's weighted tokens
+    {spark:3, join:2, window:1} score by sparse dot product, top-10.
+    The stored-field shape and query semantics are exactly ES's; the
+    weight producer here is term frequency (model-free stand-in for
+    the learned expansion — the plumbing, not the model, is the
+    operator).  The dot product unrolls to a 3-lookup addition chain
+    in the scan's codegen span + a TakeOrdered page: one scan, no
+    explode/join/shuffle; BIGINT-exact (operators/similarity.py
+    sparse_vector_topk)."""
+    from bigdatasearchpro_spark.operators.similarity import (
+        sparse_vector_column,
+        sparse_vector_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stored = docs.select(
+        "doc_id", sparse_vector_column(docs, "text").alias("sparse_vec")
+    )
+    return sparse_vector_topk(
+        stored, {"spark": 3, "join": 2, "window": 1}, 10
+    )

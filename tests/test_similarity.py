@@ -716,3 +716,27 @@ def test_maxsim_late_interaction(spark):
 
     with pt.raises(ValueError, match="divide"):
         maxsim_topk(emb, q, 2, n_sub=7)
+
+
+def test_sparse_vector_shape_and_scoring(spark):
+    from bigdatasearchpro_spark.operators.similarity import (
+        sparse_vector_column, sparse_vector_topk,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "window"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    stored = df.select(
+        "doc_id", sparse_vector_column(df, "text").alias("sparse_vec")
+    )
+    m = {r["doc_id"]: r["sparse_vec"] for r in stored.collect()}
+    assert m[1] == {"spark": 2, "join": 1}
+    out = sparse_vector_topk(stored, {"spark": 3, "join": 2, "window": 1}, 10)
+    rows = [(r["doc_id"], r["score"]) for r in out.collect()]
+    # doc1: 2*3 + 1*2 = 8 ; doc2: 1 ; doc3 drops (score 0)
+    assert rows == [(1, 8), (2, 1)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sparse_vector_topk(stored, {}, 10)

@@ -221,6 +221,7 @@ _R7_DEFER_TO_R8 = (
     "l3_span_containing_query",
     "l3_span_within_query",
     "l4_sparse_vector_topk",
+    "l5_pipeline_curation_v6",
 )
 
 

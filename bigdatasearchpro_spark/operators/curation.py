@@ -446,6 +446,7 @@ def domain_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokenizer: str = "analyzer",
+    weight_ppm_col: "str | None" = None,
 ) -> DataFrame:
     """TOKEN-budget domain sampling: like :func:`domain_mixture` but
     quotas are TOKEN counts — how pretraining mixtures are actually
@@ -491,10 +492,19 @@ def domain_token_budget(
     budget_expr = F.create_map(
         *[x for k, v in sorted(budgets.items()) for x in (F.lit(k), F.lit(int(v)))]
     )
+    if weight_ppm_col is not None:
+        # SoftDeDup composition: meter the budget in duplicate-
+        # DISCOUNTED tokens — floor(n_tokens * weight_ppm / 1e6), pure
+        # integer math — so a text crawled n times still spends ~one
+        # document's worth of budget across all its copies.
+        toks = F.floor(
+            toks.cast("long") * F.col(weight_ppm_col) / F.lit(1_000_000)
+        ).cast("long")
     staged = docs.select(
         F.col(id_col),
         F.col(domain_col).alias("domain"),
         toks.alias("n_tokens"),
+        *([] if weight_ppm_col is None else [F.col(weight_ppm_col)]),
     ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return staged.filter(
         F.col("cum_tokens") - F.col("n_tokens")

@@ -3179,3 +3179,113 @@ def l4_sparse_vector_topk(spark, sf_dir):
     return sparse_vector_topk(
         stored, {"spark": 3, "join": 2, "window": 1}, 10
     )
+
+
+@register(
+    "l5_pipeline_curation_v6",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, source FROM documents
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text, source FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    w AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS words
+      FROM corpus
+    ),
+    gate AS (
+      SELECT doc_id, text, source
+      FROM (
+        SELECT doc_id, text, source,
+               len(words)::BIGINT AS n_words,
+               coalesce(list_sum(list_transform(words, x -> strlen(x))),
+                        0)::BIGINT AS sum_wl,
+               len(list_filter(words,
+                   x -> x = '#' OR contains(x, '...')))::BIGINT AS n_symbol,
+               len(list_filter(words,
+                   x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+               len(list_distinct(list_filter(
+                   list_transform(words, x -> lower(x)),
+                   x -> list_contains(
+                     ['the','be','to','of','and','that','have','with'], x)
+               )))::BIGINT AS stop_hits
+        FROM w
+      )
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words
+        AND 100 * n_symbol <= 10 * n_words
+        AND 100 * n_alpha >= 80 * n_words
+        AND stop_hits >= 1
+    ),
+    cnt AS (SELECT text, count(*) AS n FROM gate GROUP BY text),
+    weighted AS (
+      SELECT g.doc_id, g.source AS domain,
+             len(list_filter(string_split_regex(lower(g.text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS raw_tokens,
+             (1000000 // c.n)::BIGINT AS weight_ppm
+      FROM gate g JOIN cnt c ON g.text = c.text
+    ),
+    staged AS (
+      SELECT doc_id, domain, weight_ppm,
+             (raw_tokens * weight_ppm) // 1000000 AS n_tokens
+      FROM weighted
+    ),
+    cum AS (
+      SELECT doc_id, domain, weight_ppm, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY domain
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM staged
+    )
+    SELECT doc_id, domain, n_tokens::BIGINT AS n_tokens, weight_ppm,
+           cum_tokens::BIGINT AS cum_tokens
+    FROM cum
+    WHERE cum_tokens - n_tokens < CASE domain
+        WHEN 'src0' THEN 900 WHEN 'src1' THEN 400 ELSE 0 END
+    ORDER BY domain, cum_tokens, doc_id
+    """,
+)
+def l5_pipeline_curation_v6(spark, sf_dir):
+    """L5 [training data]: curation pipeline v6 — the SoftDeDup-aware
+    token budget: Gopher gate -> exact-duplicate 1/n weights (the
+    standard every-5th/10th duplicate-injected corpus) -> per-domain
+    token budgets metered in duplicate-DISCOUNTED tokens
+    (floor(tokens * weight / 1e6)), so a text crawled n times spends
+    one document's worth of budget across all copies instead of
+    starving its domain's quota.  Plan: one narrow gate projection,
+    one (key, n) hash agg + key join for the weights, one window
+    cumsum per domain partition — three corpus-linear stages, one
+    composed DuckDB oracle (operators/curation.py domain_token_budget
+    weight_ppm_col + dedup.soft_dedup_weights)."""
+    from bigdatasearchpro_spark.operators import curation, dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+    )
+    gate = curation.gopher_rules(corpus, min_stop_hits=1)
+    kept = corpus.join(
+        gate.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    weighted = dedup.soft_dedup_weights(kept, "text")
+    admitted = curation.domain_token_budget(
+        weighted, {"src0": 900, "src1": 400},
+        weight_ppm_col="weight_ppm",
+    )
+    return admitted.select(
+        "doc_id", "domain", "n_tokens", "weight_ppm", "cum_tokens"
+    ).orderBy("domain", "cum_tokens", "doc_id")

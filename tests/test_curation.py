@@ -640,3 +640,38 @@ def test_length_bucketed_batches_minimize_padding(spark):
 
     with pt.raises(ValueError):
         length_bucketed_batches(df, batch_size=0)
+
+
+def test_weighted_token_budget_discounts_duplicates(spark, sf_dir):
+    from bigdatasearchpro_spark.operators import curation, dedup
+    from bigdatasearchpro_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    weighted = dedup.soft_dedup_weights(corpus, "text")
+    budgets = {"src0": 600}
+    plain = curation.domain_token_budget(weighted, budgets)
+    soft = curation.domain_token_budget(
+        weighted, budgets, weight_ppm_col="weight_ppm"
+    )
+    # discounted tokens are never larger, so the same budget admits at
+    # least as many documents (strictly more here: src0 has dup copies)
+    assert soft.count() >= plain.count()
+    # per-row: weighted n_tokens == floor(raw * ppm / 1e6)
+    raw = curation.domain_token_budget(
+        weighted, {"src0": 10**9}
+    ).select("doc_id", F.col("n_tokens").alias("raw"))
+    both = soft.join(raw, "doc_id").select(
+        "n_tokens", "raw", "weight_ppm"
+    )
+    bad = both.filter(
+        F.col("n_tokens")
+        != F.floor(F.col("raw") * F.col("weight_ppm") / F.lit(1_000_000))
+    )
+    assert bad.count() == 0

@@ -1646,3 +1646,105 @@ def moving_percentiles_agg(
             F.when(n > 0, F.try_element_at("__frame", rank)),
         )
     return out.drop("__frame")
+
+
+def variable_width_histogram_agg(
+    df: DataFrame,
+    field: str,
+    target_buckets: int,
+    *,
+    fine_buckets: int = 200,
+    value_scale: int = 100,
+) -> DataFrame:
+    """ES ``variable_width_histogram``: dynamically-placed buckets that
+    adapt to the value distribution (narrow where dense, wide where
+    sparse), returning per bucket ``(key, min, max, doc_count)`` with
+    ``key`` the bucket centroid.
+
+    ES clusters per-shard with an order-dependent streaming algorithm
+    and merges across shards — explicitly non-deterministic.  This
+    implementation is the DETERMINISTIC two-phase equivalent shaped
+    for scale: (1) one scalar min/max probe + ONE fine fixed-width
+    hash aggregate over the corpus (``fine_buckets`` cells, map-side
+    combine — corpus rows never leave their partitions); (2) a
+    driver-side agglomerative merge over the bounded cell list —
+    repeatedly fuse the ADJACENT pair with the smallest centroid gap
+    (leftmost on ties) until ``target_buckets`` remain.  Phase 2 works
+    on <= ``fine_buckets`` rows regardless of corpus size — the same
+    bounded-driver-list contract as the IVF centroid collects.
+    Centroids stay exact until the final division: cell sums are
+    kept as integers on a ``value_scale`` grid.
+
+    No SQL oracle (the merge is iterative); the registry entry is
+    rows-only and the merge math is pinned by a pure-Python twin test
+    (tests/test_nested.py)."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    if fine_buckets < target_buckets:
+        raise ValueError("fine_buckets must be >= target_buckets")
+    lo, hi = df.agg(F.min(field), F.max(field)).first()
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "key double, min double, max double, doc_count long"
+        )
+    span = float(hi) - float(lo)
+    if span <= 0:
+        return df.sparkSession.createDataFrame(
+            [(float(lo), float(lo), float(hi), df.count())],
+            "key double, min double, max double, doc_count long",
+        )
+    cell = F.least(
+        F.lit(fine_buckets - 1),
+        F.floor(
+            (F.col(field) - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit(fine_buckets)
+        ).cast("int"),
+    )
+    fine = (
+        df.groupBy(cell.alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col(field) * F.lit(value_scale)).cast("long")
+            ).alias("s"),
+            F.min(field).alias("mn"),
+            F.max(field).alias("mx"),
+        )
+        .orderBy("cell")
+        .collect()
+    )
+    clusters = [
+        {"n": r["n"], "s": r["s"], "mn": r["mn"], "mx": r["mx"]}
+        for r in fine
+    ]
+    from fractions import Fraction
+
+    while len(clusters) > target_buckets:
+        best, gap = None, None
+        for i in range(len(clusters) - 1):
+            a, b = clusters[i], clusters[i + 1]
+            # centroid gap (s_b/n_b - s_a/n_a) as an exact Fraction —
+            # integer-exact comparisons, no float tie ambiguity
+            g = Fraction(
+                b["s"] * a["n"] - a["s"] * b["n"], a["n"] * b["n"]
+            )
+            if gap is None or g < gap:
+                best, gap = i, g
+        a, b = clusters[best], clusters[best + 1]
+        clusters[best : best + 2] = [{
+            "n": a["n"] + b["n"], "s": a["s"] + b["s"],
+            "mn": min(a["mn"], b["mn"]), "mx": max(a["mx"], b["mx"]),
+        }]
+    rows = [
+        (
+            (c["s"] / value_scale) / c["n"],
+            float(c["mn"]),
+            float(c["mx"]),
+            int(c["n"]),
+        )
+        for c in clusters
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "key double, min double, max double, doc_count long"
+    )

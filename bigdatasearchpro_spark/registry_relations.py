@@ -3289,3 +3289,21 @@ def l5_pipeline_curation_v6(spark, sf_dir):
     return admitted.select(
         "doc_id", "domain", "n_tokens", "weight_ppm", "cum_tokens"
     ).orderBy("domain", "cum_tokens", "doc_id")
+
+
+@register("l3_agg_variable_width_histogram", None)
+def l3_agg_variable_width_histogram(spark, sf_dir):
+    """L3 [ES parity]: ``variable_width_histogram`` — 8 dynamically-
+    placed buckets over order totalprice (narrow where dense, wide
+    where sparse).  ES's per-shard streaming clustering is explicitly
+    non-deterministic; this is the deterministic two-phase shape: one
+    fine fixed-width hash agg over the corpus (bounded cells,
+    map-side combine) + a driver-side agglomerative merge over the
+    bounded cell list (adjacent min-centroid-gap fusion, integer-exact
+    Fraction compares).  Rows-only by design — the iterative merge has
+    no SQL replay; the merge math is pinned by a pure-Python twin test
+    (operators/aggs.py variable_width_histogram_agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return aggs.variable_width_histogram_agg(
+        orders, "o_totalprice", 8
+    )

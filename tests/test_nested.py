@@ -325,3 +325,45 @@ def test_soft_dedup_weights_invariants(spark):
         per_text[r["text"]] += r["weight_ppm"]
     for text, tot in per_text.items():
         assert abs(tot - 1000000) <= 3  # floor rounding, <= n ppm off
+
+
+def test_variable_width_histogram_twin_and_invariants(spark, sf_dir):
+    from fractions import Fraction
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = aggs.variable_width_histogram_agg(
+        orders, "o_totalprice", 8, fine_buckets=50
+    ).collect()
+    assert len(out) == 8
+    # buckets tile the value range in order, counts sum to the corpus
+    assert sum(r["doc_count"] for r in out) == orders.count()
+    for i in range(1, len(out)):
+        assert out[i]["min"] >= out[i - 1]["max"]
+    for r in out:
+        assert r["min"] <= r["key"] <= r["max"]
+    # pure-Python twin: same fine cells + same merge rule == same result
+    vals = [r["o_totalprice"] for r in orders.select("o_totalprice").collect()]
+    lo, hi = min(vals), max(vals)
+    fine = {}
+    for v in vals:
+        c = min(49, int((v - lo) / (hi - lo) * 50))
+        e = fine.setdefault(c, {"n": 0, "s": 0, "mn": v, "mx": v})
+        e["n"] += 1
+        e["s"] += round(v * 100)
+        e["mn"] = min(e["mn"], v)
+        e["mx"] = max(e["mx"], v)
+    cl = [fine[c] for c in sorted(fine)]
+    while len(cl) > 8:
+        best, gap = None, None
+        for i in range(len(cl) - 1):
+            a, b = cl[i], cl[i + 1]
+            g = Fraction(b["s"] * a["n"] - a["s"] * b["n"], a["n"] * b["n"])
+            if gap is None or g < gap:
+                best, gap = i, g
+        a, b = cl[best], cl[best + 1]
+        cl[best:best + 2] = [{"n": a["n"] + b["n"], "s": a["s"] + b["s"],
+                              "mn": min(a["mn"], b["mn"]),
+                              "mx": max(a["mx"], b["mx"])}]
+    twin = [((c["s"] / 100) / c["n"], c["mn"], c["mx"], c["n"]) for c in cl]
+    got = [(r["key"], r["min"], r["max"], r["doc_count"]) for r in out]
+    assert got == twin

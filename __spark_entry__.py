@@ -223,6 +223,7 @@ _R7_DEFER_TO_R8 = (
     "l4_sparse_vector_topk",
     "l5_pipeline_curation_v6",
     "l3_agg_variable_width_histogram",
+    "l3_agg_terms_partition",
 )
 
 

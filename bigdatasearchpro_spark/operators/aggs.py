@@ -1748,3 +1748,48 @@ def variable_width_histogram_agg(
     return df.sparkSession.createDataFrame(
         rows, "key double, min double, max double, doc_count long"
     )
+
+
+def terms_partition_filter(
+    field: str,
+    partition: int,
+    num_partitions: int,
+) -> Column:
+    """ES ``terms`` aggregation ``include: {partition, num_partitions}``
+    — the documented way to page an aggregation over a field whose
+    cardinality is too large for one response: the TERM SPACE is hash-
+    partitioned and each request aggregates one slice.  Filter:
+    ``pmod(xxhash64(field), num_partitions) == partition``.
+
+    This composes as a MAP-SIDE predicate on the scan (like the sliced
+    scroll's id hash): each partition's aggregation only shuffles its
+    own slice of keys, and the slices are disjoint and exhaustive — at
+    100 TB this is the difference between one agg with a billion-key
+    hash table and N independent aggs with bounded ones.  ES hashes
+    with its own function; xxhash64 is the engine's portable stand-in
+    (the CONTRACT — disjoint + exhaustive + deterministic — is what
+    the operator pins, and the md5-family twin below is what the
+    oracle replays)."""
+    if not 0 <= partition < num_partitions:
+        raise ValueError(
+            f"partition must be in [0, {num_partitions}), got {partition}"
+        )
+    return F.pmod(F.xxhash64(F.col(field)), F.lit(num_partitions)) == partition
+
+
+def terms_partition_filter_md5(
+    field: str,
+    partition: int,
+    num_partitions: int,
+) -> Column:
+    """The portable-hash twin of :func:`terms_partition_filter` (md5
+    low-nibble family, same trick as the LSH ``*_md5`` variants) so
+    the slice membership itself is oracle-replayable:
+    ``substr(md5(field), 1, 8)`` as an unsigned hex int mod
+    ``num_partitions``."""
+    if not 0 <= partition < num_partitions:
+        raise ValueError(
+            f"partition must be in [0, {num_partitions}), got {partition}"
+        )
+    h = F.conv(F.substring(F.md5(F.col(field).cast("string")), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(num_partitions)) == partition

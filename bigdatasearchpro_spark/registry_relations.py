@@ -3307,3 +3307,40 @@ def l3_agg_variable_width_histogram(spark, sf_dir):
     return aggs.variable_width_histogram_agg(
         orders, "o_totalprice", 8
     )
+
+
+@register(
+    "l3_agg_terms_partition",
+    """
+    SELECT l_partkey,
+           count(*)::BIGINT AS doc_count,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE ('0x' || substring(md5(l_partkey::VARCHAR), 1, 8))::BIGINT % 4 = 1
+    GROUP BY l_partkey
+    ORDER BY l_partkey
+    """,
+)
+def l3_agg_terms_partition(spark, sf_dir):
+    """L3 [ES parity]: ``terms`` aggregation with ``include:
+    {partition: 1, num_partitions: 4}`` — ES's documented paging for
+    aggregations over fields too high-cardinality for one response:
+    the TERM SPACE is hash-partitioned and each request aggregates one
+    disjoint, exhaustive slice.  The slice predicate is MAP-SIDE on
+    the scan (like sliced scroll), so each page's hash table is
+    bounded by its key slice, not the field cardinality — the 100 TB
+    contract.  Portable md5 family, hash-replayed by the oracle; the
+    xxhash64 fast path carries the same disjoint+exhaustive pytest
+    invariants (operators/aggs.py terms_partition_filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sliced = li.filter(
+        aggs.terms_partition_filter_md5("l_partkey", 1, 4)
+    )
+    return (
+        sliced.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("l_partkey")
+    )

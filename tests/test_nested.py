@@ -367,3 +367,27 @@ def test_variable_width_histogram_twin_and_invariants(spark, sf_dir):
     twin = [((c["s"] / 100) / c["n"], c["mn"], c["mx"], c["n"]) for c in cl]
     got = [(r["key"], r["min"], r["max"], r["doc_count"]) for r in out]
     assert got == twin
+
+
+def test_terms_partition_disjoint_exhaustive(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.select("l_partkey").distinct().count()
+    seen = 0
+    for variant in (aggs.terms_partition_filter,
+                    aggs.terms_partition_filter_md5):
+        parts = [
+            li.filter(variant("l_partkey", p, 4))
+            .select("l_partkey").distinct()
+            for p in range(4)
+        ]
+        counts = [p.count() for p in parts]
+        assert sum(counts) == total  # exhaustive
+        assert all(c > 0 for c in counts)  # all slices populated
+        # disjoint: pairwise intersections empty
+        assert parts[0].intersect(parts[1]).count() == 0
+        assert parts[2].intersect(parts[3]).count() == 0
+        seen += 1
+    assert seen == 2
+    import pytest as _p
+    with _p.raises(ValueError):
+        aggs.terms_partition_filter("l_partkey", 4, 4)

@@ -655,3 +655,60 @@ def test_fourth_pass_plan_gates(spark, sf_dir):
     )
     assert "Cartesian" not in sd
     assert "LeftAnti" in sd
+
+
+def test_seventh_pass_plan_gates(spark, sf_dir):
+    """Round-7 seventh/eighth-pass shapes: sparse-vector and synonym
+    queries are single-scan codegen predicates (no explode/join/
+    Python); the terms-partition slice predicate is map-side (below
+    the aggregation); pinned's organic leg keeps the TakeOrdered
+    heap; edge_ngram/fingerprint analyzers add no Generate."""
+    from bigdatasearchpro_spark.registry import QUERIES
+
+    sv = (
+        QUERIES["l4_sparse_vector_topk"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sv.count("Scan parquet") == 1
+    assert "Generate" not in sv and "Join" not in sv
+    assert "BatchEvalPython" not in sv and "ArrowEvalPython" not in sv
+    assert "TakeOrdered" in sv
+
+    for name in ("l3_synonym_search", "l3_analyzer_edge_ngram"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1, name
+        assert "Generate" not in plan and "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+    # fingerprint dedup: one scan + one hash agg, no window/sort-based
+    # plan, no explode
+    fp = (
+        QUERIES["l1_fingerprint_dedup"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert fp.count("Scan parquet") == 1
+    assert "Generate" not in fp and "Window" not in fp
+    assert "HashAggregate" in fp or "ObjectHashAggregate" in fp
+
+    # terms partition: the slice predicate sits under the aggregation
+    # (map-side on the scan), so the agg's input is already sliced
+    tp = (
+        QUERIES["l3_agg_terms_partition"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan()
+    )
+    s = tp.toString()
+    assert "HashAggregate" in s
+    # Filter appears below the first aggregate in the tree printout
+    assert s.index("HashAggregate") < s.index("Filter (")
+
+    # pinned: organic page is a TakeOrdered heap, pins broadcast
+    pq = (
+        QUERIES["l3_pinned_query"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrdered" in pq
+    assert "BroadcastHashJoin" in pq
+    assert "Cartesian" not in pq

@@ -228,6 +228,7 @@ _R7_DEFER_TO_R8 = (
     "l5_pipeline_curation_v6",
     "l3_agg_variable_width_histogram",
     "l3_agg_terms_partition",
+    "l3_agg_composite_histogram",
 )
 
 

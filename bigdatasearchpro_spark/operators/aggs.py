@@ -1793,3 +1793,18 @@ def terms_partition_filter_md5(
         )
     h = F.conv(F.substring(F.md5(F.col(field).cast("string")), 1, 8), 16, 10)
     return F.pmod(h.cast("long"), F.lit(num_partitions)) == partition
+
+
+def composite_histogram_source(
+    field: str, interval: float, *, name: "str | None" = None
+) -> Column:
+    """ES ``composite`` aggregation ``histogram`` source: the bucket
+    key is ``floor(value / interval) * interval`` — project it as a
+    column and feed the name to :func:`composite_agg` like any other
+    source (ES composes terms/histogram/date_histogram sources the
+    same way: every source is a per-row key expression, which is
+    exactly why the after-key predicate can push map-side)."""
+    out = F.floor(F.col(field) / F.lit(float(interval))) * F.lit(
+        float(interval)
+    )
+    return out.alias(name or f"{field}_bucket")

@@ -3344,3 +3344,40 @@ def l3_agg_terms_partition(spark, sf_dir):
         )
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "l3_agg_composite_histogram",
+    """
+    WITH b AS (
+      SELECT floor(o_totalprice / 50000) * 50000 AS price_bucket,
+             o_orderpriority,
+             count(*)::BIGINT AS doc_count
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT price_bucket, o_orderpriority, doc_count
+    FROM b ORDER BY price_bucket ASC, o_orderpriority ASC
+    LIMIT 5 OFFSET 5
+    """,
+)
+def l3_agg_composite_histogram(spark, sf_dir):
+    """L3 [ES parity]: ``composite`` aggregation with a ``histogram``
+    SOURCE — (price histogram interval 50000, priority terms) bucket
+    tuples in key order, page 2 via the after-key cursor (oracle:
+    OFFSET page-size).  A histogram source is just another per-row key
+    expression, so the map-side after-key pushdown works unchanged —
+    the property that makes composite THE scalable paging surface
+    (operators/aggs.py composite_histogram_source / composite_agg)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        aggs.composite_histogram_source("o_totalprice", 50000,
+                                        name="price_bucket"),
+        "o_orderpriority",
+    )
+    page1 = aggs.composite_agg(
+        orders, ["price_bucket", "o_orderpriority"], size=5
+    ).collect()
+    cursor = (page1[-1]["price_bucket"], page1[-1]["o_orderpriority"])
+    return aggs.composite_agg(
+        orders, ["price_bucket", "o_orderpriority"], size=5, after=cursor
+    )

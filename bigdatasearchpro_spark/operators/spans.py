@@ -28,6 +28,13 @@ Supported subset (unsupported shapes raise honestly):
   what scoring and nested algebra see — differ)
 - ``{"span_not": {"include": spec, "exclude": spec}}`` — include
   spans that OVERLAP no exclude span (ES default dist semantics)
+- ``{"span_multi": {"match": {"prefix"|"wildcard": {"value": v}}}}``
+  — the multi-term wrapper: spans of EVERY token position matching
+  the term-level pattern (ES rewrites the multi-term query to a
+  position-carrying disjunction; here the disjunction stays implicit
+  as one per-token predicate — same array shape, no vocabulary
+  expansion).  Term-level semantics: the value is NOT analyzed
+  (callers supply the already-folded form, like ES).
 """
 
 from __future__ import annotations
@@ -39,14 +46,17 @@ from bigdatasearchpro_spark.operators.search import (
     TextCols,
     analyze_query,
     tokens_expr,
+    wildcard_to_like,
 )
 
 
-def _spans_of_term(toks: Column, term: str) -> Column:
-    """Positions of ``term`` as ``struct<s, e, g>`` spans (g=0)."""
+def _spans_matching(toks: Column, pred) -> Column:
+    """Positions whose token satisfies ``pred`` as ``struct<s, e, g>``
+    spans (g=0) — the shared one-token span constructor behind
+    ``span_term`` (equality) and ``span_multi`` (pattern match)."""
     pos = F.filter(
         F.transform(
-            toks, lambda t, i: F.when(t == F.lit(term), i).otherwise(-1)
+            toks, lambda t, i: F.when(pred(t), i).otherwise(-1)
         ),
         lambda x: x >= 0,
     )
@@ -56,6 +66,11 @@ def _spans_of_term(toks: Column, term: str) -> Column:
             p.alias("s"), p.alias("e"), F.lit(0).alias("g")
         ),
     )
+
+
+def _spans_of_term(toks: Column, term: str) -> Column:
+    """Positions of ``term`` as ``struct<s, e, g>`` spans (g=0)."""
+    return _spans_matching(toks, lambda t: t == F.lit(term))
 
 
 def _near_step(acc: Column, nxt: Column, slop: int, *,
@@ -166,6 +181,23 @@ def span_spec_expr(
                 little,
                 lambda l: F.exists(big, lambda b: covers(b, l)),
             )
+        if kind == "span_multi":
+            match = body.get("match") if isinstance(body, dict) else body
+            if not isinstance(match, dict) or len(match) != 1:
+                raise ValueError(f"span_multi needs one match clause: {body!r}")
+            mkind, mbody = next(iter(match.items()))
+            val = mbody["value"] if isinstance(mbody, dict) else mbody
+            val = str(val)
+            if mkind == "prefix":
+                pred = lambda t: t.startswith(F.lit(val))  # noqa: E731
+            elif mkind == "wildcard":
+                like = wildcard_to_like(val)
+                pred = lambda t: t.like(like)  # noqa: E731
+            else:
+                raise ValueError(
+                    f"span_multi supports prefix/wildcard, got {mkind!r}"
+                )
+            return _spans_matching(toks, pred)
         raise ValueError(f"unsupported span query kind: {kind!r}")
 
     return build(spec)

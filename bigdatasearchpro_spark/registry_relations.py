@@ -3381,3 +3381,44 @@ def l3_agg_composite_histogram(spark, sf_dir):
     return aggs.composite_agg(
         orders, ["price_bucket", "o_orderpriority"], size=5, after=cursor
     )
+
+
+@register(
+    "l3_span_multi_query",
+    f"""
+    WITH {_SPAN_TOKS_CTE}
+    SELECT doc_id, count(*)::BIGINT AS n_spans FROM (
+      SELECT a.doc_id, a.pos AS s, b.pos AS e
+      FROM p a JOIN p b ON a.doc_id = b.doc_id
+      WHERE a.tok LIKE 'sp%' AND b.tok = 'join'
+        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+    ) GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def l3_span_multi_query(spark, sf_dir):
+    """L3 [ES parity]: ``span_multi`` — the multi-term span wrapper
+    (here a ``prefix`` matcher) composed inside ``span_near``: any
+    `sp*` token followed by `join` within a gap budget of 2, span
+    counts per document.  ES rewrites the wrapped query into a
+    position-carrying disjunction over matching vocabulary terms; the
+    re-expression keeps the disjunction implicit as ONE per-token
+    pattern predicate feeding the same span-array algebra — no
+    vocabulary expansion, no explode, one codegen-span expression;
+    the oracle replays it as a positional self-join with a LIKE
+    prefix (operators/spans.py span_spec_expr, span_multi node)."""
+    from bigdatasearchpro_spark.operators.spans import span_spec_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = {"span_near": {
+        "clauses": [
+            {"span_multi": {"match": {"prefix": {"value": "sp"}}}},
+            {"span_term": "join"},
+        ],
+        "slop": 2, "in_order": True,
+    }}
+    spans = span_spec_expr("text", spec)
+    return (
+        docs.select("doc_id", F.size(spans).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy("doc_id")
+    )

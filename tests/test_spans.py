@@ -90,13 +90,50 @@ def test_span_guards(corpus):
             "slop": 1, "in_order": False}})
     with pytest.raises(ValueError, match=">= 2 clauses"):
         span_query(corpus, {"span_near": {"clauses": [{"span_term": "a"}]}})
-    with pytest.raises(ValueError, match="unsupported span"):
+    with pytest.raises(ValueError, match="one match clause"):
         span_query(corpus, {"span_multi": {}})
+    with pytest.raises(ValueError, match="prefix/wildcard"):
+        span_query(corpus, {"span_multi": {
+            "match": {"fuzzy": {"value": "spark"}}}})
+    with pytest.raises(ValueError, match="unsupported span"):
+        span_query(corpus, {"span_nope": {}})
     with pytest.raises(ValueError, match="'little' and 'big'"):
         span_query(corpus, {"span_containing": {}})
     with pytest.raises(ValueError, match="end must be positive"):
         span_query(corpus, {"span_first": {"match": {"span_term": "a"},
                                            "end": 0}})
+
+
+def test_span_multi_prefix_and_wildcard(corpus, spark):
+    # prefix matcher alone: every doc with an sp* token
+    pm = {"span_multi": {"match": {"prefix": {"value": "sp"}}}}
+    assert ids(span_query(corpus, pm)) == [1, 2, 3, 4, 5, 6]
+    # composed inside span_near it carries POSITIONS: sp* then join,
+    # gap <= 2 — same doc set as the span_term form here since the
+    # only sp* token is 'spark'
+    near = {"span_near": {"clauses": [pm, {"span_term": "join"}],
+                          "slop": 2, "in_order": True}}
+    assert ids(span_query(corpus, near)) == [1, 2, 5, 6]
+    # wildcard matcher distinguishes by pattern, not prefix
+    df = spark.createDataFrame(
+        [(1, "spork join"), (2, "spark join"), (3, "speak join")],
+        "doc_id long, text string",
+    )
+    wc = {"span_near": {"clauses": [
+        {"span_multi": {"match": {"wildcard": {"value": "sp?rk"}}}},
+        {"span_term": "join"}], "slop": 0, "in_order": True}}
+    assert ids(span_query(df, wc)) == [1, 2]
+
+
+def test_span_multi_plan_is_single_scan(corpus):
+    out = span_query(corpus, {"span_near": {
+        "clauses": [{"span_multi": {"match": {"prefix": {"value": "sp"}}}},
+                    {"span_term": "join"}],
+        "slop": 2, "in_order": True}})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    assert plan.count("Join") == 0
+    assert "BatchEvalPython" not in plan
 
 
 def test_span_containing_vs_within_span_sets(spark):

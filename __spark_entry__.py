@@ -230,6 +230,7 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_terms_partition",
     "l3_agg_composite_histogram",
     "l3_span_multi_query",
+    "s36_async_search",
 )
 
 

@@ -1781,3 +1781,124 @@ def resize_index(
         "shards": n_t,
         "rows": int(rows),
     }
+
+
+# ES async search (`_async_search`): submit a search, poll PARTIAL
+# results while shards complete, fetch / delete by id.  ES's partial
+# response is the coordinating node's reduce over the shards that
+# have finished so far; the deterministic batch re-expression drives
+# shard completion explicitly (tick_async_search — the same stored-job
+# tick contract as _transform / _watcher / _ilm).  Supported search
+# shape: optional WHERE predicate + GROUP BY key + additive metrics
+# (doc count, integer sum) — exactly the shard-decomposable class
+# ES's own incremental reduce relies on, so any partial equals the
+# true aggregate of the completed shards and the last tick's result
+# equals the whole-index aggregate.
+_ASYNC_SEARCHES: "dict[str, dict]" = {}
+
+
+def submit_async_search(
+    spark: SparkSession,
+    index_name: str,
+    *,
+    group_by: str,
+    sum_col: "str | None" = None,
+    where: "str | None" = None,
+    n_shards: "int | None" = None,
+) -> dict:
+    """ES ``POST /{index}/_async_search``: register the search and
+    return its id + shard progress (0 of N at submit, like ES when no
+    shard has reported).  Routed indices use their REAL ``__shard``
+    partition column (partial fetches prune to completed shard
+    directories — the scan never touches unfinished shards); unrouted
+    indices get virtual shards ``pmod(xxhash64(group_by), n)``.
+    ``sum_col`` is summed on the BIGINT grid (the document model
+    stringifies every field; integer sums keep partials hash-exact)."""
+    import uuid as _uuid
+
+    docs = resolve_index(spark, index_name)
+    if group_by not in docs.columns:
+        raise ValueError(f"unknown group_by field {group_by!r}")
+    if sum_col is not None and sum_col not in docs.columns:
+        raise ValueError(f"unknown sum field {sum_col!r}")
+    if where is not None:
+        docs.filter(where)  # validate the predicate compiles
+    meta = routing_meta(spark, index_name)
+    if meta is not None:
+        total = int(meta["shards"])
+        if n_shards is not None and n_shards != total:
+            raise ValueError(
+                f"index has {total} routed shards; n_shards must match"
+            )
+    else:
+        from bigdatasearchpro_spark.sinks.ddl import DEFAULT_SHARDS
+
+        total = int(n_shards or DEFAULT_SHARDS)
+    sid = _uuid.uuid4().hex[:16]
+    _ASYNC_SEARCHES[sid] = {
+        "index": index_name,
+        "group_by": group_by,
+        "sum_col": sum_col,
+        "where": where,
+        "routed": meta is not None,
+        "total_shards": total,
+        "completed_shards": 0,
+    }
+    return {"id": sid, "is_running": True, "is_partial": True,
+            "total_shards": total, "completed_shards": 0}
+
+
+def tick_async_search(spark: SparkSession, search_id: str,
+                      shards: int = 1) -> dict:
+    """Advance shard completion by ``shards`` (ES: time passes and
+    more shards report; here the progression is explicit and
+    deterministic).  Returns the updated status."""
+    s = _ASYNC_SEARCHES.get(search_id)
+    if s is None:
+        raise ValueError(f"no async search {search_id!r}")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    s["completed_shards"] = min(s["total_shards"],
+                                s["completed_shards"] + int(shards))
+    running = s["completed_shards"] < s["total_shards"]
+    return {"id": search_id, "is_running": running, "is_partial": running,
+            "total_shards": s["total_shards"],
+            "completed_shards": s["completed_shards"]}
+
+
+def get_async_search(spark: SparkSession, search_id: str) -> dict:
+    """ES ``GET /_async_search/{id}``: the reduce over completed
+    shards — ONE filter + hash aggregate per fetch (the shard
+    predicate prunes routed indices to completed shard directories);
+    ``is_partial`` until every shard is in, at which point the
+    response is the whole-index aggregate."""
+    from pyspark.sql import functions as F
+
+    s = _ASYNC_SEARCHES.get(search_id)
+    if s is None:
+        raise ValueError(f"no async search {search_id!r}")
+    docs = resolve_index(spark, s["index"])
+    k = s["completed_shards"]
+    if s["routed"]:
+        shard = F.col("__shard")
+    else:
+        shard = F.pmod(F.xxhash64(F.col(s["group_by"])),
+                       F.lit(s["total_shards"]))
+    part = docs.filter(shard < F.lit(k))
+    if s["where"] is not None:
+        part = part.filter(s["where"])
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if s["sum_col"] is not None:
+        aggs.append(
+            F.sum(F.col(s["sum_col"]).cast("bigint")).alias("sum_metric")
+        )
+    running = k < s["total_shards"]
+    resp = part.groupBy(s["group_by"]).agg(*aggs).orderBy(s["group_by"])
+    return {"id": search_id, "is_running": running, "is_partial": running,
+            "total_shards": s["total_shards"], "completed_shards": k,
+            "response": resp}
+
+
+def delete_async_search(spark: SparkSession, search_id: str) -> bool:
+    """ES ``DELETE /_async_search/{id}`` — True iff it existed."""
+    return _ASYNC_SEARCHES.pop(search_id, None) is not None

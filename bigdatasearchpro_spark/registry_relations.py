@@ -3422,3 +3422,53 @@ def l3_span_multi_query(spark, sf_dir):
         .filter(F.col("n_spans") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "s36_async_search",
+    """
+    SELECT lang, count(*)::BIGINT AS doc_count,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def s36_async_search(spark, sf_dir):
+    """S36 [ES parity]: ``_async_search`` lifecycle — submit a grouped
+    search over a 4-shard lang-routed index, tick 2 shards and fetch a
+    PARTIAL response (is_partial, and — because routing colocates each
+    lang in exactly one shard — every partial row is the EXACT final
+    row for its completed shard's langs, asserted here), tick the
+    rest, fetch the final response, delete the search.  Each fetch is
+    ONE filter + hash aggregate whose shard predicate PRUNES the
+    routed scan to completed shard directories; the final reduce
+    equals the whole-index aggregate, which the oracle replays
+    (api.submit/tick/get/delete_async_search)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = f"async_probe_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs, name, id_col="doc_id",
+                           routing_col="lang", n_shards=4)
+    try:
+        sub = api.submit_async_search(spark, name, group_by="lang",
+                                      sum_col="n_chars")
+        assert sub["is_partial"] and sub["completed_shards"] == 0
+        api.tick_async_search(spark, sub["id"], shards=2)
+        part = api.get_async_search(spark, sub["id"])
+        assert part["is_partial"] and part["completed_shards"] == 2
+        partial_rows = {tuple(r) for r in part["response"].collect()}
+        st = api.tick_async_search(spark, sub["id"], shards=2)
+        assert not st["is_running"]
+        fin = api.get_async_search(spark, sub["id"])
+        assert not fin["is_partial"]
+        rows = fin["response"].collect()
+        # routed-shard partials are exact finals for their langs
+        assert partial_rows < {tuple(r) for r in rows}
+        assert api.delete_async_search(spark, sub["id"])
+    finally:
+        api.delete_index(spark, name)
+    return spark.createDataFrame(
+        rows, "lang string, doc_count bigint, sum_chars bigint"
+    ).orderBy("lang")

@@ -1113,3 +1113,89 @@ def test_terms_enum(spark, docs):
             api.terms_enum(spark, idx, "nope")
     finally:
         api.delete_index(spark, idx)
+
+
+def test_async_search_partial_monotone_and_final(spark, docs):
+    import uuid
+
+    import pytest as pt
+
+    idx = f"as_{uuid.uuid4().hex[:6]}"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id",
+                           routing_col="lang", n_shards=4)
+    try:
+        sub = api.submit_async_search(spark, idx, group_by="lang",
+                                      sum_col="n_chars")
+        assert sub["is_running"] and sub["completed_shards"] == 0
+        # 0 completed shards -> empty partial
+        assert api.get_async_search(spark, sub["id"])["response"].count() == 0
+        seen: set = set()
+        for _ in range(4):
+            st = api.tick_async_search(spark, sub["id"])
+            got = api.get_async_search(spark, sub["id"])
+            rows = {tuple(r) for r in got["response"].collect()}
+            # lang routing: partials only ever GROW by whole exact rows
+            assert seen <= rows
+            seen = rows
+            assert got["is_partial"] == st["is_running"]
+        # over-ticking caps at total_shards
+        st = api.tick_async_search(spark, sub["id"], shards=5)
+        assert st["completed_shards"] == 4 and not st["is_running"]
+        expect = {
+            (r["lang"], r["cnt"], r["s"])
+            for r in docs.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("n_chars").cast("bigint")).alias("s")).collect()
+        }
+        assert seen == expect
+        assert api.delete_async_search(spark, sub["id"])
+        assert not api.delete_async_search(spark, sub["id"])
+    finally:
+        api.delete_index(spark, idx)
+
+
+def test_async_search_unrouted_virtual_shards_and_guards(spark, docs):
+    import uuid
+
+    import pytest as pt
+
+    idx = f"asv_{uuid.uuid4().hex[:6]}"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id")
+    try:
+        with pt.raises(ValueError, match="unknown group_by"):
+            api.submit_async_search(spark, idx, group_by="nope")
+        with pt.raises(ValueError, match="unknown sum field"):
+            api.submit_async_search(spark, idx, group_by="lang",
+                                    sum_col="nope")
+        sub = api.submit_async_search(spark, idx, group_by="lang",
+                                      n_shards=3, where="lang <> 'de'")
+        assert sub["total_shards"] == 3
+        api.tick_async_search(spark, sub["id"], shards=3)
+        fin = api.get_async_search(spark, sub["id"])
+        assert not fin["is_partial"]
+        got = {(r["lang"], r["doc_count"]) for r in fin["response"].collect()}
+        expect = {(r["lang"], r["n"]) for r in
+                  docs.filter("lang <> 'de'").groupBy("lang")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == expect
+        with pt.raises(ValueError, match="no async search"):
+            api.get_async_search(spark, "missing")
+        with pt.raises(ValueError, match="no async search"):
+            api.tick_async_search(spark, "missing")
+    finally:
+        api.delete_index(spark, idx)
+
+
+def test_async_search_routed_shard_count_must_match(spark, docs):
+    import uuid
+
+    import pytest as pt
+
+    idx = f"asr_{uuid.uuid4().hex[:6]}"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id",
+                           routing_col="lang", n_shards=4)
+    try:
+        with pt.raises(ValueError, match="must match"):
+            api.submit_async_search(spark, idx, group_by="lang", n_shards=8)
+    finally:
+        api.delete_index(spark, idx)

@@ -231,6 +231,10 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_composite_histogram",
     "l3_span_multi_query",
     "s36_async_search",
+    "l3_regexp_query",
+    "l3_agg_change_point",
+    "l5_curriculum_order",
+    "l5_shuffle_shards",
 )
 
 

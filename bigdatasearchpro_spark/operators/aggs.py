@@ -824,6 +824,59 @@ def moving_avg_agg(
     )
 
 
+def change_point_agg(
+    buckets: DataFrame, metric: str, *, order_col: str = "key"
+) -> DataFrame:
+    """ES ``change_point`` aggregation (8.x), step-change form: find
+    the bucket where the series' mean level shifts most — the split
+    point k maximizing |mean(buckets[..k]) - mean(buckets[k..])|, the
+    classic two-segment CUSUM/mean-shift statistic (public algorithm;
+    ES additionally classifies spike/dip/trend, which reduce to other
+    statistics over the same bucket frame).
+
+    Returns ONE row: the first bucket of the right segment (where the
+    new level starts, like ES's ``change_point.bucket``), both segment
+    means, their absolute difference, and ``change_type``
+    ('step_change').
+
+    Determinism: segment sums/counts are exact integers; each mean is
+    ONE double division, the delta one subtraction — bit-stable
+    cross-engine, so the argmax (ties broken on bucket key) replays
+    exactly.  Like every pipeline agg here the windows run over the
+    BUCKET frame (bucket cardinality, never corpus size)."""
+    w = Window.orderBy(F.asc(order_col))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = buckets.select(
+        F.row_number().over(w).alias("__rn"),
+        F.sum(metric).over(wcum).alias("__cum"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.sum(metric).over(wall).alias("__tot"),
+        F.lead(order_col, 1).over(w).alias("__next"),
+    )
+    c = s.filter(F.col("__rn") < F.col("__n")).select(
+        F.col("__next").alias(order_col),
+        (F.col("__cum").cast("double") / F.col("__rn").cast("double")).alias(
+            "left_mean"
+        ),
+        (
+            (F.col("__tot") - F.col("__cum")).cast("double")
+            / (F.col("__n") - F.col("__rn")).cast("double")
+        ).alias("right_mean"),
+    )
+    return (
+        c.select(
+            order_col,
+            "left_mean",
+            "right_mean",
+            F.abs(F.col("right_mean") - F.col("left_mean")).alias("mean_delta"),
+            F.lit("step_change").alias("change_type"),
+        )
+        .orderBy(F.desc("mean_delta"), F.asc(order_col))
+        .limit(1)
+    )
+
+
 def bucket_script_agg(
     buckets: DataFrame, name: str, script: Column
 ) -> DataFrame:

@@ -1003,3 +1003,96 @@ def length_bucketed_batches(
         )
         .orderBy("shard", "batch_id")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_col: str = "lang",
+    phases: int = 4,
+) -> DataFrame:
+    """Curriculum ordering: lay the corpus out easy-first for training —
+    documents are bucketed into ``phases`` quality phases (phase 1 =
+    highest quality logit) and SHUFFLED within each phase by
+    ``md5(id)`` (the portable engine-agnostic shuffle
+    :func:`domain_mixture` uses), the standard quality-curriculum
+    recipe: the model sees clean text early, the noisy tail late,
+    with no quality gradient *inside* a phase.
+
+    Both windows partition by ``per_col`` (per-language streams — each
+    group sorts in parallel over the SAME exchange, no global corpus
+    sort; the l5_quality_deciles scale lesson).  Output:
+    ``(id, per_col, logit_scaled, phase, seq_in_<per_col>)`` where the
+    seq column is the within-group training order.
+    """
+    from bigdatasearchpro_spark.operators.textstats import (
+        quality_logit_scores,
+    )
+
+    if phases <= 0:
+        raise ValueError(f"phases must be positive, got {phases}")
+    scored = quality_logit_scores(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(F.col(id_col), F.col(per_col)), id_col
+    )
+    wq = Window.partitionBy(per_col).orderBy(
+        F.desc("logit_scaled"), F.asc(id_col)
+    )
+    staged = scored.select(
+        F.col(id_col),
+        F.col(per_col),
+        F.col("logit_scaled"),
+        F.ntile(phases).over(wq).alias("phase"),
+    )
+    ws = Window.partitionBy(per_col).orderBy(
+        F.asc("phase"), F.md5(F.col(id_col).cast("string")), F.asc(id_col)
+    )
+    return staged.select(
+        id_col,
+        per_col,
+        "logit_scaled",
+        "phase",
+        F.row_number().over(ws).alias(f"seq_in_{per_col}"),
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 16,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic shard-shuffle assignment: every document draws its
+    training shard from ``md5(id)`` — the global-shuffle step a shard
+    writer runs before tensorization, reprocessing-stable (re-running
+    over a grown corpus never moves an old document to a new shard,
+    unlike ``rand()`` or round-robin on arrival order).
+
+    Returns the per-document ``(id, shard, n_tokens)`` assignment
+    (whitespace token count, the payload a balance check needs).  The
+    writer form is ``result.repartition(n_shards, "shard")
+    .sortWithinPartitions("shard", id_col).write...`` — ONE hash
+    exchange lands every shard contiguously on its writer task; md5 is
+    uniform, so shard sizes concentrate tightly around corpus/n (no
+    planned skew at any scale).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(int(n_shards)),
+    )
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )

@@ -820,6 +820,47 @@ def proximity_match(
     )
 
 
+def regexp_match(
+    docs: DataFrame,
+    pattern: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """ES ``regexp`` query shape: documents with at least one analyzer
+    token whose ENTIRE text matches ``pattern`` (ES anchors regexp
+    queries to the whole term — ``sp.*`` matches the token ``spark``,
+    never a substring of a longer token).  Returns matching doc ids
+    plus ``n_regex_tokens``, the number of token occurrences that
+    matched (the deterministic ranking surrogate for ES's
+    constant-score regexp).
+
+    Plan shape: ONE narrow projection over the per-row token array —
+    ``size(filter(tokens, t -> t RLIKE '^(?:pat)$'))`` — no explode,
+    no shuffle, inside whole-stage codegen.  At vocabulary scale the
+    expansion form (match the DISTINCT vocabulary first, then
+    broadcast the matched terms back, as fuzzy_vocab_terms does) is
+    the indexed path; the narrow scan form here is the right
+    scan-time shape because the regex runs once per token occurrence
+    either way and needs no second pass.
+
+    Stick to the regex subset common to Java (Spark) and RE2-ish
+    engines: literals, classes, alternation, quantifiers — no
+    backreferences or lookaround.
+    """
+    anchored = f"^(?:{pattern})$"
+    n = F.size(
+        F.filter(tokens_expr(text_col), lambda t: t.rlike(anchored))
+    ).alias("n_regex_tokens")
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    return (
+        fan_out(docs)
+        .select(id_col, n)
+        .filter(F.col("n_regex_tokens") > 0)
+    )
+
+
 def fuzzy_vocab_terms(
     docs: DataFrame,
     term: str,

@@ -3501,3 +3501,44 @@ def l3_agg_global(spark, sf_dir):
         F.sum("n_chars").alias("global_chars"),
     )
     return m.crossJoin(F.broadcast(g))
+
+
+@register(
+    "l3_agg_change_point",
+    f"""
+    WITH {_CLICK_BUCKETS_CTE},
+    s AS (
+      SELECT key, doc_count,
+             row_number() OVER (ORDER BY key) AS rn,
+             CAST(sum(doc_count) OVER (
+               ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum,
+             count(*) OVER () AS n,
+             CAST(sum(doc_count) OVER () AS BIGINT) AS tot,
+             lead(key) OVER (ORDER BY key) AS next_key
+      FROM b
+    ),
+    c AS (
+      SELECT next_key AS key,
+             CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE) AS left_mean,
+             CAST(tot - cum AS DOUBLE) / CAST(n - rn AS DOUBLE) AS right_mean
+      FROM s WHERE rn < n
+    )
+    SELECT key, left_mean, right_mean,
+           abs(right_mean - left_mean) AS mean_delta,
+           'step_change' AS change_type
+    FROM c
+    ORDER BY mean_delta DESC, key ASC
+    LIMIT 1
+    """,
+)
+def l3_agg_change_point(spark, sf_dir):
+    """L3 [ES parity]: ``change_point`` aggregation (ES 8.x) — the
+    step-change detector over the hourly click-bucket series: the
+    split maximizing |mean(left) - mean(right)|, reported as the first
+    bucket of the new level plus both segment means.  Exact integer
+    segment sums -> one double division each -> bit-stable argmax
+    (ties on bucket key), so the oracle replays the full statistic;
+    windows run over the ~700-row bucket frame, never the corpus
+    (operators/aggs.py change_point_agg)."""
+    return aggs.change_point_agg(_click_buckets(spark, sf_dir), "doc_count")

@@ -1057,3 +1057,77 @@ def l5_script_detect(spark, sf_dir):
         ),
     )
     return script_profile(docs).orderBy("doc_id")
+
+
+# appended after the _ORACLES import above (line ~359): the curriculum
+# oracle reuses the quality-logit SQL verbatim, same as the deciles one
+@register("l5_curriculum_order", None)  # oracle attached below
+def l5_curriculum_order(spark, sf_dir):
+    """L5 [training data]: curriculum ordering — per-language training
+    order with documents bucketed into 4 quality phases (phase 1 = top
+    logit quartile) and md5(id)-shuffled WITHIN each phase: the model
+    sees clean text early and the noisy tail late, with no quality
+    gradient inside a phase.  Both windows partition by lang (parallel
+    per-group sorts over one exchange — never a global corpus sort);
+    the oracle replays ntile + row_number over the shared quality-logit
+    SQL (operators/curation.py curriculum_order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.curriculum_order(docs, per_col="lang", phases=4)
+
+
+_ORACLES["l5_curriculum_order"] = f"""
+    WITH ql AS ({_ORACLES["l5_quality_logit"]}),
+    j AS (
+      SELECT ql.doc_id, d.lang, ql.logit_scaled,
+             ntile(4) OVER (PARTITION BY d.lang
+                            ORDER BY ql.logit_scaled DESC, ql.doc_id)
+               AS phase
+      FROM ql JOIN documents d ON ql.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, logit_scaled, phase,
+           row_number() OVER (
+             PARTITION BY lang
+             ORDER BY phase, md5(doc_id::VARCHAR), doc_id
+           ) AS seq_in_lang
+    FROM j
+"""
+
+
+@register(
+    "l5_shuffle_shards",
+    r"""
+    WITH a AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16
+               AS shard,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> ''))::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM a GROUP BY shard ORDER BY shard
+    """,
+)
+def l5_shuffle_shards(spark, sf_dir):
+    """L5 [training data]: deterministic shard shuffle — every document
+    draws its training shard (of 16) from md5(id), the global-shuffle
+    layout step before tensorization; reprocessing-stable (a grown
+    corpus never moves old documents between shards, unlike rand() or
+    arrival order).  Checked as the per-shard balance summary (doc
+    count, token mass, id range — md5 is uniform so shards concentrate
+    around corpus/16); the writer form is one repartition(n, shard)
+    hash exchange (operators/curation.py shuffle_shards)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.shuffle_shards(docs, 16)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )

@@ -2969,3 +2969,34 @@ def l3_range_date_math(spark, sf_dir):
         .agg(F.count("*").alias("doc_count"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "l3_regexp_query",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(l, x -> regexp_full_match(x, '(sc|sp)[a-z]+')))
+             AS n_regex_tokens
+    FROM base
+    WHERE len(list_filter(l, x -> regexp_full_match(x, '(sc|sp)[a-z]+'))) > 0
+    ORDER BY doc_id
+    """,
+)
+def l3_regexp_query(spark, sf_dir):
+    """L3 [ES parity]: ``regexp`` query — documents with any analyzer
+    token whose ENTIRE text matches `(sc|sp)[a-z]+` (ES anchors the
+    regexp to the whole term; here it hits `scan` and `spark` but not
+    `small`/`sort`), plus the matched-occurrence count as the
+    deterministic ranking surrogate for ES's constant-score regexp.
+    One narrow size(filter(tokens, rlike)) projection — no explode, no
+    shuffle; the regex subset used is common to Java and RE2 so the
+    DuckDB regexp_full_match twin replays it verbatim
+    (operators/search.py regexp_match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.regexp_match(docs, "(sc|sp)[a-z]+").orderBy("doc_id")

@@ -834,3 +834,29 @@ def test_random_sampler_deterministic_estimates(spark, docs):
 
     with pt.raises(ValueError):
         random_sampler_agg(docs, 0, {"est": F.count(F.lit(1))})
+
+
+def test_change_point_agg_step_fixture(spark):
+    """Hand-computable step series 2,2,2,10,10: the change point is the
+    4th bucket, left mean 2.0, right mean 10.0, delta 8.0."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    rows = [(k, v) for k, v in zip(range(1, 6), (2, 2, 2, 10, 10))]
+    buckets = spark.createDataFrame(rows, "key long, doc_count long")
+    [r] = aggs.change_point_agg(buckets, "doc_count").collect()
+    assert r["key"] == 4
+    assert r["left_mean"] == 2.0
+    assert r["right_mean"] == 10.0
+    assert r["mean_delta"] == 8.0
+    assert r["change_type"] == "step_change"
+
+
+def test_change_point_agg_tie_breaks_on_key(spark):
+    """A symmetric series admits two equal-delta splits: the earlier
+    bucket key must win deterministically."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    rows = [(1, 0), (2, 4), (3, 0)]
+    buckets = spark.createDataFrame(rows, "key long, doc_count long")
+    [r] = aggs.change_point_agg(buckets, "doc_count").collect()
+    assert r["key"] == 2  # split after bucket 1 ties split after 2; earlier wins

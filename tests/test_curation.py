@@ -675,3 +675,49 @@ def test_weighted_token_budget_discounts_duplicates(spark, sf_dir):
         != F.floor(F.col("raw") * F.col("weight_ppm") / F.lit(1_000_000))
     )
     assert bad.count() == 0
+
+
+def test_curriculum_order_phases_and_within_phase_shuffle(spark):
+    """Phase 1 holds the top-quality quartile per language; the seq
+    column is 1..n per group and phase-monotonic (all phase-1 docs
+    precede all phase-2 docs in training order)."""
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "fr"
+        # longer, wordier docs score a higher quality logit
+        n = 60 + (i % 10) * 20
+        rows.append((i, lang, " ".join(f"w{j} the be to of" for j in range(n // 5))))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = curation.curriculum_order(docs, per_col="lang", phases=4).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "fr"}
+    for lang, grp in by_lang.items():
+        grp.sort(key=lambda r: r["seq_in_lang"])
+        assert [r["seq_in_lang"] for r in grp] == list(range(1, len(grp) + 1))
+        # training order never goes back to an earlier phase
+        phases = [r["phase"] for r in grp]
+        assert phases == sorted(phases)
+        # phase 1 logits dominate phase 4 logits
+        p1 = [r["logit_scaled"] for r in grp if r["phase"] == 1]
+        p4 = [r["logit_scaled"] for r in grp if r["phase"] == 4]
+        assert min(p1) >= max(p4)
+
+
+def test_shuffle_shards_deterministic_and_growth_stable(spark):
+    """Same id -> same shard on every run; adding new documents never
+    moves an existing document's shard (md5, not arrival order)."""
+    rows = [(i, f"tok{i} alpha beta") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["shard"] for r in curation.shuffle_shards(docs, 16).collect()}
+    assert set(a.values()) <= set(range(16))
+    grown = spark.createDataFrame(
+        rows + [(1000 + i, f"new{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    b = {r["doc_id"]: r["shard"] for r in curation.shuffle_shards(grown, 16).collect()}
+    assert all(b[i] == a[i] for i in a)
+    # token counts are whitespace words
+    tok = {r["doc_id"]: r["n_tokens"] for r in curation.shuffle_shards(docs, 16).collect()}
+    assert tok[0] == 3

@@ -860,3 +860,23 @@ def test_collapse_inner_hits_groups(spark):
     # default path (inner_hits=0) is unchanged: winner rows only
     plain = collapse_topk(df, "spark", "source", 10)
     assert set(plain.columns) == {"doc_id", "source", "score"}
+
+
+def test_regexp_match_anchored_whole_token(spark):
+    """ES regexp anchors to the whole term: 'sp[a-z]+' must match the
+    token 'spark' but never a substring of 'respark' -- and the count
+    column counts occurrences."""
+    from bigdatasearchpro_spark.operators import search
+
+    rows = [
+        (1, "spark spark scan"),      # spark x2 (pattern sp[a-z]+)
+        (2, "respark unsparkly"),     # substring only -> no match
+        (3, "sp spx"),                # 'sp' fails ([a-z]+ needs a tail), 'spx' matches
+        (4, "table value"),           # no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["n_regex_tokens"]
+        for r in search.regexp_match(docs, "sp[a-z]+").collect()
+    }
+    assert out == {1: 2, 3: 1}

@@ -481,6 +481,7 @@ _CORPUS_WINDOW_ENTRIES = [
     "l5_domain_token_budget",
     "l5_pack_sequences",
     "l5_pipeline_curation_v2",
+    "l5_curriculum_order",
 ]
 
 _SORT_SPEC = __import__("re").compile(r"(ASC|DESC) NULLS (FIRST|LAST)")
@@ -712,3 +713,45 @@ def test_seventh_pass_plan_gates(spark, sf_dir):
     assert "TakeOrdered" in pq
     assert "BroadcastHashJoin" in pq
     assert "Cartesian" not in pq
+
+
+def test_ninth_pass_plan_gates(spark, sf_dir):
+    """Ninth-pass shapes: the regexp query is a single-scan narrow
+    predicate (no explode/join/Python, only fan_out's round-robin
+    respread); shard assignment is shuffle-free (one narrow
+    projection — the entry's balance summary adds exactly the one
+    groupBy exchange); change_point's corpus input flows through ONE
+    hash aggregate before any window touches the (bucket-sized)
+    frame."""
+    from bigdatasearchpro_spark.plans import exchange_kinds
+    from bigdatasearchpro_spark.registry import QUERIES
+
+    from bigdatasearchpro_spark.operators import curation, search
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the bare operator (the registry entry adds only a cosmetic
+    # orderBy for the oracle diff): one scan, narrow predicate
+    rx = search.regexp_match(docs, "(sc|sp)[a-z]+")
+    s = rx._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Scan parquet") == 1
+    assert "Generate" not in s and "Join" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert all(k.lower().startswith("roundrobin") for k in exchange_kinds(rx))
+
+    assert shuffle_count(curation.shuffle_shards(docs, 16)) == 0
+    # the entry's balance summary: exactly ONE hash exchange (the
+    # groupBy); the only other exchange is the 16-row cosmetic orderBy
+    sh_kinds = [
+        k.lower()
+        for k in exchange_kinds(QUERIES["l5_shuffle_shards"](spark, sf_dir))
+    ]
+    assert sh_kinds.count("hashpartitioning") == 1, sh_kinds
+
+    cp = (
+        QUERIES["l3_agg_change_point"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus-side reduction (date_trunc bucketing) precedes every
+    # window in the printed tree: windows only ever see bucket rows
+    assert "HashAggregate" in cp and "Window" in cp
+    assert cp.index("Window") < cp.index("HashAggregate")

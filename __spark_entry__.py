@@ -235,6 +235,8 @@ _R7_DEFER_TO_R8 = (
     "l3_agg_change_point",
     "l5_curriculum_order",
     "l5_shuffle_shards",
+    "l5_intra_doc_dedup",
+    "l5_tokenizer_fertility",
 )
 
 

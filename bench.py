@@ -141,6 +141,12 @@ BENCH_QUERIES = [
     # + array-expression query, and the pinned page over the BM25 leg
     "l3_nested_query",
     "l3_pinned_query",
+    # round-7 ninth pass: regexp scan predicate, change-point bucket
+    # detector, curriculum windows, shard-shuffle balance agg
+    "l3_regexp_query",
+    "l3_agg_change_point",
+    "l5_curriculum_order",
+    "l5_shuffle_shards",
 ]
 
 
@@ -189,6 +195,14 @@ def main() -> None:
         queries["etl_bulk_load"] = round(etl_sec, 3)
 
         for name in BENCH_QUERIES:
+            # Inter-query hygiene: drop caches persisted by earlier
+            # queries and nudge the JVM to collect before timing — the
+            # suite shares one JVM, and leftover cached relations / GC
+            # debt from an earlier heavy query otherwise bleeds into
+            # this one's wall time (observed 3-5x phantom swings on
+            # mid-suite queries as the suite grew).
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
             def _run_once() -> float:
                 t0 = time.time()

@@ -1096,3 +1096,89 @@ def shuffle_shards(
         shard.alias("shard"),
         n_tokens.cast("long").alias("n_tokens"),
     )
+
+
+def intra_doc_dedup(
+    docs: DataFrame,
+    *,
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal — the intra-doc twin of
+    :func:`segment_dedup`: a document that repeats its own content
+    (scraper loops, templated listicles, chorus-like spam) keeps only
+    the FIRST occurrence of each ``seg_tokens``-token segment; other
+    documents are untouched.  Cross-doc boilerplate needs the
+    corpus-level frequency agg; self-repetition needs no corpus state
+    at all, which is why this form is strictly narrower.
+
+    Plan: ONE array expression per row (``array_distinct`` preserves
+    first-occurrence order) — no explode, no shuffle, no corpus pass;
+    embarrassingly parallel at any scale.
+
+    Output: ``(id, n_segments, n_removed, clean_text)``.
+    """
+    segs = _segments(tokens_expr(text_col), seg_tokens)
+    kept = F.array_distinct(segs)
+    return docs.select(
+        F.col(id_col),
+        F.size(segs).alias("n_segments"),
+        (F.size(segs) - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-evaluation stats per group (usually language):
+    **fertility** = BPE tokens per whitespace word and **bytes per
+    token** = UTF-8 bytes per BPE token — the two numbers a pretraining
+    recipe checks before committing to a tokenizer (high fertility on a
+    language means its documents cost disproportionate sequence length;
+    the compression ratio drives token-budget accounting).
+
+    One narrow projection (the byte-level BPE count is the existing
+    Arrow ``pandas_udf`` over the fixed merges table) + one hash agg on
+    the group key; the ratios divide the exact integer sums once, so
+    they are bit-stable — but the BPE count itself is not
+    SQL-expressible, so the registry entry is rows-only by design with
+    a Python-twin pytest.
+
+    Output: ``(group, n_docs, bpe_tokens, ws_words, n_bytes,
+    fertility, bytes_per_token)``.
+    """
+    from bigdatasearchpro_spark.functions.bpe import bpe_token_count
+
+    ws = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    base = docs.select(
+        F.col(group_col),
+        bpe_token_count(F.col(text_col)).alias("__bpe"),
+        ws.cast("long").alias("__words"),
+        F.octet_length(text_col).cast("long").alias("__bytes"),
+    )
+    agg = base.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__bpe").alias("bpe_tokens"),
+        F.sum("__words").alias("ws_words"),
+        F.sum("__bytes").alias("n_bytes"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "bpe_tokens",
+        "ws_words",
+        "n_bytes",
+        (
+            F.col("bpe_tokens").cast("double") / F.col("ws_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("n_bytes").cast("double") / F.col("bpe_tokens").cast("double")
+        ).alias("bytes_per_token"),
+    )

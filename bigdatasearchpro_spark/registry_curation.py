@@ -1131,3 +1131,92 @@ def l5_shuffle_shards(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "l5_intra_doc_dedup",
+    """
+    WITH t0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN l[1:30] || l[1:30] ELSE l END
+               AS toks
+      FROM t0
+    ),
+    seglist AS (
+      SELECT doc_id,
+             [array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+              FOR i IN generate_series(0,
+                  CAST(ceil(len(toks) / 10.0) AS INT) - 1)] AS segs
+      FROM src
+    ),
+    seg AS (
+      SELECT doc_id, unnest(generate_series(0, len(segs) - 1)) AS pos,
+             unnest(segs) AS seg
+      FROM seglist
+    ),
+    firsts AS (
+      SELECT doc_id, seg, min(pos) AS fpos
+      FROM seg GROUP BY doc_id, seg
+    ),
+    agg AS (
+      SELECT s.doc_id,
+             count(*)::INTEGER AS n_segments,
+             (count(*) - count(DISTINCT s.seg))::INTEGER AS n_removed
+      FROM seg s GROUP BY s.doc_id
+    ),
+    txt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY fpos) AS clean_text
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT t0.doc_id,
+           coalesce(agg.n_segments, 0) AS n_segments,
+           coalesce(agg.n_removed, 0) AS n_removed,
+           coalesce(txt.clean_text, '') AS clean_text
+    FROM t0
+    LEFT JOIN agg ON t0.doc_id = agg.doc_id
+    LEFT JOIN txt ON t0.doc_id = txt.doc_id
+    ORDER BY t0.doc_id
+    """,
+)
+def l5_intra_doc_dedup(spark, sf_dir):
+    """L5 [training data]: WITHIN-document repeated-segment removal —
+    the intra-doc twin of l5_segment_dedup (scraper loops / templated
+    self-repetition keep only the first occurrence of each 10-token
+    segment).  Self-repetition is synthesized deterministically (every
+    7th doc becomes its own first 30 analyzer tokens doubled — three
+    exactly-repeated aligned segments); the operator is ONE
+    array_distinct expression per row, no explode, no shuffle, no
+    corpus state (operators/curation.py intra_doc_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    head30 = F.slice(toks, 1, 30)
+    rep = F.array_join(F.concat(head30, head30), " ")
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, rep)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation.intra_doc_dedup(corpus, seg_tokens=10).orderBy("doc_id")
+
+
+@register("l5_tokenizer_fertility", None)  # BPE: rows-only by design
+def l5_tokenizer_fertility(spark, sf_dir):
+    """L5 [training data]: tokenizer fertility report — per-language
+    BPE-tokens-per-word and bytes-per-BPE-token over the corpus, the
+    two numbers a pretraining recipe checks before committing to a
+    tokenizer (high fertility = the language pays disproportionate
+    sequence length).  The byte-level BPE count is the fixed-merges
+    Arrow pandas_udf (not SQL-expressible -> rows-only; the exact
+    integer sums and single divisions are pinned by a Python-twin
+    pytest) (operators/curation.py tokenizer_fertility)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.tokenizer_fertility(docs, group_col="lang").orderBy("lang")

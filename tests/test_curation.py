@@ -721,3 +721,52 @@ def test_shuffle_shards_deterministic_and_growth_stable(spark):
     # token counts are whitespace words
     tok = {r["doc_id"]: r["n_tokens"] for r in curation.shuffle_shards(docs, 16).collect()}
     assert tok[0] == 3
+
+
+def test_intra_doc_dedup_keeps_first_occurrence(spark):
+    """'a b a b' at seg_tokens=2 is two identical segments -> one kept;
+    misaligned repetition is untouched; unique docs pass through."""
+    rows = [
+        (1, "a b a b"),            # segs: [a b][a b] -> 1 removed
+        (2, "x a b a"),            # segs: [x a][b a] -> distinct, kept
+        (3, "q r s"),              # segs: [q r][s]   -> unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curation.intra_doc_dedup(docs, seg_tokens=2).collect()
+    }
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (2, 1)
+    assert out[1]["clean_text"] == "a b"
+    assert (out[2]["n_segments"], out[2]["n_removed"]) == (2, 0)
+    assert out[2]["clean_text"] == "x a b a"
+    assert (out[3]["n_segments"], out[3]["n_removed"]) == (2, 0)
+    assert out[3]["clean_text"] == "q r s"
+
+
+def test_tokenizer_fertility_python_twin(spark):
+    """The per-group sums equal the pure-Python BPE twin computed
+    row-by-row; the ratios are the single divisions of those sums."""
+    from bigdatasearchpro_spark.functions.bpe import bpe_count_text
+
+    rows = [
+        (1, "en", "the quick brown fox"),
+        (2, "en", "jumps over the lazy dog"),
+        (3, "de", "der schnelle braune fuchs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["lang"]: r
+        for r in curation.tokenizer_fertility(docs, group_col="lang").collect()
+    }
+    for lang in ("en", "de"):
+        texts = [t for (_, lg, t) in rows if lg == lang]
+        bpe = sum(bpe_count_text(t) for t in texts)
+        words = sum(len(t.split()) for t in texts)
+        nbytes = sum(len(t.encode("utf-8")) for t in texts)
+        r = out[lang]
+        assert (r["n_docs"], r["bpe_tokens"], r["ws_words"], r["n_bytes"]) == (
+            len(texts), bpe, words, nbytes,
+        )
+        assert r["fertility"] == bpe / words
+        assert r["bytes_per_token"] == nbytes / bpe

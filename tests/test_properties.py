@@ -688,3 +688,64 @@ def test_eql_head_matching_vs_python_twin(spark):
         return sorted(out)
 
     assert got == twin()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=30)
+)
+def test_change_point_matches_bruteforce_twin(spark, vals):
+    """The detector's split equals an independent Python argmax of
+    |mean(left) - mean(right)| over every split, with the earlier
+    bucket key winning exact double ties (same IEEE ops both sides)."""
+    from bigdatasearchpro_spark.operators import aggs
+
+    buckets = spark.createDataFrame(
+        [(k, v) for k, v in enumerate(vals, start=1)],
+        "key long, doc_count long",
+    )
+    [r] = aggs.change_point_agg(buckets, "doc_count").collect()
+    best = None
+    n = len(vals)
+    for k in range(1, n):  # split after the k-th bucket
+        left = sum(vals[:k]) / k
+        right = sum(vals[k:]) / (n - k)
+        delta = abs(right - left)
+        # strictly-greater keeps the earliest key on exact ties
+        if best is None or delta > best[0]:
+            best = (delta, k + 1, left, right)
+    assert r["key"] == best[1]
+    assert r["mean_delta"] == best[0]
+    assert r["left_mean"] == best[2]
+    assert r["right_mean"] == best[3]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text("ab ", min_size=0, max_size=40), min_size=1, max_size=5
+    )
+)
+def test_intra_doc_dedup_python_twin(spark, texts):
+    """Segment counts and clean_text equal a direct Python
+    first-occurrence dedup of the 2-token chunking on arbitrary text."""
+    from bigdatasearchpro_spark.operators.curation import intra_doc_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in intra_doc_dedup(df, seg_tokens=2).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in __import__("re").split(r"[^a-z0-9]+", t.lower()) if w]
+        segs = [" ".join(toks[j : j + 2]) for j in range(0, len(toks), 2)]
+        seen, kept = set(), []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        r = got[i]
+        assert r["n_segments"] == len(segs)
+        assert r["n_removed"] == len(segs) - len(kept)
+        assert r["clean_text"] == " ".join(kept)

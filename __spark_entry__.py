@@ -237,6 +237,7 @@ _R7_DEFER_TO_R8 = (
     "l5_shuffle_shards",
     "l5_intra_doc_dedup",
     "l5_tokenizer_fertility",
+    "s37_downsample_tsdb",
 )
 
 

@@ -1861,3 +1861,53 @@ def composite_histogram_source(
         float(interval)
     )
     return out.alias(name or f"{field}_bucket")
+
+
+def downsample_tsdb(
+    events: DataFrame,
+    dims: "list[str]",
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval: str = "hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES TSDB ``downsample`` (the rollup successor): rewrite a raw
+    metrics index into ONE summary document per (time-series dimension
+    tuple, fixed interval) holding ``doc_count``, ``v_min``/``v_max``,
+    an order-independent DECIMAL(18,4) metric sum (re-exposed as a
+    2-dp double, the q7 money pattern — double accumulation is
+    order-dependent at the last bit), and the gauge semantics'
+    ``v_last`` — the value of the LATEST sample in the bucket, ties
+    broken on the id column.
+
+    Plan shape (100 TB): one hash aggregate on (dims, bucket) with
+    map-side partials for the metric rollup, one window PARTITIONED by
+    the same key for the last-sample pick (bucket-sized groups, fully
+    parallel, never a global sort), and one key-colocated join of the
+    two — both sides shuffle on the identical key so AQE plans a
+    single exchange each.  Downsampled output is what the transform
+    API would materialize as a summary index.
+    """
+    bucket = F.date_trunc(interval, F.col(ts_col))
+    w = Window.partitionBy(*[F.col(d) for d in dims], bucket).orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    last = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *dims,
+            bucket.alias("bucket"),
+            F.col(value_col).alias("v_last"),
+        )
+    )
+    agg = events.groupBy(*dims, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+        F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("v_sum"),
+    )
+    return agg.join(last, [*dims, "bucket"])

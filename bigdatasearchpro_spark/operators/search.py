@@ -835,14 +835,15 @@ def regexp_match(
     matched (the deterministic ranking surrogate for ES's
     constant-score regexp).
 
-    Plan shape: ONE narrow projection over the per-row token array —
-    ``size(filter(tokens, t -> t RLIKE '^(?:pat)$'))`` — no explode,
-    no shuffle, inside whole-stage codegen.  At vocabulary scale the
-    expansion form (match the DISTINCT vocabulary first, then
-    broadcast the matched terms back, as fuzzy_vocab_terms does) is
-    the indexed path; the narrow scan form here is the right
-    scan-time shape because the regex runs once per token occurrence
-    either way and needs no second pass.
+    This is the SCAN-TIME plan shape — ONE narrow projection over the
+    per-row token array (``size(filter(tokens, rlike))``), no explode,
+    no shuffle, inside whole-stage codegen; the regex runs once per
+    token occurrence.  The complementary :func:`regex_match` is the
+    VOCABULARY-FIRST shape (regex once per DISTINCT term, semi-join
+    ids back): it wins when occurrences >> vocabulary (natural
+    corpora with repeated tokens) or when a term index already
+    exists, but returns membership only — this form also yields the
+    per-document matched-occurrence count in the same pass.
 
     Stick to the regex subset common to Java (Spark) and RE2-ish
     engines: literals, classes, alternation, quantifiers — no
@@ -1082,7 +1083,10 @@ def regex_match(
 ) -> DataFrame:
     """ES ``regexp`` query shape: documents containing a token matching
     the (full-token-anchored) pattern. Vocabulary-first: the regex
-    engine runs once per distinct term, not per occurrence."""
+    engine runs once per distinct term, not per occurrence — the
+    winning shape when occurrences >> vocabulary or a term index
+    exists.  :func:`regexp_match` is the scan-time twin (narrow
+    per-row predicate, no shuffle, occurrence counts)."""
     anchored = f"^(?:{pattern})$"
     return _match_terms_via_vocab(
         docs, lambda c: c.rlike(anchored), id_col=id_col, text_col=text_col

@@ -3542,3 +3542,53 @@ def l3_agg_change_point(spark, sf_dir):
     windows run over the ~700-row bucket frame, never the corpus
     (operators/aggs.py change_point_agg)."""
     return aggs.change_point_agg(_click_buckets(spark, sf_dir), "doc_count")
+
+
+@register(
+    "s37_downsample_tsdb",
+    """
+    WITH src AS (
+      SELECT event_type, user_id % 8 AS host,
+             date_trunc('hour', ts) AS bucket, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type, host, bucket
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM src
+    ),
+    last AS (
+      SELECT event_type, host, bucket, value AS v_last FROM r WHERE rn = 1
+    ),
+    agg AS (
+      SELECT event_type, host, bucket,
+             count(*) AS doc_count,
+             min(value) AS v_min,
+             max(value) AS v_max,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS v_sum
+      FROM src GROUP BY event_type, host, bucket
+    )
+    SELECT agg.event_type, agg.host, agg.bucket, agg.doc_count,
+           agg.v_min, agg.v_max, agg.v_sum, last.v_last
+    FROM agg JOIN last USING (event_type, host, bucket)
+    ORDER BY agg.event_type, agg.host, agg.bucket
+    """,
+)
+def s37_downsample_tsdb(spark, sf_dir):
+    """S37 [ES parity]: TSDB ``downsample`` — the rollup successor:
+    raw metric events rewritten to one summary row per (event_type,
+    host, hour): doc_count, min/max, order-independent DECIMAL sum
+    (2-dp double), and the gauge's LAST value (latest (ts, id) in the
+    bucket).  The synthetic `host` dimension (user_id % 8) makes the
+    time-series id a real multi-field tuple like ES's
+    time_series_dimension set.  One hash agg + one same-key
+    partitioned window + a key-colocated join
+    (operators/aggs.py downsample_tsdb)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "host", F.col("user_id") % 8
+    )
+    return aggs.downsample_tsdb(
+        ev, ["event_type", "host"], interval="hour"
+    ).orderBy("event_type", "host", "bucket")

@@ -2996,7 +2996,10 @@ def l3_regexp_query(spark, sf_dir):
     deterministic ranking surrogate for ES's constant-score regexp.
     One narrow size(filter(tokens, rlike)) projection — no explode, no
     shuffle; the regex subset used is common to Java and RE2 so the
-    DuckDB regexp_full_match twin replays it verbatim
+    DuckDB regexp_full_match twin replays it verbatim.  The SCAN-TIME
+    twin of the vocabulary-first l3_regex_match (regex once per
+    distinct term + semi-join): together they pin both plan
+    strategies for the ES regexp query
     (operators/search.py regexp_match)."""
     docs = load_table(spark, sf_dir, "documents")
     return search.regexp_match(docs, "(sc|sp)[a-z]+").orderBy("doc_id")

@@ -860,3 +860,30 @@ def test_change_point_agg_tie_breaks_on_key(spark):
     buckets = spark.createDataFrame(rows, "key long, doc_count long")
     [r] = aggs.change_point_agg(buckets, "doc_count").collect()
     assert r["key"] == 2  # split after bucket 1 ties split after 2; earlier wins
+
+
+def test_downsample_tsdb_hand_fixture(spark):
+    """Two series, one bucket each: doc_count/min/max/sum roll up and
+    v_last is the latest (ts, id) sample's value."""
+    import datetime as dt
+
+    from bigdatasearchpro_spark.operators import aggs
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), 7, "click", 1.5),
+        (2, dt.datetime(2024, 1, 1, 10, 20), 7, "click", 2.5),
+        (3, dt.datetime(2024, 1, 1, 10, 20), 7, "click", 9.0),  # id tie-break
+        (4, dt.datetime(2024, 1, 1, 10, 59), 3, "view", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, host long, event_type string, value double"
+    )
+    out = {
+        (r["event_type"], r["host"]): r
+        for r in aggs.downsample_tsdb(ev, ["event_type", "host"]).collect()
+    }
+    c = out[("click", 7)]
+    assert (c["doc_count"], c["v_min"], c["v_max"], c["v_sum"]) == (3, 1.5, 9.0, 13.0)
+    assert c["v_last"] == 9.0  # ts tie at 10:20 -> higher event_id wins
+    v = out[("view", 3)]
+    assert (v["doc_count"], v["v_last"]) == (1, 4.0)

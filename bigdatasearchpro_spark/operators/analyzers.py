@@ -561,6 +561,57 @@ def _fingerprint_analyze(q: str) -> list[str]:
     return [" ".join(sorted(set(_standard_analyze(q))))]
 
 
+# ES ``phonetic`` analyzer (the phonetic plugin's soundex encoder,
+# public algorithm): every standard token is replaced by its soundex
+# code — first letter + three digits from the consonant-class table,
+# adjacent equal codes collapsed, vowels dropped, h/w transparent —
+# so "querry" and "query" (q600), "windoe" and "window" (w530) index
+# identically.  Kept LOWERCASE (this pipeline's convention; classic
+# presentation uppercases).  Non-alpha chars (digits) pass through the
+# translate untouched and act as their own code class — deterministic
+# and mirrored bit-identically in the Python twin and the DuckDB
+# oracle chain (which collapses runs via a list comprehension because
+# RE2 has no backreferences).
+_SOUNDEX_FROM = "bfpvcgjkqsxzdtlmnraeiouy"
+_SOUNDEX_TO = "111122222222334556000000"
+_SOUNDEX_TABLE = str.maketrans(_SOUNDEX_FROM, _SOUNDEX_TO)
+
+
+def soundex_token(t: str) -> str:
+    """Classic soundex of one (lowercase) token — the Python twin of
+    :func:`_soundex_expr`; must stay bit-identical to it and to the
+    oracle SQL chain."""
+    if not t:
+        return t
+    first, rest = t[0], re.sub(r"[hw]", "", t[1:])
+    digits = (first + rest).translate(_SOUNDEX_TABLE)
+    collapsed = re.sub(r"(.)\1+", r"\1", digits)
+    tail = collapsed[1:].replace("0", "")
+    return first + (tail + "000")[:3]
+
+
+def _soundex_expr(t: Column) -> Column:
+    first = t.substr(1, 1)
+    rest = F.regexp_replace(t.substr(F.lit(2), F.length(t)), "[hw]", "")
+    digits = F.translate(
+        F.concat(first, rest), _SOUNDEX_FROM, _SOUNDEX_TO
+    )
+    collapsed = F.regexp_replace(digits, r"(.)\1+", r"$1")
+    tail = F.regexp_replace(
+        collapsed.substr(F.lit(2), F.length(collapsed)), "0", ""
+    )
+    return F.concat(first, F.rpad(tail.substr(1, 3), 3, "0"))
+
+
+def _phonetic_tokens(text: Column) -> Column:
+    toks = _standard_tokens(text)
+    return F.transform(toks, lambda t: _soundex_expr(t))
+
+
+def _phonetic_analyze(q: str) -> list[str]:
+    return [soundex_token(t) for t in _standard_analyze(q)]
+
+
 ANALYZERS = {
     "standard": (_standard_tokens, _standard_analyze),
     "whitespace": (_whitespace_tokens, _whitespace_analyze),
@@ -574,6 +625,7 @@ ANALYZERS = {
     "portuguese": (_portuguese_tokens, _portuguese_analyze),
     "edge_ngram": (_edge_ngram_tokens, _edge_ngram_analyze),
     "fingerprint": (_fingerprint_tokens, _fingerprint_analyze),
+    "phonetic": (_phonetic_tokens, _phonetic_analyze),
 }
 
 

@@ -3003,3 +3003,63 @@ def l3_regexp_query(spark, sf_dir):
     (operators/search.py regexp_match)."""
     docs = load_table(spark, sf_dir, "documents")
     return search.regexp_match(docs, "(sc|sp)[a-z]+").orderBy("doc_id")
+
+
+@register(
+    "l3_analyzer_phonetic",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok,
+             string_split(translate(substr(tok,1,1) ||
+                 regexp_replace(substr(tok,2), '[hw]', '', 'g'),
+               'bfpvcgjkqsxzdtlmnraeiouy', '111122222222334556000000'),
+               '') AS ch
+      FROM t
+    ),
+    k AS (
+      SELECT doc_id, tok,
+             [ch[i] FOR i IN generate_series(1, len(ch))
+              IF i = 1 OR ch[i] <> ch[i-1]] AS kept
+      FROM c
+    ),
+    code AS (
+      SELECT doc_id,
+             substr(tok,1,1) || rpad(substr(replace(
+               coalesce(array_to_string(kept[2:], ''), ''), '0', ''),
+               1, 3), 3, '0') AS code
+      FROM k
+    )
+    SELECT doc_id FROM code
+    GROUP BY doc_id
+    HAVING max(CASE WHEN code = 'q600' THEN 1 ELSE 0 END) = 1
+       AND max(CASE WHEN code = 'w530' THEN 1 ELSE 0 END) = 1
+    ORDER BY doc_id
+    """,
+)
+def l3_analyzer_phonetic(spark, sf_dir):
+    """L3 [ES parity]: ``phonetic`` analyzer (the phonetic plugin's
+    soundex encoder) — the MISSPELLED query `querry windoe` matches
+    documents containing `query` AND `window` because both sides index
+    soundex codes (q600, w530), the sounds-like matching the plugin
+    exists for.  Index side is one pure expression chain per token
+    (translate + run-collapse + pad — no UDF); the oracle recomputes
+    the codes with a list-comprehension collapse since RE2 lacks
+    backreferences (operators/analyzers.py _soundex_expr /
+    soundex_token)."""
+    from bigdatasearchpro_spark.operators.analyzers import ANALYZERS
+
+    tok_expr, analyze = ANALYZERS["phonetic"]
+    docs = load_table(spark, sf_dir, "documents")
+    codes = analyze("querry windoe")
+    toks = tok_expr(F.col("text"))
+    cond = None
+    for c in codes:
+        p = F.array_contains(toks, c)
+        cond = p if cond is None else (cond & p)
+    return docs.filter(cond).select("doc_id").orderBy("doc_id")

@@ -880,3 +880,34 @@ def test_regexp_match_anchored_whole_token(spark):
         for r in search.regexp_match(docs, "sp[a-z]+").collect()
     }
     assert out == {1: 2, 3: 1}
+
+
+def test_phonetic_analyzer_symmetry_and_codes(spark):
+    """Index-side soundex (Column expr) == query-side soundex (Python)
+    on hand fixtures, including the misspelling pairs, single chars,
+    digit-bearing tokens, and h/w transparency."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators.analyzers import (
+        ANALYZERS,
+        soundex_token,
+    )
+
+    samples = [
+        "querry query window windoe",
+        "pfister hash w src1 a",
+        "smith smyth robert rupert",
+    ]
+    tok_expr, analyze = ANALYZERS["phonetic"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["c"] for r in
+           df.select("doc_id", tok_expr(F.col("text")).alias("c")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == analyze(s), s
+    # classic reference pairs collide; distinct names do not
+    assert soundex_token("smith") == soundex_token("smyth")
+    assert soundex_token("robert") == soundex_token("rupert")
+    assert soundex_token("robert") != soundex_token("smith")
+    assert soundex_token("querry") == "q600"
+    assert soundex_token("windoe") == "w530"

@@ -239,6 +239,7 @@ _R7_DEFER_TO_R8 = (
     "l5_tokenizer_fertility",
     "s37_downsample_tsdb",
     "l3_analyzer_phonetic",
+    "st15_streaming_downsample",
 )
 
 

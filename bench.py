@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "l3_agg_change_point",
     "l5_curriculum_order",
     "l5_shuffle_shards",
+    # round-7 tenth/eleventh pass: TSDB downsample (agg + partitioned
+    # window + colocated join), phonetic analyzer (regex-chain scan)
+    "s37_downsample_tsdb",
+    "l3_analyzer_phonetic",
 ]
 
 

@@ -3472,3 +3472,102 @@ def s36_async_search(spark, sf_dir):
     return spark.createDataFrame(
         rows, "lang string, doc_count bigint, sum_chars bigint"
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# streaming TSDB downsample (continuous metrics rollup at ingest)
+# ---------------------------------------------------------------------------
+
+@register(
+    "st15_streaming_downsample",
+    """
+    WITH src AS (
+      SELECT event_type, user_id % 8 AS host,
+             date_trunc('hour', ts) AS bucket, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type, host, bucket
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM src
+    ),
+    last AS (
+      SELECT event_type, host, bucket, value AS v_last FROM r WHERE rn = 1
+    ),
+    agg AS (
+      SELECT event_type, host, bucket,
+             count(*) AS doc_count,
+             min(value) AS v_min,
+             max(value) AS v_max,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS v_sum
+      FROM src GROUP BY event_type, host, bucket
+    )
+    SELECT agg.event_type, agg.host, agg.bucket, agg.doc_count,
+           agg.v_min, agg.v_max, agg.v_sum, last.v_last
+    FROM agg JOIN last USING (event_type, host, bucket)
+    ORDER BY agg.event_type, agg.host, agg.bucket
+    """,
+)
+def st15_streaming_downsample(spark, sf_dir):
+    """§2.9 [ES parity]: TSDB downsampling AT INGEST — the s37 rollup
+    (per (event_type, host, hour): count/min/max/DECIMAL-sum/gauge
+    last) run as ONE streaming aggregation over the events fixture
+    replayed in 3 micro-batches (complete mode).  The gauge last-value
+    is ``max_by(value, (ts, event_id))`` — a declarative aggregate the
+    incremental state store maintains, so the streaming form needs no
+    window at all; final state == the batch rollup == the DuckDB
+    oracle (streaming/pipelines.py run_to_completion)."""
+    import shutil
+    import tempfile
+
+    from bigdatasearchpro_spark.streaming.pipelines import run_to_completion
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="st15_src_")
+    ck = tempfile.mkdtemp(prefix="st15_ck_")
+    try:
+        for i in range(3):
+            (ev.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.mode("append").parquet(src))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rolled = (
+            stream.withColumn("host", F.col("user_id") % 8)
+            .groupBy(
+                "event_type", "host",
+                F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.min("value").alias("v_min"),
+                F.max("value").alias("v_max"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("v_sum"),
+                F.max_by(
+                    "value", F.struct(F.col("ts"), F.col("event_id"))
+                ).alias("v_last"),
+            )
+        )
+        got = run_to_completion(rolled, checkpoint_dir=ck,
+                                output_mode="complete")
+        rows = (
+            got.select("event_type", "host", "bucket", "doc_count",
+                       "v_min", "v_max", "v_sum", "v_last")
+            .orderBy("event_type", "host", "bucket")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, host bigint, bucket timestamp, "
+        "doc_count bigint, v_min double, v_max double, "
+        "v_sum double, v_last double",
+    )

@@ -240,6 +240,7 @@ _R7_DEFER_TO_R8 = (
     "s37_downsample_tsdb",
     "l3_analyzer_phonetic",
     "st15_streaming_downsample",
+    "l5_url_dedup",
 )
 
 

@@ -167,3 +167,21 @@ def url_parts(url):
         path.alias("path"),
         depth.alias("depth"),
     )
+
+
+def canonical_url(url):
+    """URL canonicalization for web-corpus dedup: lowercase the host,
+    drop the port (``parse_url('HOST')`` is port-less, so ANY port is
+    canonicalization-transparent), strip the query string, fragment,
+    and any trailing slash — the normalization step URL-level dedup
+    keys on BEFORE content hashing (the same page crawled as
+    ``...?utm_source=x`` and ``.../`` must collapse to one key).
+
+    Pure JVM expressions (``parse_url`` + one regexp_replace), no UDF —
+    a map-side projection at any scale; the oracle replays it with
+    regexp extraction plus an explicit port strip (DuckDB has no
+    parse_url)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), "/$", "")
+    return F.concat(host, path)

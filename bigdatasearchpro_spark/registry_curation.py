@@ -1220,3 +1220,63 @@ def l5_tokenizer_fertility(spark, sf_dir):
     pytest) (operators/curation.py tokenizer_fertility)."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.tokenizer_fertility(docs, group_col="lang").orderBy("lang")
+
+
+@register(
+    "l5_url_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://Sub.example' || ((doc_id // 3) % 7)::VARCHAR ||
+               '.net/p/' || (doc_id // 3)::VARCHAR ||
+               CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END ||
+               '?utm=' || doc_id::VARCHAR AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url,
+                 '^[a-z]+://([^/?#]+)', 1)), ':[0-9]+$', '') ||
+             regexp_replace(regexp_extract(url,
+                 '^[a-z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+               AS canonical
+      FROM u
+    )
+    SELECT canonical, min(doc_id) AS survivor_id,
+           count(*)::BIGINT AS n_aliases
+    FROM c GROUP BY canonical
+    ORDER BY canonical
+    """,
+)
+def l5_url_dedup(spark, sf_dir):
+    """L5 [training data]: URL-level dedup — the canonicalization-first
+    dedup pass a web pipeline runs BEFORE content hashing: mixed-case
+    hosts, trailing slashes, and tracking query params all collapse to
+    one canonical key (lower(host) + stripped path), and one doc per
+    key survives (min id).  Alias URLs are synthesized
+    deterministically (three utm-tagged variants per canonical page,
+    one with a trailing slash, a mixed-case host on all).  One narrow
+    canonicalization projection + one hash agg
+    (operators/transform.py canonical_url)."""
+    from bigdatasearchpro_spark.operators import transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://Sub.example"),
+        (F.expr("doc_id div 3") % 7).cast("string"),
+        F.lit(".net/p/"),
+        F.expr("doc_id div 3").cast("string"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm="), F.col("doc_id").cast("string"),
+    )
+    staged = docs.select(
+        "doc_id", transform.canonical_url(url).alias("canonical")
+    )
+    return (
+        staged.groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_aliases"),
+        )
+        .orderBy("canonical")
+    )

@@ -770,3 +770,24 @@ def test_tokenizer_fertility_python_twin(spark):
         )
         assert r["fertility"] == bpe / words
         assert r["bytes_per_token"] == nbytes / bpe
+
+
+def test_canonical_url_normalization_rules(spark):
+    """Case, default ports, query, fragment, and trailing slash all
+    collapse; distinct paths stay distinct."""
+    from bigdatasearchpro_spark.operators import transform
+
+    rows = [
+        (1, "https://Sub.Example.net/A/b?utm=1#frag"),
+        (2, "http://sub.example.net:80/A/b/"),
+        (3, "https://sub.example.net:443/A/b?q=2"),
+        (4, "https://sub.example.net/A/c"),
+        (5, "https://other.net:8080/A/b"),   # any port is transparent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", transform.canonical_url("url").alias("c")).collect()}
+    assert got[1] == got[2] == got[3] == "sub.example.net/A/b"
+    assert got[4] == "sub.example.net/A/c"
+    assert got[5] == "other.net/A/b"
+    assert got[5] != got[1]  # distinct host still distinct

@@ -241,6 +241,7 @@ _R7_DEFER_TO_R8 = (
     "l3_analyzer_phonetic",
     "st15_streaming_downsample",
     "l5_url_dedup",
+    "l6_video_scene_cuts",
 )
 
 

@@ -2716,3 +2716,45 @@ def l6_image_resize(spark, sf_dir):
     return codecs.image_resize_nearest(imgs, 2, 2).orderBy(
         "asset_id", "out_r", "out_c"
     )
+
+
+@register(
+    "l6_video_scene_cuts",
+    """
+    WITH fb AS (
+      SELECT d.doc_id, f.f, b.i,
+             2 * ((d.doc_id * 3 + f.f * 5 + b.i) % 64) + 64 AS g
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS f) f
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+      WHERE f.f < 2 + d.doc_id % 3
+    ),
+    pair AS (
+      SELECT a.doc_id, b2.f AS frame_idx,
+             64 * sum(abs(b2.g - a.g))::BIGINT AS diff_sum
+      FROM fb a
+      JOIN fb b2 ON a.doc_id = b2.doc_id AND a.i = b2.i AND b2.f = a.f + 1
+      GROUP BY a.doc_id, b2.f
+    )
+    SELECT doc_id AS asset_id, frame_idx::INTEGER AS frame_idx,
+           diff_sum, diff_sum > 20 * 256 AS is_cut
+    FROM pair
+    ORDER BY asset_id, frame_idx
+    """,
+)
+def l6_video_scene_cuts(spark, sf_dir):
+    """L6 VIDEO: shot-boundary detection over REAL decoded AVI/MJPEG —
+    adjacent-frame absolute pixel-difference sums (exact int64) with
+    an integer cross-multiplied cut threshold (mean per-pixel diff >
+    20).  On the synthesized fixture the per-block gray walk wraps mod
+    64, so most transitions are quiet (diff 10/px) and wrap frames
+    spike — real cuts exist and the oracle recomputes the ENTIRE diff
+    series arithmetically from the block formula, so any decode or
+    differencing bug hash-mismatches
+    (multimodal/codecs.py video_scene_cuts)."""
+    from bigdatasearchpro_spark.multimodal import codecs
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return codecs.video_scene_cuts(
+        codecs.synthesize_video_assets(ids), mean_diff_threshold=20
+    ).orderBy("asset_id", "frame_idx")

@@ -582,3 +582,26 @@ def test_image_resize_nearest_identity_and_mapping(spark):
 
     with pt.raises(ValueError):
         image_resize_nearest(assets, 0, 2)
+
+
+def test_video_scene_cuts_hand_fixture(spark):
+    """Three 16x16 frames: identical pair (diff 0, no cut) then a
+    uniform +40 jump (diff 40*256, cut at threshold 20)."""
+    import numpy as np
+
+    from bigdatasearchpro_spark.multimodal import codecs
+    from bigdatasearchpro_spark.multimodal.video import encode_avi_mjpeg
+
+    f0 = np.full((16, 16), 64, dtype=np.uint8)
+    f2 = np.full((16, 16), 104, dtype=np.uint8)  # +40 everywhere
+    payload = encode_avi_mjpeg([f0, f0.copy(), f2])
+    assets = spark.createDataFrame(
+        [(7, bytearray(payload))], "asset_id long, payload binary"
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in codecs.video_scene_cuts(assets, mean_diff_threshold=20).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert (rows[1]["diff_sum"], rows[1]["is_cut"]) == (0, False)
+    assert (rows[2]["diff_sum"], rows[2]["is_cut"]) == (40 * 256, True)

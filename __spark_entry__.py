@@ -83,18 +83,22 @@ _R7_FIXED_OR_NEW = (
 # automatically puts them first.  Run tools/check_window.py after ANY
 # change.
 #
-# ROUND-8 NOTE: this back-list now holds ~140 never-checked entries —
-# nearly three windows' worth.  ALL of them were locally hash-verified
-# against DuckDB at sf0.01 during round 7 (tools/parity.py full
-# sweep), so deferral carries no correctness risk — only verdict lag.  Round 8 should budget deliberately:
-# never-checked entries all sort at age 0, so an unmanaged age sort
-# fills the whole 50-slot window with them and STARVES the r3 cohort
-# (the next-oldest verdicts).  Suggested round-8 front: that round's
-# fixes + ~10 flagship never-checked entries (good picks: the nested
-# pair, pinned, sparse_vector, pipeline v6, index resize, terms
-# partition, moving_percentiles, fingerprint dedup, synonym search);
-# then let the age sort interleave the r3 cohort; keep the remaining
-# never-checked at the back to drain over rounds 9-10.
+# ROUND-8 NOTE: this back-list now holds ~150 never-checked entries —
+# three windows' worth.  ALL of them were locally hash-verified
+# against DuckDB at sf0.01 during round 7 (tools/parity.py full sweep,
+# 372/372 green; the handful added after that sweep were verified
+# individually), so deferral carries no correctness risk — only
+# verdict lag.  Round 8 should budget deliberately: never-checked
+# entries all sort at age 0, so an unmanaged age sort fills the whole
+# 50-slot window with them and STARVES the r3 cohort (the next-oldest
+# verdicts).  Suggested round-8 front: that round's fixes + ~12
+# flagship never-checked entries (good picks: the nested pair, pinned,
+# sparse_vector, pipeline v6, index resize, terms partition,
+# fingerprint dedup, synonym search, s37_downsample_tsdb,
+# l6_video_scene_cuts, l5_url_dedup, l5_curriculum_order,
+# l3_agg_change_point, l3_analyzer_phonetic); then let the age sort
+# interleave the r3 cohort; keep the remaining never-checked at the
+# back to drain over rounds 9-10.
 _R7_DEFER_TO_R8 = (
     "l3_geo_polygon",
     "l3_agg_geohash_grid",

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     # window + colocated join), phonetic analyzer (regex-chain scan)
     "s37_downsample_tsdb",
     "l3_analyzer_phonetic",
+    "l5_intra_doc_dedup",
+    "l6_video_scene_cuts",
 ]
 
 

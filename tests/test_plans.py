@@ -482,6 +482,7 @@ _CORPUS_WINDOW_ENTRIES = [
     "l5_pack_sequences",
     "l5_pipeline_curation_v2",
     "l5_curriculum_order",
+    "s37_downsample_tsdb",
 ]
 
 _SORT_SPEC = __import__("re").compile(r"(ASC|DESC) NULLS (FIRST|LAST)")

@@ -246,6 +246,7 @@ _R7_DEFER_TO_R8 = (
     "st15_streaming_downsample",
     "l5_url_dedup",
     "l6_video_scene_cuts",
+    "l6_image_phash_neardup",
 )
 
 

@@ -545,3 +545,181 @@ def video_scene_cuts(
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(gen, schema)
+
+
+def synthesize_jpeg_variant_assets(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bump: int = 4,
+    id_offset: int = 100000,
+) -> DataFrame:
+    """Near-duplicate VARIANTS of :func:`synthesize_jpeg_assets`'s
+    images: the same block gradient with block 0 brightened by
+    ``bump`` (kept even so the JPEG round trip stays exact), published
+    under ``asset_id + id_offset`` — the true-positive planting
+    strategy every near-dup fixture here uses (cf.
+    _with_synthetic_near_vectors)."""
+    from bigdatasearchpro_spark.multimodal.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                nb = 2 + d % 3
+                grays = np.array(
+                    [2 * ((d * 5 + i) % 64) + 64 for i in range(2 * nb)],
+                    dtype=np.int64,
+                )
+                grays[0] += bump
+                img = np.kron(
+                    grays.astype(np.uint8).reshape(nb, 2),
+                    np.ones((8, 8), dtype=np.uint8),
+                )
+                out_ids.append(d + id_offset)
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return fan_out(ids.select(id_col)).mapInPandas(gen, schema)
+
+
+_PHASH_N = 32  # resize target; DCT over the 32x32 gray plane
+
+
+def phash_of_image(img: "np.ndarray") -> int:
+    """Classic 64-bit perceptual hash (public pHash algorithm) of one
+    gray image: nearest-neighbor resize to 32x32, 2D DCT-II, keep the
+    top-left 8x8 low-frequency block, threshold each coefficient
+    against the MEDIAN of the 63 AC coefficients (DC excluded from the
+    median — it is pure brightness, which pHash is designed to ignore).
+    Returns a signed int64 (bit i = coefficient i above median,
+    row-major).  Deterministic float64 numpy throughout."""
+    h, w = img.shape[:2]
+    ys = (np.arange(_PHASH_N) * h) // _PHASH_N
+    xs = (np.arange(_PHASH_N) * w) // _PHASH_N
+    small = img[np.ix_(ys, xs)].astype(np.float64)
+    n = _PHASH_N
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    basis = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    dct = basis @ small @ basis.T
+    block = dct[:8, :8].ravel()
+    med = float(np.median(block[1:]))
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_phash(assets: DataFrame) -> DataFrame:
+    """Perceptual hash over REAL decoded image payloads — the image
+    near-dup signature (brightness-invariant, layout-sensitive): one
+    64-bit pHash per asset, ready for the generic banded hamming pair
+    join (operators/neardup.py hamming_signature_pairs).  Arrow-batched
+    mapInPandas; output ``(asset_id, phash)``."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bigdatasearchpro_spark.multimodal.jpeg import decode_jpeg
+
+        for pdf in batches:
+            out = {"asset_id": [], "phash": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(payload))
+                out["asset_id"].append(int(aid))
+                out["phash"].append(phash_of_image(img))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(gen, schema)
+
+
+def synthesize_photo_assets(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    patch: bool = False,
+    id_offset: int = 0,
+) -> DataFrame:
+    """Photo-LIKE fixture images for the perceptual-hash ring: a
+    deterministic low-frequency random field per id (seeded rng drives
+    an 8x8 coefficient block with 1/(1+u+v) spectral decay, inverse-
+    DCT'd to 32x32) — pHash assumes naturally DECAYING spectra, which
+    the block/sinusoid fixtures elsewhere adversarially lack (their
+    spectra sit exactly ON the median threshold; measured: no
+    variant/cross separation).  With ``patch=True`` a small bright
+    square is stamped on (the local-edit near-duplicate), published
+    under ``id + id_offset``.  Encoded through the real JPEG encoder —
+    the decode side sees actual lossy baseline JFIF bytes."""
+    from bigdatasearchpro_spark.multimodal.jpeg import encode_jpeg
+
+    n = 32
+
+    def _photo(d: int) -> np.ndarray:
+        rng = np.random.default_rng(d)
+        coef = np.zeros((n, n))
+        coef[:8, :8] = rng.normal(0, 1, (8, 8)) / (
+            1 + np.add.outer(np.arange(8), np.arange(8))
+        )
+        coef[0, 0] = 0
+        k = np.arange(n).reshape(-1, 1)
+        m = np.arange(n).reshape(1, -1)
+        basis = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+        wave = basis.T @ coef @ basis
+        wave = wave / max(np.abs(wave).max(), 1e-9)
+        img = np.clip(128 + 90 * wave, 0, 255).astype(np.uint8)
+        if patch:
+            img = img.copy()
+            img[12:16, 12:16] = np.minimum(
+                img[12:16, 12:16].astype(np.int64) + 24, 255
+            ).astype(np.uint8)
+        return img
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                out_ids.append(d + id_offset)
+                payloads.append(encode_jpeg(_photo(d)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return fan_out(ids.select(id_col)).mapInPandas(gen, schema)

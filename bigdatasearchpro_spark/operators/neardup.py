@@ -495,16 +495,41 @@ def simhash_pairs(
     count-aggregate over the (id, chunk, value) rows (ids + longs, not
     text) and a broadcast of the (tiny) hot-bucket list.
     """
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col, hash_fn=hash_fn)
+    return hamming_signature_pairs(
+        sigs,
+        id_col=id_col,
+        n_bits=SIMHASH_BITS[hash_fn],
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_signature_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_bits: int,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_bucket: "int | None" = 65536,
+) -> DataFrame:
+    """The banded hamming-pair join over ANY integer signature column
+    ``__sim`` (``(id, __sim)`` rows) — the generic core behind
+    :func:`simhash_pairs`, reused by image pHash near-dup
+    (multimodal/codecs.py image_phash): pigeonhole band-bucket join,
+    map-side bit_count verify, hot-bucket secondary re-banding.  See
+    :func:`simhash_pairs` for the recall guarantee and skew-guard
+    contract (both apply verbatim here)."""
     if max_hamming > n_chunks - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
             f"n_chunks-1={n_chunks - 1}; raise n_chunks or lower max_hamming"
         )
-    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col, hash_fn=hash_fn)
     # near-equal chunk boundaries over the signature width (exact
     # 16-bit chunks at the defaults; remainder bits spread across
     # chunks)
-    n_bits = SIMHASH_BITS[hash_fn]
     bounds = [round(i * n_bits / n_chunks) for i in range(n_chunks + 1)]
     chunked = sigs.select(
         id_col,

@@ -2758,3 +2758,38 @@ def l6_video_scene_cuts(spark, sf_dir):
     return codecs.video_scene_cuts(
         codecs.synthesize_video_assets(ids), mean_diff_threshold=20
     ).orderBy("asset_id", "frame_idx")
+
+
+@register("l6_image_phash_neardup")  # rows-only: DCT hash, no SQL twin
+def l6_image_phash_neardup(spark, sf_dir):
+    """L6 [training data]: IMAGE near-duplicate pairs via perceptual
+    hash — every photo-like asset (plus a planted local-edit variant
+    at id+100000) hashes to a 64-bit pHash (resize -> DCT -> median
+    threshold, brightness-invariant), and pairs within hamming 7 come
+    out of the SAME generic banded pigeonhole join the SimHash ring
+    uses (8 bands of 8 bits -> full recall at radius 7, hot-bucket
+    re-banding inherited).  The vision-corpus twin of text near-dup:
+    crops/re-encodes/brightness edits collapse while distinct photos
+    stay apart (measured: planted variants <= 6 bits, cross-pairs
+    >= 22).  Rows-only by design (the DCT hash has no SQL twin); the
+    planted-pair recall and hash determinism are pinned by pytest
+    (multimodal/codecs.py image_phash/phash_of_image,
+    operators/neardup.py hamming_signature_pairs)."""
+    from bigdatasearchpro_spark.multimodal import codecs
+    from bigdatasearchpro_spark.operators import neardup
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    base = codecs.synthesize_photo_assets(ids)
+    variants = codecs.synthesize_photo_assets(
+        ids, patch=True, id_offset=100000
+    )
+    hashes = codecs.image_phash(base.unionByName(variants)).select(
+        "asset_id", F.col("phash").alias("__sim")
+    )
+    return neardup.hamming_signature_pairs(
+        hashes, id_col="asset_id", n_bits=64, max_hamming=7, n_chunks=8
+    ).orderBy("left_id", "right_id")

@@ -605,3 +605,37 @@ def test_video_scene_cuts_hand_fixture(spark):
     assert set(rows) == {1, 2}
     assert (rows[1]["diff_sum"], rows[1]["is_cut"]) == (0, False)
     assert (rows[2]["diff_sum"], rows[2]["is_cut"]) == (40 * 256, True)
+
+
+def test_image_phash_neardup_recall_and_precision(spark):
+    """Planted local-edit variants pair with their sources (recall >=
+    0.9 at radius 7 — a perceptual hash legitimately misses a few
+    larger-looking edits) with ZERO false positives among distinct
+    photos; hashes are deterministic across calls."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.multimodal import codecs
+    from bigdatasearchpro_spark.operators import neardup
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(0, 200, 5)], "doc_id long"
+    )
+    base = codecs.synthesize_photo_assets(ids)
+    var = codecs.synthesize_photo_assets(ids, patch=True, id_offset=100000)
+    hashes = codecs.image_phash(base.unionByName(var)).select(
+        "asset_id", F.col("phash").alias("__sim")
+    )
+    pairs = neardup.hamming_signature_pairs(
+        hashes, id_col="asset_id", n_bits=64, max_hamming=7, n_chunks=8
+    ).collect()
+    planted = {(r["left_id"], r["right_id"]) for r in pairs
+               if r["right_id"] == r["left_id"] + 100000}
+    cross = [r for r in pairs if r["right_id"] != r["left_id"] + 100000]
+    assert not cross
+    assert len(planted) >= 0.9 * 40
+    # determinism
+    again = {r["asset_id"]: r["phash"]
+             for r in codecs.image_phash(base).collect()}
+    first = {r["asset_id"]: r["__sim"]
+             for r in hashes.filter(F.col("asset_id") < 100000).collect()}
+    assert again == first

@@ -723,3 +723,117 @@ def synthesize_photo_assets(
         ]
     )
     return fan_out(ids.select(id_col)).mapInPandas(gen, schema)
+
+
+def synthesize_tone_assets(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    variant: bool = False,
+    id_offset: int = 0,
+) -> DataFrame:
+    """Audio fixture with a VARIED ENVELOPE for the fingerprint ring:
+    a seeded low-frequency random envelope modulating an id-keyed tone
+    (the modular-ramp WAV fixture elsewhere has a flat energy contour —
+    adversarial for contour fingerprints the same way block images are
+    for pHash).  ``variant=True`` applies gain x1.12 plus mild noise —
+    the re-encoded/re-mastered near-duplicate — under
+    ``id + id_offset``.  Real RIFF/WAVE PCM16 bytes via the existing
+    encoder path."""
+    n = 64 * 65  # 65 frames of 64 samples
+
+    def _samples(d: int) -> np.ndarray:
+        rng = np.random.default_rng(d)
+        env = np.abs(
+            np.interp(
+                np.arange(n), np.linspace(0, n, 16), rng.normal(0, 1, 16)
+            )
+        )
+        carrier = np.sin(
+            2 * np.pi * np.arange(n) * (220 + 30 * (d % 7)) / 8000.0
+        )
+        x = env * carrier * 8000
+        if variant:
+            vr = np.random.default_rng(d + 999)
+            x = x * 1.12 + vr.normal(0, 40, n)
+        return np.clip(x, -32768, 32767).astype("<i2")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                samples = _samples(d)
+                data = samples.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                body = b"".join(
+                    [
+                        b"WAVE",
+                        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+                        b"data", struct.pack("<I", len(data)), data,
+                    ]
+                )
+                out_ids.append(d + id_offset)
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "kind": ["audio"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return fan_out(ids.select(id_col)).mapInPandas(gen, schema)
+
+
+def audio_energy_fingerprint(
+    assets: DataFrame, *, frame_samples: int = 64, n_frames: int = 65
+) -> DataFrame:
+    """64-bit audio fingerprint over REAL decoded WAV payloads: frame
+    energies E_1..E_{n_frames} (exact int64 sums of squares), bit i =
+    E_{i+1} > E_i — the energy-CONTOUR sign hash (a Shazam-lite /
+    Chromaprint-family idea): pure gain changes scale every frame
+    equally and flip NO bits, so re-mastered copies hash identically,
+    while distinct recordings differ on ~half the contour.  Feed the
+    result to the generic banded hamming join
+    (operators/neardup.py hamming_signature_pairs) for pair mining.
+    Output: ``(asset_id, fp)``."""
+    if frame_samples <= 0 or n_frames < 2 or n_frames > 65:
+        raise ValueError("need 2 <= n_frames <= 65 and frame_samples > 0")
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "fp": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, samples = wav_samples(bytes(payload))
+                need = frame_samples * n_frames
+                s = np.zeros(need, dtype=np.int64)
+                s[: min(need, len(samples))] = samples[:need].astype(np.int64)
+                e = (s * s).reshape(n_frames, frame_samples).sum(axis=1)
+                bits = 0
+                for i in range(n_frames - 1):
+                    if e[i + 1] > e[i]:
+                        bits |= 1 << i
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out["asset_id"].append(int(aid))
+                out["fp"].append(bits)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(gen, schema)

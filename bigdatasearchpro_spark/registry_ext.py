@@ -2793,3 +2793,36 @@ def l6_image_phash_neardup(spark, sf_dir):
     return neardup.hamming_signature_pairs(
         hashes, id_col="asset_id", n_bits=64, max_hamming=7, n_chunks=8
     ).orderBy("left_id", "right_id")
+
+
+@register("l6_audio_fingerprint_neardup")  # rows-only: contour hash
+def l6_audio_fingerprint_neardup(spark, sf_dir):
+    """L6 [training data]: AUDIO near-duplicate pairs via the
+    energy-contour fingerprint — every tone asset (plus a planted
+    gain+noise re-master at id+100000) hashes its 65-frame energy
+    contour to 64 bits (bit i = E_{i+1} > E_i; exact int64 energies,
+    gain-INVARIANT by construction) and pairs within hamming 3 come
+    out of the same generic banded pigeonhole join as SimHash/pHash.
+    Completes the near-dup ring across all three modalities
+    (text/image/audio) on one shared join. Rows-only by design; recall
+    (100% on planted re-masters, measured <= 2 bits vs cross >= 14)
+    and gain-invariance are pinned by pytest
+    (multimodal/codecs.py audio_energy_fingerprint)."""
+    from bigdatasearchpro_spark.multimodal import codecs
+    from bigdatasearchpro_spark.operators import neardup
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    base = codecs.synthesize_tone_assets(ids)
+    variants = codecs.synthesize_tone_assets(
+        ids, variant=True, id_offset=100000
+    )
+    fps = codecs.audio_energy_fingerprint(
+        base.unionByName(variants)
+    ).select("asset_id", F.col("fp").alias("__sim"))
+    return neardup.hamming_signature_pairs(
+        fps, id_col="asset_id", n_bits=64, max_hamming=3, n_chunks=4
+    ).orderBy("left_id", "right_id")

@@ -639,3 +639,44 @@ def test_image_phash_neardup_recall_and_precision(spark):
     first = {r["asset_id"]: r["__sim"]
              for r in hashes.filter(F.col("asset_id") < 100000).collect()}
     assert again == first
+
+
+def test_audio_fingerprint_neardup_and_gain_invariance(spark):
+    """Every planted re-master pairs with its source at radius 3 with
+    zero cross pairs; a PURE gain change flips no contour bit at all."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.multimodal import codecs
+    from bigdatasearchpro_spark.operators import neardup
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 100, 5)], "doc_id long")
+    base = codecs.synthesize_tone_assets(ids)
+    var = codecs.synthesize_tone_assets(ids, variant=True, id_offset=100000)
+    fps = codecs.audio_energy_fingerprint(base.unionByName(var)).select(
+        "asset_id", F.col("fp").alias("__sim")
+    )
+    pairs = neardup.hamming_signature_pairs(
+        fps, id_col="asset_id", n_bits=64, max_hamming=3, n_chunks=4
+    ).collect()
+    assert len(pairs) == 20
+    assert all(r["right_id"] == r["left_id"] + 100000 for r in pairs)
+    # pure gain: scale samples 2x via a hand-built WAV; fingerprint equal
+    import struct as _struct
+
+    def wav(samples):
+        data = samples.astype("<i2").tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = b"".join([b"WAVE", b"fmt ", _struct.pack("<I", len(fmt)), fmt,
+                         b"data", _struct.pack("<I", len(data)), data])
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    s = (np.sin(np.arange(64 * 65) / 9.0) * 2000).astype(np.int64)
+    a = spark.createDataFrame(
+        [(1, bytearray(wav(s))), (2, bytearray(wav(s * 2)))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r["fp"]
+           for r in codecs.audio_energy_fingerprint(a).collect()}
+    assert got[1] == got[2]

@@ -248,6 +248,7 @@ _R7_DEFER_TO_R8 = (
     "l6_video_scene_cuts",
     "l6_image_phash_neardup",
     "l6_audio_fingerprint_neardup",
+    "s38_xml_roundtrip",
 )
 
 

@@ -2826,3 +2826,40 @@ def l6_audio_fingerprint_neardup(spark, sf_dir):
     return neardup.hamming_signature_pairs(
         fps, id_col="asset_id", n_bits=64, max_hamming=3, n_chunks=4
     ).orderBy("left_id", "right_id")
+
+
+@register(
+    "s38_xml_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s38_xml_roundtrip(spark, sf_dir):
+    """S38: XML source (Spark 4 built-in ``format('xml')``) — write
+    nation out as XML row documents and read it back with an explicit
+    rowTag, verifying the round trip against the parquet truth via the
+    oracle.  XML feeds are a standard ES-ingest input (the reference's
+    row→document model maps 1:1 onto XML row elements); schema
+    inference on read mirrors the dynamic-mapping reliance of
+    SURVEY.md §1.2, with casts pinning the verified projection."""
+    import shutil
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = tempfile.mkdtemp(prefix="s38_xml_")
+    try:
+        (n.write.mode("overwrite").format("xml")
+          .option("rowTag", "nation").save(base + "/xml"))
+        back = (
+            spark.read.format("xml").option("rowTag", "nation")
+            .load(base + "/xml")
+            .select(
+                F.col("n_nationkey").cast("long"),
+                "n_name",
+                F.col("n_regionkey").cast("long"),
+            )
+        )
+        rows, schema = back.collect(), back.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

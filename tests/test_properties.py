@@ -749,3 +749,28 @@ def test_intra_doc_dedup_python_twin(spark, texts):
         assert r["n_segments"] == len(segs)
         assert r["n_removed"] == len(segs) - len(kept)
         assert r["clean_text"] == " ".join(kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(
+        st.text("abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_soundex_matches_spark_builtin(spark, words):
+    """Our portable soundex chain equals Spark's independent Java
+    implementation (F.soundex) on arbitrary alphabetic words — an
+    external validation of the vowel-separator / hw-transparent /
+    run-collapse rules (alpha-only: on digit-bearing analyzer tokens
+    the builtin diverges by design and ours is the cross-engine
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators.analyzers import soundex_token
+
+    df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+    got = {r["w"]: r["s"] for r in df.select("w", F.soundex("w").alias("s")).collect()}
+    for w in set(words):
+        assert soundex_token(w).upper() == got[w], w

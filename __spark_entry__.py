@@ -249,6 +249,7 @@ _R7_DEFER_TO_R8 = (
     "l6_image_phash_neardup",
     "l6_audio_fingerprint_neardup",
     "s38_xml_roundtrip",
+    "s39_ingest_inference",
 )
 
 

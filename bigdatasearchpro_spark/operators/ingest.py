@@ -76,6 +76,14 @@ def validate_pipeline(processors: "list[dict]") -> None:
                 raise ValueError(
                     "enrich needs match_field and target_fields"
                 )
+        elif kind == "inference":
+            if body.get("model_id") not in INFERENCE_MODELS:
+                raise ValueError(
+                    f"unknown model_id {body.get('model_id')!r}; "
+                    f"deployed: {sorted(INFERENCE_MODELS)}"
+                )
+            if "target_field" not in body:
+                raise ValueError("inference needs target_field")
         else:
             raise ValueError(f"unknown processor type {kind!r}")
 
@@ -130,4 +138,30 @@ def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
             targets = list(body["target_fields"])
             side = lookup.select(match, *targets)
             df = df.join(F.broadcast(side), match, "left")
+        elif kind == "inference":
+            df = INFERENCE_MODELS[body["model_id"]](
+                df, body.get("field", "text"), body["target_field"]
+            )
     return df
+
+
+def _infer_quality_logit(df: DataFrame, field: str, target: str) -> DataFrame:
+    from bigdatasearchpro_spark.operators.textstats import (
+        quality_logit_attach,
+    )
+
+    return quality_logit_attach(df, text_col=field, out_col=target)
+
+
+# ES ``inference`` processor model registry: the models DEPLOYED with
+# this engine.  quality-logit-v1 is the real integer-exact linear
+# quality classifier (textstats.quality_logit_attach) — scoring
+# happens AT INGEST as a pure projection (no join, no shuffle, no
+# Python), exactly how the ES inference processor runs a deployed
+# model inside the ingest node.  External learned models (fastText,
+# transformers) would slot in here as Arrow pandas_udf entries; none
+# ship in this container, and unknown ids are rejected at PUT time
+# like ES's model-not-deployed error.
+INFERENCE_MODELS = {
+    "quality-logit-v1": _infer_quality_logit,
+}

@@ -675,3 +675,49 @@ def script_profile(
         n_digit.alias("n_digit"),
         dominant.alias("dominant_script"),
     )
+
+
+def quality_logit_attach(
+    df: DataFrame, text_col: str = "text", out_col: str = "logit_scaled"
+) -> DataFrame:
+    """The ingest-time (inference-processor) form of
+    :func:`quality_logit_scores`: attach the exact x40000-grid quality
+    logit as a NEW column while PRESERVING every input column — no id
+    required, no join, no shuffle; the staged tokenizations live in
+    temp columns for the duration of the projection (the same
+    one-materialization rule quality_stats documents) and are dropped.
+    Bit-equality with quality_logit_scores is pinned by pytest
+    (tests/test_ingest.py)."""
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    df = fan_out(df)
+    t = F.col(text_col)
+    staged = df.withColumn(
+        "__q_w", F.filter(F.split(F.trim(t), WORD_SPLIT_RE), lambda x: x != "")
+    ).withColumn(
+        "__q_a",
+        F.filter(F.split(F.lower(F.trim(t)), TOKEN_SPLIT_RE), lambda x: x != ""),
+    )
+    w, a = F.col("__q_w"), F.col("__q_a")
+    mean_wl = F.when(
+        F.size(w) > 0,
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(w),
+    ).otherwise(0.0)
+    stops = F.filter(a, lambda x: x.isin(*STOPWORDS))
+    sw_ratio = F.when(F.size(a) > 0, F.size(stops) / F.size(a)).otherwise(0.0)
+    feats = {
+        "n_words": F.size(w),
+        "punct_ratio": F.round(punct_ratio(t), 4),
+        "stopword_ratio": F.round(sw_ratio, 4),
+        "mean_word_len": F.round(mean_wl, 4),
+    }
+    logit = F.lit(QUALITY_LOGIT_IBIAS).cast("long")
+    for feat, wgt, is_ratio in QUALITY_LOGIT_IWEIGHTS:
+        c = feats[feat]
+        scaled = (
+            F.floor(c.cast("double") * 10000 + F.lit(0.5)).cast("long")
+            if is_ratio
+            else c.cast("long")
+        )
+        logit = logit + F.lit(wgt) * scaled
+    return staged.withColumn(out_col, logit).drop("__q_w", "__q_a")

@@ -1280,3 +1280,35 @@ def l5_url_dedup(spark, sf_dir):
         )
         .orderBy("canonical")
     )
+
+
+@register("s39_ingest_inference", None)  # oracle attached below
+def s39_ingest_inference(spark, sf_dir):
+    """S39 [ES parity]: ingest ``inference`` processor — a deployed
+    model scores every document AT INGEST, inside the pipeline's
+    projection: the registry model `quality-logit-v1` is the engine's
+    real integer-exact quality classifier, attached by
+    textstats.quality_logit_attach with no id join and no shuffle
+    (the ES inference processor runs the model on the ingest node the
+    same way).  Unknown model ids are rejected at PUT time like ES's
+    model-not-deployed error.  The oracle replays the shared
+    quality-logit SQL (operators/ingest.py INFERENCE_MODELS)."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = apply_pipeline(
+        docs,
+        [
+            {"inference": {"model_id": "quality-logit-v1",
+                           "target_field": "logit_scaled"}},
+        ],
+    )
+    return out.select("doc_id", "lang", "logit_scaled").orderBy("doc_id")
+
+
+_ORACLES["s39_ingest_inference"] = f"""
+    WITH ql AS ({_ORACLES["l5_quality_logit"]})
+    SELECT ql.doc_id, d.lang, ql.logit_scaled
+    FROM ql JOIN documents d ON ql.doc_id = d.doc_id
+    ORDER BY ql.doc_id
+"""

@@ -96,3 +96,36 @@ def test_stored_pipeline_bulk_roundtrip(spark, frame):
         api.delete_index(spark, idx)
         assert api.delete_ingest_pipeline(spark, pid)
         assert api.get_ingest_pipeline(spark, pid) is None
+
+
+def test_inference_processor_matches_quality_logit_scores(spark, sf_dir):
+    """The inference processor's attach form is bit-equal to
+    quality_logit_scores on the fixture, preserves every input column,
+    and rejects undeployed model ids at PUT time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators.ingest import (
+        apply_pipeline,
+        validate_pipeline,
+    )
+    from bigdatasearchpro_spark.operators.textstats import (
+        quality_logit_scores,
+    )
+    from bigdatasearchpro_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = apply_pipeline(
+        docs,
+        [{"inference": {"model_id": "quality-logit-v1",
+                        "target_field": "q"}}],
+    )
+    assert set(docs.columns) <= set(out.columns)
+    got = {r["doc_id"]: r["q"] for r in out.select("doc_id", "q").collect()}
+    want = {r["doc_id"]: r["logit_scaled"]
+            for r in quality_logit_scores(docs).collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="model_id"):
+        validate_pipeline([{"inference": {"model_id": "nope", "target_field": "q"}}])
+    with pytest.raises(ValueError, match="target_field"):
+        validate_pipeline([{"inference": {"model_id": "quality-logit-v1"}}])

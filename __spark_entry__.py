@@ -250,6 +250,7 @@ _R7_DEFER_TO_R8 = (
     "l6_audio_fingerprint_neardup",
     "s38_xml_roundtrip",
     "s39_ingest_inference",
+    "s40_ingest_json",
 )
 
 

@@ -76,6 +76,9 @@ def validate_pipeline(processors: "list[dict]") -> None:
                 raise ValueError(
                     "enrich needs match_field and target_fields"
                 )
+        elif kind == "json":
+            if "field" not in body:
+                raise ValueError("json needs a field")
         elif kind == "inference":
             if body.get("model_id") not in INFERENCE_MODELS:
                 raise ValueError(
@@ -138,6 +141,29 @@ def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
             targets = list(body["target_fields"])
             side = lookup.select(match, *targets)
             df = df.join(F.broadcast(side), match, "left")
+        elif kind == "json":
+            # ES json processor: parse a JSON-string field into a
+            # structured object.  Spark's from_json wants a schema up
+            # front; an explicit DDL string in the body wins (the
+            # typed-pipeline form), else the schema is INFERRED at
+            # apply time from the field's first non-null value — the
+            # dynamic-mapping behavior the reference leans on
+            # (SURVEY.md §1.2), resolved once driver-side like the
+            # enrich processor resolves its index.
+            fld = body["field"]
+            tgt = body.get("target_field", fld)
+            if "schema" in body:
+                sch = body["schema"]
+            else:
+                sample = (
+                    df.select(fld).filter(F.col(fld).isNotNull()).first()
+                )
+                if sample is None:
+                    raise ValueError(f"json: no non-null {fld!r} to infer from")
+                sch = df.sparkSession.range(1).select(
+                    F.schema_of_json(F.lit(sample[0]))
+                ).first()[0]
+            df = df.withColumn(tgt, F.from_json(F.col(fld), sch))
         elif kind == "inference":
             df = INFERENCE_MODELS[body["model_id"]](
                 df, body.get("field", "text"), body["target_field"]

@@ -1312,3 +1312,33 @@ _ORACLES["s39_ingest_inference"] = f"""
     FROM ql JOIN documents d ON ql.doc_id = d.doc_id
     ORDER BY ql.doc_id
 """
+
+
+@register(
+    "s40_ingest_json",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def s40_ingest_json(spark, sf_dir):
+    """S40 [ES parity]: ingest ``json`` processor — the events table's
+    JSON-string ``props`` field parses into a structured object at
+    ingest, schema INFERRED at apply time from the first non-null
+    value (the dynamic-mapping behavior the reference's ES leans on,
+    SURVEY.md §1.2; an explicit DDL schema in the body is the typed
+    form).  One from_json projection; the oracle replays via
+    json_extract (operators/ingest.py apply_pipeline)."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    out = apply_pipeline(
+        ev, [{"json": {"field": "props", "target_field": "props_obj"}}]
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("props_obj.k").cast("long").alias("prop_k"),
+    ).orderBy("event_id")

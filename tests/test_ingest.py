@@ -129,3 +129,29 @@ def test_inference_processor_matches_quality_logit_scores(spark, sf_dir):
         validate_pipeline([{"inference": {"model_id": "nope", "target_field": "q"}}])
     with pytest.raises(ValueError, match="target_field"):
         validate_pipeline([{"inference": {"model_id": "quality-logit-v1"}}])
+
+
+def test_json_processor_infers_and_honors_explicit_schema(spark):
+    """Inferred-schema parse structures the field; an explicit DDL
+    schema wins; an all-null field fails loudly at apply."""
+    import pytest
+
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "b": "x"}'), (2, '{"a": 7, "b": "y"}')],
+        "id long, payload string",
+    )
+    out = apply_pipeline(
+        df, [{"json": {"field": "payload", "target_field": "o"}}]
+    ).select("id", "o.a", "o.b").collect()
+    assert {(r["id"], r["a"], r["b"]) for r in out} == {(1, 5, "x"), (2, 7, "y")}
+    typed = apply_pipeline(
+        df,
+        [{"json": {"field": "payload", "target_field": "o",
+                   "schema": "a string"}}],
+    ).select("o.a").collect()
+    assert {r["a"] for r in typed} == {"5", "7"}  # DDL schema wins
+    nulls = spark.createDataFrame([(1, None)], "id long, payload string")
+    with pytest.raises(ValueError, match="no non-null"):
+        apply_pipeline(nulls, [{"json": {"field": "payload"}}])

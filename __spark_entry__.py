@@ -251,6 +251,7 @@ _R7_DEFER_TO_R8 = (
     "s38_xml_roundtrip",
     "s39_ingest_inference",
     "s40_ingest_json",
+    "s41_ingest_date",
 )
 
 

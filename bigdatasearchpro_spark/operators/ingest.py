@@ -79,6 +79,11 @@ def validate_pipeline(processors: "list[dict]") -> None:
         elif kind == "json":
             if "field" not in body:
                 raise ValueError("json needs a field")
+        elif kind == "date":
+            if "field" not in body or "formats" not in body:
+                raise ValueError("date needs field and formats")
+            if not body["formats"]:
+                raise ValueError("date needs at least one format")
         elif kind == "inference":
             if body.get("model_id") not in INFERENCE_MODELS:
                 raise ValueError(
@@ -164,6 +169,20 @@ def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
                     F.schema_of_json(F.lit(sample[0]))
                 ).first()[0]
             df = df.withColumn(tgt, F.from_json(F.col(fld), sch))
+        elif kind == "date":
+            # ES date processor: parse a string field into a timestamp,
+            # trying each format in order (first that parses wins —
+            # try_to_timestamp returns NULL on mismatch, coalesce walks
+            # the format list), default target @timestamp like ES.
+            fld = body["field"]
+            tgt = body.get("target_field", "@timestamp")
+            parsed = F.coalesce(
+                *[
+                    F.try_to_timestamp(F.col(fld), F.lit(fmt))
+                    for fmt in body["formats"]
+                ]
+            )
+            df = df.withColumn(tgt, parsed)
         elif kind == "inference":
             df = INFERENCE_MODELS[body["model_id"]](
                 df, body.get("field", "text"), body["target_field"]

@@ -1342,3 +1342,38 @@ def s40_ingest_json(spark, sf_dir):
         "event_type",
         F.col("props_obj.k").cast("long").alias("prop_k"),
     ).orderBy("event_id")
+
+
+@register(
+    "s41_ingest_date",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS raw_ts,
+           date_trunc('second', ts) AS "@timestamp"
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def s41_ingest_date(spark, sf_dir):
+    """S41 [ES parity]: ingest ``date`` processor — a string date field
+    parses into ``@timestamp`` at ingest, trying each configured
+    format in order (try_to_timestamp per format + coalesce; first
+    match wins, like ES walks its format list).  The fixture
+    round-trips events.ts through its string form (with a decoy
+    first format that never matches, proving the fallback walk); the
+    oracle recomputes the parse independently
+    (operators/ingest.py apply_pipeline)."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("raw_ts"),
+    )
+    out = apply_pipeline(
+        ev,
+        [
+            {"date": {"field": "raw_ts",
+                      "formats": ["yyyy/MM/dd", "yyyy-MM-dd HH:mm:ss"]}},
+        ],
+    )
+    return out.select("event_id", "raw_ts", "@timestamp").orderBy("event_id")

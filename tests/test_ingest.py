@@ -155,3 +155,20 @@ def test_json_processor_infers_and_honors_explicit_schema(spark):
     nulls = spark.createDataFrame([(1, None)], "id long, payload string")
     with pytest.raises(ValueError, match="no non-null"):
         apply_pipeline(nulls, [{"json": {"field": "payload"}}])
+
+
+def test_date_processor_walks_formats_and_nulls_unparseable(spark):
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "2024/01/05"), (2, "2024-01-06 10:00:00"), (3, "junk")],
+        "id long, d string",
+    )
+    out = {r["id"]: r["@timestamp"] for r in apply_pipeline(
+        df,
+        [{"date": {"field": "d",
+                   "formats": ["yyyy/MM/dd", "yyyy-MM-dd HH:mm:ss"]}}],
+    ).collect()}
+    assert out[1] is not None and out[1].day == 5
+    assert out[2] is not None and out[2].hour == 10
+    assert out[3] is None  # unparseable -> NULL, no throw (ANSI-safe)

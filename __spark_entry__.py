@@ -252,6 +252,7 @@ _R7_DEFER_TO_R8 = (
     "s39_ingest_inference",
     "s40_ingest_json",
     "s41_ingest_date",
+    "s42_ingest_kv_fingerprint",
 )
 
 

@@ -84,6 +84,18 @@ def validate_pipeline(processors: "list[dict]") -> None:
                 raise ValueError("date needs field and formats")
             if not body["formats"]:
                 raise ValueError("date needs at least one format")
+        elif kind == "kv":
+            if not all(k in body for k in ("field", "field_split", "value_split")):
+                raise ValueError("kv needs field, field_split, value_split")
+        elif kind == "urldecode":
+            if "field" not in body:
+                raise ValueError("urldecode needs a field")
+        elif kind == "append":
+            if "field" not in body or "value" not in body:
+                raise ValueError("append needs field and value")
+        elif kind == "fingerprint":
+            if not body.get("fields") or "target_field" not in body:
+                raise ValueError("fingerprint needs fields and target_field")
         elif kind == "inference":
             if body.get("model_id") not in INFERENCE_MODELS:
                 raise ValueError(
@@ -183,6 +195,38 @@ def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
                 ]
             )
             df = df.withColumn(tgt, parsed)
+        elif kind == "kv":
+            # ES kv processor: 'a=1&b=2' -> map (str_to_map, JVM-side)
+            df = df.withColumn(
+                body.get("target_field", body["field"]),
+                F.str_to_map(
+                    F.col(body["field"]),
+                    F.lit(body["field_split"]),
+                    F.lit(body["value_split"]),
+                ),
+            )
+        elif kind == "urldecode":
+            df = df.withColumn(
+                body.get("target_field", body["field"]),
+                F.url_decode(F.col(body["field"])),
+            )
+        elif kind == "append":
+            # ES append processor: push a value onto an array field
+            df = df.withColumn(
+                body["field"],
+                F.concat(F.col(body["field"]), F.array(F.lit(body["value"]))),
+            )
+        elif kind == "fingerprint":
+            # ES fingerprint processor: stable hash of selected fields
+            # (values joined with a separator, md5) — the dedup key
+            df = df.withColumn(
+                body["target_field"],
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in body["fields"]]
+                    )
+                ),
+            )
         elif kind == "inference":
             df = INFERENCE_MODELS[body["model_id"]](
                 df, body.get("field", "text"), body["target_field"]

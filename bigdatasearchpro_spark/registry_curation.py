@@ -1377,3 +1377,58 @@ def s41_ingest_date(spark, sf_dir):
         ],
     )
     return out.select("event_id", "raw_ts", "@timestamp").orderBy("event_id")
+
+
+@register(
+    "s42_ingest_kv_fingerprint",
+    """
+    SELECT doc_id,
+           lang AS kv_lang,
+           'big data' AS kv_q,
+           md5(lang || '|' || source) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def s42_ingest_kv_fingerprint(spark, sf_dir):
+    """S42 [ES parity]: ingest ``kv`` + ``urldecode`` + ``fingerprint``
+    processor chain — a query-string-shaped field
+    (`lang=..&src=..&q=big%20data`) parses to a map (str_to_map,
+    JVM-side), the extracted q url-decodes, and a stable md5
+    fingerprint of (lang, source) becomes the dedup key, all inside
+    ONE ingest projection.  The oracle replays each step with plain
+    string functions (DuckDB has no url_decode; the fixture's only
+    escape is %20, which the decode provably resolves — the Spark
+    side uses the real url_decode) (operators/ingest.py
+    apply_pipeline)."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.concat(
+            F.lit("lang="), F.col("lang"),
+            F.lit("&src="), F.col("source"),
+            F.lit("&q=big%20data"),
+        ).alias("qs"),
+    )
+    out = apply_pipeline(
+        docs,
+        [
+            {"kv": {"field": "qs", "target_field": "kvmap",
+                    "field_split": "&", "value_split": "="}},
+        ],
+    ).withColumn("q_raw", F.col("kvmap")["q"])
+    out = apply_pipeline(
+        out,
+        [
+            {"urldecode": {"field": "q_raw", "target_field": "kv_q"}},
+            {"fingerprint": {"fields": ["lang", "source"],
+                             "target_field": "fp"}},
+        ],
+    )
+    return out.select(
+        "doc_id",
+        F.col("kvmap")["lang"].alias("kv_lang"),
+        "kv_q",
+        "fp",
+    ).orderBy("doc_id")

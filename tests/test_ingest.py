@@ -172,3 +172,28 @@ def test_date_processor_walks_formats_and_nulls_unparseable(spark):
     assert out[1] is not None and out[1].day == 5
     assert out[2] is not None and out[2].hour == 10
     assert out[3] is None  # unparseable -> NULL, no throw (ANSI-safe)
+
+
+def test_kv_append_fingerprint_processors(spark):
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a=1&b=two%20words", ["t0"])],
+        "id long, qs string, tags array<string>",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"kv": {"field": "qs", "target_field": "m",
+                    "field_split": "&", "value_split": "="}},
+            {"append": {"field": "tags", "value": "ingested"}},
+            {"fingerprint": {"fields": ["id", "qs"], "target_field": "fp"}},
+        ],
+    ).withColumn("b_raw", __import__("pyspark.sql.functions", fromlist=["col"]).col("m")["b"])
+    out = apply_pipeline(out, [{"urldecode": {"field": "b_raw", "target_field": "b"}}])
+    [r] = out.collect()
+    assert r["m"]["a"] == "1"
+    assert r["b"] == "two words"
+    assert r["tags"] == ["t0", "ingested"]
+    import hashlib
+    assert r["fp"] == hashlib.md5(b"1|a=1&b=two%20words").hexdigest()

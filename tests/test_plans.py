@@ -756,3 +756,27 @@ def test_ninth_pass_plan_gates(spark, sf_dir):
     # window in the printed tree: windows only ever see bucket rows
     assert "HashAggregate" in cp and "Window" in cp
     assert cp.index("Window") < cp.index("HashAggregate")
+
+
+def test_ingest_processor_entries_are_pure_projections(spark, sf_dir):
+    """The ingest ring's contract — processors fold into the write
+    projection: the inference/json/date/kv entries plan with ONE file
+    scan, no join, no aggregation, and no Python eval (the json
+    processor's schema inference is a separate driver-side sample, not
+    part of this plan)."""
+    from bigdatasearchpro_spark.registry import QUERIES
+
+    for name in (
+        "s39_ingest_inference",
+        "s40_ingest_json",
+        "s41_ingest_date",
+        "s42_ingest_kv_fingerprint",
+    ):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan and "HashAggregate" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

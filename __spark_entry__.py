@@ -29,232 +29,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["l3_search_bm25_topk"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-coverage ordering (the driver checks entries in queries()
-# order and may stop early on a budget): the round's FIXES and NEW
-# entries are guaranteed a verdict, then every other entry is ordered
-# by verdict AGE — the entry whose last driver verdict is oldest goes
-# first.  Ages are computed from ALL CORRECTNESS_r*.json files on
-# disk, so the rotation stays honest without hand-maintained lists
-# (the r4-verdict ask: prioritize by verdict age, not by membership in
-# the last window).
+# Driver-coverage ordering (the driver checks the FIRST 50 entries of
+# queries() each round): the round's FIXES, NEW entries, and flagship
+# never-checked picks are guaranteed a verdict via the front list;
+# every other entry is ordered STALEST-FIRST — never-driver-checked
+# entries (no verdict in any CORRECTNESS_r*.json) come before checked
+# ones, then ascending by last-verdict round.  Ages are computed from
+# ALL CORRECTNESS_r*.json files on disk, so the rotation stays honest
+# without hand-maintained lists.
 #
-# Round-7 note: the front (the r6 red-entry fix + the swapped deciles
-# flagship + this round's new operators + code-changed entries) plus
-# the 39-entry r2 cohort must total <= 50 so the window drains the
-# whole r2 tail (the r6-verdict ask #6) while every new operator still
-# gets a first verdict.  Run tools/check_window.py after ANY change.
-_R7_FIXED_OR_NEW = (
-    # the round's headline fix: the r6 red entry — oracle window sum
-    # now cast ::BIGINT (DuckDB HUGEINT widening broke the value hash)
-    "l5_domain_token_budget",
-    # swapped to the per-source PARTITIONED ntile (the 100 TB shape);
-    # global exact deciles now require an explicit exact_global=True
-    "l5_quality_deciles",
-    # NOT front-listed despite touched code: l3_post_filter_facets (the
-    # coalesce only changes ALL-NULL-predicate buckets, which the
-    # fixture provably lacks — the entry was hash-green in r6 against a
-    # CASE-WHEN oracle that already counted 0 there; the new behavior
-    # is pinned by the aggs unit tests) and s21_field_caps (the
-    # aggregatable-scalars-only change leaves the fixture's
-    # bigint/string output byte-identical; the complex-type behavior is
-    # pinned by test_field_caps_single_index_and_guards).
-    # NOT front-listed despite touched code: s21_field_caps — the
-    # aggregatable-scalars-only change leaves the fixture's
-    # bigint/string output byte-identical (r6 verdict stands); the new
-    # complex-type behavior is pinned by
-    # test_field_caps_single_index_and_guards
-    # new operators this round
-    "l3_geo_bounding_box",
-    "l3_geo_distance",
-    "l3_agg_geo_distance",
-    "s23_index_template",
-    "l3_analyzer_russian",
-    "l5_bpe_token_counts",
-    "l4_range_search_ivf",
-    "l3_agg_geotile_grid",
-    "l3_geo_sort",
-)
-
-# Entries added AFTER the round-7 window was budgeted (front + the
-# full 39-entry r2 cohort = exactly 50): placing them in age order
-# would put them at age 0, AHEAD of the r2 cohort, displacing stale
-# entries out of the window — so they are pinned to the BACK instead
-# and get their first driver verdict in round 8, where the age sort
-# automatically puts them first.  Run tools/check_window.py after ANY
-# change.
+# INVARIANT (enforced by tools/check_window.py AND
+# tests/test_window.py): outside the front list, no younger entry may
+# precede a staler one — the round-7 back-pinning list that silently
+# displaced st5_stateful_sessionize is gone.  The front list is the
+# only reviewed exception; run `python tools/check_window.py` after
+# ANY registry or front-list change.
 #
-# ROUND-8 NOTE: this back-list now holds ~150 never-checked entries —
-# three windows' worth.  ALL of them were locally hash-verified
-# against DuckDB at sf0.01 during round 7 (tools/parity.py full sweep,
-# 372/372 green; the handful added after that sweep were verified
-# individually), so deferral carries no correctness risk — only
-# verdict lag.  Round 8 should budget deliberately: never-checked
-# entries all sort at age 0, so an unmanaged age sort fills the whole
-# 50-slot window with them and STARVES the r3 cohort (the next-oldest
-# verdicts).  Suggested round-8 front: that round's fixes + ~12
-# flagship never-checked entries (good picks: the nested pair, pinned,
-# sparse_vector, pipeline v6, index resize, terms partition,
-# fingerprint dedup, synonym search, s37_downsample_tsdb,
-# l6_video_scene_cuts, l5_url_dedup, l5_curriculum_order,
-# l3_agg_change_point, l3_analyzer_phonetic); then let the age sort
-# interleave the r3 cohort; keep the remaining never-checked at the
-# back to drain over rounds 9-10.
-_R7_DEFER_TO_R8 = (
-    "l3_geo_polygon",
-    "l3_agg_geohash_grid",
-    "l3_agg_geo_bounds_centroid",
-    "l3_agg_adjacency_matrix",
-    "l3_agg_rare_terms",
-    "l3_agg_sampler",
-    "l3_agg_weighted_avg",
-    "l6_decode_png",
-    "l3_agg_derivative",
-    "l3_agg_cumulative_sum",
-    "l3_agg_moving_avg",
-    "l3_agg_serial_diff",
-    "l3_agg_bucket_script",
-    "l3_agg_bucket_selector",
-    "l3_agg_auto_date_histogram",
-    "st11_streaming_geo_fence",
-    "l3_agg_stats_bucket",
-    "l3_agg_percentile_ranks",
-    "l5_domain_temperature_mixture",
-    "l3_agg_matrix_stats",
-    "l3_agg_boxplot",
-    "l3_agg_diversified_sampler",
-    "l4_mmr_topk",
+# Round-8 budget (the r7-verdict drain plan): 152 entries have never
+# had a driver verdict.  Front = this round's new/fixed entries +
+# st5_stateful_sessionize (the r3-stale entry the r7 tool flagged as
+# displaced) + the judge's flagship never-checked picks; the rest of
+# the window auto-fills with never-checked entries in registry order.
+# ~44 backlog entries drain this round; the remainder drains over
+# rounds 9-10 (never-checked sort first until the class is empty, then
+# the r3 cohort is next).
+_R8_FIXED_OR_NEW = (
+    # the r3-stale entry displaced from the r7 window (verdict ask #2)
+    "st5_stateful_sessionize",
+    # round-8 new operators (verdict asks #4, #6, #7, #9)
+    "s43_ingest_grok_dissect",
+    "s44_bulk_op_types",
+    "l3_eql_until",
+    "s45_cluster_introspection",
+    # code-touched this round, never driver-checked: ingest append/
+    # fingerprint NULL semantics (ADVICE) and the sql_query guard
+    # rewrite (ADVICE) feed these two entries
+    "s42_ingest_kv_fingerprint",
+    "s26_sql_endpoint",
+    # the judge's flagship never-checked picks (verdict ask #2):
+    # highest-blast-radius families first
     "l5_pipeline_curation_v3",
-    "l3_agg_geo_line",
-    "l3_agg_terms_metric_order",
-    "l3_agg_filters_other_bucket",
-    "q13_customer_distribution",
-    "q21_waiting_supplier",
-    "l3_function_score_decay",
-    "l3_intervals_query",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q11_important_stock",
-    "q14_promo_effect",
-    "q16_supplier_part_counts",
-    "q20_potential_promotion",
-    "l4_rrf_hybrid_topk",
-    "l5_gopher_rules",
-    "l3_agg_multi_terms",
-    "l3_agg_top_metrics",
-    "l3_agg_string_stats",
-    "l5_dsir_weights",
-    "l3_terms_set_query",
-    "l4_filtered_knn",
-    "l3_rank_feature_query",
-    "l3_distance_feature_query",
-    "l3_dis_max_tie_breaker",
-    "l3_agg_missing",
-    "l3_agg_mad",
-    "l3_agg_t_test",
-    "l3_agg_normalize",
-    "l3_combined_fields",
-    "s24_sliced_scroll",
     "l5_pipeline_curation_v4",
-    "st12_streaming_quality_gate",
-    "l6_image_resize",
-    "l3_analyzer_italian",
-    "l3_analyzer_portuguese",
-    "l3_match_bool_prefix",
-    "l5_script_detect",
-    "l3_range_date_math",
-    "l3_agg_global",
+    "l5_pipeline_curation_v5",
+    "l5_pipeline_curation_v6",
     "l3_has_child",
     "l3_has_parent",
     "l3_script_score",
     "l3_runtime_field",
-    "l3_agg_scripted_metric",
-    "f9_ip_funcs",
-    "l3_ip_cidr_query",
-    "l3_agg_ip_range",
-    "l3_agg_date_range",
-    "l3_agg_significant_text",
-    "l3_wrapper_query",
-    "l3_simple_query_string",
-    "l3_constant_score",
-    "l5_substring_dedup",
-    "l3_indices_boost",
-    "l3_search_template",
-    "s25_stored_script",
-    "l5_ccnet_buckets",
-    "l5_embedding_decontaminate",
-    "l3_span_near_query",
-    "l3_span_first_query",
-    "l3_span_not_query",
-    "s26_sql_endpoint",
-    "st13_streaming_script_alert",
-    "s27_point_in_time",
-    "l5_bpe_train",
-    "l5_pipeline_curation_v5",
-    "l4_linear_retriever",
-    "s28_cross_cluster_search",
-    "l3_suggest_completion_context",
-    "s29_routed_search",
-    "s30_ingest_pipeline",
-    "l3_agg_children",
-    "l3_agg_frequent_item_sets",
-    "l3_agg_categorize_text",
     "l3_eql_sequence",
-    "s31_transform_pivot",
-    "l5_leakage_safe_split",
-    "l5_length_bucketed_batches",
-    "st14_streaming_transform",
-    "s32_watcher",
-    "s33_ilm_lifecycle",
-    "l4_hamming_topk",
-    "l4_maxsim_topk",
-    "l3_geo_shape_envelope",
-    "l3_collapse_inner_hits",
-    "l3_graph_explore",
-    "l3_agg_rate",
-    "l3_agg_random_sampler",
-    "s34_terms_enum",
     "l3_nested_query",
-    "l3_nested_vs_object",
-    "l3_agg_nested_terms",
-    "l3_agg_bucket_sort",
-    "l3_agg_percentiles_bucket",
-    "l3_pinned_query",
-    "l3_analyzer_edge_ngram",
-    "l3_agg_moving_percentiles",
-    "l1_fingerprint_dedup",
-    "s35_index_resize",
-    "l3_synonym_search",
-    "l1_soft_dedup_weights",
-    "l3_span_containing_query",
-    "l3_span_within_query",
+    "s31_transform_pivot",
+    "l5_substring_dedup",
+    "l4_rrf_hybrid_topk",
     "l4_sparse_vector_topk",
-    "l5_pipeline_curation_v6",
-    "l3_agg_variable_width_histogram",
+    "l3_span_near_query",
+    "l3_span_not_query",
+    "q2_min_cost_supplier",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
+    "l3_pinned_query",
+    "s35_index_resize",
     "l3_agg_terms_partition",
-    "l3_agg_composite_histogram",
-    "l3_span_multi_query",
-    "s36_async_search",
-    "l3_regexp_query",
-    "l3_agg_change_point",
-    "l5_curriculum_order",
-    "l5_shuffle_shards",
-    "l5_intra_doc_dedup",
-    "l5_tokenizer_fertility",
+    "l1_fingerprint_dedup",
+    "l3_synonym_search",
     "s37_downsample_tsdb",
-    "l3_analyzer_phonetic",
-    "st15_streaming_downsample",
-    "l5_url_dedup",
     "l6_video_scene_cuts",
-    "l6_image_phash_neardup",
-    "l6_audio_fingerprint_neardup",
-    "s38_xml_roundtrip",
-    "s39_ingest_inference",
-    "s40_ingest_json",
-    "s41_ingest_date",
-    "s42_ingest_kv_fingerprint",
+    "l5_url_dedup",
+    "l5_curriculum_order",
+    "l3_agg_change_point",
+    "l3_analyzer_phonetic",
 )
-
 
 def _verdict_ages() -> dict[str, int]:
     """name → round number of the entry's most recent driver verdict,
@@ -281,17 +125,21 @@ def _verdict_ages() -> dict[str, int]:
     return ages
 
 
+FRONT = _R8_FIXED_OR_NEW
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    front = [n for n in _R7_FIXED_OR_NEW if n in QUERIES]
-    back = [n for n in _R7_DEFER_TO_R8 if n in QUERIES]
+    """One entry per implemented operator from SURVEY.md §2, front
+    list first, then pure stalest-first (never-checked before checked,
+    then ascending last-verdict round; registry order breaks ties)."""
+    front = [n for n in FRONT if n in QUERIES]
     ages = _verdict_ages()
     order = list(QUERIES)
     rest = sorted(
-        (n for n in order if n not in front and n not in back),
+        (n for n in order if n not in front),
         key=lambda n: (ages.get(n, 0), order.index(n)),
     )
-    return {n: QUERIES[n] for n in (*front, *rest, *back)}
+    return {n: QUERIES[n] for n in (*front, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -161,6 +161,65 @@ def _drain(df) -> int:
     return df.count() if df.isStreaming is False else 0
 
 
+# --- lifecycle-split entries -------------------------------------------
+# l3_search_all_indices is a self-contained registry entry: it CREATES
+# two probe indices, queries them, and DROPS them, so its registry wall
+# time is ~80% index-lifecycle cost, not query cost (VERDICT r7 wrong
+# #4).  For the bench, the probe indices are created ONCE in a setup
+# phase and the timed body is the scatter-gather query alone — the
+# number a user would see per search against standing indices.
+def _setup_search_all_indices(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from bigdatasearchpro_spark import api  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    a, b = "bench_all_probe_a", "bench_all_probe_b"
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 0), a,
+                           id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), b,
+                           id_col="doc_id")
+    return (a, b)
+
+
+def _run_search_all_indices(spark, sf_dir, ctx):
+    from bigdatasearchpro_spark import api  # noqa: PLC0415
+
+    return api.query_data(spark, "spark join window", "_all", k=10)
+
+
+def _teardown_search_all_indices(spark, ctx):
+    from bigdatasearchpro_spark import api  # noqa: PLC0415
+
+    for name in ctx:
+        api.delete_index(spark, name)
+
+
+# name -> (setup(spark, sf_dir) -> ctx, run(spark, sf_dir, ctx) -> df,
+#          teardown(spark, ctx)); setup/teardown run OUTSIDE the timer.
+BENCH_SPLIT = {
+    "l3_search_all_indices": (
+        _setup_search_all_indices,
+        _run_search_all_indices,
+        _teardown_search_all_indices,
+    ),
+}
+
+# Queries always included in the compact driver-facing stdout line
+# (everything else lives in BENCH_DETAIL.json): the ETL headline plus a
+# fixed cross-ring flagship set, stable round-over-round.
+HEADLINE_QUERIES = [
+    "etl_bulk_load",
+    "a3_pricing_summary",
+    "j1_join_revenue_by_nation",
+    "l3_search_bm25_topk",
+    "l2_minhash_lsh_pairs",
+    "l4_ann_ivfpq_topk",
+    "l5_decontaminate",
+    "l5_pipeline_end_to_end",
+]
+
+
 def bench_etl_pipeline(spark, sf_dir: str, sink_dir: str) -> tuple[float, int]:
     """The reference's §3.1 lifecycle on lineitem: full scan, stringify,
     composite key, last-write-wins dedup, bulk write (parquet sink stands
@@ -200,6 +259,19 @@ def main() -> None:
         )
         queries["etl_bulk_load"] = round(etl_sec, 3)
 
+        # Isolated-ETL mode: the fresh-JVM min-of-REPS number with no
+        # suite behind it (SCALING.md interference protocol, VERDICT r7
+        # wrong #3).  Prints the same-shape compact line and exits.
+        if os.environ.get("SPARK_GRAFT_BENCH_ETL_ONLY"):
+            print(json.dumps({
+                "metric": "etl_rows_per_sec_isolated",
+                "value": round(etl_rows / max(etl_sec, 1e-9), 1),
+                "unit": "rows/sec", "sf": sf, "reps": REPS,
+                "etl_rows": etl_rows, "etl_sec": queries["etl_bulk_load"],
+            }))
+            spark.stop()
+            return
+
         for name in BENCH_QUERIES:
             # Inter-query hygiene: drop caches persisted by earlier
             # queries and nudge the JVM to collect before timing — the
@@ -210,35 +282,61 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
 
+            split = BENCH_SPLIT.get(name)
+            ctx = split[0](spark, SF_DIR) if split else None
+
             def _run_once() -> float:
                 t0 = time.time()
-                _drain(QUERIES[name](spark, SF_DIR))
+                if split:
+                    _drain(split[1](spark, SF_DIR, ctx))
+                else:
+                    _drain(QUERIES[name](spark, SF_DIR))
                 return time.time() - t0
 
-            best = min(_run_once() for _ in range(REPS))
-            if best < SUBSEC_THRESHOLD:
-                # min-of-(REPS+EXTRA) for noise-prone sub-second queries
-                for _ in range(SUBSEC_EXTRA_REPS):
-                    best = min(best, _run_once())
+            try:
+                best = min(_run_once() for _ in range(REPS))
+                if best < SUBSEC_THRESHOLD:
+                    # min-of-(REPS+EXTRA) for noise-prone sub-second
+                    # queries
+                    for _ in range(SUBSEC_EXTRA_REPS):
+                        best = min(best, _run_once())
+            finally:
+                if split:
+                    split[2](spark, ctx)
             queries[name] = round(best, 3)
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "reps": REPS,
-                "etl_rows": etl_rows,
-                "etl_rows_per_sec": round(etl_rows / max(etl_sec, 1e-9), 1),
-            }
-        )
-    )
+    etl_rps = round(etl_rows / max(etl_sec, 1e-9), 1)
+
+    # Full per-query map -> repo file (the driver's stdout-tail capture
+    # is 2000 chars; the one-line everything-JSON outgrew it in r7 and
+    # the round recorded parsed:null — VERDICT r7 wrong #1).
+    detail = {
+        "metric": "headline_suite_wall", "value": total, "unit": "sec",
+        "queries": queries, "sf": sf, "reps": REPS,
+        "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w", encoding="utf-8") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Compact LAST line for the driver: headline + fixed flagship
+    # subset, guaranteed to fit the 2000-char tail capture.
+    compact = {
+        "metric": "headline_suite_wall", "value": total, "unit": "sec",
+        "queries": {k: queries[k] for k in HEADLINE_QUERIES if k in queries},
+        "sf": sf, "reps": REPS, "n_queries": len(queries),
+        "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # hard guarantee: never outgrow the capture
+        compact["queries"] = {"etl_bulk_load": queries["etl_bulk_load"]}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -1411,14 +1411,37 @@ def sql_query(
     and (3) applies ``fetch_size`` as the page cap.  The plan is
     whatever Catalyst builds for the statement — predicate pushdown,
     codegen, AQE all apply, which is exactly the ES-SQL pitch
-    (SQL in, engine-native execution out)."""
-    import re as _re
+    (SQL in, engine-native execution out).
 
-    if not _re.match(r"(?is)^\s*(select|with)\b", query):
-        raise ValueError("_sql accepts a single read-only SELECT statement")
-    if _re.search(r"(?is)\b(insert|update|delete|drop|create|alter|merge)\b",
-                  query):
-        raise ValueError("_sql is read-only (use the typed endpoints)")
+    Read-only enforcement is PLAN-based, not keyword-based (the r7
+    ADVICE fix): the statement is parsed with Spark's own SQL parser
+    and rejected when the root logical plan is a ``Command`` /
+    ``ParsedStatement`` (DDL/DML — INSERT, CREATE, DROP, SET, ...).
+    A SELECT whose string literals or identifiers merely CONTAIN
+    reserved words (``WHERE status = 'delete'``) parses to a query
+    plan and passes; a multi-statement string fails Spark's
+    single-statement parser outright."""
+    jss = spark._jsparkSession
+    try:
+        jplan = jss.sessionState().sqlParser().parsePlan(query)
+    except Exception as e:  # Py4J wraps ParseException
+        msg = str(getattr(e, "java_exception", e)).splitlines()[0]
+        raise ValueError(f"_sql could not parse statement: {msg}") from None
+    jvm = spark.sparkContext._jvm
+    for cmd_cls in (
+        "org.apache.spark.sql.catalyst.plans.logical.Command",
+        "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+    ):
+        try:
+            if jvm.java.lang.Class.forName(cmd_cls).isInstance(jplan):
+                raise ValueError(
+                    "_sql is read-only (use the typed endpoints); got "
+                    f"{jplan.getClass().getSimpleName()}"
+                )
+        except ValueError:
+            raise
+        except Exception:  # class absent in this Spark build: skip
+            continue
     out = spark.sql(query)
     if fetch_size is not None:
         if fetch_size <= 0:

@@ -1,0 +1,207 @@
+"""Grok and dissect expression compilers for the ingest pipeline —
+the two most-used log-parsing processors in real ES ingest pipelines
+(the r7-verdict gap #1; the ingest ring re-homes the reference's
+row-transform loop, BulkProcessImpl.java:110-131).
+
+Both compile ONCE at pipeline PUT time into a single combined regex +
+a typed field list, and apply as ONE projection of JVM-side
+``regexp_extract`` expressions — no Python in the row path, the whole
+parse stays inside the scan's codegen span and scales like any other
+narrow projection at 100 TB.
+
+Grok syntax: a regex extended with ``%{PATTERN}``, ``%{PATTERN:field}``
+or ``%{PATTERN:field:type}`` tokens resolved against a pattern
+dictionary (the public grok-core names: WORD, IP, NUMBER,
+TIMESTAMP_ISO8601, HTTPDATE, LOGLEVEL, GREEDYDATA, ...), with
+``pattern_definitions`` overriding/extending per processor.  The
+compiled pattern keeps backtracking bounded (an RE2-safe subset: no
+backreferences, dictionary entries are non-capturing).
+
+Dissect syntax: a purely positional template — ``%{field}`` keys
+between literal separators, ``%{}``/``%{?name}`` skip keys, and the
+``->`` right-pad modifier (the following separator may repeat).  No
+user regex at all; the template compiles to anchored literal
+separators with non-greedy gaps.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The public grok core names (RE2-safe subset: no backreferences; all
+# groups non-capturing).  QUOTEDSTRING is the simplified no-escape
+# form — the full grok QS uses backreferences, which this engine
+# deliberately rejects (same policy as the gsub/script processors).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "POSINT": r"\d+",
+    "NONNEGINT": r"\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"[A-Za-z0-9](?:[A-Za-z0-9._-]*[A-Za-z0-9])?",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[A-Za-z0-9][A-Za-z0-9._-]*)",
+    "HOSTPORT": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[A-Za-z0-9][A-Za-z0-9._-]*):\d+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "MAC": r"(?:[0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}",
+    "YEAR": r"\d{4}",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:[0-2]?\d|3[01])",
+    "MONTH": (r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+              r"[a-z]*"),
+    "TIME": r"\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "TIMESTAMP_ISO8601": (
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+        r"(?:Z|[+-]\d{2}:?\d{2})?"
+    ),
+    "HTTPDATE": (
+        r"(?:[0-2]?\d|3[01])/"
+        r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/"
+        r"\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}"
+    ),
+    "LOGLEVEL": (
+        r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|"
+        r"CRIT(?:ICAL)?|FATAL|SEVERE|ALERT|EMERG(?:ENCY)?)"
+    ),
+    "QUOTEDSTRING": r"\"[^\"]*\"",
+    "QS": r"\"[^\"]*\"",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "LOGLINE_PREFIX": r"\[[^\]]*\]",
+}
+
+_TOKEN_RE = re.compile(r"%\{([A-Z0-9_]+)(?::([A-Za-z0-9_@.\-]+)"
+                       r"(?::(int|long|float|double|string))?)?\}")
+
+_TYPE_CAST = {"int": "int", "long": "bigint",
+              "float": "double", "double": "double", "string": None}
+
+_MAX_EXPAND_DEPTH = 8
+
+
+def _expand(name: str, defs: dict[str, str], depth: int = 0) -> str:
+    """Resolve a dictionary pattern, recursively expanding embedded
+    ``%{NAME}`` references as non-capturing groups."""
+    if depth > _MAX_EXPAND_DEPTH:
+        raise ValueError(f"grok pattern {name!r} nests too deep")
+    if name not in defs:
+        raise ValueError(f"unknown grok pattern %{{{name}}}")
+    body = defs[name]
+    return _TOKEN_RE.sub(
+        lambda m: "(?:" + _expand(m.group(1), defs, depth + 1) + ")", body
+    )
+
+
+def _decapture(literal: str) -> str:
+    """Turn bare user capture groups in the literal regex segments into
+    non-capturing ones so %{...:field} group numbering stays stable."""
+    return re.sub(r"(?<!\\)\((?!\?)", "(?:", literal)
+
+
+def compile_grok(
+    expr: str, pattern_definitions: "dict[str, str] | None" = None,
+) -> "tuple[str, list[tuple[str, str | None]]]":
+    """Compile a grok expression to ``(java_regex, fields)`` where
+    ``fields`` is ``[(field_name, cast_type_or_None), ...]`` in capture
+    group order (group i+1 extracts fields[i])."""
+    defs = dict(GROK_PATTERNS)
+    if pattern_definitions:
+        defs.update(pattern_definitions)
+    out: list[str] = []
+    fields: list[tuple[str, str | None]] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(expr):
+        out.append(_decapture(expr[pos:m.start()]))
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        body = _expand(name, defs)
+        if field:
+            out.append("(" + body + ")")
+            fields.append((field, _TYPE_CAST.get(typ or "string")))
+        else:
+            out.append("(?:" + body + ")")
+        pos = m.end()
+    out.append(_decapture(expr[pos:]))
+    if not fields:
+        raise ValueError("grok expression extracts no fields "
+                         "(no %{PATTERN:field} tokens)")
+    return "".join(out), fields
+
+
+_DISSECT_KEY_RE = re.compile(r"%\{([^}]*)\}")
+
+
+def compile_dissect(pattern: str) -> "tuple[str, list[str]]":
+    """Compile a dissect template to ``(anchored_java_regex, fields)``.
+    Keys become non-greedy gaps (the final key greedy), skip keys
+    (``%{}`` / ``%{?name}``) become non-capturing, and a ``->`` pad
+    modifier lets the following literal separator repeat."""
+    parts = _DISSECT_KEY_RE.split(pattern)
+    # parts alternates literal, key, literal, key, ... literal
+    keys = parts[1::2]
+    lits = parts[0::2]
+    if not keys:
+        raise ValueError("dissect pattern has no %{key} tokens")
+    for i in range(1, len(keys)):
+        if lits[i] == "":
+            raise ValueError(
+                "dissect needs a literal separator between consecutive keys")
+    regex = ["^", re.escape(lits[0])]
+    fields: list[str] = []
+    for i, key in enumerate(keys):
+        pad = key.endswith("->")
+        if pad:
+            key = key[:-2]
+        skip = key == "" or key.startswith("?")
+        last = i == len(keys) - 1
+        gap = ".*" if last else ".*?"
+        regex.append(f"(?:{gap})" if skip else f"({gap})")
+        if not skip:
+            fields.append(key)
+        trail = re.escape(lits[i + 1])
+        if pad and trail:
+            # '->' : the next separator may repeat (right padding)
+            regex.append(f"(?:{trail})+")
+        else:
+            regex.append(trail)
+    regex.append("$")
+    if not fields:
+        raise ValueError("dissect pattern extracts no named keys")
+    return "".join(regex), fields
+
+
+def grok_columns(
+    source: Column, expr: str,
+    pattern_definitions: "dict[str, str] | None" = None,
+) -> "dict[str, Column]":
+    """field name -> typed extraction Column (NULL when the line does
+    not match, like an ES grok failure with ignore_failure)."""
+    regex, fields = compile_grok(expr, pattern_definitions)
+    matched = source.rlike(regex)
+    cols: dict[str, Column] = {}
+    for i, (field, cast) in enumerate(fields):
+        c = F.when(matched, F.regexp_extract(source, regex, i + 1))
+        cols[field] = c.cast(cast) if cast else c
+    return cols
+
+
+def dissect_columns(source: Column, pattern: str) -> "dict[str, Column]":
+    """field name -> extraction Column (NULL on non-matching lines)."""
+    regex, fields = compile_dissect(pattern)
+    matched = source.rlike(regex)
+    return {
+        field: F.when(matched, F.regexp_extract(source, regex, i + 1))
+        for i, field in enumerate(fields)
+    }

@@ -26,6 +26,11 @@ types raise at PUT time, like ES's processor validation):
 - ``{"enrich":    {"lookup": DataFrame, "match_field": f,
                    "target_fields": [...]}}``          — broadcast
   lookup join (the ES enrich processor's index-backed join)
+- ``{"grok":      {"field": f, "pattern": "%{IP:ip} ...",
+                   "pattern_definitions": {...}}}``    — compiled
+  grok (operators/grok.py): one combined regex, typed extractions
+- ``{"dissect":   {"field": f, "pattern": "%{a} %{b} [%{c}]"}}`` —
+  positional split, no user regex
 """
 
 from __future__ import annotations
@@ -96,6 +101,20 @@ def validate_pipeline(processors: "list[dict]") -> None:
         elif kind == "fingerprint":
             if not body.get("fields") or "target_field" not in body:
                 raise ValueError("fingerprint needs fields and target_field")
+        elif kind == "grok":
+            from bigdatasearchpro_spark.operators.grok import compile_grok
+
+            if "field" not in body or "pattern" not in body:
+                raise ValueError("grok needs field and pattern")
+            compile_grok(body["pattern"], body.get("pattern_definitions"))
+        elif kind == "dissect":
+            from bigdatasearchpro_spark.operators.grok import (
+                compile_dissect,
+            )
+
+            if "field" not in body or "pattern" not in body:
+                raise ValueError("dissect needs field and pattern")
+            compile_dissect(body["pattern"])
         elif kind == "inference":
             if body.get("model_id") not in INFERENCE_MODELS:
                 raise ValueError(
@@ -211,21 +230,61 @@ def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
                 F.url_decode(F.col(body["field"])),
             )
         elif kind == "append":
-            # ES append processor: push a value onto an array field
-            df = df.withColumn(
-                body["field"],
-                F.concat(F.col(body["field"]), F.array(F.lit(body["value"]))),
-            )
+            # ES append processor semantics: a missing field is
+            # CREATED as [value]; a scalar field is coerced to an
+            # array first; a NULL field behaves like missing (fresh
+            # array) rather than poisoning the concat to NULL.
+            fld = body["field"]
+            add = F.array(F.lit(body["value"]))
+            if fld not in df.columns:
+                df = df.withColumn(fld, add)
+            else:
+                from pyspark.sql.types import ArrayType
+
+                base = (
+                    F.col(fld)
+                    if isinstance(df.schema[fld].dataType, ArrayType)
+                    else F.array(F.col(fld))
+                )
+                df = df.withColumn(
+                    fld,
+                    F.when(F.col(fld).isNull(), add)
+                    .otherwise(F.concat(base, add)),
+                )
         elif kind == "fingerprint":
             # ES fingerprint processor: stable hash of selected fields
-            # (values joined with a separator, md5) — the dedup key
+            # — the dedup key.  Field NAMES are part of the hash input
+            # and NULLs map to a sentinel (concat_ws silently skips
+            # NULLs, so {a:1,b:NULL} and {a:NULL,b:1} would otherwise
+            # collide — ES encodes missing/NULL fields distinctly).
+            parts = [
+                F.concat_ws(
+                    "=",
+                    F.lit(c),
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00")),
+                )
+                for c in body["fields"]
+            ]
             df = df.withColumn(
-                body["target_field"],
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(c).cast("string") for c in body["fields"]]
-                    )
-                ),
+                body["target_field"], F.md5(F.concat_ws("|", *parts))
+            )
+        elif kind == "grok":
+            # compiled ONCE at apply; k typed regexp_extract columns in
+            # one projection (operators/grok.py — RE2-safe, JVM-side)
+            from bigdatasearchpro_spark.operators.grok import grok_columns
+
+            cols = grok_columns(
+                F.col(body["field"]), body["pattern"],
+                body.get("pattern_definitions"),
+            )
+            df = df.withColumns(cols)
+        elif kind == "dissect":
+            from bigdatasearchpro_spark.operators.grok import (
+                dissect_columns,
+            )
+
+            df = df.withColumns(
+                dissect_columns(F.col(body["field"]), body["pattern"])
             )
         elif kind == "inference":
             df = INFERENCE_MODELS[body["model_id"]](

@@ -1385,7 +1385,7 @@ def s41_ingest_date(spark, sf_dir):
     SELECT doc_id,
            lang AS kv_lang,
            'big data' AS kv_q,
-           md5(lang || '|' || source) AS fp
+           md5('lang=' || lang || '|' || 'source=' || source) AS fp
     FROM documents
     ORDER BY doc_id
     """,

@@ -894,12 +894,21 @@ def test_sql_endpoint_read_only_guards(spark, docs):
         capped = api.sql_query(
             spark, f"SELECT doc_id FROM {name}", fetch_size=7)
         assert capped.count() == 7
-        with pt.raises(ValueError, match="read-only SELECT"):
+        with pt.raises(ValueError, match="read-only"):
             api.sql_query(spark, f"DROP TABLE {name}")
         with pt.raises(ValueError, match="read-only"):
+            api.sql_query(spark, f"INSERT INTO {name} VALUES (1)")
+        with pt.raises(ValueError, match="could not parse"):
             api.sql_query(spark, f"SELECT * FROM {name}; DELETE FROM {name}")
         with pt.raises(ValueError, match="fetch_size"):
             api.sql_query(spark, f"SELECT 1", fetch_size=0)
+        # plan-based guard (ADVICE r7): reserved words inside string
+        # literals are NOT commands — the old keyword regex rejected
+        # this legitimate query
+        ok = api.sql_query(
+            spark, f"SELECT count(*) AS n FROM {name} "
+                   f"WHERE lang <> 'delete' AND lang <> 'drop table'")
+        assert ok.first().n == 50
     finally:
         api.delete_index(spark, name)
 

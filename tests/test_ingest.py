@@ -196,4 +196,143 @@ def test_kv_append_fingerprint_processors(spark):
     assert r["b"] == "two words"
     assert r["tags"] == ["t0", "ingested"]
     import hashlib
-    assert r["fp"] == hashlib.md5(b"1|a=1&b=two%20words").hexdigest()
+    assert r["fp"] == hashlib.md5(b"id=1|qs=a=1&b=two%20words").hexdigest()
+
+
+def test_append_creates_coerces_and_survives_null(spark):
+    """ES append semantics (ADVICE r7): missing field -> created as
+    [value]; scalar field -> coerced to array; NULL field -> fresh
+    array, not NULL-poisoned concat."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    proc = [{"append": {"field": "tags", "value": "x"}}]
+    # missing field: created
+    df = spark.createDataFrame([(1,)], "id long")
+    assert apply_pipeline(df, proc).collect()[0]["tags"] == ["x"]
+    # scalar field: coerced to array then appended
+    df = spark.createDataFrame([(1, "a")], "id long, tags string")
+    assert apply_pipeline(df, proc).collect()[0]["tags"] == ["a", "x"]
+    # NULL array field: fresh array (concat alone would yield NULL)
+    df = spark.createDataFrame(
+        [(1, None), (2, ["a"])], "id long, tags array<string>"
+    )
+    out = {r["id"]: r["tags"] for r in apply_pipeline(df, proc).collect()}
+    assert out[1] == ["x"] and out[2] == ["a", "x"]
+    # NULL scalar field: fresh array
+    df = spark.createDataFrame([(1, None)], "id long, tags string")
+    assert apply_pipeline(df, proc).collect()[0]["tags"] == ["x"]
+
+
+def test_fingerprint_null_positions_hash_differently(spark):
+    """ES fingerprint encodes field names and NULLs (ADVICE r7):
+    {a:1,b:NULL} and {a:NULL,b:1} must not collide."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "1", None), (2, None, "1")], "id long, a string, b string"
+    )
+    out = {r["id"]: r["fp"] for r in apply_pipeline(
+        df, [{"fingerprint": {"fields": ["a", "b"], "target_field": "fp"}}]
+    ).collect()}
+    assert out[1] != out[2]
+
+
+# ---------------------------------------------------------------- grok
+
+
+APACHE = ('%{IP:clientip} - %{USER:auth} \\[%{HTTPDATE:timestamp}\\] '
+          '"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" '
+          '%{INT:status:int} %{INT:bytes:long}')
+
+
+def test_grok_apache_combined_typed_fields(spark):
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    line = ('10.0.0.7 - frank [10/Jan/2024:13:55:36 +0000] '
+            '"GET /item/42?x=1 HTTP/1.1" 200 2326')
+    df = spark.createDataFrame([(1, line), (2, "not a log line")],
+                               "id long, msg string")
+    out = {r["id"]: r for r in apply_pipeline(
+        df, [{"grok": {"field": "msg", "pattern": APACHE}}]).collect()}
+    r = out[1]
+    assert r["clientip"] == "10.0.0.7"
+    assert r["auth"] == "frank"
+    assert r["timestamp"] == "10/Jan/2024:13:55:36 +0000"
+    assert r["verb"] == "GET" and r["request"] == "/item/42?x=1"
+    assert r["status"] == 200 and isinstance(r["status"], int)
+    assert r["bytes"] == 2326
+    # non-matching line -> NULL extractions (ignore_failure shape),
+    # never empty strings
+    bad = out[2]
+    assert bad["clientip"] is None and bad["status"] is None
+
+
+def test_grok_pattern_definitions_and_recursion(spark):
+    from bigdatasearchpro_spark.operators.grok import (
+        compile_grok,
+        grok_columns,
+    )
+
+    # custom definition referencing a core pattern
+    regex, fields = compile_grok(
+        "%{TICKET:tid} %{LOGLEVEL:level}",
+        {"TICKET": r"T-%{INT}"},
+    )
+    assert [f for f, _ in fields] == ["tid", "level"]
+    df = spark.range(1).select(
+        __import__("pyspark.sql.functions", fromlist=["lit"])
+        .lit("T-991 ERROR disk full").alias("m"))
+    row = df.select(
+        *[c.alias(k) for k, c in grok_columns(
+            df["m"], "%{TICKET:tid} %{LOGLEVEL:level} %{GREEDYDATA:msg}",
+            {"TICKET": r"T-%{INT}"}).items()]
+    ).first()
+    assert row["tid"] == "T-991" and row["level"] == "ERROR"
+    assert row["msg"] == "disk full"
+
+
+def test_grok_validation_rejects_unknowns():
+    import pytest as pt
+
+    from bigdatasearchpro_spark.operators.grok import compile_grok
+    from bigdatasearchpro_spark.operators.ingest import validate_pipeline
+
+    with pt.raises(ValueError, match="unknown grok pattern"):
+        compile_grok("%{NO_SUCH_THING:x}")
+    with pt.raises(ValueError, match="extracts no fields"):
+        compile_grok("%{INT} plain")
+    with pt.raises(ValueError, match="grok needs"):
+        validate_pipeline([{"grok": {"field": "m"}}])
+    # user capture groups in literal segments must not shift field
+    # group numbering
+    regex, fields = compile_grok(r"(a|b) %{INT:n}")
+    assert regex.startswith("(?:")
+
+
+def test_dissect_positional_parse(spark):
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta   [x=1] tail end")], "id long, msg string")
+    out = apply_pipeline(df, [{
+        "dissect": {"field": "msg",
+                    "pattern": "%{a->} %{?skip} [%{kv}] %{rest}"},
+    }]).first()
+    # '->' pad: the repeated spaces after the skipped key collapse
+    assert out["a"] == "alpha"
+    assert out["kv"] == "x=1"
+    assert out["rest"] == "tail end"
+    assert "skip" not in out.asDict()
+
+
+def test_dissect_validation():
+    import pytest as pt
+
+    from bigdatasearchpro_spark.operators.grok import compile_dissect
+
+    with pt.raises(ValueError, match="separator between consecutive"):
+        compile_dissect("%{a}%{b}")
+    with pt.raises(ValueError, match="no %{key}"):
+        compile_dissect("plain text")
+    with pt.raises(ValueError, match="extracts no named"):
+        compile_dissect("%{} - %{?x}")

@@ -1,0 +1,38 @@
+"""Driver-window ordering invariants (the r7-verdict ask: displacement
+must be a FAILING test, not a warning tool someone has to run).
+
+The contract under test (see tools/check_window.py): the reviewed
+FRONT list leads, and the rest of queries() is pure stalest-first —
+never-driver-checked entries before checked ones, then ascending
+last-verdict round.  The round-7 back-pinning list silently displaced
+the r3-stale ``st5_stateful_sessionize`` out of the 50-slot window;
+under this invariant that bug class cannot ship.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def test_window_ordering_invariants():
+    from check_window import check
+
+    violations, info = check()
+    assert not violations, violations
+    # the window must actually be full (50 distinct runnable entries)
+    assert info["entries"] >= 50
+
+
+def test_front_list_entries_exist_and_lead():
+    import __spark_entry__ as entry
+
+    q = list(entry.queries())
+    front = [n for n in entry.FRONT if n in q]
+    assert q[: len(front)] == front
+    # every front name must resolve (no dead picks)
+    assert set(entry.FRONT) <= set(q)

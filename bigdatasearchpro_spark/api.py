@@ -1057,6 +1057,60 @@ def update_by_query(
     return {"updated": updated, "total": total}
 
 
+def bulk_mixed(
+    spark: SparkSession,
+    index_name: str,
+    actions: DataFrame,
+    *,
+    id_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """ES ``_bulk`` with MIXED action types over one index —
+    ``index`` / ``create`` (fail on exists) / ``update`` (partial-doc
+    merge, fail on missing) / ``delete``, applied in ``seq_col`` order
+    within the batch, with optional ``if_seq_no``
+    optimistic-concurrency guards (an ``if_seq_no`` column on
+    ``actions``).  The reference's sink sends only ``IndexRequest``
+    lines (BulkProcessImpl.java:124); this completes the bulk action
+    surface.
+
+    Execution: one JVM-side fold per batch id
+    (:func:`bigdatasearchpro_spark.sinks.bulk.apply_bulk_actions` —
+    no UDF), then the force-merge publish protocol swaps in the new
+    state (staged rewrite, same as the by-query endpoints, so a
+    failure never loses the index).  The base table never shuffles:
+    touched ids broadcast into one anti-join.  Payload cells are cast
+    to the index schema (documents are stringified at bulk time,
+    BulkProcessImpl.java:113-117).  Returns the per-action ``items``
+    response table ``(seq, id, op, result)``, materialized BEFORE the
+    swap."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.sinks.bulk import apply_bulk_actions
+    from bigdatasearchpro_spark.sinks.ddl import is_index_table
+
+    n = transform.normalize_index_name(index_name)
+    if not is_index_table(spark, n):
+        raise ValueError(f"bulk_mixed target is not an index: {index_name!r}")
+    base = spark.table(n)
+    dtypes = dict(base.dtypes)
+    casted = actions.select(*[
+        F.col(c).cast(dtypes[c]).alias(c) if c in dtypes else F.col(c)
+        for c in actions.columns
+    ])
+    new_state, items = apply_bulk_actions(
+        base, casted, id_col=id_col, seq_col=seq_col, op_col=op_col
+    )
+    # items must survive the source table's drop+rename: materialize
+    rows = items.collect()
+    _staged_rewrite(spark, n, new_state)
+    return spark.createDataFrame(
+        rows, "seq bigint, " + f"{id_col} {dtypes[id_col]}, "
+        "op string, result string"
+    )
+
+
 def cat_indices(spark: SparkSession) -> DataFrame:
     """ES ``GET _cat/indices`` — one row per index with its doc count
     and shard setting (the operational overview endpoint; the reference

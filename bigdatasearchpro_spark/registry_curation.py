@@ -1432,3 +1432,156 @@ def s42_ingest_kv_fingerprint(spark, sf_dir):
         "kv_q",
         "fp",
     ).orderBy("doc_id")
+
+
+@register(
+    "s43_ingest_grok_dissect",
+    """
+    WITH e AS (
+      SELECT event_id, ts,
+             '10.0.' || (user_id % 256) || '.' || (event_id % 256)
+               AS clientip,
+             'user' || user_id AS auth,
+             CASE event_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+                  ELSE 'PUT' END AS verb,
+             '/' || event_type || '/' || event_id AS request,
+             CAST(200 + (event_id % 4) * 100 AS INTEGER) AS status,
+             CAST(event_id % 10000 AS BIGINT) AS bytes
+      FROM events)
+    SELECT event_id, clientip, auth, verb, request, status, bytes,
+           date_trunc('second', ts) AS ts_parsed,
+           verb || ' ' || request || ' HTTP/1.1' AS d_req
+    FROM e ORDER BY event_id
+    """,
+)
+def s43_ingest_grok_dissect(spark, sf_dir):
+    """S43 [ES parity]: ingest ``grok`` + ``dissect`` + ``date``
+    processors — an apache-combined-style log line (synthesized
+    deterministically from the events table) parses into typed fields
+    through the compiled grok-core pattern dictionary
+    (operators/grok.py: ONE combined regex, %{IP}/%{USER}/%{HTTPDATE}/
+    %{WORD}/%{NOTSPACE}/%{INT:...:int} tokens, all JVM-side
+    regexp_extract inside the scan's codegen span), the HTTPDATE field
+    re-parses via the ``date`` processor format walk, and a
+    ``dissect`` positional template re-extracts the quoted request in
+    the same projection.  The oracle recomputes every field from the
+    source columns independently, so grok's extraction, typing, and
+    the date round-trip are all hash-verified.  Re-homes the log-ETL
+    half of the reference's row-transform loop
+    (BulkProcessImpl.java:110-131) the way production ES users
+    actually run it (grok is the #1 ingest processor)."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"),
+        F.lit(" - user"), F.col("user_id").cast("string"),
+        F.lit(" ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000] \""),
+        F.element_at(
+            F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT")),
+            (F.col("event_id") % 3).cast("int") + 1,
+        ),
+        F.lit(" /"), F.col("event_type"), F.lit("/"),
+        F.col("event_id").cast("string"),
+        F.lit(" HTTP/1.1\" "),
+        (F.lit(200) + (F.col("event_id") % 4) * 100).cast("string"),
+        F.lit(" "), (F.col("event_id") % 10000).cast("string"),
+    )
+    df = ev.select("event_id", "ts", line.alias("msg"))
+    out = apply_pipeline(df, [
+        {"grok": {"field": "msg", "pattern": (
+            '%{IP:clientip} - %{USER:auth} \\[%{HTTPDATE:timestamp}\\] '
+            '"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" '
+            '%{INT:status:int} %{INT:bytes:long}')}},
+        {"date": {"field": "timestamp",
+                  "formats": ["dd/MMM/yyyy:HH:mm:ss Z"],
+                  "target_field": "ts_parsed"}},
+        {"dissect": {"field": "msg",
+                     "pattern": '%{} - %{} [%{}] "%{d_req}" %{} %{}'}},
+    ])
+    return out.select(
+        "event_id", "clientip", "auth", "verb", "request",
+        "status", "bytes",
+        F.col("ts_parsed").cast("timestamp").alias("ts_parsed"),
+        "d_req",
+    ).orderBy("event_id")
+
+
+@register(
+    "s44_bulk_op_types",
+    """
+    SELECT doc_id::VARCHAR AS doc_id,
+           CASE WHEN doc_id % 5 = 1 THEN 'xx'
+                WHEN doc_id % 5 = 3 THEN 'yy'
+                ELSE lang END AS lang,
+           CASE WHEN doc_id % 5 = 3 THEN 'bulk' ELSE source END AS source
+    FROM documents
+    WHERE doc_id % 5 <> 0 AND doc_id % 25 <> 21
+    UNION ALL
+    SELECT '1000001', 'nn', 'new'
+    ORDER BY doc_id
+    """,
+)
+def s44_bulk_op_types(spark, sf_dir):
+    """S44 [ES parity]: mixed-action ``_bulk`` — ``index`` / ``create``
+    / ``update`` / ``delete`` lines over one index, applied in batch
+    order (api.bulk_mixed -> sinks/bulk.apply_bulk_actions: ONE
+    JVM-side fold per touched id, broadcast anti-join for untouched
+    rows, staged-rewrite publish).  The fixture exercises every
+    semantic: delete (ids %5=0), partial update keeping unset fields
+    (%5=1, source untouched), create-on-existing conflict no-op
+    (%5=2), whole-doc index replace (%5=3), untouched (%5=4),
+    in-batch sequencing (update THEN delete on %25=21 -> absent),
+    create-new (succeeds), update-missing and delete-missing no-ops.
+    The oracle replays the action log independently; the final index
+    state is hash-verified.  Completes the reference sink's
+    index-only bulk (BulkProcessImpl.java:124) to the full ES
+    ``_bulk`` action surface."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    idx = f"bulkops_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs, idx, id_col="doc_id")
+    did = F.col("doc_id")
+    base_acts = docs.select(
+        (did * 10).cast("long").alias("seq"),
+        F.when(did % 5 == 0, F.lit("delete"))
+        .when(did % 5 == 1, F.lit("update"))
+        .when(did % 5 == 2, F.lit("create"))
+        .otherwise(F.lit("index")).alias("op"),
+        did.cast("string").alias("doc_id"),
+        F.when(did % 5 == 1, F.lit("xx"))
+        .when(did % 5 == 2, F.lit("cc"))
+        .when(did % 5 == 3, F.lit("yy")).alias("lang"),
+        F.when(did % 5 == 3, F.lit("bulk")).alias("source"),
+    ).filter(did % 5 != 4)
+    second_deletes = docs.filter(did % 25 == 21).select(
+        (did * 10 + 5).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        did.cast("string").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    extras = spark.createDataFrame(
+        [
+            (1, "create", "1000001", "nn", "new"),   # new doc
+            (2, "update", "1000002", "mm", None),    # missing -> no-op
+            (3, "delete", "1000003", None, None),    # missing -> no-op
+        ],
+        "seq long, op string, doc_id string, lang string, source string",
+    )
+    acts = base_acts.unionByName(second_deletes).unionByName(extras)
+    try:
+        api.bulk_mixed(spark, idx, acts, id_col="doc_id")
+        rows = (spark.table(idx.lower())
+                .select("doc_id", "lang", "source").collect())
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(
+        rows, "doc_id string, lang string, source string"
+    ).orderBy("doc_id")

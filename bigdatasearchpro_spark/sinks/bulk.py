@@ -199,3 +199,154 @@ def es_bulk_sink_conf(
         "es.batch.write.retry.wait": retry_wait,
         "es.write.operation": "index",  # last-write-wins, like IndexRequest
     }
+
+
+def apply_bulk_actions(
+    base: DataFrame,
+    actions: DataFrame,
+    *,
+    id_col: str = "_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> "tuple[DataFrame, DataFrame]":
+    """Mixed-action ``_bulk`` semantics (ES ``index`` / ``create`` /
+    ``update`` / ``delete`` action lines over one index) as a pure
+    DataFrame transform: returns ``(new_state, items)``.
+
+    The reference's sink is index-only LWW (``BulkProcessImpl.java:124``
+    builds only ``IndexRequest``); real ES ``_bulk`` also takes
+    ``create`` (fail on exists), ``update`` (partial doc merge, fail on
+    missing), ``delete`` (noop on missing), applied IN ORDER within the
+    batch, plus ``if_seq_no`` optimistic-concurrency guards.  Here:
+
+    - actions group per id and ``array_sort`` by ``seq_col``; the whole
+      in-order replay is ONE JVM-side ``F.aggregate`` fold over the
+      sorted action array — no UDF, no per-row Python, statuses
+      accumulated alongside the doc state;
+    - ``update`` merges column-wise (``coalesce(new, old)`` — the
+      partial-doc semantics; a NULL payload cell means "leave as is");
+    - optional ``if_seq_no`` column: a guarded ``index``/``update``/
+      ``delete`` whose expected seq doesn't match the doc's current
+      ``_seq_no`` (base column if present, else 0; +1 per applied
+      action) is rejected with ``version_conflict``, like ES;
+    - 100 TB shape: the fold touches ONLY the batch's ids; the new
+      state is ``base ANTI-JOIN touched-ids`` (broadcast — the batch is
+      small by construction, so the base table never shuffles) union
+      the folded survivors.
+
+    ``items`` is the per-action result table (ES bulk response items):
+    ``(seq, id, op, result)`` with results in
+    created/updated/deleted/not_found/document_missing/version_conflict.
+    """
+    from pyspark.sql import functions as F
+
+    payload = [c for c in base.columns if c not in (id_col, "_seq_no")]
+    bad = [c for c in actions.columns
+           if c not in (id_col, seq_col, op_col, "if_seq_no", *payload)]
+    if bad:
+        raise ValueError(f"action columns not in index schema: {bad}")
+    ops_ok = F.col(op_col).isin("index", "create", "update", "delete")
+    if actions.filter(~ops_ok).limit(1).count():
+        raise ValueError("op must be one of index/create/update/delete")
+
+    a = actions
+    if "if_seq_no" not in a.columns:
+        a = a.withColumn("if_seq_no", F.lit(None).cast("long"))
+    for c in payload:
+        if c not in a.columns:
+            a = a.withColumn(c, F.lit(None).cast(dict(base.dtypes)[c]))
+    acts = a.groupBy(F.col(id_col).alias("__id")).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(seq_col).cast("long").alias("seq"),
+            F.col(op_col).alias("op"),
+            F.col("if_seq_no").cast("long").alias("if_seq_no"),
+            *[F.col(c).alias(c) for c in payload],
+        ))).alias("__acts")
+    )
+    base_keyed = base.select(
+        F.col(id_col).alias("__id"),
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__doc0"),
+        (F.col("_seq_no") if "_seq_no" in base.columns else F.lit(None))
+        .cast("long").alias("__seq0"),
+    )
+    j = acts.join(base_keyed, "__id", "left").select(
+        "__id", "__acts",
+        F.col("__doc0").isNotNull().alias("__exists"),
+        "__doc0", "__seq0",
+    )
+
+    def _merge(acc, x):
+        is_index = x["op"] == F.lit("index")
+        is_create = x["op"] == F.lit("create")
+        is_update = x["op"] == F.lit("update")
+        is_delete = x["op"] == F.lit("delete")
+        conflict = (~is_create) & x["if_seq_no"].isNotNull() & (
+            x["if_seq_no"] != acc["seqno"])
+        status = (
+            F.when(conflict, F.lit("version_conflict"))
+            .when(is_create & acc["exists"], F.lit("version_conflict"))
+            .when(is_create, F.lit("created"))
+            .when(is_index & acc["exists"], F.lit("updated"))
+            .when(is_index, F.lit("created"))
+            .when(is_update & ~acc["exists"], F.lit("document_missing"))
+            .when(is_update, F.lit("updated"))
+            .when(is_delete & ~acc["exists"], F.lit("not_found"))
+            .otherwise(F.lit("deleted"))
+        )
+        applied = (~conflict) & (
+            is_index
+            | (is_create & ~acc["exists"])
+            | ((is_update | is_delete) & acc["exists"])
+        )
+        replace = F.struct(*[x[c].alias(c) for c in payload])
+        merged = F.struct(
+            *[F.coalesce(x[c], acc["doc"][c]).alias(c) for c in payload]
+        )
+        return F.struct(
+            F.when(applied & (is_index | is_create), F.lit(True))
+            .when(applied & is_delete, F.lit(False))
+            .otherwise(acc["exists"]).alias("exists"),
+            F.when(applied & (is_index | is_create), replace)
+            .when(applied & is_update, merged)
+            .otherwise(acc["doc"]).alias("doc"),
+            F.when(applied, acc["seqno"] + 1)
+            .otherwise(acc["seqno"]).alias("seqno"),
+            F.concat(acc["statuses"], F.array(status)).alias("statuses"),
+        )
+
+    init = F.struct(
+        F.col("__exists").alias("exists"),
+        F.col("__doc0").alias("doc"),
+        F.coalesce(F.col("__seq0"), F.lit(0)).alias("seqno"),
+        F.array().cast("array<string>").alias("statuses"),
+    )
+    folded = j.select(
+        "__id", "__acts", F.aggregate("__acts", init, _merge).alias("__acc")
+    )
+
+    items = folded.select(
+        "__id",
+        F.explode(F.arrays_zip(
+            F.transform("__acts", lambda x: x["seq"]).alias("seq"),
+            F.transform("__acts", lambda x: x["op"]).alias("op"),
+            F.col("__acc.statuses").alias("result"),
+        )).alias("z"),
+    ).select(
+        F.col("z.seq").alias("seq"),
+        F.col("__id").alias(id_col),
+        F.col("z.op").alias("op"),
+        F.col("z.result").alias("result"),
+    )
+
+    alive = folded.filter("__acc.exists").select(
+        F.col("__id").alias(id_col),
+        *[F.col(f"__acc.doc.{c}").alias(c) for c in payload],
+        *([F.col("__acc.seqno").alias("_seq_no")]
+          if "_seq_no" in base.columns else []),
+    )
+    untouched = base.join(
+        F.broadcast(folded.select(F.col("__id").alias(id_col))),
+        id_col, "left_anti",
+    )
+    new_state = untouched.unionByName(alive.select(*base.columns))
+    return new_state, items

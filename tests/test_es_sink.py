@@ -178,3 +178,129 @@ def test_bulk_raises_on_per_action_errors(spark, fake_es):
     df = spark.createDataFrame([("k1", "v")], "s_guid string, v string").coalesce(1)
     with pytest.raises(Exception, match="failed actions"):
         es_bulk_sink(df, _url(fake_es), "idx", id_col="s_guid")
+
+
+# ------------------------------------------------------- mixed _bulk
+
+
+def test_apply_bulk_actions_semantics(spark):
+    """ES _bulk action matrix: index upserts, create fails on exists,
+    update merges partially and fails on missing, delete noops on
+    missing — applied in seq order within the batch."""
+    from bigdatasearchpro_spark.sinks.bulk import apply_bulk_actions
+
+    base = spark.createDataFrame(
+        [("a", "en", "s1"), ("b", "fr", "s2"), ("c", "de", "s3")],
+        "_id string, lang string, source string",
+    )
+    actions = spark.createDataFrame(
+        [
+            (1, "index", "a", "xx", "bulk"),     # replace a
+            (2, "create", "b", "yy", None),      # conflict: b exists
+            (3, "update", "c", "zz", None),      # partial: keeps s3
+            (4, "delete", "b", None, None),      # remove b
+            (5, "update", "nope", "xx", None),   # missing -> error
+            (6, "create", "d", "it", "s4"),      # new doc
+            (7, "delete", "gone", None, None),   # missing -> not_found
+            # in-batch sequencing on one id: create then update then
+            # delete -> absent, three statuses
+            (8, "create", "e", "pt", "s5"),
+            (9, "update", "e", "es", None),
+            (10, "delete", "e", None, None),
+        ],
+        "seq long, op string, _id string, lang string, source string",
+    )
+    state, items = apply_bulk_actions(base, actions)
+    got = {r["_id"]: (r["lang"], r["source"]) for r in state.collect()}
+    assert got == {
+        "a": ("xx", "bulk"),   # replaced whole doc
+        "c": ("zz", "s3"),     # partial update kept source
+        "d": ("it", "s4"),     # created
+    }
+    res = {r["seq"]: r["result"] for r in items.collect()}
+    assert res == {
+        1: "updated", 2: "version_conflict", 3: "updated", 4: "deleted",
+        5: "document_missing", 6: "created", 7: "not_found",
+        8: "created", 9: "updated", 10: "deleted",
+    }
+    # the whole replay is expression-tree work: no Python UDF in plan
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_apply_bulk_actions_if_seq_no_guard(spark):
+    """Optimistic concurrency: a guarded action whose if_seq_no doesn't
+    match the doc's current _seq_no is rejected with version_conflict;
+    applied actions bump _seq_no."""
+    from bigdatasearchpro_spark.sinks.bulk import apply_bulk_actions
+
+    base = spark.createDataFrame(
+        [("a", "en", 3), ("b", "fr", 7)],
+        "_id string, lang string, _seq_no long",
+    )
+    actions = spark.createDataFrame(
+        [
+            (1, "update", "a", "xx", 3),    # matches -> applies, seq 4
+            (2, "update", "a", "yy", 3),    # stale (now 4) -> conflict
+            (3, "update", "a", "zz", 4),    # fresh -> applies, seq 5
+            (4, "delete", "b", None, 99),   # wrong seq -> conflict
+        ],
+        "seq long, op string, _id string, lang string, if_seq_no long",
+    )
+    state, items = apply_bulk_actions(base, actions)
+    got = {r["_id"]: (r["lang"], r["_seq_no"]) for r in state.collect()}
+    assert got == {"a": ("zz", 5), "b": ("fr", 7)}
+    res = {r["seq"]: r["result"] for r in items.collect()}
+    assert res == {1: "updated", 2: "version_conflict", 3: "updated",
+                   4: "version_conflict"}
+
+
+def test_apply_bulk_actions_validation_and_broadcast(spark):
+    import pytest as pt
+
+    from bigdatasearchpro_spark.sinks.bulk import apply_bulk_actions
+
+    base = spark.createDataFrame([("a", "x")], "_id string, v string")
+    with pt.raises(ValueError, match="not in index schema"):
+        apply_bulk_actions(
+            base,
+            spark.createDataFrame([(1, "index", "a", "y")],
+                                  "seq long, op string, _id string, zz string"),
+        )
+    with pt.raises(ValueError, match="op must be one of"):
+        apply_bulk_actions(
+            base,
+            spark.createDataFrame([(1, "upsert", "a", "y")],
+                                  "seq long, op string, _id string, v string"),
+        )
+    # the untouched-rows path must be a broadcast anti-join (the base
+    # table never shuffles at 100 TB)
+    state, _ = apply_bulk_actions(
+        base,
+        spark.createDataFrame([(1, "index", "b", "y")],
+                              "seq long, op string, _id string, v string"),
+    )
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_api_bulk_mixed_end_to_end(spark, docs):
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    idx = f"bulkmix_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs.limit(10), idx, id_col="doc_id")
+    try:
+        actions = spark.createDataFrame(
+            [(1, "delete", "0"), (2, "create", "999991")],
+            "seq long, op string, doc_id string",
+        )
+        items = api.bulk_mixed(spark, idx, actions, id_col="doc_id")
+        res = {r["seq"]: r["result"] for r in items.collect()}
+        assert res == {1: "deleted", 2: "created"}
+        ids = {r["doc_id"] for r in
+               spark.table(idx.lower()).select("doc_id").collect()}
+        assert "0" not in ids and "999991" in ids and len(ids) == 10
+    finally:
+        api.delete_index(spark, idx)

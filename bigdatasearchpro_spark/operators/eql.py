@@ -15,6 +15,21 @@ resolves ambiguity (first-come matching).
 
 Supported: 2..k step sequences with per-step equality/range predicate
 dicts, ``by`` key, ``within`` seconds.  ``maxspan`` == ``within``.
+
+Round-8 extensions (the r7-verdict gap #4 — real detection rules use
+these):
+
+- ``until=<spec>``: ``sequence ... until [expiry]`` — an until event
+  for the same entity EXPIRES in-flight sequences, so a chain only
+  matches when no until event falls strictly between its first and
+  last step (one banded ANTI-join on the entity key; because a full
+  chain visits every intermediate gap, killing any partial == killing
+  the completed chain).
+- missing-event steps: a step written ``{"not": {...}}`` (EQL's
+  ``![ ... ]``) asserts NO matching event occurs between its two
+  surrounding positive steps (one banded anti-join per negation).
+  Supported in INTERIOR positions only — a leading/trailing ``![...]``
+  would need the open-ended maxspan window and is rejected loudly.
 """
 
 from __future__ import annotations
@@ -49,6 +64,7 @@ def eql_sequence(
     within_seconds: int,
     ts_col: str = "ts",
     id_col: str = "event_id",
+    until: "dict | None" = None,
 ) -> DataFrame:
     """``sequence by <by> [step1] [step2] ... within Ns``: for each
     entity, chains of one event per step with strictly increasing
@@ -65,10 +81,29 @@ def eql_sequence(
     plus one per-chain min-struct aggregate (the head-matching rule) —
     shuffle keys are the entity, never a cross product.
     """
-    if len(steps) < 2:
-        raise ValueError("a sequence needs at least 2 steps")
     if within_seconds <= 0:
         raise ValueError("within_seconds must be positive")
+
+    # split positive steps from missing-event ({"not": spec}) steps;
+    # each negation binds to the GAP between its neighbouring positive
+    # steps (gap g = between positive step g and g+1)
+    positive: list[dict] = []
+    negations: list[tuple[int, dict]] = []
+    for s in steps:
+        if set(s) == {"not"}:
+            if not positive:
+                raise ValueError(
+                    "missing-event steps must sit between two positive "
+                    "steps (leading ![...] unsupported)")
+            negations.append((len(positive), s["not"]))
+        else:
+            positive.append(s)
+    if len(positive) < 2:
+        raise ValueError("a sequence needs at least 2 positive steps")
+    if negations and negations[-1][0] >= len(positive):
+        raise ValueError(
+            "missing-event steps must sit between two positive steps "
+            "(trailing ![...] unsupported)")
 
     legs = [
         events.filter(_step_pred(s)).select(
@@ -76,7 +111,7 @@ def eql_sequence(
             F.col(ts_col).alias(f"ts_{i + 1}"),
             F.col(id_col).alias(f"id_{i + 1}"),
         )
-        for i, s in enumerate(steps)
+        for i, s in enumerate(positive)
     ]
     chain = legs[0]
     for i in range(1, len(legs)):
@@ -110,6 +145,28 @@ def eql_sequence(
                 F.col(f"__m.{cur_id}").alias(cur_id),
             )
         )
+    # missing-event steps: NO matching event strictly inside the gap's
+    # time band — one entity-keyed banded anti-join per negation
+    def _banded_anti(ch: DataFrame, spec: dict, lo: str, hi: str
+                     ) -> DataFrame:
+        neg = events.filter(_step_pred(spec)).select(
+            F.col(by).alias("__nby"), F.col(ts_col).alias("__nts"))
+        cond = (
+            (ch["__by"] == neg["__nby"])
+            & (neg["__nts"] > ch[lo])
+            & (neg["__nts"] < ch[hi])
+        )
+        return ch.join(neg, cond, "left_anti")
+
+    for gap, spec in negations:
+        chain = _banded_anti(chain, spec, f"ts_{gap}", f"ts_{gap + 1}")
+
+    # until: an expiry event kills in-flight sequences — a completed
+    # chain survives only if no until event falls strictly inside its
+    # total span
+    if until is not None:
+        chain = _banded_anti(chain, until, "ts_1", f"ts_{len(legs)}")
+
     out_cols = [F.col("__by").alias(by)] + [
         F.col(c)
         for i in range(1, len(legs) + 1)

@@ -1585,3 +1585,75 @@ def s44_bulk_op_types(spark, sf_dir):
     return spark.createDataFrame(
         rows, "doc_id string, lang string, source string"
     ).orderBy("doc_id")
+
+
+@register(
+    "s45_cluster_introspection",
+    """
+    SELECT 'probe_plain_x' AS name, 5 AS shards,
+           (SELECT count(*) FROM nation)::BIGINT AS docs,
+           'STARTED' AS state
+    UNION ALL
+    SELECT 'probe_routed_x', 4,
+           (SELECT count(*) FROM documents)::BIGINT, 'STARTED'
+    UNION ALL
+    SELECT 'task_probe', 1, 1, 'RUNNING'
+    ORDER BY name
+    """,
+)
+def s45_cluster_introspection(spark, sf_dir):
+    """S45 [ES parity]: the cluster/ops introspection trio —
+    ``_cat/shards`` + ``_cluster/health`` + ``_tasks`` (api.py
+    cat_shards/cluster_health/list_tasks), completing the ops-script
+    surface with the existing ``_cat/indices`` (r7-verdict stretch
+    #9).  Lifecycle: a ROUTED index (documents routed by lang, 4
+    shards — real ``__shard`` partition populations) and a plain
+    index (nation, default 5 shards, parquet storage -> docs report
+    under shard 0) are created; per-index rows aggregate the
+    cat_shards listing (shards = row count, docs = sum over shards —
+    hash-independent of the routing hash), an in-flight async search
+    must appear in ``_tasks`` as running, and cluster health must
+    report green with >= the probe shards active.  All catalog-sized
+    metadata work — no corpus scans beyond the shard counts."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    tag = uuid.uuid4().hex[:8]
+    routed, plain = f"probe_routed_{tag}", f"probe_plain_{tag}"
+    docs = load_table(spark, sf_dir, "documents")
+    nation = load_table(spark, sf_dir, "nation")
+    api.bulk_data_to_index(spark, docs, routed, id_col="doc_id",
+                           routing_col="lang", n_shards=4)
+    api.bulk_data_to_index(spark, nation, plain, id_col="n_nationkey")
+    sid = None
+    try:
+        sub = api.submit_async_search(spark, routed, group_by="lang")
+        sid = sub["id"]
+        tasks = api.list_tasks(spark)
+        n_running = tasks.filter(
+            (F.col("task_id") == sid) & F.col("is_running")
+        ).count()
+        health = api.cluster_health(spark)
+        if health["status"] != "green":
+            raise RuntimeError(f"cluster not green: {health}")
+        if health["active_shards"] < 9:  # the two probes alone hold 9
+            raise RuntimeError(f"shard rollup lost probes: {health}")
+        rows = []
+        for name in (plain, routed):
+            sh = api.cat_shards(spark, name).collect()
+            rows.append((
+                name.replace(tag, "x"), len(sh),
+                int(sum(r["docs"] for r in sh)),
+                min(r["state"] for r in sh),
+            ))
+        rows.append(("task_probe", 1, n_running,
+                     "RUNNING" if n_running else "MISSING"))
+    finally:
+        if sid is not None:
+            api.delete_async_search(spark, sid)
+        api.delete_index(spark, routed)
+        api.delete_index(spark, plain)
+    return spark.createDataFrame(
+        rows, "name string, shards int, docs bigint, state string"
+    ).orderBy("name")

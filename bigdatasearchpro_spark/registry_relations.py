@@ -1781,6 +1781,73 @@ def l3_eql_sequence(spark, sf_dir):
     )
 
 
+@register(
+    "l3_eql_until",
+    """
+    WITH s1 AS (SELECT user_id AS by_, ts AS ts_1, event_id AS id_1
+                FROM events WHERE event_type = 'view'),
+    s2 AS (SELECT user_id AS by_, ts AS ts_2, event_id AS id_2
+           FROM events WHERE event_type = 'click'),
+    s3 AS (SELECT user_id AS by_, ts AS ts_3, event_id AS id_3
+           FROM events WHERE event_type = 'purchase'),
+    c2 AS (
+      SELECT by_, ts_1, id_1, ts_2, id_2 FROM (
+        SELECT s1.by_, s1.ts_1, s1.id_1, s2.ts_2, s2.id_2,
+               row_number() OVER (PARTITION BY s1.by_, s1.ts_1, s1.id_1
+                                  ORDER BY s2.ts_2, s2.id_2) AS rn
+        FROM s1 JOIN s2 ON s1.by_ = s2.by_
+         AND s2.ts_2 > s1.ts_1
+         AND date_diff('second', s1.ts_1, s2.ts_2) <= 259200
+      ) WHERE rn = 1
+    ),
+    c3 AS (
+      SELECT by_, ts_1, id_1, ts_2, id_2, ts_3, id_3 FROM (
+        SELECT c2.*, s3.ts_3, s3.id_3,
+               row_number() OVER (PARTITION BY c2.by_, c2.ts_1, c2.id_1,
+                                               c2.ts_2, c2.id_2
+                                  ORDER BY s3.ts_3, s3.id_3) AS rn
+        FROM c2 JOIN s3 ON c2.by_ = s3.by_
+         AND s3.ts_3 > c2.ts_2
+         AND date_diff('second', c2.ts_1, s3.ts_3) <= 259200
+      ) WHERE rn = 1
+    )
+    SELECT by_ AS user_id, ts_1, id_1, ts_2, id_2, ts_3, id_3
+    FROM c3
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = c3.by_
+          AND e.ts > c3.ts_1 AND e.ts < c3.ts_2)
+      AND NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.event_type = 'signup' AND e.user_id = c3.by_
+          AND e.ts > c3.ts_1 AND e.ts < c3.ts_3)
+    ORDER BY user_id, ts_1, id_1
+    """,
+)
+def l3_eql_until(spark, sf_dir):
+    """L3 [ES parity]: EQL ``sequence by user_id [view] ![error]
+    [click] [purchase] until [signup] within 3d`` — the r7-verdict
+    gap #4: real detection rules use ``until`` (an expiry event kills
+    in-flight sequences) and missing-event ``![...]`` steps (no
+    matching event between the surrounding steps).  Both are banded
+    ANTI-joins on the entity key over the head-matched funnel
+    (operators/eql.py): the negation bands (ts_1, ts_2), the until
+    band (ts_1, ts_3), strict bounds.  The oracle extends the funnel
+    replay with two NOT EXISTS probes — semantics hash-verified, not
+    just row counts."""
+    from bigdatasearchpro_spark.operators.eql import eql_sequence
+
+    ev = load_table(spark, sf_dir, "events")
+    return eql_sequence(
+        ev,
+        [{"event_type": "view"}, {"not": {"event_type": "error"}},
+         {"event_type": "click"}, {"event_type": "purchase"}],
+        by="user_id",
+        within_seconds=259200,
+        until={"event_type": "signup"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # transforms (_transform pivot -> dest index)
 # ---------------------------------------------------------------------------

@@ -1208,3 +1208,49 @@ def test_async_search_routed_shard_count_must_match(spark, docs):
             api.submit_async_search(spark, idx, group_by="lang", n_shards=8)
     finally:
         api.delete_index(spark, idx)
+
+
+def test_cluster_introspection_trio(spark, docs):
+    """cat_shards reports real routed shard populations that sum to
+    the doc count; unrouted docs sit in shard 0; cluster_health rolls
+    shards up; _tasks tracks async-search lifecycle."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    tag = uuid.uuid4().hex[:8]
+    routed, plain = f"shards_r_{tag}", f"shards_p_{tag}"
+    api.bulk_data_to_index(spark, docs.limit(100), routed,
+                           id_col="doc_id", routing_col="lang", n_shards=4)
+    api.bulk_data_to_index(spark, docs.limit(20), plain, id_col="doc_id")
+    try:
+        sh = api.cat_shards(spark, routed).collect()
+        assert len(sh) == 4 and sum(r["docs"] for r in sh) == 100
+        assert all(r["state"] == "STARTED" and r["prirep"] == "p"
+                   for r in sh)
+        # routed populations match a direct __shard group-by
+        direct = {int(r["__shard"]): r["n"] for r in
+                  spark.table(routed.lower()).groupBy("__shard")
+                  .count().withColumnRenamed("count", "n").collect()}
+        got = {r["shard"]: r["docs"] for r in sh if r["docs"] > 0}
+        assert got == direct
+        shp = {r["shard"]: r["docs"]
+               for r in api.cat_shards(spark, plain).collect()}
+        assert shp[0] == 20 and len(shp) == 5
+        assert sum(shp.values()) == 20
+        health = api.cluster_health(spark)
+        assert health["status"] == "green"
+        assert health["active_shards"] >= 9
+        assert health["unassigned_shards"] == 0
+        sub = api.submit_async_search(spark, routed, group_by="lang")
+        try:
+            t = {r["task_id"]: r["is_running"]
+                 for r in api.list_tasks(spark).collect()}
+            assert t.get(sub["id"]) is True
+        finally:
+            api.delete_async_search(spark, sub["id"])
+        assert sub["id"] not in {
+            r["task_id"] for r in api.list_tasks(spark).collect()}
+    finally:
+        api.delete_index(spark, routed)
+        api.delete_index(spark, plain)

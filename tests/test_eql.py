@@ -92,3 +92,54 @@ def test_guards(ev):
         eql_sequence(ev, [{"event_type": "a"},
                           {"value": {"between": [1, 2]}}],
                      by="user_id", within_seconds=60)
+
+
+def test_until_and_missing_event_steps(spark):
+    """until kills chains with an expiry event inside the span;
+    ![...] kills chains with a matching event inside its gap."""
+    from bigdatasearchpro_spark.operators.eql import eql_sequence
+
+    rows = [
+        # user 1: clean a->b chain (matches)
+        (1, 1, "a", 100), (2, 1, "b", 200),
+        # user 2: a->b but an x in between (negation kills it)
+        (3, 2, "a", 100), (4, 2, "x", 150), (5, 2, "b", 200),
+        # user 3: a->b but an expiry u in between (until kills it)
+        (6, 3, "a", 100), (7, 3, "u", 150), (8, 3, "b", 200),
+        # user 4: expiry AFTER completion (survives — strict band)
+        (9, 4, "a", 100), (10, 4, "b", 200), (11, 4, "u", 300),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, __import__("datetime").datetime(2024, 1, 1, 0, 0, s))
+         for i, u, t, s in [(r[0], r[1], r[2], r[3] // 10) for r in rows]],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = eql_sequence(
+        ev,
+        [{"event_type": "a"}, {"not": {"event_type": "x"}},
+         {"event_type": "b"}],
+        by="user_id", within_seconds=3600,
+        until={"event_type": "u"},
+    )
+    assert [r["user_id"] for r in out.collect()] == [1, 4]
+
+
+def test_until_missing_event_validation(spark):
+    import pytest as pt
+
+    from bigdatasearchpro_spark.operators.eql import eql_sequence
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp")
+    with pt.raises(ValueError, match="leading"):
+        eql_sequence(ev, [{"not": {"event_type": "x"}},
+                          {"event_type": "a"}, {"event_type": "b"}],
+                     by="user_id", within_seconds=10)
+    with pt.raises(ValueError, match="trailing"):
+        eql_sequence(ev, [{"event_type": "a"}, {"event_type": "b"},
+                          {"not": {"event_type": "x"}}],
+                     by="user_id", within_seconds=10)
+    with pt.raises(ValueError, match="2 positive"):
+        eql_sequence(ev, [{"event_type": "a"},
+                          {"not": {"event_type": "x"}}],
+                     by="user_id", within_seconds=10)

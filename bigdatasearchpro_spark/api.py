@@ -1537,25 +1537,104 @@ def knn_search(
     column: top-``k`` by cosine against ``query_vector``.
 
     ``mode='exact'`` is the brute-force single-pass TakeOrdered
-    (ES ``exact: true`` / script-score form); ``mode='ann'`` routes
-    through the IVF index path with ``num_candidates`` probes — the
-    HNSW-equivalent approximate trade (similarity.py owns both; this
-    facade only maps the endpoint surface onto them, like the other
-    ES ops/admin shims in this module)."""
+    (ES ``exact: true`` / script-score form).  ``mode='ann'`` is the
+    approximate path with the ES ``num_candidates`` contract (default
+    100, like ES): when :func:`put_knn_index` has materialized the
+    IVF layout for (index, field), the query reads ONLY the
+    partition-pruned probe cells whose recorded populations cover
+    ``num_candidates`` — the exact re-score then ranks a candidate
+    pool >= num_candidates, which is the HNSW beam contract
+    re-expressed in Spark's storage model (see SCALING.md "ANN vs
+    the HNSW contract" for the measured recall/latency trade and why
+    IVF is the right Spark shape).  Without a materialized index the
+    probe set is computed on the fly (same candidates, full scan for
+    assignment)."""
     from bigdatasearchpro_spark.operators import similarity, transform
 
-    emb = spark.table(transform.normalize_index_name(index_name))
+    n = transform.normalize_index_name(index_name)
+    emb = spark.table(n)
     if mode == "exact":
         return similarity.cosine_topk(
             emb, query_vector, k, id_col=id_col, vec_col=field
         )
     if mode == "ann":
+        nc = int(num_candidates or 100)
+        if nc < k:
+            raise ValueError(
+                f"num_candidates ({nc}) must be >= k ({k}), like ES")
+        built = _KNN_INDEXES.get((n, field))
+        if built is not None:
+            return similarity.ivf_topk_indexed(
+                spark, built["path"], query_vector, k,
+                num_candidates=nc, id_col=id_col, vec_col=field,
+            )
+        # no materialized index: same IVF candidates, on-the-fly
+        # assignment (one scan); nprobe sized to cover num_candidates
+        # assuming balanced cells
+        total = emb.count()
+        n_cells = 8
+        per_cell = max(1, total // n_cells)
+        nprobe = min(n_cells, max(1, -(-nc // per_cell)))
         return similarity.ivf_topk(
-            emb, query_vector, k,
-            nprobe=max(1, int((num_candidates or 64) // 16)),
+            emb, query_vector, k, n_cells=n_cells, nprobe=nprobe,
             id_col=id_col, vec_col=field,
         )
     raise ValueError(f"mode must be 'exact' or 'ann', got {mode!r}")
+
+
+# materialized kNN index registry: (normalized index, field) -> layout
+_KNN_INDEXES: "dict[tuple[str, str], dict]" = {}
+
+
+def put_knn_index(
+    spark: SparkSession,
+    index_name: str,
+    *,
+    field: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    base_dir: "str | None" = None,
+) -> dict:
+    """Build the ANN index for a vector field — the analogue of ES
+    mapping ``index: true`` on a ``dense_vector`` (ES builds an HNSW
+    graph per segment at index time; here the IVF-Flat layout
+    materializes once: centroids + corpus partitioned by cell + cell
+    populations, operators/similarity.build_ivf_index).  Subsequent
+    ``knn_search(mode='ann')`` calls prune to the probe cells'
+    partition directories — nprobe/C of the files, the physical-I/O
+    analogue of HNSW visiting num_candidates nodes."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from bigdatasearchpro_spark.operators import similarity
+
+    n = transform.normalize_index_name(index_name)
+    emb = spark.table(n)
+    if field not in emb.columns:
+        raise ValueError(f"no vector field {field!r} on {index_name!r}")
+    root = base_dir or _os.path.join(_tempfile.gettempdir(), "bdsp_knn")
+    path = _os.path.join(root, f"{n}-{field}-{_uuid.uuid4().hex[:8]}")
+    similarity.build_ivf_index(
+        emb, path, n_cells=n_cells, id_col=id_col, vec_col=field
+    )
+    _KNN_INDEXES[(n, field)] = {"path": path, "n_cells": int(n_cells)}
+    return {"index": n, "field": field, "path": path,
+            "n_cells": int(n_cells)}
+
+
+def delete_knn_index(spark: SparkSession, index_name: str,
+                     *, field: str = "embedding") -> bool:
+    """Drop a materialized kNN index (registry + files); True iff it
+    existed."""
+    import shutil as _shutil
+
+    n = transform.normalize_index_name(index_name)
+    built = _KNN_INDEXES.pop((n, field), None)
+    if built is None:
+        return False
+    _shutil.rmtree(built["path"], ignore_errors=True)
+    return True
 
 
 def sql_query(

@@ -303,6 +303,11 @@ def build_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    # per-cell populations (centroid-table-sized): lets a query turn an
+    # ES-style num_candidates target into the exact probe-cell prefix
+    spark.read.parquet(path + "/vectors").groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/cellstats")
     return cents
 
 
@@ -316,12 +321,20 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    num_candidates: "int | None" = None,
 ) -> DataFrame:
     """Query a materialized IVF index: rank cells by centroid dot
-    product (driver-side, C x dim floats), then scan ONLY the nprobe
-    winning partitions. Results are identical to ivf_topk with the same
+    product (driver-side, C x dim floats), then scan ONLY the winning
+    partitions. Results are identical to ivf_topk with the same
     centroids (tested); the difference is the scan reads nprobe/C of
-    the files instead of filtering all of them."""
+    the files instead of filtering all of them.
+
+    ``num_candidates`` (the ES 8 kNN contract knob) overrides
+    ``nprobe``: cells are probed in centroid-score order until their
+    recorded populations (``cellstats``, written at build) reach the
+    target — the candidate pool the exact re-score then ranks is
+    guaranteed >= num_candidates whenever the corpus holds that many
+    vectors, exactly how ES's HNSW beam widens with num_candidates."""
     crows = spark.read.parquet(path + "/centroids").collect()
     cents = np.zeros((len(crows), len(crows[0]["centroid"])), dtype="float64")
     for r in crows:
@@ -330,7 +343,20 @@ def ivf_topk_indexed(
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn
-    probe_cells = [int(c) for c in np.argsort(-(cents @ q))[:nprobe]]
+    ranked = [int(c) for c in np.argsort(-(cents @ q))]
+    if num_candidates is not None:
+        if num_candidates < 1:
+            raise ValueError("num_candidates must be >= 1")
+        pops = {int(r["cell"]): int(r["n"])
+                for r in spark.read.parquet(path + "/cellstats").collect()}
+        probe_cells, pool = [], 0
+        for c in ranked:
+            probe_cells.append(c)
+            pool += pops.get(c, 0)
+            if pool >= num_candidates:
+                break
+    else:
+        probe_cells = ranked[:nprobe]
     vectors = spark.read.parquet(path + "/vectors").filter(
         F.col("cell").isin(probe_cells)
     )

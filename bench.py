@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "l3_analyzer_phonetic",
     "l5_intra_doc_dedup",
     "l6_video_scene_cuts",
+    # round-8 new entries: grok log-parse (the hot ingest regex path —
+    # one combined regex, k extractions/row) and the EQL anti-join ring
+    "s43_ingest_grok_dissect",
+    "l3_eql_until",
 ]
 
 

@@ -771,6 +771,9 @@ def test_ingest_processor_entries_are_pure_projections(spark, sf_dir):
         "s40_ingest_json",
         "s41_ingest_date",
         "s42_ingest_kv_fingerprint",
+        # grok + dissect compile to regexp_extract columns in the same
+        # single projection (operators/grok.py)
+        "s43_ingest_grok_dissect",
     ):
         plan = (
             QUERIES[name](spark, sf_dir)

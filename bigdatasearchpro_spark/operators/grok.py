@@ -183,17 +183,46 @@ def compile_dissect(pattern: str) -> "tuple[str, list[str]]":
 
 
 def grok_columns(
-    source: Column, expr: str,
+    source: Column, expr: "str | list[str]",
     pattern_definitions: "dict[str, str] | None" = None,
 ) -> "dict[str, Column]":
     """field name -> typed extraction Column (NULL when the line does
-    not match, like an ES grok failure with ignore_failure)."""
-    regex, fields = compile_grok(expr, pattern_definitions)
-    matched = source.rlike(regex)
+    not match, like an ES grok failure with ignore_failure).
+
+    ``expr`` may be a LIST of grok expressions — the ES processor's
+    ``patterns`` array, tried in order with FIRST-MATCH-WINS per line:
+    each field's column is a chained CASE over the per-pattern match
+    guards, so a line parsed by pattern 2 yields pattern 2's fields
+    and NULL for fields only pattern 1 defines.  Single compile per
+    pattern; still one projection."""
+    exprs = [expr] if isinstance(expr, str) else list(expr)
+    if not exprs:
+        raise ValueError("grok needs at least one pattern")
+    compiled = []
+    for e in exprs:
+        regex, fields = compile_grok(e, pattern_definitions)
+        compiled.append((regex, fields, source.rlike(regex)))
+    # ordered union of field names; first definition fixes the cast
+    order: list[str] = []
+    casts: dict[str, "str | None"] = {}
+    for _, fields, _m in compiled:
+        for f, cast in fields:
+            if f not in casts:
+                order.append(f)
+                casts[f] = cast
     cols: dict[str, Column] = {}
-    for i, (field, cast) in enumerate(fields):
-        c = F.when(matched, F.regexp_extract(source, regex, i + 1))
-        cols[field] = c.cast(cast) if cast else c
+    for f in order:
+        col = None
+        for regex, fields, matched in compiled:
+            fmap = {name: i for i, (name, _c) in enumerate(fields)}
+            val = (
+                F.regexp_extract(source, regex, fmap[f] + 1)
+                if f in fmap
+                else F.lit(None).cast("string")
+            )
+            col = F.when(matched, val) if col is None else col.when(
+                matched, val)
+        cols[f] = col.cast(casts[f]) if casts[f] else col
     return cols
 
 

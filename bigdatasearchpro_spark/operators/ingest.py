@@ -104,9 +104,11 @@ def validate_pipeline(processors: "list[dict]") -> None:
         elif kind == "grok":
             from bigdatasearchpro_spark.operators.grok import compile_grok
 
-            if "field" not in body or "pattern" not in body:
-                raise ValueError("grok needs field and pattern")
-            compile_grok(body["pattern"], body.get("pattern_definitions"))
+            pats = body.get("patterns") or body.get("pattern")
+            if "field" not in body or not pats:
+                raise ValueError("grok needs field and pattern(s)")
+            for pat in [pats] if isinstance(pats, str) else pats:
+                compile_grok(pat, body.get("pattern_definitions"))
         elif kind == "dissect":
             from bigdatasearchpro_spark.operators.grok import (
                 compile_dissect,
@@ -270,11 +272,13 @@ def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
             )
         elif kind == "grok":
             # compiled ONCE at apply; k typed regexp_extract columns in
-            # one projection (operators/grok.py — RE2-safe, JVM-side)
+            # one projection (operators/grok.py — RE2-safe, JVM-side);
+            # a "patterns" list is tried first-match-wins like ES
             from bigdatasearchpro_spark.operators.grok import grok_columns
 
             cols = grok_columns(
-                F.col(body["field"]), body["pattern"],
+                F.col(body["field"]),
+                body.get("patterns") or body["pattern"],
                 body.get("pattern_definitions"),
             )
             df = df.withColumns(cols)

@@ -225,6 +225,9 @@ def apply_bulk_actions(
       accumulated alongside the doc state;
     - ``update`` merges column-wise (``coalesce(new, old)`` — the
       partial-doc semantics; a NULL payload cell means "leave as is");
+      an optional boolean ``doc_as_upsert`` column makes an update on
+      a missing doc CREATE it from the partial doc (ES
+      ``doc_as_upsert: true``) instead of failing;
     - optional ``if_seq_no`` column: a guarded ``index``/``update``/
       ``delete`` whose expected seq doesn't match the doc's current
       ``_seq_no`` (base column if present, else 0; +1 per applied
@@ -242,7 +245,8 @@ def apply_bulk_actions(
 
     payload = [c for c in base.columns if c not in (id_col, "_seq_no")]
     bad = [c for c in actions.columns
-           if c not in (id_col, seq_col, op_col, "if_seq_no", *payload)]
+           if c not in (id_col, seq_col, op_col, "if_seq_no",
+                        "doc_as_upsert", *payload)]
     if bad:
         raise ValueError(f"action columns not in index schema: {bad}")
     ops_ok = F.col(op_col).isin("index", "create", "update", "delete")
@@ -252,6 +256,8 @@ def apply_bulk_actions(
     a = actions
     if "if_seq_no" not in a.columns:
         a = a.withColumn("if_seq_no", F.lit(None).cast("long"))
+    if "doc_as_upsert" not in a.columns:
+        a = a.withColumn("doc_as_upsert", F.lit(False))
     for c in payload:
         if c not in a.columns:
             a = a.withColumn(c, F.lit(None).cast(dict(base.dtypes)[c]))
@@ -260,6 +266,8 @@ def apply_bulk_actions(
             F.col(seq_col).cast("long").alias("seq"),
             F.col(op_col).alias("op"),
             F.col("if_seq_no").cast("long").alias("if_seq_no"),
+            F.coalesce(F.col("doc_as_upsert"), F.lit(False))
+            .alias("upsert"),
             *[F.col(c).alias(c) for c in payload],
         ))).alias("__acts")
     )
@@ -288,6 +296,8 @@ def apply_bulk_actions(
             .when(is_create, F.lit("created"))
             .when(is_index & acc["exists"], F.lit("updated"))
             .when(is_index, F.lit("created"))
+            .when(is_update & ~acc["exists"] & x["upsert"],
+                  F.lit("created"))
             .when(is_update & ~acc["exists"], F.lit("document_missing"))
             .when(is_update, F.lit("updated"))
             .when(is_delete & ~acc["exists"], F.lit("not_found"))
@@ -296,6 +306,7 @@ def apply_bulk_actions(
         applied = (~conflict) & (
             is_index
             | (is_create & ~acc["exists"])
+            | (is_update & ~acc["exists"] & x["upsert"])
             | ((is_update | is_delete) & acc["exists"])
         )
         replace = F.struct(*[x[c].alias(c) for c in payload])
@@ -303,8 +314,8 @@ def apply_bulk_actions(
             *[F.coalesce(x[c], acc["doc"][c]).alias(c) for c in payload]
         )
         return F.struct(
-            F.when(applied & (is_index | is_create), F.lit(True))
-            .when(applied & is_delete, F.lit(False))
+            F.when(applied & is_delete, F.lit(False))
+            .when(applied, F.lit(True))
             .otherwise(acc["exists"]).alias("exists"),
             F.when(applied & (is_index | is_create), replace)
             .when(applied & is_update, merged)

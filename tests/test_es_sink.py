@@ -304,3 +304,28 @@ def test_api_bulk_mixed_end_to_end(spark, docs):
         assert "0" not in ids and "999991" in ids and len(ids) == 10
     finally:
         api.delete_index(spark, idx)
+
+
+def test_apply_bulk_actions_doc_as_upsert(spark):
+    """ES doc_as_upsert: an update on a missing doc creates it from
+    the partial doc; without the flag it stays document_missing."""
+    from bigdatasearchpro_spark.sinks.bulk import apply_bulk_actions
+
+    base = spark.createDataFrame([("a", "en", "s1")],
+                                 "_id string, lang string, source string")
+    actions = spark.createDataFrame(
+        [
+            (1, "update", "new1", "xx", None, True),   # upsert-create
+            (2, "update", "new2", "yy", None, False),  # plain -> missing
+            (3, "update", "a", "zz", None, True),      # exists -> merge
+            (4, "update", "new1", None, "s9", True),   # second on upserted
+        ],
+        "seq long, op string, _id string, lang string, source string, "
+        "doc_as_upsert boolean",
+    )
+    state, items = apply_bulk_actions(base, actions)
+    got = {r["_id"]: (r["lang"], r["source"]) for r in state.collect()}
+    assert got == {"a": ("zz", "s1"), "new1": ("xx", "s9")}
+    res = {r["seq"]: r["result"] for r in items.collect()}
+    assert res == {1: "created", 2: "document_missing", 3: "updated",
+                   4: "updated"}

@@ -336,3 +336,34 @@ def test_dissect_validation():
         compile_dissect("plain text")
     with pt.raises(ValueError, match="extracts no named"):
         compile_dissect("%{} - %{?x}")
+
+
+def test_grok_patterns_list_first_match_wins(spark):
+    """The ES grok 'patterns' array: each line parses with the FIRST
+    matching pattern; fields defined only by other patterns are NULL."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "ERROR disk full"), (2, "GET /x 200"), (3, "???")],
+        "id long, msg string",
+    )
+    out = {r["id"]: r for r in apply_pipeline(df, [{
+        "grok": {"field": "msg", "patterns": [
+            "%{LOGLEVEL:level} %{GREEDYDATA:text}",
+            "%{WORD:verb} %{NOTSPACE:path} %{INT:status:int}",
+        ]},
+    }]).collect()}
+    assert out[1]["level"] == "ERROR" and out[1]["text"] == "disk full"
+    assert out[1]["verb"] is None and out[1]["status"] is None
+    assert out[2]["verb"] == "GET" and out[2]["status"] == 200
+    assert out[2]["level"] is None
+    assert out[3]["level"] is None and out[3]["verb"] is None
+    # pattern-1 ambiguity guard: a line matching BOTH uses pattern 1
+    both = spark.createDataFrame([(9, "WARN something")], "id long, msg string")
+    r = apply_pipeline(both, [{
+        "grok": {"field": "msg", "patterns": [
+            "%{LOGLEVEL:level} %{GREEDYDATA:text}",
+            "%{WORD:verb} %{GREEDYDATA:rest}",
+        ]},
+    }]).first()
+    assert r["level"] == "WARN" and r["verb"] is None

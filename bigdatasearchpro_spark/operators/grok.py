@@ -78,6 +78,18 @@ GROK_PATTERNS: dict[str, str] = {
     ),
     "QUOTEDSTRING": r"\"[^\"]*\"",
     "QS": r"\"[^\"]*\"",
+    # composite patterns: dictionary bodies that CONTAIN named tokens —
+    # a bare %{COMMONAPACHELOG} in an expression introduces all of its
+    # fields (textual pre-expansion in compile_grok, like ES grok)
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] "
+        r'"%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?" '
+        r"%{INT:response:int} (?:%{INT:bytes:long}|-)"
+    ),
+    "COMBINEDAPACHELOG": (
+        r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}"
+    ),
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
     "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
     "LOGLINE_PREFIX": r"\[[^\]]*\]",
@@ -116,10 +128,38 @@ def compile_grok(
 ) -> "tuple[str, list[tuple[str, str | None]]]":
     """Compile a grok expression to ``(java_regex, fields)`` where
     ``fields`` is ``[(field_name, cast_type_or_None), ...]`` in capture
-    group order (group i+1 extracts fields[i])."""
+    group order (group i+1 extracts fields[i]).
+
+    COMPOSITE dictionary entries (bodies containing named tokens, e.g.
+    COMMONAPACHELOG) are textually pre-expanded so a bare
+    ``%{COMBINEDAPACHELOG}`` introduces every field it defines, like
+    ES grok.  A NAMED reference to a composite (``%{COMMONAPACHELOG:
+    line}``) captures the whole match and drops the inner names (the
+    flat group-numbering contract)."""
     defs = dict(GROK_PATTERNS)
     if pattern_definitions:
         defs.update(pattern_definitions)
+
+    # textual pre-expansion: bare references whose bodies define named
+    # tokens inline their bodies (recursively, bounded depth)
+    def _is_composite(name: str) -> bool:
+        body = defs.get(name, "")
+        return any(m.group(2) for m in _TOKEN_RE.finditer(body))
+
+    for _ in range(_MAX_EXPAND_DEPTH):
+        expanded = _TOKEN_RE.sub(
+            lambda m: ("(?:" + defs[m.group(1)] + ")")
+            if m.group(2) is None and m.group(1) in defs
+            and _is_composite(m.group(1))
+            else m.group(0),
+            expr,
+        )
+        if expanded == expr:
+            break
+        expr = expanded
+    else:
+        raise ValueError("grok composite expansion nests too deep")
+
     out: list[str] = []
     fields: list[tuple[str, str | None]] = []
     pos = 0

@@ -367,3 +367,27 @@ def test_grok_patterns_list_first_match_wins(spark):
         ]},
     }]).first()
     assert r["level"] == "WARN" and r["verb"] is None
+
+
+def test_grok_composite_combinedapachelog(spark):
+    """Bare %{COMBINEDAPACHELOG} expands its named fields, like ES."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    line = ('203.0.113.9 - alice [10/Jan/2024:13:55:36 +0000] '
+            '"POST /login HTTP/1.1" 302 154 '
+            '"http://example.test/ref" "curl/8.0"')
+    df = spark.createDataFrame([(1, line)], "id long, msg string")
+    r = apply_pipeline(df, [{
+        "grok": {"field": "msg", "pattern": "%{COMBINEDAPACHELOG}"},
+    }]).first()
+    assert r["clientip"] == "203.0.113.9"
+    assert r["auth"] == "alice"
+    assert r["verb"] == "POST" and r["request"] == "/login"
+    assert r["response"] == 302 and r["bytes"] == 154
+    assert r["referrer"] == '"http://example.test/ref"'
+    assert r["agent"] == '"curl/8.0"'
+    # a NAMED composite reference captures the whole match instead
+    from bigdatasearchpro_spark.operators.grok import compile_grok
+
+    regex, fields = compile_grok("%{COMMONAPACHELOG:line}")
+    assert [f for f, _ in fields] == ["line"]

@@ -186,8 +186,10 @@ _DISSECT_KEY_RE = re.compile(r"%\{([^}]*)\}")
 def compile_dissect(pattern: str) -> "tuple[str, list[str]]":
     """Compile a dissect template to ``(anchored_java_regex, fields)``.
     Keys become non-greedy gaps (the final key greedy), skip keys
-    (``%{}`` / ``%{?name}``) become non-capturing, and a ``->`` pad
-    modifier lets the following literal separator repeat."""
+    (``%{}`` / ``%{?name}``) become non-capturing, a ``->`` pad
+    modifier lets the following literal separator repeat, and append
+    keys (``%{+name}``) repeat a field name — ``fields`` then contains
+    the name once per capture, in group order (the caller joins)."""
     parts = _DISSECT_KEY_RE.split(pattern)
     # parts alternates literal, key, literal, key, ... literal
     keys = parts[1::2]
@@ -204,6 +206,10 @@ def compile_dissect(pattern: str) -> "tuple[str, list[str]]":
         pad = key.endswith("->")
         if pad:
             key = key[:-2]
+        if key.startswith("+"):  # append modifier: same field again
+            key = key[1:]
+            if not key:
+                raise ValueError("dissect %{+} needs a field name")
         skip = key == "" or key.startswith("?")
         last = i == len(keys) - 1
         gap = ".*" if last else ".*?"
@@ -266,11 +272,23 @@ def grok_columns(
     return cols
 
 
-def dissect_columns(source: Column, pattern: str) -> "dict[str, Column]":
-    """field name -> extraction Column (NULL on non-matching lines)."""
+def dissect_columns(
+    source: Column, pattern: str, append_separator: str = "",
+) -> "dict[str, Column]":
+    """field name -> extraction Column (NULL on non-matching lines).
+    A field captured more than once (the ``%{+name}`` append modifier)
+    joins its captures in order with ``append_separator``."""
     regex, fields = compile_dissect(pattern)
     matched = source.rlike(regex)
+    groups: dict[str, list[Column]] = {}
+    for i, field in enumerate(fields):
+        groups.setdefault(field, []).append(
+            F.regexp_extract(source, regex, i + 1))
     return {
-        field: F.when(matched, F.regexp_extract(source, regex, i + 1))
-        for i, field in enumerate(fields)
+        field: F.when(
+            matched,
+            parts[0] if len(parts) == 1
+            else F.concat_ws(append_separator, *parts),
+        )
+        for field, parts in groups.items()
     }

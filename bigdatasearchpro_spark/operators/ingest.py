@@ -288,7 +288,10 @@ def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
             )
 
             df = df.withColumns(
-                dissect_columns(F.col(body["field"]), body["pattern"])
+                dissect_columns(
+                    F.col(body["field"]), body["pattern"],
+                    body.get("append_separator", ""),
+                )
             )
         elif kind == "inference":
             df = INFERENCE_MODELS[body["model_id"]](

@@ -391,3 +391,24 @@ def test_grok_composite_combinedapachelog(spark):
 
     regex, fields = compile_grok("%{COMMONAPACHELOG:line}")
     assert [f for f, _ in fields] == ["line"]
+
+
+def test_dissect_append_modifier(spark):
+    """%{+key} joins multiple captures in order with append_separator."""
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-10 13:55:36 UTC rest")], "id long, msg string")
+    r = apply_pipeline(df, [{
+        "dissect": {"field": "msg",
+                    "pattern": "%{ts} %{+ts} %{+ts} %{rest}",
+                    "append_separator": " "},
+    }]).first()
+    assert r["ts"] == "2024-01-10 13:55:36 UTC"
+    assert r["rest"] == "rest"
+    import pytest as pt
+
+    from bigdatasearchpro_spark.operators.grok import compile_dissect
+
+    with pt.raises(ValueError, match=r"\+.*needs a field"):
+        compile_dissect("%{a} %{+}")

@@ -232,6 +232,9 @@ def apply_bulk_actions(
       ``delete`` whose expected seq doesn't match the doc's current
       ``_seq_no`` (base column if present, else 0; +1 per applied
       action) is rejected with ``version_conflict``, like ES;
+      ``_seq_no`` is MONOTONIC per id even across delete+recreate —
+      the ES shard counter never resets (differential-tested against
+      a Python replay over randomized batches);
     - 100 TB shape: the fold touches ONLY the batch's ids; the new
       state is ``base ANTI-JOIN touched-ids`` (broadcast — the batch is
       small by construction, so the base table never shuffles) union

@@ -329,3 +329,81 @@ def test_apply_bulk_actions_doc_as_upsert(spark):
     res = {r["seq"]: r["result"] for r in items.collect()}
     assert res == {1: "created", 2: "document_missing", 3: "updated",
                    4: "updated"}
+
+
+def test_apply_bulk_actions_matches_python_replay(spark):
+    """Differential test: the JVM expression fold equals a
+    straightforward Python replay of the same action log across a
+    seeded randomized batch (ops x existing/missing x upsert x
+    if_seq_no, multiple actions per id, shuffled seq)."""
+    import random
+
+    from bigdatasearchpro_spark.sinks.bulk import apply_bulk_actions
+
+    rng = random.Random(20260815)
+    ids = [f"d{i}" for i in range(30)]
+    base_rows = [(i, f"lang{rng.randrange(3)}", rng.randrange(5))
+                 for i in ids[:18]]
+    acts = []
+    for seq in range(120):
+        i = rng.choice(ids)
+        op = rng.choice(["index", "create", "update", "delete"])
+        val = None if rng.random() < 0.3 else f"v{rng.randrange(9)}"
+        guard = rng.randrange(4) if rng.random() < 0.25 else None
+        upsert = rng.random() < 0.3
+        acts.append((seq, op, i, val, guard, upsert))
+
+    # python replay (the simple obviously-correct semantics); _seq_no
+    # is MONOTONIC per id even across delete+recreate — the ES shard
+    # counter never resets, and neither does the fold's
+    state = {i: {"lang": l} for i, l, s in base_rows}
+    seqs = {i: s for i, l, s in base_rows}
+    expect_items = {}
+    for seq, op, i, val, guard, upsert in sorted(acts):
+        doc = state.get(i)
+        seqno = seqs.get(i, 0)
+        if op != "create" and guard is not None and guard != seqno:
+            expect_items[seq] = "version_conflict"
+            continue
+        if op == "index":
+            state[i] = {"lang": val}
+            seqs[i] = seqno + 1
+            expect_items[seq] = "updated" if doc else "created"
+        elif op == "create":
+            if doc:
+                expect_items[seq] = "version_conflict"
+            else:
+                state[i] = {"lang": val}
+                seqs[i] = seqno + 1
+                expect_items[seq] = "created"
+        elif op == "update":
+            if doc:
+                if val is not None:
+                    doc["lang"] = val
+                seqs[i] = seqno + 1
+                expect_items[seq] = "updated"
+            elif upsert:
+                state[i] = {"lang": val}
+                seqs[i] = seqno + 1
+                expect_items[seq] = "created"
+            else:
+                expect_items[seq] = "document_missing"
+        else:
+            if doc:
+                del state[i]
+                seqs[i] = seqno + 1
+                expect_items[seq] = "deleted"
+            else:
+                expect_items[seq] = "not_found"
+
+    base = spark.createDataFrame(
+        base_rows, "_id string, lang string, _seq_no long")
+    actions = spark.createDataFrame(
+        acts, "seq long, op string, _id string, lang string, "
+              "if_seq_no long, doc_as_upsert boolean")
+    got_state, got_items = apply_bulk_actions(base, actions)
+    got = {r["_id"]: (r["lang"], r["_seq_no"])
+           for r in got_state.collect()}
+    assert got == {i: (d["lang"], seqs[i]) for i, d in state.items()}
+    res = {r["seq"]: r["result"] for r in got_items.collect()}
+    assert res == expect_items

@@ -53,6 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ~44 backlog entries drain this round; the remainder drains over
 # rounds 9-10 (never-checked sort first until the class is empty, then
 # the r3 cohort is next).
+# ROUND-9 NOTE: REPLACE this list with that round's fixes/new entries.
+# Leaving these names here after they get their r8 verdicts would waste
+# 37 window slots re-verifying green entries — the stalest-first tail
+# already handles everything else (the ~107 remaining never-checked
+# entries fill the r9 window automatically when FRONT shrinks).
 _R8_FIXED_OR_NEW = (
     # the r3-stale entry displaced from the r7 window (verdict ask #2)
     "st5_stateful_sessionize",

@@ -66,6 +66,8 @@ _R8_FIXED_OR_NEW = (
     "s44_bulk_op_types",
     "l3_eql_until",
     "s45_cluster_introspection",
+    "l4_knn_num_candidates",
+    "st16_streaming_eql",
     # code-touched this round, never driver-checked: ingest append/
     # fingerprint NULL semantics (ADVICE) and the sql_query guard
     # rewrite (ADVICE) feed these two entries

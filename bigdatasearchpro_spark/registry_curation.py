@@ -1657,3 +1657,56 @@ def s45_cluster_introspection(spark, sf_dir):
     return spark.createDataFrame(
         rows, "name string, shards int, docs bigint, state string"
     ).orderBy("name")
+
+
+@register(
+    "st16_streaming_eql",
+    """
+    WITH s1 AS (SELECT user_id, ts AS ts_1, event_id AS id_1
+                FROM events WHERE event_type = 'view'),
+    s2 AS (SELECT user_id, ts AS ts_2, event_id AS id_2
+           FROM events WHERE event_type = 'purchase'),
+    c2 AS (
+      SELECT user_id, ts_1, id_1, ts_2, id_2 FROM (
+        SELECT s1.user_id, s1.ts_1, s1.id_1, s2.ts_2, s2.id_2,
+               row_number() OVER (PARTITION BY s1.user_id, s1.ts_1,
+                                               s1.id_1
+                                  ORDER BY s2.ts_2, s2.id_2) AS rn
+        FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+         AND s2.ts_2 > s1.ts_1
+         AND s2.ts_2 <= s1.ts_1 + INTERVAL 60 MINUTES
+      ) WHERE rn = 1
+    )
+    SELECT user_id, ts_1, id_1, ts_2, id_2
+    FROM c2 ORDER BY user_id, ts_1, id_1
+    """,
+)
+def st16_streaming_eql(spark, sf_dir):
+    """§2.9 [ES parity]: EQL sequence detection ON STREAMS —
+    ``sequence by user_id [view] [purchase] within 60m`` as a
+    watermarked stream-stream interval join followed by a streaming
+    head-matching min-struct aggregate (two stateful operators,
+    append mode; state expires at watermark + within).  This entry
+    runs the EXACT streaming program in batch mode; stream==batch
+    AND ==operators/eql.eql_sequence proven in
+    tests/test_streaming.py::test_streaming_eql_2step_equals_batch.
+    The oracle replays head matching with rn=1 windows
+    (streaming/pipelines.streaming_eql_2step)."""
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        streaming_eql_2step,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = streaming_eql_2step(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        "user_id",
+        F.col("ts_1").cast("timestamp_ntz").alias("ts_1"),
+        "id_1",
+        F.col("ts_2").cast("timestamp_ntz").alias("ts_2"),
+        "id_2",
+    ).orderBy("user_id", "ts_1", "id_1")

@@ -3063,3 +3063,58 @@ def l3_analyzer_phonetic(spark, sf_dir):
         p = F.array_contains(toks, c)
         cond = p if cond is None else (cond & p)
     return docs.filter(cond).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "l4_knn_num_candidates",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             CASE WHEN sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+                       * sqrt(list_sum(list_transform(q.qv, x -> x*x))) > 0
+                  THEN list_sum(list_transform(range(1, 65),
+                         i -> e.embedding[i]::DOUBLE * q.qv[i]))
+                       / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+                          * sqrt(list_sum(list_transform(q.qv, x -> x*x))))
+                  ELSE 0.0 END AS raw
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, round(raw, 4) AS score
+    FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def l4_knn_num_candidates(spark, sf_dir):
+    """L4 [ES parity]: the ES 8 kNN ``num_candidates`` contract over
+    the MATERIALIZED index, hash-verified end-to-end (r7-verdict ask
+    #5): ``put_knn_index`` builds the IVF layout (centroids +
+    cell-partitioned corpus + cell populations), and
+    ``knn_search(mode='ann', num_candidates=corpus_size)`` must
+    DEGENERATE to the exact brute-force top-10 — the probe-prefix
+    logic is forced to cover every cell, so any bug in cell
+    assignment, population accounting, prefix selection, or the
+    partition-pruned scan breaks equality with the oracle's
+    brute-force cosine.  (Sub-corpus num_candidates recall is gated
+    in pytest on a clustered corpus; SCALING.md records sf1 recall
+    1.00 at nc=100/500.)"""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.ddl import mark_index_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = f"knn_probe_{uuid.uuid4().hex[:8]}"
+    emb.write.saveAsTable(idx)
+    try:
+        mark_index_table(spark, idx)
+        api.put_knn_index(spark, idx, field="embedding", n_cells=8)
+        qv = [float(x)
+              for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        rows = api.knn_search(
+            spark, idx, qv, k=10, mode="ann",
+            num_candidates=emb.count(),
+        ).collect()
+    finally:
+        api.delete_knn_index(spark, idx)
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    return spark.createDataFrame(rows, "vec_id bigint, score double")

@@ -248,6 +248,53 @@ def stream_interval_join(
     )
 
 
+def streaming_eql_2step(
+    step1: DataFrame,
+    step2: DataFrame,
+    *,
+    on: str = "user_id",
+    within: str = "60 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """EQL 2-step sequence detection ON STREAMS: head-matched
+    ``sequence by <on> [step1] [step2] within <within>`` — each step-1
+    event pairs with its EARLIEST qualifying step-2 event (ties by
+    event id), exactly the batch ``operators/eql.eql_sequence``
+    semantics for two steps.
+
+    Streaming shape: a watermarked stream-stream interval join (time
+    band bounded in both directions, so join state expires) followed
+    by a streaming min-struct aggregate keyed by the step-1 event —
+    the multiple-stateful-operators pipeline Spark supports in append
+    mode since 3.4; the aggregate's group finalizes when the watermark
+    passes ``ts_1 + within``, which is also when no earlier step-2
+    match can still arrive, so head matching is exact.  The same
+    program runs identically over batch frames (the st16 registry
+    entry; stream==batch proven in tests/test_streaming.py)."""
+    a = step1.withWatermark("ts", watermark).alias("a")
+    b = step2.withWatermark("ts", watermark).alias("b")
+    j = a.join(
+        b,
+        F.expr(
+            f"a.{on} = b.{on} AND b.ts > a.ts "
+            f"AND b.ts <= a.ts + INTERVAL {within}"
+        ),
+    )
+    return (
+        j.groupBy(
+            F.col(f"a.{on}").alias(on),
+            F.col("a.ts").alias("ts_1"),
+            F.col("a.event_id").alias("id_1"),
+        )
+        .agg(F.min(F.struct(F.col("b.ts"), F.col("b.event_id"))).alias("m"))
+        .select(
+            on, "ts_1", "id_1",
+            F.col("m.ts").alias("ts_2"),
+            F.col("m.event_id").alias("id_2"),
+        )
+    )
+
+
 def stage_time_sliced_replay(
     events: DataFrame,
     src_dir: str,

@@ -445,3 +445,39 @@ def test_streaming_percolate_equals_batch(spark, events_dir, batch_events, tmp_p
     # the duplicate-term query fires exactly where the single-term
     # 'click' query does (round-5 advice regression)
     assert {e for e, q in w if q == 5} == {e for e, q in w if q == 1} != set()
+
+
+def test_streaming_eql_2step_equals_batch(spark, events_dir, batch_events, tmp_path):
+    """Streaming EQL [view][purchase] within 60m (interval join ->
+    head-matching min aggregate, two stateful operators) must equal
+    the same program in batch AND the batch eql_sequence operator."""
+    from bigdatasearchpro_spark.operators.eql import eql_sequence
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        streaming_eql_2step,
+    )
+
+    def split(df):
+        cast = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            cast.filter(F.col("event_type") == "view"),
+            cast.filter(F.col("event_type") == "purchase"),
+        )
+
+    s1, s2 = split(events_stream(spark, events_dir))
+    got = run_to_completion(
+        streaming_eql_2step(s1, s2),
+        checkpoint_dir=str(tmp_path / "ck16"),
+        output_mode="append",
+    )
+    b1, b2 = split(batch_events)
+    expect = streaming_eql_2step(b1, b2)
+    assert _normalize(got) == _normalize(expect)
+    assert got.count() > 0
+    # and the streaming program == the batch EQL operator's 2-step form
+    ev = batch_events.withColumn("ts", F.col("ts").cast("timestamp"))
+    eql = eql_sequence(
+        ev, [{"event_type": "view"}, {"event_type": "purchase"}],
+        by="user_id", within_seconds=3600,
+    )
+    assert _normalize(got.select("user_id", "ts_1", "id_1", "ts_2", "id_2")) \
+        == _normalize(eql.select("user_id", "ts_1", "id_1", "ts_2", "id_2"))

@@ -774,3 +774,59 @@ def test_soundex_matches_spark_builtin(spark, words):
     got = {r["w"]: r["s"] for r in df.select("w", F.soundex("w").alias("s")).collect()}
     for w in set(words):
         assert soundex_token(w).upper() == got[w], w
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.text(alphabet="abcXYZ019._", min_size=1, max_size=12),
+        min_size=1, max_size=5,
+    ),
+    sep=st.sampled_from([" ", " | ", ", ", "\t", " -> "]),
+)
+def test_dissect_compile_roundtrip_property(vals, sep):
+    """Any dissect template of k keys joined by a fixed separator
+    extracts back exactly the values it was built from, provided the
+    values don't contain the separator (the dissect contract)."""
+    import re as _re
+
+    from bigdatasearchpro_spark.operators.grok import compile_dissect
+
+    vals = [v for v in vals if sep.strip() == "" or sep not in v]
+    if not vals or any(sep in v for v in vals):
+        return
+    pattern = sep.join("%{f" + str(i) + "}" for i in range(len(vals)))
+    line = sep.join(vals)
+    regex, fields = compile_dissect(pattern)
+    m = _re.match(regex, line)
+    assert m is not None, (pattern, line)
+    assert list(m.groups()) == vals
+    assert fields == [f"f{i}" for i in range(len(vals))]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    word=st.text(alphabet="abczXYZ09_", min_size=1, max_size=10),
+    n=st.integers(min_value=-999999, max_value=999999),
+    level=st.sampled_from(["TRACE", "DEBUG", "INFO", "WARN", "ERROR",
+                           "FATAL", "CRITICAL", "WARNING"]),
+    tail=st.text(alphabet="abc xyz.,-019", min_size=0, max_size=30),
+)
+def test_grok_compile_roundtrip_property(word, n, level, tail):
+    """%{WORD} %{INT} %{LOGLEVEL} %{GREEDYDATA} extract back exactly
+    the components any conforming line was built from (Python re on
+    the compiled pattern — same regex the JVM runs)."""
+    import re as _re
+
+    from bigdatasearchpro_spark.operators.grok import compile_grok
+
+    line = f"{word} {n} {level} {tail}"
+    regex, fields = compile_grok(
+        "%{WORD:w} %{INT:n:int} %{LOGLEVEL:lvl} %{GREEDYDATA:rest}")
+    m = _re.search(regex, line)
+    assert m is not None, line
+    assert m.group(1) == word
+    assert int(m.group(2)) == n
+    assert m.group(3) == level
+    assert m.group(4) == tail
+    assert [f for f, _ in fields] == ["w", "n", "lvl", "rest"]

@@ -110,9 +110,11 @@ def main():
     spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+        p = os.path.join(sf_dir, t + ".parquet")
+        # larger tiers (tools/gen_sfx.py) write each table as a
+        # DIRECTORY of part files — glob them for DuckDB
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = []
     for name in names:

@@ -143,3 +143,67 @@ def test_until_missing_event_validation(spark):
         eql_sequence(ev, [{"event_type": "a"},
                           {"not": {"event_type": "x"}}],
                      by="user_id", within_seconds=10)
+
+
+def test_eql_sequence_matches_python_replay(spark):
+    """Differential test: eql_sequence (3 positive steps, one interior
+    negation, until) equals a straightforward Python head-matching
+    replay across a seeded randomized event set."""
+    import datetime
+    import random
+
+    from bigdatasearchpro_spark.operators.eql import eql_sequence
+
+    rng = random.Random(8815)
+    rows = []
+    for eid in range(400):
+        rows.append((
+            eid,
+            rng.randrange(12),                      # user
+            rng.choice(["a", "b", "c", "x", "u"]),  # type
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                seconds=rng.randrange(0, 7200)),
+        ))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    within = 1800
+
+    got = [
+        (r["user_id"], r["id_1"], r["id_2"], r["id_3"])
+        for r in eql_sequence(
+            ev,
+            [{"event_type": "a"}, {"not": {"event_type": "x"}},
+             {"event_type": "b"}, {"event_type": "c"}],
+            by="user_id", within_seconds=within,
+            until={"event_type": "u"},
+        ).collect()
+    ]
+
+    # python replay: head-match each a with earliest b after it (span
+    # bound), then earliest c after that b (same bound), then kill
+    # chains with an x strictly inside (t1,t2) or a u inside (t1,t3)
+    by_user = {}
+    for eid, uid, t, ts in rows:
+        by_user.setdefault(uid, []).append((ts, eid, t))
+    expect = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        a_list = [(ts, eid) for ts, eid, t in evs if t == "a"]
+        for ta, ia in a_list:
+            bs = [(ts, eid) for ts, eid, t in evs if t == "b"
+                  and ts > ta and (ts - ta).total_seconds() <= within]
+            if not bs:
+                continue
+            tb, ib = min(bs)
+            cs = [(ts, eid) for ts, eid, t in evs if t == "c"
+                  and ts > tb and (ts - ta).total_seconds() <= within]
+            if not cs:
+                continue
+            tc, ic = min(cs)
+            if any(t == "x" and ta < ts < tb for ts, eid, t in evs):
+                continue
+            if any(t == "u" and ta < ts < tc for ts, eid, t in evs):
+                continue
+            expect.append((uid, ia, ib, ic))
+    assert sorted(got) == sorted(expect)
+    assert len(expect) > 0  # the fixture must actually exercise matches

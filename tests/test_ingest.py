@@ -412,3 +412,31 @@ def test_dissect_append_modifier(spark):
 
     with pt.raises(ValueError, match=r"\+.*needs a field"):
         compile_dissect("%{a} %{+}")
+
+
+def test_stored_pipeline_with_grok_dissect(spark):
+    """grok/dissect bodies are pure JSON, so they store and replay
+    through PUT _ingest/pipeline + bulk ?pipeline= like any processor."""
+    import uuid
+
+    pid = f"grok-pipe-{uuid.uuid4().hex[:6]}"
+    idx = f"grok_pipe_idx_{uuid.uuid4().hex[:6]}"
+    api.put_ingest_pipeline(spark, pid, [
+        {"grok": {"field": "msg",
+                  "pattern": "%{LOGLEVEL:level} %{GREEDYDATA:detail}"}},
+        {"dissect": {"field": "msg", "pattern": "%{} %{first_word} %{}"}},
+    ])
+    frame = spark.createDataFrame(
+        [(1, "ERROR disk is full"), (2, "INFO all good here")],
+        "id long, msg string",
+    )
+    try:
+        api.bulk_data_to_index(spark, frame, idx, id_col="id", pipeline=pid)
+        got = {r["id"]: (r["level"], r["detail"], r["first_word"])
+               for r in spark.table(idx).select(
+                   "id", "level", "detail", "first_word").collect()}
+        assert got == {"1": ("ERROR", "disk is full", "disk"),
+                       "2": ("INFO", "all good here", "all")}
+    finally:
+        api.delete_index(spark, idx)
+        api.delete_ingest_pipeline(spark, pid)

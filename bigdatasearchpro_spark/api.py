@@ -917,8 +917,20 @@ def restore_index(
 def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
     """Swap an index's content for ``df`` via the force-merge publish
     protocol: complete staged copy first, then drop + rename, original
-    properties carried over. Shared by the by-query write endpoints."""
+    properties carried over. Shared by the by-query write endpoints.
+
+    ROUTED indices (``bdsp.routing`` property) keep their contract
+    through the rewrite: ``__shard`` is RECOMPUTED from the routing
+    column (idempotent for unchanged rows; corrects rows whose routing
+    key a script rewrote, and rows a mixed bulk created without a
+    shard) and the staged table is physically ``partitionBy(__shard)``
+    — without this the rewrite silently kept the column but dropped
+    the directory layout, turning every routed search's partition
+    pruning into a full scan at scale."""
+    import json as _json
     import uuid
+
+    from pyspark.sql import functions as F
 
     from bigdatasearchpro_spark.sinks.ddl import mark_index_table
 
@@ -928,7 +940,19 @@ def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
         if not r["key"].startswith("transient")
     }
     staged = f"{index}__bq_{uuid.uuid4().hex[:8]}"
-    df.write.mode("errorifexists").saveAsTable(staged)
+    writer = None
+    if "bdsp.routing" in props:
+        meta = _json.loads(props["bdsp.routing"])
+        if meta.get("col") in df.columns:
+            df = df.withColumn(
+                "__shard",
+                F.pmod(F.xxhash64(F.col(meta["col"])),
+                       F.lit(int(meta["shards"]))),
+            )
+            writer = df.write.mode("errorifexists").partitionBy("__shard")
+    if writer is None:
+        writer = df.write.mode("errorifexists")
+    writer.saveAsTable(staged)
     try:
         for k, v in props.items():
             kq = k.replace("'", "''")
@@ -946,6 +970,11 @@ def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
             f"complete rewritten copy is staged as {staged!r} — rename it "
             f"back manually (ALTER TABLE {staged} RENAME TO {index})"
         ) from e
+    if "__shard" in df.columns:
+        # the rename moved the managed table's directory but the
+        # catalog's partition entries still point at the staged path —
+        # without recovery a partitioned table reads EMPTY
+        spark.sql(f"MSCK REPAIR TABLE {index}")
     mark_index_table(spark, index)
 
 
@@ -1094,6 +1123,11 @@ def bulk_mixed(
     if not is_index_table(spark, n):
         raise ValueError(f"bulk_mixed target is not an index: {index_name!r}")
     base = spark.table(n)
+    # routed indices: the shard column is DERIVED, never part of the
+    # document payload — drop it here; _staged_rewrite recomputes it
+    # from the routing column and restores the partitioned layout
+    if "__shard" in base.columns:
+        base = base.drop("__shard")
     dtypes = dict(base.dtypes)
     casted = actions.select(*[
         F.col(c).cast(dtypes[c]).alias(c) if c in dtypes else F.col(c)

@@ -1254,3 +1254,55 @@ def test_cluster_introspection_trio(spark, docs):
     finally:
         api.delete_index(spark, routed)
         api.delete_index(spark, plain)
+
+
+def test_staged_rewrite_preserves_routed_layout(spark, docs):
+    """delete_by_query / bulk_mixed on a ROUTED index must keep the
+    routing contract: physical __shard partition directories survive
+    the staged rewrite, no NULL shards appear, and a doc created by a
+    mixed bulk is reachable through the routed (pruned) scan."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+
+    idx = f"routed_rw_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "lang", "source"),
+                           idx, id_col="doc_id",
+                           routing_col="lang", n_shards=4)
+
+    def shard_dirs():
+        loc = spark.sql(f"DESCRIBE TABLE EXTENDED {idx.lower()}").filter(
+            "col_name='Location'").first()["data_type"]
+        d = loc.replace("file:", "")
+        return sorted(x for x in os.listdir(d) if x.startswith("__shard="))
+
+    try:
+        assert len(shard_dirs()) > 0
+        api.delete_by_query(spark, idx, "lang:de", text_col="lang")
+        assert len(shard_dirs()) > 0, "rewrite dropped partition layout"
+        t = spark.table(idx.lower())
+        assert t.filter(F.col("__shard").isNull()).count() == 0
+        assert api.routing_meta(spark, idx) == {"col": "lang", "shards": 4}
+        # mixed bulk: created doc gets a REAL shard and the routed scan
+        # (partition-pruned path) finds it
+        acts = spark.createDataFrame(
+            [(1, "create", "999001", "en", "bulk")],
+            "seq long, op string, doc_id string, lang string, source string")
+        items = api.bulk_mixed(spark, idx, acts, id_col="doc_id")
+        assert [r["result"] for r in items.collect()] == ["created"]
+        t2 = spark.table(idx.lower())
+        assert t2.filter(F.col("__shard").isNull()).count() == 0
+        assert len(shard_dirs()) > 0
+        routed = api.apply_routing(spark, idx, spark.table(idx.lower()),
+                                   routing="en")
+        assert routed.filter(F.col("doc_id") == "999001").count() == 1
+        # shard values still match the routing hash for every row
+        recomputed = t2.withColumn(
+            "__expect", F.pmod(F.xxhash64(F.col("lang")), F.lit(4)))
+        assert recomputed.filter(
+            F.col("__shard") != F.col("__expect")).count() == 0
+    finally:
+        api.delete_index(spark, idx)

@@ -976,9 +976,11 @@ def test_routing_partition_pruning(spark, docs):
         meta = api.routing_meta(spark, name)
         assert meta == {"col": "lang", "shards": 4}
         routed = api.apply_routing(spark, name, spark.table(name), "en")
-        # the filter is a literal on the partition column: pruning
-        plan = routed._jdf.queryExecution().executedPlan().toString()
-        assert "__shard" in plan
+        # a LITERAL equality on the partition column must plan as
+        # metadata-only pruning (PartitionFilters), not a post-scan filter
+        from bigdatasearchpro_spark.plans.inspect import partition_filters
+        pf = [f for f in partition_filters(routed) if "__shard" in f]
+        assert pf, "routed scan shows no PartitionFilters on __shard"
         # every lang='en' doc lives in the routed shard
         n_en = docs.filter("lang = 'en'").count()
         assert routed.filter("lang = 'en'").count() == n_en
@@ -1299,6 +1301,11 @@ def test_staged_rewrite_preserves_routed_layout(spark, docs):
         routed = api.apply_routing(spark, idx, spark.table(idx.lower()),
                                    routing="en")
         assert routed.filter(F.col("doc_id") == "999001").count() == 1
+        # and the routed scan still PRUNES (the scale property the
+        # rewrite exists to preserve): PartitionFilters on __shard
+        from bigdatasearchpro_spark.plans.inspect import partition_filters
+        pf = [f for f in partition_filters(routed) if "__shard" in f]
+        assert pf, "partition pruning lost after staged rewrite"
         # shard values still match the routing hash for every row
         recomputed = t2.withColumn(
             "__expect", F.pmod(F.xxhash64(F.col("lang")), F.lit(4)))

@@ -407,3 +407,66 @@ def test_apply_bulk_actions_matches_python_replay(spark):
     assert got == {i: (d["lang"], seqs[i]) for i, d in state.items()}
     res = {r["seq"]: r["result"] for r in got_items.collect()}
     assert res == expect_items
+
+
+def test_bulk_mixed_routed_differential(spark, docs):
+    """End-to-end differential on a ROUTED index: a seeded 80-action
+    mixed batch through api.bulk_mixed must leave the table equal to a
+    Python replay of the action log, AND keep the routing contract
+    row-for-row afterwards — __shard == pmod(xxhash64(lang), n) even
+    for docs whose routing key the batch REWROTE (a shard move) or
+    that the batch created from nothing."""
+    import random
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+
+    rng = random.Random(20260815)
+    idx = f"routed_diff_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(
+        spark, docs.select("doc_id", "lang", "source").limit(40),
+        idx, id_col="doc_id", routing_col="lang", n_shards=4)
+    base = {r["doc_id"]: {"lang": r["lang"], "source": r["source"]}
+            for r in spark.table(idx.lower())
+            .select("doc_id", "lang", "source").collect()}
+    ids = sorted(base) + [f"90000{i}" for i in range(8)]  # 8 missing
+    langs = ["en", "de", "fr", "zz", None]
+    acts = []
+    state = {k: dict(v) for k, v in base.items()}
+    for seq in range(80):
+        i = rng.choice(ids)
+        op = rng.choice(["index", "create", "update", "delete"])
+        lang = rng.choice(langs)
+        src = rng.choice(["a", "b", None])
+        acts.append((seq, op, i, lang, src))
+        doc = state.get(i)
+        if op == "index":
+            state[i] = {"lang": lang, "source": src}
+        elif op == "create":
+            if doc is None:
+                state[i] = {"lang": lang, "source": src}
+        elif op == "update":
+            if doc is not None:
+                if lang is not None:
+                    doc["lang"] = lang
+                if src is not None:
+                    doc["source"] = src
+        elif doc is not None:  # delete
+            del state[i]
+    actions = spark.createDataFrame(
+        acts,
+        "seq long, op string, doc_id string, lang string, source string")
+    try:
+        api.bulk_mixed(spark, idx, actions, id_col="doc_id")
+        t = spark.table(idx.lower())
+        got = {r["doc_id"]: {"lang": r["lang"], "source": r["source"]}
+               for r in t.select("doc_id", "lang", "source").collect()}
+        assert got == state
+        shards = t.withColumn(
+            "__expect", F.pmod(F.xxhash64(F.col("lang")), F.lit(4)))
+        assert shards.filter(
+            ~F.col("__shard").eqNullSafe(F.col("__expect"))).count() == 0
+    finally:
+        api.delete_index(spark, idx)

@@ -268,7 +268,12 @@ def grok_columns(
             )
             col = F.when(matched, val) if col is None else col.when(
                 matched, val)
-        cols[f] = col.cast(casts[f]) if casts[f] else col
+        # try_cast, not cast: a capture inside an optional/alternation
+        # group that did not participate extracts as '' (e.g. apache
+        # bytes on a 304: "(?:%{INT:bytes:long}|-)" with '-') — under
+        # ANSI a plain cast THROWS on the first such line; ES grok
+        # leaves the field unset, so NULL is the faithful semantics
+        cols[f] = col.try_cast(casts[f]) if casts[f] else col
     return cols
 
 

@@ -440,3 +440,24 @@ def test_stored_pipeline_with_grok_dissect(spark):
     finally:
         api.delete_index(spark, idx)
         api.delete_ingest_pipeline(spark, pid)
+
+
+def test_grok_empty_optional_capture_is_null_not_crash(spark):
+    """A typed capture inside an optional/alternation group that does
+    not participate extracts as '' — under ANSI a plain cast throws on
+    the very first apache 304 line with '-' bytes.  ES grok leaves the
+    field unset; typed fields must come back NULL."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.operators.grok import grok_columns
+
+    df = spark.createDataFrame(
+        [('1.2.3.4 - frank [10/Oct/2024:13:55:36 -0700] '
+          '"GET /a HTTP/1.0" 200 2326',),
+         ('1.2.3.4 - frank [10/Oct/2024:13:55:36 -0700] '
+          '"GET /b HTTP/1.0" 304 -',)],
+        "line string")
+    cols = grok_columns(F.col("line"), "%{COMMONAPACHELOG}")
+    out = {r["request"]: (r["response"], r["bytes"]) for r in df.select(
+        *[c.alias(k) for k, c in cols.items()]).collect()}
+    assert out == {"/a": (200, 2326), "/b": (304, None)}

@@ -79,6 +79,7 @@ def create_index(spark: SparkSession, index_name: str) -> str:
 def delete_index(spark: SparkSession, index_name: str) -> None:
     """``/deleteIndex/{indexName}``."""
     ddl.delete_index(spark, index_name)
+    _invalidate_knn_indexes(index_name)
 
 
 def get_all_index(spark: SparkSession) -> list[str]:
@@ -976,6 +977,9 @@ def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
         # without recovery a partitioned table reads EMPTY
         spark.sql(f"MSCK REPAIR TABLE {index}")
     mark_index_table(spark, index)
+    # content changed: any materialized ANN layout for this index is
+    # now stale (would serve deleted vectors) — drop it
+    _invalidate_knn_indexes(index)
 
 
 def delete_by_query(
@@ -1618,6 +1622,21 @@ def knn_search(
 
 # materialized kNN index registry: (normalized index, field) -> layout
 _KNN_INDEXES: "dict[tuple[str, str], dict]" = {}
+
+
+def _invalidate_knn_indexes(index_name: str) -> None:
+    """Drop every materialized ANN layout for an index whose content
+    just changed or vanished (staged rewrite, delete) — a stale IVF
+    layout would serve deleted vectors and miss new ones.  ES's
+    analogue: vector graphs live in the segments, so any reindex
+    rebuilds them; here the next ``knn_search(mode='ann')`` falls back
+    to on-the-fly assignment until ``put_knn_index`` runs again."""
+    import shutil as _shutil
+
+    n = transform.normalize_index_name(index_name)
+    for key in [k for k in _KNN_INDEXES if k[0] == n]:
+        built = _KNN_INDEXES.pop(key)
+        _shutil.rmtree(built["path"], ignore_errors=True)
 
 
 def put_knn_index(

@@ -829,3 +829,49 @@ def test_ivf_indexed_num_candidates_pool_covers_target(spark, tmp_path):
 
     with pt.raises(ValueError, match="num_candidates"):
         ivf_topk_indexed(spark, path, q, 5, num_candidates=0)
+
+
+def test_knn_index_invalidated_on_content_change(spark):
+    """A staged rewrite (delete_by_query / bulk_mixed) or index drop
+    must drop any materialized ANN layout — a stale IVF index would
+    keep serving deleted vectors.  After the rewrite, ann search falls
+    back to on-the-fly assignment over the CURRENT content and never
+    returns a deleted id; a dropped-and-recreated index starts with no
+    layout."""
+    import uuid
+
+    import numpy as np
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.api import _KNN_INDEXES
+    from bigdatasearchpro_spark.sinks.ddl import mark_index_table
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, "even" if i % 2 == 0 else "odd",
+         [float(x) for x in rng.normal(size=16)])
+        for i in range(200)
+    ]
+    idx = f"knn_inval_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        rows, "vec_id long, parity string, embedding array<float>"
+    ).write.saveAsTable(idx)
+    mark_index_table(spark, idx)
+    try:
+        api.put_knn_index(spark, idx, field="embedding", n_cells=4)
+        assert (idx, "embedding") in _KNN_INDEXES
+        q = rows[0][2]
+        assert api.knn_search(spark, idx, q, k=5, mode="ann",
+                              num_candidates=200).count() == 5
+        # staged rewrite: remove every odd vector
+        api.delete_by_query(spark, idx, "odd", text_col="parity")
+        assert (idx, "embedding") not in _KNN_INDEXES, "stale ANN layout"
+        got = [r["vec_id"] for r in api.knn_search(
+            spark, idx, q, k=50, mode="ann", num_candidates=200).collect()]
+        assert got and all(v % 2 == 0 for v in got), "served deleted ids"
+        # drop: registry must not leak into a future same-name index
+        api.put_knn_index(spark, idx, field="embedding", n_cells=4)
+        api.delete_index(spark, idx)
+        assert (idx, "embedding") not in _KNN_INDEXES
+    finally:
+        api.delete_index(spark, idx)

@@ -99,6 +99,12 @@ def delete_index(spark: SparkSession, name: str) -> bool:
     n = normalize_index_name(name)
     existed = spark.catalog.tableExists(n)
     spark.sql(f"DROP TABLE IF EXISTS {n}")
+    if existed:
+        # ES removes a deleted index from every alias pointing at it
+        # (and an alias left with no targets disappears) — without
+        # this, multi-index alias views dangle and fail whole reads
+        # because ONE target died
+        _remove_index_from_aliases(spark, n)
     return existed
 
 
@@ -140,6 +146,49 @@ def list_indices(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 ALIAS_MARKER = "bdsp.alias"
+# the alias filter is baked into the view SQL; it is ALSO stored as a
+# property so delete_index can rebuild a multi-target alias minus a
+# dropped target without losing the filter
+ALIAS_FILTER_PROP = "bdsp.alias.filter"
+
+
+def _alias_prop(spark: SparkSession, view: str, prop: str) -> "str | None":
+    try:
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {view} ('{prop}')"
+        ).collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    v = rows[0]["value"]
+    if not v or "does not have property" in v:
+        return None
+    return v
+
+
+def _remove_index_from_aliases(spark: SparkSession, index: str) -> None:
+    """ES `DELETE /{index}` semantics for aliases: the index vanishes
+    from every alias's target list; a multi-target alias keeps serving
+    its remaining targets (same filter), an alias left empty is
+    dropped.  Catalog-sized work (one property probe per table)."""
+    for t in spark.catalog.listTables():
+        if t.isTemporary or t.name.startswith("."):
+            continue
+        v = _alias_prop(spark, t.name, ALIAS_MARKER)
+        if v is None:
+            continue
+        targets = v.split(",")
+        if index not in targets:
+            continue
+        remaining = [x for x in targets if x != index]
+        if not remaining:
+            spark.sql(f"DROP VIEW IF EXISTS {t.name}")
+        else:
+            add_alias(
+                spark, remaining, t.name,
+                filter_sql=_alias_prop(spark, t.name, ALIAS_FILTER_PROP),
+            )
 
 
 def add_alias(
@@ -190,9 +239,12 @@ def add_alias(
                 ) from None
     where = f" WHERE {filter_sql}" if filter_sql else ""
     body = " UNION ALL ".join(f"SELECT * FROM {t}{where}" for t in targets)
+    props = f"'{ALIAS_MARKER}' = '{','.join(targets)}'"
+    if filter_sql is not None:
+        fq = filter_sql.replace("'", "''")
+        props += f", '{ALIAS_FILTER_PROP}' = '{fq}'"
     spark.sql(
-        f"CREATE OR REPLACE VIEW {a} "
-        f"TBLPROPERTIES ('{ALIAS_MARKER}' = '{','.join(targets)}') AS {body}"
+        f"CREATE OR REPLACE VIEW {a} TBLPROPERTIES ({props}) AS {body}"
     )
     return a
 

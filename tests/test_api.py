@@ -1313,3 +1313,38 @@ def test_staged_rewrite_preserves_routed_layout(spark, docs):
             F.col("__shard") != F.col("__expect")).count() == 0
     finally:
         api.delete_index(spark, idx)
+
+
+def test_delete_index_updates_aliases(spark, docs):
+    """ES DELETE /{index} semantics for aliases: the dropped index
+    vanishes from every alias's targets — a multi-target alias keeps
+    serving its remaining targets WITH its filter, a single-target
+    alias disappears with the index."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    sfx = uuid.uuid4().hex[:8]
+    a, b = f"ali_a_{sfx}", f"ali_b_{sfx}"
+    solo, both = f"ali_solo_{sfx}", f"ali_both_{sfx}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "lang"), a,
+                           id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.select("doc_id", "lang"), b,
+                           id_col="doc_id")
+    try:
+        api.add_alias(spark, a, solo)
+        api.add_alias(spark, [a, b], both, filter_sql="lang = 'en'")
+        n_en = docs.filter("lang = 'en'").count()
+        assert api.get_index_data_count(spark, both) == 2 * n_en
+        api.delete_index(spark, a)
+        # solo alias died with its only target
+        assert not spark.catalog.tableExists(solo)
+        # multi alias survives on b alone, filter intact
+        assert api.get_index_data_count(spark, both) == n_en
+        edges = set(api.get_alias(spark))
+        assert (both, b) in edges and (both, a) not in edges
+        assert all(al != solo for al, _ in edges)
+    finally:
+        api.delete_index(spark, b)
+        for v in (solo, both):
+            spark.sql(f"DROP VIEW IF EXISTS {v}")

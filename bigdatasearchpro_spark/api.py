@@ -658,9 +658,14 @@ def scroll(
     needs a sort. Returns ``(page, next_scroll_id)``; pass the id back
     to get the next batch, ``next_scroll_id is None`` when exhausted.
 
-    ES's scroll pins a snapshot server-side; here the parquet snapshot
-    is immutable for the duration of the read, which is the same
-    guarantee. The cursor is the last ``id`` of the page — a KEYSET,
+    ES's scroll pins a snapshot server-side; here the parquet files
+    are immutable UNLESS a write endpoint (delete/update_by_query,
+    bulk_mixed, reindex) republishes the index mid-export — a later
+    page then reads the new content, like ``search_after`` rather
+    than ES scroll.  For a mutation-proof export, :func:`open_pit`
+    first and export the frozen :func:`pit_dataframe` — that pinned
+    snapshot is exactly what ES scroll holds server-side.
+    The cursor is the last ``id`` of the page — a KEYSET,
     not an offset, so page N costs the same as page 1 (the
     ``id > cursor`` predicate pushes to the scan and the page is a
     TakeOrdered of ``size``; nothing re-reads already-scrolled rows).

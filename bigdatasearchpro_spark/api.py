@@ -746,6 +746,11 @@ def reindex(
     from bigdatasearchpro_spark.operators.querystring import query_string_filter
 
     docs = spark.table(transform.normalize_index_name(source_index))
+    # a ROUTED source's __shard is a DERIVED partition column, not
+    # document payload — ES _reindex doesn't copy _routing either;
+    # leaking it would pollute the dest schema with stale shard ids
+    if "__shard" in docs.columns:
+        docs = docs.drop("__shard")
     if query:
         fields = (
             [text_col]
@@ -890,14 +895,27 @@ def force_merge(
 def snapshot_index(spark: SparkSession, index_name: str, repo_dir: str) -> dict:
     """ES ``_snapshot`` (create): back an index up into a repository
     directory as parquet — one distributed write, no per-doc loop.
-    Returns the snapshot manifest info."""
+    Routing is part of the snapshot, like ES snapshotting index
+    settings: the derived ``__shard`` column is NOT stored as data;
+    the routing spec goes into an underscore-prefixed manifest file
+    (Spark reads skip ``_*`` files) so restore can rebuild the routed
+    layout.  Returns the snapshot manifest info."""
+    import json as _json
     import os
 
     from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
 
     n = transform.normalize_index_name(index_name)
     path = os.path.join(repo_dir, n)
-    rows = bulk_index_parquet(spark.table(n), path, mode="overwrite")
+    df = spark.table(n)
+    meta = routing_meta(spark, index_name)
+    if "__shard" in df.columns:
+        df = df.drop("__shard")
+    rows = bulk_index_parquet(df, path, mode="overwrite")
+    if meta is not None:
+        with open(os.path.join(path, "_bdsp_routing.json"), "w",
+                  encoding="utf-8") as f:
+            _json.dump(meta, f)
     return {"index": n, "path": path, "rows": rows}
 
 
@@ -913,10 +931,27 @@ def restore_index(
 
     from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
 
+    import json as _json
+
     src = transform.normalize_index_name(index_name)
     dst = transform.normalize_index_name(rename_to or index_name)
-    df = spark.read.parquet(os.path.join(repo_dir, src))
-    rows = bulk_index_table(df, dst)
+    path = os.path.join(repo_dir, src)
+    df = spark.read.parquet(path)
+    if "__shard" in df.columns:  # pre-manifest snapshots of routed indices
+        df = df.drop("__shard")
+    mpath = os.path.join(path, "_bdsp_routing.json")
+    meta = None
+    if os.path.exists(mpath):
+        with open(mpath, encoding="utf-8") as f:
+            meta = _json.load(f)
+    if meta is not None:
+        # rebuild the routed layout (partitioned write + routing
+        # property), like ES restoring index settings with the data
+        rows = bulk_index_table(
+            df, dst, routing_col=meta["col"], n_shards=int(meta["shards"])
+        )
+    else:
+        rows = bulk_index_table(df, dst)
     return {"index": dst, "rows": rows}
 
 

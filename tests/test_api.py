@@ -1348,3 +1348,51 @@ def test_delete_index_updates_aliases(spark, docs):
         api.delete_index(spark, b)
         for v in (solo, both):
             spark.sql(f"DROP VIEW IF EXISTS {v}")
+
+
+def test_routed_index_copies_dont_leak_shard_column(spark, docs):
+    """__shard is a DERIVED partition column, never document payload:
+    reindex from a routed source must not copy it into the dest, and
+    snapshot/restore must carry the ROUTING SPEC (rebuilt layout +
+    property on restore) rather than stale shard ids as data."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+
+    sfx = uuid.uuid4().hex[:8]
+    src, dest, rest = f"rt_src_{sfx}", f"rt_dest_{sfx}", f"rt_rest_{sfx}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "lang", "source"),
+                           src, id_col="doc_id",
+                           routing_col="lang", n_shards=4)
+    repo = f"/tmp/bdsp_snap_{sfx}"
+    try:
+        # reindex: dest is a plain index, no __shard in its schema
+        api.reindex(spark, src, dest, id_col="doc_id")
+        assert "__shard" not in spark.table(dest).columns
+        assert api.routing_meta(spark, dest) is None
+
+        # snapshot + restore: routing spec travels, layout rebuilt
+        api.snapshot_index(spark, src, repo)
+        api.restore_index(spark, repo, src, rename_to=rest)
+        assert api.routing_meta(spark, rest) == {"col": "lang", "shards": 4}
+        t = spark.table(rest)
+        assert "__shard" in t.columns
+        bad = t.withColumn(
+            "__expect", F.pmod(F.xxhash64(F.col("lang")), F.lit(4)))
+        assert bad.filter(
+            F.col("__shard") != F.col("__expect")).count() == 0
+        # content identical to the source
+        assert (t.select("doc_id").sort("doc_id").collect()
+                == spark.table(src).select("doc_id").sort("doc_id").collect())
+        # and the restored routed scan partition-prunes
+        from bigdatasearchpro_spark.plans.inspect import partition_filters
+        routed = api.apply_routing(spark, rest, t, routing="en")
+        assert [f for f in partition_filters(routed) if "__shard" in f]
+    finally:
+        import shutil
+        for ix in (src, dest, rest):
+            api.delete_index(spark, ix)
+        shutil.rmtree(repo, ignore_errors=True)

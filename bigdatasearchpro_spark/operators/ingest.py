@@ -17,7 +17,10 @@ types raise at PUT time, like ES's processor validation):
 - ``{"rename":    {"field": f, "target_field": g}}``
 - ``{"remove":    {"field": f}}``
 - ``{"lowercase"| "uppercase" | "trim": {"field": f}}``
-- ``{"convert":   {"field": f, "type": "integer|long|double|string"}}``
+- ``{"convert":   {"field": f, "type": "integer|long|double|string",
+                   "ignore_failure": bool}}``          — strict cast by
+  default (ANSI: malformed input raises); ``ignore_failure`` maps to
+  ``try_cast`` (malformed -> NULL, the ES ignore_failure semantics)
 - ``{"gsub":      {"field": f, "pattern": p, "replacement": r}}``
 - ``{"split":     {"field": f, "separator": regex}}``
 - ``{"script":    {"source": painless-subset, "params": ...,
@@ -151,7 +154,16 @@ def apply_pipeline(df: DataFrame, processors: "list[dict]") -> DataFrame:
         elif kind == "convert":
             t = {"integer": "int", "long": "bigint",
                  "double": "double", "string": "string"}[body["type"]]
-            df = df.withColumn(body["field"], F.col(body["field"]).cast(t))
+            c = F.col(body["field"])
+            # ES convert fails the DOCUMENT on malformed input unless
+            # ignore_failure — under ANSI a plain cast instead aborts
+            # the whole distributed job on the first bad row, so
+            # ignore_failure maps to try_cast (malformed -> NULL);
+            # the default stays strict, like ES
+            df = df.withColumn(
+                body["field"],
+                c.try_cast(t) if body.get("ignore_failure") else c.cast(t),
+            )
         elif kind == "gsub":
             df = df.withColumn(
                 body["field"],

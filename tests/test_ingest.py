@@ -461,3 +461,22 @@ def test_grok_empty_optional_capture_is_null_not_crash(spark):
     out = {r["request"]: (r["response"], r["bytes"]) for r in df.select(
         *[c.alias(k) for k, c in cols.items()]).collect()}
     assert out == {"/a": (200, 2326), "/b": (304, None)}
+
+
+def test_convert_ignore_failure_try_casts(spark):
+    """ES convert: strict by default (under ANSI a malformed value
+    raises), ignore_failure -> try_cast (malformed becomes NULL
+    instead of aborting the distributed job on one bad row)."""
+    import pytest as pt
+
+    from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame([("1",), ("oops",), ("3",)], "v string")
+    strict = apply_pipeline(
+        df, [{"convert": {"field": "v", "type": "integer"}}])
+    with pt.raises(Exception, match="CAST_INVALID_INPUT"):
+        strict.collect()
+    lax = apply_pipeline(
+        df, [{"convert": {"field": "v", "type": "integer",
+                          "ignore_failure": True}}])
+    assert [r["v"] for r in lax.sort("v").collect()] == [None, 1, 3]

@@ -1180,13 +1180,14 @@ def bulk_mixed(
     new_state, items = apply_bulk_actions(
         base, casted, id_col=id_col, seq_col=seq_col, op_col=op_col
     )
-    # items must survive the source table's drop+rename: materialize
-    rows = items.collect()
+    # items must survive the source table's drop+rename (their lineage
+    # reads the pre-swap table): eager localCheckpoint materializes
+    # the response DISTRIBUTED, in executor block storage — a driver
+    # collect here would be the classic bounded-response trap, OOMing
+    # on a large action batch that the fold itself handles fine
+    items = items.localCheckpoint(eager=True)
     _staged_rewrite(spark, n, new_state)
-    return spark.createDataFrame(
-        rows, "seq bigint, " + f"{id_col} {dtypes[id_col]}, "
-        "op string, result string"
-    )
+    return items
 
 
 def cat_indices(spark: SparkSession) -> DataFrame:

@@ -830,3 +830,32 @@ def test_grok_compile_roundtrip_property(word, n, level, tail):
     assert m.group(3) == level
     assert m.group(4) == tail
     assert [f for f, _ in fields] == ["w", "n", "lvl", "rest"]
+
+
+def test_query_string_parser_is_total_property():
+    """The FULL query_string parser (which, like ES, rejects malformed
+    syntax) must be TOTAL: arbitrary byte soup either parses to an AST
+    or raises ValueError — never an IndexError / KeyError /
+    RecursionError escaping from the recursive-descent internals."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatasearchpro_spark.operators.querystring import (
+        parse_query_string,
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(
+        st.sampled_from(
+            list('ab c:"()[]{}~^*?|&!+-\\/<>=.19\t')
+            + ["AND ", " OR ", "NOT ", " TO "]
+        ),
+        max_size=30,
+    ))
+    def check(q):
+        try:
+            node = parse_query_string("".join(q))
+        except ValueError:
+            return
+        assert node is not None
+
+    check()

@@ -148,13 +148,40 @@ def bulk_index_table(
             .option("parquet.enable.dictionary", "false")
             .partitionBy("__shard")
         )
-    writer.saveAsTable(normalize_index_name(name))
+    # a bulk of DOCUMENTS into an existing index must not erase its
+    # mappings/settings (ES never touches them on document writes) —
+    # but saveAsTable overwrite drops + recreates the table, losing
+    # every property.  Capture the data-independent ones (per-field
+    # analyzers, the shards setting) and re-apply after the write;
+    # bdsp.routing is NOT preserved — it describes the physical layout
+    # this very write determines.
+    from bigdatasearchpro_spark.sinks.ddl import (
+        ANALYZER_PROP_PREFIX,
+        is_index_table,
+        mark_index_table,
+    )
+
+    spark = df.sparkSession
+    nn = normalize_index_name(name)
+    keep: "dict[str, str]" = {}
+    # tableExists first: probing properties of a not-yet-existing
+    # target would throw (caught) but still log an ERROR through the
+    # execution-listener bus on every fresh bulk
+    if (mode == "overwrite" and spark.catalog.tableExists(nn)
+            and is_index_table(spark, nn)):
+        for r in spark.sql(f"SHOW TBLPROPERTIES {nn}").collect():
+            if r["key"].startswith(ANALYZER_PROP_PREFIX) or r["key"] == "shards":
+                keep[r["key"]] = r["value"]
+    writer.saveAsTable(nn)
     # stamp the table as an index so list_indices / `_all` search see it
     # (the catalog also holds non-index tables and temp views, which ES
     # would never list — sinks/ddl.py INDEX_MARKER)
-    from bigdatasearchpro_spark.sinks.ddl import mark_index_table
-
-    mark_index_table(df.sparkSession, name)
+    mark_index_table(spark, name)
+    for k, v in keep.items():
+        kq, vq = k.replace("'", "''"), v.replace("'", "''")
+        spark.sql(
+            f"ALTER TABLE {nn} SET TBLPROPERTIES ('{kq}' = '{vq}')"
+        )
     if routing_col is not None:
         import json as _json
 

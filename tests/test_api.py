@@ -1396,3 +1396,37 @@ def test_routed_index_copies_dont_leak_shard_column(spark, docs):
         for ix in (src, dest, rest):
             api.delete_index(spark, ix)
         shutil.rmtree(repo, ignore_errors=True)
+
+
+def test_rebulk_preserves_mappings_and_settings(spark, docs):
+    """Bulk-indexing DOCUMENTS into an existing index must not erase
+    its mappings/settings (ES never touches them on document writes):
+    put_mapping analyzers and the shards setting survive a re-bulk;
+    bdsp.routing is NOT preserved — it describes the physical layout
+    each write determines."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    idx = f"remap_{uuid.uuid4().hex[:8]}"
+    d = docs.select("doc_id", "lang", "text")
+    api.bulk_data_to_index(spark, d, idx, id_col="doc_id")
+    try:
+        api.put_mapping(spark, idx, {"text": "english"})
+        spark.sql(f"ALTER TABLE {idx} SET TBLPROPERTIES ('shards'='3')")
+        api.bulk_data_to_index(spark, d, idx, id_col="doc_id")
+        props = {r["key"]: r["value"] for r in
+                 spark.sql(f"SHOW TBLPROPERTIES {idx}").collect()}
+        assert props.get("bdsp.analyzer.text") == "english"
+        assert props.get("shards") == "3"
+        # a routed re-bulk sets its own routing; a flat re-bulk clears it
+        api.bulk_data_to_index(spark, d, idx, id_col="doc_id",
+                               routing_col="lang", n_shards=4)
+        assert api.routing_meta(spark, idx) == {"col": "lang", "shards": 4}
+        assert spark.sql(
+            f"SHOW TBLPROPERTIES {idx} ('bdsp.analyzer.text')"
+        ).first()["value"] == "english"
+        api.bulk_data_to_index(spark, d, idx, id_col="doc_id")
+        assert api.routing_meta(spark, idx) is None
+    finally:
+        api.delete_index(spark, idx)

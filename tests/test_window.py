@@ -36,3 +36,18 @@ def test_front_list_entries_exist_and_lead():
     assert q[: len(front)] == front
     # every front name must resolve (no dead picks)
     assert set(entry.FRONT) <= set(q)
+
+
+def test_entry_contract_integrity():
+    """Driver-contract sanity: every oracle_sql key names a queries()
+    entry (an orphan oracle is silently never checked), every entry is
+    callable, and names are clean identifiers."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    orphans = set(o) - set(q)
+    assert not orphans, f"oracle_sql keys with no queries() entry: {orphans}"
+    assert all(callable(f) for f in q.values())
+    assert all(k and k.strip() == k and " " not in k for k in q)
+    assert all(isinstance(s, str) and s.strip() for s in o.values())

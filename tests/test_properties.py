@@ -859,3 +859,29 @@ def test_query_string_parser_is_total_property():
         assert node is not None
 
     check()
+
+
+def test_script_compiler_is_total_property():
+    """The Painless-subset compiler must be TOTAL: arbitrary token
+    soup either compiles to an AST or raises ValueError — no internal
+    IndexError / RecursionError escapes the recursive descent."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatasearchpro_spark.operators.scripting import Script
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(
+        st.sampled_from([
+            "1", "2.5", "+", "-", "*", "/", "(", ")", " ",
+            "doc['a'].value", "params.p", "_score",
+            "Math.floor(", "Math.abs(", "doc['", "'].value", ".",
+        ]),
+        max_size=25,
+    ))
+    def check(parts):
+        try:
+            Script("".join(parts))
+        except ValueError:
+            return
+
+    check()

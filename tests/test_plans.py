@@ -783,3 +783,19 @@ def test_ingest_processor_entries_are_pure_projections(spark, sf_dir):
         assert "Join" not in plan and "HashAggregate" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_eql_entries_plan_entity_keyed_joins(spark, sf_dir):
+    """EQL's scale claim (operators/eql.py): every chain extension and
+    every anti-join (until / missing-event gaps) is an ENTITY-KEYED
+    equi-join with a banded time predicate — the J3 range-join shape,
+    never a cartesian / nested-loop fallback."""
+    from bigdatasearchpro_spark.registry import QUERIES
+
+    for name in ("l3_eql_sequence", "l3_eql_until"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -885,3 +885,28 @@ def test_script_compiler_is_total_property():
             return
 
     check()
+
+
+def test_dissect_compiler_is_total_property():
+    """compile_dissect on arbitrary template soup either compiles or
+    raises ValueError — no internal exception class escapes."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatasearchpro_spark.operators.grok import compile_dissect
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(
+        st.sampled_from([
+            "%{a}", "%{}", "%{?skip}", "%{+a}", "%{b->}", "%{+}",
+            " ", "-", "[", "]", "%{", "}", "x", "%{a", "->",
+        ]),
+        max_size=15,
+    ))
+    def check(parts):
+        try:
+            regex, fields = compile_dissect("".join(parts))
+        except ValueError:
+            return
+        assert fields
+
+    check()

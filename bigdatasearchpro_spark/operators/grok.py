@@ -177,7 +177,17 @@ def compile_grok(
     if not fields:
         raise ValueError("grok expression extracts no fields "
                          "(no %{PATTERN:field} tokens)")
-    return "".join(out), fields
+    combined = "".join(out)
+    # PUT-time validation, like ES grok: a malformed literal segment
+    # (unbalanced paren, bad class) must fail HERE with a ValueError,
+    # not at read time as a raw engine exception inside a running
+    # ingest.  Python re accepts the whole RE2-safe subset this
+    # compiler emits, so it is a sound syntax gate for it.
+    try:
+        re.compile(combined)
+    except re.error as e:
+        raise ValueError(f"grok pattern does not compile: {e}") from None
+    return combined, fields
 
 
 _DISSECT_KEY_RE = re.compile(r"%\{([^}]*)\}")

@@ -910,3 +910,34 @@ def test_dissect_compiler_is_total_property():
         assert fields
 
     check()
+
+
+def test_grok_compiler_is_total_property():
+    """compile_grok on arbitrary expression soup — unknown patterns,
+    unbalanced %{, self-referential definitions, broken literal regex
+    — either compiles to a VALID regex or raises ValueError (PUT-time
+    validation, like ES grok)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatasearchpro_spark.operators.grok import compile_grok
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(
+        st.sampled_from([
+            "%{WORD:w}", "%{IP}", "%{NOPE:x}", "%{", "}", ":", " ",
+            "(", ")", "[", "\\", "%{SELF:s}", "a", "%{WORD", "*",
+        ]),
+        max_size=12,
+    ))
+    def check(parts):
+        import re as _re
+
+        try:
+            regex, fields = compile_grok(
+                "".join(parts), {"SELF": "%{SELF}"})
+        except ValueError:
+            return
+        assert fields
+        _re.compile(regex)  # must never raise past compile_grok
+
+    check()

@@ -374,8 +374,16 @@ def stage_time_sliced_replay(
         stage = f"{stage_root}/__slice={i}"
         if not os.path.isdir(stage):  # empty slice (heavy ts ties): no batch
             continue
-        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-        shutil.copy(f"{stage}/{part}", f"{src_dir}/slice_{i}.parquet")
+        # copy EVERY part file: repartition("__slice") sends a slice to
+        # one task, but AQE splits oversized shuffle partitions, so a
+        # big slice writes SEVERAL parts — taking only the first
+        # silently dropped the rest (invisible at test SF, a data-loss
+        # bug at sf1+).  Files within a slice share a mod-time bucket;
+        # the per-slice sleep keeps INTER-slice replay order, which is
+        # the ordering the stateful tests rely on.
+        parts = sorted(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        for k, part in enumerate(parts):
+            shutil.copy(f"{stage}/{part}", f"{src_dir}/slice_{i}_{k}.parquet")
         _time.sleep(0.1)  # distinct mod-times -> deterministic replay order
 
 

@@ -108,11 +108,29 @@ def geo_bounding_box(
 
 def _box_deltas(lat: float, distance_m: float) -> tuple[float, float]:
     """Degree half-sides of a box guaranteed to contain the
-    ``distance_m`` circle around latitude ``lat`` (with 1% slack so the
-    box never excludes a true haversine match near the edges)."""
-    dlat = distance_m / _M_PER_DEG * 1.01
-    coslat = max(math.cos(math.radians(lat)), 1e-6)
-    dlon = min(distance_m / (_M_PER_DEG * coslat) * 1.01, 180.0)
+    ``distance_m`` circle around latitude ``lat``.
+
+    The latitude half-side is the meridian arc r/R.  The LONGITUDE
+    half-side is NOT r/(deg·cos(lat)) — that is the circle's lon span
+    at the center latitude only; meridians converge away from the
+    equator, so the circle bulges wider in longitude at its
+    poleward-side latitudes.  The exact bound (the standard bounding-
+    coordinates construction) is asin(sin(r/R)/cos(lat)); using the
+    naive formula clipped true matches near the circle's E/W extremes
+    once the radius got large (the st11 sf1 regression: 49 events at
+    1.98-2.0 Mm of a 2 Mm Paris fence, invisible on the sparse sf0.01
+    grid).  A circle reaching a pole spans every longitude.  1% slack
+    keeps float edges safely inside."""
+    ang = distance_m / EARTH_RADIUS_M  # central angle, radians
+    dlat = math.degrees(ang) * 1.01
+    if abs(lat) + math.degrees(ang) >= 89.99:
+        return dlat, 180.0  # circle reaches a pole: all longitudes
+    s = math.sin(min(ang, math.pi / 2)) / max(
+        math.cos(math.radians(lat)), 1e-9
+    )
+    if s >= 1.0:
+        return dlat, 180.0
+    dlon = min(math.degrees(math.asin(s)) * 1.01, 180.0)
     return dlat, dlon
 
 

@@ -369,3 +369,33 @@ def test_envelope_relations(spark):
 
     with pt.raises(ValueError, match="relation"):
         envelope_relation(*cols, q, "crosses")
+
+
+def test_geo_box_prefilter_never_clips_true_matches(spark):
+    """The bounding-box prefilter must CONTAIN the distance circle:
+    points just inside the radius at every bearing survive with and
+    without the prefilter.  The naive dlon = r/(deg*cos(lat)) clipped
+    the circle's E/W extremes at poleward latitudes for large radii
+    (st11 sf1 regression) — the exact bound is asin(sin(r/R)/cos(lat))."""
+    import math
+
+    from bigdatasearchpro_spark.operators.geo import geo_distance_filter
+
+    R = 6371000.0
+    lat0, lon0, radius = math.radians(48.85), math.radians(2.35), 2_000_000
+    ang = (radius * 0.995) / R
+    rows = []
+    for b in range(0, 360, 5):  # destination point at every bearing
+        br = math.radians(b)
+        lat = math.asin(math.sin(lat0) * math.cos(ang)
+                        + math.cos(lat0) * math.sin(ang) * math.cos(br))
+        lon = lon0 + math.atan2(
+            math.sin(br) * math.sin(ang) * math.cos(lat0),
+            math.cos(ang) - math.sin(lat0) * math.sin(lat))
+        rows.append((b, math.degrees(lat), math.degrees(lon)))
+    df = spark.createDataFrame(rows, "b int, lat double, lon double")
+    kw = dict(lat=48.85, lon=2.35, distance_m=radius)
+    n_pf = geo_distance_filter(df, "lat", "lon", **kw).count()
+    n_raw = geo_distance_filter(df, "lat", "lon",
+                                prefilter=False, **kw).count()
+    assert n_pf == n_raw == len(rows)

@@ -709,10 +709,14 @@ def dsir_log_weights(
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.round(
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0: a doc whose
+            # rounded weight is negative zero would stringify as
+            # '-0.0' on one engine and '0.0' on the other under a
+            # hash comparator, even though the values are equal
+            (F.round(
                 F.col("__s") + F.col("n_tokens").cast("double") * offset,
                 round_to,
-            ).alias("log_w"),
+            ) + F.lit(0.0)).alias("log_w"),
         )
         .orderBy(id_col)
     )

@@ -794,7 +794,7 @@ def l5_gopher_rules(spark, sf_dir):
     SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
            round(sum(ln((dist.ct + 1)::DOUBLE) - ln((dist.cr + 1)::DOUBLE))
                  + count(*)::DOUBLE * (ln(tot.tr + 64) - ln(tot.tt + 64)),
-                 4) AS log_w
+                 4) + 0 AS log_w
     FROM tok JOIN dist USING (b) CROSS JOIN tot
     GROUP BY tok.doc_id, tot.tr, tot.tt
     ORDER BY tok.doc_id
@@ -870,7 +870,7 @@ def _pipeline_v4_oracle() -> str:
       SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
              round(sum(ln((dist.ct + 1)::DOUBLE) - ln((dist.cr + 1)::DOUBLE))
                    + count(*)::DOUBLE * (ln(tot.tr + 64) - ln(tot.tt + 64)),
-                   4) AS log_w
+                   4) + 0 AS log_w
       FROM tok JOIN dist USING (b) CROSS JOIN tot
       GROUP BY tok.doc_id, tot.tr, tot.tt
     ),

@@ -2261,11 +2261,13 @@ def l3_mapped_analyzer_search(spark, sf_dir):
     try:
         api.put_mapping(spark, idx, {"text": "english"})
         assert api.get_field_mapping(spark, idx) == {"text": "english"}
-        # k need only exceed the corpus (500/5000 docs at driver SFs):
-        # the page materializes <= k rows driver-side
+        # k sized FROM the corpus, never a fixture-size literal: a
+        # hardcoded page cap silently truncated the match set the
+        # first time the entry ran above the driver SFs (sf1: 31k
+        # matching docs vs a k=6000 assumption)
         hits = api.query_data(
-            spark, "Tables AND sorted", idx, k=6000, text_col="text",
-            highlight=False,
+            spark, "Tables AND sorted", idx, k=int(docs.count()),
+            text_col="text", highlight=False,
         )
         matched = (
             spark.table(idx)

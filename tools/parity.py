@@ -35,6 +35,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:  # -0.0 == 0.0 numerically; repr() differs
+            return "0.0"
         return repr(v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()

@@ -27,6 +27,7 @@ separators with non-greedy gaps.
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -118,9 +119,31 @@ def _expand(name: str, defs: dict[str, str], depth: int = 0) -> str:
 
 
 def _decapture(literal: str) -> str:
-    """Turn bare user capture groups in the literal regex segments into
-    non-capturing ones so %{...:field} group numbering stays stable."""
-    return re.sub(r"(?<!\\)\((?!\?)", "(?:", literal)
+    """Turn bare user capture groups into non-capturing ones so
+    %{...:field} group numbering stays stable.  Character-class aware:
+    a ``(`` inside ``[...]`` is a literal, not a group, and must NOT be
+    rewritten (rewriting it would inject ``?:`` into the class)."""
+    out: list[str] = []
+    in_class = False
+    i, n = 0, len(literal)
+    while i < n:
+        c = literal[i]
+        if c == "\\" and i + 1 < n:
+            out.append(literal[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and not literal.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def compile_grok(
@@ -135,10 +158,17 @@ def compile_grok(
     ``%{COMBINEDAPACHELOG}`` introduces every field it defines, like
     ES grok.  A NAMED reference to a composite (``%{COMMONAPACHELOG:
     line}``) captures the whole match and drops the inner names (the
-    flat group-numbering contract)."""
+    flat group-numbering contract).
+
+    User ``pattern_definitions`` bodies are de-captured on entry: a
+    bare ``(foo|bar)`` in a dictionary value would otherwise shift the
+    flat group numbering so every LATER field extracts the wrong group
+    (the ADVICE r8 finding) — the built-in dictionary keeps the same
+    invariant by construction (all groups non-capturing)."""
     defs = dict(GROK_PATTERNS)
     if pattern_definitions:
-        defs.update(pattern_definitions)
+        defs.update({k: _decapture(v)
+                     for k, v in pattern_definitions.items()})
 
     # textual pre-expansion: bare references whose bodies define named
     # tokens inline their bodies (recursively, bounded depth)
@@ -182,11 +212,18 @@ def compile_grok(
     # (unbalanced paren, bad class) must fail HERE with a ValueError,
     # not at read time as a raw engine exception inside a running
     # ingest.  Python re accepts the whole RE2-safe subset this
-    # compiler emits, so it is a sound syntax gate for it.
-    try:
-        re.compile(combined)
-    except re.error as e:
-        raise ValueError(f"grok pattern does not compile: {e}") from None
+    # compiler emits, so it is a sound syntax gate for it.  A
+    # FutureWarning ("Possible nested set", a bare '[' inside a class)
+    # is ALSO rejected: Java regex — where this pattern actually runs,
+    # via rlike/regexp_extract — treats '[[' as a class union, so the
+    # two engines would diverge on exactly those inputs.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        try:
+            re.compile(combined)
+        except (re.error, FutureWarning) as e:
+            raise ValueError(
+                f"grok pattern does not compile: {e}") from None
     return combined, fields
 
 

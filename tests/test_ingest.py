@@ -309,6 +309,42 @@ def test_grok_validation_rejects_unknowns():
     assert regex.startswith("(?:")
 
 
+def test_grok_pattern_definitions_decapture():
+    """Bare capture groups in user pattern_definitions bodies must be
+    de-captured (ADVICE r8): with a capturing '(foo|bar)' body, every
+    LATER field would extract the wrong group."""
+    import re
+
+    from bigdatasearchpro_spark.operators.grok import compile_grok
+
+    pat, fields = compile_grok("%{MY:x} %{WORD:y}", {"MY": "(foo|bar)"})
+    assert [f for f, _ in fields] == ["x", "y"]
+    m = re.match(pat, "foo hello")
+    assert m and m.groups() == ("foo", "hello")
+    # '(' inside a character class is a literal, not a group — the
+    # decapture must NOT rewrite it (that would inject '?:' into the
+    # class and change what it matches)
+    pat2, _ = compile_grok("%{P:a}=%{WORD:b}", {"P": "[()x]+"})
+    m2 = re.match(pat2, "(x(=w")
+    assert m2 and m2.groups() == ("(x(", "w")
+
+
+def test_grok_rejects_nested_set():
+    """A bare '[' inside a character class compiles differently on
+    Java (class union) vs Python (literal, with a FutureWarning) — the
+    PUT-time gate must reject it, warning-free."""
+    import warnings
+
+    import pytest as pt
+
+    from bigdatasearchpro_spark.operators.grok import compile_grok
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        with pt.raises(ValueError, match="does not compile"):
+            compile_grok("[[ab] %{WORD:w}")
+
+
 def test_dissect_positional_parse(spark):
     from bigdatasearchpro_spark.operators.ingest import apply_pipeline
 

@@ -1680,6 +1680,17 @@ def _invalidate_knn_indexes(index_name: str) -> None:
         _shutil.rmtree(built["path"], ignore_errors=True)
 
 
+# EVERY bulk_index_table content write invalidates the target's
+# materialized ANN layouts — bulk overwrite, reindex dest, snapshot
+# restore, transform dest, and resize all replace index content, and
+# per-call-site invalidation covered only staged rewrites + delete
+# (ADVICE r8: ann search served deleted vectors after a re-bulk).
+from bigdatasearchpro_spark.sinks.bulk import ON_CONTENT_WRITE  # noqa: E402
+
+if _invalidate_knn_indexes not in ON_CONTENT_WRITE:
+    ON_CONTENT_WRITE.append(_invalidate_knn_indexes)
+
+
 def put_knn_index(
     spark: SparkSession,
     index_name: str,

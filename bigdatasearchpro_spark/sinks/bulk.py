@@ -22,9 +22,20 @@ path, no external cluster needed.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
 from bigdatasearchpro_spark.operators.transform import normalize_index_name
+
+# Observers fired after bulk_index_table replaces/extends an index's
+# content, with the NORMALIZED index name.  api.py registers the
+# materialized-ANN-layout invalidator here so EVERY content write path
+# (bulk, reindex, restore, transform dest, resize) drops stale IVF
+# layouts — per-call-site invalidation missed four of those five
+# (the ADVICE r8 finding: ann search served deleted vectors after a
+# re-bulk).  sinks/ must not import api (cycle), hence the hook.
+ON_CONTENT_WRITE: "list[Callable[[str], None]]" = []
 
 
 def bulk_index_parquet(
@@ -192,6 +203,8 @@ def bulk_index_table(
             f"ALTER TABLE {normalize_index_name(name)} SET TBLPROPERTIES "
             f"('bdsp.routing' = '{meta}')"
         )
+    for hook in ON_CONTENT_WRITE:
+        hook(nn)
     return int(obs.get["rows_written"])
 
 

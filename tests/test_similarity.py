@@ -875,3 +875,44 @@ def test_knn_index_invalidated_on_content_change(spark):
         assert (idx, "embedding") not in _KNN_INDEXES
     finally:
         api.delete_index(spark, idx)
+
+
+def test_knn_index_invalidated_on_rebulk(spark):
+    """ADVICE r8: bulk_data_to_index (and every other
+    bulk_index_table caller — reindex, restore, transform, resize)
+    replaces index content, so it must drop the materialized ANN
+    layout too, not just staged rewrites/deletes.  put_knn_index →
+    re-bulk with half the vectors → ann search must not return a
+    dropped id."""
+    import uuid
+
+    import numpy as np
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.api import _KNN_INDEXES
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(200)
+    ]
+    idx = f"knn_rebulk_{uuid.uuid4().hex[:8]}"
+    schema = "vec_id long, embedding array<float>"
+    try:
+        bulk_index_table(spark.createDataFrame(rows, schema), idx)
+        api.put_knn_index(spark, idx, field="embedding", n_cells=4)
+        assert (idx, "embedding") in _KNN_INDEXES
+        # re-bulk keeps only even ids — content replaced wholesale
+        # (same write path as reindex/restore/transform/resize dest)
+        bulk_index_table(
+            spark.createDataFrame([r for r in rows if r[0] % 2 == 0],
+                                  schema),
+            idx)
+        assert (idx, "embedding") not in _KNN_INDEXES, \
+            "stale ANN layout survived re-bulk"
+        got = [r["vec_id"] for r in api.knn_search(
+            spark, idx, rows[1][1], k=50, mode="ann",
+            num_candidates=100).collect()]
+        assert got and all(v % 2 == 0 for v in got), "served dropped ids"
+    finally:
+        api.delete_index(spark, idx)

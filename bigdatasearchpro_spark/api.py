@@ -981,6 +981,13 @@ def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
         if not r["key"].startswith("transient")
     }
     staged = f"{index}__bq_{uuid.uuid4().hex[:8]}"
+    # `routed` marks that THIS write applied partitionBy('__shard') —
+    # the MSCK below keys off it, NOT off `'__shard' in df.columns`:
+    # an input frame may carry a (stale) __shard column while the
+    # routed branch doesn't fire (no bdsp.routing property, or the
+    # routing column absent), and MSCK on a non-partitioned table
+    # throws AFTER the swap already happened (ADVICE r8).
+    routed = False
     writer = None
     if "bdsp.routing" in props:
         meta = _json.loads(props["bdsp.routing"])
@@ -991,6 +998,7 @@ def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
                        F.lit(int(meta["shards"]))),
             )
             writer = df.write.mode("errorifexists").partitionBy("__shard")
+            routed = True
     if writer is None:
         writer = df.write.mode("errorifexists")
     writer.saveAsTable(staged)
@@ -1011,7 +1019,7 @@ def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
             f"complete rewritten copy is staged as {staged!r} — rename it "
             f"back manually (ALTER TABLE {staged} RENAME TO {index})"
         ) from e
-    if "__shard" in df.columns:
+    if routed:
         # the rename moved the managed table's directory but the
         # catalog's partition entries still point at the staged path —
         # without recovery a partitioned table reads EMPTY
@@ -1774,20 +1782,29 @@ def sql_query(
         msg = str(getattr(e, "java_exception", e)).splitlines()[0]
         raise ValueError(f"_sql could not parse statement: {msg}") from None
     jvm = spark.sparkContext._jvm
+    gate_classes = []
     for cmd_cls in (
         "org.apache.spark.sql.catalyst.plans.logical.Command",
         "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
     ):
         try:
-            if jvm.java.lang.Class.forName(cmd_cls).isInstance(jplan):
-                raise ValueError(
-                    "_sql is read-only (use the typed endpoints); got "
-                    f"{jplan.getClass().getSimpleName()}"
-                )
-        except ValueError:
-            raise
-        except Exception:  # class absent in this Spark build: skip
+            gate_classes.append(jvm.java.lang.Class.forName(cmd_cls))
+        except Exception:  # class absent in this Spark build
             continue
+    if not gate_classes:
+        # FAIL CLOSED (ADVICE r8): with neither marker class loadable
+        # the guard can't classify the plan — refusing beats silently
+        # executing arbitrary DDL/DML through a "read-only" endpoint.
+        raise RuntimeError(
+            "_sql read-only gate unavailable: neither Command nor "
+            "ParsedStatement resolves in this Spark build; refusing "
+            "to execute (update the gate for this Spark version)")
+    for cls in gate_classes:
+        if cls.isInstance(jplan):
+            raise ValueError(
+                "_sql is read-only (use the typed endpoints); got "
+                f"{jplan.getClass().getSimpleName()}"
+            )
     out = spark.sql(query)
     if fetch_size is not None:
         if fetch_size <= 0:

@@ -293,7 +293,11 @@ def apply_bulk_actions(
     if bad:
         raise ValueError(f"action columns not in index schema: {bad}")
     ops_ok = F.col(op_col).isin("index", "create", "update", "delete")
-    if actions.filter(~ops_ok).limit(1).count():
+    # NULL ops must be rejected HERE: `~NULL` is NULL under three-valued
+    # logic, so a plain `filter(~ops_ok)` silently drops them from the
+    # check and they'd fall through the fold's status chain to its
+    # `.otherwise('deleted')` — a no-op action reported as deleted.
+    if actions.filter(F.col(op_col).isNull() | ~ops_ok).limit(1).count():
         raise ValueError("op must be one of index/create/update/delete")
 
     a = actions

@@ -1315,6 +1315,35 @@ def test_staged_rewrite_preserves_routed_layout(spark, docs):
         api.delete_index(spark, idx)
 
 
+def test_staged_rewrite_nonrouted_with_shard_column(spark, docs):
+    """A NON-routed index whose document payload happens to carry a
+    '__shard' column (stale restored data, or a user column with that
+    name) must rewrite cleanly: the MSCK recovery is gated on the
+    write actually being partitioned, not on column presence — the
+    old column-presence gate ran MSCK REPAIR on a non-partitioned
+    table and threw AFTER the swap (ADVICE r8)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+
+    idx = f"shardcol_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(
+        spark,
+        docs.select("doc_id", "lang").withColumn(
+            "__shard", (F.col("doc_id").cast("long") % 3).cast("string")),
+        idx, id_col="doc_id")  # NO routing_col: flat layout
+    try:
+        assert api.routing_meta(spark, idx) is None
+        before = api.get_index_data_count(spark, idx)
+        out = api.delete_by_query(spark, idx, "lang:de", text_col="lang")
+        assert out["deleted"] > 0
+        assert api.get_index_data_count(spark, idx) == before - out["deleted"]
+    finally:
+        api.delete_index(spark, idx)
+
+
 def test_delete_index_updates_aliases(spark, docs):
     """ES DELETE /{index} semantics for aliases: the dropped index
     vanishes from every alias's targets — a multi-target alias keeps

@@ -273,6 +273,14 @@ def test_apply_bulk_actions_validation_and_broadcast(spark):
             spark.createDataFrame([(1, "upsert", "a", "y")],
                                   "seq long, op string, _id string, v string"),
         )
+    # a NULL op must be rejected too — three-valued logic would slip it
+    # past `~ops_ok` and the fold would report the no-op as 'deleted'
+    with pt.raises(ValueError, match="op must be one of"):
+        apply_bulk_actions(
+            base,
+            spark.createDataFrame([(1, None, "a", "y")],
+                                  "seq long, op string, _id string, v string"),
+        )
     # the untouched-rows path must be a broadcast anti-join (the base
     # table never shuffles at 100 TB)
     state, _ = apply_bulk_actions(

@@ -1561,51 +1561,25 @@ def explain_doc(
     """ES ``_explain`` — WHY does this document match (or not), with
     the per-term score breakdown: for each analyzed query term, the
     doc's tf, the corpus df/idf, and the term's BM25 contribution.
-    Corpus stats come from the same single-scan projection the search
-    path uses; the target doc's row is one filter. Returns the
-    ES-shaped ``{"matched": bool, "value": score, "details": [...]}``."""
-    import math
-
-    from pyspark.sql import functions as F
-
+    Thin ES-response adapter over :func:`operators.search.explain_score`
+    (the single home of the breakdown math, oracle-verified by the
+    ``l3_explain_score`` registry entry). Returns the ES-shaped
+    ``{"matched": bool, "value": score, "details": [...]}``."""
     docs = spark.table(transform.normalize_index_name(index_name))
-    terms = search.analyze_query(query)
-    if not terms:
+    if not search.analyze_query(query):
         return {"matched": False, "value": 0.0, "details": []}
-    per_doc = search.bm25_per_doc(docs, terms, id_col=id_col, text_col=text_col)
-    per_doc.persist()
-    try:
-        stats = per_doc.agg(
-            F.count("*").alias("n"),
-            F.avg("dl").alias("avgdl"),
-            *[
-                F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
-                for i in range(len(terms))
-            ],
-        ).first()
-        row = per_doc.filter(F.col(id_col) == doc_id).first()
-    finally:
-        per_doc.unpersist()
-    if row is None:
+    rows = search.explain_score(
+        docs, query, doc_id, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, round_to=6, keep_nonmatching=True,
+    ).collect()
+    if not rows:
         raise ValueError(f"doc {doc_id!r} not found in {index_name!r}")
-    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"] or 0.0)
-    details, total = [], 0.0
-    for i, t in enumerate(terms):
-        tf, dfi = float(row[f"tf_{i}"]), float(stats[f"df_{i}"])
-        if tf > 0 and dfi > 0:
-            idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
-            contrib = idf * (tf * (k1 + 1.0)) / (
-                tf + k1 * (1.0 - b + b * row["dl"] / avgdl)
-            )
-        else:
-            idf, contrib = 0.0, 0.0
-        total += contrib
-        details.append(
-            {
-                "term": t, "tf": tf, "df": dfi,
-                "idf": round(idf, 6), "value": round(contrib, 6),
-            }
-        )
+    details = [
+        {"term": r["term"], "tf": float(r["tf"]), "df": float(r["df"]),
+         "idf": r["idf"], "value": r["contribution"]}
+        for r in rows
+    ]
+    total = sum(d["value"] for d in details)
     return {"matched": total > 0, "value": round(total, 4), "details": details}
 
 

@@ -343,6 +343,116 @@ def _score_from_per_doc(
     )
 
 
+def explain_score(
+    docs: DataFrame,
+    query: str,
+    doc_id,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    scoring: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    analyzer: str = "standard",
+    keep_nonmatching: bool = False,
+) -> DataFrame:
+    """ES ``_explain`` (``GET /{index}/_explain/{id}``): the per-term
+    score breakdown for ONE document against a query — the only
+    commonly-hit ES debug endpoint the ring lacked (r8 verdict ask #3;
+    the reference's ``?q=`` surface, indexView.html:13-19, is exactly
+    what this debugs).
+
+    Returns one row per ANALYZED QUERY TERM OCCURRENCE that matches
+    the document (ES's explanation tree lists non-matching terms only
+    as "no matching term" leaves — omitted unless
+    ``keep_nonmatching``, which emits them with zero contribution; a
+    repeated query term yields one row per occurrence, exactly as
+    :func:`search_topk` sums it):
+
+    ``(id, term, tf, df, idf, tf_norm, contribution)``
+
+    with ``contribution = idf * tf_norm`` (the ES 6.x / Lucene BM25
+    decomposition, (k1+1) folded into tf_norm exactly as
+    :func:`search_topk` scores it), each rounded to ``round_to``.  The
+    invariant tying this to the ranking: ``sum(contribution)`` equals
+    the document's ``search_topk`` score up to per-part rounding
+    (search rounds the SUM once; explain rounds each part).
+
+    An empty result means the document does not exist OR matches no
+    term (``keep_nonmatching`` distinguishes the two: an existing
+    document always yields one row per term).
+
+    Plan shape: the corpus stats (N, avgdl, df_t) are one aggregate
+    over the persisted :func:`bm25_per_doc` projection and the target
+    document is ONE filtered row of it — a single corpus scan total,
+    then driver-side arithmetic on a 1×k-term row (a per-document
+    debug endpoint is plan-bounded by construction; ES likewise
+    explains one doc on one shard)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    if scoring not in ("tfidf", "bm25"):
+        raise ValueError(f"unknown scoring: {scoring}")
+    spark = docs.sparkSession
+    terms = analyze_query(query, analyzer)
+    per_doc = bm25_per_doc(
+        docs, terms, id_col=id_col, text_col=text_col, analyzer=analyzer
+    )
+    schema = T.StructType([
+        per_doc.schema[id_col],
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("idf", T.DoubleType()),
+        T.StructField("tf_norm", T.DoubleType()),
+        T.StructField("contribution", T.DoubleType()),
+    ])
+    if not terms:
+        return spark.createDataFrame([], schema)
+    per_doc.persist()
+    try:
+        stats = per_doc.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        ).first()
+        row = per_doc.filter(F.col(id_col) == F.lit(doc_id)).first()
+    finally:
+        per_doc.unpersist()
+    out = []
+    if row is not None:
+        n_docs = float(stats["n"])
+        avgdl = float(stats["avgdl"] or 0.0)
+        dl = float(row["dl"])
+        for i, t in enumerate(terms):
+            tf = int(row[f"tf_{i}"])
+            dfi = float(stats[f"df_{i}"])
+            if tf == 0 or dfi == 0:
+                if keep_nonmatching:
+                    out.append((row[id_col], t, tf, int(dfi),
+                                0.0, 0.0, 0.0))
+                continue
+            if scoring == "tfidf":
+                idf = math.log(n_docs / dfi)
+                tf_norm = float(tf)
+            else:
+                idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+                tf_norm = (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+            out.append((
+                row[id_col], t, tf, int(dfi),
+                round(idf, round_to), round(tf_norm, round_to),
+                round(idf * tf_norm, round_to),
+            ))
+    return spark.createDataFrame(out, schema)
+
+
 def search_paged(
     docs: DataFrame,
     query: str,

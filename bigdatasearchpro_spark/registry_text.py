@@ -189,6 +189,133 @@ def l3_rank_eval(spark, sf_dir):
     return api.rank_eval(docs, {"flagship": (SEARCH_QUERY, relevant)}, k=10)
 
 
+@register(
+    "l3_explain_score",
+    f"""
+    WITH {_TOKS_CTE},
+    ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dl AS (
+      SELECT d.doc_id, coalesce(c.cnt, 0)::DOUBLE AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ne GROUP BY doc_id) c
+        ON d.doc_id = c.doc_id
+    ),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    target AS (
+      SELECT tf.doc_id
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+      ORDER BY round(sum(
+        ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+        * (tf.tf * 2.2)
+        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+      ), 4) DESC, tf.doc_id ASC
+      LIMIT 1
+    )
+    SELECT tf.doc_id,
+           tf.term,
+           tf.tf::BIGINT AS tf,
+           dfs.df::BIGINT AS df,
+           round(ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5)), 4) AS idf,
+           round((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl)),
+                 4) AS tf_norm,
+           round(ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl)),
+                 4) AS contribution
+    FROM tf
+    JOIN target ON tf.doc_id = target.doc_id
+    CROSS JOIN nn CROSS JOIN avgdl
+    JOIN dfs ON tf.term = dfs.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    """,
+)
+def l3_explain_score(spark, sf_dir):
+    """L3 [ES parity]: ``_explain`` — per-term BM25 score breakdown
+    (tf, df, idf, tf_norm, contribution = idf*tf_norm) for the
+    flagship query's TOP-1 document; the only commonly-hit ES debug
+    endpoint the ring lacked (r8 verdict ask #3 — it debugs exactly
+    the reference's ``?q=`` surface, indexView.html:13-19).  The
+    oracle replays the per-term contributions in SQL against the same
+    ranking CTE the flagship entry is hash-verified with, so the
+    breakdown is tied to the real ranking, not to itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = search.search_topk(docs, SEARCH_QUERY, 1, scoring="bm25")
+    did = top.first()["doc_id"]
+    return search.explain_score(docs, SEARCH_QUERY, did)
+
+
+@register(
+    "s46_validate_query",
+    """
+    SELECT * FROM (VALUES
+      (1, 'lang:en AND spark', true),
+      (2, '"exact phrase"', true),
+      (3, 'spar* OR source:web', true),
+      (4, 'lang:en OR (source:web AND NOT spam)', true),
+      (5, 'n_chars_str:[10 TO 20]', true),
+      (6, '"unterminated', false),
+      (7, '(lang:en AND', false),
+      (8, 'lang:', false),
+      (9, 'bogus_field:x', false)
+    ) AS t(case_id, query, valid)
+    ORDER BY case_id
+    """,
+)
+def s46_validate_query(spark, sf_dir):
+    """S-family [ES parity]: ``_validate/query`` — parse + compile a
+    query string against a real index WITHOUT executing it (ES
+    validates on the coordinating node; here it is purely driver-side,
+    no job runs).  Syntax errors (unterminated phrase, unbalanced
+    paren, dangling field) and unknown fields report ``valid=false``;
+    the oracle pins the expected accept/reject decision per case, so a
+    parser regression that starts accepting garbage (or rejecting
+    valid ES 6.x syntax) flips a row.  The full lifecycle: bulk-load
+    an index, validate against ITS schema, drop it."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = f"validate_probe_{uuid.uuid4().hex[:8]}"
+    # stringify keeps n_chars searchable under the renamed probe col
+    api.bulk_data_to_index(
+        spark,
+        docs.select("doc_id", "text", "lang", "source",
+                    F.col("n_chars").cast("string").alias("n_chars_str")),
+        name, id_col="doc_id")
+    cases = [
+        (1, "lang:en AND spark"),
+        (2, '"exact phrase"'),
+        (3, "spar* OR source:web"),
+        (4, "lang:en OR (source:web AND NOT spam)"),
+        (5, "n_chars_str:[10 TO 20]"),
+        (6, '"unterminated'),
+        (7, "(lang:en AND"),
+        (8, "lang:"),
+        (9, "bogus_field:x"),
+    ]
+    try:
+        rows = [
+            (cid, q, api.validate_query(spark, q, name)["valid"])
+            for cid, q in cases
+        ]
+    finally:
+        api.delete_index(spark, name)
+    return spark.createDataFrame(
+        rows, "case_id int, query string, valid boolean")
+
+
 # Tokenization of the `_all` field (every string column space-joined —
 # ES 6.x matches unscoped query terms across all fields of the
 # stringified document, ref BulkProcessImpl.java:112-117).

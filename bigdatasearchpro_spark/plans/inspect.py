@@ -120,6 +120,48 @@ def _walk_jvm_plan(node):
         yield from _walk_jvm_plan(kids.apply(i))
 
 
+# Nodes that bound the row count of everything above them: a window
+# sitting over any of these ranks a page/bucket-sized frame, not the
+# corpus.  LocalTableScan and Scan ExistingRDD are driver-materialized
+# rows (collect() / createDataFrame of an already-bounded page — the
+# only way ExistingRDD arises in this repo, e.g. search_topk's
+# materialized top-k); the rest cap or aggregate their input.
+_BOUNDING_NODES = (
+    "TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit",
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "LocalTableScan", "Scan ExistingRDD",
+)
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Unpartitioned Window nodes ranking an UNBOUNDED input — the
+    real move-everything-to-one-task scale bug the 'No Partition
+    Defined' log warning exists to flag.
+
+    Every deliberate global window in this repo ranks a page (top-k
+    merge, hybrid fusion window) or a bucket-cardinality aggregate
+    output (pipeline aggs) — its subtree contains a limit/top-k/
+    aggregate/local-rows node, so it is NOT returned.  A window whose
+    empty-partition-spec subtree reaches a scan with no bounding node
+    in between IS returned (its one-line description), and the
+    test_plans gate fails on it.  This is the machine check that lets
+    bench mute the per-query warning flood (bench.py) without a real
+    unbounded window being able to hide in it."""
+    flagged: list[str] = []
+    for node in _walk_jvm_plan(df._jdf.queryExecution().executedPlan()):
+        if node.nodeName() != "Window":
+            continue
+        try:
+            if not node.partitionSpec().isEmpty():
+                continue
+        except Exception:
+            continue  # not a WindowExec-shaped node
+        sub = list(_walk_jvm_plan(node))[1:]
+        if not any(k.nodeName().startswith(_BOUNDING_NODES) for k in sub):
+            flagged.append(node.nodeName() + ": " + node.simpleStringWithNodeId())
+    return flagged
+
+
 def wide_shuffle_count(df: DataFrame, wide_cols: "list[str]") -> int:
     """Shuffle exchanges whose OUTPUT carries any of ``wide_cols`` —
     i.e. how many times the wide payload actually crosses the wire.

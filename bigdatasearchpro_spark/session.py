@@ -59,4 +59,17 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Mute WindowExec's per-query 'No Partition Defined' warning: every
+    # global window in this engine ranks a bounded page/bucket frame,
+    # machine-checked by plans.inspect.unbounded_global_windows and the
+    # test_plans gate (r8 verdict ask #6 — the flood would mask a REAL
+    # unbounded window; the plan gate fails on one instead).
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 build: the warning is cosmetic
     return spark

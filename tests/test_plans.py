@@ -799,3 +799,38 @@ def test_eql_entries_plan_entity_keyed_joins(spark, sf_dir):
         )
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """The r8-verdict ask: every unpartitioned (global) Window in the
+    engine ranks a BOUNDED frame — a top-k page, a merged page union,
+    or a bucket-cardinality aggregate output — never a corpus-sized
+    input.  bench.py mutes the per-query 'No Partition Defined' log
+    flood on the strength of THIS machine gate: a real unbounded
+    window in any of the emitting families fails here instead of
+    hiding in stderr noise.  One entry per global-window family:
+    paged search (operators/search.py), hybrid fusion
+    (operators/hybrid.py), pipeline aggs over bucket frames
+    (operators/aggs.py), percentile ranking (unpartitioned count
+    window over an agg output)."""
+    from bigdatasearchpro_spark.plans.inspect import unbounded_global_windows
+
+    for name in (
+        "l3_search_paged",
+        "l4_rrf_hybrid_topk",
+        "l3_agg_derivative",
+        "l3_agg_cumulative_sum",
+        "l3_agg_moving_percentiles",
+    ):
+        flagged = unbounded_global_windows(QUERIES[name](spark, sf_dir))
+        assert not flagged, f"{name}: {flagged}"
+    # negative control: the gate actually catches the bug it gates
+    from pyspark.sql import Window
+
+    corpus = load_table(spark, sf_dir, "documents")
+    bad = corpus.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("n_chars"))).alias("rn"),
+    )
+    assert unbounded_global_windows(bad), "gate failed to flag a global " \
+        "window ranking a raw corpus scan"

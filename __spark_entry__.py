@@ -45,66 +45,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # only reviewed exception; run `python tools/check_window.py` after
 # ANY registry or front-list change.
 #
-# Round-8 budget (the r7-verdict drain plan): 152 entries have never
-# had a driver verdict.  Front = this round's new/fixed entries +
-# st5_stateful_sessionize (the r3-stale entry the r7 tool flagged as
-# displaced) + the judge's flagship never-checked picks; the rest of
-# the window auto-fills with never-checked entries in registry order.
-# ~44 backlog entries drain this round; the remainder drains over
-# rounds 9-10 (never-checked sort first until the class is empty, then
-# the r3 cohort is next).
-# ROUND-9 NOTE: REPLACE this list with that round's fixes/new entries.
-# Leaving these names here after they get their r8 verdicts would waste
-# 37 window slots re-verifying green entries — the stalest-first tail
-# already handles everything else (the ~107 remaining never-checked
-# entries fill the r9 window automatically when FRONT shrinks).
-_R8_FIXED_OR_NEW = (
-    # the r3-stale entry displaced from the r7 window (verdict ask #2)
-    "st5_stateful_sessionize",
-    # round-8 new operators (verdict asks #4, #6, #7, #9)
-    "s43_ingest_grok_dissect",
-    "s44_bulk_op_types",
-    "l3_eql_until",
-    "s45_cluster_introspection",
-    "l4_knn_num_candidates",
-    "st16_streaming_eql",
-    # code-touched this round, never driver-checked: ingest append/
-    # fingerprint NULL semantics (ADVICE) and the sql_query guard
-    # rewrite (ADVICE) feed these two entries
-    "s42_ingest_kv_fingerprint",
-    "s26_sql_endpoint",
-    # the judge's flagship never-checked picks (verdict ask #2):
-    # highest-blast-radius families first
-    "l5_pipeline_curation_v3",
-    "l5_pipeline_curation_v4",
-    "l5_pipeline_curation_v5",
-    "l5_pipeline_curation_v6",
-    "l3_has_child",
-    "l3_has_parent",
-    "l3_script_score",
-    "l3_runtime_field",
-    "l3_eql_sequence",
-    "l3_nested_query",
-    "s31_transform_pivot",
-    "l5_substring_dedup",
-    "l4_rrf_hybrid_topk",
-    "l4_sparse_vector_topk",
-    "l3_span_near_query",
-    "l3_span_not_query",
-    "q2_min_cost_supplier",
-    "q13_customer_distribution",
-    "q21_waiting_supplier",
-    "l3_pinned_query",
-    "s35_index_resize",
-    "l3_agg_terms_partition",
-    "l1_fingerprint_dedup",
-    "l3_synonym_search",
-    "s37_downsample_tsdb",
-    "l6_video_scene_cuts",
-    "l5_url_dedup",
-    "l5_curriculum_order",
-    "l3_agg_change_point",
-    "l3_analyzer_phonetic",
+# Round-9 budget (the r8-verdict drain plan): FRONT carries ONLY this
+# round's new entries (2), so 48 of the 111 never-driver-checked
+# entries fill the rest of the window stalest-first — the backlog
+# drains to ~61 this round and to ~13 in round 10.
+# ROUND-10 NOTE: REPLACE this list with that round's fixes/new entries
+# (keeping green r9 names here would waste window slots re-verifying
+# them); run `python tools/check_window.py` after any change.
+_R9_FIXED_OR_NEW = (
+    # round-9 new operators (r8 verdict ask #3): ES _explain per-term
+    # score breakdown + _validate/query accept/reject pinning
+    "l3_explain_score",
+    "s46_validate_query",
 )
 
 def _verdict_ages() -> dict[str, int]:
@@ -132,7 +84,7 @@ def _verdict_ages() -> dict[str, int]:
     return ages
 
 
-FRONT = _R8_FIXED_OR_NEW
+FRONT = _R9_FIXED_OR_NEW
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -57,6 +57,8 @@ _R9_FIXED_OR_NEW = (
     # score breakdown + _validate/query accept/reject pinning
     "l3_explain_score",
     "s46_validate_query",
+    # _mvt vector-tile search (r8 verdict "missing" #3)
+    "l3_search_mvt",
 )
 
 def _verdict_ages() -> dict[str, int]:

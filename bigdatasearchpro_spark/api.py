@@ -1583,6 +1583,43 @@ def explain_doc(
     return {"matched": total > 0, "value": round(total, 4), "details": details}
 
 
+def search_mvt(
+    spark: SparkSession,
+    index_name: str,
+    z: int,
+    x: int,
+    y: int,
+    *,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "doc_id",
+    extent: int = 4096,
+    grid_precision: int = 8,
+    size: int = 10000,
+) -> bytes:
+    """ES ``GET /{index}/_mvt/{field}/{z}/{x}/{y}`` — one Mapbox
+    vector tile rendered from the index: ``hits`` (up to ``size``
+    points), ``aggs`` (``geotile_grid`` cells at ``z+grid_precision``
+    clipped to the tile, tagged ``_count``), ``meta`` (the max cell
+    count clients normalize styling against).  The distributed half
+    (tile filter, cell aggregate, hits page, pixel projection) is
+    :func:`operators.mvt.mvt_feature_rows` — hash-verified by the
+    ``l3_search_mvt`` registry entry; this facade collects the bounded
+    feature rows (<= 4^grid_precision cells + ``size`` hits) and
+    returns the MVT 2.1 protobuf binary."""
+    from bigdatasearchpro_spark.operators.mvt import (
+        mvt_encode,
+        mvt_feature_rows,
+    )
+
+    docs = resolve_index(spark, index_name)
+    rows = mvt_feature_rows(
+        docs, lat_col, lon_col, z, x, y, id_col=id_col, extent=extent,
+        grid_precision=grid_precision, size=size,
+    ).collect()
+    return mvt_encode(rows, extent=extent)
+
+
 def knn_search(
     spark: SparkSession,
     index_name: str,

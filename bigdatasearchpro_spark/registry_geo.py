@@ -649,6 +649,119 @@ def l3_function_score_decay(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------- r9
+# ES `_mvt` vector-tile search (the last r8-verdict "missing" item).
+# Tile z=1/x=0/y=0 (lon [-180, 0), lat [0, 85.05]) over the synthetic
+# customer grid; grid_precision 3 (8x8 cells, 512 px each), 50 hits.
+
+_MVT_Z, _MVT_X, _MVT_Y = 1, 0, 0
+_MVT_GP, _MVT_EXTENT, _MVT_SIZE = 3, 4096, 50
+
+
+def _gt_xy_sql(zoom: int) -> "tuple[str, str]":
+    """The geotile_xy floor chain as DuckDB SQL at an arbitrary zoom —
+    same generated-from-one-operand-order scheme as _GT_X/_GT_Y."""
+    n = float(1 << zoom)
+    xs = (
+        f"least(CAST(floor((({_LON_SQL}) + CAST(180.0 AS DOUBLE)) "
+        f"/ CAST(360.0 AS DOUBLE) * CAST({n!r} AS DOUBLE)) AS BIGINT), "
+        f"{int(n) - 1})"
+    )
+    ys = (
+        f"least(greatest(CAST(floor((CAST(1.0 AS DOUBLE) - {_GT_MERC} "
+        f"/ {_PI}) / CAST(2.0 AS DOUBLE) * CAST({n!r} AS DOUBLE)) "
+        f"AS BIGINT), 0), {int(n) - 1})"
+    )
+    return xs, ys
+
+
+def _mvt_oracle() -> str:
+    z, x, y = _MVT_Z, _MVT_X, _MVT_Y
+    gp, extent, size = _MVT_GP, _MVT_EXTENT, _MVT_SIZE
+    cells = 1 << gp
+    cell_px = extent // cells
+    tx, ty = _gt_xy_sql(z)
+    cxs, cys = _gt_xy_sql(z + gp)
+    n = float(1 << z)
+    lon_glob = (
+        f"((({_LON_SQL}) + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) "
+        f"* CAST({n!r} AS DOUBLE))"
+    )
+    lat_glob = (
+        f"((CAST(1.0 AS DOUBLE) - {_GT_MERC} / {_PI}) "
+        f"/ CAST(2.0 AS DOUBLE) * CAST({n!r} AS DOUBLE))"
+    )
+    px = (
+        f"least(greatest(CAST(floor(({lon_glob} - CAST({float(x)!r} AS "
+        f"DOUBLE)) * CAST({float(extent)!r} AS DOUBLE)) AS BIGINT), 0), "
+        f"{extent - 1})"
+    )
+    py = (
+        f"least(greatest(CAST(floor(({lat_glob} - CAST({float(y)!r} AS "
+        f"DOUBLE)) * CAST({float(extent)!r} AS DOUBLE)) AS BIGINT), 0), "
+        f"{extent - 1})"
+    )
+    return f"""
+    WITH in_tile AS (
+      SELECT c_custkey,
+             least(greatest(({cxs}) - {x * cells}, 0), {cells - 1}) AS gx,
+             least(greatest(({cys}) - {y * cells}, 0), {cells - 1}) AS gy,
+             {px} AS hpx, {py} AS hpy
+      FROM customer
+      WHERE ({tx}) = {x} AND ({ty}) = {y}
+    ),
+    aggs AS (
+      SELECT 'aggs' AS layer,
+             (gx * {cell_px} + {cell_px // 2})::BIGINT AS px,
+             (gy * {cell_px} + {cell_px // 2})::BIGINT AS py,
+             count(*)::BIGINT AS doc_count,
+             CAST(NULL AS VARCHAR) AS feature_id
+      FROM in_tile GROUP BY gx, gy
+    ),
+    hits AS (
+      SELECT 'hits' AS layer, hpx AS px, hpy AS py,
+             CAST(NULL AS BIGINT) AS doc_count,
+             CAST(c_custkey AS VARCHAR) AS feature_id
+      FROM in_tile
+      ORDER BY CAST(c_custkey AS VARCHAR) ASC
+      LIMIT {size}
+    ),
+    meta AS (
+      SELECT 'meta' AS layer, 0::BIGINT AS px, 0::BIGINT AS py,
+             max(doc_count)::BIGINT AS doc_count,
+             CAST(NULL AS VARCHAR) AS feature_id
+      FROM aggs
+    )
+    SELECT * FROM aggs
+    UNION ALL SELECT * FROM hits
+    UNION ALL SELECT * FROM meta
+    """
+
+
+@register("l3_search_mvt", _mvt_oracle())
+def l3_search_mvt(spark, sf_dir):
+    """L3 [ES parity]: ``_mvt`` vector-tile search (ES 7.15+, the map
+    surface of the reference's geo results) — the DISTRIBUTED half:
+    tile z/x/y membership (scan-pushable bbox prefilter + exact
+    geotile floor-chain equality), the ``geotile_grid`` cell aggregate
+    at z+grid_precision with tile-local cell-center pixel coords, the
+    ``size``-hit page with extent-coordinate point projection, and the
+    meta max-count bound — one scan, bounded outputs.  The MVT 2.1
+    protobuf encoding of these rows (api.search_mvt) is byte-level
+    round-trip-tested in tests/test_geo.py (operators/mvt.py)."""
+    from bigdatasearchpro_spark.operators.mvt import mvt_feature_rows
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    return mvt_feature_rows(
+        cust, "lat", "lon", _MVT_Z, _MVT_X, _MVT_Y, id_col="c_custkey",
+        extent=_MVT_EXTENT, grid_precision=_MVT_GP, size=_MVT_SIZE,
+    )
+
+
 # Part 8 (relational ES surfaces: parent-child, scripting DSL, IP
 # ring, wrapper, span dedup) registers itself on import.
 from bigdatasearchpro_spark import registry_relations  # noqa: E402,F401

@@ -399,3 +399,167 @@ def test_geo_box_prefilter_never_clips_true_matches(spark):
     n_raw = geo_distance_filter(df, "lat", "lon",
                                 prefilter=False, **kw).count()
     assert n_pf == n_raw == len(rows)
+
+
+# --------------------------------------------------------------- MVT
+
+
+def _decode_mvt(buf: bytes):
+    """Minimal independent MVT 2.1 decoder (varint/wire-level, written
+    separately from the encoder): {layer_name: {"extent": int,
+    "keys": [...], "values": [...], "features": [(fid, tags, (px,
+    py))]}}."""
+    def rd_varint(b, i):
+        v = s = 0
+        while True:
+            x = b[i]; i += 1
+            v |= (x & 0x7F) << s
+            if not x & 0x80:
+                return v, i
+            s += 7
+
+    def unzig(v):
+        return (v >> 1) ^ -(v & 1)
+
+    def rd_fields(b):
+        i, out = 0, []
+        while i < len(b):
+            tag, i = rd_varint(b, i)
+            num, wire = tag >> 3, tag & 7
+            if wire == 0:
+                v, i = rd_varint(b, i)
+            elif wire == 2:
+                ln, i = rd_varint(b, i)
+                v = b[i:i + ln]; i += ln
+            else:
+                raise AssertionError(f"unexpected wire type {wire}")
+            out.append((num, v))
+        return out
+
+    layers = {}
+    for num, payload in rd_fields(buf):
+        assert num == 3
+        name, extent, keys, values, feats = None, None, [], [], []
+        for fn, fv in rd_fields(payload):
+            if fn == 15:
+                assert fv == 2  # version
+            elif fn == 1:
+                name = fv.decode()
+            elif fn == 5:
+                extent = fv
+            elif fn == 3:
+                keys.append(fv.decode())
+            elif fn == 4:
+                (vn, vv), = rd_fields(fv)
+                values.append(vv.decode() if vn == 1 else vv)
+            elif fn == 2:
+                fid, tags, pt = None, [], None
+                for gn, gv in rd_fields(fv):
+                    if gn == 1:
+                        fid = gv
+                    elif gn == 2:
+                        j = 0
+                        while j < len(gv):
+                            t, j = rd_varint(gv, j)
+                            tags.append(t)
+                    elif gn == 3:
+                        assert gv == 1  # POINT
+                    elif gn == 4:
+                        cmd, j = rd_varint(gv, 0)
+                        assert cmd == (1 << 3) | 1  # MoveTo x1
+                        zx, j = rd_varint(gv, j)
+                        zy, j = rd_varint(gv, j)
+                        pt = (unzig(zx), unzig(zy))
+                feats.append((fid, tags, pt))
+        layers[name] = {"extent": extent, "keys": keys,
+                        "values": values, "features": feats}
+    return layers
+
+
+def test_mvt_tile_roundtrip(spark):
+    """api.search_mvt's binary decodes (independent wire-level parser)
+    back to EXACTLY the oracle-verified feature rows: every aggs cell
+    with its _count tag, every hit point with its numeric feature id,
+    the meta max-count — nothing added, dropped, or moved."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.operators.mvt import mvt_feature_rows
+
+    rows = [(i, ((i * 7919) % 17000) / 100.0 - 85.0,
+             ((i * 104729) % 36000) / 100.0 - 180.0) for i in range(500)]
+    idx = f"mvt_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+    df.write.saveAsTable(idx)
+    from bigdatasearchpro_spark.sinks.ddl import mark_index_table
+
+    mark_index_table(spark, idx)
+    try:
+        kw = dict(extent=4096, grid_precision=3, size=40)
+        feats = mvt_feature_rows(
+            spark.table(idx), "lat", "lon", 1, 0, 0, id_col="doc_id",
+            **kw).collect()
+        tile = api.search_mvt(spark, idx, 1, 0, 0, id_col="doc_id", **kw)
+        layers = _decode_mvt(tile)
+        assert set(layers) == {"aggs", "hits", "meta"}
+        assert layers["aggs"]["extent"] == 4096
+        # aggs: {(px, py): count} identical
+        want = {(r["px"], r["py"]): r["doc_count"]
+                for r in feats if r["layer"] == "aggs"}
+        got = {}
+        for fid, tags, pt in layers["aggs"]["features"]:
+            assert tags[0] == 0 and layers["aggs"]["keys"] == ["_count"]
+            got[pt] = layers["aggs"]["values"][tags[1]]
+        assert got == want
+        # hits: ids and points identical
+        want_h = {(int(r["feature_id"]), (r["px"], r["py"]))
+                  for r in feats if r["layer"] == "hits"}
+        got_h = {(fid, pt) for fid, _, pt in layers["hits"]["features"]}
+        assert got_h == want_h and len(got_h) == 40
+        # meta: the max cell count
+        (mfid, mtags, mpt), = layers["meta"]["features"]
+        assert layers["meta"]["values"][mtags[1]] == max(want.values())
+    finally:
+        api.delete_index(spark, idx)
+
+
+def test_mvt_feature_rows_invariants(spark):
+    """Tile semantics: aggs counts sum to the tile population, every
+    pixel is inside the extent, hits page respects the id-order cut,
+    and out-of-range tiles / bad params are rejected."""
+    import pytest as pt
+
+    from bigdatasearchpro_spark.operators.mvt import (
+        mvt_feature_rows,
+        tile_bounds,
+    )
+
+    rows = [(i, ((i * 7919) % 17000) / 100.0 - 85.0,
+             ((i * 104729) % 36000) / 100.0 - 180.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+    feats = mvt_feature_rows(df, "lat", "lon", 1, 0, 0, id_col="doc_id",
+                             grid_precision=2, size=10_000).collect()
+    aggs = [r for r in feats if r["layer"] == "aggs"]
+    hits = [r for r in feats if r["layer"] == "hits"]
+    # exact membership replayed in python over the same formula
+    import math
+
+    def in_tile(lat, lon):
+        lat = max(min(lat, 85.05112878), -85.05112878)
+        x = min(int(math.floor((lon + 180.0) / 360.0 * 2.0)), 1)
+        merc = math.log(math.tan(lat * math.pi / 180.0)
+                        + 1.0 / math.cos(lat * math.pi / 180.0))
+        y = min(max(int(math.floor((1.0 - merc / math.pi) / 2.0 * 2.0)),
+                    0), 1)
+        return x == 0 and y == 0
+    n_in = sum(1 for _, la, lo in rows if in_tile(la, lo))
+    assert sum(r["doc_count"] for r in aggs) == n_in
+    assert len(hits) == n_in  # size covers everything here
+    assert all(0 <= r["px"] < 4096 and 0 <= r["py"] < 4096 for r in feats
+               if r["layer"] != "meta")
+    with pt.raises(ValueError, match="out of range"):
+        tile_bounds(1, 2, 0)
+    with pt.raises(ValueError, match="extent"):
+        mvt_feature_rows(df, "lat", "lon", 1, 0, 0, extent=1000)
+    with pt.raises(ValueError, match="grid_precision"):
+        mvt_feature_rows(df, "lat", "lon", 1, 0, 0, grid_precision=9)

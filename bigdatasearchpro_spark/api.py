@@ -895,20 +895,30 @@ def force_merge(
 def snapshot_index(spark: SparkSession, index_name: str, repo_dir: str) -> dict:
     """ES ``_snapshot`` (create): back an index up into a repository
     directory as parquet — one distributed write, no per-doc loop.
-    Routing is part of the snapshot, like ES snapshotting index
-    settings: the derived ``__shard`` column is NOT stored as data;
-    the routing spec goes into an underscore-prefixed manifest file
-    (Spark reads skip ``_*`` files) so restore can rebuild the routed
-    layout.  Returns the snapshot manifest info."""
+    INDEX SETTINGS are part of the snapshot, like ES: the routing spec
+    and the data-independent settings (per-field analyzer mappings,
+    the shards setting) go into underscore-prefixed manifest files
+    (Spark reads skip ``_*`` files) so restore re-creates the index as
+    configured, not just its rows — without the settings manifest a
+    restored index silently dropped its analyzers and searched with
+    standard analysis (the r9 lifecycle-sweep find).  The derived
+    ``__shard`` column is NOT stored as data.  Returns the snapshot
+    manifest info."""
     import json as _json
     import os
 
     from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
+    from bigdatasearchpro_spark.sinks.ddl import ANALYZER_PROP_PREFIX
 
     n = transform.normalize_index_name(index_name)
     path = os.path.join(repo_dir, n)
     df = spark.table(n)
     meta = routing_meta(spark, index_name)
+    settings = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {n}").collect()
+        if r["key"].startswith(ANALYZER_PROP_PREFIX) or r["key"] == "shards"
+    }
     if "__shard" in df.columns:
         df = df.drop("__shard")
     rows = bulk_index_parquet(df, path, mode="overwrite")
@@ -916,6 +926,10 @@ def snapshot_index(spark: SparkSession, index_name: str, repo_dir: str) -> dict:
         with open(os.path.join(path, "_bdsp_routing.json"), "w",
                   encoding="utf-8") as f:
             _json.dump(meta, f)
+    if settings:
+        with open(os.path.join(path, "_bdsp_settings.json"), "w",
+                  encoding="utf-8") as f:
+            _json.dump(settings, f, sort_keys=True)
     return {"index": n, "path": path, "rows": rows}
 
 
@@ -952,6 +966,18 @@ def restore_index(
         )
     else:
         rows = bulk_index_table(df, dst)
+    # re-apply the snapshotted index settings (analyzer mappings, the
+    # shards setting) — ES restores settings WITH the data; without
+    # this a restored index searched with standard analysis
+    spath = os.path.join(path, "_bdsp_settings.json")
+    if os.path.exists(spath):
+        with open(spath, encoding="utf-8") as f:
+            settings = _json.load(f)
+        for k, v in settings.items():
+            kq, vq = k.replace("'", "''"), str(v).replace("'", "''")
+            spark.sql(
+                f"ALTER TABLE {dst} SET TBLPROPERTIES ('{kq}' = '{vq}')"
+            )
     return {"index": dst, "rows": rows}
 
 

@@ -1427,6 +1427,47 @@ def test_routed_index_copies_dont_leak_shard_column(spark, docs):
         shutil.rmtree(repo, ignore_errors=True)
 
 
+def test_snapshot_restore_carries_index_settings(spark, docs):
+    """ES snapshots carry INDEX SETTINGS, not just rows: analyzer
+    mappings (and the shards setting) must survive snapshot -> delete
+    -> restore — without the settings manifest the restored index
+    silently searched with standard analysis (r9 lifecycle-sweep
+    find).  Checked at the property level (get_mapping) AND
+    behaviorally (a stem-sensitive query matches the same docs on the
+    restored index as on the source)."""
+    import shutil
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    sfx = uuid.uuid4().hex[:8]
+    src, rest = f"set_src_{sfx}", f"set_rest_{sfx}"
+    repo = f"/tmp/bdsp_snap_{sfx}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text", "lang"),
+                           src, id_col="doc_id")
+    try:
+        api.put_mapping(spark, src, {"text": "english"})
+        want = api.get_field_mapping(spark, src)
+        assert want == {"text": "english"}
+        before = sorted(r["doc_id"] for r in api.query_data(
+            spark, "text:joins", src, k=50).collect())
+        api.snapshot_index(spark, src, repo)
+        # restore under a NEW name: settings must follow the data
+        api.restore_index(spark, repo, src, rename_to=rest)
+        assert api.get_field_mapping(spark, rest) == want
+        after = sorted(r["doc_id"] for r in api.query_data(
+            spark, "text:joins", rest, k=50).collect())
+        assert after == before
+        # restore over the ORIGINAL name after a delete (the DR path)
+        api.delete_index(spark, src)
+        api.restore_index(spark, repo, src)
+        assert api.get_field_mapping(spark, src) == want
+    finally:
+        for ix in (src, rest):
+            api.delete_index(spark, ix)
+        shutil.rmtree(repo, ignore_errors=True)
+
+
 def test_rebulk_preserves_mappings_and_settings(spark, docs):
     """Bulk-indexing DOCUMENTS into an existing index must not erase
     its mappings/settings (ES never touches them on document writes):

@@ -1758,8 +1758,20 @@ def put_knn_index(
     import uuid as _uuid
 
     from bigdatasearchpro_spark.operators import similarity
+    from bigdatasearchpro_spark.sinks.ddl import is_index_table
 
     n = transform.normalize_index_name(index_name)
+    # a CONCRETE index only, never an alias view: the layout registry
+    # and the content-write invalidation hook are keyed by the real
+    # index name — a layout keyed by an alias would never be
+    # invalidated when the underlying index's content changes and
+    # would serve deleted vectors forever (ES likewise puts
+    # dense_vector mappings on the index, not the alias)
+    if not is_index_table(spark, n):
+        raise ValueError(
+            f"put_knn_index target is not an index: {index_name!r} "
+            "(aliases resolve at search time; build the ANN layout on "
+            "the concrete index)")
     emb = spark.table(n)
     if field not in emb.columns:
         raise ValueError(f"no vector field {field!r} on {index_name!r}")

@@ -916,3 +916,38 @@ def test_knn_index_invalidated_on_rebulk(spark):
         assert got and all(v % 2 == 0 for v in got), "served dropped ids"
     finally:
         api.delete_index(spark, idx)
+
+
+def test_put_knn_index_rejects_alias(spark):
+    """The ANN layout registry and the content-write invalidation hook
+    are keyed by the concrete index name — a layout built against an
+    ALIAS view would never invalidate when the underlying index is
+    re-bulked and would serve deleted vectors forever.  put_knn_index
+    must reject alias/view targets (searches against the alias still
+    work: exact mode and on-the-fly ann read the view)."""
+    import uuid
+
+    import numpy as np
+    import pytest as pt
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    sfx = uuid.uuid4().hex[:8]
+    idx, ali = f"knn_ali_src_{sfx}", f"knn_ali_{sfx}"
+    bulk_index_table(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        idx)
+    try:
+        api.add_alias(spark, idx, ali)
+        with pt.raises(ValueError, match="not an index"):
+            api.put_knn_index(spark, ali, field="embedding", n_cells=2)
+        # the alias still searches (exact + on-the-fly ann)
+        assert api.knn_search(spark, ali, rows[0][1], k=5).count() == 5
+        assert api.knn_search(spark, ali, rows[0][1], k=5, mode="ann",
+                              num_candidates=60).count() == 5
+    finally:
+        api.delete_index(spark, idx)
+        spark.sql(f"DROP VIEW IF EXISTS {ali}")

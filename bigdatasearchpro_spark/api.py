@@ -908,9 +908,25 @@ def snapshot_index(spark: SparkSession, index_name: str, repo_dir: str) -> dict:
     import os
 
     from bigdatasearchpro_spark.sinks.bulk import bulk_index_parquet
-    from bigdatasearchpro_spark.sinks.ddl import ANALYZER_PROP_PREFIX
+    from bigdatasearchpro_spark.sinks.ddl import (
+        ANALYZER_PROP_PREFIX,
+        is_index_table,
+    )
 
     n = transform.normalize_index_name(index_name)
+    if not is_index_table(spark, n):
+        # ES resolves alias snapshot targets to their CONCRETE indices
+        # and snapshots those (full content + settings, under their
+        # own names) — snapshotting the alias VIEW would silently
+        # freeze only the filtered subset and restore a truncated
+        # index (r9 lifecycle-sweep find)
+        targets = sorted({t for a, t in get_alias(spark) if a == n})
+        if not targets:
+            raise ValueError(
+                f"snapshot target is not an index or alias: {index_name!r}")
+        return {"index": n,
+                "resolved": [snapshot_index(spark, t, repo_dir)
+                             for t in targets]}
     path = os.path.join(repo_dir, n)
     df = spark.table(n)
     meta = routing_meta(spark, index_name)
@@ -1883,7 +1899,14 @@ def open_pit(spark: SparkSession, index_name: str,
     n = transform.normalize_index_name(index_name)
     root = base_dir or os.path.join(tempfile.gettempdir(), "bdsp_pits")
     path = os.path.join(root, f"{n}-{uuid.uuid4().hex}")
-    rows = bulk_index_parquet(spark.table(n), path, mode="overwrite")
+    df = spark.table(n)
+    if "__shard" in df.columns:
+        # derived routing partition column, never document payload —
+        # the same rule every other index copy applies (snapshot,
+        # reindex); a PIT is a frozen READ view, so no routing
+        # manifest is needed either
+        df = df.drop("__shard")
+    rows = bulk_index_parquet(df, path, mode="overwrite")
     token = _json.dumps({"index": n, "path": path, "rows": rows},
                         sort_keys=True)
     return _b64.b64encode(token.encode()).decode()

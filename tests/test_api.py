@@ -1500,3 +1500,49 @@ def test_rebulk_preserves_mappings_and_settings(spark, docs):
         assert api.routing_meta(spark, idx) is None
     finally:
         api.delete_index(spark, idx)
+
+
+def test_snapshot_resolves_alias_to_concrete_indices(spark, docs):
+    """ES `_snapshot` resolves alias targets to their CONCRETE indices
+    (full content, own names) — snapshotting the filtered alias VIEW
+    would freeze only the subset and restore a truncated index.  Also:
+    PIT snapshots of routed indices must not leak the derived __shard
+    column as document payload."""
+    import shutil
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    sfx = uuid.uuid4().hex[:8]
+    a, b, ali = f"snapa_{sfx}", f"snapb_{sfx}", f"snap_ali_{sfx}"
+    repo = f"/tmp/bdsp_snap_{sfx}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "lang"), a,
+                           id_col="doc_id")
+    api.bulk_data_to_index(spark, docs.select("doc_id", "lang"), b,
+                           id_col="doc_id")
+    try:
+        api.add_alias(spark, [a, b], ali, filter_sql="lang = 'en'")
+        out = api.snapshot_index(spark, ali, repo)
+        assert sorted(r["index"] for r in out["resolved"]) == [a, b]
+        total = docs.count()
+        assert all(r["rows"] == total for r in out["resolved"])
+        import pytest as pt
+
+        with pt.raises(ValueError, match="not an index or alias"):
+            api.snapshot_index(spark, f"nope_{sfx}", repo)
+        # PIT of a routed index: frozen view carries no __shard payload
+        rt = f"snaprt_{sfx}"
+        api.bulk_data_to_index(spark, docs.select("doc_id", "lang"), rt,
+                               id_col="doc_id", routing_col="lang",
+                               n_shards=4)
+        pid = api.open_pit(spark, rt, base_dir=repo)
+        try:
+            assert "__shard" not in api.pit_dataframe(spark, pid).columns
+        finally:
+            api.close_pit(spark, pid)
+            api.delete_index(spark, rt)
+    finally:
+        for ix in (a, b):
+            api.delete_index(spark, ix)
+        spark.sql(f"DROP VIEW IF EXISTS {ali}")
+        shutil.rmtree(repo, ignore_errors=True)

@@ -734,12 +734,17 @@ def reindex(
     *,
     id_col: str = "doc_id",
     text_col: "str | list[str] | None" = None,
+    pipeline: str | None = None,
 ) -> dict:
     """ES ``_reindex``: copy documents from one index into another,
     optionally narrowed by a query — the standard reshape/migrate
     operation (ES implements it as an internal scroll + bulk; here it
     is ONE distributed scan -> optional query-string filter -> bulk
     write, no batch loop and no coordinator bottleneck at any size).
+    ``pipeline`` is ES ``dest.pipeline``: the stored ingest processor
+    chain runs over the copied documents before the write (the
+    standard migrate-and-enrich shape) — same projection fusion as the
+    bulk path, so it stays inside the single scan's codegen span.
 
     Returns ``{"created": n, "source": ..., "dest": ...}`` (the ES
     response's count field)."""
@@ -760,6 +765,13 @@ def reindex(
             else search.all_string_cols(docs)
         )
         docs = query_string_filter(docs, query, default_field=fields, fields=fields)
+    if pipeline is not None:
+        from bigdatasearchpro_spark.operators.ingest import apply_pipeline
+
+        procs = _INGEST_PIPELINES.get(pipeline)
+        if procs is None:
+            raise ValueError(f"no ingest pipeline {pipeline!r}")
+        docs = apply_pipeline(docs, procs)
     n = bulk_index_table(docs, dest_index, id_col=id_col)
     return {
         "created": n,

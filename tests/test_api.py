@@ -246,9 +246,24 @@ def test_reindex_copies_matched_set(spark, sf_dir, docs):
         }
         assert got == want
         assert dst in api.get_all_index(spark)  # dest is a first-class index
+        # ES dest.pipeline: the stored processor chain runs over the
+        # copied docs before the write (migrate-and-enrich)
+        api.put_ingest_pipeline(spark, "reidx_pipe", [
+            {"set": {"field": "migrated", "value": "yes"}},
+        ])
+        res2 = api.reindex(spark, src, f"{dst}_p", "spark",
+                           text_col="text", pipeline="reidx_pipe")
+        t = spark.table(f"{dst}_p")
+        assert res2["created"] == t.count() == len(want)
+        assert t.filter(F.col("migrated") == "yes").count() == len(want)
+        import pytest as pt
+
+        with pt.raises(ValueError, match="no ingest pipeline"):
+            api.reindex(spark, src, f"{dst}_q", pipeline="nope")
     finally:
         api.delete_index(spark, src)
         api.delete_index(spark, dst)
+        api.delete_index(spark, f"{dst}_p")
 
 
 def test_alias_lifecycle_filtered_and_multi(spark, sf_dir, docs):

@@ -59,6 +59,8 @@ _R9_FIXED_OR_NEW = (
     "s46_validate_query",
     # _mvt vector-tile search (r8 verdict "missing" #3)
     "l3_search_mvt",
+    # routed by-query write: one-shard partition rewrite
+    "s47_routed_delete_by_query",
 )
 
 def _verdict_ages() -> dict[str, int]:

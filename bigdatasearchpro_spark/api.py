@@ -1084,18 +1084,67 @@ def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
     _invalidate_knn_indexes(index)
 
 
+def _routing_shard(spark: SparkSession, index_name: str, routing: str) -> int:
+    """The shard a routing value hashes to (same literal expression as
+    :func:`apply_routing`); raises on unrouted indices."""
+    from pyspark.sql import functions as F
+
+    meta = routing_meta(spark, index_name)
+    if meta is None:
+        raise ValueError(
+            f"index {index_name!r} has no custom routing "
+            "(routing= requires a routed index)")
+    return int(
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(routing)), F.lit(meta["shards"])))
+        .first()[0]
+    )
+
+
+def _overwrite_shard(spark: SparkSession, index: str, shard: int,
+                     kept: DataFrame) -> None:
+    """Replace ONE ``__shard`` partition directory with ``kept`` (the
+    shard's surviving rows, ``__shard`` already dropped): INSERT
+    OVERWRITE with a STATIC partition spec rewrites only that
+    directory — 1/n_shards of the table moves instead of the full
+    staged-copy swap, which is the entire point of passing routing to
+    a by-query write at scale.  ``kept`` is eagerly checkpointed first
+    (executor block storage, one shard's rows) because Spark refuses
+    an INSERT OVERWRITE that reads from the table it overwrites."""
+    cols = [c for c in spark.table(index).columns if c != "__shard"]
+    kept = kept.select(*cols).localCheckpoint(eager=True)
+    tmp = f"__bdsp_shard_rw_{index}"
+    kept.createOrReplaceTempView(tmp)
+    try:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {index} PARTITION (__shard={int(shard)}) "
+            f"SELECT * FROM {tmp}"
+        )
+    finally:
+        spark.catalog.dropTempView(tmp)
+    # content changed: stale ANN layouts would serve deleted vectors
+    _invalidate_knn_indexes(index)
+
+
 def delete_by_query(
     spark: SparkSession,
     index_name: str,
     query: str,
     *,
     text_col: "str | list[str] | None" = None,
+    routing: "str | None" = None,
 ) -> dict:
     """ES ``_delete_by_query``: remove every document matching a query
     string. ES runs an internal scroll + per-batch bulk deletes; here
     it is ONE distributed scan -> anti-filter -> staged rewrite +
     catalog swap (the force-merge publish protocol, so a failure never
-    loses the index). Returns ``{"deleted": n, "remaining": m}``."""
+    loses the index). Returns ``{"deleted": n, "remaining": m}``.
+
+    ``routing`` (ES ``?routing=`` on _delete_by_query) scopes the
+    delete to the ONE shard the value hashes to — and, unlike the
+    unrouted path, rewrites ONLY that shard's partition directory
+    (static-partition INSERT OVERWRITE): at 100 TB a routed delete
+    moves 1/n_shards of the index, not all of it."""
     from bigdatasearchpro_spark.operators.querystring import (
         compile_predicate,
         dotted_path_resolver,
@@ -1121,6 +1170,16 @@ def delete_by_query(
         node, default_cols=fields, valid_fields=fields,
         nested_resolver=dotted_path_resolver(docs),
     )
+    if routing is not None:
+        shard = _routing_shard(spark, n, routing)
+        scope = docs.filter(F.col("__shard") == F.lit(shard))
+        total = scope.count()
+        kept = scope.filter(~F.coalesce(pred, F.lit(False)))
+        _overwrite_shard(spark, n, shard, kept)
+        remaining = spark.table(n).count()
+        deleted = total - spark.table(n).filter(
+            F.col("__shard") == F.lit(shard)).count()
+        return {"deleted": deleted, "remaining": remaining}
     total = docs.count()
     kept = docs.filter(~F.coalesce(pred, F.lit(False)))
     _staged_rewrite(spark, n, kept)
@@ -1135,13 +1194,22 @@ def update_by_query(
     query: str | None = None,
     *,
     text_col: "str | list[str] | None" = None,
+    routing: "str | None" = None,
 ) -> dict:
     """ES ``_update_by_query`` with a script: rewrite matching
     documents' fields. ``set_exprs`` maps column -> SQL expression
     (evaluated over the row, the painless-script analogue); documents
     NOT matching ``query`` keep their values. One distributed scan ->
     conditional projection -> staged rewrite + catalog swap. Returns
-    ``{"updated": n, "total": m}``."""
+    ``{"updated": n, "total": m}`` (``total`` = documents processed —
+    the routed scope when ``routing`` is given, like ES).
+
+    ``routing`` scopes the update to the one shard the value hashes
+    to and rewrites ONLY that shard's partition directory (see
+    :func:`delete_by_query`).  The routing COLUMN itself cannot be
+    updated through the routed path (the rewritten rows must stay in
+    the shard being overwritten; a routing-key rewrite is a cross-
+    shard MOVE — use the unrouted path, which re-shards)."""
     from bigdatasearchpro_spark.operators.querystring import (
         compile_predicate,
         dotted_path_resolver,
@@ -1176,6 +1244,15 @@ def update_by_query(
             ),
             F.lit(False),
         )
+    if routing is not None:
+        meta = routing_meta(spark, n)
+        if meta is not None and meta.get("col") in set_exprs:
+            raise ValueError(
+                "routed update_by_query cannot rewrite the routing "
+                f"column {meta['col']!r} (cross-shard move; use the "
+                "unrouted path, which re-shards)")
+        shard = _routing_shard(spark, n, routing)
+        docs = docs.filter(F.col("__shard") == F.lit(shard))
     updated = docs.filter(pred).count()
     total = docs.count()
     rewritten = docs.select(
@@ -1188,7 +1265,10 @@ def update_by_query(
             for c in docs.columns
         ]
     )
-    _staged_rewrite(spark, n, rewritten)
+    if routing is not None:
+        _overwrite_shard(spark, n, shard, rewritten.drop("__shard"))
+    else:
+        _staged_rewrite(spark, n, rewritten)
     return {"updated": updated, "total": total}
 
 

@@ -1538,6 +1538,48 @@ def s15_update_by_query(spark, sf_dir):
 
 
 @register(
+    "s47_routed_delete_by_query",
+    """
+    SELECT doc_id::VARCHAR AS doc_id, lang FROM documents
+    WHERE NOT (lang = 'de' AND len(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x = 'spark')) > 0)
+    """,
+)
+def s47_routed_delete_by_query(spark, sf_dir):
+    """S-family [ES parity]: ``_delete_by_query?routing=`` on a
+    custom-routed index — the delete scopes to the one shard the
+    routing value hashes to and rewrites ONLY that shard's partition
+    directory (static-partition INSERT OVERWRITE: 1/n_shards of the
+    table moves, the property that makes routed by-query writes viable
+    at 100 TB; other shards' files proven untouched in
+    tests/test_api.py).  Query pins the routing key
+    (``lang:de AND text:spark``) so the shard scope is semantically
+    redundant and the oracle replays the complement set without
+    needing Spark's shard hash (api.delete_by_query)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = f"rdbq_idx_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(
+        spark, docs.select("doc_id", "text", "lang"), idx,
+        id_col="doc_id", routing_col="lang", n_shards=4,
+    )
+    try:
+        res = api.delete_by_query(
+            spark, idx, "lang:de AND text:spark",
+            text_col=["text", "lang"], routing="de",
+        )
+        assert res["deleted"] + res["remaining"] == docs.count()
+        rows = spark.table(idx).select("doc_id", "lang").collect()
+    finally:
+        api.delete_index(spark, idx)
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
+@register(
     "s16_cat_indices",
     """
     SELECT 'cat_idx_nation' AS index_name,

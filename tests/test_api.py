@@ -1561,3 +1561,84 @@ def test_snapshot_resolves_alias_to_concrete_indices(spark, docs):
             api.delete_index(spark, ix)
         spark.sql(f"DROP VIEW IF EXISTS {ali}")
         shutil.rmtree(repo, ignore_errors=True)
+
+
+def test_by_query_routing_rewrites_one_shard(spark, docs):
+    """ES `?routing=` on _delete_by_query/_update_by_query: the write
+    scopes to the one shard the value hashes to AND physically
+    rewrites ONLY that shard's partition directory — every other
+    shard's parquet files are bit-identical afterwards (the 1/n_shards
+    rewrite that makes routed by-query writes viable at 100 TB)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+
+    idx = f"rt_bq_{uuid.uuid4().hex[:8]}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "lang", "source"),
+                           idx, id_col="doc_id",
+                           routing_col="lang", n_shards=4)
+
+    def files_by_shard():
+        loc = spark.sql(f"DESCRIBE TABLE EXTENDED {idx}").filter(
+            "col_name='Location'").first()["data_type"].replace("file:", "")
+        out = {}
+        for d in os.listdir(loc):
+            if d.startswith("__shard="):
+                sd = os.path.join(loc, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(sd, f)),
+                     os.path.getsize(os.path.join(sd, f)))
+                    for f in os.listdir(sd) if not f.startswith(("_", ".")))
+        return out
+
+    try:
+        t0 = spark.table(idx)
+        shard = api._routing_shard(spark, idx, "de")
+        n_de = t0.filter(F.col("lang") == "de").count()
+        in_shard_other = t0.filter(
+            (F.col("__shard") == shard) & (F.col("lang") != "de")).count()
+        before_files = files_by_shard()
+        out = api.delete_by_query(spark, idx, "lang:de", text_col="lang",
+                                  routing="de")
+        assert out["deleted"] == n_de
+        t1 = spark.table(idx)
+        assert t1.filter(F.col("lang") == "de").count() == 0
+        # non-matching docs co-resident in the shard survive
+        assert t1.filter(F.col("__shard") == shard).count() == in_shard_other
+        # every OTHER shard's files are untouched (same names/mtimes)
+        after_files = files_by_shard()
+        for d, fl in before_files.items():
+            if d != f"__shard={shard}":
+                assert after_files[d] == fl, f"{d} was rewritten"
+        # routed update: only the target shard's rows change
+        out2 = api.update_by_query(spark, idx, {"source": "'patched'"},
+                                   "source:web", text_col="source",
+                                   routing="en")
+        en_shard = api._routing_shard(spark, idx, "en")
+        t2 = spark.table(idx)
+        assert out2["updated"] == t2.filter(
+            (F.col("__shard") == en_shard)
+            & (F.col("source") == "patched")).count()
+        assert t2.filter((F.col("__shard") != en_shard)
+                         & (F.col("source") == "patched")).count() == 0
+        # guards: routing-column rewrite through the routed path, and
+        # routing on an unrouted index
+        import pytest as pt
+
+        with pt.raises(ValueError, match="routing column"):
+            api.update_by_query(spark, idx, {"lang": "'xx'"},
+                                routing="en")
+        flat = f"flat_{uuid.uuid4().hex[:8]}"
+        api.bulk_data_to_index(spark, docs.select("doc_id", "lang"), flat,
+                               id_col="doc_id")
+        try:
+            with pt.raises(ValueError, match="no custom routing"):
+                api.delete_by_query(spark, flat, "lang:de",
+                                    text_col="lang", routing="de")
+        finally:
+            api.delete_index(spark, flat)
+    finally:
+        api.delete_index(spark, idx)

@@ -46,9 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ANY registry or front-list change.
 #
 # Round-9 budget (the r8-verdict drain plan): FRONT carries ONLY this
-# round's new entries (2), so 48 of the 111 never-driver-checked
-# entries fill the rest of the window stalest-first — the backlog
-# drains to ~61 this round and to ~13 in round 10.
+# round's new entries, so ~46 of the never-driver-checked backlog
+# fill the rest of the window stalest-first — the backlog drains to
+# ~65 this round and the remainder over round 10+.
 # ROUND-10 NOTE: REPLACE this list with that round's fixes/new entries
 # (keeping green r9 names here would waste window slots re-verifying
 # them); run `python tools/check_window.py` after any change.

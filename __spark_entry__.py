@@ -61,6 +61,8 @@ _R9_FIXED_OR_NEW = (
     "l3_search_mvt",
     # routed by-query write: one-shard partition rewrite
     "s47_routed_delete_by_query",
+    # _termvectors debug endpoint
+    "l3_term_vectors",
 )
 
 def _verdict_ages() -> dict[str, int]:

@@ -453,6 +453,64 @@ def explain_score(
     return spark.createDataFrame(out, schema)
 
 
+def term_vectors(
+    docs: DataFrame,
+    doc_id,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    analyzer: str = "standard",
+    term_statistics: bool = True,
+) -> DataFrame:
+    """ES ``_termvectors`` (``GET /{index}/_termvectors/{id}``): the
+    analyzed term stream of ONE document — per term its in-doc
+    frequency and 0-based positions, plus (with ``term_statistics``,
+    like ES) the corpus-wide doc frequency and total term frequency.
+    The debug endpoint behind MLT/significant-terms tuning.
+
+    Output: ``(id, term, tf, positions, df, ttf)`` — one row per
+    distinct term of the document, positions ascending.
+
+    Plan shape: the target doc is ONE filtered row -> posexplode ->
+    tiny hash agg (doc-length-bounded).  Corpus statistics are one
+    exploded scan FILTERED MAP-SIDE to the target's terms (broadcast
+    semi-join of a doc-length-bounded term set) -> one hash agg on
+    term — never a corpus-wide term dictionary."""
+    spark = docs.sparkSession
+    toks = tokens_expr(text_col, analyzer)
+    target = docs.filter(F.col(id_col) == F.lit(doc_id)).select(
+        F.col(id_col), toks.alias("__toks")
+    )
+    per_term = (
+        target.select(F.col(id_col), F.posexplode("__toks"))
+        .groupBy(id_col, F.col("col").alias("term"))
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("bigint")))
+            .alias("positions"),
+        )
+    )
+    if not term_statistics:
+        return per_term.select(id_col, "term", "tf", "positions")
+    ex = docs.select(F.col(id_col).alias("__d"),
+                     F.explode(toks).alias("term")).join(
+        F.broadcast(per_term.select("term")), "term", "left_semi"
+    )
+    # ONE exploded scan, two-level agg (partial map-side combine on
+    # both): per-(term, doc) tf, then ttf = sum(tf) / df = doc count
+    stats = (
+        ex.groupBy("term", "__d")
+        .agg(F.count("*").alias("__tf"))
+        .groupBy("term")
+        .agg(F.sum("__tf").cast("bigint").alias("ttf"),
+             F.count("*").cast("bigint").alias("df"))
+    )
+    return (
+        per_term.join(F.broadcast(stats), "term")
+        .select(id_col, "term", "tf", "positions", "df", "ttf")
+    )
+
+
 def search_paged(
     docs: DataFrame,
     query: str,

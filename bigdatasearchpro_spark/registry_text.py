@@ -256,6 +256,65 @@ def l3_explain_score(spark, sf_dir):
 
 
 @register(
+    "l3_term_vectors",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    tgt AS (
+      SELECT doc_id, l FROM base
+      WHERE doc_id = (SELECT min(doc_id) FROM base
+                      WHERE len(list_filter(l, x -> x = 'spark')) > 0)
+    ),
+    terms AS (SELECT DISTINCT doc_id, unnest(l) AS term FROM tgt),
+    pt AS (
+      SELECT t.doc_id, t.term,
+             len(list_filter(g.l, x -> x = t.term))::BIGINT AS tf,
+             array_to_string(
+               list_filter(range(len(g.l)), i -> g.l[i + 1] = t.term),
+               ',') AS positions
+      FROM terms t JOIN tgt g ON t.doc_id = g.doc_id
+    ),
+    ne AS (SELECT doc_id, unnest(l) AS term FROM base),
+    stats AS (
+      SELECT term, count(*)::BIGINT AS ttf,
+             count(DISTINCT doc_id)::BIGINT AS df
+      FROM ne WHERE term IN (SELECT term FROM terms)
+      GROUP BY term
+    )
+    SELECT pt.doc_id, pt.term, pt.tf, pt.positions, stats.df, stats.ttf
+    FROM pt JOIN stats ON pt.term = stats.term
+    """,
+)
+def l3_term_vectors(spark, sf_dir):
+    """L3 [ES parity]: ``_termvectors`` — the analyzed term stream of
+    one document (the smallest doc containing 'spark'): per term its
+    in-doc frequency and 0-based POSITIONS (the array the span/phrase
+    machinery consumes), plus corpus-wide df/ttf term statistics.
+    Corpus stats come from ONE exploded scan filtered map-side to the
+    doc's own terms (broadcast semi-join) — never a corpus-wide term
+    dictionary; positions join to a comma string only for the hash
+    gate — the operator returns the real array
+    (operators/search.py term_vectors)."""
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = (
+        docs.filter(F2.array_contains(
+            search.tokens_expr("text"), "spark"))
+        .agg(F2.min("doc_id")).first()[0]
+    )
+    return search.term_vectors(docs, did).select(
+        "doc_id", "term", "tf",
+        F.array_join("positions", ",").alias("positions"),
+        "df", "ttf",
+    )
+
+
+@register(
     "s46_validate_query",
     """
     SELECT * FROM (VALUES

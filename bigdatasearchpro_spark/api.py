@@ -153,17 +153,13 @@ def apply_routing(spark: SparkSession, index_name: str, docs: DataFrame,
     the partition-pruning equivalent of ES hitting one shard instead
     of fanning out, which is the whole point of custom routing at
     scale.  Searching a non-routed index with routing raises (ES
-    would silently fan out; an explicit error is more honest here)."""
+    would silently fan out; an explicit error is more honest here).
+    Delegates the hash to :func:`_routing_shard` — the single home of
+    the computation, which casts the literal to the routing column's
+    NATIVE type before hashing (xxhash64 is type-sensitive)."""
     from pyspark.sql import functions as F
 
-    meta = routing_meta(spark, index_name)
-    if meta is None:
-        raise ValueError(f"index {index_name!r} has no custom routing")
-    shard = (
-        spark.range(1)
-        .select(F.pmod(F.xxhash64(F.lit(routing)), F.lit(meta["shards"])))
-        .first()[0]
-    )
+    shard = _routing_shard(spark, index_name, routing)
     return docs.filter(F.col("__shard") == F.lit(int(shard)))
 
 
@@ -1084,9 +1080,17 @@ def _staged_rewrite(spark: SparkSession, index: str, df: DataFrame) -> None:
     _invalidate_knn_indexes(index)
 
 
-def _routing_shard(spark: SparkSession, index_name: str, routing: str) -> int:
-    """The shard a routing value hashes to (same literal expression as
-    :func:`apply_routing`); raises on unrouted indices."""
+def _routing_shard(spark: SparkSession, index_name: str, routing) -> int:
+    """The shard a routing value hashes to — the single home of the
+    routing-hash computation (:func:`apply_routing` and the routed
+    by-query writes all delegate here); raises on unrouted indices.
+
+    The literal is CAST TO THE ROUTING COLUMN'S ACTUAL TYPE before
+    hashing: the write path hashed the native column
+    (``xxhash64(bigint)`` != ``xxhash64(string)`` — Spark's hash is
+    type-sensitive), so hashing the raw string literal would scope a
+    routed write/search to the WRONG shard on any non-string-routed
+    index (r9 review find)."""
     from pyspark.sql import functions as F
 
     meta = routing_meta(spark, index_name)
@@ -1094,11 +1098,24 @@ def _routing_shard(spark: SparkSession, index_name: str, routing: str) -> int:
         raise ValueError(
             f"index {index_name!r} has no custom routing "
             "(routing= requires a routed index)")
-    return int(
+    n = transform.normalize_index_name(index_name)
+    dtype = dict(spark.table(n).dtypes).get(meta["col"], "string")
+    row = (
         spark.range(1)
-        .select(F.pmod(F.xxhash64(F.lit(routing)), F.lit(meta["shards"])))
-        .first()[0]
+        .select(
+            # try_cast: ANSI mode makes a plain cast THROW on
+            # malformed input; NULL lets us raise the typed error below
+            F.lit(routing).try_cast(dtype).alias("v"),
+            F.pmod(F.xxhash64(F.lit(routing).try_cast(dtype)),
+                   F.lit(meta["shards"])).alias("shard"),
+        )
+        .first()
     )
+    if row["v"] is None:
+        raise ValueError(
+            f"routing value {routing!r} does not cast to the routing "
+            f"column's type {dtype} (column {meta['col']!r})")
+    return int(row["shard"])
 
 
 def _overwrite_shard(spark: SparkSession, index: str, shard: int,
@@ -1122,6 +1139,9 @@ def _overwrite_shard(spark: SparkSession, index: str, shard: int,
         )
     finally:
         spark.catalog.dropTempView(tmp)
+        # release the checkpoint blocks now — waiting for GC leaks
+        # executor block storage across a long session of routed writes
+        kept.unpersist()
     # content changed: stale ANN layouts would serve deleted vectors
     _invalidate_knn_indexes(index)
 

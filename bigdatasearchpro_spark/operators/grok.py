@@ -125,18 +125,26 @@ def _decapture(literal: str) -> str:
     rewritten (rewriting it would inject ``?:`` into the class)."""
     out: list[str] = []
     in_class = False
+    class_start = False  # just after '[' (and an optional '^'): a
+    # leading ']' there is a LITERAL, not the class close ('[^]()]')
     i, n = 0, len(literal)
     while i < n:
         c = literal[i]
         if c == "\\" and i + 1 < n:
             out.append(literal[i:i + 2])
             i += 2
+            class_start = False
             continue
         if in_class:
-            if c == "]":
+            if c == "^" and class_start:
+                pass  # negation marker keeps the literal-']' window open
+            elif c == "]" and not class_start:
                 in_class = False
+            else:  # including a leading ']' — literal, not the close
+                class_start = False
         elif c == "[":
             in_class = True
+            class_start = True
         elif c == "(" and not literal.startswith("(?", i):
             out.append("(?:")
             i += 1

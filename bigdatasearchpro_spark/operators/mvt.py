@@ -90,34 +90,51 @@ def mvt_feature_rows(
       zoom ``z + grid_precision`` inside the tile; (px, py) is the
       cell CENTER in tile-local extent coordinates, ``doc_count`` the
       cell population, ``feature_id`` NULL.
-    - ``layer='hits'``: the first ``size`` points by ``id_col`` asc;
-      (px, py) the point's extent coordinates, ``doc_count`` NULL,
-      ``feature_id`` the id.
+    - ``layer='hits'``: the first ``size`` points by the STRING form
+      of ``id_col`` asc (ES ``_id`` is a string, so "10" < "2" — the
+      page is an _id-sorted search page); (px, py) the point's extent
+      coordinates, ``doc_count`` NULL, ``feature_id`` the id.
     - ``layer='meta'``: one row, (0, 0), ``doc_count`` = the MAX cell
       population (the bound map clients normalize cell styling
       against, ES ``meta`` layer), NULL when the tile is empty.
 
     Plan shape: ONE scan with the pushable bbox range predicate
     (PushedFilters on stored lat/lon columns) -> exact cell-equality
-    filter -> {hash agg over <= 4^grid_precision cells, TakeOrdered
-    ``size`` hits, 1-row max} -> union of three bounded frames.  No
-    corpus-sized collect, no unbounded window, no join.
+    filter -> PERSISTED tile rows read by {hash agg over
+    <= 4^grid_precision cells, TakeOrdered ``size`` hits, 1-row max};
+    the bounded union is materialized and the cache released (the
+    search_topk pattern — without it the union re-scans the corpus
+    once per layer).  No corpus-sized collect, no unbounded window,
+    no join.
     """
     if not (0 <= int(grid_precision) <= 8):
         raise ValueError("grid_precision must be in [0, 8]")
     if extent < 1 or (extent & (extent - 1)):
         raise ValueError(f"extent must be a power of two, got {extent}")
+    if extent < (1 << int(grid_precision)):
+        raise ValueError(
+            f"extent {extent} must be >= 2^grid_precision "
+            f"({1 << int(grid_precision)}) — smaller collapses every "
+            "cell center to pixel (0, 0)")
     if size < 0:
         raise ValueError("size must be >= 0")
+    spark = df.sparkSession
     z, x, y = int(z), int(x), int(y)
+    n_tiles = 1 << z
     lon_w, lon_e, lat_s, lat_n = tile_bounds(z, x, y)
     lat, lon = F.col(lat_col), F.col(lon_col)
 
-    # scan-pushable prefilter (widened: containment over exactness)
+    # scan-pushable prefilter (widened: containment over exactness).
+    # EDGE TILES get an open latitude bound: geotile_xy CLAMPS lat to
+    # +/-85.0511 and clamps y into range, so a doc at lat=89 belongs
+    # to every y=0 tile — a lat <= lat_n bound would drop it before
+    # the exact predicate admits it (the round-8 geo prefilter
+    # containment lesson, recurring; caught again in the r9 review).
+    lat_lo = -90.0 if y == n_tiles - 1 else lat_s - _BOX_EPS
+    lat_hi = 90.0 if y == 0 else lat_n + _BOX_EPS
     boxed = df.filter(
         (lon >= F.lit(lon_w - _BOX_EPS)) & (lon <= F.lit(lon_e + _BOX_EPS))
-        & (lat >= F.lit(max(lat_s - _BOX_EPS, -MERCATOR_LAT_MAX - 1.0)))
-        & (lat <= F.lit(min(lat_n + _BOX_EPS, MERCATOR_LAT_MAX + 1.0)))
+        & (lat >= F.lit(lat_lo)) & (lat <= F.lit(lat_hi))
     )
     # exact tile membership: the SAME floor chain as geotile_grid
     tx, ty = geotile_xy(lat, lon, z)
@@ -170,6 +187,9 @@ def mvt_feature_rows(
             _pixel(lon_glob, x).alias("px"),
             _pixel(lat_glob, y).alias("py"),
             F.lit(None).cast("bigint").alias("doc_count"),
+            # ES _id IS a string: the hits page orders/cuts on the
+            # string form of the id (so "10" < "2"), exactly like a
+            # search sorted on _id
             F.col(id_col).cast("string").alias("feature_id"),
         )
         .orderBy(F.asc("feature_id"))
@@ -183,7 +203,17 @@ def mvt_feature_rows(
         F.col("doc_count").cast("bigint").alias("doc_count"),
         F.lit(None).cast("string").alias("feature_id"),
     )
-    return aggs.unionByName(hits).unionByName(meta)
+    # The three layers share one tile read: persist the filtered tile
+    # rows, materialize the bounded union, release the cache (the
+    # search_topk pattern) — without this the union plan scans the
+    # corpus three times (aggs, hits, meta), 3x the I/O per tile.
+    union = aggs.unionByName(hits).unionByName(meta)
+    in_tile.persist()
+    try:
+        rows, schema = union.collect(), union.schema
+    finally:
+        in_tile.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -280,12 +310,13 @@ def mvt_encode(rows, *, extent: int = EXTENT_DEFAULT) -> bytes:
             raise ValueError(f"unknown MVT layer {layer!r}")
     out = b""
     feats = []
+    val_idx: "dict[int, int]" = {}  # O(1) value dedup (65536 cells at gp=8)
     for r in sorted(aggs, key=lambda r: (r["px"], r["py"])):
-        try:
-            vi = agg_vals.index(int(r["doc_count"]))
-        except ValueError:
-            vi = len(agg_vals)
-            agg_vals.append(int(r["doc_count"]))
+        v = int(r["doc_count"])
+        vi = val_idx.get(v)
+        if vi is None:
+            vi = val_idx[v] = len(agg_vals)
+            agg_vals.append(v)
         feats.append(_mvt_feature(int(r["px"]), int(r["py"]), tags=[0, vi]))
     out += _mvt_layer("aggs", feats, ["_count"], agg_vals, extent)
     feats = []

@@ -147,6 +147,22 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     test_plans gate fails on it.  This is the machine check that lets
     bench mute the per-query warning flood (bench.py) without a real
     unbounded window being able to hide in it."""
+    def _bounded(node) -> bool:
+        # bounded along EVERY path to a leaf: a bounding node caps its
+        # whole subtree; otherwise every child must itself be bounded
+        # (a join/union mixing a bounded lookup side with an unbounded
+        # corpus side is UNBOUNDED — requiring 'any node anywhere'
+        # would let a broadcast-joined corpus window slip the gate).
+        name = node.nodeName()
+        if name.startswith(_BOUNDING_NODES):
+            return True
+        if "AdaptiveSparkPlan" in name:
+            return _bounded(node.initialPlan())
+        kids = node.children()
+        if kids.size() == 0:
+            return False  # a scan leaf that isn't itself bounding
+        return all(_bounded(kids.apply(i)) for i in range(kids.size()))
+
     flagged: list[str] = []
     for node in _walk_jvm_plan(df._jdf.queryExecution().executedPlan()):
         if node.nodeName() != "Window":
@@ -156,8 +172,8 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
                 continue
         except Exception:
             continue  # not a WindowExec-shaped node
-        sub = list(_walk_jvm_plan(node))[1:]
-        if not any(k.nodeName().startswith(_BOUNDING_NODES) for k in sub):
+        kids = node.children()
+        if not all(_bounded(kids.apply(i)) for i in range(kids.size())):
             flagged.append(node.nodeName() + ": " + node.simpleStringWithNodeId())
     return flagged
 

@@ -1642,3 +1642,48 @@ def test_by_query_routing_rewrites_one_shard(spark, docs):
             api.delete_index(spark, flat)
     finally:
         api.delete_index(spark, idx)
+
+
+def test_routing_hash_uses_native_column_type(spark):
+    """r9 review find: xxhash64 is type-sensitive — the write path
+    hashes the NATIVE routing column (e.g. bigint), so a routed
+    search/write passing the value as a string must cast before
+    hashing or it scopes to the WRONG shard (a destructive routed
+    delete silently no-oping)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    idx = f"rt_long_{uuid.uuid4().hex[:8]}"
+    rows = [(i, i % 10, f"v{i}") for i in range(200)]
+    # bulk_index_table directly: cust_id stays BIGINT (no stringify)
+    bulk_index_table(
+        spark.createDataFrame(rows, "doc_id long, cust_id long, v string"),
+        idx, routing_col="cust_id", n_shards=4)
+    try:
+        t = spark.table(idx)
+        # the shard _routing_shard computes must BE the shard the
+        # write placed cust_id=7 docs in
+        shard = api._routing_shard(spark, idx, "7")
+        placed = {r["__shard"] for r in
+                  t.filter(F.col("cust_id") == 7).select("__shard")
+                  .distinct().collect()}
+        assert placed == {shard}
+        # routed search via the string value finds the docs
+        got = api.apply_routing(spark, idx, t, routing="7").filter(
+            F.col("cust_id") == 7).count()
+        assert got == 20
+        # routed delete actually deletes (the no-op failure mode)
+        out = api.delete_by_query(spark, idx, "v:v7 OR v:v17",
+                                  text_col="v", routing="7")
+        assert out["deleted"] == 2
+        # unparseable routing value for the column type is rejected
+        import pytest as pt
+
+        with pt.raises(ValueError, match="does not cast"):
+            api._routing_shard(spark, idx, "not-a-number")
+    finally:
+        api.delete_index(spark, idx)

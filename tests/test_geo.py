@@ -563,3 +563,29 @@ def test_mvt_feature_rows_invariants(spark):
         mvt_feature_rows(df, "lat", "lon", 1, 0, 0, extent=1000)
     with pt.raises(ValueError, match="grid_precision"):
         mvt_feature_rows(df, "lat", "lon", 1, 0, 0, grid_precision=9)
+
+
+def test_mvt_polar_containment_and_extent_guard(spark):
+    """r9 review finds: (1) the bbox prefilter must be CONTAINING at
+    the poles — geotile_xy clamps lat to ±85.0511, so a doc at lat=89
+    belongs to every y=0 tile and must appear in hits/aggs; (2)
+    extent < 2^grid_precision would collapse every cell to pixel
+    (0,0) and must be rejected."""
+    import pytest as pt
+
+    from bigdatasearchpro_spark.operators.mvt import mvt_feature_rows
+
+    df = spark.createDataFrame(
+        [(1, 89.0, -90.0), (2, -89.5, -90.0), (3, 40.0, -90.0)],
+        "doc_id long, lat double, lon double")
+    top = mvt_feature_rows(df, "lat", "lon", 1, 0, 0, id_col="doc_id",
+                           grid_precision=2, size=10).collect()
+    hit_ids = {r["feature_id"] for r in top if r["layer"] == "hits"}
+    assert hit_ids == {"1", "3"}, "polar doc clipped by the prefilter"
+    bottom = mvt_feature_rows(df, "lat", "lon", 1, 0, 1, id_col="doc_id",
+                              grid_precision=2, size=10).collect()
+    assert {r["feature_id"] for r in bottom
+            if r["layer"] == "hits"} == {"2"}
+    with pt.raises(ValueError, match="grid_precision"):
+        mvt_feature_rows(df, "lat", "lon", 1, 0, 0,
+                         extent=16, grid_precision=8)

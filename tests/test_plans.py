@@ -834,3 +834,26 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     )
     assert unbounded_global_windows(bad), "gate failed to flag a global " \
         "window ranking a raw corpus scan"
+
+
+def test_window_gate_requires_bounding_on_every_path(spark, sf_dir):
+    """r9 review find: a corpus-sized global window whose plan merely
+    CONTAINS a bounded frame somewhere (e.g. a broadcast lookup join)
+    must still be flagged — bounding must hold on every path from the
+    window to a scan leaf."""
+    from pyspark.sql import Window
+
+    from bigdatasearchpro_spark.plans.inspect import unbounded_global_windows
+
+    corpus = load_table(spark, sf_dir, "documents")
+    lookup = spark.createDataFrame([("en", 1), ("de", 2)], "lang string, w int")
+    joined = corpus.join(F.broadcast(lookup), "lang")
+    bad = joined.select(
+        "doc_id", F.row_number().over(Window.orderBy("n_chars")).alias("rn"))
+    assert unbounded_global_windows(bad), \
+        "broadcast-joined corpus window slipped the gate"
+    # and a PAGE joined to a bounded lookup still passes
+    page = corpus.orderBy("doc_id").limit(5).join(F.broadcast(lookup), "lang")
+    ok = page.select(
+        "doc_id", F.row_number().over(Window.orderBy("n_chars")).alias("rn"))
+    assert not unbounded_global_windows(ok)

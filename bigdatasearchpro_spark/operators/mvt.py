@@ -70,6 +70,31 @@ def tile_bounds(z: int, x: int, y: int) -> "tuple[float, float, float, float]":
 _BOX_EPS = 1e-6
 
 
+def tile_filter(df: DataFrame, lat_col: str, lon_col: str,
+                z: int, x: int, y: int) -> DataFrame:
+    """The rows belonging to slippy tile z/x/y: a scan-PUSHABLE
+    bounding-box range prefilter (plan-gated in tests/test_geo.py),
+    then the exact :func:`geo.geotile_xy` floor-chain equality.
+
+    EDGE TILES get an open latitude bound: geotile_xy CLAMPS lat to
+    +/-85.0511 and clamps y into range, so a doc at lat=89 belongs to
+    every y=0 tile — a ``lat <= lat_n`` bound would drop it before
+    the exact predicate admits it (the round-8 geo prefilter
+    containment lesson, recurring; caught again in the r9 review)."""
+    z, x, y = int(z), int(x), int(y)
+    n_tiles = 1 << z
+    lon_w, lon_e, lat_s, lat_n = tile_bounds(z, x, y)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    lat_lo = -90.0 if y == n_tiles - 1 else lat_s - _BOX_EPS
+    lat_hi = 90.0 if y == 0 else lat_n + _BOX_EPS
+    boxed = df.filter(
+        (lon >= F.lit(lon_w - _BOX_EPS)) & (lon <= F.lit(lon_e + _BOX_EPS))
+        & (lat >= F.lit(lat_lo)) & (lat <= F.lit(lat_hi))
+    )
+    tx, ty = geotile_xy(lat, lon, z)
+    return boxed.filter((tx == F.lit(x)) & (ty == F.lit(y)))
+
+
 def mvt_feature_rows(
     df: DataFrame,
     lat_col: str,
@@ -120,25 +145,8 @@ def mvt_feature_rows(
         raise ValueError("size must be >= 0")
     spark = df.sparkSession
     z, x, y = int(z), int(x), int(y)
-    n_tiles = 1 << z
-    lon_w, lon_e, lat_s, lat_n = tile_bounds(z, x, y)
+    in_tile = tile_filter(df, lat_col, lon_col, z, x, y)
     lat, lon = F.col(lat_col), F.col(lon_col)
-
-    # scan-pushable prefilter (widened: containment over exactness).
-    # EDGE TILES get an open latitude bound: geotile_xy CLAMPS lat to
-    # +/-85.0511 and clamps y into range, so a doc at lat=89 belongs
-    # to every y=0 tile — a lat <= lat_n bound would drop it before
-    # the exact predicate admits it (the round-8 geo prefilter
-    # containment lesson, recurring; caught again in the r9 review).
-    lat_lo = -90.0 if y == n_tiles - 1 else lat_s - _BOX_EPS
-    lat_hi = 90.0 if y == 0 else lat_n + _BOX_EPS
-    boxed = df.filter(
-        (lon >= F.lit(lon_w - _BOX_EPS)) & (lon <= F.lit(lon_e + _BOX_EPS))
-        & (lat >= F.lit(lat_lo)) & (lat <= F.lit(lat_hi))
-    )
-    # exact tile membership: the SAME floor chain as geotile_grid
-    tx, ty = geotile_xy(lat, lon, z)
-    in_tile = boxed.filter((tx == F.lit(x)) & (ty == F.lit(y)))
 
     zg = z + int(grid_precision)
     cells = 1 << int(grid_precision)

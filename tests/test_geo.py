@@ -589,3 +589,22 @@ def test_mvt_polar_containment_and_extent_guard(spark):
     with pt.raises(ValueError, match="grid_precision"):
         mvt_feature_rows(df, "lat", "lon", 1, 0, 0,
                          extent=16, grid_precision=8)
+
+
+def test_mvt_tile_filter_pushes_to_scan(spark, tmp_path):
+    """On STORED coordinate columns the MVT tile prefilter reaches the
+    parquet scan as pushed lat/lon range filters — the plan property
+    that makes a tile render touch only the tile's neighborhood of a
+    100 TB corpus."""
+    from bigdatasearchpro_spark.operators.mvt import tile_filter
+    from bigdatasearchpro_spark.plans import pushed_filters
+
+    p = str(tmp_path / "mvt_points")
+    spark.createDataFrame(
+        [(i, (i % 170) - 85.0, (i % 360) - 180.0) for i in range(1000)],
+        "id bigint, lat double, lon double",
+    ).write.parquet(p)
+    df = tile_filter(spark.read.parquet(p), "lat", "lon", 3, 1, 2)
+    pushed = " ".join(pushed_filters(df))
+    assert "lat" in pushed and "lon" in pushed
+    assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed

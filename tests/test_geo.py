@@ -608,3 +608,50 @@ def test_mvt_tile_filter_pushes_to_scan(spark, tmp_path):
     pushed = " ".join(pushed_filters(df))
     assert "lat" in pushed and "lon" in pushed
     assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed
+
+
+def test_mvt_encode_decode_roundtrip_property():
+    """Property: for arbitrary bounded feature rows, encode -> decode
+    (independent wire parser) reproduces every layer's feature multiset
+    exactly — coordinates (zigzag over the full extent incl. 0 and
+    extent-1), counts (varint incl. large values), ids."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatasearchpro_spark.operators.mvt import mvt_encode
+
+    coord = st.integers(min_value=0, max_value=4095)
+    aggs = st.lists(
+        st.tuples(coord, coord, st.integers(min_value=1, max_value=2**40)),
+        max_size=20, unique_by=lambda t: (t[0], t[1]))
+    hits = st.lists(
+        st.tuples(coord, coord, st.integers(min_value=0, max_value=10**12)),
+        max_size=20, unique_by=lambda t: t[2])
+
+    @settings(max_examples=200, deadline=None)
+    @given(aggs, hits)
+    def check(agg_rows, hit_rows):
+        rows = [
+            {"layer": "aggs", "px": px, "py": py, "doc_count": c,
+             "feature_id": None} for px, py, c in agg_rows
+        ] + [
+            {"layer": "hits", "px": px, "py": py, "doc_count": None,
+             "feature_id": str(i)} for px, py, i in hit_rows
+        ] + ([{"layer": "meta", "px": 0, "py": 0,
+               "doc_count": max(c for _, _, c in agg_rows),
+               "feature_id": None}] if agg_rows else [])
+        tile = mvt_encode(rows)
+        layers = _decode_mvt(tile)
+        got_aggs = sorted(
+            (pt[0], pt[1], layers["aggs"]["values"][tags[1]])
+            for _, tags, pt in layers["aggs"]["features"])
+        assert got_aggs == sorted(agg_rows)
+        got_hits = sorted(
+            (pt[0], pt[1], fid)
+            for fid, _, pt in layers["hits"]["features"])
+        assert got_hits == sorted((px, py, i) for px, py, i in hit_rows)
+        if agg_rows:
+            (_, mtags, _), = layers["meta"]["features"]
+            assert layers["meta"]["values"][mtags[1]] == max(
+                c for _, _, c in agg_rows)
+
+    check()

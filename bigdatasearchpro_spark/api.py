@@ -990,18 +990,31 @@ def restore_index(
         )
     else:
         rows = bulk_index_table(df, dst)
-    # re-apply the snapshotted index settings (analyzer mappings, the
-    # shards setting) — ES restores settings WITH the data; without
-    # this a restored index searched with standard analysis
+    # REPLACE the index settings with the snapshot's (analyzer
+    # mappings, the shards setting) — ES restores settings WITH the
+    # data.  Replace, not merge: bulk_index_table's overwrite keep-set
+    # re-applies the destination's PRE-EXISTING analyzer props, so a
+    # prop added after the snapshot was taken would otherwise survive
+    # the restore and the "restored" index would silently search with
+    # the wrong analysis (r9 high review find).
+    from bigdatasearchpro_spark.sinks.ddl import ANALYZER_PROP_PREFIX
+
+    settings = {}
     spath = os.path.join(path, "_bdsp_settings.json")
     if os.path.exists(spath):
         with open(spath, encoding="utf-8") as f:
             settings = _json.load(f)
-        for k, v in settings.items():
-            kq, vq = k.replace("'", "''"), str(v).replace("'", "''")
+    for r in spark.sql(f"SHOW TBLPROPERTIES {dst}").collect():
+        if r["key"].startswith(ANALYZER_PROP_PREFIX) and \
+                r["key"] not in settings:
+            kq = r["key"].replace("'", "''")
             spark.sql(
-                f"ALTER TABLE {dst} SET TBLPROPERTIES ('{kq}' = '{vq}')"
-            )
+                f"ALTER TABLE {dst} UNSET TBLPROPERTIES ('{kq}')")
+    for k, v in settings.items():
+        kq, vq = k.replace("'", "''"), str(v).replace("'", "''")
+        spark.sql(
+            f"ALTER TABLE {dst} SET TBLPROPERTIES ('{kq}' = '{vq}')"
+        )
     return {"index": dst, "rows": rows}
 
 
@@ -1119,31 +1132,56 @@ def _routing_shard(spark: SparkSession, index_name: str, routing) -> int:
 
 
 def _overwrite_shard(spark: SparkSession, index: str, shard: int,
-                     kept: DataFrame) -> None:
+                     kept: DataFrame) -> int:
     """Replace ONE ``__shard`` partition directory with ``kept`` (the
     shard's surviving rows, ``__shard`` already dropped): INSERT
     OVERWRITE with a STATIC partition spec rewrites only that
     directory — 1/n_shards of the table moves instead of the full
     staged-copy swap, which is the entire point of passing routing to
-    a by-query write at scale.  ``kept`` is eagerly checkpointed first
-    (executor block storage, one shard's rows) because Spark refuses
-    an INSERT OVERWRITE that reads from the table it overwrites."""
+    a by-query write at scale.  Returns the surviving-row count.
+
+    Publish protocol (the same no-data-loss guarantee as
+    ``_staged_rewrite``): the survivors are first written to a DURABLE
+    staging parquet directory — Spark's static-partition INSERT
+    OVERWRITE deletes the target partition before its write job
+    commits, so sourcing it from volatile executor blocks
+    (localCheckpoint) risked losing the shard to a mid-write failure
+    (r9 high review find).  A complete on-disk copy now exists before
+    anything is deleted; an insert failure raises with the staged
+    path so the partition is manually recoverable, and the staging
+    dir is removed only after a successful commit."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
     cols = [c for c in spark.table(index).columns if c != "__shard"]
-    kept = kept.select(*cols).localCheckpoint(eager=True)
+    staged = _os.path.join(
+        _tempfile.gettempdir(), "bdsp_shard_rw",
+        f"{index}-{int(shard)}-{_uuid.uuid4().hex[:8]}")
+    kept.select(*cols).write.mode("errorifexists").parquet(staged)
+    back = spark.read.parquet(staged)
+    n_kept = back.count()
     tmp = f"__bdsp_shard_rw_{index}"
-    kept.createOrReplaceTempView(tmp)
+    back.createOrReplaceTempView(tmp)
     try:
         spark.sql(
             f"INSERT OVERWRITE TABLE {index} PARTITION (__shard={int(shard)}) "
             f"SELECT * FROM {tmp}"
         )
+    except Exception as e:
+        raise RuntimeError(
+            f"routed by-query overwrite interrupted: partition "
+            f"__shard={int(shard)} of {index!r} may be incomplete, but "
+            f"its complete surviving copy is staged at {staged!r} — "
+            f"re-run INSERT OVERWRITE from it to recover"
+        ) from e
     finally:
         spark.catalog.dropTempView(tmp)
-        # release the checkpoint blocks now — waiting for GC leaks
-        # executor block storage across a long session of routed writes
-        kept.unpersist()
+    _shutil.rmtree(staged, ignore_errors=True)
     # content changed: stale ANN layouts would serve deleted vectors
     _invalidate_knn_indexes(index)
+    return n_kept
 
 
 def delete_by_query(
@@ -1195,10 +1233,12 @@ def delete_by_query(
         scope = docs.filter(F.col("__shard") == F.lit(shard))
         total = scope.count()
         kept = scope.filter(~F.coalesce(pred, F.lit(False)))
-        _overwrite_shard(spark, n, shard, kept)
+        n_kept = _overwrite_shard(spark, n, shard, kept)
+        # deleted comes from the shard-scoped numbers already in hand
+        # (no post-write rescan of the shard); the single full count
+        # is the `remaining` the response shape promises
+        deleted = total - n_kept
         remaining = spark.table(n).count()
-        deleted = total - spark.table(n).filter(
-            F.col("__shard") == F.lit(shard)).count()
         return {"deleted": deleted, "remaining": remaining}
     total = docs.count()
     kept = docs.filter(~F.coalesce(pred, F.lit(False)))

@@ -87,8 +87,14 @@ def tile_filter(df: DataFrame, lat_col: str, lon_col: str,
     lat, lon = F.col(lat_col), F.col(lon_col)
     lat_lo = -90.0 if y == n_tiles - 1 else lat_s - _BOX_EPS
     lat_hi = 90.0 if y == 0 else lat_n + _BOX_EPS
+    # geotile_xy also clamps x DOWN into the last column (lon >= 180,
+    # e.g. unnormalized data), so the LAST tile column needs an open
+    # upper lon bound for the same containment reason as the poles
+    # (there is no lower x clamp — lon < -180 maps to x = -1 and
+    # matches no tile, so the west bound stays tight)
+    lon_hi = 1e9 if x == n_tiles - 1 else lon_e + _BOX_EPS
     boxed = df.filter(
-        (lon >= F.lit(lon_w - _BOX_EPS)) & (lon <= F.lit(lon_e + _BOX_EPS))
+        (lon >= F.lit(lon_w - _BOX_EPS)) & (lon <= F.lit(lon_hi))
         & (lat >= F.lit(lat_lo)) & (lat <= F.lit(lat_hi))
     )
     tx, ty = geotile_xy(lat, lon, z)
@@ -327,13 +333,23 @@ def mvt_encode(rows, *, extent: int = EXTENT_DEFAULT) -> bytes:
             agg_vals.append(v)
         feats.append(_mvt_feature(int(r["px"]), int(r["py"]), tags=[0, vi]))
     out += _mvt_layer("aggs", feats, ["_count"], agg_vals, extent)
-    feats = []
+    feats, hit_ids = [], []
     for r in sorted(hits, key=lambda r: (r["feature_id"] or "", r["px"])):
         fid = None
         if r["feature_id"] is not None and str(r["feature_id"]).isdigit():
             fid = int(r["feature_id"])
-        feats.append(_mvt_feature(int(r["px"]), int(r["py"]), fid=fid))
-    out += _mvt_layer("hits", feats, [], [], extent)
+        # MVT feature ids are unsigned ints only — ALWAYS carry the
+        # document id as a string `_id` tag too (like ES _mvt), else a
+        # non-numeric id ('doc-17') would encode as an anonymous,
+        # unresolvable point (r9 high review find)
+        tags = None
+        if r["feature_id"] is not None:
+            hit_ids.append(str(r["feature_id"]))
+            tags = [0, len(hit_ids) - 1]
+        feats.append(_mvt_feature(int(r["px"]), int(r["py"]), fid=fid,
+                                  tags=tags))
+    out += _mvt_layer("hits", feats, ["_id"] if hit_ids else [],
+                      hit_ids, extent)
     feats, meta_vals = [], []
     for r in meta:
         if r["doc_count"] is not None:

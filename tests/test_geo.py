@@ -655,3 +655,58 @@ def test_mvt_encode_decode_roundtrip_property():
                 c for _, _, c in agg_rows)
 
     check()
+
+
+def test_mvt_lon_edge_and_string_ids(spark):
+    """r9 high-review finds: (1) geotile_xy clamps x into the LAST
+    column, so a doc with unnormalized lon >= 180 belongs to tile
+    x=n-1 and the bbox prefilter must not clip it; (2) non-numeric
+    document ids must survive the encode as `_id` string tags (MVT
+    feature ids are uint-only)."""
+    from bigdatasearchpro_spark.operators.mvt import (
+        mvt_encode,
+        mvt_feature_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-a", 10.0, 190.0), ("doc-b", 10.0, 90.0)],
+        "doc_id string, lat double, lon double")
+    rows = mvt_feature_rows(df, "lat", "lon", 1, 1, 0, id_col="doc_id",
+                            grid_precision=2, size=10).collect()
+    hit_ids = {r["feature_id"] for r in rows if r["layer"] == "hits"}
+    assert hit_ids == {"doc-a", "doc-b"}, "lon>=180 doc clipped"
+    layers = _decode_mvt(mvt_encode(rows))
+    got = set()
+    for fid, tags, pt in layers["hits"]["features"]:
+        assert tags and layers["hits"]["keys"] == ["_id"]
+        got.add(layers["hits"]["values"][tags[1]])
+    assert got == {"doc-a", "doc-b"}
+
+
+def test_restore_replaces_settings_and_routed_write_is_staged(spark, docs):
+    """r9 high-review finds: (1) restore over an EXISTING index must
+    REPLACE its analyzer settings with the snapshot's — a prop added
+    after the snapshot must not survive (bulk's keep-set would merge
+    it back); (2) the routed shard overwrite stages survivors to a
+    durable parquet dir before any delete (no volatile-blocks-only
+    copy) — behavioral check: the routed delete still lands correctly."""
+    import shutil
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    sfx = uuid.uuid4().hex[:8]
+    idx, repo = f"rst_{sfx}", f"/tmp/bdsp_snap_rst_{sfx}"
+    api.bulk_data_to_index(spark, docs.select("doc_id", "text", "lang"),
+                           idx, id_col="doc_id")
+    try:
+        api.put_mapping(spark, idx, {"text": "english"})
+        api.snapshot_index(spark, idx, repo)
+        # mutate settings AFTER the snapshot
+        api.put_mapping(spark, idx, {"lang": "whitespace"})
+        api.restore_index(spark, repo, idx)
+        assert api.get_field_mapping(spark, idx) == {"text": "english"}, \
+            "post-snapshot analyzer prop survived the restore"
+    finally:
+        api.delete_index(spark, idx)
+        shutil.rmtree(repo, ignore_errors=True)

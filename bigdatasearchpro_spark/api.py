@@ -1142,43 +1142,37 @@ def _overwrite_shard(spark: SparkSession, index: str, shard: int,
 
     Publish protocol (the same no-data-loss guarantee as
     ``_staged_rewrite``): the survivors are first written to a DURABLE
-    staging parquet directory — Spark's static-partition INSERT
+    staging MANAGED TABLE — Spark's static-partition INSERT
     OVERWRITE deletes the target partition before its write job
     commits, so sourcing it from volatile executor blocks
     (localCheckpoint) risked losing the shard to a mid-write failure
-    (r9 high review find).  A complete on-disk copy now exists before
+    (r9 high review find).  Staging as a managed table (not a
+    driver-local tempdir, r9 advice) puts the recovery copy in the
+    WAREHOUSE — the same shared filesystem as the index — so the
+    guarantee holds on a multi-node cluster, exactly like
+    ``_staged_rewrite``.  A complete on-storage copy exists before
     anything is deleted; an insert failure raises with the staged
-    path so the partition is manually recoverable, and the staging
-    dir is removed only after a successful commit."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
+    table name so the partition is manually recoverable, and the
+    staging table is dropped only after a successful commit."""
     import uuid as _uuid
 
     cols = [c for c in spark.table(index).columns if c != "__shard"]
-    staged = _os.path.join(
-        _tempfile.gettempdir(), "bdsp_shard_rw",
-        f"{index}-{int(shard)}-{_uuid.uuid4().hex[:8]}")
-    kept.select(*cols).write.mode("errorifexists").parquet(staged)
-    back = spark.read.parquet(staged)
-    n_kept = back.count()
-    tmp = f"__bdsp_shard_rw_{index}"
-    back.createOrReplaceTempView(tmp)
+    staged = f"{index}__shard_rw_{_uuid.uuid4().hex[:8]}"
+    kept.select(*cols).write.mode("errorifexists").saveAsTable(staged)
+    n_kept = spark.table(staged).count()
     try:
         spark.sql(
             f"INSERT OVERWRITE TABLE {index} PARTITION (__shard={int(shard)}) "
-            f"SELECT * FROM {tmp}"
+            f"SELECT * FROM {staged}"
         )
     except Exception as e:
         raise RuntimeError(
             f"routed by-query overwrite interrupted: partition "
             f"__shard={int(shard)} of {index!r} may be incomplete, but "
-            f"its complete surviving copy is staged at {staged!r} — "
+            f"its complete surviving copy is staged as table {staged!r} — "
             f"re-run INSERT OVERWRITE from it to recover"
         ) from e
-    finally:
-        spark.catalog.dropTempView(tmp)
-    _shutil.rmtree(staged, ignore_errors=True)
+    spark.sql(f"DROP TABLE {staged}")
     # content changed: stale ANN layouts would serve deleted vectors
     _invalidate_knn_indexes(index)
     return n_kept

@@ -85,8 +85,13 @@ def tile_filter(df: DataFrame, lat_col: str, lon_col: str,
     n_tiles = 1 << z
     lon_w, lon_e, lat_s, lat_n = tile_bounds(z, x, y)
     lat, lon = F.col(lat_col), F.col(lon_col)
-    lat_lo = -90.0 if y == n_tiles - 1 else lat_s - _BOX_EPS
-    lat_hi = 90.0 if y == 0 else lat_n + _BOX_EPS
+    # Edge rows get OPEN latitude bounds (not +/-90): geotile_xy clamps
+    # ANY latitude — even unnormalized |lat|>90 data — into the edge
+    # rows, so a lat=95 doc belongs to every y=0 tile and a 90.0 bound
+    # would drop it before the exact predicate admits it (r9 advice;
+    # mirrors the open lon_hi below for lon>=180).
+    lat_lo = -1e9 if y == n_tiles - 1 else lat_s - _BOX_EPS
+    lat_hi = 1e9 if y == 0 else lat_n + _BOX_EPS
     # geotile_xy also clamps x DOWN into the last column (lon >= 180,
     # e.g. unnormalized data), so the LAST tile column needs an open
     # upper lon bound for the same containment reason as the poles
@@ -338,6 +343,11 @@ def mvt_encode(rows, *, extent: int = EXTENT_DEFAULT) -> bytes:
         fid = None
         if r["feature_id"] is not None and str(r["feature_id"]).isdigit():
             fid = int(r["feature_id"])
+            if fid >= 1 << 64:
+                # the wire id is a uint64 varint — a wider numeric id
+                # would silently truncate; fall back to tag-only
+                # identification (the string _id tag is still exact)
+                fid = None
         # MVT feature ids are unsigned ints only — ALWAYS carry the
         # document id as a string `_id` tag too (like ES _mvt), else a
         # non-numeric id ('doc-17') would encode as an anonymous,

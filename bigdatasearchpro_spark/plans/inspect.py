@@ -158,6 +158,12 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
             return True
         if "AdaptiveSparkPlan" in name:
             return _bounded(node.initialPlan())
+        if name.startswith("ReusedExchange"):
+            # childless in the tree but REFERENCES another exchange —
+            # recurse into the reused plan instead of treating the
+            # node as an unbounded leaf (false positive under AQE
+            # exchange reuse; r9 advice)
+            return _bounded(node.child())
         kids = node.children()
         if kids.size() == 0:
             return False  # a scan leaf that isn't itself bounding

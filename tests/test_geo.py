@@ -683,6 +683,46 @@ def test_mvt_lon_edge_and_string_ids(spark):
     assert got == {"doc-a", "doc-b"}
 
 
+def test_mvt_lat_out_of_range_and_wide_ids(spark):
+    """r9 advice: (1) geotile_xy clamps ANY latitude — even
+    unnormalized |lat| > 90 — into the edge rows, so the edge-row bbox
+    prefilter must use OPEN latitude bounds (a lat=95 doc belongs to
+    every y=0 tile, a lat=-95 doc to every y=n-1 tile); (2) a numeric
+    document id >= 2^64 does not fit the uint64 wire feature id and
+    must fall back to tag-only identification instead of silently
+    masking to 64 bits."""
+    from bigdatasearchpro_spark.operators.mvt import (
+        mvt_encode,
+        mvt_feature_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("north", 95.0, -90.0), ("south", -95.0, -90.0),
+         ("mid", 40.0, -90.0)],
+        "doc_id string, lat double, lon double")
+    top = mvt_feature_rows(df, "lat", "lon", 1, 0, 0, id_col="doc_id",
+                           grid_precision=2, size=10).collect()
+    assert {r["feature_id"] for r in top if r["layer"] == "hits"} == \
+        {"north", "mid"}, "lat>90 doc clipped by the prefilter"
+    bottom = mvt_feature_rows(df, "lat", "lon", 1, 0, 1, id_col="doc_id",
+                              grid_precision=2, size=10).collect()
+    assert {r["feature_id"] for r in bottom if r["layer"] == "hits"} == \
+        {"south"}, "lat<-90 doc clipped by the prefilter"
+    # wide numeric ids: 2^64-1 encodes as the wire fid; 2^64 must not
+    wide, fits = str(1 << 64), str((1 << 64) - 1)
+    rows = [
+        {"layer": "hits", "px": 1, "py": 1, "doc_count": None,
+         "feature_id": wide},
+        {"layer": "hits", "px": 2, "py": 2, "doc_count": None,
+         "feature_id": fits},
+    ]
+    layers = _decode_mvt(mvt_encode(rows))
+    by_tag = {layers["hits"]["values"][tags[1]]: fid
+              for fid, tags, _ in layers["hits"]["features"]}
+    assert by_tag[fits] == (1 << 64) - 1
+    assert by_tag[wide] is None, "2^64 id was masked onto the wire"
+
+
 def test_restore_replaces_settings_and_routed_write_is_staged(spark, docs):
     """r9 high-review finds: (1) restore over an EXISTING index must
     REPLACE its analyzer settings with the snapshot's — a prop added

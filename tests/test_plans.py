@@ -857,3 +857,35 @@ def test_window_gate_requires_bounding_on_every_path(spark, sf_dir):
     ok = page.select(
         "doc_id", F.row_number().over(Window.orderBy("n_chars")).alias("rn"))
     assert not unbounded_global_windows(ok)
+
+
+def test_window_gate_resolves_reused_exchange(spark, sf_dir):
+    """r9 advice: ReusedExchange is childless in the tree but
+    REFERENCES another exchange — the gate must recurse into the
+    reused plan, not treat it as an unbounded leaf.  With AQE off
+    (reuse lands in the executed plan directly) a bounded page read
+    twice through exchange reuse must NOT be flagged, and an unbounded
+    corpus read through the same reuse must STILL be flagged."""
+    from pyspark.sql import Window
+
+    from bigdatasearchpro_spark.plans.inspect import unbounded_global_windows
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(1000).withColumn("k", F.col("id") % 10)
+        page = df.orderBy("id").limit(5).repartition("k")
+        u = page.union(page)
+        assert "ReusedExchange" in \
+            u._jdf.queryExecution().executedPlan().toString()
+        ok = u.select(
+            "k", F.row_number().over(Window.orderBy("id")).alias("rn"))
+        assert not unbounded_global_windows(ok), \
+            "bounded window false-positived on ReusedExchange"
+        part = df.repartition("k")
+        bad = part.union(part).select(
+            "k", F.row_number().over(Window.orderBy("id")).alias("rn"))
+        assert unbounded_global_windows(bad), \
+            "unbounded window slipped the gate through ReusedExchange"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

@@ -45,24 +45,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # only reviewed exception; run `python tools/check_window.py` after
 # ANY registry or front-list change.
 #
-# Round-9 budget (the r8-verdict drain plan): FRONT carries ONLY this
-# round's new entries, so ~46 of the never-driver-checked backlog
-# fill the rest of the window stalest-first — the backlog drains to
-# ~65 this round and the remainder over round 10+.
-# ROUND-10 NOTE: REPLACE this list with that round's fixes/new entries
-# (keeping green r9 names here would waste window slots re-verifying
+# Round-10 budget (the r9-verdict drain plan): FRONT carries ONLY
+# this round's fixes/new entries (5 slots), so ~45 of the 64
+# never-driver-checked backlog fill the rest of the window
+# stalest-first — never-checked drains to ~19 after r10's verdict.
+# DRAIN FORECAST for r11: the ~19 survivors are the stalest entries,
+# so they sort to the very front of r11's non-front slots
+# automatically; with r11's own FRONT kept small (<= 5), r11 reaches
+# never-checked = 0 with ~25 slots to spare.
+# ROUND-11 NOTE: REPLACE this list with that round's fixes/new entries
+# (keeping green r10 names here would waste window slots re-verifying
 # them); run `python tools/check_window.py` after any change.
-_R9_FIXED_OR_NEW = (
-    # round-9 new operators (r8 verdict ask #3): ES _explain per-term
-    # score breakdown + _validate/query accept/reject pinning
-    "l3_explain_score",
-    "s46_validate_query",
-    # _mvt vector-tile search (r8 verdict "missing" #3)
+_R10_FIXED_OR_NEW = (
+    # r9 verdict ask #5: _render/template over stored mustache scripts
+    "s48_render_template",
+    # r9 verdict ask #6: X-Pack rollup job over the transform engine
+    "s49_rollup_job",
+    # r9 verdict ask #7: the distributed phase of
+    # variable_width_histogram, now DuckDB-oracled on its own
+    "l3_agg_vwh_fine_cells",
+    # r9 ADVICE regressions ride their entries back through the
+    # driver: open edge-tile lat bounds (l3_search_mvt), warehouse-
+    # staged one-shard rewrite (s47_routed_delete_by_query)
     "l3_search_mvt",
-    # routed by-query write: one-shard partition rewrite
     "s47_routed_delete_by_query",
-    # _termvectors debug endpoint
-    "l3_term_vectors",
 )
 
 def _verdict_ages() -> dict[str, int]:
@@ -90,7 +96,7 @@ def _verdict_ages() -> dict[str, int]:
     return ages
 
 
-FRONT = _R9_FIXED_OR_NEW
+FRONT = _R10_FIXED_OR_NEW
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -505,7 +505,42 @@ def stored_script_column(spark: SparkSession, script_id: str,
     stored = ddl.get_script(spark, script_id)
     if stored is None:
         raise ValueError(f"no stored script {script_id!r}")
+    if stored.get("lang") != "painless":
+        raise ValueError(
+            f"stored script {script_id!r} is lang "
+            f"{stored.get('lang')!r}, not an executable painless script")
     return Script(stored["source"], strict=False).bind(params).column()
+
+
+def render_search_template(
+    spark: SparkSession,
+    *,
+    source: "str | None" = None,
+    template_id: "str | None" = None,
+    params: "dict | None" = None,
+) -> dict:
+    """ES ``POST _render/template`` (and ``_render/template/{id}``):
+    mustache-substitute ``params`` into an inline ``source`` or a
+    STORED mustache template (``PUT _scripts/{id}`` with
+    ``lang="mustache"``) and return the parsed query the search would
+    run, wrapped like ES: ``{"template_output": <node>}``.  Pure
+    driver-side (the render is request-metadata work, no scan);
+    missing params and invalid rendered JSON fail like ES
+    (operators/wrapper.py render_template)."""
+    from bigdatasearchpro_spark.operators.wrapper import render_template
+
+    if (source is None) == (template_id is None):
+        raise ValueError("pass exactly one of source= / template_id=")
+    if template_id is not None:
+        stored = ddl.get_script(spark, template_id)
+        if stored is None:
+            raise ValueError(f"no stored template {template_id!r}")
+        if stored.get("lang") != "mustache":
+            raise ValueError(
+                f"stored script {template_id!r} is lang "
+                f"{stored.get('lang')!r}, not a mustache search template")
+        source = stored["source"]
+    return {"template_output": render_template(source, params)}
 
 
 def get_index_data_count(
@@ -1513,6 +1548,8 @@ def list_tasks(spark: SparkSession) -> DataFrame:
         for sid, s in sorted(_ASYNC_SEARCHES.items())
     ]
     rows += [(tid, "transform", True) for tid in sorted(_TRANSFORMS)]
+    rows += [(rid, "rollup", r["status"] == "started")
+             for rid, r in sorted(_ROLLUP_JOBS.items())]
     rows += [(wid, "watcher", True) for wid in sorted(_WATCHES)]
     rows += [(pid, "ilm", True) for pid in sorted(_ILM_POLICIES)]
     return spark.createDataFrame(
@@ -2174,6 +2211,164 @@ def start_transform(spark: SparkSession, transform_id: str) -> dict:
     docs_processed = src.count()
     docs_indexed = bulk_index_table(out, t["dest"])
     return {"docs_processed": docs_processed, "docs_indexed": docs_indexed}
+
+
+# X-Pack rollup jobs (`_rollup/job`): scheduled pivot materialization
+# of a raw index into a pre-aggregated rollup index.  The pivot engine
+# is the same one the transforms above use (one map-side-combinable
+# hash aggregate -> bulk_index_table); the job surface adds the ES
+# config shape (groups = date_histogram + terms + histogram, metrics
+# per field) and the start/stop lifecycle.
+_ROLLUP_JOBS: "dict[str, dict]" = {}
+
+_ROLLUP_METRICS = ("min", "max", "sum", "avg", "value_count")
+_FIXED_UNIT_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+_CALENDAR_UNITS = ("minute", "hour", "day", "week", "month", "year")
+
+
+def _fixed_interval_seconds(spec: str) -> int:
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", spec)
+    if not m:
+        raise ValueError(f"bad fixed_interval {spec!r}")
+    secs = int(m.group(1)) * _FIXED_UNIT_S[m.group(2)]
+    if secs < 1 or secs != int(secs):
+        raise ValueError(f"fixed_interval {spec!r} must be >= 1s here")
+    return int(secs)
+
+
+def put_rollup_job(spark: SparkSession, job_id: str, *,
+                   index_pattern: str, rollup_index: str, groups: dict,
+                   metrics: "list[dict]",
+                   cron: str = "*/30 * * * * ?",
+                   page_size: int = 1000) -> dict:
+    """ES ``PUT _rollup/job/{id}`` (X-Pack): store a rollup job —
+    ``groups`` is the ES shape (``date_histogram`` with ``field`` +
+    ``fixed_interval``/``calendar_interval`` required, optional
+    ``terms.fields`` and ``histogram`` with ``fields`` + ``interval``),
+    ``metrics`` is ``[{"field": f, "metrics": [min|max|sum|avg|
+    value_count, ...]}, ...]``.  Config-validated at PUT like ES; the
+    pivot itself runs at ``_start`` through the same aggregate engine
+    as ``put_transform``/``start_transform``.  ``cron``/``page_size``
+    are stored as job metadata (this engine's checkpoint unit is one
+    whole batch pivot, not pages)."""
+    dh = (groups or {}).get("date_histogram")
+    if not dh or "field" not in dh:
+        raise ValueError("groups.date_histogram.field is required")
+    if ("fixed_interval" in dh) == ("calendar_interval" in dh):
+        raise ValueError(
+            "date_histogram needs exactly one of fixed_interval / "
+            "calendar_interval")
+    if "fixed_interval" in dh:
+        _fixed_interval_seconds(dh["fixed_interval"])
+    elif dh["calendar_interval"] not in _CALENDAR_UNITS:
+        raise ValueError(
+            f"bad calendar_interval {dh['calendar_interval']!r}")
+    hist = groups.get("histogram")
+    if hist and (not hist.get("fields")
+                 or not float(hist.get("interval", 0)) > 0):
+        raise ValueError("histogram group needs fields and interval > 0")
+    if not metrics:
+        raise ValueError("metrics must name at least one field")
+    for m in metrics:
+        bad = set(m.get("metrics", ())) - set(_ROLLUP_METRICS)
+        if "field" not in m or not m.get("metrics") or bad:
+            raise ValueError(f"bad metrics entry {m!r}")
+    _ROLLUP_JOBS[job_id] = {
+        "index_pattern": index_pattern, "rollup_index": rollup_index,
+        "groups": groups, "metrics": list(metrics), "cron": cron,
+        "page_size": int(page_size), "status": "stopped",
+    }
+    return {"id": job_id, **_ROLLUP_JOBS[job_id]}
+
+
+def get_rollup_job(spark: SparkSession, job_id: str):
+    """ES ``GET _rollup/job/{id}`` — the stored job config + status,
+    or None (a 404)."""
+    j = _ROLLUP_JOBS.get(job_id)
+    return None if j is None else {"id": job_id, **j}
+
+
+def delete_rollup_job(spark: SparkSession, job_id: str) -> bool:
+    """ES ``DELETE _rollup/job/{id}`` — True iff it existed; a STARTED
+    job must be stopped first (the ES contract).  The rollup index
+    itself is not touched (also the ES contract)."""
+    j = _ROLLUP_JOBS.get(job_id)
+    if j is None:
+        return False
+    if j["status"] == "started":
+        raise ValueError(
+            f"rollup job {job_id!r} is started — stop it before delete")
+    del _ROLLUP_JOBS[job_id]
+    return True
+
+
+def stop_rollup_job(spark: SparkSession, job_id: str) -> dict:
+    """ES ``POST _rollup/job/{id}/_stop``."""
+    j = _ROLLUP_JOBS.get(job_id)
+    if j is None:
+        raise ValueError(f"no rollup job {job_id!r}")
+    j["status"] = "stopped"
+    return {"id": job_id, "status": "stopped"}
+
+
+def start_rollup_job(spark: SparkSession, job_id: str) -> dict:
+    """ES ``POST _rollup/job/{id}/_start`` + one scheduler tick: run
+    the rollup pivot — ONE hash aggregate over the source index
+    (map-side combinable, shuffles only group keys + partial
+    aggregates) materialized into ``rollup_index`` (overwrite = the
+    checkpoint contract shared with ``start_transform``: the rollup
+    index always reflects one complete pivot of the source).  Group
+    columns: ``{field}_bucket`` for the date histogram (epoch-floored
+    for fixed_interval, date_trunc for calendar_interval), the bare
+    field for terms, the bucket floor under the bare field name for
+    histogram.  Metric columns: ``{field}_{metric}``; ``avg`` is one
+    exact sum / count division.  Returns ``{docs_processed,
+    rollup_docs, status}``."""
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    j = _ROLLUP_JOBS.get(job_id)
+    if j is None:
+        raise ValueError(f"no rollup job {job_id!r}")
+    src = resolve_index(spark, j["index_pattern"])
+    dh = j["groups"]["date_histogram"]
+    ts = F.col(dh["field"])
+    if "fixed_interval" in dh:
+        secs = _fixed_interval_seconds(dh["fixed_interval"])
+        # TIMESTAMP has no long cast in ANSI Spark 4 — epoch math goes
+        # through to_unix_timestamp (the engine-wide date-math rule)
+        bucket = F.timestamp_seconds(
+            F.floor(F.to_unix_timestamp(ts) / secs) * secs)
+    else:
+        bucket = F.date_trunc(dh["calendar_interval"], ts)
+    keys = [bucket.alias(f"{dh['field']}_bucket")]
+    for f in (j["groups"].get("terms") or {}).get("fields", ()):
+        keys.append(F.col(f))
+    hist = j["groups"].get("histogram")
+    if hist:
+        iv = float(hist["interval"])
+        for f in hist["fields"]:
+            keys.append((F.floor(F.col(f) / iv) * iv).alias(f))
+    aggs = []
+    for m in j["metrics"]:
+        col = F.col(m["field"])
+        for kind in m["metrics"]:
+            name = f"{m['field']}_{kind}"
+            if kind == "value_count":
+                aggs.append(F.count(col).alias(name))
+            elif kind == "avg":
+                aggs.append((F.sum(col) / F.count(col)).alias(name))
+            else:
+                aggs.append(getattr(F, kind)(col).alias(name))
+    out = src.groupBy(*keys).agg(*aggs)
+    docs_processed = src.count()
+    rollup_docs = bulk_index_table(out, j["rollup_index"])
+    j["status"] = "started"
+    return {"docs_processed": docs_processed, "rollup_docs": rollup_docs,
+            "status": "started"}
 
 
 # ES Watcher (`_watcher`): stored alerts — a search input, a scalar

@@ -1701,6 +1701,60 @@ def moving_percentiles_agg(
     return out.drop("__frame")
 
 
+def variable_width_fine_cells(
+    df: DataFrame,
+    field: str,
+    *,
+    fine_buckets: int = 200,
+    value_scale: int = 100,
+    bounds: "tuple | None" = None,
+) -> DataFrame:
+    """Phase 1 of :func:`variable_width_histogram_agg` — the entire
+    DISTRIBUTED part of the operator, exposed so it can be
+    hash-verified against a SQL oracle on its own (the driver-side
+    merge in phase 2 is iterative and stays twin-tested): one scalar
+    min/max probe (skipped when the caller passes precomputed
+    ``bounds`` — the main agg probes once for its degenerate handling
+    and must not rescan) + ONE fine fixed-width hash aggregate
+    (map-side combine; corpus rows never leave their partitions)
+    returning per non-empty cell ``(cell, n, s, mn, mx)`` with ``s``
+    the cell sum on an exact integer ``value_scale`` grid
+    (floor(x*scale + 0.5) — round-half-toward-+inf, the cross-engine-
+    stable grid rule; NOT float round).  Degenerate inputs (empty /
+    single-valued) return their one bounded row under the same
+    schema."""
+    spark = df.sparkSession
+    lo, hi = bounds if bounds is not None \
+        else df.agg(F.min(field), F.max(field)).first()
+    schema = "cell int, n long, s long, mn double, mx double"
+    if lo is None:
+        return spark.createDataFrame([], schema)
+    grid = F.floor(F.col(field) * F.lit(value_scale) + F.lit(0.5)) \
+        .cast("long")
+    span = float(hi) - float(lo)
+    if span <= 0:
+        cell = F.lit(0)
+    else:
+        cell = F.least(
+            F.lit(fine_buckets - 1),
+            F.floor(
+                (F.col(field) - F.lit(float(lo)))
+                / F.lit(span)
+                * F.lit(fine_buckets)
+            ).cast("int"),
+        )
+    return (
+        df.groupBy(cell.alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(grid).alias("s"),
+            F.min(F.col(field).cast("double")).alias("mn"),
+            F.max(F.col(field).cast("double")).alias("mx"),
+        )
+        .orderBy("cell")
+    )
+
+
 def variable_width_histogram_agg(
     df: DataFrame,
     field: str,
@@ -1746,27 +1800,10 @@ def variable_width_histogram_agg(
             [(float(lo), float(lo), float(hi), df.count())],
             "key double, min double, max double, doc_count long",
         )
-    cell = F.least(
-        F.lit(fine_buckets - 1),
-        F.floor(
-            (F.col(field) - F.lit(float(lo)))
-            / F.lit(span)
-            * F.lit(fine_buckets)
-        ).cast("int"),
-    )
-    fine = (
-        df.groupBy(cell.alias("cell"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.round(F.col(field) * F.lit(value_scale)).cast("long")
-            ).alias("s"),
-            F.min(field).alias("mn"),
-            F.max(field).alias("mx"),
-        )
-        .orderBy("cell")
-        .collect()
-    )
+    fine = variable_width_fine_cells(
+        df, field, fine_buckets=fine_buckets, value_scale=value_scale,
+        bounds=(lo, hi),
+    ).collect()
     clusters = [
         {"n": r["n"], "s": r["s"], "mn": r["mn"], "mx": r["mx"]}
         for r in fine

@@ -36,6 +36,25 @@ def compile_dsl(docs: DataFrame, node: dict) -> DataFrame:
 
     if kind == "match_all":
         return docs
+    if kind == "bool":
+        # conjunctive bool: must/filter clauses chain as successive
+        # native filters over ONE scan (identical plan to ANDing the
+        # predicates); scoring-context should/must_not are refused
+        # honestly — the full bool grammar lives in the search DSL
+        # (operators/search.py), not the wrapper escape hatch
+        unsupported = set(body) - {"must", "filter"}
+        if unsupported:
+            raise ValueError(
+                f"unsupported bool clauses in wrapper query: "
+                f"{sorted(unsupported)}")
+        out = docs
+        for key in ("must", "filter"):
+            clauses = body.get(key, [])
+            if isinstance(clauses, dict):
+                clauses = [clauses]
+            for clause in clauses:
+                out = compile_dsl(out, clause)
+        return out
     if kind == "constant_score":
         # ES constant_score: the inner query runs in FILTER context
         # (no scoring work at all) and every hit gets `boost` as its

@@ -800,6 +800,55 @@ def s25_stored_script(spark, sf_dir):
     return spark.createDataFrame(rows, "tier bigint, doc_count bigint")
 
 
+@register(
+    "s48_render_template",
+    """
+    SELECT doc_id, n_chars,
+           '{"bool":{"must":[{"term":{"lang":"fr"}},{"range":{"n_chars":{"gte":150}}}]}}'
+             AS rendered
+    FROM documents
+    WHERE lang = 'fr' AND n_chars >= 150
+    ORDER BY doc_id
+    """,
+)
+def s48_render_template(spark, sf_dir):
+    """S-family [ES parity]: ``POST _render/template/{id}`` — a STORED
+    mustache search template (``PUT _scripts/{id}``, lang=mustache) is
+    rendered with request params into the exact query node the search
+    would run (``{"template_output": ...}``), verified equal to the
+    inline-source render, then dispatched natively; the canonical JSON
+    of the render rides along as a constant column so the driver hash
+    covers the render itself, not just the match set
+    (api.render_search_template; operators/wrapper.py
+    render_template)."""
+    import json
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.operators.wrapper import compile_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    tid = f"tpl-{uuid.uuid4().hex[:8]}"
+    src = ('{"bool": {"must": [{"term": {"lang": "{{l}}"}}, '
+           '{"range": {"n_chars": {"gte": {{lo}}}}}]}}')
+    api.put_script(spark, tid, src, lang="mustache")
+    try:
+        out = api.render_search_template(
+            spark, template_id=tid, params={"l": "fr", "lo": 150})
+        node = out["template_output"]
+        inline = api.render_search_template(
+            spark, source=src, params={"l": "fr", "lo": 150})
+        assert out == inline, "stored render != inline render"
+        rendered = json.dumps(node, sort_keys=True, separators=(",", ":"))
+        matched = compile_dsl(docs, node)
+    finally:
+        assert api.delete_script(spark, tid)
+    return (
+        matched.select("doc_id", "n_chars", F.lit(rendered).alias("rendered"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # CCNet perplexity buckets (head / middle / tail per language)
 # ---------------------------------------------------------------------------
@@ -1913,6 +1962,82 @@ def s31_transform_pivot(spark, sf_dir):
         rows,
         "priority string, n_orders bigint, min_price double, "
         "max_price double",
+    )
+
+
+@register(
+    "s49_rollup_job",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS ts_bucket,
+           event_type,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           count(value)::BIGINT AS value_value_count,
+           CAST(sum(user_id) AS BIGINT) AS user_id_sum
+    FROM events
+    GROUP BY ts_bucket, event_type
+    ORDER BY ts_bucket, event_type
+    """,
+)
+def s49_rollup_job(spark, sf_dir):
+    """S-family [ES parity]: X-Pack rollup jobs (``_rollup/job``) —
+    PUT stores + config-validates the job (groups: date_histogram
+    fixed_interval 6h + terms on event_type; metrics per field),
+    ``_start`` materializes the rollup index through the SAME pivot
+    engine as the transforms (api.py start_transform: one map-side-
+    combinable hash aggregate -> bulk_index_table overwrite), the
+    rollup index is first-class searchable, a started job refuses
+    DELETE until stopped (the ES lifecycle), and the result is
+    hash-verified against the pivot oracle.  min/max/value_count/
+    integral-sum only in the fixture — double SUM is combine-order-
+    dependent (the engine-wide exactness rule)
+    (api.put_rollup_job / start_rollup_job)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    events = load_table(spark, sf_dir, "events")
+    tag = uuid.uuid4().hex[:8]
+    src_idx, ru_idx, jid = f"ru_src_{tag}", f"ru_dest_{tag}", f"ru-{tag}"
+    bulk_index_table(events, src_idx)  # typed source index
+    api.put_rollup_job(
+        spark, jid,
+        index_pattern=src_idx, rollup_index=ru_idx,
+        groups={
+            "date_histogram": {"field": "ts", "fixed_interval": "6h"},
+            "terms": {"fields": ["event_type"]},
+        },
+        metrics=[
+            {"field": "value", "metrics": ["min", "max", "value_count"]},
+            {"field": "user_id", "metrics": ["sum"]},
+        ],
+    )
+    try:
+        stats = api.start_rollup_job(spark, jid)
+        assert stats["rollup_docs"] > 0 and stats["status"] == "started"
+        # ES lifecycle: a started job refuses delete
+        try:
+            api.delete_rollup_job(spark, jid)
+            raise AssertionError("started rollup job must refuse delete")
+        except ValueError:
+            pass
+        api.stop_rollup_job(spark, jid)
+        out = api.sql_query(
+            spark,
+            f"SELECT ts_bucket, event_type, value_min, value_max, "
+            f"value_value_count, user_id_sum FROM {ru_idx} "
+            f"ORDER BY ts_bucket, event_type",
+        )
+        rows = out.collect()
+    finally:
+        assert api.delete_rollup_job(spark, jid)
+        api.delete_index(spark, src_idx)
+        api.delete_index(spark, ru_idx)
+    return spark.createDataFrame(
+        rows,
+        "ts_bucket timestamp, event_type string, value_min double, "
+        "value_max double, value_value_count bigint, user_id_sum bigint",
     )
 
 
@@ -3374,6 +3499,40 @@ def l3_agg_variable_width_histogram(spark, sf_dir):
     return aggs.variable_width_histogram_agg(
         orders, "o_totalprice", 8
     )
+
+
+@register(
+    "l3_agg_vwh_fine_cells",
+    """
+    WITH b AS (
+      SELECT min(o_totalprice)::DOUBLE AS lo,
+             max(o_totalprice)::DOUBLE AS hi
+      FROM orders
+    )
+    SELECT LEAST(199, CAST(floor((o_totalprice - lo) / (hi - lo) * 200)
+                           AS INTEGER))::INTEGER AS cell,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS s,
+           min(o_totalprice)::DOUBLE AS mn,
+           max(o_totalprice)::DOUBLE AS mx
+    FROM orders, b
+    GROUP BY cell
+    ORDER BY cell
+    """,
+)
+def l3_agg_vwh_fine_cells(spark, sf_dir):
+    """L3 [ES parity]: the DISTRIBUTED phase of
+    ``variable_width_histogram`` hash-verified on its own (r9 verdict
+    ask #7) — the min/max probe + fine fixed-width hash aggregate that
+    `l3_agg_variable_width_histogram` collects before its (rows-only,
+    twin-tested) driver-side merge: per non-empty cell the count,
+    integer-grid sum (floor(x*100 + 0.5) — the cross-engine-stable
+    grid, not float round), min, and max.  Same inputs as the merged
+    entry so the pair covers the whole operator
+    (operators/aggs.py variable_width_fine_cells)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return aggs.variable_width_fine_cells(orders, "o_totalprice")
 
 
 @register(

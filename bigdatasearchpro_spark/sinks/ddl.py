@@ -521,14 +521,25 @@ def put_script(spark: SparkSession, script_id: str, source: str,
 
     if not _re.match(r"^[a-z0-9_.-]+$", script_id):
         raise ValueError(f"invalid script id {script_id!r}")
-    if lang != "painless":
+    if lang == "painless":
+        Script(source, strict=False)  # parse-validate, params bind later
+    elif lang == "mustache":
+        # a stored SEARCH TEMPLATE (ES stores them in _scripts too):
+        # stored verbatim — substitution params bind and the rendered
+        # JSON parse-validates at RENDER time (api.render_search_template
+        # / _render/template), matching ES, which accepts any source at
+        # PUT (JSON braces make brace-counting meaningless here)
+        pass
+    else:
         raise ValueError(f"unsupported script lang {lang!r}")
-    Script(source, strict=False)  # parse-validate, params bind later
     payload = _json.dumps({"lang": lang, "source": source}, sort_keys=True)
     _ensure_template_store(spark)
-    # painless sources carry single quotes (doc['field']) — escape for
-    # the SQL string literal ('' unescapes back on read)
-    quoted = payload.replace("'", "''")
+    # escape for the SQL string literal: painless sources carry single
+    # quotes (doc['field'] — '' unescapes back on read), and mustache
+    # sources carry double quotes, which json.dumps backslash-escapes —
+    # Spark's C-style literal parser would EAT those backslashes
+    # (\" -> ") and corrupt the stored JSON payload, so double them
+    quoted = payload.replace("\\", "\\\\").replace("'", "''")
     spark.sql(
         f"ALTER VIEW {TEMPLATE_STORE} SET TBLPROPERTIES "
         f"('{_SCRIPT_PROP_PREFIX}{script_id}' = '{quoted}')"

@@ -1061,6 +1061,96 @@ def test_transform_lifecycle_and_validation(spark, docs):
         api.delete_index(spark, dest)
 
 
+def test_rollup_job_lifecycle_and_guards(spark, docs):
+    """X-Pack `_rollup/job`: PUT config-validates (date_histogram
+    required with exactly one interval kind, metrics non-empty,
+    histogram needs interval > 0), _start materializes the rollup
+    index through the transform pivot engine (calendar_interval +
+    histogram group + avg metric exercised here; the registry entry
+    covers fixed_interval + terms), a started job refuses DELETE until
+    stopped, re-start overwrites (checkpoint contract), and list_tasks
+    reports the job."""
+    import uuid
+
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    tag = uuid.uuid4().hex[:6]
+    src, dest, jid = f"ru_src_{tag}", f"ru_dest_{tag}", f"ruj-{tag}"
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d} 0{i % 8}:30:00", i % 25, float(i))
+         for i in range(200)],
+        "event_id long, ts string, bucketed long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bulk_index_table(ev, src)
+    groups = {"date_histogram": {"field": "ts",
+                                 "calendar_interval": "day"},
+              "histogram": {"fields": ["bucketed"], "interval": 10}}
+    metrics = [{"field": "value", "metrics": ["avg", "value_count"]}]
+    try:
+        with pt.raises(ValueError, match="date_histogram.field"):
+            api.put_rollup_job(spark, jid, index_pattern=src,
+                               rollup_index=dest, groups={},
+                               metrics=metrics)
+        with pt.raises(ValueError, match="exactly one of"):
+            api.put_rollup_job(
+                spark, jid, index_pattern=src, rollup_index=dest,
+                groups={"date_histogram": {
+                    "field": "ts", "fixed_interval": "1h",
+                    "calendar_interval": "day"}},
+                metrics=metrics)
+        with pt.raises(ValueError, match="bad fixed_interval"):
+            api.put_rollup_job(
+                spark, jid, index_pattern=src, rollup_index=dest,
+                groups={"date_histogram": {"field": "ts",
+                                           "fixed_interval": "fortnight"}},
+                metrics=metrics)
+        with pt.raises(ValueError, match="interval > 0"):
+            api.put_rollup_job(
+                spark, jid, index_pattern=src, rollup_index=dest,
+                groups={**groups,
+                        "histogram": {"fields": ["bucketed"]}},
+                metrics=metrics)
+        with pt.raises(ValueError, match="metrics"):
+            api.put_rollup_job(spark, jid, index_pattern=src,
+                               rollup_index=dest, groups=groups,
+                               metrics=[])
+        api.put_rollup_job(spark, jid, index_pattern=src,
+                           rollup_index=dest, groups=groups,
+                           metrics=metrics)
+        assert api.get_rollup_job(spark, jid)["status"] == "stopped"
+        stats = api.start_rollup_job(spark, jid)
+        assert stats["docs_processed"] == 200
+        got = {(r.ts_bucket, r.bucketed): (r.value_avg, r.value_value_count)
+               for r in spark.table(dest).collect()}
+        want = {(r.d, r.b): (r.s / r.n, r.n)
+                for r in ev.groupBy(
+                    F.date_trunc("day", "ts").alias("d"),
+                    (F.floor(F.col("bucketed") / 10) * 10.0).alias("b"))
+                .agg(F.sum("value").alias("s"),
+                     F.count("value").alias("n")).collect()}
+        assert got == want
+        # lifecycle: started refuses delete; stop, re-start overwrites
+        with pt.raises(ValueError, match="stop it before delete"):
+            api.delete_rollup_job(spark, jid)
+        tasks = {r.task_id: (r.action, r.is_running)
+                 for r in api.list_tasks(spark).collect()}
+        assert tasks[jid] == ("rollup", True)
+        api.stop_rollup_job(spark, jid)
+        api.start_rollup_job(spark, jid)
+        assert spark.table(dest).count() == len(want)
+        api.stop_rollup_job(spark, jid)
+        with pt.raises(ValueError, match="no rollup job"):
+            api.start_rollup_job(spark, "missing")
+    finally:
+        api.delete_rollup_job(spark, jid)
+        api.delete_index(spark, src)
+        api.delete_index(spark, dest)
+
+
 def test_watcher_lifecycle(spark, docs):
     import uuid
 

@@ -86,3 +86,64 @@ def test_search_template_render(docs):
         render_template('{"term": {"lang": "{{l}}"}}', {})
     with pytest.raises(ValueError, match="not valid JSON"):
         render_template('{"term": {{v}}', {"v": "}{"})
+
+
+def test_render_template_endpoint_and_stored_mustache(spark, docs):
+    """ES `_render/template`: inline and stored (`PUT _scripts/{id}`
+    lang=mustache) renders agree and return `{"template_output": ...}`;
+    the stored payload survives the catalog round trip even though
+    JSON-escaping puts backslashes in the property value (Spark's
+    C-style literal parser eats unescaped backslashes); lang guards
+    fire both ways (a mustache template is not executable painless,
+    a painless script is not renderable)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+
+    src = ('{"bool": {"must": [{"term": {"lang": "{{l}}"}}, '
+           '{"range": {"n_chars": {"gte": {{lo}}}}}]}}')
+    tid = f"tpl-{uuid.uuid4().hex[:8]}"
+    api.put_script(spark, tid, src, lang="mustache")
+    try:
+        # catalog round trip is byte-exact (the backslash-escape fix)
+        assert api.get_script(spark, tid)["source"] == src
+        out = api.render_search_template(
+            spark, template_id=tid, params={"l": "en", "lo": 10})
+        assert out == api.render_search_template(
+            spark, source=src, params={"l": "en", "lo": 10})
+        node = out["template_output"]
+        assert node["bool"]["must"][1]["range"]["n_chars"]["gte"] == 10
+        got = compile_dsl(docs, node)
+        assert got.count() == docs.filter(
+            "lang = 'en' AND n_chars >= 10").count()
+        with pytest.raises(ValueError, match="not an executable painless"):
+            api.stored_script_column(spark, tid, {})
+    finally:
+        assert api.delete_script(spark, tid)
+    pid = f"pl-{uuid.uuid4().hex[:8]}"
+    api.put_script(spark, pid, "doc['n_chars'].value * 2")
+    try:
+        with pytest.raises(ValueError, match="not a mustache"):
+            api.render_search_template(spark, template_id=pid, params={})
+    finally:
+        assert api.delete_script(spark, pid)
+    with pytest.raises(ValueError, match="exactly one of"):
+        api.render_search_template(spark, source="{}", template_id="x")
+    with pytest.raises(ValueError, match="no stored template"):
+        api.render_search_template(spark, template_id="absent-tpl")
+
+
+def test_bool_wrapper_clauses(docs):
+    """Conjunctive bool in the wrapper/template dispatcher: must/filter
+    chain as native filters over one scan; scoring-context clauses are
+    refused honestly."""
+    node = {"bool": {"must": [{"term": {"lang": "de"}}],
+                     "filter": {"range": {"n_chars": {"gte": 50}}}}}
+    got = compile_dsl(docs, node)
+    assert got.count() == docs.filter(
+        "lang = 'de' AND n_chars >= 50").count()
+    from bigdatasearchpro_spark.plans import file_scan_count
+
+    assert file_scan_count(got) == 1
+    with pytest.raises(ValueError, match="unsupported bool clauses"):
+        compile_dsl(docs, {"bool": {"should": [{"match_all": {}}]}})

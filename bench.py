@@ -246,6 +246,31 @@ def bench_etl_pipeline(spark, sf_dir: str, sink_dir: str) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def _calibration_sec(spark) -> float:
+    """Host-state probe (r9 verdict ask #4): min-of-3 wall seconds of a
+    FIXED CPU-bound pipeline — 64M xxhash64 rows folded to one sum over
+    32 partitions, no IO, no shuffle, independent of $SPARK_GRAFT_SF_DIR
+    — measured at suite start and emitted as ``calibration_sec``.
+    Cross-round comparisons normalize by the calibration ratio instead
+    of requiring a clean-worktree re-time every noisy round: on this
+    host the suite has swung ~1.3-1.5x with no implicated commit
+    (VERDICT r9 "host state"); two rounds' numbers are comparable at
+    (value / calibration_sec) parity.  Convention documented in
+    SCALING.md ("Bench calibration")."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def once() -> float:
+        t0 = time.time()
+        # XOR fold, not sum: ANSI mode throws on long overflow and 64M
+        # xxhash64 longs WILL overflow a sum (the engine-wide rule)
+        (spark.range(0, 256_000_000, 1, 32)
+         .select(F.xxhash64("id").alias("h"))
+         .agg(F.expr("bit_xor(h)")).collect())
+        return time.time() - t0
+
+    return round(min(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     spark = get_spark("bench")
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
@@ -253,6 +278,7 @@ def main() -> None:
     # Warm up the JVM/codegen paths so per-query numbers measure the
     # queries, not session startup.
     load_table(spark, SF_DIR, "nation").count()
+    calibration = _calibration_sec(spark)
 
     queries: dict[str, float] = {}
     sink_dir = tempfile.mkdtemp(prefix="bench_sink_")
@@ -272,6 +298,7 @@ def main() -> None:
                 "value": round(etl_rows / max(etl_sec, 1e-9), 1),
                 "unit": "rows/sec", "sf": sf, "reps": REPS,
                 "etl_rows": etl_rows, "etl_sec": queries["etl_bulk_load"],
+                "calibration_sec": calibration,
             }))
             spark.stop()
             return
@@ -321,6 +348,7 @@ def main() -> None:
         "metric": "headline_suite_wall", "value": total, "unit": "sec",
         "queries": queries, "sf": sf, "reps": REPS,
         "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
+        "calibration_sec": calibration,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -334,6 +362,7 @@ def main() -> None:
         "queries": {k: queries[k] for k in HEADLINE_QUERIES if k in queries},
         "sf": sf, "reps": REPS, "n_queries": len(queries),
         "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
+        "calibration_sec": calibration,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

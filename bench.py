@@ -303,7 +303,13 @@ def main() -> None:
             spark.stop()
             return
 
-        for name in BENCH_QUERIES:
+        # Subset mode for off-tier measurement runs (e.g. the SCALING.md
+        # sf10 sweep): comma-separated names — any registry entry works,
+        # not just BENCH_QUERIES members.  The driver never sets this.
+        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        bench_list = ([n.strip() for n in only.split(",") if n.strip()]
+                      if only else BENCH_QUERIES)
+        for name in bench_list:
             # Inter-query hygiene: drop caches persisted by earlier
             # queries and nudge the JVM to collect before timing — the
             # suite shares one JVM, and leftover cached relations / GC

@@ -119,8 +119,11 @@ def test_stored_script_lifecycle(spark):
     api.delete_script(spark, sid)  # clean slate
     with pt.raises(ValueError, match="invalid script id"):
         api.put_script(spark, "Bad Id!", "1 + 1")
+    # mustache became a SUPPORTED lang in r10 (stored search templates
+    # for _render/template) — the unsupported-lang guard now needs a
+    # genuinely unknown lang
     with pt.raises(ValueError, match="unsupported script lang"):
-        api.put_script(spark, sid, "1 + 1", lang="mustache")
+        api.put_script(spark, sid, "1 + 1", lang="expression")
     with pt.raises(ValueError):  # parse-validated at PUT
         api.put_script(spark, sid, "doc['x'].value %% 2")
     stored = api.put_script(

@@ -46,10 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ANY registry or front-list change.
 #
 # Round-10 budget (the r9-verdict drain plan): FRONT carries ONLY
-# this round's fixes/new entries (5 slots), so ~45 of the 64
-# never-driver-checked backlog fill the rest of the window
-# stalest-first — never-checked drains to ~19 after r10's verdict.
-# DRAIN FORECAST for r11: the ~19 survivors are the stalest entries,
+# this round's fixes/new entries (6 slots, 4 of them themselves
+# never-checked), so 44 of the never-driver-checked backlog fill the
+# rest of the window stalest-first — check_window: 48 of the 68
+# never-checked get r10 verdicts, leaving 20.
+# DRAIN FORECAST for r11: the 20 survivors are the stalest entries,
 # so they sort to the very front of r11's non-front slots
 # automatically; with r11's own FRONT kept small (<= 5), r11 reaches
 # never-checked = 0 with ~25 slots to spare.
@@ -64,6 +65,9 @@ _R10_FIXED_OR_NEW = (
     # r9 verdict ask #7: the distributed phase of
     # variable_width_histogram, now DuckDB-oracled on its own
     "l3_agg_vwh_fine_cells",
+    # r9 verdict missing #3: SLM snapshot lifecycle over the existing
+    # snapshot machinery
+    "s50_slm_policy",
     # r9 ADVICE regressions ride their entries back through the
     # driver: open edge-tile lat bounds (l3_search_mvt), warehouse-
     # staged one-shard rewrite (s47_routed_delete_by_query)

@@ -1552,6 +1552,7 @@ def list_tasks(spark: SparkSession) -> DataFrame:
              for rid, r in sorted(_ROLLUP_JOBS.items())]
     rows += [(wid, "watcher", True) for wid in sorted(_WATCHES)]
     rows += [(pid, "ilm", True) for pid in sorted(_ILM_POLICIES)]
+    rows += [(pid, "slm", True) for pid in sorted(_SLM_POLICIES)]
     return spark.createDataFrame(
         rows, "task_id string, action string, is_running boolean"
     )
@@ -2491,6 +2492,94 @@ def apply_ilm(spark: SparkSession, alias: str, policy: str) -> dict:
         delete_index(spark, old)
         deleted.append(old)
     return {**res, "deleted": deleted, "kept": gens[len(deleted):]}
+
+
+# X-Pack SLM (`_slm/policy`): snapshot lifecycle management —
+# scheduling metadata over the existing snapshot machinery
+# (snapshot_index / restore_index above).  The scheduler surface is
+# the stored policy + the on-demand execute tick (ES also lets you
+# `POST _slm/policy/{id}/_execute` outside the schedule); cron fires
+# map to execute_slm_policy calls.
+_SLM_POLICIES: "dict[str, dict]" = {}
+
+
+def put_slm_policy(spark: SparkSession, policy_id: str, *,
+                   repository: str, indices: "list[str]",
+                   schedule: str = "0 30 1 * * ?",
+                   snapshot_name: str = "snap-{id}",
+                   retention_max_count: "int | None" = None) -> dict:
+    """ES ``PUT _slm/policy/{id}``: store a snapshot-lifecycle policy —
+    ``repository`` (a repo directory here), ``indices`` (``*``-globs
+    resolved against the live index list at EXECUTE time, the ES
+    semantics), the cron ``schedule``, a ``snapshot_name`` template,
+    and optional count-based retention.  Validated at PUT."""
+    if not indices:
+        raise ValueError("policy needs at least one index pattern")
+    if retention_max_count is not None and retention_max_count < 1:
+        raise ValueError("retention_max_count must be >= 1")
+    _SLM_POLICIES[policy_id] = {
+        "repository": repository, "indices": list(indices),
+        "schedule": schedule, "snapshot_name": snapshot_name,
+        "retention_max_count": retention_max_count,
+        "executions": 0,
+    }
+    return {"id": policy_id, **_SLM_POLICIES[policy_id]}
+
+
+def get_slm_policy(spark: SparkSession, policy_id: str):
+    """ES ``GET _slm/policy/{id}`` — the stored policy, or None."""
+    p = _SLM_POLICIES.get(policy_id)
+    return None if p is None else {"id": policy_id, **p}
+
+
+def delete_slm_policy(spark: SparkSession, policy_id: str) -> bool:
+    """ES ``DELETE _slm/policy/{id}`` — True iff it existed."""
+    return _SLM_POLICIES.pop(policy_id, None) is not None
+
+
+def execute_slm_policy(spark: SparkSession, policy_id: str) -> dict:
+    """ES ``POST _slm/policy/{id}/_execute`` (and what a schedule fire
+    runs): resolve the policy's index globs against the LIVE index
+    list, snapshot each match into ``{repository}/{snapshot_name}``
+    via :func:`snapshot_index` (one distributed write per index,
+    settings manifests included), then apply count-based retention —
+    oldest snapshot directories beyond ``retention_max_count`` are
+    deleted, whole (the generation-ages-out-whole economics ILM uses).
+    Returns ``{snapshot, indices, retained, deleted}``."""
+    import fnmatch as _fnmatch
+    import os as _os
+    import shutil as _shutil
+
+    from bigdatasearchpro_spark.sinks.ddl import list_indices
+
+    p = _SLM_POLICIES.get(policy_id)
+    if p is None:
+        raise ValueError(f"no slm policy {policy_id!r}")
+    live = [r["index_name"] for r in list_indices(spark).collect()]
+    matched = sorted({
+        n for n in live
+        for pat in p["indices"] if _fnmatch.fnmatch(n, pat)
+    })
+    if not matched:
+        raise ValueError(
+            f"slm policy {policy_id!r} matched no live index "
+            f"(patterns {p['indices']})")
+    p["executions"] += 1
+    snap = p["snapshot_name"].format(id=f"{policy_id}-{p['executions']:06d}")
+    repo = _os.path.join(p["repository"], snap)
+    results = [snapshot_index(spark, n, repo) for n in matched]
+    # retention: keep the newest retention_max_count snapshot dirs
+    deleted = []
+    keep = p["retention_max_count"]
+    if keep is not None and _os.path.isdir(p["repository"]):
+        snaps = sorted(
+            d for d in _os.listdir(p["repository"])
+            if _os.path.isdir(_os.path.join(p["repository"], d)))
+        for old in snaps[: max(0, len(snaps) - keep)]:
+            _shutil.rmtree(_os.path.join(p["repository"], old))
+            deleted.append(old)
+    return {"snapshot": snap, "indices": [r["index"] for r in results],
+            "retained": keep, "deleted": deleted}
 
 
 def terms_enum(spark: SparkSession, index_name: str, field: str,

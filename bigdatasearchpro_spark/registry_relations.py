@@ -2031,7 +2031,12 @@ def s49_rollup_job(spark, sf_dir):
         )
         rows = out.collect()
     finally:
-        assert api.delete_rollup_job(spark, jid)
+        # force-stop first: if the body failed between _start and _stop
+        # the job is still "started" and delete would raise, masking
+        # the original error
+        if api.get_rollup_job(spark, jid) is not None:
+            api.stop_rollup_job(spark, jid)
+            assert api.delete_rollup_job(spark, jid)
         api.delete_index(spark, src_idx)
         api.delete_index(spark, ru_idx)
     return spark.createDataFrame(
@@ -2039,6 +2044,67 @@ def s49_rollup_job(spark, sf_dir):
         "ts_bucket timestamp, event_type string, value_min double, "
         "value_max double, value_value_count bigint, user_id_sum bigint",
     )
+
+
+@register(
+    "s50_slm_policy",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang = 'de'
+    ORDER BY doc_id
+    """,
+)
+def s50_slm_policy(spark, sf_dir):
+    """S-family [ES parity]: X-Pack SLM (``_slm/policy``) — snapshot
+    scheduling metadata over the existing snapshot machinery: PUT
+    stores + validates the policy (repo, ``*``-glob index patterns,
+    cron, name template, count retention), ``_execute`` resolves the
+    globs against the LIVE index list and snapshots each match
+    (api.snapshot_index — one distributed write, settings manifests
+    included), count-based retention deletes the oldest snapshot
+    whole, and the surviving snapshot restores to a hash-identical
+    index (api.put_slm_policy / execute_slm_policy /
+    restore_index)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:8]
+    idx, restored, pid = f"slm_src_{tag}", f"slm_rest_{tag}", f"slm-{tag}"
+    repo = tempfile.mkdtemp(prefix="slm_repo_")
+    bulk_index_table(
+        docs.filter(F.col("lang") == "de")
+        .select("doc_id", "lang", "n_chars"), idx)
+    api.put_slm_policy(
+        spark, pid, repository=repo, indices=[f"slm_src_{tag[:4]}*"],
+        retention_max_count=1)
+    try:
+        first = api.execute_slm_policy(spark, pid)
+        assert first["indices"] == [idx] and not first["deleted"]
+        second = api.execute_slm_policy(spark, pid)
+        # count retention: the first snapshot aged out WHOLE
+        assert second["deleted"] == [first["snapshot"]]
+        api.restore_index(
+            spark, os.path.join(repo, second["snapshot"]), idx,
+            rename_to=restored)
+        out = api.sql_query(
+            spark,
+            f"SELECT doc_id, lang, n_chars FROM {restored} "
+            f"ORDER BY doc_id",
+        )
+        rows = out.collect()
+    finally:
+        assert api.delete_slm_policy(spark, pid)
+        api.delete_index(spark, idx)
+        api.delete_index(spark, restored)
+        shutil.rmtree(repo, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_chars bigint")
 
 
 # ---------------------------------------------------------------------------

@@ -1151,6 +1151,40 @@ def test_rollup_job_lifecycle_and_guards(spark, docs):
         api.delete_index(spark, dest)
 
 
+def test_slm_policy_guards_and_listing(spark, docs):
+    """X-Pack `_slm/policy` guards: PUT validates patterns/retention,
+    execute raises on zero live matches (a silent no-op snapshot is a
+    data-loss trap), policies appear in list_tasks, delete removes.
+    The full snapshot/retention/restore lifecycle is hash-verified by
+    the s50_slm_policy registry entry."""
+    import uuid
+
+    import pytest as pt
+
+    from bigdatasearchpro_spark import api
+
+    pid = f"slmu-{uuid.uuid4().hex[:6]}"
+    with pt.raises(ValueError, match="at least one index pattern"):
+        api.put_slm_policy(spark, pid, repository="/tmp/x", indices=[])
+    with pt.raises(ValueError, match="retention_max_count"):
+        api.put_slm_policy(spark, pid, repository="/tmp/x",
+                           indices=["a*"], retention_max_count=0)
+    api.put_slm_policy(spark, pid, repository="/tmp/x",
+                       indices=[f"no_such_{pid}*"])
+    try:
+        assert api.get_slm_policy(spark, pid)["executions"] == 0
+        tasks = {r.task_id: r.action
+                 for r in api.list_tasks(spark).collect()}
+        assert tasks[pid] == "slm"
+        with pt.raises(ValueError, match="matched no live index"):
+            api.execute_slm_policy(spark, pid)
+        with pt.raises(ValueError, match="no slm policy"):
+            api.execute_slm_policy(spark, "missing-slm")
+    finally:
+        assert api.delete_slm_policy(spark, pid)
+    assert api.get_slm_policy(spark, pid) is None
+
+
 def test_watcher_lifecycle(spark, docs):
     import uuid
 

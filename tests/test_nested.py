@@ -4,6 +4,8 @@ and the bucket_sort / percentiles_bucket / pinned additions."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -349,7 +351,10 @@ def test_variable_width_histogram_twin_and_invariants(spark, sf_dir):
         c = min(49, int((v - lo) / (hi - lo) * 50))
         e = fine.setdefault(c, {"n": 0, "s": 0, "mn": v, "mx": v})
         e["n"] += 1
-        e["s"] += round(v * 100)
+        # the engine's integer grid is floor(x*100 + 0.5)
+        # (round-half-toward-+inf, cross-engine-stable) — NOT python
+        # round() (half-even)
+        e["s"] += math.floor(v * 100 + 0.5)
         e["mn"] = min(e["mn"], v)
         e["mx"] = max(e["mx"], v)
     cl = [fine[c] for c in sorted(fine)]

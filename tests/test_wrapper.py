@@ -142,8 +142,11 @@ def test_bool_wrapper_clauses(docs):
     got = compile_dsl(docs, node)
     assert got.count() == docs.filter(
         "lang = 'de' AND n_chars >= 50").count()
-    from bigdatasearchpro_spark.plans import file_scan_count
+    from bigdatasearchpro_spark.plans import file_scan_count, pushed_filters
 
     assert file_scan_count(got) == 1
+    pushed = " ".join(pushed_filters(got))
+    assert "lang" in pushed and "n_chars" in pushed, \
+        "bool must/filter predicates did not reach the scan"
     with pytest.raises(ValueError, match="unsupported bool clauses"):
         compile_dsl(docs, {"bool": {"should": [{"match_all": {}}]}})

@@ -281,6 +281,7 @@ def main() -> None:
     calibration = _calibration_sec(spark)
 
     queries: dict[str, float] = {}
+    failures: dict[str, str] = {}
     sink_dir = tempfile.mkdtemp(prefix="bench_sink_")
     try:
         etl_sec, etl_rows = min(
@@ -337,14 +338,23 @@ def main() -> None:
                     # queries
                     for _ in range(SUBSEC_EXTRA_REPS):
                         best = min(best, _run_once())
+                queries[name] = round(best, 3)
+            except Exception as e:  # noqa: BLE001
+                # One failing query must not lose the whole suite's
+                # measurements (the r10 sf10 lesson: a spill-to-disk
+                # OOM an hour in threw away every earlier timing).
+                # Record the failure visibly and keep going.
+                queries[name] = -1.0
+                failures[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"[bench] {name} FAILED: {failures[name]}",
+                      file=sys.stderr)
             finally:
                 if split:
                     split[2](spark, ctx)
-            queries[name] = round(best, 3)
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
 
-    total = round(sum(queries.values()), 3)
+    total = round(sum(v for v in queries.values() if v >= 0), 3)
     etl_rps = round(etl_rows / max(etl_sec, 1e-9), 1)
 
     # Full per-query map -> repo file (the driver's stdout-tail capture
@@ -354,7 +364,7 @@ def main() -> None:
         "metric": "headline_suite_wall", "value": total, "unit": "sec",
         "queries": queries, "sf": sf, "reps": REPS,
         "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
-        "calibration_sec": calibration,
+        "calibration_sec": calibration, "failures": failures,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -368,7 +378,7 @@ def main() -> None:
         "queries": {k: queries[k] for k in HEADLINE_QUERIES if k in queries},
         "sf": sf, "reps": REPS, "n_queries": len(queries),
         "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
-        "calibration_sec": calibration,
+        "calibration_sec": calibration, "n_failed": len(failures),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

@@ -49,7 +49,7 @@ SHIFT = {
 COPY_AS_IS = ["region", "nation"]
 
 
-def gen(src: str, out: str, mult: int) -> None:
+def gen(src: str, out: str, mult: int, *, distinct_docs: bool = False) -> None:
     con = duckdb.connect()
     n_threads = min(16, os.cpu_count() or 8)
     con.execute(f"SET threads = {n_threads}")
@@ -73,8 +73,30 @@ def gen(src: str, out: str, mult: int) -> None:
                 if c in keys:
                     proj.append(f"{c} + {i * OFFSET} AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
-                    # distinct corpus per copy (see module docstring)
-                    proj.append(f"text || ' copytag{i}' AS text")
+                    if distinct_docs:
+                        # PROPORTIONAL-density mode: append ~2x the
+                        # doc's length of per-(doc, copy) pseudo-random
+                        # hex (an md5 chain — repetition would collapse
+                        # to ~6 distinct shingles and change nothing),
+                        # pushing cross-copy Jaccard to ~0.2: copies are
+                        # NOT near-dups of each other, so near-dup
+                        # density per corpus row stays CONSTANT across
+                        # tiers (the controlled pairs come from the
+                        # entries' own _with_synthetic_neardups).  The
+                        # default one-token 'copytag' suffix keeps
+                        # copies mutually near-dup — dup-group size
+                        # grows with mult (the ADVERSARIAL tier; at
+                        # mult=100 pair output grows ~mult^2 and any
+                        # pair-listing op is output-bound by design).
+                        proj.append(
+                            "text || ' ' || array_to_string("
+                            "list_transform("
+                            "range(1, greatest(length(text)//16, 4) + 1), "
+                            f"j -> md5(text || '#{i}#' || j)), ' ') AS text"
+                        )
+                    else:
+                        # distinct corpus per copy (see module docstring)
+                        proj.append(f"text || ' copytag{i}' AS text")
                 elif t == "embeddings" and c == "embedding" and i > 0:
                     proj.append(
                         f"(list_prepend((embedding[1] + {i}e-4)::FLOAT, "
@@ -101,8 +123,12 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sfgen/sf1")
+    ap.add_argument("--distinct-docs", action="store_true",
+                    help="per-(doc,copy) md5-chain text suffix: copies are "
+                         "NOT near-dups of each other (proportional "
+                         "near-dup density across tiers)")
     a = ap.parse_args()
-    gen(a.src, a.out, a.mult)
+    gen(a.src, a.out, a.mult, distinct_docs=a.distinct_docs)
 
 
 if __name__ == "__main__":

@@ -46,22 +46,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # ANY registry or front-list change.
 #
 # Round-10 budget (the r9-verdict drain plan): FRONT carries ONLY
-# this round's fixes/new entries (6 slots, 4 of them themselves
-# never-checked), so 44 of the never-driver-checked backlog fill the
-# rest of the window stalest-first — check_window: 48 of the 68
-# never-checked get r10 verdicts, leaving 20.
-# DRAIN FORECAST for r11: the 20 survivors are the stalest entries,
+# this round's fixes/new entries (7 slots, 5 of them themselves
+# never-checked), so 43 of the never-driver-checked backlog fill the
+# rest of the window stalest-first — check_window: 48 of the 69
+# never-checked get r10 verdicts, leaving 21.
+# DRAIN FORECAST for r11: the 21 survivors are the stalest entries,
 # so they sort to the very front of r11's non-front slots
 # automatically; with r11's own FRONT kept small (<= 5), r11 reaches
-# never-checked = 0 with ~25 slots to spare.
+# never-checked = 0 with ~24 slots to spare.
 # ROUND-11 NOTE: REPLACE this list with that round's fixes/new entries
 # (keeping green r10 names here would waste window slots re-verifying
 # them); run `python tools/check_window.py` after any change.
 _R10_FIXED_OR_NEW = (
     # r9 verdict ask #5: _render/template over stored mustache scripts
     "s48_render_template",
-    # r9 verdict ask #6: X-Pack rollup job over the transform engine
+    # r9 verdict ask #6: X-Pack rollup job over the transform engine,
+    # plus the read half added this round (_rollup_search: live aggs
+    # rewritten onto the pre-aggregated columns)
     "s49_rollup_job",
+    "s51_rollup_search",
     # r9 verdict ask #7: the distributed phase of
     # variable_width_histogram, now DuckDB-oracled on its own
     "l3_agg_vwh_fine_cells",

@@ -2372,6 +2372,226 @@ def start_rollup_job(spark: SparkSession, job_id: str) -> dict:
             "status": "started"}
 
 
+# `_rollup_search`: query a rollup index with a LIVE agg request and
+# have the engine rewrite it onto the pre-aggregated columns — the
+# read half of the rollup contract (searching the rollup must equal
+# aggregating the raw data).  Reference behavior: ES 6.6 X-Pack
+# RollupSearchAction; the reference app itself never re-aggregates —
+# it delegates every search to ES (ElasticServiceImpl.java:35-136) —
+# so the contract here is the ES endpoint's.
+_CALENDAR_CHAIN = ("minute", "hour", "day", "month", "year")
+
+
+def _rollup_jobs_for(index: str) -> "list[tuple[str, dict]]":
+    return [(jid, j) for jid, j in _ROLLUP_JOBS.items()
+            if j["rollup_index"] == index]
+
+
+def _coarser_calendar(stored: str, requested: str) -> bool:
+    """True iff date_trunc(requested, date_trunc(stored, ts)) ==
+    date_trunc(requested, ts) for all ts — units must nest.  ``week``
+    nests with nothing coarser (a month boundary splits weeks), so it
+    only satisfies itself."""
+    if stored == requested:
+        return True
+    if "week" in (stored, requested):
+        return False
+    return (_CALENDAR_CHAIN.index(requested)
+            > _CALENDAR_CHAIN.index(stored))
+
+
+def rollup_search(spark: SparkSession, rollup_index: str, *,
+                  date_histogram: dict, terms: "list[str] | None" = None,
+                  histogram: "dict | None" = None,
+                  metrics: "dict[str, tuple[str, str]] | None" = None,
+                  query: "dict | None" = None) -> DataFrame:
+    """ES ``GET {rollup_index}/_rollup_search``: run a live aggregation
+    against a ROLLUP index by rewriting it onto the pre-aggregated
+    columns — ONE hash aggregate over the (already tiny) rollup index,
+    never touching the raw data.
+
+    Request shape (the ES agg tree flattened to this engine's grouped-
+    DataFrame convention): ``date_histogram`` = ``{"field": f,
+    "fixed_interval"|"calendar_interval": iv}`` (requested interval
+    must be satisfiable by the job: an integer multiple of a fixed
+    job interval, or a calendar unit the stored unit nests into);
+    ``terms`` = grouped term fields; ``histogram`` = ``{"fields":
+    [...], "interval": iv}`` with iv an integer multiple of the job's;
+    ``metrics`` = ``{out_col: (kind, field)}`` with kind in
+    min/max/sum/value_count/avg; ``query`` = optional ``{"term": {f:
+    v}}`` / ``{"terms": {f: [v...]}}`` / ``{"range": {f: {gte/gt/lte/
+    lt}}}`` on GROUPED fields only (the ES rollup-search restriction).
+
+    Metric rewrite: ``sum(f) -> sum(f_sum)``, ``min -> min(f_min)``,
+    ``max -> max(f_max)``, ``value_count -> sum(f_value_count)``, and
+    ``avg -> sum(f_sum) / sum(f_value_count)`` (exactly how ES stores
+    avg internally; requires the job to have captured both sum and
+    value_count for the field).  Validation mirrors ES: an agg a job
+    cannot satisfy is an error naming the missing capability.  When
+    several jobs target the index the first satisfying one is used.
+    """
+    jobs = _rollup_jobs_for(rollup_index)
+    if not jobs:
+        raise ValueError(f"no rollup job targets index {rollup_index!r}")
+
+    errors: "list[str]" = []
+    for jid, j in jobs:
+        try:
+            return _rollup_search_one(
+                spark, jid, j, date_histogram=date_histogram,
+                terms=list(terms or ()), histogram=histogram,
+                metrics=dict(metrics or {}), query=query)
+        except ValueError as e:
+            errors.append(f"{jid}: {e}")
+    raise ValueError(
+        "no rollup job on {0!r} satisfies the request: {1}".format(
+            rollup_index, "; ".join(errors)))
+
+
+def _rollup_search_one(spark, jid, j, *, date_histogram, terms,
+                       histogram, metrics, query) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dh_job = j["groups"]["date_histogram"]
+    f = date_histogram.get("field")
+    if f != dh_job["field"]:
+        raise ValueError(
+            f"date_histogram on {f!r} but job groups {dh_job['field']!r}")
+    stored = F.col(f"{f}_bucket")
+    if "fixed_interval" in date_histogram:
+        if "fixed_interval" not in dh_job:
+            raise ValueError("job uses calendar_interval, request fixed")
+        want = _fixed_interval_seconds(date_histogram["fixed_interval"])
+        have = _fixed_interval_seconds(dh_job["fixed_interval"])
+        if want % have:
+            raise ValueError(
+                f"requested interval {want}s is not a multiple of the "
+                f"job's {have}s")
+        bucket = F.timestamp_seconds(
+            F.floor(F.to_unix_timestamp(stored) / want) * want)
+    elif "calendar_interval" in date_histogram:
+        if "calendar_interval" not in dh_job:
+            raise ValueError("job uses fixed_interval, request calendar")
+        want_u = date_histogram["calendar_interval"]
+        if want_u not in _CALENDAR_UNITS:
+            raise ValueError(f"bad calendar_interval {want_u!r}")
+        if not _coarser_calendar(dh_job["calendar_interval"], want_u):
+            raise ValueError(
+                f"calendar unit {want_u!r} does not nest over the "
+                f"job's {dh_job['calendar_interval']!r}")
+        bucket = F.date_trunc(want_u, stored)
+    else:
+        raise ValueError("date_histogram needs an interval")
+    keys = [bucket.alias(f"{f}_bucket")]
+    # queryable = everything the JOB grouped by (the ES rule), whether
+    # or not this request re-groups on it — an un-requested group field
+    # is still a physical column of the rollup index
+    job_terms = set((j["groups"].get("terms") or {}).get("fields", ()))
+    job_hist = j["groups"].get("histogram")
+    grouped_fields = ({f"{f}_bucket", f} | job_terms
+                      | set((job_hist or {}).get("fields", ())))
+
+    for t in terms:
+        if t not in job_terms:
+            raise ValueError(f"terms field {t!r} is not grouped by the job")
+        keys.append(F.col(t))
+
+    if histogram:
+        if not job_hist:
+            raise ValueError("job has no histogram group")
+        want_iv = float(histogram.get("interval", 0))
+        have_iv = float(job_hist["interval"])
+        if want_iv <= 0 or (want_iv / have_iv) != int(want_iv / have_iv):
+            raise ValueError(
+                f"histogram interval {want_iv} is not a multiple of the "
+                f"job's {have_iv}")
+        for h in histogram.get("fields", ()):
+            if h not in job_hist["fields"]:
+                raise ValueError(
+                    f"histogram field {h!r} is not grouped by the job")
+            keys.append((F.floor(F.col(h) / want_iv) * want_iv).alias(h))
+
+    captured = {m["field"]: set(m["metrics"]) for m in j["metrics"]}
+    aggs = []
+    for out_col, (kind, field) in metrics.items():
+        have = captured.get(field, set())
+        if kind in ("min", "max"):
+            if kind not in have:
+                raise ValueError(f"job did not capture {kind}({field})")
+            aggs.append(getattr(F, kind)(F.col(f"{field}_{kind}"))
+                        .alias(out_col))
+        elif kind == "sum":
+            if "sum" not in have:
+                raise ValueError(f"job did not capture sum({field})")
+            aggs.append(F.sum(F.col(f"{field}_sum")).alias(out_col))
+        elif kind == "value_count":
+            if "value_count" not in have:
+                raise ValueError(
+                    f"job did not capture value_count({field})")
+            aggs.append(F.sum(F.col(f"{field}_value_count"))
+                        .alias(out_col))
+        elif kind == "avg":
+            # ES stores avg as (sum, count) internally and recombines;
+            # this engine's job must have captured both explicitly.
+            if not {"sum", "value_count"} <= have:
+                raise ValueError(
+                    f"avg({field}) needs the job to capture both "
+                    f"sum and value_count for {field!r}")
+            aggs.append(
+                (F.sum(F.col(f"{field}_sum")).cast("double")
+                 / F.sum(F.col(f"{field}_value_count"))).alias(out_col))
+        else:
+            raise ValueError(f"unsupported rollup metric {kind!r}")
+    if not aggs:
+        raise ValueError("request names no metrics")
+
+    df = resolve_index(spark, j["rollup_index"])
+    if query:
+        cond_field, pred = _compile_rollup_query(
+            query,
+            # a query on the raw date field rewrites onto the stored
+            # bucket column (the rollup index has no raw timestamps) —
+            # the ES rollup-search behavior: range bounds select whole
+            # buckets
+            col_of=lambda fld: f"{fld}_bucket" if fld == f else fld)
+        if cond_field not in grouped_fields:
+            raise ValueError(
+                f"query field {cond_field!r} is not grouped by the job "
+                "(rollup search allows queries on grouped fields only)")
+        df = df.filter(pred)
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _compile_rollup_query(query: dict, *, col_of):
+    """One term/terms/range clause -> (logical_field, Column predicate
+    over ``col_of(logical_field)``)."""
+    from pyspark.sql import functions as F
+
+    if len(query) != 1:
+        raise ValueError("rollup query supports exactly one clause")
+    kind, body = next(iter(query.items()))
+    if kind == "term":
+        (field, v), = body.items()
+        return field, F.col(col_of(field)) == v
+    if kind == "terms":
+        (field, vs), = body.items()
+        return field, F.col(col_of(field)).isin(list(vs))
+    if kind == "range":
+        (field, bounds), = body.items()
+        ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__",
+               "lt": "__lt__"}
+        pred = None
+        for op, v in bounds.items():
+            if op not in ops:
+                raise ValueError(f"bad range op {op!r}")
+            c = getattr(F.col(col_of(field)), ops[op])(v)
+            pred = c if pred is None else (pred & c)
+        if pred is None:
+            raise ValueError("empty range bounds")
+        return field, pred
+    raise ValueError(f"unsupported rollup query clause {kind!r}")
+
+
 # ES Watcher (`_watcher`): stored alerts — a search input, a scalar
 # condition, an action fired when the condition holds.  The streaming
 # ring serves the push form (percolation, geo-fence, script alerts);

@@ -2047,6 +2047,87 @@ def s49_rollup_job(spark, sf_dir):
 
 
 @register(
+    "s51_rollup_search",
+    """
+    SELECT time_bucket(INTERVAL '12 hours', ts) AS ts_bucket,
+           event_type,
+           CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+           count(user_id)::BIGINT AS n_events,
+           CAST(sum(user_id) AS DOUBLE) / count(user_id) AS user_id_avg,
+           min(value) AS value_min,
+           max(value) AS value_max
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY ts_bucket, event_type
+    ORDER BY ts_bucket, event_type
+    """,
+)
+def s51_rollup_search(spark, sf_dir):
+    """S-family [ES parity]: ``_rollup_search`` — a LIVE agg request
+    against a rollup index, rewritten onto the pre-aggregated columns
+    (sum->sum(f_sum), value_count->sum(f_value_count), avg->
+    sum(f_sum)/sum(f_value_count) exactly as ES recombines its stored
+    (sum, count) pair, terms query on a grouped field).  The job rolls
+    at 6h; the search asks for 12h — re-bucketing the stored buckets,
+    never the raw data — and the oracle aggregates the RAW table at
+    12h: searching the rollup must equal aggregating the raw data.
+    The ONE hash aggregate runs over the rollup index, which is
+    |buckets| rows, not |raw| — the entire point of rollups at 100 TB
+    (api.rollup_search; avg stays float-deterministic because the
+    engine divides two exact integers once, job capture
+    sum+value_count on a BIGINT field)."""
+    import uuid
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    events = load_table(spark, sf_dir, "events")
+    tag = uuid.uuid4().hex[:8]
+    src_idx, ru_idx, jid = f"rs_src_{tag}", f"rs_dest_{tag}", f"rs-{tag}"
+    bulk_index_table(events, src_idx)  # typed source index
+    api.put_rollup_job(
+        spark, jid,
+        index_pattern=src_idx, rollup_index=ru_idx,
+        groups={
+            "date_histogram": {"field": "ts", "fixed_interval": "6h"},
+            "terms": {"fields": ["event_type"]},
+        },
+        metrics=[
+            {"field": "user_id", "metrics": ["sum", "value_count"]},
+            {"field": "value", "metrics": ["min", "max"]},
+        ],
+    )
+    try:
+        api.start_rollup_job(spark, jid)
+        out = api.rollup_search(
+            spark, ru_idx,
+            date_histogram={"field": "ts", "fixed_interval": "12h"},
+            terms=["event_type"],
+            metrics={
+                "user_id_sum": ("sum", "user_id"),
+                "n_events": ("value_count", "user_id"),
+                "user_id_avg": ("avg", "user_id"),
+                "value_min": ("min", "value"),
+                "value_max": ("max", "value"),
+            },
+            query={"terms": {"event_type": ["click", "purchase"]}},
+        )
+        rows = out.orderBy("ts_bucket", "event_type").collect()
+    finally:
+        if api.get_rollup_job(spark, jid) is not None:
+            api.stop_rollup_job(spark, jid)
+            assert api.delete_rollup_job(spark, jid)
+        api.delete_index(spark, src_idx)
+        api.delete_index(spark, ru_idx)
+    return spark.createDataFrame(
+        rows,
+        "ts_bucket timestamp, event_type string, user_id_sum bigint, "
+        "n_events bigint, user_id_avg double, value_min double, "
+        "value_max double",
+    )
+
+
+@register(
     "s50_slm_policy",
     """
     SELECT doc_id, lang, n_chars FROM documents

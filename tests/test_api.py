@@ -1151,6 +1151,182 @@ def test_rollup_job_lifecycle_and_guards(spark, docs):
         api.delete_index(spark, dest)
 
 
+def test_rollup_search_rewrite_and_guards(spark):
+    """`_rollup_search`: a live agg against the ROLLUP index rewrites
+    onto the pre-aggregated columns and must equal aggregating the raw
+    data — checked here for fixed-interval re-bucketing (6h job, 12h
+    request), avg recombination (sum(f_sum)/sum(f_value_count)), a
+    terms query on a grouped field, and a range query on the raw date
+    field (rewritten onto the stored bucket column).  Every ES
+    validation error is exercised: non-multiple interval, fixed vs
+    calendar kind mismatch, non-nesting calendar unit (week), terms /
+    query field not grouped, metric not captured, avg without
+    sum+value_count, no job on the index."""
+    import uuid
+
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    tag = uuid.uuid4().hex[:6]
+    src, dest, jid = f"rs_src_{tag}", f"rs_dest_{tag}", f"rsj-{tag}"
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 5:02d} {i % 24:02d}:11:00",
+          ("a", "b", "c")[i % 3], i % 17, float(i % 7))
+         for i in range(300)],
+        "event_id long, ts string, kind string, n long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bulk_index_table(ev, src)
+    api.put_rollup_job(
+        spark, jid, index_pattern=src, rollup_index=dest,
+        groups={"date_histogram": {"field": "ts", "fixed_interval": "6h"},
+                "terms": {"fields": ["kind"]}},
+        metrics=[{"field": "n", "metrics": ["sum", "value_count"]},
+                 {"field": "value", "metrics": ["min", "max"]}])
+    try:
+        api.start_rollup_job(spark, jid)
+        got = {(r.ts_bucket, r.kind):
+               (r.n_sum, r.n_cnt, r.n_avg, r.v_min, r.v_max)
+               for r in api.rollup_search(
+                   spark, dest,
+                   date_histogram={"field": "ts", "fixed_interval": "12h"},
+                   terms=["kind"],
+                   metrics={"n_sum": ("sum", "n"),
+                            "n_cnt": ("value_count", "n"),
+                            "n_avg": ("avg", "n"),
+                            "v_min": ("min", "value"),
+                            "v_max": ("max", "value")}).collect()}
+        want = {(r.b, r.kind): (r.s, r.c, r.s / r.c, r.lo, r.hi)
+                for r in ev.groupBy(
+                    F.timestamp_seconds(
+                        F.floor(F.to_unix_timestamp("ts") / 43200) * 43200
+                    ).alias("b"), "kind")
+                .agg(F.sum("n").alias("s"), F.count("n").alias("c"),
+                     F.min("value").alias("lo"),
+                     F.max("value").alias("hi")).collect()}
+        assert got == want
+
+        # terms query on a grouped field prunes buckets
+        only_a = api.rollup_search(
+            spark, dest,
+            date_histogram={"field": "ts", "fixed_interval": "6h"},
+            metrics={"c": ("value_count", "n")},
+            query={"term": {"kind": "a"}})
+        assert (only_a.agg(F.sum("c")).first()[0]
+                == ev.filter(F.col("kind") == "a").count())
+
+        # range on the RAW date field rewrites onto ts_bucket: bounds
+        # aligned to bucket edges select exactly those whole buckets
+        ranged = api.rollup_search(
+            spark, dest,
+            date_histogram={"field": "ts", "fixed_interval": "6h"},
+            metrics={"c": ("value_count", "n")},
+            query={"range": {"ts": {"gte": "2024-01-02 00:00:00",
+                                    "lt": "2024-01-03 00:00:00"}}})
+        assert (ranged.agg(F.sum("c")).first()[0]
+                == ev.filter(F.to_date("ts") == "2024-01-02").count())
+
+        def _bad(match, **kw):
+            with pt.raises(ValueError, match=match):
+                api.rollup_search(spark, dest, **kw)
+
+        m = {"c": ("value_count", "n")}
+        _bad("not a multiple",
+             date_histogram={"field": "ts", "fixed_interval": "8h"},
+             metrics=m)
+        _bad("request calendar",
+             date_histogram={"field": "ts", "calendar_interval": "day"},
+             metrics=m)
+        _bad("not grouped by the job",
+             date_histogram={"field": "ts", "fixed_interval": "6h"},
+             terms=["n"], metrics=m)
+        _bad("no histogram group",
+             date_histogram={"field": "ts", "fixed_interval": "6h"},
+             histogram={"fields": ["n"], "interval": 2}, metrics=m)
+        _bad(r"did not capture min\(n\)",
+             date_histogram={"field": "ts", "fixed_interval": "6h"},
+             metrics={"x": ("min", "n")})
+        _bad(r"avg\(value\) needs",
+             date_histogram={"field": "ts", "fixed_interval": "6h"},
+             metrics={"x": ("avg", "value")})
+        _bad("is not grouped by the job",
+             date_histogram={"field": "ts", "fixed_interval": "6h"},
+             metrics=m, query={"term": {"n": 3}})
+        _bad("unsupported rollup metric",
+             date_histogram={"field": "ts", "fixed_interval": "6h"},
+             metrics={"x": ("median", "n")})
+        _bad("names no metrics",
+             date_histogram={"field": "ts", "fixed_interval": "6h"},
+             metrics={})
+        with pt.raises(ValueError, match="no rollup job targets"):
+            api.rollup_search(
+                spark, "nosuch_rollup_index",
+                date_histogram={"field": "ts", "fixed_interval": "6h"},
+                metrics=m)
+    finally:
+        if api.get_rollup_job(spark, jid) is not None:
+            api.stop_rollup_job(spark, jid)
+            api.delete_rollup_job(spark, jid)
+        api.delete_index(spark, src)
+        api.delete_index(spark, dest)
+
+
+def test_rollup_search_calendar_nesting(spark):
+    """Calendar-interval jobs: a request unit must NEST over the
+    stored unit (day -> month ok; week never nests; fixed request
+    over a calendar job refused), and re-truncating stored buckets
+    equals truncating the raw data."""
+    import uuid
+
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    tag = uuid.uuid4().hex[:6]
+    src, dest, jid = f"rc_src_{tag}", f"rc_dest_{tag}", f"rcj-{tag}"
+    ev = spark.createDataFrame(
+        [(i, f"2024-{1 + i % 3:02d}-{1 + i % 27:02d} 06:00:00", i % 9)
+         for i in range(200)],
+        "event_id long, ts string, n long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bulk_index_table(ev, src)
+    api.put_rollup_job(
+        spark, jid, index_pattern=src, rollup_index=dest,
+        groups={"date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"}},
+        metrics=[{"field": "n", "metrics": ["sum"]}])
+    try:
+        api.start_rollup_job(spark, jid)
+        got = {r.ts_bucket: r.total for r in api.rollup_search(
+            spark, dest,
+            date_histogram={"field": "ts", "calendar_interval": "month"},
+            metrics={"total": ("sum", "n")}).collect()}
+        want = {r.b: r.s for r in ev.groupBy(
+            F.date_trunc("month", "ts").alias("b"))
+            .agg(F.sum("n").alias("s")).collect()}
+        assert got == want
+        with pt.raises(ValueError, match="does not nest"):
+            api.rollup_search(
+                spark, dest,
+                date_histogram={"field": "ts", "calendar_interval": "week"},
+                metrics={"total": ("sum", "n")})
+        with pt.raises(ValueError, match="request fixed"):
+            api.rollup_search(
+                spark, dest,
+                date_histogram={"field": "ts", "fixed_interval": "1d"},
+                metrics={"total": ("sum", "n")})
+    finally:
+        if api.get_rollup_job(spark, jid) is not None:
+            api.stop_rollup_job(spark, jid)
+            api.delete_rollup_job(spark, jid)
+        api.delete_index(spark, src)
+        api.delete_index(spark, dest)
+
+
 def test_slm_policy_guards_and_listing(spark, docs):
     """X-Pack `_slm/policy` guards: PUT validates patterns/retention,
     execute raises on zero live matches (a silent no-op snapshot is a

@@ -469,7 +469,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_chunks: int = 4,
-    max_bucket: int | None = 65536,
+    max_bucket: int | None = 1024,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of
@@ -483,17 +483,37 @@ def simhash_pairs(
     than silently under-recalling. More chunks buy a larger radius at
     the cost of smaller (more collision-prone) chunks.
 
-    Skew guard (``max_bucket``): at 10^10 documents a popular 16-bit
-    chunk value makes its bucket quadratic. Buckets larger than
-    ``max_bucket`` are re-banded by a SECONDARY pigeonhole: members of a
-    hot (chunk, value) bucket agree on that chunk, so their <=
+    Density guard (``max_bucket``): buckets larger than ``max_bucket``
+    are re-banded by a SECONDARY pigeonhole: members of a hot
+    (chunk, value) bucket agree on that chunk, so their <=
     ``max_hamming`` differing bits all lie in the remaining 48 bits —
     splitting those into ``max_hamming+1`` sub-chunks guarantees any
     qualifying pair still collides on some (chunk, value, sub, subval)
     band. Recall is EXACTLY preserved; the hot bucket's join fan-out
     drops from |bucket|^2 to the sub-bucket sizes. Costs one extra
     count-aggregate over the (id, chunk, value) rows (ids + longs, not
-    text) and a broadcast of the (tiny) hot-bucket list.
+    text) and a broadcast of the (tiny, <= n_chunks * 2^chunk_bits
+    entry) hot-bucket list.
+
+    The guard is a DENSITY fix, not just a skew fix: at small chunk
+    widths (radius-7 banding = 8-bit chunks) every bucket crosses
+    quadratic break-even long before any single value is "hot", and
+    splitting pays once |bucket|^2 - n_sub*(|bucket|/2^sub_bits)^2
+    exceeds the n_sub-row fan-out — i.e. for buckets of a few dozen
+    rows — so 1024 is conservatively high while engaging the split
+    64x earlier than the old 65536.  What the split can and cannot
+    buy was measured in the round-10 sf10 sweep (SCALING.md): it cuts
+    BANDING WASTE (candidate pairs that verify false), which on the
+    skewed fixture meant sum(bucket^2) 122B -> 88B and ~1.7x wall;
+    it cannot cut TRUE pair output — on a corpus where near-dup
+    density itself grows quadratically (the fixture's 60-word
+    vocabulary puts tier-copies within radius 7 of each other), the
+    verified pair count dominates and grows with the density, which
+    no banding scheme can change.  Sub-bucket skew tracks signature-
+    bit bias (corpus-wide token statistics push every doc's bits the
+    same way), so on small-vocabulary corpora expect the split's
+    benefit to be bounded; on natural-vocabulary corpora the bias —
+    and the waste the split removes — is the hot-key tail.
     """
     sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col, hash_fn=hash_fn)
     return hamming_signature_pairs(
@@ -513,7 +533,7 @@ def hamming_signature_pairs(
     n_bits: int,
     max_hamming: int = 3,
     n_chunks: int = 4,
-    max_bucket: "int | None" = 65536,
+    max_bucket: "int | None" = 1024,
 ) -> DataFrame:
     """The banded hamming-pair join over ANY integer signature column
     ``__sim`` (``(id, __sim)`` rows) — the generic core behind

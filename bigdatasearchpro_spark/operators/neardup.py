@@ -504,8 +504,10 @@ def simhash_pairs(
     64x earlier than the old 65536.  What the split can and cannot
     buy was measured in the round-10 sf10 sweep (SCALING.md): it cuts
     BANDING WASTE (candidate pairs that verify false), which on the
-    skewed fixture meant sum(bucket^2) 122B -> 88B and ~1.7x wall;
-    it cannot cut TRUE pair output — on a corpus where near-dup
+    skewed fixture meant sum(bucket^2) 122B -> 88B — wall gain is
+    bounded by that 1.39x ratio (measured: md5 variant 42.7 -> 27.8 s;
+    xxhash64 variant consistent within first-rep inflation); it
+    cannot cut TRUE pair output — on a corpus where near-dup
     density itself grows quadratically (the fixture's 60-word
     vocabulary puts tier-copies within radius 7 of each other), the
     verified pair count dominates and grows with the density, which

@@ -3273,7 +3273,7 @@ def q20_potential_promotion(spark, sf_dir):
     "l3_agg_multi_terms",
     """
     SELECT lang AS key_lang, source AS key_source,
-           count(*) AS doc_count, sum(n_chars) AS sum_chars
+           count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY 1, 2
     ORDER BY doc_count DESC, key_lang, key_source

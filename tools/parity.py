@@ -53,6 +53,45 @@ def _rows_to_multiset(rows, col_order):
     return Counter(tuple(_norm(r[i]) for i in col_order) for r in rows)
 
 
+def _spark_pandas_kind(field, values):
+    """Predict the pandas dtype *kind* the driver sees for a Spark
+    column after ``toPandas()`` (Arrow path): integral columns promote
+    to float64 when they contain nulls; decimals become objects."""
+    from pyspark.sql import types as T
+
+    t = field.dataType
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "f" if any(v is None for v in values) else "i"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(t, T.BooleanType):
+        return "b"
+    if isinstance(t, T.TimestampType):
+        return "M"
+    return "O"
+
+
+def _dtype_mismatches(sdf, s_rows, s_cols, ddf):
+    """Driver-hash dtype check (VERDICT r10 ask #3): the driver hashes
+    pandas frames dtype-sensitively, so an int64 Spark column against a
+    DuckDB column pandas renders as float64 (e.g. an uncast HUGEINT
+    ``sum``) fails there even when every value is numerically equal.
+    ``str()`` normalization below cannot see that class — this can.
+    Returns [(col, spark_kind, duck_kind), ...] for int-vs-float
+    conflicts (the class the driver actually distinguishes)."""
+    d_kinds = {str(c).lower(): ddf.dtypes[c].kind for c in ddf.columns}
+    bad = []
+    for i, f in enumerate(sdf.schema.fields):
+        col = f.name.lower()
+        if col not in d_kinds:
+            continue
+        sk = _spark_pandas_kind(f, [r[i] for r in s_rows])
+        dk = d_kinds[col]
+        if {sk, dk} == {"i", "f"}:
+            bad.append((col, sk, dk))
+    return bad
+
+
 def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
     t0 = time.time()
     sdf = QUERIES[name](spark, sf_dir)
@@ -87,12 +126,24 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
     res = con.execute(ORACLES[name])
     d_cols = [c[0].lower() for c in res.description]
     d_rows = res.fetchall()
+    # second (cheap) duck execution as a pandas frame: the driver's
+    # hash sees pandas dtypes, and DuckDB→pandas conversion is where
+    # HUGEINT/DECIMAL silently become float64
+    ddf = con.execute(ORACLES[name]).df()
     t_duck = time.time() - t0
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"SCHEMA MISMATCH spark={s_cols} duck={d_cols}"
     if len(s_rows) != len(d_rows):
         return False, f"ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}"
+
+    bad_dtypes = _dtype_mismatches(sdf, s_rows, s_cols, ddf)
+    if bad_dtypes:
+        return False, (
+            "DTYPE MISMATCH (driver hash is dtype-sensitive): "
+            + ", ".join(f"{c}: spark={sk} duck={dk}" for c, sk, dk in bad_dtypes)
+            + " — CAST the oracle (or the Spark column) so both are int or both float"
+        )
 
     s_order = [s_cols.index(c) for c in sorted(s_cols)]
     d_order = [d_cols.index(c) for c in sorted(d_cols)]

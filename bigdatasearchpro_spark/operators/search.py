@@ -1915,6 +1915,121 @@ def percolate_many(
     ).select(id_col, query_id_col)
 
 
+def percolate_counts(
+    registered: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    query_id_col: str = "query_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """BOUNDED percolation: per-stored-query MATCHED-DOC COUNTS —
+    ``(query_id, n_matched_docs)`` for every query with >= 1 match —
+    computed WITHOUT ever materializing the doc x query pair set
+    (:func:`percolate_many` lists the pairs; on alert-dense corpora
+    that set is quadratic by construction — the r10 sf10 run hit
+    ~3.9 B pairs and overflowed disk in the count's exchanges, see
+    SCALING.md "Fixture-density case 1" — so the LISTING contract
+    cannot survive 100x; the COUNT contract, aggregated map-side,
+    can).
+
+    Plan: the registered side (the small side — alert-rule tables are
+    1e4-1e6 rows; ES caps percolator indices the same way) is
+    collected once, DEDUPED BY TERM-SET SIGNATURE (``(mode,
+    sorted-distinct-terms)`` — stored alert queries repeat heavily, so
+    matching runs per distinct signature, never per query), compiled
+    to a token -> signature-ids inverted index and broadcast.  Each
+    doc partition then streams its analyzed token arrays through ONE
+    Arrow ``mapInPandas`` pass that looks up candidates in the index,
+    resolves ``any``/``all`` per signature with a numpy unique/count,
+    and accumulates a per-PARTITION partial count vector — the only
+    thing that crosses the wire is |signatures| x |partitions| partial
+    rows, then one tiny hash agg and a broadcast expansion back to
+    query ids.  No shuffle ever carries a (doc, query) row, so the
+    exchange volume is independent of the match density.
+
+    Exact (not sketched): counts equal ``percolate_many`` pair counts
+    per query, and the DuckDB oracle replays the naive pair join.  At
+    a registered side too large to collect, chunk it and sum the
+    count vectors per chunk — same plan, k passes."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    from pyspark.sql import types as T
+
+    qid_type = registered.schema[query_id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(query_id_col, qid_type),
+        T.StructField("n_matched_docs", T.LongType()),
+    ])
+
+    reg_rows = registered.select(query_id_col, "terms", "mode").collect()
+    sig_ids: dict[tuple, int] = {}
+    sig_queries: list[tuple[int, object]] = []  # (sig_id, query_id)
+    for r in reg_rows:
+        terms = tuple(sorted(set(r["terms"])))
+        if not terms:
+            continue
+        key = (r["mode"], terms)
+        sid = sig_ids.setdefault(key, len(sig_ids))
+        sig_queries.append((sid, r[query_id_col]))
+    if not sig_ids:
+        return spark.createDataFrame([], out_schema)
+
+    n_sigs = len(sig_ids)
+    need = np.zeros(n_sigs, dtype=np.int64)
+    is_any = np.zeros(n_sigs, dtype=bool)
+    inv_lists: dict[str, list[int]] = {}
+    for (mode, terms), sid in sig_ids.items():
+        need[sid] = len(terms)
+        is_any[sid] = mode == "any"
+        for t in terms:
+            inv_lists.setdefault(t, []).append(sid)
+    inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
+    bc = spark.sparkContext.broadcast((inv, need, is_any, n_sigs))
+
+    def count_partition(batches):
+        b_inv, b_need, b_any, n = bc.value
+        partial = np.zeros(n, dtype=np.int64)
+        for pdf in batches:
+            for toks in pdf["__toks"]:
+                arrs = [b_inv[t] for t in set(toks) if t in b_inv]
+                if not arrs:
+                    continue
+                cand = np.concatenate(arrs)
+                uniq, cnt = np.unique(cand, return_counts=True)
+                # doc tokens and signature terms are both distinct, so
+                # cnt == matched distinct terms and never exceeds need
+                hit = uniq[b_any[uniq] | (cnt == b_need[uniq])]
+                partial[hit] += 1
+        nz = np.flatnonzero(partial)
+        yield pd.DataFrame({"__sig": nz, "__n": partial[nz]})
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    tokenized = fan_out(docs).select(
+        tokens_expr(text_col, analyzer).alias("__toks")
+    )
+    partials = tokenized.mapInPandas(
+        count_partition, schema="__sig long, __n long"
+    )
+    totals = partials.groupBy("__sig").agg(F.sum("__n").alias("n_matched_docs"))
+    expand = spark.createDataFrame(
+        sig_queries,
+        T.StructType([
+            T.StructField("__sig", T.LongType()),
+            T.StructField(query_id_col, qid_type),
+        ]),
+    )
+    return (
+        totals.join(F.broadcast(expand), "__sig")
+        .filter(F.col("n_matched_docs") > 0)
+        .select(query_id_col, "n_matched_docs")
+    )
+
+
 def decay_expr(
     value: Column,
     *,

@@ -2160,6 +2160,62 @@ def l3_percolate_many(spark, sf_dir):
     )
 
 
+@register(
+    "l3_percolate_counts",
+    """
+    WITH reg AS (
+      SELECT doc_id AS query_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')[1:3]) AS terms
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    qx AS (
+      SELECT query_id, len(terms) AS need, unnest(terms) AS term
+      FROM reg WHERE len(terms) > 0
+    ),
+    dx AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')))
+        AS tok
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    pairs AS (
+      SELECT d.doc_id, q.query_id
+      FROM dx d JOIN qx q ON d.tok = q.term
+      GROUP BY d.doc_id, q.query_id, q.need
+      HAVING count(*) >= q.need
+    )
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched_docs
+    FROM pairs GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def l3_percolate_counts(spark, sf_dir):
+    """L3+ BOUNDED percolation (r10 verdict ask #4) — the percolate
+    surface that survives 100x: per-stored-query MATCHED-DOC COUNTS
+    over the same alerting fixture as l3_percolate_many (queries from
+    ids % 5, docs % 7, mode=all), but computed map-side — a broadcast
+    signature-deduped inverted index inside one Arrow ``mapInPandas``
+    pass accumulates a per-partition count vector, so the shuffle
+    carries |signatures| x |partitions| partial rows and NEVER a
+    (doc, query) pair (search.percolate_counts; percolate_many's pair
+    LISTING is quadratic by construction on this fixture — ~3.9 B
+    pairs at sf10, SCALING.md case 1).  Output is |queries| rows at
+    every tier.  Oracle replays the naive pair join + count in
+    DuckDB — exact, not sketched."""
+    docs = load_table(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.array_distinct(F.slice(search.tokens_expr("text"), 1, 3)), " "
+        ).alias("query"),
+    )
+    registered = search.register_percolator_queries(stored)
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    return search.percolate_counts(registered, incoming).orderBy("query_id")
+
+
 
 @register(
     "l3_agg_terms_subagg",

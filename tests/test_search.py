@@ -382,6 +382,70 @@ def test_percolate_many_duplicate_term_all_mode(spark):
     assert one == {1}
 
 
+def test_percolate_counts_matches_pair_listing(spark):
+    """percolate_counts must equal groupBy(query_id).count over the
+    percolate_many pair listing — same semantics, bounded contract
+    (no (doc, query) row ever crosses a shuffle).  Covers mixed
+    any/all modes, signature dedup (queries 1 and 4 share a term
+    set), and zero-match queries (absent, not 0)."""
+    stored = spark.createDataFrame(
+        [
+            (1, "buy it", "all"),
+            (2, "buy now never", "all"),
+            (3, "stocks never", "any"),
+            (4, "it buy", "all"),  # same signature as query 1
+            (5, "absentterm", "all"),  # matches nothing
+        ],
+        "query_id long, query string, mode string",
+    )
+    registered = search.register_percolator_queries(stored, mode_col="mode")
+    docs = spark.createDataFrame(
+        [
+            (10, "you should buy it today"),
+            (11, "buy stocks"),
+            (12, "never say never"),
+            (13, "buy it buy it"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["n_matched_docs"])
+        for r in search.percolate_counts(registered, docs).collect()
+    }
+    from collections import Counter
+
+    want = Counter(
+        r["query_id"]
+        for r in search.percolate_many(registered, docs).collect()
+    )
+    assert got == {(q, n) for q, n in want.items()}
+    assert 5 not in {q for q, _ in got}
+    # signature twins report identical counts
+    as_map = dict(got)
+    assert as_map[1] == as_map[4] == 2  # docs 10 and 13
+
+
+def test_percolate_counts_partials_not_pairs(spark):
+    """The only exchange below the final agg carries (sig, partial)
+    rows: the physical plan must contain the mapInPandas stage and NO
+    join/exchange between the doc scan and the partial aggregation."""
+    stored = spark.createDataFrame(
+        [(i, f"word{i % 3} common") for i in range(30)],
+        "query_id long, query string",
+    )
+    registered = search.register_percolator_queries(stored)
+    docs = spark.createDataFrame(
+        [(i, f"common word{i % 5} filler") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = search.percolate_counts(registered, docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # the doc side reaches the partial-count agg without a SortMergeJoin
+    # (the only join is the broadcast expansion of signature -> query)
+    assert "SortMergeJoin" not in plan
+
+
 def test_percolate_many_hot_term_salted(spark):
     """Skew guard: one registered term present in EVERY document. The
     hot-token pre-pass must route the join through salted_join (salt a

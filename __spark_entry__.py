@@ -45,37 +45,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # only reviewed exception; run `python tools/check_window.py` after
 # ANY registry or front-list change.
 #
-# Round-10 budget (the r9-verdict drain plan): FRONT carries ONLY
-# this round's fixes/new entries (7 slots, 5 of them themselves
-# never-checked), so 43 of the never-driver-checked backlog fill the
-# rest of the window stalest-first — check_window: 48 of the 69
-# never-checked get r10 verdicts, leaving 21.
-# DRAIN FORECAST for r11: the 21 survivors are the stalest entries,
-# so they sort to the very front of r11's non-front slots
-# automatically; with r11's own FRONT kept small (<= 5), r11 reaches
-# never-checked = 0 with ~24 slots to spare.
-# ROUND-11 NOTE: REPLACE this list with that round's fixes/new entries
-# (keeping green r10 names here would waste window slots re-verifying
-# them); run `python tools/check_window.py` after any change.
-_R10_FIXED_OR_NEW = (
-    # r9 verdict ask #5: _render/template over stored mustache scripts
-    "s48_render_template",
-    # r9 verdict ask #6: X-Pack rollup job over the transform engine,
-    # plus the read half added this round (_rollup_search: live aggs
-    # rewritten onto the pre-aggregated columns)
+# Round-11 budget (the final drain): FRONT carries ONLY this round's
+# fixes/new entries (5 slots), so the 21 never-driver-checked
+# survivors from r10 fill the first non-front slots stalest-first and
+# r11 reaches never-checked = 0 with ~24 slots left over for
+# freshness re-verdicts of the stalest green entries (r10 verdict
+# ask #7).
+# ROUND-12 NOTE: REPLACE this list with that round's fixes/new
+# entries (keeping green r11 names here would waste window slots
+# re-verifying them); run `python tools/check_window.py` after any
+# change.
+_R11_FIXED_OR_NEW = (
+    # r10 verdict ask #1: the one red r10 row — oracle typing artifact
+    # (CAST(sum(n_chars) AS BIGINT)); values were already identical
+    "l3_agg_multi_terms",
+    # r10 verdict ask #4: bounded percolation — per-query match counts
+    # aggregated map-side, no doc x query pair set anywhere
+    "l3_percolate_counts",
+    # r10 verdict ask #5: the radius-7 listing entry now caps emission
+    # at each canonical-left doc's 10 nearest pairs (exact two-stage
+    # top-k pruned BEFORE the dedup exchange)
+    "l2_simhash_pairs",
+    # r10 ADVICE fixes ride the rollup entries back through the
+    # driver: one-job-per-rollup-index guard (put), week-over-day
+    # calendar nesting, tolerance-based histogram multiples, and
+    # term/terms value flooring onto stored buckets (search)
     "s49_rollup_job",
     "s51_rollup_search",
-    # r9 verdict ask #7: the distributed phase of
-    # variable_width_histogram, now DuckDB-oracled on its own
-    "l3_agg_vwh_fine_cells",
-    # r9 verdict missing #3: SLM snapshot lifecycle over the existing
-    # snapshot machinery
-    "s50_slm_policy",
-    # r9 ADVICE regressions ride their entries back through the
-    # driver: open edge-tile lat bounds (l3_search_mvt), warehouse-
-    # staged one-shard rewrite (s47_routed_delete_by_query)
-    "l3_search_mvt",
-    "s47_routed_delete_by_query",
 )
 
 def _verdict_ages() -> dict[str, int]:
@@ -103,7 +99,7 @@ def _verdict_ages() -> dict[str, int]:
     return ages
 
 
-FRONT = _R10_FIXED_OR_NEW
+FRONT = _R11_FIXED_OR_NEW
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -157,6 +157,12 @@ BENCH_QUERIES = [
     # one combined regex, k extractions/row) and the EQL anti-join ring
     "s43_ingest_grok_dissect",
     "l3_eql_until",
+    # round-11: the near-dup family's PRODUCTION path (pairs -> CC ->
+    # keep-one; linear output, measured 108.6 s warm at sf10 — the
+    # simhash-family headline per VERDICT r10 ask #5) and the bounded
+    # percolate surface (per-query counts, no pair materialization)
+    "l2_dedup_resolution",
+    "l3_percolate_counts",
 ]
 
 
@@ -218,6 +224,7 @@ HEADLINE_QUERIES = [
     "j1_join_revenue_by_nation",
     "l3_search_bm25_topk",
     "l2_minhash_lsh_pairs",
+    "l2_dedup_resolution",
     "l4_ann_ivfpq_topk",
     "l5_decontaminate",
     "l5_pipeline_end_to_end",

@@ -2276,6 +2276,18 @@ def put_rollup_job(spark: SparkSession, job_id: str, *,
         bad = set(m.get("metrics", ())) - set(_ROLLUP_METRICS)
         if "field" not in m or not m.get("metrics") or bad:
             raise ValueError(f"bad metrics entry {m!r}")
+    # One job per rollup index (round-10 advice): start_rollup_job
+    # materializes the index as ONE job's complete pivot (overwrite)
+    # and rows carry no job id — unlike ES, which tags rollup docs
+    # with _rollup.id and filters per job — so a second job sharing
+    # the index would leave rollup_search picking a config whose
+    # pivot may not be the one currently materialized.
+    for other_id, other in _ROLLUP_JOBS.items():
+        if other_id != job_id and other["rollup_index"] == rollup_index:
+            raise ValueError(
+                f"rollup_index {rollup_index!r} is already targeted by "
+                f"job {other_id!r} — this engine materializes one "
+                "complete pivot per rollup index")
     _ROLLUP_JOBS[job_id] = {
         "index_pattern": index_pattern, "rollup_index": rollup_index,
         "groups": groups, "metrics": list(metrics), "cron": cron,
@@ -2390,12 +2402,18 @@ def _rollup_jobs_for(index: str) -> "list[tuple[str, dict]]":
 def _coarser_calendar(stored: str, requested: str) -> bool:
     """True iff date_trunc(requested, date_trunc(stored, ts)) ==
     date_trunc(requested, ts) for all ts — units must nest.  ``week``
-    nests with nothing coarser (a month boundary splits weeks), so it
-    only satisfies itself."""
+    is asymmetric: a STORED unit of week nests into nothing coarser
+    (month/year boundaries split weeks), but a REQUESTED week over
+    minute/hour/day-stored buckets is exact — week boundaries fall on
+    day boundaries, so ``date_trunc('week', date_trunc('day', ts)) ==
+    date_trunc('week', ts)`` (round-10 advice: the old predicate
+    applied the month-splits-weeks argument to both directions)."""
     if stored == requested:
         return True
-    if "week" in (stored, requested):
+    if stored == "week":
         return False
+    if requested == "week":
+        return stored in ("minute", "hour", "day")
     return (_CALENDAR_CHAIN.index(requested)
             > _CALENDAR_CHAIN.index(stored))
 
@@ -2499,9 +2517,21 @@ def _rollup_search_one(spark, jid, j, *, date_histogram, terms,
     if histogram:
         if not job_hist:
             raise ValueError("job has no histogram group")
+        import math
+
         want_iv = float(histogram.get("interval", 0))
         have_iv = float(job_hist["interval"])
-        if want_iv <= 0 or (want_iv / have_iv) != int(want_iv / have_iv):
+        # tolerance-based multiple check (round-10 advice): float
+        # division rejects exact decimal multiples (0.3 / 0.1 =
+        # 2.9999…) and int() truncation compares the wrong integer —
+        # test the remainder against both 0 and have_iv instead
+        rem = math.fmod(want_iv, have_iv)
+        tol = 1e-9 * max(1.0, abs(have_iv))
+        is_multiple = (
+            math.isclose(rem, 0.0, abs_tol=tol)
+            or math.isclose(rem, have_iv, abs_tol=tol)
+        )
+        if want_iv <= 0 or want_iv < have_iv - tol or not is_multiple:
             raise ValueError(
                 f"histogram interval {want_iv} is not a multiple of the "
                 f"job's {have_iv}")
@@ -2547,13 +2577,42 @@ def _rollup_search_one(spark, jid, j, *, date_histogram, terms,
 
     df = resolve_index(spark, j["rollup_index"])
     if query:
+
+        def _floor_value(fld, v):
+            # term/terms values on BUCKETED fields floor to the job's
+            # bucket (round-10 advice: the field name was rewritten
+            # onto the stored bucket column but the VALUE stayed raw,
+            # so a mid-bucket term matched zero buckets) — matching
+            # the range clause's whole-bucket semantics: the term
+            # selects the bucket CONTAINING the value.
+            import math as _math
+
+            if fld == f:
+                import datetime as _dt
+
+                ts = (v if isinstance(v, _dt.datetime)
+                      else _dt.datetime.fromisoformat(str(v)))
+                if "fixed_interval" in dh_job:
+                    secs = _fixed_interval_seconds(
+                        dh_job["fixed_interval"])
+                    epoch = (ts - _dt.datetime(1970, 1, 1)).total_seconds()
+                    return (_dt.datetime(1970, 1, 1)
+                            + _dt.timedelta(
+                                seconds=_math.floor(epoch / secs) * secs))
+                return _py_date_trunc(dh_job["calendar_interval"], ts)
+            if job_hist and fld in job_hist["fields"]:
+                iv = float(job_hist["interval"])
+                return _math.floor(float(v) / iv) * iv
+            return v
+
         cond_field, pred = _compile_rollup_query(
             query,
             # a query on the raw date field rewrites onto the stored
             # bucket column (the rollup index has no raw timestamps) —
             # the ES rollup-search behavior: range bounds select whole
             # buckets
-            col_of=lambda fld: f"{fld}_bucket" if fld == f else fld)
+            col_of=lambda fld: f"{fld}_bucket" if fld == f else fld,
+            floor_of=_floor_value)
         if cond_field not in grouped_fields:
             raise ValueError(
                 f"query field {cond_field!r} is not grouped by the job "
@@ -2562,20 +2621,48 @@ def _rollup_search_one(spark, jid, j, *, date_histogram, terms,
     return df.groupBy(*keys).agg(*aggs)
 
 
-def _compile_rollup_query(query: dict, *, col_of):
+def _py_date_trunc(unit: str, ts):
+    """Driver-side twin of ``date_trunc`` for the calendar units the
+    rollup surface supports (UTC session convention, naive inputs).
+    ``week`` truncates to Monday — the Spark/DuckDB behavior."""
+    import datetime as _dt
+
+    if unit == "minute":
+        return ts.replace(second=0, microsecond=0)
+    if unit == "hour":
+        return ts.replace(minute=0, second=0, microsecond=0)
+    day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "day":
+        return day
+    if unit == "week":
+        return day - _dt.timedelta(days=day.weekday())
+    if unit == "month":
+        return day.replace(day=1)
+    if unit == "year":
+        return day.replace(month=1, day=1)
+    raise ValueError(f"bad calendar unit {unit!r}")
+
+
+def _compile_rollup_query(query: dict, *, col_of, floor_of=None):
     """One term/terms/range clause -> (logical_field, Column predicate
-    over ``col_of(logical_field)``)."""
+    over ``col_of(logical_field)``).  ``floor_of(field, v)`` maps a
+    term/terms value to its stored bucket value (identity for
+    categorical fields); range bounds stay raw — they already select
+    whole buckets."""
     from pyspark.sql import functions as F
 
+    if floor_of is None:
+        floor_of = lambda _fld, v: v  # noqa: E731
     if len(query) != 1:
         raise ValueError("rollup query supports exactly one clause")
     kind, body = next(iter(query.items()))
     if kind == "term":
         (field, v), = body.items()
-        return field, F.col(col_of(field)) == v
+        return field, F.col(col_of(field)) == floor_of(field, v)
     if kind == "terms":
         (field, vs), = body.items()
-        return field, F.col(col_of(field)).isin(list(vs))
+        return field, F.col(col_of(field)).isin(
+            [floor_of(field, v) for v in vs])
     if kind == "range":
         (field, bounds), = body.items()
         ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__",

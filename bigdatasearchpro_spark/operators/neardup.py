@@ -471,6 +471,7 @@ def simhash_pairs(
     n_chunks: int = 4,
     max_bucket: int | None = 1024,
     hash_fn: str = "xxhash64",
+    per_doc_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of
     ``n_chunks`` 16-bit chunks (pigeonhole: any pair within
@@ -525,6 +526,7 @@ def simhash_pairs(
         max_hamming=max_hamming,
         n_chunks=n_chunks,
         max_bucket=max_bucket,
+        per_doc_cap=per_doc_cap,
     )
 
 
@@ -536,6 +538,7 @@ def hamming_signature_pairs(
     max_hamming: int = 3,
     n_chunks: int = 4,
     max_bucket: "int | None" = 1024,
+    per_doc_cap: "int | None" = None,
 ) -> DataFrame:
     """The banded hamming-pair join over ANY integer signature column
     ``__sim`` (``(id, __sim)`` rows) — the generic core behind
@@ -590,7 +593,7 @@ def hamming_signature_pairs(
     # exchange carries only TRUE pairs (a pair can surface from up to
     # n_chunks bands) — not the full candidate fan-out, which is 10-100x
     # larger under small chunk widths or skewed buckets.
-    return (
+    pairs = (
         left.join(right, band_keys)
         .filter(F.col("left_id") < F.col("right_id"))
         .withColumn(
@@ -598,9 +601,47 @@ def hamming_signature_pairs(
             F.bit_count(F.col("__ls").bitwiseXOR(F.col("__rs"))),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["left_id", "right_id"])
-        .select("left_id", "right_id", "hamming")
     )
+    if per_doc_cap is not None:
+        # EMISSION CAP (r10 verdict ask #5): on corpora whose TRUE
+        # near-dup density grows super-linearly (the sf10 fixture's
+        # verified radius-7 pairs grew 86x/decade), the uncapped pair
+        # LISTING is output-quadratic and no banding scheme can change
+        # that — so the bounded contract keeps each canonical-left
+        # doc's ``per_doc_cap`` NEAREST pairs by (hamming asc,
+        # right_id asc).  Pruned in TWO stages so the cap bounds the
+        # exchanges, not just the result: (1) band-locally BEFORE the
+        # dedup shuffle — exact, because a pair in a doc's global
+        # top-k outranks only globally-closer neighbors in ANY band
+        # both collide in, so its band-local rank <= its global rank
+        # (same total order); the window reuses the join's hash
+        # partitioning on the band keys (subset => no new exchange,
+        # in-partition sort only), capping the dedup exchange at
+        # <= cap x n_bands rows/doc; (2) globally after dedup for the
+        # final <= cap rows/doc.
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy(*band_keys, "left_id").orderBy(
+            "hamming", "right_id"
+        )
+        pairs = (
+            pairs.withColumn("__rk", F.row_number().over(wb))
+            .filter(F.col("__rk") <= per_doc_cap)
+            .drop("__rk")
+        )
+    pairs = pairs.dropDuplicates(["left_id", "right_id"]).select(
+        "left_id", "right_id", "hamming"
+    )
+    if per_doc_cap is not None:
+        from pyspark.sql.window import Window
+
+        wg = Window.partitionBy("left_id").orderBy("hamming", "right_id")
+        pairs = (
+            pairs.withColumn("__rk", F.row_number().over(wg))
+            .filter(F.col("__rk") <= per_doc_cap)
+            .select("left_id", "right_id", "hamming")
+        )
+    return pairs
 
 
 def _split_hot_buckets(

@@ -1193,9 +1193,21 @@ def l2_minhash_lsh_pairs_md5(spark, sf_dir):
 def l2_simhash_pairs(spark, sf_dir):
     """L2: SimHash near-dup pairs (64-bit signature, 8-chunk blocking,
     Hamming ≤ 7 — within the pigeonhole recall guarantee of
-    n_chunks-1)."""
+    n_chunks-1), BOUNDED to each canonical-left doc's 10 nearest
+    (hamming asc, right_id asc) pairs.  The cap (r10 verdict ask #5)
+    makes the LISTING contract benchable at every tier: radius-7 TRUE
+    pairs grow 86x/decade on the dense fixture (SCALING.md case 2) —
+    output-quadratic, which no banding can fix — and the cap is
+    enforced band-locally BEFORE the dedup exchange (exactness argued
+    at operators/neardup.py hamming_signature_pairs), so the
+    exchanges, not just the result, are bounded.  The uncapped
+    production path for dedup-at-scale is l2_dedup_resolution
+    (CC -> keep-one, linear output — the simhash-family bench
+    headline)."""
     docs = _neardup_corpus(spark, sf_dir)
-    return neardup.simhash_pairs(docs, max_hamming=7, n_chunks=8)
+    return neardup.simhash_pairs(
+        docs, max_hamming=7, n_chunks=8, per_doc_cap=10
+    )
 
 
 @register(

@@ -1275,9 +1275,11 @@ def test_rollup_search_rewrite_and_guards(spark):
 
 def test_rollup_search_calendar_nesting(spark):
     """Calendar-interval jobs: a request unit must NEST over the
-    stored unit (day -> month ok; week never nests; fixed request
-    over a calendar job refused), and re-truncating stored buckets
-    equals truncating the raw data."""
+    stored unit (day -> month ok; a requested WEEK over day-stored
+    buckets is exact — week boundaries are day boundaries (round-10
+    advice; the old predicate rejected it); a STORED week never
+    nests coarser; fixed request over a calendar job refused), and
+    re-truncating stored buckets equals truncating the raw data."""
     import uuid
 
     import pytest as pt
@@ -1309,11 +1311,24 @@ def test_rollup_search_calendar_nesting(spark):
             F.date_trunc("month", "ts").alias("b"))
             .agg(F.sum("n").alias("s")).collect()}
         assert got == want
-        with pt.raises(ValueError, match="does not nest"):
-            api.rollup_search(
-                spark, dest,
-                date_histogram={"field": "ts", "calendar_interval": "week"},
-                metrics={"total": ("sum", "n")})
+        # requested week over day-stored buckets: exact rewrite
+        got_w = {r.ts_bucket: r.total for r in api.rollup_search(
+            spark, dest,
+            date_histogram={"field": "ts", "calendar_interval": "week"},
+            metrics={"total": ("sum", "n")}).collect()}
+        want_w = {r.b: r.s for r in ev.groupBy(
+            F.date_trunc("week", "ts").alias("b"))
+            .agg(F.sum("n").alias("s")).collect()}
+        assert got_w == want_w
+        # the nesting matrix: stored week satisfies only itself;
+        # requested week needs a sub-week stored unit
+        assert api._coarser_calendar("week", "week")
+        for u in ("minute", "hour", "day"):
+            assert api._coarser_calendar(u, "week")
+        for u in ("month", "year"):
+            assert not api._coarser_calendar(u, "week")
+        for u in ("month", "year", "day", "hour"):
+            assert not api._coarser_calendar("week", u)
         with pt.raises(ValueError, match="request fixed"):
             api.rollup_search(
                 spark, dest,
@@ -1325,6 +1340,119 @@ def test_rollup_search_calendar_nesting(spark):
             api.delete_rollup_job(spark, jid)
         api.delete_index(spark, src)
         api.delete_index(spark, dest)
+
+
+def test_rollup_job_unique_index_and_bucketed_terms(spark):
+    """Round-10 advice fixes: (a) a second job targeting the same
+    rollup_index is refused at PUT (start materializes one complete
+    pivot per index and rows carry no job id); (b) the histogram
+    interval multiple check is tolerance-based (0.3 over a 0.1 job is
+    an exact decimal multiple that float division rejects); (c) a
+    term/terms value on a BUCKETED field floors to the containing
+    bucket instead of silently matching zero buckets."""
+    import uuid
+
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from bigdatasearchpro_spark import api
+    from bigdatasearchpro_spark.sinks.bulk import bulk_index_table
+
+    tag = uuid.uuid4().hex[:6]
+    src = f"rb_src_{tag}"
+    dest, jid = f"rb_dest_{tag}", f"rbj-{tag}"
+    dest2, jid2 = f"rb_dest2_{tag}", f"rbj2-{tag}"
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 5:02d} {i % 24:02d}:11:00",
+          float(i % 10), float(i % 10) / 10.0, i % 13)
+         for i in range(260)],
+        "event_id long, ts string, price double, frac double, n long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bulk_index_table(ev, src)
+    api.put_rollup_job(
+        spark, jid, index_pattern=src, rollup_index=dest,
+        groups={"date_histogram": {"field": "ts", "fixed_interval": "6h"},
+                "histogram": {"fields": ["price"], "interval": 2}},
+        metrics=[{"field": "n", "metrics": ["sum", "value_count"]}])
+    api.put_rollup_job(
+        spark, jid2, index_pattern=src, rollup_index=dest2,
+        groups={"date_histogram": {"field": "ts", "fixed_interval": "6h"},
+                "histogram": {"fields": ["frac"], "interval": 0.1}},
+        metrics=[{"field": "n", "metrics": ["sum"]}])
+    try:
+        # (a) duplicate rollup_index refused; re-PUT of the same job ok
+        with pt.raises(ValueError, match="already targeted"):
+            api.put_rollup_job(
+                spark, f"other-{tag}", index_pattern=src,
+                rollup_index=dest,
+                groups={"date_histogram": {"field": "ts",
+                                           "fixed_interval": "1h"}},
+                metrics=[{"field": "n", "metrics": ["sum"]}])
+        api.put_rollup_job(
+            spark, jid, index_pattern=src, rollup_index=dest,
+            groups={"date_histogram": {"field": "ts",
+                                       "fixed_interval": "6h"},
+                    "histogram": {"fields": ["price"], "interval": 2}},
+            metrics=[{"field": "n", "metrics": ["sum", "value_count"]}])
+        api.start_rollup_job(spark, jid)
+        api.start_rollup_job(spark, jid2)
+
+        # (b) tolerance-based multiple check: 0.3 over a 0.1 job is an
+        # exact decimal multiple that float division rejected
+        # (0.3 / 0.1 = 2.9999…); validation now accepts it and rejects
+        # a true non-multiple (0.25)
+        api.rollup_search(
+            spark, dest2,
+            date_histogram={"field": "ts", "fixed_interval": "6h"},
+            histogram={"fields": ["frac"], "interval": 0.3},
+            metrics={"s": ("sum", "n")})
+        with pt.raises(ValueError, match="not a multiple"):
+            api.rollup_search(
+                spark, dest2,
+                date_histogram={"field": "ts", "fixed_interval": "6h"},
+                histogram={"fields": ["frac"], "interval": 0.25},
+                metrics={"s": ("sum", "n")})
+
+        # integer-grid re-bucketing still exact (4 over 2)
+        got = {(r.ts_bucket, r.price): r.s
+               for r in api.rollup_search(
+                   spark, dest,
+                   date_histogram={"field": "ts", "fixed_interval": "6h"},
+                   histogram={"fields": ["price"], "interval": 4},
+                   metrics={"s": ("sum", "n")}).collect()}
+        want = {(r.b, r.p): r.s for r in ev.groupBy(
+            F.timestamp_seconds(
+                F.floor(F.to_unix_timestamp("ts") / 21600) * 21600
+            ).alias("b"),
+            (F.floor(F.col("price") / 4) * 4.0).alias("p"))
+            .agg(F.sum("n").alias("s")).collect()}
+        assert got == want
+
+        # (c) mid-bucket term values floor to the containing bucket
+        mid_ts = api.rollup_search(
+            spark, dest,
+            date_histogram={"field": "ts", "fixed_interval": "6h"},
+            metrics={"c": ("value_count", "n")},
+            query={"term": {"ts": "2024-01-02 03:00:00"}})
+        want_c = ev.filter(
+            (F.col("ts") >= "2024-01-02 00:00:00")
+            & (F.col("ts") < "2024-01-02 06:00:00")).count()
+        assert mid_ts.agg(F.sum("c")).first()[0] == want_c
+        mid_price = api.rollup_search(
+            spark, dest,
+            date_histogram={"field": "ts", "fixed_interval": "6h"},
+            metrics={"c": ("value_count", "n")},
+            query={"terms": {"price": [7.0, 3.0]}})
+        want_p = ev.filter(
+            (F.floor(F.col("price") / 2) * 2).isin([6.0, 2.0])).count()
+        assert mid_price.agg(F.sum("c")).first()[0] == want_p
+    finally:
+        for j, d in ((jid, dest), (jid2, dest2)):
+            if api.get_rollup_job(spark, j) is not None:
+                api.stop_rollup_job(spark, j)
+                api.delete_rollup_job(spark, j)
+            api.delete_index(spark, d)
+        api.delete_index(spark, src)
 
 
 def test_slm_policy_guards_and_listing(spark, docs):

@@ -51,6 +51,37 @@ def test_simhash_planted_pairs_low_hamming(docs):
     assert all(0 <= r["hamming"] <= 8 for r in pairs)
 
 
+def test_simhash_per_doc_cap_keeps_exact_nearest(docs):
+    """per_doc_cap must return EXACTLY each canonical-left doc's k
+    nearest pairs of the uncapped output under (hamming asc, right_id
+    asc) — the two-stage band-local + global pruning is an exact
+    top-k, not an approximation (the band-local rank of a globally
+    top-k pair can never exceed its global rank)."""
+    data = _planted(docs)
+    k = 3
+    uncapped = neardup.simhash_pairs(data, max_hamming=7, n_chunks=8).collect()
+    capped = neardup.simhash_pairs(
+        data, max_hamming=7, n_chunks=8, per_doc_cap=k
+    ).collect()
+
+    by_left: dict = {}
+    for r in uncapped:
+        by_left.setdefault(r["left_id"], []).append(
+            (r["hamming"], r["right_id"])
+        )
+    want = {
+        (left, rid, h)
+        for left, lst in by_left.items()
+        for h, rid in sorted(lst)[:k]
+    }
+    got = {(r["left_id"], r["right_id"], r["hamming"]) for r in capped}
+    assert got == want
+    from collections import Counter
+
+    per_left = Counter(r["left_id"] for r in capped)
+    assert max(per_left.values()) <= k
+
+
 def test_ngram_jaccard_exact_pairs(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),

@@ -2213,8 +2213,9 @@ def l3_percolate_counts(spark, sf_dir):
     carries |signatures| x |partitions| partial rows and NEVER a
     (doc, query) pair (search.percolate_counts; percolate_many's pair
     LISTING is quadratic by construction on this fixture — ~3.9 B
-    pairs at sf10, SCALING.md case 1).  Output is |queries| rows at
-    every tier.  Oracle replays the naive pair join + count in
+    pairs at sf10, SCALING.md case 1).  Output is <= |queries| rows
+    at every tier (zero-match queries are absent, the inner-join
+    convention).  Oracle replays the naive pair join + count in
     DuckDB — exact, not sketched."""
     docs = load_table(spark, sf_dir, "documents")
     stored = docs.filter(F.col("doc_id") % 5 == 0).select(

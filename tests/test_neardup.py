@@ -51,6 +51,31 @@ def test_simhash_planted_pairs_low_hamming(docs):
     assert all(0 <= r["hamming"] <= 8 for r in pairs)
 
 
+def test_ngram_prefix_filter_equals_exhaustive(docs):
+    """The AllPairs prefix-filter candidate step must be EXACT: output
+    identical to the exhaustive quadratic form on the planted corpus
+    (same pairs, same rounded scores), with and without a blocking
+    column — the rarest-common-gram lemma in practice."""
+    data = _planted(docs).withColumn(
+        "src", (F.col("doc_id") % 3).cast("string")
+    )
+    for kwargs in ({}, {"block_col": "src"}):
+        fast = {
+            (r["left_id"], r["right_id"], r["jaccard_sim"])
+            for r in neardup.ngram_jaccard_pairs(
+                data, n=3, threshold=0.5, prefilter="prefix", **kwargs
+            ).collect()
+        }
+        slow = {
+            (r["left_id"], r["right_id"], r["jaccard_sim"])
+            for r in neardup.ngram_jaccard_pairs(
+                data, n=3, threshold=0.5, prefilter="none", **kwargs
+            ).collect()
+        }
+        assert fast == slow
+        assert fast, "planted corpus must produce pairs"
+
+
 def test_simhash_per_doc_cap_keeps_exact_nearest(docs):
     """per_doc_cap must return EXACTLY each canonical-left doc's k
     nearest pairs of the uncapped output under (hamming asc, right_id

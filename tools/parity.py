@@ -71,7 +71,7 @@ def _spark_pandas_kind(field, values):
     return "O"
 
 
-def _dtype_mismatches(sdf, s_rows, s_cols, ddf):
+def _dtype_mismatches(sdf, s_rows, ddf):
     """Driver-hash dtype check (VERDICT r10 ask #3): the driver hashes
     pandas frames dtype-sensitively, so an int64 Spark column against a
     DuckDB column pandas renders as float64 (e.g. an uncast HUGEINT
@@ -137,7 +137,7 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
     if len(s_rows) != len(d_rows):
         return False, f"ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}"
 
-    bad_dtypes = _dtype_mismatches(sdf, s_rows, s_cols, ddf)
+    bad_dtypes = _dtype_mismatches(sdf, s_rows, ddf)
     if bad_dtypes:
         return False, (
             "DTYPE MISMATCH (driver hash is dtype-sensitive): "

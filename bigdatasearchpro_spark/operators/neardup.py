@@ -794,8 +794,25 @@ def ngram_jaccard_pairs(
     # global doc-frequency per gram: ONE vocabulary-scale hash agg
     # (linear; the significant_terms shape).  Frequency-ascending
     # order puts RARE grams in prefixes — the candidate join's bucket
-    # sizes track the rare tail, not the stopword head.
+    # sizes track the rare tail, not the stopword head.  Each gram
+    # also gets a UNIQUE surrogate id: verification computes Jaccard
+    # over int-id sets instead of re-shipping the string gram arrays
+    # (set cardinalities are invariant under the bijection, so the
+    # score is identical) — the string form's verify shuffle measured
+    # ~5x larger and overflowed disk at sf10.  The id must be
+    # DETERMINISTIC across subtree recomputation (the idset subtree is
+    # referenced once per join side; monotonically_increasing_id could
+    # hand the two recomputations different mappings), so it is the
+    # global (__df, __gram) rank — a vocabulary-scale single-partition
+    # window, fine up to ~1e8 distinct grams; beyond that compose a
+    # per-bucket rank with a broadcast bucket-offset table.
     freq = exploded.groupBy("__gram").agg(F.count("*").alias("__df"))
+    freq = freq.withColumn(
+        "__gid",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy("__df", "__gram")
+        ),
+    )
     ranked = exploded.join(freq, "__gram")
     # prefix length |g| - ceil(t*|g|) + 1; the epsilon guards binary-
     # float t*|g| landing just above an integer (ceil would then
@@ -825,8 +842,11 @@ def ngram_jaccard_pairs(
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
-    lg = grams.select(F.col(id_col).alias("left_id"), F.col("__g").alias("__lg"))
-    rg = grams.select(F.col(id_col).alias("right_id"), F.col("__g").alias("__rg"))
+    idsets = ranked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__gid")).alias("__ids")
+    )
+    lg = idsets.select(F.col(id_col).alias("left_id"), F.col("__ids").alias("__lg"))
+    rg = idsets.select(F.col(id_col).alias("right_id"), F.col("__ids").alias("__rg"))
     return (
         cand.join(lg, "left_id")
         .join(rg, "right_id")

@@ -2030,6 +2030,122 @@ def percolate_counts(
     )
 
 
+def percolate_topk(
+    registered: DataFrame,
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    query_id_col: str = "query_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """BOUNDED percolation, per-doc form: each incoming doc's TOP-K
+    matched stored queries — ``(doc_id, query_id, matched_terms)``
+    ranked by (matched distinct terms desc, query_id asc) — the other
+    percolate contract that survives 100x (counts-per-query is
+    :func:`percolate_counts`; the unbounded pair LISTING is
+    :func:`percolate_many`).
+
+    Same kernel family as percolate_counts: broadcast
+    signature-deduped inverted index, one Arrow ``mapInPandas`` pass —
+    but emission is capped IN the kernel: matched signatures sort by
+    matched-count desc, expand to query ids group-by-group (ties
+    within a count group break by query id via one numpy sort of that
+    group only), and at most ``k`` rows per doc ever leave the worker.
+    No (doc, query) pair crosses a shuffle and the output is
+    ``<= k x |docs|`` at every tier regardless of match density.
+    ``mode='all'`` queries match at matched == need; ``'any'`` at
+    >= 1 — both score by the per-doc matched distinct-term count."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = docs.sparkSession
+    from pyspark.sql import types as T
+
+    qid_type = registered.schema[query_id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField(query_id_col, qid_type),
+        T.StructField("matched_terms", T.LongType()),
+    ])
+
+    reg_rows = registered.select(query_id_col, "terms", "mode").collect()
+    sig_ids: dict[tuple, int] = {}
+    sig_qids: dict[int, list] = {}
+    for r in reg_rows:
+        terms = tuple(sorted(set(r["terms"])))
+        if not terms:
+            continue
+        key = (r["mode"], terms)
+        sid = sig_ids.setdefault(key, len(sig_ids))
+        sig_qids.setdefault(sid, []).append(r[query_id_col])
+    if not sig_ids:
+        return spark.createDataFrame([], out_schema)
+
+    n_sigs = len(sig_ids)
+    need = np.zeros(n_sigs, dtype=np.int64)
+    is_any = np.zeros(n_sigs, dtype=bool)
+    inv_lists: dict[str, list[int]] = {}
+    for (mode, terms), sid in sig_ids.items():
+        need[sid] = len(terms)
+        is_any[sid] = mode == "any"
+        for t in terms:
+            inv_lists.setdefault(t, []).append(sid)
+    inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
+    qid_arrays = {s: np.sort(np.asarray(q)) for s, q in sig_qids.items()}
+    bc = spark.sparkContext.broadcast((inv, need, is_any, qid_arrays))
+
+    def topk_partition(batches):
+        b_inv, b_need, b_any, b_qids = bc.value
+        for pdf in batches:
+            out_doc, out_qid, out_cnt = [], [], []
+            for doc, toks in zip(pdf["__id"], pdf["__toks"]):
+                arrs = [b_inv[t] for t in set(toks) if t in b_inv]
+                if not arrs:
+                    continue
+                cand = np.concatenate(arrs)
+                uniq, cnt = np.unique(cand, return_counts=True)
+                ok = b_any[uniq] | (cnt == b_need[uniq])
+                sigs, scores = uniq[ok], cnt[ok]
+                taken = 0
+                # walk matched-count groups best-first; only the
+                # group that crosses the k boundary pays a sort
+                for c in np.sort(np.unique(scores))[::-1]:
+                    group = np.concatenate(
+                        [b_qids[int(s)] for s in sigs[scores == c]]
+                    )
+                    group = np.sort(group)[: k - taken]
+                    out_doc.extend([doc] * len(group))
+                    out_qid.extend(group.tolist())
+                    out_cnt.extend([int(c)] * len(group))
+                    taken += len(group)
+                    if taken >= k:
+                        break
+            yield pd.DataFrame({
+                "__id": out_doc, "__qid": out_qid, "__cnt": out_cnt,
+            })
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    tokenized = fan_out(docs).select(
+        F.col(id_col).alias("__id"),
+        tokens_expr(text_col, analyzer).alias("__toks"),
+    )
+    kernel_schema = T.StructType([
+        T.StructField("__id", docs.schema[id_col].dataType),
+        T.StructField("__qid", qid_type),
+        T.StructField("__cnt", T.LongType()),
+    ])
+    return tokenized.mapInPandas(topk_partition, schema=kernel_schema).select(
+        F.col("__id").alias(id_col),
+        F.col("__qid").alias(query_id_col),
+        F.col("__cnt").alias("matched_terms"),
+    )
+
+
 def decay_expr(
     value: Column,
     *,

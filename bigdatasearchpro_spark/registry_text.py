@@ -2229,6 +2229,67 @@ def l3_percolate_counts(spark, sf_dir):
     return search.percolate_counts(registered, incoming).orderBy("query_id")
 
 
+@register(
+    "l3_percolate_topk",
+    """
+    WITH reg AS (
+      SELECT doc_id AS query_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')[1:3]) AS terms
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    qx AS (
+      SELECT query_id, len(terms) AS need, unnest(terms) AS term
+      FROM reg WHERE len(terms) > 0
+    ),
+    dx AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')))
+        AS tok
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    pairs AS (
+      SELECT d.doc_id, q.query_id, q.need AS matched_terms
+      FROM dx d JOIN qx q ON d.tok = q.term
+      GROUP BY d.doc_id, q.query_id, q.need
+      HAVING count(*) >= q.need
+    )
+    SELECT doc_id, query_id, CAST(matched_terms AS BIGINT) AS matched_terms
+    FROM pairs
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY matched_terms DESC, query_id) <= 3
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_topk(spark, sf_dir):
+    """L3+ BOUNDED percolation, per-doc form (the other r10 ask #4
+    alternative): each incoming doc's TOP-3 matched stored queries
+    ranked by (matched distinct terms desc, query_id asc), over the
+    same alerting fixture as l3_percolate_many.  The emission cap
+    lives INSIDE the mapInPandas kernel — matched signatures walk
+    best-count-first and only the group crossing the k boundary pays
+    a sort — so at most k rows per doc ever leave the worker and NO
+    (doc, query) pair crosses a shuffle at any match density
+    (search.percolate_topk).  Output <= 3 x |docs| at every tier.
+    Oracle: the naive pair join + QUALIFY row_number in DuckDB.  For
+    mode=all queries matched_terms == the query's term count, so ties
+    are rampant by construction and the query_id tie-break is load-
+    bearing — exactly what the hash check verifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.array_distinct(F.slice(search.tokens_expr("text"), 1, 3)), " "
+        ).alias("query"),
+    )
+    registered = search.register_percolator_queries(stored)
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    return search.percolate_topk(registered, incoming, k=3).orderBy(
+        "doc_id", "query_id"
+    )
+
+
 
 @register(
     "l3_agg_terms_subagg",

@@ -425,6 +425,53 @@ def test_percolate_counts_matches_pair_listing(spark):
     assert as_map[1] == as_map[4] == 2  # docs 10 and 13
 
 
+def test_percolate_topk_matches_ranked_listing(spark):
+    """percolate_topk must equal the per-doc top-k of the
+    percolate_many listing under (matched_terms desc, query_id asc) —
+    covering mixed any/all modes (where matched counts differ), the
+    rampant-tie case (all-mode queries tie at their term count), and
+    the k cut inside a tie group."""
+    stored = spark.createDataFrame(
+        [
+            (1, "buy it", "all"),
+            (2, "buy now never", "all"),
+            (3, "stocks never buy", "any"),
+            (4, "it buy", "all"),
+            (5, "today buy it", "all"),
+        ],
+        "query_id long, query string, mode string",
+    )
+    registered = search.register_percolator_queries(stored, mode_col="mode")
+    docs = spark.createDataFrame(
+        [
+            (10, "you should buy it today"),
+            (11, "buy stocks never today"),
+            (12, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    k = 2
+    got = {
+        (r["doc_id"], r["query_id"], r["matched_terms"])
+        for r in search.percolate_topk(registered, docs, k=k).collect()
+    }
+    # reference: score every matched pair by matched distinct terms,
+    # then take per-doc top-k with the same tie-break
+    reg = {r["query_id"]: (set(r["terms"]), r["mode"])
+           for r in registered.collect()}
+    want = set()
+    for d in docs.collect():
+        toks = set(d["text"].split())
+        scored = []
+        for qid, (terms, mode) in reg.items():
+            m = len(terms & toks)
+            if (mode == "any" and m >= 1) or (mode == "all" and m == len(terms)):
+                scored.append((-m, qid))
+        for negm, qid in sorted(scored)[:k]:
+            want.add((d["doc_id"], qid, -negm))
+    assert got == want
+
+
 def test_percolate_counts_partials_not_pairs(spark):
     """The only exchange below the final agg carries (sig, partial)
     rows: the physical plan must contain the mapInPandas stage and NO

@@ -160,9 +160,11 @@ BENCH_QUERIES = [
     # round-11: the near-dup family's PRODUCTION path (pairs -> CC ->
     # keep-one; linear output, measured 108.6 s warm at sf10 — the
     # simhash-family headline per VERDICT r10 ask #5) and the bounded
-    # percolate surface (per-query counts, no pair materialization)
+    # percolate surfaces (per-query counts / per-doc top-k, no pair
+    # materialization in either)
     "l2_dedup_resolution",
     "l3_percolate_counts",
+    "l3_percolate_topk",
 ]
 
 

@@ -51,6 +51,32 @@ def test_simhash_planted_pairs_low_hamming(docs):
     assert all(0 <= r["hamming"] <= 8 for r in pairs)
 
 
+def test_registry_simhash_entry_capped_recall(spark, sf_dir):
+    """Twin for the CAPPED l2_simhash_pairs registry entry (rows-only
+    at the driver): the per-doc cap must not cost planted-pair recall
+    — a mutated twin differs by one appended token, so it ranks among
+    its base doc's nearest — and no left doc may exceed the cap."""
+    from collections import Counter
+
+    from bigdatasearchpro_spark.registry import QUERIES
+
+    rows = QUERIES["l2_simhash_pairs"](spark, sf_dir).collect()
+    pairs = {(r["left_id"], r["right_id"]) for r in rows}
+    per_left = Counter(left for left, _ in pairs)
+    assert max(per_left.values()) <= 10
+    planted_found = sum(1 for l, r in pairs if r == l + 100000)
+    # the corpus plants one mutant per 10th doc; recall over that set
+    import duckdb
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    n_planted = duckdb.sql(
+        f"SELECT count(*) FROM '{src}' WHERE doc_id % 10 = 0"
+    ).fetchone()[0]
+    assert planted_found / n_planted >= 0.9
+
+
 def test_ngram_prefix_filter_equals_exhaustive(docs):
     """The AllPairs prefix-filter candidate step must be EXACT: output
     identical to the exhaustive quadratic form on the planted corpus

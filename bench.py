@@ -310,6 +310,13 @@ def main() -> None:
         # suite behind it (SCALING.md interference protocol, VERDICT r7
         # wrong #3).  Prints the same-shape compact line and exits.
         if os.environ.get("SPARK_GRAFT_BENCH_ETL_ONLY"):
+            if os.environ.get("SPARK_GRAFT_BENCH_SKIP_ETL"):
+                raise SystemExit(
+                    "SPARK_GRAFT_BENCH_ETL_ONLY and "
+                    "SPARK_GRAFT_BENCH_SKIP_ETL are mutually exclusive "
+                    "(ETL_ONLY has nothing to report when the ETL reps "
+                    "are skipped) — unset one."
+                )
             print(json.dumps({
                 "metric": "etl_rows_per_sec_isolated",
                 "value": round(etl_rows / max(etl_sec, 1e-9), 1),

@@ -2526,7 +2526,10 @@ def _rollup_search_one(spark, jid, j, *, date_histogram, terms,
         # 2.9999…) and int() truncation compares the wrong integer —
         # test the remainder against both 0 and have_iv instead
         rem = math.fmod(want_iv, have_iv)
-        tol = 1e-9 * max(1.0, abs(have_iv))
+        # scale with BOTH intervals (round-11 advice): fmod's error is
+        # relative to want_iv, so a large want over a small fractional
+        # have (1e9 over 0.1) needs a want-scaled tolerance too
+        tol = 1e-9 * max(1.0, abs(have_iv), abs(want_iv))
         is_multiple = (
             math.isclose(rem, 0.0, abs_tol=tol)
             or math.isclose(rem, have_iv, abs_tol=tol)

@@ -1283,15 +1283,15 @@ def l2_dedup_resolution_md5(spark, sf_dir):
                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
       FROM toks
     )
-    SELECT left_id, right_id, jaccard_sim FROM (
+    SELECT left_id, right_id, round(j, 4) AS jaccard_sim FROM (
       SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-             round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+             CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
                THEN len(list_intersect(a.g, b.g))::DOUBLE
                     / len(list_distinct(list_concat(a.g, b.g)))
-               ELSE 0.0 END, 4) AS jaccard_sim
+               ELSE 0.0 END AS j
       FROM grams a JOIN grams b
         ON a.source = b.source AND a.doc_id < b.doc_id
-    ) WHERE jaccard_sim >= 0.5
+    ) WHERE j >= 0.5
     """,
 )
 def l2_ngram_jaccard_pairs(spark, sf_dir):

@@ -889,3 +889,32 @@ def test_window_gate_resolves_reused_exchange(spark, sf_dir):
             "unbounded window slipped the gate through ReusedExchange"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_dedup_by_pairs_no_mandatory_broadcast(spark):
+    """r11 verdict ask #1: the loser-set anti-join in dedup_by_pairs
+    must carry NO broadcast hint — losers = all non-canonical near-dup
+    members, billions of ids on a 30-50%-duplicated web corpus, past
+    the 8 GB broadcast cap.  With autoBroadcastJoinThreshold=-1 a user
+    hint would STILL compile to BroadcastHashJoin (hints override the
+    threshold), so asserting the plan broadcast-free under -1 proves
+    the hint is gone; AQE remains free to broadcast when the measured
+    set is genuinely small."""
+    from bigdatasearchpro_spark.operators.neardup import dedup_by_pairs
+    from bigdatasearchpro_spark.plans import has_broadcast_join
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "left_id long, right_id long"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept = dedup_by_pairs(docs, pairs)
+        assert not has_broadcast_join(kept), \
+            "loser-side anti-join still carries a mandatory broadcast"
+        # semantics unchanged: losers 2,3,11 dropped
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert ids == set(range(100)) - {2, 3, 11}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -722,6 +722,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     prefilter: str = "prefix",
+    per_doc_cap: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard join.
 
@@ -748,11 +749,36 @@ def ngram_jaccard_pairs(
     (bounded fixtures / final rescoring of candidate lists).
 
     ``block_col`` restricts pairs to equal blocking keys in both
-    modes (a hard constraint, e.g. same source/domain)."""
+    modes (a hard constraint, e.g. same source/domain).
+
+    ``per_doc_cap`` (r11 verdict ask #2, the simhash cap's ngram
+    sibling): keep only each canonical-left doc's ``per_doc_cap``
+    BEST pairs by (jaccard_sim desc, right_id asc) — the bounded
+    LISTING contract for corpora whose true near-dup density grows
+    super-linearly (the sf10 fixture's verified 3-gram pairs are
+    ~27 M; output-quadratic, which no candidate filter can change).
+    The capped path verifies IN the candidate join (each prefix row
+    carries its doc's int gram-id set, so Jaccard computes map-side
+    at the join output — no per-pair array join, no candidate-dedup
+    exchange of the full fan-out) and prunes in TWO exact stages,
+    mirroring hamming_signature_pairs: (1) bucket-locally BEFORE the
+    dedup shuffle — a pair's bucket-local rank under the same total
+    order never exceeds its global rank, and the window partitions
+    by a SUPERSET of the join keys so it reuses the join's hash
+    partitioning (no new exchange); (2) globally after dedup.  The
+    prefix recall lemma is unchanged (every qualifying pair shares a
+    prefix gram, so it reaches some bucket), hence the capped output
+    is EXACTLY the per-left top-k of the uncapped listing.  Requires
+    ``prefilter='prefix'``."""
     from bigdatasearchpro_spark.sources.files import fan_out
 
     if prefilter not in ("prefix", "none"):
         raise ValueError(f"prefilter must be prefix|none, got {prefilter!r}")
+    if per_doc_cap is not None:
+        if per_doc_cap < 1:
+            raise ValueError(f"per_doc_cap must be >= 1, got {per_doc_cap}")
+        if prefilter != "prefix":
+            raise ValueError("per_doc_cap requires prefilter='prefix'")
     docs = fan_out(docs)
     extra = [F.col(block_col)] if block_col else []
     toked = docs.select(
@@ -833,6 +859,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("__rk") <= plen)
         .select(id_col, "__gram", *join_keys)
     )
+    idsets = ranked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__gid")).alias("__ids")
+    )
+
+    if per_doc_cap is not None:
+        # in-join verify: prefix rows carry their doc's gram-id set
+        pset = prefix.join(idsets, id_col)
+        left = pset.select(
+            F.col(id_col).alias("left_id"), "__gram",
+            F.col("__ids").alias("__lg"), *join_keys,
+        )
+        right = pset.select(
+            F.col(id_col).alias("right_id"), "__gram",
+            F.col("__ids").alias("__rg"), *join_keys,
+        )
+        scored = (
+            left.join(right, ["__gram", *join_keys])
+            .filter(F.col("left_id") < F.col("right_id"))
+            .withColumn("__j", jaccard(F.col("__lg"), F.col("__rg")))
+            .filter(F.col("__j") >= threshold)
+            .select(
+                "__gram", *join_keys, "left_id", "right_id",
+                F.round(F.col("__j"), 4).alias("jaccard_sim"),
+            )
+        )
+        # stage 1: bucket-local cap (partition keys ⊇ join keys — the
+        # window reuses the join's hash partitioning, sort-only)
+        wb = Window.partitionBy("__gram", *join_keys, "left_id").orderBy(
+            F.desc("jaccard_sim"), F.asc("right_id")
+        )
+        capped = (
+            scored.withColumn("__rk", F.row_number().over(wb))
+            .filter(F.col("__rk") <= per_doc_cap)
+            .select("left_id", "right_id", "jaccard_sim")
+            .dropDuplicates(["left_id", "right_id"])
+        )
+        # stage 2: global cap over the deduped survivors
+        wg = Window.partitionBy("left_id").orderBy(
+            F.desc("jaccard_sim"), F.asc("right_id")
+        )
+        return (
+            capped.withColumn("__rk", F.row_number().over(wg))
+            .filter(F.col("__rk") <= per_doc_cap)
+            .select("left_id", "right_id", "jaccard_sim")
+        )
+
     cand = (
         prefix.select(
             F.col(id_col).alias("left_id"), "__gram", *join_keys
@@ -846,9 +918,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
-    )
-    idsets = ranked.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("__gid")).alias("__ids")
     )
     lg = idsets.select(F.col(id_col).alias("left_id"), F.col("__ids").alias("__lg"))
     rg = idsets.select(F.col(id_col).alias("right_id"), F.col("__ids").alias("__rg"))

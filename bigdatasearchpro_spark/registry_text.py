@@ -1303,6 +1303,61 @@ def l2_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "l2_ngram_jaccard_topk",
+    f"""
+    WITH {_NEARDUP_CORPUS_SQL},
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+      FROM toks
+    ),
+    pairs AS (
+      SELECT left_id, right_id, round(j, 4) AS jaccard_sim FROM (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                 THEN len(list_intersect(a.g, b.g))::DOUBLE
+                      / len(list_distinct(list_concat(a.g, b.g)))
+                 ELSE 0.0 END AS j
+        FROM grams a JOIN grams b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+      ) WHERE j >= 0.5
+    )
+    SELECT left_id, right_id, jaccard_sim FROM pairs
+    QUALIFY row_number() OVER (
+      PARTITION BY left_id ORDER BY jaccard_sim DESC, right_id) <= 10
+    """,
+)
+def l2_ngram_jaccard_topk(spark, sf_dir):
+    """L2: the BOUNDED ngram-Jaccard listing (r11 verdict ask #2 — the
+    simhash cap's ngram sibling): each canonical-left doc's 10 best
+    pairs by (jaccard_sim desc, right_id asc) over the same blocked
+    3-gram fixture as l2_ngram_jaccard_pairs.  The cap is enforced
+    bucket-locally BEFORE the dedup exchange with Jaccard computed IN
+    the candidate join (each prefix row carries its doc's int gram-id
+    set — no per-pair array join, and the dedup exchange is bounded
+    at cap x |prefix| rows/doc at every match density), then globally
+    after — an exact two-stage top-k, NOT an approximation (argued at
+    operators/neardup.py ngram_jaccard_pairs; twin-tested against the
+    python top-k of the uncapped output).  Unlike the simhash cap this
+    one is fully DuckDB-oracled: the oracle replays the naive blocked
+    join + QUALIFY row_number.  The uncapped exact listing stays
+    (l2_ngram_jaccard_pairs) because its oracle needs it; the
+    dedup-at-scale production path remains l2_dedup_resolution."""
+    docs = _neardup_corpus(spark, sf_dir)
+    return neardup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, block_col="source", per_doc_cap=10
+    )
+
+
+@register(
     "l5_bigram_lm_scores",
     f"""
     WITH t AS (SELECT doc_id, {_FTOKS} AS toks FROM documents),

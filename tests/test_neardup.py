@@ -351,3 +351,41 @@ def test_simhash_skew_guard_caps_bucket_fanout(spark):
         if r["sub"] >= 0:
             subs[(r["chunk"], r["ch"])].add(r["sub"])
     assert all(s == {0, 1, 2, 3} for s in subs.values())
+
+
+def test_ngram_per_doc_cap_keeps_exact_best(docs):
+    """per_doc_cap must return EXACTLY each canonical-left doc's k best
+    pairs of the uncapped output under (jaccard_sim desc, right_id asc)
+    — the two-stage bucket-local + global pruning is an exact top-k:
+    a pair's bucket-local rank never exceeds its global rank under the
+    same total order, and the prefix recall lemma still guarantees
+    every qualifying pair reaches some bucket."""
+    data = _planted(docs).withColumn(
+        "src", (F.col("doc_id") % 3).cast("string")
+    )
+    k = 2
+    for kwargs in ({}, {"block_col": "src"}):
+        uncapped = neardup.ngram_jaccard_pairs(
+            data, n=3, threshold=0.3, **kwargs
+        ).collect()
+        capped = neardup.ngram_jaccard_pairs(
+            data, n=3, threshold=0.3, per_doc_cap=k, **kwargs
+        ).collect()
+        by_left: dict = {}
+        for r in uncapped:
+            by_left.setdefault(r["left_id"], []).append(
+                (-r["jaccard_sim"], r["right_id"])
+            )
+        want = {
+            (left, rid, -negj)
+            for left, lst in by_left.items()
+            for negj, rid in sorted(lst)[:k]
+        }
+        got = {
+            (r["left_id"], r["right_id"], r["jaccard_sim"]) for r in capped
+        }
+        assert got == want
+        from collections import Counter
+
+        per_left = Counter(r["left_id"] for r in capped)
+        assert not per_left or max(per_left.values()) <= k

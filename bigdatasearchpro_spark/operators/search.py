@@ -2251,6 +2251,260 @@ def percolate_topk(
     return finish(reranked)
 
 
+def _mixed_residual_ok(numeric_map_col, doc_str_col) -> Column:
+    """Residual-clause predicate for DSL percolation, evaluated on a
+    row carrying the registered clauses (``range_field``/``range_op``/
+    ``range_value``/``phrase``) plus the doc's numeric-field map and
+    space-guarded analyzed-token string.  A null clause passes; a named
+    field absent from the doc map fails (ES missing-field semantics)."""
+    val = F.try_element_at(numeric_map_col, F.col("range_field"))
+    rv = F.col("range_value")
+    cmp = (
+        F.when(F.col("range_op") == "lt", val < rv)
+        .when(F.col("range_op") == "lte", val <= rv)
+        .when(F.col("range_op") == "gt", val > rv)
+        .when(F.col("range_op") == "gte", val >= rv)
+        .otherwise(F.lit(False))
+    )
+    range_ok = F.col("range_field").isNull() | F.coalesce(cmp, F.lit(False))
+    phrase_ok = F.col("phrase").isNull() | F.contains(
+        doc_str_col, F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+    )
+    return range_ok & phrase_ok
+
+
+def percolate_mixed(
+    registered: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    query_id_col: str = "query_id",
+    analyzer: str = "standard",
+    numeric_fields: tuple[str, ...] = ("n_chars",),
+    hot_term_min_df: int = 100_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """DSL percolation LISTING — registered queries beyond bare
+    term-sets (r11 verdict ask #3): each stored query is a term clause
+    (``terms`` + ``mode``, the candidate driver) AND-composed with an
+    optional numeric ``range`` clause (``range_field``/``range_op`` in
+    lt|lte|gt|gte/``range_value`` — the "price < 100" alert shape) and
+    an optional ``match_phrase`` clause (``phrase``: space-joined
+    analyzed tokens that must appear CONSECUTIVELY in the doc).  ES
+    6.x percolator fields store arbitrary query DSL; numeric-threshold
+    and phrase alert rules are the most common real forms beyond
+    terms (reference delegation surface: indexView.html:13-19).
+
+    Plan: the term clause runs through :func:`percolate_many`
+    unchanged (token equi-join, skew-salted, no cross join); the
+    survivors — already a small fraction of doc x query — join back
+    once to the registered clauses (by query id) and once to the doc
+    residual columns (by doc id), and the residual predicate runs as
+    one JVM-side filter: numeric fields ride a literal-keyed map
+    (``try_element_at``, missing field = no match), the phrase check
+    is a space-guarded substring over the analyzed token string —
+    exactly the ES match_phrase contract for a standard analyzer with
+    no positions index.  Queries with NO residual clauses pass
+    through untouched.  Output: (doc_id, query_id)."""
+    term_pairs = percolate_many(
+        registered.select(query_id_col, "terms", "mode"),
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        analyzer=analyzer,
+        hot_term_min_df=hot_term_min_df,
+        n_salts=n_salts,
+    )
+    clauses = registered.select(
+        query_id_col, "range_field", "range_op", "range_value", "phrase"
+    )
+    map_args = []
+    for f in numeric_fields:
+        map_args.extend([F.lit(f), F.col(f).cast("double")])
+    doc_side = docs.select(
+        F.col(id_col),
+        F.create_map(*map_args).alias("__fields"),
+        F.concat(
+            F.lit(" "),
+            F.array_join(tokens_expr(text_col, analyzer), " "),
+            F.lit(" "),
+        ).alias("__dstr"),
+    )
+    return (
+        term_pairs.join(clauses, query_id_col)
+        .join(doc_side, id_col)
+        .filter(_mixed_residual_ok(F.col("__fields"), F.col("__dstr")))
+        .select(id_col, query_id_col)
+    )
+
+
+def percolate_mixed_counts(
+    registered: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    query_id_col: str = "query_id",
+    analyzer: str = "standard",
+    numeric_fields: tuple[str, ...] = ("n_chars",),
+) -> DataFrame:
+    """DSL percolation through the BOUNDED counts kernel — the
+    :func:`percolate_counts` contract (per-query matched-doc counts,
+    no (doc, query) row across any exchange) generalized to the mixed
+    term+range+phrase rules of :func:`percolate_mixed`.  The
+    signature dedup now keys on the FULL rule (mode, terms, range
+    clause, phrase), candidate generation stays term-driven through
+    the broadcast inverted index, and each candidate signature then
+    evaluates its residual clauses IN the kernel against the doc's
+    numeric fields and space-guarded token string — term -> candidate,
+    then per-signature residual predicate, exactly the generalization
+    the kernel family was designed for."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    from pyspark.sql import types as T
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    qid_type = registered.schema[query_id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(query_id_col, qid_type),
+        T.StructField("n_matched_docs", T.LongType()),
+    ])
+
+    reg_rows = registered.select(
+        query_id_col, "terms", "mode",
+        "range_field", "range_op", "range_value", "phrase",
+    ).collect()
+    sig_ids: dict[tuple, int] = {}
+    sig_query_set: set[tuple[int, object]] = set()
+    for r in reg_rows:
+        terms = tuple(sorted(set(r["terms"])))
+        if not terms:
+            continue
+        key = (
+            r["mode"], terms,
+            r["range_field"], r["range_op"], r["range_value"], r["phrase"],
+        )
+        sid = sig_ids.setdefault(key, len(sig_ids))
+        sig_query_set.add((sid, r[query_id_col]))
+    if not sig_ids:
+        return spark.createDataFrame([], out_schema)
+    sig_queries = sorted(sig_query_set)
+
+    n_sigs = len(sig_ids)
+    need = np.zeros(n_sigs, dtype=np.int64)
+    is_any = np.zeros(n_sigs, dtype=bool)
+    # residuals per signature: field index into numeric_fields (-1 =
+    # no range clause), op code, value, phrase (space-guarded) or None
+    OPS = {"lt": 0, "lte": 1, "gt": 2, "gte": 3}
+    rf_idx = np.full(n_sigs, -1, dtype=np.int64)
+    op_code = np.zeros(n_sigs, dtype=np.int64)
+    rv = np.zeros(n_sigs, dtype=np.float64)
+    phrases: list = [None] * n_sigs
+    field_pos = {f: i for i, f in enumerate(numeric_fields)}
+    inv_lists: dict[str, list[int]] = {}
+    for key, sid in sig_ids.items():
+        mode, terms, rfield, rop, rval, phr = key
+        need[sid] = len(terms)
+        is_any[sid] = mode == "any"
+        if rfield is not None:
+            if rop not in OPS:
+                raise ValueError(f"unknown range_op {rop!r}")
+            # a field not in numeric_fields can never match (ES
+            # missing-field semantics): keep idx -1 but mark the
+            # clause present via op_code = -1 sentinel
+            rf_idx[sid] = field_pos.get(rfield, -2)
+            op_code[sid] = OPS[rop]
+            rv[sid] = float(rval)
+        if phr is not None:
+            phrases[sid] = f" {phr} "
+        for t in terms:
+            inv_lists.setdefault(t, []).append(sid)
+    inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
+    bc = spark.sparkContext.broadcast(
+        (inv, need, is_any, rf_idx, op_code, rv, phrases, n_sigs)
+    )
+
+    ncols = [f"__n{i}" for i in range(len(numeric_fields))]
+
+    def count_partition(batches):
+        b_inv, b_need, b_any, b_rf, b_op, b_rv, b_ph, n = bc.value
+        partial = np.zeros(n, dtype=np.int64)
+        for pdf in batches:
+            nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
+            for i, toks in enumerate(pdf["__toks"]):
+                if toks is None:
+                    continue
+                arrs = [b_inv[t] for t in set(toks) if t in b_inv]
+                if not arrs:
+                    continue
+                cand = np.concatenate(arrs)
+                uniq, cnt = np.unique(cand, return_counts=True)
+                hit = uniq[b_any[uniq] | (cnt == b_need[uniq])]
+                if len(hit) == 0:
+                    continue
+                tok_str = None
+                for s in hit:
+                    fi = b_rf[s]
+                    if fi == -2:  # range on a field the doc lacks
+                        continue
+                    if fi >= 0:
+                        v = nvals[fi][i]
+                        o = b_op[s]
+                        if np.isnan(v):
+                            continue
+                        if o == 0 and not (v < b_rv[s]):
+                            continue
+                        if o == 1 and not (v <= b_rv[s]):
+                            continue
+                        if o == 2 and not (v > b_rv[s]):
+                            continue
+                        if o == 3 and not (v >= b_rv[s]):
+                            continue
+                    if b_ph[s] is not None:
+                        if tok_str is None:
+                            tok_str = " " + " ".join(toks) + " "
+                        if b_ph[s] not in tok_str:
+                            continue
+                    partial[s] += 1
+        nz = np.flatnonzero(partial)
+        yield pd.DataFrame({"__sig": nz, "__n": partial[nz]})
+
+    tokenized = fan_out(docs).select(
+        tokens_expr(text_col, analyzer).alias("__toks"),
+        *[
+            F.col(f).cast("double").alias(c)
+            for f, c in zip(numeric_fields, ncols)
+        ],
+    )
+    partials = tokenized.mapInPandas(
+        count_partition,
+        schema=T.StructType([
+            T.StructField("__sig", T.LongType()),
+            T.StructField("__n", T.LongType()),
+        ]),
+    )
+    totals = partials.groupBy("__sig").agg(
+        F.sum("__n").alias("n_matched_docs")
+    )
+    expand = spark.createDataFrame(
+        [(s, q) for s, q in sig_queries],
+        T.StructType([
+            T.StructField("__sig", T.LongType()),
+            T.StructField(query_id_col, qid_type),
+        ]),
+    )
+    return (
+        totals.join(F.broadcast(expand), "__sig")
+        .filter(F.col("n_matched_docs") > 0)
+        .select(query_id_col, "n_matched_docs")
+    )
+
+
 def decay_expr(
     value: Column,
     *,

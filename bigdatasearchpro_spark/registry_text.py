@@ -2346,6 +2346,149 @@ def l3_percolate_topk(spark, sf_dir):
 
 
 
+# DSL-percolator fixture: stored queries from docs % 5 — a term clause
+# (first two distinct analyzed tokens; even query ids mode=all, odd
+# any) AND-composed with a range clause on n_chars for ids % 3 == 1
+# (gte when id % 10 == 0, else lte, threshold = the registered doc's
+# own n_chars) and a match_phrase clause (the registered doc's tokens
+# 3-4) for ids % 3 == 2.  Incoming docs % 7.  SQL twin below.
+_PERC_MIXED_REG_SQL = """
+    rtoks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    reg AS (
+      SELECT doc_id AS query_id,
+             list_distinct(t[1:2]) AS terms,
+             CASE WHEN doc_id % 2 = 0 THEN 'all' ELSE 'any' END AS mode,
+             CASE WHEN doc_id % 3 = 1 THEN 'n_chars' END AS range_field,
+             CASE WHEN doc_id % 3 = 1 THEN
+               (CASE WHEN doc_id % 10 = 0 THEN 'gte' ELSE 'lte' END)
+             END AS range_op,
+             CASE WHEN doc_id % 3 = 1 THEN n_chars::DOUBLE END AS range_value,
+             CASE WHEN doc_id % 3 = 2 AND len(t) >= 4 THEN
+               concat_ws(' ', t[3], t[4])
+             END AS phrase
+      FROM rtoks WHERE doc_id % 5 = 0
+    ),
+    qx AS (
+      SELECT query_id, mode, len(terms) AS need, unnest(terms) AS term
+      FROM reg WHERE len(terms) > 0
+    ),
+    dx AS (
+      SELECT doc_id, unnest(list_distinct(t)) AS tok
+      FROM rtoks WHERE doc_id % 7 = 0
+    ),
+    term_pairs AS (
+      SELECT d.doc_id, q.query_id
+      FROM dx d JOIN qx q ON d.tok = q.term
+      GROUP BY d.doc_id, q.query_id, q.mode, q.need
+      HAVING CASE WHEN q.mode = 'any' THEN count(*) >= 1
+                  ELSE count(*) >= q.need END
+    ),
+    mixed_pairs AS (
+      SELECT p.doc_id, p.query_id
+      FROM term_pairs p
+      JOIN reg r ON p.query_id = r.query_id
+      JOIN rtoks d ON p.doc_id = d.doc_id
+      WHERE (r.range_field IS NULL OR
+             CASE r.range_op
+               WHEN 'lt'  THEN d.n_chars::DOUBLE <  r.range_value
+               WHEN 'lte' THEN d.n_chars::DOUBLE <= r.range_value
+               WHEN 'gt'  THEN d.n_chars::DOUBLE >  r.range_value
+               WHEN 'gte' THEN d.n_chars::DOUBLE >= r.range_value
+             END)
+        AND (r.phrase IS NULL OR
+             position((' ' || r.phrase || ' ') IN
+                      (' ' || array_to_string(d.t, ' ') || ' ')) > 0)
+    )
+"""
+
+
+def _percolate_mixed_fixture(spark, sf_dir):
+    """(registered, incoming) pair mirroring _PERC_MIXED_REG_SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = search.tokens_expr("text")
+    registered = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 2)).alias("terms"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("all"))
+        .otherwise(F.lit("any"))
+        .alias("mode"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("n_chars")).alias("range_field"),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.when(F.col("doc_id") % 10 == 0, F.lit("gte")).otherwise(
+                F.lit("lte")
+            ),
+        ).alias("range_op"),
+        F.when(
+            F.col("doc_id") % 3 == 1, F.col("n_chars").cast("double")
+        ).alias("range_value"),
+        F.when(
+            (F.col("doc_id") % 3 == 2) & (F.size(toks) >= 4),
+            F.array_join(F.slice(toks, 3, 2), " "),
+        ).alias("phrase"),
+    )
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    return registered, incoming
+
+
+@register(
+    "l3_percolate_mixed",
+    f"""
+    WITH {_PERC_MIXED_REG_SQL.strip()}
+    SELECT doc_id, query_id FROM mixed_pairs
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_mixed(spark, sf_dir):
+    """L3+ DSL percolation (r11 verdict ask #3) — stored queries
+    beyond bare term-sets: the term clause AND an optional numeric
+    range clause ("n_chars <= X", both gte and lte exercised) AND an
+    optional match_phrase clause (two consecutive analyzed tokens),
+    with mixed any/all term modes.  ES 6.x percolator fields store
+    arbitrary query DSL; numeric-threshold and phrase alert rules are
+    the most common real forms.  The term clause runs the unchanged
+    skew-salted token equi-join; residual clauses evaluate as ONE
+    JVM-side filter over two narrow joins (clauses by query id, doc
+    residual columns by doc id) — search.percolate_mixed.  Oracle
+    replays registration + term join + residual predicate in
+    DuckDB."""
+    registered, incoming = _percolate_mixed_fixture(spark, sf_dir)
+    return search.percolate_mixed(registered, incoming).orderBy(
+        "doc_id", "query_id"
+    )
+
+
+@register(
+    "l3_percolate_mixed_counts",
+    f"""
+    WITH {_PERC_MIXED_REG_SQL.strip()}
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched_docs
+    FROM mixed_pairs GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def l3_percolate_mixed_counts(spark, sf_dir):
+    """L3+ DSL percolation through the BOUNDED counts kernel — the
+    same mixed term+range+phrase rules as l3_percolate_mixed, but
+    matched map-side: signatures now key on the FULL rule, candidates
+    stay term-driven through the broadcast inverted index, and each
+    candidate signature evaluates its residual clauses inside the
+    Arrow kernel against the doc's numeric fields and token string —
+    term -> candidate, then per-signature residual predicate
+    (search.percolate_mixed_counts).  No (doc, query) row crosses any
+    exchange, so the mixed grammar inherits percolate_counts' flat
+    scale shape.  Oracle: the naive mixed join + count per query."""
+    registered, incoming = _percolate_mixed_fixture(spark, sf_dir)
+    return search.percolate_mixed_counts(registered, incoming).orderBy(
+        "query_id"
+    )
+
+
 @register(
     "l3_agg_terms_subagg",
     """

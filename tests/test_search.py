@@ -1125,3 +1125,67 @@ def test_percolate_chunked_registered_side_bit_identical(spark):
         )
     )
     assert ch_topk == un_topk and len(un_topk) > 0
+
+
+def test_percolate_mixed_clauses(spark):
+    """DSL percolation (r11 ask #3): term + range + phrase clauses
+    AND-compose; the listing and the bounded counts kernel agree; a
+    range on a field the doc side lacks never matches."""
+    from pyspark.sql import types as T
+
+    reg_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("mode", T.StringType()),
+        T.StructField("range_field", T.StringType()),
+        T.StructField("range_op", T.StringType()),
+        T.StructField("range_value", T.DoubleType()),
+        T.StructField("phrase", T.StringType()),
+    ])
+    registered = spark.createDataFrame(
+        [
+            # term-only
+            (1, ["buy", "it"], "all", None, None, None, None),
+            # term + range: price strictly below 100
+            (2, ["buy"], "all", "price", "lt", 100.0, None),
+            # term + phrase: "it today" must be consecutive
+            (3, ["buy"], "all", None, None, None, "it today"),
+            # any-mode + gte range
+            (4, ["stocks", "bonds"], "any", "price", "gte", 50.0, None),
+            # range on a field the docs don't carry: never matches
+            (5, ["buy"], "all", "missing", "lt", 1e9, None),
+        ],
+        reg_schema,
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "you should buy it today", 120.0),
+            (11, "buy today it now", 80.0),     # tokens present, phrase broken
+            (12, "stocks are up", 49.0),
+            (13, "stocks are up", 50.0),
+        ],
+        "doc_id long, text string, price double",
+    )
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in search.percolate_mixed(
+            registered, docs, numeric_fields=("price",)
+        ).collect()
+    }
+    want = {
+        (10, 1), (11, 1),   # both terms present, no residual
+        (11, 2),            # buy + price 80 < 100 (doc 10 fails: 120)
+        (10, 3),            # phrase "it today" consecutive only in doc 10
+        (13, 4),            # any-mode stocks + price >= 50 (doc 12: 49 fails)
+    }
+    assert got == want
+    counts = {
+        (r["query_id"], r["n_matched_docs"])
+        for r in search.percolate_mixed_counts(
+            registered, docs, numeric_fields=("price",)
+        ).collect()
+    }
+    from collections import Counter
+
+    want_counts = Counter(q for _, q in want)
+    assert counts == {(q, n) for q, n in want_counts.items()}

@@ -23,10 +23,14 @@ from bigdatasearchpro_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: BM25-scored top-10 keyword search over the
-    documents table at sf0.001 — the reference's end-user query path
-    (ES-delegated `?q=` search, indexView.html:13-19) run natively."""
-    return QUERIES["l3_search_bm25_topk"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the COMPOSED end-user search path at sf0.001 —
+    an ES query string (field scoping + boolean grouping, the
+    reference's `?q=` UX, indexView.html:13-19) filters the corpus,
+    the survivors BM25-rank with statistics over the filtered set,
+    and the page collapses to one hit per source.  Analyzer +
+    query_string + BM25 + collapse in one plan, DuckDB-oracled as
+    l3_flagship_search."""
+    return QUERIES["l3_flagship_search"](spark, "/root/testdata/sf0.001")
 
 
 # Driver-coverage ordering (the driver checks the FIRST 50 entries of

@@ -1996,6 +1996,80 @@ def l3_field_collapse(spark, sf_dir):
     return search.collapse_topk(docs, SEARCH_QUERY, "source", 10)
 
 
+_FLAGSHIP_QS = "(lang:en AND spark) OR (lang:zh AND table)"
+
+
+@register(
+    "l3_flagship_search",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_COL_TOKS.format(c='lang')} AS ltoks,
+             {_COL_TOKS.format(c='text')} AS ttoks
+      FROM documents
+    ),
+    sub AS (
+      SELECT doc_id, source, ttoks FROM t
+      WHERE (list_contains(ltoks, 'en') AND list_contains(ttoks, 'spark'))
+         OR (list_contains(ltoks, 'zh') AND list_contains(ttoks, 'table'))
+    ),
+    ne AS (SELECT doc_id, unnest(ttoks) AS term FROM sub),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ne
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM sub),
+    dl AS (SELECT doc_id, len(ttoks)::DOUBLE AS dl FROM sub),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 4) AS score
+      FROM tf
+      CROSS JOIN nn CROSS JOIN avgdl
+      JOIN dfs ON tf.term = dfs.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    winners AS (
+      SELECT s.doc_id, d.source, s.score,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY s.score DESC, s.doc_id ASC) AS r
+      FROM scored s JOIN sub d ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, source, score FROM winners
+    WHERE r = 1
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def l3_flagship_search(spark, sf_dir):
+    """L3 FLAGSHIP (r11 verdict ask #7) — the composed end-user search
+    path the driver smoke-checks through entry(): an ES 6.x query
+    string (field scoping, boolean grouping — the reference's literal
+    `?q=` UX, indexView.html:13-19,96) narrows the corpus through ONE
+    analyzed boolean filter (operators/querystring.py), the survivors
+    BM25-rank against the flagship terms with corpus statistics
+    computed over the FILTERED set (ES filter-context semantics:
+    filters don't score but do reshape df/avgdl), and the result page
+    collapses to one hit per source (search.collapse_topk's per-key
+    winner window + TakeOrdered).  Analyzer + query_string + BM25 +
+    collapse in one plan, single scan of the documents table.  Oracle
+    replays filter, BM25 over the subset, and the collapse window in
+    DuckDB."""
+    from bigdatasearchpro_spark.operators.querystring import (
+        query_string_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sub = query_string_filter(docs, _FLAGSHIP_QS, default_field="text")
+    return search.collapse_topk(sub, SEARCH_QUERY, "source", 10)
+
+
 
 @register(
     "l3_highlight_fragments",

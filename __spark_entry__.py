@@ -49,32 +49,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # only reviewed exception; run `python tools/check_window.py` after
 # ANY registry or front-list change.
 #
-# Round-11 budget (the final drain): FRONT carries ONLY this round's
-# fixes/new entries (5 slots), so the 21 never-driver-checked
-# survivors from r10 fill the first non-front slots stalest-first and
-# r11 reaches never-checked = 0 with ~24 slots left over for
-# freshness re-verdicts of the stalest green entries (r10 verdict
-# ask #7).
-# ROUND-12 NOTE: REPLACE this list with that round's fixes/new
-# entries (keeping green r11 names here would waste window slots
+# Round-12 budget: with never-checked at 0 (r11), FRONT carries ONLY
+# this round's fixes/new entries (9 slots); the remaining ~41 window
+# slots are all freshness re-verdicts of the stalest green entries
+# (r11 verdict ask #5: >= 40 re-verdicts of r<=5-aged entries —
+# stalest-first ordering delivers that by construction).
+# ROUND-13 NOTE: REPLACE this list with that round's fixes/new
+# entries (keeping green r12 names here would waste window slots
 # re-verifying them); run `python tools/check_window.py` after any
 # change.
-_R11_FIXED_OR_NEW = (
-    # r10 verdict ask #1: the one red r10 row — oracle typing artifact
-    # (CAST(sum(n_chars) AS BIGINT)); values were already identical
-    "l3_agg_multi_terms",
-    # r10 verdict ask #4: bounded percolation — per-query match counts
-    # aggregated map-side, no doc x query pair set anywhere
+_R12_FIXED_OR_NEW = (
+    # r11 verdict ask #7: the composed flagship entry() now smokes —
+    # query_string filter + BM25-over-subset + collapse, oracled
+    "l3_flagship_search",
+    # r11 verdict ask #2: the bounded ngram listing — per-doc cap with
+    # in-join verification, bucket-local pruning, QUALIFY oracle
+    "l2_ngram_jaccard_topk",
+    # r11 verdict ask #3: DSL percolation — term+range+phrase rules
+    # through the listing AND the bounded counts kernel
+    "l3_percolate_mixed",
+    "l3_percolate_mixed_counts",
+    # r11 ADVICE: unrounded-threshold fix changed this entry's
+    # predicate AND its oracle — re-verdict both
+    "l2_ngram_jaccard_pairs",
+    # r11 ADVICE + ask #4: null-text guard, duplicate-registration
+    # dedup, and the chunked registered side in both bounded kernels
     "l3_percolate_counts",
-    # r10 verdict ask #5: the radius-7 listing entry now caps emission
-    # at each canonical-left doc's 10 nearest pairs (exact two-stage
-    # top-k pruned BEFORE the dedup exchange)
-    "l2_simhash_pairs",
-    # r10 ADVICE fixes ride the rollup entries back through the
-    # driver: one-job-per-rollup-index guard (put), week-over-day
-    # calendar nesting, tolerance-based histogram multiples, and
-    # term/terms value flooring onto stored buckets (search)
-    "s49_rollup_job",
+    "l3_percolate_topk",
+    # r11 verdict ask #1: the loser-set anti-join dropped its
+    # mandatory broadcast hint (plan change in the production path)
+    "l2_dedup_resolution",
+    # r11 ADVICE: histogram-multiple tolerance now scales with both
+    # intervals (api.py rollup search)
     "s51_rollup_search",
 )
 
@@ -103,7 +109,7 @@ def _verdict_ages() -> dict[str, int]:
     return ages
 
 
-FRONT = _R11_FIXED_OR_NEW
+FRONT = _R12_FIXED_OR_NEW
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

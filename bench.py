@@ -323,6 +323,11 @@ def main() -> None:
                 "unit": "rows/sec", "sf": sf, "reps": REPS,
                 "etl_rows": etl_rows, "etl_sec": queries["etl_bulk_load"],
                 "calibration_sec": calibration,
+                # rows/sec calibrates INVERSELY (slow host -> fewer
+                # rows/sec -> scale UP to convention parity)
+                "value_calibrated": round(
+                    etl_rows / max(etl_sec, 1e-9)
+                    * (calibration / 0.25), 1),
             }))
             spark.stop()
             return
@@ -381,6 +386,20 @@ def main() -> None:
     etl_sec = queries.get("etl_bulk_load", 0.0)
     etl_rps = round(etl_rows / max(etl_sec, 1e-9), 1)
 
+    # Calibrated seconds (r11 verdict ask #6): wall x (REF_CAL /
+    # calibration_sec), i.e. "what this run would have measured at the
+    # cross-round calibration convention" — REF_CAL = 0.25 is the
+    # convention midpoint documented in SCALING.md ("Bench
+    # calibration", observed clean-host band 0.235-0.26).  Cross-round
+    # tables compare value_calibrated directly instead of footnoting
+    # each round's host state.
+    REF_CAL = 0.25
+    cal_ratio = REF_CAL / max(calibration, 1e-9)
+    queries_calibrated = {
+        k: round(v * cal_ratio, 3) for k, v in queries.items() if v >= 0
+    }
+    total_calibrated = round(total * cal_ratio, 3)
+
     # Full per-query map -> repo file (the driver's stdout-tail capture
     # is 2000 chars; the one-line everything-JSON outgrew it in r7 and
     # the round recorded parsed:null — VERDICT r7 wrong #1).
@@ -389,6 +408,9 @@ def main() -> None:
         "queries": queries, "sf": sf, "reps": REPS,
         "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
         "calibration_sec": calibration, "failures": failures,
+        "ref_calibration_sec": REF_CAL,
+        "value_calibrated": total_calibrated,
+        "queries_calibrated": queries_calibrated,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -403,6 +425,7 @@ def main() -> None:
         "sf": sf, "reps": REPS, "n_queries": len(queries),
         "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
         "calibration_sec": calibration, "n_failed": len(failures),
+        "value_calibrated": total_calibrated,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

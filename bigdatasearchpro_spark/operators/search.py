@@ -1919,10 +1919,30 @@ def _iter_registered_chunks(registered, query_id_col, chunk_size):
     """Yield lists of registered-query Rows, ``chunk_size`` rows each,
     WITHOUT collecting the whole table to the driver: toLocalIterator
     fetches one partition at a time, so peak driver memory is
-    max(partition, chunk) rows — the k-pass path for registered sides
-    too large to collect (1e8+ stored queries)."""
+    max(partition, chunk) rows plus one 16-byte digest per DISTINCT
+    (rule, query_id) — the k-pass path for registered sides too large
+    to collect (the rows with their term arrays are what blow the
+    driver; the digest set is ~100x smaller).
+
+    Duplicate registrations of the same (rule, query_id) are dropped
+    HERE, at chunk build, so each lands in exactly one chunk — the
+    only place a duplicate can still be recognized: two chunks'
+    outputs are value-identical for a same-rule duplicate but ALSO for
+    two distinct rules that happen to match the same count, and only
+    the former may collapse (the unchunked kernels dedupe the same way
+    via their signature sets)."""
+    import hashlib
+
     buf: list = []
+    seen: set[bytes] = set()
     for r in registered.select(query_id_col, "terms", "mode").toLocalIterator():
+        key = repr((
+            r[query_id_col], r["mode"], tuple(sorted(set(r["terms"] or ())))
+        )).encode()
+        digest = hashlib.md5(key).digest()
+        if digest in seen:
+            continue
+        seen.add(digest)
         buf.append(r)
         if len(buf) >= chunk_size:
             yield buf
@@ -2081,9 +2101,11 @@ def percolate_counts(
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
-    # a query_id split across chunks (duplicate registration) emits
-    # one identical row per chunk — keep one
-    return result.dropDuplicates([query_id_col])
+    # no value-level dedup needed: _iter_registered_chunks assigns each
+    # distinct (rule, query_id) to exactly one chunk, and a query_id
+    # registered under several DISTINCT rules legitimately emits one
+    # row per rule, exactly as the unchunked signature set does
+    return result
 
 
 def percolate_topk(
@@ -2241,9 +2263,14 @@ def percolate_topk(
 
     w = Window.partitionBy("__id").orderBy(F.desc("__cnt"), F.asc("__qid"))
     reranked = (
-        # a query_id registered in several chunks emits one identical
-        # row per chunk — dedup BEFORE ranking so it takes one slot
-        merged.dropDuplicates(["__id", "__qid"])
+        # full-row dedup BEFORE ranking: a qid registered under two
+        # DISTINCT rules in different chunks can hit one doc at the
+        # SAME count — the unchunked kernel's np.unique gives it one
+        # k-slot, so the identical rows must collapse; at distinct
+        # counts the unchunked kernel emits both and both survive here
+        # (same-rule duplicates never reach this point — chunk build
+        # drops them)
+        merged.dropDuplicates(["__id", "__qid", "__cnt"])
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
@@ -2306,7 +2333,15 @@ def percolate_mixed(
     is a space-guarded substring over the analyzed token string —
     exactly the ES match_phrase contract for a standard analyzer with
     no positions index.  Queries with NO residual clauses pass
-    through untouched.  Output: (doc_id, query_id)."""
+    through untouched.  Output: (doc_id, query_id).
+
+    Contract: ``query_id`` identifies ONE rule (exact duplicate
+    registrations collapse; ES percolator query docs are unique by
+    _id the same way)."""
+    registered = registered.select(
+        query_id_col, "terms", "mode",
+        "range_field", "range_op", "range_value", "phrase",
+    ).dropDuplicates()
     term_pairs = percolate_many(
         registered.select(query_id_col, "terms", "mode"),
         docs,
@@ -2412,14 +2447,16 @@ def percolate_mixed_counts(
         need[sid] = len(terms)
         is_any[sid] = mode == "any"
         if rfield is not None:
-            if rop not in OPS:
-                raise ValueError(f"unknown range_op {rop!r}")
-            # a field not in numeric_fields can never match (ES
-            # missing-field semantics): keep idx -1 but mark the
-            # clause present via op_code = -1 sentinel
-            rf_idx[sid] = field_pos.get(rfield, -2)
-            op_code[sid] = OPS[rop]
-            rv[sid] = float(rval)
+            if rop not in OPS or rval is None:
+                # malformed clause (unknown op / null value) or — via
+                # field_pos.get below — a field outside numeric_fields:
+                # never matches, same as the listing's
+                # coalesce(cmp, false) (sentinel -2)
+                rf_idx[sid] = -2
+            else:
+                rf_idx[sid] = field_pos.get(rfield, -2)
+                op_code[sid] = OPS[rop]
+                rv[sid] = float(rval)
         if phr is not None:
             phrases[sid] = f" {phr} "
         for t in terms:

@@ -1092,7 +1092,10 @@ def test_percolate_chunked_registered_side_bit_identical(spark):
     the unchunked output bit-for-bit for BOTH bounded kernels,
     including a duplicate registration split across chunk boundaries."""
     rows = [(i, f"word{i % 10} common") for i in range(22)]
-    rows.append((3, "word3 common"))  # duplicate of query 3
+    rows.append((3, "word3 common"))  # exact duplicate of query 3
+    # same query_id under a DIFFERENT term-set: the unchunked output
+    # keeps one row per distinct count, and chunking must too
+    rows.append((4, "word9"))
     stored = spark.createDataFrame(rows, "query_id long, query string")
     registered = search.register_percolator_queries(stored)
     docs = spark.createDataFrame(

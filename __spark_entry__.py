@@ -69,6 +69,9 @@ _R12_FIXED_OR_NEW = (
     # through the listing AND the bounded counts kernel
     "l3_percolate_mixed",
     "l3_percolate_mixed_counts",
+    # r12 follow-through: the per-doc top-k form of the mixed kernel
+    # (residual gate before slot assignment) — completes the family
+    "l3_percolate_mixed_topk",
     # r11 ADVICE: unrounded-threshold fix changed this entry's
     # predicate AND its oracle — re-verdict both
     "l2_ngram_jaccard_pairs",

@@ -1915,7 +1915,8 @@ def percolate_many(
     ).select(id_col, query_id_col)
 
 
-def _iter_registered_chunks(registered, query_id_col, chunk_size):
+def _iter_registered_chunks(registered, query_id_col, chunk_size,
+                            clause_cols: tuple = ()):
     """Yield lists of registered-query Rows, ``chunk_size`` rows each,
     WITHOUT collecting the whole table to the driver: toLocalIterator
     fetches one partition at a time, so peak driver memory is
@@ -1930,14 +1931,23 @@ def _iter_registered_chunks(registered, query_id_col, chunk_size):
     outputs are value-identical for a same-rule duplicate but ALSO for
     two distinct rules that happen to match the same count, and only
     the former may collapse (the unchunked kernels dedupe the same way
-    via their signature sets)."""
+    via their signature sets).
+
+    ``clause_cols`` extends the rule identity beyond (mode, terms) —
+    the mixed-DSL kernels pass their residual-clause columns so two
+    registrations differing only in a range threshold or phrase stay
+    distinct rules."""
     import hashlib
 
     buf: list = []
     seen: set[bytes] = set()
-    for r in registered.select(query_id_col, "terms", "mode").toLocalIterator():
+    rows = registered.select(
+        query_id_col, "terms", "mode", *clause_cols
+    ).toLocalIterator()
+    for r in rows:
         key = repr((
-            r[query_id_col], r["mode"], tuple(sorted(set(r["terms"] or ())))
+            r[query_id_col], r["mode"], tuple(sorted(set(r["terms"] or ()))),
+            *[r[c] for c in clause_cols],
         )).encode()
         digest = hashlib.md5(key).digest()
         if digest in seen:
@@ -2375,6 +2385,73 @@ def percolate_mixed(
     )
 
 
+_MIXED_CLAUSE_COLS = ("range_field", "range_op", "range_value", "phrase")
+_RANGE_OPS = {"lt": 0, "lte": 1, "gt": 2, "gte": 3}
+
+
+def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
+    """Compile mixed (term + range + phrase) rule rows into the
+    broadcastable kernel tables shared by :func:`percolate_mixed_counts`
+    and :func:`percolate_mixed_topk`: per-signature term need / any-mode
+    flags, residual arrays (field index into ``numeric_fields``, op
+    code, threshold, space-guarded phrase), the term->signatures
+    inverted index, and per-signature DEDUPED qid arrays (np.unique — a
+    twice-registered query_id counts once, matching percolate_many's
+    groupBy collapse).  Signatures key on the FULL rule, so two
+    registrations differing only in a threshold or phrase stay
+    distinct.  Sentinel ``rf_idx == -2`` marks a range clause that can
+    never match (malformed op / null value / field outside
+    ``numeric_fields``) — the kernel-side twin of the listing's
+    ``coalesce(cmp, false)``.  Returns None when no row has a
+    non-empty term set."""
+    import numpy as np
+
+    sig_ids: dict[tuple, int] = {}
+    sig_qids: dict[int, set] = {}
+    for r in reg_rows:
+        terms = tuple(sorted(set(r["terms"])))
+        if not terms:
+            continue
+        key = (
+            r["mode"], terms,
+            r["range_field"], r["range_op"], r["range_value"], r["phrase"],
+        )
+        sid = sig_ids.setdefault(key, len(sig_ids))
+        sig_qids.setdefault(sid, set()).add(r[query_id_col])
+    if not sig_ids:
+        return None
+
+    n_sigs = len(sig_ids)
+    need = np.zeros(n_sigs, dtype=np.int64)
+    is_any = np.zeros(n_sigs, dtype=bool)
+    rf_idx = np.full(n_sigs, -1, dtype=np.int64)  # -1 = no range clause
+    op_code = np.zeros(n_sigs, dtype=np.int64)
+    rv = np.zeros(n_sigs, dtype=np.float64)
+    phrases: list = [None] * n_sigs
+    field_pos = {f: i for i, f in enumerate(numeric_fields)}
+    inv_lists: dict[str, list[int]] = {}
+    for key, sid in sig_ids.items():
+        mode, terms, rfield, rop, rval, phr = key
+        need[sid] = len(terms)
+        is_any[sid] = mode == "any"
+        if rfield is not None:
+            if rop not in _RANGE_OPS or rval is None:
+                rf_idx[sid] = -2
+            else:
+                rf_idx[sid] = field_pos.get(rfield, -2)
+                op_code[sid] = _RANGE_OPS[rop]
+                rv[sid] = float(rval)
+        if phr is not None:
+            phrases[sid] = f" {phr} "
+        for t in terms:
+            inv_lists.setdefault(t, []).append(sid)
+    inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
+    qid_arrays = {
+        s: np.unique(np.asarray(sorted(q))) for s, q in sig_qids.items()
+    }
+    return qid_arrays, need, is_any, rf_idx, op_code, rv, phrases, inv
+
+
 def percolate_mixed_counts(
     registered: DataFrame,
     docs: DataFrame,
@@ -2384,6 +2461,7 @@ def percolate_mixed_counts(
     query_id_col: str = "query_id",
     analyzer: str = "standard",
     numeric_fields: tuple[str, ...] = ("n_chars",),
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """DSL percolation through the BOUNDED counts kernel — the
     :func:`percolate_counts` contract (per-query matched-doc counts,
@@ -2395,7 +2473,13 @@ def percolate_mixed_counts(
     evaluates its residual clauses IN the kernel against the doc's
     numeric fields and space-guarded token string — term -> candidate,
     then per-signature residual predicate, exactly the generalization
-    the kernel family was designed for."""
+    the kernel family was designed for.
+
+    ``chunk_size``: stream the registered side via ``toLocalIterator``
+    in chunk-sized slices when it is too large to collect — same k-pass
+    contract as :func:`percolate_counts`; each distinct (rule,
+    query_id) lands in exactly one chunk, so the union is bit-identical
+    to the unchunked output."""
     import numpy as np
     import pandas as pd
 
@@ -2409,108 +2493,7 @@ def percolate_mixed_counts(
         T.StructField(query_id_col, qid_type),
         T.StructField("n_matched_docs", T.LongType()),
     ])
-
-    reg_rows = registered.select(
-        query_id_col, "terms", "mode",
-        "range_field", "range_op", "range_value", "phrase",
-    ).collect()
-    sig_ids: dict[tuple, int] = {}
-    sig_query_set: set[tuple[int, object]] = set()
-    for r in reg_rows:
-        terms = tuple(sorted(set(r["terms"])))
-        if not terms:
-            continue
-        key = (
-            r["mode"], terms,
-            r["range_field"], r["range_op"], r["range_value"], r["phrase"],
-        )
-        sid = sig_ids.setdefault(key, len(sig_ids))
-        sig_query_set.add((sid, r[query_id_col]))
-    if not sig_ids:
-        return spark.createDataFrame([], out_schema)
-    sig_queries = sorted(sig_query_set)
-
-    n_sigs = len(sig_ids)
-    need = np.zeros(n_sigs, dtype=np.int64)
-    is_any = np.zeros(n_sigs, dtype=bool)
-    # residuals per signature: field index into numeric_fields (-1 =
-    # no range clause), op code, value, phrase (space-guarded) or None
-    OPS = {"lt": 0, "lte": 1, "gt": 2, "gte": 3}
-    rf_idx = np.full(n_sigs, -1, dtype=np.int64)
-    op_code = np.zeros(n_sigs, dtype=np.int64)
-    rv = np.zeros(n_sigs, dtype=np.float64)
-    phrases: list = [None] * n_sigs
-    field_pos = {f: i for i, f in enumerate(numeric_fields)}
-    inv_lists: dict[str, list[int]] = {}
-    for key, sid in sig_ids.items():
-        mode, terms, rfield, rop, rval, phr = key
-        need[sid] = len(terms)
-        is_any[sid] = mode == "any"
-        if rfield is not None:
-            if rop not in OPS or rval is None:
-                # malformed clause (unknown op / null value) or — via
-                # field_pos.get below — a field outside numeric_fields:
-                # never matches, same as the listing's
-                # coalesce(cmp, false) (sentinel -2)
-                rf_idx[sid] = -2
-            else:
-                rf_idx[sid] = field_pos.get(rfield, -2)
-                op_code[sid] = OPS[rop]
-                rv[sid] = float(rval)
-        if phr is not None:
-            phrases[sid] = f" {phr} "
-        for t in terms:
-            inv_lists.setdefault(t, []).append(sid)
-    inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
-    bc = spark.sparkContext.broadcast(
-        (inv, need, is_any, rf_idx, op_code, rv, phrases, n_sigs)
-    )
-
     ncols = [f"__n{i}" for i in range(len(numeric_fields))]
-
-    def count_partition(batches):
-        b_inv, b_need, b_any, b_rf, b_op, b_rv, b_ph, n = bc.value
-        partial = np.zeros(n, dtype=np.int64)
-        for pdf in batches:
-            nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
-            for i, toks in enumerate(pdf["__toks"]):
-                if toks is None:
-                    continue
-                arrs = [b_inv[t] for t in set(toks) if t in b_inv]
-                if not arrs:
-                    continue
-                cand = np.concatenate(arrs)
-                uniq, cnt = np.unique(cand, return_counts=True)
-                hit = uniq[b_any[uniq] | (cnt == b_need[uniq])]
-                if len(hit) == 0:
-                    continue
-                tok_str = None
-                for s in hit:
-                    fi = b_rf[s]
-                    if fi == -2:  # range on a field the doc lacks
-                        continue
-                    if fi >= 0:
-                        v = nvals[fi][i]
-                        o = b_op[s]
-                        if np.isnan(v):
-                            continue
-                        if o == 0 and not (v < b_rv[s]):
-                            continue
-                        if o == 1 and not (v <= b_rv[s]):
-                            continue
-                        if o == 2 and not (v > b_rv[s]):
-                            continue
-                        if o == 3 and not (v >= b_rv[s]):
-                            continue
-                    if b_ph[s] is not None:
-                        if tok_str is None:
-                            tok_str = " " + " ".join(toks) + " "
-                        if b_ph[s] not in tok_str:
-                            continue
-                    partial[s] += 1
-        nz = np.flatnonzero(partial)
-        yield pd.DataFrame({"__sig": nz, "__n": partial[nz]})
-
     tokenized = fan_out(docs).select(
         tokens_expr(text_col, analyzer).alias("__toks"),
         *[
@@ -2518,28 +2501,285 @@ def percolate_mixed_counts(
             for f, c in zip(numeric_fields, ncols)
         ],
     )
-    partials = tokenized.mapInPandas(
-        count_partition,
-        schema=T.StructType([
-            T.StructField("__sig", T.LongType()),
-            T.StructField("__n", T.LongType()),
-        ]),
+
+    def chunk_counts(reg_rows) -> DataFrame | None:
+        compiled = _compile_mixed_rules(reg_rows, numeric_fields, query_id_col)
+        if compiled is None:
+            return None
+        qid_arrays, need, is_any, rf_idx, op_code, rv, phrases, inv = compiled
+        n_sigs = len(need)
+        sig_queries = sorted(
+            (s, q) for s, arr in qid_arrays.items() for q in arr.tolist()
+        )
+        bc = spark.sparkContext.broadcast(
+            (inv, need, is_any, rf_idx, op_code, rv, phrases, n_sigs)
+        )
+
+        def count_partition(batches):
+            b_inv, b_need, b_any, b_rf, b_op, b_rv, b_ph, n = bc.value
+            partial = np.zeros(n, dtype=np.int64)
+            for pdf in batches:
+                nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
+                for i, toks in enumerate(pdf["__toks"]):
+                    if toks is None:
+                        continue
+                    arrs = [b_inv[t] for t in set(toks) if t in b_inv]
+                    if not arrs:
+                        continue
+                    cand = np.concatenate(arrs)
+                    uniq, cnt = np.unique(cand, return_counts=True)
+                    hit = uniq[b_any[uniq] | (cnt == b_need[uniq])]
+                    if len(hit) == 0:
+                        continue
+                    tok_str = None
+                    for s in hit:
+                        fi = b_rf[s]
+                        if fi == -2:  # range clause that can never match
+                            continue
+                        if fi >= 0:
+                            v = nvals[fi][i]
+                            o = b_op[s]
+                            if np.isnan(v):
+                                continue
+                            if o == 0 and not (v < b_rv[s]):
+                                continue
+                            if o == 1 and not (v <= b_rv[s]):
+                                continue
+                            if o == 2 and not (v > b_rv[s]):
+                                continue
+                            if o == 3 and not (v >= b_rv[s]):
+                                continue
+                        if b_ph[s] is not None:
+                            if tok_str is None:
+                                tok_str = " " + " ".join(toks) + " "
+                            if b_ph[s] not in tok_str:
+                                continue
+                        partial[s] += 1
+            nz = np.flatnonzero(partial)
+            yield pd.DataFrame({"__sig": nz, "__n": partial[nz]})
+
+        partials = tokenized.mapInPandas(
+            count_partition,
+            schema=T.StructType([
+                T.StructField("__sig", T.LongType()),
+                T.StructField("__n", T.LongType()),
+            ]),
+        )
+        totals = partials.groupBy("__sig").agg(
+            F.sum("__n").alias("n_matched_docs")
+        )
+        expand = spark.createDataFrame(
+            [(s, q) for s, q in sig_queries],
+            T.StructType([
+                T.StructField("__sig", T.LongType()),
+                T.StructField(query_id_col, qid_type),
+            ]),
+        )
+        return (
+            totals.join(F.broadcast(expand), "__sig")
+            .filter(F.col("n_matched_docs") > 0)
+            .select(query_id_col, "n_matched_docs")
+        )
+
+    reg_cols = (query_id_col, "terms", "mode", *_MIXED_CLAUSE_COLS)
+    if chunk_size is None:
+        out = chunk_counts(registered.select(*reg_cols).collect())
+        return out if out is not None else spark.createDataFrame([], out_schema)
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    outs = [
+        o
+        for rows in _iter_registered_chunks(
+            registered, query_id_col, chunk_size,
+            clause_cols=_MIXED_CLAUSE_COLS,
+        )
+        if (o := chunk_counts(rows)) is not None
+    ]
+    if not outs:
+        return spark.createDataFrame([], out_schema)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    # no value-level dedup: chunk build assigns each distinct (rule,
+    # query_id) to exactly one chunk, and a query_id under several
+    # DISTINCT rules legitimately emits one row per rule — exactly the
+    # unchunked signature set's behavior
+    return result
+
+
+def percolate_mixed_topk(
+    registered: DataFrame,
+    docs: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    query_id_col: str = "query_id",
+    analyzer: str = "standard",
+    numeric_fields: tuple[str, ...] = ("n_chars",),
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """DSL percolation through the BOUNDED per-doc kernel — the
+    :func:`percolate_topk` contract (each incoming doc's top-k matched
+    stored queries by matched distinct-term count, capped INSIDE the
+    worker, <= k rows/doc across any exchange) generalized to the
+    mixed term+range+phrase rules of :func:`percolate_mixed`.  The
+    kernel gates each candidate signature through its residual clauses
+    (range over the doc's numeric fields, phrase over the
+    space-guarded token string) BEFORE the best-count-first slot walk,
+    so a rule that fails its residual never consumes a k-slot —
+    matching the listing's AND-composition exactly.  Completes the
+    kernel family: listing / counts / top-k for both term-set and
+    mixed-DSL rules.
+
+    ``chunk_size``: k-pass streamed registered side, merged by the
+    same full-row dedup + (matched desc, query_id asc) re-rank as
+    :func:`percolate_topk` — a globally top-k rule's within-chunk rank
+    never exceeds its global rank, so the merge is exact."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    from pyspark.sql import types as T
+
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    qid_type = registered.schema[query_id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField(query_id_col, qid_type),
+        T.StructField("matched_terms", T.LongType()),
+    ])
+    ncols = [f"__n{i}" for i in range(len(numeric_fields))]
+    tokenized = fan_out(docs).select(
+        F.col(id_col).alias("__id"),
+        tokens_expr(text_col, analyzer).alias("__toks"),
+        *[
+            F.col(f).cast("double").alias(c)
+            for f, c in zip(numeric_fields, ncols)
+        ],
     )
-    totals = partials.groupBy("__sig").agg(
-        F.sum("__n").alias("n_matched_docs")
+    kernel_schema = T.StructType([
+        T.StructField("__id", docs.schema[id_col].dataType),
+        T.StructField("__qid", qid_type),
+        T.StructField("__cnt", T.LongType()),
+    ])
+
+    def chunk_topk(reg_rows) -> DataFrame | None:
+        compiled = _compile_mixed_rules(reg_rows, numeric_fields, query_id_col)
+        if compiled is None:
+            return None
+        qid_arrays, need, is_any, rf_idx, op_code, rv, phrases, inv = compiled
+        bc = spark.sparkContext.broadcast(
+            (inv, need, is_any, rf_idx, op_code, rv, phrases, qid_arrays)
+        )
+
+        def topk_partition(batches):
+            (b_inv, b_need, b_any, b_rf, b_op, b_rv, b_ph,
+             b_qids) = bc.value
+            for pdf in batches:
+                nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
+                out_doc, out_qid, out_cnt = [], [], []
+                for i, (doc, toks) in enumerate(
+                    zip(pdf["__id"], pdf["__toks"])
+                ):
+                    if toks is None:  # null text matches nothing
+                        continue
+                    arrs = [b_inv[t] for t in set(toks) if t in b_inv]
+                    if not arrs:
+                        continue
+                    cand = np.concatenate(arrs)
+                    uniq, cnt = np.unique(cand, return_counts=True)
+                    ok = b_any[uniq] | (cnt == b_need[uniq])
+                    sigs, scores = uniq[ok], cnt[ok]
+                    if len(sigs) == 0:
+                        continue
+                    # residual gate BEFORE slot assignment: a rule that
+                    # fails its range/phrase never consumes a k-slot
+                    tok_str = None
+                    keep = np.ones(len(sigs), dtype=bool)
+                    for j, s in enumerate(sigs):
+                        fi = b_rf[s]
+                        if fi == -2:
+                            keep[j] = False
+                            continue
+                        if fi >= 0:
+                            v = nvals[fi][i]
+                            o = b_op[s]
+                            if (
+                                np.isnan(v)
+                                or (o == 0 and not (v < b_rv[s]))
+                                or (o == 1 and not (v <= b_rv[s]))
+                                or (o == 2 and not (v > b_rv[s]))
+                                or (o == 3 and not (v >= b_rv[s]))
+                            ):
+                                keep[j] = False
+                                continue
+                        if b_ph[s] is not None:
+                            if tok_str is None:
+                                tok_str = " " + " ".join(toks) + " "
+                            if b_ph[s] not in tok_str:
+                                keep[j] = False
+                    sigs, scores = sigs[keep], scores[keep]
+                    taken = 0
+                    for c in np.sort(np.unique(scores))[::-1]:
+                        group = np.concatenate(
+                            [b_qids[int(s)] for s in sigs[scores == c]]
+                        )
+                        group = np.unique(group)[: k - taken]
+                        out_doc.extend([doc] * len(group))
+                        out_qid.extend(group.tolist())
+                        out_cnt.extend([int(c)] * len(group))
+                        taken += len(group)
+                        if taken >= k:
+                            break
+                yield pd.DataFrame({
+                    "__id": out_doc, "__qid": out_qid, "__cnt": out_cnt,
+                })
+
+        return tokenized.mapInPandas(topk_partition, schema=kernel_schema)
+
+    def finish(kernel_out: DataFrame) -> DataFrame:
+        return kernel_out.select(
+            F.col("__id").alias(id_col),
+            F.col("__qid").alias(query_id_col),
+            F.col("__cnt").alias("matched_terms"),
+        )
+
+    reg_cols = (query_id_col, "terms", "mode", *_MIXED_CLAUSE_COLS)
+    if chunk_size is None:
+        out = chunk_topk(registered.select(*reg_cols).collect())
+        if out is None:
+            return spark.createDataFrame([], out_schema)
+        return finish(out)
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    outs = [
+        o
+        for rows in _iter_registered_chunks(
+            registered, query_id_col, chunk_size,
+            clause_cols=_MIXED_CLAUSE_COLS,
+        )
+        if (o := chunk_topk(rows)) is not None
+    ]
+    if not outs:
+        return spark.createDataFrame([], out_schema)
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__id").orderBy(F.desc("__cnt"), F.asc("__qid"))
+    reranked = (
+        # same merge argument as percolate_topk: full-row dedup first (a
+        # qid under two distinct rules in different chunks can hit one
+        # doc at the same count — one k-slot), then exact global re-rank
+        merged.dropDuplicates(["__id", "__qid", "__cnt"])
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )
-    expand = spark.createDataFrame(
-        [(s, q) for s, q in sig_queries],
-        T.StructType([
-            T.StructField("__sig", T.LongType()),
-            T.StructField(query_id_col, qid_type),
-        ]),
-    )
-    return (
-        totals.join(F.broadcast(expand), "__sig")
-        .filter(F.col("n_matched_docs") > 0)
-        .select(query_id_col, "n_matched_docs")
-    )
+    return finish(reranked)
 
 
 def decay_expr(

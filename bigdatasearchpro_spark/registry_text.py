@@ -2456,14 +2456,14 @@ _PERC_MIXED_REG_SQL = """
       FROM rtoks WHERE doc_id % 7 = 0
     ),
     term_pairs AS (
-      SELECT d.doc_id, q.query_id
+      SELECT d.doc_id, q.query_id, count(*) AS matched
       FROM dx d JOIN qx q ON d.tok = q.term
       GROUP BY d.doc_id, q.query_id, q.mode, q.need
       HAVING CASE WHEN q.mode = 'any' THEN count(*) >= 1
                   ELSE count(*) >= q.need END
     ),
     mixed_pairs AS (
-      SELECT p.doc_id, p.query_id
+      SELECT p.doc_id, p.query_id, p.matched
       FROM term_pairs p
       JOIN reg r ON p.query_id = r.query_id
       JOIN rtoks d ON p.doc_id = d.doc_id
@@ -2560,6 +2560,34 @@ def l3_percolate_mixed_counts(spark, sf_dir):
     registered, incoming = _percolate_mixed_fixture(spark, sf_dir)
     return search.percolate_mixed_counts(registered, incoming).orderBy(
         "query_id"
+    )
+
+
+@register(
+    "l3_percolate_mixed_topk",
+    f"""
+    WITH {_PERC_MIXED_REG_SQL.strip()}
+    SELECT doc_id, query_id, CAST(matched AS BIGINT) AS matched_terms
+    FROM mixed_pairs
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY matched DESC, query_id ASC) <= 3
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_mixed_topk(spark, sf_dir):
+    """L3+ DSL percolation through the BOUNDED per-doc kernel — each
+    incoming doc's top-3 matched mixed rules (term+range+phrase) by
+    matched distinct-term count, capped INSIDE the Arrow worker:
+    residual clauses gate each candidate signature BEFORE the
+    best-count-first slot walk, so a rule failing its range/phrase
+    never consumes a k-slot (search.percolate_mixed_topk).  Completes
+    the kernel family — listing/counts/top-k for both term-set and
+    mixed-DSL rules — with the same no-pair-exchange scale shape as
+    percolate_topk.  Oracle: the naive mixed join + per-doc QUALIFY
+    row_number over (matched desc, query_id asc)."""
+    registered, incoming = _percolate_mixed_fixture(spark, sf_dir)
+    return search.percolate_mixed_topk(registered, incoming, k=3).orderBy(
+        "doc_id", "query_id"
     )
 
 

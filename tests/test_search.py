@@ -1192,3 +1192,126 @@ def test_percolate_mixed_clauses(spark):
 
     want_counts = Counter(q for _, q in want)
     assert counts == {(q, n) for q, n in want_counts.items()}
+
+
+def _mixed_fixture(spark):
+    """The mixed-rule clause fixture shared by the r12 DSL tests."""
+    from pyspark.sql import types as T
+
+    reg_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("mode", T.StringType()),
+        T.StructField("range_field", T.StringType()),
+        T.StructField("range_op", T.StringType()),
+        T.StructField("range_value", T.DoubleType()),
+        T.StructField("phrase", T.StringType()),
+    ])
+    registered = spark.createDataFrame(
+        [
+            (1, ["buy", "it"], "all", None, None, None, None),
+            (2, ["buy"], "all", "price", "lt", 100.0, None),
+            (3, ["buy"], "all", None, None, None, "it today"),
+            (4, ["stocks", "bonds"], "any", "price", "gte", 50.0, None),
+            (5, ["buy"], "all", "missing", "lt", 1e9, None),
+        ],
+        reg_schema,
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "you should buy it today", 120.0),
+            (11, "buy today it now", 80.0),
+            (12, "stocks are up", 49.0),
+            (13, "stocks are up", 50.0),
+        ],
+        "doc_id long, text string, price double",
+    )
+    return registered, docs
+
+
+def test_percolate_mixed_topk(spark):
+    """The per-doc top-k form of the mixed kernel: residual clauses
+    gate a candidate BEFORE it can take a k-slot, scores are matched
+    distinct-term counts, ties break by query_id asc."""
+    registered, docs = _mixed_fixture(spark)
+    # full matched set with counts: doc 10 -> q1(2), q3(1);
+    # doc 11 -> q1(2), q2(1); doc 13 -> q4(1)
+    got = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                registered, docs, k=3, numeric_fields=("price",)
+            ).collect(),
+        )
+    )
+    assert got == [
+        (10, 1, 2), (10, 3, 1), (11, 1, 2), (11, 2, 1), (13, 4, 1),
+    ]
+    # k=1: only the best rule per doc survives; q5 (range on a field
+    # the docs lack) must never appear even where slots are free
+    got1 = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                registered, docs, k=1, numeric_fields=("price",)
+            ).collect(),
+        )
+    )
+    assert got1 == [(10, 1, 2), (11, 1, 2), (13, 4, 1)]
+
+
+def test_percolate_mixed_chunked_bit_identical(spark):
+    """chunk_size on BOTH mixed kernels must equal the unchunked
+    output bit-for-bit — chunk identity keys on the FULL rule, so two
+    rules sharing a query_id but differing only in a clause stay
+    distinct across chunks."""
+    registered, docs = _mixed_fixture(spark)
+    # same query_id under a second DISTINCT rule (different threshold):
+    # both rules must survive chunk dedup and emit their own counts
+    extra = registered.sparkSession.createDataFrame(
+        [
+            (2, ["buy"], "all", "price", "lt", 1000.0, None),
+            (2, ["buy"], "all", "price", "lt", 100.0, None),  # exact dup
+        ],
+        registered.schema,
+    )
+    reg = registered.unionByName(extra)
+
+    un_counts = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_counts(
+                reg, docs, numeric_fields=("price",)
+            ).collect(),
+        )
+    )
+    ch_counts = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_counts(
+                reg, docs, numeric_fields=("price",), chunk_size=2
+            ).collect(),
+        )
+    )
+    assert ch_counts == un_counts and len(un_counts) > 0
+    # the relaxed q2 rule (lt 1000) matches docs 10 AND 11 while the
+    # strict one (lt 100) matches only 11 — two count rows for q2
+    assert [r for r in un_counts if r[0] == 2] == [(2, 1), (2, 2)]
+
+    un_topk = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                reg, docs, k=2, numeric_fields=("price",)
+            ).collect(),
+        )
+    )
+    ch_topk = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                reg, docs, k=2, numeric_fields=("price",), chunk_size=2
+            ).collect(),
+        )
+    )
+    assert ch_topk == un_topk and len(un_topk) > 0

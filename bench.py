@@ -165,6 +165,15 @@ BENCH_QUERIES = [
     "l2_dedup_resolution",
     "l3_percolate_counts",
     "l3_percolate_topk",
+    # round-12: the composed flagship (the entry() smoke path — tracks
+    # the analyzer + query_string + BM25 + collapse plan as one number),
+    # the bounded ngram listing (the simhash cap's sibling), and the
+    # mixed-DSL percolation pair (listing + bounded counts kernel)
+    "l3_flagship_search",
+    "l2_ngram_jaccard_topk",
+    "l3_percolate_mixed",
+    "l3_percolate_mixed_counts",
+    "l3_percolate_mixed_topk",
 ]
 
 

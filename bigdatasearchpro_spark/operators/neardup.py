@@ -754,22 +754,24 @@ def ngram_jaccard_pairs(
     ``per_doc_cap`` (r11 verdict ask #2, the simhash cap's ngram
     sibling): keep only each canonical-left doc's ``per_doc_cap``
     BEST pairs by (jaccard_sim desc, right_id asc) — the bounded
-    LISTING contract for corpora whose true near-dup density grows
+    LISTING contract for corpora whose true near-dup pair count grows
     super-linearly (the sf10 fixture's verified 3-gram pairs are
-    ~27 M; output-quadratic, which no candidate filter can change).
-    The capped path verifies IN the candidate join (each prefix row
-    carries its doc's int gram-id set, so Jaccard computes map-side
-    at the join output — no per-pair array join, no candidate-dedup
-    exchange of the full fan-out) and prunes in TWO exact stages,
-    mirroring hamming_signature_pairs: (1) bucket-locally BEFORE the
-    dedup shuffle — a pair's bucket-local rank under the same total
-    order never exceeds its global rank, and the window partitions
-    by a SUPERSET of the join keys so it reuses the join's hash
-    partitioning (no new exchange); (2) globally after dedup.  The
-    prefix recall lemma is unchanged (every qualifying pair shares a
-    prefix gram, so it reaches some bucket), hence the capped output
-    is EXACTLY the per-left top-k of the uncapped listing.  Requires
-    ``prefilter='prefix'``."""
+    ~27 M).  The cap is ONE narrow row_number window over the verified
+    scores (ids + score only), bounding the OUTPUT and everything
+    downstream at cap rows/doc; the verify itself stays
+    candidate-bound, because exact top-k must score every candidate —
+    within a dup family every sibling passes the threshold and the
+    scores differ only in the low decimals, so no sound narrow bound
+    can prune them unscored (unlike simhash, whose O(1) bit_count
+    verify made the in-band cap the win).  A first r12 draft verified
+    IN the candidate join instead (each prefix row carrying its doc's
+    gram-id set, two-stage bucket-local cap); measured 2.7x SLOWER at
+    sf1 (227 s vs 84) because a pair re-verifies once per shared
+    prefix gram and the arrays ride the full candidate-occurrence
+    fan-out — reverted to the shared narrow-candidate verify, whose
+    exchange bytes the int32 id cast below halves instead.  Output is
+    EXACTLY the per-left top-k of the uncapped listing
+    (twin-tested).  Requires ``prefilter='prefix'``."""
     from bigdatasearchpro_spark.sources.files import fan_out
 
     if prefilter not in ("prefix", "none"):
@@ -854,56 +856,31 @@ def ngram_jaccard_pairs(
         + F.lit(1)
     )
     w = Window.partitionBy(id_col).orderBy("__df", "__gram")
+    # prefix and idsets are each consumed by BOTH sides of the
+    # self-join below; unpersisted, every consumer re-runs the whole
+    # tokenize -> shingle -> explode -> vocabulary chain (observed 6
+    # full recomputations of the scan pipeline in the physical plan —
+    # exchange reuse does not cover the fan_out repartitions).  Same
+    # side-table persist pattern as minhash_lsh_pairs above: prefix is
+    # narrow (id, gram, keys), idsets is one row per doc; both spill
+    # to disk at corpus scale (MEMORY_AND_DISK default) and are
+    # released before return.
     prefix = (
         ranked.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= plen)
         .select(id_col, "__gram", *join_keys)
-    )
+    ).persist()
+    # int32 ids: the verify joins ship each pair's two id-set arrays
+    # through an exchange — at sf10 that is ~27 M pairs x 2 arrays, the
+    # dominant cost of the whole query — and the vocabulary rank fits
+    # int32 to 2.1 B distinct grams (the rank approach itself is
+    # documented to ~1e8 above), so the cast halves the verify bytes
+    # for free (cardinalities, hence the score, are unchanged)
     idsets = ranked.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("__gid")).alias("__ids")
-    )
-
-    if per_doc_cap is not None:
-        # in-join verify: prefix rows carry their doc's gram-id set
-        pset = prefix.join(idsets, id_col)
-        left = pset.select(
-            F.col(id_col).alias("left_id"), "__gram",
-            F.col("__ids").alias("__lg"), *join_keys,
-        )
-        right = pset.select(
-            F.col(id_col).alias("right_id"), "__gram",
-            F.col("__ids").alias("__rg"), *join_keys,
-        )
-        scored = (
-            left.join(right, ["__gram", *join_keys])
-            .filter(F.col("left_id") < F.col("right_id"))
-            .withColumn("__j", jaccard(F.col("__lg"), F.col("__rg")))
-            .filter(F.col("__j") >= threshold)
-            .select(
-                "__gram", *join_keys, "left_id", "right_id",
-                F.round(F.col("__j"), 4).alias("jaccard_sim"),
-            )
-        )
-        # stage 1: bucket-local cap (partition keys ⊇ join keys — the
-        # window reuses the join's hash partitioning, sort-only)
-        wb = Window.partitionBy("__gram", *join_keys, "left_id").orderBy(
-            F.desc("jaccard_sim"), F.asc("right_id")
-        )
-        capped = (
-            scored.withColumn("__rk", F.row_number().over(wb))
-            .filter(F.col("__rk") <= per_doc_cap)
-            .select("left_id", "right_id", "jaccard_sim")
-            .dropDuplicates(["left_id", "right_id"])
-        )
-        # stage 2: global cap over the deduped survivors
-        wg = Window.partitionBy("left_id").orderBy(
-            F.desc("jaccard_sim"), F.asc("right_id")
-        )
-        return (
-            capped.withColumn("__rk", F.row_number().over(wg))
-            .filter(F.col("__rk") <= per_doc_cap)
-            .select("left_id", "right_id", "jaccard_sim")
-        )
+        F.sort_array(
+            F.collect_list(F.col("__gid").cast("int"))
+        ).alias("__ids")
+    ).persist()
 
     cand = (
         prefix.select(
@@ -921,7 +898,7 @@ def ngram_jaccard_pairs(
     )
     lg = idsets.select(F.col(id_col).alias("left_id"), F.col("__ids").alias("__lg"))
     rg = idsets.select(F.col(id_col).alias("right_id"), F.col("__ids").alias("__rg"))
-    return (
+    scored = (
         cand.join(lg, "left_id")
         .join(rg, "right_id")
         .withColumn("__j", jaccard(F.col("__lg"), F.col("__rg")))
@@ -931,6 +908,26 @@ def ngram_jaccard_pairs(
             F.round(F.col("__j"), 4).alias("jaccard_sim"),
         )
     )
+    if per_doc_cap is not None:
+        # the cap: ONE narrow row_number window over the verified
+        # scores (ids + score only — the gram arrays are gone by this
+        # point), so output and everything downstream are bounded at
+        # cap rows/doc
+        wg = Window.partitionBy("left_id").orderBy(
+            F.desc("jaccard_sim"), F.asc("right_id")
+        )
+        scored = (
+            scored.withColumn("__rk", F.row_number().over(wg))
+            .filter(F.col("__rk") <= per_doc_cap)
+            .select("left_id", "right_id", "jaccard_sim")
+        )
+    # materialize the pair output and release the cached side tables
+    # (minhash_lsh_pairs' pattern — otherwise every invocation pins
+    # prefix + idset blocks for the session's lifetime)
+    result = scored.localCheckpoint(eager=True)
+    for cached in (prefix, idsets):
+        cached.unpersist()
+    return result
 
 
 def resolve_duplicate_groups(

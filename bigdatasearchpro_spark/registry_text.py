@@ -1339,16 +1339,18 @@ def l2_ngram_jaccard_topk(spark, sf_dir):
     """L2: the BOUNDED ngram-Jaccard listing (r11 verdict ask #2 — the
     simhash cap's ngram sibling): each canonical-left doc's 10 best
     pairs by (jaccard_sim desc, right_id asc) over the same blocked
-    3-gram fixture as l2_ngram_jaccard_pairs.  The cap is enforced
-    bucket-locally BEFORE the dedup exchange with Jaccard computed IN
-    the candidate join (each prefix row carries its doc's int gram-id
-    set — no per-pair array join, and the dedup exchange is bounded
-    at cap x |prefix| rows/doc at every match density), then globally
-    after — an exact two-stage top-k, NOT an approximation (argued at
-    operators/neardup.py ngram_jaccard_pairs; twin-tested against the
-    python top-k of the uncapped output).  Unlike the simhash cap this
-    one is fully DuckDB-oracled: the oracle replays the naive blocked
-    join + QUALIFY row_number.  The uncapped exact listing stays
+    3-gram fixture as l2_ngram_jaccard_pairs.  The cap is ONE narrow
+    row_number window over the verified scores (compiled to
+    WindowGroupLimit — a top-k per group, never a full sort), bounding
+    the OUTPUT and everything downstream at 10 rows/doc; the verify
+    stays candidate-bound because exact top-k must score every
+    candidate (within a dup family every sibling passes the threshold
+    — no sound narrow bound separates scores that differ in the low
+    decimals; the design trade-off vs the rejected in-join variant is
+    argued at operators/neardup.py ngram_jaccard_pairs).  Exact, NOT
+    an approximation: twin-tested against the python top-k of the
+    uncapped output AND fully DuckDB-oracled (naive blocked join +
+    QUALIFY row_number).  The uncapped exact listing stays
     (l2_ngram_jaccard_pairs) because its oracle needs it; the
     dedup-at-scale production path remains l2_dedup_resolution."""
     docs = _neardup_corpus(spark, sf_dir)

@@ -72,6 +72,11 @@ _R12_FIXED_OR_NEW = (
     # r12 follow-through: the per-doc top-k form of the mixed kernel
     # (residual gate before slot assignment) — completes the family
     "l3_percolate_mixed_topk",
+    # r12 grammar extension: must_not / exists / prefix clauses through
+    # the listing and both bounded kernels (new entries, never checked)
+    "l3_percolate_dsl",
+    "l3_percolate_dsl_counts",
+    "l3_percolate_dsl_topk",
     # r11 ADVICE: unrounded-threshold fix changed this entry's
     # predicate AND its oracle — re-verdict both
     "l2_ngram_jaccard_pairs",

@@ -2291,9 +2291,15 @@ def percolate_topk(
 def _mixed_residual_ok(numeric_map_col, doc_str_col) -> Column:
     """Residual-clause predicate for DSL percolation, evaluated on a
     row carrying the registered clauses (``range_field``/``range_op``/
-    ``range_value``/``phrase``) plus the doc's numeric-field map and
-    space-guarded analyzed-token string.  A null clause passes; a named
-    field absent from the doc map fails (ES missing-field semantics)."""
+    ``range_value``/``phrase``/``neg_terms``/``exists_field``/
+    ``tok_prefix``) plus the doc's numeric-field map and space-guarded
+    analyzed-token string.  A null clause passes; a named field absent
+    from the doc map fails (ES missing-field semantics).  ``neg_terms``
+    is the ES ``bool.must_not`` term list (the doc must contain NONE);
+    ``exists_field`` is the ES ``exists`` query over the numeric-field
+    map; ``tok_prefix`` is the ES ``prefix`` query (some analyzed token
+    starts with it — the space-guard makes the substring test exactly
+    token-initial)."""
     val = F.try_element_at(numeric_map_col, F.col("range_field"))
     rv = F.col("range_value")
     cmp = (
@@ -2307,7 +2313,17 @@ def _mixed_residual_ok(numeric_map_col, doc_str_col) -> Column:
     phrase_ok = F.col("phrase").isNull() | F.contains(
         doc_str_col, F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
     )
-    return range_ok & phrase_ok
+    neg_ok = F.col("neg_terms").isNull() | ~F.exists(
+        F.col("neg_terms"),
+        lambda t: F.contains(doc_str_col, F.concat(F.lit(" "), t, F.lit(" "))),
+    )
+    exists_ok = F.col("exists_field").isNull() | F.try_element_at(
+        numeric_map_col, F.col("exists_field")
+    ).isNotNull()
+    prefix_ok = F.col("tok_prefix").isNull() | F.contains(
+        doc_str_col, F.concat(F.lit(" "), F.col("tok_prefix"))
+    )
+    return range_ok & phrase_ok & neg_ok & exists_ok & prefix_ok
 
 
 def percolate_mixed(
@@ -2347,10 +2363,16 @@ def percolate_mixed(
 
     Contract: ``query_id`` identifies ONE rule (exact duplicate
     registrations collapse; ES percolator query docs are unique by
-    _id the same way)."""
-    registered = registered.select(
-        query_id_col, "terms", "mode",
-        "range_field", "range_op", "range_value", "phrase",
+    _id the same way).
+
+    r12 grammar extension: optional ``neg_terms`` (ES ``bool.must_not``
+    term list — the doc must contain NONE), ``exists_field`` (ES
+    ``exists`` over the numeric-field map), and ``tok_prefix`` (ES
+    ``prefix`` — some analyzed token starts with it) clauses, all
+    AND-composed with the rest; absent columns are treated as null
+    clauses, so term+range+phrase tables run unchanged."""
+    registered = _with_mixed_clause_cols(registered).select(
+        query_id_col, "terms", "mode", *_MIXED_CLAUSE_COLS
     ).dropDuplicates()
     term_pairs = percolate_many(
         registered.select(query_id_col, "terms", "mode"),
@@ -2362,9 +2384,7 @@ def percolate_mixed(
         hot_term_min_df=hot_term_min_df,
         n_salts=n_salts,
     )
-    clauses = registered.select(
-        query_id_col, "range_field", "range_op", "range_value", "phrase"
-    )
+    clauses = registered.select(query_id_col, *_MIXED_CLAUSE_COLS)
     map_args = []
     for f in numeric_fields:
         map_args.extend([F.lit(f), F.col(f).cast("double")])
@@ -2385,24 +2405,47 @@ def percolate_mixed(
     )
 
 
-_MIXED_CLAUSE_COLS = ("range_field", "range_op", "range_value", "phrase")
+_MIXED_CLAUSE_COLS = (
+    "range_field", "range_op", "range_value", "phrase",
+    "neg_terms", "exists_field", "tok_prefix",
+)
+_MIXED_CLAUSE_TYPES = {
+    "range_field": "string", "range_op": "string",
+    "range_value": "double", "phrase": "string",
+    "neg_terms": "array<string>", "exists_field": "string",
+    "tok_prefix": "string",
+}
 _RANGE_OPS = {"lt": 0, "lte": 1, "gt": 2, "gte": 3}
 
 
+def _with_mixed_clause_cols(registered: DataFrame) -> DataFrame:
+    """Add any missing mixed-DSL clause column as a typed null, so the
+    r12 grammar extension (``must_not`` / ``exists`` / ``prefix``)
+    stays drop-in for term+range+phrase registered tables."""
+    for c in _MIXED_CLAUSE_COLS:
+        if c not in registered.columns:
+            registered = registered.withColumn(
+                c, F.lit(None).cast(_MIXED_CLAUSE_TYPES[c])
+            )
+    return registered
+
+
 def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
-    """Compile mixed (term + range + phrase) rule rows into the
-    broadcastable kernel tables shared by :func:`percolate_mixed_counts`
-    and :func:`percolate_mixed_topk`: per-signature term need / any-mode
-    flags, residual arrays (field index into ``numeric_fields``, op
-    code, threshold, space-guarded phrase), the term->signatures
-    inverted index, and per-signature DEDUPED qid arrays (np.unique — a
+    """Compile mixed (term + range + phrase + must_not + exists +
+    prefix) rule rows into the broadcastable kernel tables shared by
+    :func:`percolate_mixed_counts` and :func:`percolate_mixed_topk`:
+    per-signature term need / any-mode flags, a residual tuple (range
+    field index into ``numeric_fields`` / op code / threshold,
+    space-guarded phrase, must_not term tuples, exists field index,
+    leading-space-guarded token prefix), the term->signatures inverted
+    index, and per-signature DEDUPED qid arrays (np.unique — a
     twice-registered query_id counts once, matching percolate_many's
     groupBy collapse).  Signatures key on the FULL rule, so two
     registrations differing only in a threshold or phrase stay
-    distinct.  Sentinel ``rf_idx == -2`` marks a range clause that can
-    never match (malformed op / null value / field outside
-    ``numeric_fields``) — the kernel-side twin of the listing's
-    ``coalesce(cmp, false)``.  Returns None when no row has a
+    distinct.  Sentinel ``-2`` in the range/exists field index marks a
+    clause that can never match (malformed op / null value / field
+    outside ``numeric_fields``) — the kernel-side twin of the
+    listing's null ``try_element_at``.  Returns None when no row has a
     non-empty term set."""
     import numpy as np
 
@@ -2412,9 +2455,12 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
         terms = tuple(sorted(set(r["terms"])))
         if not terms:
             continue
+        neg = r["neg_terms"]
         key = (
             r["mode"], terms,
             r["range_field"], r["range_op"], r["range_value"], r["phrase"],
+            tuple(sorted(set(neg))) if neg else None,
+            r["exists_field"], r["tok_prefix"],
         )
         sid = sig_ids.setdefault(key, len(sig_ids))
         sig_qids.setdefault(sid, set()).add(r[query_id_col])
@@ -2428,10 +2474,16 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
     op_code = np.zeros(n_sigs, dtype=np.int64)
     rv = np.zeros(n_sigs, dtype=np.float64)
     phrases: list = [None] * n_sigs
+    negs: list = [None] * n_sigs
+    # -1 = no exists clause; -2 = field outside numeric_fields (the
+    # doc map can never contain it → never matches, same as the
+    # listing's null try_element_at)
+    ex_idx = np.full(n_sigs, -1, dtype=np.int64)
+    prefs: list = [None] * n_sigs
     field_pos = {f: i for i, f in enumerate(numeric_fields)}
     inv_lists: dict[str, list[int]] = {}
     for key, sid in sig_ids.items():
-        mode, terms, rfield, rop, rval, phr = key
+        mode, terms, rfield, rop, rval, phr, neg, exf, pfx = key
         need[sid] = len(terms)
         is_any[sid] = mode == "any"
         if rfield is not None:
@@ -2443,13 +2495,20 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
                 rv[sid] = float(rval)
         if phr is not None:
             phrases[sid] = f" {phr} "
+        if neg:
+            negs[sid] = neg
+        if exf is not None:
+            ex_idx[sid] = field_pos.get(exf, -2)
+        if pfx is not None:
+            prefs[sid] = f" {pfx}"  # token-initial: leading guard only
         for t in terms:
             inv_lists.setdefault(t, []).append(sid)
     inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
     qid_arrays = {
         s: np.unique(np.asarray(sorted(q))) for s, q in sig_qids.items()
     }
-    return qid_arrays, need, is_any, rf_idx, op_code, rv, phrases, inv
+    residuals = (rf_idx, op_code, rv, phrases, negs, ex_idx, prefs)
+    return qid_arrays, need, is_any, residuals, inv
 
 
 def percolate_mixed_counts(
@@ -2506,24 +2565,26 @@ def percolate_mixed_counts(
         compiled = _compile_mixed_rules(reg_rows, numeric_fields, query_id_col)
         if compiled is None:
             return None
-        qid_arrays, need, is_any, rf_idx, op_code, rv, phrases, inv = compiled
+        qid_arrays, need, is_any, residuals, inv = compiled
         n_sigs = len(need)
         sig_queries = sorted(
             (s, q) for s, arr in qid_arrays.items() for q in arr.tolist()
         )
         bc = spark.sparkContext.broadcast(
-            (inv, need, is_any, rf_idx, op_code, rv, phrases, n_sigs)
+            (inv, need, is_any, residuals, n_sigs)
         )
 
         def count_partition(batches):
-            b_inv, b_need, b_any, b_rf, b_op, b_rv, b_ph, n = bc.value
+            b_inv, b_need, b_any, b_res, n = bc.value
+            b_rf, b_op, b_rv, b_ph, b_neg, b_ex, b_px = b_res
             partial = np.zeros(n, dtype=np.int64)
             for pdf in batches:
                 nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
                 for i, toks in enumerate(pdf["__toks"]):
                     if toks is None:
                         continue
-                    arrs = [b_inv[t] for t in set(toks) if t in b_inv]
+                    tset = set(toks)
+                    arrs = [b_inv[t] for t in tset if t in b_inv]
                     if not arrs:
                         continue
                     cand = np.concatenate(arrs)
@@ -2549,10 +2610,21 @@ def percolate_mixed_counts(
                                 continue
                             if o == 3 and not (v >= b_rv[s]):
                                 continue
-                        if b_ph[s] is not None:
+                        ei = b_ex[s]
+                        if ei == -2:  # exists over an unmapped field
+                            continue
+                        if ei >= 0 and np.isnan(nvals[ei][i]):
+                            continue
+                        if b_neg[s] is not None and not tset.isdisjoint(
+                            b_neg[s]
+                        ):
+                            continue
+                        if b_ph[s] is not None or b_px[s] is not None:
                             if tok_str is None:
                                 tok_str = " " + " ".join(toks) + " "
-                            if b_ph[s] not in tok_str:
+                            if b_ph[s] is not None and b_ph[s] not in tok_str:
+                                continue
+                            if b_px[s] is not None and b_px[s] not in tok_str:
                                 continue
                         partial[s] += 1
             nz = np.flatnonzero(partial)
@@ -2581,6 +2653,7 @@ def percolate_mixed_counts(
             .select(query_id_col, "n_matched_docs")
         )
 
+    registered = _with_mixed_clause_cols(registered)
     reg_cols = (query_id_col, "terms", "mode", *_MIXED_CLAUSE_COLS)
     if chunk_size is None:
         out = chunk_counts(registered.select(*reg_cols).collect())
@@ -2669,14 +2742,14 @@ def percolate_mixed_topk(
         compiled = _compile_mixed_rules(reg_rows, numeric_fields, query_id_col)
         if compiled is None:
             return None
-        qid_arrays, need, is_any, rf_idx, op_code, rv, phrases, inv = compiled
+        qid_arrays, need, is_any, residuals, inv = compiled
         bc = spark.sparkContext.broadcast(
-            (inv, need, is_any, rf_idx, op_code, rv, phrases, qid_arrays)
+            (inv, need, is_any, residuals, qid_arrays)
         )
 
         def topk_partition(batches):
-            (b_inv, b_need, b_any, b_rf, b_op, b_rv, b_ph,
-             b_qids) = bc.value
+            b_inv, b_need, b_any, b_res, b_qids = bc.value
+            b_rf, b_op, b_rv, b_ph, b_neg, b_ex, b_px = b_res
             for pdf in batches:
                 nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
                 out_doc, out_qid, out_cnt = [], [], []
@@ -2685,7 +2758,8 @@ def percolate_mixed_topk(
                 ):
                     if toks is None:  # null text matches nothing
                         continue
-                    arrs = [b_inv[t] for t in set(toks) if t in b_inv]
+                    tset = set(toks)
+                    arrs = [b_inv[t] for t in tset if t in b_inv]
                     if not arrs:
                         continue
                     cand = np.concatenate(arrs)
@@ -2695,7 +2769,8 @@ def percolate_mixed_topk(
                     if len(sigs) == 0:
                         continue
                     # residual gate BEFORE slot assignment: a rule that
-                    # fails its range/phrase never consumes a k-slot
+                    # fails its range/phrase/must_not/exists/prefix
+                    # never consumes a k-slot
                     tok_str = None
                     keep = np.ones(len(sigs), dtype=bool)
                     for j, s in enumerate(sigs):
@@ -2715,10 +2790,25 @@ def percolate_mixed_topk(
                             ):
                                 keep[j] = False
                                 continue
-                        if b_ph[s] is not None:
+                        ei = b_ex[s]
+                        if ei == -2:
+                            keep[j] = False
+                            continue
+                        if ei >= 0 and np.isnan(nvals[ei][i]):
+                            keep[j] = False
+                            continue
+                        if b_neg[s] is not None and not tset.isdisjoint(
+                            b_neg[s]
+                        ):
+                            keep[j] = False
+                            continue
+                        if b_ph[s] is not None or b_px[s] is not None:
                             if tok_str is None:
                                 tok_str = " " + " ".join(toks) + " "
-                            if b_ph[s] not in tok_str:
+                            if b_ph[s] is not None and b_ph[s] not in tok_str:
+                                keep[j] = False
+                                continue
+                            if b_px[s] is not None and b_px[s] not in tok_str:
                                 keep[j] = False
                     sigs, scores = sigs[keep], scores[keep]
                     taken = 0
@@ -2746,6 +2836,7 @@ def percolate_mixed_topk(
             F.col("__cnt").alias("matched_terms"),
         )
 
+    registered = _with_mixed_clause_cols(registered)
     reg_cols = (query_id_col, "terms", "mode", *_MIXED_CLAUSE_COLS)
     if chunk_size is None:
         out = chunk_topk(registered.select(*reg_cols).collect())

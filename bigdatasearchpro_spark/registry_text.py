@@ -2593,6 +2593,203 @@ def l3_percolate_mixed_topk(spark, sf_dir):
     )
 
 
+# Full-DSL percolator fixture (r12): the mixed fixture's clause set
+# extended with the three remaining common ES alert-rule forms —
+# must_not terms (registered doc's tokens 5-6 for ids % 4 == 1, the
+# doc must contain NEITHER), an exists clause (ids % 8 == 2 name the
+# mapped field n_chars — passes; ids % 8 == 6 name an UNMAPPED field —
+# never matches, the ES unmapped-exists contract), and a prefix clause
+# (first 3 chars of the registered doc's token 7 for ids % 4 == 3 —
+# some analyzed token of the incoming doc must start with it).  The
+# mod-4/mod-8 cycles overlap the mod-3 range/phrase cycle, so
+# composite rules (range+neg, phrase+prefix, ...) occur by
+# construction.  SQL twin below.
+_PERC_DSL_REG_SQL = """
+    rtoks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    reg AS (
+      SELECT doc_id AS query_id,
+             list_distinct(t[1:2]) AS terms,
+             CASE WHEN doc_id % 2 = 0 THEN 'all' ELSE 'any' END AS mode,
+             CASE WHEN doc_id % 3 = 1 THEN 'n_chars' END AS range_field,
+             CASE WHEN doc_id % 3 = 1 THEN
+               (CASE WHEN doc_id % 10 = 0 THEN 'gte' ELSE 'lte' END)
+             END AS range_op,
+             CASE WHEN doc_id % 3 = 1 THEN n_chars::DOUBLE END AS range_value,
+             CASE WHEN doc_id % 3 = 2 AND len(t) >= 4 THEN
+               concat_ws(' ', t[3], t[4])
+             END AS phrase,
+             CASE WHEN doc_id % 4 = 1 AND len(t) >= 6 THEN
+               list_distinct(t[5:6])
+             END AS neg_terms,
+             CASE WHEN doc_id % 8 = 2 THEN 'n_chars'
+                  WHEN doc_id % 8 = 6 THEN 'missing_metric'
+             END AS exists_field,
+             CASE WHEN doc_id % 4 = 3 AND len(t) >= 7 THEN
+               left(t[7], 3)
+             END AS tok_prefix
+      FROM rtoks WHERE doc_id % 5 = 0
+    ),
+    qx AS (
+      SELECT query_id, mode, len(terms) AS need, unnest(terms) AS term
+      FROM reg WHERE len(terms) > 0
+    ),
+    dx AS (
+      SELECT doc_id, unnest(list_distinct(t)) AS tok
+      FROM rtoks WHERE doc_id % 7 = 0
+    ),
+    term_pairs AS (
+      SELECT d.doc_id, q.query_id, count(*) AS matched
+      FROM dx d JOIN qx q ON d.tok = q.term
+      GROUP BY d.doc_id, q.query_id, q.mode, q.need
+      HAVING CASE WHEN q.mode = 'any' THEN count(*) >= 1
+                  ELSE count(*) >= q.need END
+    ),
+    dsl_pairs AS (
+      SELECT p.doc_id, p.query_id, p.matched
+      FROM term_pairs p
+      JOIN reg r ON p.query_id = r.query_id
+      JOIN rtoks d ON p.doc_id = d.doc_id
+      WHERE (r.range_field IS NULL OR
+             CASE r.range_op
+               WHEN 'lt'  THEN d.n_chars::DOUBLE <  r.range_value
+               WHEN 'lte' THEN d.n_chars::DOUBLE <= r.range_value
+               WHEN 'gt'  THEN d.n_chars::DOUBLE >  r.range_value
+               WHEN 'gte' THEN d.n_chars::DOUBLE >= r.range_value
+             END)
+        AND (r.phrase IS NULL OR
+             position((' ' || r.phrase || ' ') IN
+                      (' ' || array_to_string(d.t, ' ') || ' ')) > 0)
+        AND (r.neg_terms IS NULL OR NOT list_has_any(d.t, r.neg_terms))
+        AND (r.exists_field IS NULL OR
+             (r.exists_field = 'n_chars' AND d.n_chars IS NOT NULL))
+        AND (r.tok_prefix IS NULL OR
+             position((' ' || r.tok_prefix) IN
+                      (' ' || array_to_string(d.t, ' ') || ' ')) > 0)
+    )
+"""
+
+
+def _percolate_dsl_fixture(spark, sf_dir):
+    """(registered, incoming) pair mirroring _PERC_DSL_REG_SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = search.tokens_expr("text")
+    did = F.col("doc_id")
+    registered = docs.filter(did % 5 == 0).select(
+        did.alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 2)).alias("terms"),
+        F.when(did % 2 == 0, F.lit("all")).otherwise(F.lit("any")).alias(
+            "mode"
+        ),
+        F.when(did % 3 == 1, F.lit("n_chars")).alias("range_field"),
+        F.when(
+            did % 3 == 1,
+            F.when(did % 10 == 0, F.lit("gte")).otherwise(F.lit("lte")),
+        ).alias("range_op"),
+        F.when(did % 3 == 1, F.col("n_chars").cast("double")).alias(
+            "range_value"
+        ),
+        F.when(
+            (did % 3 == 2) & (F.size(toks) >= 4),
+            F.array_join(F.slice(toks, 3, 2), " "),
+        ).alias("phrase"),
+        F.when(
+            (did % 4 == 1) & (F.size(toks) >= 6),
+            F.array_distinct(F.slice(toks, 5, 2)),
+        ).alias("neg_terms"),
+        F.when(did % 8 == 2, F.lit("n_chars"))
+        .when(did % 8 == 6, F.lit("missing_metric"))
+        .alias("exists_field"),
+        F.when(
+            (did % 4 == 3) & (F.size(toks) >= 7),
+            F.substring(F.element_at(toks, 7), 1, 3),
+        ).alias("tok_prefix"),
+    )
+    incoming = docs.filter(did % 7 == 0)
+    return registered, incoming
+
+
+@register(
+    "l3_percolate_dsl",
+    f"""
+    WITH {_PERC_DSL_REG_SQL.strip()}
+    SELECT doc_id, query_id FROM dsl_pairs
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_dsl(spark, sf_dir):
+    """L3+ full-DSL percolation (r12) — the mixed grammar extended
+    with the three remaining common ES alert-rule clause types, all
+    AND-composed per rule: ``must_not`` term lists (bool.must_not —
+    the doc must contain NONE), ``exists`` over the numeric-field map
+    (an unmapped field never matches, the ES unmapped-exists
+    contract), and token ``prefix`` (the space-guard makes the
+    substring test exactly token-initial).  Term clause drives the
+    unchanged skew-salted equi-join; all residuals stay ONE JVM-side
+    filter over the same two narrow joins (search.percolate_mixed).
+    Oracle replays registration + term join + the five-clause
+    residual predicate in DuckDB."""
+    registered, incoming = _percolate_dsl_fixture(spark, sf_dir)
+    return search.percolate_mixed(registered, incoming).orderBy(
+        "doc_id", "query_id"
+    )
+
+
+@register(
+    "l3_percolate_dsl_counts",
+    f"""
+    WITH {_PERC_DSL_REG_SQL.strip()}
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched_docs
+    FROM dsl_pairs GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def l3_percolate_dsl_counts(spark, sf_dir):
+    """L3+ full-DSL percolation through the BOUNDED counts kernel —
+    the five-clause rules of l3_percolate_dsl matched map-side:
+    signatures key on the FULL rule (terms+mode+range+phrase+
+    must_not+exists+prefix), candidates stay term-driven through the
+    broadcast inverted index, and every residual evaluates inside the
+    Arrow kernel (must_not via doc-token-set disjointness, exists via
+    the NaN probe on the field column, prefix via the space-guarded
+    token string).  No (doc, query) row crosses any exchange
+    (search.percolate_mixed_counts).  Oracle: the naive five-clause
+    join + count per query."""
+    registered, incoming = _percolate_dsl_fixture(spark, sf_dir)
+    return search.percolate_mixed_counts(registered, incoming).orderBy(
+        "query_id"
+    )
+
+
+@register(
+    "l3_percolate_dsl_topk",
+    f"""
+    WITH {_PERC_DSL_REG_SQL.strip()}
+    SELECT doc_id, query_id, CAST(matched AS BIGINT) AS matched_terms
+    FROM dsl_pairs
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY matched DESC, query_id ASC) <= 3
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_dsl_topk(spark, sf_dir):
+    """L3+ full-DSL percolation through the BOUNDED per-doc kernel —
+    each incoming doc's top-3 five-clause rules by matched
+    distinct-term count, capped INSIDE the Arrow worker; every
+    residual (range/phrase/must_not/exists/prefix) gates a candidate
+    BEFORE the best-count-first slot walk, so a failing rule never
+    consumes a k-slot (search.percolate_mixed_topk).  Oracle: the
+    naive five-clause join + per-doc QUALIFY row_number."""
+    registered, incoming = _percolate_dsl_fixture(spark, sf_dir)
+    return search.percolate_mixed_topk(registered, incoming, k=3).orderBy(
+        "doc_id", "query_id"
+    )
+
+
 @register(
     "l3_agg_terms_subagg",
     """

@@ -1315,3 +1315,157 @@ def test_percolate_mixed_chunked_bit_identical(spark):
         )
     )
     assert ch_topk == un_topk and len(un_topk) > 0
+
+def _dsl_fixture(spark):
+    """Five-clause rule fixture for the r12 grammar extension
+    (must_not / exists / prefix on top of term+range+phrase)."""
+    from pyspark.sql import types as T
+
+    reg_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("mode", T.StringType()),
+        T.StructField("range_field", T.StringType()),
+        T.StructField("range_op", T.StringType()),
+        T.StructField("range_value", T.DoubleType()),
+        T.StructField("phrase", T.StringType()),
+        T.StructField("neg_terms", T.ArrayType(T.StringType())),
+        T.StructField("exists_field", T.StringType()),
+        T.StructField("tok_prefix", T.StringType()),
+    ])
+    n4 = (None, None, None, None)
+    registered = spark.createDataFrame(
+        [
+            # must_not: docs containing 'spam' are excluded
+            (1, ["buy"], "all", *n4, ["spam"], None, None),
+            # exists over the mapped price field (null price fails)
+            (2, ["buy"], "all", *n4, None, "price", None),
+            # exists over an UNMAPPED field: never matches
+            (3, ["buy"], "all", *n4, None, "volume", None),
+            # token prefix: some token must START with 'tod'
+            (4, ["buy"], "all", *n4, None, None, "tod"),
+            # composite: range + must_not + exists + prefix
+            (5, ["buy"], "all", "price", "lt", 100.0, None,
+             ["spam"], "price", "now"),
+            # mid-token substring must NOT count as a prefix
+            (6, ["buy"], "all", *n4, None, None, "oday"),
+        ],
+        reg_schema,
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "buy it today", 120.0),
+            (11, "buy spam today now", 80.0),
+            (12, "buy now", None),          # null price -> exists fails
+            (13, "buy now cheap", 50.0),
+        ],
+        "doc_id long, text string, price double",
+    )
+    return registered, docs
+
+
+def test_percolate_dsl_clauses(spark):
+    """must_not / exists / prefix clauses agree across the listing and
+    BOTH bounded kernels; a mid-token substring is not a prefix; an
+    unmapped exists field never matches; a null numeric field fails
+    exists."""
+    registered, docs = _dsl_fixture(spark)
+    want = {
+        (10, 1), (12, 1), (13, 1),          # q1: no 'spam' token
+        (10, 2), (11, 2), (13, 2),          # q2: price present
+        (10, 4), (11, 4),                   # q4: 'today' starts with 'tod'
+        (13, 5),                            # q5: the only doc passing all
+    }
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in search.percolate_mixed(
+            registered, docs, numeric_fields=("price",)
+        ).collect()
+    }
+    assert got == want
+
+    from collections import Counter
+
+    want_counts = Counter(q for _, q in want)
+    counts = {
+        (r["query_id"], r["n_matched_docs"])
+        for r in search.percolate_mixed_counts(
+            registered, docs, numeric_fields=("price",)
+        ).collect()
+    }
+    assert counts == {(q, n) for q, n in want_counts.items()}
+
+    topk = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                registered, docs, k=2, numeric_fields=("price",)
+            ).collect(),
+        )
+    )
+    # every rule has one positive term, so all matched counts are 1 and
+    # ties break query_id-asc: doc 10 -> q1,q2; 11 -> q2,q4; 12 -> q1;
+    # 13 -> q1,q2 (q5 loses the tie at k=2)
+    assert topk == [
+        (10, 1, 1), (10, 2, 1), (11, 2, 1), (11, 4, 1),
+        (12, 1, 1), (13, 1, 1), (13, 2, 1),
+    ]
+
+
+def test_percolate_dsl_chunked_and_compat(spark):
+    """The chunked registered side keys rule identity on ALL seven
+    clause columns (two rules differing only in neg/exists/prefix stay
+    distinct), and a term+range+phrase table WITHOUT the new columns
+    still runs through every entry point (nulls are assumed)."""
+    registered, docs = _dsl_fixture(spark)
+    un = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_counts(
+                registered, docs, numeric_fields=("price",)
+            ).collect(),
+        )
+    )
+    ch = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_counts(
+                registered, docs, numeric_fields=("price",), chunk_size=2
+            ).collect(),
+        )
+    )
+    assert ch == un and len(un) > 0
+
+    un_topk = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                registered, docs, k=2, numeric_fields=("price",)
+            ).collect(),
+        )
+    )
+    ch_topk = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                registered, docs, k=2, numeric_fields=("price",),
+                chunk_size=2,
+            ).collect(),
+        )
+    )
+    assert ch_topk == un_topk and len(un_topk) > 0
+
+    # backward compat: the r11 mixed fixture (no new columns) through
+    # listing + both kernels
+    old_reg, old_docs = _mixed_fixture(spark)
+    pairs = {
+        (r["doc_id"], r["query_id"])
+        for r in search.percolate_mixed(
+            old_reg, old_docs, numeric_fields=("price",)
+        ).collect()
+    }
+    assert (10, 1) in pairs and (11, 2) in pairs
+    kc = search.percolate_mixed_counts(
+        old_reg, old_docs, numeric_fields=("price",)
+    ).count()
+    assert kc > 0

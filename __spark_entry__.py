@@ -77,6 +77,9 @@ _R12_FIXED_OR_NEW = (
     "l3_percolate_dsl",
     "l3_percolate_dsl_counts",
     "l3_percolate_dsl_topk",
+    # r12: streaming alerting over the full DSL — the mixed top-k
+    # kernel per micro-batch, zero shuffle/state, append-exact
+    "st17_streaming_percolate_dsl",
     # r11 ADVICE: unrounded-threshold fix changed this entry's
     # predicate AND its oracle — re-verdict both
     "l2_ngram_jaccard_pairs",

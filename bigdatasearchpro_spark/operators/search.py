@@ -2680,6 +2680,121 @@ def percolate_mixed_counts(
     return result
 
 
+def _mixed_topk_kernel(
+    spark,
+    tokenized: DataFrame,
+    reg_rows,
+    *,
+    k: int,
+    ncols: list,
+    numeric_fields: tuple,
+    query_id_col: str,
+    kernel_schema,
+) -> DataFrame | None:
+    """ONE stateless Arrow ``mapInPandas`` pass over ``tokenized``
+    (``__id`` / ``__toks`` / the cast numeric columns in ``ncols``)
+    emitting each doc's top-``k`` matched mixed-DSL rules as
+    (``__id``, ``__qid``, ``__cnt``).  Shared by
+    :func:`percolate_mixed_topk` (batch, one call per registered
+    chunk) and :func:`bigdatasearchpro_spark.streaming.pipelines.
+    streaming_percolate_dsl` — the kernel is per-row (no shuffle, no
+    state), so an append-mode stream emits the exact batch result per
+    micro-batch.  Returns None when no rule has a non-empty term
+    set."""
+    import numpy as np
+    import pandas as pd
+
+    compiled = _compile_mixed_rules(reg_rows, numeric_fields, query_id_col)
+    if compiled is None:
+        return None
+    qid_arrays, need, is_any, residuals, inv = compiled
+    bc = spark.sparkContext.broadcast(
+        (inv, need, is_any, residuals, qid_arrays)
+    )
+
+    def topk_partition(batches):
+        b_inv, b_need, b_any, b_res, b_qids = bc.value
+        b_rf, b_op, b_rv, b_ph, b_neg, b_ex, b_px = b_res
+        for pdf in batches:
+            nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
+            out_doc, out_qid, out_cnt = [], [], []
+            for i, (doc, toks) in enumerate(
+                zip(pdf["__id"], pdf["__toks"])
+            ):
+                if toks is None:  # null text matches nothing
+                    continue
+                tset = set(toks)
+                arrs = [b_inv[t] for t in tset if t in b_inv]
+                if not arrs:
+                    continue
+                cand = np.concatenate(arrs)
+                uniq, cnt = np.unique(cand, return_counts=True)
+                ok = b_any[uniq] | (cnt == b_need[uniq])
+                sigs, scores = uniq[ok], cnt[ok]
+                if len(sigs) == 0:
+                    continue
+                # residual gate BEFORE slot assignment: a rule that
+                # fails its range/phrase/must_not/exists/prefix never
+                # consumes a k-slot
+                tok_str = None
+                keep = np.ones(len(sigs), dtype=bool)
+                for j, s in enumerate(sigs):
+                    fi = b_rf[s]
+                    if fi == -2:
+                        keep[j] = False
+                        continue
+                    if fi >= 0:
+                        v = nvals[fi][i]
+                        o = b_op[s]
+                        if (
+                            np.isnan(v)
+                            or (o == 0 and not (v < b_rv[s]))
+                            or (o == 1 and not (v <= b_rv[s]))
+                            or (o == 2 and not (v > b_rv[s]))
+                            or (o == 3 and not (v >= b_rv[s]))
+                        ):
+                            keep[j] = False
+                            continue
+                    ei = b_ex[s]
+                    if ei == -2:
+                        keep[j] = False
+                        continue
+                    if ei >= 0 and np.isnan(nvals[ei][i]):
+                        keep[j] = False
+                        continue
+                    if b_neg[s] is not None and not tset.isdisjoint(
+                        b_neg[s]
+                    ):
+                        keep[j] = False
+                        continue
+                    if b_ph[s] is not None or b_px[s] is not None:
+                        if tok_str is None:
+                            tok_str = " " + " ".join(toks) + " "
+                        if b_ph[s] is not None and b_ph[s] not in tok_str:
+                            keep[j] = False
+                            continue
+                        if b_px[s] is not None and b_px[s] not in tok_str:
+                            keep[j] = False
+                sigs, scores = sigs[keep], scores[keep]
+                taken = 0
+                for c in np.sort(np.unique(scores))[::-1]:
+                    group = np.concatenate(
+                        [b_qids[int(s)] for s in sigs[scores == c]]
+                    )
+                    group = np.unique(group)[: k - taken]
+                    out_doc.extend([doc] * len(group))
+                    out_qid.extend(group.tolist())
+                    out_cnt.extend([int(c)] * len(group))
+                    taken += len(group)
+                    if taken >= k:
+                        break
+            yield pd.DataFrame({
+                "__id": out_doc, "__qid": out_qid, "__cnt": out_cnt,
+            })
+
+    return tokenized.mapInPandas(topk_partition, schema=kernel_schema)
+
+
 def percolate_mixed_topk(
     registered: DataFrame,
     docs: DataFrame,
@@ -2709,9 +2824,6 @@ def percolate_mixed_topk(
     same full-row dedup + (matched desc, query_id asc) re-rank as
     :func:`percolate_topk` — a globally top-k rule's within-chunk rank
     never exceeds its global rank, so the merge is exact."""
-    import numpy as np
-    import pandas as pd
-
     spark = docs.sparkSession
     from pyspark.sql import types as T
 
@@ -2739,95 +2851,12 @@ def percolate_mixed_topk(
     ])
 
     def chunk_topk(reg_rows) -> DataFrame | None:
-        compiled = _compile_mixed_rules(reg_rows, numeric_fields, query_id_col)
-        if compiled is None:
-            return None
-        qid_arrays, need, is_any, residuals, inv = compiled
-        bc = spark.sparkContext.broadcast(
-            (inv, need, is_any, residuals, qid_arrays)
+        return _mixed_topk_kernel(
+            spark, tokenized, reg_rows, k=k, ncols=ncols,
+            numeric_fields=numeric_fields, query_id_col=query_id_col,
+            kernel_schema=kernel_schema,
         )
 
-        def topk_partition(batches):
-            b_inv, b_need, b_any, b_res, b_qids = bc.value
-            b_rf, b_op, b_rv, b_ph, b_neg, b_ex, b_px = b_res
-            for pdf in batches:
-                nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
-                out_doc, out_qid, out_cnt = [], [], []
-                for i, (doc, toks) in enumerate(
-                    zip(pdf["__id"], pdf["__toks"])
-                ):
-                    if toks is None:  # null text matches nothing
-                        continue
-                    tset = set(toks)
-                    arrs = [b_inv[t] for t in tset if t in b_inv]
-                    if not arrs:
-                        continue
-                    cand = np.concatenate(arrs)
-                    uniq, cnt = np.unique(cand, return_counts=True)
-                    ok = b_any[uniq] | (cnt == b_need[uniq])
-                    sigs, scores = uniq[ok], cnt[ok]
-                    if len(sigs) == 0:
-                        continue
-                    # residual gate BEFORE slot assignment: a rule that
-                    # fails its range/phrase/must_not/exists/prefix
-                    # never consumes a k-slot
-                    tok_str = None
-                    keep = np.ones(len(sigs), dtype=bool)
-                    for j, s in enumerate(sigs):
-                        fi = b_rf[s]
-                        if fi == -2:
-                            keep[j] = False
-                            continue
-                        if fi >= 0:
-                            v = nvals[fi][i]
-                            o = b_op[s]
-                            if (
-                                np.isnan(v)
-                                or (o == 0 and not (v < b_rv[s]))
-                                or (o == 1 and not (v <= b_rv[s]))
-                                or (o == 2 and not (v > b_rv[s]))
-                                or (o == 3 and not (v >= b_rv[s]))
-                            ):
-                                keep[j] = False
-                                continue
-                        ei = b_ex[s]
-                        if ei == -2:
-                            keep[j] = False
-                            continue
-                        if ei >= 0 and np.isnan(nvals[ei][i]):
-                            keep[j] = False
-                            continue
-                        if b_neg[s] is not None and not tset.isdisjoint(
-                            b_neg[s]
-                        ):
-                            keep[j] = False
-                            continue
-                        if b_ph[s] is not None or b_px[s] is not None:
-                            if tok_str is None:
-                                tok_str = " " + " ".join(toks) + " "
-                            if b_ph[s] is not None and b_ph[s] not in tok_str:
-                                keep[j] = False
-                                continue
-                            if b_px[s] is not None and b_px[s] not in tok_str:
-                                keep[j] = False
-                    sigs, scores = sigs[keep], scores[keep]
-                    taken = 0
-                    for c in np.sort(np.unique(scores))[::-1]:
-                        group = np.concatenate(
-                            [b_qids[int(s)] for s in sigs[scores == c]]
-                        )
-                        group = np.unique(group)[: k - taken]
-                        out_doc.extend([doc] * len(group))
-                        out_qid.extend(group.tolist())
-                        out_cnt.extend([int(c)] * len(group))
-                        taken += len(group)
-                        if taken >= k:
-                            break
-                yield pd.DataFrame({
-                    "__id": out_doc, "__qid": out_qid, "__cnt": out_cnt,
-                })
-
-        return tokenized.mapInPandas(topk_partition, schema=kernel_schema)
 
     def finish(kernel_out: DataFrame) -> DataFrame:
         return kernel_out.select(

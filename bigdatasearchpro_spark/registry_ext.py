@@ -2863,3 +2863,162 @@ def s38_xml_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "st17_streaming_percolate_dsl",
+    """
+    WITH q AS (
+      SELECT * FROM (VALUES
+        (1, ['click'], 'any', NULL, NULL, CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR[]),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        (2, ['error'], 'all', 'value', 'gte', 150.0,
+         NULL, NULL, NULL, NULL),
+        (3, ['purchase'], 'all', NULL, NULL, NULL,
+         'k 12', NULL, NULL, NULL),
+        (4, ['signup'], 'all', NULL, NULL, NULL,
+         NULL, ['0'], NULL, NULL),
+        (5, ['view'], 'all', NULL, NULL, NULL,
+         NULL, NULL, 'missing_metric', NULL),
+        (6, ['error'], 'all', NULL, NULL, NULL,
+         NULL, NULL, NULL, '1'),
+        (7, ['error'], 'any', NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL),
+        (8, ['error', 'k'], 'all', NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL)
+      ) t(query_id, terms, mode, rf, rop, rv, phrase, neg, exf, pfx)
+    ),
+    d AS (
+      SELECT event_id, value,
+             list_filter(string_split_regex(
+               lower(event_type || ' ' || props), '[^a-z0-9]+'),
+               x -> x <> '') AS t
+      FROM events
+    ),
+    qx AS (
+      SELECT query_id, mode, len(terms) AS need, unnest(terms) AS term
+      FROM q
+    ),
+    dx AS (
+      SELECT event_id, unnest(list_distinct(t)) AS tok FROM d
+    ),
+    term_pairs AS (
+      SELECT d2.event_id, qx.query_id, count(*) AS matched
+      FROM dx d2 JOIN qx ON d2.tok = qx.term
+      GROUP BY d2.event_id, qx.query_id, qx.mode, qx.need
+      HAVING CASE WHEN qx.mode = 'any' THEN count(*) >= 1
+                  ELSE count(*) >= qx.need END
+    ),
+    pairs AS (
+      SELECT p.event_id, p.query_id, p.matched
+      FROM term_pairs p
+      JOIN q ON p.query_id = q.query_id
+      JOIN d ON p.event_id = d.event_id
+      WHERE (q.rf IS NULL OR
+             CASE q.rop
+               WHEN 'lt'  THEN d.value <  q.rv
+               WHEN 'lte' THEN d.value <= q.rv
+               WHEN 'gt'  THEN d.value >  q.rv
+               WHEN 'gte' THEN d.value >= q.rv
+             END)
+        AND (q.phrase IS NULL OR
+             position((' ' || q.phrase || ' ') IN
+                      (' ' || array_to_string(d.t, ' ') || ' ')) > 0)
+        AND (q.neg IS NULL OR NOT list_has_any(d.t, q.neg))
+        AND (q.exf IS NULL OR
+             (q.exf = 'value' AND d.value IS NOT NULL))
+        AND (q.pfx IS NULL OR
+             position((' ' || q.pfx) IN
+                      (' ' || array_to_string(d.t, ' ') || ' ')) > 0)
+    )
+    SELECT event_id, query_id, CAST(matched AS BIGINT) AS matched_terms
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY event_id
+                               ORDER BY matched DESC, query_id ASC) <= 2
+    ORDER BY event_id, query_id
+    """,
+)
+def st17_streaming_percolate_dsl(spark, sf_dir):
+    """§2.9 + L3+ (r12): streaming percolation over the FULL alert-rule
+    DSL, run as a real stream — events staged as 3 time-ordered
+    micro-batch files, text = event_type + the props JSON (so rules can
+    match the payload), matched against 8 stored rules exercising every
+    clause type: numeric range over `value` (error AND value >= 150),
+    match_phrase on payload tokens (purchase AND "k 12" consecutive),
+    must_not (signup AND NOT k=0), exists over an UNMAPPED field (never
+    fires — the ES unmapped-exists contract), token prefix (error AND
+    some token starting '1'), a two-term all-mode rule (error+k,
+    matched=2 outranks every single-term rule), and plain any-mode
+    rules.  k=2 caps each doc's alerts INSIDE the Arrow worker, so the
+    cap and the (matched desc, query_id asc) tie-break are both
+    exercised on error docs that match 3+ rules.
+
+    Scale shape (streaming_percolate_dsl): rules compile ONCE to the
+    broadcast inverted index + residual tables; each micro-batch is ONE
+    stateless mapInPandas — zero shuffle, zero state store, append
+    mode, <= k rows/doc.  The alert set is therefore EXACTLY the batch
+    percolation, which the DuckDB oracle replays (a hash-verified
+    STREAMING entry, like st10)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        events_stream,
+        run_to_completion,
+        stage_time_sliced_replay,
+        streaming_percolate_dsl,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    reg_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("mode", T.StringType()),
+        T.StructField("range_field", T.StringType()),
+        T.StructField("range_op", T.StringType()),
+        T.StructField("range_value", T.DoubleType()),
+        T.StructField("phrase", T.StringType()),
+        T.StructField("neg_terms", T.ArrayType(T.StringType())),
+        T.StructField("exists_field", T.StringType()),
+        T.StructField("tok_prefix", T.StringType()),
+    ])
+    n4 = (None, None, None, None)
+    registered = spark.createDataFrame(
+        [
+            (1, ["click"], "any", *n4, None, None, None),
+            (2, ["error"], "all", "value", "gte", 150.0, None,
+             None, None, None),
+            (3, ["purchase"], "all", None, None, None, "k 12",
+             None, None, None),
+            (4, ["signup"], "all", *n4, ["0"], None, None),
+            (5, ["view"], "all", *n4, None, "missing_metric", None),
+            (6, ["error"], "all", *n4, None, None, "1"),
+            (7, ["error"], "any", *n4, None, None, None),
+            (8, ["error", "k"], "all", *n4, None, None, None),
+        ],
+        reg_schema,
+    )
+    src = tempfile.mkdtemp(prefix="st17_src_")
+    ck = tempfile.mkdtemp(prefix="st17_ck_")
+    try:
+        stage_time_sliced_replay(events, src, n_slices=3)
+        stream = events_stream(
+            spark, src, max_files_per_trigger=1
+        ).withColumn("txt", F.concat_ws(" ", "event_type", "props"))
+        alerts = streaming_percolate_dsl(
+            stream, registered, k=2, id_col="event_id", text_col="txt",
+            numeric_fields=("value",),
+        )
+        got = run_to_completion(
+            alerts, checkpoint_dir=ck, output_mode="append"
+        )
+        rows = got.orderBy("event_id", "query_id").collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id bigint, query_id bigint, matched_terms bigint"
+    )

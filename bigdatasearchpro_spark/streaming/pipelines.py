@@ -606,3 +606,78 @@ def streaming_percolate(
             F.col("__matched") >= F.col("__need")
         )
     ).select(id_col, "query_id")
+
+
+def streaming_percolate_dsl(
+    doc_stream: DataFrame,
+    registered: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "event_id",
+    text_col: str = "event_type",
+    analyzer: str = "standard",
+    numeric_fields: tuple = ("value",),
+) -> DataFrame:
+    """Streaming ALERTING over the full percolator DSL — each streamed
+    document's top-``k`` matched stored rules (term clause AND any of
+    range / match_phrase / must_not / exists / prefix residuals), the
+    "notify me when a matching doc arrives" pipeline with real alert
+    rules instead of bare term-sets.
+
+    Scale shape: the registered side is compiled ONCE at plan time
+    into the broadcast inverted index + residual tables (the bounded
+    kernel's tables — ES itself bounds percolator indices), and every
+    micro-batch runs ONE stateless Arrow ``mapInPandas`` pass — zero
+    shuffle, zero state store, <= k alert rows per document.  Because
+    the kernel is per-row, append mode emits EXACTLY the batch
+    percolation of each arriving document, once, in its own batch —
+    there is nothing to reconcile at the sink.  (The term-set form
+    :func:`streaming_percolate` keeps its broadcast token join; this
+    form exists because a join cannot evaluate per-rule residuals
+    without carrying every doc's residual columns through the pair
+    exchange.)"""
+    from pyspark.sql import types as T
+
+    from bigdatasearchpro_spark.operators.search import (
+        _MIXED_CLAUSE_COLS,
+        _mixed_topk_kernel,
+        _with_mixed_clause_cols,
+        tokens_expr,
+    )
+
+    spark = doc_stream.sparkSession
+    registered = _with_mixed_clause_cols(registered)
+    qid_type = registered.schema["query_id"].dataType
+    reg_rows = registered.select(
+        "query_id", "terms", "mode", *_MIXED_CLAUSE_COLS
+    ).collect()
+    ncols = [f"__n{i}" for i in range(len(numeric_fields))]
+    tokenized = doc_stream.select(
+        F.col(id_col).alias("__id"),
+        tokens_expr(text_col, analyzer).alias("__toks"),
+        *[
+            F.col(f).cast("double").alias(c)
+            for f, c in zip(numeric_fields, ncols)
+        ],
+    )
+    kernel_schema = T.StructType([
+        T.StructField("__id", doc_stream.schema[id_col].dataType),
+        T.StructField("__qid", qid_type),
+        T.StructField("__cnt", T.LongType()),
+    ])
+    out = _mixed_topk_kernel(
+        spark, tokenized, reg_rows, k=k, ncols=ncols,
+        numeric_fields=numeric_fields, query_id_col="query_id",
+        kernel_schema=kernel_schema,
+    )
+    if out is None:  # no usable rules: empty stream of the output shape
+        out = tokenized.select(
+            F.col("__id"),
+            F.lit(None).cast(qid_type).alias("__qid"),
+            F.lit(None).cast("long").alias("__cnt"),
+        ).where(F.lit(False))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__qid").alias("query_id"),
+        F.col("__cnt").alias("matched_terms"),
+    )

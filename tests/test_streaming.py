@@ -481,3 +481,69 @@ def test_streaming_eql_2step_equals_batch(spark, events_dir, batch_events, tmp_p
     )
     assert _normalize(got.select("user_id", "ts_1", "id_1", "ts_2", "id_2")) \
         == _normalize(eql.select("user_id", "ts_1", "id_1", "ts_2", "id_2"))
+
+
+def test_streaming_percolate_dsl_equals_batch(spark, events_dir, batch_events, tmp_path):
+    """Streaming full-DSL percolation (range / must_not / exists /
+    prefix residuals + per-doc top-k cap) must emit exactly the batch
+    mixed-topk kernel's result over the same docs — the kernel is
+    per-row, so append-mode streaming has nothing to reconcile."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from bigdatasearchpro_spark.operators import search
+    from bigdatasearchpro_spark.streaming import events_stream, run_to_completion
+    from bigdatasearchpro_spark.streaming.pipelines import (
+        streaming_percolate_dsl,
+    )
+
+    reg_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("mode", T.StringType()),
+        T.StructField("range_field", T.StringType()),
+        T.StructField("range_op", T.StringType()),
+        T.StructField("range_value", T.DoubleType()),
+        T.StructField("phrase", T.StringType()),
+        T.StructField("neg_terms", T.ArrayType(T.StringType())),
+        T.StructField("exists_field", T.StringType()),
+        T.StructField("tok_prefix", T.StringType()),
+    ])
+    n4 = (None, None, None, None)
+    registered = spark.createDataFrame(
+        [
+            (1, ["error"], "all", "value", "gte", 100.0, None,
+             None, None, None),
+            (2, ["error"], "any", *n4, None, None, None),
+            (3, ["click"], "all", *n4, None, "missing", None),  # never
+            (4, ["view"], "all", *n4, None, "value", None),
+            (5, ["signup"], "all", *n4, ["0"], None, None),
+            (6, ["purchase"], "all", *n4, None, None, "1"),
+        ],
+        reg_schema,
+    )
+    with_txt = lambda df: df.withColumn(
+        "txt", F.concat_ws(" ", "event_type", "props")
+    )
+    alerts = streaming_percolate_dsl(
+        with_txt(events_stream(spark, events_dir)), registered,
+        k=1, id_col="event_id", text_col="txt", numeric_fields=("value",),
+    )
+    got = run_to_completion(
+        alerts,
+        checkpoint_dir=str(tmp_path / "ck_perc_dsl"),
+        output_mode="append",
+    )
+    want = search.percolate_mixed_topk(
+        registered, with_txt(batch_events), k=1,
+        id_col="event_id", text_col="txt", numeric_fields=("value",),
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(w) > 0
+    qs = {q for _, q, _ in w}
+    # the unmapped-exists rule never fires; the mapped one does; the
+    # k=1 cap keeps only q1 on high-value error docs (q2 loses the tie)
+    assert 3 not in qs and 4 in qs
+    high_err = {e for e, q, _ in w if q == 1}
+    assert high_err and all(q != 2 for e, q, _ in w if e in high_err)

@@ -80,6 +80,11 @@ _R12_FIXED_OR_NEW = (
     # r12: streaming alerting over the full DSL — the mixed top-k
     # kernel per micro-batch, zero shuffle/state, append-exact
     "st17_streaming_percolate_dsl",
+    # r12: minimum_should_match term-clause grammar (int + percentage)
+    # through the listing and both term-set kernels
+    "l3_percolate_msm",
+    "l3_percolate_msm_counts",
+    "l3_percolate_msm_topk",
     # r11 ADVICE: unrounded-threshold fix changed this entry's
     # predicate AND its oracle — re-verdict both
     "l2_ngram_jaccard_pairs",

@@ -1691,6 +1691,57 @@ def register_percolator_queries(
     ).filter(F.size("terms") > 0)
 
 
+def _term_threshold(mode, n_terms: int) -> int:
+    """Matched-distinct-term threshold for a percolator term clause —
+    the ES ``minimum_should_match`` grammar subset shared by every
+    percolate form: ``'any'`` -> 1, ``'all'`` -> the distinct term
+    count, an integer string (``'2'``) -> that many (clamped to >= 1; a
+    value above the term count never matches, the ES more-than-optional
+    -clauses contract), a percentage (``'75%'``) -> floor(p/100 * n)
+    clamped to >= 1 (ES rounds the computed value DOWN).  Malformed
+    modes never match (returned threshold ``n_terms + 1``)."""
+    if mode == "any":
+        return 1
+    if mode == "all":
+        return n_terms
+    try:
+        if isinstance(mode, str) and mode.endswith("%"):
+            import math
+
+            return max(1, int(math.floor(n_terms * float(mode[:-1]) / 100.0)))
+        return max(1, int(mode))
+    except (TypeError, ValueError):
+        return n_terms + 1  # malformed: never matches
+
+
+def _term_threshold_expr(mode: Column, need: Column) -> Column:
+    """Column twin of :func:`_term_threshold` (the JVM-side percolate
+    paths).  NULL when the mode is malformed — every call site compares
+    ``matched >= threshold``, and a null comparison filters the row
+    out, matching the python helper's never-matches sentinel."""
+    pct = F.substring(mode, F.lit(1), F.length(mode) - F.lit(1)).try_cast(
+        "double"
+    )
+    n_int = mode.try_cast("int")
+    return (
+        F.when(mode == "any", F.lit(1))
+        .when(mode == "all", need)
+        .when(
+            mode.endswith("%"),
+            F.when(
+                pct.isNotNull(),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(need * pct / F.lit(100.0)).cast("int"),
+                ),
+            ),
+        )
+        .otherwise(
+            F.when(n_int.isNotNull(), F.greatest(F.lit(1), n_int))
+        )
+    )
+
+
 def percolate(
     registered: DataFrame,
     doc_text: str,
@@ -1707,18 +1758,19 @@ def percolate(
     (millions of alert subscriptions, one doc at a time).
 
     ``mode='all'``: every query term must appear in the doc;
-    ``'any'``: at least one."""
+    ``'any'``: at least one; an integer or percentage string is ES
+    ``minimum_should_match`` (see :func:`_term_threshold`)."""
     doc_tokens = analyze_query(doc_text, analyzer)
     if not doc_tokens:
         return registered.select(id_col).limit(0)
     lit_toks = F.array(*[F.lit(t) for t in sorted(set(doc_tokens))])
     from bigdatasearchpro_spark.sources.files import fan_out
 
-    all_ok = F.size(F.array_except(F.col("terms"), lit_toks)) == 0
-    any_ok = F.arrays_overlap(F.col("terms"), lit_toks)
+    dterms = F.array_distinct("terms")
+    matched = F.size(F.array_intersect(dterms, lit_toks))
     return (
         fan_out(registered)
-        .filter(F.when(F.col("mode") == "any", any_ok).otherwise(all_ok))
+        .filter(matched >= _term_threshold_expr(F.col("mode"), F.size(dterms)))
         .select(id_col)
     )
 
@@ -1876,8 +1928,10 @@ def percolate_many(
     term count (``__need`` is sized on ``array_distinct(terms)`` — the
     join side is deduped too, so a stored query with a repeated token
     must not demand more matches than distinct terms exist), ``'any'``
-    needs >= 1. Both the candidate join and the agg are
-    partial-aggregated map-side; no cross join exists anywhere.
+    needs >= 1, and an integer / percentage mode string is ES
+    ``minimum_should_match`` (:func:`_term_threshold`).  Both the
+    candidate join and the agg are partial-aggregated map-side; no
+    cross join exists anywhere.
 
     Skew guard: a stopword-like registered term present in (nearly)
     every document would land |docs| join rows on ONE reducer key. A
@@ -1909,9 +1963,8 @@ def percolate_many(
         id_col, query_id_col, "mode", "__need"
     ).agg(F.count("*").alias("__matched"))
     return hits.filter(
-        F.when(F.col("mode") == "any", F.col("__matched") >= 1).otherwise(
-            F.col("__matched") >= F.col("__need")
-        )
+        F.col("__matched")
+        >= _term_threshold_expr(F.col("mode"), F.col("__need"))
     ).select(id_col, query_id_col)
 
 
@@ -2042,19 +2095,19 @@ def percolate_counts(
         sig_queries = sorted(sig_query_set)
 
         n_sigs = len(sig_ids)
-        need = np.zeros(n_sigs, dtype=np.int64)
-        is_any = np.zeros(n_sigs, dtype=bool)
+        # matched-distinct-term threshold per signature (any / all /
+        # minimum_should_match — same resolution as every other form)
+        thr = np.zeros(n_sigs, dtype=np.int64)
         inv_lists: dict[str, list[int]] = {}
         for (mode, terms), sid in sig_ids.items():
-            need[sid] = len(terms)
-            is_any[sid] = mode == "any"
+            thr[sid] = _term_threshold(mode, len(terms))
             for t in terms:
                 inv_lists.setdefault(t, []).append(sid)
         inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
-        bc = spark.sparkContext.broadcast((inv, need, is_any, n_sigs))
+        bc = spark.sparkContext.broadcast((inv, thr, n_sigs))
 
         def count_partition(batches):
-            b_inv, b_need, b_any, n = bc.value
+            b_inv, b_thr, n = bc.value
             partial = np.zeros(n, dtype=np.int64)
             for pdf in batches:
                 for toks in pdf["__toks"]:
@@ -2070,7 +2123,7 @@ def percolate_counts(
                     uniq, cnt = np.unique(cand, return_counts=True)
                     # doc tokens and signature terms are both distinct,
                     # so cnt == matched distinct terms, never > need
-                    hit = uniq[b_any[uniq] | (cnt == b_need[uniq])]
+                    hit = uniq[cnt >= b_thr[uniq]]
                     partial[hit] += 1
             nz = np.flatnonzero(partial)
             yield pd.DataFrame({"__sig": nz, "__n": partial[nz]})
@@ -2145,7 +2198,9 @@ def percolate_topk(
     No (doc, query) pair crosses a shuffle and the output is
     ``<= k x |docs|`` at every tier regardless of match density.
     ``mode='all'`` queries match at matched == need; ``'any'`` at
-    >= 1 — both score by the per-doc matched distinct-term count.
+    >= 1; integer / percentage modes are ES ``minimum_should_match``
+    (:func:`_term_threshold`) — all score by the per-doc matched
+    distinct-term count.
 
     ``chunk_size`` (r11 verdict ask #4): stream the registered side in
     chunk-sized slices via ``toLocalIterator`` when it is too large to
@@ -2194,12 +2249,10 @@ def percolate_topk(
             return None
 
         n_sigs = len(sig_ids)
-        need = np.zeros(n_sigs, dtype=np.int64)
-        is_any = np.zeros(n_sigs, dtype=bool)
+        thr = np.zeros(n_sigs, dtype=np.int64)
         inv_lists: dict[str, list[int]] = {}
         for (mode, terms), sid in sig_ids.items():
-            need[sid] = len(terms)
-            is_any[sid] = mode == "any"
+            thr[sid] = _term_threshold(mode, len(terms))
             for t in terms:
                 inv_lists.setdefault(t, []).append(sid)
         inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
@@ -2207,10 +2260,10 @@ def percolate_topk(
         # ONE of a doc's k slots, matching percolate_many's groupBy
         # collapse (round-11 advice)
         qid_arrays = {s: np.unique(np.asarray(q)) for s, q in sig_qids.items()}
-        bc = spark.sparkContext.broadcast((inv, need, is_any, qid_arrays))
+        bc = spark.sparkContext.broadcast((inv, thr, qid_arrays))
 
         def topk_partition(batches):
-            b_inv, b_need, b_any, b_qids = bc.value
+            b_inv, b_thr, b_qids = bc.value
             for pdf in batches:
                 out_doc, out_qid, out_cnt = [], [], []
                 for doc, toks in zip(pdf["__id"], pdf["__toks"]):
@@ -2221,7 +2274,7 @@ def percolate_topk(
                         continue
                     cand = np.concatenate(arrs)
                     uniq, cnt = np.unique(cand, return_counts=True)
-                    ok = b_any[uniq] | (cnt == b_need[uniq])
+                    ok = cnt >= b_thr[uniq]
                     sigs, scores = uniq[ok], cnt[ok]
                     taken = 0
                     # walk matched-count groups best-first; only the
@@ -2434,7 +2487,9 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
     """Compile mixed (term + range + phrase + must_not + exists +
     prefix) rule rows into the broadcastable kernel tables shared by
     :func:`percolate_mixed_counts` and :func:`percolate_mixed_topk`:
-    per-signature term need / any-mode flags, a residual tuple (range
+    a per-signature matched-term threshold (any / all /
+    minimum_should_match resolved by :func:`_term_threshold`), a
+    residual tuple (range
     field index into ``numeric_fields`` / op code / threshold,
     space-guarded phrase, must_not term tuples, exists field index,
     leading-space-guarded token prefix), the term->signatures inverted
@@ -2468,8 +2523,9 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
         return None
 
     n_sigs = len(sig_ids)
-    need = np.zeros(n_sigs, dtype=np.int64)
-    is_any = np.zeros(n_sigs, dtype=bool)
+    # matched-distinct-term threshold per signature: any/all/
+    # minimum_should_match resolve HERE, once, at compile time
+    thr = np.zeros(n_sigs, dtype=np.int64)
     rf_idx = np.full(n_sigs, -1, dtype=np.int64)  # -1 = no range clause
     op_code = np.zeros(n_sigs, dtype=np.int64)
     rv = np.zeros(n_sigs, dtype=np.float64)
@@ -2484,8 +2540,7 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
     inv_lists: dict[str, list[int]] = {}
     for key, sid in sig_ids.items():
         mode, terms, rfield, rop, rval, phr, neg, exf, pfx = key
-        need[sid] = len(terms)
-        is_any[sid] = mode == "any"
+        thr[sid] = _term_threshold(mode, len(terms))
         if rfield is not None:
             if rop not in _RANGE_OPS or rval is None:
                 rf_idx[sid] = -2
@@ -2508,7 +2563,7 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
         s: np.unique(np.asarray(sorted(q))) for s, q in sig_qids.items()
     }
     residuals = (rf_idx, op_code, rv, phrases, negs, ex_idx, prefs)
-    return qid_arrays, need, is_any, residuals, inv
+    return qid_arrays, thr, residuals, inv
 
 
 def percolate_mixed_counts(
@@ -2565,17 +2620,17 @@ def percolate_mixed_counts(
         compiled = _compile_mixed_rules(reg_rows, numeric_fields, query_id_col)
         if compiled is None:
             return None
-        qid_arrays, need, is_any, residuals, inv = compiled
-        n_sigs = len(need)
+        qid_arrays, thr, residuals, inv = compiled
+        n_sigs = len(thr)
         sig_queries = sorted(
             (s, q) for s, arr in qid_arrays.items() for q in arr.tolist()
         )
         bc = spark.sparkContext.broadcast(
-            (inv, need, is_any, residuals, n_sigs)
+            (inv, thr, residuals, n_sigs)
         )
 
         def count_partition(batches):
-            b_inv, b_need, b_any, b_res, n = bc.value
+            b_inv, b_thr, b_res, n = bc.value
             b_rf, b_op, b_rv, b_ph, b_neg, b_ex, b_px = b_res
             partial = np.zeros(n, dtype=np.int64)
             for pdf in batches:
@@ -2589,7 +2644,7 @@ def percolate_mixed_counts(
                         continue
                     cand = np.concatenate(arrs)
                     uniq, cnt = np.unique(cand, return_counts=True)
-                    hit = uniq[b_any[uniq] | (cnt == b_need[uniq])]
+                    hit = uniq[cnt >= b_thr[uniq]]
                     if len(hit) == 0:
                         continue
                     tok_str = None
@@ -2707,13 +2762,13 @@ def _mixed_topk_kernel(
     compiled = _compile_mixed_rules(reg_rows, numeric_fields, query_id_col)
     if compiled is None:
         return None
-    qid_arrays, need, is_any, residuals, inv = compiled
+    qid_arrays, thr, residuals, inv = compiled
     bc = spark.sparkContext.broadcast(
-        (inv, need, is_any, residuals, qid_arrays)
+        (inv, thr, residuals, qid_arrays)
     )
 
     def topk_partition(batches):
-        b_inv, b_need, b_any, b_res, b_qids = bc.value
+        b_inv, b_thr, b_res, b_qids = bc.value
         b_rf, b_op, b_rv, b_ph, b_neg, b_ex, b_px = b_res
         for pdf in batches:
             nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
@@ -2729,7 +2784,7 @@ def _mixed_topk_kernel(
                     continue
                 cand = np.concatenate(arrs)
                 uniq, cnt = np.unique(cand, return_counts=True)
-                ok = b_any[uniq] | (cnt == b_need[uniq])
+                ok = cnt >= b_thr[uniq]
                 sigs, scores = uniq[ok], cnt[ok]
                 if len(sigs) == 0:
                     continue

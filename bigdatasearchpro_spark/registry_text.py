@@ -3935,3 +3935,138 @@ def l4_knn_num_candidates(spark, sf_dir):
         api.delete_knn_index(spark, idx)
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
     return spark.createDataFrame(rows, "vec_id bigint, score double")
+
+
+# minimum_should_match percolator fixture (r12): term-set rules whose
+# mode cycles through the full grammar — 'all', 'any', the integer
+# form '2', and the percentage form '50%' (ES rounds the computed
+# percentage DOWN; values below 1 clamp to 1; an integer above the
+# distinct-term count never matches).  Terms = each registered doc's
+# first FOUR distinct tokens, so need varies 1..4 and every threshold
+# branch fires.  SQL twin below.
+_PERC_MSM_REG_SQL = """
+    rtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    reg AS (
+      SELECT doc_id AS query_id,
+             list_distinct(t[1:4]) AS terms,
+             CASE doc_id % 4 WHEN 0 THEN 'all' WHEN 1 THEN 'any'
+                             WHEN 2 THEN '2' ELSE '50%' END AS mode
+      FROM rtoks WHERE doc_id % 5 = 0
+    ),
+    qx AS (
+      SELECT query_id, mode, len(terms) AS need, unnest(terms) AS term
+      FROM reg WHERE len(terms) > 0
+    ),
+    dx AS (
+      SELECT doc_id, unnest(list_distinct(t)) AS tok
+      FROM rtoks WHERE doc_id % 7 = 0
+    ),
+    msm_pairs AS (
+      SELECT d.doc_id, q.query_id, count(*) AS matched
+      FROM dx d JOIN qx q ON d.tok = q.term
+      GROUP BY d.doc_id, q.query_id, q.mode, q.need
+      HAVING count(*) >=
+        CASE WHEN q.mode = 'any' THEN 1
+             WHEN q.mode = 'all' THEN q.need
+             WHEN right(q.mode, 1) = '%' THEN greatest(1,
+               CAST(floor(q.need *
+                 CAST(left(q.mode, length(q.mode) - 1) AS DOUBLE)
+                 / 100.0) AS BIGINT))
+             ELSE greatest(1, CAST(q.mode AS BIGINT)) END
+    )
+"""
+
+
+def _percolate_msm_fixture(spark, sf_dir):
+    """(registered, incoming) pair mirroring _PERC_MSM_REG_SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = search.tokens_expr("text")
+    did = F.col("doc_id")
+    registered = docs.filter(did % 5 == 0).select(
+        did.alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 4)).alias("terms"),
+        F.element_at(
+            F.array(F.lit("all"), F.lit("any"), F.lit("2"), F.lit("50%")),
+            (did % 4 + 1).cast("int"),
+        ).alias("mode"),
+    )
+    incoming = docs.filter(did % 7 == 0)
+    return registered, incoming
+
+
+@register(
+    "l3_percolate_msm",
+    f"""
+    WITH {_PERC_MSM_REG_SQL.strip()}
+    SELECT doc_id, query_id FROM msm_pairs
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_msm(spark, sf_dir):
+    """L3+ percolation with ES ``minimum_should_match`` (r12): the
+    term-clause mode grammar extends beyond any/all to integer ('2')
+    and percentage ('50%', computed value rounded DOWN, clamped to
+    >= 1) thresholds over matched DISTINCT terms — resolved by ONE
+    shared helper across every percolate form (the listing's JVM
+    filter here, the kernels' compile-time array, the single-doc
+    filter, the streaming join).  An integer above the term count
+    never matches, the ES more-than-optional-clauses contract.
+    Listing through search.percolate_many (skew-salted token
+    equi-join, unchanged plan — only the threshold expression
+    generalized).  Oracle replays the same threshold CASE in
+    DuckDB."""
+    registered, incoming = _percolate_msm_fixture(spark, sf_dir)
+    return search.percolate_many(registered, incoming).orderBy(
+        "doc_id", "query_id"
+    )
+
+
+@register(
+    "l3_percolate_msm_counts",
+    f"""
+    WITH {_PERC_MSM_REG_SQL.strip()}
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched_docs
+    FROM msm_pairs GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def l3_percolate_msm_counts(spark, sf_dir):
+    """L3+ minimum_should_match through the BOUNDED counts kernel —
+    the same mode grammar resolved at rule-compile time into the
+    per-signature threshold array (signatures key on (mode, terms), so
+    a '2' and a '50%' registration over the same term set stay
+    distinct); candidates still term-driven, thresholds checked with
+    one vectorized compare, no (doc, query) row across any exchange
+    (search.percolate_counts).  Oracle: the naive join + threshold
+    CASE + count per query."""
+    registered, incoming = _percolate_msm_fixture(spark, sf_dir)
+    return search.percolate_counts(registered, incoming).orderBy("query_id")
+
+
+@register(
+    "l3_percolate_msm_topk",
+    f"""
+    WITH {_PERC_MSM_REG_SQL.strip()}
+    SELECT doc_id, query_id, CAST(matched AS BIGINT) AS matched_terms
+    FROM msm_pairs
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY matched DESC, query_id ASC) <= 3
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_msm_topk(spark, sf_dir):
+    """L3+ minimum_should_match through the BOUNDED per-doc kernel —
+    each incoming doc's top-3 rules by matched distinct-term count
+    with the generalized thresholds gating candidacy (a rule below its
+    msm threshold never takes a k-slot), capped INSIDE the Arrow
+    worker (search.percolate_topk).  Oracle: the naive join +
+    threshold CASE + per-doc QUALIFY row_number."""
+    registered, incoming = _percolate_msm_fixture(spark, sf_dir)
+    return search.percolate_topk(registered, incoming, k=3).orderBy(
+        "doc_id", "query_id"
+    )

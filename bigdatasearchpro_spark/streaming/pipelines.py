@@ -601,10 +601,11 @@ def streaming_percolate(
         .groupBy(id_col, "query_id", "mode", "__need")
         .agg(F.count("*").alias("__matched"))
     )
+    from bigdatasearchpro_spark.operators.search import _term_threshold_expr
+
     return hits.filter(
-        F.when(F.col("mode") == "any", F.col("__matched") >= 1).otherwise(
-            F.col("__matched") >= F.col("__need")
-        )
+        F.col("__matched")
+        >= _term_threshold_expr(F.col("mode"), F.col("__need"))
     ).select(id_col, "query_id")
 
 

@@ -1469,3 +1469,96 @@ def test_percolate_dsl_chunked_and_compat(spark):
         old_reg, old_docs, numeric_fields=("price",)
     ).count()
     assert kc > 0
+
+
+def test_term_threshold_grammar():
+    """The minimum_should_match threshold resolution: any/all, integer
+    (clamped to >= 1, above-need never matches), percentage (rounded
+    DOWN, clamped to >= 1), malformed -> never matches."""
+    t = search._term_threshold
+    assert t("any", 4) == 1 and t("all", 4) == 4
+    assert t("2", 4) == 2 and t("0", 4) == 1 and t("5", 4) == 5
+    assert t("50%", 4) == 2 and t("50%", 3) == 1 and t("75%", 4) == 3
+    assert t("10%", 4) == 1          # floor(0.4) = 0 clamps to 1
+    assert t("garbage", 4) == 5 and t(None, 4) == 5
+    assert t("3.5", 4) == 5          # non-integer string: never
+
+
+def test_percolate_minimum_should_match_all_forms(spark):
+    """Integer and percentage modes agree across percolate_many, the
+    single-doc percolate filter, both term-set kernels, and the mixed
+    kernel family (which resolves the same threshold at compile
+    time)."""
+    registered = spark.createDataFrame(
+        [
+            (1, ["alpha", "beta", "gamma", "delta"], "2"),
+            (2, ["alpha", "beta", "gamma", "delta"], "50%"),
+            (3, ["alpha", "beta", "gamma", "delta"], "75%"),
+            (4, ["alpha", "beta", "gamma", "delta"], "all"),
+            (5, ["alpha", "beta"], "5"),       # above need: never
+            (6, ["alpha", "beta", "gamma"], "10%"),  # clamps to 1
+            (7, ["alpha"], "bogus"),           # malformed: never
+        ],
+        "query_id long, terms array<string>, mode string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),  # 4 matches
+            (11, "alpha beta gamma"),        # 3
+            (12, "alpha beta"),              # 2
+            (13, "alpha"),                   # 1
+            (14, "nothing here"),            # 0
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        (10, 1), (11, 1), (12, 1),           # >= 2
+        (10, 2), (11, 2), (12, 2),           # 50% of 4 -> 2
+        (10, 3), (11, 3),                    # 75% of 4 -> 3
+        (10, 4),                             # all
+        (10, 6), (11, 6), (12, 6), (13, 6),  # 10% clamps to 1
+    }
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in search.percolate_many(registered, docs).collect()
+    }
+    assert got == want
+
+    # single-doc filter: doc 11's matches
+    single = {
+        r["query_id"]
+        for r in search.percolate(registered, "alpha beta gamma").collect()
+    }
+    assert single == {q for d, q in want if d == 11}
+
+    from collections import Counter
+
+    wc = Counter(q for _, q in want)
+    counts = {
+        (r["query_id"], r["n_matched_docs"])
+        for r in search.percolate_counts(registered, docs).collect()
+    }
+    assert counts == {(q, n) for q, n in wc.items()}
+
+    mixed_counts = {
+        (r["query_id"], r["n_matched_docs"])
+        for r in search.percolate_mixed_counts(
+            registered, docs, numeric_fields=()
+        ).collect()
+    }
+    assert mixed_counts == counts
+
+    # top-1 per doc: highest matched count wins, ties qid-asc
+    top1 = sorted(
+        map(tuple, search.percolate_topk(registered, docs, k=1).collect())
+    )
+    assert top1 == [(10, 1, 4), (11, 1, 3), (12, 1, 2), (13, 6, 1)]
+    mixed_top1 = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                registered, docs, k=1, numeric_fields=()
+            ).collect(),
+        )
+    )
+    assert mixed_top1 == top1

@@ -1677,9 +1677,11 @@ def register_percolator_queries(
 ) -> DataFrame:
     """ES percolator index shape: stored queries analyzed at REGISTER
     time into term arrays — ``(query_id, terms, mode)``. The supported
-    subset is term queries with ``any``/``all`` semantics (the
-    percolator's bread-and-butter alerting case); richer grammars
-    percolate one query at a time through query_string_filter."""
+    subset is term queries with ``any``/``all``/minimum_should_match
+    semantics (:func:`_term_threshold` — the percolator's
+    bread-and-butter alerting case); richer grammars percolate through
+    the mixed-DSL family or one query at a time through
+    query_string_filter."""
     terms = tokens_expr(query_col, analyzer)
     mode = (
         F.coalesce(F.col(mode_col), F.lit("all"))
@@ -1699,7 +1701,10 @@ def _term_threshold(mode, n_terms: int) -> int:
     value above the term count never matches, the ES more-than-optional
     -clauses contract), a percentage (``'75%'``) -> floor(p/100 * n)
     clamped to >= 1 (ES rounds the computed value DOWN).  Malformed
-    modes never match (returned threshold ``n_terms + 1``)."""
+    modes — including NULL — never match (returned threshold
+    ``n_terms + 1``; pre-msm code treated an unknown mode as ``all``,
+    so a silent typo in a rule table now fails closed instead of
+    demanding every term)."""
     if mode == "any":
         return 1
     if mode == "all":
@@ -2366,8 +2371,11 @@ def _mixed_residual_ok(numeric_map_col, doc_str_col) -> Column:
     phrase_ok = F.col("phrase").isNull() | F.contains(
         doc_str_col, F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
     )
+    # null ELEMENTS inside the list are ignored (not null-propagated:
+    # an exists over a null concat would null the whole predicate and
+    # silently drop the row) — same as the kernel's compile-time strip
     neg_ok = F.col("neg_terms").isNull() | ~F.exists(
-        F.col("neg_terms"),
+        F.filter(F.col("neg_terms"), lambda t: t.isNotNull()),
         lambda t: F.contains(doc_str_col, F.concat(F.lit(" "), t, F.lit(" "))),
     )
     exists_ok = F.col("exists_field").isNull() | F.try_element_at(
@@ -2510,11 +2518,15 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
         terms = tuple(sorted(set(r["terms"])))
         if not terms:
             continue
-        neg = r["neg_terms"]
+        # strip null ELEMENTS (sorted() would TypeError on None; the
+        # listing ignores them too), and an all-null list is no clause
+        neg = tuple(sorted(
+            x for x in set(r["neg_terms"] or ()) if x is not None
+        )) or None
         key = (
             r["mode"], terms,
             r["range_field"], r["range_op"], r["range_value"], r["phrase"],
-            tuple(sorted(set(neg))) if neg else None,
+            neg,
             r["exists_field"], r["tok_prefix"],
         )
         sid = sig_ids.setdefault(key, len(sig_ids))

@@ -1562,3 +1562,44 @@ def test_percolate_minimum_should_match_all_forms(spark):
         )
     )
     assert mixed_top1 == top1
+
+
+def test_percolate_dsl_null_neg_elements(spark):
+    """A NULL element inside neg_terms is ignored (not
+    null-propagated) in BOTH the listing and the kernels, and an
+    all-null list behaves as no clause — the kernel compile must not
+    TypeError on sorting None."""
+    from pyspark.sql import types as T
+
+    reg_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("mode", T.StringType()),
+        T.StructField("neg_terms", T.ArrayType(T.StringType())),
+    ])
+    registered = spark.createDataFrame(
+        [
+            (1, ["buy"], "all", [None, "spam"]),  # null elem ignored
+            (2, ["buy"], "all", [None]),          # all-null: no clause
+        ],
+        reg_schema,
+    )
+    docs = spark.createDataFrame(
+        [(10, "buy it"), (11, "buy spam")],
+        "doc_id long, text string",
+    )
+    want = {(10, 1), (10, 2), (11, 2)}
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in search.percolate_mixed(
+            registered, docs, numeric_fields=()
+        ).collect()
+    }
+    assert got == want
+    counts = {
+        (r["query_id"], r["n_matched_docs"])
+        for r in search.percolate_mixed_counts(
+            registered, docs, numeric_fields=()
+        ).collect()
+    }
+    assert counts == {(1, 1), (2, 2)}

@@ -412,9 +412,15 @@ def main() -> None:
     # Full per-query map -> repo file (the driver's stdout-tail capture
     # is 2000 chars; the one-line everything-JSON outgrew it in r7 and
     # the round recorded parsed:null — VERDICT r7 wrong #1).
+    # Host-state provenance (r12 finding: the single-thread calibration
+    # probe does NOT track 32-thread suite throughput — three same-day
+    # runs probed 0.257/0.457/0.212 at par suite raw).  The 1-minute
+    # load average at run END is the cheap second witness: a run whose
+    # load1 >> ncpus was contended regardless of what the probe said.
+    load1 = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     detail = {
         "metric": "headline_suite_wall", "value": total, "unit": "sec",
-        "queries": queries, "sf": sf, "reps": REPS,
+        "queries": queries, "sf": sf, "reps": REPS, "load_avg_1m": load1,
         "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
         "calibration_sec": calibration, "failures": failures,
         "ref_calibration_sec": REF_CAL,
@@ -433,7 +439,8 @@ def main() -> None:
         "queries": {k: queries[k] for k in HEADLINE_QUERIES if k in queries},
         "sf": sf, "reps": REPS, "n_queries": len(queries),
         "etl_rows": etl_rows, "etl_rows_per_sec": etl_rps,
-        "calibration_sec": calibration, "n_failed": len(failures),
+        "calibration_sec": calibration, "load_avg_1m": load1,
+        "n_failed": len(failures),
         "value_calibrated": total_calibrated,
         "detail": "BENCH_DETAIL.json",
     }

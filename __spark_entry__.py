@@ -85,6 +85,10 @@ _R12_FIXED_OR_NEW = (
     "l3_percolate_msm",
     "l3_percolate_msm_counts",
     "l3_percolate_msm_topk",
+    # r12: bool.should residual composition (clause-level msm) through
+    # the listing and the counts kernel
+    "l3_percolate_should",
+    "l3_percolate_should_counts",
     # r11 ADVICE: unrounded-threshold fix changed this entry's
     # predicate AND its oracle — re-verdict both
     "l2_ngram_jaccard_pairs",

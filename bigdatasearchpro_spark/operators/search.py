@@ -2357,7 +2357,10 @@ def _mixed_residual_ok(numeric_map_col, doc_str_col) -> Column:
     ``exists_field`` is the ES ``exists`` query over the numeric-field
     map; ``tok_prefix`` is the ES ``prefix`` query (some analyzed token
     starts with it — the space-guard makes the substring test exactly
-    token-initial)."""
+    token-initial); ``residual_min_match`` (r12) composes the present
+    residual clauses as ES ``bool.should`` with a clause-level
+    ``minimum_should_match`` instead of pure AND — null keeps the AND
+    contract."""
     val = F.try_element_at(numeric_map_col, F.col("range_field"))
     rv = F.col("range_value")
     cmp = (
@@ -2367,24 +2370,54 @@ def _mixed_residual_ok(numeric_map_col, doc_str_col) -> Column:
         .when(F.col("range_op") == "gte", val >= rv)
         .otherwise(F.lit(False))
     )
-    range_ok = F.col("range_field").isNull() | F.coalesce(cmp, F.lit(False))
-    phrase_ok = F.col("phrase").isNull() | F.contains(
+    range_pass = F.coalesce(cmp, F.lit(False))
+    phrase_pass = F.contains(
         doc_str_col, F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
     )
     # null ELEMENTS inside the list are ignored (not null-propagated:
     # an exists over a null concat would null the whole predicate and
     # silently drop the row) — same as the kernel's compile-time strip
-    neg_ok = F.col("neg_terms").isNull() | ~F.exists(
+    neg_pass = ~F.exists(
         F.filter(F.col("neg_terms"), lambda t: t.isNotNull()),
         lambda t: F.contains(doc_str_col, F.concat(F.lit(" "), t, F.lit(" "))),
     )
-    exists_ok = F.col("exists_field").isNull() | F.try_element_at(
+    exists_pass = F.try_element_at(
         numeric_map_col, F.col("exists_field")
     ).isNotNull()
-    prefix_ok = F.col("tok_prefix").isNull() | F.contains(
+    prefix_pass = F.contains(
         doc_str_col, F.concat(F.lit(" "), F.col("tok_prefix"))
     )
-    return range_ok & phrase_ok & neg_ok & exists_ok & prefix_ok
+    # (present, passes) per clause: ES bool semantics — with
+    # residual_min_match NULL every present clause must pass (pure
+    # AND, the pre-r12 contract, npass == npresent); with it set, at
+    # least that many present clauses must pass (bool.should +
+    # minimum_should_match at the CLAUSE level: 0 or negative =
+    # vacuous, above the present-clause count = never matches)
+    # neg presence counts NON-NULL elements (an all-null or empty list
+    # is no clause — matching the kernel compile's strip-normalization,
+    # which merges such signatures with the clause-absent form)
+    neg_present = F.coalesce(
+        F.size(F.filter(F.col("neg_terms"), lambda t: t.isNotNull())) > 0,
+        F.lit(False),
+    )
+    clauses = (
+        (F.col("range_field").isNotNull(), range_pass),
+        (F.col("phrase").isNotNull(), phrase_pass),
+        (neg_present, neg_pass),
+        (F.col("exists_field").isNotNull(), exists_pass),
+        (F.col("tok_prefix").isNotNull(), prefix_pass),
+    )
+    npresent = sum(
+        (present.cast("int") for present, _ in clauses), F.lit(0)
+    )
+    npass = sum(
+        (
+            (present & F.coalesce(ok, F.lit(False))).cast("int")
+            for present, ok in clauses
+        ),
+        F.lit(0),
+    )
+    return npass >= F.coalesce(F.col("residual_min_match"), npresent)
 
 
 def percolate_mixed(
@@ -2468,13 +2501,13 @@ def percolate_mixed(
 
 _MIXED_CLAUSE_COLS = (
     "range_field", "range_op", "range_value", "phrase",
-    "neg_terms", "exists_field", "tok_prefix",
+    "neg_terms", "exists_field", "tok_prefix", "residual_min_match",
 )
 _MIXED_CLAUSE_TYPES = {
     "range_field": "string", "range_op": "string",
     "range_value": "double", "phrase": "string",
     "neg_terms": "array<string>", "exists_field": "string",
-    "tok_prefix": "string",
+    "tok_prefix": "string", "residual_min_match": "int",
 }
 _RANGE_OPS = {"lt": 0, "lte": 1, "gt": 2, "gte": 3}
 
@@ -2527,7 +2560,7 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
             r["mode"], terms,
             r["range_field"], r["range_op"], r["range_value"], r["phrase"],
             neg,
-            r["exists_field"], r["tok_prefix"],
+            r["exists_field"], r["tok_prefix"], r["residual_min_match"],
         )
         sid = sig_ids.setdefault(key, len(sig_ids))
         sig_qids.setdefault(sid, set()).add(r[query_id_col])
@@ -2548,10 +2581,13 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
     # listing's null try_element_at)
     ex_idx = np.full(n_sigs, -1, dtype=np.int64)
     prefs: list = [None] * n_sigs
+    # required residual passes: residual_min_match if set, else the
+    # present-clause count (pure AND — the null contract)
+    req = np.zeros(n_sigs, dtype=np.int64)
     field_pos = {f: i for i, f in enumerate(numeric_fields)}
     inv_lists: dict[str, list[int]] = {}
     for key, sid in sig_ids.items():
-        mode, terms, rfield, rop, rval, phr, neg, exf, pfx = key
+        mode, terms, rfield, rop, rval, phr, neg, exf, pfx, rmm = key
         thr[sid] = _term_threshold(mode, len(terms))
         if rfield is not None:
             if rop not in _RANGE_OPS or rval is None:
@@ -2568,14 +2604,58 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
             ex_idx[sid] = field_pos.get(exf, -2)
         if pfx is not None:
             prefs[sid] = f" {pfx}"  # token-initial: leading guard only
+        npresent = sum(
+            x is not None for x in (rfield, phr, neg, exf, pfx)
+        )
+        req[sid] = int(rmm) if rmm is not None else npresent
         for t in terms:
             inv_lists.setdefault(t, []).append(sid)
     inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}
     qid_arrays = {
         s: np.unique(np.asarray(sorted(q))) for s, q in sig_qids.items()
     }
-    residuals = (rf_idx, op_code, rv, phrases, negs, ex_idx, prefs)
+    residuals = (rf_idx, op_code, rv, phrases, negs, ex_idx, prefs, req)
     return qid_arrays, thr, residuals, inv
+
+
+def _residual_passes(res, s, i, nvals, toks, tset, tok_str_box) -> bool:
+    """Kernel-side residual evaluation for signature ``s`` against doc
+    ``i``: count the PRESENT clauses that pass and compare with the
+    compiled requirement (the present-clause count when
+    ``residual_min_match`` was null — pure AND — else that value:
+    bool.should with clause-level minimum_should_match).  The -2 field
+    sentinels are present-but-never-passing.  ``tok_str_box`` is a
+    1-slot cache of the space-guarded token string, shared across a
+    doc's candidate signatures."""
+    import numpy as np
+
+    rf, op, rv, ph, neg, ex, px, req = res
+    npass = 0
+    fi = rf[s]
+    if fi >= 0:
+        v = nvals[fi][i]
+        o = op[s]
+        if not np.isnan(v) and (
+            (o == 0 and v < rv[s])
+            or (o == 1 and v <= rv[s])
+            or (o == 2 and v > rv[s])
+            or (o == 3 and v >= rv[s])
+        ):
+            npass += 1
+    ei = ex[s]
+    if ei >= 0 and not np.isnan(nvals[ei][i]):
+        npass += 1
+    if neg[s] is not None and tset.isdisjoint(neg[s]):
+        npass += 1
+    if ph[s] is not None or px[s] is not None:
+        ts = tok_str_box[0]
+        if ts is None:
+            ts = tok_str_box[0] = " " + " ".join(toks) + " "
+        if ph[s] is not None and ph[s] in ts:
+            npass += 1
+        if px[s] is not None and px[s] in ts:
+            npass += 1
+    return npass >= req[s]
 
 
 def percolate_mixed_counts(
@@ -2643,7 +2723,6 @@ def percolate_mixed_counts(
 
         def count_partition(batches):
             b_inv, b_thr, b_res, n = bc.value
-            b_rf, b_op, b_rv, b_ph, b_neg, b_ex, b_px = b_res
             partial = np.zeros(n, dtype=np.int64)
             for pdf in batches:
                 nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
@@ -2659,41 +2738,12 @@ def percolate_mixed_counts(
                     hit = uniq[cnt >= b_thr[uniq]]
                     if len(hit) == 0:
                         continue
-                    tok_str = None
+                    box = [None]  # lazy tok_str shared across sigs
                     for s in hit:
-                        fi = b_rf[s]
-                        if fi == -2:  # range clause that can never match
-                            continue
-                        if fi >= 0:
-                            v = nvals[fi][i]
-                            o = b_op[s]
-                            if np.isnan(v):
-                                continue
-                            if o == 0 and not (v < b_rv[s]):
-                                continue
-                            if o == 1 and not (v <= b_rv[s]):
-                                continue
-                            if o == 2 and not (v > b_rv[s]):
-                                continue
-                            if o == 3 and not (v >= b_rv[s]):
-                                continue
-                        ei = b_ex[s]
-                        if ei == -2:  # exists over an unmapped field
-                            continue
-                        if ei >= 0 and np.isnan(nvals[ei][i]):
-                            continue
-                        if b_neg[s] is not None and not tset.isdisjoint(
-                            b_neg[s]
+                        if _residual_passes(
+                            b_res, int(s), i, nvals, toks, tset, box
                         ):
-                            continue
-                        if b_ph[s] is not None or b_px[s] is not None:
-                            if tok_str is None:
-                                tok_str = " " + " ".join(toks) + " "
-                            if b_ph[s] is not None and b_ph[s] not in tok_str:
-                                continue
-                            if b_px[s] is not None and b_px[s] not in tok_str:
-                                continue
-                        partial[s] += 1
+                            partial[s] += 1
             nz = np.flatnonzero(partial)
             yield pd.DataFrame({"__sig": nz, "__n": partial[nz]})
 
@@ -2781,7 +2831,6 @@ def _mixed_topk_kernel(
 
     def topk_partition(batches):
         b_inv, b_thr, b_res, b_qids = bc.value
-        b_rf, b_op, b_rv, b_ph, b_neg, b_ex, b_px = b_res
         for pdf in batches:
             nvals = [pdf[c].to_numpy(dtype=np.float64) for c in ncols]
             out_doc, out_qid, out_cnt = [], [], []
@@ -2800,48 +2849,19 @@ def _mixed_topk_kernel(
                 sigs, scores = uniq[ok], cnt[ok]
                 if len(sigs) == 0:
                     continue
-                # residual gate BEFORE slot assignment: a rule that
-                # fails its range/phrase/must_not/exists/prefix never
-                # consumes a k-slot
-                tok_str = None
-                keep = np.ones(len(sigs), dtype=bool)
-                for j, s in enumerate(sigs):
-                    fi = b_rf[s]
-                    if fi == -2:
-                        keep[j] = False
-                        continue
-                    if fi >= 0:
-                        v = nvals[fi][i]
-                        o = b_op[s]
-                        if (
-                            np.isnan(v)
-                            or (o == 0 and not (v < b_rv[s]))
-                            or (o == 1 and not (v <= b_rv[s]))
-                            or (o == 2 and not (v > b_rv[s]))
-                            or (o == 3 and not (v >= b_rv[s]))
-                        ):
-                            keep[j] = False
-                            continue
-                    ei = b_ex[s]
-                    if ei == -2:
-                        keep[j] = False
-                        continue
-                    if ei >= 0 and np.isnan(nvals[ei][i]):
-                        keep[j] = False
-                        continue
-                    if b_neg[s] is not None and not tset.isdisjoint(
-                        b_neg[s]
-                    ):
-                        keep[j] = False
-                        continue
-                    if b_ph[s] is not None or b_px[s] is not None:
-                        if tok_str is None:
-                            tok_str = " " + " ".join(toks) + " "
-                        if b_ph[s] is not None and b_ph[s] not in tok_str:
-                            keep[j] = False
-                            continue
-                        if b_px[s] is not None and b_px[s] not in tok_str:
-                            keep[j] = False
+                # residual gate BEFORE slot assignment: a rule whose
+                # residual composition fails never consumes a k-slot
+                box = [None]
+                keep = np.fromiter(
+                    (
+                        _residual_passes(
+                            b_res, int(s), i, nvals, toks, tset, box
+                        )
+                        for s in sigs
+                    ),
+                    dtype=bool,
+                    count=len(sigs),
+                )
                 sigs, scores = sigs[keep], scores[keep]
                 taken = 0
                 for c in np.sort(np.unique(scores))[::-1]:

@@ -4070,3 +4070,159 @@ def l3_percolate_msm_topk(spark, sf_dir):
     return search.percolate_topk(registered, incoming, k=3).orderBy(
         "doc_id", "query_id"
     )
+
+
+# bool.should percolator fixture (r12): the full-DSL fixture's clause
+# set plus residual_min_match — ids % 6 == 1 require >= 1 of their
+# present residuals (OR), ids % 6 == 5 require >= 2, everything else
+# null (pure AND, the base contract).  The mod-6 cycle overlaps the
+# mod-3/mod-4/mod-8 clause cycles, so multi-clause rules carry both
+# thresholds by construction.  SQL twin below computes npass/npresent
+# inline.
+_PERC_SHOULD_WHERE = """
+        (CASE WHEN r.range_field IS NOT NULL AND
+               CASE r.range_op
+                 WHEN 'lt'  THEN d.n_chars::DOUBLE <  r.range_value
+                 WHEN 'lte' THEN d.n_chars::DOUBLE <= r.range_value
+                 WHEN 'gt'  THEN d.n_chars::DOUBLE >  r.range_value
+                 WHEN 'gte' THEN d.n_chars::DOUBLE >= r.range_value
+               END THEN 1 ELSE 0 END)
+      + (CASE WHEN r.phrase IS NOT NULL AND
+               position((' ' || r.phrase || ' ') IN
+                        (' ' || array_to_string(d.t, ' ') || ' ')) > 0
+              THEN 1 ELSE 0 END)
+      + (CASE WHEN r.neg_terms IS NOT NULL AND
+               NOT list_has_any(d.t, r.neg_terms)
+              THEN 1 ELSE 0 END)
+      + (CASE WHEN r.exists_field IS NOT NULL AND
+               r.exists_field = 'n_chars' AND d.n_chars IS NOT NULL
+              THEN 1 ELSE 0 END)
+      + (CASE WHEN r.tok_prefix IS NOT NULL AND
+               position((' ' || r.tok_prefix) IN
+                        (' ' || array_to_string(d.t, ' ') || ' ')) > 0
+              THEN 1 ELSE 0 END)
+      >= coalesce(r.residual_min_match,
+             (r.range_field IS NOT NULL)::INT
+           + (r.phrase IS NOT NULL)::INT
+           + (r.neg_terms IS NOT NULL)::INT
+           + (r.exists_field IS NOT NULL)::INT
+           + (r.tok_prefix IS NOT NULL)::INT)
+"""
+
+_PERC_SHOULD_REG_SQL = f"""
+    rtoks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    reg AS (
+      SELECT doc_id AS query_id,
+             list_distinct(t[1:2]) AS terms,
+             CASE WHEN doc_id % 2 = 0 THEN 'all' ELSE 'any' END AS mode,
+             CASE WHEN doc_id % 3 = 1 THEN 'n_chars' END AS range_field,
+             CASE WHEN doc_id % 3 = 1 THEN
+               (CASE WHEN doc_id % 10 = 0 THEN 'gte' ELSE 'lte' END)
+             END AS range_op,
+             CASE WHEN doc_id % 3 = 1 THEN n_chars::DOUBLE END AS range_value,
+             CASE WHEN doc_id % 3 = 2 AND len(t) >= 4 THEN
+               concat_ws(' ', t[3], t[4])
+             END AS phrase,
+             CASE WHEN doc_id % 4 = 1 AND len(t) >= 6 THEN
+               list_distinct(t[5:6])
+             END AS neg_terms,
+             CASE WHEN doc_id % 8 = 2 THEN 'n_chars'
+                  WHEN doc_id % 8 = 6 THEN 'missing_metric'
+             END AS exists_field,
+             CASE WHEN doc_id % 4 = 3 AND len(t) >= 7 THEN
+               left(t[7], 3)
+             END AS tok_prefix,
+             CASE doc_id % 6 WHEN 1 THEN 1 WHEN 5 THEN 2 END
+               AS residual_min_match
+      FROM rtoks WHERE doc_id % 5 = 0
+    ),
+    qx AS (
+      SELECT query_id, mode, len(terms) AS need, unnest(terms) AS term
+      FROM reg WHERE len(terms) > 0
+    ),
+    dx AS (
+      SELECT doc_id, unnest(list_distinct(t)) AS tok
+      FROM rtoks WHERE doc_id % 7 = 0
+    ),
+    term_pairs AS (
+      SELECT d.doc_id, q.query_id, count(*) AS matched
+      FROM dx d JOIN qx q ON d.tok = q.term
+      GROUP BY d.doc_id, q.query_id, q.mode, q.need
+      HAVING CASE WHEN q.mode = 'any' THEN count(*) >= 1
+                  ELSE count(*) >= q.need END
+    ),
+    should_pairs AS (
+      SELECT p.doc_id, p.query_id, p.matched
+      FROM term_pairs p
+      JOIN reg r ON p.query_id = r.query_id
+      JOIN rtoks d ON p.doc_id = d.doc_id
+      WHERE {_PERC_SHOULD_WHERE.strip()}
+    )
+"""
+
+
+def _percolate_should_fixture(spark, sf_dir):
+    """(registered, incoming) pair mirroring _PERC_SHOULD_REG_SQL —
+    the full-DSL fixture plus the residual_min_match column."""
+    registered, incoming = _percolate_dsl_fixture(spark, sf_dir)
+    did = F.col("query_id")
+    registered = registered.withColumn(
+        "residual_min_match",
+        F.when(did % 6 == 1, F.lit(1))
+        .when(did % 6 == 5, F.lit(2))
+        .cast("int"),
+    )
+    return registered, incoming
+
+
+@register(
+    "l3_percolate_should",
+    f"""
+    WITH {_PERC_SHOULD_REG_SQL.strip()}
+    SELECT doc_id, query_id FROM should_pairs
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_should(spark, sf_dir):
+    """L3+ bool.should percolation (r12): residual clauses compose as
+    ES ``bool.should`` with a CLAUSE-level minimum_should_match —
+    ``residual_min_match`` = 1 means "term clause AND (any one of my
+    range/phrase/must_not/exists/prefix clauses)", 2 means two of
+    them, null keeps the pure-AND contract, 0 is vacuous, above the
+    present-clause count never matches.  The listing evaluates
+    npass >= coalesce(rmm, npresent) in the SAME single JVM-side
+    filter (each clause contributes a guarded 0/1 — no new join, no
+    new exchange).  Oracle replays the inline npass/npresent CASE
+    arithmetic in DuckDB."""
+    registered, incoming = _percolate_should_fixture(spark, sf_dir)
+    return search.percolate_mixed(registered, incoming).orderBy(
+        "doc_id", "query_id"
+    )
+
+
+@register(
+    "l3_percolate_should_counts",
+    f"""
+    WITH {_PERC_SHOULD_REG_SQL.strip()}
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched_docs
+    FROM should_pairs GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def l3_percolate_should_counts(spark, sf_dir):
+    """L3+ bool.should percolation through the BOUNDED counts kernel —
+    the residual requirement (rmm if set, else the present-clause
+    count) resolves at rule-compile time into one int per signature;
+    the kernel counts passing clauses per candidate and compares —
+    same no-pair-exchange scale shape as every kernel form
+    (search.percolate_mixed_counts via `_residual_passes`).  Oracle:
+    the naive join + npass/npresent arithmetic + count per query."""
+    registered, incoming = _percolate_should_fixture(spark, sf_dir)
+    return search.percolate_mixed_counts(registered, incoming).orderBy(
+        "query_id"
+    )

@@ -620,10 +620,12 @@ def streaming_percolate_dsl(
     numeric_fields: tuple = ("value",),
 ) -> DataFrame:
     """Streaming ALERTING over the full percolator DSL — each streamed
-    document's top-``k`` matched stored rules (term clause AND any of
-    range / match_phrase / must_not / exists / prefix residuals), the
-    "notify me when a matching doc arrives" pipeline with real alert
-    rules instead of bare term-sets.
+    document's top-``k`` matched stored rules (term clause — any/all/
+    minimum_should_match — composed with range / match_phrase /
+    must_not / exists / prefix residuals, AND or bool.should via
+    ``residual_min_match``), the "notify me when a matching doc
+    arrives" pipeline with real alert rules instead of bare
+    term-sets.
 
     Scale shape: the registered side is compiled ONCE at plan time
     into the broadcast inverted index + residual tables (the bounded

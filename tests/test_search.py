@@ -1603,3 +1603,110 @@ def test_percolate_dsl_null_neg_elements(spark):
         ).collect()
     }
     assert counts == {(1, 1), (2, 2)}
+
+
+def test_percolate_residual_min_match(spark):
+    """residual_min_match composes the present residual clauses as ES
+    bool.should with clause-level minimum_should_match: 1 = OR, 0 =
+    vacuous, above the present-clause count = never; null keeps the
+    AND contract.  Listing and both kernels agree, chunked included."""
+    from pyspark.sql import types as T
+
+    reg_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("mode", T.StringType()),
+        T.StructField("range_field", T.StringType()),
+        T.StructField("range_op", T.StringType()),
+        T.StructField("range_value", T.DoubleType()),
+        T.StructField("phrase", T.StringType()),
+        T.StructField("neg_terms", T.ArrayType(T.StringType())),
+        T.StructField("exists_field", T.StringType()),
+        T.StructField("tok_prefix", T.StringType()),
+        T.StructField("residual_min_match", T.IntegerType()),
+    ])
+    registered = spark.createDataFrame(
+        [
+            # OR of (price < 100) and phrase "it today": rmm=1
+            (1, ["buy"], "all", "price", "lt", 100.0, "it today",
+             None, None, None, 1),
+            # same two clauses, AND (null rmm): both must hold
+            (2, ["buy"], "all", "price", "lt", 100.0, "it today",
+             None, None, None, None),
+            # rmm=0: residuals vacuous even though the range fails
+            (3, ["buy"], "all", "price", "lt", 0.0, None,
+             None, None, None, 0),
+            # rmm above the present-clause count (1): never matches
+            (4, ["buy"], "all", "price", "lt", 1e9, None,
+             None, None, None, 2),
+            # 2-of-3: range + must_not('spam') + prefix 'tod'
+            (5, ["buy"], "all", "price", "lt", 100.0, None,
+             ["spam"], None, "tod", 2),
+        ],
+        reg_schema,
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "buy it today", 120.0),   # phrase ok, range fails
+            (11, "buy it today", 80.0),    # both ok
+            (12, "buy now", 80.0),         # range ok, phrase fails
+            (13, "buy now", 120.0),        # both fail
+            (14, "buy spam today", 80.0),  # q5: range ok, neg fails, prefix ok
+            (15, "buy spam now", 120.0),   # q5: all three fail-ish (1 of 3)
+        ],
+        "doc_id long, text string, price double",
+    )
+    want = {
+        # q1 OR: phrase passes (10), both pass (11), range passes
+        # (12, 14 — "buy spam today" at 80), neither (13, 15)
+        (10, 1), (11, 1), (12, 1), (14, 1),
+        (11, 2),                            # AND: both clauses only
+        (10, 3), (11, 3), (12, 3), (13, 3), (14, 3), (15, 3),  # vacuous
+        # q5 2-of-3 over (range, must_not spam, prefix 'tod'):
+        # 10 = fail+pass+pass, 11 = pass+pass+pass, 12 = pass+pass+fail,
+        # 14 = pass+fail+pass -> all >= 2; 13 (1), 15 (0) fail
+        (10, 5), (11, 5), (12, 5), (14, 5),
+    }
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in search.percolate_mixed(
+            registered, docs, numeric_fields=("price",)
+        ).collect()
+    }
+    assert got == want
+
+    from collections import Counter
+
+    wc = Counter(q for _, q in want)
+    counts = {
+        (r["query_id"], r["n_matched_docs"])
+        for r in search.percolate_mixed_counts(
+            registered, docs, numeric_fields=("price",)
+        ).collect()
+    }
+    assert counts == {(q, n) for q, n in wc.items()}
+    chunked = {
+        (r["query_id"], r["n_matched_docs"])
+        for r in search.percolate_mixed_counts(
+            registered, docs, numeric_fields=("price",), chunk_size=2
+        ).collect()
+    }
+    assert chunked == counts
+
+    topk = sorted(
+        map(
+            tuple,
+            search.percolate_mixed_topk(
+                registered, docs, k=2, numeric_fields=("price",)
+            ).collect(),
+        )
+    )
+    # all matched counts are 1 (single-term rules); k=2 keeps the two
+    # smallest matching qids per doc
+    want_topk = []
+    bydoc = {}
+    for d, q in sorted(want):
+        bydoc.setdefault(d, []).append(q)
+    for d, qs in bydoc.items():
+        want_topk.extend((d, q, 1) for q in sorted(qs)[:2])
+    assert topk == sorted(want_topk)

@@ -2417,7 +2417,12 @@ def _mixed_residual_ok(numeric_map_col, doc_str_col) -> Column:
         ),
         F.lit(0),
     )
-    return npass >= F.coalesce(F.col("residual_min_match"), npresent)
+    # ES edge: minimum_should_match is IGNORED when there are zero
+    # should clauses (a must-only rule with a stray msm still matches)
+    required = F.when(npresent == 0, F.lit(0)).otherwise(
+        F.coalesce(F.col("residual_min_match"), npresent)
+    )
+    return npass >= required
 
 
 def percolate_mixed(
@@ -2607,7 +2612,12 @@ def _compile_mixed_rules(reg_rows, numeric_fields, query_id_col):
         npresent = sum(
             x is not None for x in (rfield, phr, neg, exf, pfx)
         )
-        req[sid] = int(rmm) if rmm is not None else npresent
+        # ES edge: msm over zero should clauses is ignored (req 0)
+        req[sid] = (
+            (int(rmm) if npresent > 0 else 0)
+            if rmm is not None
+            else npresent
+        )
         for t in terms:
             inv_lists.setdefault(t, []).append(sid)
     inv = {t: np.asarray(v, dtype=np.int64) for t, v in inv_lists.items()}

@@ -4101,12 +4101,17 @@ _PERC_SHOULD_WHERE = """
                position((' ' || r.tok_prefix) IN
                         (' ' || array_to_string(d.t, ' ') || ' ')) > 0
               THEN 1 ELSE 0 END)
-      >= coalesce(r.residual_min_match,
-             (r.range_field IS NOT NULL)::INT
-           + (r.phrase IS NOT NULL)::INT
-           + (r.neg_terms IS NOT NULL)::INT
-           + (r.exists_field IS NOT NULL)::INT
-           + (r.tok_prefix IS NOT NULL)::INT)
+      >= CASE WHEN (r.range_field IS NOT NULL)::INT
+                 + (r.phrase IS NOT NULL)::INT
+                 + (r.neg_terms IS NOT NULL)::INT
+                 + (r.exists_field IS NOT NULL)::INT
+                 + (r.tok_prefix IS NOT NULL)::INT = 0 THEN 0
+              ELSE coalesce(r.residual_min_match,
+                   (r.range_field IS NOT NULL)::INT
+                 + (r.phrase IS NOT NULL)::INT
+                 + (r.neg_terms IS NOT NULL)::INT
+                 + (r.exists_field IS NOT NULL)::INT
+                 + (r.tok_prefix IS NOT NULL)::INT) END
 """
 
 _PERC_SHOULD_REG_SQL = f"""
@@ -4194,7 +4199,9 @@ def l3_percolate_should(spark, sf_dir):
     ``residual_min_match`` = 1 means "term clause AND (any one of my
     range/phrase/must_not/exists/prefix clauses)", 2 means two of
     them, null keeps the pure-AND contract, 0 is vacuous, above the
-    present-clause count never matches.  The listing evaluates
+    present-clause count never matches, and — the ES edge — an msm on
+    a rule with ZERO residual clauses is ignored (must-only rules
+    still match).  The listing evaluates
     npass >= coalesce(rmm, npresent) in the SAME single JVM-side
     filter (each clause contributes a guarded 0/1 — no new join, no
     new exchange).  Oracle replays the inline npass/npresent CASE

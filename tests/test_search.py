@@ -1642,6 +1642,9 @@ def test_percolate_residual_min_match(spark):
             # 2-of-3: range + must_not('spam') + prefix 'tod'
             (5, ["buy"], "all", "price", "lt", 100.0, None,
              ["spam"], None, "tod", 2),
+            # ES edge: msm with ZERO residual clauses is ignored
+            (6, ["buy"], "all", None, None, None, None,
+             None, None, None, 2),
         ],
         reg_schema,
     )
@@ -1666,6 +1669,8 @@ def test_percolate_residual_min_match(spark):
         # 10 = fail+pass+pass, 11 = pass+pass+pass, 12 = pass+pass+fail,
         # 14 = pass+fail+pass -> all >= 2; 13 (1), 15 (0) fail
         (10, 5), (11, 5), (12, 5), (14, 5),
+        # q6: every 'buy' doc — the stray msm is ignored (no residuals)
+        (10, 6), (11, 6), (12, 6), (13, 6), (14, 6), (15, 6),
     }
     got = {
         (r["doc_id"], r["query_id"])

@@ -89,6 +89,8 @@ _R12_FIXED_OR_NEW = (
     # the listing and the counts kernel
     "l3_percolate_should",
     "l3_percolate_should_counts",
+    # r12: the percolate highlight surface (which terms matched)
+    "l3_percolate_highlight",
     # r11 ADVICE: unrounded-threshold fix changed this entry's
     # predicate AND its oracle — re-verdict both
     "l2_ngram_jaccard_pairs",

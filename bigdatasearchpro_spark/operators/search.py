@@ -1973,6 +1973,62 @@ def percolate_many(
     ).select(id_col, query_id_col)
 
 
+def percolate_highlight(
+    registered: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: TextCols = "text",
+    query_id_col: str = "query_id",
+    analyzer: str = "standard",
+    hot_term_min_df: int = 100_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """ES percolate HIGHLIGHT surface: for each (doc, matching stored
+    query) pair, WHICH registered terms matched — the alert
+    explanation a user sees next to a fired rule ("rule 17 fired on
+    'error timeout'").  Same plan as :func:`percolate_many` (exploded
+    token equi-join, skew-salted, map-side partial agg); the ONLY
+    addition is a ``collect_set`` of the matched join tokens inside
+    the SAME hash aggregate, emitted as a space-joined sorted string
+    (``matched_terms``) plus the distinct-match count
+    (``n_matched``) — no second scan, no extra exchange, and the
+    output stays one narrow row per alert.  Mode grammar (any / all /
+    minimum_should_match) identical to percolate_many."""
+    from bigdatasearchpro_spark.operators.skew import salted_join, top_keys
+    from bigdatasearchpro_spark.sources.files import fan_out
+
+    q = registered.select(
+        F.col(query_id_col),
+        F.col("mode"),
+        F.size(F.array_distinct("terms")).alias("__need"),
+        F.explode(F.array_distinct("terms")).alias("__tok"),
+    )
+    d = fan_out(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens_expr(text_col, analyzer))
+        ).alias("__tok"),
+    )
+    hot = top_keys(d, "__tok", min_count=hot_term_min_df)
+    joined = salted_join(d, q, "__tok", n_salts=n_salts, hot_keys=hot)
+    hits = joined.groupBy(id_col, query_id_col, "mode", "__need").agg(
+        F.count("*").alias("__matched"),
+        F.array_join(F.sort_array(F.collect_set("__tok")), " ").alias(
+            "matched_terms"
+        ),
+    )
+    return hits.filter(
+        F.col("__matched")
+        >= _term_threshold_expr(F.col("mode"), F.col("__need"))
+    ).select(
+        id_col,
+        query_id_col,
+        "matched_terms",
+        F.col("__matched").alias("n_matched"),
+    )
+
+
 def _iter_registered_chunks(registered, query_id_col, chunk_size,
                             clause_cols: tuple = ()):
     """Yield lists of registered-query Rows, ``chunk_size`` rows each,

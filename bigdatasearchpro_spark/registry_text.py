@@ -4233,3 +4233,46 @@ def l3_percolate_should_counts(spark, sf_dir):
     return search.percolate_mixed_counts(registered, incoming).orderBy(
         "query_id"
     )
+
+
+@register(
+    "l3_percolate_highlight",
+    f"""
+    WITH {_PERC_MSM_REG_SQL.strip()},
+    hl AS (
+      SELECT d.doc_id, q.query_id,
+             array_to_string(list(DISTINCT d.tok ORDER BY d.tok), ' ')
+               AS matched_terms,
+             count(*) AS n_matched
+      FROM dx d JOIN qx q ON d.tok = q.term
+      GROUP BY d.doc_id, q.query_id, q.mode, q.need
+      HAVING count(*) >=
+        CASE WHEN q.mode = 'any' THEN 1
+             WHEN q.mode = 'all' THEN q.need
+             WHEN right(q.mode, 1) = '%' THEN greatest(1,
+               CAST(floor(q.need *
+                 CAST(left(q.mode, length(q.mode) - 1) AS DOUBLE)
+                 / 100.0) AS BIGINT))
+             ELSE greatest(1, CAST(q.mode AS BIGINT)) END
+    )
+    SELECT doc_id, query_id, matched_terms,
+           CAST(n_matched AS BIGINT) AS n_matched
+    FROM hl
+    ORDER BY doc_id, query_id
+    """,
+)
+def l3_percolate_highlight(spark, sf_dir):
+    """L3+ percolate HIGHLIGHT (r12): each fired (doc, rule) pair
+    carries WHICH registered terms matched — the alert-explanation
+    surface next to the match ("rule 17 fired on 'error timeout'") —
+    as a space-joined sorted term string plus the distinct-match
+    count, computed inside the SAME hash aggregate as the match
+    decision (one collect_set added to percolate_many's plan — no
+    second scan, no extra exchange; search.percolate_highlight).
+    Runs over the minimum_should_match fixture, so the full mode
+    grammar gates which pairs get highlighted.  Oracle replays the
+    join + DISTINCT-ordered list agg + threshold CASE in DuckDB."""
+    registered, incoming = _percolate_msm_fixture(spark, sf_dir)
+    return search.percolate_highlight(registered, incoming).orderBy(
+        "doc_id", "query_id"
+    )

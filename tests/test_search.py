@@ -1715,3 +1715,33 @@ def test_percolate_residual_min_match(spark):
     for d, qs in bydoc.items():
         want_topk.extend((d, q, 1) for q in sorted(qs)[:2])
     assert topk == sorted(want_topk)
+
+
+def test_percolate_highlight_terms(spark):
+    """The highlight surface lists exactly the registered terms found
+    in the doc (sorted, space-joined) with the distinct-match count,
+    and the pair set equals percolate_many's."""
+    registered = spark.createDataFrame(
+        [
+            (1, ["alpha", "beta", "gamma"], "2"),
+            (2, ["delta"], "all"),
+        ],
+        "query_id long, terms array<string>, mode string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "beta saw alpha"),   # q1: alpha+beta (2) -> fires
+            (11, "alpha only here"),  # q1: 1 < 2 -> no
+            (12, "delta delta"),      # q2 fires, matched once distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, search.percolate_highlight(registered, docs).collect())
+    )
+    assert got == [(10, 1, "alpha beta", 2), (12, 2, "delta", 1)]
+    pairs = {
+        (r["doc_id"], r["query_id"])
+        for r in search.percolate_many(registered, docs).collect()
+    }
+    assert pairs == {(d, q) for d, q, _, _ in got}

@@ -846,7 +846,15 @@ def ngram_jaccard_pairs(
             Window.partitionBy(F.lit(0)).orderBy("__df", "__gram")
         ),
     )
-    ranked = exploded.join(freq, "__gram")
+    # ranked is the shared trunk both side tables below derive from;
+    # persisted so the tokenize -> shingle -> explode -> vocabulary
+    # chain (2 exchanges + the vocabulary rank window) materializes
+    # ONCE — unpersisted, the prefix fill and the idset fill each
+    # re-ran the whole chain (measured: the two fills were ~15 s each
+    # of a 29 s sf0.1 wall, the whole rest of the query ~3 s).  One
+    # gram-scale cache (ids + int df/gid + gram), MEMORY_AND_DISK like
+    # the other side tables, released with them before return.
+    ranked = exploded.join(freq, "__gram").persist()
     # prefix length |g| - ceil(t*|g|) + 1; the epsilon guards binary-
     # float t*|g| landing just above an integer (ceil would then
     # SHRINK the prefix and silently lose recall)
@@ -925,7 +933,7 @@ def ngram_jaccard_pairs(
     # (minhash_lsh_pairs' pattern — otherwise every invocation pins
     # prefix + idset blocks for the session's lifetime)
     result = scored.localCheckpoint(eager=True)
-    for cached in (prefix, idsets):
+    for cached in (ranked, prefix, idsets):
         cached.unpersist()
     return result
 
@@ -950,6 +958,16 @@ def resolve_duplicate_groups(
     100 TB corpus with billions of tiny components shuffles O(|E|)
     longs per round. localCheckpoint() truncates the growing lineage so
     round N's plan doesn't replay rounds 1..N-1.
+
+    Per-round plan shape (r12 optimization pass): ``edges`` is
+    localCheckpointed ONCE — unmaterialized, every round re-ran its
+    union+distinct exchange — and convergence is detected from a
+    ``__changed`` flag computed inside the update projection itself,
+    so the old shape's per-round labels-vs-updated equality JOIN (a
+    second full pass over the label table per round) is gone; the
+    check is a filter+limit(1) count on the already-materialized
+    checkpoint.  Same fixpoint, same number of rounds, two fewer
+    exchanges and one fewer join per round at every scale.
     """
     edges = (
         pairs.select(
@@ -957,7 +975,7 @@ def resolve_duplicate_groups(
         )
         .union(pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -977,17 +995,13 @@ def resolve_duplicate_groups(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                # strict: nulls (isolated round) and ties never count
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
         )
         updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
         if changed == 0:
             converged = True
             break

@@ -48,6 +48,24 @@ def get_spark(
         # parsers (plans/inspect.py) never see elided metadata
         .config("spark.sql.maxMetadataStringLength", "100000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` above every Generate input, and predicate
+        # pushdown then inlines e through the projection chain — for
+        # this engine's explodes e is ALWAYS a computed array (shingles,
+        # n-grams, token splits), so the inferred filter re-evaluates
+        # the whole tokenize/shingle expression per row, and each array
+        # subscript inside it re-inlines the split() another time
+        # (measured: the ngram-Jaccard explode stage 13.5 s -> 0.3 s at
+        # sf0.1 with the rule excluded; identical output — the filter
+        # only drops rows Generate drops anyway).  Pruning-before-
+        # exchange, the rule's upside, never applies here: no plan in
+        # this engine puts an Exchange between the array projection and
+        # its explode.  Scale-independent: the duplicated expression
+        # cost is per-row at every scale.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )

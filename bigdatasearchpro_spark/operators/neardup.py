@@ -202,8 +202,20 @@ def minhash_signatures(
 
 
 def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two DUPLICATE-FREE arrays (sets).
+
+    |A∪B| is derived as |A|+|B|-|A∩B| instead of materializing
+    array_union: array_intersect and array_union of the SAME two
+    columns in one projection hit a codegen blow-up measured 14x
+    slower than either expression alone (28 s vs 2.1 s for 147 k
+    240-element pairs at local[32]; union alone 1.1 s, two intersects
+    1.1 s, intersect + derived union 0.6 s).  Every caller's inputs
+    are set-valued (array_distinct output, collect_set, collect_list
+    over distinct grams), where the identity is exact and the division
+    operands are the same ints — the score is bit-identical.
+    """
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -281,9 +293,17 @@ def minhash_lsh_pairs(
         lambda acc, x: acc + x,
     ) / F.lit(float(n_perms))
     margin = 2.5 * (0.25 / n_perms) ** 0.5  # ~2.5 sigma at J=0.5
+    # shuffle_hash on the per-doc side: the PAIR table is the one whose
+    # row count explodes (candidates >> docs), so it must be the
+    # streamed/shuffled side, spread by join-key hash. Left to the
+    # planner, the doc-side tables (tiny row counts, AQE-coalesced to
+    # ~1 partition) stream while the pair table is broadcast — and the
+    # whole estimate/verify compute collapses onto one task (measured
+    # on the end-to-end pipeline at sf0.1: 147 k surviving pairs, the
+    # array verify ran 1-2 tasks, ~36 s of a 48 s wall).
     survivors = (
-        candidates.join(lsig, "left_id")
-        .join(rsig, "right_id")
+        candidates.join(lsig.hint("shuffle_hash"), "left_id")
+        .join(rsig.hint("shuffle_hash"), "right_id")
         .withColumn("__est", est)
         .filter(F.col("__est") >= jaccard_threshold - margin)
         .select("left_id", "right_id")
@@ -315,8 +335,8 @@ def minhash_lsh_pairs(
     lsh = hashed.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
     rsh = hashed.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
     result = (
-        survivors.join(lsh, "left_id")
-        .join(rsh, "right_id")
+        survivors.join(lsh.hint("shuffle_hash"), "left_id")
+        .join(rsh.hint("shuffle_hash"), "right_id")
         .withColumn("jaccard_sim", F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 4))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("left_id", "right_id", "jaccard_sim")
@@ -906,9 +926,13 @@ def ngram_jaccard_pairs(
     )
     lg = idsets.select(F.col(id_col).alias("left_id"), F.col("__ids").alias("__lg"))
     rg = idsets.select(F.col(id_col).alias("right_id"), F.col("__ids").alias("__rg"))
+    # shuffle_hash on the idset side: cand is the side whose row count
+    # explodes (pairs >> docs) — it must stream shuffled, not be
+    # broadcast over a ~1-partition idset scan (the minhash verify's
+    # parallelism collapse, same fix)
     scored = (
-        cand.join(lg, "left_id")
-        .join(rg, "right_id")
+        cand.join(lg.hint("shuffle_hash"), "left_id")
+        .join(rg.hint("shuffle_hash"), "right_id")
         .withColumn("__j", jaccard(F.col("__lg"), F.col("__rg")))
         .filter(F.col("__j") >= threshold)
         .select(

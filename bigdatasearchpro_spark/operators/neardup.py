@@ -572,6 +572,15 @@ def hamming_signature_pairs(
             f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
             f"n_chunks-1={n_chunks - 1}; raise n_chunks or lower max_hamming"
         )
+    # The signature table feeds FOUR plan consumers (both self-join
+    # sides, the hot-bucket count agg, and the hot-mark join):
+    # unpersisted, the whole signature trunk — tokenize explode + the
+    # 16-lane packed vote aggregate — is instantiated once per
+    # consumer (4 parquet-scan copies in the plan at the defaults;
+    # exchange reuse does not cover the broadcast hot-list subtree).
+    # (id, sim) longs — tiny at any scale; released after the result
+    # materializes, minhash_lsh_pairs' pattern.
+    sigs = sigs.persist()
     # near-equal chunk boundaries over the signature width (exact
     # 16-bit chunks at the defaults; remainder bits spread across
     # chunks)
@@ -663,6 +672,11 @@ def hamming_signature_pairs(
             .filter(F.col("__rk") <= per_doc_cap)
             .select("left_id", "right_id", "hamming")
         )
+    # materialize so the signature cache can be released
+    # deterministically (else every invocation pins blocks for the
+    # session's lifetime)
+    pairs = pairs.localCheckpoint(eager=True)
+    sigs.unpersist()
     return pairs
 
 

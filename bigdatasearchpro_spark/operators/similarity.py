@@ -177,12 +177,19 @@ def ivf_centroids(
     dim = cents.shape[1]
     for _ in range(iters):
         assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
-        emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # stage the double-cast array once per row: passed inline, the
+        # transform() re-materialized the full dim-element cast array
+        # under EVERY element_at (dim x dim casts/row — the inline-
+        # expression blow-up class, see OPTIMIZATION_r12.md)
+        staged = assigned.select(
+            "cell",
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
         means = (
-            assigned.groupBy("cell")
+            staged.groupBy("cell")
             .agg(
                 *[
-                    F.avg(F.element_at(emb, i + 1)).alias(f"c{i}")
+                    F.avg(F.element_at(F.col("__v"), i + 1)).alias(f"c{i}")
                     for i in range(dim)
                 ]
             )

@@ -949,16 +949,27 @@ def l3_search_all_indices(spark, sf_dir):
     of per-index top-k CTEs), so the whole scatter-gather is
     hash-verified — the per-index stats independence included."""
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
     from bigdatasearchpro_spark import api
 
     docs = load_table(spark, sf_dir, "documents")
     tag = uuid.uuid4().hex[:8]
     a, b = f"all_probe_a_{tag}", f"all_probe_b_{tag}"
-    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 0), a,
-                           id_col="doc_id")
-    api.bulk_data_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), b,
-                           id_col="doc_id")
+    # the two half-corpus loads are independent jobs writing separate
+    # catalog tables — submit both so the second back-fills executors
+    # freed by the first's tail instead of waiting for its commit
+    # (guide §2.6; job groups are thread-local so labels stay right)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            api.bulk_data_to_index, spark,
+            docs.filter(F.col("doc_id") % 2 == 0), a, id_col="doc_id",
+        )
+        fb = pool.submit(
+            api.bulk_data_to_index, spark,
+            docs.filter(F.col("doc_id") % 2 == 1), b, id_col="doc_id",
+        )
+        fa.result(), fb.result()
     try:
         hits = api.query_data(spark, "spark join window", "_all", k=10)
         rows = hits.select(

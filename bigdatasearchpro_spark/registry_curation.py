@@ -917,27 +917,36 @@ def l5_pipeline_curation_v4(spark, sf_dir):
     keep = curation.gopher_rules(docs, min_stop_hits=1).filter("keep").select(
         "doc_id"
     )
-    surv = docs.join(keep, "doc_id", "left_semi")
-    target = surv.filter(F.col("source").isin("src0", "src1"))
-    lw = curation.dsir_log_weights(surv, target)
-    med = lw.agg(F.percentile(F.col("log_w"), F.lit(0.5)).alias("m"))
-    sel = (
-        surv.join(lw, "doc_id")
-        .crossJoin(F.broadcast(med))
-        .filter(F.col("log_w") > F.col("m"))
-        .select("doc_id", "text", "source", "n_tokens")
-    )
-    ex = dedup_ops.dedup_exact_by_hash(sel, "text", "doc_id")
-    return (
-        ex.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("sum_tokens"),
-            F.min("doc_id").alias("min_id"),
-            F.max("doc_id").alias("max_id"),
+    # The gate survivors feed the target slice, the DSIR scorer (which
+    # itself references its inputs several times), and the selection
+    # join — unpersisted, the word-stats gate re-ran per consumer.
+    # Persist + eager summary, l5_pipeline_end_to_end's pattern.
+    surv = docs.join(keep, "doc_id", "left_semi").persist()
+    try:
+        target = surv.filter(F.col("source").isin("src0", "src1"))
+        lw = curation.dsir_log_weights(surv, target)
+        med = lw.agg(F.percentile(F.col("log_w"), F.lit(0.5)).alias("m"))
+        sel = (
+            surv.join(lw, "doc_id")
+            .crossJoin(F.broadcast(med))
+            .filter(F.col("log_w") > F.col("m"))
+            .select("doc_id", "text", "source", "n_tokens")
         )
-        .orderBy("source")
-    )
+        ex = dedup_ops.dedup_exact_by_hash(sel, "text", "doc_id")
+        out = (
+            ex.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("sum_tokens"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .orderBy("source")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        surv.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 @register(

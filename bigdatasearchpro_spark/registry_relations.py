@@ -1325,29 +1325,42 @@ def l5_pipeline_curation_v5(spark, sf_dir):
     clean = substring_dedup(docs, window_tokens=8, min_count=2).select(
         "doc_id", F.col("clean_text")
     )
+    # The cleaned corpus feeds FOUR plan consumers (the bigram-LM
+    # scorer's two input references, the bucket join-back, and the
+    # token-count join): unpersisted, the ExactSubstr trunk — window
+    # explode + duplicate-window agg + cover reassembly — re-ran once
+    # per consumer (plan showed 8 SortMergeJoins with 4 trunk copies).
+    # Persist + compute the (small, lang x bucket) summary eagerly so
+    # the cache releases before return — l5_pipeline_end_to_end's
+    # pattern.
     cleaned_docs = clean.join(
         docs.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", F.col("clean_text").alias("text"))
-    buckets = ccnet_buckets(cleaned_docs)
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
-    )
-    survivors = (
-        buckets.filter(F.col("bucket") != "tail")
-        .join(cleaned_docs.select("doc_id",
-                                  F.size(toks).alias("n_clean_tokens")),
-              "doc_id")
-    )
-    return (
-        survivors.groupBy("lang", "bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_clean_tokens").alias("sum_tokens"),
-            F.min("doc_id").alias("min_id"),
-            F.max("doc_id").alias("max_id"),
+    ).select("doc_id", "lang", F.col("clean_text").alias("text")).persist()
+    try:
+        buckets = ccnet_buckets(cleaned_docs)
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
         )
-        .orderBy("lang", "bucket")
-    )
+        survivors = (
+            buckets.filter(F.col("bucket") != "tail")
+            .join(cleaned_docs.select("doc_id",
+                                      F.size(toks).alias("n_clean_tokens")),
+                  "doc_id")
+        )
+        out = (
+            survivors.groupBy("lang", "bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_clean_tokens").alias("sum_tokens"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .orderBy("lang", "bucket")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        cleaned_docs.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------

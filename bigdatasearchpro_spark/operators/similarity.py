@@ -928,9 +928,16 @@ def semantic_dedup_int8(
                 F.element_at("q", i + 1) < 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
+    # feat feeds the hot-block count pre-pass, the hot-mark join, and
+    # both self-join sides: unpersisted, the quantize + Arrow
+    # cluster-assign matmul re-ran once per plan consumer (the audit
+    # counted 32 ArrowEvalPython nodes in the clustered entry's plan).
+    # Narrow rows: (id, 64 int8 codes, norm, block key). Released
+    # after the result materializes.
     feat = q.select(
         F.col(id_col), F.col("q"), norm.alias("__n"), bucket.alias("__b")
-    )
+    ).persist()
+    cached_feat = feat  # the branch below rebinds `feat`
     if split_cap is not None:
         # hot-block guard: blocks over the cap sub-split on sign bits;
         # cold blocks keep sub-key -1 (single cheap count-by-block
@@ -980,7 +987,7 @@ def semantic_dedup_int8(
         )
     )
     dropped = pairs.select(F.col("__ida").alias(id_col)).distinct()
-    return (
+    out = (
         emb.select(id_col)
         .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
         .select(
@@ -988,6 +995,11 @@ def semantic_dedup_int8(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+    # (id, kept) — narrow at any scale; materialize so the feat cache
+    # releases deterministically (minhash_lsh_pairs' pattern)
+    out = out.localCheckpoint(eager=True)
+    cached_feat.unpersist()
+    return out
 
 
 def batch_cosine_topk(

@@ -871,6 +871,7 @@ def semantic_dedup_int8(
     cent_scale: int = 10_000,
     split_cap: "int | None" = None,
     split_bits: int = 4,
+    _materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     drop every vector that has a sufficiently-cosine-similar neighbor
@@ -936,7 +937,9 @@ def semantic_dedup_int8(
     # after the result materializes.
     feat = q.select(
         F.col(id_col), F.col("q"), norm.alias("__n"), bucket.alias("__b")
-    ).persist()
+    )
+    if _materialize:
+        feat = feat.persist()
     cached_feat = feat  # the branch below rebinds `feat`
     if split_cap is not None:
         # hot-block guard: blocks over the cap sub-split on sign bits;
@@ -996,9 +999,14 @@ def semantic_dedup_int8(
         )
     )
     # (id, kept) — narrow at any scale; materialize so the feat cache
-    # releases deterministically (minhash_lsh_pairs' pattern)
-    out = out.localCheckpoint(eager=True)
-    cached_feat.unpersist()
+    # releases deterministically (minhash_lsh_pairs' pattern).
+    # ``_materialize=False`` skips persist + checkpoint and returns the
+    # LAZY graph — the plan-inspection hook tests use to assert the
+    # physical join keys (a checkpointed result's plan is an opaque
+    # ExistingRDD scan).
+    if _materialize:
+        out = out.localCheckpoint(eager=True)
+        cached_feat.unpersist()
     return out
 
 

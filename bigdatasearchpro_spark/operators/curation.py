@@ -701,7 +701,15 @@ def dsir_log_weights(
             (portable_hash_long(F.col("__t")) % n_buckets).alias("b"),
         )
 
-    tok = buckets(docs)
+    # tok feeds TWO consumers — the raw histogram and the final
+    # broadcast-join + per-doc aggregate — and there is no exchange
+    # between them the planner could reuse, so unpersisted the
+    # tokenize -> explode -> hash chain (the corpus-scan pipeline, the
+    # expensive part of this operator) ran twice.  Rows are narrow
+    # (id, int bucket); MEMORY_AND_DISK spills at corpus scale; the
+    # result is materialized below so the cache releases
+    # deterministically (the engine's side-table pattern).
+    tok = buckets(docs).persist()
     raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
     tgt = buckets(target).groupBy("b").agg(F.count("*").alias("ct"))
     dist = raw.join(tgt, "b", "left").select(
@@ -714,7 +722,7 @@ def dsir_log_weights(
     offset = F.log(F.col("tr") + F.lit(float(n_buckets))) - F.log(
         F.col("tt") + F.lit(float(n_buckets))
     )
-    return (
+    out = (
         tok.join(F.broadcast(dist), "b")
         .groupBy(id_col)
         .agg(
@@ -736,6 +744,12 @@ def dsir_log_weights(
         )
         .orderBy(id_col)
     )
+    # narrow (id, count, double) rows — materialize so the tok cache
+    # releases deterministically instead of pinning corpus-scale blocks
+    # for the session's lifetime
+    out = out.localCheckpoint(eager=True)
+    tok.unpersist()
+    return out
 
 
 def substring_dedup(

@@ -59,7 +59,14 @@ def vector_rank_page(
         q = np.clip(np.floor(m / scale + 0.5), -127, 127).astype(np.int64)
         return pd.DataFrame({"dot": q @ qv, "n": (q * q).sum(axis=1)})
 
-    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>")
+    # asNondeterministic: the zero-vector filter below references the
+    # UDF's output column, and Catalyst pushes that filter BELOW the
+    # projection by re-evaluating the UDF a second time (two
+    # ArrowEvalPython nodes — the whole corpus quantize+matmul ran
+    # twice; guide-documented filter-on-UDF-column duplication).  The
+    # function is pure, so results are unchanged; the mark only stops
+    # the optimizer from duplicating it.
+    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>").asNondeterministic()
     page = (
         emb.select(F.col(id_col), dn(F.col(vec_col)).alias("__dn"))
         # n = 0 (a zero vector) would make the sort key 0/0 = NaN, and
@@ -164,7 +171,10 @@ def vector_score_page(
         q = np.clip(np.floor(m / scale + 0.5), -127, 127).astype(np.int64)
         return pd.DataFrame({"dot": q @ qv, "n": (q * q).sum(axis=1)})
 
-    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>")
+    # asNondeterministic: same filter-on-UDF-column duplication as
+    # vector_rank_page — without it the zero-vector filter re-evaluates
+    # the UDF below the projection (two corpus-wide Arrow passes).
+    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>").asNondeterministic()
     return (
         emb.select(F.col(id_col), dn(F.col(vec_col)).alias("__dn"))
         .filter(F.col("__dn.n") > 0)
@@ -235,6 +245,14 @@ def linear_hybrid_topk(
     vec_page = vector_score_page(
         emb, query_ints, window, id_col=vec_id_col
     ).withColumnRenamed(vec_id_col, id_col)
+    # Materialize the window-sized vector page (search_topk already
+    # returns its page materialized): minmax consumes the page TWICE
+    # (bounds aggregate + normalize projection), and lazily that
+    # re-ran the whole corpus scan + Arrow quantize/matmul + TakeOrdered
+    # for the bounds (plan showed two full vector-leg subtrees).  The
+    # page is `window` rows — collecting it is free at any corpus size.
+    spark = vec_page.sparkSession
+    vec_page = spark.createDataFrame(vec_page.collect(), vec_page.schema)
     vn = minmax(vec_page, "cos", "norm_vec")
     part = lambda c, w: F.coalesce(F.col(c), F.lit(0.0)) * F.lit(w)  # noqa: E731
     return (

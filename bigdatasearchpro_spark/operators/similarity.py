@@ -842,7 +842,12 @@ def cosine_range_search_int8(
         q = np.clip(np.floor(m / scale + 0.5), -127, 127).astype(np.int64)
         return pd.DataFrame({"dot": q @ qv, "n": (q * q).sum(axis=1)})
 
-    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>")
+    # asNondeterministic: the range predicate below references the
+    # UDF's output fields, and Catalyst pushes that filter below the
+    # projection by RE-EVALUATING the UDF (two ArrowEvalPython nodes =
+    # the quantize+dot pass ran twice per row).  The function is pure;
+    # the mark only stops the optimizer duplicating it.
+    dn = pandas_udf(dot_norm, "struct<dot:long,n:long>").asNondeterministic()
     q = emb.select(F.col(id_col), F.col(vec_col).alias("q"))
     return (
         q.select(F.col(id_col), dn(F.col("q")).alias("__dn"))

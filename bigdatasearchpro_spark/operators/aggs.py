@@ -1412,17 +1412,27 @@ def frequent_item_sets_agg(
         .filter(F.col("__n") >= F.lit(min_support))
         .select("__i")
     )
-    pruned = rows.join(freq_items, "__i")
+    # pruned feeds BOTH sides of the pair self-join, and through it the
+    # distinct + frequent-items subtrees — unpersisted, the whole
+    # scan -> distinct -> item-count -> semi-join chain ran once per
+    # side (4 source scans / 2 distinct exchanges in the executed plan;
+    # runtime exchange reuse does not cover it because the two sides'
+    # projections differ).  Persist the narrow (basket, item) table,
+    # materialize the ``size``-row result, release.
+    pruned = rows.join(freq_items, "__i").persist()
     a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
     b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
     pairs = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
-    return (
+    out = (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= F.lit(min_support))
         .orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
         .limit(size)
     )
+    out = out.localCheckpoint(eager=True)
+    pruned.unpersist()
+    return out
 
 
 def categorize_text_agg(

@@ -91,15 +91,29 @@ def dedup_last_write_wins(
     fp = F.xxhash64(
         *[x for c in df.columns for x in (F.col(c).isNull(), F.col(c))]
     )
-    cand = df.select(F.col(key), fp.alias("__fp"), *[F.col(c) for c in order_by])
+    # The narrow candidate projection feeds every reduction round (the
+    # per-column extreme aggregate AND the tie-keeping join probe) plus
+    # the final fingerprint aggregate — unpersisted, each consumer
+    # re-ran the upstream wide projection chain (for the ETL shape the
+    # full stringify of every column, just to hash it into __fp:
+    # measured 10 parquet scans in l1's executed plan).  Persist it
+    # (a few machine words per row at any scale), materialize the
+    # NARROW (key, fp) winner table, and release the cache before the
+    # wide recovery join — wide rows are never cached or checkpointed.
+    cand = df.select(
+        F.col(key), fp.alias("__fp"), *[F.col(c) for c in order_by]
+    ).persist()
+    reduced = cand
     for c in order_by:
-        ext = cand.groupBy(key).agg(ext_fn(c).alias("__m"))
-        cand = (
-            cand.join(ext.hint("shuffle_hash"), key)
+        ext = reduced.groupBy(key).agg(ext_fn(c).alias("__m"))
+        reduced = (
+            reduced.join(ext.hint("shuffle_hash"), key)
             .filter(F.col(c).eqNullSafe(F.col("__m")))
             .drop("__m")
         )
-    winners = cand.groupBy(key).agg(ext_fn("__fp").alias("__fp"))
+    winners = reduced.groupBy(key).agg(ext_fn("__fp").alias("__fp"))
+    winners = winners.localCheckpoint(eager=True)
+    cand.unpersist()
     return (
         df.withColumn("__fp", fp)
         .join(winners.hint("shuffle_hash"), [key, "__fp"], "left_semi")

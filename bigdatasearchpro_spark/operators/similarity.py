@@ -1314,36 +1314,56 @@ def maxsim_topk(
     Exactness: document components quantize to an integer grid
     (``floor(x*grid + 0.5)``) and the query is already integer, so
     every dot / max / sum is BIGINT — the page is SQL-replayable.
-    The whole score is ONE explicit expression tree (Python-built
-    loops, no interpreted higher-order lambdas — the PQ codegen
-    lesson) inside the scan; TakeOrdered closes the page."""
+    The score runs as ONE Arrow-batched numpy matmul per batch
+    (``(B*n_sub, sub) @ (sub, n_sub)`` then max/sum): the explicit
+    n_sub^2 x sub expression tree this replaces (the first draft,
+    following the PQ "no interpreted HOF lambdas" lesson) built a
+    ~4000-node projection whose per-query optimize/codegen cost
+    dominated the whole entry at ~2.5 s for 2000 rows — the SAME
+    wide-batch-matmul case SCALING.md's round-5 PQ note sanctions for
+    mapInPandas+numpy.  numpy float64 multiply/floor and int64
+    dot/max/sum are bit-identical to the expression form (IEEE ops on
+    the same operands; the DuckDB oracle replays them exactly).
+    Rows shorter than the query dim score NULL (the expression form's
+    ``try_element_at`` null-poisoning), longer rows ignore the tail.
+    TakeOrdered closes the page."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     d = len(query_ints)
     if d % n_sub != 0:
         raise ValueError("vector dim must divide n_sub")
     sub = d // n_sub
-    v = F.col(vec_col) if isinstance(vec_col, str) else F.col(vec_col)
+    qm = np.asarray([int(x) for x in query_ints], dtype=np.int64).reshape(
+        n_sub, sub
+    )
+    g = float(grid)
 
-    def elem(i: int) -> Column:
-        return F.floor(
-            F.try_element_at(v, F.lit(i + 1)).cast("double") * F.lit(float(grid))
-            + F.lit(0.5)
-        ).cast("bigint")
+    def maxsim_batch(batch):
+        vals = batch.tolist()
+        if not vals:
+            return pd.Series([], dtype="float64")
+        lens = [len(v) if v is not None else -1 for v in vals]
+        if min(lens) == max(lens) == d:
+            m = np.floor(
+                np.asarray(vals, dtype=np.float64) * g + 0.5
+            ).astype(np.int64)
+            dots = m.reshape(len(vals), n_sub, sub) @ qm.T  # (B, dj, qi)
+            return pd.Series(dots.max(axis=1).sum(axis=1))
+        out = []
+        for v in vals:  # ragged batch: per-row (the uniform fast path
+            if v is None or len(v) < d:  # covers every real corpus)
+                out.append(None)
+                continue
+            m = np.floor(
+                np.asarray(v[:d], dtype=np.float64) * g + 0.5
+            ).astype(np.int64).reshape(n_sub, sub)
+            out.append(int((m @ qm.T).max(axis=0).sum()))
+        return pd.Series(out, dtype="object")
 
-    elems = [elem(i) for i in range(d)]
-    q = [int(x) for x in query_ints]
-    score: "Column | None" = None
-    for qi in range(n_sub):
-        dots = []
-        for dj in range(n_sub):
-            acc: "Column | None" = None
-            for t in range(sub):
-                term = elems[dj * sub + t] * F.lit(q[qi * sub + t])
-                acc = term if acc is None else acc + term
-            dots.append(acc)
-        best = F.greatest(*dots) if len(dots) > 1 else dots[0]
-        score = best if score is None else score + best
+    ms = pandas_udf(maxsim_batch, "long")
     return (
-        emb.select(F.col(id_col), score.alias("maxsim"))
+        emb.select(F.col(id_col), ms(F.col(vec_col)).alias("maxsim"))
         .orderBy(F.desc("maxsim"), F.asc(id_col))
         .limit(k)
     )

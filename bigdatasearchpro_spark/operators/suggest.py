@@ -202,7 +202,12 @@ def phrase_suggester(
     if len(toks) > 8:
         raise ValueError("phrase_suggester input capped at 8 tokens")
     spark = docs.sparkSession
-    vocab = vocab_doc_freq(docs, id_col=id_col, text_col=text_col)
+    # vocab feeds TWO driver-side actions (the correction join's
+    # collect and the original-token doc_freq lookup) — unpersisted,
+    # each action re-ran the corpus tokenize+explode+agg.  Both
+    # consumers collect inside this function, so the cache releases
+    # right after (no checkpoint needed).
+    vocab = vocab_doc_freq(docs, id_col=id_col, text_col=text_col).persist()
     pos_df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(toks)], "pos int, tok string"
     )
@@ -242,6 +247,7 @@ def phrase_suggester(
         options[r["pos"]].append(
             (r["term"], 1, int(r["dist"]), int(r["doc_freq"]))
         )
+    vocab.unpersist()  # both vocabulary consumers have collected
     import itertools
 
     phrases = []
@@ -288,7 +294,9 @@ def phrase_suggester(
                 F.sum("n2").alias("bigram_sum"),
             )
         )
-        scored = phr.join(scores, "suggestion", "left")
+        # both sides are candidate-phrase-sized (tens of rows);
+        # without the hint the planner sort-merge-joined them
+        scored = phr.join(F.broadcast(scores), "suggestion", "left")
     else:  # single-token phrase: no bigrams to rerank with
         scored = phr.withColumn("hits", F.lit(None)).withColumn(
             "bigram_sum", F.lit(None)

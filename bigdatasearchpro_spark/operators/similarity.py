@@ -876,7 +876,6 @@ def semantic_dedup_int8(
     cent_scale: int = 10_000,
     split_cap: "int | None" = None,
     split_bits: int = 4,
-    _materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     drop every vector that has a sufficiently-cosine-similar neighbor
@@ -935,17 +934,21 @@ def semantic_dedup_int8(
             ).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
     # feat feeds the hot-block count pre-pass, the hot-mark join, and
-    # both self-join sides: unpersisted, the quantize + Arrow
-    # cluster-assign matmul re-ran once per plan consumer (the audit
-    # counted 32 ArrowEvalPython nodes in the clustered entry's plan).
-    # Narrow rows: (id, 64 int8 codes, norm, block key). Released
-    # after the result materializes.
+    # feat feeds the hot-block count pre-pass, the hot-mark join, and
+    # both self-join sides, so the quantize + Arrow cluster-assign
+    # matmul appears once per plan consumer.  A persist+localCheckpoint
+    # materialization was tried here (r12 optimization session 1) and
+    # REVERTED: the measured A/B at sf0.1 (interleaved, equal
+    # calibration) was lazy 0.8-1.15 s vs materialized 2.7-4.0 s — the
+    # cache-fill and checkpoint barriers cost ~4x the whole query at
+    # bench scale, against 3 saved Arrow passes whose inputs are narrow
+    # (id, 64 int8 codes) rows.  At true corpus scale the recompute
+    # trade reverses; if that tier matters, materialize the quantized
+    # table ONCE upstream (a real side table, not an operator-local
+    # cache) and pass it in.
     feat = q.select(
         F.col(id_col), F.col("q"), norm.alias("__n"), bucket.alias("__b")
     )
-    if _materialize:
-        feat = feat.persist()
-    cached_feat = feat  # the branch below rebinds `feat`
     if split_cap is not None:
         # hot-block guard: blocks over the cap sub-split on sign bits;
         # cold blocks keep sub-key -1 (single cheap count-by-block
@@ -1003,15 +1006,6 @@ def semantic_dedup_int8(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
-    # (id, kept) — narrow at any scale; materialize so the feat cache
-    # releases deterministically (minhash_lsh_pairs' pattern).
-    # ``_materialize=False`` skips persist + checkpoint and returns the
-    # LAZY graph — the plan-inspection hook tests use to assert the
-    # physical join keys (a checkpointed result's plan is an opaque
-    # ExistingRDD scan).
-    if _materialize:
-        out = out.localCheckpoint(eager=True)
-        cached_feat.unpersist()
     return out
 
 

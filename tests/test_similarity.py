@@ -321,15 +321,10 @@ def test_semantic_dedup_clustered_blocking_and_hot_split(spark, sf_dir):
         ).collect()
     }
     assert guarded == out
-    # the physical join keys include the sub-split column — inspected
-    # on the LAZY graph (_materialize=False): the materialized result
-    # is a localCheckpoint scan whose plan is opaque (r12 optimization:
-    # the feat table is persisted across the join's consumers and the
-    # result checkpointed to release it)
+    # the physical join keys include the sub-split column
     plan = (
         similarity.semantic_dedup_int8(
-            emb, centroids=cents, cent_scale=1, split_cap=5,
-            _materialize=False,
+            emb, centroids=cents, cent_scale=1, split_cap=5
         )
         ._jdf.queryExecution().executedPlan().toString()
     )

@@ -264,29 +264,41 @@ def bench_etl_pipeline(spark, sf_dir: str, sink_dir: str) -> tuple[float, int]:
     return time.time() - t0, n
 
 
-def _calibration_sec(spark) -> float:
-    """Host-state probe (r9 verdict ask #4): min-of-3 wall seconds of a
-    FIXED CPU-bound pipeline — 64M xxhash64 rows folded to one sum over
-    32 partitions, no IO, no shuffle, independent of $SPARK_GRAFT_SF_DIR
-    — measured at suite start and emitted as ``calibration_sec``.
-    Cross-round comparisons normalize by the calibration ratio instead
-    of requiring a clean-worktree re-time every noisy round: on this
-    host the suite has swung ~1.3-1.5x with no implicated commit
-    (VERDICT r9 "host state"); two rounds' numbers are comparable at
-    (value / calibration_sec) parity.  Convention documented in
-    SCALING.md ("Bench calibration")."""
+def _calibration_once(spark) -> float:
+    """One shot of the fixed CPU-bound probe: 256M xxhash64 rows folded
+    to one value over 32 concurrent partitions (32-way parallel — the
+    probe saturates every core at local[32], matching suite
+    parallelism), no IO, no shuffle, independent of
+    ``$SPARK_GRAFT_SF_DIR``."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    def once() -> float:
-        t0 = time.time()
-        # XOR fold, not sum: ANSI mode throws on long overflow and 64M
-        # xxhash64 longs WILL overflow a sum (the engine-wide rule)
-        (spark.range(0, 256_000_000, 1, 32)
-         .select(F.xxhash64("id").alias("h"))
-         .agg(F.expr("bit_xor(h)")).collect())
-        return time.time() - t0
+    t0 = time.time()
+    # XOR fold, not sum: ANSI mode throws on long overflow and 64M
+    # xxhash64 longs WILL overflow a sum (the engine-wide rule)
+    (spark.range(0, 256_000_000, 1, 32)
+     .select(F.xxhash64("id").alias("h"))
+     .agg(F.expr("bit_xor(h)")).collect())
+    return time.time() - t0
 
-    return round(min(once() for _ in range(3)), 3)
+
+def _calibration_sec(spark) -> float:
+    """Host-state probe (r9 verdict ask #4): min-of-3 wall seconds of
+    the fixed probe above, measured at suite start and emitted as
+    ``calibration_sec``.  Cross-round comparisons normalize by the
+    calibration ratio instead of requiring a clean-worktree re-time
+    every noisy round: on this host the suite has swung ~1.3-1.5x with
+    no implicated commit (VERDICT r9 "host state"); two rounds' numbers
+    are comparable at (value / calibration_sec) parity.  Convention
+    documented in SCALING.md ("Bench calibration").
+
+    r12 finding / r13 fix: a single probe AT SUITE START cannot see the
+    throttle microwindows that hit mid-run (same-day probes swung
+    0.16-3.27 while suite throughput stayed at par), so the suite now
+    ALSO interleaves single-shot probes at 1/3, 2/3 and suite end and
+    reports their median as ``calibration_med_sec`` — the whole-run
+    host-state witness.  ``calibration_sec`` keeps its start-probe
+    meaning so cross-round tables stay comparable."""
+    return round(min(_calibration_once(spark) for _ in range(3)), 3)
 
 
 def main() -> None:
@@ -347,7 +359,16 @@ def main() -> None:
         only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
         bench_list = ([n.strip() for n in only.split(",") if n.strip()]
                       if only else BENCH_QUERIES)
-        for name in bench_list:
+        # Interleaved host-state probes (r12 verdict ask #2): the start
+        # probe alone misses mid-run throttle windows.  Single-shot
+        # probes fire BETWEEN queries (outside every per-query timer) at
+        # the 1/3 and 2/3 marks and once after the loop; the median of
+        # all probes is the whole-run witness (calibration_med_sec).
+        probes = [calibration]
+        probe_at = {len(bench_list) // 3, (2 * len(bench_list)) // 3} - {0}
+        for qi, name in enumerate(bench_list):
+            if qi in probe_at:
+                probes.append(round(_calibration_once(spark), 3))
             # Inter-query hygiene: drop caches persisted by earlier
             # queries and nudge the JVM to collect before timing — the
             # suite shares one JVM, and leftover cached relations / GC
@@ -388,8 +409,14 @@ def main() -> None:
             finally:
                 if split:
                     split[2](spark, ctx)
+        probes.append(round(_calibration_once(spark), 3))  # suite-end probe
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
+
+    # median of the start/mid/end probes: the whole-run host witness
+    import statistics  # noqa: PLC0415
+
+    calibration_med = round(statistics.median(probes), 3)
 
     total = round(sum(v for v in queries.values() if v >= 0), 3)
     etl_sec = queries.get("etl_bulk_load", 0.0)
@@ -426,6 +453,10 @@ def main() -> None:
         "ref_calibration_sec": REF_CAL,
         "value_calibrated": total_calibrated,
         "queries_calibrated": queries_calibrated,
+        "calibration_probes": probes,
+        "calibration_med_sec": calibration_med,
+        "value_calibrated_med": round(
+            total * REF_CAL / max(calibration_med, 1e-9), 3),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -442,6 +473,7 @@ def main() -> None:
         "calibration_sec": calibration, "load_avg_1m": load1,
         "n_failed": len(failures),
         "value_calibrated": total_calibrated,
+        "calibration_med_sec": calibration_med,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

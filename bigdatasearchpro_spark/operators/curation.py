@@ -701,15 +701,18 @@ def dsir_log_weights(
             (portable_hash_long(F.col("__t")) % n_buckets).alias("b"),
         )
 
-    # tok feeds TWO consumers — the raw histogram and the final
-    # broadcast-join + per-doc aggregate — and there is no exchange
-    # between them the planner could reuse, so unpersisted the
-    # tokenize -> explode -> hash chain (the corpus-scan pipeline, the
-    # expensive part of this operator) ran twice.  Rows are narrow
-    # (id, int bucket); MEMORY_AND_DISK spills at corpus scale; the
-    # result is materialized below so the cache releases
-    # deterministically (the engine's side-table pattern).
-    tok = buckets(docs).persist()
+    # tok feeds TWO consumers (the raw histogram and the final
+    # broadcast-join + per-doc aggregate), so the tokenize -> explode ->
+    # hash chain runs twice — DELIBERATELY (r13, reverting the r12
+    # persist+checkpoint): the r12 matched-par A/B itself measured the
+    # materialized form 54% SLOWER at bench scale (1.83 -> 2.83 s), the
+    # r13 re-check under the throughput collector measured parity at
+    # best, and at corpus scale persisting the exploded TOKEN STREAM
+    # (one row per token — orders of magnitude more rows than the
+    # corpus) is a full disk round-trip that costs more than re-running
+    # a cheap narrow tokenize scan.  Two passes of a column-pruned scan
+    # is the 100 TB shape here.
+    tok = buckets(docs)
     raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
     tgt = buckets(target).groupBy("b").agg(F.count("*").alias("ct"))
     dist = raw.join(tgt, "b", "left").select(
@@ -744,11 +747,6 @@ def dsir_log_weights(
         )
         .orderBy(id_col)
     )
-    # narrow (id, count, double) rows — materialize so the tok cache
-    # releases deterministically instead of pinning corpus-scale blocks
-    # for the session's lifetime
-    out = out.localCheckpoint(eager=True)
-    tok.unpersist()
     return out
 
 

@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _shj(df: DataFrame) -> DataFrame:
+    # the winner tables must JOIN hash-shuffled: an unhinted planner
+    # falls back to sort-merge at corpus scale, which would SORT the
+    # wide probe rows — the one thing this operator exists to avoid
+    # (the test_plans gate pins it)
+    return df.hint("shuffle_hash")
+
+
 def dedup_exact(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Exact duplicate removal — ``dropDuplicates`` (hash shuffle + first
     row per key, map-side partial aggregation applies)."""
@@ -33,6 +41,7 @@ def dedup_last_write_wins(
     order_by: Sequence[str],
     *,
     keep: str = "last",
+    materialize: bool = False,
 ) -> DataFrame:
     """Keep exactly one row per ``key``, deterministically.
 
@@ -91,32 +100,40 @@ def dedup_last_write_wins(
     fp = F.xxhash64(
         *[x for c in df.columns for x in (F.col(c).isNull(), F.col(c))]
     )
-    # The narrow candidate projection feeds every reduction round (the
-    # per-column extreme aggregate AND the tie-keeping join probe) plus
-    # the final fingerprint aggregate — unpersisted, each consumer
-    # re-ran the upstream wide projection chain (for the ETL shape the
-    # full stringify of every column, just to hash it into __fp:
-    # measured 10 parquet scans in l1's executed plan).  Persist it
-    # (a few machine words per row at any scale), materialize the
-    # NARROW (key, fp) winner table, and release the cache before the
-    # wide recovery join — wide rows are never cached or checkpointed.
+    # ``materialize`` (r13, reverting the r12 default): the r12 round
+    # persisted the narrow candidates + checkpointed the winner table
+    # unconditionally, on an A/B that measured the ETL chain 8.5->5.4 s
+    # — but that trade was an artifact of the G1 allocation contention
+    # fixed in session.py this round: re-measured under the throughput
+    # collector (4 interleaved rounds at matched calibration), the
+    # LAZY plan wins on BOTH the wide 17-column ETL chain (3.5-3.7 s vs
+    # 4.6-5.1 s, ~1.35x) and the thin l1 fixture (3.18 vs 4.41 s), so
+    # lazy is the default again.  The knob remains for deployments
+    # where re-deriving the candidates is costlier than caching them —
+    # re-computation re-scans the FULL input (the fingerprint hashes
+    # every column, so nothing prunes) (order_by)+2 times, so a corpus
+    # on cold object storage with cheap local cache disk should pass
+    # materialize=True; a fast-scan/slow-disk installation should not.
     cand = df.select(
         F.col(key), fp.alias("__fp"), *[F.col(c) for c in order_by]
-    ).persist()
+    )
+    if materialize:
+        cand = cand.persist()
     reduced = cand
     for c in order_by:
         ext = reduced.groupBy(key).agg(ext_fn(c).alias("__m"))
         reduced = (
-            reduced.join(ext.hint("shuffle_hash"), key)
+            reduced.join(_shj(ext), key)
             .filter(F.col(c).eqNullSafe(F.col("__m")))
             .drop("__m")
         )
     winners = reduced.groupBy(key).agg(ext_fn("__fp").alias("__fp"))
-    winners = winners.localCheckpoint(eager=True)
-    cand.unpersist()
+    if materialize:
+        winners = winners.localCheckpoint(eager=True)
+        cand.unpersist()
     return (
         df.withColumn("__fp", fp)
-        .join(winners.hint("shuffle_hash"), [key, "__fp"], "left_semi")
+        .join(_shj(winners), [key, "__fp"], "left_semi")
         .dropDuplicates([key, "__fp"])
         .drop("__fp")
     )

@@ -293,17 +293,26 @@ def minhash_lsh_pairs(
         lambda acc, x: acc + x,
     ) / F.lit(float(n_perms))
     margin = 2.5 * (0.25 / n_perms) ** 0.5  # ~2.5 sigma at J=0.5
-    # shuffle_hash on the per-doc side: the PAIR table is the one whose
-    # row count explodes (candidates >> docs), so it must be the
-    # streamed/shuffled side, spread by join-key hash. Left to the
-    # planner, the doc-side tables (tiny row counts, AQE-coalesced to
-    # ~1 partition) stream while the pair table is broadcast — and the
-    # whole estimate/verify compute collapses onto one task (measured
-    # on the end-to-end pipeline at sf0.1: 147 k surviving pairs, the
-    # array verify ran 1-2 tasks, ~36 s of a 48 s wall).
+    # UNHINTED verify joins (r13, reverting the r12 shuffle_hash
+    # hints): the forced ShuffledHashJoin added two exchanges per join
+    # and a per-partition hash-map build per task, and the r12 driver
+    # measured the hinted form 3x SLOWER at local[32] than local[8]
+    # (scaling ratio 0.30 — per-task GC/deserialize contention from the
+    # extra tasks; the r13 interleaved A/B at both core counts measured
+    # hint-removal 2x on this query at 32 cores, neutral at 8).  Left
+    # to the planner + AQE: at bench scale the per-doc signature tables
+    # broadcast (they are under the threshold; the verify then runs
+    # map-side on the pair table with NO exchange), and at corpus scale
+    # neither side fits a broadcast so the planner falls back to
+    # sort-merge — narrow (ids + signature array) rows, spills
+    # gracefully, AQE skew-splitting still applies.  The r12 "verify
+    # collapsed to 1 task" measurement that motivated the hints was
+    # confounded with the jaccard() codegen blow-up fixed in the same
+    # commit; with the cheap derived-union jaccard the unhinted form is
+    # strictly faster at every measured core count.
     survivors = (
-        candidates.join(lsig.hint("shuffle_hash"), "left_id")
-        .join(rsig.hint("shuffle_hash"), "right_id")
+        candidates.join(lsig, "left_id")
+        .join(rsig, "right_id")
         .withColumn("__est", est)
         .filter(F.col("__est") >= jaccard_threshold - margin)
         .select("left_id", "right_id")
@@ -335,8 +344,8 @@ def minhash_lsh_pairs(
     lsh = hashed.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh"))
     rsh = hashed.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh"))
     result = (
-        survivors.join(lsh.hint("shuffle_hash"), "left_id")
-        .join(rsh.hint("shuffle_hash"), "right_id")
+        survivors.join(lsh, "left_id")
+        .join(rsh, "right_id")
         .withColumn("jaccard_sim", F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 4))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("left_id", "right_id", "jaccard_sim")
@@ -940,13 +949,13 @@ def ngram_jaccard_pairs(
     )
     lg = idsets.select(F.col(id_col).alias("left_id"), F.col("__ids").alias("__lg"))
     rg = idsets.select(F.col(id_col).alias("right_id"), F.col("__ids").alias("__rg"))
-    # shuffle_hash on the idset side: cand is the side whose row count
-    # explodes (pairs >> docs) — it must stream shuffled, not be
-    # broadcast over a ~1-partition idset scan (the minhash verify's
-    # parallelism collapse, same fix)
+    # UNHINTED verify joins — same r13 revert as minhash_lsh_pairs'
+    # estimate/exact verifies (see the comment there): the forced
+    # ShuffledHashJoin anti-scaled at local[32]; planner+AQE pick
+    # broadcast at bench scale and sort-merge at corpus scale.
     scored = (
-        cand.join(lg.hint("shuffle_hash"), "left_id")
-        .join(rg.hint("shuffle_hash"), "right_id")
+        cand.join(lg, "left_id")
+        .join(rg, "right_id")
         .withColumn("__j", jaccard(F.col("__lg"), F.col("__rg")))
         .filter(F.col("__j") >= threshold)
         .select(

@@ -934,7 +934,6 @@ def semantic_dedup_int8(
             ).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
     # feat feeds the hot-block count pre-pass, the hot-mark join, and
-    # feat feeds the hot-block count pre-pass, the hot-mark join, and
     # both self-join sides, so the quantize + Arrow cluster-assign
     # matmul appears once per plan consumer.  A persist+localCheckpoint
     # materialization was tried here (r12 optimization session 1) and
@@ -1339,19 +1338,32 @@ def maxsim_topk(
             return pd.Series([], dtype="float64")
         lens = [len(v) if v is not None else -1 for v in vals]
         if min(lens) == max(lens) == d:
+            fm = np.asarray(vals, dtype=np.float64)
+            # a NULL component arrives as NaN; astype(int64) on NaN is
+            # UNDEFINED (typically INT64_MIN), while the expression
+            # form this replaced null-poisons the score — mask
+            # non-finite rows to NULL to keep those semantics
+            bad = ~np.isfinite(fm).all(axis=1)
             m = np.floor(
-                np.asarray(vals, dtype=np.float64) * g + 0.5
+                np.where(np.isfinite(fm), fm, 0.0) * g + 0.5
             ).astype(np.int64)
             dots = m.reshape(len(vals), n_sub, sub) @ qm.T  # (B, dj, qi)
-            return pd.Series(dots.max(axis=1).sum(axis=1))
+            scores = dots.max(axis=1).sum(axis=1)
+            if bad.any():
+                out = scores.astype(object)
+                out[bad] = None
+                return pd.Series(out, dtype="object")
+            return pd.Series(scores)
         out = []
         for v in vals:  # ragged batch: per-row (the uniform fast path
             if v is None or len(v) < d:  # covers every real corpus)
                 out.append(None)
                 continue
-            m = np.floor(
-                np.asarray(v[:d], dtype=np.float64) * g + 0.5
-            ).astype(np.int64).reshape(n_sub, sub)
+            fv = np.asarray(v[:d], dtype=np.float64)
+            if not np.isfinite(fv).all():  # same NaN/astype hole as above
+                out.append(None)
+                continue
+            m = np.floor(fv * g + 0.5).astype(np.int64).reshape(n_sub, sub)
             out.append(int((m @ qm.T).max(axis=0).sum()))
         return pd.Series(out, dtype="object")
 

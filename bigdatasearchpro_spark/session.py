@@ -69,10 +69,33 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
+    # Throughput GC for the allocation-heavy text operators (r13): the
+    # engine's hot paths churn short-lived objects at a huge rate
+    # (UTF8String shingle slices, md5 hex strings of the portable hash
+    # family, tokenizer arrays), and under the default G1 (200 ms pause
+    # target) the r13 per-stage profile measured task GC time 8x and
+    # task CPU 2.3-2.7x HIGHER at 32 concurrent tasks than at 8 for the
+    # same stages — GC/allocation contention, not data volume (the
+    # near-dup suite entries anti-scaled 0.24-0.30 in the r12 driver
+    # run).  The parallel throughput collector trades pause latency
+    # (irrelevant for batch analytics) for allocation throughput:
+    # interleaved A/Bs at BOTH core counts measured minhash 8.6 -> 5.4 s
+    # and the end-to-end pipeline 14.0 -> 10.8 s at local[32], neutral
+    # at local[8].  Scale-independent (executors on a real cluster run
+    # the same allocation profile); override via SPARK_GRAFT_GC_OPTS.
+    gc_opts = os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC")
+    if gc_opts:
+        builder = builder.config(
+            "spark.executor.extraJavaOptions", gc_opts
+        )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         )
+        if gc_opts:
+            # local mode: the driver JVM IS the executor; extraJavaOptions
+            # only applies at JVM launch (the first session in a process)
+            builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

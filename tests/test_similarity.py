@@ -718,6 +718,33 @@ def test_maxsim_late_interaction(spark):
         maxsim_topk(emb, q, 2, n_sub=7)
 
 
+def test_maxsim_null_component_scores_null(spark):
+    # A FULL-LENGTH vector with a NULL component must score NULL (the
+    # expression form's try_element_at null-poisoning), not the
+    # undefined value numpy's astype(int64) produces for NaN — in both
+    # the uniform-batch fast path and the ragged per-row path.
+    from bigdatasearchpro_spark.operators.similarity import maxsim_topk
+
+    q = [0] * 64
+    q[0:8] = [1000] * 8
+    good = [0.5] * 64
+    holed = [0.5] * 64
+    holed[10] = None
+    # uniform path: every row is full-length (one holed, one good)
+    emb = spark.createDataFrame(
+        [(1, good), (2, holed)], "vec_id long, embedding array<float>"
+    )
+    rows = {r.vec_id: r.maxsim for r in maxsim_topk(emb, q, 2).collect()}
+    assert rows[1] == 4_000_000 and rows[2] is None
+    # ragged path: a short row forces per-row handling of the holed one
+    emb2 = spark.createDataFrame(
+        [(1, good), (2, holed), (3, [0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    rows2 = {r.vec_id: r.maxsim for r in maxsim_topk(emb2, q, 3).collect()}
+    assert rows2[1] == 4_000_000 and rows2[2] is None and rows2[3] is None
+
+
 def test_sparse_vector_shape_and_scoring(spark):
     from bigdatasearchpro_spark.operators.similarity import (
         sparse_vector_column, sparse_vector_topk,
